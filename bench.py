@@ -1,0 +1,84 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": ...}
+
+Mirrors the reference's pg_lake_benchmark methodology (run query,
+discard result, wall-clock per query — reference:
+pg_lake_benchmark/README.md:13-14). Each query is timed as a full
+execution (plan + execute + fetch counts), min of two runs to smooth
+JIT/codegen warmup, on a warm session with tables pre-registered.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pg_datalake_spark import plans
+from pg_datalake_spark.catalog import load_tables
+from pg_datalake_spark.plans.registry import QUERIES
+from pg_datalake_spark.session import build_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the join/agg-heavy TPC-H shapes plus one of each
+# operator family that exists by the time bench runs.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q09_product_type_profit",
+    "q13_customer_distribution",
+    "q18_large_volume_customer",
+    "q21_waiting_orders",
+    "w01_window_suite",
+    "g01_grouping_sets",
+    "d01_exact_dedup",
+    "d02_minhash_lsh_neardup",
+    "s01_cosine_topk",
+    "t01_text_quality",
+]
+
+
+def main() -> None:
+    plans.load_all()
+    spark = build_session("pg_datalake_spark-bench")
+    load_tables(spark, SF_DIR)
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            n = df.count()  # execute fully, discard rows
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

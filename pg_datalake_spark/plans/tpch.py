@@ -1,0 +1,663 @@
+"""TPC-H-style analytical queries adapted to the driver's star schema.
+
+The reference ships a TPC-H harness (reference: pg_lake_benchmark/src/tpch.c:59-223,
+22 fixed-parameter queries); the driver's synthetic schema carries a
+subset of the TPC-H columns, so each query here is the classic shape
+adapted to the available columns. Every query is written with the
+DataFrame API (Catalyst plans filter-pushdown/broadcast joins itself)
+and paired with DuckDB oracle SQL.
+
+Scale notes (100 TB): lineitem/orders are the fact tables — every join
+below joins fact to a (broadcastable) dimension or fact-to-fact on the
+join key both sides are naturally clustered on (l_orderkey/o_orderkey).
+Aggregations are partial-agg friendly (sum/count/min/max/avg), so
+map-side combine keeps shuffle volume ~|groups|, not |rows|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_datalake_spark.catalog import load_tables
+from pg_datalake_spark.plans.registry import register
+
+
+def ts(lit: str) -> F.Column:
+    """TIMESTAMP_NTZ literal (matches parquet timestamp_ntz columns)."""
+    return F.expr(f"TIMESTAMP_NTZ '{lit}'")
+
+
+def disc_price() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)                                       AS sum_qty,
+           sum(l_extendedprice)                                  AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           avg(l_quantity)                                       AS avg_qty,
+           avg(l_extendedprice)                                  AS avg_price,
+           avg(l_discount)                                       AS avg_disc,
+           count(*)                                              AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price()).alias("sum_disc_price"),
+            F.sum(disc_price() * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderdate") < ts("1998-03-15 00:00:00"))
+    li = t["lineitem"].filter(F.col("l_shipdate") > ts("1996-03-15 00:00:00"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(disc_price()).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q04_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= ts("1996-07-01 00:00:00"))
+        & (F.col("o_orderdate") < ts("1996-10-01 00:00:00"))
+    )
+    big = t["lineitem"].filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q05_local_supplier_volume",
+    oracle="""
+    SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ts("1998-01-01 00:00:00"))
+    )
+    # dimension chain region→nation→supplier is tiny: broadcast it once
+    dims = (
+        t["supplier"]
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(dims),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(disc_price()).alias("revenue"))
+    )
+
+
+@register(
+    "q06_forecast_revenue",
+    oracle="""
+    SELECT sum(l_extendedprice * l_discount) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= ts("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("1998-01-01 00:00:00"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@register(
+    "q07_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                           AND TIMESTAMP '1996-12-31 00:00:00'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    li = t["lineitem"].filter(
+        F.col("l_shipdate").between(ts("1995-01-01 00:00:00"), ts("1996-12-31 00:00:00"))
+    )
+    joined = (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            disc_price().alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").alias("revenue"))
+    )
+
+
+@register(
+    "q09_product_type_profit",
+    oracle="""
+    SELECT n_name AS nation, o_year, sum(amount) AS sum_profit
+    FROM (
+      SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY n_name, o_year
+    """,
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    green = t["part"].filter(F.col("p_name").like("%red%"))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(green), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            disc_price().alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").alias("sum_profit"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= ts("1996-10-01 00:00:00"))
+        & (F.col("o_orderdate") < ts("1997-01-01 00:00:00"))
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(disc_price()).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN l_quantity <  25 THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts("1998-01-01 00:00:00"))
+    )
+    return (
+        li.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(F.col("l_quantity") < 25, 1).otherwise(0))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    orders = t["orders"].filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@register(
+    "q14_promo_effect",
+    oracle="""
+    SELECT 100.00 * sum(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0.0 END)
+           / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= ts("1997-09-01 00:00:00"))
+        & (F.col("l_shipdate") < ts("1997-10-01 00:00:00"))
+    )
+    return (
+        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc_price()).otherwise(F.lit(0.0)))
+                / F.sum(disc_price())
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier"])
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= ts("1997-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("1997-04-01 00:00:00"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(disc_price()).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        t["supplier"]
+        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q16_supplier_part_types",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 2, 3, 4, 5)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 2, 3, 4, 5)
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#2'
+      AND l_quantity < (
+        SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    # correlated scalar subquery → per-part average via a pre-aggregated
+    # broadcast join (cheaper than a window over the fact at scale)
+    part_avg = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.avg("l_quantity").alias("avg_qty"))
+    )
+    brand = t["part"].filter(F.col("p_brand") == "Brand#2")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(brand), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(part_avg), F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q18_large_volume_customer",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           sum(l_quantity) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 200)
+        .select("l_orderkey")
+    )
+    li = t["lineitem"].join(
+        big.withColumnRenamed("l_orderkey", "bk"), F.col("l_orderkey") == F.col("bk"), "left_semi"
+    )
+    return (
+        li.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(F.sum(disc_price()).alias("revenue"))
+    )
+
+
+@register(
+    "q21_waiting_orders",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["supplier", "lineitem", "orders"])
+    li = t["lineitem"]
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    orders = t["orders"].filter(F.col("o_orderstatus") == "F")
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    base = l1.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    with_other = base.join(
+        l2,
+        (F.col("l2_orderkey") == F.col("l_orderkey")) & (F.col("l2_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    no_other_r = with_other.join(
+        l3,
+        (F.col("l3_orderkey") == F.col("l_orderkey")) & (F.col("l3_suppkey") != F.col("l_suppkey")),
+        "left_anti",
+    )
+    return no_other_r.groupBy("s_name").agg(F.count("*").alias("numwait"))
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    SELECT n_name AS cntry, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
+    GROUP BY n_name
+    """,
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders", "nation"])
+    avg_bal = (
+        t["customer"].filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    )
+    return (
+        t["customer"]
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            t["orders"].filter(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("cntry"))
+        .agg(F.count("*").alias("numcust"), F.sum("c_acctbal").alias("totacctbal"))
+    )

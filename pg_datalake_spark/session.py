@@ -1,0 +1,57 @@
+"""SparkSession construction.
+
+The reference engine (pg_lake) delegates vectorized execution to a
+multi-threaded DuckDB sidecar with a memory limit of 80% of RAM
+(reference: README.md pgduck_server flags). Here Spark *is* the engine;
+this module owns the session-level tuning that stands in for those
+engine defaults:
+
+- AQE on (runtime re-planning, skew-join handling, partition coalescing)
+- shuffle partitions sized to the local core count, not the 200 default
+- UTC session timezone (reference pins timestamptz rendering through the
+  session TZ; UTC makes oracle comparison deterministic — SURVEY §4.5.8)
+- Arrow enabled for the pandas-UDF slow path
+
+At 100 TB these settings change shape but not intent: shuffle
+partitions scale with cluster cores × 2-3, AQE stays on, and
+maxPartitionBytes keeps scan tasks ~128MB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def cpu_count() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def build_session(app_name: str = "pg_datalake_spark", cpus: int | None = None) -> SparkSession:
+    """Create (or fetch) the tuned SparkSession."""
+    n = cpus or cpu_count()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        # Parquet scans: keep split size moderate so local[N] parallelizes
+        # small files; on a real cluster the same knob bounds task size.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Parquet TIMESTAMP(NANOS) (events.ts in the testdata) is not a
+        # Spark-native type: surface it as long and let the catalog cast
+        # to timestamp_ntz (µs truncation).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
