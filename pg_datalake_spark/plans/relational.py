@@ -1,4 +1,801 @@
-"""Relational-surface coverage queries (joins, windows, grouping sets, set ops).
+"""Relational-surface coverage: joins, windows, grouping sets, set ops,
+sorts/limits, CTEs — SURVEY.md §2.3-§2.7.
 
-Filled in per SURVEY.md §2.3-§2.7.
+The reference pushes this entire surface into its vectorized engine
+(joins: pg_lake_table/src/fdw/pg_lake_table.c:3892-3894; windows:
+shippable_builtin_functions.c:381-395; grouping sets FQ-only:
+deparse.c:3574-3577; set ops: test_set_operation_pushdown.py). In Spark
+all of it is native Catalyst surface; these queries pin the semantics
+against the DuckDB oracle, including the PG-flavored rewrites the
+reference papers over (DISTINCT ON via row_number, LIMIT WITH TIES via
+rank — SURVEY §2.6).
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pg_datalake_spark.catalog import load_tables
+from pg_datalake_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Joins (§2.3) — inner/left equi-joins are exercised throughout tpch.py;
+# here: full outer, right, cross, non-equi theta, and as-of.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j01_full_outer_join",
+    oracle="""
+    SELECT n_nationkey, n_name, cust_cnt
+    FROM nation
+    FULL OUTER JOIN (
+      SELECT c_nationkey, count(*) AS cust_cnt
+      FROM customer WHERE c_acctbal > 9000.0 GROUP BY c_nationkey
+    ) cc ON n_nationkey = c_nationkey
+    """,
+)
+def j01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["nation", "customer"])
+    cc = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 9000.0)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("cust_cnt"))
+    )
+    return (
+        t["nation"]
+        .join(cc, F.col("n_nationkey") == F.col("c_nationkey"), "full_outer")
+        .select("n_nationkey", "n_name", "cust_cnt")
+    )
+
+
+@register(
+    "j02_right_join",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name
+    FROM nation RIGHT JOIN supplier ON n_nationkey = s_nationkey AND n_regionkey < 3
+    """,
+)
+def j02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["nation", "supplier"])
+    return (
+        t["nation"]
+        .join(
+            t["supplier"],
+            (F.col("n_nationkey") == F.col("s_nationkey")) & (F.col("n_regionkey") < 3),
+            "right",
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@register(
+    "j03_cross_join",
+    oracle="""
+    SELECT r_name, o_orderstatus, count(*) AS n
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    CROSS JOIN nation
+    WHERE n_regionkey = r_regionkey
+    GROUP BY r_name, o_orderstatus
+    """,
+)
+def j03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["region", "orders", "nation"])
+    statuses = t["orders"].select("o_orderstatus").distinct()
+    return (
+        t["region"]
+        .crossJoin(statuses)
+        .crossJoin(t["nation"])
+        .filter(F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "j04_theta_band_join",
+    oracle="""
+    SELECT band, count(*) AS n_orders, sum(o_totalprice) AS total
+    FROM orders
+    JOIN (VALUES ('low', 0.0, 20000.0), ('mid', 20000.0, 100000.0),
+                 ('high', 100000.0, 1e9)) AS b(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def j04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    bands = spark.createDataFrame(
+        [("low", 0.0, 20000.0), ("mid", 20000.0, 100000.0), ("high", 100000.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    # non-equi join against a tiny dim: broadcast nested-loop is the right
+    # plan at any scale (bands is O(1) rows)
+    return (
+        t["orders"]
+        .join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("total"))
+    )
+
+
+@register(
+    "j05_asof_join",
+    oracle="""
+    SELECT e.event_id, e.ts, last_click_ts
+    FROM events e
+    LEFT JOIN LATERAL (
+      SELECT max(e2.ts) AS last_click_ts
+      FROM events e2
+      WHERE e2.user_id = e.user_id AND e2.event_type = 'click' AND e2.ts <= e.ts
+    ) c ON true
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def j05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg_datalake_spark.operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir, ["events"])
+    purchases = t["events"].filter(F.col("event_type") == "purchase")
+    clicks = t["events"].filter(F.col("event_type") == "click")
+    joined = asof_join(
+        purchases,
+        clicks.select("user_id", F.col("ts").alias("click_ts")),
+        on="user_id",
+        left_time="ts",
+        right_time="click_ts",
+    )
+    return joined.select("event_id", "ts", F.col("click_ts").alias("last_click_ts"))
+
+
+# ---------------------------------------------------------------------------
+# Window functions (§2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w01_window_suite",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(row_number()   OVER w AS BIGINT) AS rn,
+           CAST(rank()         OVER (PARTITION BY user_id ORDER BY value) AS BIGINT) AS rnk,
+           CAST(dense_rank()   OVER (PARTITION BY user_id ORDER BY value) AS BIGINT) AS drnk,
+           percent_rank() OVER (PARTITION BY user_id ORDER BY value) AS prnk,
+           cume_dist()    OVER (PARTITION BY user_id ORDER BY value) AS cd,
+           CAST(ntile(4) OVER w AS INT) AS nt,
+           lag(value)        OVER w AS prev_value,
+           lead(value, 2)    OVER w AS next2_value,
+           first_value(value) OVER w AS first_v,
+           nth_value(value, 3) OVER w AS third_v
+    FROM events
+    WHERE user_id < 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def w01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = W.partitionBy("user_id").orderBy("value")
+    return (
+        t["events"]
+        .filter(F.col("user_id") < 20)
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(wv).cast("long").alias("rnk"),
+            F.dense_rank().over(wv).cast("long").alias("drnk"),
+            F.percent_rank().over(wv).alias("prnk"),
+            F.cume_dist().over(wv).alias("cd"),
+            F.ntile(4).over(w).alias("nt"),
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("value", 2).over(w).alias("next2_value"),
+            F.first_value(F.col("value")).over(w).alias("first_v"),
+            F.nth_value(F.col("value"), 3).over(w).alias("third_v"),
+        )
+    )
+
+
+@register(
+    "w02_rows_frame_running",
+    oracle="""
+    SELECT event_id, user_id,
+           sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum,
+           avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3,
+           max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS next3_max
+    FROM events WHERE user_id < 20
+    """,
+)
+def w02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t["events"]
+        .filter(F.col("user_id") < 20)
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("value").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("running_sum"),
+            F.avg("value").over(w.rowsBetween(-2, W.currentRow)).alias("moving_avg3"),
+            F.max("value").over(w.rowsBetween(1, 3)).alias("next3_max"),
+        )
+    )
+
+
+@register(
+    "w03_range_frame",
+    oracle="""
+    SELECT event_id, user_id, value,
+           count(*) OVER (PARTITION BY user_id ORDER BY value
+                          RANGE BETWEEN 10.0 PRECEDING AND 10.0 FOLLOWING) AS n_within_10,
+           sum(value) OVER (PARTITION BY user_id ORDER BY value
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_by_value
+    FROM events WHERE user_id < 10
+    """,
+)
+def w03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # non-integral RANGE offsets need the SQL form (PySpark's
+    # rangeBetween only takes ints)
+    load_tables(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT event_id, user_id, value,
+               count(*) OVER (PARTITION BY user_id ORDER BY value
+                              RANGE BETWEEN 10.0 PRECEDING AND 10.0 FOLLOWING) AS n_within_10,
+               sum(value) OVER (PARTITION BY user_id ORDER BY value
+                                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_by_value
+        FROM events WHERE user_id < 10
+        """
+    )
+
+
+@register(
+    "w04_topk_per_group",
+    oracle="""
+    SELECT user_id, event_id, value
+    FROM (SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+          FROM events) t
+    WHERE rn <= 3
+    """,
+)
+def w04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        t["events"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value")
+    )
+
+
+@register(
+    "w05_sessionization",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, event_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def w05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # ANSI mode forbids timestamp→long casts; go through unix epoch seconds
+    secs = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000)
+    gap = secs - F.lag(secs).over(w)
+    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    return (
+        t["events"]
+        .withColumn("new_session", new_session)
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregates beyond tpch.py (§2.4): stats family, modifiers, grouping sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a01_stats_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           stddev_samp(l_extendedprice) AS sd_samp,
+           stddev_pop(l_extendedprice)  AS sd_pop,
+           var_samp(l_quantity)         AS v_samp,
+           var_pop(l_quantity)          AS v_pop,
+           corr(l_quantity, l_extendedprice)      AS cor,
+           covar_pop(l_quantity, l_extendedprice) AS cov_pop,
+           covar_samp(l_quantity, l_extendedprice) AS cov_samp,
+           regr_slope(l_extendedprice, l_quantity) AS slope,
+           regr_intercept(l_extendedprice, l_quantity) AS intercept,
+           regr_r2(l_extendedprice, l_quantity)   AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.stddev_samp(p).alias("sd_samp"),
+            F.stddev_pop(p).alias("sd_pop"),
+            F.var_samp(q).alias("v_samp"),
+            F.var_pop(q).alias("v_pop"),
+            F.corr(q, p).alias("cor"),
+            F.covar_pop(q, p).alias("cov_pop"),
+            F.covar_samp(q, p).alias("cov_samp"),
+            F.regr_slope(p, q).alias("slope"),
+            F.regr_intercept(p, q).alias("intercept"),
+            F.regr_r2(p, q).alias("r2"),
+            F.regr_count(p, q).alias("n"),
+        )
+    )
+
+
+@register(
+    "a02_ordered_set_aggregates",
+    oracle="""
+    SELECT l_linestatus,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS median_qty,
+           percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_price,
+           percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_disc,
+           mode() WITHIN GROUP (ORDER BY l_returnflag) AS mode_flag,
+           min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def a02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (
+        t["lineitem"]
+        .groupBy("l_linestatus")
+        .agg(
+            F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)").alias("median_qty"),
+            F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p90_price"),
+            F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)").alias("p25_disc"),
+            # PG mode() = most frequent, ties broken by order; data has a
+            # unique mode per group so mode() matches deterministically
+            F.mode("l_returnflag").alias("mode_flag"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+    )
+
+
+@register(
+    "a03_agg_modifiers",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_orderpriority)                       AS n_prio,
+           count(*) FILTER (WHERE o_totalprice > 100000.0)       AS n_big,
+           sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent_total,
+           bool_and(o_totalprice > 0.0)                          AS all_positive,
+           bool_or(o_totalprice > 400000.0)                      AS any_huge,
+           any_value(o_orderstatus)                              AS an_example
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_orderpriority").alias("n_prio"),
+            F.count(F.when(F.col("o_totalprice") > 100000.0, 1)).alias("n_big"),
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))).alias(
+                "urgent_total"
+            ),
+            F.bool_and(F.col("o_totalprice") > 0.0).alias("all_positive"),
+            F.bool_or(F.col("o_totalprice") > 400000.0).alias("any_huge"),
+            # any_value is nondeterministic in general; grouped by the same
+            # column it can only ever observe the group key itself
+            F.any_value(F.col("o_orderstatus")).alias("an_example"),
+        )
+    )
+
+
+@register(
+    "a04_array_agg",
+    oracle="""
+    SELECT n_regionkey,
+           list_sort(array_agg(n_name)) AS nations,
+           string_agg(n_name, ',' ORDER BY n_name) AS nation_csv
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def a04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["nation"])
+    return (
+        t["nation"]
+        .groupBy("n_regionkey")
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias("nation_csv"),
+        )
+    )
+
+
+@register(
+    "g01_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def g01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               sum(l_quantity) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "g02_rollup",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_cust, sum(c_acctbal) AS bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "nation", "region"])
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_cust"), F.sum("c_acctbal").alias("bal"))
+    )
+
+
+@register(
+    "g03_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n, avg(o_totalprice) AS avg_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def g03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.avg("o_totalprice").alias("avg_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s01_union_all_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9900.0
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def s01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "supplier"])
+    a = t["customer"].filter(F.col("c_acctbal") > 9900.0).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    b = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    return a.union(b).distinct()
+
+
+@register(
+    "s02_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def s02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "supplier"])
+    return (
+        t["customer"]
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+@register(
+    "s03_except_all",
+    oracle="""
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def s03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    a = t["orders"].filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("k"))
+    b = t["orders"].filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+    return a.exceptAll(b)
+
+
+@register(
+    "s04_intersect_all",
+    oracle="""
+    SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def s04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    a = t["lineitem"].filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
+    b = t["lineitem"].filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("k"))
+    return a.intersectAll(b)
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / distinct (§2.6) — PG-semantic rewrites
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "o01_order_nulls_last_offset",
+    oracle="""
+    SELECT n_nationkey, nullif(n_regionkey, 2) AS rk
+    FROM nation
+    ORDER BY rk DESC NULLS LAST, n_nationkey
+    LIMIT 10 OFFSET 5
+    """,
+)
+def o01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["nation"])
+    return (
+        t["nation"]
+        .select("n_nationkey", F.nullif(F.col("n_regionkey"), F.lit(2)).alias("rk"))
+        .orderBy(F.col("rk").desc_nulls_last(), "n_nationkey")
+        .offset(5)
+        .limit(10)
+    )
+
+
+@register(
+    "o02_distinct_on",
+    oracle="""
+    SELECT DISTINCT ON (user_id) user_id, event_id, ts, value
+    FROM events
+    ORDER BY user_id, ts DESC, event_id
+    """,
+)
+def o02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG DISTINCT ON (k) ... ORDER BY k, s — first row per key.
+
+    Spark has no DISTINCT ON; the PG-semantic rewrite is
+    row_number() over (partition by k order by s) = 1 (SURVEY §2.6).
+    """
+    t = load_tables(spark, sf_dir, ["events"])
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), "event_id")
+    return (
+        t["events"]
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_id", "ts", "value")
+    )
+
+
+@register(
+    "o03_limit_with_ties",
+    oracle="""
+    SELECT l_orderkey, l_quantity
+    FROM (SELECT l_orderkey, l_quantity,
+                 rank() OVER (ORDER BY l_quantity DESC) AS r
+          FROM lineitem) t
+    WHERE r <= 5
+    """,
+)
+def o03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT WITH TIES via rank() <= n (neither DuckDB-the-engine in the
+    reference nor Spark pushes WITH TIES — SURVEY §2.6)."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    w = W.orderBy(F.desc("l_quantity"))
+    return (
+        t["lineitem"]
+        .withColumn("__r", F.rank().over(w))
+        .filter(F.col("__r") <= 5)
+        .select("l_orderkey", "l_quantity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CTEs / subqueries (§2.8 facts: CTEs incl. recursive push down)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c01_chained_cte",
+    oracle="""
+    WITH big_orders AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_totalprice > 200000.0
+    ), cust_stats AS (
+      SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS total
+      FROM big_orders GROUP BY o_custkey
+    )
+    SELECT c_name, n, total
+    FROM cust_stats JOIN customer ON c_custkey = o_custkey
+    WHERE n >= 2
+    """,
+)
+def c01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["orders", "customer"])
+    return spark.sql(
+        """
+        WITH big_orders AS (
+          SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          WHERE o_totalprice > 200000.0
+        ), cust_stats AS (
+          SELECT o_custkey, count(*) AS n, sum(o_totalprice) AS total
+          FROM big_orders GROUP BY o_custkey
+        )
+        SELECT c_name, n, total
+        FROM cust_stats JOIN customer ON c_custkey = o_custkey
+        WHERE n >= 2
+        """
+    )
+
+
+@register(
+    "c02_recursive_cte",
+    oracle="""
+    WITH RECURSIVE series(n) AS (
+      SELECT 1
+      UNION ALL
+      SELECT n + 1 FROM series WHERE n < 20
+    )
+    SELECT CAST(n AS INT) AS n, CAST(n * n AS INT) AS n_squared FROM series
+    """,
+)
+def c02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+        WITH RECURSIVE series(n) AS (
+          SELECT 1
+          UNION ALL
+          SELECT n + 1 FROM series WHERE n < 20
+        )
+        SELECT CAST(n AS INT) AS n, CAST(n * n AS INT) AS n_squared FROM series
+        """
+    )
+
+
+@register(
+    "c03_correlated_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 2.0 * (
+      SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def c03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 2.0 * (
+          SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@register(
+    "c04_lateral_unnest",
+    oracle="""
+    SELECT n_name, part_word
+    FROM nation, LATERAL unnest(string_split(n_name, '_')) AS t(part_word)
+    WHERE n_nationkey < 5
+    """,
+)
+def c04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["nation"])
+    return (
+        t["nation"]
+        .filter(F.col("n_nationkey") < 5)
+        .select("n_name", F.explode(F.split("n_name", "_")).alias("part_word"))
+    )
+
+
+@register(
+    "p01_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_open,
+           sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_finished
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def p01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_finished")
+    )
+
+
+@register(
+    "p02_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, val
+    FROM (SELECT c_custkey, c_acctbal AS acctbal,
+                 CAST(c_nationkey AS DOUBLE) AS nationkey_d
+          FROM customer WHERE c_custkey <= 20) t
+    UNPIVOT (val FOR metric IN (acctbal, nationkey_d))
+    """,
+)
+def p02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer"])
+    return (
+        t["customer"]
+        .filter(F.col("c_custkey") <= 20)
+        .select(
+            "c_custkey",
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_nationkey").cast("double").alias("nationkey_d"),
+        )
+        .unpivot("c_custkey", ["acctbal", "nationkey_d"], "metric", "val")
+    )
