@@ -42,7 +42,8 @@ HEADLINE = [
     "g01_grouping_sets",
     "d01_exact_dedup",
     "d02_minhash_lsh_neardup",
-    "s01_cosine_topk",
+    "d03_simhash",
+    "v01_cosine_topk",
     "t01_text_quality",
 ]
 

@@ -1,0 +1,170 @@
+"""PostgreSQL-compatibility function layer.
+
+The reference maps PG functions/operators onto its vectorized engine
+through a ~3,100-line rewrite module plus SQL shims (reference:
+pg_lake_engine/src/pgduck/rewrite_query.c; shim namespace
+``__lake__internal__nsp__`` per engineering-notes/pgduck_shippability.md:55-78).
+The Spark analog is this module: thin Column wrappers where Spark's
+builtin already has PG semantics, and explicit shims where they differ
+(SURVEY §4.5):
+
+- integer division truncates toward zero (PG ``4/10 = 0``)
+- ``array_agg`` keeps NULLs (Spark's collect_list drops them)
+- ``to_char`` PG format patterns → Spark date_format patterns
+  (reference analog: pg_lake_engine/src/pgduck/to_char.c, a PG→strftime
+  translation table)
+- ``date_trunc`` millennium/century/decade use PG's boundaries
+  (reference corrects the same off-by-one: pgduck_shippability.md:43-44)
+- ``date_bin``/``time_bucket`` (Spark has no date_bin builtin)
+- ``extract(dow/epoch)`` PG numbering
+
+Everything here is pure Column algebra — JVM-side, codegen-friendly,
+no Python UDFs — so it composes with whole-stage codegen at any scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# arithmetic
+# --------------------------------------------------------------------------
+
+
+def pg_div(a: Column, b: Column) -> Column:
+    """PG integer division: truncates toward zero (``-7/2 = -3``,
+    ``4/10 = 0`` — SURVEY §4.5.1; the reference shims the same with
+    ``__lake__internal__nsp__.divide``).
+
+    Spark's ``/`` on integers returns double (like DuckDB); truncate
+    the quotient toward zero and return long.
+    """
+    q = a.cast("double") / b.cast("double")
+    return F.when(q >= 0, F.floor(q)).otherwise(-F.floor(-q)).cast("long")
+
+
+# --------------------------------------------------------------------------
+# aggregates
+# --------------------------------------------------------------------------
+
+
+def pg_array_agg(col: Column | str) -> Column:
+    """NULL-keeping array_agg (PG keeps NULL elements; Spark's
+    collect_list drops them — SURVEY §4.5.5).
+
+    Wrap each element in a struct (never NULL itself), collect, unwrap.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(F.collect_list(F.struct(c.alias("v"))), lambda s: s["v"])
+
+
+# --------------------------------------------------------------------------
+# date / time
+# --------------------------------------------------------------------------
+
+_PG_TO_JAVA = [
+    ("HH24", "HH"),
+    ("HH12", "hh"),
+    ("MI", "mm"),
+    ("SS", "ss"),
+    ("MS", "SSS"),
+    ("YYYY", "yyyy"),
+    ("YY", "yy"),
+    ("Month", "MMMM"),
+    ("Mon", "MMM"),
+    ("MM", "MM"),
+    ("Day", "EEEE"),
+    ("Dy", "EEE"),
+    ("DDD", "DDD"),
+    ("DD", "dd"),
+    ("AM", "a"),
+    ("PM", "a"),
+    ("TZ", "zz"),
+]
+
+
+def pg_to_char_pattern(pg_fmt: str) -> str:
+    """Translate a PG to_char() pattern into a Spark date_format pattern."""
+    out = []
+    i = 0
+    while i < len(pg_fmt):
+        for pg, java in _PG_TO_JAVA:
+            if pg_fmt.startswith(pg, i):
+                out.append(java)
+                i += len(pg)
+                break
+        else:
+            ch = pg_fmt[i]
+            # literal letters must be quoted in Java patterns
+            out.append(f"'{ch}'" if re.match(r"[A-Za-z]", ch) else ch)
+            i += 1
+    return "".join(out)
+
+
+def pg_to_char(ts: Column, pg_fmt: str) -> Column:
+    """PG ``to_char(timestamp, fmt)`` for the common pattern subset."""
+    return F.date_format(ts, pg_to_char_pattern(pg_fmt))
+
+
+def pg_date_bin(stride_seconds: int, ts: Column, origin: str) -> Column:
+    """PG ``date_bin(stride, ts, origin)``: floor ts into stride-sized
+    buckets anchored at origin. Returns timestamp_ntz.
+
+    Spark has no date_bin builtin; this is pure epoch-µs arithmetic,
+    fully codegen'd (no UDF).
+    """
+    stride_us = F.lit(int(stride_seconds) * 1_000_000)
+    origin_us = F.unix_micros(F.expr(f"TIMESTAMP '{origin}'"))
+    t_us = F.unix_micros(ts.cast("timestamp"))
+    bucket = F.floor((t_us - origin_us) / stride_us).cast("long")
+    return F.timestamp_micros(origin_us + bucket * stride_us).cast("timestamp_ntz")
+
+
+def pg_date_trunc(field: str, ts: Column) -> Column:
+    """PG date_trunc incl. millennium/century/decade boundaries.
+
+    PG: millennium 2001-3000 → 2001-01-01; century 2001-2100 →
+    2001-01-01; decade 2020-2029 → 2020-01-01. Spark's date_trunc has
+    none of these fields; DuckDB's disagree with PG at the boundary
+    (the reference corrects the same way — pgduck_shippability.md:43-44).
+    """
+    f = field.lower()
+    if f in {"year", "quarter", "month", "week", "day", "hour", "minute", "second"}:
+        return F.date_trunc(f, ts).cast("timestamp_ntz")
+    y = F.year(ts)
+    if f == "decade":
+        start_year = (y - pg_mod_nonneg(y, 10)).cast("int")
+    elif f == "century":
+        start_year = ((F.floor((y - 1) / 100) * 100) + 1).cast("int")
+    elif f == "millennium":
+        start_year = ((F.floor((y - 1) / 1000) * 1000) + 1).cast("int")
+    else:
+        raise ValueError(f"unsupported date_trunc field: {field}")
+    return F.make_timestamp_ntz(start_year, F.lit(1), F.lit(1), F.lit(0), F.lit(0), F.lit(0))
+
+
+def pg_mod_nonneg(a: Column, n: int) -> Column:
+    return F.pmod(a, F.lit(n))
+
+
+def pg_dow(ts: Column) -> Column:
+    """PG ``extract(dow)``: 0 = Sunday … 6 = Saturday (Spark's
+    dayofweek is 1 = Sunday)."""
+    return (F.dayofweek(ts) - 1).cast("long")
+
+
+def pg_epoch(ts: Column) -> Column:
+    """PG ``extract(epoch)``: seconds (with fraction) since 1970-01-01 UTC."""
+    return F.unix_micros(ts.cast("timestamp")) / F.lit(1_000_000.0)
+
+
+def pg_generate_series(start: Column, stop: Column, step: Column | None = None) -> Column:
+    """PG generate_series as an array column — pair with F.explode for
+    the set-returning FROM-clause form (the reference restricts SRFs to
+    the FROM clause the same way — SURVEY §2.8 arrays)."""
+    if step is None:
+        return F.sequence(start, stop)
+    return F.sequence(start, stop, step)

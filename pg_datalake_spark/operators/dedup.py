@@ -1,0 +1,279 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Built for 100 TB training-data pipelines (BASELINE.json north star).
+All hashing is md5-based so results are deterministic and engine-
+independent (a DuckDB/PG oracle can reproduce them bit-for-bit) —
+no seeded RNG, no JVM-specific hash.
+
+Scale design:
+- exact dedup: one hash-aggregate (map-side combine on the fingerprint).
+- MinHash signatures: narrow per-row explode of shingles then a single
+  groupBy(doc) — shuffle volume is num_perms values per doc, not the
+  shingle stream.
+- LSH banding: one groupBy per band key; candidate pairs only within
+  buckets → shuffle ~ |buckets|, the whole point of LSH at scale.
+- SimHash: zero-shuffle per-row computation via higher-order array
+  functions (one pass over tokens, 32 counters).
+- n-gram Jaccard verification: joins restricted to LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pg_datalake_spark.operators.textstats import fingerprint, tokens
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id row per normalized-text fingerprint.
+
+    Returns (fp, keep_id, n_dupes). One hash aggregate; partial
+    aggregation makes the shuffle ~|distinct docs|.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_dupes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingles_from_tokens(t: Column, k: int = 3) -> Column:
+    """Distinct word k-grams (k consecutive tokens joined by spaces).
+
+    Built from k shifted slices zipped together rather than
+    index-lookups inside a transform() lambda: a lambda body that
+    references the outer array expression re-evaluates it per element
+    (an inline split() becomes O(len²) per document); slices evaluate
+    the array expression O(k) times total.
+    """
+    n = F.size(t)
+    win = n - (k - 1)
+    parts = [F.slice(t, j + 1, win) for j in range(k)]
+    z = parts[0]
+    for p in parts[1:]:
+        z = F.zip_with(z, p, lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(z)
+
+
+def with_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, sh): tokenize, materialize the token array through a
+    repartition exchange (spreads single-row-group inputs AND pins the
+    token array so downstream slices don't recompute the split), then
+    shingle."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks")).repartition(
+        par, id_col
+    )
+    return toks.select(F.col(id_col), shingles_from_tokens(F.col("__toks"), k).alias("sh"))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", num_perms: int = 16
+) -> DataFrame:
+    """Per-doc MinHash signature: mh_p = min over shingles of
+    md5(p + ':' + shingle), p in [0, num_perms).
+
+    md5-as-permutation keeps both engines bit-identical; min over a
+    string hash is a uniform min-hash. Output: (id, mh0..mh{n-1}).
+
+    Computed per-row with array_min over the shingle array — no
+    explode, no groupBy, zero shuffle: at any scale the signature
+    stage is a narrow map over the corpus.
+    """
+    sh = with_shingles(df, id_col, text_col).filter(F.size("sh") > 0)
+
+    def perm_min(p: int):
+        # NB: single-argument lambda only — a two-arg lambda makes
+        # PySpark bind the second arg to the array *index* column
+        prefix = f"{p}:"
+        return F.array_min(
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        ).alias(f"mh{p}")
+
+    return sh.select(F.col(id_col), *[perm_min(p) for p in range(num_perms)])
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, num_perms: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signature (rows = num_perms/bands) and emit distinct
+    candidate pairs (id_a < id_b) sharing any band key."""
+    rows = num_perms // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias(
+                "band_key"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, "bk.band", "bk.band_key")
+    # bucket-local pair generation instead of a self-join: a self-join
+    # would evaluate the whole signature subtree twice, and at scale a
+    # groupBy(bucket) shuffles each id once vs the join's twice.
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    n = F.size("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(F.col("ids"), i + 1, n - i),
+                lambda y: F.struct(
+                    F.element_at(F.col("ids"), i).alias("id_a"), y.alias("id_b")
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, df: DataFrame, id_col: str, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs; keep >= threshold.
+
+    Joining shingle sets only for LSH candidates keeps this linear in
+    |candidates|, not quadratic in |docs|.
+    """
+    sh = with_shingles(df, id_col, text_col)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    # candidates are tiny relative to the corpus: broadcast them so the
+    # shingle side streams through two broadcast-hash joins in one stage
+    return (
+        F.broadcast(pairs)
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_perms: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup pairs: shingle → minhash → LSH band join →
+    exact-Jaccard verification."""
+    sigs = minhash_signatures(df, id_col, text_col, num_perms)
+    cands = lsh_candidate_pairs(sigs, id_col, num_perms, bands)
+    return jaccard_verify(cands, df, id_col, text_col, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit, md5-derived) — zero-shuffle per-row computation
+# ---------------------------------------------------------------------------
+
+
+def simhash32(text: Column) -> Column:
+    """32-bit SimHash over whitespace tokens (with multiplicity).
+
+    bit b of md5(token): nibble = hex digit at position b//4 (from the
+    left), bit = (nibble >> (b % 4)) & 1. Counter per bit accumulates
+    +1/-1; simhash sets bit b where the counter is positive. One pass
+    over the token array via aggregate/zip_with — no explode, no
+    shuffle.
+    """
+    hashes = F.transform(tokens(text), lambda x: F.md5(x))
+    bits = F.sequence(F.lit(0), F.lit(31))
+
+    def nibble_bit(m: Column, b: Column) -> Column:
+        start = (F.floor(b / 4) + 1).cast("int")
+        nib = F.conv(m.substr(start, F.lit(1)), 16, 10).cast("int")
+        return (F.floor(nib / F.pow(F.lit(2.0), (b % 4).cast("double"))).cast("int") % 2).cast(
+            "int"
+        )
+
+    counters = F.aggregate(
+        hashes,
+        F.expr("array_repeat(0, 32)"),
+        lambda acc, m: F.zip_with(
+            acc, bits, lambda a, b: a + F.when(nibble_bit(m, b) == 1, 1).otherwise(-1)
+        ),
+    )
+    weighted = F.zip_with(
+        counters,
+        bits,
+        lambda c, b: F.when(c > 0, F.pow(F.lit(2.0), b.cast("double")).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard without LSH (inverted-index join) — for modest corpora
+# or as the verification stage; LSH is the scale path.
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """All pairs with shingle-Jaccard >= threshold via an inverted
+    index: explode shingles, self-join on shingle, count common matches.
+
+    Shuffle is bounded by the posting-list sizes (hot shingles are the
+    skew risk; at scale, drop top-frequency shingles first).
+    """
+    sh = with_shingles(df, id_col, text_col, k)
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("n"))
+    posts = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    a = posts.select(F.col(id_col).alias("id_a"), "shingle")
+    b = posts.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — exact, one narrow map + a top-k
+reduce (TakeOrdered), no shuffle of the corpus. Scale path: random-
+hyperplane LSH — md5-derived deterministic planes, bucket join instead
+of the full cross product.
+
+Everything is built from built-in higher-order array functions
+(zip_with/aggregate) — JVM-side, Arrow-free, codegen-friendly. At
+100 TB the brute-force path is still a single scan per query batch;
+the LSH path cuts candidate sets by ~2^num_planes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector.
+
+    The query vector is inlined as a literal array → the score is a
+    per-row expression; orderBy+limit compiles to TakeOrdered (no full
+    sort, no shuffle of the corpus).
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        cosine(F.col(vec_col), q).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """All pairs with cosine >= threshold (brute-force O(n²) — the
+    exactness baseline; use lsh_bucketed_pairs at scale)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def hyperplane_weight(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random weight in [-1, 1) derived from
+    md5(f"{plane}:{dim}") — reproducible in any engine with md5."""
+    import hashlib
+
+    h = hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()[:8]
+    return int(h, 16) / float(2**31) - 1.0
+
+
+def lsh_bucket(vec: Column, dims: int, num_planes: int = 8) -> Column:
+    """Random-hyperplane signature: bit p = (vec · plane_p >= 0).
+    Returns the bucket id as a long (0 .. 2^num_planes-1)."""
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        w = F.array(*[F.lit(hyperplane_weight(p, d)) for d in range(dims)])
+        bit = F.when(dot(vec, w) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + bit * (2**p)
+    return bucket
+
+
+def lsh_bucketed_pairs(
+    df: DataFrame,
+    dims: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Scale path for cosine near-dup: bucket by hyperplane signature,
+    compare only within buckets, verify exact cosine.
+
+    Recall < 1 by construction (near-threshold pairs may straddle a
+    plane); deterministic given the md5 planes.
+    """
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), dims, num_planes).alias("bucket")
+    )
+    a = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )

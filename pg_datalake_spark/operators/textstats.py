@@ -1,0 +1,114 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's own surface (BASELINE.json north star): language
+ID heuristic, quality scoring, token counting, and document
+fingerprinting over a ``documents(doc_id, text, ...)`` table. All pure
+Column algebra — per-row, no shuffle, whole-stage codegen — so they
+stream over 100 TB as a narrow map stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"\s+"
+
+# tiny per-language function-word lists for the n-gram/stopword heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to"],
+    "es": ["el", "la", "de", "y", "que"],
+    "fr": ["le", "la", "et", "de", "un"],
+    "de": ["der", "die", "und", "das", "ein"],
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.lower(text), TOKEN_RE)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def avg_token_len(text: Column) -> Column:
+    t = tokens(text)
+    total = F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    return total.cast("double") / F.size(t)
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^\w\s]", "")
+    return (F.length(text) - F.length(stripped)).cast("double") / F.length(text)
+
+
+def digit_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[0-9]", "")
+    return (F.length(text) - F.length(stripped)).cast("double") / F.length(text)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    sw = LANG_STOPWORDS[lang]
+    t = tokens(text)
+    hits = F.size(F.filter(t, lambda x: x.isin(*sw)))
+    return hits.cast("double") / F.size(t)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + word-length band
+    + low punctuation + some stopwords. Mirrors common LLM-corpus
+    filters (C4/Gopher-style rules)."""
+    n_tok = token_count(text)
+    awl = avg_token_len(text)
+    score = (
+        F.when((n_tok >= 50) & (n_tok <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((awl >= 3.0) & (awl <= 10.0), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio(text) < 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(stopword_ratio(text) > 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return score
+
+
+def language_guess(text: Column) -> Column:
+    """Stopword-overlap language ID: score = fraction of tokens in each
+    language's function-word list; argmax with deterministic tiebreak
+    (lexicographic language code)."""
+    t = tokens(text)
+    out = F.lit("und")
+    best = F.lit(-1.0)
+    # fold over languages in reverse-lex order so earlier codes win ties
+    for code in sorted(LANG_STOPWORDS, reverse=True):
+        sw = LANG_STOPWORDS[code]
+        sc = F.size(F.filter(t, lambda x: x.isin(*sw))).cast("double") / F.size(t)
+        out = F.when(sc >= best, F.lit(code)).otherwise(out)
+        best = F.greatest(sc, best)
+    return F.when(best > 0, out).otherwise(F.lit("und"))
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip punctuation,
+    collapse whitespace."""
+    c = F.lower(text)
+    c = F.regexp_replace(c, r"[^\w\s]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 128-bit document fingerprint (md5 of the
+    normalized text) — the exact-dedup key."""
+    return F.md5(normalize_text(text))
+
+
+def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard per-document stat columns."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        avg_token_len(c).alias("avg_token_len"),
+        punct_ratio(c).alias("punct_ratio"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        quality_score(c).alias("quality"),
+        fingerprint(c).alias("fp"),
+    )

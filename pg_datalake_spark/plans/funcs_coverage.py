@@ -1,1 +1,503 @@
-"""Scalar-function coverage queries (SURVEY.md §2.8)."""
+"""Scalar-function coverage (SURVEY §2.8): the portable SQL surface.
+
+Mirrors the reference's operator_pushdown test style (21 per-type files
+asserting operator/function results — SURVEY §5 "deparse golden
+tests"): each query sweeps a function family over real table columns
+and must hash-match DuckDB. PG-semantic shims come from
+pg_datalake_spark.functions.pgcompat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_datalake_spark.catalog import load_tables
+from pg_datalake_spark.functions import (
+    pg_array_agg,
+    pg_date_bin,
+    pg_date_trunc,
+    pg_div,
+    pg_dow,
+    pg_epoch,
+    pg_generate_series,
+    pg_to_char,
+)
+from pg_datalake_spark.plans.registry import register
+
+
+@register(
+    "f01_math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 2000.0)      AS abs_v,
+           ceil(l_quantity / 7.0)             AS ceil_v,
+           floor(l_quantity / 7.0)            AS floor_v,
+           round(l_extendedprice / 3.0, 2)    AS round_v,
+           trunc(l_extendedprice / 3.0)       AS trunc_v,
+           sqrt(l_quantity)                   AS sqrt_v,
+           cbrt(l_quantity)                   AS cbrt_v,
+           exp(l_discount)                    AS exp_v,
+           ln(l_extendedprice)                AS ln_v,
+           log10(l_extendedprice)             AS log10_v,
+           power(l_quantity, 2.0)             AS pow_v,
+           CAST(mod(CAST(l_quantity AS BIGINT), 7) AS BIGINT) AS mod_v,
+           pi()                               AS pi_v,
+           degrees(l_discount)                AS deg_v,
+           radians(l_quantity)                AS rad_v,
+           sin(l_discount) AS sin_v, cos(l_discount) AS cos_v,
+           tan(l_discount) AS tan_v, cot(l_discount + 1.0) AS cot_v,
+           asin(l_discount) AS asin_v, acos(l_discount) AS acos_v,
+           atan(l_discount) AS atan_v, atan2(l_discount, 2.0) AS atan2_v,
+           sign(l_extendedprice - 30000.0)    AS sign_v
+    FROM lineitem WHERE l_orderkey <= 100
+    """,
+)
+def f01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") <= 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(p - 2000.0).alias("abs_v"),
+            F.ceil(q / 7.0).cast("double").alias("ceil_v"),
+            F.floor(q / 7.0).cast("double").alias("floor_v"),
+            F.round(p / 3.0, 2).alias("round_v"),
+            # PG/DuckDB trunc() truncates toward zero
+            F.when(p / 3.0 >= 0, F.floor(p / 3.0))
+            .otherwise(-F.floor(-(p / 3.0)))
+            .cast("double")
+            .alias("trunc_v"),
+            F.sqrt(q).alias("sqrt_v"),
+            F.cbrt(q).alias("cbrt_v"),
+            F.exp(d).alias("exp_v"),
+            F.log(p).alias("ln_v"),
+            F.log10(p).alias("log10_v"),
+            F.pow(q, 2.0).alias("pow_v"),
+            (q.cast("long") % 7).alias("mod_v"),
+            F.lit(3.141592653589793).alias("pi_v"),
+            F.degrees(d).alias("deg_v"),
+            F.radians(q).alias("rad_v"),
+            F.sin(d).alias("sin_v"),
+            F.cos(d).alias("cos_v"),
+            F.tan(d).alias("tan_v"),
+            F.cot(d + 1.0).alias("cot_v"),
+            F.asin(d).alias("asin_v"),
+            F.acos(d).alias("acos_v"),
+            F.atan(d).alias("atan_v"),
+            F.atan2(d, F.lit(2.0)).alias("atan2_v"),
+            F.signum(p - 30000.0).alias("sign_v"),
+        )
+    )
+
+
+@register(
+    "f02_string_functions",
+    oracle="""
+    SELECT c_custkey,
+           length(c_name)                       AS len_v,
+           CAST(bit_length(c_name) AS BIGINT)   AS bitlen_v,
+           lower(c_name)                        AS lower_v,
+           upper(c_name)                        AS upper_v,
+           left(c_name, 4)                      AS left_v,
+           right(c_name, 3)                     AS right_v,
+           substr(c_name, 2, 5)                 AS substr_v,
+           lpad(c_name, 15, '*')                AS lpad_v,
+           rpad(c_name, 15, '*')                AS rpad_v,
+           ltrim(c_name, 'C')                   AS ltrim_v,
+           trim(c_name, 'C0#')                  AS btrim_v,
+           replace(c_name, '#', '-')            AS replace_v,
+           reverse(c_name)                      AS reverse_v,
+           repeat('ab', CAST(c_custkey % 3 AS INT)) AS repeat_v,
+           concat(c_name, '|', c_mktsegment)    AS concat_v,
+           concat_ws('-', c_name, c_mktsegment) AS concatws_v,
+           split_part(c_name, '#', 2)           AS splitpart_v,
+           CAST(strpos(c_name, '#') AS BIGINT)  AS strpos_v,
+           starts_with(c_name, 'Customer')      AS startswith_v,
+           ascii(c_name)                        AS ascii_v,
+           chr(CAST(65 + c_custkey % 26 AS INT)) AS chr_v,
+           md5(c_name)                          AS md5_v,
+           translate(c_name, '#C', '_K')        AS translate_v
+    FROM customer WHERE c_custkey <= 50
+    """,
+)
+def f02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer"])
+    n = F.col("c_name")
+    return (
+        t["customer"]
+        .filter(F.col("c_custkey") <= 50)
+        .select(
+            "c_custkey",
+            F.length(n).alias("len_v"),
+            F.bit_length(n).cast("long").alias("bitlen_v"),
+            F.lower(n).alias("lower_v"),
+            F.upper(n).alias("upper_v"),
+            # PG left/right take negative counts too; positive path here
+            n.substr(F.lit(1), F.lit(4)).alias("left_v"),
+            F.expr("right(c_name, 3)").alias("right_v"),
+            F.substring(n, 2, 5).alias("substr_v"),
+            F.lpad(n, 15, "*").alias("lpad_v"),
+            F.rpad(n, 15, "*").alias("rpad_v"),
+            F.expr("trim(LEADING 'C' FROM c_name)").alias("ltrim_v"),
+            F.expr("trim(BOTH 'C0#' FROM c_name)").alias("btrim_v"),
+            F.replace(n, F.lit("#"), F.lit("-")).alias("replace_v"),
+            F.reverse(n).alias("reverse_v"),
+            F.repeat(F.lit("ab"), (F.col("c_custkey") % 3).cast("int")).alias("repeat_v"),
+            F.concat(n, F.lit("|"), F.col("c_mktsegment")).alias("concat_v"),
+            F.concat_ws("-", n, F.col("c_mktsegment")).alias("concatws_v"),
+            F.split_part(n, F.lit("#"), F.lit(2)).alias("splitpart_v"),
+            F.instr(n, "#").cast("long").alias("strpos_v"),
+            F.startswith(n, F.lit("Customer")).alias("startswith_v"),
+            F.ascii(n).alias("ascii_v"),
+            F.chr(F.lit(65) + F.col("c_custkey") % 26).alias("chr_v"),
+            F.md5(n).alias("md5_v"),
+            F.translate(n, "#C", "_K").alias("translate_v"),
+        )
+    )
+
+
+@register(
+    "f03_regex_functions",
+    oracle="""
+    SELECT p_partkey, p_name,
+           regexp_matches(p_name, '^(red|blue)')          AS is_colored,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')    AS devoweled,
+           regexp_extract(p_name, '([a-z]+)$', 1)         AS last_word,
+           p_name LIKE '%bol%'                            AS like_v,
+           p_name ILIKE 'RED%'                            AS ilike_v,
+           p_name SIMILAR TO '(red|blue|hot) [a-z]+'      AS similar_v
+    FROM part WHERE p_partkey <= 100
+    """,
+)
+def f03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["part"])
+    n = F.col("p_name")
+    return (
+        t["part"]
+        .filter(F.col("p_partkey") <= 100)
+        .select(
+            "p_partkey",
+            "p_name",
+            n.rlike("^(red|blue)").alias("is_colored"),
+            F.regexp_replace(n, "[aeiou]", "_").alias("devoweled"),
+            F.regexp_extract(n, "([a-z]+)$", 1).alias("last_word"),
+            n.like("%bol%").alias("like_v"),
+            n.ilike("RED%").alias("ilike_v"),
+            n.rlike("^(red|blue|hot) [a-z]+$").alias("similar_v"),
+        )
+    )
+
+
+@register(
+    "f04_datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_part('year',    o_orderdate) AS BIGINT) AS y,
+           CAST(date_part('quarter', o_orderdate) AS BIGINT) AS q,
+           CAST(date_part('month',   o_orderdate) AS BIGINT) AS mon,
+           CAST(date_part('day',     o_orderdate) AS BIGINT) AS d,
+           CAST(date_part('hour',    o_orderdate) AS BIGINT) AS h,
+           CAST(date_part('dow',     o_orderdate) AS BIGINT) AS dow,
+           CAST(date_part('doy',     o_orderdate) AS BIGINT) AS doy,
+           CAST(date_part('week',    o_orderdate) AS BIGINT) AS isoweek,
+           date_part('epoch', o_orderdate)                   AS epoch_s,
+           date_trunc('month', o_orderdate)  AS trunc_month,
+           date_trunc('week',  o_orderdate)  AS trunc_week,
+           o_orderdate + INTERVAL 3 DAY      AS plus_3d,
+           o_orderdate - INTERVAL 90 MINUTE  AS minus_90m,
+           CAST(o_orderdate AS DATE)         AS as_date,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders WHERE o_orderkey <= 300
+    """,
+)
+def f04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    o = F.col("o_orderdate")
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 300)
+        .select(
+            "o_orderkey",
+            F.year(o).cast("long").alias("y"),
+            F.quarter(o).cast("long").alias("q"),
+            F.month(o).cast("long").alias("mon"),
+            F.dayofmonth(o).cast("long").alias("d"),
+            F.hour(o).cast("long").alias("h"),
+            pg_dow(o).alias("dow"),
+            F.dayofyear(o).cast("long").alias("doy"),
+            F.weekofyear(o).cast("long").alias("isoweek"),
+            pg_epoch(o).alias("epoch_s"),
+            pg_date_trunc("month", o).alias("trunc_month"),
+            pg_date_trunc("week", o).alias("trunc_week"),
+            (o + F.expr("INTERVAL 3 DAY")).alias("plus_3d"),
+            (o - F.expr("INTERVAL 90 MINUTE")).alias("minus_90m"),
+            o.cast("date").alias("as_date"),
+            F.last_day(o.cast("date")).alias("month_end"),
+        )
+    )
+
+
+@register(
+    "f05_tochar_datebin_series",
+    oracle="""
+    SELECT e.event_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M')                       AS ts_char,
+           strftime(e.ts, '%d/%m/%Y')                             AS ts_dmy,
+           time_bucket(INTERVAL 15 MINUTE, e.ts, TIMESTAMP '2024-01-01 00:00:00') AS bin_15m,
+           time_bucket(INTERVAL 1 HOUR,    e.ts, TIMESTAMP '2024-01-01 00:00:00') AS bin_1h,
+           g.n AS series_n
+    FROM events e, LATERAL (SELECT unnest(generate_series(1, 3)) AS n) g
+    WHERE e.event_id <= 200
+    """,
+)
+def f05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"].filter(F.col("event_id") <= 200)
+    return e.select(
+        "event_id",
+        pg_to_char(F.col("ts"), "YYYY-MM-DD HH24:MI").alias("ts_char"),
+        pg_to_char(F.col("ts"), "DD/MM/YYYY").alias("ts_dmy"),
+        pg_date_bin(900, F.col("ts"), "2024-01-01 00:00:00").alias("bin_15m"),
+        pg_date_bin(3600, F.col("ts"), "2024-01-01 00:00:00").alias("bin_1h"),
+        F.explode(pg_generate_series(F.lit(1), F.lit(3))).alias("series_n"),
+    )
+
+
+@register(
+    "f06_conditional_expressions",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000.0 THEN 'huge'
+                WHEN o_totalprice > 100000.0 THEN 'big'
+                ELSE 'small' END                          AS size_class,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN')   AS status2,
+           greatest(o_totalprice, 150000.0)               AS at_least,
+           least(o_totalprice, 150000.0)                  AS at_most,
+           o_orderstatus IS DISTINCT FROM 'O'             AS not_open,
+           (o_totalprice > 100000.0) IS FALSE             AS is_small,
+           o_orderpriority IN ('1-URGENT', '2-HIGH')      AS is_priority,
+           o_totalprice BETWEEN 50000.0 AND 100000.0      AS mid_band
+    FROM orders WHERE o_orderkey <= 500
+    """,
+)
+def f06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    p = F.col("o_totalprice")
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 500)
+        .select(
+            "o_orderkey",
+            F.when(p > 300000.0, "huge").when(p > 100000.0, "big").otherwise("small").alias(
+                "size_class"
+            ),
+            F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+                "status2"
+            ),
+            F.greatest(p, F.lit(150000.0)).alias("at_least"),
+            F.least(p, F.lit(150000.0)).alias("at_most"),
+            (~F.col("o_orderstatus").eqNullSafe("O")).alias("not_open"),
+            (~(p > 100000.0)).alias("is_small"),
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_priority"),
+            p.between(50000.0, 100000.0).alias("mid_band"),
+        )
+    )
+
+
+@register(
+    "f07_array_functions",
+    oracle="""
+    WITH t AS (
+      SELECT n_nationkey, array_agg(n_name ORDER BY n_name) AS names
+      FROM nation GROUP BY n_regionkey, n_nationkey
+    )
+    SELECT n_nationkey,
+           names,
+           array_append(names, 'X')            AS appended,
+           array_prepend('A', names)           AS prepended,
+           array_cat(names, ['Z1','Z2'])       AS catted,
+           CAST(len(names) AS INT)             AS cardinality_v,
+           names[1]                            AS first_elem,
+           array_contains(names, 'NATION_3')   AS has_n3,
+           list_sort(array_cat(names, ['AAA'])) AS sorted_v
+    FROM t
+    """,
+)
+def f07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["nation"])
+    base = (
+        t["nation"]
+        .groupBy("n_regionkey", "n_nationkey")
+        .agg(F.sort_array(F.collect_list("n_name")).alias("names"))
+    )
+    return base.select(
+        "n_nationkey",
+        "names",
+        F.array_append(F.col("names"), F.lit("X")).alias("appended"),
+        F.array_prepend(F.col("names"), F.lit("A")).alias("prepended"),
+        F.concat(F.col("names"), F.array(F.lit("Z1"), F.lit("Z2"))).alias("catted"),
+        F.size(F.col("names")).alias("cardinality_v"),
+        F.element_at(F.col("names"), 1).alias("first_elem"),
+        F.array_contains(F.col("names"), "NATION_3").alias("has_n3"),
+        F.sort_array(F.concat(F.col("names"), F.array(F.lit("AAA")))).alias("sorted_v"),
+    )
+
+
+@register(
+    "f08_json_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           json_extract_string(props, '$.missing')           AS missing_v,
+           props ->> '$.k'                                   AS k_text
+    FROM events WHERE event_id <= 500
+    """,
+)
+def f08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .filter(F.col("event_id") <= 500)
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+            F.get_json_object("props", "$.missing").alias("missing_v"),
+            F.get_json_object("props", "$.k").alias("k_text"),
+        )
+    )
+
+
+@register(
+    "f09_casts_and_division",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_quantity AS BIGINT)                        AS qty_int,
+           CAST(l_quantity AS VARCHAR)                       AS qty_str,
+           CAST(l_extendedprice AS DECIMAL(38,9))            AS price_dec,
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR)         AS ship_str,
+           CAST(l_orderkey AS DOUBLE)                        AS key_dbl,
+           (CAST(l_quantity AS BIGINT) - 25) // 7            AS pgdiv_v,
+           CAST(l_quantity AS BIGINT) % 7                    AS pgmod_v,
+           CAST('123' AS BIGINT) + l_orderkey                AS parsed_int
+    FROM lineitem WHERE l_orderkey <= 100
+    """,
+)
+def f09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    q = F.col("l_quantity")
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") <= 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            q.cast("long").alias("qty_int"),
+            # DuckDB renders whole doubles as "25.0"; Spark as "25.0" too
+            q.cast("string").alias("qty_str"),
+            F.col("l_extendedprice").cast("decimal(38,9)").alias("price_dec"),
+            F.col("l_shipdate").cast("date").cast("string").alias("ship_str"),
+            F.col("l_orderkey").cast("double").alias("key_dbl"),
+            pg_div(q.cast("long") - 25, F.lit(7)).alias("pgdiv_v"),
+            (q.cast("long") % 7).alias("pgmod_v"),
+            (F.lit("123").cast("long") + F.col("l_orderkey")).alias("parsed_int"),
+        )
+    )
+
+
+@register(
+    "f10_hash_encode",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name)                              AS md5_v,
+           sha256(c_name)                           AS sha256_v,
+           to_base64(CAST(c_name AS BLOB))          AS b64_v,
+           CAST(from_base64(to_base64(CAST(c_name AS BLOB))) AS VARCHAR) AS b64_roundtrip,
+           lower(hex(CAST(c_name AS BLOB)))         AS hex_v,
+           CAST(unhex(hex(CAST(c_name AS BLOB))) AS VARCHAR) AS hex_roundtrip
+    FROM customer WHERE c_custkey <= 50
+    """,
+)
+def f10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer"])
+    n = F.col("c_name")
+    return (
+        t["customer"]
+        .filter(F.col("c_custkey") <= 50)
+        .select(
+            "c_custkey",
+            F.md5(n).alias("md5_v"),
+            F.sha2(n, 256).alias("sha256_v"),
+            F.base64(n.cast("binary")).alias("b64_v"),
+            F.unbase64(F.base64(n.cast("binary"))).cast("string").alias("b64_roundtrip"),
+            F.lower(F.hex(n)).alias("hex_v"),
+            F.unhex(F.hex(n)).cast("string").alias("hex_roundtrip"),
+        )
+    )
+
+
+@register(
+    "f11_pg_date_trunc_boundaries",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(make_timestamp(CAST(CAST(floor((date_part('year', o_orderdate) - 1) / 1000) * 1000 AS BIGINT) + 1 AS BIGINT), 1, 1, 0, 0, 0.0) AS VARCHAR) AS trunc_millennium,
+           CAST(make_timestamp(CAST(CAST(floor((date_part('year', o_orderdate) - 1) / 100) * 100 AS BIGINT) + 1 AS BIGINT), 1, 1, 0, 0, 0.0) AS VARCHAR)  AS trunc_century,
+           make_timestamp(CAST(date_part('year', o_orderdate) - date_part('year', o_orderdate) % 10 AS BIGINT), 1, 1, 0, 0, 0.0)          AS trunc_decade,
+           date_trunc('year', o_orderdate) AS trunc_year
+    FROM orders WHERE o_orderkey <= 100
+    """,
+)
+def f11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG millennium/century/decade boundaries (1999 → millennium 1001,
+    century 1901, decade 1990) — the oracle computes PG's definition
+    explicitly since DuckDB's own date_trunc uses different boundaries."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    o = F.col("o_orderdate")
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 100)
+        .select(
+            "o_orderkey",
+            pg_date_trunc("millennium", o).cast("string").alias("trunc_millennium"),
+            pg_date_trunc("century", o).cast("string").alias("trunc_century"),
+            pg_date_trunc("decade", o).alias("trunc_decade"),
+            pg_date_trunc("year", o).alias("trunc_year"),
+        )
+    )
+
+
+@register(
+    "f12_null_keeping_array_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           array_agg(v ORDER BY o_orderkey) AS vals
+    FROM (SELECT o_orderstatus, o_orderkey,
+                 CASE WHEN o_totalprice > 200000.0 THEN NULL
+                      ELSE o_orderpriority END AS v
+          FROM orders WHERE o_orderkey <= 60) t
+    GROUP BY o_orderstatus
+    """,
+)
+def f12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG array_agg keeps NULL elements; Spark collect_list drops them —
+    the struct-wrap shim preserves them (SURVEY §4.5.5)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    base = (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 60)
+        .select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.when(F.col("o_totalprice") > 200000.0, F.lit(None)).otherwise(
+                F.col("o_orderpriority")
+            ).alias("v"),
+        )
+        .repartition(1)  # deterministic ORDER BY inside agg needs one partition…
+    )
+    # …but the scalable PG-parity route is sortWithinPartitions + single
+    # partition per group; for ordered array_agg semantics we sort first.
+    base = base.sortWithinPartitions("o_orderkey")
+    return base.groupBy("o_orderstatus").agg(pg_array_agg(F.col("v")).alias("vals"))

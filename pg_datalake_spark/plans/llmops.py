@@ -1,1 +1,282 @@
-"""LLM-data-pipeline queries (dedup, similarity, text analysis)."""
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis.
+
+Beyond the reference's own operator surface (BASELINE.json north star:
+"add the LLM-data-pipeline operators ... design every operator for
+100 TB scale"). Every query here has a full DuckDB oracle — the
+hashing is md5-based precisely so an independent engine can reproduce
+the pipeline bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_datalake_spark.catalog import load_tables
+from pg_datalake_spark.operators import dedup, similarity, textstats
+from pg_datalake_spark.plans.registry import register
+
+# Shared oracle fragments ---------------------------------------------------
+
+_ORACLE_SHINGLES = r"""
+    toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM docs2),
+    sh AS (SELECT doc_id,
+                  list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+                                 for i in generate_series(1, len(t) - 2)]) AS s
+           FROM toks)
+"""
+
+
+@register(
+    "d01_exact_dedup",
+    oracle=r"""
+    WITH docs2 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-zA-Z0-9_ \t\n]', '', 'g'),
+                                   '[ \t\n]+', ' ', 'g'))) AS fp,
+           min(doc_id) AS keep_id,
+           count(*)    AS n_dupes
+    FROM docs2
+    GROUP BY 1
+    """,
+)
+def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint. The corpus has no
+    exact dups, so the query plants them (every 5th doc re-appended
+    under a shifted id) and the operator must collapse each back to the
+    original id."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return dedup.exact_dedup(docs.unionByName(planted), "doc_id")
+
+
+@register(
+    "d02_minhash_lsh_neardup",
+    oracle=r"""
+    WITH docs2 AS (SELECT doc_id, text FROM documents),
+    """
+    + _ORACLE_SHINGLES
+    + r""",
+    expl AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    mh AS (SELECT doc_id, p, min(md5(CAST(p AS VARCHAR) || ':' || shingle)) AS mh
+           FROM expl CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p) perms
+           GROUP BY doc_id, p),
+    bandkeys AS (SELECT doc_id, CAST(p // 4 AS INT) AS band,
+                        md5(string_agg(mh, '|' ORDER BY p)) AS band_key
+                 FROM mh GROUP BY doc_id, p // 4),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bandkeys a JOIN bandkeys b
+               ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+    WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5
+    """,
+)
+def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 md5 permutations) → LSH (4 bands × 4 rows) →
+    exact-Jaccard verification at 0.5. Finds the planted near-dup
+    pairs; the oracle recomputes the identical pipeline in SQL."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return dedup.minhash_lsh_dedup_pairs(
+        t["documents"], "doc_id", num_perms=16, bands=4, threshold=0.5
+    )
+
+
+@register(
+    "d03_simhash",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+                  FROM documents WHERE doc_id < 100),
+    h AS (SELECT doc_id, md5(tok) AS m FROM toks),
+    bits AS (SELECT doc_id, b,
+                    sum(CASE WHEN (CAST(strpos('0123456789abcdef', substr(m, 1 + b // 4, 1)) - 1 AS INT)
+                                   // CAST(power(2, b % 4) AS INT)) % 2 = 1
+                             THEN 1 ELSE -1 END) AS cnt
+             FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bs
+             GROUP BY doc_id, b)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN cnt > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document — computed in one shuffle-free pass
+    over the token array (aggregate/zip_with), vs the oracle's
+    explode-and-regroup formulation."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", dedup.simhash32(F.col("text")).alias("simhash"))
+    )
+
+
+@register(
+    "d04_ngram_jaccard_pairs",
+    oracle=r"""
+    WITH docs2 AS (SELECT doc_id, text FROM documents),
+    """
+    + _ORACLE_SHINGLES
+    + r"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    """,
+)
+def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs 3-gram Jaccard >= 0.5 via the inverted-index join (no
+    LSH) — the exactness baseline the LSH path is measured against."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return dedup.ngram_jaccard_pairs(t["documents"], "doc_id", k=3, threshold=0.5)
+
+
+@register(
+    "v01_cosine_topk",
+    oracle=r"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, list_cosine_similarity(embedding, qv) AS cos_sim
+    FROM embeddings, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 20
+    """,
+)
+def v01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 for a query vector (vec_id 0).
+
+    The query vector is a parameter (collected once on the driver —
+    O(1) rows), then the scan is a single narrow pass + TakeOrdered."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    qv = t["embeddings"].filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.cosine_topk(t["embeddings"], list(qv), k=20)
+
+
+@register(
+    "v02_cosine_pairs",
+    oracle=r"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(a.embedding, b.embedding) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+    """,
+)
+def v02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All embedding pairs with cosine >= 0.45 (brute force)."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return similarity.cosine_pairs(t["embeddings"], threshold=0.45)
+
+
+@register("v03_ann_lsh_pairs")  # rows-only: LSH recall < 1 by construction
+def v03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed near-neighbor pairs (the 100 TB path:
+    bucket join replaces the O(n²) cross product). Deterministic
+    md5-derived planes; recall < 1, so checked rows-only."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    return similarity.lsh_bucketed_pairs(t["embeddings"], dims=64, num_planes=8, threshold=0.3)
+
+
+@register(
+    "t01_text_quality",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split_regex(lower(text), '\s+') AS toks,
+             length(text) AS n_char
+      FROM documents
+    ), m AS (
+      SELECT doc_id, n_char,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS avg_token_len,
+             CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_ \t\n]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+             CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) AS DOUBLE)
+               / len(toks) AS stopword_ratio
+      FROM t
+    )
+    SELECT doc_id, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+           (CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN punct_ratio < 0.1 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN stopword_ratio > 0.01 THEN 0.25 ELSE 0.0 END) AS quality
+    FROM m
+    """,
+)
+def t01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    c = F.col("text")
+    return t["documents"].select(
+        "doc_id",
+        textstats.token_count(c).alias("n_tokens"),
+        textstats.avg_token_len(c).alias("avg_token_len"),
+        textstats.punct_ratio(c).alias("punct_ratio"),
+        textstats.stopword_ratio(c).alias("stopword_ratio"),
+        textstats.quality_score(c).alias("quality"),
+    )
+
+
+@register(
+    "t02_language_id",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS toks
+               FROM documents),
+    scores AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(toks, x -> x IN ('der','die','und','das','ein'))) AS DOUBLE) / len(toks) AS s_de,
+        CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) AS DOUBLE) / len(toks) AS s_en,
+        CAST(len(list_filter(toks, x -> x IN ('el','la','de','y','que'))) AS DOUBLE) / len(toks) AS s_es,
+        CAST(len(list_filter(toks, x -> x IN ('le','la','et','de','un'))) AS DOUBLE) / len(toks) AS s_fr
+      FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_guess
+    FROM scores
+    """,
+)
+def t02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID (argmax with lexicographic
+    tiebreak). Returned next to the dataset's label column."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return t["documents"].select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        textstats.language_guess(F.col("text")).alias("lang_guess"),
+    )
+
+
+@register(
+    "t03_fingerprint_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-zA-Z0-9_ \t\n]', '', 'g'),
+                                   '[ \t\n]+', ' ', 'g'))) AS fp,
+           CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS BIGINT) AS n_unique_tokens
+    FROM documents
+    """,
+)
+def t03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    c = F.col("text")
+    return t["documents"].select(
+        "doc_id",
+        textstats.fingerprint(c).alias("fp"),
+        textstats.token_count(c).alias("n_tokens"),
+        F.size(F.array_distinct(textstats.tokens(c))).cast("long").alias("n_unique_tokens"),
+    )

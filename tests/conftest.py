@@ -48,9 +48,20 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(s):
             s = pd.to_datetime(s).dt.tz_localize(None)
         elif s.dtype == object:
-            # decimals / lists / None mixtures
-            s = s.map(lambda v: float(v) if isinstance(v, __import__("decimal").Decimal) else v)
-            s = s.map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+            # decimals / dates / lists / None mixtures
+            import datetime as _dt
+            import decimal as _dec
+
+            def _norm(v):
+                if isinstance(v, _dec.Decimal):
+                    return float(v)
+                if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+                    return pd.Timestamp(v)
+                if isinstance(v, (list, np.ndarray)):
+                    return tuple(v)
+                return v
+
+            s = s.map(_norm)
         elif pd.api.types.is_float_dtype(s):
             s = s.astype("float64")
         elif pd.api.types.is_integer_dtype(s):
