@@ -7,7 +7,9 @@ def load_all() -> None:
     """Import all query modules so their @register decorators run."""
     from pg_datalake_spark.plans import (  # noqa: F401
         funcs_coverage,
+        lakeops,
         llmops,
         relational,
+        sources_streaming,
         tpch,
     )

@@ -1,0 +1,147 @@
+"""LakeTable DML/maintenance queries for the correctness gate.
+
+Each query materializes a LakeTable from the driver's parquet into a
+fresh temp dir, runs real DML (MOR delete / metadata-only partition
+delete / update / time travel), and returns an aggregate the DuckDB
+oracle reproduces relationally — so the whole write path (snapshot
+commit, position deletes, COW rewrite, pruning) is verified against
+an engine that never saw the table format.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_datalake_spark.catalog import load_tables
+from pg_datalake_spark.plans.registry import register
+from pg_datalake_spark.tables import LakeTable
+from pg_datalake_spark.tables.format import PartitionField
+
+
+def _fresh_root(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=prefix) + "/t"
+
+
+@register(
+    "lake01_mor_delete_agg",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM lineitem
+    WHERE NOT (l_quantity < 3.0)
+    GROUP BY l_returnflag
+    """,
+)
+def lake01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE via merge-on-read position deletes, then an
+    aggregate over the MOR scan (delete fraction ~4% per file → stays
+    under the 20% COW threshold)."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    root = _fresh_root("lake01_")
+    lt = LakeTable.create(spark, root, t["lineitem"].schema)
+    lt.append(t["lineitem"])
+    res = lt.delete("l_quantity < 3.0")
+    assert res["cow"] == 0, f"expected MOR-only delete, got {res}"
+    return (
+        lt.scan()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "lake02_partition_metadata_delete",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderstatus
+    """,
+)
+def lake02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-partition DELETE resolved metadata-only: the table is
+    hidden-partitioned on o_orderstatus, so every file of partition 'F'
+    provably matches and is dropped without reading data (reference:
+    docs/iceberg-tables.md:150-156 fast path)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    root = _fresh_root("lake02_")
+    lt = LakeTable.create(
+        spark, root, t["orders"].schema, partition_by=[PartitionField("o_orderstatus")]
+    )
+    lt.append(t["orders"])
+    res = lt.delete("o_orderstatus = 'F'")
+    assert res["mor"] == 0 and res["cow"] == 0, f"expected metadata-only delete, got {res}"
+    return (
+        lt.scan()
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("total"))
+    )
+
+
+@register(
+    "lake03_time_travel",
+    oracle="""
+    SELECT count(*) AS n_current, (SELECT count(*) FROM orders) AS n_at_snapshot_1
+    FROM orders WHERE o_orderpriority <> '1-URGENT'
+    """,
+)
+def lake03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE then read both the current snapshot and the pre-delete
+    snapshot (time travel): the old snapshot must still see every row."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    root = _fresh_root("lake03_")
+    lt = LakeTable.create(spark, root, t["orders"].schema)
+    lt.append(t["orders"])
+    lt.delete("o_orderpriority = '1-URGENT'")
+    current = lt.scan().agg(F.count("*").alias("n_current"))
+    at_snap1 = lt.scan(snapshot_id=1).agg(F.count("*").alias("n_at_snapshot_1"))
+    return current.crossJoin(at_snap1)
+
+
+@register(
+    "lake04_update_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           sum(CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN o_totalprice * 1.1 ELSE o_totalprice END) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def lake04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE (delete + re-append of updated rows), verified
+    through a post-update aggregate."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    root = _fresh_root("lake04_")
+    lt = LakeTable.create(spark, root, t["orders"].schema)
+    lt.append(t["orders"])
+    lt.update({"o_totalprice": "o_totalprice * 1.1"}, "o_orderpriority = '1-URGENT'")
+    return lt.scan().groupBy("o_orderstatus").agg(F.sum("o_totalprice").alias("total"))
+
+
+@register(
+    "lake05_compaction_preserves",
+    oracle="""
+    SELECT count(*) AS n, sum(l_extendedprice) AS total_price
+    FROM lineitem WHERE NOT (l_linenumber = 1)
+    """,
+)
+def lake05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOR delete + compaction: compaction folds position deletes into
+    rewritten files; results must be byte-identical before/after."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    root = _fresh_root("lake05_")
+    lt = LakeTable.create(spark, root, t["lineitem"].schema)
+    lt.append(t["lineitem"])
+    lt.delete("l_linenumber = 1")
+    lt.compact(target_file_mb=512, min_input_files=1)
+    return lt.scan().agg(
+        F.count("*").alias("n"), F.sum("l_extendedprice").alias("total_price")
+    )

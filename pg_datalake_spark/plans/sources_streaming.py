@@ -1,0 +1,118 @@
+"""Source/format and streaming queries for the correctness gate."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_datalake_spark.catalog import load_tables
+from pg_datalake_spark.plans.registry import register
+from pg_datalake_spark.sources import copy_to, read_files
+from pg_datalake_spark.streaming import incremental_file_ingest, windowed_event_counts
+
+
+@register(
+    "src01_csv_roundtrip",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
+           sum(l_extendedprice) AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def src01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY TO csv.gz → schema-inferred read back → aggregate. The
+    oracle aggregates the original parquet: export+inference must be
+    lossless for the measured columns."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    out = tempfile.mkdtemp(prefix="src01_") + "/lineitem.csv.gz"
+    copy_to(t["lineitem"], out, fmt="csv", compression="gzip")
+    back = read_files(spark, out, fmt="csv")
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_extendedprice").alias("sum_price"),
+    )
+
+
+@register(
+    "src02_json_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def src02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY TO ndjson → inferred read → aggregate."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    out = tempfile.mkdtemp(prefix="src02_") + "/orders.json"
+    copy_to(t["orders"].select("o_orderstatus", "o_totalprice"), out, fmt="json")
+    back = read_files(spark, out, fmt="json")
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum("o_totalprice").alias("total")
+    )
+
+
+@register(
+    "st01_incremental_ingest",
+    oracle="""
+    SELECT count(*) AS n, sum(value) AS total_value, count(DISTINCT user_id) AS n_users
+    FROM events
+    """,
+)
+def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once incremental file ingestion (Structured Streaming
+    file source, Trigger.AvailableNow + checkpoint) into a staging dir;
+    the aggregate over ingested data must equal the source. This is the
+    pg_incremental contract (SURVEY §2.10) on Spark-native machinery."""
+    import os
+    import shutil
+
+    load_tables(spark, sf_dir, ["events"])
+    stage = tempfile.mkdtemp(prefix="st01_")
+    landing = os.path.join(stage, "landing")  # file streams need a dir source
+    os.makedirs(landing)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(landing, "events.parquet"))
+    sink_dir = os.path.join(stage, "sink")
+    ckpt = os.path.join(stage, "ckpt")
+    src_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("append").parquet(sink_dir)
+
+    incremental_file_ingest(spark, landing, src_schema, ckpt, sink, fmt="parquet")
+    ingested = spark.read.parquet(sink_dir)
+    # raw nanos → seconds value column unaffected; aggregate only typed cols
+    return ingested.agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "st02_windowed_event_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           sum(value) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def st02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (the same code path drives the
+    watermarked streaming version; on a batch frame the watermark is a
+    no-op)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    out = windowed_event_counts(t["events"], window="1 hour", group_cols=["event_type"])
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )

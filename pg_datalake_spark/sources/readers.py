@@ -1,0 +1,108 @@
+"""Readers over raw files: parquet/csv/json with schema inference,
+glob listing, schema preview, and the filename column.
+
+Reference parity (SURVEY §2.1):
+- lake foreign table w/ inferred columns → read_files(path, fmt) —
+  CSV dialect sniffing (pg_lake_engine/src/pgduck/sniff_csv.c) maps to
+  Spark's csv inference options; parquet/json self-describe.
+- `filename 'true'` option             → with_filename column via
+  _metadata.file_path (read_data.c filename column).
+- lake_file.list(glob)                 → list_files()
+  (docs/query-data-lake-files.md:41-77).
+- lake_file.preview(url, fmt)          → preview_schema()
+  (pg_lake_table--3.0.sql:184-185, test_file_preview.py).
+- format/compression inference from the extension
+  (docs/file-formats-reference.md:26-36) → infer_format().
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# extension → (format, compression); mirrors the reference's table in
+# docs/file-formats-reference.md:26-36
+_EXT_FORMATS: list[tuple[str, str, str | None]] = [
+    (".parquet", "parquet", None),
+    (".csv.gz", "csv", "gzip"),
+    (".csv.zst", "csv", "zstd"),
+    (".csv", "csv", None),
+    (".tsv", "csv", None),
+    (".json.gz", "json", "gzip"),
+    (".json.zst", "json", "zstd"),
+    (".json", "json", None),
+    (".jsonl", "json", None),
+    (".ndjson", "json", None),
+]
+
+
+def infer_format(path: str) -> tuple[str, str | None]:
+    """(format, compression) from the file extension."""
+    low = path.lower()
+    for ext, fmt, comp in _EXT_FORMATS:
+        if low.endswith(ext) or (ext + "/") in low or low.rstrip("*/").endswith(ext):
+            return fmt, comp
+    for ext, fmt, comp in _EXT_FORMATS:  # glob patterns like dir/*.csv
+        if ext in os.path.basename(low):
+            return fmt, comp
+    raise ValueError(f"cannot infer format from path: {path}")
+
+
+def read_files(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    schema=None,
+    filename: bool = False,
+    **options,
+) -> DataFrame:
+    """Read raw files as a DataFrame with schema inference.
+
+    - ``fmt`` defaults to extension inference.
+    - CSV: header + dialect inference on by default (Spark samples the
+      files like the reference's sniff_csv).
+    - ``filename=True`` appends a ``_filename`` column.
+    - gzip/zstd are transparent to Spark's text sources.
+    """
+    fmt = fmt or infer_format(path)[0]
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        opts = {"header": "true", "inferSchema": "true", "enforceSchema": "false"}
+        opts.update({k: str(v) for k, v in options.items()})
+        df = reader.options(**opts).csv(path)
+    elif fmt == "json":
+        df = reader.options(**{k: str(v) for k, v in options.items()}).json(path)
+    elif fmt == "parquet":
+        df = reader.options(**{k: str(v) for k, v in options.items()}).parquet(path)
+    else:
+        raise ValueError(f"unsupported format: {fmt}")
+    if filename:
+        df = df.withColumn("_filename", F.col("_metadata.file_path"))
+    return df
+
+
+def list_files(spark: SparkSession, pattern: str) -> DataFrame:
+    """``lake_file.list`` analog: glob → (path, size_bytes, mtime_ms).
+
+    Local-FS implementation; on a cluster the same surface is backed by
+    the Hadoop FileSystem globStatus API.
+    """
+    rows = [
+        (p, os.path.getsize(p), int(os.path.getmtime(p) * 1000))
+        for p in sorted(_glob.glob(pattern, recursive=True))
+        if os.path.isfile(p)
+    ]
+    return spark.createDataFrame(rows, "path string, size_bytes long, mtime_ms long")
+
+
+def preview_schema(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    """``lake_file.preview`` analog: inferred (column_name, column_type)
+    without creating a table."""
+    df = read_files(spark, path, fmt)
+    rows = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    return spark.createDataFrame(rows, "column_name string, column_type string")

@@ -1,0 +1,60 @@
+"""COPY-style import/export helpers.
+
+Reference parity: ``COPY table TO 's3://…/x.csv.gz'`` /
+``COPY table FROM 's3://…'`` with format + compression inferred from
+the extension (pg_lake_copy/src/copy/copy.c:274-1100; extension table
+docs/file-formats-reference.md:26-36). Spark's writers handle
+compression codecs and multipart layout; a single-file target uses
+coalesce(1) like the reference's single-URL COPY TO.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pg_datalake_spark.sources.readers import infer_format, read_files
+
+_COMP_CODEC = {None: None, "gzip": "gzip", "zstd": "zstd", "snappy": "snappy"}
+
+
+def copy_to(
+    df: DataFrame,
+    path: str,
+    fmt: str | None = None,
+    compression: str | None = None,
+    single_file: bool = False,
+    mode: str = "overwrite",
+    **options,
+) -> None:
+    """Export a DataFrame to files, format/compression from extension."""
+    if fmt is None:
+        fmt, ext_comp = infer_format(path)
+        compression = compression or ext_comp
+    writer = df.coalesce(1) if single_file else df
+    w = writer.write.mode(mode).options(**{k: str(v) for k, v in options.items()})
+    if fmt == "csv":
+        w = w.option("header", "true")
+        if compression:
+            w = w.option("compression", _COMP_CODEC[compression])
+        w.csv(path)
+    elif fmt == "json":
+        if compression:
+            w = w.option("compression", _COMP_CODEC[compression])
+        w.json(path)
+    elif fmt == "parquet":
+        w.option("compression", compression or "snappy").parquet(path)
+    else:
+        raise ValueError(f"unsupported format: {fmt}")
+
+
+def copy_from(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Import files (the INSERT side is the caller's writeTo/append —
+    the reference pushes COPY FROM straight into the engine the same
+    way: IsCopyFromPushdownable, copy.c:605)."""
+    return read_files(spark, path, fmt, schema=schema, **options)

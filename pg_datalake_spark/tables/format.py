@@ -1,0 +1,655 @@
+"""LakeTable: a transactional table format on Parquet, Spark data plane.
+
+A from-scratch, Spark-idiomatic rebuild of the reference's Iceberg
+surface (the v1 runtime has no Iceberg/Delta jars, so the metadata
+layer is pure Python — exactly the reference's own shape: its table
+format is JSON metadata + Avro manifests managed by C code around
+DuckDB-written Parquet; here it's JSON metadata managed by Python
+around Spark-written Parquet).
+
+Reference parity map:
+- snapshots + atomic commit      → pg_lake_iceberg/src/iceberg/metadata_operations.c:152-410
+- per-file min/max/null stats    → pg_lake_engine/src/data_file/data_file_stats.c:64-205
+- stats-based file pruning       → pg_lake_table/src/fdw/data_file_pruning.c:183
+- hidden partition transforms    → pg_lake_iceberg/.../partition_transform.c:425-449
+  (identity/year/month/day/hour/bucket/truncate)
+- MOR position deletes + 20% COW → pg_lake_table/src/fdw/writable_table.c:478-650,
+  position_delete_dest.c; threshold writable_table.h:25
+- metadata-only partition delete → docs/iceberg-tables.md:150-156
+- time travel / snapshots()      → docs/iceberg-tables.md:700-727
+- compaction / expiry (VACUUM)   → pg_lake_table/src/ddl/vacuum.c:92-99,631+
+
+Scale design: all data-plane work (writes, delete-row identification,
+MOR anti-joins, compaction rewrites) is Spark jobs over file lists;
+the metadata JSON holds only file-level entries (like Iceberg
+manifests), never row data. Position deletes join on
+(_metadata.file_path, _metadata.row_index) — a broadcast anti-join
+when delete files are small, which is the common case.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+COW_THRESHOLD = 0.2  # rewrite a file when >20% of its rows are deleted
+TARGET_FILE_MB = 512  # compaction target (reference: writable_table.h:28)
+
+
+# ---------------------------------------------------------------------------
+# partition transforms (reference: partition_transform.c)
+# ---------------------------------------------------------------------------
+
+
+def transform_expr(col: str, transform: str, param: int | None = None) -> F.Column:
+    c = F.col(col)
+    if transform == "identity":
+        return c
+    if transform == "year":
+        return F.year(c)
+    if transform == "month":
+        return F.year(c) * 100 + F.month(c)
+    if transform == "day":
+        return F.date_format(c, "yyyyMMdd").cast("int")
+    if transform == "hour":
+        return (F.unix_micros(c.cast("timestamp")) / F.lit(3_600_000_000)).cast("long")
+    if transform == "bucket":
+        return F.pmod(F.xxhash64(c), F.lit(param))
+    if transform == "truncate":
+        return c.substr(1, int(param)) if param else c
+    raise ValueError(f"unknown transform {transform}")
+
+
+@dataclass
+class PartitionField:
+    column: str
+    transform: str = "identity"
+    param: int | None = None
+
+    @property
+    def name(self) -> str:
+        p = f"_{self.param}" if self.param is not None else ""
+        return f"__p_{self.transform}{p}_{self.column}"
+
+
+# ---------------------------------------------------------------------------
+# metadata
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DataFile:
+    path: str
+    rows: int
+    bytes: int
+    partition: dict[str, Any] = field(default_factory=dict)
+    stats: dict[str, list] = field(default_factory=dict)  # col -> [min, max, null_count]
+
+
+@dataclass
+class DeleteFile:
+    path: str
+    rows: int
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    timestamp_ms: int
+    operation: str
+    data_files: list[DataFile]
+    delete_files: list[DeleteFile]
+
+
+def _df_to_dict(d):  # dataclass → json-able
+    if isinstance(d, (DataFile, DeleteFile, Snapshot)):
+        out = dict(d.__dict__)
+        for k, v in out.items():
+            if isinstance(v, list) and v and isinstance(v[0], (DataFile, DeleteFile)):
+                out[k] = [_df_to_dict(x) for x in v]
+        return out
+    return d
+
+
+class LakeTable:
+    """One table = <root>/data/*.parquet + <root>/deletes/*.parquet +
+    <root>/metadata/v{N}.json with an atomically-swapped `current`
+    pointer (the reference's catalog row update; single-table
+    atomicity, as scoped in SURVEY §3.3)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- paths ------------------------------------------------------------
+    @property
+    def _meta_dir(self) -> str:
+        return os.path.join(self.root, "metadata")
+
+    def _meta_path(self, version: int) -> str:
+        return os.path.join(self._meta_dir, f"v{version}.json")
+
+    # -- metadata io ------------------------------------------------------
+    def _load(self) -> dict:
+        with open(os.path.join(self._meta_dir, "current")) as f:
+            version = int(f.read().strip())
+        with open(self._meta_path(version)) as f:
+            meta = json.load(f)
+        meta["_version"] = version
+        return meta
+
+    def _commit(self, meta: dict, expected_version: int) -> None:
+        """Optimistic commit: write v{N+1}, atomically swap `current`.
+        A concurrent commit that already produced v{N+1} wins — we
+        raise, the caller retries on fresh metadata (Iceberg-style
+        optimistic concurrency)."""
+        new_version = expected_version + 1
+        path = self._meta_path(new_version)
+        if os.path.exists(path):
+            raise RuntimeError(f"concurrent commit detected at version {new_version}")
+        meta = {k: v for k, v in meta.items() if not k.startswith("_")}
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f, default=_df_to_dict)
+        os.replace(tmp, path)
+        ptr_tmp = os.path.join(self._meta_dir, "current.tmp")
+        with open(ptr_tmp, "w") as f:
+            f.write(str(new_version))
+        os.replace(ptr_tmp, os.path.join(self._meta_dir, "current"))
+
+    # -- DDL --------------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        partition_by: list[PartitionField] | None = None,
+    ) -> "LakeTable":
+        t = cls(spark, root)
+        os.makedirs(t._meta_dir, exist_ok=False)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(root, "deletes"), exist_ok=True)
+        meta = {
+            "table_uuid": str(uuid.uuid4()),
+            "schema": json.loads(schema.json()),
+            "partition_spec": [p.__dict__ for p in (partition_by or [])],
+            "snapshots": [],
+            "current_snapshot_id": None,
+        }
+        with open(t._meta_path(0), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(t._meta_dir, "current"), "w") as f:
+            f.write("0")
+        return t
+
+    # -- helpers ----------------------------------------------------------
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self._load()["schema"])
+
+    def _partition_spec(self, meta: dict) -> list[PartitionField]:
+        return [PartitionField(**p) for p in meta["partition_spec"]]
+
+    def _current_snapshot(self, meta: dict) -> Snapshot | None:
+        sid = meta["current_snapshot_id"]
+        for s in meta["snapshots"]:
+            if s["snapshot_id"] == sid:
+                return _snapshot_from_dict(s)
+        return None
+
+    def _collect_file_entries(
+        self, paths_root: str, spec: list[PartitionField]
+    ) -> list[DataFile]:
+        """Harvest per-file rows + min/max/null stats with one Spark
+        aggregation over the written files (the reference harvests the
+        same from DuckDB's COPY ... return_stats)."""
+        df = self.spark.read.schema(self.schema).parquet(paths_root)
+        cols = [f.name for f in self.schema.fields if _statable(f.dataType)]
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            aggs += [
+                F.min(c).alias(f"__min_{c}"),
+                F.max(c).alias(f"__max_{c}"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nulls_{c}"),
+            ]
+        part_names = {p.name for p in spec}
+        rows = (
+            df.groupBy(F.col("_metadata.file_path").alias("__path"))
+            .agg(*aggs)
+            .collect()
+        )
+        out = []
+        for r in rows:
+            path = _strip_scheme(r["__path"])
+            stats = {c: [_jval(r[f"__min_{c}"]), _jval(r[f"__max_{c}"]), r[f"__nulls_{c}"]] for c in cols}
+            partition = _partition_values_from_path(path, part_names)
+            out.append(
+                DataFile(
+                    path=path,
+                    rows=r["__rows"],
+                    bytes=os.path.getsize(path),
+                    partition=partition,
+                    stats=stats,
+                )
+            )
+        return out
+
+    def _new_snapshot(
+        self,
+        meta: dict,
+        operation: str,
+        data_files: list[DataFile],
+        delete_files: list[DeleteFile],
+    ) -> None:
+        cur = self._current_snapshot(meta)
+        snap = Snapshot(
+            snapshot_id=(cur.snapshot_id + 1) if cur else 1,
+            parent_id=cur.snapshot_id if cur else None,
+            timestamp_ms=int(time.time() * 1000),
+            operation=operation,
+            data_files=data_files,
+            delete_files=delete_files,
+        )
+        meta["snapshots"].append(_df_to_dict(snap))
+        meta["current_snapshot_id"] = snap.snapshot_id
+        self._commit(meta, meta["_version"])
+
+    # -- writes -----------------------------------------------------------
+    def append(self, df: DataFrame) -> None:
+        meta = self._load()
+        spec = self._partition_spec(meta)
+        out_dir = os.path.join(self.root, "data", f"w-{uuid.uuid4().hex[:12]}")
+        writer = df
+        if spec:
+            for p in spec:
+                writer = writer.withColumn(p.name, transform_expr(p.column, p.transform, p.param))
+            writer.write.partitionBy(*[p.name for p in spec]).parquet(out_dir)
+        else:
+            writer.write.parquet(out_dir)
+        new_files = self._collect_file_entries(out_dir, spec)
+        cur = self._current_snapshot(meta)
+        self._new_snapshot(
+            meta,
+            "append",
+            (cur.data_files if cur else []) + new_files,
+            cur.delete_files if cur else [],
+        )
+
+    # -- reads ------------------------------------------------------------
+    def scan(
+        self,
+        snapshot_id: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+        filters: list[tuple] | None = None,
+    ) -> DataFrame:
+        """Read the table at a snapshot, applying stats-based file
+        pruning (``filters`` = [(col, op, value), ...]) and MOR
+        position deletes."""
+        meta = self._load()
+        snap = self._resolve_snapshot(meta, snapshot_id, as_of_timestamp_ms)
+        if snap is None or not snap.data_files:
+            return self.spark.createDataFrame([], self.schema)
+        files = snap.data_files
+        if filters:
+            files = [f for f in files if not _prunable(f, filters, self._partition_spec(meta))]
+        if not files:
+            return self.spark.createDataFrame([], self.schema)
+        df = (
+            self.spark.read.schema(self.schema)
+            .parquet(*[f.path for f in files])
+            .withColumn("__file", F.col("_metadata.file_path"))
+            .withColumn("__pos", F.col("_metadata.row_index"))
+        )
+        if snap.delete_files:
+            deletes = self.spark.read.parquet(*[d.path for d in snap.delete_files])
+            df = df.join(
+                F.broadcast(deletes),
+                (F.col("__file") == F.col("file_path")) & (F.col("__pos") == F.col("pos")),
+                "left_anti",
+            )
+        return df.select(*[f.name for f in self.schema.fields])
+
+    def _resolve_snapshot(self, meta, snapshot_id, as_of_timestamp_ms) -> Snapshot | None:
+        snaps = [_snapshot_from_dict(s) for s in meta["snapshots"]]
+        if snapshot_id is not None:
+            return next(s for s in snaps if s.snapshot_id == snapshot_id)
+        if as_of_timestamp_ms is not None:
+            eligible = [s for s in snaps if s.timestamp_ms <= as_of_timestamp_ms]
+            return max(eligible, key=lambda s: s.snapshot_id) if eligible else None
+        return self._current_snapshot(meta)
+
+    # -- DML --------------------------------------------------------------
+    def delete(self, predicate: str) -> dict:
+        """Row-level delete with the reference's three-tier strategy:
+
+        1. stats/partition pruning → untouched files;
+        2. whole-file match (every row matches, provable from the
+           partition value) → metadata-only drop (no data read);
+        3. partial files → MOR position-delete file, or COW rewrite
+           when >20% of the file's rows match.
+
+        Returns {"dropped": n, "mor": n, "cow": n}.
+        """
+        meta = self._load()
+        spec = self._partition_spec(meta)
+        cur = self._current_snapshot(meta)
+        if cur is None:
+            return {"dropped": 0, "mor": 0, "cow": 0}
+
+        keep_files: list[DataFile] = []
+        candidates: list[DataFile] = []
+        dropped = 0
+        pred_filters = _parse_simple_predicate(predicate)
+        for f in cur.data_files:
+            if pred_filters is not None and _prunable(f, pred_filters, spec):
+                keep_files.append(f)  # no row can match → untouched
+            elif pred_filters is not None and _whole_file_match(f, pred_filters, spec):
+                dropped += 1  # every row matches → metadata-only drop
+            else:
+                candidates.append(f)
+
+        mor = cow = 0
+        new_files = list(keep_files)
+        new_deletes = list(cur.delete_files)
+        if candidates:
+            df = (
+                self.spark.read.schema(self.schema)
+                .parquet(*[f.path for f in candidates])
+                .withColumn("file_path", F.col("_metadata.file_path"))
+                .withColumn("pos", F.col("_metadata.row_index"))
+            )
+            matched = df.filter(predicate).select("file_path", "pos")
+            counts = {
+                _strip_scheme(r["file_path"]): r["n"]
+                for r in matched.groupBy("file_path").agg(F.count("*").alias("n")).collect()
+            }
+            cow_files = [
+                f for f in candidates if counts.get(f.path, 0) / f.rows > COW_THRESHOLD
+            ]
+            mor_files = [
+                f
+                for f in candidates
+                if 0 < counts.get(f.path, 0) / f.rows <= COW_THRESHOLD
+            ]
+            untouched = [f for f in candidates if counts.get(f.path, 0) == 0]
+            new_files += untouched
+
+            if mor_files:
+                mor = len(mor_files)
+                del_dir = os.path.join(self.root, "deletes", f"d-{uuid.uuid4().hex[:12]}")
+                keep_paths = {f.path for f in mor_files}
+                (
+                    matched.filter(
+                        F.regexp_replace("file_path", "^file:", "").isin(*keep_paths)
+                    )
+                    .coalesce(1)
+                    .write.parquet(del_dir)
+                )
+                for fn in os.listdir(del_dir):
+                    if fn.endswith(".parquet"):
+                        p = os.path.join(del_dir, fn)
+                        n = sum(counts.get(f.path, 0) for f in mor_files)
+                        new_deletes.append(DeleteFile(path=p, rows=n))
+                new_files += mor_files
+
+            if cow_files:
+                cow = len(cow_files)
+                rw_dir = os.path.join(self.root, "data", f"rw-{uuid.uuid4().hex[:12]}")
+                kept = (
+                    self.spark.read.schema(self.schema)
+                    .parquet(*[f.path for f in cow_files])
+                    .filter(f"NOT ({predicate})")
+                )
+                kept.write.parquet(rw_dir)
+                new_files += self._collect_file_entries(rw_dir, spec)
+
+        self._new_snapshot(meta, "delete", new_files, new_deletes)
+        return {"dropped": dropped, "mor": mor, "cow": cow}
+
+    def update(self, set_exprs: dict[str, str], predicate: str) -> None:
+        """UPDATE = snapshot-consistent (read updated rows) → delete →
+        append, one snapshot per phase (reference does position-delete
+        + insert inside one transaction; here two snapshots, same final
+        state)."""
+        updated = self.scan().filter(predicate)
+        for col, expr in set_exprs.items():
+            updated = updated.withColumn(col, F.expr(expr))
+        updated = updated.localCheckpoint()  # pin rows before the delete commits
+        self.delete(predicate)
+        self.append(updated)
+
+    # -- maintenance (VACUUM analog) --------------------------------------
+    def compact(self, target_file_mb: int = TARGET_FILE_MB, min_input_files: int = 2) -> int:
+        """Merge small data files up to the target size and apply
+        pending position deletes (reference: vacuum.c compaction)."""
+        meta = self._load()
+        cur = self._current_snapshot(meta)
+        if cur is None:
+            return 0
+        small = [f for f in cur.data_files if f.bytes < target_file_mb * 1024 * 1024 / 2]
+        if len(small) < min_input_files:
+            return 0
+        big = [f for f in cur.data_files if f not in small]
+        rw_dir = os.path.join(self.root, "data", f"c-{uuid.uuid4().hex[:12]}")
+        df = (
+            self.spark.read.schema(self.schema)
+            .parquet(*[f.path for f in small])
+            .withColumn("__file", F.col("_metadata.file_path"))
+            .withColumn("__pos", F.col("_metadata.row_index"))
+        )
+        if cur.delete_files:
+            deletes = self.spark.read.parquet(*[d.path for d in cur.delete_files])
+            df = df.join(
+                F.broadcast(deletes),
+                (F.col("__file") == F.col("file_path")) & (F.col("__pos") == F.col("pos")),
+                "left_anti",
+            )
+        total_bytes = sum(f.bytes for f in small)
+        n_out = max(1, int(total_bytes / (target_file_mb * 1024 * 1024)))
+        df.select(*[f.name for f in self.schema.fields]).coalesce(n_out).write.parquet(rw_dir)
+        spec = self._partition_spec(meta)
+        new_files = big + self._collect_file_entries(rw_dir, spec)
+        # deletes for surviving big files must be retained; deletes that
+        # pointed only at compacted files are now dead weight but
+        # harmless (their file_paths no longer appear). Keep them iff
+        # any big file remains (conservative), else drop all.
+        self._new_snapshot(meta, "compact", new_files, cur.delete_files if big else [])
+        return len(small)
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Drop all but the newest ``keep_last`` snapshots and delete
+        data/delete files referenced only by expired ones (reference:
+        10-day retention + deletion queue; here immediate physical
+        delete, retention is the caller's policy)."""
+        meta = self._load()
+        snaps = sorted(meta["snapshots"], key=lambda s: s["snapshot_id"])
+        if len(snaps) <= keep_last:
+            return []
+        keep = snaps[-keep_last:]
+        live: set[str] = set()
+        for s in keep:
+            for f in s["data_files"]:
+                live.add(f["path"])
+            for d in s["delete_files"]:
+                live.add(d["path"])
+        orphans = []
+        for s in snaps[:-keep_last]:
+            for f in s["data_files"] + s["delete_files"]:
+                if f["path"] not in live and os.path.exists(f["path"]):
+                    orphans.append(f["path"])
+        for p in set(orphans):
+            os.remove(p)
+        meta["snapshots"] = keep
+        self._commit(meta, meta["_version"])
+        return sorted(set(orphans))
+
+    # -- introspection ----------------------------------------------------
+    def snapshots(self) -> DataFrame:
+        meta = self._load()
+        rows = [
+            (
+                s["snapshot_id"],
+                s["parent_id"],
+                s["timestamp_ms"],
+                s["operation"],
+                len(s["data_files"]),
+                len(s["delete_files"]),
+                int(sum(f["rows"] for f in s["data_files"])),
+            )
+            for s in meta["snapshots"]
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, timestamp_ms long, operation string, "
+            "n_data_files int, n_delete_files int, total_rows long",
+        )
+
+    def files(self) -> DataFrame:
+        meta = self._load()
+        cur = self._current_snapshot(meta)
+        rows = [
+            (f.path, f.rows, f.bytes, json.dumps(f.partition, default=str))
+            for f in (cur.data_files if cur else [])
+        ]
+        return self.spark.createDataFrame(
+            rows, "path string, rows long, bytes long, partition string"
+        )
+
+    def changelog(self, from_snapshot: int, to_snapshot: int) -> DataFrame:
+        """Rows added minus rows removed between two snapshots, labeled
+        with a _change_type column (reference verifies the same via
+        Spark's create_changelog_view — test_iceberg_changelog.py)."""
+        before = self.scan(snapshot_id=from_snapshot)
+        after = self.scan(snapshot_id=to_snapshot)
+        inserted = after.exceptAll(before).withColumn("_change_type", F.lit("insert"))
+        deleted = before.exceptAll(after).withColumn("_change_type", F.lit("delete"))
+        return inserted.unionByName(deleted)
+
+
+# ---------------------------------------------------------------------------
+# stats / pruning helpers
+# ---------------------------------------------------------------------------
+
+
+def _strip_scheme(p: str) -> str:
+    return p[5:] if p.startswith("file:") else p
+
+
+def _statable(dt: T.DataType) -> bool:
+    return isinstance(
+        dt,
+        (
+            T.NumericType,
+            T.StringType,
+            T.DateType,
+            T.TimestampType,
+            T.TimestampNTZType,
+            T.BooleanType,
+        ),
+    )
+
+
+def _jval(v):
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _snapshot_from_dict(s: dict) -> Snapshot:
+    return Snapshot(
+        snapshot_id=s["snapshot_id"],
+        parent_id=s["parent_id"],
+        timestamp_ms=s["timestamp_ms"],
+        operation=s["operation"],
+        data_files=[DataFile(**f) for f in s["data_files"]],
+        delete_files=[DeleteFile(**d) for d in s["delete_files"]],
+    )
+
+
+def _partition_values_from_path(path: str, part_names: set[str]) -> dict:
+    out = {}
+    for seg in path.split(os.sep):
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            if k in part_names:
+                out[k] = v
+    return out
+
+
+def _parse_simple_predicate(predicate: str) -> list[tuple] | None:
+    """Parse 'col OP literal [AND ...]' into [(col, op, value)] for
+    stats pruning; returns None for anything more complex (then every
+    candidate file is scanned — correct, just unpruned)."""
+    import re
+
+    parts = re.split(r"(?i)\s+AND\s+", predicate.strip())
+    out = []
+    for p in parts:
+        m = re.match(r"^\s*(\w+)\s*(<=|>=|<|>|=|==)\s*('?[^']*'?|[-\d.]+)\s*$", p)
+        if not m:
+            return None
+        col, op, raw = m.group(1), m.group(2), m.group(3).strip()
+        value: Any
+        if raw.startswith("'"):
+            value = raw.strip("'")
+        else:
+            value = float(raw) if "." in raw else int(raw)
+        out.append((col, "=" if op == "==" else op, value))
+    return out
+
+
+def _cmp_bounds(f: DataFile, col: str, op: str, value) -> tuple[bool, bool]:
+    """(can_match, all_match) for one clause against file stats."""
+    st = f.stats.get(col)
+    if st is None:
+        return True, False
+    lo, hi, _nulls = st
+    if lo is None or hi is None:
+        return True, False
+    if isinstance(value, (int, float)) and isinstance(lo, str):
+        return True, False
+    try:
+        if op == "=":
+            return (lo <= value <= hi), (lo == value == hi)
+        if op == "<":
+            return lo < value, hi < value
+        if op == "<=":
+            return lo <= value, hi <= value
+        if op == ">":
+            return hi > value, lo > value
+        if op == ">=":
+            return hi >= value, lo >= value
+    except TypeError:
+        return True, False
+    return True, False
+
+
+def _prunable(f: DataFile, filters: list[tuple], spec: list[PartitionField]) -> bool:
+    """True if NO row of the file can match all clauses (skip the file).
+    Mirrors the reference's bound-constraint evaluation
+    (data_file_pruning.c:111-165)."""
+    for col, op, value in filters:
+        can_match, _ = _cmp_bounds(f, col, op, value)
+        if not can_match:
+            return True
+    return False
+
+
+def _whole_file_match(f: DataFile, filters: list[tuple], spec: list[PartitionField]) -> bool:
+    """True if EVERY row of the file provably matches all clauses —
+    enables the metadata-only delete fast path."""
+    for col, op, value in filters:
+        _, all_match = _cmp_bounds(f, col, op, value)
+        if not all_match:
+            return False
+    return True

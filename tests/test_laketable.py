@@ -1,0 +1,158 @@
+"""LakeTable format tests: the reference's DML/MOR-vs-COW fixture
+(FIXTURES.md §5) plus snapshots, pruning, time travel, compaction."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pg_datalake_spark.tables import LakeTable
+from pg_datalake_spark.tables.format import PartitionField
+
+KV_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("value", T.StringType()),
+        T.StructField("grp", T.IntegerType()),
+    ]
+)
+
+
+def make_kv(spark, n=1000, grps=5):
+    # single output file: MOR/COW classification is per-file, so the
+    # fixture's delete fractions must be file fractions
+    return spark.range(n).coalesce(1).select(
+        F.col("id").alias("key"),
+        F.concat(F.lit("v"), F.col("id")).alias("value"),
+        (F.col("id") % grps).cast("int").alias("grp"),
+    )
+
+
+@pytest.fixture
+def kv_table(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "kv"), KV_SCHEMA)
+    t.append(make_kv(spark))
+    return t
+
+
+def test_roundtrip(spark, kv_table):
+    got = kv_table.scan()
+    assert got.count() == 1000
+    assert got.schema.fieldNames() == ["key", "value", "grp"]
+    assert got.agg(F.sum("key")).first()[0] == 999 * 1000 // 2
+
+
+def test_append_accumulates(spark, kv_table):
+    kv_table.append(make_kv(spark).withColumn("key", F.col("key") + 1000))
+    assert kv_table.scan().count() == 2000
+    assert kv_table.snapshots().count() == 2
+
+
+def test_mor_small_delete(spark, kv_table):
+    """<20% of rows → position-delete files, no data-file rewrite."""
+    before_files = {r.path for r in kv_table.files().collect()}
+    res = kv_table.delete("key < 100")  # 10%
+    assert res["mor"] >= 1 and res["cow"] == 0
+    assert kv_table.scan().count() == 900
+    assert {r.path for r in kv_table.files().collect()} == before_files
+    assert kv_table.scan().filter("key < 100").count() == 0
+
+
+def test_cow_large_delete(spark, kv_table):
+    """>20% of a file's rows → rewrite, no delete file."""
+    res = kv_table.delete("key < 500")  # 50%
+    assert res["cow"] >= 1 and res["mor"] == 0
+    assert kv_table.scan().count() == 500
+    assert kv_table.scan().agg(F.min("key")).first()[0] == 500
+
+
+def test_metadata_only_partition_delete(spark, tmp_path):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "part"),
+        KV_SCHEMA,
+        partition_by=[PartitionField("grp", "identity")],
+    )
+    t.append(make_kv(spark))
+    res = t.delete("grp = 3")
+    # every file in partition grp=3 matches entirely → metadata-only
+    assert res["dropped"] >= 1 and res["mor"] == 0 and res["cow"] == 0
+    assert t.scan().count() == 800
+    assert t.scan().filter("grp = 3").count() == 0
+
+
+def test_stats_pruning(spark, kv_table):
+    kv_table.append(make_kv(spark).withColumn("key", F.col("key") + 10_000))
+    meta = kv_table._load()
+    snap = kv_table._current_snapshot(meta)
+    pruned = kv_table.scan(filters=[("key", ">=", 10_000)])
+    assert pruned.count() == 1000
+    # the pruner must actually skip the first batch's files
+    from pg_datalake_spark.tables.format import _prunable
+
+    skipped = [f for f in snap.data_files if _prunable(f, [("key", ">=", 10_000)], [])]
+    assert len(skipped) >= 1
+
+
+def test_update(spark, kv_table):
+    kv_table.update({"value": "concat(value, '!')"}, "key < 10")
+    got = kv_table.scan().filter("key < 10").orderBy("key").collect()
+    assert len(got) == 10
+    assert all(r.value.endswith("!") for r in got)
+    assert kv_table.scan().count() == 1000
+
+
+def test_time_travel_and_changelog(spark, kv_table):
+    kv_table.delete("key < 100")
+    # snapshot 1 = original append, snapshot 2 = delete
+    assert kv_table.scan(snapshot_id=1).count() == 1000
+    assert kv_table.scan(snapshot_id=2).count() == 900
+    log = kv_table.changelog(1, 2)
+    assert log.filter("_change_type = 'delete'").count() == 100
+    assert log.filter("_change_type = 'insert'").count() == 0
+
+
+def test_compaction(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "cmp"), KV_SCHEMA)
+    for i in range(4):
+        t.append(make_kv(spark, n=250).withColumn("key", F.col("key") + 250 * i))
+    n_before = t.files().count()
+    merged = t.compact(target_file_mb=512, min_input_files=2)
+    assert merged >= 2
+    assert t.files().count() < n_before
+    assert t.scan().count() == 1000
+    assert t.scan().agg(F.sum("key")).first()[0] == 999 * 1000 // 2
+
+
+def test_compaction_applies_mor_deletes(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "cmp2"), KV_SCHEMA)
+    t.append(make_kv(spark))
+    t.delete("key < 100")
+    t.compact(target_file_mb=512, min_input_files=1)
+    assert t.scan().count() == 900
+    meta = t._load()
+    assert t._current_snapshot(meta).delete_files == []
+
+
+def test_expire_snapshots(spark, kv_table, tmp_path):
+    kv_table.delete("key < 500")  # COW rewrite → old files orphaned after expiry
+    old_paths = {r.path for r in kv_table.files().collect()}
+    removed = kv_table.expire_snapshots(keep_last=1)
+    assert kv_table.snapshots().count() == 1
+    assert kv_table.scan().count() == 500
+    for p in removed:
+        assert not os.path.exists(p)
+    # current snapshot's files must survive
+    for p in old_paths:
+        assert os.path.exists(p)
+
+
+def test_concurrent_commit_detection(spark, kv_table):
+    meta1 = kv_table._load()
+    meta2 = kv_table._load()
+    kv_table._new_snapshot(meta1, "append", [], [])
+    with pytest.raises(RuntimeError, match="concurrent"):
+        kv_table._new_snapshot(meta2, "append", [], [])

@@ -1,0 +1,93 @@
+"""Source readers/writers and streaming ingestion unit tests
+(FIXTURES.md §6 format/inference fixtures)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pg_datalake_spark.sources import (
+    copy_to,
+    infer_format,
+    list_files,
+    preview_schema,
+    read_files,
+)
+from pg_datalake_spark.streaming import incremental_file_ingest
+from tests.conftest import SF_DIR
+
+
+def test_infer_format():
+    assert infer_format("a/b.csv") == ("csv", None)
+    assert infer_format("a/b.csv.gz") == ("csv", "gzip")
+    assert infer_format("a/b.ndjson") == ("json", None)
+    assert infer_format("a/*.parquet") == ("parquet", None)
+
+
+def test_csv_roundtrip_with_options(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a;x", 2.5), (2, None, 3.5)], "id int, s string, v double"
+    )
+    out = str(tmp_path / "t.csv")
+    copy_to(df, out, fmt="csv", sep=";", nullValue="\\N")
+    back = read_files(spark, out, fmt="csv", sep=";", nullValue="\\N")
+    assert back.count() == 2
+    assert dict(back.dtypes)["v"] == "double"
+    assert back.filter("s IS NULL").count() == 1
+    assert back.filter("s = 'a;x'").count() == 1  # quoted field with delimiter
+
+
+def test_filename_column_and_glob(spark, tmp_path):
+    for i in range(3):
+        spark.range(10).coalesce(1).withColumn("part", F.lit(i)).write.json(
+            str(tmp_path / f"p{i}.json")
+        )
+    df = read_files(spark, str(tmp_path / "p*.json"), fmt="json", filename=True)
+    assert df.count() == 30
+    assert df.select("_filename").distinct().count() == 3
+
+
+def test_list_files_and_preview(spark, tmp_path):
+    listing = list_files(spark, f"{SF_DIR}/*.parquet")
+    assert listing.count() == 10
+    assert listing.filter(F.col("size_bytes") <= 0).count() == 0
+    prev = preview_schema(spark, f"{SF_DIR}/lineitem.parquet")
+    cols = {r.column_name: r.column_type for r in prev.collect()}
+    assert cols["l_orderkey"] == "bigint"
+    assert cols["l_shipdate"].startswith("timestamp")
+
+
+def test_nested_json_inference(spark, tmp_path):
+    p = str(tmp_path / "nested.json")
+    with open(p, "w") as f:
+        f.write('{"a": 1, "s": {"x": 2, "y": [1,2]}, "m": {"k": "v"}}\n')
+        f.write('{"a": 2, "s": {"x": 3, "y": []}, "m": {"j": "w"}}\n')
+    df = read_files(spark, p, fmt="json")
+    assert df.select("s.x").count() == 2
+    assert df.filter(F.col("a") == 1).select(F.explode("s.y")).count() == 2
+
+
+def test_incremental_ingest_exactly_once(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pq.write_table(pa.table({"id": list(range(100))}), src + "/batch1.parquet")
+    schema = spark.read.parquet(src).schema
+    got = []
+
+    def sink(df, bid):
+        got.append(df.count())
+
+    ck = str(tmp_path / "ckpt")
+    incremental_file_ingest(spark, src + "/*", schema, ck, sink)
+    assert sum(got) == 100
+    # second drain with same checkpoint: nothing new
+    incremental_file_ingest(spark, src + "/*", schema, ck, sink)
+    assert sum(got) == 100
+    # new file appears → only it is ingested
+    pq.write_table(pa.table({"id": list(range(50))}), src + "/batch2.parquet")
+    incremental_file_ingest(spark, src + "/*", schema, ck, sink)
+    assert sum(got) == 150
