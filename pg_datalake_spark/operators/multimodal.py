@@ -1,0 +1,176 @@
+"""Multimodal (image/audio/video) columns as binary + typed metadata.
+
+Treats media as opaque ``binary`` columns with a typed metadata struct
+(BASELINE.json north star: multimodal columns for training pipelines).
+The container has no image/audio codecs, so the *codec* is a
+deterministic fake ("LAKE" header + little-endian dims + payload):
+encode/decode round-trips are real binary processing through real
+Arrow-batched ``mapInPandas`` plumbing — schema, batch shape, and
+partitioning are exactly what a libjpeg/ffmpeg-backed version would
+use; only the byte interpretation is stubbed (swap `_decode_payload`
+for PIL/ffmpeg on a real cluster).
+
+Scale design: mapInPandas streams Arrow batches (no per-row Python
+serde); decode is a narrow map, so media pipelines shard by file and
+never shuffle the payload bytes unless grouping requires it.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC = b"LAKE"
+HEADER_FMT = "<4sHHI"  # magic, width, height, n_frames
+HEADER_LEN = struct.calcsize(HEADER_FMT)
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# encode (test-data synthesis) — pure Column algebra, JVM-side
+# ---------------------------------------------------------------------------
+
+
+def fake_media(id_col: F.Column, kind: str = "image", frames: int | None = None) -> F.Column:
+    """Deterministic fake media blob derived from an id: header with
+    width = 64 + id % 192, height = 32 + id % 96, n_frames, then a
+    repeating payload. Closed-form in the id so an oracle can verify
+    decoded metadata without parsing bytes."""
+    width = (F.lit(64) + id_col % 192).cast("int")
+    height = (F.lit(32) + id_col % 96).cast("int")
+    n_frames = F.lit(int(frames or (1 if kind == "image" else 16))).cast("int")
+
+    def le16(c):  # little-endian uint16 as 2 hex bytes
+        lo = F.lpad(F.hex(c % 256), 2, "0")
+        hi = F.lpad(F.hex((c / 256).cast("int") % 256), 2, "0")
+        return F.concat(lo, hi)
+
+    def le32(c):
+        lo = le16(c % 65536)
+        hi = le16((c / 65536).cast("int"))
+        return F.concat(lo, hi)
+
+    header_hex = F.concat(
+        F.lit(MAGIC.hex().upper()), le16(width), le16(height), le32(n_frames)
+    )
+    payload_hex = F.repeat(F.lpad(F.hex(id_col % 256), 2, "0"), 128)
+    return F.unhex(F.concat(header_hex, payload_hex))
+
+
+# ---------------------------------------------------------------------------
+# decode / transform — Arrow-batched mapInPandas
+# ---------------------------------------------------------------------------
+
+
+def _decode_payload(blob: bytes) -> tuple[int, int, int, int]:
+    """STUB decode point: replace with PIL/ffmpeg for real codecs."""
+    if blob is None or len(blob) < HEADER_LEN or blob[:4] != MAGIC:
+        return (-1, -1, -1, len(blob or b""))
+    _, w, h, n = struct.unpack(HEADER_FMT, blob[:HEADER_LEN])
+    return (w, h, n, len(blob))
+
+
+def decode_media(df: DataFrame, data_col: str = "data") -> DataFrame:
+    """Attach the decoded metadata struct. Arrow batches in/out; the
+    payload bytes never round-trip through Python row objects."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField("meta", MEDIA_META)])
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [
+                dict(zip(("width", "height", "n_frames", "n_bytes"), _decode_payload(b)))
+                for b in pdf[data_col]
+            ]
+            yield pdf.assign(meta=meta)
+
+    return df.mapInPandas(op, out_schema)
+
+
+def media_features(df: DataFrame, data_col: str = "data", dims: int = 8) -> DataFrame:
+    """Real (non-stub) feature extraction: normalized byte histogram of
+    the payload as a fixed-dim array<float> — the shape an image
+    embedding would have, computed vectorized in numpy per Arrow batch."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("features", T.ArrayType(T.FloatType()))]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf[data_col]:
+                payload = np.frombuffer(b[HEADER_LEN:] if b and len(b) > HEADER_LEN else b"", dtype=np.uint8)
+                if payload.size == 0:
+                    feats.append([0.0] * dims)
+                    continue
+                hist, _ = np.histogram(payload, bins=dims, range=(0, 256))
+                feats.append((hist / payload.size).astype("float32").tolist())
+            yield pdf.assign(features=feats)
+
+    return df.mapInPandas(op, out_schema)
+
+
+def resize_media(df: DataFrame, scale: float, data_col: str = "data") -> DataFrame:
+    """Rewrite header dims by ``scale`` (payload untouched — the stub
+    point where a real implementation resamples pixels)."""
+    out_schema = df.schema
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def rs(b: bytes) -> bytes:
+                w, h, n, _ = _decode_payload(b)
+                if w < 0:
+                    return b
+                return struct.pack(HEADER_FMT, MAGIC, max(1, int(w * scale)), max(1, int(h * scale)), n) + b[HEADER_LEN:]
+
+            yield pdf.assign(**{data_col: pdf[data_col].map(rs)})
+
+    return df.mapInPandas(op, out_schema)
+
+
+def frame_sample(df: DataFrame, every_n: int, data_col: str = "data") -> DataFrame:
+    """Explode a video blob into sampled frame rows (frame_idx every
+    ``every_n``) — one row per kept frame, frame payload sliced from
+    the blob. The explode happens inside the Arrow batch, not via
+    per-row Python UDF calls."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != data_col]
+        + [T.StructField("frame_idx", T.IntegerType()), T.StructField("frame", T.BinaryType())]
+    )
+    other_cols = [f.name for f in df.schema.fields if f.name != data_col]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                b = r[data_col]
+                w, h, n, _ = _decode_payload(b)
+                if n <= 0:
+                    continue
+                payload = b[HEADER_LEN:]
+                frame_len = max(1, len(payload) // n)
+                for i in range(0, n, every_n):
+                    rows.append(
+                        {**{c: r[c] for c in other_cols},
+                         "frame_idx": i,
+                         "frame": payload[i * frame_len : (i + 1) * frame_len]}
+                    )
+            yield pd.DataFrame(rows, columns=other_cols + ["frame_idx", "frame"]) if rows else pd.DataFrame(
+                {c: [] for c in other_cols + ["frame_idx", "frame"]}
+            )
+
+    return df.mapInPandas(op, out_schema)

@@ -9,6 +9,7 @@ def load_all() -> None:
         funcs_coverage,
         lakeops,
         llmops,
+        multimodal_q,
         relational,
         sources_streaming,
         tpch,
