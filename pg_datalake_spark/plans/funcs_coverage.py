@@ -9,6 +9,8 @@ pg_datalake_spark.functions.pgcompat.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -501,3 +503,64 @@ def f12(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition per group; for ordered array_agg semantics we sort first.
     base = base.sortWithinPartitions("o_orderkey")
     return base.groupBy("o_orderstatus").agg(pg_array_agg(F.col("v")).alias("vals"))
+
+
+@register(
+    "f13_map_struct_ops",
+    oracle="""
+    SELECT n_nationkey,
+           MAP {'nation': n_name, 'region': CAST(n_regionkey AS VARCHAR)}['nation'][1] AS map_get,
+           CAST(cardinality(MAP {'nation': n_name, 'region': CAST(n_regionkey AS VARCHAR)}) AS INT) AS map_size,
+           list_sort(map_keys(MAP {'nation': n_name, 'region': CAST(n_regionkey AS VARCHAR)})) AS keys_sorted,
+           struct_pack(name := n_name, rk := n_regionkey).name AS struct_field,
+           struct_pack(name := n_name, rk := n_regionkey) = struct_pack(name := n_name, rk := n_regionkey) AS struct_eq
+    FROM nation
+    """,
+)
+def f13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map and struct (composite) type operations — the reference
+    generates pg_map composite-pair domains and lake_struct composites
+    for these (SURVEY §1.1, §2.8 map/FieldSelect); Spark has native
+    MapType/StructType."""
+    t = load_tables(spark, sf_dir, ["nation"])
+    m = F.create_map(
+        F.lit("nation"), F.col("n_name"), F.lit("region"), F.col("n_regionkey").cast("string")
+    )
+    s = F.struct(F.col("n_name").alias("name"), F.col("n_regionkey").alias("rk"))
+    return t["nation"].select(
+        "n_nationkey",
+        F.element_at(m, "nation").alias("map_get"),
+        F.size(m).alias("map_size"),
+        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+        s.getField("name").alias("struct_field"),
+        (s == s).alias("struct_eq"),
+    )
+
+
+@register(
+    "u01_pandas_udf",
+    oracle="""
+    SELECT l_orderkey,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS charged
+    FROM lineitem WHERE l_orderkey <= 200
+    GROUP BY l_orderkey
+    """,
+)
+def u01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDF escape hatch (SURVEY §2.11): an Arrow-vectorized pandas
+    UDF in the hot path, numerically identical to the built-in
+    expression the oracle uses. Row-at-a-time Python UDFs are the
+    anti-pattern; this is the sanctioned slow path."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1 - disc) * (1 + tax)
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") <= 200)
+        .groupBy("l_orderkey")
+        .agg(F.sum(charge("l_extendedprice", "l_discount", "l_tax")).alias("charged"))
+    )

@@ -145,3 +145,69 @@ def lake05(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lt.scan().agg(
         F.count("*").alias("n"), F.sum("l_extendedprice").alias("total_price")
     )
+
+
+@register(
+    "lake06_merge",
+    oracle="""
+    WITH merged AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey <= 100 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'X', o_totalprice * 2
+      FROM orders WHERE o_orderkey <= 100
+    )
+    SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def lake06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (update matched + insert unmatched in one commit) —
+    exceeds the reference, which rejects MERGE on Iceberg tables
+    (docs/iceberg-tables.md:540-548)."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    root = _fresh_root("lake06_")
+    lt = LakeTable.create(spark, root, t["orders"].schema)
+    lt.append(t["orders"])
+    upd = t["orders"].filter(F.col("o_orderkey") <= 100).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    ins = upd.withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000).withColumn(
+        "o_orderstatus", F.lit("X")
+    )
+    lt.merge(
+        upd.unionByName(ins),
+        on="o_orderkey",
+        when_matched_update={"o_totalprice": "src.o_totalprice"},
+    )
+    return (
+        lt.scan()
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("total"))
+    )
+
+
+@register(
+    "lake07_add_files",
+    oracle="""
+    SELECT count(*) AS n, sum(o_totalprice) AS total FROM orders
+    """,
+)
+def lake07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register pre-existing parquet files into a table without
+    rewriting them (reference: add_files_to_table.c; Iceberg add_files
+    procedure), then verify the combined scan."""
+    import tempfile as _tf
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    half_a = t["orders"].filter(F.col("o_orderkey") % 2 == 0)
+    half_b = t["orders"].filter(F.col("o_orderkey") % 2 == 1)
+    root = _fresh_root("lake07_")
+    lt = LakeTable.create(spark, root, t["orders"].schema)
+    lt.append(half_a)
+    ext = _tf.mkdtemp(prefix="lake07ext_") + "/files"
+    half_b.write.parquet(ext)
+    lt.add_files([ext])
+    return lt.scan().agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("total"))

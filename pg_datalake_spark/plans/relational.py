@@ -799,3 +799,67 @@ def p02(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unpivot("c_custkey", ["acctbal", "nationkey_d"], "metric", "val")
     )
+
+
+@register(
+    "c05_parameterized_query",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders
+    WHERE o_totalprice > 250000.0 AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+)
+def c05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bound parameters (the reference ships prepared statements with
+    parameter elimination — SURVEY §2.8; Spark 3.4+ has parameterized
+    SQL natively)."""
+    load_tables(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderdate >= :min_date
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 250000.0, "min_date": "1997-01-01 00:00:00"},
+    )
+
+
+@register(
+    "c06_view_over_join",
+    oracle="""
+    SELECT r_name, count(*) AS n_customers, avg(c_acctbal) AS avg_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def c06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Views over lake tables (reference: test_view_pushdown.py) — the
+    view definition is inlined by Catalyst, pushdown unaffected."""
+    load_tables(spark, sf_dir, ["customer", "nation", "region"])
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW customer_geo AS
+        SELECT c_custkey, c_acctbal, n_name, r_name
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        """
+    )
+    return spark.sql(
+        """
+        SELECT r_name, count(*) AS n_customers, avg(c_acctbal) AS avg_bal
+        FROM customer_geo GROUP BY r_name
+        """
+    )
+
+
+@register("o04_tablesample")  # rows-only: sampling is engine-specific
+def o04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE (seeded Bernoulli sample — deterministic within
+    Spark, not reproducible by another engine, hence rows-only)."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return t["lineitem"].sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")

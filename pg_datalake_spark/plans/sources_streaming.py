@@ -116,3 +116,52 @@ def st02(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@register(
+    "src03_logformat_scan",
+    oracle="""
+    SELECT event_type, count(*) AS n, sum(value) AS total
+    FROM events WHERE event_id <= 2000
+    GROUP BY event_type
+    """,
+)
+def src03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Templated log-format scan (the reference's s3-access-log path):
+    events rendered to space-delimited log lines, re-parsed by regex
+    template into typed columns, aggregated — must equal the original."""
+    from pg_datalake_spark.sources.readers import read_log
+
+    t = load_tables(spark, sf_dir, ["events"])
+    logs = tempfile.mkdtemp(prefix="src03_") + "/log"
+    (
+        t["events"]
+        .filter(F.col("event_id") <= 2000)
+        .select(
+            F.concat_ws(
+                " ",
+                F.col("event_id"),
+                F.col("user_id"),
+                F.col("event_type"),
+                F.format_number(F.col("value"), 6),
+            ).alias("value")
+        )
+        .coalesce(1)
+        .write.text(logs)
+    )
+    parsed = read_log(
+        spark,
+        logs,
+        r"^(\d+) (\d+) (\w+) ([\d.,]+)$",
+        [
+            ("event_id", "long"),
+            ("user_id", "long"),
+            ("event_type", "string"),
+            ("value_str", "string"),
+        ],
+    )
+    return (
+        parsed.withColumn("value", F.regexp_replace("value_str", ",", "").cast("double"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+    )

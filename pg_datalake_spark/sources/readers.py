@@ -86,6 +86,25 @@ def read_files(
     return df
 
 
+def read_log(
+    spark: SparkSession, path: str, pattern: str, fields: list[tuple[str, str]]
+) -> DataFrame:
+    """Templated log-format scan (reference: `log_format 's3'` tables,
+    read_data.c:1409-1495 / DescribeColumnsForLogFormat): read lines as
+    text, project typed columns by regex group.
+
+    ``fields`` = [(name, spark_type), ...] in group order. Lines not
+    matching the template yield NULLs (the reference's behavior for
+    malformed log rows).
+    """
+    df = spark.read.text(path)
+    cols = [
+        F.regexp_extract("value", pattern, i + 1).cast(t).alias(name)
+        for i, (name, t) in enumerate(fields)
+    ]
+    return df.select(*cols)
+
+
 def list_files(spark: SparkSession, pattern: str) -> DataFrame:
     """``lake_file.list`` analog: glob → (path, size_bytes, mtime_ms).
 

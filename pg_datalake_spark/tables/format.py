@@ -428,6 +428,115 @@ class LakeTable:
         self.delete(predicate)
         self.append(updated)
 
+    def merge(
+        self,
+        source: DataFrame,
+        on: str,
+        when_matched_update: dict[str, str] | None = None,
+        when_matched_delete: bool = False,
+        when_not_matched_insert: bool = True,
+    ) -> dict:
+        """MERGE INTO (exceeds the reference, which rejects MERGE on
+        Iceberg tables — docs/iceberg-tables.md:540-548; Spark-side it
+        is the natural CDC/SCD primitive).
+
+        COW strategy: only files containing matched keys are rewritten;
+        untouched files carry over by reference; unmatched source rows
+        are appended. Update expressions may reference source columns
+        as ``src.<col>``.
+        """
+        meta = self._load()
+        cur = self._current_snapshot(meta)
+        spec = self._partition_spec(meta)
+        src = source.alias("src")
+        tgt_cols = [f.name for f in self.schema.fields]
+
+        rewritten: list[DataFile] = []
+        keep: list[DataFile] = list(cur.data_files) if cur else []
+        if cur and cur.data_files and (when_matched_update or when_matched_delete):
+            tgt = (
+                self.spark.read.schema(self.schema)
+                .parquet(*[f.path for f in cur.data_files])
+                .withColumn("__file", F.col("_metadata.file_path"))
+                .alias("tgt")
+            )
+            hit_files = {
+                _strip_scheme(r["__file"])
+                for r in tgt.join(src, F.col(f"tgt.{on}") == F.col(f"src.{on}"), "left_semi")
+                .select("__file")
+                .distinct()
+                .collect()
+            }
+            if hit_files:
+                keep = [f for f in (cur.data_files if cur else []) if f.path not in hit_files]
+                hit = (
+                    self.spark.read.schema(self.schema)
+                    .parquet(*sorted(hit_files))
+                    .alias("tgt")
+                    .join(src, F.col(f"tgt.{on}") == F.col(f"src.{on}"), "left")
+                )
+                matched = F.col(f"src.{on}").isNotNull()
+                if when_matched_delete:
+                    out = hit.filter(~matched).select([F.col(f"tgt.{c}") for c in tgt_cols])
+                else:
+                    cols = []
+                    for c in tgt_cols:
+                        if when_matched_update and c in when_matched_update:
+                            cols.append(
+                                F.when(matched, F.expr(when_matched_update[c]))
+                                .otherwise(F.col(f"tgt.{c}"))
+                                .alias(c)
+                            )
+                        else:
+                            cols.append(F.col(f"tgt.{c}").alias(c))
+                    out = hit.select(*cols)
+                rw_dir = os.path.join(self.root, "data", f"m-{uuid.uuid4().hex[:12]}")
+                out.write.parquet(rw_dir)
+                rewritten = self._collect_file_entries(rw_dir, spec)
+
+        inserts: list[DataFile] = []
+        n_inserted = 0
+        if when_not_matched_insert:
+            existing = self.scan().select(F.col(on).alias("__k"))
+            new_rows = src.join(existing, F.col(f"src.{on}") == F.col("__k"), "left_anti")
+            new_rows = new_rows.select(
+                *[F.col(c) if c in source.columns else F.lit(None).cast(self.schema[c].dataType).alias(c) for c in tgt_cols]
+            )
+            n_inserted = new_rows.count()
+            if n_inserted:
+                ins_dir = os.path.join(self.root, "data", f"mi-{uuid.uuid4().hex[:12]}")
+                new_rows.write.parquet(ins_dir)
+                inserts = self._collect_file_entries(ins_dir, spec)
+
+        # NB: MOR delete files from prior snapshots still apply to files
+        # carried over by reference; rewritten/inserted files have none.
+        self._new_snapshot(
+            meta, "merge", keep + rewritten + inserts, cur.delete_files if cur else []
+        )
+        return {
+            "rewritten_files": len(rewritten),
+            "inserted_rows": n_inserted,
+        }
+
+    def add_files(self, paths: list[str]) -> int:
+        """Register existing parquet files into the table without
+        rewriting them (reference: add_files_to_table.c /
+        test_iceberg_add_table.py; Iceberg's add_files procedure).
+        Files must match the table schema."""
+        meta = self._load()
+        spec = self._partition_spec(meta)
+        cur = self._current_snapshot(meta)
+        entries: list[DataFile] = []
+        for p in paths:
+            entries += self._collect_file_entries(p, spec)
+        self._new_snapshot(
+            meta,
+            "add_files",
+            (cur.data_files if cur else []) + entries,
+            cur.delete_files if cur else [],
+        )
+        return len(entries)
+
     # -- maintenance (VACUUM analog) --------------------------------------
     def compact(self, target_file_mb: int = TARGET_FILE_MB, min_input_files: int = 2) -> int:
         """Merge small data files up to the target size and apply

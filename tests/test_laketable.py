@@ -156,3 +156,36 @@ def test_concurrent_commit_detection(spark, kv_table):
     kv_table._new_snapshot(meta1, "append", [], [])
     with pytest.raises(RuntimeError, match="concurrent"):
         kv_table._new_snapshot(meta2, "append", [], [])
+
+
+def test_merge_update_and_insert(spark, kv_table):
+    src = spark.range(900, 1100).coalesce(1).select(
+        F.col("id").alias("key"),
+        F.lit("merged").alias("value"),
+        F.lit(9).cast("int").alias("grp"),
+    )
+    res = kv_table.merge(
+        src, on="key", when_matched_update={"value": "src.value", "grp": "src.grp"}
+    )
+    assert res["inserted_rows"] == 100
+    assert res["rewritten_files"] >= 1
+    assert kv_table.scan().count() == 1100
+    assert kv_table.scan().filter("value = 'merged'").count() == 200
+    # untouched rows keep their values
+    assert kv_table.scan().filter("key = 0 AND value = 'v0'").count() == 1
+
+
+def test_merge_delete(spark, kv_table):
+    src = spark.range(100).select(F.col("id").alias("key"))
+    kv_table.merge(src, on="key", when_matched_delete=True, when_not_matched_insert=False)
+    assert kv_table.scan().count() == 900
+    assert kv_table.scan().agg(F.min("key")).first()[0] == 100
+
+
+def test_add_files(spark, kv_table, tmp_path):
+    ext = str(tmp_path / "external")
+    make_kv(spark, n=100).withColumn("key", F.col("key") + 5000).write.parquet(ext)
+    n = kv_table.add_files([ext])
+    assert n >= 1
+    assert kv_table.scan().count() == 1100
+    assert kv_table.scan(filters=[("key", ">=", 5000)]).count() == 100
