@@ -165,3 +165,29 @@ def src03(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
     )
+
+
+@register(
+    "st03_stateful_counts",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, sum(value) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def st03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user running counters
+    via applyInPandasWithState, drained to completion — final state
+    must equal the batch aggregate."""
+    import os
+    import shutil
+
+    from pg_datalake_spark.streaming.ingest import stateful_user_counts
+
+    load_tables(spark, sf_dir, ["events"])
+    stage = tempfile.mkdtemp(prefix="st03_")
+    landing = os.path.join(stage, "landing")
+    os.makedirs(landing)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(landing, "events.parquet"))
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return stateful_user_counts(spark, landing, schema, os.path.join(stage, "ckpt"))

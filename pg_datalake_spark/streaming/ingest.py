@@ -87,3 +87,66 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def stateful_user_counts(
+    spark: SparkSession,
+    landing_dir: str,
+    schema,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    a per-user running event counter whose state survives across
+    micro-batches. The reference has no streaming at all (SURVEY
+    §2.10); this is the Spark-native primitive its staging-table
+    idiom would grow into.
+
+    Runs the stream to completion (AvailableNow) against a memory sink
+    and returns the final per-user counts as a batch DataFrame.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update_counts(key, pdfs, state: GroupState):
+        n = 0
+        total = 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        if state.exists:
+            running, running_total = state.get
+        else:
+            running, running_total = 0, 0.0
+        state.update((running + n, running_total + total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [running + n], "total_value": [running_total + total]}
+        )
+
+    stream = spark.readStream.schema(schema).parquet(landing_dir)
+    counts = stream.groupBy("user_id").applyInPandasWithState(
+        update_counts,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "stateful_counts_" + checkpoint_dir.replace("/", "_").strip("_")[-40:]
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last update per user wins (update mode appends each revision)
+    latest = spark.table(name)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        latest.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -92,6 +92,11 @@ class DataFile:
     bytes: int
     partition: dict[str, Any] = field(default_factory=dict)
     stats: dict[str, list] = field(default_factory=dict)  # col -> [min, max, null_count]
+    # field-id -> physical column name as written (schema evolution:
+    # renames are metadata-only, old files keep old physical names —
+    # the reference tracks the same via Iceberg field IDs,
+    # field_id_mapping_catalog.c)
+    colmap: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass
@@ -174,6 +179,7 @@ class LakeTable:
         root: str,
         schema: T.StructType,
         partition_by: list[PartitionField] | None = None,
+        row_ids: bool = False,
     ) -> "LakeTable":
         t = cls(spark, root)
         os.makedirs(t._meta_dir, exist_ok=False)
@@ -182,10 +188,25 @@ class LakeTable:
         meta = {
             "table_uuid": str(uuid.uuid4()),
             "schema": json.loads(schema.json()),
+            "fields": [
+                {"id": i + 1, "name": f.name, "type": f.dataType.simpleString(), "default": None}
+                for i, f in enumerate(schema.fields)
+            ],
+            "next_field_id": len(schema.fields) + 1,
             "partition_spec": [p.__dict__ for p in (partition_by or [])],
             "snapshots": [],
             "current_snapshot_id": None,
+            "row_ids": row_ids,
+            "next_row_id": 0,
         }
+        if row_ids:
+            # opt-in persistent row IDs (reference: row_ids.c:44-60 —
+            # sequence-backed IDs stable across file rewrites). Stored
+            # as an ordinary field so COW/compaction/merge carry it.
+            meta["fields"].append(
+                {"id": meta["next_field_id"], "name": "_row_id", "type": "bigint", "default": None}
+            )
+            meta["next_field_id"] += 1
         with open(t._meta_path(0), "w") as f:
             json.dump(meta, f)
         with open(os.path.join(t._meta_dir, "current"), "w") as f:
@@ -195,7 +216,16 @@ class LakeTable:
     # -- helpers ----------------------------------------------------------
     @property
     def schema(self) -> T.StructType:
-        return T.StructType.fromJson(self._load()["schema"])
+        return self._schema_from(self._load())
+
+    @staticmethod
+    def _schema_from(meta: dict) -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField(f["name"], _parse_type(f["type"]))
+                for f in meta["fields"]
+            ]
+        )
 
     def _partition_spec(self, meta: dict) -> list[PartitionField]:
         return [PartitionField(**p) for p in meta["partition_spec"]]
@@ -208,13 +238,15 @@ class LakeTable:
         return None
 
     def _collect_file_entries(
-        self, paths_root: str, spec: list[PartitionField]
+        self, paths_root: str, spec: list[PartitionField], meta: dict
     ) -> list[DataFile]:
         """Harvest per-file rows + min/max/null stats with one Spark
         aggregation over the written files (the reference harvests the
         same from DuckDB's COPY ... return_stats)."""
-        df = self.spark.read.schema(self.schema).parquet(paths_root)
-        cols = [f.name for f in self.schema.fields if _statable(f.dataType)]
+        schema = self._schema_from(meta)
+        colmap = {str(f["id"]): f["name"] for f in meta["fields"]}
+        df = self.spark.read.schema(schema).parquet(paths_root)
+        cols = [f.name for f in schema.fields if _statable(f.dataType)]
         aggs = [F.count(F.lit(1)).alias("__rows")]
         for c in cols:
             aggs += [
@@ -240,6 +272,7 @@ class LakeTable:
                     bytes=os.path.getsize(path),
                     partition=partition,
                     stats=stats,
+                    colmap=colmap,
                 )
             )
         return out
@@ -270,13 +303,27 @@ class LakeTable:
         spec = self._partition_spec(meta)
         out_dir = os.path.join(self.root, "data", f"w-{uuid.uuid4().hex[:12]}")
         writer = df
+        if meta.get("row_ids") and "_row_id" not in df.columns:
+            # monotonically_increasing_id is unique within this job;
+            # offsetting by next_row_id (advanced past the previous max
+            # after each append) keeps ranges disjoint across appends
+            # with no global sort or driver round-trip per row.
+            writer = writer.withColumn(
+                "_row_id", F.monotonically_increasing_id() + F.lit(meta["next_row_id"])
+            )
         if spec:
             for p in spec:
                 writer = writer.withColumn(p.name, transform_expr(p.column, p.transform, p.param))
             writer.write.partitionBy(*[p.name for p in spec]).parquet(out_dir)
         else:
             writer.write.parquet(out_dir)
-        new_files = self._collect_file_entries(out_dir, spec)
+        new_files = self._collect_file_entries(out_dir, spec, meta)
+        if meta.get("row_ids"):
+            hi = max(
+                (f.stats.get("_row_id", [None, -1, None])[1] or -1 for f in new_files),
+                default=-1,
+            )
+            meta["next_row_id"] = max(meta["next_row_id"], int(hi) + 1)
         cur = self._current_snapshot(meta)
         self._new_snapshot(
             meta,
@@ -286,6 +333,78 @@ class LakeTable:
         )
 
     # -- reads ------------------------------------------------------------
+    def _read_mapped(self, files: list[DataFile], meta: dict) -> DataFrame:
+        """Read data files under the CURRENT schema, applying each
+        file's field-id column mapping (schema evolution: files written
+        before a rename keep old physical names; files written before
+        an added column simply lack it → default/NULL). Returns current
+        columns + __file/__pos lineage."""
+        groups: dict[tuple, list[DataFile]] = {}
+        for f in files:
+            key = tuple(sorted(f.colmap.items()))
+            groups.setdefault(key, []).append(f)
+        parts = []
+        for key, fs in groups.items():
+            colmap = dict(key)
+            df = self.spark.read.parquet(*[f.path for f in fs])
+            cols = []
+            for fld in meta["fields"]:
+                phys = colmap.get(str(fld["id"]))
+                if phys is not None and phys in df.columns:
+                    cols.append(F.col(phys).cast(fld["type"]).alias(fld["name"]))
+                else:
+                    cols.append(F.lit(fld.get("default")).cast(fld["type"]).alias(fld["name"]))
+            parts.append(
+                df.select(
+                    *cols,
+                    F.col("_metadata.file_path").alias("__file"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _apply_deletes(self, df: DataFrame, snap: Snapshot) -> DataFrame:
+        if not snap.delete_files:
+            return df
+        deletes = self.spark.read.parquet(*[d.path for d in snap.delete_files])
+        return df.join(
+            F.broadcast(deletes),
+            (F.col("__file") == F.col("file_path")) & (F.col("__pos") == F.col("pos")),
+            "left_anti",
+        )
+
+    # -- schema evolution (reference: docs/iceberg-tables.md:560-616,
+    #    field IDs via register_field_ids.c) ------------------------------
+    def add_column(self, name: str, dtype: str, default=None) -> None:
+        """ADD COLUMN with optional constant default (constants only,
+        like the reference)."""
+        meta = self._load()
+        if any(f["name"] == name for f in meta["fields"]):
+            raise ValueError(f"column {name} already exists")
+        meta["fields"].append(
+            {"id": meta["next_field_id"], "name": name, "type": dtype, "default": default}
+        )
+        meta["next_field_id"] += 1
+        self._commit(meta, meta["_version"])
+
+    def rename_column(self, old: str, new: str) -> None:
+        """RENAME COLUMN — metadata-only; old files keep their physical
+        names and are mapped by field id at read."""
+        meta = self._load()
+        fld = next(f for f in meta["fields"] if f["name"] == old)
+        fld["name"] = new
+        self._commit(meta, meta["_version"])
+
+    def drop_column(self, name: str) -> None:
+        """DROP COLUMN — metadata-only; the physical data stays in old
+        files and is simply no longer projected."""
+        meta = self._load()
+        meta["fields"] = [f for f in meta["fields"] if f["name"] != name]
+        self._commit(meta, meta["_version"])
+
     def scan(
         self,
         snapshot_id: int | None = None,
@@ -298,26 +417,14 @@ class LakeTable:
         meta = self._load()
         snap = self._resolve_snapshot(meta, snapshot_id, as_of_timestamp_ms)
         if snap is None or not snap.data_files:
-            return self.spark.createDataFrame([], self.schema)
+            return self.spark.createDataFrame([], self._schema_from(meta))
         files = snap.data_files
         if filters:
             files = [f for f in files if not _prunable(f, filters, self._partition_spec(meta))]
         if not files:
-            return self.spark.createDataFrame([], self.schema)
-        df = (
-            self.spark.read.schema(self.schema)
-            .parquet(*[f.path for f in files])
-            .withColumn("__file", F.col("_metadata.file_path"))
-            .withColumn("__pos", F.col("_metadata.row_index"))
-        )
-        if snap.delete_files:
-            deletes = self.spark.read.parquet(*[d.path for d in snap.delete_files])
-            df = df.join(
-                F.broadcast(deletes),
-                (F.col("__file") == F.col("file_path")) & (F.col("__pos") == F.col("pos")),
-                "left_anti",
-            )
-        return df.select(*[f.name for f in self.schema.fields])
+            return self.spark.createDataFrame([], self._schema_from(meta))
+        df = self._apply_deletes(self._read_mapped(files, meta), snap)
+        return df.select(*[f["name"] for f in meta["fields"]])
 
     def _resolve_snapshot(self, meta, snapshot_id, as_of_timestamp_ms) -> Snapshot | None:
         snaps = [_snapshot_from_dict(s) for s in meta["snapshots"]]
@@ -362,12 +469,9 @@ class LakeTable:
         new_files = list(keep_files)
         new_deletes = list(cur.delete_files)
         if candidates:
-            df = (
-                self.spark.read.schema(self.schema)
-                .parquet(*[f.path for f in candidates])
-                .withColumn("file_path", F.col("_metadata.file_path"))
-                .withColumn("pos", F.col("_metadata.row_index"))
-            )
+            df = self._read_mapped(candidates, meta).withColumnRenamed(
+                "__file", "file_path"
+            ).withColumnRenamed("__pos", "pos")
             matched = df.filter(predicate).select("file_path", "pos")
             counts = {
                 _strip_scheme(r["file_path"]): r["n"]
@@ -406,12 +510,12 @@ class LakeTable:
                 cow = len(cow_files)
                 rw_dir = os.path.join(self.root, "data", f"rw-{uuid.uuid4().hex[:12]}")
                 kept = (
-                    self.spark.read.schema(self.schema)
-                    .parquet(*[f.path for f in cow_files])
+                    self._read_mapped(cow_files, meta)
                     .filter(f"NOT ({predicate})")
+                    .drop("__file", "__pos")
                 )
                 kept.write.parquet(rw_dir)
-                new_files += self._collect_file_entries(rw_dir, spec)
+                new_files += self._collect_file_entries(rw_dir, spec, meta)
 
         self._new_snapshot(meta, "delete", new_files, new_deletes)
         return {"dropped": dropped, "mor": mor, "cow": cow}
@@ -454,12 +558,7 @@ class LakeTable:
         rewritten: list[DataFile] = []
         keep: list[DataFile] = list(cur.data_files) if cur else []
         if cur and cur.data_files and (when_matched_update or when_matched_delete):
-            tgt = (
-                self.spark.read.schema(self.schema)
-                .parquet(*[f.path for f in cur.data_files])
-                .withColumn("__file", F.col("_metadata.file_path"))
-                .alias("tgt")
-            )
+            tgt = self._read_mapped(cur.data_files, meta).alias("tgt")
             hit_files = {
                 _strip_scheme(r["__file"])
                 for r in tgt.join(src, F.col(f"tgt.{on}") == F.col(f"src.{on}"), "left_semi")
@@ -469,9 +568,10 @@ class LakeTable:
             }
             if hit_files:
                 keep = [f for f in (cur.data_files if cur else []) if f.path not in hit_files]
+                hit_entries = [f for f in cur.data_files if f.path in hit_files]
                 hit = (
-                    self.spark.read.schema(self.schema)
-                    .parquet(*sorted(hit_files))
+                    self._read_mapped(hit_entries, meta)
+                    .drop("__file", "__pos")
                     .alias("tgt")
                     .join(src, F.col(f"tgt.{on}") == F.col(f"src.{on}"), "left")
                 )
@@ -492,7 +592,7 @@ class LakeTable:
                     out = hit.select(*cols)
                 rw_dir = os.path.join(self.root, "data", f"m-{uuid.uuid4().hex[:12]}")
                 out.write.parquet(rw_dir)
-                rewritten = self._collect_file_entries(rw_dir, spec)
+                rewritten = self._collect_file_entries(rw_dir, spec, meta)
 
         inserts: list[DataFile] = []
         n_inserted = 0
@@ -506,7 +606,7 @@ class LakeTable:
             if n_inserted:
                 ins_dir = os.path.join(self.root, "data", f"mi-{uuid.uuid4().hex[:12]}")
                 new_rows.write.parquet(ins_dir)
-                inserts = self._collect_file_entries(ins_dir, spec)
+                inserts = self._collect_file_entries(ins_dir, spec, meta)
 
         # NB: MOR delete files from prior snapshots still apply to files
         # carried over by reference; rewritten/inserted files have none.
@@ -528,7 +628,7 @@ class LakeTable:
         cur = self._current_snapshot(meta)
         entries: list[DataFile] = []
         for p in paths:
-            entries += self._collect_file_entries(p, spec)
+            entries += self._collect_file_entries(p, spec, meta)
         self._new_snapshot(
             meta,
             "add_files",
@@ -550,24 +650,12 @@ class LakeTable:
             return 0
         big = [f for f in cur.data_files if f not in small]
         rw_dir = os.path.join(self.root, "data", f"c-{uuid.uuid4().hex[:12]}")
-        df = (
-            self.spark.read.schema(self.schema)
-            .parquet(*[f.path for f in small])
-            .withColumn("__file", F.col("_metadata.file_path"))
-            .withColumn("__pos", F.col("_metadata.row_index"))
-        )
-        if cur.delete_files:
-            deletes = self.spark.read.parquet(*[d.path for d in cur.delete_files])
-            df = df.join(
-                F.broadcast(deletes),
-                (F.col("__file") == F.col("file_path")) & (F.col("__pos") == F.col("pos")),
-                "left_anti",
-            )
+        df = self._apply_deletes(self._read_mapped(small, meta), cur)
         total_bytes = sum(f.bytes for f in small)
         n_out = max(1, int(total_bytes / (target_file_mb * 1024 * 1024)))
-        df.select(*[f.name for f in self.schema.fields]).coalesce(n_out).write.parquet(rw_dir)
+        df.select(*[f["name"] for f in meta["fields"]]).coalesce(n_out).write.parquet(rw_dir)
         spec = self._partition_spec(meta)
-        new_files = big + self._collect_file_entries(rw_dir, spec)
+        new_files = big + self._collect_file_entries(rw_dir, spec, meta)
         # deletes for surviving big files must be retained; deletes that
         # pointed only at compacted files are now dead weight but
         # harmless (their file_paths no longer appear). Keep them iff
@@ -648,6 +736,12 @@ class LakeTable:
 # ---------------------------------------------------------------------------
 # stats / pruning helpers
 # ---------------------------------------------------------------------------
+
+
+def _parse_type(simple: str) -> T.DataType:
+    from pyspark.sql.types import _parse_datatype_string
+
+    return _parse_datatype_string(simple)
 
 
 def _strip_scheme(p: str) -> str:

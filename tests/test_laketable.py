@@ -189,3 +189,56 @@ def test_add_files(spark, kv_table, tmp_path):
     assert n >= 1
     assert kv_table.scan().count() == 1100
     assert kv_table.scan(filters=[("key", ">=", 5000)]).count() == 100
+
+
+def test_schema_evolution_add_rename_drop(spark, kv_table):
+    # ADD COLUMN with constant default: old files surface the default
+    kv_table.add_column("score", "double", default=1.5)
+    assert kv_table.scan().filter("score = 1.5").count() == 1000
+    # new writes carry the column physically
+    kv_table.append(
+        make_kv(spark, n=10)
+        .withColumn("key", F.col("key") + 2000)
+        .withColumn("score", F.lit(9.9))
+    )
+    assert kv_table.scan().filter("score = 9.9").count() == 10
+
+    # RENAME: metadata-only, old physical names mapped by field id
+    kv_table.rename_column("value", "val")
+    got = kv_table.scan()
+    assert "val" in got.columns and "value" not in got.columns
+    assert got.filter("val = 'v0' AND key = 0").count() == 1
+
+    # filters and DML keep working across the rename
+    kv_table.delete("key < 10")
+    assert kv_table.scan().count() == 1000
+
+    # DROP: projection-only
+    kv_table.drop_column("grp")
+    assert kv_table.scan().columns == ["key", "val", "score"]
+    assert kv_table.scan().count() == 1000
+
+
+def test_schema_evolution_time_travel_uses_current_schema(spark, kv_table):
+    kv_table.rename_column("value", "val")
+    # time travel reads old files but projects the current schema
+    assert "val" in kv_table.scan(snapshot_id=1).columns
+
+
+def test_stable_row_ids(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "rid"), KV_SCHEMA, row_ids=True)
+    t.append(make_kv(spark, n=100))
+    t.append(make_kv(spark, n=100).withColumn("key", F.col("key") + 100))
+    ids = t.scan().select("_row_id")
+    assert ids.count() == 200
+    assert ids.distinct().count() == 200  # unique across appends
+    # map key->row_id, then force a COW rewrite; ids must survive
+    before = {r.key: r._row_id for r in t.scan().select("key", "_row_id").collect()}
+    t.delete("key < 50")  # 50% of file 1 → COW
+    after = {r.key: r._row_id for r in t.scan().select("key", "_row_id").collect()}
+    assert len(after) == 150
+    for k, rid in after.items():
+        assert before[k] == rid
+    t.compact(target_file_mb=512, min_input_files=1)
+    post = {r.key: r._row_id for r in t.scan().select("key", "_row_id").collect()}
+    assert post == after
