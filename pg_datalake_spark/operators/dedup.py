@@ -7,11 +7,12 @@ no seeded RNG, no JVM-specific hash.
 
 Scale design:
 - exact dedup: one hash-aggregate (map-side combine on the fingerprint).
-- MinHash signatures: narrow per-row explode of shingles then a single
-  groupBy(doc) — shuffle volume is num_perms values per doc, not the
-  shingle stream.
-- LSH banding: one groupBy per band key; candidate pairs only within
-  buckets → shuffle ~ |buckets|, the whole point of LSH at scale.
+- MinHash signatures: per-row array_min over the shingle array — no
+  explode, no groupBy, zero shuffle; the signature stage is a narrow
+  map at any corpus size.
+- LSH banding: one groupBy per band key with bucket-local pair
+  generation; candidate pairs only within buckets → shuffle ~
+  |buckets|, the whole point of LSH at scale.
 - SimHash: zero-shuffle per-row computation via higher-order array
   functions (one pass over tokens, 32 counters).
 - n-gram Jaccard verification: joins restricted to LSH candidates.
@@ -95,6 +96,11 @@ def minhash_signatures(
     stage is a narrow map over the corpus.
     """
     sh = with_shingles(df, id_col, text_col).filter(F.size("sh") > 0)
+    return signatures_from_shingles(sh, id_col, num_perms)
+
+
+def signatures_from_shingles(sh: DataFrame, id_col: str, num_perms: int = 16) -> DataFrame:
+    """Signatures from a prepared (id, sh) frame (see with_shingles)."""
 
     def perm_min(p: int):
         # NB: single-argument lambda only — a two-arg lambda makes
@@ -190,9 +196,23 @@ def minhash_lsh_dedup_pairs(
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle → minhash → LSH band join →
     exact-Jaccard verification."""
-    sigs = minhash_signatures(df, id_col, text_col, num_perms)
+    # compute the shingle frame ONCE and persist: signatures and both
+    # sides of the verification join reuse it (3 evaluations of the
+    # tokenize+shingle map otherwise)
+    sh = with_shingles(df, id_col, text_col).persist()
+    sigs = signatures_from_shingles(sh.filter(F.size("sh") > 0), id_col, num_perms)
     cands = lsh_candidate_pairs(sigs, id_col, num_perms, bands)
-    return jaccard_verify(cands, df, id_col, text_col, threshold)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        F.broadcast(cands)
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------

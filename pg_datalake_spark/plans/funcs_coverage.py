@@ -564,3 +564,46 @@ def u01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.sum(charge("l_extendedprice", "l_discount", "l_tax")).alias("charged"))
     )
+
+
+@register(
+    "f14_bitwise_and_buckets",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_orderkey & 255 AS BIGINT)        AS band_v,
+           CAST(l_orderkey | 16 AS BIGINT)         AS bor_v,
+           CAST(xor(l_orderkey, 85) AS BIGINT)     AS bxor_v,
+           CAST(l_orderkey << 2 AS BIGINT)         AS shl_v,
+           CAST(l_orderkey >> 1 AS BIGINT)         AS shr_v,
+           CAST(~l_linenumber AS INT)              AS bnot_v,
+           CASE WHEN l_quantity < 0.0 THEN CAST(0 AS BIGINT)
+                WHEN l_quantity >= 50.0 THEN CAST(6 AS BIGINT)
+                ELSE CAST(floor(l_quantity / 10.0) + 1 AS BIGINT)
+           END AS bucket_v
+    FROM lineitem WHERE l_orderkey <= 100
+    """,
+)
+def f14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operators (SURVEY §2.2 operator list) and width_bucket
+    (the reference's canonical partial-pushdown example —
+    docs/iceberg-tables.md:382-420; native in Spark, no fallback seam
+    needed)."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    k = F.col("l_orderkey")
+    return (
+        t["lineitem"]
+        .filter(k <= 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            k.bitwiseAND(F.lit(255)).alias("band_v"),
+            k.bitwiseOR(F.lit(16)).alias("bor_v"),
+            k.bitwiseXOR(F.lit(85)).alias("bxor_v"),
+            F.shiftleft(k, 2).alias("shl_v"),
+            F.shiftright(k, 1).alias("shr_v"),
+            F.expr("~l_linenumber").alias("bnot_v"),
+            F.width_bucket(F.col("l_quantity"), F.lit(0.0), F.lit(50.0), F.lit(5))
+            .cast("long")
+            .alias("bucket_v"),
+        )
+    )

@@ -661,3 +661,102 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("cntry"))
         .agg(F.count("*").alias("numcust"), F.sum("c_acctbal").alias("totacctbal"))
     )
+
+
+@register(
+    "q08_market_share",
+    oracle="""
+    SELECT o_year,
+           sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0.0 END) / sum(volume)
+             AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                            AND TIMESTAMP '1996-12-31 00:00:00'
+        AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    asia = t["region"].filter(F.col("r_name") == "ASIA")
+    econ = t["part"].filter(F.col("p_type") == "ECONOMY")
+    orders = t["orders"].filter(
+        F.col("o_orderdate").between(ts("1995-01-01 00:00:00"), ts("1996-12-31 00:00:00"))
+    )
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(econ), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(asia), F.col("c_rk") == F.col("r_regionkey"))
+    )
+    vol = disc_price()
+    return (
+        joined.select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "nation")
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(0.0))
+                / F.sum("volume")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q20_excess_inventory_suppliers",
+    oracle="""
+    SELECT s_name, s_nationkey
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'red%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 100.0)
+    """,
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["supplier", "lineitem", "part"])
+    red = t["part"].filter(F.col("p_name").like("red%"))
+    heavy = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= ts("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("1997-01-01 00:00:00"))
+        )
+        .join(F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 100.0)
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_nationkey")
+    )
