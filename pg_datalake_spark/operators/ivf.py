@@ -1,0 +1,114 @@
+"""IVF (inverted-file) index for embedding search — the iterative
+scale path next to brute force and hyperplane LSH.
+
+Coarse quantizer = k-means trained with a deterministic init (first k
+vectors by id) and a fixed iteration count — an iterative algorithm
+driven from the driver as a loop of Spark jobs (assignment = broadcast
+centroid argmin, a narrow map; update = one groupBy per iteration).
+This is the canonical non-SQL-expressible pattern (SURVEY §2 "for
+genuinely non-SQL-expressible ops ... iterative algorithms").
+
+Scale design: centroids (k × dim floats) always fit in a broadcast;
+the corpus is only ever mapped and grouped by cluster id — no
+cross join. Search probes the ``nprobe`` nearest inverted lists,
+cutting candidates to ~nprobe/k of the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pg_datalake_spark.operators.similarity import cosine, dot
+
+
+def _centroid_argmin(vec_col: F.Column, centroids: list[list[float]]) -> F.Column:
+    """Index of the nearest centroid by cosine (ties → lowest index)."""
+    best_idx = F.lit(0)
+    best_sim = cosine(vec_col, F.array(*[F.lit(float(x)) for x in centroids[0]]))
+    for i, c in enumerate(centroids[1:], start=1):
+        sim = cosine(vec_col, F.array(*[F.lit(float(x)) for x in c]))
+        cond = sim > best_sim
+        best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
+        best_sim = F.when(cond, sim).otherwise(best_sim)
+    return best_idx
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iterations: int = 3,
+) -> list[list[float]]:
+    """Deterministic k-means: init = first k vectors by id, then
+    ``iterations`` rounds of assign (narrow map) + mean (one groupBy).
+    Driver holds only k × dim floats."""
+    init = (
+        df.orderBy(id_col).limit(k).select(vec_col).collect()
+    )
+    centroids = [list(map(float, r[0])) for r in init]
+    dim = len(centroids[0])
+    for _ in range(iterations):
+        assigned = df.select(
+            _centroid_argmin(F.col(vec_col), centroids).alias("cluster"),
+            F.col(vec_col).alias("v"),
+        )
+        sums = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new = list(centroids)
+        for r in sums:
+            new[r["cluster"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
+        centroids = new
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach the inverted-list (cluster) id — at rest this would be
+    the table's bucket/partition column."""
+    return df.withColumn("cluster", _centroid_argmin(F.col(vec_col), centroids))
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Search the ``nprobe`` inverted lists nearest the query, exact
+    cosine within them."""
+    q = np.asarray(query_vec, dtype=float)
+    sims = [
+        float(np.dot(q, c) / (np.linalg.norm(q) * np.linalg.norm(c) + 1e-12))
+        for c in centroids
+    ]
+    probe = sorted(range(len(centroids)), key=lambda i: -sims[i])[:nprobe]
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        ivf_assign(df, centroids, vec_col)
+        .filter(F.col("cluster").isin(*probe))
+        .select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+__all__ = ["train_ivf_centroids", "ivf_assign", "ivf_topk", "dot"]

@@ -280,3 +280,18 @@ def t03(spark: SparkSession, sf_dir: str) -> DataFrame:
         textstats.token_count(c).alias("n_tokens"),
         F.size(F.array_distinct(textstats.tokens(c))).cast("long").alias("n_unique_tokens"),
     )
+
+
+@register("v04_ivf_topk")  # rows-only: iterative k-means is not SQL-expressible
+def v04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: deterministic k-means coarse
+    quantizer (iterative driver loop of Spark jobs) + nprobe inverted-
+    list search. The scale path between brute force (v01) and
+    hyperplane LSH (v03)."""
+    from pg_datalake_spark.operators import ivf
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"].persist()
+    centroids = ivf.train_ivf_centroids(emb, k=8, iterations=2)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf.ivf_topk(emb, centroids, list(qv), k=10, nprobe=3)

@@ -863,3 +863,87 @@ def o04(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark, not reproducible by another engine, hence rows-only)."""
     t = load_tables(spark, sf_dir, ["lineitem"])
     return t["lineitem"].sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+@register(
+    "g04_window_over_rollup",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    )
+    SELECT l_returnflag, l_linestatus, sum_qty,
+           CAST(rank() OVER (ORDER BY sum_qty DESC, l_returnflag NULLS FIRST,
+                             l_linestatus NULLS FIRST) AS BIGINT) AS qty_rank
+    FROM r
+    """,
+)
+def g04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window over a rollup (reference exercises exactly this nesting —
+    test_grouping_set_pushdown.py window-over-rollup cases)."""
+    load_tables(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        WITH r AS (
+          SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        )
+        SELECT l_returnflag, l_linestatus, sum_qty,
+               CAST(rank() OVER (ORDER BY sum_qty DESC, l_returnflag NULLS FIRST,
+                                 l_linestatus NULLS FIRST) AS BIGINT) AS qty_rank
+        FROM r
+        """
+    )
+
+
+@register(
+    "a05_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey)                     AS n_supp,
+           count(DISTINCT l_partkey)                     AS n_part,
+           CAST(sum(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_distinct_qty,
+           avg(DISTINCT l_discount)                      AS avg_distinct_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates in one grouping (expand-based plan
+    in Spark — each distinct column gets its own expansion)."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.sum_distinct(F.col("l_quantity").cast("long")).alias("sum_distinct_qty"),
+            F.avg(F.col("l_discount")).alias("__tmp"),
+        )
+        .drop("__tmp")
+        .join(
+            t["lineitem"]
+            .select("l_returnflag", "l_discount")
+            .distinct()
+            .groupBy("l_returnflag")
+            .agg(F.avg("l_discount").alias("avg_distinct_disc")),
+            "l_returnflag",
+        )
+    )
+
+
+@register(
+    "j06_using_join",
+    oracle="""
+    SELECT n_nationkey, n_name, r_name
+    FROM (SELECT n_nationkey, n_name, n_regionkey AS rk FROM nation) n
+    JOIN (SELECT r_regionkey AS rk, r_name FROM region) r USING (rk)
+    """,
+)
+def j06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USING-style join (single shared key column, deduplicated)."""
+    t = load_tables(spark, sf_dir, ["nation", "region"])
+    n = t["nation"].select("n_nationkey", "n_name", F.col("n_regionkey").alias("rk"))
+    r = t["region"].select(F.col("r_regionkey").alias("rk"), "r_name")
+    return n.join(F.broadcast(r), "rk").select("n_nationkey", "n_name", "r_name")

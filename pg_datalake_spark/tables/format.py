@@ -376,6 +376,42 @@ class LakeTable:
             "left_anti",
         )
 
+    def _partition_prune(
+        self, files: list[DataFile], filters: list[tuple], spec: list[PartitionField]
+    ) -> list[DataFile]:
+        """Equality-filter pruning over hidden partition transforms
+        (reference: bound constraints per transform,
+        data_file_pruning.c:131-165; bucket prunes on equality only —
+        docs/iceberg-tables.md:262-270). Range pruning on the source
+        column is already covered by per-file min/max stats."""
+        eq = {c: v for c, op, v in filters if op == "="}
+        if not eq or not spec:
+            return files
+        types = {f["name"]: f["type"] for f in self._load()["fields"]}
+        expected: dict[str, str] = {}
+        for p in spec:
+            if p.column not in eq:
+                continue
+            v = eq[p.column]
+            raw = f"'{v}'" if isinstance(v, str) else repr(v)
+            # cast to the column's exact type: hash transforms (bucket)
+            # are type-sensitive (xxhash64(INT 42) != xxhash64(BIGINT 42))
+            lit = f"CAST({raw} AS {types.get(p.column, 'STRING')})"
+            row = self.spark.sql(
+                f"SELECT CAST(({_transform_sql(p, lit)}) AS STRING)"
+            ).first()
+            expected[p.name] = row[0]
+        if not expected:
+            return files
+        return [
+            f
+            for f in files
+            if all(
+                name not in f.partition or f.partition[name] == val
+                for name, val in expected.items()
+            )
+        ]
+
     # -- schema evolution (reference: docs/iceberg-tables.md:560-616,
     #    field IDs via register_field_ids.c) ------------------------------
     def add_column(self, name: str, dtype: str, default=None) -> None:
@@ -420,7 +456,9 @@ class LakeTable:
             return self.spark.createDataFrame([], self._schema_from(meta))
         files = snap.data_files
         if filters:
-            files = [f for f in files if not _prunable(f, filters, self._partition_spec(meta))]
+            spec = self._partition_spec(meta)
+            files = [f for f in files if not _prunable(f, filters, spec)]
+            files = self._partition_prune(files, filters, spec)
         if not files:
             return self.spark.createDataFrame([], self._schema_from(meta))
         df = self._apply_deletes(self._read_mapped(files, meta), snap)
@@ -457,7 +495,14 @@ class LakeTable:
         candidates: list[DataFile] = []
         dropped = 0
         pred_filters = _parse_simple_predicate(predicate)
+        part_live: set[str] | None = None
+        if pred_filters is not None:
+            live = self._partition_prune(cur.data_files, pred_filters, spec)
+            part_live = {f.path for f in live}
         for f in cur.data_files:
+            if part_live is not None and f.path not in part_live:
+                keep_files.append(f)  # partition transform proves no match
+                continue
             if pred_filters is not None and _prunable(f, pred_filters, spec):
                 keep_files.append(f)  # no row can match → untouched
             elif pred_filters is not None and _whole_file_match(f, pred_filters, spec):
@@ -736,6 +781,24 @@ class LakeTable:
 # ---------------------------------------------------------------------------
 # stats / pruning helpers
 # ---------------------------------------------------------------------------
+
+
+def _transform_sql(p: PartitionField, lit: str) -> str:
+    if p.transform == "identity":
+        return lit
+    if p.transform == "year":
+        return f"year({lit})"
+    if p.transform == "month":
+        return f"year({lit}) * 100 + month({lit})"
+    if p.transform == "day":
+        return f"CAST(date_format({lit}, 'yyyyMMdd') AS INT)"
+    if p.transform == "hour":
+        return f"CAST(unix_micros(CAST({lit} AS TIMESTAMP)) / 3600000000 AS LONG)"
+    if p.transform == "bucket":
+        return f"pmod(xxhash64({lit}), {p.param})"
+    if p.transform == "truncate":
+        return f"substr({lit}, 1, {p.param})"
+    raise ValueError(p.transform)
 
 
 def _parse_type(simple: str) -> T.DataType:

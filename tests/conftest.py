@@ -71,13 +71,16 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         out[c] = s
     res = pd.DataFrame(out)
     if len(res):
-        sort_key = res.apply(
-            lambda row: tuple(
-                "\0NULL" if v is None or (isinstance(v, float) and math.isnan(v)) else str(v)
-                for v in row
-            ),
-            axis=1,
-        )
+        def _key(v):
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                return "\0NULL"
+            if isinstance(v, float):
+                # engines render the same value with different float
+                # reprs; a rounded key keeps row order engine-agnostic
+                return f"{v:.6g}"
+            return str(v)
+
+        sort_key = res.apply(lambda row: tuple(_key(v) for v in row), axis=1)
         res = res.iloc[np.argsort(sort_key.values, kind="stable")].reset_index(drop=True)
     return res
 

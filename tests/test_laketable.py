@@ -242,3 +242,48 @@ def test_stable_row_ids(spark, tmp_path):
     t.compact(target_file_mb=512, min_input_files=1)
     post = {r.key: r._row_id for r in t.scan().select("key", "_row_id").collect()}
     assert post == after
+
+
+def test_bucket_partition_equality_pruning(spark, tmp_path):
+    """Bucket transforms prune on equality only (SURVEY §4: reference
+    docs/iceberg-tables.md:262-270)."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "bkt"),
+        KV_SCHEMA,
+        partition_by=[PartitionField("key", "bucket", 8)],
+    )
+    t.append(spark.range(1000).select(
+        F.col("id").alias("key"),
+        F.concat(F.lit("v"), F.col("id")).alias("value"),
+        (F.col("id") % 5).cast("int").alias("grp"),
+    ))
+    meta = t._load()
+    snap = t._current_snapshot(meta)
+    spec = t._partition_spec(meta)
+    all_files = snap.data_files
+    live = t._partition_prune(all_files, [("key", "=", 42)], spec)
+    assert 0 < len(live) < len(all_files)  # pruned to ~1/8 of partitions
+    got = t.scan(filters=[("key", "=", 42)]).filter("key = 42")
+    assert got.count() == 1
+    # range filters must NOT be bucket-pruned (hash order != value order)
+    live_rng = t._partition_prune(all_files, [("key", ">", 42)], spec)
+    assert len(live_rng) == len(all_files)
+
+
+def test_year_partition_delete_prunes(spark, tmp_path):
+    sch = T.StructType([
+        T.StructField("k", T.LongType()), T.StructField("ts", T.TimestampNTZType())
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "yr"), sch,
+        partition_by=[PartitionField("ts", "year")],
+    )
+    t.append(spark.range(100).select(
+        F.col("id").alias("k"),
+        F.expr("timestampadd(MONTH, CAST(id % 36 AS INT), TIMESTAMP_NTZ'2020-01-15 00:00:00')").alias("ts"),
+    ))
+    res = t.delete("ts = '2020-06-15 00:00:00'")
+    # equality on the partition source column: only year=2020 files scanned
+    assert t.scan().count() == 100 - spark.sql(
+        "SELECT 1").count() * len([i for i in range(100) if i % 36 == 5])
