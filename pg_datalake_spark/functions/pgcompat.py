@@ -168,3 +168,37 @@ def pg_generate_series(start: Column, stop: Column, step: Column | None = None) 
     if step is None:
         return F.sequence(start, stop)
     return F.sequence(start, stop, step)
+
+
+# --------------------------------------------------------------------------
+# time-of-day (PG time/timetz have no Spark native type — SURVEY §1.4
+# models them as µs-since-midnight longs; these helpers are that model)
+# --------------------------------------------------------------------------
+
+
+def pg_time_of_day_us(ts: Column) -> Column:
+    """Extract time-of-day as µs since midnight (the engine's `time`
+    representation)."""
+    day_us = F.lit(86_400_000_000)
+    return F.pmod(F.unix_micros(ts.cast("timestamp")), day_us)
+
+
+def pg_time_us_to_string(us: Column) -> Column:
+    """Render a µs-of-day long as HH:MM:SS (for display/oracle parity)."""
+    secs = (us / F.lit(1_000_000)).cast("long")
+    h = F.lpad((secs / 3600).cast("long").cast("string"), 2, "0")
+    m = F.lpad(F.pmod((secs / 60).cast("long"), F.lit(60)).cast("string"), 2, "0")
+    s = F.lpad(F.pmod(secs, F.lit(60)).cast("string"), 2, "0")
+    return F.concat_ws(":", h, m, s)
+
+
+def pg_interval_avg_us(us_col: Column) -> Column:
+    """avg(interval) over the µs encoding — the reference cannot ship
+    this to its engine at all (pgduck_shippability.md:20-34); here it
+    is a plain numeric aggregate."""
+    return F.avg(us_col)
+
+
+def pg_interval_sum_us(us_col: Column) -> Column:
+    """sum(interval) over the µs encoding."""
+    return F.sum(us_col).cast("long")

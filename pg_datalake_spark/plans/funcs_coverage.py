@@ -607,3 +607,60 @@ def f14(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bucket_v"),
         )
     )
+
+
+@register(
+    "f15_time_of_day_interval_aggs",
+    oracle="""
+    SELECT user_id,
+           CAST(avg(date_part('epoch', ts) * 1000000 -
+                    date_part('epoch', date_trunc('day', ts)) * 1000000) AS DOUBLE)
+             AS avg_tod_us,
+           CAST(sum(date_part('epoch', ts - TIMESTAMP '2024-01-01 00:00:00') * 1000000)
+                AS BIGINT) AS sum_interval_us,
+           strftime(min(ts), '%H:%M:%S') AS earliest_tod
+    FROM events WHERE user_id < 10
+    GROUP BY user_id
+    """,
+)
+def f15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG time-of-day (µs-since-midnight model for the missing Spark
+    time type — SURVEY §1.4) and interval avg/sum, which the reference
+    cannot even ship to its vectorized engine (SURVEY §2.4)."""
+    from pg_datalake_spark.functions.pgcompat import (
+        pg_interval_avg_us,
+        pg_interval_sum_us,
+        pg_time_of_day_us,
+        pg_to_char,
+    )
+
+    t = load_tables(spark, sf_dir, ["events"])
+    e = t["events"].filter(F.col("user_id") < 10)
+    interval_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.expr("TIMESTAMP '2024-01-01 00:00:00'")
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            pg_interval_avg_us(pg_time_of_day_us(F.col("ts"))).alias("avg_tod_us"),
+            pg_interval_sum_us(interval_us).alias("sum_interval_us"),
+            pg_to_char(F.min("ts"), "HH24:MI:SS").alias("earliest_tod"),
+        )
+    )
+
+
+@register("x01_approx_sketches")  # rows-only: sketch internals are engine-specific
+def x01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL distinct, approximate quantiles) —
+    the cheap-sketch tier a 100 TB pipeline reaches for before exact
+    countDistinct/percentile; engine-specific internals, so rows-only."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+            F.percentile_approx("l_quantity", [0.25, 0.75]).alias("approx_qty_iqr"),
+        )
+    )

@@ -663,6 +663,13 @@ class LakeTable:
             "inserted_rows": n_inserted,
         }
 
+    def truncate(self) -> None:
+        """TRUNCATE: metadata-only — a new empty snapshot; history stays
+        time-travelable until expire_snapshots (reference:
+        postgresExecForeignTruncate, pg_lake_table.c:413-415)."""
+        meta = self._load()
+        self._new_snapshot(meta, "truncate", [], [])
+
     def add_files(self, paths: list[str]) -> int:
         """Register existing parquet files into the table without
         rewriting them (reference: add_files_to_table.c /

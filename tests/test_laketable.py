@@ -287,3 +287,11 @@ def test_year_partition_delete_prunes(spark, tmp_path):
     # equality on the partition source column: only year=2020 files scanned
     assert t.scan().count() == 100 - spark.sql(
         "SELECT 1").count() * len([i for i in range(100) if i % 36 == 5])
+
+
+def test_truncate(spark, kv_table):
+    kv_table.truncate()
+    assert kv_table.scan().count() == 0
+    assert kv_table.scan(snapshot_id=1).count() == 1000  # history intact
+    kv_table.append(make_kv(spark, n=5))
+    assert kv_table.scan().count() == 5
