@@ -6,6 +6,7 @@ from pg_datalake_spark.plans import registry  # noqa: F401
 def load_all() -> None:
     """Import all query modules so their @register decorators run."""
     from pg_datalake_spark.plans import (  # noqa: F401
+        clickbench,
         funcs_coverage,
         lakeops,
         llmops,

@@ -295,3 +295,24 @@ def v04(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = ivf.train_ivf_centroids(emb, k=8, iterations=2)
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return ivf.ivf_topk(emb, centroids, list(qv), k=10, nprobe=3)
+
+
+@register(
+    "x02_salted_hot_key_agg",
+    oracle="""
+    SELECT event_type, count(*) AS n, sum(value) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def x02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant aggregation: events has only 5 event_type values
+    (maximally hot keys); the salted two-phase plan must produce the
+    identical result to the plain group-by the oracle runs."""
+    from pg_datalake_spark.operators.skew import salted_agg
+
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        salted_agg(t["events"], ["event_type"], ["value"], salt=16)
+        .withColumnRenamed("sum_value", "sum_value")
+    )

@@ -774,6 +774,27 @@ class LakeTable:
             rows, "path string, rows long, bytes long, partition string"
         )
 
+    def scan_stats(self, filters: list[tuple] | None = None) -> dict:
+        """EXPLAIN-style scan accounting: how many data files a scan
+        with these filters would read vs skip (reference: EXPLAIN shows
+        `Data Files Scanned` / `Data Files Skipped` —
+        query_pushdown.c:1688, docs/iceberg-tables.md:327-420)."""
+        meta = self._load()
+        cur = self._current_snapshot(meta)
+        if cur is None:
+            return {"files_total": 0, "files_scanned": 0, "files_skipped": 0}
+        total = len(cur.data_files)
+        files = cur.data_files
+        if filters:
+            spec = self._partition_spec(meta)
+            files = [f for f in files if not _prunable(f, filters, spec)]
+            files = self._partition_prune(files, filters, spec)
+        return {
+            "files_total": total,
+            "files_scanned": len(files),
+            "files_skipped": total - len(files),
+        }
+
     def changelog(self, from_snapshot: int, to_snapshot: int) -> DataFrame:
         """Rows added minus rows removed between two snapshots, labeled
         with a _change_type column (reference verifies the same via

@@ -295,3 +295,11 @@ def test_truncate(spark, kv_table):
     assert kv_table.scan(snapshot_id=1).count() == 1000  # history intact
     kv_table.append(make_kv(spark, n=5))
     assert kv_table.scan().count() == 5
+
+
+def test_scan_stats_accounting(spark, kv_table):
+    kv_table.append(make_kv(spark).withColumn("key", F.col("key") + 10_000))
+    s = kv_table.scan_stats(filters=[("key", ">=", 10_000)])
+    assert s["files_total"] == s["files_scanned"] + s["files_skipped"]
+    assert s["files_skipped"] >= 1
+    assert kv_table.scan_stats()["files_skipped"] == 0
