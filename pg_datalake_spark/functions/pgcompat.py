@@ -202,3 +202,22 @@ def pg_interval_avg_us(us_col: Column) -> Column:
 def pg_interval_sum_us(us_col: Column) -> Column:
     """sum(interval) over the µs encoding."""
     return F.sum(us_col).cast("long")
+
+
+def pg_regexp_replace_first(s: Column, pattern: str, replacement: str) -> Column:
+    """PG regexp_replace without the 'g' flag replaces only the FIRST
+    match; Spark's regexp_replace always replaces all (SURVEY §2.8
+    regex note). Rebuild first-match semantics from regexp_instr +
+    regexp_extract (group backreferences in the replacement are not
+    supported — constants only, like the reference's shim tier).
+    """
+    pos = F.regexp_instr(s, F.lit(pattern))
+    match = F.regexp_extract(s, pattern, 0)
+    return F.when(
+        pos > 0,
+        F.concat(
+            s.substr(F.lit(1), pos - 1),
+            F.lit(replacement),
+            s.substr(pos + F.length(match), F.length(s)),
+        ),
+    ).otherwise(s)

@@ -664,3 +664,33 @@ def x01(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("l_quantity", [0.25, 0.75]).alias("approx_qty_iqr"),
         )
     )
+
+
+@register(
+    "f16_regexp_replace_first",
+    oracle="""
+    SELECT p_partkey,
+           regexp_replace(p_name, '[aeiou]', '#')      AS first_only,
+           regexp_replace(p_name, '[aeiou]', '#', 'g') AS all_matches,
+           regexp_replace(p_name, 'zzz', '#')          AS no_match
+    FROM part WHERE p_partkey <= 100
+    """,
+)
+def f16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG/DuckDB regexp_replace replaces only the FIRST match by
+    default; Spark replaces all. pg_regexp_replace_first restores PG
+    semantics (SURVEY §2.8)."""
+    from pg_datalake_spark.functions.pgcompat import pg_regexp_replace_first
+
+    t = load_tables(spark, sf_dir, ["part"])
+    n = F.col("p_name")
+    return (
+        t["part"]
+        .filter(F.col("p_partkey") <= 100)
+        .select(
+            "p_partkey",
+            pg_regexp_replace_first(n, "[aeiou]", "#").alias("first_only"),
+            F.regexp_replace(n, "[aeiou]", "#").alias("all_matches"),
+            pg_regexp_replace_first(n, "zzz", "#").alias("no_match"),
+        )
+    )

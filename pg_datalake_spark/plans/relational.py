@@ -947,3 +947,45 @@ def j06(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t["nation"].select("n_nationkey", "n_name", F.col("n_regionkey").alias("rk"))
     r = t["region"].select(F.col("r_regionkey").alias("rk"), "r_name")
     return n.join(F.broadcast(r), "rk").select("n_nationkey", "n_name", "r_name")
+
+
+@register(
+    "w06_frame_exclude_emulation",
+    oracle="""
+    SELECT event_id, user_id, value,
+           sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                            EXCLUDE CURRENT ROW) AS neighbor_sum,
+           avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                            EXCLUDE CURRENT ROW) AS peer_avg
+    FROM events WHERE user_id < 10
+    """,
+)
+def w06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame EXCLUDE CURRENT ROW (reference tests 6 EXCLUDE
+    cases — SURVEY §2.5; Spark's parser has no EXCLUDE clause).
+    Emulation: aggregate over the full frame, then subtract the current
+    row's contribution — exact for sum/count/avg. The oracle runs
+    DuckDB's native EXCLUDE."""
+    t = load_tables(spark, sf_dir, ["events"])
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-2, 2)
+    full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    v = F.col("value")
+    return (
+        t["events"]
+        .filter(F.col("user_id") < 10)
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            (F.sum(v).over(frame) - v).alias("neighbor_sum"),
+            # nullif guards the single-row partition: ANSI mode throws
+            # on x/0, while PG/DuckDB EXCLUDE over an empty frame is NULL
+            (
+                (F.sum(v).over(full) - v)
+                / F.nullif(F.count(F.lit(1)).over(full) - 1, F.lit(0))
+            ).alias("peer_avg"),
+        )
+    )
