@@ -191,3 +191,29 @@ def st03(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(landing, "events.parquet"))
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     return stateful_user_counts(spark, landing, schema, os.path.join(stage, "ckpt"))
+
+
+@register(
+    "st04_continuous_rollup",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           sum(value) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate: hourly rollup LakeTable loaded from the
+    first 20 days of events, then incrementally refreshed with the
+    rest via additive MERGE — the final state must equal
+    re-aggregating all raw events (the oracle does exactly that)."""
+    from pg_datalake_spark.streaming.rollup import create_rollup, refresh_rollup
+
+    t = load_tables(spark, sf_dir, ["events"])
+    cutoff = F.expr("TIMESTAMP_NTZ '2024-01-21 00:00:00'")
+    rollup = create_rollup(spark, tempfile.mkdtemp(prefix="st04_") + "/rollup")
+    refresh_rollup(rollup, t["events"].filter(F.col("ts") < cutoff))
+    refresh_rollup(rollup, t["events"].filter(F.col("ts") >= cutoff))
+    return rollup.scan().select("window_start", "event_type", "n_events", "total_value")
