@@ -119,6 +119,22 @@ def list_files(spark: SparkSession, pattern: str) -> DataFrame:
     return spark.createDataFrame(rows, "path string, size_bytes long, mtime_ms long")
 
 
+def file_exists(path: str) -> bool:
+    """``lake_file.exists`` analog."""
+    return os.path.exists(path)
+
+
+def delete_files(pattern: str) -> list[str]:
+    """``lake_file.delete`` analog: remove files matching a glob;
+    returns the deleted paths (local FS here; Hadoop FS on a cluster)."""
+    removed = []
+    for p in sorted(_glob.glob(pattern, recursive=True)):
+        if os.path.isfile(p):
+            os.remove(p)
+            removed.append(p)
+    return removed
+
+
 def preview_schema(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
     """``lake_file.preview`` analog: inferred (column_name, column_type)
     without creating a table."""

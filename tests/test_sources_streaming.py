@@ -91,3 +91,14 @@ def test_incremental_ingest_exactly_once(spark, tmp_path):
     pq.write_table(pa.table({"id": list(range(50))}), src + "/batch2.parquet")
     incremental_file_ingest(spark, src + "/*", schema, ck, sink)
     assert sum(got) == 150
+
+
+def test_file_exists_and_delete(spark, tmp_path):
+    from pg_datalake_spark.sources.readers import delete_files, file_exists
+
+    p = tmp_path / "a.csv"
+    p.write_text("x,y\n1,2\n")
+    assert file_exists(str(p))
+    removed = delete_files(str(tmp_path / "*.csv"))
+    assert removed == [str(p)]
+    assert not file_exists(str(p))
