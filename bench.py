@@ -50,7 +50,17 @@ HEADLINE = [
 
 def main() -> None:
     plans.load_all()
-    spark = build_session("pg_datalake_spark-bench")
+    from pg_datalake_spark.session import cpu_count, shuffle_partitions_for
+
+    data_bytes = sum(
+        os.path.getsize(os.path.join(SF_DIR, f))
+        for f in os.listdir(SF_DIR)
+        if f.endswith(".parquet")
+    )
+    spark = build_session(
+        "pg_datalake_spark-bench",
+        shuffle_partitions=shuffle_partitions_for(data_bytes, cpu_count()),
+    )
     tabs = load_tables(spark, SF_DIR)
     # steady-state engine: materialize the columnar cache once before
     # timing (the reference engine benches against a warm NVMe file
@@ -63,7 +73,7 @@ def main() -> None:
     for name in names:
         fn = QUERIES[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             n = df.count()  # execute fully, discard rows

@@ -30,13 +30,27 @@ def cpu_count() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
-def build_session(app_name: str = "pg_datalake_spark", cpus: int | None = None) -> SparkSession:
+def shuffle_partitions_for(data_bytes: int, cores: int) -> int:
+    """Size shuffle partitions to the data, not a constant: ~64MB per
+    shuffle partition (Spark's guidance), clamped to [cores/4, 4*cores].
+    At sf0.1 (~60MB) this is a handful of partitions (task-scheduling
+    overhead dominates tiny shuffles); at 100 TB it yields the large
+    counts a real cluster needs. AQE still re-coalesces at runtime."""
+    by_size = max(1, data_bytes // (64 * 1024 * 1024))
+    return int(min(max(by_size, max(1, cores // 4)), cores * 4))
+
+
+def build_session(
+    app_name: str = "pg_datalake_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
     """Create (or fetch) the tuned SparkSession."""
     n = cpus or cpu_count()
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
