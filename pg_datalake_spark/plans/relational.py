@@ -989,3 +989,50 @@ def w06(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("peer_avg"),
         )
     )
+
+
+@register(
+    "n01_null_semantics",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             nullif(o_orderstatus, 'P') AS st,
+             nullif(o_custkey % 7, 3)   AS k7
+      FROM orders WHERE o_orderkey <= 400
+    )
+    SELECT count(*)                           AS n_rows,
+           count(st)                          AS n_st,
+           count(DISTINCT st)                 AS n_st_distinct,
+           CAST(sum(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(sum(CASE WHEN st IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_nsafe,
+           min(k7) AS min_k7, max(k7) AS max_k7,
+           CAST(count(*) FILTER (WHERE k7 IS NULL AND st IS NULL) AS BIGINT) AS both_null
+    FROM t
+    """,
+)
+def n01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics torture: count(col) skips NULLs, DISTINCT ignores
+    NULL duplicates, min/max skip NULLs, null-safe comparison — PG and
+    Spark agree on all of it, pinned here against the oracle."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    base = (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 400)
+        .select(
+            F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("st"),
+            F.nullif(F.col("o_custkey") % 7, F.lit(3)).alias("k7"),
+        )
+    )
+    return base.agg(
+        F.count("*").alias("n_rows"),
+        F.count("st").alias("n_st"),
+        F.countDistinct("st").alias("n_st_distinct"),
+        F.sum(F.when(F.col("st").isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+        F.sum(F.when(F.col("st").eqNullSafe(F.lit(None)), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_nsafe"),
+        F.min("k7").alias("min_k7"),
+        F.max("k7").alias("max_k7"),
+        F.count(F.when(F.col("k7").isNull() & F.col("st").isNull(), 1)).alias("both_null"),
+    )

@@ -760,3 +760,33 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_nationkey")
     )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    SELECT n_name, sum(l_extendedprice * l_quantity) AS stock_value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    HAVING sum(l_extendedprice * l_quantity) > (
+      SELECT sum(l_extendedprice * l_quantity) * 0.05 FROM lineitem)
+    """,
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (value concentration with a scalar-subquery HAVING
+    threshold) adapted to lineitem value per supplier nation."""
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    value = F.col("l_extendedprice") * F.col("l_quantity")
+    total = t["lineitem"].agg((F.sum(value) * 0.05).alias("threshold"))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(value).alias("stock_value"))
+        .join(F.broadcast(total))
+        .filter(F.col("stock_value") > F.col("threshold"))
+        .select("n_name", "stock_value")
+    )
