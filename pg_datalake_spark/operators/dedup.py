@@ -297,3 +297,58 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(pairs: DataFrame, all_ids: DataFrame, id_col: str) -> DataFrame:
+    """Assign every document to a duplicate cluster: connected
+    components over the near-dup pair graph, cluster id = min doc id in
+    the component (the canonical "keep" representative).
+
+    Iterative min-label propagation driven from the driver: each round
+    joins labels across edges and takes the min; stops at fixpoint.
+    Rounds needed = graph diameter (near-dup components are tiny, so
+    2-3 rounds); each round is one shuffle join on ~|edges|, never
+    materializing a transitive closure.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = all_ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).persist()
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

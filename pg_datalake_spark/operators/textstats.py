@@ -112,3 +112,41 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(c).alias("quality"),
         fingerprint(c).alias("fp"),
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_size: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks (the
+    standard pre-tokenization step for LLM training corpora).
+
+    Emits (id, chunk_idx, chunk_text, n_chunk_tokens); stride =
+    chunk_size - overlap; the final partial window is kept. Pure
+    Column algebra: the token array is materialized once, windows are
+    slices — no UDF, no shuffle beyond the parent's layout.
+    """
+    stride = chunk_size - overlap
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    n = F.size("__toks")
+    n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1)).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    return (
+        toks.select(F.col(id_col), F.col("__toks"), F.explode(idx).alias("chunk_idx"))
+        .select(
+            F.col(id_col),
+            "chunk_idx",
+            F.slice(
+                F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk_size
+            ).alias("__chunk"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_idx",
+            F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
+            F.size("__chunk").cast("long").alias("n_chunk_tokens"),
+        )
+    )

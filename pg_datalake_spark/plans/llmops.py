@@ -316,3 +316,73 @@ def x02(spark: SparkSession, sf_dir: str) -> DataFrame:
         salted_agg(t["events"], ["event_type"], ["value"], salt=16)
         .withColumnRenamed("sum_value", "sum_value")
     )
+
+
+@register(
+    "d05_dup_clusters",
+    oracle=r"""
+    WITH RECURSIVE docs2 AS (SELECT doc_id, text FROM documents),
+    """
+    + _ORACLE_SHINGLES
+    + r""",
+    expl AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+    mh AS (SELECT doc_id, p, min(md5(CAST(p AS VARCHAR) || ':' || shingle)) AS mh
+           FROM expl CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p) perms
+           GROUP BY doc_id, p),
+    bandkeys AS (SELECT doc_id, CAST(p // 4 AS INT) AS band,
+                        md5(string_agg(mh, '|' ORDER BY p)) AS band_key
+                 FROM mh GROUP BY doc_id, p // 4),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bandkeys a JOIN bandkeys b
+               ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT id_a, id_b FROM cand
+      JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+      WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+              / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.5),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM verified
+      UNION SELECT id_b, id_a FROM verified
+      UNION SELECT doc_id, doc_id FROM documents),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+    SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    MinHash-LSH near-dup graph via iterative min-label propagation;
+    the oracle computes the same components with a recursive-CTE
+    transitive closure."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    pairs = dedup.minhash_lsh_dedup_pairs(t["documents"], "doc_id", threshold=0.5)
+    return dedup.dup_clusters(pairs, t["documents"].select("doc_id"), "doc_id")
+
+
+@register(
+    "t04_chunking",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+                  FROM documents WHERE doc_id < 100),
+    chunks AS (
+      SELECT doc_id,
+             unnest(generate_series(0, CAST(greatest(ceil((len(t) - 8) / 24.0), 1) AS INT) - 1))
+               AS chunk_idx,
+             t
+      FROM toks)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(list_slice(t, chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' ') AS chunk_text,
+           CAST(len(list_slice(t, chunk_idx * 24 + 1, chunk_idx * 24 + 32)) AS BIGINT)
+             AS n_chunk_tokens
+    FROM chunks
+    """,
+)
+def t04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 32, overlap 8) — the
+    training-corpus pre-tokenization step, slice-based and UDF-free."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return textstats.chunk_tokens(
+        t["documents"].filter(F.col("doc_id") < 100), "doc_id", chunk_size=32, overlap=8
+    )
