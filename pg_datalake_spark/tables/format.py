@@ -159,13 +159,17 @@ class LakeTable:
         optimistic concurrency)."""
         new_version = expected_version + 1
         path = self._meta_path(new_version)
-        if os.path.exists(path):
-            raise RuntimeError(f"concurrent commit detected at version {new_version}")
         meta = {k: v for k, v in meta.items() if not k.startswith("_")}
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f, default=_df_to_dict)
-        os.replace(tmp, path)
+        try:
+            # exclusive create makes the existence check atomic (a
+            # check-then-replace pair is a TOCTOU race: two writers
+            # could both pass the check and one snapshot would vanish)
+            with open(path, "x") as f:
+                json.dump(meta, f, default=_df_to_dict)
+        except FileExistsError:
+            raise RuntimeError(
+                f"concurrent commit detected at version {new_version}"
+            ) from None
         ptr_tmp = os.path.join(self._meta_dir, "current.tmp")
         with open(ptr_tmp, "w") as f:
             f.write(str(new_version))
@@ -319,10 +323,8 @@ class LakeTable:
             writer.write.parquet(out_dir)
         new_files = self._collect_file_entries(out_dir, spec, meta)
         if meta.get("row_ids"):
-            hi = max(
-                (f.stats.get("_row_id", [None, -1, None])[1] or -1 for f in new_files),
-                default=-1,
-            )
+            maxes = [f.stats.get("_row_id", [None, None, None])[1] for f in new_files]
+            hi = max((m for m in maxes if m is not None), default=-1)
             meta["next_row_id"] = max(meta["next_row_id"], int(hi) + 1)
         cur = self._current_snapshot(meta)
         self._new_snapshot(
@@ -428,9 +430,14 @@ class LakeTable:
 
     def rename_column(self, old: str, new: str) -> None:
         """RENAME COLUMN — metadata-only; old files keep their physical
-        names and are mapped by field id at read."""
+        names and are mapped by field id at read. Partition source
+        columns cannot be renamed (the spec references them by name)."""
         meta = self._load()
-        fld = next(f for f in meta["fields"] if f["name"] == old)
+        if any(p["column"] == old for p in meta["partition_spec"]):
+            raise ValueError(f"cannot rename partition column {old}")
+        fld = next((f for f in meta["fields"] if f["name"] == old), None)
+        if fld is None:
+            raise ValueError(f"no such column: {old}")
         fld["name"] = new
         self._commit(meta, meta["_version"])
 
@@ -438,6 +445,8 @@ class LakeTable:
         """DROP COLUMN — metadata-only; the physical data stays in old
         files and is simply no longer projected."""
         meta = self._load()
+        if any(p["column"] == name for p in meta["partition_spec"]):
+            raise ValueError(f"cannot drop partition column {name}")
         meta["fields"] = [f for f in meta["fields"] if f["name"] != name]
         self._commit(meta, meta["_version"])
 
@@ -467,7 +476,10 @@ class LakeTable:
     def _resolve_snapshot(self, meta, snapshot_id, as_of_timestamp_ms) -> Snapshot | None:
         snaps = [_snapshot_from_dict(s) for s in meta["snapshots"]]
         if snapshot_id is not None:
-            return next(s for s in snaps if s.snapshot_id == snapshot_id)
+            snap = next((s for s in snaps if s.snapshot_id == snapshot_id), None)
+            if snap is None:
+                raise ValueError(f"no such snapshot: {snapshot_id}")
+            return snap
         if as_of_timestamp_ms is not None:
             eligible = [s for s in snaps if s.timestamp_ms <= as_of_timestamp_ms]
             return max(eligible, key=lambda s: s.snapshot_id) if eligible else None
@@ -514,9 +526,13 @@ class LakeTable:
         new_files = list(keep_files)
         new_deletes = list(cur.delete_files)
         if candidates:
-            df = self._read_mapped(candidates, meta).withColumnRenamed(
-                "__file", "file_path"
-            ).withColumnRenamed("__pos", "pos")
+            # apply existing MOR tombstones first: already-deleted rows
+            # must count as gone and must NOT re-enter a COW rewrite
+            df = (
+                self._apply_deletes(self._read_mapped(candidates, meta), cur)
+                .withColumnRenamed("__file", "file_path")
+                .withColumnRenamed("__pos", "pos")
+            )
             matched = df.filter(predicate).select("file_path", "pos")
             counts = {
                 _strip_scheme(r["file_path"]): r["n"]
@@ -554,9 +570,11 @@ class LakeTable:
             if cow_files:
                 cow = len(cow_files)
                 rw_dir = os.path.join(self.root, "data", f"rw-{uuid.uuid4().hex[:12]}")
+                # NOT(pred) is NULL for NULL-predicate rows — those rows
+                # did not match the delete and must be kept
                 kept = (
-                    self._read_mapped(cow_files, meta)
-                    .filter(f"NOT ({predicate})")
+                    self._apply_deletes(self._read_mapped(cow_files, meta), cur)
+                    .filter(F.coalesce(F.expr(f"NOT ({predicate})"), F.lit(True)))
                     .drop("__file", "__pos")
                 )
                 kept.write.parquet(rw_dir)
@@ -603,7 +621,9 @@ class LakeTable:
         rewritten: list[DataFile] = []
         keep: list[DataFile] = list(cur.data_files) if cur else []
         if cur and cur.data_files and (when_matched_update or when_matched_delete):
-            tgt = self._read_mapped(cur.data_files, meta).alias("tgt")
+            tgt = self._apply_deletes(self._read_mapped(cur.data_files, meta), cur).alias(
+                "tgt"
+            )
             hit_files = {
                 _strip_scheme(r["__file"])
                 for r in tgt.join(src, F.col(f"tgt.{on}") == F.col(f"src.{on}"), "left_semi")
@@ -615,7 +635,7 @@ class LakeTable:
                 keep = [f for f in (cur.data_files if cur else []) if f.path not in hit_files]
                 hit_entries = [f for f in cur.data_files if f.path in hit_files]
                 hit = (
-                    self._read_mapped(hit_entries, meta)
+                    self._apply_deletes(self._read_mapped(hit_entries, meta), cur)
                     .drop("__file", "__pos")
                     .alias("tgt")
                     .join(src, F.col(f"tgt.{on}") == F.col(f"src.{on}"), "left")
@@ -647,14 +667,23 @@ class LakeTable:
             new_rows = new_rows.select(
                 *[F.col(c) if c in source.columns else F.lit(None).cast(self.schema[c].dataType).alias(c) for c in tgt_cols]
             )
+            if meta.get("row_ids") and "_row_id" not in source.columns:
+                new_rows = new_rows.withColumn(
+                    "_row_id", F.monotonically_increasing_id() + F.lit(meta["next_row_id"])
+                )
             n_inserted = new_rows.count()
             if n_inserted:
                 ins_dir = os.path.join(self.root, "data", f"mi-{uuid.uuid4().hex[:12]}")
                 new_rows.write.parquet(ins_dir)
                 inserts = self._collect_file_entries(ins_dir, spec, meta)
 
+        if meta.get("row_ids") and inserts:
+            maxes = [f.stats.get("_row_id", [None, None, None])[1] for f in inserts]
+            hi = max((m for m in maxes if m is not None), default=-1)
+            meta["next_row_id"] = max(meta["next_row_id"], int(hi) + 1)
         # NB: MOR delete files from prior snapshots still apply to files
-        # carried over by reference; rewritten/inserted files have none.
+        # carried over by reference (rewritten files had them applied
+        # during the rewrite; their stale entries are no-ops).
         self._new_snapshot(
             meta, "merge", keep + rewritten + inserts, cur.delete_files if cur else []
         )
@@ -854,6 +883,13 @@ def _statable(dt: T.DataType) -> bool:
 
 
 def _jval(v):
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        # SQL-literal style ("YYYY-MM-DD HH:MM:SS"): stats are compared
+        # lexicographically against predicate strings, and isoformat's
+        # 'T' separator breaks that ordering
+        return v.isoformat(sep=" ")
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return v
@@ -871,12 +907,14 @@ def _snapshot_from_dict(s: dict) -> Snapshot:
 
 
 def _partition_values_from_path(path: str, part_names: set[str]) -> dict:
+    from urllib.parse import unquote
+
     out = {}
     for seg in path.split(os.sep):
         if "=" in seg:
             k, v = seg.split("=", 1)
             if k in part_names:
-                out[k] = v
+                out[k] = unquote(v)  # Hive %-escapes special chars
     return out
 
 
@@ -897,32 +935,41 @@ def _parse_simple_predicate(predicate: str) -> list[tuple] | None:
         if raw.startswith("'"):
             value = raw.strip("'")
         else:
-            value = float(raw) if "." in raw else int(raw)
+            try:
+                value = float(raw) if "." in raw else int(raw)
+            except ValueError:
+                return None  # bare identifier/boolean → full scan
         out.append((col, "=" if op == "==" else op, value))
     return out
 
 
 def _cmp_bounds(f: DataFile, col: str, op: str, value) -> tuple[bool, bool]:
-    """(can_match, all_match) for one clause against file stats."""
+    """(can_match, all_match) for one clause against file stats.
+    all_match is only provable when the file has no NULLs in the column
+    (a NULL row never matches any comparison predicate)."""
     st = f.stats.get(col)
     if st is None:
         return True, False
-    lo, hi, _nulls = st
+    lo, hi, nulls = st
     if lo is None or hi is None:
         return True, False
+    if nulls and nulls > 0:
+        no_nulls = False
+    else:
+        no_nulls = True
     if isinstance(value, (int, float)) and isinstance(lo, str):
         return True, False
     try:
         if op == "=":
-            return (lo <= value <= hi), (lo == value == hi)
+            return (lo <= value <= hi), (lo == value == hi) and no_nulls
         if op == "<":
-            return lo < value, hi < value
+            return lo < value, (hi < value) and no_nulls
         if op == "<=":
-            return lo <= value, hi <= value
+            return lo <= value, (hi <= value) and no_nulls
         if op == ">":
-            return hi > value, lo > value
+            return hi > value, (lo > value) and no_nulls
         if op == ">=":
-            return hi >= value, lo >= value
+            return hi >= value, (lo >= value) and no_nulls
     except TypeError:
         return True, False
     return True, False

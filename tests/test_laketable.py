@@ -303,3 +303,111 @@ def test_scan_stats_accounting(spark, kv_table):
     assert s["files_total"] == s["files_scanned"] + s["files_skipped"]
     assert s["files_skipped"] >= 1
     assert kv_table.scan_stats()["files_skipped"] == 0
+
+
+# --- regression tests for review findings ---------------------------------
+
+
+def test_cow_after_mor_does_not_resurrect(spark, kv_table):
+    """A COW rewrite must apply existing MOR tombstones, not resurrect
+    previously deleted rows."""
+    kv_table.delete("key < 100")          # 10% → MOR tombstones
+    kv_table.delete("grp = 0")            # large fraction → COW rewrite
+    got = kv_table.scan()
+    assert got.filter("key < 100").count() == 0  # first delete still holds
+    assert got.filter("grp = 0").count() == 0
+    assert got.count() == 1000 - 100 - (200 - 20)  # grp0 keys: 200, of which 20 already gone
+
+
+def test_merge_after_mor_does_not_resurrect(spark, kv_table):
+    kv_table.delete("key < 100")
+    src = spark.range(150).coalesce(1).select(
+        F.col("id").alias("key"), F.lit("m").alias("value"), F.lit(1).cast("int").alias("grp")
+    )
+    kv_table.merge(src, on="key", when_matched_update={"value": "src.value"},
+                   when_not_matched_insert=False)
+    got = kv_table.scan()
+    assert got.filter("key < 100").count() == 0  # tombstoned rows stay gone
+    assert got.filter("value = 'm'").count() == 50  # only keys 100-149 updated
+    assert got.count() == 900
+
+
+def test_cow_keeps_null_predicate_rows(spark, tmp_path):
+    """Rows where the delete predicate evaluates to NULL did not match
+    and must survive a COW rewrite."""
+    t = LakeTable.create(spark, str(tmp_path / "nullp"), KV_SCHEMA)
+    df = spark.range(100).coalesce(1).select(
+        F.col("id").alias("key"),
+        F.when(F.col("id") % 10 == 0, F.lit(None)).otherwise(F.concat(F.lit("v"), F.col("id"))).alias("value"),
+        (F.col("id") % 5).cast("int").alias("grp"),
+    )
+    t.append(df)
+    t.delete("value < 'v50'")  # NULL value rows → predicate NULL → keep
+    got = t.scan()
+    assert got.filter("value IS NULL").count() == 10
+
+
+def test_whole_file_match_blocked_by_nulls(spark, tmp_path):
+    """Metadata-only delete must not fire when the file contains NULLs
+    in the predicate column (NULL rows never match)."""
+    t = LakeTable.create(spark, str(tmp_path / "nullw"), KV_SCHEMA)
+    df = spark.createDataFrame(
+        [(5, "a", 1), (5, "b", 1), (None, "c", 1)], "key long, value string, grp int"
+    ).coalesce(1)
+    t.append(df)
+    res = t.delete("key = 5")
+    assert res["dropped"] == 0  # must scan, not metadata-drop
+    assert t.scan().count() == 1
+    assert t.scan().filter("key IS NULL").count() == 1
+
+
+def test_row_ids_unique_after_zero_max(spark, tmp_path):
+    """First append whose max _row_id is 0 must still advance the
+    counter (falsy-zero regression)."""
+    t = LakeTable.create(spark, str(tmp_path / "rid0"), KV_SCHEMA, row_ids=True)
+    t.append(make_kv(spark, n=1))
+    t.append(make_kv(spark, n=1))
+    ids = [r._row_id for r in t.scan().select("_row_id").collect()]
+    assert len(ids) == 2 and len(set(ids)) == 2
+
+
+def test_timestamp_stats_prune_with_sql_literal(spark, tmp_path):
+    sch = T.StructType([T.StructField("k", T.LongType()), T.StructField("ts", T.TimestampNTZType())])
+    t = LakeTable.create(spark, str(tmp_path / "tsp"), sch)
+    t.append(spark.range(10).coalesce(1).select(
+        F.col("id").alias("k"),
+        F.expr("timestampadd(HOUR, CAST(id AS INT), TIMESTAMP_NTZ'2026-01-05 00:00:00')").alias("ts"),
+    ))
+    # stats max is '2026-01-05 09:00:00'; a SQL-style literal later than
+    # that must NOT prune the file out of the delete
+    res = t.delete("ts <= '2026-01-05 02:00:00'")
+    assert t.scan().count() == 7
+
+
+def test_evolution_guards_and_errors(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "grd"), KV_SCHEMA, partition_by=[PartitionField("grp")]
+    )
+    t.append(make_kv(spark, n=20))
+    with pytest.raises(ValueError, match="partition column"):
+        t.rename_column("grp", "g2")
+    with pytest.raises(ValueError, match="partition column"):
+        t.drop_column("grp")
+    with pytest.raises(ValueError, match="no such snapshot"):
+        t.scan(snapshot_id=99)
+    # unparseable predicate literal → full scan, not a crash
+    t.delete("value = value")  # matches everything (non-null)
+    assert t.scan().count() == 0
+
+
+def test_merge_assigns_row_ids_to_inserts(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "mrid"), KV_SCHEMA, row_ids=True)
+    t.append(make_kv(spark, n=50))
+    src = spark.range(50, 80).coalesce(1).select(
+        F.col("id").alias("key"), F.lit("new").alias("value"), F.lit(0).cast("int").alias("grp")
+    )
+    t.merge(src, on="key")
+    ids = t.scan().select("_row_id")
+    assert ids.count() == 80
+    assert ids.filter("_row_id IS NULL").count() == 0
+    assert ids.distinct().count() == 80
