@@ -29,12 +29,18 @@ def asof_join(
     """For each left row, attach the latest right row with
     ``right[right_time] <= left[left_time]``, matched on ``on``.
 
-    Right payload columns (everything except ``on``) are appended to the
-    left row; rows with no match get NULLs. Ties at equal time match
-    (inclusive bound): right rows sort before left rows at the same
-    instant.
+    Right payload columns (everything except ``on``) are appended to
+    the left row; a payload column whose name collides with a left
+    column comes out suffixed ``_right`` (pd.merge_asof convention).
+    Rows with no match get NULLs. Ties at equal time match (inclusive
+    bound): right rows sort before left rows at the same instant, and
+    equal-time right rows are tie-broken by the payload struct itself
+    so the result is deterministic.
     """
     payload_cols = [c for c in right.columns if c != on]
+    out_names = {
+        c: (f"{c}_right" if c in left.columns else c) for c in payload_cols
+    }
     l_tagged = left.select(
         F.col(on),
         F.col(left_time).alias("__t"),
@@ -56,7 +62,7 @@ def asof_join(
     unioned = l_tagged.unionByName(r_tagged)
     w = (
         W.partitionBy(on)
-        .orderBy("__t", "__is_left")
+        .orderBy("__t", "__is_left", "__rrow")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     matched = (
@@ -64,6 +70,6 @@ def asof_join(
         .filter(F.col("__is_left") == 1)
     )
     out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns] + [
-        F.col(f"__match.{c}").alias(c) for c in payload_cols
+        F.col(f"__match.{c}").alias(out_names[c]) for c in payload_cols
     ]
     return matched.select(*out_cols)

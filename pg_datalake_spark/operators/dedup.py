@@ -62,7 +62,9 @@ def shingles_from_tokens(t: Column, k: int = 3) -> Column:
     the array expression O(k) times total.
     """
     n = F.size(t)
-    win = n - (k - 1)
+    # short docs (n < k) must yield an empty shingle set, not a crash:
+    # slice() throws on negative lengths
+    win = F.greatest(n - (k - 1), F.lit(0))
     parts = [F.slice(t, j + 1, win) for j in range(k)]
     z = parts[0]
     for p in parts[1:]:
@@ -131,42 +133,35 @@ def lsh_candidate_pairs(
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, "bk.band", "bk.band_key")
-    # bucket-local pair generation instead of a self-join: a self-join
-    # would evaluate the whole signature subtree twice, and at scale a
-    # groupBy(bucket) shuffles each id once vs the join's twice.
+    # aggregate bucket membership once (so the signature subtree is
+    # evaluated once), keep only buckets with >1 member, then re-explode
+    # and self-join the tiny membership frame within each bucket. Pair
+    # generation inside a single collect_set array would put an entire
+    # hot bucket's O(n^2) pairs into ONE row — a guaranteed OOM on
+    # boilerplate-heavy corpora; the join distributes them across the
+    # shuffle instead.
     buckets = (
         banded.groupBy("band", "band_key")
-        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .agg(F.collect_set(id_col).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    n = F.size("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.transform(
-                F.slice(F.col("ids"), i + 1, n - i),
-                lambda y: F.struct(
-                    F.element_at(F.col("ids"), i).alias("id_a"), y.alias("id_b")
-                ),
-            ),
-        )
-    )
+    members = buckets.select("band", "band_key", F.explode("ids").alias("m"))
+    a = members.select("band", "band_key", F.col("m").alias("id_a"))
+    b = members.select("band", "band_key", F.col("m").alias("id_b"))
     return (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )
 
 
-def jaccard_verify(
-    pairs: DataFrame, df: DataFrame, id_col: str, text_col: str = "text", threshold: float = 0.5
+def jaccard_verify_shingles(
+    pairs: DataFrame, sh: DataFrame, id_col: str, threshold: float = 0.5
 ) -> DataFrame:
-    """Exact shingle-set Jaccard on candidate pairs; keep >= threshold.
-
-    Joining shingle sets only for LSH candidates keeps this linear in
-    |candidates|, not quadratic in |docs|.
-    """
-    sh = with_shingles(df, id_col, text_col)
+    """Exact shingle-set Jaccard on candidate pairs against a prepared
+    (id, sh) frame; keep >= threshold. Joining shingle sets only for
+    LSH candidates keeps this linear in |candidates|."""
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -186,6 +181,13 @@ def jaccard_verify(
     )
 
 
+def jaccard_verify(
+    pairs: DataFrame, df: DataFrame, id_col: str, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """jaccard_verify_shingles over freshly computed shingles."""
+    return jaccard_verify_shingles(pairs, with_shingles(df, id_col, text_col), id_col, threshold)
+
+
 def minhash_lsh_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -202,17 +204,7 @@ def minhash_lsh_dedup_pairs(
     sh = with_shingles(df, id_col, text_col).persist()
     sigs = signatures_from_shingles(sh.filter(F.size("sh") > 0), id_col, num_perms)
     cands = lsh_candidate_pairs(sigs, id_col, num_perms, bands)
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
-        F.broadcast(cands)
-        .join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", (inter.cast("double") / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return jaccard_verify_shingles(cands, sh, id_col, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -351,4 +343,7 @@ def dup_clusters(pairs: DataFrame, all_ids: DataFrame, id_col: str) -> DataFrame
         labels = new_labels
         if changed == 0:
             break
+    # the final labels are materialized (the fixpoint count forced
+    # them); the edge cache is only a recompute-path fallback now
+    edges.unpersist(blocking=False)
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))

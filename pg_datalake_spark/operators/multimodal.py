@@ -135,7 +135,9 @@ def resize_media(df: DataFrame, scale: float, data_col: str = "data") -> DataFra
                 w, h, n, _ = _decode_payload(b)
                 if w < 0:
                     return b
-                return struct.pack(HEADER_FMT, MAGIC, max(1, int(w * scale)), max(1, int(h * scale)), n) + b[HEADER_LEN:]
+                nw = min(65535, max(1, int(w * scale)))  # header dims are uint16
+                nh = min(65535, max(1, int(h * scale)))
+                return struct.pack(HEADER_FMT, MAGIC, nw, nh, n) + b[HEADER_LEN:]
 
             yield pdf.assign(**{data_col: pdf[data_col].map(rs)})
 

@@ -122,5 +122,4 @@ def lsh_bucketed_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
-        .distinct()
-    )
+    )  # one bucket per vector → each pair appears at most once; no distinct needed

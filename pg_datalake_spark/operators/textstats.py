@@ -24,7 +24,10 @@ LANG_STOPWORDS = {
 
 
 def tokens(text: Column) -> Column:
-    return F.split(F.lower(text), TOKEN_RE)
+    """Whitespace tokens, lowercased. Trim first and drop empty tokens:
+    Spark's split keeps leading/trailing empty strings, which would
+    inflate counts and plant phantom shingles for padded documents."""
+    return F.array_remove(F.split(F.trim(F.lower(text)), TOKEN_RE), "")
 
 
 def token_count(text: Column) -> Column:
@@ -129,6 +132,8 @@ def chunk_tokens(
     Column algebra: the token array is materialized once, windows are
     slices — no UDF, no shuffle beyond the parent's layout.
     """
+    if overlap >= chunk_size:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_size ({chunk_size})")
     stride = chunk_size - overlap
     toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     n = F.size("__toks")
