@@ -42,6 +42,10 @@ def load_tables(
     temp view is cheap and keeps callers stateless.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the driver supplies its own session: pin the timezone here too —
+    # epoch/time-of-day arithmetic casts through TimestampType, which
+    # is session-tz-dependent (oracle comparisons assume UTC)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out: dict[str, DataFrame] = {}
     for name in names or TABLE_NAMES:
         df = spark.read.parquet(table_path(sf_dir, name))

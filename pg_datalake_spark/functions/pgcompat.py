@@ -39,11 +39,15 @@ def pg_div(a: Column, b: Column) -> Column:
     ``4/10 = 0`` — SURVEY §4.5.1; the reference shims the same with
     ``__lake__internal__nsp__.divide``).
 
-    Spark's ``/`` on integers returns double (like DuckDB); truncate
-    the quotient toward zero and return long.
+    Exact for the full 64-bit range: a double-based quotient loses
+    precision past 2^53, so compute via the exact remainder (Spark's %
+    follows the dividend's sign, like PG) — (a - a%b) is exactly
+    divisible, its decimal quotient is an exact integer, and the final
+    cast is lossless.
     """
-    q = a.cast("double") / b.cast("double")
-    return F.when(q >= 0, F.floor(q)).otherwise(-F.floor(-q)).cast("long")
+    a_l, b_l = a.cast("long"), b.cast("long")
+    r = a_l % b_l
+    return ((a_l - r).cast("decimal(38,0)") / b_l.cast("decimal(38,0)")).cast("long")
 
 
 # --------------------------------------------------------------------------
@@ -68,6 +72,8 @@ def pg_array_agg(col: Column | str) -> Column:
 _PG_TO_JAVA = [
     ("HH24", "HH"),
     ("HH12", "hh"),
+    ("HH", "hh"),
+    ("US", "SSSSSS"),
     ("MI", "mm"),
     ("SS", "ss"),
     ("MS", "SSS"),
@@ -97,9 +103,20 @@ def pg_to_char_pattern(pg_fmt: str) -> str:
                 i += len(pg)
                 break
         else:
+            # uppercase textual forms (MON/MONTH/DAY/DY → 'JAN', ...)
+            # cannot be expressed as a Java pattern — fail loudly
+            # rather than render pattern letters as literal text
+            for unsupported in ("MONTH", "MON", "DAY", "DY"):
+                if pg_fmt.startswith(unsupported, i):
+                    raise ValueError(
+                        f"to_char token {unsupported!r} not supported "
+                        "(uppercase textual forms have no date_format "
+                        "equivalent; use Mon/Month/Day/Dy)"
+                    )
             ch = pg_fmt[i]
-            # literal letters must be quoted in Java patterns
-            out.append(f"'{ch}'" if re.match(r"[A-Za-z]", ch) else ch)
+            if re.match(r"[A-Za-z]", ch):
+                raise ValueError(f"unrecognized to_char pattern letter {ch!r} in {pg_fmt!r}")
+            out.append(ch)
             i += 1
     return "".join(out)
 
@@ -119,8 +136,12 @@ def pg_date_bin(stride_seconds: int, ts: Column, origin: str) -> Column:
     stride_us = F.lit(int(stride_seconds) * 1_000_000)
     origin_us = F.unix_micros(F.expr(f"TIMESTAMP '{origin}'"))
     t_us = F.unix_micros(ts.cast("timestamp"))
-    bucket = F.floor((t_us - origin_us) / stride_us).cast("long")
-    return F.timestamp_micros(origin_us + bucket * stride_us).cast("timestamp_ntz")
+    # exact floor-division via pmod (a double quotient would drift for
+    # offsets beyond 2^53 µs — same precision class as pg_div)
+    diff = t_us - origin_us
+    floored = diff - F.pmod(diff, stride_us)
+    bucket_start = origin_us + floored
+    return F.timestamp_micros(bucket_start).cast("timestamp_ntz")
 
 
 def pg_date_trunc(field: str, ts: Column) -> Column:

@@ -73,6 +73,8 @@ def read_files(
         reader = reader.schema(schema)
     if fmt == "csv":
         opts = {"header": "true", "inferSchema": "true", "enforceSchema": "false"}
+        if ".tsv" in os.path.basename(path.lower()):
+            opts["sep"] = "\t"
         opts.update({k: str(v) for k, v in options.items()})
         df = reader.options(**opts).csv(path)
     elif fmt == "json":

@@ -30,6 +30,14 @@ def copy_to(
     if fmt is None:
         fmt, ext_comp = infer_format(path)
         compression = compression or ext_comp
+    elif compression is None:
+        # explicit format does not opt out of extension-based
+        # compression inference ("/out/x.csv.gz" must be gzipped)
+        try:
+            _, ext_comp = infer_format(path)
+            compression = ext_comp
+        except ValueError:
+            pass
     writer = df.coalesce(1) if single_file else df
     w = writer.write.mode(mode).options(**{k: str(v) for k, v in options.items()})
     if fmt == "csv":

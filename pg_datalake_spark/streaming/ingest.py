@@ -29,6 +29,7 @@ def incremental_file_ingest(
     checkpoint_dir: str,
     sink_fn,
     fmt: str = "parquet",
+    **reader_options,
 ) -> int:
     """Drain all currently-available files exactly once into sink_fn.
 
@@ -46,7 +47,9 @@ def incremental_file_ingest(
         n_batches += 1
         sink_fn(df, batch_id)
 
-    reader = spark.readStream.schema(schema)
+    reader = spark.readStream.schema(schema).options(
+        **{k: str(v) for k, v in reader_options.items()}
+    )
     stream = reader.parquet(source_glob) if fmt == "parquet" else reader.format(fmt).load(
         source_glob
     )
@@ -102,7 +105,10 @@ def stateful_user_counts(
     idiom would grow into.
 
     Runs the stream to completion (AvailableNow) against a memory sink
-    and returns the final per-user counts as a batch DataFrame.
+    and returns the per-user counts for users updated in THIS drain
+    (state resumes across drains with the same checkpoint, but the
+    memory sink only receives this drain's updates — use a fresh
+    checkpoint for a complete snapshot).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -130,7 +136,11 @@ def stateful_user_counts(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    name = "stateful_counts_" + checkpoint_dir.replace("/", "_").strip("_")[-40:]
+    import re as _re
+    import uuid as _uuid
+
+    safe = _re.sub(r"[^A-Za-z0-9_]", "_", checkpoint_dir)[-32:].strip("_")
+    name = f"stateful_counts_{safe}_{_uuid.uuid4().hex[:8]}"
     q = (
         counts.writeStream.format("memory")
         .queryName(name)

@@ -69,6 +69,9 @@ def refresh_rollup(rollup: LakeTable, new_events: DataFrame, window: str = "1 ho
         on="bucket_key",
         when_matched_update={
             "n_events": "tgt.n_events + src.n_events",
-            "total_value": "tgt.total_value + src.total_value",
+            # a delta bucket whose events all have NULL value sums to
+            # NULL; adding that would wipe the accumulated total (PG
+            # sum() ignores NULLs, so the rollup must too)
+            "total_value": "coalesce(tgt.total_value, 0.0) + coalesce(src.total_value, 0.0)",
         },
     )

@@ -1,0 +1,77 @@
+"""Regression tests for the sources/streaming/functions review fixes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_datalake_spark.functions.pgcompat import pg_date_bin, pg_div, pg_to_char_pattern
+from pg_datalake_spark.sources import copy_to, read_files
+
+
+def test_pg_div_exact_beyond_double_precision(spark):
+    """Integer division must be exact past 2^53 (a double quotient
+    rounds)."""
+    df = spark.createDataFrame(
+        [(9007199254740995, 2), (-9007199254740995, 2), (7, 2), (-7, 2), (4, 10)],
+        "a long, b long",
+    )
+    got = [r.q for r in df.select(pg_div(F.col("a"), F.col("b")).alias("q")).collect()]
+    assert got == [4503599627370497, -4503599627370497, 3, -3, 0]
+
+
+def test_pg_date_bin_far_origin(spark):
+    """Bucket math must stay exact for offsets beyond 2^53 µs."""
+    df = spark.createDataFrame([("2026-08-13 10:37:22",)], "s string").select(
+        F.col("s").cast("timestamp_ntz").alias("ts")
+    )
+    got = df.select(
+        pg_date_bin(900, F.col("ts"), "0001-01-01 00:00:00").cast("string").alias("b")
+    ).first()[0]
+    assert got == "2026-08-13 10:30:00"
+
+
+def test_to_char_unsupported_tokens_raise():
+    assert pg_to_char_pattern("YYYY-MM-DD HH24:MI:SS") == "yyyy-MM-dd HH:mm:ss"
+    with pytest.raises(ValueError, match="MON"):
+        pg_to_char_pattern("MON YYYY")
+    with pytest.raises(ValueError, match="pattern letter"):
+        pg_to_char_pattern("YYYY-Q")
+
+
+def test_tsv_reads_tab_delimited(spark, tmp_path):
+    p = tmp_path / "t.tsv"
+    p.write_text("a\tb\n1\tx\n2\ty\n")
+    df = read_files(spark, str(p))
+    assert df.columns == ["a", "b"]
+    assert df.count() == 2
+
+
+def test_copy_to_explicit_fmt_still_compresses(spark, tmp_path):
+    import glob
+    import gzip
+
+    out = str(tmp_path / "x.csv.gz")
+    copy_to(spark.range(5).selectExpr("id"), out, fmt="csv", single_file=True)
+    parts = glob.glob(out + "/part-*.csv.gz")
+    assert parts, "expected gzip part files"
+    with gzip.open(parts[0], "rt") as f:
+        assert f.readline().strip() == "id"
+
+
+def test_rollup_survives_all_null_value_batch(spark, tmp_path):
+    from pg_datalake_spark.streaming.rollup import create_rollup, refresh_rollup
+
+    events1 = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", 1, "view", 5.0)],
+        "event_id long, ts_s string, user_id long, event_type string, value double",
+    ).select("event_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "user_id", "event_type", "value")
+    events2 = events1.withColumn("value", F.lit(None).cast("double")).withColumn(
+        "event_id", F.lit(2)
+    )
+    r = create_rollup(spark, str(tmp_path / "ru"))
+    refresh_rollup(r, events1)
+    refresh_rollup(r, events2)  # all-NULL delta must not wipe the total
+    row = r.scan().select("n_events", "total_value").first()
+    assert row.n_events == 2
+    assert row.total_value == 5.0
