@@ -694,3 +694,32 @@ def f16(spark: SparkSession, sf_dir: str) -> DataFrame:
             pg_regexp_replace_first(n, "zzz", "#").alias("no_match"),
         )
     )
+
+
+@register(
+    "f17_variant_semistructured",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)      AS k_typed,
+           json_extract_string(props, '$.k')                      AS k_string,
+           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS BIGINT) AS k_doubled
+    FROM events WHERE event_id <= 300
+    """,
+)
+def f17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type
+    (parse_json + variant_get path extraction) — the engine-native
+    answer to the reference's json/jsonb columns (SURVEY §1.4 maps
+    json → 'VariantType on Spark 4')."""
+    t = load_tables(spark, sf_dir, ["events"])
+    v = F.parse_json(F.col("props"))
+    return (
+        t["events"]
+        .filter(F.col("event_id") <= 300)
+        .select(
+            "event_id",
+            F.variant_get(v, "$.k", "bigint").alias("k_typed"),
+            F.variant_get(v, "$.k", "string").alias("k_string"),
+            (F.variant_get(v, "$.k", "bigint") * 2).alias("k_doubled"),
+        )
+    )

@@ -450,6 +450,17 @@ class LakeTable:
         meta["fields"] = [f for f in meta["fields"] if f["name"] != name]
         self._commit(meta, meta["_version"])
 
+    def set_partition_spec(self, partition_by: list[PartitionField]) -> None:
+        """Partition evolution (reference: ALTER TABLE SET/ADD/DROP
+        partition_by — alter_table.c; Iceberg partition-spec v2).
+        Metadata-only: existing files keep the partition values they
+        were written with (each file records its own layout), new
+        appends use the new spec; pruning consults per-file values, so
+        mixed layouts coexist."""
+        meta = self._load()
+        meta["partition_spec"] = [p.__dict__ for p in partition_by]
+        self._commit(meta, meta["_version"])
+
     def scan(
         self,
         snapshot_id: int | None = None,

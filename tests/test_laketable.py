@@ -411,3 +411,19 @@ def test_merge_assigns_row_ids_to_inserts(spark, tmp_path):
     assert ids.count() == 80
     assert ids.filter("_row_id IS NULL").count() == 0
     assert ids.distinct().count() == 80
+
+
+def test_partition_evolution(spark, tmp_path):
+    """Change the partition spec mid-table: old files keep their layout,
+    new appends use the new one, per-file pruning handles both."""
+    t = LakeTable.create(spark, str(tmp_path / "pev"), KV_SCHEMA)
+    t.append(make_kv(spark, n=100))                      # unpartitioned
+    t.set_partition_spec([PartitionField("grp", "identity")])
+    t.append(make_kv(spark, n=100).withColumn("key", F.col("key") + 100))
+    assert t.scan().count() == 200
+    # metadata-only partition delete applies only to files written
+    # under the new spec; old files are scanned normally
+    res = t.delete("grp = 3")
+    assert t.scan().filter("grp = 3").count() == 0
+    assert t.scan().count() == 160
+    assert res["dropped"] >= 1  # new-layout partition dropped metadata-only
