@@ -24,16 +24,28 @@ from pyspark.sql import functions as F
 from pg_datalake_spark.operators.similarity import cosine, dot
 
 
-def _centroid_argmin(vec_col: F.Column, centroids: list[list[float]]) -> F.Column:
-    """Index of the nearest centroid by cosine (ties → lowest index)."""
-    best_idx = F.lit(0)
-    best_sim = cosine(vec_col, F.array(*[F.lit(float(x)) for x in centroids[0]]))
-    for i, c in enumerate(centroids[1:], start=1):
-        sim = cosine(vec_col, F.array(*[F.lit(float(x)) for x in c]))
-        cond = sim > best_sim
-        best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
-        best_sim = F.when(cond, sim).otherwise(best_sim)
-    return best_idx
+def _centroid_argmin(vec_col: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid by cosine (ties → lowest index).
+
+    Similarities are built as ONE array expression and reduced with
+    array_max/array_position: a chained when(sim_i > best, ...) fold
+    embeds every earlier similarity subtree into each later condition,
+    blowing the expression tree up exponentially in k. Centroid norms
+    are Python constants and the row norm cancels out of the argmax, so
+    each centroid costs exactly one dot product.
+    """
+    import math
+
+    def cnorm(c):
+        return math.sqrt(sum(x * x for x in c)) or 1e-12
+
+    sims = F.array(
+        *[
+            dot(vec_col, F.array(*[F.lit(float(x)) for x in c])) / F.lit(cnorm(c))
+            for c in centroids
+        ]
+    )
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
 
 def train_ivf_centroids(

@@ -68,12 +68,23 @@ def cosine_pairs(
 ) -> DataFrame:
     """All pairs with cosine >= threshold (brute-force O(n²) — the
     exactness baseline; use lsh_bucketed_pairs at scale)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # precompute each vector's norm ONCE per row: a naive cosine per
+    # pair re-evaluates both norms for every pair, tripling the O(dim)
+    # work across O(n²) pairs
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), norm(F.col(vec_col)).alias("na")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), norm(F.col(vec_col)).alias("nb")
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -113,13 +124,24 @@ def lsh_bucketed_pairs(
     plane); deterministic given the md5 planes.
     """
     bucketed = df.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), dims, num_planes).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(F.col(vec_col), dims, num_planes).alias("bucket"),
+        norm(F.col(vec_col)).alias("__n"),
     )
-    a = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
-    b = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket", F.col("__n").alias("na")
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket", F.col("__n").alias("nb")
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= threshold)
     )  # one bucket per vector → each pair appears at most once; no distinct needed
