@@ -66,7 +66,7 @@ def refresh_rollup(rollup: LakeTable, new_events: DataFrame, window: str = "1 ho
     combine additively, unseen buckets insert — one MERGE commit."""
     rollup.merge(
         _deltas(new_events, window),
-        on="bucket_key",
+        on=["window_start", "event_type"],
         when_matched_update={
             "n_events": "tgt.n_events + src.n_events",
             # a delta bucket whose events all have NULL value sums to

@@ -609,7 +609,7 @@ class LakeTable:
     def merge(
         self,
         source: DataFrame,
-        on: str,
+        on: str | list[str],
         when_matched_update: dict[str, str] | None = None,
         when_matched_delete: bool = False,
         when_not_matched_insert: bool = True,
@@ -626,8 +626,15 @@ class LakeTable:
         meta = self._load()
         cur = self._current_snapshot(meta)
         spec = self._partition_spec(meta)
+        keys = [on] if isinstance(on, str) else list(on)
         src = source.alias("src")
         tgt_cols = [f.name for f in self.schema.fields]
+
+        def key_cond(left_prefix: str) -> F.Column:
+            cond = F.lit(True)
+            for k in keys:
+                cond = cond & (F.col(f"{left_prefix}.{k}") == F.col(f"src.{k}"))
+            return cond
 
         rewritten: list[DataFile] = []
         keep: list[DataFile] = list(cur.data_files) if cur else []
@@ -637,7 +644,7 @@ class LakeTable:
             )
             hit_files = {
                 _strip_scheme(r["__file"])
-                for r in tgt.join(src, F.col(f"tgt.{on}") == F.col(f"src.{on}"), "left_semi")
+                for r in tgt.join(src, key_cond("tgt"), "left_semi")
                 .select("__file")
                 .distinct()
                 .collect()
@@ -649,9 +656,9 @@ class LakeTable:
                     self._apply_deletes(self._read_mapped(hit_entries, meta), cur)
                     .drop("__file", "__pos")
                     .alias("tgt")
-                    .join(src, F.col(f"tgt.{on}") == F.col(f"src.{on}"), "left")
+                    .join(src, key_cond("tgt"), "left")
                 )
-                matched = F.col(f"src.{on}").isNotNull()
+                matched = F.col(f"src.{keys[0]}").isNotNull()
                 if when_matched_delete:
                     out = hit.filter(~matched).select([F.col(f"tgt.{c}") for c in tgt_cols])
                 else:
@@ -673,8 +680,13 @@ class LakeTable:
         inserts: list[DataFile] = []
         n_inserted = 0
         if when_not_matched_insert:
-            existing = self.scan().select(F.col(on).alias("__k"))
-            new_rows = src.join(existing, F.col(f"src.{on}") == F.col("__k"), "left_anti")
+            existing = self.scan().select(
+                *[F.col(k).alias(f"__k_{k}") for k in keys]
+            )
+            anti_cond = F.lit(True)
+            for k in keys:
+                anti_cond = anti_cond & (F.col(f"src.{k}") == F.col(f"__k_{k}"))
+            new_rows = src.join(existing, anti_cond, "left_anti")
             new_rows = new_rows.select(
                 *[F.col(c) if c in source.columns else F.lit(None).cast(self.schema[c].dataType).alias(c) for c in tgt_cols]
             )

@@ -427,3 +427,18 @@ def test_partition_evolution(spark, tmp_path):
     assert t.scan().filter("grp = 3").count() == 0
     assert t.scan().count() == 160
     assert res["dropped"] >= 1  # new-layout partition dropped metadata-only
+
+
+def test_merge_composite_key(spark, kv_table):
+    src = spark.createDataFrame(
+        [(0, 0, "ck"), (999, 4, "ck"), (5000, 1, "newrow")],
+        "key long, grp int, value string",
+    ).select("key", "value", "grp")
+    res = kv_table.merge(
+        src, on=["key", "grp"], when_matched_update={"value": "src.value"}
+    )
+    assert res["inserted_rows"] == 1
+    got = kv_table.scan()
+    assert got.filter("value = 'ck'").count() == 2      # both composite matches updated
+    assert got.filter("key = 5000 AND value = 'newrow'").count() == 1
+    assert got.count() == 1001
