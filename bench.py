@@ -7,7 +7,7 @@ Prints ONE JSON line:
 Mirrors the reference's pg_lake_benchmark methodology (run query,
 discard result, wall-clock per query — reference:
 pg_lake_benchmark/README.md:13-14). Each query is timed as a full
-execution (plan + execute + fetch counts), min of two runs to smooth
+execution (plan + execute + fetch counts), min of three runs to smooth
 JIT/codegen warmup, on a warm session with tables pre-registered.
 """
 
@@ -25,7 +25,7 @@ from pg_datalake_spark.catalog import load_tables
 from pg_datalake_spark.plans.registry import QUERIES
 from pg_datalake_spark.session import build_session
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+from pg_datalake_spark.session import DEFAULT_SF_DIR as SF_DIR  # noqa: E402
 
 # Headline set: the join/agg-heavy TPC-H shapes plus one of each
 # operator family that exists by the time bench runs.
@@ -65,7 +65,7 @@ def main() -> None:
     # steady-state engine: materialize the columnar cache once before
     # timing (the reference engine benches against a warm NVMe file
     # cache + OS buffer cache the same way — BASELINE.md engine defaults)
-    for name in ["lineitem", "orders", "customer", "part", "supplier", "nation", "region"]:
+    for name in tabs:  # every headline input, incl. documents/embeddings/events
         tabs[name].cache().count()
 
     names = [n for n in HEADLINE if n in QUERIES]

@@ -47,12 +47,22 @@ def load_tables(
     # is session-tz-dependent (oracle comparisons assume UTC)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     out: dict[str, DataFrame] = {}
-    for name in names or TABLE_NAMES:
+    for name in names if names is not None else TABLE_NAMES:
         df = spark.read.parquet(table_path(sf_dir, name))
         if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
             # TIMESTAMP(NANOS) read as long nanos → timestamp_ntz (µs)
+            # floor division in exact integer arithmetic: `div`
+            # truncates toward zero, which is off by one µs for
+            # pre-epoch nanos; double division loses precision past
+            # 2^53 ns (~104 days of epoch time)
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+                "ts",
+                F.timestamp_micros(
+                    F.expr(
+                        "CASE WHEN ts >= 0 THEN ts div 1000 "
+                        "ELSE -((-ts + 999) div 1000) END"
+                    )
+                ).cast("timestamp_ntz"),
             )
         df.createOrReplaceTempView(name)
         out[name] = df

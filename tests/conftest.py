@@ -77,9 +77,13 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             if isinstance(v, float):
                 # engines render the same value with different float
                 # reprs; a rounded key keeps row order engine-agnostic
-                return f"{v:.6g}"
+                return f"{v + 0.0:.6g}"  # +0.0 folds -0.0 into 0.0
             return str(v)
 
+        # value-level keys in sorted-column order: dtype-driven column
+        # reordering would diverge when the engines type the same
+        # column differently (e.g. DuckDB sign() is integer, Spark's
+        # is double); rounded float keys make the order noise-proof
         sort_key = res.apply(lambda row: tuple(_key(v) for v in row), axis=1)
         res = res.iloc[np.argsort(sort_key.values, kind="stable")].reset_index(drop=True)
     return res
@@ -112,7 +116,8 @@ def run_parity(spark, ddb, fn, oracle: str | None, name: str, sf_dir: str = SF_D
     sdf = fn(spark, sf_dir)
     spark_pdf = sdf.toPandas()
     if oracle is None:
-        assert len(spark_pdf) >= 0  # rows-only check
+        # rows-only check mirrors the driver's rows>0 smoke criterion
+        assert len(spark_pdf) > 0, f"{name}: rows-only query returned no rows"
         return
     oracle_pdf = ddb.execute(oracle).df()
     assert_frames_match(spark_pdf, oracle_pdf, name)
