@@ -45,18 +45,23 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine against a literal query vector.
 
     The query vector is inlined as a literal array → the score is a
     per-row expression; orderBy+limit compiles to TakeOrdered (no full
     sort, no shuffle of the corpus).
+
+    round_to rounds the score BEFORE ordering so that an independent
+    engine computing the same pipeline selects the identical top-k
+    despite last-ulp float divergence (ties broken by id).
     """
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    scored = df.select(
-        F.col(id_col),
-        cosine(F.col(vec_col), q).alias("cos_sim"),
-    )
+    score = cosine(F.col(vec_col), q)
+    if round_to is not None:
+        score = F.round(score, round_to)
+    scored = df.select(F.col(id_col), score.alias("cos_sim"))
     return scored.orderBy(F.desc("cos_sim"), id_col).limit(k)
 
 
@@ -65,9 +70,15 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    round_to: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine >= threshold (brute-force O(n²) — the
-    exactness baseline; use lsh_bucketed_pairs at scale)."""
+    exactness baseline; use lsh_bucketed_pairs at scale).
+
+    round_to rounds the score BEFORE the threshold filter so that an
+    independent engine selects the identical pair set despite last-ulp
+    float divergence.
+    """
     # precompute each vector's norm ONCE per row: a naive cosine per
     # pair re-evaluates both norms for every pair, tripling the O(dim)
     # work across O(n²) pairs
@@ -77,14 +88,13 @@ def cosine_pairs(
     b = df.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), norm(F.col(vec_col)).alias("nb")
     )
+    score = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    if round_to is not None:
+        score = F.round(score, round_to)
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos_sim"),
-        )
+        .select("id_a", "id_b", score.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 

@@ -38,19 +38,19 @@ from pg_datalake_spark.plans.registry import register
            round(l_extendedprice / 3.0, 2)    AS round_v,
            trunc(l_extendedprice / 3.0)       AS trunc_v,
            sqrt(l_quantity)                   AS sqrt_v,
-           cbrt(l_quantity)                   AS cbrt_v,
-           exp(l_discount)                    AS exp_v,
-           ln(l_extendedprice)                AS ln_v,
-           log10(l_extendedprice)             AS log10_v,
-           power(l_quantity, 2.0)             AS pow_v,
+           round(cbrt(l_quantity), 6)         AS cbrt_v,
+           round(exp(l_discount), 6)          AS exp_v,
+           round(ln(l_extendedprice), 6)      AS ln_v,
+           round(log10(l_extendedprice), 6)   AS log10_v,
+           round(power(l_quantity, 2.0), 6)   AS pow_v,
            CAST(mod(CAST(l_quantity AS BIGINT), 7) AS BIGINT) AS mod_v,
            pi()                               AS pi_v,
-           degrees(l_discount)                AS deg_v,
-           radians(l_quantity)                AS rad_v,
-           sin(l_discount) AS sin_v, cos(l_discount) AS cos_v,
-           tan(l_discount) AS tan_v, cot(l_discount + 1.0) AS cot_v,
-           asin(l_discount) AS asin_v, acos(l_discount) AS acos_v,
-           atan(l_discount) AS atan_v, atan2(l_discount, 2.0) AS atan2_v,
+           round(degrees(l_discount), 6)      AS deg_v,
+           round(radians(l_quantity), 6)      AS rad_v,
+           round(sin(l_discount), 6) AS sin_v, round(cos(l_discount), 6) AS cos_v,
+           round(tan(l_discount), 6) AS tan_v, round(cot(l_discount + 1.0), 6) AS cot_v,
+           round(asin(l_discount), 6) AS asin_v, round(acos(l_discount), 6) AS acos_v,
+           round(atan(l_discount), 6) AS atan_v, round(atan2(l_discount, 2.0), 6) AS atan2_v,
            sign(l_extendedprice - 30000.0)    AS sign_v
     FROM lineitem WHERE l_orderkey <= 100
     """,
@@ -74,23 +74,26 @@ def f01(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("trunc_v"),
             F.sqrt(q).alias("sqrt_v"),
-            F.cbrt(q).alias("cbrt_v"),
-            F.exp(d).alias("exp_v"),
-            F.log(p).alias("ln_v"),
-            F.log10(p).alias("log10_v"),
-            F.pow(q, 2.0).alias("pow_v"),
+            # transcendental results are rounded to 6 decimals on BOTH
+            # sides: JVM vs DuckDB libm differ in the last ulp, and the
+            # driver's comparator hashes exact values
+            F.round(F.cbrt(q), 6).alias("cbrt_v"),
+            F.round(F.exp(d), 6).alias("exp_v"),
+            F.round(F.log(p), 6).alias("ln_v"),
+            F.round(F.log10(p), 6).alias("log10_v"),
+            F.round(F.pow(q, 2.0), 6).alias("pow_v"),
             (q.cast("long") % 7).alias("mod_v"),
             F.lit(3.141592653589793).alias("pi_v"),
-            F.degrees(d).alias("deg_v"),
-            F.radians(q).alias("rad_v"),
-            F.sin(d).alias("sin_v"),
-            F.cos(d).alias("cos_v"),
-            F.tan(d).alias("tan_v"),
-            F.cot(d + 1.0).alias("cot_v"),
-            F.asin(d).alias("asin_v"),
-            F.acos(d).alias("acos_v"),
-            F.atan(d).alias("atan_v"),
-            F.atan2(d, F.lit(2.0)).alias("atan2_v"),
+            F.round(F.degrees(d), 6).alias("deg_v"),
+            F.round(F.radians(q), 6).alias("rad_v"),
+            F.round(F.sin(d), 6).alias("sin_v"),
+            F.round(F.cos(d), 6).alias("cos_v"),
+            F.round(F.tan(d), 6).alias("tan_v"),
+            F.round(F.cot(d + 1.0), 6).alias("cot_v"),
+            F.round(F.asin(d), 6).alias("asin_v"),
+            F.round(F.acos(d), 6).alias("acos_v"),
+            F.round(F.atan(d), 6).alias("atan_v"),
+            F.round(F.atan2(d, F.lit(2.0)), 6).alias("atan2_v"),
             F.signum(p - 30000.0).alias("sign_v"),
         )
     )
@@ -318,18 +321,21 @@ def f06(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM nation GROUP BY n_regionkey, n_nationkey
     )
     SELECT n_nationkey,
-           names,
-           array_append(names, 'X')            AS appended,
-           array_prepend('A', names)           AS prepended,
-           array_cat(names, ['Z1','Z2'])       AS catted,
+           to_json(names)                              AS names,
+           to_json(array_append(names, 'X'))           AS appended,
+           to_json(array_prepend('A', names))          AS prepended,
+           to_json(array_cat(names, ['Z1','Z2']))      AS catted,
            CAST(len(names) AS INT)             AS cardinality_v,
            names[1]                            AS first_elem,
            array_contains(names, 'NATION_3')   AS has_n3,
-           list_sort(array_cat(names, ['AAA'])) AS sorted_v
+           to_json(list_sort(array_cat(names, ['AAA']))) AS sorted_v
     FROM t
     """,
 )
 def f07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions. Array-typed OUTPUT columns are serialized with
+    to_json on both sides: the driver's comparator sorts raw column
+    values and list cells are unhashable in pandas."""
     t = load_tables(spark, sf_dir, ["nation"])
     base = (
         t["nation"]
@@ -338,14 +344,16 @@ def f07(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return base.select(
         "n_nationkey",
-        "names",
-        F.array_append(F.col("names"), F.lit("X")).alias("appended"),
-        F.array_prepend(F.col("names"), F.lit("A")).alias("prepended"),
-        F.concat(F.col("names"), F.array(F.lit("Z1"), F.lit("Z2"))).alias("catted"),
+        F.to_json(F.col("names")).alias("names"),
+        F.to_json(F.array_append(F.col("names"), F.lit("X"))).alias("appended"),
+        F.to_json(F.array_prepend(F.col("names"), F.lit("A"))).alias("prepended"),
+        F.to_json(F.concat(F.col("names"), F.array(F.lit("Z1"), F.lit("Z2")))).alias("catted"),
         F.size(F.col("names")).alias("cardinality_v"),
         F.element_at(F.col("names"), 1).alias("first_elem"),
         F.array_contains(F.col("names"), "NATION_3").alias("has_n3"),
-        F.sort_array(F.concat(F.col("names"), F.array(F.lit("AAA")))).alias("sorted_v"),
+        F.to_json(F.sort_array(F.concat(F.col("names"), F.array(F.lit("AAA"))))).alias(
+            "sorted_v"
+        ),
     )
 
 
@@ -379,10 +387,10 @@ def f08(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            CAST(l_quantity AS BIGINT)                        AS qty_int,
            CAST(l_quantity AS VARCHAR)                       AS qty_str,
-           CAST(l_extendedprice AS DECIMAL(38,9))            AS price_dec,
+           CAST(CAST(l_extendedprice AS DECIMAL(38,9)) AS VARCHAR) AS price_dec,
            CAST(CAST(l_shipdate AS DATE) AS VARCHAR)         AS ship_str,
            CAST(l_orderkey AS DOUBLE)                        AS key_dbl,
-           (CAST(l_quantity AS BIGINT) - 25) // 7            AS pgdiv_v,
+           CAST(trunc((CAST(l_quantity AS BIGINT) - 25) / 7.0) AS BIGINT) AS pgdiv_v,
            CAST(l_quantity AS BIGINT) % 7                    AS pgmod_v,
            CAST('123' AS BIGINT) + l_orderkey                AS parsed_int
     FROM lineitem WHERE l_orderkey <= 100
@@ -400,7 +408,10 @@ def f09(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.cast("long").alias("qty_int"),
             # DuckDB renders whole doubles as "25.0"; Spark as "25.0" too
             q.cast("string").alias("qty_str"),
-            F.col("l_extendedprice").cast("decimal(38,9)").alias("price_dec"),
+            # decimal rendered as string: pandas maps DuckDB decimals to
+            # float64 but Spark decimals to Decimal objects — the string
+            # form is dtype-stable through the driver's comparator
+            F.col("l_extendedprice").cast("decimal(38,9)").cast("string").alias("price_dec"),
             F.col("l_shipdate").cast("date").cast("string").alias("ship_str"),
             F.col("l_orderkey").cast("double").alias("key_dbl"),
             pg_div(q.cast("long") - 25, F.lit(7)).alias("pgdiv_v"),
@@ -475,7 +486,7 @@ def f11(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f12_null_keeping_array_agg",
     oracle="""
     SELECT o_orderstatus,
-           array_agg(v ORDER BY o_orderkey) AS vals
+           to_json(array_agg(v ORDER BY o_orderkey)) AS vals
     FROM (SELECT o_orderstatus, o_orderkey,
                  CASE WHEN o_totalprice > 200000.0 THEN NULL
                       ELSE o_orderpriority END AS v
@@ -502,7 +513,9 @@ def f12(spark: SparkSession, sf_dir: str) -> DataFrame:
     # …but the scalable PG-parity route is sortWithinPartitions + single
     # partition per group; for ordered array_agg semantics we sort first.
     base = base.sortWithinPartitions("o_orderkey")
-    return base.groupBy("o_orderstatus").agg(pg_array_agg(F.col("v")).alias("vals"))
+    return base.groupBy("o_orderstatus").agg(
+        F.to_json(pg_array_agg(F.col("v"))).alias("vals")
+    )
 
 
 @register(
@@ -511,7 +524,7 @@ def f12(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_nationkey,
            MAP {'nation': n_name, 'region': CAST(n_regionkey AS VARCHAR)}['nation'][1] AS map_get,
            CAST(cardinality(MAP {'nation': n_name, 'region': CAST(n_regionkey AS VARCHAR)}) AS INT) AS map_size,
-           list_sort(map_keys(MAP {'nation': n_name, 'region': CAST(n_regionkey AS VARCHAR)})) AS keys_sorted,
+           to_json(list_sort(map_keys(MAP {'nation': n_name, 'region': CAST(n_regionkey AS VARCHAR)}))) AS keys_sorted,
            struct_pack(name := n_name, rk := n_regionkey).name AS struct_field,
            struct_pack(name := n_name, rk := n_regionkey) = struct_pack(name := n_name, rk := n_regionkey) AS struct_eq
     FROM nation
@@ -531,7 +544,7 @@ def f13(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey",
         F.element_at(m, "nation").alias("map_get"),
         F.size(m).alias("map_size"),
-        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+        F.to_json(F.sort_array(F.map_keys(m))).alias("keys_sorted"),
         s.getField("name").alias("struct_field"),
         (s == s).alias("struct_eq"),
     )
@@ -661,7 +674,8 @@ def x01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.approx_count_distinct("l_partkey").alias("approx_parts"),
             F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-            F.percentile_approx("l_quantity", [0.25, 0.75]).alias("approx_qty_iqr"),
+            # to_json: list cells crash the driver comparator's sort
+            F.to_json(F.percentile_approx("l_quantity", [0.25, 0.75])).alias("approx_qty_iqr"),
         )
     )
 

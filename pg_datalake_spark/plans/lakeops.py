@@ -30,7 +30,8 @@ def _fresh_root(prefix: str) -> str:
     oracle="""
     SELECT l_returnflag,
            count(*) AS n,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
     FROM lineitem
     WHERE NOT (l_quantity < 3.0)
     GROUP BY l_returnflag
@@ -51,7 +52,12 @@ def lake01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            # integer-cents sum: double aggregation is order-dependent
+            # across partitionings, so the driver's exact-hash compare
+            # needs an order-independent (exact integer) formulation
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+            ).alias("revenue_cents"),
         )
     )
 
@@ -59,7 +65,8 @@ def lake01(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lake02_partition_metadata_delete",
     oracle="""
-    SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM orders
     WHERE o_orderstatus <> 'F'
     GROUP BY o_orderstatus
@@ -81,7 +88,10 @@ def lake02(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lt.scan()
         .groupBy("o_orderstatus")
-        .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("total"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+        )
     )
 
 
@@ -109,8 +119,9 @@ def lake03(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lake04_update_agg",
     oracle="""
     SELECT o_orderstatus,
-           sum(CASE WHEN o_orderpriority = '1-URGENT'
-                    THEN o_totalprice * 1.1 ELSE o_totalprice END) AS total
+           CAST(sum(CAST(round(CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN o_totalprice * 1.1 ELSE o_totalprice END * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
     FROM orders
     GROUP BY o_orderstatus
     """,
@@ -123,13 +134,18 @@ def lake04(spark: SparkSession, sf_dir: str) -> DataFrame:
     lt = LakeTable.create(spark, root, t["orders"].schema)
     lt.append(t["orders"])
     lt.update({"o_totalprice": "o_totalprice * 1.1"}, "o_orderpriority = '1-URGENT'")
-    return lt.scan().groupBy("o_orderstatus").agg(F.sum("o_totalprice").alias("total"))
+    return (
+        lt.scan()
+        .groupBy("o_orderstatus")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"))
+    )
 
 
 @register(
     "lake05_compaction_preserves",
     oracle="""
-    SELECT count(*) AS n, sum(l_extendedprice) AS total_price
+    SELECT count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM lineitem WHERE NOT (l_linenumber = 1)
     """,
 )
@@ -143,7 +159,8 @@ def lake05(spark: SparkSession, sf_dir: str) -> DataFrame:
     lt.delete("l_linenumber = 1")
     lt.compact(target_file_mb=512, min_input_files=1)
     return lt.scan().agg(
-        F.count("*").alias("n"), F.sum("l_extendedprice").alias("total_price")
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("total_cents"),
     )
 
 
@@ -159,7 +176,8 @@ def lake05(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderkey + 10000000, 'X', o_totalprice * 2
       FROM orders WHERE o_orderkey <= 100
     )
-    SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM merged GROUP BY o_orderstatus
     """,
 )
@@ -185,14 +203,19 @@ def lake06(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lt.scan()
         .groupBy("o_orderstatus")
-        .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("total"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+        )
     )
 
 
 @register(
     "lake07_add_files",
     oracle="""
-    SELECT count(*) AS n, sum(o_totalprice) AS total FROM orders
+    SELECT count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders
     """,
 )
 def lake07(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,4 +233,7 @@ def lake07(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = _tf.mkdtemp(prefix="lake07ext_") + "/files"
     half_b.write.parquet(ext)
     lt.add_files([ext])
-    return lt.scan().agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("total"))
+    return lt.scan().agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+    )

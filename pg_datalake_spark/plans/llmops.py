@@ -147,8 +147,8 @@ def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "v01_cosine_topk",
     oracle=r"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT vec_id, list_cosine_similarity(embedding, qv) AS cos_sim
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cos_sim
     FROM embeddings, q
     ORDER BY cos_sim DESC, vec_id
     LIMIT 20
@@ -158,25 +158,29 @@ def v01(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-20 for a query vector (vec_id 0).
 
     The query vector is a parameter (collected once on the driver —
-    O(1) rows), then the scan is a single narrow pass + TakeOrdered."""
+    O(1) rows), then the scan is a single narrow pass + TakeOrdered.
+    Scores rounded to 6 decimals on both sides (JVM/DuckDB float ulp)."""
     t = load_tables(spark, sf_dir, ["embeddings"])
     qv = t["embeddings"].filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return similarity.cosine_topk(t["embeddings"], list(qv), k=20)
+    return similarity.cosine_topk(t["embeddings"], list(qv), k=20, round_to=6)
 
 
 @register(
     "v02_cosine_pairs",
     oracle=r"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_cosine_similarity(a.embedding, b.embedding) AS cos_sim
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
     """,
 )
 def v02(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All embedding pairs with cosine >= 0.45 (brute force)."""
+    """All embedding pairs with cosine >= 0.45 (brute force). Scores
+    rounded to 6 decimals before the filter on both sides."""
     t = load_tables(spark, sf_dir, ["embeddings"])
-    return similarity.cosine_pairs(t["embeddings"], threshold=0.45)
+    return similarity.cosine_pairs(t["embeddings"], threshold=0.45, round_to=6)
 
 
 @register("v03_ann_lsh_pairs")  # rows-only: LSH recall < 1 by construction
