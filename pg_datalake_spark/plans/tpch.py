@@ -8,8 +8,13 @@ DataFrame API (Catalyst plans filter-pushdown/broadcast joins itself)
 and paired with DuckDB oracle SQL.
 
 Scale notes (100 TB): lineitem/orders are the fact tables — every join
-below joins fact to a (broadcastable) dimension or fact-to-fact on the
-join key both sides are naturally clustered on (l_orderkey/o_orderkey).
+below joins fact to a dimension or fact-to-fact on the join key both
+sides are naturally clustered on (l_orderkey/o_orderkey). Broadcast
+hints are FORCED only for tables bounded by schema (nation, region,
+single-row scalar aggregates); SF-scaled tables (customer, supplier,
+part and their derivatives) carry no hint — AQE decides from runtime
+stats, so the same plan is safe at sf0.01 and at 100 TB where a forced
+broadcast of a several-GB build side would OOM the executors.
 Aggregations are partial-agg friendly (sum/count/min/max/avg), so
 map-side combine keeps shuffle volume ~|groups|, not |rows|.
 """
@@ -92,7 +97,7 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"].filter(F.col("l_shipdate") > ts("1996-03-15 00:00:00"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.sum(disc_price()).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -160,9 +165,9 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"]
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(dims),
+            dims,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -231,8 +236,8 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(
@@ -274,9 +279,9 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     green = t["part"].filter(F.col("p_name").like("%red%"))
     return (
         t["lineitem"]
-        .join(F.broadcast(green), F.col("l_partkey") == F.col("p_partkey"))
+        .join(green, F.col("l_partkey") == F.col("p_partkey"))
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             F.col("n_name").alias("nation"),
@@ -315,7 +320,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"].filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(disc_price()).alias("revenue"))
@@ -405,7 +410,7 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < ts("1997-10-01 00:00:00"))
     )
     return (
-        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
                 100.0
@@ -470,7 +475,7 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(parts, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -500,8 +505,8 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand = t["part"].filter(F.col("p_brand") == "Brand#2")
     return (
         t["lineitem"]
-        .join(F.broadcast(brand), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(part_avg), F.col("l_partkey") == F.col("pk"))
+        .join(brand, F.col("p_partkey") == F.col("l_partkey"))
+        .join(part_avg, F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
     )
@@ -537,7 +542,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum("l_quantity").alias("sum_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
@@ -580,7 +585,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["lineitem"]
-        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(F.sum(disc_price()).alias("revenue"))
     )
@@ -617,7 +622,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
     )
     base = l1.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).join(
-        F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey")
+        t["supplier"], F.col("l_suppkey") == F.col("s_suppkey")
     )
     with_other = base.join(
         l2,
@@ -704,10 +709,10 @@ def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         t["lineitem"]
-        .join(F.broadcast(econ), F.col("l_partkey") == F.col("p_partkey"))
+        .join(econ, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(asia), F.col("c_rk") == F.col("r_regionkey"))
@@ -749,7 +754,7 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= ts("1996-01-01 00:00:00"))
             & (F.col("l_shipdate") < ts("1997-01-01 00:00:00"))
         )
-        .join(F.broadcast(red), F.col("p_partkey") == F.col("l_partkey"))
+        .join(red, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("sq"))
         .filter(F.col("sq") > 100.0)
@@ -782,7 +787,7 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = t["lineitem"].agg((F.sum(value) * 0.05).alias("threshold"))
     return (
         t["lineitem"]
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.sum(value).alias("stock_value"))
