@@ -795,3 +795,75 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("stock_value") > F.col("threshold"))
         .select("n_name", "stock_value")
     )
+
+
+@register(
+    "q02_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost AS supplycost
+    FROM part, ps, supplier, nation, region
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND p_size <= 25 AND p_type = 'STANDARD'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND cost = (SELECT min(ps2.cost)
+                  FROM ps ps2, supplier s2, nation n2, region r2
+                  WHERE ps2.l_partkey = p_partkey
+                    AND s2.s_suppkey = ps2.l_suppkey
+                    AND s2.s_nationkey = n2.n_nationkey
+                    AND n2.n_regionkey = r2.r_regionkey
+                    AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier; reference runs the classic form
+    in its benchmark harness). The driver schema has no partsupp table,
+    so the part-supplier catalog is derived from lineitem: supplycost =
+    min unit price ever charged by that supplier for that part.
+
+    The correlated min-cost subquery decorrelates into a pre-aggregated
+    per-part minimum joined back on (partkey, cost) — one extra shuffle
+    on p_partkey instead of a per-row subquery; at 100 TB both the ps
+    aggregate and the min-join shuffle on the same key, so AQE can
+    coalesce them, and no SF-scaled table is force-broadcast."""
+    t = load_tables(spark, sf_dir)
+    ps = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    eur_supp = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps_eur = ps.join(eur_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    min_cost = ps_eur.groupBy(F.col("l_partkey").alias("mc_pk")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    parts = t["part"].filter((F.col("p_size") <= 25) & (F.col("p_type") == "STANDARD"))
+    return (
+        ps_eur.join(
+            min_cost,
+            (F.col("l_partkey") == F.col("mc_pk")) & (F.col("cost") == F.col("min_cost")),
+        )
+        .join(parts, F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("cost").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
