@@ -41,6 +41,11 @@ def asof_join(
     out_names = {
         c: (f"{c}_right" if c in left.columns else c) for c in payload_cols
     }
+    # SQL semantics: a right row with NULL time never satisfies
+    # r.t <= l.t, and a NULL key never equals anything — without this
+    # filter such rows sort NULLS FIRST in the window and become a
+    # phantom running match for every left row in the partition
+    right = right.filter(F.col(right_time).isNotNull() & F.col(on).isNotNull())
     l_tagged = left.select(
         F.col(on),
         F.col(left_time).alias("__t"),

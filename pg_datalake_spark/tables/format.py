@@ -302,6 +302,29 @@ class LakeTable:
         self._commit(meta, meta["_version"])
 
     # -- writes -----------------------------------------------------------
+    def _write_data(
+        self,
+        df: DataFrame,
+        out_dir: str,
+        spec: list[PartitionField],
+        n_files: int | None = None,
+    ) -> None:
+        """Write table data honoring the hidden partition spec. EVERY
+        write path (append, COW delete rewrite, MERGE rewrite/insert,
+        UPDATE rewrite, compaction) must go through here: a rewrite
+        that skips partitionBy writes files with partition={}, which
+        are excluded from partition pruning forever after — pruning
+        effectiveness would decay monotonically with DML."""
+        writer = df
+        if n_files:
+            writer = writer.coalesce(n_files)
+        if spec:
+            for p in spec:
+                writer = writer.withColumn(p.name, transform_expr(p.column, p.transform, p.param))
+            writer.write.partitionBy(*[p.name for p in spec]).parquet(out_dir)
+        else:
+            writer.write.parquet(out_dir)
+
     def append(self, df: DataFrame) -> None:
         meta = self._load()
         spec = self._partition_spec(meta)
@@ -315,12 +338,7 @@ class LakeTable:
             writer = writer.withColumn(
                 "_row_id", F.monotonically_increasing_id() + F.lit(meta["next_row_id"])
             )
-        if spec:
-            for p in spec:
-                writer = writer.withColumn(p.name, transform_expr(p.column, p.transform, p.param))
-            writer.write.partitionBy(*[p.name for p in spec]).parquet(out_dir)
-        else:
-            writer.write.parquet(out_dir)
+        self._write_data(writer, out_dir, spec)
         new_files = self._collect_file_entries(out_dir, spec, meta)
         if meta.get("row_ids"):
             maxes = [f.stats.get("_row_id", [None, None, None])[1] for f in new_files]
@@ -467,9 +485,12 @@ class LakeTable:
         as_of_timestamp_ms: int | None = None,
         filters: list[tuple] | None = None,
     ) -> DataFrame:
-        """Read the table at a snapshot, applying stats-based file
-        pruning (``filters`` = [(col, op, value), ...]) and MOR
-        position deletes."""
+        """Read the table at a snapshot, applying MOR position deletes
+        and ``filters`` = [(col, op, value), ...] as BOTH stats-based
+        file pruning and a residual row predicate — the result contains
+        exactly the matching rows (the predicate is re-applied to the
+        surviving files; Catalyst pushes it into the parquet scan, so
+        the row filter costs nothing beyond the pruned read)."""
         meta = self._load()
         snap = self._resolve_snapshot(meta, snapshot_id, as_of_timestamp_ms)
         if snap is None or not snap.data_files:
@@ -482,6 +503,8 @@ class LakeTable:
         if not files:
             return self.spark.createDataFrame([], self._schema_from(meta))
         df = self._apply_deletes(self._read_mapped(files, meta), snap)
+        if filters:
+            df = df.filter(_filters_to_column(filters))
         return df.select(*[f["name"] for f in meta["fields"]])
 
     def _resolve_snapshot(self, meta, snapshot_id, as_of_timestamp_ms) -> Snapshot | None:
@@ -588,23 +611,73 @@ class LakeTable:
                     .filter(F.coalesce(F.expr(f"NOT ({predicate})"), F.lit(True)))
                     .drop("__file", "__pos")
                 )
-                kept.write.parquet(rw_dir)
+                self._write_data(kept, rw_dir, spec)
                 new_files += self._collect_file_entries(rw_dir, spec, meta)
 
         self._new_snapshot(meta, "delete", new_files, new_deletes)
         return {"dropped": dropped, "mor": mor, "cow": cow}
 
     def update(self, set_exprs: dict[str, str], predicate: str) -> None:
-        """UPDATE = snapshot-consistent (read updated rows) → delete →
-        append, one snapshot per phase (reference does position-delete
-        + insert inside one transaction; here two snapshots, same final
-        state)."""
-        updated = self.scan().filter(predicate)
-        for col, expr in set_exprs.items():
-            updated = updated.withColumn(col, F.expr(expr))
-        updated = updated.localCheckpoint()  # pin rows before the delete commits
-        self.delete(predicate)
-        self.append(updated)
+        """UPDATE as a single atomic commit (matching the reference's
+        position-delete + insert inside one transaction): files with at
+        least one matching row are rewritten copy-on-write with the SET
+        expressions applied in place; untouched files carry over by
+        reference; ONE snapshot publishes both. A crash mid-way leaves
+        the previous snapshot fully intact (the half-written rewrite
+        directory is orphaned, never referenced), and concurrent
+        readers never observe a state with the updated rows missing."""
+        meta = self._load()
+        cur = self._current_snapshot(meta)
+        if cur is None or not cur.data_files:
+            return
+        spec = self._partition_spec(meta)
+        pred_filters = _parse_simple_predicate(predicate)
+
+        keep: list[DataFile] = []
+        candidates: list[DataFile] = []
+        if pred_filters is not None:
+            live = {f.path for f in self._partition_prune(cur.data_files, pred_filters, spec)}
+        else:
+            live = {f.path for f in cur.data_files}
+        for f in cur.data_files:
+            if f.path not in live or (
+                pred_filters is not None and _prunable(f, pred_filters, spec)
+            ):
+                keep.append(f)  # provably no matching row → untouched
+            else:
+                candidates.append(f)
+
+        new_files = list(keep)
+        if candidates:
+            df = self._apply_deletes(self._read_mapped(candidates, meta), cur)
+            hit_paths = {
+                _strip_scheme(r["__file"])
+                for r in df.filter(predicate).select("__file").distinct().collect()
+            }
+            new_files += [f for f in candidates if f.path not in hit_paths]
+            hit = [f for f in candidates if f.path in hit_paths]
+            if hit:
+                rows = self._apply_deletes(self._read_mapped(hit, meta), cur).drop(
+                    "__file", "__pos"
+                )
+                # NULL predicate rows did not match → keep original values
+                matched = F.coalesce(F.expr(predicate), F.lit(False))
+                cols = []
+                for fld in meta["fields"]:
+                    c = fld["name"]
+                    if c in set_exprs:
+                        cols.append(
+                            F.when(matched, F.expr(set_exprs[c])).otherwise(F.col(c)).alias(c)
+                        )
+                    else:
+                        cols.append(F.col(c))
+                rw_dir = os.path.join(self.root, "data", f"u-{uuid.uuid4().hex[:12]}")
+                self._write_data(rows.select(*cols), rw_dir, spec)
+                new_files += self._collect_file_entries(rw_dir, spec, meta)
+        # delete entries pointing at rewritten files are no-ops (their
+        # paths no longer appear); entries for carried-over files still
+        # apply, so the delete-file list is preserved as-is.
+        self._new_snapshot(meta, "update", new_files, cur.delete_files)
 
     def merge(
         self,
@@ -627,6 +700,21 @@ class LakeTable:
         cur = self._current_snapshot(meta)
         spec = self._partition_spec(meta)
         keys = [on] if isinstance(on, str) else list(on)
+        # a source with duplicate join keys would silently multiply
+        # matched target rows through the rewrite join — standard MERGE
+        # semantics (SQL:2003, Spark, Iceberg) reject multiple matches
+        dup = (
+            source.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"MERGE source has duplicate join keys on {keys}; "
+                "deduplicate or pre-aggregate the source first"
+            )
         src = source.alias("src")
         tgt_cols = [f.name for f in self.schema.fields]
 
@@ -674,7 +762,7 @@ class LakeTable:
                             cols.append(F.col(f"tgt.{c}").alias(c))
                     out = hit.select(*cols)
                 rw_dir = os.path.join(self.root, "data", f"m-{uuid.uuid4().hex[:12]}")
-                out.write.parquet(rw_dir)
+                self._write_data(out, rw_dir, spec)
                 rewritten = self._collect_file_entries(rw_dir, spec, meta)
 
         inserts: list[DataFile] = []
@@ -697,7 +785,7 @@ class LakeTable:
             n_inserted = new_rows.count()
             if n_inserted:
                 ins_dir = os.path.join(self.root, "data", f"mi-{uuid.uuid4().hex[:12]}")
-                new_rows.write.parquet(ins_dir)
+                self._write_data(new_rows, ins_dir, spec)
                 inserts = self._collect_file_entries(ins_dir, spec, meta)
 
         if meta.get("row_ids") and inserts:
@@ -757,8 +845,10 @@ class LakeTable:
         df = self._apply_deletes(self._read_mapped(small, meta), cur)
         total_bytes = sum(f.bytes for f in small)
         n_out = max(1, int(total_bytes / (target_file_mb * 1024 * 1024)))
-        df.select(*[f["name"] for f in meta["fields"]]).coalesce(n_out).write.parquet(rw_dir)
         spec = self._partition_spec(meta)
+        self._write_data(
+            df.select(*[f["name"] for f in meta["fields"]]), rw_dir, spec, n_files=n_out
+        )
         new_files = big + self._collect_file_entries(rw_dir, spec, meta)
         # deletes for surviving big files must be retained; deletes that
         # pointed only at compacted files are now dead weight but
@@ -996,6 +1086,28 @@ def _cmp_bounds(f: DataFile, col: str, op: str, value) -> tuple[bool, bool]:
     except TypeError:
         return True, False
     return True, False
+
+
+def _filters_to_column(filters: list[tuple]) -> F.Column:
+    """[(col, op, value)] → a Column predicate (residual row filter
+    matching the pruning semantics of _cmp_bounds)."""
+    cond = F.lit(True)
+    for col, op, value in filters:
+        c = F.col(col)
+        v = F.lit(value)
+        if op in ("=", "=="):
+            cond = cond & (c == v)
+        elif op == "<":
+            cond = cond & (c < v)
+        elif op == "<=":
+            cond = cond & (c <= v)
+        elif op == ">":
+            cond = cond & (c > v)
+        elif op == ">=":
+            cond = cond & (c >= v)
+        else:
+            raise ValueError(f"unsupported filter op: {op}")
+    return cond
 
 
 def _prunable(f: DataFile, filters: list[tuple], spec: list[PartitionField]) -> bool:

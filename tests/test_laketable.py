@@ -442,3 +442,65 @@ def test_merge_composite_key(spark, kv_table):
     assert got.filter("value = 'ck'").count() == 2      # both composite matches updated
     assert got.filter("key = 5000 AND value = 'newrow'").count() == 1
     assert got.count() == 1001
+
+
+def test_update_is_single_snapshot(spark, kv_table):
+    """UPDATE must publish exactly one snapshot: a crash between a
+    delete-commit and a re-append would otherwise lose rows."""
+    n_before = kv_table.snapshots().count()
+    kv_table.update({"value": "concat(value, '!')"}, "key < 10")
+    assert kv_table.snapshots().count() == n_before + 1
+    got = kv_table.scan()
+    assert got.count() == 1000
+    assert got.filter("value like '%!'").count() == 10
+    # the pre-update snapshot still reads the original values
+    assert kv_table.scan(snapshot_id=1).filter("value like '%!'").count() == 0
+
+
+def test_update_null_predicate_rows_kept(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 1)],
+        T.StructType(
+            [
+                T.StructField("key", T.LongType()),
+                T.StructField("value", T.StringType()),
+                T.StructField("grp", T.IntegerType()),
+            ]
+        ),
+    )
+    t = LakeTable.create(spark, str(tmp_path / "u"), KV_SCHEMA)
+    t.append(df)
+    t.update({"value": "'hit'"}, "grp = 1")  # NULL grp row must not match
+    vals = {r.key: r.value for r in t.scan().collect()}
+    assert vals == {1: "a", 2: "hit"}
+
+
+def test_merge_rejects_duplicate_source_keys(spark, kv_table):
+    src = spark.createDataFrame([(1, "x", 0), (1, "y", 0)], KV_SCHEMA)
+    with pytest.raises(ValueError, match="duplicate join keys"):
+        kv_table.merge(src, on="key", when_matched_update={"value": "src.value"})
+
+
+def test_rewrites_preserve_partition_pruning(spark, tmp_path):
+    """COW delete / UPDATE / compaction rewrites must re-apply the
+    hidden partition transforms, or rewritten files fall out of
+    partition pruning forever."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "p"), KV_SCHEMA, partition_by=[PartitionField("grp")]
+    )
+    t.append(make_kv(spark))
+    # large delete in one partition → COW rewrite of that partition
+    t.delete("key < 150 AND grp = 0")
+    stats = t.scan_stats([("grp", "=", 1)])
+    assert stats["files_skipped"] > 0, "post-COW files lost partition values"
+    t.update({"value": "'u'"}, "grp = 2")
+    stats = t.scan_stats([("grp", "=", 1)])
+    assert stats["files_skipped"] > 0, "post-UPDATE files lost partition values"
+    # every file must carry a partition value for grp
+    for r in t.files().collect():
+        assert "__p_identity_grp" in r.partition, f"file {r.path} lost its partition"
+
+
+def test_scan_filters_apply_row_predicate(spark, kv_table):
+    got = kv_table.scan(filters=[("key", "<", 10)])
+    assert got.count() == 10  # rows, not just file-level pruning supersets
