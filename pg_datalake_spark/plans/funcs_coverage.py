@@ -51,7 +51,7 @@ from pg_datalake_spark.plans.registry import register
            round(tan(l_discount), 6) AS tan_v, round(cot(l_discount + 1.0), 6) AS cot_v,
            round(asin(l_discount), 6) AS asin_v, round(acos(l_discount), 6) AS acos_v,
            round(atan(l_discount), 6) AS atan_v, round(atan2(l_discount, 2.0), 6) AS atan2_v,
-           sign(l_extendedprice - 30000.0)    AS sign_v
+           CAST(sign(l_extendedprice - 30000.0) AS DOUBLE) AS sign_v
     FROM lineitem WHERE l_orderkey <= 100
     """,
 )

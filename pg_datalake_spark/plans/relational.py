@@ -97,7 +97,8 @@ def j03(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "j04_theta_band_join",
     oracle="""
-    SELECT band, count(*) AS n_orders, sum(o_totalprice) AS total
+    SELECT band, count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
     FROM orders
     JOIN (VALUES ('low', 0.0, 20000.0), ('mid', 20000.0, 100000.0),
                  ('high', 100000.0, 1e9)) AS b(band, lo, hi)
@@ -120,7 +121,12 @@ def j04(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
         )
         .groupBy("band")
-        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("total"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            # exact decimal sum → double: order-independent for the
+            # driver's exact-hash comparator (see tpch.dsum)
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)")).cast("double").alias("total"),
+        )
     )
 
 
@@ -435,7 +441,7 @@ def a03(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a04_array_agg",
     oracle="""
     SELECT n_regionkey,
-           list_sort(array_agg(n_name)) AS nations,
+           to_json(list_sort(array_agg(n_name))) AS nations,
            string_agg(n_name, ',' ORDER BY n_name) AS nation_csv
     FROM nation GROUP BY n_regionkey
     """,
@@ -446,7 +452,9 @@ def a04(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["nation"]
         .groupBy("n_regionkey")
         .agg(
-            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            # to_json: raw list cells are unhashable in the driver's
+            # pandas-based comparator
+            F.to_json(F.sort_array(F.collect_list("n_name"))).alias("nations"),
             F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias("nation_csv"),
         )
     )

@@ -1,0 +1,934 @@
+"""Driver-window coverage suites: merged multi-operator queries.
+
+The driver verifies only the FIRST 50 entries of ``queries()`` — fewer
+slots than SURVEY §2 has operator families. These suites merge closely
+related coverage queries (kept individually in relational.py /
+funcs_coverage.py / llmops.py for the local parity gate and for
+readable per-operator plans) into one driver-verified query per
+family, so the whole §2.3–§2.7 relational surface + the previously
+hash-failing function families fit inside the verified window.
+
+Merging strategy: same-base families become one wide SELECT
+(f01+f09+f14 share the lineitem probe base; the three window-frame
+queries share events); cross-base families become a tagged UNION ALL
+with a common column schema. Money sums use the exact-decimal
+formulation (see tpch.dsum) so every value hashes identically across
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_datalake_spark.catalog import load_tables
+from pg_datalake_spark.plans.registry import register
+from pg_datalake_spark.plans.tpch import davg, dsum
+
+# ---------------------------------------------------------------------------
+# Window frames: ROWS + RANGE + EXCLUDE emulation (w02 + w03 + w06)
+# ---------------------------------------------------------------------------
+
+_FRAMES_SPARK = """
+SELECT event_id, user_id, value,
+       CAST(sum(CAST(value AS DECIMAL(30,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
+       CAST(sum(CAST(value AS DECIMAL(30,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)          AS moving_avg3,
+       max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)            AS next3_max,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY value
+                           RANGE BETWEEN 10.0 PRECEDING AND 10.0 FOLLOWING) AS BIGINT)
+         AS n_within_10,
+       CAST(sum(CAST(value AS DECIMAL(30,6)))
+            OVER (PARTITION BY user_id ORDER BY value
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS cum_by_value,
+       CAST(sum(CAST(value AS DECIMAL(30,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+            - CAST(value AS DECIMAL(30,6)) AS DOUBLE)                        AS neighbor_sum,
+       CAST(sum(CAST(value AS DECIMAL(30,6)))
+            OVER (PARTITION BY user_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            - CAST(value AS DECIMAL(30,6)) AS DOUBLE)
+         / nullif(count(*) OVER (PARTITION BY user_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                  - 1, 0)                                                    AS peer_avg
+FROM events WHERE user_id < 10
+"""
+
+
+@register(
+    "w02_w03_w06_frames",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(sum(CAST(value AS DECIMAL(30,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_sum,
+           CAST(sum(CAST(value AS DECIMAL(30,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)      AS moving_avg3,
+           max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)        AS next3_max,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY value
+                               RANGE BETWEEN 10.0 PRECEDING AND 10.0 FOLLOWING) AS BIGINT)
+             AS n_within_10,
+           CAST(sum(CAST(value AS DECIMAL(30,6)))
+                OVER (PARTITION BY user_id ORDER BY value
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS cum_by_value,
+           CAST(sum(CAST(value AS DECIMAL(30,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                      EXCLUDE CURRENT ROW) AS DOUBLE)                        AS neighbor_sum,
+           CAST(sum(CAST(value AS DECIMAL(30,6)))
+                OVER (PARTITION BY user_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                      EXCLUDE CURRENT ROW) AS DOUBLE)
+             / nullif(count(*) OVER (PARTITION BY user_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                                     EXCLUDE CURRENT ROW), 0)                AS peer_avg
+    FROM events WHERE user_id < 10
+    """,
+)
+def w_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frames (running/moving/leading), non-integral RANGE frames,
+    and frame EXCLUDE CURRENT ROW — Spark has no EXCLUDE clause, so the
+    engine side subtracts the current row from the full-frame aggregate
+    (exact under decimal sums) while the oracle runs DuckDB's NATIVE
+    EXCLUDE, pinning the emulation against real EXCLUDE semantics."""
+    load_tables(spark, sf_dir, ["events"])
+    return spark.sql(_FRAMES_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets + rollup + cube + grouping() (g01 + g02 + g03)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "g01_g02_g03_grouping",
+    oracle="""
+    SELECT 'sets' AS tag, l_returnflag AS k1, l_linestatus AS k2,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS g_id,
+           count(*) AS n, sum(l_quantity) AS val
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    UNION ALL
+    SELECT 'rollup', r_name, n_name,
+           CAST(grouping(r_name) * 2 + grouping(n_name) AS INT),
+           count(*), CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE)
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    UNION ALL
+    SELECT 'cube', o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT),
+           count(*),
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) / count(o_totalprice)
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def g_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (SQL form) + ROLLUP/CUBE (DataFrame API) + the
+    grouping() marker, tagged-unioned into one schema. The grouping id
+    disambiguates subtotal NULLs from real NULL keys."""
+    t = load_tables(spark, sf_dir, ["lineitem", "customer", "nation", "region", "orders"])
+    sets = spark.sql(
+        """
+        SELECT 'sets' AS tag, l_returnflag AS k1, l_linestatus AS k2,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS g_id,
+               count(*) AS n, sum(l_quantity) AS val
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+    rollup = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            (F.grouping("r_name").cast("int") * 2 + F.grouping("n_name").cast("int")).alias(
+                "g_id"
+            ),
+            F.count("*").alias("n"),
+            dsum(F.col("c_acctbal"), 2).alias("val"),
+        )
+        .select(
+            F.lit("rollup").alias("tag"),
+            F.col("r_name").alias("k1"),
+            F.col("n_name").alias("k2"),
+            "g_id",
+            "n",
+            "val",
+        )
+    )
+    cube = (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            (
+                F.grouping("o_orderstatus").cast("int") * 2
+                + F.grouping("o_orderpriority").cast("int")
+            ).alias("g_id"),
+            F.count("*").alias("n"),
+            davg(F.col("o_totalprice")).alias("val"),
+        )
+        .select(
+            F.lit("cube").alias("tag"),
+            F.col("o_orderstatus").alias("k1"),
+            F.col("o_orderpriority").alias("k2"),
+            "g_id",
+            "n",
+            "val",
+        )
+    )
+    return sets.unionByName(rollup).unionByName(cube)
+
+
+# ---------------------------------------------------------------------------
+# Stats + ordered-set aggregates (a01 + a02), one grouping
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a01_a02_stats_ordered",
+    oracle="""
+    SELECT l_linestatus,
+           round(stddev_samp(l_extendedprice), 4) AS sd_samp,
+           round(stddev_pop(l_extendedprice), 4)  AS sd_pop,
+           round(var_samp(l_quantity), 6)         AS v_samp,
+           round(var_pop(l_quantity), 6)          AS v_pop,
+           round(corr(l_quantity, l_extendedprice), 8)       AS cor,
+           round(covar_pop(l_quantity, l_extendedprice), 4)  AS cov_pop,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_samp,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 8)    AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 6)       AS median_qty,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 4)  AS p90_price,
+           percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_disc,
+           mode() WITHIN GROUP (ORDER BY l_returnflag) AS mode_flag,
+           min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def a_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical + ordered-set aggregate families in one grouping.
+
+    Moment statistics accumulate in doubles, so engines differ in the
+    trailing ulps; outputs are rounded on both sides at granularities
+    ≥10^5 × the observed cross-engine divergence (measured at sf0.01)
+    so the rounded values hash identically. percentile_disc / mode /
+    min / max pick actual data values — exact, no rounding."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        t["lineitem"]
+        .groupBy("l_linestatus")
+        .agg(
+            F.round(F.stddev_samp(p), 4).alias("sd_samp"),
+            F.round(F.stddev_pop(p), 4).alias("sd_pop"),
+            F.round(F.var_samp(q), 6).alias("v_samp"),
+            F.round(F.var_pop(q), 6).alias("v_pop"),
+            F.round(F.corr(q, p), 8).alias("cor"),
+            F.round(F.covar_pop(q, p), 4).alias("cov_pop"),
+            F.round(F.covar_samp(q, p), 4).alias("cov_samp"),
+            F.round(F.regr_slope(p, q), 6).alias("slope"),
+            F.round(F.regr_intercept(p, q), 4).alias("intercept"),
+            F.round(F.regr_r2(p, q), 8).alias("r2"),
+            F.regr_count(p, q).alias("n"),
+            F.round(
+                F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)"), 6
+            ).alias("median_qty"),
+            F.round(
+                F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"), 4
+            ).alias("p90_price"),
+            F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)").alias(
+                "p25_disc"
+            ),
+            F.mode("l_returnflag").alias("mode_flag"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregate modifiers + multiple DISTINCT aggregates (a03 + a05)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a03_a05_agg_modifiers",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_orderpriority)                 AS n_prio,
+           count(DISTINCT o_custkey)                       AS n_cust,
+           count(*) FILTER (WHERE o_totalprice > 100000.0) AS n_big,
+           CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END
+                         AS DECIMAL(30,2))) AS DOUBLE)     AS urgent_total,
+           bool_and(o_totalprice > 0.0)                    AS all_positive,
+           bool_or(o_totalprice > 400000.0)                AS any_huge,
+           any_value(o_orderstatus)                        AS an_example,
+           CAST(sum(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_distinct_cents,
+           avg(DISTINCT CAST(round(o_totalprice) AS BIGINT)) AS avg_distinct_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT / FILTER / bool_and / bool_or / any_value plus multiple
+    DISTINCT aggregates over different columns in one grouping (Spark
+    plans this with expand). DISTINCT sums/avgs run over exact integers
+    so the values are order-independent."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_orderpriority").alias("n_prio"),
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.count(F.when(F.col("o_totalprice") > 100000.0, 1)).alias("n_big"),
+            dsum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")), 2
+            ).alias("urgent_total"),
+            F.bool_and(F.col("o_totalprice") > 0.0).alias("all_positive"),
+            F.bool_or(F.col("o_totalprice") > 400000.0).alias("any_huge"),
+            # grouped by the same column: any_value can only observe the key
+            F.any_value(F.col("o_orderstatus")).alias("an_example"),
+            F.expr("CAST(sum(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)")
+            .alias("sum_distinct_cents"),
+            F.expr("avg(DISTINCT CAST(round(o_totalprice) AS BIGINT))").alias(
+                "avg_distinct_price"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (s01 + s02 + s03 + s04)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s01_s04_set_operations",
+    oracle="""
+    SELECT 'union' AS op, CAST(nationkey AS BIGINT) AS k
+    FROM (SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9900.0
+          UNION SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect', CAST(k AS BIGINT)
+    FROM (SELECT c_nationkey AS k FROM customer
+          INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except_all', CAST(k AS BIGINT)
+    FROM (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+          EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    UNION ALL
+    SELECT 'intersect_all', CAST(k AS BIGINT)
+    FROM (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+          INTERSECT ALL SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A')
+    """,
+)
+def s_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (dedup), INTERSECT, EXCEPT ALL, INTERSECT ALL — multiset
+    semantics included — tagged into one result."""
+    t = load_tables(spark, sf_dir, ["customer", "supplier", "orders", "lineitem"])
+
+    def out(tag: str, df: DataFrame, col: str) -> DataFrame:
+        return df.select(F.lit(tag).alias("op"), F.col(col).cast("long").alias("k"))
+
+    u = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 9900.0)
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .union(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+    i = (
+        t["customer"]
+        .select(F.col("c_nationkey").alias("k"))
+        .intersect(t["supplier"].select(F.col("s_nationkey").alias("k")))
+    )
+    ea = (
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("k"))
+        .exceptAll(
+            t["orders"].filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("k"))
+        )
+    )
+    ia = (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_suppkey").alias("k"))
+        .intersectAll(
+            t["lineitem"]
+            .filter(F.col("l_returnflag") == "A")
+            .select(F.col("l_suppkey").alias("k"))
+        )
+    )
+    return (
+        out("union", u, "nationkey")
+        .unionByName(out("intersect", i, "k"))
+        .unionByName(out("except_all", ea, "k"))
+        .unionByName(out("intersect_all", ia, "k"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ORDER BY NULLS LAST + OFFSET/LIMIT + LIMIT WITH TIES (o01 + o03)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "o01_o03_order_limit",
+    oracle="""
+    SELECT 'order_offset' AS src, CAST(n_nationkey AS BIGINT) AS k, CAST(rk AS DOUBLE) AS v
+    FROM (SELECT n_nationkey, nullif(n_regionkey, 2) AS rk
+          FROM nation
+          ORDER BY rk DESC NULLS LAST, n_nationkey
+          LIMIT 10 OFFSET 5)
+    UNION ALL
+    SELECT 'with_ties', CAST(l_orderkey AS BIGINT), l_quantity
+    FROM (SELECT l_orderkey, l_quantity,
+                 rank() OVER (ORDER BY l_quantity DESC) AS r
+          FROM lineitem) t
+    WHERE r <= 5
+    """,
+)
+def o_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLS-LAST ordering with OFFSET+LIMIT, and the LIMIT WITH TIES
+    rewrite (rank() <= n), tagged into one result."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["nation", "lineitem"])
+    oo = (
+        t["nation"]
+        .select("n_nationkey", F.nullif(F.col("n_regionkey"), F.lit(2)).alias("rk"))
+        .orderBy(F.col("rk").desc_nulls_last(), "n_nationkey")
+        .offset(5)
+        .limit(10)
+        .select(
+            F.lit("order_offset").alias("src"),
+            F.col("n_nationkey").cast("long").alias("k"),
+            F.col("rk").cast("double").alias("v"),
+        )
+    )
+    wt = (
+        t["lineitem"]
+        .withColumn("__r", F.rank().over(W.orderBy(F.desc("l_quantity"))))
+        .filter(F.col("__r") <= 5)
+        .select(
+            F.lit("with_ties").alias("src"),
+            F.col("l_orderkey").cast("long").alias("k"),
+            F.col("l_quantity").alias("v"),
+        )
+    )
+    return oo.unionByName(wt)
+
+
+# ---------------------------------------------------------------------------
+# Chained + recursive CTEs (c01 + c02)
+# ---------------------------------------------------------------------------
+
+_CTES_SQL = """
+WITH RECURSIVE series(sn) AS (
+  SELECT 1
+  UNION ALL
+  SELECT sn + 1 FROM series WHERE sn < 20
+), big_orders AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+  WHERE o_totalprice > 200000.0
+), cust_stats AS (
+  SELECT o_custkey, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+  FROM big_orders GROUP BY o_custkey
+)
+SELECT 'chained' AS tag, c_name AS name, n, total AS val
+FROM cust_stats JOIN customer ON c_custkey = o_custkey
+WHERE n >= 2
+UNION ALL
+SELECT 'recursive', CAST(NULL AS STRING), CAST(sn AS BIGINT), CAST(sn * sn AS DOUBLE)
+FROM series
+"""
+
+
+@register("c01_c02_ctes", oracle=_CTES_SQL.replace("AS STRING", "AS VARCHAR"))
+def c_ctes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained CTE pipeline + WITH RECURSIVE in one statement — the
+    identical SQL text runs on both engines (modulo STRING/VARCHAR)."""
+    load_tables(spark, sf_dir, ["orders", "customer"])
+    return spark.sql(_CTES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery + LATERAL unnest (c03 + c04)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c03_c04_subqueries",
+    oracle="""
+    SELECT 'correlated' AS tag, CAST(o_orderkey AS BIGINT) AS k,
+           CAST(NULL AS VARCHAR) AS s, o_totalprice AS v
+    FROM orders o
+    WHERE o_totalprice > 2.0 * (
+      SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+             / count(o2.o_totalprice)
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lateral', CAST(n_nationkey AS BIGINT),
+           n_name || ':' || part_word, CAST(NULL AS DOUBLE)
+    FROM nation, LATERAL unnest(string_split(n_name, '_')) AS t(part_word)
+    WHERE n_nationkey < 5
+    """,
+)
+def c_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (decorrelated by Catalyst into an
+    aggregate + join) and LATERAL unnest (explode), tagged-unioned.
+    The correlated average uses the exact-decimal formulation so the
+    `> 2.0 * avg` boundary decides identically on both engines."""
+    t = load_tables(spark, sf_dir, ["orders", "nation"])
+    corr = spark.sql(
+        """
+        SELECT 'correlated' AS tag, CAST(o_orderkey AS BIGINT) AS k,
+               CAST(NULL AS STRING) AS s, o_totalprice AS v
+        FROM orders o
+        WHERE o_totalprice > 2.0 * (
+          SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+                 / count(o2.o_totalprice)
+          FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+    lat = (
+        t["nation"]
+        .filter(F.col("n_nationkey") < 5)
+        .select(
+            F.lit("lateral").alias("tag"),
+            F.col("n_nationkey").cast("long").alias("k"),
+            F.concat(F.col("n_name"), F.lit(":"), F.explode(F.split("n_name", "_"))).alias("s"),
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
+    return corr.unionByName(lat)
+
+
+# ---------------------------------------------------------------------------
+# Bound parameters + views (c05 + c06)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c05_c06_params_views",
+    oracle="""
+    SELECT 'param' AS tag, o_orderpriority AS name, count(*) AS n,
+           CAST(NULL AS DOUBLE) AS avg_v
+    FROM orders
+    WHERE o_totalprice > 250000.0 AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'view', r_name, count(*),
+           CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / count(c_acctbal)
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def c_params_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark-native named parameters) + a temp view
+    over a join (Catalyst inlines the view; pushdown unaffected)."""
+    t = load_tables(spark, sf_dir, ["orders", "customer", "nation", "region"])
+    param = spark.sql(
+        """
+        SELECT 'param' AS tag, o_orderpriority AS name, count(*) AS n,
+               CAST(NULL AS DOUBLE) AS avg_v
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderdate >= :min_date
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 250000.0, "min_date": "1997-01-01 00:00:00"},
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW customer_geo_suite AS
+        SELECT c_custkey, c_acctbal, n_name, r_name
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        """
+    )
+    view = spark.sql(
+        """
+        SELECT 'view' AS tag, r_name AS name, count(*) AS n,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / count(c_acctbal)
+                 AS avg_v
+        FROM customer_geo_suite GROUP BY r_name
+        """
+    )
+    return param.unionByName(view)
+
+
+# ---------------------------------------------------------------------------
+# Pivot → unpivot roundtrip + standalone unpivot (p01 + p02)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p01_p02_pivot_unpivot",
+    oracle="""
+    SELECT 'pivot_roundtrip' AS tag, l_returnflag AS k, metric, val
+    FROM (
+      SELECT l_returnflag,
+             coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0.0) AS qty_open,
+             coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0.0) AS qty_finished
+      FROM lineitem GROUP BY l_returnflag) t
+    UNPIVOT (val FOR metric IN (qty_open, qty_finished))
+    UNION ALL
+    SELECT 'unpivot', CAST(c_custkey AS VARCHAR), metric, val
+    FROM (SELECT c_custkey, c_acctbal AS acctbal,
+                 CAST(c_nationkey AS DOUBLE) AS nationkey_d
+          FROM customer WHERE c_custkey <= 20) t
+    UNPIVOT (val FOR metric IN (acctbal, nationkey_d))
+    """,
+)
+def p_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot() then unpivot() back (roundtrip exercises both rewrites on
+    the same data; sums coalesced to 0 so the engines' differing NULL
+    retention in unpivot cannot diverge) + the standalone unpivot."""
+    t = load_tables(spark, sf_dir, ["lineitem", "customer"])
+    piv = (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_open"),
+            F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_finished"),
+        )
+    )
+    round1 = (
+        piv.unpivot("l_returnflag", ["qty_open", "qty_finished"], "metric", "val")
+        .select(
+            F.lit("pivot_roundtrip").alias("tag"),
+            F.col("l_returnflag").alias("k"),
+            "metric",
+            "val",
+        )
+    )
+    unp = (
+        t["customer"]
+        .filter(F.col("c_custkey") <= 20)
+        .select(
+            "c_custkey",
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_nationkey").cast("double").alias("nationkey_d"),
+        )
+        .unpivot("c_custkey", ["acctbal", "nationkey_d"], "metric", "val")
+        .select(
+            F.lit("unpivot").alias("tag"),
+            F.col("c_custkey").cast("string").alias("k"),
+            "metric",
+            "val",
+        )
+    )
+    return round1.unionByName(unp)
+
+
+# ---------------------------------------------------------------------------
+# Math + casts/PG division + bitwise/width_bucket (f01 + f09 + f14)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f01_f09_f14_math_casts",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 2000.0)      AS abs_v,
+           ceil(l_quantity / 7.0)             AS ceil_v,
+           floor(l_quantity / 7.0)            AS floor_v,
+           round(l_extendedprice / 3.0, 2)    AS round_v,
+           trunc(l_extendedprice / 3.0)       AS trunc_v,
+           sqrt(l_quantity)                   AS sqrt_v,
+           round(cbrt(l_quantity), 6)         AS cbrt_v,
+           round(exp(l_discount), 6)          AS exp_v,
+           round(ln(l_extendedprice), 6)      AS ln_v,
+           round(log10(l_extendedprice), 6)   AS log10_v,
+           round(power(l_quantity, 2.0), 6)   AS pow_v,
+           CAST(mod(CAST(l_quantity AS BIGINT), 7) AS BIGINT) AS mod_v,
+           pi()                               AS pi_v,
+           round(degrees(l_discount), 6)      AS deg_v,
+           round(radians(l_quantity), 6)      AS rad_v,
+           round(sin(l_discount), 6) AS sin_v, round(cos(l_discount), 6) AS cos_v,
+           round(tan(l_discount), 6) AS tan_v, round(cot(l_discount + 1.0), 6) AS cot_v,
+           round(asin(l_discount), 6) AS asin_v, round(acos(l_discount), 6) AS acos_v,
+           round(atan(l_discount), 6) AS atan_v, round(atan2(l_discount, 2.0), 6) AS atan2_v,
+           CAST(sign(l_extendedprice - 30000.0) AS DOUBLE) AS sign_v,
+           CAST(l_quantity AS BIGINT)                        AS qty_int,
+           CAST(l_quantity AS VARCHAR)                       AS qty_str,
+           CAST(CAST(l_extendedprice AS DECIMAL(38,9)) AS VARCHAR) AS price_dec,
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR)         AS ship_str,
+           CAST(l_orderkey AS DOUBLE)                        AS key_dbl,
+           CAST(trunc((CAST(l_quantity AS BIGINT) - 25) / 7.0) AS BIGINT) AS pgdiv_v,
+           CAST(l_quantity AS BIGINT) % 7                    AS pgmod_v,
+           CAST('123' AS BIGINT) + l_orderkey                AS parsed_int,
+           CAST(l_orderkey & 255 AS BIGINT)        AS band_v,
+           CAST(l_orderkey | 16 AS BIGINT)         AS bor_v,
+           CAST(xor(l_orderkey, 85) AS BIGINT)     AS bxor_v,
+           CAST(l_orderkey << 2 AS BIGINT)         AS shl_v,
+           CAST(l_orderkey >> 1 AS BIGINT)         AS shr_v,
+           CAST(~l_linenumber AS INT)              AS bnot_v,
+           CASE WHEN l_quantity < 0.0 THEN CAST(0 AS BIGINT)
+                WHEN l_quantity >= 50.0 THEN CAST(6 AS BIGINT)
+                ELSE CAST(floor(l_quantity / 10.0) + 1 AS BIGINT)
+           END AS bucket_v
+    FROM lineitem WHERE l_orderkey <= 100
+    """,
+)
+def f_math_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full math / cast / PG-truncating-division / bitwise /
+    width_bucket probe set over one lineitem base (merges the f01, f09,
+    f14 coverage queries for the driver window; see funcs_coverage.py
+    for the per-family versions and rationale)."""
+    from pg_datalake_spark.functions import pg_div
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    k = F.col("l_orderkey")
+    return (
+        t["lineitem"]
+        .filter(k <= 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(p - 2000.0).alias("abs_v"),
+            F.ceil(q / 7.0).cast("double").alias("ceil_v"),
+            F.floor(q / 7.0).cast("double").alias("floor_v"),
+            F.round(p / 3.0, 2).alias("round_v"),
+            F.when(p / 3.0 >= 0, F.floor(p / 3.0))
+            .otherwise(-F.floor(-(p / 3.0)))
+            .cast("double")
+            .alias("trunc_v"),
+            F.sqrt(q).alias("sqrt_v"),
+            F.round(F.cbrt(q), 6).alias("cbrt_v"),
+            F.round(F.exp(d), 6).alias("exp_v"),
+            F.round(F.log(p), 6).alias("ln_v"),
+            F.round(F.log10(p), 6).alias("log10_v"),
+            F.round(F.pow(q, 2.0), 6).alias("pow_v"),
+            (q.cast("long") % 7).alias("mod_v"),
+            F.lit(3.141592653589793).alias("pi_v"),
+            F.round(F.degrees(d), 6).alias("deg_v"),
+            F.round(F.radians(q), 6).alias("rad_v"),
+            F.round(F.sin(d), 6).alias("sin_v"),
+            F.round(F.cos(d), 6).alias("cos_v"),
+            F.round(F.tan(d), 6).alias("tan_v"),
+            F.round(F.cot(d + 1.0), 6).alias("cot_v"),
+            F.round(F.asin(d), 6).alias("asin_v"),
+            F.round(F.acos(d), 6).alias("acos_v"),
+            F.round(F.atan(d), 6).alias("atan_v"),
+            F.round(F.atan2(d, F.lit(2.0)), 6).alias("atan2_v"),
+            F.signum(p - 30000.0).alias("sign_v"),
+            q.cast("long").alias("qty_int"),
+            q.cast("string").alias("qty_str"),
+            p.cast("decimal(38,9)").cast("string").alias("price_dec"),
+            F.col("l_shipdate").cast("date").cast("string").alias("ship_str"),
+            k.cast("double").alias("key_dbl"),
+            pg_div(q.cast("long") - 25, F.lit(7)).alias("pgdiv_v"),
+            (q.cast("long") % 7).alias("pgmod_v"),
+            (F.lit("123").cast("long") + k).alias("parsed_int"),
+            k.bitwiseAND(F.lit(255)).alias("band_v"),
+            k.bitwiseOR(F.lit(16)).alias("bor_v"),
+            k.bitwiseXOR(F.lit(85)).alias("bxor_v"),
+            F.shiftleft(k, 2).alias("shl_v"),
+            F.shiftright(k, 1).alias("shr_v"),
+            F.expr("~l_linenumber").alias("bnot_v"),
+            F.width_bucket(q, F.lit(0.0), F.lit(50.0), F.lit(5)).cast("long").alias("bucket_v"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrays + NULL-keeping array_agg + map/struct (f07 + f12 + f13)
+# ---------------------------------------------------------------------------
+
+_SEP = F.lit("|")
+
+
+def _payload(*cols: F.Column) -> F.Column:
+    """Join columns into one string; NULLs become a sentinel so they
+    stay distinguishable (concat_ws would silently drop them)."""
+    parts: list[F.Column] = []
+    for i, c in enumerate(cols):
+        if i:
+            parts.append(_SEP)
+        parts.append(F.coalesce(c.cast("string"), F.lit("∅")))
+    return F.concat(*parts)
+
+
+@register(
+    "f07_f12_f13_arrays_maps",
+    oracle="""
+    WITH t AS (
+      SELECT n_nationkey, array_agg(n_name ORDER BY n_name) AS names
+      FROM nation GROUP BY n_regionkey, n_nationkey
+    )
+    SELECT 'arrays' AS probe, CAST(n_nationkey AS VARCHAR) AS k,
+           coalesce(to_json(names), '∅') || '|' ||
+           coalesce(to_json(array_append(names, 'X')), '∅') || '|' ||
+           coalesce(to_json(array_prepend('A', names)), '∅') || '|' ||
+           coalesce(to_json(array_cat(names, ['Z1','Z2'])), '∅') || '|' ||
+           coalesce(CAST(CAST(len(names) AS INT) AS VARCHAR), '∅') || '|' ||
+           coalesce(names[1], '∅') || '|' ||
+           coalesce(CAST(array_contains(names, 'NATION_3') AS VARCHAR), '∅') || '|' ||
+           coalesce(to_json(list_sort(array_cat(names, ['AAA']))), '∅') AS payload
+    FROM t
+    UNION ALL
+    SELECT 'map_struct', CAST(n_nationkey AS VARCHAR),
+           coalesce(MAP {'nation': n_name,
+                         'region': CAST(n_regionkey AS VARCHAR)}['nation'][1], '∅') || '|' ||
+           coalesce(CAST(CAST(cardinality(MAP {'nation': n_name,
+                    'region': CAST(n_regionkey AS VARCHAR)}) AS INT) AS VARCHAR), '∅') || '|' ||
+           coalesce(to_json(list_sort(map_keys(MAP {'nation': n_name,
+                    'region': CAST(n_regionkey AS VARCHAR)}))), '∅') || '|' ||
+           coalesce(struct_pack(name := n_name, rk := n_regionkey).name, '∅') || '|' ||
+           coalesce(CAST((struct_pack(name := n_name, rk := n_regionkey)
+                          = struct_pack(name := n_name, rk := n_regionkey)) AS VARCHAR), '∅')
+    FROM nation
+    UNION ALL
+    SELECT 'array_agg_nulls', o_orderstatus,
+           coalesce(to_json(array_agg(v ORDER BY o_orderkey)), '∅')
+    FROM (SELECT o_orderstatus, o_orderkey,
+                 CASE WHEN o_totalprice > 200000.0 THEN NULL
+                      ELSE o_orderpriority END AS v
+          FROM orders WHERE o_orderkey <= 60) t
+    GROUP BY o_orderstatus
+    """,
+)
+def f_arrays_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions, PG NULL-keeping array_agg, and map/struct ops
+    (merges f07 + f12 + f13 for the driver window). Complex-typed
+    outputs are serialized (to_json / string payload) because the
+    driver's comparator cannot hash list cells."""
+    from pg_datalake_spark.functions import pg_array_agg
+
+    t = load_tables(spark, sf_dir, ["nation", "orders"])
+    names = F.col("names")
+    arrays = (
+        t["nation"]
+        .groupBy("n_regionkey", "n_nationkey")
+        .agg(F.sort_array(F.collect_list("n_name")).alias("names"))
+        .select(
+            F.lit("arrays").alias("probe"),
+            F.col("n_nationkey").cast("string").alias("k"),
+            _payload(
+                F.to_json(names),
+                F.to_json(F.array_append(names, F.lit("X"))),
+                F.to_json(F.array_prepend(names, F.lit("A"))),
+                F.to_json(F.concat(names, F.array(F.lit("Z1"), F.lit("Z2")))),
+                F.size(names),
+                F.element_at(names, 1),
+                F.array_contains(names, "NATION_3"),
+                F.to_json(F.sort_array(F.concat(names, F.array(F.lit("AAA"))))),
+            ).alias("payload"),
+        )
+    )
+    m = F.create_map(
+        F.lit("nation"), F.col("n_name"), F.lit("region"), F.col("n_regionkey").cast("string")
+    )
+    s = F.struct(F.col("n_name").alias("name"), F.col("n_regionkey").alias("rk"))
+    map_struct = t["nation"].select(
+        F.lit("map_struct").alias("probe"),
+        F.col("n_nationkey").cast("string").alias("k"),
+        _payload(
+            F.element_at(m, "nation"),
+            F.size(m),
+            F.to_json(F.sort_array(F.map_keys(m))),
+            s.getField("name"),
+            (s == s),
+        ).alias("payload"),
+    )
+    agg_base = (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 60)
+        .select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.when(F.col("o_totalprice") > 200000.0, F.lit(None))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("v"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("o_orderkey")
+    )
+    agg_nulls = agg_base.groupBy("o_orderstatus").agg(
+        F.to_json(pg_array_agg(F.col("v"))).alias("vals")
+    ).select(
+        F.lit("array_agg_nulls").alias("probe"),
+        F.col("o_orderstatus").alias("k"),
+        _payload(F.col("vals")).alias("payload"),
+    )
+    return arrays.unionByName(map_struct).unionByName(agg_nulls)
+
+
+# ---------------------------------------------------------------------------
+# Cosine top-k + all-pairs (v01 + v02)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "v01_v02_cosine",
+    oracle="""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT 'topk' AS tag, CAST(0 AS BIGINT) AS id_a, CAST(vec_id AS BIGINT) AS id_b,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cos_sim
+    FROM embeddings, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 20
+    """
+    + """
+    UNION ALL
+    SELECT 'pairs', CAST(a.vec_id AS BIGINT), CAST(b.vec_id AS BIGINT),
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6)
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+    """,
+)
+def v_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k + all-pairs threshold (merges v01 + v02;
+    see operators/similarity.py for the plans — narrow map + TakeOrdered
+    and norm-precomputed crossJoin). Scores rounded to 6 decimals before
+    selection on both sides (JVM vs DuckDB libm ulp divergence)."""
+    from pg_datalake_spark.operators import similarity
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    qv = t["embeddings"].filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    topk = similarity.cosine_topk(t["embeddings"], list(qv), k=20, round_to=6).select(
+        F.lit("topk").alias("tag"),
+        F.lit(0).cast("long").alias("id_a"),
+        F.col("vec_id").cast("long").alias("id_b"),
+        "cos_sim",
+    )
+    pairs = similarity.cosine_pairs(t["embeddings"], threshold=0.45, round_to=6).select(
+        F.lit("pairs").alias("tag"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cos_sim",
+    )
+    return topk.unionByName(pairs)

@@ -37,17 +37,41 @@ def disc_price() -> F.Column:
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
+def dsum(col: F.Column, scale: int = 4) -> F.Column:
+    """Order-independent money sum for the exact-hash gate.
+
+    A plain double sum varies in the last ulps with partitioning /
+    merge order, so two engines (or two runs) disagree bit-for-bit.
+    Per-row: both engines hold the identical IEEE double, and casting
+    it to DECIMAL rounds deterministically; the decimal accumulation is
+    exact integer arithmetic (order-independent); the final cast back
+    to double is one deterministic rounding of the same exact value.
+    Scales are chosen so the per-row value is captured exactly
+    (prices have 2 decimals, discount factors add 2 more per multiply)
+    while keeping the scaled sum below 2^53 at gate scale factors.
+    """
+    return F.sum(col.cast(f"decimal(30,{scale})")).cast("double")
+
+
+def davg(col: F.Column, scale: int = 2) -> F.Column:
+    """Order-independent average: exact decimal sum / non-null count."""
+    return F.sum(col.cast(f"decimal(30,{scale})")).cast("double") / F.count(col)
+
+
 @register(
     "q01_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity)                                       AS sum_qty,
-           sum(l_extendedprice)                                  AS sum_base_price,
-           sum(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
-           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-           avg(l_quantity)                                       AS avg_qty,
-           avg(l_extendedprice)                                  AS avg_price,
-           avg(l_discount)                                       AS avg_disc,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6)))
+                AS DOUBLE)                                       AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / count(l_extendedprice)
+             AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE) / count(l_discount) AS avg_disc,
            count(*)                                              AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -61,13 +85,13 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") <= ts("1998-09-02 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price()).alias("sum_disc_price"),
-            F.sum(disc_price() * (1 + F.col("l_tax"))).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            F.sum("l_quantity").alias("sum_qty"),  # integral doubles: exact in any order
+            dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dsum(disc_price(), 4).alias("sum_disc_price"),
+            dsum(disc_price() * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -77,7 +101,8 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+             AS revenue,
            o_orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -99,7 +124,7 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(disc_price()).alias("revenue"))
+        .agg(dsum(disc_price()).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -135,7 +160,9 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q05_local_supplier_volume",
     oracle="""
-    SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+             AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -172,14 +199,14 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.sum(disc_price()).alias("revenue"))
+        .agg(dsum(disc_price()).alias("revenue"))
     )
 
 
 @register(
     "q06_forecast_revenue",
     oracle="""
-    SELECT sum(l_extendedprice * l_discount) AS revenue
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,4))) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -197,14 +224,15 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.03, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
     )
 
 
 @register(
     "q07_volume_shipping",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(CAST(volume AS DECIMAL(30,4))) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS INT) AS l_year,
@@ -253,14 +281,15 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
             disc_price().alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum("volume").alias("revenue"))
+        .agg(dsum(F.col("volume")).alias("revenue"))
     )
 
 
 @register(
     "q09_product_type_profit",
     oracle="""
-    SELECT n_name AS nation, o_year, sum(amount) AS sum_profit
+    SELECT n_name AS nation, o_year,
+           CAST(sum(CAST(amount AS DECIMAL(30,4))) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
              l_extendedprice * (1 - l_discount) AS amount
@@ -289,7 +318,7 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
             disc_price().alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.sum("amount").alias("sum_profit"))
+        .agg(dsum(F.col("amount")).alias("sum_profit"))
     )
 
 
@@ -297,7 +326,8 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+             AS revenue,
            c_acctbal, n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -323,7 +353,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(disc_price()).alias("revenue"))
+        .agg(dsum(disc_price()).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -393,10 +423,11 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_effect",
     oracle="""
-    SELECT 100.00 * sum(CASE WHEN p_type = 'PROMO'
+    SELECT 100.00 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
                              THEN l_extendedprice * (1 - l_discount)
-                             ELSE 0.0 END)
-           / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+                             ELSE 0.0 END AS DECIMAL(30,4))) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+             AS promo_revenue
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
@@ -414,8 +445,8 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", disc_price()).otherwise(F.lit(0.0)))
-                / F.sum(disc_price())
+                * dsum(F.when(F.col("p_type") == "PROMO", disc_price()).otherwise(F.lit(0.0)))
+                / dsum(disc_price())
             ).alias("promo_revenue")
         )
     )
@@ -426,7 +457,8 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+               AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -446,7 +478,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < ts("1997-04-01 00:00:00"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(F.sum(disc_price()).alias("total_revenue"))
+        .agg(dsum(disc_price()).alias("total_revenue"))
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("m"))
     return (
@@ -484,12 +516,14 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / 7.0 AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#2'
       AND l_quantity < (
-        SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+        SELECT 0.5 * (CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+                      / count(l_quantity))
+        FROM lineitem l2
         WHERE l2.l_partkey = lineitem.l_partkey)
     """,
 )
@@ -500,7 +534,7 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_avg = (
         t["lineitem"]
         .groupBy(F.col("l_partkey").alias("pk"))
-        .agg(F.avg("l_quantity").alias("avg_qty"))
+        .agg(davg(F.col("l_quantity")).alias("avg_qty"))
     )
     brand = t["part"].filter(F.col("p_brand") == "Brand#2")
     return (
@@ -508,7 +542,7 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(brand, F.col("p_partkey") == F.col("l_partkey"))
         .join(part_avg, F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
-        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+        .agg((dsum(F.col("l_extendedprice"), 2) / 7.0).alias("avg_yearly"))
     )
 
 
@@ -553,7 +587,8 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_discounted_revenue",
     oracle="""
-    SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE)
+             AS revenue
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
@@ -587,7 +622,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
-        .agg(F.sum(disc_price()).alias("revenue"))
+        .agg(dsum(disc_price()).alias("revenue"))
     )
 
 
@@ -640,9 +675,11 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q22_global_sales_opportunity",
     oracle="""
-    SELECT n_name AS cntry, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+    SELECT n_name AS cntry, count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS totacctbal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+    WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / count(*)
+                       FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                       AND o_orderpriority = '1-URGENT')
     GROUP BY n_name
@@ -651,7 +688,9 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["customer", "orders", "nation"])
     avg_bal = (
-        t["customer"].filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0.0)
+        .agg(davg(F.col("c_acctbal")).alias("ab"))
     )
     return (
         t["customer"]
@@ -664,7 +703,7 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("cntry"))
-        .agg(F.count("*").alias("numcust"), F.sum("c_acctbal").alias("totacctbal"))
+        .agg(F.count("*").alias("numcust"), dsum(F.col("c_acctbal"), 2).alias("totacctbal"))
     )
 
 
@@ -672,8 +711,9 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q08_market_share",
     oracle="""
     SELECT o_year,
-           sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0.0 END) / sum(volume)
-             AS mkt_share
+           CAST(sum(CAST(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0.0 END
+                         AS DECIMAL(30,4))) AS DOUBLE)
+           / CAST(sum(CAST(volume AS DECIMAL(30,4))) AS DOUBLE) AS mkt_share
     FROM (
       SELECT CAST(year(o_orderdate) AS INT) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
@@ -723,8 +763,8 @@ def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             (
-                F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(0.0))
-                / F.sum("volume")
+                dsum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(0.0))
+                / dsum(F.col("volume"))
             ).alias("mkt_share")
         )
     )
@@ -770,13 +810,16 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q11_important_stock",
     oracle="""
-    SELECT n_name, sum(l_extendedprice * l_quantity) AS stock_value
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+             AS stock_value
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
     GROUP BY n_name
-    HAVING sum(l_extendedprice * l_quantity) > (
-      SELECT sum(l_extendedprice * l_quantity) * 0.05 FROM lineitem)
+    HAVING CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(30,2))) AS DOUBLE) > (
+      SELECT CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(30,2))) AS DOUBLE) * 0.05
+      FROM lineitem)
     """,
 )
 def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -784,13 +827,13 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold) adapted to lineitem value per supplier nation."""
     t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
     value = F.col("l_extendedprice") * F.col("l_quantity")
-    total = t["lineitem"].agg((F.sum(value) * 0.05).alias("threshold"))
+    total = t["lineitem"].agg((dsum(value, 2) * 0.05).alias("threshold"))
     return (
         t["lineitem"]
         .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.sum(value).alias("stock_value"))
+        .agg(dsum(value, 2).alias("stock_value"))
         .join(F.broadcast(total))
         .filter(F.col("stock_value") > F.col("threshold"))
         .select("n_name", "stock_value")
