@@ -59,7 +59,9 @@ def src02(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "st01_incremental_ingest",
     oracle="""
-    SELECT count(*) AS n, sum(value) AS total_value, count(DISTINCT user_id) AS n_users
+    SELECT count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value,
+           count(DISTINCT user_id) AS n_users
     FROM events
     """,
 )
@@ -86,9 +88,11 @@ def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental_file_ingest(spark, landing, src_schema, ckpt, sink, fmt="parquet")
     ingested = spark.read.parquet(sink_dir)
     # raw nanos → seconds value column unaffected; aggregate only typed cols
+    # exact decimal sum: double accumulation order differs between
+    # engines (and between runs), decimal cents hash identically
     return ingested.agg(
         F.count("*").alias("n"),
-        F.sum("value").alias("total_value"),
+        F.sum(F.col("value").cast("decimal(30,2)")).cast("double").alias("total_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
 
@@ -99,7 +103,7 @@ def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
            event_type,
            count(*) AS n_events,
-           sum(value) AS total_value
+           round(sum(value), 2) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -110,11 +114,14 @@ def st02(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-op)."""
     t = load_tables(spark, sf_dir, ["events"])
     out = windowed_event_counts(t["events"], window="1 hour", group_cols=["event_type"])
+    # values are exact cents, so the true sum is a cent multiple;
+    # round(2) collapses the engines' differing accumulation-order
+    # noise (~1e-9) onto the same double
     return out.select(
         F.col("window_start").cast("timestamp_ntz").alias("window_start"),
         "event_type",
         "n_events",
-        "total_value",
+        F.round("total_value", 2).alias("total_value"),
     )
 
 
@@ -170,7 +177,8 @@ def src03(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "st03_stateful_counts",
     oracle="""
-    SELECT user_id, count(*) AS n_events, sum(value) AS total_value
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
     FROM events
     GROUP BY user_id
     """,
@@ -190,7 +198,10 @@ def st03(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(landing)
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(landing, "events.parquet"))
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return stateful_user_counts(spark, landing, schema, os.path.join(stage, "ckpt"))
+    out = stateful_user_counts(spark, landing, schema, os.path.join(stage, "ckpt"))
+    # state accumulates doubles batch-by-batch; round(2) makes the
+    # cent-valued sums hash identically to the oracle's
+    return out.select("user_id", "n_events", F.round("total_value", 2).alias("total_value"))
 
 
 @register(
@@ -199,7 +210,7 @@ def st03(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
            event_type,
            count(*) AS n_events,
-           sum(value) AS total_value
+           round(sum(value), 2) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -216,4 +227,9 @@ def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup = create_rollup(spark, tempfile.mkdtemp(prefix="st04_") + "/rollup")
     refresh_rollup(rollup, t["events"].filter(F.col("ts") < cutoff))
     refresh_rollup(rollup, t["events"].filter(F.col("ts") >= cutoff))
-    return rollup.scan().select("window_start", "event_type", "n_events", "total_value")
+    return rollup.scan().select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+    )

@@ -517,10 +517,17 @@ def c_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat = (
         t["nation"]
         .filter(F.col("n_nationkey") < 5)
+        # explode must be a top-level generator (Spark rejects it nested
+        # inside concat) — generate first, then build the payload
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.explode(F.split("n_name", "_")).alias("part_word"),
+        )
         .select(
             F.lit("lateral").alias("tag"),
             F.col("n_nationkey").cast("long").alias("k"),
-            F.concat(F.col("n_name"), F.lit(":"), F.explode(F.split("n_name", "_"))).alias("s"),
+            F.concat(F.col("n_name"), F.lit(":"), F.col("part_word")).alias("s"),
             F.lit(None).cast("double").alias("v"),
         )
     )
@@ -766,16 +773,15 @@ def f_math_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Arrays + NULL-keeping array_agg + map/struct (f07 + f12 + f13)
 # ---------------------------------------------------------------------------
 
-_SEP = F.lit("|")
-
-
 def _payload(*cols: F.Column) -> F.Column:
     """Join columns into one string; NULLs become a sentinel so they
-    stay distinguishable (concat_ws would silently drop them)."""
+    stay distinguishable (concat_ws would silently drop them).
+    Separator is built lazily — a module-scope F.lit() would assert an
+    active SparkContext at import time and crash plans.load_all()."""
     parts: list[F.Column] = []
     for i, c in enumerate(cols):
         if i:
-            parts.append(_SEP)
+            parts.append(F.lit("|"))
         parts.append(F.coalesce(c.cast("string"), F.lit("∅")))
     return F.concat(*parts)
 
@@ -788,14 +794,14 @@ def _payload(*cols: F.Column) -> F.Column:
       FROM nation GROUP BY n_regionkey, n_nationkey
     )
     SELECT 'arrays' AS probe, CAST(n_nationkey AS VARCHAR) AS k,
-           coalesce(to_json(names), '∅') || '|' ||
-           coalesce(to_json(array_append(names, 'X')), '∅') || '|' ||
-           coalesce(to_json(array_prepend('A', names)), '∅') || '|' ||
-           coalesce(to_json(array_cat(names, ['Z1','Z2'])), '∅') || '|' ||
+           coalesce(CAST(to_json(names) AS VARCHAR), '∅') || '|' ||
+           coalesce(CAST(to_json(array_append(names, 'X')) AS VARCHAR), '∅') || '|' ||
+           coalesce(CAST(to_json(array_prepend('A', names)) AS VARCHAR), '∅') || '|' ||
+           coalesce(CAST(to_json(array_cat(names, ['Z1','Z2'])) AS VARCHAR), '∅') || '|' ||
            coalesce(CAST(CAST(len(names) AS INT) AS VARCHAR), '∅') || '|' ||
            coalesce(names[1], '∅') || '|' ||
            coalesce(CAST(array_contains(names, 'NATION_3') AS VARCHAR), '∅') || '|' ||
-           coalesce(to_json(list_sort(array_cat(names, ['AAA']))), '∅') AS payload
+           coalesce(CAST(to_json(list_sort(array_cat(names, ['AAA']))) AS VARCHAR), '∅') AS payload
     FROM t
     UNION ALL
     SELECT 'map_struct', CAST(n_nationkey AS VARCHAR),
@@ -811,7 +817,7 @@ def _payload(*cols: F.Column) -> F.Column:
     FROM nation
     UNION ALL
     SELECT 'array_agg_nulls', o_orderstatus,
-           coalesce(to_json(array_agg(v ORDER BY o_orderkey)), '∅')
+           coalesce(CAST(to_json(array_agg(v ORDER BY o_orderkey)) AS VARCHAR), '∅')
     FROM (SELECT o_orderstatus, o_orderkey,
                  CASE WHEN o_totalprice > 200000.0 THEN NULL
                       ELSE o_orderpriority END AS v
@@ -893,12 +899,14 @@ def f_arrays_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "v01_v02_cosine",
     oracle="""
-    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT 'topk' AS tag, CAST(0 AS BIGINT) AS id_a, CAST(vec_id AS BIGINT) AS id_b,
-           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cos_sim
-    FROM embeddings, q
-    ORDER BY cos_sim DESC, vec_id
-    LIMIT 20
+    SELECT * FROM (
+      WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT 'topk' AS tag, CAST(0 AS BIGINT) AS id_a, CAST(vec_id AS BIGINT) AS id_b,
+             round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cos_sim
+      FROM embeddings, q
+      ORDER BY cos_sim DESC, vec_id
+      LIMIT 20
+    ) topk_arm
     """
     + """
     UNION ALL
@@ -932,3 +940,247 @@ def v_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_sim",
     )
     return topk.unionByName(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Join shapes: full outer + right + cross + band + as-of + USING + NULLs
+# (j01 + j02 + j03 + j04 + j05 + j06 + n01)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j01_j06_n01_joins",
+    oracle="""
+    SELECT 'full_outer' AS probe, CAST(n_nationkey AS VARCHAR) AS k,
+           coalesce(n_name, '∅') || '|' ||
+           coalesce(CAST(cust_cnt AS VARCHAR), '∅') AS payload
+    FROM nation
+    FULL OUTER JOIN (
+      SELECT c_nationkey, count(*) AS cust_cnt
+      FROM customer WHERE c_acctbal > 9000.0 GROUP BY c_nationkey
+    ) cc ON n_nationkey = c_nationkey
+    UNION ALL
+    SELECT 'right', CAST(s_suppkey AS VARCHAR),
+           coalesce(s_name, '∅') || '|' || coalesce(n_name, '∅')
+    FROM nation RIGHT JOIN supplier
+      ON n_nationkey = s_nationkey AND n_regionkey < 3
+    UNION ALL
+    SELECT 'cross', coalesce(r_name, '∅') || '|' || coalesce(o_orderstatus, '∅'),
+           CAST(n AS VARCHAR)
+    FROM (
+      SELECT r_name, o_orderstatus, count(*) AS n
+      FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+      CROSS JOIN nation
+      WHERE n_regionkey = r_regionkey
+      GROUP BY r_name, o_orderstatus
+    ) cx
+    UNION ALL
+    SELECT 'band', band,
+           CAST(n_orders AS VARCHAR) || '|' || CAST(total AS VARCHAR)
+    FROM (
+      SELECT band, count(*) AS n_orders,
+             sum(CAST(o_totalprice AS DECIMAL(30,2))) AS total
+      FROM orders
+      JOIN (VALUES ('low', 0.0, 20000.0), ('mid', 20000.0, 100000.0),
+                   ('high', 100000.0, 1e9)) AS b(band, lo, hi)
+        ON o_totalprice >= lo AND o_totalprice < hi
+      GROUP BY band
+    ) bd
+    UNION ALL
+    SELECT 'asof', CAST(event_id AS VARCHAR),
+           CAST(epoch_us(ts) AS VARCHAR) || '|' ||
+           coalesce(CAST(epoch_us(last_click_ts) AS VARCHAR), '∅')
+    FROM (
+      SELECT e.event_id, e.ts, c.last_click_ts
+      FROM events e
+      LEFT JOIN LATERAL (
+        SELECT max(e2.ts) AS last_click_ts
+        FROM events e2
+        WHERE e2.user_id = e.user_id AND e2.event_type = 'click' AND e2.ts <= e.ts
+      ) c ON true
+      WHERE e.event_type = 'purchase'
+    ) ao
+    UNION ALL
+    SELECT 'using', CAST(n_nationkey AS VARCHAR),
+           coalesce(n_name, '∅') || '|' || coalesce(r_name, '∅')
+    FROM (SELECT n_nationkey, n_name, n_regionkey AS rk FROM nation) n
+    JOIN (SELECT r_regionkey AS rk, r_name FROM region) r USING (rk)
+    UNION ALL
+    SELECT 'null_semantics', 'agg',
+           CAST(n_rows AS VARCHAR) || '|' || CAST(n_st AS VARCHAR) || '|' ||
+           CAST(n_st_distinct AS VARCHAR) || '|' || CAST(n_null AS VARCHAR) || '|' ||
+           CAST(n_null_nsafe AS VARCHAR) || '|' ||
+           coalesce(CAST(min_k7 AS VARCHAR), '∅') || '|' ||
+           coalesce(CAST(max_k7 AS VARCHAR), '∅') || '|' ||
+           CAST(both_null AS VARCHAR)
+    FROM (
+      SELECT count(*) AS n_rows, count(st) AS n_st,
+             count(DISTINCT st) AS n_st_distinct,
+             CAST(sum(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             CAST(sum(CASE WHEN st IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_nsafe,
+             min(k7) AS min_k7, max(k7) AS max_k7,
+             CAST(count(*) FILTER (WHERE k7 IS NULL AND st IS NULL) AS BIGINT) AS both_null
+      FROM (SELECT nullif(o_orderstatus, 'P') AS st,
+                   nullif(o_custkey % 7, 3)   AS k7
+            FROM orders WHERE o_orderkey <= 400) t
+    ) ns
+    """,
+)
+def j_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every §2.3 join shape the driver window was missing — full outer,
+    right, cross, theta/band, as-of, USING — plus the §2.8 NULL-semantics
+    probe, tagged-unioned into one schema. The per-shape queries stay
+    registered individually (relational.py j01–j06, n01) for the local
+    parity gate and for readable single-operator plans; this suite is the
+    driver-verified aggregate (reference join surface:
+    pg_lake_table/src/fdw/pg_lake_table.c join pushdown tests)."""
+    from pg_datalake_spark.operators.asof import asof_join
+
+    t = load_tables(
+        spark, sf_dir,
+        ["nation", "region", "customer", "supplier", "orders", "events"],
+    )
+
+    def tag(probe: str, k: F.Column, payload: F.Column):
+        return [
+            F.lit(probe).alias("probe"),
+            k.cast("string").alias("k"),
+            payload.alias("payload"),
+        ]
+
+    # j01: full outer against a filtered aggregate
+    cc = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 9000.0)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("cust_cnt"))
+    )
+    full_outer = (
+        t["nation"]
+        .join(cc, F.col("n_nationkey") == F.col("c_nationkey"), "full_outer")
+        .select(*tag("full_outer", F.col("n_nationkey"),
+                     _payload(F.col("n_name"), F.col("cust_cnt"))))
+    )
+
+    # j02: right join with a compound (key + residual) condition
+    right = (
+        t["nation"]
+        .join(
+            t["supplier"],
+            (F.col("n_nationkey") == F.col("s_nationkey")) & (F.col("n_regionkey") < 3),
+            "right",
+        )
+        .select(*tag("right", F.col("s_suppkey"),
+                     _payload(F.col("s_name"), F.col("n_name"))))
+    )
+
+    # j03: cross join (tiny dims — broadcast-nested-loop at any scale)
+    cross = (
+        t["region"]
+        .crossJoin(t["orders"].select("o_orderstatus").distinct())
+        .crossJoin(t["nation"])
+        .filter(F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .select(*tag("cross", _payload(F.col("r_name"), F.col("o_orderstatus")),
+                     F.col("n").cast("string")))
+    )
+
+    # j04: theta/band join against an O(1)-row broadcast dim
+    bands = spark.createDataFrame(
+        [("low", 0.0, 20000.0), ("mid", 20000.0, 100000.0), ("high", 100000.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    band = (
+        t["orders"]
+        .join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_orders"),
+            # exact decimal sum — order-independent, hashes identically
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("total"),
+        )
+        .select(*tag("band", F.col("band"),
+                     _payload(F.col("n_orders"), F.col("total"))))
+    )
+
+    # j05: as-of join (last click at-or-before each purchase, per user);
+    # timestamps compared as epoch µs — engine-neutral string form
+    purchases = t["events"].filter(F.col("event_type") == "purchase")
+    clicks = t["events"].filter(F.col("event_type") == "click")
+    asof = (
+        asof_join(
+            purchases,
+            clicks.select("user_id", F.col("ts").alias("click_ts")),
+            on="user_id",
+            left_time="ts",
+            right_time="click_ts",
+        )
+        .select(*tag(
+            "asof",
+            F.col("event_id"),
+            _payload(
+                F.unix_micros(F.col("ts").cast("timestamp")),
+                F.unix_micros(F.col("click_ts").cast("timestamp")),
+            ),
+        ))
+    )
+
+    # j06: USING join (shared key column, deduplicated)
+    using = (
+        t["nation"]
+        .select("n_nationkey", "n_name", F.col("n_regionkey").alias("rk"))
+        .join(
+            F.broadcast(t["region"].select(F.col("r_regionkey").alias("rk"), "r_name")),
+            "rk",
+        )
+        .select(*tag("using", F.col("n_nationkey"),
+                     _payload(F.col("n_name"), F.col("r_name"))))
+    )
+
+    # n01: NULL-semantics counters (count/DISTINCT/min/max skip NULLs,
+    # null-safe equality, FILTER over NULL predicates)
+    nbase = (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 400)
+        .select(
+            F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("st"),
+            F.nullif(F.col("o_custkey") % 7, F.lit(3)).alias("k7"),
+        )
+    )
+    nulls = (
+        nbase.agg(
+            F.count("*").alias("n_rows"),
+            F.count("st").alias("n_st"),
+            F.countDistinct("st").alias("n_st_distinct"),
+            F.sum(F.when(F.col("st").isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+            F.sum(F.when(F.col("st").eqNullSafe(F.lit(None)), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_nsafe"),
+            F.min("k7").alias("min_k7"),
+            F.max("k7").alias("max_k7"),
+            F.count(F.when(F.col("k7").isNull() & F.col("st").isNull(), 1)).alias("both_null"),
+        )
+        .select(*tag(
+            "null_semantics",
+            F.lit("agg"),
+            _payload(
+                F.col("n_rows"), F.col("n_st"), F.col("n_st_distinct"),
+                F.col("n_null"), F.col("n_null_nsafe"),
+                F.col("min_k7"), F.col("max_k7"), F.col("both_null"),
+            ),
+        ))
+    )
+
+    return (
+        full_outer.unionByName(right)
+        .unionByName(cross)
+        .unionByName(band)
+        .unionByName(asof)
+        .unionByName(using)
+        .unionByName(nulls)
+    )
