@@ -108,12 +108,13 @@ def hyperplane_weight(plane: int, dim: int) -> float:
     return int(h, 16) / float(2**31) - 1.0
 
 
-def lsh_bucket(vec: Column, dims: int, num_planes: int = 8) -> Column:
+def lsh_bucket(vec: Column, dims: int, num_planes: int = 8, plane_offset: int = 0) -> Column:
     """Random-hyperplane signature: bit p = (vec · plane_p >= 0).
-    Returns the bucket id as a long (0 .. 2^num_planes-1)."""
+    Returns the bucket id as a long (0 .. 2^num_planes-1).
+    ``plane_offset`` selects a disjoint plane set per band."""
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
-        w = F.array(*[F.lit(hyperplane_weight(p, d)) for d in range(dims)])
+        w = F.array(*[F.lit(hyperplane_weight(plane_offset + p, d)) for d in range(dims)])
         bit = F.when(dot(vec, w) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket + bit * (2**p)
     return bucket
@@ -126,27 +127,47 @@ def lsh_bucketed_pairs(
     vec_col: str = "embedding",
     num_planes: int = 8,
     threshold: float = 0.45,
+    num_bands: int = 1,
 ) -> DataFrame:
     """Scale path for cosine near-dup: bucket by hyperplane signature,
     compare only within buckets, verify exact cosine.
 
-    Recall < 1 by construction (near-threshold pairs may straddle a
-    plane); deterministic given the md5 planes.
+    ``num_bands`` independent hash tables of ``num_planes`` planes
+    each (OR-amplification, the random-hyperplane analog of MinHash
+    banding): a pair is a candidate if it collides in ANY band, then
+    the exact cosine filter removes false positives — so precision is
+    1.0 by construction and recall is 1-(1-p^r)^b for collision
+    probability p = 1 - angle/pi. One band keeps the legacy
+    single-table behavior.
+
+    Shuffle shape at scale: each vector emits ``num_bands`` (band,
+    signature) keys — one groupBy-sized shuffle of b x rows, in-bucket
+    pair generation per band, then a distinct on (id_a, id_b) before
+    the (cheap, already-computed) cosine verify. Deterministic given
+    the md5 planes.
     """
+    sigs = F.array(
+        *[
+            lsh_bucket(F.col(vec_col), dims, num_planes, plane_offset=band * num_planes)
+            for band in range(num_bands)
+        ]
+    )
     bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),
-        lsh_bucket(F.col(vec_col), dims, num_planes).alias("bucket"),
+        F.posexplode(sigs).alias("band", "sig"),
         norm(F.col(vec_col)).alias("__n"),
     )
     a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket", F.col("__n").alias("na")
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        "band", "sig", F.col("__n").alias("na"),
     )
     b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket", F.col("__n").alias("nb")
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        "band", "sig", F.col("__n").alias("nb"),
     )
-    return (
-        a.join(b, "bucket")
+    pairs = (
+        a.join(b, ["band", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
@@ -154,4 +175,10 @@ def lsh_bucketed_pairs(
             (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
-    )  # one bucket per vector → each pair appears at most once; no distinct needed
+    )
+    if num_bands == 1:
+        # one bucket per vector → each pair appears at most once
+        return pairs
+    # a pair may collide in several bands — dedup AFTER the threshold
+    # filter so the distinct operates on the (much smaller) survivor set
+    return pairs.groupBy("id_a", "id_b").agg(F.first("cos_sim").alias("cos_sim"))

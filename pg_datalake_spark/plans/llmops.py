@@ -186,10 +186,15 @@ def v02(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("v03_ann_lsh_pairs")  # rows-only: LSH recall < 1 by construction
 def v03(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed near-neighbor pairs (the 100 TB path:
-    bucket join replaces the O(n²) cross product). Deterministic
-    md5-derived planes; recall < 1, so checked rows-only."""
+    per-band bucket joins replace the O(n²) cross product). 16 bands
+    of 4 planes (OR-amplification) — measured recall 0.90 vs brute
+    force at threshold 0.3 with precision 1.0 (exact in-bucket verify);
+    pinned by tests/test_property_checks.py. Deterministic md5 planes;
+    recall < 1 by construction, so checked rows-only."""
     t = load_tables(spark, sf_dir, ["embeddings"])
-    return similarity.lsh_bucketed_pairs(t["embeddings"], dims=64, num_planes=8, threshold=0.3)
+    return similarity.lsh_bucketed_pairs(
+        t["embeddings"], dims=64, num_planes=4, threshold=0.3, num_bands=16
+    )
 
 
 @register(

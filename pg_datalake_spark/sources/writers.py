@@ -34,10 +34,9 @@ def copy_to(
         # explicit format does not opt out of extension-based
         # compression inference ("/out/x.csv.gz" must be gzipped)
         try:
-            _, ext_comp = infer_format(path)
-            compression = ext_comp
+            _, compression = infer_format(path)
         except ValueError:
-            pass
+            compression = None  # extension names no known codec — write uncompressed
     writer = df.coalesce(1) if single_file else df
     w = writer.write.mode(mode).options(**{k: str(v) for k, v in options.items()})
     if fmt == "csv":

@@ -1,0 +1,127 @@
+"""Property checks for the rows-only (no-SQL-oracle) paths.
+
+The driver's correctness gate can only do a rows>0 check on these
+(approximate / engine-specific semantics), so each gets a property
+assertion here instead: ANN recall vs the brute-force baseline,
+histogram invariants, and sketch error bounds vs exact aggregates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+from pg_datalake_spark.catalog import load_tables
+
+
+# ---------------------------------------------------------------------------
+# v03: hyperplane-LSH ANN vs brute-force cosine pairs
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_ann_recall_and_precision(spark):
+    from pg_datalake_spark.operators import similarity
+
+    emb = load_tables(spark, SF_DIR, ["embeddings"])["embeddings"].persist()
+    brute = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs(emb, threshold=0.3, round_to=6).collect()
+    }
+    assert len(brute) > 50, "test data must produce a meaningful pair set"
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in similarity.lsh_bucketed_pairs(
+            emb, dims=64, num_planes=4, threshold=0.3, num_bands=16
+        ).collect()
+    }
+    # precision is 1.0 by construction: candidates are verified with the
+    # exact cosine before the threshold filter (round_to=6 on the brute
+    # side only affects pairs within 1e-6 of the threshold; exclude them)
+    near_boundary = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs(emb, threshold=0.299998).collect()
+    }
+    assert lsh <= near_boundary, "LSH returned a pair below the threshold"
+    recall = len(lsh & brute) / len(brute)
+    assert recall >= 0.85, f"banded LSH recall degraded: {recall:.3f} < 0.85"
+
+
+# ---------------------------------------------------------------------------
+# v04: IVF top-k vs brute-force cosine top-k
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    from pg_datalake_spark.operators import ivf, similarity
+
+    emb = load_tables(spark, SF_DIR, ["embeddings"])["embeddings"].persist()
+    qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    brute_top = [r.vec_id for r in similarity.cosine_topk(emb, qv, k=10, round_to=6).collect()]
+    centroids = ivf.train_ivf_centroids(emb, k=8, iterations=2)
+    ivf_top = [r.vec_id for r in ivf.ivf_topk(emb, centroids, qv, k=10, nprobe=3).collect()]
+    recall = len(set(brute_top) & set(ivf_top)) / 10
+    assert recall >= 0.8, f"IVF recall@10 degraded: {recall:.2f} < 0.8"
+
+
+# ---------------------------------------------------------------------------
+# mm04: byte-histogram feature invariants
+# ---------------------------------------------------------------------------
+
+
+def test_byte_histogram_invariants(spark):
+    from pg_datalake_spark.operators import multimodal as mm
+
+    docs = load_tables(spark, SF_DIR, ["documents"])["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        mm.fake_media(F.col("doc_id"), kind="image").alias("data"),
+    ).limit(100)
+    rows = mm.media_features(media, dims=8).collect()
+    assert len(rows) == 100
+    for r in rows:
+        f = np.asarray(r["features"], dtype=np.float64)
+        assert f.shape == (8,)
+        assert (f >= 0).all() and (f <= 1).all()
+        # normalized histogram over a non-empty payload sums to 1
+        assert abs(f.sum() - 1.0) < 1e-3, f"histogram mass {f.sum()} != 1"
+
+    # cross-check one blob against a locally computed histogram
+    blob = media.first()["data"]
+    payload = np.frombuffer(bytes(blob)[mm.HEADER_LEN:], dtype=np.uint8)
+    expect, _ = np.histogram(payload, bins=8, range=(0, 256))
+    got = np.asarray(rows[0]["features"], dtype=np.float64) * payload.size
+    assert np.abs(got - expect).max() < 0.5, "histogram counts diverge from numpy"
+
+
+# ---------------------------------------------------------------------------
+# x01: sketch error bounds vs exact aggregates
+# ---------------------------------------------------------------------------
+
+
+def test_sketch_error_bounds(spark):
+    li = load_tables(spark, SF_DIR, ["lineitem"])["lineitem"]
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd"),
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").alias("med"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_nd"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_med"),
+    )
+    joined = exact.join(approx, "l_returnflag").collect()
+    assert len(joined) >= 2
+    for r in joined:
+        # HLL++ default rsd is 5%; allow 3 sigma
+        assert abs(r.approx_nd - r.nd) <= max(3, 0.15 * r.nd), (
+            f"HLL estimate {r.approx_nd} too far from exact {r.nd}"
+        )
+        # approximate median must land within the value range and within
+        # 10% of the exact median (continuous-ish price distribution)
+        assert r.lo <= r.approx_med <= r.hi
+        assert abs(r.approx_med - r.med) <= 0.10 * max(1.0, abs(r.med)), (
+            f"approx median {r.approx_med} vs exact {r.med}"
+        )
