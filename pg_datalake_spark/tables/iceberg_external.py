@@ -1,0 +1,456 @@
+"""External Apache Iceberg table interop (pure-Python metadata layer).
+
+The reference engine reads and writes real Iceberg metadata so other
+engines (Spark, pyiceberg, DuckDB) can share its tables — behavioral
+reference: the public pg_lake docs' Iceberg interop surface and its
+tests that read pg_lake-written tables from Spark. This runtime has
+no Iceberg jars and no network, so the metadata layer is pure Python
+(KB-scale, driver-side) while the data files stay parquet and are
+scanned by Spark with full pushdown:
+
+- :func:`read_iceberg_table` — parse ``v*.metadata.json`` → snapshot
+  → manifest list (Avro) → manifests (Avro) → data-file list →
+  ``spark.read.parquet``. Supports pinned snapshot reads
+  (``snapshot_id=``) and merge-on-read position deletes (anti-join on
+  ``_metadata.file_path``/``row_index`` — Spark-native equivalent of
+  the reference's MOR delete application).
+- :func:`export_iceberg_snapshot` — write a DataFrame as an Iceberg
+  v2 table (parquet data + manifest + manifest list + metadata.json +
+  version-hint), the write-half of the interop.
+
+Scale notes: metadata parsing is O(files) driver-side — same as any
+Iceberg client; the scan itself is a plain distributed parquet read,
+so predicate pushdown / column pruning / AQE all apply unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pg_datalake_spark.tables.avro_codec import read_avro, write_avro
+
+
+def _local(path: str) -> str:
+    """Strip a file:// scheme; other schemes pass through for Spark."""
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    return path
+
+
+# ---------------------------------------------------------------------------
+# read half
+# ---------------------------------------------------------------------------
+
+
+def load_table_metadata(location: str, metadata_file: str | None = None) -> dict:
+    """Parse the table's current (or given) ``*.metadata.json``."""
+    meta_dir = os.path.join(location, "metadata")
+    if metadata_file is None:
+        hint = os.path.join(meta_dir, "version-hint.text")
+        if os.path.exists(hint):
+            with open(hint) as fh:
+                v = fh.read().strip()
+            metadata_file = os.path.join(meta_dir, f"v{v}.metadata.json")
+        else:
+            candidates = sorted(
+                f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")
+            )
+            if not candidates:
+                raise FileNotFoundError(f"no *.metadata.json under {meta_dir}")
+            metadata_file = os.path.join(meta_dir, candidates[-1])
+    with open(_local(metadata_file)) as fh:
+        return json.load(fh)
+
+
+def snapshot_files(
+    location: str, snapshot_id: int | None = None, metadata_file: str | None = None
+) -> tuple[list[str], list[str]]:
+    """Resolve a snapshot to its (data_files, position_delete_files)."""
+    meta = load_table_metadata(location, metadata_file)
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
+    if sid not in snaps:
+        raise ValueError(f"snapshot {sid} not found (have {sorted(snaps)})")
+    _, manifests = read_avro(_local(snaps[sid]["manifest-list"]))
+    data_files: list[str] = []
+    delete_files: list[str] = []
+    for m in manifests:
+        _, entries = read_avro(_local(m["manifest_path"]))
+        for e in entries:
+            if e.get("status", 0) == 2:  # DELETED entry: file left the table
+                continue
+            d = e["data_file"]
+            content = d.get("content", 0) or 0
+            path = d["file_path"]
+            if content == 0:
+                data_files.append(path)
+            elif content == 1:  # position deletes
+                delete_files.append(path)
+            else:  # equality deletes (content=2): not supported here
+                raise NotImplementedError(
+                    "equality-delete files are not supported by this reader"
+                )
+    return data_files, delete_files
+
+
+def read_iceberg_table(
+    spark: SparkSession,
+    location: str,
+    snapshot_id: int | None = None,
+    metadata_file: str | None = None,
+) -> DataFrame:
+    """Scan an external Iceberg v1/v2 table snapshot as a DataFrame.
+
+    Position deletes (merge-on-read) are applied with a broadcast
+    anti-join on (file, row position) using Spark's ``_metadata``
+    columns — no row-level Python, full pushdown on the data scan.
+    """
+    data_files, delete_files = snapshot_files(location, snapshot_id, metadata_file)
+    if not data_files:
+        raise ValueError(f"snapshot has no data files under {location}")
+    df = spark.read.parquet(*[_local(p) for p in data_files])
+    if not delete_files:
+        return df
+    # normalize to scheme-less paths on both sides: manifests store
+    # file:// URIs, _metadata.file_path reports file:/// form
+    deletes = (
+        spark.read.parquet(*[_local(p) for p in delete_files])
+        .select(
+            F.regexp_replace("file_path", "^file:/*", "/").alias("__del_path"),
+            F.col("pos").alias("__del_pos"),
+        )
+        .distinct()
+    )
+    with_pos = df.select(
+        "*",
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/").alias("__path"),
+        F.col("_metadata.row_index").alias("__pos"),
+    )
+    kept = with_pos.join(
+        F.broadcast(deletes),
+        (F.col("__path") == F.col("__del_path")) & (F.col("__pos") == F.col("__del_pos")),
+        "left_anti",
+    )
+    return kept.drop("__path", "__pos")
+
+
+# ---------------------------------------------------------------------------
+# write half
+# ---------------------------------------------------------------------------
+
+_SPARK_TO_ICEBERG = {
+    T.BooleanType: "boolean",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.ByteType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.StringType: "string",
+    T.BinaryType: "binary",
+    T.DateType: "date",
+    T.TimestampType: "timestamptz",
+    T.TimestampNTZType: "timestamp",
+}
+
+
+def _iceberg_type(dt: T.DataType) -> str:
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    for cls, name in _SPARK_TO_ICEBERG.items():
+        if isinstance(dt, cls):
+            return name
+    raise ValueError(f"no Iceberg mapping for Spark type {dt.simpleString()}")
+
+
+def _iceberg_schema(schema: T.StructType) -> dict:
+    return {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {
+                "id": i + 1,
+                "name": f.name,
+                "required": not f.nullable,
+                "type": _iceberg_type(f.dataType),
+            }
+            for i, f in enumerate(schema.fields)
+        ],
+    }
+
+
+# Avro schemas per the Iceberg spec (field-id annotations included for
+# external readers; this codec itself matches by name).
+_DATA_FILE_SCHEMA = {
+    "type": "record",
+    "name": "r2",
+    "fields": [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {
+            "name": "partition",
+            "type": {"type": "record", "name": "r102", "fields": []},
+            "field-id": 102,
+        },
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+    ],
+}
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"], "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"], "field-id": 4},
+        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
+    ],
+}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+def _parquet_stats(path: str) -> tuple[int, int]:
+    """(num_rows, file_size) from the parquet footer — driver-side,
+    O(files), no data read."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows, os.path.getsize(path)
+
+
+def export_iceberg_snapshot(df: DataFrame, location: str) -> int:
+    """Write ``df`` as a new Iceberg v2 table at ``location``; returns
+    the snapshot id. Use :func:`add_position_deletes` to commit a
+    follow-up merge-on-read delete snapshot."""
+    spark = df.sparkSession
+    data_dir = os.path.join(location, "data")
+    meta_dir = os.path.join(location, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    df.write.mode("error").parquet(data_dir)
+    snapshot_id = int(uuid.uuid4().int % (1 << 62))
+    now_ms = int(time.time() * 1000)
+
+    files = [
+        os.path.join(data_dir, f)
+        for f in sorted(os.listdir(data_dir))
+        if f.endswith(".parquet")
+    ]
+    entries = []
+    total_rows = 0
+    for p in files:
+        nrows, fsize = _parquet_stats(p)
+        total_rows += nrows
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": 1,
+                "file_sequence_number": 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f"file://{p}",
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": nrows,
+                    "file_size_in_bytes": fsize,
+                },
+            }
+        )
+
+    manifests = []
+    data_manifest = os.path.join(meta_dir, f"{uuid.uuid4()}-m0.avro")
+    mlen = write_avro(data_manifest, _MANIFEST_ENTRY_SCHEMA, entries)
+    manifests.append(
+        {
+            "manifest_path": f"file://{data_manifest}",
+            "manifest_length": mlen,
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": 1,
+            "min_sequence_number": 1,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": total_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    )
+
+    manifest_list = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4()}.avro")
+    write_avro(manifest_list, _MANIFEST_FILE_SCHEMA, manifests)
+
+    metadata = {
+        "format-version": 2,
+        "table-uuid": str(uuid.uuid4()),
+        "location": location,
+        "last-sequence-number": 1,
+        "last-updated-ms": now_ms,
+        "last-column-id": len(df.schema.fields),
+        "current-schema-id": 0,
+        "schemas": [_iceberg_schema(df.schema)],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {"write.format.default": "parquet"},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": [
+            {
+                "snapshot-id": snapshot_id,
+                "sequence-number": 1,
+                "timestamp-ms": now_ms,
+                "manifest-list": f"file://{manifest_list}",
+                "summary": {"operation": "append"},
+                "schema-id": 0,
+            }
+        ],
+        "snapshot-log": [{"snapshot-id": snapshot_id, "timestamp-ms": now_ms}],
+        "metadata-log": [],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(metadata, fh, indent=2)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return snapshot_id
+
+
+def _write_position_delete_file(
+    data_dir: str, delete_entries: list[tuple[str, int]]
+) -> tuple[str, int, int]:
+    """Write a position-delete parquet file ((file_path, pos) rows,
+    Iceberg field-ids 2147483546/2147483545); returns (path, rows, size)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # spec ordering: sorted by file_path then pos
+    rows = sorted((f"file://{_local(p)}", int(pos)) for p, pos in delete_entries)
+    del_path = os.path.join(data_dir, f"{uuid.uuid4()}-deletes.parquet")
+    schema = pa.schema(
+        [
+            pa.field("file_path", pa.string(), metadata={"PARQUET:field_id": "2147483546"}),
+            pa.field("pos", pa.int64(), metadata={"PARQUET:field_id": "2147483545"}),
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {"file_path": [r[0] for r in rows], "pos": [r[1] for r in rows]}, schema=schema
+        ),
+        del_path,
+    )
+    nrows, fsize = _parquet_stats(del_path)
+    return del_path, nrows, fsize
+
+
+def add_position_deletes(
+    location: str, delete_entries: list[tuple[str, int]]
+) -> int:
+    """Commit a merge-on-read position-delete snapshot to an existing
+    exported table: a new delete manifest joins the previous snapshot's
+    manifests in a fresh manifest list, and a new metadata version is
+    written — the prior snapshot stays pinned-readable (time travel).
+    ``delete_entries`` = (data_file_path, row_position) pairs."""
+    meta = load_table_metadata(location)
+    prev = {s["snapshot-id"]: s for s in meta["snapshots"]}[meta["current-snapshot-id"]]
+    _, manifests = read_avro(_local(prev["manifest-list"]))
+
+    data_dir = os.path.join(location, "data")
+    meta_dir = os.path.join(location, "metadata")
+    del_path, nrows, fsize = _write_position_delete_file(data_dir, delete_entries)
+
+    snapshot_id = int(uuid.uuid4().int % (1 << 62))
+    seq = meta["last-sequence-number"] + 1
+    now_ms = int(time.time() * 1000)
+    del_manifest = os.path.join(meta_dir, f"{uuid.uuid4()}-m0.avro")
+    dlen = write_avro(
+        del_manifest,
+        _MANIFEST_ENTRY_SCHEMA,
+        [
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 1,  # position deletes
+                    "file_path": f"file://{del_path}",
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": nrows,
+                    "file_size_in_bytes": fsize,
+                },
+            }
+        ],
+    )
+    manifests = list(manifests) + [
+        {
+            "manifest_path": f"file://{del_manifest}",
+            "manifest_length": dlen,
+            "partition_spec_id": 0,
+            "content": 1,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": 1,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": nrows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    manifest_list = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4()}.avro")
+    write_avro(manifest_list, _MANIFEST_FILE_SCHEMA, manifests)
+
+    version = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip()) + 1
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshots"] = meta["snapshots"] + [
+        {
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": f"file://{manifest_list}",
+            "summary": {"operation": "delete"},
+            "schema-id": 0,
+        }
+    ]
+    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+    ]
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
+        json.dump(meta, fh, indent=2)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return snapshot_id
