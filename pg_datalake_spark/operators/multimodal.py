@@ -168,7 +168,10 @@ def frame_sample(df: DataFrame, every_n: int, data_col: str = "data") -> DataFra
             lens = np.fromiter(
                 ((len(b) if b is not None else 0) for b in blobs), dtype=np.int64, count=m
             )
-            valid = lens > HEADER_LEN
+            # >= so a header-only blob with n_frames>0 still emits its
+            # ceil(n/every_n) rows (with empty/minimal frame payloads),
+            # matching the pre-vectorization behavior
+            valid = lens >= HEADER_LEN
             n = np.zeros(m, dtype=np.int64)
             if valid.any():
                 hdr = np.frombuffer(

@@ -142,9 +142,10 @@ def lsh_bucketed_pairs(
 
     Shuffle shape at scale: each vector emits ``num_bands`` (band,
     signature) keys — one groupBy-sized shuffle of b x rows, in-bucket
-    pair generation per band, then a distinct on (id_a, id_b) before
-    the (cheap, already-computed) cosine verify. Deterministic given
-    the md5 planes.
+    pair generation with the exact-cosine verify computed per band,
+    then a dedup on (id_a, id_b) AFTER the threshold filter so the
+    distinct operates on the much smaller survivor set. Deterministic
+    given the md5 planes.
     """
     sigs = F.array(
         *[

@@ -96,26 +96,6 @@ def lake02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "lake03_time_travel",
-    oracle="""
-    SELECT count(*) AS n_current, (SELECT count(*) FROM orders) AS n_at_snapshot_1
-    FROM orders WHERE o_orderpriority <> '1-URGENT'
-    """,
-)
-def lake03(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DELETE then read both the current snapshot and the pre-delete
-    snapshot (time travel): the old snapshot must still see every row."""
-    t = load_tables(spark, sf_dir, ["orders"])
-    root = _fresh_root("lake03_")
-    lt = LakeTable.create(spark, root, t["orders"].schema)
-    lt.append(t["orders"])
-    lt.delete("o_orderpriority = '1-URGENT'")
-    current = lt.scan().agg(F.count("*").alias("n_current"))
-    at_snap1 = lt.scan(snapshot_id=1).agg(F.count("*").alias("n_at_snapshot_1"))
-    return current.crossJoin(at_snap1)
-
-
-@register(
     "lake04_update_agg",
     oracle="""
     SELECT o_orderstatus,
@@ -144,24 +124,38 @@ def lake04(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lake05_compaction_preserves",
     oracle="""
-    SELECT count(*) AS n,
+    SELECT 'current' AS phase, count(*) AS n,
            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM lineitem WHERE NOT (l_linenumber = 1)
+    UNION ALL
+    SELECT 'at_snapshot_1' AS phase, count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM lineitem
     """,
 )
 def lake05(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MOR delete + compaction: compaction folds position deletes into
-    rewritten files; results must be byte-identical before/after."""
+    """MOR delete + compaction + time travel (folds the former lake03
+    into the same tagged-union row set): compaction folds position
+    deletes into rewritten files — the post-compaction scan must be
+    byte-identical — and the pre-delete snapshot must still see every
+    row THROUGH the compaction commit (time travel across compaction)."""
     t = load_tables(spark, sf_dir, ["lineitem"])
     root = _fresh_root("lake05_")
     lt = LakeTable.create(spark, root, t["lineitem"].schema)
     lt.append(t["lineitem"])
     lt.delete("l_linenumber = 1")
     lt.compact(target_file_mb=512, min_input_files=1)
-    return lt.scan().agg(
+    agg = [
         F.count("*").alias("n"),
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("total_cents"),
+    ]
+    current = lt.scan().agg(*agg).select(F.lit("current").alias("phase"), "n", "total_cents")
+    at_snap1 = (
+        lt.scan(snapshot_id=1)
+        .agg(*agg)
+        .select(F.lit("at_snapshot_1").alias("phase"), "n", "total_cents")
     )
+    return current.unionByName(at_snap1)
 
 
 @register(
@@ -237,3 +231,68 @@ def lake07(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
     )
+
+
+@register(
+    "lake08_external_iceberg",
+    oracle="""
+    SELECT 'current' AS phase, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders WHERE o_orderkey % 10 <> 0
+    UNION ALL
+    SELECT 'pinned' AS phase, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders
+    """,
+)
+def lake08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External Apache Iceberg interop end-to-end (reference: the
+    pg_lake docs' pinned metadata.json reads in
+    docs/file-formats-reference.md:140-152 and its Avro manifest layer
+    pg_lake_iceberg/src/avro/avro_reader.c / read_manifest.c): export
+    orders as a real Iceberg v2 table (parquet data + Avro manifests +
+    metadata.json), commit a merge-on-read position-delete snapshot for
+    ``o_orderkey % 10 = 0``, then aggregate BOTH the current snapshot
+    (deletes applied via broadcast anti-join on Spark's ``_metadata``
+    file/row-position columns) and the pinned pre-delete snapshot
+    (time travel). The delete-entry collect is the delete list itself —
+    bounded, driver-side, same as any Iceberg client commit."""
+    from pg_datalake_spark.tables.iceberg_external import (
+        _local,
+        add_position_deletes,
+        export_iceberg_snapshot,
+        read_iceberg_table,
+        snapshot_files,
+    )
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    loc = tempfile.mkdtemp(prefix="lake08_") + "/iceberg_orders"
+    snap1 = export_iceberg_snapshot(t["orders"], loc)
+
+    data_files, _ = snapshot_files(loc)
+    doomed = (
+        spark.read.parquet(*[_local(p) for p in data_files])
+        .select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.row_index").alias("pos"),
+            "o_orderkey",
+        )
+        .filter((F.col("o_orderkey") % 10) == 0)
+    )
+    add_position_deletes(loc, [(r.fp, r.pos) for r in doomed.collect()])
+
+    agg = [
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+    ]
+    current = (
+        read_iceberg_table(spark, loc)
+        .agg(*agg)
+        .select(F.lit("current").alias("phase"), "n", "total_cents")
+    )
+    pinned = (
+        read_iceberg_table(spark, loc, snapshot_id=snap1)
+        .agg(*agg)
+        .select(F.lit("pinned").alias("phase"), "n", "total_cents")
+    )
+    return current.unionByName(pinned)

@@ -55,11 +55,34 @@ def _read_bytes(buf: io.BytesIO) -> bytes:
     return out
 
 
-def _decode(schema, buf: io.BytesIO, named: dict):
+def _register(schema: dict, named: dict, ns: str | None) -> str | None:
+    """Register a named type (record/enum/fixed) under BOTH its short
+    name and its namespace-qualified fullname, so external writers that
+    reference types by fullname (e.g. ``org.apache.iceberg.r102``)
+    resolve. Returns the namespace nested types inherit (Avro spec: the
+    most tightly enclosing schema's namespace)."""
+    name = schema.get("name")
+    if not name:
+        return ns
+    if "." in name:  # name IS a fullname; namespace attribute is ignored
+        space, _, short = name.rpartition(".")
+        named[name] = schema
+        named[short] = schema
+        return space
+    space = schema.get("namespace", ns)
+    named[name] = schema
+    if space:
+        named[f"{space}.{name}"] = schema
+    return space
+
+
+def _decode(schema, buf: io.BytesIO, named: dict, ns: str | None = None):
     """Decode one datum per ``schema`` (parsed JSON)."""
     if isinstance(schema, str):
         if schema in named:
             schema = named[schema]
+        elif ns and f"{ns}.{schema}" in named:
+            schema = named[f"{ns}.{schema}"]
         else:
             t = schema
             if t == "null":
@@ -79,16 +102,16 @@ def _decode(schema, buf: io.BytesIO, named: dict):
             raise ValueError(f"unknown type: {t}")
     if isinstance(schema, list):  # union: branch index then datum
         idx = _read_long(buf)
-        return _decode(schema[idx], buf, named)
+        return _decode(schema[idx], buf, named, ns)
     t = schema["type"]
     if t == "record":
-        name = schema.get("name")
-        if name:
-            named[name] = schema
-        return {f["name"]: _decode(f["type"], buf, named) for f in schema["fields"]}
+        child_ns = _register(schema, named, ns)
+        return {
+            f["name"]: _decode(f["type"], buf, named, child_ns)
+            for f in schema["fields"]
+        }
     if t == "enum":
-        if schema.get("name"):
-            named[schema["name"]] = schema
+        _register(schema, named, ns)
         return schema["symbols"][_read_long(buf)]
     if t == "array":
         out = []
@@ -100,7 +123,7 @@ def _decode(schema, buf: io.BytesIO, named: dict):
                 n = -n
                 _read_long(buf)
             for _ in range(n):
-                out.append(_decode(schema["items"], buf, named))
+                out.append(_decode(schema["items"], buf, named, ns))
         return out
     if t == "map":
         out = {}
@@ -113,13 +136,12 @@ def _decode(schema, buf: io.BytesIO, named: dict):
                 _read_long(buf)
             for _ in range(n):
                 k = _read_bytes(buf).decode("utf-8")
-                out[k] = _decode(schema["values"], buf, named)
+                out[k] = _decode(schema["values"], buf, named, ns)
         return out
     if t == "fixed":
-        if schema.get("name"):
-            named[schema["name"]] = schema
+        _register(schema, named, ns)
         return buf.read(schema["size"])
-    return _decode(t, buf, named)  # e.g. {"type": "string", "logicalType": ...}
+    return _decode(t, buf, named, ns)  # e.g. {"type": "string", "logicalType": ...}
 
 
 # ---------------------------------------------------------------------------
@@ -146,10 +168,52 @@ def _write_bytes(out: bytearray, b: bytes) -> None:
     out.extend(b)
 
 
-def _encode(schema, datum, out: bytearray, named: dict) -> None:
+def _branch_matches(branch, datum, named: dict) -> bool:
+    """True when ``datum``'s Python type can encode as ``branch`` —
+    used to pick the correct union branch (index order breaks unions
+    of two non-null types)."""
+    if isinstance(branch, str):
+        if branch in named:
+            return _branch_matches(named[branch], datum, named)
+        t = branch
+    else:
+        t = branch["type"]
+        if not isinstance(t, str):
+            return _branch_matches(t, datum, named)
+        if t == "record":
+            return isinstance(datum, dict)
+        if t == "enum":
+            return isinstance(datum, str) and datum in branch.get("symbols", [])
+        if t == "array":
+            return isinstance(datum, list)
+        if t == "map":
+            return isinstance(datum, dict)
+        if t == "fixed":
+            return isinstance(datum, (bytes, bytearray))
+        # {"type": "long", "logicalType": ...} wrapper
+        return _branch_matches(t, datum, named)
+    if t == "null":
+        return datum is None
+    if t == "boolean":
+        return isinstance(datum, bool)
+    if t in ("int", "long"):
+        return isinstance(datum, int) and not isinstance(datum, bool)
+    if t in ("float", "double"):
+        return isinstance(datum, (int, float)) and not isinstance(datum, bool)
+    if t == "bytes":
+        return isinstance(datum, (bytes, bytearray))
+    if t == "string":
+        return isinstance(datum, str)
+    return False
+
+
+def _encode(schema, datum, out: bytearray, named: dict, ns: str | None = None) -> None:
     if isinstance(schema, str):
         if schema in named:
-            _encode(named[schema], datum, out, named)
+            _encode(named[schema], datum, out, named, ns)
+            return
+        if ns and f"{ns}.{schema}" in named:
+            _encode(named[f"{ns}.{schema}"], datum, out, named, ns)
             return
         t = schema
         if t == "null":
@@ -173,34 +237,30 @@ def _encode(schema, datum, out: bytearray, named: dict) -> None:
             _write_bytes(out, str(datum).encode("utf-8"))
             return
         raise ValueError(f"unknown type: {t}")
-    if isinstance(schema, list):  # union: pick the matching branch
+    if isinstance(schema, list):  # union: pick the branch matching the datum
         for i, branch in enumerate(schema):
-            bt = branch if isinstance(branch, str) else branch.get("type", branch)
-            if datum is None and bt == "null":
+            if _branch_matches(branch, datum, named):
                 _write_zlong(out, i)
-                return
-            if datum is not None and bt != "null":
-                _write_zlong(out, i)
-                _encode(branch, datum, out, named)
+                _encode(branch, datum, out, named, ns)
                 return
         raise ValueError(f"no union branch for {datum!r} in {schema}")
     t = schema["type"]
     if t == "record":
-        if schema.get("name"):
-            named[schema["name"]] = schema
+        child_ns = _register(schema, named, ns)
         for f in schema["fields"]:
             if f["name"] not in datum and "default" not in f:
                 raise ValueError(f"missing field {f['name']}")
-            _encode(f["type"], datum.get(f["name"], f.get("default")), out, named)
+            _encode(f["type"], datum.get(f["name"], f.get("default")), out, named, child_ns)
         return
     if t == "enum":
+        _register(schema, named, ns)
         _write_zlong(out, schema["symbols"].index(datum))
         return
     if t == "array":
         if datum:
             _write_zlong(out, len(datum))
             for item in datum:
-                _encode(schema["items"], item, out, named)
+                _encode(schema["items"], item, out, named, ns)
         _write_zlong(out, 0)
         return
     if t == "map":
@@ -208,13 +268,14 @@ def _encode(schema, datum, out: bytearray, named: dict) -> None:
             _write_zlong(out, len(datum))
             for k, v in datum.items():
                 _write_bytes(out, str(k).encode("utf-8"))
-                _encode(schema["values"], v, out, named)
+                _encode(schema["values"], v, out, named, ns)
         _write_zlong(out, 0)
         return
     if t == "fixed":
+        _register(schema, named, ns)
         out.extend(bytes(datum))
         return
-    _encode(t, datum, out, named)
+    _encode(t, datum, out, named, ns)
 
 
 # ---------------------------------------------------------------------------
@@ -261,12 +322,15 @@ def read_avro(path: str) -> tuple[dict | list | str, list]:
     return schema, records
 
 
-def write_avro(path: str, schema: dict, records: list) -> int:
-    """Write an Avro container file (null codec). Returns bytes written."""
+def write_avro(path: str, schema: dict, records: list, codec: str = "null") -> int:
+    """Write an Avro container file (``null`` or ``deflate`` codec).
+    Returns bytes written."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported Avro codec: {codec}")
     sync = os.urandom(16)
     out = bytearray()
     out.extend(MAGIC)
-    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": b"null"}
+    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": codec.encode()}
     _write_zlong(out, len(meta))
     for k, v in meta.items():
         _write_bytes(out, k.encode())
@@ -278,9 +342,13 @@ def write_avro(path: str, schema: dict, records: list) -> int:
         named: dict = {}
         for r in records:
             _encode(schema, r, body, named)
+        payload = bytes(body)
+        if codec == "deflate":  # raw deflate, no zlib header (Avro spec)
+            co = zlib.compressobj(9, zlib.DEFLATED, -15)
+            payload = co.compress(payload) + co.flush()
         _write_zlong(out, len(records))
-        _write_zlong(out, len(body))
-        out.extend(body)
+        _write_zlong(out, len(payload))
+        out.extend(payload)
         out.extend(sync)
     data = bytes(out)
     with open(path, "wb") as fh:

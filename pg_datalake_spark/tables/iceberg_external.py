@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -38,9 +39,12 @@ from pg_datalake_spark.tables.avro_codec import read_avro, write_avro
 
 
 def _local(path: str) -> str:
-    """Strip a file:// scheme; other schemes pass through for Spark."""
-    if path.startswith("file://"):
-        return path[len("file://"):]
+    """Normalize any local file URI form to a plain path: ``file:/p``,
+    ``file://p`` and ``file:///p`` all → ``/p`` (Spark's ``_metadata``
+    reports ``file:/p``, manifests store ``file://p``). Non-file
+    schemes pass through for Spark."""
+    if path.startswith("file:"):
+        return "/" + path[len("file:"):].lstrip("/")
     return path
 
 
@@ -51,7 +55,7 @@ def _local(path: str) -> str:
 
 def load_table_metadata(location: str, metadata_file: str | None = None) -> dict:
     """Parse the table's current (or given) ``*.metadata.json``."""
-    meta_dir = os.path.join(location, "metadata")
+    meta_dir = os.path.join(_local(location), "metadata")
     if metadata_file is None:
         hint = os.path.join(meta_dir, "version-hint.text")
         if os.path.exists(hint):
@@ -59,11 +63,18 @@ def load_table_metadata(location: str, metadata_file: str | None = None) -> dict
                 v = fh.read().strip()
             metadata_file = os.path.join(meta_dir, f"v{v}.metadata.json")
         else:
-            candidates = sorted(
+            # sort by the NUMERIC version embedded in the filename
+            # (v9 < v10; lexicographic sort would pick v9) — handles
+            # both v{N}.metadata.json and {NNNNN}-{uuid}.metadata.json
+            candidates = [
                 f for f in os.listdir(meta_dir) if f.endswith(".metadata.json")
-            )
+            ]
             if not candidates:
                 raise FileNotFoundError(f"no *.metadata.json under {meta_dir}")
+            def _version(f: str) -> int:
+                m = re.match(r"^v?(\d+)", f)
+                return int(m.group(1)) if m else -1
+            candidates.sort(key=lambda f: (_version(f), f))
             metadata_file = os.path.join(meta_dir, candidates[-1])
     with open(_local(metadata_file)) as fh:
         return json.load(fh)
@@ -118,6 +129,18 @@ def read_iceberg_table(
     df = spark.read.parquet(*[_local(p) for p in data_files])
     if not delete_files:
         return df
+    # The normalization below is only correct for local file URIs
+    # (manifests store file://..., _metadata.file_path reports
+    # file:///...). For any other scheme (s3:// vs s3a://, ...) the two
+    # sides would not normalize to the same string and the anti-join
+    # would silently match nothing — fail loud instead, matching the
+    # equality-delete guard.
+    for p in data_files + delete_files:
+        if "://" in p and not p.startswith("file://"):
+            raise NotImplementedError(
+                f"position-delete path normalization supports only local "
+                f"file URIs, got {p!r}"
+            )
     # normalize to scheme-less paths on both sides: manifests store
     # file:// URIs, _metadata.file_path reports file:/// form
     deletes = (

@@ -1,0 +1,355 @@
+"""External-Iceberg interop + Avro codec tests.
+
+Covers the full interop surface (reference behavior:
+docs/file-formats-reference.md:140-152 pinned metadata.json reads;
+pg_lake_iceberg/src/avro/avro_reader.c / read_manifest.c; Spark
+reading pg_lake tables in
+pg_lake_iceberg/tests/pytests/test_iceberg_metadata_via_spark.py):
+export → read roundtrip, merge-on-read position deletes, pinned
+snapshot time travel, equality-delete rejection, metadata version
+resolution, and the pure-Python Avro container codec (null + deflate,
+namespaced named types, multi-branch unions, property-based encode →
+decode identity).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import tempfile
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pg_datalake_spark.catalog import load_tables
+from pg_datalake_spark.tables import LakeTable
+from pg_datalake_spark.tables.avro_codec import read_avro, write_avro
+from pg_datalake_spark.tables.iceberg_external import (
+    _local,
+    add_position_deletes,
+    export_iceberg_snapshot,
+    load_table_metadata,
+    read_iceberg_table,
+    snapshot_files,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# Avro codec
+# ---------------------------------------------------------------------------
+
+NESTED_SCHEMA = {
+    "type": "record",
+    "name": "top",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "props", "type": {"type": "map", "values": "long"}},
+        {
+            "name": "inner",
+            "type": {
+                "type": "record",
+                "name": "inner_rec",
+                "fields": [{"name": "x", "type": "double"}],
+            },
+        },
+        {"name": "color", "type": {"type": "enum", "name": "col", "symbols": ["R", "G"]}},
+        {"name": "blob", "type": "bytes"},
+        {"name": "flag", "type": "boolean"},
+    ],
+}
+
+NESTED_RECORDS = [
+    {
+        "id": i,
+        "name": None if i % 2 else f"n{i}",
+        "tags": [f"t{i}", "z"],
+        "props": {"a": i, "b": i * 2},
+        "inner": {"x": i * 0.5},
+        "color": "R" if i % 2 else "G",
+        "blob": bytes([i % 256, 255]),
+        "flag": i % 3 == 0,
+    }
+    for i in range(20)
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_avro_container_roundtrip(codec):
+    path = tempfile.mktemp(suffix=".avro")
+    write_avro(path, NESTED_SCHEMA, NESTED_RECORDS, codec=codec)
+    schema, records = read_avro(path)
+    assert schema["name"] == "top"
+    assert records == NESTED_RECORDS
+
+
+def test_avro_union_two_nonnull_branches():
+    """Union branch selection must match the datum's type, not just
+    pick the first non-null branch (ADVICE round 3)."""
+    schema = {
+        "type": "record",
+        "name": "u",
+        "fields": [{"name": "v", "type": ["null", "string", "long"]}],
+    }
+    recs = [{"v": None}, {"v": "s"}, {"v": 7}, {"v": "8"}, {"v": -3}]
+    path = tempfile.mktemp(suffix=".avro")
+    write_avro(path, schema, recs)
+    _, back = read_avro(path)
+    assert back == recs  # 7 stays int, "8" stays str
+
+
+def test_avro_namespaced_fullname_reference():
+    """External writers reference named types by fullname (e.g.
+    ``org.apache.iceberg.r102``); both short and full names must
+    resolve (ADVICE round 3)."""
+    schema = {
+        "type": "record",
+        "name": "outer",
+        "namespace": "org.apache.iceberg",
+        "fields": [
+            {
+                "name": "first",
+                "type": {
+                    "type": "record",
+                    "name": "r102",
+                    "fields": [{"name": "k", "type": "long"}],
+                },
+            },
+            # fullname reference to the type defined above
+            {"name": "second", "type": "org.apache.iceberg.r102"},
+            # short-name reference (inherits the enclosing namespace)
+            {"name": "third", "type": "r102"},
+        ],
+    }
+    recs = [{"first": {"k": 1}, "second": {"k": 2}, "third": {"k": 3}}]
+    path = tempfile.mktemp(suffix=".avro")
+    write_avro(path, schema, recs)
+    _, back = read_avro(path)
+    assert back == recs
+
+
+# property-based: encode → decode identity over random schemas/values
+_PRIMS = {
+    "boolean": st.booleans(),
+    "long": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    "int": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+    "double": st.floats(allow_nan=False, allow_infinity=False),
+    "float": st.floats(allow_nan=False, allow_infinity=False, width=32),
+    "string": st.text(max_size=20),
+    "bytes": st.binary(max_size=20),
+}
+
+
+@st.composite
+def _schema_and_records(draw):
+    """A random record schema from the supported type set + matching
+    rows. Unions are kept type-unambiguous (null + one concrete) so
+    the roundtrip is an exact identity."""
+    fields, row_strats = [], {}
+    for i in range(draw(st.integers(min_value=1, max_value=5))):
+        name = f"f{i}"
+        kind = draw(
+            st.sampled_from(
+                ["prim", "nullable", "array", "map", "nested", "enum", "fixed"]
+            )
+        )
+        if kind == "prim":
+            t = draw(st.sampled_from(sorted(_PRIMS)))
+            fields.append({"name": name, "type": t})
+            row_strats[name] = _PRIMS[t]
+        elif kind == "nullable":
+            t = draw(st.sampled_from(sorted(_PRIMS)))
+            fields.append({"name": name, "type": ["null", t]})
+            row_strats[name] = st.one_of(st.none(), _PRIMS[t])
+        elif kind == "array":
+            t = draw(st.sampled_from(sorted(_PRIMS)))
+            fields.append({"name": name, "type": {"type": "array", "items": t}})
+            row_strats[name] = st.lists(_PRIMS[t], max_size=5)
+        elif kind == "map":
+            t = draw(st.sampled_from(sorted(_PRIMS)))
+            fields.append({"name": name, "type": {"type": "map", "values": t}})
+            row_strats[name] = st.dictionaries(st.text(max_size=8), _PRIMS[t], max_size=4)
+        elif kind == "nested":
+            t = draw(st.sampled_from(sorted(_PRIMS)))
+            fields.append(
+                {
+                    "name": name,
+                    "type": {
+                        "type": "record",
+                        "name": f"rec_{name}",
+                        "fields": [{"name": "v", "type": t}],
+                    },
+                }
+            )
+            row_strats[name] = st.fixed_dictionaries({"v": _PRIMS[t]})
+        elif kind == "enum":
+            fields.append(
+                {
+                    "name": name,
+                    "type": {"type": "enum", "name": f"e_{name}", "symbols": ["A", "B", "C"]},
+                }
+            )
+            row_strats[name] = st.sampled_from(["A", "B", "C"])
+        else:  # fixed
+            fields.append(
+                {"name": name, "type": {"type": "fixed", "name": f"fx_{name}", "size": 4}}
+            )
+            row_strats[name] = st.binary(min_size=4, max_size=4)
+    schema = {"type": "record", "name": "fuzz", "fields": fields}
+    records = draw(st.lists(st.fixed_dictionaries(row_strats), max_size=8))
+    codec = draw(st.sampled_from(["null", "deflate"]))
+    return schema, records, codec
+
+
+@settings(max_examples=60, deadline=None)
+@given(_schema_and_records())
+def test_avro_codec_property_roundtrip(case):
+    schema, records, codec = case
+    path = tempfile.mktemp(suffix=".avro")
+    try:
+        write_avro(path, schema, records, codec=codec)
+        _, back = read_avro(path)
+        assert back == records
+    finally:
+        if os.path.exists(path):
+            os.unlink(path)
+
+
+# ---------------------------------------------------------------------------
+# Iceberg export / read
+# ---------------------------------------------------------------------------
+
+
+def _export_orders(spark, prefix="icetest_"):
+    orders = load_tables(spark, SF_DIR, ["orders"])["orders"]
+    loc = tempfile.mkdtemp(prefix=prefix) + "/t"
+    snap = export_iceberg_snapshot(orders, loc)
+    return orders, loc, snap
+
+
+def test_export_read_roundtrip(spark):
+    orders, loc, _ = _export_orders(spark)
+    back = read_iceberg_table(spark, loc)
+    assert back.count() == orders.count()
+    a = orders.agg(F.sum("o_orderkey"), F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))).collect()[0]
+    b = back.agg(F.sum("o_orderkey"), F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))).collect()[0]
+    assert tuple(a) == tuple(b)
+    # schema survives (names + types)
+    assert back.schema == orders.schema
+
+
+def test_mor_position_delete_and_time_travel(spark):
+    orders, loc, snap1 = _export_orders(spark)
+    n = orders.count()
+    data_files, _ = snapshot_files(loc)
+    doomed = (
+        spark.read.parquet(*[_local(p) for p in data_files])
+        .select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.row_index").alias("pos"),
+            "o_orderkey",
+        )
+        .filter((F.col("o_orderkey") % 10) == 0)
+        .collect()
+    )
+    assert doomed, "delete predicate must hit at this SF"
+    snap2 = add_position_deletes(loc, [(r.fp, r.pos) for r in doomed])
+    assert snap2 != snap1
+
+    current = read_iceberg_table(spark, loc)
+    assert current.count() == n - len(doomed)
+    assert current.filter((F.col("o_orderkey") % 10) == 0).count() == 0
+    # pinned pre-delete snapshot still sees every row (time travel)
+    pinned = read_iceberg_table(spark, loc, snapshot_id=snap1)
+    assert pinned.count() == n
+    # and version-hint now points at v2 metadata with both snapshots
+    meta = load_table_metadata(loc)
+    assert meta["current-snapshot-id"] == snap2
+    assert {s["snapshot-id"] for s in meta["snapshots"]} == {snap1, snap2}
+
+
+def _manifests_for(loc: str, content: int) -> list[str]:
+    """Manifest avro files under loc/metadata whose entries carry the
+    given content code (0=data, 1=position deletes)."""
+    out = []
+    for p in glob.glob(os.path.join(loc, "metadata", "*-m0.avro")):
+        _, entries = read_avro(p)
+        if entries and any((e["data_file"].get("content") or 0) == content for e in entries):
+            out.append(p)
+    return out
+
+
+def test_equality_delete_rejected(spark):
+    _, loc, _ = _export_orders(spark)
+    [mpath] = _manifests_for(loc, 0)
+    schema, entries = read_avro(mpath)
+    for e in entries:
+        e["data_file"]["content"] = 2  # equality deletes
+    write_avro(mpath, schema, entries)
+    with pytest.raises(NotImplementedError, match="equality-delete"):
+        snapshot_files(loc)
+
+
+def test_nonlocal_scheme_rejected(spark):
+    orders, loc, _ = _export_orders(spark)
+    data_files, _ = snapshot_files(loc)
+    one = spark.read.parquet(_local(data_files[0])).select(
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.row_index").alias("pos"),
+    ).limit(1).collect()[0]
+    add_position_deletes(loc, [(one.fp, one.pos)])
+    [dpath] = _manifests_for(loc, 1)
+    schema, entries = read_avro(dpath)
+    entries[0]["data_file"]["file_path"] = "s3://bucket/deletes.parquet"
+    write_avro(dpath, schema, entries)
+    with pytest.raises(NotImplementedError, match="file URIs"):
+        read_iceberg_table(spark, loc)
+
+
+def test_metadata_version_numeric_sort(spark):
+    """v9 vs v10 without a version-hint: numeric sort must win
+    (lexicographic picks v9) — ADVICE round 3."""
+    _, loc, _ = _export_orders(spark)
+    meta_dir = os.path.join(loc, "metadata")
+    with open(os.path.join(meta_dir, "v1.metadata.json")) as fh:
+        meta = json.load(fh)
+    for v, marker in ((9, "old"), (10, "new")):
+        meta["properties"] = {"marker": marker}
+        with open(os.path.join(meta_dir, f"v{v}.metadata.json"), "w") as fh:
+            json.dump(meta, fh)
+    os.unlink(os.path.join(meta_dir, "version-hint.text"))
+    assert load_table_metadata(loc)["properties"]["marker"] == "new"
+
+
+def test_file_uri_location(spark):
+    """A file:// table location must work end-to-end (ADVICE round 3:
+    load_table_metadata used the raw location)."""
+    orders, loc, _ = _export_orders(spark)
+    assert load_table_metadata("file://" + loc)["format-version"] == 2
+    assert read_iceberg_table(spark, "file://" + loc).count() == orders.count()
+
+
+def test_laketable_iceberg_crosswalk(spark):
+    """LakeTable data exported to Iceberg reads back equal — the
+    interop crosswalk (reference: Spark reading pg_lake-written tables,
+    test_iceberg_metadata_via_spark.py)."""
+    orders = load_tables(spark, SF_DIR, ["orders"])["orders"]
+    root = tempfile.mkdtemp(prefix="xwalk_") + "/lt"
+    lt = LakeTable.create(spark, root, orders.schema)
+    lt.append(orders)
+    lt.delete("o_orderstatus = 'F'")
+    expected = lt.scan()
+
+    loc = tempfile.mkdtemp(prefix="xwalk_ice_") + "/t"
+    export_iceberg_snapshot(expected.select(*orders.columns), loc)
+    back = read_iceberg_table(spark, loc)
+    assert back.count() == expected.count()
+    a = expected.agg(F.sum("o_orderkey").alias("k")).collect()[0]["k"]
+    b = back.agg(F.sum("o_orderkey").alias("k")).collect()[0]["k"]
+    assert a == b
