@@ -31,6 +31,24 @@ from pg_datalake_spark.plans.tpch import davg, dsum
 
 _FRAMES_SPARK = """
 SELECT event_id, user_id, value,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+       CAST(rank()       OVER (PARTITION BY user_id ORDER BY value) AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY value) AS BIGINT) AS drnk,
+       percent_rank()    OVER (PARTITION BY user_id ORDER BY value) AS prnk,
+       cume_dist()       OVER (PARTITION BY user_id ORDER BY value) AS cd,
+       CAST(ntile(4)     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS nt,
+       lag(value)        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+       lead(value, 2)    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next2_value,
+       first_value(value)   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_v,
+       nth_value(value, 3)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS third_v,
+       least(min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING),
+             min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING))     AS excl_min,
+       greatest(max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING),
+                max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING))  AS excl_max,
        CAST(sum(CAST(value AS DECIMAL(30,6)))
             OVER (PARTITION BY user_id ORDER BY ts, event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum,
@@ -67,6 +85,22 @@ FROM events WHERE user_id < 10
     "w02_w03_w06_frames",
     oracle="""
     SELECT event_id, user_id, value,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+           CAST(rank()       OVER (PARTITION BY user_id ORDER BY value) AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY value) AS BIGINT) AS drnk,
+           percent_rank()    OVER (PARTITION BY user_id ORDER BY value) AS prnk,
+           cume_dist()       OVER (PARTITION BY user_id ORDER BY value) AS cd,
+           CAST(ntile(4)     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS nt,
+           lag(value)        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           lead(value, 2)    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next2_value,
+           first_value(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_v,
+           nth_value(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS third_v,
+           min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                            EXCLUDE CURRENT ROW)                              AS excl_min,
+           max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                            EXCLUDE CURRENT ROW)                              AS excl_max,
            CAST(sum(CAST(value AS DECIMAL(30,6)))
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
@@ -100,11 +134,16 @@ FROM events WHERE user_id < 10
     """,
 )
 def w_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROWS frames (running/moving/leading), non-integral RANGE frames,
-    and frame EXCLUDE CURRENT ROW — Spark has no EXCLUDE clause, so the
-    engine side subtracts the current row from the full-frame aggregate
-    (exact under decimal sums) while the oracle runs DuckDB's NATIVE
-    EXCLUDE, pinning the emulation against real EXCLUDE semantics."""
+    """Full window surface in one driver-verified query: the named
+    function list (row_number…nth_value, folded in from w01), ROWS
+    frames (running/moving/leading), non-integral RANGE frames, and
+    frame EXCLUDE CURRENT ROW — Spark has no EXCLUDE clause, so for
+    additive aggregates the engine subtracts the current row from the
+    full-frame aggregate (exact under decimal sums) and for min/max it
+    splits the frame into two one-sided frames (rows-before + rows-
+    after, combined with null-skipping least/greatest), while the
+    oracle runs DuckDB's NATIVE EXCLUDE, pinning both emulations
+    against real EXCLUDE semantics."""
     load_tables(spark, sf_dir, ["events"])
     return spark.sql(_FRAMES_SPARK)
 
@@ -137,12 +176,22 @@ def w_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) / count(o_totalprice)
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT 'wrollup', k1, k2,
+           CAST(rank() OVER (ORDER BY val DESC, k1 NULLS FIRST, k2 NULLS FIRST) AS INT),
+           n, val
+    FROM (SELECT l_returnflag AS k1, l_linestatus AS k2, count(*) AS n,
+                 sum(l_quantity) AS val
+          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus))
     """,
 )
 def g_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS (SQL form) + ROLLUP/CUBE (DataFrame API) + the
-    grouping() marker, tagged-unioned into one schema. The grouping id
-    disambiguates subtotal NULLs from real NULL keys."""
+    grouping() marker + a window-over-rollup arm (folded in from g04 —
+    the reference exercises exactly that nesting in its grouping-set
+    pushdown tests), tagged-unioned into one schema. The grouping id
+    disambiguates subtotal NULLs from real NULL keys; the wrollup arm
+    reuses the id slot for the rank (unique ordering → deterministic)."""
     t = load_tables(spark, sf_dir, ["lineitem", "customer", "nation", "region", "orders"])
     sets = spark.sql(
         """
@@ -194,7 +243,18 @@ def g_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val",
         )
     )
-    return sets.unionByName(rollup).unionByName(cube)
+    wrollup = spark.sql(
+        """
+        SELECT 'wrollup' AS tag, k1, k2,
+               CAST(rank() OVER (ORDER BY val DESC, k1 NULLS FIRST, k2 NULLS FIRST) AS INT)
+                 AS g_id,
+               n, val
+        FROM (SELECT l_returnflag AS k1, l_linestatus AS k2, count(*) AS n,
+                     sum(l_quantity) AS val
+              FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus))
+        """
+    )
+    return sets.unionByName(rollup).unionByName(cube).unionByName(wrollup)
 
 
 # ---------------------------------------------------------------------------
@@ -285,14 +345,18 @@ def a_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            any_value(o_orderstatus)                        AS an_example,
            CAST(sum(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
              AS sum_distinct_cents,
-           avg(DISTINCT CAST(round(o_totalprice) AS BIGINT)) AS avg_distinct_price
+           avg(DISTINCT CAST(round(o_totalprice) AS BIGINT)) AS avg_distinct_price,
+           to_json(list_sort(array_agg(DISTINCT o_orderpriority))) AS prios,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prio_csv
     FROM orders GROUP BY o_orderstatus
     """,
 )
 def a_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT / FILTER / bool_and / bool_or / any_value plus multiple
     DISTINCT aggregates over different columns in one grouping (Spark
-    plans this with expand). DISTINCT sums/avgs run over exact integers
+    plans this with expand), plus array_agg/string_agg (folded in from
+    a04; JSON-rendered because raw list cells are unhashable in the
+    driver's comparator). DISTINCT sums/avgs run over exact integers
     so the values are order-independent."""
     t = load_tables(spark, sf_dir, ["orders"])
     return (
@@ -313,6 +377,15 @@ def a_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_distinct_cents"),
             F.expr("avg(DISTINCT CAST(round(o_totalprice) AS BIGINT))").alias(
                 "avg_distinct_price"
+            ),
+            F.to_json(F.sort_array(F.collect_set("o_orderpriority"))).alias("prios"),
+            # listagg(DISTINCT) WITHIN GROUP alongside other DISTINCT
+            # aggregates hits a Spark 4.1 RewriteDistinctAggregates
+            # ClassCastException; DISTINCT+ORDER BY string_agg is
+            # equivalent to joining the sorted distinct set (a04 keeps
+            # the native listagg form in the parity gate)
+            F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+                "prio_csv"
             ),
         )
     )
@@ -408,11 +481,19 @@ def s_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
                  rank() OVER (ORDER BY l_quantity DESC) AS r
           FROM lineitem) t
     WHERE r <= 5
+    UNION ALL
+    SELECT 'distinct_on', CAST(user_id AS BIGINT), CAST(event_id AS DOUBLE)
+    FROM (SELECT DISTINCT ON (user_id) user_id, event_id
+          FROM events
+          ORDER BY user_id, ts DESC, event_id)
     """,
 )
 def o_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NULLS-LAST ordering with OFFSET+LIMIT, and the LIMIT WITH TIES
-    rewrite (rank() <= n), tagged into one result."""
+    """NULLS-LAST ordering with OFFSET+LIMIT, the LIMIT WITH TIES
+    rewrite (rank() <= n), and the PG DISTINCT ON rewrite
+    (row_number() = 1 per key, folded in from o02 — v identifies WHICH
+    row won so the tiebreak order is verified), tagged into one
+    result."""
     from pyspark.sql import Window as W
 
     t = load_tables(spark, sf_dir, ["nation", "lineitem"])
@@ -438,7 +519,22 @@ def o_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").alias("v"),
         )
     )
-    return oo.unionByName(wt)
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    don = (
+        ev.withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.desc("ts"), "event_id")
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.lit("distinct_on").alias("src"),
+            F.col("user_id").cast("long").alias("k"),
+            F.col("event_id").cast("double").alias("v"),
+        )
+    )
+    return oo.unionByName(wt).unionByName(don)
 
 
 # ---------------------------------------------------------------------------
