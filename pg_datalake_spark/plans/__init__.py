@@ -22,4 +22,5 @@ def load_all() -> None:
         llmops,
         multimodal_q,
         relational,
+        geo,
     )

@@ -1,0 +1,109 @@
+"""Geospatial coverage query (st_* minimal surface).
+
+Registered AFTER the 50-slot driver window (the window contract is
+frozen); verified by the local parity gate against a plain-SQL
+arithmetic oracle — planar point/ring geometry over struct columns is
+exactly expressible in ANSI SQL, so the st_* implementations get a
+hard value-level check without DuckDB's spatial extension (not
+loadable offline). Reference surface:
+pg_lake_engine/src/pgduck/shippable_spatial_functions.c (~70 st_*
+functions; this is the core planar subset).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_datalake_spark.catalog import load_tables
+from pg_datalake_spark.functions import spatial as S
+from pg_datalake_spark.plans.registry import register
+
+
+@register(
+    "geo01_spatial",
+    oracle="""
+    WITH pts AS (
+      SELECT c_mktsegment, c_acctbal / 1000 AS x, (c_custkey % 100) / 10.0 AS y
+      FROM customer
+    ), g AS (
+      SELECT c_mktsegment,
+             count(*) AS n,
+             count(*) FILTER (power(x - 5, 2) + power(y - 5, 2) <= 9.0) AS n_near,
+             CAST(sum(CAST(sqrt(power(x - 5, 2) + power(y - 5, 2)) AS DECIMAL(30,10)))
+                  AS DOUBLE) AS sum_dist,
+             min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y,
+             count(*) FILTER (x > -0.500005 AND x < 10.000005
+                              AND y > -0.05 AND y < 9.85) AS n_inside
+      FROM pts GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, n, n_near, sum_dist, min_x, max_x, n_inside,
+           round((max_x - min_x) * (max_y - min_y), 6)       AS bbox_area,
+           round(2 * ((max_x - min_x) + (max_y - min_y)), 6) AS bbox_perim,
+           round((min_x + max_x) / 2, 6) AS cx, round((min_y + max_y) / 2, 6) AS cy,
+           CAST(4 AS INT) AS ring_n
+    FROM g
+    """,
+)
+def geo01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_point/st_x/st_y/st_distance/st_dwithin/st_contains (ray
+    cast) over a synthetic point cloud derived from customer, plus
+    ring functions (st_area/st_perimeter/st_centroid/st_npoints) on
+    the per-group bounding-box polygon. The oracle states the same
+    geometry as scalar arithmetic, so every st_* value is hash-checked
+    against an engine with no geometry type at all. Rectangle bounds
+    sit off the representable grid of the derived coordinates so no
+    point lies on a boundary (st_contains boundary behavior is
+    implementation-defined)."""
+    t = load_tables(spark, sf_dir, ["customer"])
+    home = S.st_point(F.col("c_acctbal") / 1000, (F.col("c_custkey") % 100) / 10)
+    office = S.st_point(F.lit(5.0), F.lit(5.0))
+    rect = F.array(
+        S.st_point(F.lit(-0.500005), F.lit(-0.05)),
+        S.st_point(F.lit(10.000005), F.lit(-0.05)),
+        S.st_point(F.lit(10.000005), F.lit(9.85)),
+        S.st_point(F.lit(-0.500005), F.lit(9.85)),
+    )
+    g = (
+        t["customer"]
+        .select("c_mktsegment", home.alias("home"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.count(
+                F.when(S.st_dwithin(F.col("home"), office, 3.0), 1)
+            ).alias("n_near"),
+            F.sum(
+                S.st_distance(F.col("home"), office).cast("decimal(30,10)")
+            )
+            .cast("double")
+            .alias("sum_dist"),
+            F.min(S.st_x(F.col("home"))).alias("min_x"),
+            F.max(S.st_x(F.col("home"))).alias("max_x"),
+            F.min(S.st_y(F.col("home"))).alias("min_y"),
+            F.max(S.st_y(F.col("home"))).alias("max_y"),
+            F.count(F.when(S.st_contains(rect, F.col("home")), 1)).alias("n_inside"),
+        )
+    )
+    bbox = F.array(
+        S.st_point(F.col("min_x"), F.col("min_y")),
+        S.st_point(F.col("max_x"), F.col("min_y")),
+        S.st_point(F.col("max_x"), F.col("max_y")),
+        S.st_point(F.col("min_x"), F.col("max_y")),
+    )
+    return g.select(
+        "c_mktsegment",
+        "n",
+        "n_near",
+        "sum_dist",
+        "min_x",
+        "max_x",
+        "n_inside",
+        # round(6): shoelace/edge-walk evaluation order differs from the
+        # oracle's factored arithmetic by last-ulp floats
+        F.round(S.st_area(bbox), 6).alias("bbox_area"),
+        F.round(S.st_perimeter(bbox), 6).alias("bbox_perim"),
+        F.round(S.st_x(S.st_centroid(bbox)), 6).alias("cx"),
+        F.round(S.st_y(S.st_centroid(bbox)), 6).alias("cy"),
+        S.st_npoints(bbox).alias("ring_n"),
+    )

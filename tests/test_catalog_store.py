@@ -1,0 +1,93 @@
+"""Object-store catalog: a second engine discovers tables from the
+root alone (reference: object_store_catalog.c pointer-file catalog)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_datalake_spark.catalog import load_tables
+from pg_datalake_spark.tables import LakeTable
+from pg_datalake_spark.tables.catalog_store import ObjectStoreCatalog
+from pg_datalake_spark.tables.iceberg_external import (
+    _local,
+    add_position_deletes,
+    export_iceberg_snapshot,
+    snapshot_files,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def populated_catalog(spark):
+    """A catalog root holding one exported Iceberg table and one
+    LakeTable, built by the 'first engine'."""
+    t = load_tables(spark, SF_DIR, ["orders", "nation"])
+    cat_root = tempfile.mkdtemp(prefix="cat_")
+    cat = ObjectStoreCatalog(cat_root)
+
+    ice_loc = tempfile.mkdtemp(prefix="cat_ice_") + "/t"
+    export_iceberg_snapshot(t["orders"], ice_loc)
+    cat.register_iceberg("orders_ice", ice_loc)
+
+    lake_root = tempfile.mkdtemp(prefix="cat_lake_") + "/t"
+    lt = LakeTable.create(spark, lake_root, t["nation"].schema)
+    lt.append(t["nation"])
+    cat.register_lake("nation_lake", lake_root)
+
+    return cat_root, t["orders"].count(), t["nation"].count(), ice_loc
+
+
+def test_second_engine_discovers_and_reads(spark, populated_catalog):
+    cat_root, n_orders, n_nation, _ = populated_catalog
+    # a fresh session state, knowing ONLY the catalog root string
+    engine2 = spark.newSession()
+    cat = ObjectStoreCatalog(cat_root)
+    assert cat.list_tables() == ["nation_lake", "orders_ice"]
+    assert cat.read_table(engine2, "orders_ice").count() == n_orders
+    assert cat.read_table(engine2, "nation_lake").count() == n_nation
+    desc = cat.describe("orders_ice")
+    assert desc["format"] == "iceberg" and desc["catalog-version"] == 1
+
+
+def test_pointer_pinning_and_recommit(spark, populated_catalog):
+    """The pointer pins a metadata version: new snapshots are invisible
+    until re-register, and re-registering bumps the catalog version."""
+    cat_root, n_orders, _, ice_loc = populated_catalog
+    cat = ObjectStoreCatalog(cat_root)
+
+    data_files, _ = snapshot_files(ice_loc)
+    doomed = (
+        spark.read.parquet(*[_local(p) for p in data_files])
+        .select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.row_index").alias("pos"),
+            "o_orderkey",
+        )
+        .filter((F.col("o_orderkey") % 10) == 0)
+        .collect()
+    )
+    add_position_deletes(ice_loc, [(r.fp, r.pos) for r in doomed])
+
+    # pinned pointer still reads the pre-delete snapshot
+    assert cat.read_table(spark, "orders_ice").count() == n_orders
+    # catalog commit: pointer moves to the new metadata version
+    entry = cat.register_iceberg("orders_ice", ice_loc)
+    assert entry["catalog-version"] == 2
+    assert cat.read_table(spark, "orders_ice").count() == n_orders - len(doomed)
+
+
+def test_name_validation_and_drop(populated_catalog):
+    cat_root, *_ = populated_catalog
+    cat = ObjectStoreCatalog(cat_root)
+    with pytest.raises(ValueError):
+        cat.register_lake("../escape", "/tmp/x")
+    cat.register_lake("tmp_tbl", "/tmp/nowhere")
+    assert cat.exists("tmp_tbl")
+    cat.drop("tmp_tbl")
+    assert not cat.exists("tmp_tbl")
+    assert "tmp_tbl" not in cat.list_tables()

@@ -1,0 +1,104 @@
+"""Unit tests for the st_* spatial functions (known-value geometry).
+
+Complements the geo01_spatial parity query (plain-SQL arithmetic
+oracle) with hand-computed reference values for the ring functions and
+the WKB boundary codecs.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_datalake_spark.functions import spatial as S
+
+
+@pytest.fixture(scope="module")
+def geo_df(spark):
+    # (px, py) probe points against a fixed triangle (0,0)-(4,0)-(0,4)
+    rows = [
+        (1.0, 1.0, True),    # inside
+        (3.9, 3.9, False),   # outside (beyond hypotenuse)
+        (-1.0, 2.0, False),  # left of triangle
+        (1.0, 2.9, True),    # inside, near hypotenuse (1+2.9 < 4)
+        (5.0, 0.5, False),   # right of triangle
+    ]
+    return spark.createDataFrame(rows, ["px", "py", "expect_inside"])
+
+
+def _triangle():
+    # built lazily — Column construction needs an active JVM session
+    return F.array(
+        S.st_point(F.lit(0.0), F.lit(0.0)),
+        S.st_point(F.lit(4.0), F.lit(0.0)),
+        S.st_point(F.lit(0.0), F.lit(4.0)),
+    )
+
+
+def test_point_accessors_and_distance(spark):
+    row = (
+        spark.range(1)
+        .select(
+            S.st_x(S.st_point(F.lit(3.0), F.lit(-4.0))).alias("x"),
+            S.st_y(S.st_point(F.lit(3.0), F.lit(-4.0))).alias("y"),
+            S.st_distance(
+                S.st_point(F.lit(0.0), F.lit(0.0)), S.st_point(F.lit(3.0), F.lit(4.0))
+            ).alias("d"),
+            S.st_dwithin(
+                S.st_point(F.lit(0.0), F.lit(0.0)), S.st_point(F.lit(3.0), F.lit(4.0)), 5.0
+            ).alias("within5"),
+            S.st_dwithin(
+                S.st_point(F.lit(0.0), F.lit(0.0)), S.st_point(F.lit(3.0), F.lit(4.0)), 4.99
+            ).alias("within499"),
+            S.st_astext(S.st_point(F.lit(1.5), F.lit(2.5))).alias("wkt"),
+        )
+        .collect()[0]
+    )
+    assert (row.x, row.y) == (3.0, -4.0)
+    assert row.d == 5.0
+    assert row.within5 is True and row.within499 is False
+    assert row.wkt == "POINT (1.5 2.5)"
+
+
+def test_ring_area_perimeter_centroid(spark):
+    row = (
+        spark.range(1)
+        .select(
+            S.st_area(_triangle()).alias("area"),
+            S.st_perimeter(_triangle()).alias("perim"),
+            S.st_x(S.st_centroid(_triangle())).alias("cx"),
+            S.st_y(S.st_centroid(_triangle())).alias("cy"),
+            S.st_npoints(_triangle()).alias("n"),
+            S.st_envelope(_triangle()).alias("env"),
+        )
+        .collect()[0]
+    )
+    assert row.area == pytest.approx(8.0)  # 4*4/2
+    assert row.perim == pytest.approx(8 + math.sqrt(32))
+    assert (row.cx, row.cy) == (pytest.approx(4 / 3), pytest.approx(4 / 3))
+    assert row.n == 3
+    assert (row.env.xmin, row.env.ymin, row.env.xmax, row.env.ymax) == (0.0, 0.0, 4.0, 4.0)
+
+
+def test_contains_ray_casting(geo_df):
+    rows = geo_df.select(
+        "expect_inside", S.st_contains(_triangle(), S.st_point(F.col("px"), F.col("py"))).alias("got")
+    ).collect()
+    for r in rows:
+        assert r.got == r.expect_inside
+
+
+def test_wkb_roundtrip(spark):
+    df = spark.createDataFrame([(1.5, -2.25), (0.0, 1e9)], ["x", "y"])
+    out = (
+        df.select(S.st_aswkb(F.col("x"), F.col("y")).alias("wkb"), "x", "y")
+        .select(S.st_geomfromwkb(F.col("wkb")).alias("p"), "x", "y", "wkb")
+        .collect()
+    )
+    for r in out:
+        assert (r.p.x, r.p.y) == (r.x, r.y)
+        # standard WKB: little-endian marker + point type + packed doubles
+        assert bytes(r.wkb) == b"\x01\x01\x00\x00\x00" + struct.pack("<dd", r.x, r.y)
