@@ -17,6 +17,9 @@ scanned by Spark with full pushdown:
 - :func:`export_iceberg_snapshot` — write a DataFrame as an Iceberg
   v2 table (parquet data + manifest + manifest list + metadata.json +
   version-hint), the write-half of the interop.
+- :func:`append_snapshot` / :func:`add_position_deletes` — commit
+  follow-up APPEND / merge-on-read DELETE snapshots; every prior
+  snapshot stays pinned-readable (time travel).
 
 Scale notes: metadata parsing is O(files) driver-side — same as any
 Iceberg client; the scan itself is a plain distributed parquet read,
@@ -286,27 +289,7 @@ def export_iceberg_snapshot(df: DataFrame, location: str) -> int:
         for f in sorted(os.listdir(data_dir))
         if f.endswith(".parquet")
     ]
-    entries = []
-    total_rows = 0
-    for p in files:
-        nrows, fsize = _parquet_stats(p)
-        total_rows += nrows
-        entries.append(
-            {
-                "status": 1,  # ADDED
-                "snapshot_id": snapshot_id,
-                "sequence_number": 1,
-                "file_sequence_number": 1,
-                "data_file": {
-                    "content": 0,
-                    "file_path": f"file://{p}",
-                    "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": nrows,
-                    "file_size_in_bytes": fsize,
-                },
-            }
-        )
+    entries, total_rows = _data_file_entries(files, snapshot_id, 1)
 
     manifests = []
     data_manifest = os.path.join(meta_dir, f"{uuid.uuid4()}-m0.avro")
@@ -368,6 +351,123 @@ def export_iceberg_snapshot(df: DataFrame, location: str) -> int:
     return snapshot_id
 
 
+def _data_file_entries(
+    files: list[str], snapshot_id: int, seq: int
+) -> tuple[list[dict], int]:
+    """ADDED manifest entries for parquet data files; returns
+    (entries, total_rows)."""
+    entries, total_rows = [], 0
+    for p in files:
+        nrows, fsize = _parquet_stats(p)
+        total_rows += nrows
+        entries.append(
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f"file://{p}",
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": nrows,
+                    "file_size_in_bytes": fsize,
+                },
+            }
+        )
+    return entries, total_rows
+
+
+def _commit_new_version(
+    location: str,
+    meta: dict,
+    snapshot_id: int,
+    seq: int,
+    manifests: list[dict],
+    operation: str,
+) -> int:
+    """Write a new manifest list + metadata version advancing the
+    version-hint; returns the snapshot id."""
+    meta_dir = os.path.join(_local(location), "metadata")
+    now_ms = int(time.time() * 1000)
+    manifest_list = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4()}.avro")
+    write_avro(manifest_list, _MANIFEST_FILE_SCHEMA, manifests)
+
+    version = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip()) + 1
+    meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshots"] = meta["snapshots"] + [
+        {
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "manifest-list": f"file://{manifest_list}",
+            "summary": {"operation": operation},
+            "schema-id": 0,
+        }
+    ]
+    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+    ]
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
+        json.dump(meta, fh, indent=2)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return snapshot_id
+
+
+def append_snapshot(df: DataFrame, location: str) -> int:
+    """Commit an APPEND snapshot to an existing exported Iceberg
+    table: new parquet files land in their own subdirectory of data/,
+    a new data manifest joins the previous snapshot's manifests, and a
+    new metadata version is written (prior snapshots stay
+    pinned-readable)."""
+    meta = load_table_metadata(location)
+    prev = {s["snapshot-id"]: s for s in meta["snapshots"]}[meta["current-snapshot-id"]]
+    _, manifests = read_avro(_local(prev["manifest-list"]))
+
+    expected = [f["name"] for f in meta["schemas"][meta["current-schema-id"]]["fields"]]
+    if [f.name for f in df.schema.fields] != expected:
+        raise ValueError(
+            f"schema mismatch: table has columns {expected}, "
+            f"append has {[f.name for f in df.schema.fields]}"
+        )
+
+    data_dir = os.path.join(_local(location), "data", f"append-{uuid.uuid4()}")
+    df.write.mode("error").parquet(data_dir)
+    snapshot_id = int(uuid.uuid4().int % (1 << 62))
+    seq = meta["last-sequence-number"] + 1
+    files = [
+        os.path.join(data_dir, f)
+        for f in sorted(os.listdir(data_dir))
+        if f.endswith(".parquet")
+    ]
+    entries, total_rows = _data_file_entries(files, snapshot_id, seq)
+    meta_dir = os.path.join(_local(location), "metadata")
+    new_manifest = os.path.join(meta_dir, f"{uuid.uuid4()}-m0.avro")
+    mlen = write_avro(new_manifest, _MANIFEST_ENTRY_SCHEMA, entries)
+    manifests = list(manifests) + [
+        {
+            "manifest_path": f"file://{new_manifest}",
+            "manifest_length": mlen,
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": total_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    return _commit_new_version(location, meta, snapshot_id, seq, manifests, "append")
+
+
 def _write_position_delete_file(
     data_dir: str, delete_entries: list[tuple[str, int]]
 ) -> tuple[str, int, int]:
@@ -407,13 +507,12 @@ def add_position_deletes(
     prev = {s["snapshot-id"]: s for s in meta["snapshots"]}[meta["current-snapshot-id"]]
     _, manifests = read_avro(_local(prev["manifest-list"]))
 
-    data_dir = os.path.join(location, "data")
-    meta_dir = os.path.join(location, "metadata")
+    data_dir = os.path.join(_local(location), "data")
+    meta_dir = os.path.join(_local(location), "metadata")
     del_path, nrows, fsize = _write_position_delete_file(data_dir, delete_entries)
 
     snapshot_id = int(uuid.uuid4().int % (1 << 62))
     seq = meta["last-sequence-number"] + 1
-    now_ms = int(time.time() * 1000)
     del_manifest = os.path.join(meta_dir, f"{uuid.uuid4()}-m0.avro")
     dlen = write_avro(
         del_manifest,
@@ -452,28 +551,4 @@ def add_position_deletes(
             "deleted_rows_count": 0,
         }
     ]
-    manifest_list = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4()}.avro")
-    write_avro(manifest_list, _MANIFEST_FILE_SCHEMA, manifests)
-
-    version = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip()) + 1
-    meta["last-sequence-number"] = seq
-    meta["last-updated-ms"] = now_ms
-    meta["current-snapshot-id"] = snapshot_id
-    meta["snapshots"] = meta["snapshots"] + [
-        {
-            "snapshot-id": snapshot_id,
-            "sequence-number": seq,
-            "timestamp-ms": now_ms,
-            "manifest-list": f"file://{manifest_list}",
-            "summary": {"operation": "delete"},
-            "schema-id": 0,
-        }
-    ]
-    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
-        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
-    ]
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
-        json.dump(meta, fh, indent=2)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-        fh.write(str(version))
-    return snapshot_id
+    return _commit_new_version(location, meta, snapshot_id, seq, manifests, "delete")

@@ -30,6 +30,7 @@ from pg_datalake_spark.tables.avro_codec import read_avro, write_avro
 from pg_datalake_spark.tables.iceberg_external import (
     _local,
     add_position_deletes,
+    append_snapshot,
     export_iceberg_snapshot,
     load_table_metadata,
     read_iceberg_table,
@@ -333,6 +334,37 @@ def test_file_uri_location(spark):
     orders, loc, _ = _export_orders(spark)
     assert load_table_metadata("file://" + loc)["format-version"] == 2
     assert read_iceberg_table(spark, "file://" + loc).count() == orders.count()
+
+
+def test_append_snapshot(spark):
+    """APPEND commit: new files join the table; the pre-append
+    snapshot stays pinned-readable; schema mismatches are rejected."""
+    orders = load_tables(spark, SF_DIR, ["orders"])["orders"]
+    half_a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    half_b = orders.filter(F.col("o_orderkey") % 2 == 1)
+    loc = tempfile.mkdtemp(prefix="iceapp_") + "/t"
+    snap1 = export_iceberg_snapshot(half_a, loc)
+    snap2 = append_snapshot(half_b, loc)
+    assert snap2 != snap1
+    assert read_iceberg_table(spark, loc).count() == orders.count()
+    assert read_iceberg_table(spark, loc, snapshot_id=snap1).count() == half_a.count()
+    # appended rows participate in later MOR deletes too
+    data_files, _ = snapshot_files(loc)
+    one = (
+        spark.read.parquet(*[_local(p) for p in data_files])
+        .select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.row_index").alias("pos"),
+            "o_orderkey",
+        )
+        .filter(F.col("o_orderkey") % 2 == 1)
+        .limit(3)
+        .collect()
+    )
+    add_position_deletes(loc, [(r.fp, r.pos) for r in one])
+    assert read_iceberg_table(spark, loc).count() == orders.count() - 3
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append_snapshot(half_b.drop("o_totalprice"), loc)
 
 
 def test_laketable_iceberg_crosswalk(spark):
