@@ -76,7 +76,16 @@ SELECT event_id, user_id, value,
             - CAST(value AS DECIMAL(30,6)) AS DOUBLE)
          / nullif(count(*) OVER (PARTITION BY user_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-                  - 1, 0)                                                    AS peer_avg
+                  - 1, 0)                                                    AS peer_avg,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) OVER (PARTITION BY user_id)
+            - sum(CAST(value AS DECIMAL(30,6)))
+              OVER (PARTITION BY user_id ORDER BY floor(value)
+                    RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS DOUBLE)    AS excl_group_sum,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) OVER (PARTITION BY user_id)
+            - sum(CAST(value AS DECIMAL(30,6)))
+              OVER (PARTITION BY user_id ORDER BY floor(value)
+                    RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+            + CAST(value AS DECIMAL(30,6)) AS DOUBLE)                        AS excl_ties_sum
 FROM events WHERE user_id < 10
 """
 
@@ -129,7 +138,15 @@ FROM events WHERE user_id < 10
                       EXCLUDE CURRENT ROW) AS DOUBLE)
              / nullif(count(*) OVER (PARTITION BY user_id
                                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
-                                     EXCLUDE CURRENT ROW), 0)                AS peer_avg
+                                     EXCLUDE CURRENT ROW), 0)                AS peer_avg,
+           CAST(sum(CAST(value AS DECIMAL(30,6)))
+                OVER (PARTITION BY user_id ORDER BY floor(value)
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                      EXCLUDE GROUP) AS DOUBLE)                              AS excl_group_sum,
+           CAST(sum(CAST(value AS DECIMAL(30,6)))
+                OVER (PARTITION BY user_id ORDER BY floor(value)
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                      EXCLUDE TIES) AS DOUBLE)                               AS excl_ties_sum
     FROM events WHERE user_id < 10
     """,
 )
@@ -139,11 +156,13 @@ def w_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames (running/moving/leading), non-integral RANGE frames, and
     frame EXCLUDE CURRENT ROW — Spark has no EXCLUDE clause, so for
     additive aggregates the engine subtracts the current row from the
-    full-frame aggregate (exact under decimal sums) and for min/max it
+    full-frame aggregate (exact under decimal sums), for min/max it
     splits the frame into two one-sided frames (rows-before + rows-
-    after, combined with null-skipping least/greatest), while the
-    oracle runs DuckDB's NATIVE EXCLUDE, pinning both emulations
-    against real EXCLUDE semantics."""
+    after, combined with null-skipping least/greatest), and EXCLUDE
+    GROUP / EXCLUDE TIES over full-partition frames subtract the
+    peer-group sum (RANGE CURRENT ROW over the tie-prone sort key IS
+    the peer group), while the oracle runs DuckDB's NATIVE EXCLUDE,
+    pinning every emulation against real EXCLUDE semantics."""
     load_tables(spark, sf_dir, ["events"])
     return spark.sql(_FRAMES_SPARK)
 
