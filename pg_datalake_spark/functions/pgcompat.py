@@ -229,16 +229,28 @@ def pg_regexp_replace_first(s: Column, pattern: str, replacement: str) -> Column
     """PG regexp_replace without the 'g' flag replaces only the FIRST
     match; Spark's regexp_replace always replaces all (SURVEY §2.8
     regex note). Rebuild first-match semantics from regexp_instr +
-    regexp_extract (group backreferences in the replacement are not
-    supported — constants only, like the reference's shim tier).
+    regexp_extract. Replacement supports PG-style group backreferences
+    ``\\1``–``\\9`` (each rendered via regexp_extract of that group on
+    the first match) and ``\\\\`` for a literal backslash.
     """
+    import re as _re
+
     pos = F.regexp_instr(s, F.lit(pattern))
     match = F.regexp_extract(s, pattern, 0)
+    parts: list[Column] = []
+    for tok in _re.split(r"(\\[1-9]|\\\\)", replacement):
+        if _re.fullmatch(r"\\[1-9]", tok):
+            parts.append(F.regexp_extract(s, pattern, int(tok[1])))
+        elif tok == "\\\\":
+            parts.append(F.lit("\\"))
+        elif tok:
+            parts.append(F.lit(tok))
+    repl = F.concat(*parts) if parts else F.lit("")
     return F.when(
         pos > 0,
         F.concat(
             s.substr(F.lit(1), pos - 1),
-            F.lit(replacement),
+            repl,
             s.substr(pos + F.length(match), F.length(s)),
         ),
     ).otherwise(s)

@@ -686,14 +686,17 @@ def x01(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey,
            regexp_replace(p_name, '[aeiou]', '#')      AS first_only,
            regexp_replace(p_name, '[aeiou]', '#', 'g') AS all_matches,
-           regexp_replace(p_name, 'zzz', '#')          AS no_match
+           regexp_replace(p_name, 'zzz', '#')          AS no_match,
+           regexp_replace(p_name, '(\\w+) (\\w+)', '\\2 \\1') AS swapped,
+           regexp_replace(p_name, '(\\w+)', '[\\1]')          AS bracketed
     FROM part WHERE p_partkey <= 100
     """,
 )
 def f16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PG/DuckDB regexp_replace replaces only the FIRST match by
     default; Spark replaces all. pg_regexp_replace_first restores PG
-    semantics (SURVEY §2.8)."""
+    semantics (SURVEY §2.8), including \\1-\\9 group backreferences in
+    the replacement."""
     from pg_datalake_spark.functions.pgcompat import pg_regexp_replace_first
 
     t = load_tables(spark, sf_dir, ["part"])
@@ -706,6 +709,8 @@ def f16(spark: SparkSession, sf_dir: str) -> DataFrame:
             pg_regexp_replace_first(n, "[aeiou]", "#").alias("first_only"),
             F.regexp_replace(n, "[aeiou]", "#").alias("all_matches"),
             pg_regexp_replace_first(n, "zzz", "#").alias("no_match"),
+            pg_regexp_replace_first(n, r"(\w+) (\w+)", r"\2 \1").alias("swapped"),
+            pg_regexp_replace_first(n, r"(\w+)", r"[\1]").alias("bracketed"),
         )
     )
 

@@ -765,6 +765,54 @@ def c04(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c07_collations",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN p_type ELSE lower(p_type) END AS nm,
+             p_brand
+      FROM part
+    ), g AS (
+      SELECT count(*) AS cnt FROM mixed GROUP BY nm COLLATE NOCASE
+    )
+    SELECT (SELECT count(*) FROM g)                                       AS n_ci_groups,
+           (SELECT max(cnt) FROM g)                                       AS max_ci_group,
+           (SELECT count(DISTINCT nm) FROM mixed)                         AS n_cs_names,
+           (SELECT count(*) FROM mixed
+             WHERE p_brand COLLATE NOCASE = 'brand#11')                   AS n_brand11,
+           (SELECT count(*) FROM mixed WHERE nm COLLATE NOCASE < 'm')     AS n_lt_m
+    """,
+)
+def c07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive collations (SURVEY §2.8 collation note: the
+    reference blocks pushdown on non-default collations; Spark 4 has
+    first-class collated strings). Grouping, equality, and ordering
+    comparisons under Spark's UTF8_LCASE are pinned against DuckDB's
+    NOCASE over a mixed-case projection. DISTINCT-under-collation goes
+    through GROUP BY on both sides (DuckDB's count(DISTINCT expr
+    COLLATE ...) ignores the collation — engine quirk found while
+    pinning this)."""
+    load_tables(spark, sf_dir, ["part"])
+    return spark.sql(
+        """
+        WITH mixed AS (
+          SELECT CASE WHEN p_partkey % 2 = 0 THEN p_type ELSE lower(p_type) END AS nm,
+                 p_brand
+          FROM part
+        ), g AS (
+          SELECT count(*) AS cnt FROM mixed GROUP BY nm COLLATE UTF8_LCASE
+        )
+        SELECT (SELECT count(*) FROM g)                                   AS n_ci_groups,
+               (SELECT max(cnt) FROM g)                                   AS max_ci_group,
+               (SELECT count(DISTINCT nm) FROM mixed)                     AS n_cs_names,
+               (SELECT count(CASE WHEN p_brand COLLATE UTF8_LCASE = 'brand#11'
+                             THEN 1 END) FROM mixed)                      AS n_brand11,
+               (SELECT count(CASE WHEN nm COLLATE UTF8_LCASE < 'm' THEN 1 END)
+                FROM mixed)                                               AS n_lt_m
+        """
+    )
+
+
+@register(
     "p01_pivot",
     oracle="""
     SELECT l_returnflag,
