@@ -103,6 +103,29 @@ class ObjectStoreCatalog:
         with open(self._pointer_path(name)) as fh:
             return json.load(fh)
 
+    def tables_view(self, spark: SparkSession) -> DataFrame:
+        """JDBC-catalog-style listing of every registered table — the
+        union of internal (LakeTable) and external (Iceberg) entries
+        (reference: the `iceberg_tables` view unioning
+        `lake_iceberg.tables_internal/_external`)."""
+        rows = []
+        for name in self.list_tables():
+            e = self.describe(name)
+            rows.append(
+                (
+                    name,
+                    e["format"],
+                    e["location"],
+                    e.get("metadata-location"),
+                    e.get("catalog-version"),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "table_name string, format string, location string, "
+            "metadata_location string, catalog_version int",
+        )
+
     def read_table(self, spark: SparkSession, name: str) -> DataFrame:
         """Resolve a pointer and scan the table — Iceberg through the
         metadata layer (pinned to the registered metadata-location),

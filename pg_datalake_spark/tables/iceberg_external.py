@@ -83,34 +83,44 @@ def load_table_metadata(location: str, metadata_file: str | None = None) -> dict
         return json.load(fh)
 
 
-def snapshot_files(
+def _live_entries(
     location: str, snapshot_id: int | None = None, metadata_file: str | None = None
-) -> tuple[list[str], list[str]]:
-    """Resolve a snapshot to its (data_files, position_delete_files)."""
+) -> list[dict]:
+    """All non-DELETED manifest entries' ``data_file`` records for a
+    snapshot (data files AND delete files, with content codes)."""
     meta = load_table_metadata(location, metadata_file)
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
     if sid not in snaps:
         raise ValueError(f"snapshot {sid} not found (have {sorted(snaps)})")
     _, manifests = read_avro(_local(snaps[sid]["manifest-list"]))
-    data_files: list[str] = []
-    delete_files: list[str] = []
+    out: list[dict] = []
     for m in manifests:
         _, entries = read_avro(_local(m["manifest_path"]))
         for e in entries:
             if e.get("status", 0) == 2:  # DELETED entry: file left the table
                 continue
-            d = e["data_file"]
-            content = d.get("content", 0) or 0
-            path = d["file_path"]
-            if content == 0:
-                data_files.append(path)
-            elif content == 1:  # position deletes
-                delete_files.append(path)
-            else:  # equality deletes (content=2): not supported here
-                raise NotImplementedError(
-                    "equality-delete files are not supported by this reader"
-                )
+            out.append(e["data_file"])
+    return out
+
+
+def snapshot_files(
+    location: str, snapshot_id: int | None = None, metadata_file: str | None = None
+) -> tuple[list[str], list[str]]:
+    """Resolve a snapshot to its (data_files, position_delete_files)."""
+    data_files: list[str] = []
+    delete_files: list[str] = []
+    for d in _live_entries(location, snapshot_id, metadata_file):
+        content = d.get("content", 0) or 0
+        path = d["file_path"]
+        if content == 0:
+            data_files.append(path)
+        elif content == 1:  # position deletes
+            delete_files.append(path)
+        else:  # equality deletes (content=2): not supported here
+            raise NotImplementedError(
+                "equality-delete files are not supported by this reader"
+            )
     return data_files, delete_files
 
 
@@ -552,3 +562,109 @@ def add_position_deletes(
         }
     ]
     return _commit_new_version(location, meta, snapshot_id, seq, manifests, "delete")
+
+
+# ---------------------------------------------------------------------------
+# introspection (the external half of the reference's lake_iceberg.*
+# functions: metadata(url) / snapshots(url) / files(url) /
+# table_size(url) / data_file_stats(url) —
+# pg_lake_iceberg/src/iceberg/iceberg_functions.c:36-38,
+# pg_lake_iceberg/pg_lake_iceberg--3.0.sql:18-73)
+# ---------------------------------------------------------------------------
+
+
+def iceberg_metadata(spark: SparkSession, location: str) -> DataFrame:
+    """One-row summary of the table's current metadata."""
+    meta = load_table_metadata(location)
+    schema = meta["schemas"][meta["current-schema-id"]]
+    return spark.createDataFrame(
+        [
+            (
+                meta["table-uuid"],
+                meta["format-version"],
+                meta["location"],
+                meta.get("current-snapshot-id"),
+                meta["last-sequence-number"],
+                len(meta.get("snapshots", [])),
+                len(schema["fields"]),
+            )
+        ],
+        "table_uuid string, format_version int, location string, "
+        "current_snapshot_id long, last_sequence_number long, "
+        "n_snapshots int, n_columns int",
+    )
+
+
+def iceberg_snapshots(spark: SparkSession, location: str) -> DataFrame:
+    """Snapshot history (id, sequence number, timestamp, operation)."""
+    meta = load_table_metadata(location)
+    rows = [
+        (
+            s["snapshot-id"],
+            s["sequence-number"],
+            s["timestamp-ms"],
+            s.get("summary", {}).get("operation"),
+            s["snapshot-id"] == meta.get("current-snapshot-id"),
+        )
+        for s in meta.get("snapshots", [])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id long, sequence_number long, timestamp_ms long, "
+        "operation string, is_current boolean",
+    )
+
+
+def iceberg_files(
+    spark: SparkSession, location: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Live files of a snapshot with content code (0=data, 1=position
+    deletes, 2=equality deletes), record counts and sizes."""
+    rows = [
+        (
+            d["file_path"],
+            d.get("content", 0) or 0,
+            d.get("file_format"),
+            d.get("record_count"),
+            d.get("file_size_in_bytes"),
+        )
+        for d in _live_entries(location, snapshot_id)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "file_path string, content int, file_format string, "
+        "record_count long, file_size_in_bytes long",
+    )
+
+
+def iceberg_table_size(location: str, snapshot_id: int | None = None) -> int:
+    """Total bytes of the snapshot's live files (data + deletes)."""
+    return sum(
+        d.get("file_size_in_bytes") or 0
+        for d in _live_entries(location, snapshot_id)
+    )
+
+
+def iceberg_data_file_stats(
+    spark: SparkSession, location: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Per-data-file parquet footer stats (row count, size, row groups,
+    compressed/uncompressed bytes) — driver-side footer reads only, no
+    data scan (reference: data_file_stats.c harvesting write stats)."""
+    import pyarrow.parquet as pq
+
+    rows = []
+    for d in _live_entries(location, snapshot_id):
+        if (d.get("content", 0) or 0) != 0:
+            continue
+        p = _local(d["file_path"])
+        md = pq.ParquetFile(p).metadata
+        comp = sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
+        rows.append(
+            (d["file_path"], md.num_rows, os.path.getsize(p), md.num_row_groups, comp)
+        )
+    return spark.createDataFrame(
+        rows,
+        "file_path string, num_rows long, file_size_bytes long, "
+        "num_row_groups int, total_uncompressed_bytes long",
+    )

@@ -81,6 +81,16 @@ def test_pointer_pinning_and_recommit(spark, populated_catalog):
     assert cat.read_table(spark, "orders_ice").count() == n_orders - len(doomed)
 
 
+def test_tables_view(spark, populated_catalog):
+    cat_root, *_ = populated_catalog
+    cat = ObjectStoreCatalog(cat_root)
+    rows = {r.table_name: r for r in cat.tables_view(spark).collect()}
+    assert rows["orders_ice"].format == "iceberg"
+    assert rows["orders_ice"].metadata_location.endswith(".metadata.json")
+    assert rows["nation_lake"].format == "lake"
+    assert rows["nation_lake"].catalog_version >= 1
+
+
 def test_name_validation_and_drop(populated_catalog):
     cat_root, *_ = populated_catalog
     cat = ObjectStoreCatalog(cat_root)

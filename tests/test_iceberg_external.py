@@ -367,6 +367,55 @@ def test_append_snapshot(spark):
         append_snapshot(half_b.drop("o_totalprice"), loc)
 
 
+def test_introspection_functions(spark):
+    """lake_iceberg.metadata/snapshots/files/table_size/data_file_stats
+    analogs over an exported table with append + delete history."""
+    from pg_datalake_spark.tables.iceberg_external import (
+        iceberg_data_file_stats,
+        iceberg_files,
+        iceberg_metadata,
+        iceberg_snapshots,
+        iceberg_table_size,
+    )
+
+    orders, loc, snap1 = _export_orders(spark)
+    append_snapshot(orders.limit(50), loc)
+    data_files, _ = snapshot_files(loc)
+    one = (
+        spark.read.parquet(_local(data_files[0]))
+        .select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        .limit(2)
+        .collect()
+    )
+    add_position_deletes(loc, [(r.fp, r.pos) for r in one])
+
+    md = iceberg_metadata(spark, loc).collect()[0]
+    assert md.format_version == 2 and md.n_snapshots == 3
+
+    snaps = iceberg_snapshots(spark, loc).orderBy("sequence_number").collect()
+    assert [s.operation for s in snaps] == ["append", "append", "delete"]
+    assert [s.is_current for s in snaps] == [False, False, True]
+    assert snaps[0].snapshot_id == snap1
+
+    files = iceberg_files(spark, loc).collect()
+    by_content = {0: 0, 1: 0}
+    for f in files:
+        by_content[f.content] += 1
+        assert f.record_count > 0 and f.file_size_in_bytes > 0
+    assert by_content[0] >= 2 and by_content[1] == 1
+    # pinned listing excludes the delete file
+    assert all(f.content == 0 for f in iceberg_files(spark, loc, snapshot_id=snap1).collect())
+
+    assert iceberg_table_size(loc) == sum(f.file_size_in_bytes for f in files)
+
+    stats = iceberg_data_file_stats(spark, loc).collect()
+    assert sum(s.num_rows for s in stats) == orders.count() + 50
+    assert all(s.num_row_groups >= 1 and s.total_uncompressed_bytes > 0 for s in stats)
+
+
 def test_laketable_iceberg_crosswalk(spark):
     """LakeTable data exported to Iceberg reads back equal — the
     interop crosswalk (reference: Spark reading pg_lake-written tables,
