@@ -243,6 +243,19 @@ def lake07(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'pinned' AS phase, count(*) AS n,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM orders
+    UNION ALL
+    SELECT 'eqdel' AS phase, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders WHERE o_orderkey % 10 <> 0 AND o_orderstatus <> 'P'
+    UNION ALL
+    SELECT 'reappend' AS phase, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM (
+        SELECT o_totalprice FROM orders
+        WHERE o_orderkey % 10 <> 0 AND o_orderstatus <> 'P'
+        UNION ALL
+        SELECT o_totalprice FROM orders WHERE o_orderstatus = 'P'
+    )
     """,
 )
 def lake08(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,14 +264,26 @@ def lake08(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs/file-formats-reference.md:140-152 and its Avro manifest layer
     pg_lake_iceberg/src/avro/avro_reader.c / read_manifest.c): export
     orders as a real Iceberg v2 table (parquet data + Avro manifests +
-    metadata.json), commit a merge-on-read position-delete snapshot for
-    ``o_orderkey % 10 = 0``, then aggregate BOTH the current snapshot
-    (deletes applied via broadcast anti-join on Spark's ``_metadata``
-    file/row-position columns) and the pinned pre-delete snapshot
-    (time travel). The delete-entry collect is the delete list itself —
-    bounded, driver-side, same as any Iceberg client commit."""
+    metadata.json), then drive a four-snapshot history and aggregate
+    each phase pinned to its snapshot:
+
+    1. ``current`` — after a merge-on-read POSITION-delete commit for
+       ``o_orderkey % 10 = 0`` (broadcast anti-join on Spark's
+       ``_metadata`` file/row-position columns);
+    2. ``pinned``  — the pre-delete snapshot (time travel);
+    3. ``eqdel``   — after a merge-on-read EQUALITY-delete commit on
+       ``o_orderstatus = 'P'`` (null-safe broadcast anti-join, applied
+       only to data files with strictly lower sequence numbers);
+    4. ``reappend`` — after re-appending every ``'P'`` row: the append
+       outranks the equality delete (higher sequence number), so the
+       rows are visible again while the position deletes still hold —
+       the Iceberg v2 sequence-scoping rules end-to-end.
+
+    The delete-entry collect is the delete list itself — bounded,
+    driver-side, same as any Iceberg client commit."""
     from pg_datalake_spark.tables.iceberg_external import (
         _local,
+        add_equality_deletes,
         add_position_deletes,
         export_iceberg_snapshot,
         read_iceberg_table,
@@ -279,20 +304,29 @@ def lake08(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("o_orderkey") % 10) == 0)
     )
-    add_position_deletes(loc, [(r.fp, r.pos) for r in doomed.collect()])
+    snap2 = add_position_deletes(loc, [(r.fp, r.pos) for r in doomed.collect()])
+    snap3 = add_equality_deletes(
+        loc, spark.createDataFrame([("P",)], "o_orderstatus string")
+    )
+    from pg_datalake_spark.tables.iceberg_external import append_snapshot
+
+    snap4 = append_snapshot(t["orders"].filter(F.col("o_orderstatus") == "P"), loc)
 
     agg = [
         F.count("*").alias("n"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
     ]
-    current = (
-        read_iceberg_table(spark, loc)
-        .agg(*agg)
-        .select(F.lit("current").alias("phase"), "n", "total_cents")
+
+    def phase(name: str, snap: int) -> DataFrame:
+        return (
+            read_iceberg_table(spark, loc, snapshot_id=snap)
+            .agg(*agg)
+            .select(F.lit(name).alias("phase"), "n", "total_cents")
+        )
+
+    return (
+        phase("current", snap2)
+        .unionByName(phase("pinned", snap1))
+        .unionByName(phase("eqdel", snap3))
+        .unionByName(phase("reappend", snap4))
     )
-    pinned = (
-        read_iceberg_table(spark, loc, snapshot_id=snap1)
-        .agg(*agg)
-        .select(F.lit("pinned").alias("phase"), "n", "total_cents")
-    )
-    return current.unionByName(pinned)

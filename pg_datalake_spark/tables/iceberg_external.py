@@ -17,9 +17,11 @@ scanned by Spark with full pushdown:
 - :func:`export_iceberg_snapshot` — write a DataFrame as an Iceberg
   v2 table (parquet data + manifest + manifest list + metadata.json +
   version-hint), the write-half of the interop.
-- :func:`append_snapshot` / :func:`add_position_deletes` — commit
-  follow-up APPEND / merge-on-read DELETE snapshots; every prior
-  snapshot stays pinned-readable (time travel).
+- :func:`append_snapshot` / :func:`add_position_deletes` /
+  :func:`add_equality_deletes` — commit follow-up APPEND /
+  merge-on-read DELETE snapshots (position and equality deletes, with
+  v2 sequence-number scoping); every prior snapshot stays
+  pinned-readable (time travel).
 
 Scale notes: metadata parsing is O(files) driver-side — same as any
 Iceberg client; the scan itself is a plain distributed parquet read,
@@ -88,26 +90,44 @@ def _live_entries(
 ) -> list[dict]:
     """All non-DELETED manifest entries' ``data_file`` records for a
     snapshot (data files AND delete files, with content codes)."""
+    return [d for d, _ in _live_entries_with_seq(location, snapshot_id, metadata_file)]
+
+
+def _live_entries_with_seq(
+    location: str, snapshot_id: int | None = None, metadata_file: str | None = None
+) -> list[tuple[dict, int]]:
+    """Like :func:`_live_entries` but each record is paired with its
+    data sequence number (entry-level, inheriting the manifest's when
+    the entry's is null — Iceberg v2 sequence-number inheritance)."""
     meta = load_table_metadata(location, metadata_file)
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
     if sid not in snaps:
         raise ValueError(f"snapshot {sid} not found (have {sorted(snaps)})")
     _, manifests = read_avro(_local(snaps[sid]["manifest-list"]))
-    out: list[dict] = []
+    out: list[tuple[dict, int]] = []
     for m in manifests:
         _, entries = read_avro(_local(m["manifest_path"]))
         for e in entries:
             if e.get("status", 0) == 2:  # DELETED entry: file left the table
                 continue
-            out.append(e["data_file"])
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = m.get("sequence_number", 0)
+            out.append((e["data_file"], int(seq)))
     return out
 
 
 def snapshot_files(
     location: str, snapshot_id: int | None = None, metadata_file: str | None = None
 ) -> tuple[list[str], list[str]]:
-    """Resolve a snapshot to its (data_files, position_delete_files)."""
+    """Resolve a snapshot to its (data_files, position_delete_files).
+
+    Simple-path API: tables that carry equality-delete files (content=2)
+    cannot be summarized as two flat file lists because equality deletes
+    apply only to data files with a strictly lower sequence number — use
+    :func:`read_iceberg_table` (which applies them correctly) or
+    :func:`snapshot_file_entries` instead."""
     data_files: list[str] = []
     delete_files: list[str] = []
     for d in _live_entries(location, snapshot_id, metadata_file):
@@ -117,11 +137,29 @@ def snapshot_files(
             data_files.append(path)
         elif content == 1:  # position deletes
             delete_files.append(path)
-        else:  # equality deletes (content=2): not supported here
+        else:  # equality deletes (content=2): sequence-scoped, not flat
             raise NotImplementedError(
-                "equality-delete files are not supported by this reader"
+                "equality-delete files cannot be flattened to a file list; "
+                "use read_iceberg_table / snapshot_file_entries"
             )
     return data_files, delete_files
+
+
+def snapshot_file_entries(
+    location: str, snapshot_id: int | None = None, metadata_file: str | None = None
+) -> list[dict]:
+    """Full per-file view of a snapshot: ``{path, content, seq,
+    equality_ids}`` per live file (content 0=data, 1=position deletes,
+    2=equality deletes)."""
+    return [
+        {
+            "path": d["file_path"],
+            "content": d.get("content", 0) or 0,
+            "seq": seq,
+            "equality_ids": d.get("equality_ids"),
+        }
+        for d, seq in _live_entries_with_seq(location, snapshot_id, metadata_file)
+    ]
 
 
 def read_iceberg_table(
@@ -132,49 +170,123 @@ def read_iceberg_table(
 ) -> DataFrame:
     """Scan an external Iceberg v1/v2 table snapshot as a DataFrame.
 
-    Position deletes (merge-on-read) are applied with a broadcast
-    anti-join on (file, row position) using Spark's ``_metadata``
-    columns — no row-level Python, full pushdown on the data scan.
+    Merge-on-read deletes are applied Spark-side, no row-level Python:
+
+    - Position deletes: broadcast anti-join on (file, row position)
+      using Spark's ``_metadata`` columns.
+    - Equality deletes: per equality-id set, a null-safe broadcast
+      anti-join on the equality columns, restricted to data files whose
+      data sequence number is STRICTLY lower than the delete file's
+      (Iceberg v2 sequence semantics — rows re-appended after the
+      delete survive).
     """
-    data_files, delete_files = snapshot_files(location, snapshot_id, metadata_file)
-    if not data_files:
+    entries = snapshot_file_entries(location, snapshot_id, metadata_file)
+    data = [e for e in entries if e["content"] == 0]
+    pos_del = [e for e in entries if e["content"] == 1]
+    eq_del = [e for e in entries if e["content"] == 2]
+    if not data:
         raise ValueError(f"snapshot has no data files under {location}")
-    df = spark.read.parquet(*[_local(p) for p in data_files])
-    if not delete_files:
+    df = spark.read.parquet(*[_local(e["path"]) for e in data])
+    if not pos_del and not eq_del:
         return df
     # The normalization below is only correct for local file URIs
     # (manifests store file://..., _metadata.file_path reports
     # file:///...). For any other scheme (s3:// vs s3a://, ...) the two
     # sides would not normalize to the same string and the anti-join
-    # would silently match nothing — fail loud instead, matching the
-    # equality-delete guard.
-    for p in data_files + delete_files:
+    # would silently match nothing — fail loud instead.
+    for e in entries:
+        p = e["path"]
         if "://" in p and not p.startswith("file://"):
             raise NotImplementedError(
-                f"position-delete path normalization supports only local "
+                f"delete-path normalization supports only local "
                 f"file URIs, got {p!r}"
             )
-    # normalize to scheme-less paths on both sides: manifests store
-    # file:// URIs, _metadata.file_path reports file:/// form
-    deletes = (
-        spark.read.parquet(*[_local(p) for p in delete_files])
-        .select(
-            F.regexp_replace("file_path", "^file:/*", "/").alias("__del_path"),
-            F.col("pos").alias("__del_pos"),
-        )
-        .distinct()
-    )
-    with_pos = df.select(
+
+    # capture the hidden _metadata columns ONCE on the raw scan (they
+    # are not resolvable after a projection/join), normalized to
+    # scheme-less paths: manifests store file:// URIs,
+    # _metadata.file_path reports file:/// form
+    df = df.select(
         "*",
         F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/").alias("__path"),
         F.col("_metadata.row_index").alias("__pos"),
     )
-    kept = with_pos.join(
-        F.broadcast(deletes),
-        (F.col("__path") == F.col("__del_path")) & (F.col("__pos") == F.col("__del_pos")),
-        "left_anti",
-    )
-    return kept.drop("__path", "__pos")
+
+    if pos_del:
+        deletes = (
+            spark.read.parquet(*[_local(e["path"]) for e in pos_del])
+            .select(
+                F.regexp_replace("file_path", "^file:/*", "/").alias("__del_path"),
+                F.col("pos").alias("__del_pos"),
+            )
+            .distinct()
+        )
+        df = df.join(
+            F.broadcast(deletes),
+            (F.col("__path") == F.col("__del_path"))
+            & (F.col("__pos") == F.col("__del_pos")),
+            "left_anti",
+        )
+
+    if eq_del:
+        meta = load_table_metadata(location, metadata_file)
+        fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+        id_to_name = {f["id"]: f["name"] for f in fields}
+        # per-data-file sequence number, attached via a literal map —
+        # O(files) metadata, evaluated JVM-side, no extra join
+        seq_map = F.create_map(
+            *[
+                x
+                for e in data
+                for x in (F.lit(_local(e["path"])), F.lit(e["seq"]))
+            ]
+        )
+        df = df.withColumn("__seq", F.element_at(seq_map, F.col("__path")))
+        # group delete files by their equality-id set; each group is one
+        # null-safe anti-join (equality columns + strict seq ordering)
+        groups: dict[tuple[int, ...], list[dict]] = {}
+        for e in eq_del:
+            ids = e.get("equality_ids")
+            if not ids:
+                raise ValueError(
+                    f"equality-delete file {e['path']!r} has no equality_ids"
+                )
+            groups.setdefault(tuple(ids), []).append(e)
+        for ids, files in sorted(groups.items()):
+            try:
+                cols = [id_to_name[i] for i in ids]
+            except KeyError as exc:
+                raise ValueError(
+                    f"equality_ids {list(ids)} reference unknown schema field "
+                    f"ids (have {sorted(id_to_name)})"
+                ) from exc
+            del_seq_map = F.create_map(
+                *[
+                    x
+                    for e in files
+                    for x in (F.lit(_local(e["path"])), F.lit(e["seq"]))
+                ]
+            )
+            del_df = (
+                spark.read.parquet(*[_local(e["path"]) for e in files])
+                .select(
+                    *[F.col(c).alias(f"__eq_{c}") for c in cols],
+                    F.element_at(
+                        del_seq_map,
+                        F.regexp_replace(
+                            F.col("_metadata.file_path"), "^file:/*", "/"
+                        ),
+                    ).alias("__del_seq"),
+                )
+                .groupBy(*[f"__eq_{c}" for c in cols])
+                .agg(F.max("__del_seq").alias("__del_seq"))
+            )
+            cond = F.col("__seq") < F.col("__del_seq")
+            for c in cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+            df = df.join(F.broadcast(del_df), cond, "left_anti")
+        df = df.drop("__seq")
+    return df.drop("__path", "__pos")
 
 
 # ---------------------------------------------------------------------------
@@ -238,6 +350,11 @@ _DATA_FILE_SCHEMA = {
         },
         {"name": "record_count", "type": "long", "field-id": 103},
         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        {
+            "name": "equality_ids",
+            "type": ["null", {"type": "array", "items": "int", "element-id": 136}],
+            "field-id": 135,
+        },
     ],
 }
 
@@ -383,6 +500,7 @@ def _data_file_entries(
                     "partition": {},
                     "record_count": nrows,
                     "file_size_in_bytes": fsize,
+                    "equality_ids": None,
                 },
             }
         )
@@ -540,6 +658,7 @@ def add_position_deletes(
                     "partition": {},
                     "record_count": nrows,
                     "file_size_in_bytes": fsize,
+                    "equality_ids": None,
                 },
             }
         ],
@@ -557,6 +676,82 @@ def add_position_deletes(
             "existing_files_count": 0,
             "deleted_files_count": 0,
             "added_rows_count": nrows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    return _commit_new_version(location, meta, snapshot_id, seq, manifests, "delete")
+
+
+def add_equality_deletes(location: str, df: DataFrame, columns: list[str] | None = None) -> int:
+    """Commit a merge-on-read EQUALITY-delete snapshot (Iceberg v2
+    content=2): every table row whose ``columns`` values null-safe
+    match a row of ``df`` — and whose data file predates this commit
+    (strictly lower sequence number) — is deleted. Rows appended after
+    this commit are untouched, per the Iceberg spec's sequence-number
+    scoping. ``df`` needs only the equality columns."""
+    columns = columns or df.columns
+    meta = load_table_metadata(location)
+    prev = {s["snapshot-id"]: s for s in meta["snapshots"]}[meta["current-snapshot-id"]]
+    _, manifests = read_avro(_local(prev["manifest-list"]))
+
+    schema_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+    name_to_id = {f["name"]: f["id"] for f in schema_fields}
+    missing = [c for c in columns if c not in name_to_id]
+    if missing:
+        raise ValueError(
+            f"equality columns {missing} not in table schema "
+            f"(have {sorted(name_to_id)})"
+        )
+    eq_ids = [name_to_id[c] for c in columns]
+
+    del_dir = os.path.join(_local(location), "data", f"eqdel-{uuid.uuid4()}")
+    df.select(*columns).write.mode("error").parquet(del_dir)
+    files = [
+        os.path.join(del_dir, f)
+        for f in sorted(os.listdir(del_dir))
+        if f.endswith(".parquet")
+    ]
+
+    snapshot_id = int(uuid.uuid4().int % (1 << 62))
+    seq = meta["last-sequence-number"] + 1
+    entries, total_rows = [], 0
+    for p in files:
+        nrows, fsize = _parquet_stats(p)
+        total_rows += nrows
+        entries.append(
+            {
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 2,  # equality deletes
+                    "file_path": f"file://{p}",
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": nrows,
+                    "file_size_in_bytes": fsize,
+                    "equality_ids": eq_ids,
+                },
+            }
+        )
+    meta_dir = os.path.join(_local(location), "metadata")
+    del_manifest = os.path.join(meta_dir, f"{uuid.uuid4()}-m0.avro")
+    dlen = write_avro(del_manifest, _MANIFEST_ENTRY_SCHEMA, entries)
+    manifests = list(manifests) + [
+        {
+            "manifest_path": f"file://{del_manifest}",
+            "manifest_length": dlen,
+            "partition_spec_id": 0,
+            "content": 1,  # deletes manifest
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": total_rows,
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
         }

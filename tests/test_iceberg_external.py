@@ -29,6 +29,7 @@ from pg_datalake_spark.tables import LakeTable
 from pg_datalake_spark.tables.avro_codec import read_avro, write_avro
 from pg_datalake_spark.tables.iceberg_external import (
     _local,
+    add_equality_deletes,
     add_position_deletes,
     append_snapshot,
     export_iceberg_snapshot,
@@ -286,7 +287,10 @@ def _manifests_for(loc: str, content: int) -> list[str]:
     return out
 
 
-def test_equality_delete_rejected(spark):
+def test_equality_delete_flat_list_rejected(spark):
+    """snapshot_files (the flat two-list API) cannot represent
+    sequence-scoped equality deletes — it must fail loud and point at
+    read_iceberg_table, which handles them."""
     _, loc, _ = _export_orders(spark)
     [mpath] = _manifests_for(loc, 0)
     schema, entries = read_avro(mpath)
@@ -295,6 +299,104 @@ def test_equality_delete_rejected(spark):
     write_avro(mpath, schema, entries)
     with pytest.raises(NotImplementedError, match="equality-delete"):
         snapshot_files(loc)
+
+
+def test_equality_delete_basic_and_time_travel(spark):
+    """content=2 deletes: rows matching the delete keys disappear from
+    the current snapshot; the pinned pre-delete snapshot is intact."""
+    orders, loc, snap1 = _export_orders(spark)
+    n = orders.count()
+    n_f = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert 0 < n_f < n
+    snap2 = add_equality_deletes(
+        loc, spark.createDataFrame([("F",)], "o_orderstatus string")
+    )
+    cur = read_iceberg_table(spark, loc)
+    assert cur.count() == n - n_f
+    assert cur.filter(F.col("o_orderstatus") == "F").count() == 0
+    assert read_iceberg_table(spark, loc, snapshot_id=snap1).count() == n
+    meta = load_table_metadata(loc)
+    assert meta["current-snapshot-id"] == snap2
+
+
+def test_equality_delete_sequence_scoping(spark):
+    """An equality delete applies only to data files with STRICTLY
+    lower sequence numbers: re-appending deleted keys after the delete
+    commit makes them visible again (Iceberg v2 spec)."""
+    orders = load_tables(spark, SF_DIR, ["orders"])["orders"]
+    loc = tempfile.mkdtemp(prefix="iceeq_") + "/t"
+    export_iceberg_snapshot(orders, loc)  # seq 1
+    doomed = orders.filter(F.col("o_orderstatus") == "P")
+    n_doomed = doomed.count()
+    assert n_doomed > 0
+    add_equality_deletes(
+        loc, spark.createDataFrame([("P",)], "o_orderstatus string")
+    )  # seq 2
+    assert read_iceberg_table(spark, loc).count() == orders.count() - n_doomed
+    # re-append the deleted rows: seq 3 > delete seq 2 → visible
+    append_snapshot(doomed, loc)
+    back = read_iceberg_table(spark, loc)
+    assert back.count() == orders.count()
+    assert back.filter(F.col("o_orderstatus") == "P").count() == n_doomed
+
+
+def test_equality_delete_multi_column_and_null(spark):
+    """Multi-column equality ids + null-safe matching: a null in the
+    delete row matches rows where that column IS NULL."""
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 20.0), (3, "a", 30.0), (4, None, 40.0), (5, "b", 50.0)],
+        "id long, k string, v double",
+    )
+    loc = tempfile.mkdtemp(prefix="icenull_") + "/t"
+    export_iceberg_snapshot(df, loc)
+    # delete (1,'a') and (2,null) on (id, k) — row 3 shares k='a' but
+    # not id; row 4 shares k=null but not id: both must survive
+    add_equality_deletes(
+        loc,
+        spark.createDataFrame([(1, "a"), (2, None)], "id long, k string"),
+        columns=["id", "k"],
+    )
+    left = {r.id for r in read_iceberg_table(spark, loc).collect()}
+    assert left == {3, 4, 5}
+    # single-column null delete: k=null matches rows 4 (2 already gone)
+    add_equality_deletes(
+        loc, spark.createDataFrame([(None,)], "k string"), columns=["k"]
+    )
+    assert {r.id for r in read_iceberg_table(spark, loc).collect()} == {3, 5}
+
+
+def test_equality_and_position_deletes_combined(spark):
+    """Both MOR delete kinds in one table apply independently."""
+    orders, loc, _ = _export_orders(spark)
+    n = orders.count()
+    data_files, _ = snapshot_files(loc)
+    doomed = (
+        spark.read.parquet(*[_local(p) for p in data_files])
+        .select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.row_index").alias("pos"),
+            "o_orderkey",
+            "o_orderstatus",
+        )
+        .filter((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderstatus") != "F"))
+        .collect()
+    )
+    assert doomed
+    add_position_deletes(loc, [(r.fp, r.pos) for r in doomed])
+    add_equality_deletes(
+        loc, spark.createDataFrame([("F",)], "o_orderstatus string")
+    )
+    expected = orders.filter(
+        ~((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderstatus") != "F"))
+        & (F.col("o_orderstatus") != "F")
+    ).count()
+    assert read_iceberg_table(spark, loc).count() == expected
+
+
+def test_equality_delete_unknown_column_rejected(spark):
+    _, loc, _ = _export_orders(spark)
+    with pytest.raises(ValueError, match="not in table schema"):
+        add_equality_deletes(loc, spark.createDataFrame([(1,)], "nope long"))
 
 
 def test_nonlocal_scheme_rejected(spark):
