@@ -14,46 +14,51 @@ from pg_datalake_spark.streaming import incremental_file_ingest, windowed_event_
 
 
 @register(
-    "src01_csv_roundtrip",
+    "src01_src02_file_roundtrips",
     oracle="""
-    SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
-           sum(l_extendedprice) AS sum_price
+    SELECT 'csv' AS src, l_returnflag AS k, count(*) AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS c1,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS c2
     FROM lineitem
     GROUP BY l_returnflag
-    """,
-)
-def src01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COPY TO csv.gz → schema-inferred read back → aggregate. The
-    oracle aggregates the original parquet: export+inference must be
-    lossless for the measured columns."""
-    t = load_tables(spark, sf_dir, ["lineitem"])
-    out = tempfile.mkdtemp(prefix="src01_") + "/lineitem.csv.gz"
-    copy_to(t["lineitem"], out, fmt="csv", compression="gzip")
-    back = read_files(spark, out, fmt="csv")
-    return back.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        F.sum("l_quantity").alias("sum_qty"),
-        F.sum("l_extendedprice").alias("sum_price"),
-    )
-
-
-@register(
-    "src02_json_roundtrip",
-    oracle="""
-    SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+    UNION ALL
+    SELECT 'json' AS src, o_orderstatus AS k, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c1,
+           CAST(NULL AS BIGINT) AS c2
     FROM orders
     GROUP BY o_orderstatus
     """,
 )
-def src02(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COPY TO ndjson → inferred read → aggregate."""
-    t = load_tables(spark, sf_dir, ["orders"])
-    out = tempfile.mkdtemp(prefix="src02_") + "/orders.json"
-    copy_to(t["orders"].select("o_orderstatus", "o_totalprice"), out, fmt="json")
-    back = read_files(spark, out, fmt="json")
-    return back.groupBy("o_orderstatus").agg(
-        F.count("*").alias("n"), F.sum("o_totalprice").alias("total")
+def src01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-format roundtrips, tagged union of the former src01/src02
+    rows (merged to free a driver-window slot for geo01):
+
+    - ``csv``: COPY TO csv.gz → schema-inferred read back → aggregate;
+    - ``json``: COPY TO ndjson → inferred read → aggregate.
+
+    The oracle aggregates the original parquet, so export + dialect /
+    type inference must be lossless for the measured columns. Sums are
+    exact integer cents on both sides (inference yields doubles)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders"])
+    csv_out = tempfile.mkdtemp(prefix="src01_") + "/lineitem.csv.gz"
+    copy_to(t["lineitem"], csv_out, fmt="csv", compression="gzip")
+    csv_back = read_files(spark, csv_out, fmt="csv")
+    csv_arm = csv_back.groupBy(F.col("l_returnflag").alias("k")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).cast("long").alias("c1"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast("long").alias("c2"),
+    ).select(F.lit("csv").alias("src"), "k", "n", "c1", "c2")
+
+    json_out = tempfile.mkdtemp(prefix="src02_") + "/orders.json"
+    copy_to(t["orders"].select("o_orderstatus", "o_totalprice"), json_out, fmt="json")
+    json_back = read_files(spark, json_out, fmt="json")
+    json_arm = json_back.groupBy(F.col("o_orderstatus").alias("k")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("c1"),
+    ).select(
+        F.lit("json").alias("src"), "k", "n", "c1", F.lit(None).cast("long").alias("c2")
     )
+    return csv_arm.unionByName(json_arm)
 
 
 @register(
