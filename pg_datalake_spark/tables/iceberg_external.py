@@ -145,21 +145,107 @@ def snapshot_files(
     return data_files, delete_files
 
 
+def _kv_dict(kv: list | None) -> dict:
+    return {e["key"]: e["value"] for e in kv} if kv else {}
+
+
 def snapshot_file_entries(
     location: str, snapshot_id: int | None = None, metadata_file: str | None = None
 ) -> list[dict]:
     """Full per-file view of a snapshot: ``{path, content, seq,
-    equality_ids}`` per live file (content 0=data, 1=position deletes,
-    2=equality deletes)."""
+    equality_ids, lower_bounds, upper_bounds, null_value_counts}`` per
+    live file (content 0=data, 1=position deletes, 2=equality deletes);
+    bounds are field-id-keyed dicts of spec-serialized bytes."""
     return [
         {
             "path": d["file_path"],
             "content": d.get("content", 0) or 0,
             "seq": seq,
             "equality_ids": d.get("equality_ids"),
+            "lower_bounds": _kv_dict(d.get("lower_bounds")),
+            "upper_bounds": _kv_dict(d.get("upper_bounds")),
+            "null_value_counts": _kv_dict(d.get("null_value_counts")),
         }
         for d, seq in _live_entries_with_seq(location, snapshot_id, metadata_file)
     ]
+
+
+def _file_may_match(entry: dict, fid: int, ftype: str, op: str, val) -> bool:
+    """Can any row of this data file satisfy ``col op val``, judging by
+    its manifest bounds? Missing/undeserializable bounds → True (prune
+    only on proof). Non-ASCII string bounds are ignored: parquet orders
+    stats by unsigned byte, Python by code point — only agree on ASCII."""
+    lb = entry["lower_bounds"].get(fid)
+    ub = entry["upper_bounds"].get(fid)
+    if lb is None or ub is None:
+        return True
+    lo = _bound_from_bytes(lb, ftype)
+    hi = _bound_from_bytes(ub, ftype)
+    if lo is None or hi is None:
+        return True
+    if ftype == "string":
+        if not (lo.isascii() and hi.isascii() and str(val).isascii()):
+            return True
+        val = str(val)
+    try:
+        if op in ("=", "=="):
+            return lo <= val <= hi
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == ">":
+            return hi > val
+        if op == ">=":
+            return hi >= val
+    except TypeError:
+        return True
+    raise ValueError(f"unsupported filter op {op!r} (use = < <= > >=)")
+
+
+def _spark_ddl(ice_schema: dict) -> str:
+    """Spark DDL string for an Iceberg schema (inverse of
+    :func:`_iceberg_schema` over the types this module emits)."""
+    inv = {
+        "boolean": "boolean", "int": "int", "long": "long",
+        "float": "float", "double": "double", "string": "string",
+        "binary": "binary", "date": "date", "timestamptz": "timestamp",
+        "timestamp": "timestamp_ntz",
+    }
+    cols = []
+    for f in ice_schema["fields"]:
+        t = f["type"]
+        cols.append(f"`{f['name']}` {t if t.startswith('decimal') else inv[t]}")
+    return ", ".join(cols)
+
+
+def plan_scan(
+    location: str,
+    filters: list[tuple] | None = None,
+    snapshot_id: int | None = None,
+    metadata_file: str | None = None,
+) -> dict:
+    """Metadata-only scan plan: which data files survive bounds pruning
+    for ``filters`` (same semantics as :func:`read_iceberg_table`).
+    Returns ``{"kept": [paths], "skipped": [paths]}`` — the EXPLAIN
+    counterpart of the reference's files-scanned/skipped accounting."""
+    meta = load_table_metadata(location, metadata_file)
+    ice_schema = meta["schemas"][meta["current-schema-id"]]
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    kept, skipped = [], []
+    for e in snapshot_file_entries(location, snapshot_id, metadata_file):
+        if e["content"] != 0:
+            continue
+        keep = True
+        for col, op, val in filters or []:
+            if col not in by_name:
+                raise ValueError(f"filter column {col!r} not in table schema")
+            f = by_name[col]
+            if not _file_may_match(e, f["id"], f["type"], op, val):
+                keep = False
+                break
+        (kept if keep else skipped).append(e["path"])
+    return {"kept": kept, "skipped": skipped}
 
 
 def read_iceberg_table(
@@ -167,8 +253,17 @@ def read_iceberg_table(
     location: str,
     snapshot_id: int | None = None,
     metadata_file: str | None = None,
+    filters: list[tuple] | None = None,
 ) -> DataFrame:
     """Scan an external Iceberg v1/v2 table snapshot as a DataFrame.
+
+    ``filters`` — optional list of ``(column, op, value)`` with op in
+    ``= < <= > >=`` — is applied twice, the way any Iceberg client
+    plans a scan: data files whose manifest lower/upper bounds prove no
+    row can match are dropped BEFORE Spark ever sees them (metadata-only
+    pruning, the complement of parquet row-group pushdown which still
+    applies within the surviving files), and the residual predicate is
+    applied to the returned DataFrame for exactness.
 
     Merge-on-read deletes are applied Spark-side, no row-level Python:
 
@@ -182,13 +277,34 @@ def read_iceberg_table(
     """
     entries = snapshot_file_entries(location, snapshot_id, metadata_file)
     data = [e for e in entries if e["content"] == 0]
+    meta0 = load_table_metadata(location, metadata_file)
+    ice_schema = meta0["schemas"][meta0["current-schema-id"]]
+    if filters:
+        by_name = {f["name"]: f for f in ice_schema["fields"]}
+        for col, op, val in filters:
+            if col not in by_name:
+                raise ValueError(f"filter column {col!r} not in table schema")
+            f = by_name[col]
+            data = [e for e in data if _file_may_match(e, f["id"], f["type"], op, val)]
+        if not data:
+            return spark.createDataFrame([], _spark_ddl(ice_schema))
     pos_del = [e for e in entries if e["content"] == 1]
     eq_del = [e for e in entries if e["content"] == 2]
     if not data:
         raise ValueError(f"snapshot has no data files under {location}")
     df = spark.read.parquet(*[_local(e["path"]) for e in data])
+
+    def _residual(out: DataFrame) -> DataFrame:
+        for col, op, val in filters or []:
+            c = F.col(col)
+            out = out.filter(
+                {"=": c == val, "==": c == val, "<": c < val,
+                 "<=": c <= val, ">": c > val, ">=": c >= val}[op]
+            )
+        return out
+
     if not pos_del and not eq_del:
-        return df
+        return _residual(df)
     # The normalization below is only correct for local file URIs
     # (manifests store file://..., _metadata.file_path reports
     # file:///...). For any other scheme (s3:// vs s3a://, ...) the two
@@ -229,9 +345,7 @@ def read_iceberg_table(
         )
 
     if eq_del:
-        meta = load_table_metadata(location, metadata_file)
-        fields = meta["schemas"][meta["current-schema-id"]]["fields"]
-        id_to_name = {f["id"]: f["name"] for f in fields}
+        id_to_name = {f["id"]: f["name"] for f in ice_schema["fields"]}
         # per-data-file sequence number, attached via a literal map —
         # O(files) metadata, evaluated JVM-side, no extra join
         seq_map = F.create_map(
@@ -286,7 +400,7 @@ def read_iceberg_table(
                 cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
             df = df.join(F.broadcast(del_df), cond, "left_anti")
         df = df.drop("__seq")
-    return df.drop("__path", "__pos")
+    return _residual(df.drop("__path", "__pos"))
 
 
 # ---------------------------------------------------------------------------
@@ -336,6 +450,32 @@ def _iceberg_schema(schema: T.StructType) -> dict:
 
 # Avro schemas per the Iceberg spec (field-id annotations included for
 # external readers; this codec itself matches by name).
+
+
+def _kv_array(name: str, fid: int, kid: int, vid: int, vtype: str) -> dict:
+    """Iceberg stores per-column stats as arrays of (key=field_id,
+    value) records (the spec's map-with-int-keys encoding)."""
+    return {
+        "name": name,
+        "type": [
+            "null",
+            {
+                "type": "array",
+                "items": {
+                    "type": "record",
+                    "name": f"k{kid}_v{vid}",
+                    "fields": [
+                        {"name": "key", "type": "int", "field-id": kid},
+                        {"name": "value", "type": vtype, "field-id": vid},
+                    ],
+                },
+            },
+        ],
+        "field-id": fid,
+        "default": None,
+    }
+
+
 _DATA_FILE_SCHEMA = {
     "type": "record",
     "name": "r2",
@@ -350,10 +490,14 @@ _DATA_FILE_SCHEMA = {
         },
         {"name": "record_count", "type": "long", "field-id": 103},
         {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        _kv_array("null_value_counts", 110, 121, 122, "long"),
+        _kv_array("lower_bounds", 125, 126, 127, "bytes"),
+        _kv_array("upper_bounds", 128, 129, 130, "bytes"),
         {
             "name": "equality_ids",
             "type": ["null", {"type": "array", "items": "int", "element-id": 136}],
             "field-id": 135,
+            "default": None,
         },
     ],
 }
@@ -399,6 +543,102 @@ def _parquet_stats(path: str) -> tuple[int, int]:
     return pq.ParquetFile(path).metadata.num_rows, os.path.getsize(path)
 
 
+# ---------------------------------------------------------------------------
+# Iceberg single-value binary serialization (spec appendix D) for the
+# manifest lower/upper bounds — the subset of types this exporter emits.
+# ---------------------------------------------------------------------------
+
+import datetime as _dt
+import struct as _struct
+
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+
+
+def _bound_to_bytes(v, ice_type: str) -> bytes | None:
+    """Serialize one bound per the Iceberg spec: little-endian for
+    numerics, days/micros since epoch for date/timestamps, raw UTF-8
+    for strings. Returns None for types we don't serialize (the bound
+    is simply omitted — always safe, pruning is best-effort)."""
+    if v is None:
+        return None
+    if ice_type == "int":
+        return _struct.pack("<i", int(v))
+    if ice_type == "long":
+        return _struct.pack("<q", int(v))
+    if ice_type == "float":
+        return _struct.pack("<f", float(v))
+    if ice_type == "double":
+        return _struct.pack("<d", float(v))
+    if ice_type == "string":
+        return str(v).encode("utf-8")
+    if ice_type == "date":
+        if isinstance(v, _dt.date):
+            v = (v - _EPOCH_DATE).days
+        return _struct.pack("<i", int(v))
+    if ice_type in ("timestamp", "timestamptz"):
+        if isinstance(v, _dt.datetime):
+            base = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+            v = int((v - base).total_seconds() * 1_000_000)
+        return _struct.pack("<q", int(v))
+    return None  # boolean/binary/decimal bounds: omitted
+
+
+def _bound_from_bytes(b: bytes, ice_type: str):
+    """Inverse of :func:`_bound_to_bytes`; None if not deserializable."""
+    if b is None:
+        return None
+    if ice_type == "int":
+        return _struct.unpack("<i", b)[0]
+    if ice_type == "long":
+        return _struct.unpack("<q", b)[0]
+    if ice_type == "float":
+        return _struct.unpack("<f", b)[0]
+    if ice_type == "double":
+        return _struct.unpack("<d", b)[0]
+    if ice_type == "string":
+        return b.decode("utf-8")
+    if ice_type == "date":
+        return _EPOCH_DATE + _dt.timedelta(days=_struct.unpack("<i", b)[0])
+    if ice_type in ("timestamp", "timestamptz"):
+        return _struct.unpack("<q", b)[0]
+    return None
+
+
+def _column_bounds(path: str, ice_schema: dict) -> tuple[list, list, list]:
+    """(null_value_counts, lower_bounds, upper_bounds) for one parquet
+    file, as Iceberg key-value record lists keyed by field id. Bounds
+    aggregate across row groups from footer statistics — no data read."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    col_idx = {md.schema.column(j).name: j for j in range(md.num_columns)}
+    nulls, lowers, uppers = [], [], []
+    for name, f in by_name.items():
+        j = col_idx.get(name)
+        if j is None:
+            continue
+        nn, lo, hi = 0, None, None
+        ok = True
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(j).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            nn += st.null_count or 0
+            lo = st.min if lo is None or st.min < lo else lo
+            hi = st.max if hi is None or st.max > hi else hi
+        if not ok:
+            continue
+        nulls.append({"key": f["id"], "value": nn})
+        lob = _bound_to_bytes(lo, f["type"])
+        hib = _bound_to_bytes(hi, f["type"])
+        if lob is not None and hib is not None:
+            lowers.append({"key": f["id"], "value": lob})
+            uppers.append({"key": f["id"], "value": hib})
+    return nulls, lowers, uppers
+
+
 def export_iceberg_snapshot(df: DataFrame, location: str) -> int:
     """Write ``df`` as a new Iceberg v2 table at ``location``; returns
     the snapshot id. Use :func:`add_position_deletes` to commit a
@@ -416,7 +656,9 @@ def export_iceberg_snapshot(df: DataFrame, location: str) -> int:
         for f in sorted(os.listdir(data_dir))
         if f.endswith(".parquet")
     ]
-    entries, total_rows = _data_file_entries(files, snapshot_id, 1)
+    entries, total_rows = _data_file_entries(
+        files, snapshot_id, 1, _iceberg_schema(df.schema)
+    )
 
     manifests = []
     data_manifest = os.path.join(meta_dir, f"{uuid.uuid4()}-m0.avro")
@@ -479,14 +721,19 @@ def export_iceberg_snapshot(df: DataFrame, location: str) -> int:
 
 
 def _data_file_entries(
-    files: list[str], snapshot_id: int, seq: int
+    files: list[str], snapshot_id: int, seq: int, ice_schema: dict | None = None
 ) -> tuple[list[dict], int]:
-    """ADDED manifest entries for parquet data files; returns
-    (entries, total_rows)."""
+    """ADDED manifest entries for parquet data files (with per-column
+    null counts and lower/upper bounds harvested from the parquet
+    footers when ``ice_schema`` is given); returns (entries,
+    total_rows)."""
     entries, total_rows = [], 0
     for p in files:
         nrows, fsize = _parquet_stats(p)
         total_rows += nrows
+        nulls, lowers, uppers = (
+            _column_bounds(p, ice_schema) if ice_schema else ([], [], [])
+        )
         entries.append(
             {
                 "status": 1,  # ADDED
@@ -500,6 +747,9 @@ def _data_file_entries(
                     "partition": {},
                     "record_count": nrows,
                     "file_size_in_bytes": fsize,
+                    "null_value_counts": nulls or None,
+                    "lower_bounds": lowers or None,
+                    "upper_bounds": uppers or None,
                     "equality_ids": None,
                 },
             }
@@ -572,7 +822,9 @@ def append_snapshot(df: DataFrame, location: str) -> int:
         for f in sorted(os.listdir(data_dir))
         if f.endswith(".parquet")
     ]
-    entries, total_rows = _data_file_entries(files, snapshot_id, seq)
+    entries, total_rows = _data_file_entries(
+        files, snapshot_id, seq, meta["schemas"][meta["current-schema-id"]]
+    )
     meta_dir = os.path.join(_local(location), "metadata")
     new_manifest = os.path.join(meta_dir, f"{uuid.uuid4()}-m0.avro")
     mlen = write_avro(new_manifest, _MANIFEST_ENTRY_SCHEMA, entries)

@@ -518,6 +518,116 @@ def test_introspection_functions(spark):
     assert all(s.num_row_groups >= 1 and s.total_uncompressed_bytes > 0 for s in stats)
 
 
+def test_bounds_roundtrip_serialization():
+    """Spec single-value serialization: encode → decode identity for
+    every type the exporter emits bounds for."""
+    import datetime as dt
+
+    from pg_datalake_spark.tables.iceberg_external import (
+        _bound_from_bytes,
+        _bound_to_bytes,
+    )
+
+    cases = [
+        (42, "int"), (-7, "int"), (1 << 40, "long"), (-(1 << 40), "long"),
+        (1.5, "float"), (-2.25e10, "double"), ("abc", "string"), ("", "string"),
+        (dt.date(2024, 2, 29), "date"), (1700000000123456, "timestamp"),
+    ]
+    for v, t in cases:
+        assert _bound_from_bytes(_bound_to_bytes(v, t), t) == v
+    assert _bound_to_bytes(object(), "decimal(15, 2)") is None  # omitted type
+
+
+def test_scan_pruning_by_bounds(spark):
+    """Manifest lower/upper bounds prune data files before Spark sees
+    them; the filtered read stays exact."""
+    from pg_datalake_spark.tables.iceberg_external import plan_scan
+
+    orders = load_tables(spark, SF_DIR, ["orders"])["orders"]
+    loc = tempfile.mkdtemp(prefix="iceprune_") + "/t"
+    # range-partitioned write → files with disjoint o_orderkey ranges
+    export_iceberg_snapshot(orders.repartitionByRange(4, "o_orderkey"), loc)
+
+    lo_key = orders.agg(F.expr("percentile(o_orderkey, 0.1)")).first()[0]
+    plan = plan_scan(loc, [("o_orderkey", "<=", int(lo_key))])
+    assert len(plan["kept"]) + len(plan["skipped"]) == 4
+    assert plan["skipped"], "disjoint ranges must prune at least one file"
+
+    got = read_iceberg_table(spark, loc, filters=[("o_orderkey", "<=", int(lo_key))])
+    want = orders.filter(F.col("o_orderkey") <= int(lo_key))
+    assert got.count() == want.count()
+    a = got.agg(F.sum("o_orderkey").alias("s")).first()["s"]
+    b = want.agg(F.sum("o_orderkey").alias("s")).first()["s"]
+    assert a == b
+
+    # unsatisfiable predicate: every file pruned, empty result, schema kept
+    none = read_iceberg_table(spark, loc, filters=[("o_orderkey", "<", -1)])
+    assert none.count() == 0
+    assert none.columns == orders.columns
+
+    # date-typed filter is exact too (bounds may or may not prune here)
+    import datetime as dt
+
+    cutoff = dt.date(1995, 1, 1)
+    got_d = read_iceberg_table(spark, loc, filters=[("o_orderdate", ">=", cutoff)])
+    assert got_d.count() == orders.filter(F.col("o_orderdate") >= cutoff).count()
+
+
+def test_scan_pruning_string_bounds(spark):
+    """ASCII string bounds prune; the reader never prunes on non-ASCII
+    bounds (parquet unsigned-byte vs Python code-point ordering)."""
+    from pg_datalake_spark.tables.iceberg_external import plan_scan
+
+    df = spark.createDataFrame(
+        [(i, chr(ord("a") + i // 10) * 3) for i in range(40)], "id long, k string"
+    )
+    loc = tempfile.mkdtemp(prefix="icestr_") + "/t"
+    export_iceberg_snapshot(df.repartitionByRange(4, "k"), loc)
+    plan = plan_scan(loc, [("k", "=", "aaa")])
+    assert plan["skipped"], "k ranges are disjoint — must prune"
+    got = read_iceberg_table(spark, loc, filters=[("k", "=", "aaa")])
+    assert got.count() == 10
+
+
+def test_scan_pruning_with_mor_deletes(spark):
+    """Pruned reads compose with MOR position deletes."""
+    orders, loc0, _ = _export_orders(spark)
+    loc = tempfile.mkdtemp(prefix="iceprune2_") + "/t"
+    export_iceberg_snapshot(orders.repartitionByRange(4, "o_orderkey"), loc)
+    data_files, _ = snapshot_files(loc)
+    doomed = (
+        spark.read.parquet(*[_local(p) for p in data_files])
+        .select(
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.row_index").alias("pos"),
+            "o_orderkey",
+        )
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .collect()
+    )
+    add_position_deletes(loc, [(r.fp, r.pos) for r in doomed])
+    med = orders.agg(F.expr("percentile(o_orderkey, 0.5)")).first()[0]
+    got = read_iceberg_table(spark, loc, filters=[("o_orderkey", ">", int(med))])
+    want = orders.filter(
+        (F.col("o_orderkey") > int(med)) & (F.col("o_orderkey") % 3 != 0)
+    )
+    assert got.count() == want.count()
+
+
+def test_null_value_counts_recorded(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "d")], "id long, k string"
+    )
+    loc = tempfile.mkdtemp(prefix="icenvc_") + "/t"
+    export_iceberg_snapshot(df.coalesce(1), loc)
+    from pg_datalake_spark.tables.iceberg_external import snapshot_file_entries
+
+    [e] = snapshot_file_entries(loc)
+    # field ids: id=1, k=2 (schema order)
+    assert e["null_value_counts"][1] == 0
+    assert e["null_value_counts"][2] == 2
+
+
 def test_laketable_iceberg_crosswalk(spark):
     """LakeTable data exported to Iceberg reads back equal — the
     interop crosswalk (reference: Spark reading pg_lake-written tables,
