@@ -165,6 +165,7 @@ def snapshot_file_entries(
             "lower_bounds": _kv_dict(d.get("lower_bounds")),
             "upper_bounds": _kv_dict(d.get("upper_bounds")),
             "null_value_counts": _kv_dict(d.get("null_value_counts")),
+            "partition": d.get("partition") or {},
         }
         for d, seq in _live_entries_with_seq(location, snapshot_id, metadata_file)
     ]
@@ -203,6 +204,38 @@ def _file_may_match(entry: dict, fid: int, ftype: str, op: str, val) -> bool:
     raise ValueError(f"unsupported filter op {op!r} (use = < <= > >=)")
 
 
+def _partition_may_match(entry: dict, name: str, ptype: str, op: str, val) -> bool:
+    """Identity-partition pruning: the file's partition value is exact,
+    so compare it directly (missing/null value → keep)."""
+    pv = entry["partition"].get(name)
+    if pv is None:
+        return True
+    if ptype == "date":
+        if isinstance(val, _dt.date):
+            val = (val - _EPOCH_DATE).days
+        val = int(val)
+    try:
+        return {
+            "=": pv == val, "==": pv == val, "<": pv < val,
+            "<=": pv <= val, ">": pv > val, ">=": pv >= val,
+        }[op]
+    except TypeError:
+        return True
+    except KeyError:
+        raise ValueError(f"unsupported filter op {op!r} (use = < <= > >=)")
+
+
+def _identity_spec(meta: dict) -> list[dict]:
+    """The default spec's identity fields (empty for unpartitioned)."""
+    spec = next(
+        (s for s in meta.get("partition-specs", []) if s["spec-id"] == meta.get("default-spec-id", 0)),
+        None,
+    )
+    if not spec:
+        return []
+    return [f for f in spec["fields"] if f["transform"] == "identity"]
+
+
 def _spark_ddl(ice_schema: dict) -> str:
     """Spark DDL string for an Iceberg schema (inverse of
     :func:`_iceberg_schema` over the types this module emits)."""
@@ -232,6 +265,12 @@ def plan_scan(
     meta = load_table_metadata(location, metadata_file)
     ice_schema = meta["schemas"][meta["current-schema-id"]]
     by_name = {f["name"]: f for f in ice_schema["fields"]}
+    id_to_field = {f["id"]: f for f in ice_schema["fields"]}
+    part_types = {
+        id_to_field[pf["source-id"]]["name"]: id_to_field[pf["source-id"]]["type"]
+        for pf in _identity_spec(meta)
+        if pf["source-id"] in id_to_field
+    }
     kept, skipped = [], []
     for e in snapshot_file_entries(location, snapshot_id, metadata_file):
         if e["content"] != 0:
@@ -241,8 +280,11 @@ def plan_scan(
             if col not in by_name:
                 raise ValueError(f"filter column {col!r} not in table schema")
             f = by_name[col]
-            if not _file_may_match(e, f["id"], f["type"], op, val):
-                keep = False
+            if col in part_types:
+                keep = _partition_may_match(e, col, part_types[col], op, val)
+            else:
+                keep = _file_may_match(e, f["id"], f["type"], op, val)
+            if not keep:
                 break
         (kept if keep else skipped).append(e["path"])
     return {"kept": kept, "skipped": skipped}
@@ -259,11 +301,17 @@ def read_iceberg_table(
 
     ``filters`` — optional list of ``(column, op, value)`` with op in
     ``= < <= > >=`` — is applied twice, the way any Iceberg client
-    plans a scan: data files whose manifest lower/upper bounds prove no
-    row can match are dropped BEFORE Spark ever sees them (metadata-only
-    pruning, the complement of parquet row-group pushdown which still
-    applies within the surviving files), and the residual predicate is
-    applied to the returned DataFrame for exactness.
+    plans a scan: data files whose manifest lower/upper bounds (or
+    exact identity-partition values) prove no row can match are dropped
+    BEFORE Spark ever sees them (metadata-only pruning, the complement
+    of parquet row-group pushdown which still applies within the
+    surviving files), and the residual predicate is applied to the
+    returned DataFrame for exactness.
+
+    Identity-partitioned tables (see :func:`export_iceberg_snapshot`)
+    are read hidden-partitioning style: partition columns are restored
+    from the manifests' typed partition tuples, never re-inferred from
+    directory names.
 
     Merge-on-read deletes are applied Spark-side, no row-level Python:
 
@@ -279,13 +327,29 @@ def read_iceberg_table(
     data = [e for e in entries if e["content"] == 0]
     meta0 = load_table_metadata(location, metadata_file)
     ice_schema = meta0["schemas"][meta0["current-schema-id"]]
+    id_to_field = {f["id"]: f for f in ice_schema["fields"]}
+    part_fields = [
+        (id_to_field[pf["source-id"]]["name"], id_to_field[pf["source-id"]]["type"])
+        for pf in _identity_spec(meta0)
+        if pf["source-id"] in id_to_field
+    ]
+    part_types = dict(part_fields)
     if filters:
         by_name = {f["name"]: f for f in ice_schema["fields"]}
         for col, op, val in filters:
             if col not in by_name:
                 raise ValueError(f"filter column {col!r} not in table schema")
             f = by_name[col]
-            data = [e for e in data if _file_may_match(e, f["id"], f["type"], op, val)]
+            if col in part_types:
+                data = [
+                    e for e in data
+                    if _partition_may_match(e, col, part_types[col], op, val)
+                ]
+            else:
+                data = [
+                    e for e in data
+                    if _file_may_match(e, f["id"], f["type"], op, val)
+                ]
         if not data:
             return spark.createDataFrame([], _spark_ddl(ice_schema))
     pos_del = [e for e in entries if e["content"] == 1]
@@ -303,30 +367,53 @@ def read_iceberg_table(
             )
         return out
 
-    if not pos_del and not eq_del:
-        return _residual(df)
-    # The normalization below is only correct for local file URIs
-    # (manifests store file://..., _metadata.file_path reports
-    # file:///...). For any other scheme (s3:// vs s3a://, ...) the two
-    # sides would not normalize to the same string and the anti-join
-    # would silently match nothing — fail loud instead.
-    for e in entries:
-        p = e["path"]
-        if "://" in p and not p.startswith("file://"):
-            raise NotImplementedError(
-                f"delete-path normalization supports only local "
-                f"file URIs, got {p!r}"
-            )
+    missing_parts = [(n, t) for n, t in part_fields if n not in df.columns]
+    need_meta = bool(missing_parts or pos_del or eq_del)
+    if need_meta:
+        # Path normalization (manifest file:// vs _metadata file:///)
+        # underpins both the delete anti-joins and the partition-column
+        # restore below; for any other scheme the two sides would not
+        # normalize to the same string and rows would silently be lost
+        # or mis-attributed — fail loud instead.
+        for e in entries:
+            p = e["path"]
+            if "://" in p and not p.startswith("file://"):
+                raise NotImplementedError(
+                    f"path normalization supports only local file URIs, got {p!r}"
+                )
+        # capture the hidden _metadata columns ONCE on the raw scan
+        # (they are not resolvable after a projection/join), normalized
+        # to scheme-less paths: manifests store file:// URIs,
+        # _metadata.file_path reports file:/// form
+        df = df.select(
+            "*",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/").alias(
+                "__path"
+            ),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
 
-    # capture the hidden _metadata columns ONCE on the raw scan (they
-    # are not resolvable after a projection/join), normalized to
-    # scheme-less paths: manifests store file:// URIs,
-    # _metadata.file_path reports file:/// form
-    df = df.select(
-        "*",
-        F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/").alias("__path"),
-        F.col("_metadata.row_index").alias("__pos"),
-    )
+    # identity-partition columns live in the MANIFESTS, not the data
+    # files — restore any that the parquet scan lacks via a per-file
+    # literal map on the normalized path (typed, never path-inferred)
+    for n, t in missing_parts:
+        pairs = []
+        for e in data:
+            pv = e["partition"].get(n)
+            if pv is None:
+                continue
+            pairs.extend([F.lit(_local(e["path"])), F.lit(pv)])
+        col = F.element_at(F.create_map(*pairs), F.col("__path")) if pairs else F.lit(None)
+        if t == "date":
+            col = F.date_from_unix_date(col)
+        elif t == "boolean":
+            col = col.cast("boolean")
+        elif t == "int":
+            col = col.cast("int")
+        df = df.withColumn(n, col)
+
+    if not pos_del and not eq_del:
+        return _residual(df.drop("__path", "__pos") if need_meta else df)
 
     if pos_del:
         deletes = (
@@ -514,6 +601,43 @@ _MANIFEST_ENTRY_SCHEMA = {
     ],
 }
 
+# identity-partition support: partition values are typed fields of the
+# r102 partition record (spec: the partition tuple's Avro schema follows
+# the partition spec), so each manifest embeds a schema matching its
+# table's spec. Avro types per Iceberg source type:
+_PARTITION_AVRO_TYPES = {
+    "int": "int",
+    "long": "long",
+    "string": "string",
+    "date": {"type": "int", "logicalType": "date"},
+    "boolean": "boolean",
+}
+
+
+def _manifest_entry_schema(partition_fields: list[tuple[str, str]]) -> dict:
+    """Manifest-entry Avro schema with a typed partition record for the
+    given identity-partition (name, iceberg_type) fields (empty list →
+    the spec-less unpartitioned schema)."""
+    if not partition_fields:
+        return _MANIFEST_ENTRY_SCHEMA
+    part_rec = {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {"name": n, "type": ["null", _PARTITION_AVRO_TYPES[t]], "field-id": 1000 + i}
+            for i, (n, t) in enumerate(partition_fields)
+        ],
+    }
+    data_file = json.loads(json.dumps(_DATA_FILE_SCHEMA))  # deep copy
+    for f in data_file["fields"]:
+        if f["name"] == "partition":
+            f["type"] = part_rec
+    entry = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))
+    for f in entry["fields"]:
+        if f["name"] == "data_file":
+            f["type"] = data_file
+    return entry
+
 _MANIFEST_FILE_SCHEMA = {
     "type": "record",
     "name": "manifest_file",
@@ -639,30 +763,97 @@ def _column_bounds(path: str, ice_schema: dict) -> tuple[list, list, list]:
     return nulls, lowers, uppers
 
 
-def export_iceberg_snapshot(df: DataFrame, location: str) -> int:
+def _walk_parquet(data_dir: str) -> list[str]:
+    """All *.parquet under ``data_dir`` (recursive — partitioned writes
+    nest files under col=value directories), sorted for determinism."""
+    out = []
+    for root, _, names in os.walk(data_dir):
+        out.extend(os.path.join(root, n) for n in names if n.endswith(".parquet"))
+    return sorted(out)
+
+
+def _parse_partition_values(
+    path: str, data_dir: str, partition_fields: list[tuple[str, str]]
+) -> dict:
+    """Typed partition values from the hive-style ``col=value`` path
+    segments Spark's partitionBy writes (dates stored as epoch days per
+    the Avro date logical type)."""
+    from urllib.parse import unquote
+
+    vals: dict = {}
+    segs = os.path.relpath(os.path.dirname(path), data_dir).split(os.sep)
+    raw = dict(s.split("=", 1) for s in segs if "=" in s)
+    for name, ice_type in partition_fields:
+        v = raw.get(name)
+        if v is None or v == "__HIVE_DEFAULT_PARTITION__":
+            vals[name] = None
+            continue
+        v = unquote(v)
+        if ice_type in ("int", "long"):
+            vals[name] = int(v)
+        elif ice_type == "date":
+            vals[name] = (_dt.date.fromisoformat(v) - _EPOCH_DATE).days
+        elif ice_type == "boolean":
+            vals[name] = v.lower() == "true"
+        else:
+            vals[name] = v
+    return vals
+
+
+def _partition_spec_fields(
+    ice_schema: dict, partition_by: list[str]
+) -> list[tuple[str, str]]:
+    """Validate identity-partition columns → (name, iceberg_type)."""
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    fields = []
+    for c in partition_by:
+        if c not in by_name:
+            raise ValueError(f"partition column {c!r} not in schema")
+        t = by_name[c]["type"]
+        if t not in _PARTITION_AVRO_TYPES:
+            raise ValueError(
+                f"identity partitioning on type {t!r} not supported "
+                f"(supported: {sorted(_PARTITION_AVRO_TYPES)})"
+            )
+        fields.append((c, t))
+    return fields
+
+
+def export_iceberg_snapshot(
+    df: DataFrame, location: str, partition_by: list[str] | None = None
+) -> int:
     """Write ``df`` as a new Iceberg v2 table at ``location``; returns
-    the snapshot id. Use :func:`add_position_deletes` to commit a
-    follow-up merge-on-read delete snapshot."""
+    the snapshot id. ``partition_by`` columns become an identity
+    partition spec: data lands under col=value directories, manifests
+    record the typed partition tuple per file (the read side restores
+    the columns FROM THE MANIFESTS and prunes on them — hidden
+    partitioning, values never re-inferred from paths). Use
+    :func:`add_position_deletes` / :func:`add_equality_deletes` for
+    follow-up merge-on-read delete snapshots."""
     spark = df.sparkSession
     data_dir = os.path.join(location, "data")
     meta_dir = os.path.join(location, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
-    df.write.mode("error").parquet(data_dir)
+    ice_schema = _iceberg_schema(df.schema)
+    part_fields = _partition_spec_fields(ice_schema, partition_by or [])
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_dir)
     snapshot_id = int(uuid.uuid4().int % (1 << 62))
     now_ms = int(time.time() * 1000)
 
-    files = [
-        os.path.join(data_dir, f)
-        for f in sorted(os.listdir(data_dir))
-        if f.endswith(".parquet")
-    ]
+    files = _walk_parquet(data_dir)
+    partitions = {
+        p: _parse_partition_values(p, data_dir, part_fields) for p in files
+    }
     entries, total_rows = _data_file_entries(
-        files, snapshot_id, 1, _iceberg_schema(df.schema)
+        files, snapshot_id, 1, ice_schema, partitions
     )
 
     manifests = []
     data_manifest = os.path.join(meta_dir, f"{uuid.uuid4()}-m0.avro")
-    mlen = write_avro(data_manifest, _MANIFEST_ENTRY_SCHEMA, entries)
+    mlen = write_avro(data_manifest, _manifest_entry_schema(part_fields), entries)
     manifests.append(
         {
             "manifest_path": f"file://{data_manifest}",
@@ -694,8 +885,23 @@ def export_iceberg_snapshot(df: DataFrame, location: str) -> int:
         "current-schema-id": 0,
         "schemas": [_iceberg_schema(df.schema)],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": n,
+                        "transform": "identity",
+                        "source-id": next(
+                            f["id"] for f in ice_schema["fields"] if f["name"] == n
+                        ),
+                        "field-id": 1000 + i,
+                    }
+                    for i, (n, _) in enumerate(part_fields)
+                ],
+            }
+        ],
+        "last-partition-id": 999 + len(part_fields),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {"write.format.default": "parquet"},
@@ -721,12 +927,16 @@ def export_iceberg_snapshot(df: DataFrame, location: str) -> int:
 
 
 def _data_file_entries(
-    files: list[str], snapshot_id: int, seq: int, ice_schema: dict | None = None
+    files: list[str],
+    snapshot_id: int,
+    seq: int,
+    ice_schema: dict | None = None,
+    partitions: dict[str, dict] | None = None,
 ) -> tuple[list[dict], int]:
     """ADDED manifest entries for parquet data files (with per-column
     null counts and lower/upper bounds harvested from the parquet
-    footers when ``ice_schema`` is given); returns (entries,
-    total_rows)."""
+    footers when ``ice_schema`` is given, and typed partition tuples
+    from ``partitions``); returns (entries, total_rows)."""
     entries, total_rows = [], 0
     for p in files:
         nrows, fsize = _parquet_stats(p)
@@ -744,7 +954,7 @@ def _data_file_entries(
                     "content": 0,
                     "file_path": f"file://{p}",
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": (partitions or {}).get(p, {}),
                     "record_count": nrows,
                     "file_size_in_bytes": fsize,
                     "null_value_counts": nulls or None,
@@ -813,21 +1023,30 @@ def append_snapshot(df: DataFrame, location: str) -> int:
             f"append has {[f.name for f in df.schema.fields]}"
         )
 
+    ice_schema = meta["schemas"][meta["current-schema-id"]]
+    spec = next(
+        s for s in meta["partition-specs"] if s["spec-id"] == meta["default-spec-id"]
+    )
+    if any(f["transform"] != "identity" for f in spec["fields"]):
+        raise NotImplementedError("append supports identity partition specs only")
+    partition_by = [f["name"] for f in spec["fields"]]
+    part_fields = _partition_spec_fields(ice_schema, partition_by)
+
     data_dir = os.path.join(_local(location), "data", f"append-{uuid.uuid4()}")
-    df.write.mode("error").parquet(data_dir)
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_dir)
     snapshot_id = int(uuid.uuid4().int % (1 << 62))
     seq = meta["last-sequence-number"] + 1
-    files = [
-        os.path.join(data_dir, f)
-        for f in sorted(os.listdir(data_dir))
-        if f.endswith(".parquet")
-    ]
+    files = _walk_parquet(data_dir)
+    partitions = {p: _parse_partition_values(p, data_dir, part_fields) for p in files}
     entries, total_rows = _data_file_entries(
-        files, snapshot_id, seq, meta["schemas"][meta["current-schema-id"]]
+        files, snapshot_id, seq, ice_schema, partitions
     )
     meta_dir = os.path.join(_local(location), "metadata")
     new_manifest = os.path.join(meta_dir, f"{uuid.uuid4()}-m0.avro")
-    mlen = write_avro(new_manifest, _MANIFEST_ENTRY_SCHEMA, entries)
+    mlen = write_avro(new_manifest, _manifest_entry_schema(part_fields), entries)
     manifests = list(manifests) + [
         {
             "manifest_path": f"file://{new_manifest}",

@@ -628,6 +628,78 @@ def test_null_value_counts_recorded(spark):
     assert e["null_value_counts"][2] == 2
 
 
+def test_partitioned_export_roundtrip_and_pruning(spark):
+    """Identity-partitioned export: manifests carry typed partition
+    tuples, the read restores the partition column from metadata (not
+    path inference), and partition predicates prune whole files."""
+    from pg_datalake_spark.tables.iceberg_external import plan_scan, snapshot_file_entries
+
+    orders = load_tables(spark, SF_DIR, ["orders"])["orders"]
+    loc = tempfile.mkdtemp(prefix="icepart_") + "/t"
+    export_iceberg_snapshot(orders, loc, partition_by=["o_orderstatus"])
+
+    entries = snapshot_file_entries(loc)
+    statuses = {e["partition"].get("o_orderstatus") for e in entries}
+    assert statuses == {"O", "F", "P"}
+
+    back = read_iceberg_table(spark, loc)
+    assert back.count() == orders.count()
+    # partition column restored with the right type and values
+    a = sorted(r.o_orderstatus for r in back.select("o_orderstatus").distinct().collect())
+    assert a == ["F", "O", "P"]
+    s1 = back.groupBy("o_orderstatus").count().orderBy("o_orderstatus").collect()
+    s2 = orders.groupBy("o_orderstatus").count().orderBy("o_orderstatus").collect()
+    assert [(r.o_orderstatus, r["count"]) for r in s1] == [
+        (r.o_orderstatus, r["count"]) for r in s2
+    ]
+
+    plan = plan_scan(loc, [("o_orderstatus", "=", "P")])
+    assert plan["kept"] and plan["skipped"], "partition predicate must prune"
+    got = read_iceberg_table(spark, loc, filters=[("o_orderstatus", "=", "P")])
+    assert got.count() == orders.filter(F.col("o_orderstatus") == "P").count()
+
+
+def test_partitioned_date_and_append_and_deletes(spark):
+    """Date-typed identity partitions (epoch-days in manifests →
+    restored as DATE), appends inherit the spec, and MOR deletes
+    compose with partition pruning."""
+    import datetime as dt
+
+    from pg_datalake_spark.tables.iceberg_external import plan_scan
+
+    df = spark.createDataFrame(
+        [(i, dt.date(2024, 1 + i % 3, 1 + i % 28), float(i)) for i in range(60)],
+        "id long, d date, v double",
+    )
+    loc = tempfile.mkdtemp(prefix="icedate_") + "/t"
+    export_iceberg_snapshot(df, loc, partition_by=["d"])
+    back = read_iceberg_table(spark, loc)
+    assert dict(back.dtypes)["d"] == "date"
+    assert back.count() == 60
+    assert (
+        back.agg(F.sum(F.unix_date("d")).alias("s")).first()["s"]
+        == df.agg(F.sum(F.unix_date("d")).alias("s")).first()["s"]
+    )
+
+    # append inherits the partition spec
+    extra = spark.createDataFrame(
+        [(100 + i, dt.date(2024, 4, 1), 0.0) for i in range(5)],
+        "id long, d date, v double",
+    )
+    append_snapshot(extra, loc)
+    assert read_iceberg_table(spark, loc).count() == 65
+    plan = plan_scan(loc, [("d", ">=", dt.date(2024, 4, 1))])
+    assert plan["skipped"], "date partition predicate must prune older partitions"
+    got = read_iceberg_table(spark, loc, filters=[("d", ">=", dt.date(2024, 4, 1))])
+    assert got.count() == 5
+
+    # equality delete on the partition column (restored column joins)
+    add_equality_deletes(
+        loc, spark.createDataFrame([(dt.date(2024, 4, 1),)], "d date"), columns=["d"]
+    )
+    assert read_iceberg_table(spark, loc).count() == 60
+
+
 def test_laketable_iceberg_crosswalk(spark):
     """LakeTable data exported to Iceberg reads back equal — the
     interop crosswalk (reference: Spark reading pg_lake-written tables,
