@@ -45,6 +45,19 @@ __all__ = [
     "st_area",
     "st_perimeter",
     "st_contains",
+    "st_within",
+    "st_equals",
+    "st_translate",
+    "st_azimuth",
+    "st_makeline",
+    "st_length",
+    "st_makeenvelope",
+    "st_expand",
+    "st_bbox_intersects",
+    "st_bbox_union",
+    "st_bbox_intersection",
+    "st_extent",
+    "st_collect",
     "st_aswkb",
     "st_geomfromwkb",
 ]
@@ -153,6 +166,128 @@ def st_contains(ring: Column, p: Column) -> Column:
         return spans & (px < xint)
 
     return F.size(F.filter(_closed_edges(ring), crosses)) % 2 == 1
+
+
+def st_within(p: Column, ring: Column) -> Column:
+    """PostGIS argument order: true when point ``p`` lies within the
+    ring (alias of :func:`st_contains` with swapped operands)."""
+    return st_contains(ring, p)
+
+
+def st_equals(a: Column, b: Column) -> Column:
+    """Exact point equality (null-safe per coordinate)."""
+    return a["x"].eqNullSafe(b["x"]) & a["y"].eqNullSafe(b["y"])
+
+
+def st_translate(p: Column, dx, dy) -> Column:
+    """Affine translation of a point."""
+    dxc = dx if isinstance(dx, Column) else F.lit(dx)
+    dyc = dy if isinstance(dy, Column) else F.lit(dy)
+    return F.struct((p["x"] + dxc).alias("x"), (p["y"] + dyc).alias("y"))
+
+
+def st_azimuth(a: Column, b: Column) -> Column:
+    """Azimuth from north, clockwise, in radians (PostGIS semantics:
+    ``atan2(dx, dy)``)."""
+    return F.atan2(b["x"] - a["x"], b["y"] - a["y"])
+
+
+def st_makeline(*points: Column) -> Column:
+    """LINESTRING as an array of points (same layout as rings)."""
+    return F.array(*points)
+
+
+def st_length(line: Column) -> Column:
+    """Length of an OPEN linestring (no implicit closing edge — that
+    is :func:`st_perimeter`'s job on rings)."""
+    n = F.size(line)
+    a = F.slice(line, 1, n - 1)
+    b = F.slice(line, 2, n - 1)
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda p, q: F.sqrt(
+                F.pow(p["x"] - q["x"], F.lit(2)) + F.pow(p["y"] - q["y"], F.lit(2))
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+# --- envelope (bbox) algebra: struct<xmin, ymin, xmax, ymax> ---------------
+
+
+def st_makeenvelope(xmin, ymin, xmax, ymax) -> Column:
+    c = [v if isinstance(v, Column) else F.lit(v) for v in (xmin, ymin, xmax, ymax)]
+    return F.struct(
+        c[0].cast("double").alias("xmin"),
+        c[1].cast("double").alias("ymin"),
+        c[2].cast("double").alias("xmax"),
+        c[3].cast("double").alias("ymax"),
+    )
+
+
+def st_expand(env: Column, d) -> Column:
+    """Grow an envelope by ``d`` on every side."""
+    dc = d if isinstance(d, Column) else F.lit(d)
+    return F.struct(
+        (env["xmin"] - dc).alias("xmin"),
+        (env["ymin"] - dc).alias("ymin"),
+        (env["xmax"] + dc).alias("xmax"),
+        (env["ymax"] + dc).alias("ymax"),
+    )
+
+
+def st_bbox_intersects(a: Column, b: Column) -> Column:
+    """Separating-axis test on envelopes (boundary touch counts)."""
+    return (
+        (a["xmin"] <= b["xmax"])
+        & (b["xmin"] <= a["xmax"])
+        & (a["ymin"] <= b["ymax"])
+        & (b["ymin"] <= a["ymax"])
+    )
+
+
+def st_bbox_union(a: Column, b: Column) -> Column:
+    return F.struct(
+        F.least(a["xmin"], b["xmin"]).alias("xmin"),
+        F.least(a["ymin"], b["ymin"]).alias("ymin"),
+        F.greatest(a["xmax"], b["xmax"]).alias("xmax"),
+        F.greatest(a["ymax"], b["ymax"]).alias("ymax"),
+    )
+
+
+def st_bbox_intersection(a: Column, b: Column) -> Column:
+    """Envelope intersection; NULL when disjoint."""
+    return F.when(
+        st_bbox_intersects(a, b),
+        F.struct(
+            F.greatest(a["xmin"], b["xmin"]).alias("xmin"),
+            F.greatest(a["ymin"], b["ymin"]).alias("ymin"),
+            F.least(a["xmax"], b["xmax"]).alias("xmax"),
+            F.least(a["ymax"], b["ymax"]).alias("ymax"),
+        ),
+    )
+
+
+# --- aggregates ------------------------------------------------------------
+
+
+def st_extent(p: Column) -> Column:
+    """AGGREGATE: bounding envelope of a point column (use in agg())."""
+    return F.struct(
+        F.min(p["x"]).alias("xmin"),
+        F.min(p["y"]).alias("ymin"),
+        F.max(p["x"]).alias("xmax"),
+        F.max(p["y"]).alias("ymax"),
+    )
+
+
+def st_collect(p: Column) -> Column:
+    """AGGREGATE: gather points into a multipoint (array of structs)."""
+    return F.collect_list(p)
 
 
 # ---------------------------------------------------------------------------

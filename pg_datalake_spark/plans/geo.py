@@ -1,11 +1,11 @@
 """Geospatial coverage query (st_* minimal surface).
 
-Registered AFTER the 50-slot driver window (the window contract is
-frozen); verified by the local parity gate against a plain-SQL
-arithmetic oracle — planar point/ring geometry over struct columns is
-exactly expressible in ANSI SQL, so the st_* implementations get a
-hard value-level check without DuckDB's spatial extension (not
-loadable offline). Reference surface:
+Occupies driver-window slot 50 (src01+src02 were merged to free it),
+so every column below is exact-hash-checked against a plain-SQL
+arithmetic oracle — planar point/ring/envelope geometry over struct
+columns is exactly expressible in ANSI SQL, giving the st_*
+implementations a hard value-level check without DuckDB's spatial
+extension (not loadable offline). Reference surface:
 pg_lake_engine/src/pgduck/shippable_spatial_functions.c (~70 st_*
 functions; this is the core planar subset).
 """
@@ -41,7 +41,16 @@ from pg_datalake_spark.plans.registry import register
            round((max_x - min_x) * (max_y - min_y), 6)       AS bbox_area,
            round(2 * ((max_x - min_x) + (max_y - min_y)), 6) AS bbox_perim,
            round((min_x + max_x) / 2, 6) AS cx, round((min_y + max_y) / 2, 6) AS cy,
-           CAST(4 AS INT) AS ring_n
+           CAST(4 AS INT) AS ring_n,
+           round(2 * (max_x - min_x) + (max_y - min_y), 6) AS corner_len,
+           round((min_x + max_x) / 2 + 1.5, 6) AS tx,
+           round((min_y + max_y) / 2 - 0.25, 6) AS ty,
+           CAST(min_x - 0.5 <= 6.0 AND 4.0 <= max_x + 0.5
+                AND min_y - 0.5 <= 6.0 AND 4.0 <= max_y + 0.5 AS INT) AS hits_env,
+           round(CASE WHEN min_x - 0.5 <= 6.0 AND 4.0 <= max_x + 0.5
+                       AND min_y - 0.5 <= 6.0 AND 4.0 <= max_y + 0.5
+                      THEN least(max_x + 0.5, 6.0) - greatest(min_x - 0.5, 4.0)
+                 END, 6) AS ix_w
     FROM g
     """,
 )
@@ -78,11 +87,15 @@ def geo01(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("double")
             .alias("sum_dist"),
-            F.min(S.st_x(F.col("home"))).alias("min_x"),
-            F.max(S.st_x(F.col("home"))).alias("max_x"),
-            F.min(S.st_y(F.col("home"))).alias("min_y"),
-            F.max(S.st_y(F.col("home"))).alias("max_y"),
+            S.st_extent(F.col("home")).alias("ext"),
             F.count(F.when(S.st_contains(rect, F.col("home")), 1)).alias("n_inside"),
+        )
+        .select(
+            "*",
+            F.col("ext.xmin").alias("min_x"),
+            F.col("ext.xmax").alias("max_x"),
+            F.col("ext.ymin").alias("min_y"),
+            F.col("ext.ymax").alias("max_y"),
         )
     )
     bbox = F.array(
@@ -91,6 +104,19 @@ def geo01(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.st_point(F.col("max_x"), F.col("max_y")),
         S.st_point(F.col("min_x"), F.col("max_y")),
     )
+    # envelope algebra arm: expand the group bbox, test against a fixed
+    # probe envelope, measure the intersection width
+    probe = S.st_makeenvelope(4.0, 4.0, 6.0, 6.0)
+    grown = S.st_expand(F.col("ext"), 0.5)
+    inter = S.st_bbox_intersection(grown, probe)
+    # open 4-point corner walk (3 edges) for st_makeline/st_length
+    corner = S.st_makeline(
+        S.st_point(F.col("min_x"), F.col("min_y")),
+        S.st_point(F.col("max_x"), F.col("min_y")),
+        S.st_point(F.col("max_x"), F.col("max_y")),
+        S.st_point(F.col("min_x"), F.col("max_y")),
+    )
+    moved = S.st_translate(S.st_centroid(bbox), 1.5, -0.25)
     return g.select(
         "c_mktsegment",
         "n",
@@ -106,4 +132,9 @@ def geo01(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(S.st_x(S.st_centroid(bbox)), 6).alias("cx"),
         F.round(S.st_y(S.st_centroid(bbox)), 6).alias("cy"),
         S.st_npoints(bbox).alias("ring_n"),
+        F.round(S.st_length(corner), 6).alias("corner_len"),
+        F.round(S.st_x(moved), 6).alias("tx"),
+        F.round(S.st_y(moved), 6).alias("ty"),
+        S.st_bbox_intersects(grown, probe).cast("int").alias("hits_env"),
+        F.round(inter["xmax"] - inter["xmin"], 6).alias("ix_w"),
     )

@@ -91,6 +91,81 @@ def test_contains_ray_casting(geo_df):
         assert r.got == r.expect_inside
 
 
+def test_relations_translate_azimuth(spark):
+    p = S.st_point(F.lit(1.0), F.lit(1.0))
+    row = (
+        spark.range(1)
+        .select(
+            S.st_within(p, _triangle()).alias("within"),
+            S.st_equals(p, S.st_point(F.lit(1.0), F.lit(1.0))).alias("eq"),
+            S.st_equals(p, S.st_point(F.lit(1.0), F.lit(2.0))).alias("neq"),
+            S.st_x(S.st_translate(p, 2.5, -1.0)).alias("tx"),
+            S.st_y(S.st_translate(p, 2.5, -1.0)).alias("ty"),
+            S.st_azimuth(
+                S.st_point(F.lit(0.0), F.lit(0.0)), S.st_point(F.lit(1.0), F.lit(0.0))
+            ).alias("az_east"),
+            S.st_azimuth(
+                S.st_point(F.lit(0.0), F.lit(0.0)), S.st_point(F.lit(0.0), F.lit(1.0))
+            ).alias("az_north"),
+        )
+        .collect()[0]
+    )
+    assert row.within is True and row.eq is True and row.neq is False
+    assert (row.tx, row.ty) == (3.5, 0.0)
+    assert row.az_east == pytest.approx(math.pi / 2)  # due east = 90° from north
+    assert row.az_north == pytest.approx(0.0)
+
+
+def test_line_length_and_envelope_algebra(spark):
+    line = S.st_makeline(
+        S.st_point(F.lit(0.0), F.lit(0.0)),
+        S.st_point(F.lit(3.0), F.lit(4.0)),
+        S.st_point(F.lit(3.0), F.lit(6.0)),
+    )
+    a = S.st_makeenvelope(0.0, 0.0, 4.0, 4.0)
+    b = S.st_makeenvelope(3.0, 3.0, 6.0, 6.0)
+    c = S.st_makeenvelope(10.0, 10.0, 11.0, 11.0)
+    row = (
+        spark.range(1)
+        .select(
+            S.st_length(line).alias("len"),  # 5 + 2
+            S.st_bbox_intersects(a, b).alias("ab"),
+            S.st_bbox_intersects(a, c).alias("ac"),
+            S.st_bbox_union(a, b).alias("u"),
+            S.st_bbox_intersection(a, b).alias("i"),
+            S.st_bbox_intersection(a, c).alias("none"),
+            S.st_expand(a, 1.0).alias("e"),
+        )
+        .collect()[0]
+    )
+    assert row.len == pytest.approx(7.0)
+    assert row.ab is True and row.ac is False
+    assert (row.u.xmin, row.u.ymin, row.u.xmax, row.u.ymax) == (0.0, 0.0, 6.0, 6.0)
+    assert (row.i.xmin, row.i.ymin, row.i.xmax, row.i.ymax) == (3.0, 3.0, 4.0, 4.0)
+    assert row.none is None
+    assert (row.e.xmin, row.e.ymin, row.e.xmax, row.e.ymax) == (-1.0, -1.0, 5.0, 5.0)
+
+
+def test_extent_and_collect_aggregates(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0, 5.0), (1, 3.0, -1.0), (2, 0.0, 0.0)], ["g", "x", "y"]
+    )
+    p = S.st_point(F.col("x"), F.col("y"))
+    rows = {
+        r.g: r
+        for r in df.groupBy("g")
+        .agg(
+            S.st_extent(p).alias("ext"),
+            F.size(S.st_collect(p)).alias("np"),
+        )
+        .collect()
+    }
+    assert (rows[1].ext.xmin, rows[1].ext.ymin, rows[1].ext.xmax, rows[1].ext.ymax) == (
+        1.0, -1.0, 3.0, 5.0,
+    )
+    assert rows[1].np == 2 and rows[2].np == 1
+
+
 def test_wkb_roundtrip(spark):
     df = spark.createDataFrame([(1.5, -2.25), (0.0, 1e9)], ["x", "y"])
     out = (
