@@ -24,4 +24,5 @@ def load_all() -> None:
         llmops,
         multimodal_q,
         relational,
+        streaming_iceberg,
     )

@@ -1,0 +1,63 @@
+"""Streaming ingestion into an external Iceberg table (tail query).
+
+Registered after the 50-slot driver window; verified by the local
+parity gate. Combines the two beyond-reference surfaces — Structured
+Streaming exactly-once ingest (SURVEY §2.10) and the external-Iceberg
+write half — into the transactional streaming sink a real pipeline
+runs: one APPEND snapshot per micro-batch, idempotent on replay via
+the (checkpoint, batch-id) identity in snapshot summaries.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_datalake_spark.catalog import load_tables
+from pg_datalake_spark.plans.registry import register
+from pg_datalake_spark.streaming import iceberg_stream_sink
+
+
+@register(
+    "st05_iceberg_stream_ingest",
+    oracle="""
+    SELECT count(*) AS n,
+           round(sum(value), 2) AS total_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    """,
+)
+def st05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the events table through the streaming Iceberg sink
+    (bootstrap commit on the first batch), drain AGAIN with no new
+    files (zero batches — the checkpoint's exactly-once contract), then
+    aggregate the Iceberg table the stream produced. The oracle
+    aggregates the source directly, so ingest + snapshot commit + read
+    must be lossless."""
+    from pg_datalake_spark.tables.iceberg_external import read_iceberg_table
+
+    load_tables(spark, sf_dir, ["events"])
+    stage = tempfile.mkdtemp(prefix="st05_")
+    landing = os.path.join(stage, "landing")
+    os.makedirs(landing)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(landing, "events.parquet"))
+    ckpt = os.path.join(stage, "ckpt")
+    loc = os.path.join(stage, "iceberg_events")
+    src_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    iceberg_stream_sink(spark, landing, src_schema, ckpt, loc)
+    # second drain: no new files → no new snapshots
+    iceberg_stream_sink(spark, landing, src_schema, ckpt, loc)
+
+    ingested = read_iceberg_table(spark, loc)
+    return ingested.agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,2)")).cast("double"), 2
+        ).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -92,6 +92,75 @@ def windowed_event_counts(
     )
 
 
+def iceberg_commit_batch(
+    df: DataFrame, batch_id: int, table_location: str, stream_id: str
+) -> int | None:
+    """Idempotently commit one micro-batch as an Iceberg APPEND
+    snapshot (the first batch bootstraps the table). The snapshot
+    summary records the (stream, batch) identity; a replay of an
+    already-committed batch — the crash window between a successful
+    commit and the source checkpoint advance — is detected from the
+    summaries and skipped. Returns the snapshot id, or None when the
+    batch was already committed (the replay case)."""
+    from pg_datalake_spark.tables.iceberg_external import (
+        append_snapshot,
+        export_iceberg_snapshot,
+        load_table_metadata,
+    )
+
+    bid = str(batch_id)
+    try:
+        meta = load_table_metadata(table_location)
+    except FileNotFoundError:
+        meta = None
+    if meta is not None:
+        for s in meta.get("snapshots", []):
+            summ = s.get("summary", {})
+            if (
+                summ.get("streaming-batch-id") == bid
+                and summ.get("streaming-checkpoint") == stream_id
+            ):
+                return None
+    summary = {"streaming-batch-id": bid, "streaming-checkpoint": stream_id}
+    if meta is not None:
+        return append_snapshot(df, table_location, extra_summary=summary)
+    return export_iceberg_snapshot(df, table_location, extra_summary=summary)
+
+
+def iceberg_stream_sink(
+    spark: SparkSession,
+    source_glob: str,
+    schema,
+    checkpoint_dir: str,
+    table_location: str,
+    fmt: str = "parquet",
+) -> dict:
+    """Exactly-once streaming ingestion INTO an external Iceberg table:
+    every micro-batch goes through :func:`iceberg_commit_batch`, so the
+    table sees each batch exactly once even across crash-replays (the
+    same idempotent-commit contract Flink/Spark Iceberg sinks
+    implement). A deliberately fresh checkpoint is a new ingestion
+    stream and re-ingests.
+
+    Returns {"batches": executed, "skipped": replays_detected,
+    "snapshots": committed_snapshot_ids}.
+    """
+    stats = {"batches": 0, "skipped": 0, "snapshots": []}
+
+    def _sink(df: DataFrame, batch_id: int) -> None:
+        stats["batches"] += 1
+        snap = iceberg_commit_batch(df, batch_id, table_location, checkpoint_dir)
+        if snap is None:
+            stats["skipped"] += 1
+        else:
+            stats["snapshots"].append(snap)
+
+    incremental_file_ingest(
+        spark, source_glob, schema, checkpoint_dir, _sink, fmt=fmt
+    )
+    return stats
+
+
 def stateful_user_counts(
     spark: SparkSession,
     landing_dir: str,

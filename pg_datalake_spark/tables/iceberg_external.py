@@ -820,7 +820,10 @@ def _partition_spec_fields(
 
 
 def export_iceberg_snapshot(
-    df: DataFrame, location: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    location: str,
+    partition_by: list[str] | None = None,
+    extra_summary: dict | None = None,
 ) -> int:
     """Write ``df`` as a new Iceberg v2 table at ``location``; returns
     the snapshot id. ``partition_by`` columns become an identity
@@ -912,7 +915,7 @@ def export_iceberg_snapshot(
                 "sequence-number": 1,
                 "timestamp-ms": now_ms,
                 "manifest-list": f"file://{manifest_list}",
-                "summary": {"operation": "append"},
+                "summary": {"operation": "append", **(extra_summary or {})},
                 "schema-id": 0,
             }
         ],
@@ -974,6 +977,7 @@ def _commit_new_version(
     seq: int,
     manifests: list[dict],
     operation: str,
+    extra_summary: dict | None = None,
 ) -> int:
     """Write a new manifest list + metadata version advancing the
     version-hint; returns the snapshot id."""
@@ -992,7 +996,7 @@ def _commit_new_version(
             "sequence-number": seq,
             "timestamp-ms": now_ms,
             "manifest-list": f"file://{manifest_list}",
-            "summary": {"operation": operation},
+            "summary": {"operation": operation, **(extra_summary or {})},
             "schema-id": 0,
         }
     ]
@@ -1006,7 +1010,9 @@ def _commit_new_version(
     return snapshot_id
 
 
-def append_snapshot(df: DataFrame, location: str) -> int:
+def append_snapshot(
+    df: DataFrame, location: str, extra_summary: dict | None = None
+) -> int:
     """Commit an APPEND snapshot to an existing exported Iceberg
     table: new parquet files land in their own subdirectory of data/,
     a new data manifest joins the previous snapshot's manifests, and a
@@ -1064,7 +1070,9 @@ def append_snapshot(df: DataFrame, location: str) -> int:
             "deleted_rows_count": 0,
         }
     ]
-    return _commit_new_version(location, meta, snapshot_id, seq, manifests, "append")
+    return _commit_new_version(
+        location, meta, snapshot_id, seq, manifests, "append", extra_summary
+    )
 
 
 def _write_position_delete_file(
@@ -1152,6 +1160,117 @@ def add_position_deletes(
         }
     ]
     return _commit_new_version(location, meta, snapshot_id, seq, manifests, "delete")
+
+
+def overwrite_snapshot(df: DataFrame, location: str) -> int:
+    """Commit an OVERWRITE snapshot: the table's contents are replaced
+    by ``df`` (new data files in a fresh manifest list that references
+    no prior manifest). Prior snapshots stay pinned-readable until
+    :func:`expire_snapshots` reclaims them. Honors the table's identity
+    partition spec, like :func:`append_snapshot`."""
+    meta = load_table_metadata(location)
+    ice_schema = meta["schemas"][meta["current-schema-id"]]
+    expected = [f["name"] for f in ice_schema["fields"]]
+    if [f.name for f in df.schema.fields] != expected:
+        raise ValueError(
+            f"schema mismatch: table has columns {expected}, "
+            f"overwrite has {[f.name for f in df.schema.fields]}"
+        )
+    spec = next(
+        s for s in meta["partition-specs"] if s["spec-id"] == meta["default-spec-id"]
+    )
+    partition_by = [f["name"] for f in spec["fields"] if f["transform"] == "identity"]
+    part_fields = _partition_spec_fields(ice_schema, partition_by)
+
+    data_dir = os.path.join(_local(location), "data", f"overwrite-{uuid.uuid4()}")
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_dir)
+    snapshot_id = int(uuid.uuid4().int % (1 << 62))
+    seq = meta["last-sequence-number"] + 1
+    files = _walk_parquet(data_dir)
+    partitions = {p: _parse_partition_values(p, data_dir, part_fields) for p in files}
+    entries, total_rows = _data_file_entries(
+        files, snapshot_id, seq, ice_schema, partitions
+    )
+    meta_dir = os.path.join(_local(location), "metadata")
+    new_manifest = os.path.join(meta_dir, f"{uuid.uuid4()}-m0.avro")
+    mlen = write_avro(new_manifest, _manifest_entry_schema(part_fields), entries)
+    manifests = [
+        {
+            "manifest_path": f"file://{new_manifest}",
+            "manifest_length": mlen,
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": total_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    return _commit_new_version(location, meta, snapshot_id, seq, manifests, "overwrite")
+
+
+def expire_snapshots(location: str, keep_last: int = 1) -> dict:
+    """Expire all but the newest ``keep_last`` snapshots (the current
+    snapshot is always kept) and delete files no surviving snapshot
+    references — manifest lists, manifests, data and delete files
+    (orphan cleanup, the reference's snapshot-expiry maintenance).
+    Returns ``{"expired_snapshot_ids": [...], "deleted_files": [...]}``.
+    """
+    meta = load_table_metadata(location)
+    snaps = sorted(meta.get("snapshots", []), key=lambda s: s["sequence-number"])
+    keep_last = max(1, keep_last)
+    kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+    current = meta.get("current-snapshot-id")
+    if current is not None and current not in {s["snapshot-id"] for s in kept}:
+        raise ValueError("keep_last would expire the current snapshot")
+    if not expired:
+        return {"expired_snapshot_ids": [], "deleted_files": []}
+
+    def _referenced(snapshots: list[dict]) -> set[str]:
+        refs: set[str] = set()
+        for s in snapshots:
+            ml = _local(s["manifest-list"])
+            refs.add(ml)
+            _, manifests = read_avro(ml)
+            for m in manifests:
+                mp = _local(m["manifest_path"])
+                refs.add(mp)
+                _, entries = read_avro(mp)
+                for e in entries:
+                    refs.add(_local(e["data_file"]["file_path"]))
+        return refs
+
+    keep_refs = _referenced(kept)
+    drop_refs = _referenced(expired)
+    doomed = sorted(drop_refs - keep_refs)
+
+    kept_ids = {s["snapshot-id"] for s in kept}
+    meta["snapshots"] = [s for s in meta["snapshots"] if s["snapshot-id"] in kept_ids]
+    meta["snapshot-log"] = [
+        e for e in meta.get("snapshot-log", []) if e["snapshot-id"] in kept_ids
+    ]
+    meta_dir = os.path.join(_local(location), "metadata")
+    version = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip()) + 1
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
+        json.dump(meta, fh, indent=2)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    for p in doomed:
+        if os.path.exists(p):
+            os.unlink(p)
+    return {
+        "expired_snapshot_ids": sorted(s["snapshot-id"] for s in expired),
+        "deleted_files": doomed,
+    }
 
 
 def add_equality_deletes(location: str, df: DataFrame, columns: list[str] | None = None) -> int:

@@ -700,6 +700,53 @@ def test_partitioned_date_and_append_and_deletes(spark):
     assert read_iceberg_table(spark, loc).count() == 60
 
 
+def test_overwrite_and_expire(spark):
+    """OVERWRITE replaces contents (prior snapshots pinned-readable);
+    expire_snapshots reclaims unreferenced metadata AND data files."""
+    from pg_datalake_spark.tables.iceberg_external import (
+        expire_snapshots,
+        overwrite_snapshot,
+    )
+
+    orders = load_tables(spark, SF_DIR, ["orders"])["orders"]
+    half = orders.filter(F.col("o_orderkey") % 2 == 0)
+    loc = tempfile.mkdtemp(prefix="iceow_") + "/t"
+    snap1 = export_iceberg_snapshot(orders, loc)
+    snap2 = overwrite_snapshot(half, loc)
+    assert read_iceberg_table(spark, loc).count() == half.count()
+    assert read_iceberg_table(spark, loc, snapshot_id=snap1).count() == orders.count()
+
+    v1_files, _ = snapshot_files(loc, snapshot_id=snap1)
+    res = expire_snapshots(loc, keep_last=1)
+    assert res["expired_snapshot_ids"] == [snap1]
+    # v1-only data files are gone from disk; current snapshot unharmed
+    assert all(not os.path.exists(_local(p)) for p in v1_files)
+    assert read_iceberg_table(spark, loc).count() == half.count()
+    meta = load_table_metadata(loc)
+    assert [s["snapshot-id"] for s in meta["snapshots"]] == [snap2]
+    with pytest.raises(ValueError, match="not found"):
+        read_iceberg_table(spark, loc, snapshot_id=snap1)
+
+
+def test_expire_keeps_shared_files(spark):
+    """Append chains share data files across snapshots — expiry must
+    not delete files the surviving snapshot still references."""
+    from pg_datalake_spark.tables.iceberg_external import expire_snapshots
+
+    orders = load_tables(spark, SF_DIR, ["orders"])["orders"]
+    loc = tempfile.mkdtemp(prefix="iceexp_") + "/t"
+    export_iceberg_snapshot(orders.limit(100), loc)
+    append_snapshot(orders.limit(50), loc)
+    n = read_iceberg_table(spark, loc).count()
+    res = expire_snapshots(loc, keep_last=1)
+    assert len(res["expired_snapshot_ids"]) == 1
+    assert read_iceberg_table(spark, loc).count() == n  # shared files intact
+    assert expire_snapshots(loc, keep_last=5) == {
+        "expired_snapshot_ids": [],
+        "deleted_files": [],
+    }
+
+
 def test_laketable_iceberg_crosswalk(spark):
     """LakeTable data exported to Iceberg reads back equal — the
     interop crosswalk (reference: Spark reading pg_lake-written tables,

@@ -93,6 +93,66 @@ def test_incremental_ingest_exactly_once(spark, tmp_path):
     assert sum(got) == 150
 
 
+def test_iceberg_stream_sink_exactly_once(spark, tmp_path):
+    """Streaming → Iceberg: one snapshot per micro-batch; a crash
+    replay (commit marker lost AFTER the snapshot landed) re-runs the
+    batch with the same id and the sink skips it — the table never
+    double-ingests."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg_datalake_spark.streaming import iceberg_stream_sink
+    from pg_datalake_spark.tables.iceberg_external import (
+        iceberg_snapshots,
+        read_iceberg_table,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pq.write_table(pa.table({"id": list(range(100))}), src + "/batch1.parquet")
+    schema = spark.read.parquet(src).schema
+    ck = str(tmp_path / "ckpt")
+    loc = str(tmp_path / "ice")
+
+    s1 = iceberg_stream_sink(spark, src + "/*", schema, ck, loc)
+    assert s1["batches"] == 1 and s1["skipped"] == 0 and len(s1["snapshots"]) == 1
+    assert read_iceberg_table(spark, loc).count() == 100
+
+    # drained checkpoint: no new batches at all
+    s2 = iceberg_stream_sink(spark, src + "/*", schema, ck, loc)
+    assert s2["batches"] == 0
+    # new file → new snapshot
+    pq.write_table(pa.table({"id": list(range(50))}), src + "/batch2.parquet")
+    s3 = iceberg_stream_sink(spark, src + "/*", schema, ck, loc)
+    assert s3["batches"] == 1 and len(s3["snapshots"]) == 1
+    assert read_iceberg_table(spark, loc).count() == 150
+
+    # the crash window: snapshot committed but the source checkpoint
+    # advance was lost → the engine re-delivers the batch with the
+    # SAME id; the summary lookup must skip it (idempotent commit)
+    from pg_datalake_spark.streaming import iceberg_commit_batch
+
+    replay_df = spark.read.parquet(src + "/batch2.parquet")
+    assert iceberg_commit_batch(replay_df, 1, loc, ck) is None  # already in
+    assert read_iceberg_table(spark, loc).count() == 150
+    # an UNSEEN batch id from the same stream commits normally
+    snap = iceberg_commit_batch(replay_df, 99, loc, ck)
+    assert snap is not None
+    assert read_iceberg_table(spark, loc).count() == 200
+
+    # ops are labeled in the snapshot history
+    ops = [r.operation for r in iceberg_snapshots(spark, loc).collect()]
+    assert ops == ["append", "append", "append"]
+
+    # a deliberately NEW checkpoint is a new stream → re-ingests
+    shutil.rmtree(ck)
+    s5 = iceberg_stream_sink(spark, src + "/*", schema, str(tmp_path / "ck2"), loc)
+    assert s5["skipped"] == 0 and len(s5["snapshots"]) == 1
+    assert read_iceberg_table(spark, loc).count() == 350
+
+
 def test_file_exists_and_delete(spark, tmp_path):
     from pg_datalake_spark.sources.readers import delete_files, file_exists
 
