@@ -916,6 +916,20 @@ class LakeTable:
             rows, "path string, rows long, bytes long, partition string"
         )
 
+    def export_iceberg(
+        self, location: str, partition_by: list[str] | None = None
+    ) -> int:
+        """Export the table's CURRENT state (MOR deletes applied) as a
+        standalone Apache Iceberg v2 table at ``location`` — the
+        LakeTable → external-engine crosswalk (reference: Spark reading
+        pg_lake-written tables, test_iceberg_metadata_via_spark.py).
+        Returns the Iceberg snapshot id."""
+        from pg_datalake_spark.tables.iceberg_external import export_iceberg_snapshot
+
+        return export_iceberg_snapshot(
+            self.scan(), location, partition_by=partition_by
+        )
+
     def scan_stats(self, filters: list[tuple] | None = None) -> dict:
         """EXPLAIN-style scan accounting: how many data files a scan
         with these filters would read vs skip (reference: EXPLAIN shows

@@ -1217,6 +1217,32 @@ def overwrite_snapshot(df: DataFrame, location: str) -> int:
     return _commit_new_version(location, meta, snapshot_id, seq, manifests, "overwrite")
 
 
+def rollback_to_snapshot(location: str, snapshot_id: int) -> int:
+    """Roll the table back so ``snapshot_id`` is current again (a new
+    metadata version — history is preserved, nothing is deleted; the
+    reference's snapshot-rollback maintenance op). Later snapshots
+    remain pinned-readable until :func:`expire_snapshots`."""
+    meta = load_table_metadata(location)
+    if snapshot_id not in {s["snapshot-id"] for s in meta.get("snapshots", [])}:
+        raise ValueError(
+            f"snapshot {snapshot_id} not found "
+            f"(have {sorted(s['snapshot-id'] for s in meta['snapshots'])})"
+        )
+    meta_dir = os.path.join(_local(location), "metadata")
+    version = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip()) + 1
+    now_ms = int(time.time() * 1000)
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-updated-ms"] = now_ms
+    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+    ]
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
+        json.dump(meta, fh, indent=2)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+    return snapshot_id
+
+
 def expire_snapshots(location: str, keep_last: int = 1) -> dict:
     """Expire all but the newest ``keep_last`` snapshots (the current
     snapshot is always kept) and delete files no surviving snapshot

@@ -747,6 +747,87 @@ def test_expire_keeps_shared_files(spark):
     }
 
 
+def test_rollback_to_snapshot(spark):
+    """Rollback re-points current; later snapshots stay readable;
+    commits after a rollback fork from the restored state."""
+    from pg_datalake_spark.tables.iceberg_external import rollback_to_snapshot
+
+    orders, loc, snap1 = _export_orders(spark)
+    n = orders.count()
+    snap2 = append_snapshot(orders.limit(10), loc)
+    assert read_iceberg_table(spark, loc).count() == n + 10
+
+    assert rollback_to_snapshot(loc, snap1) == snap1
+    assert read_iceberg_table(spark, loc).count() == n  # current = snap1 again
+    assert read_iceberg_table(spark, loc, snapshot_id=snap2).count() == n + 10
+    with pytest.raises(ValueError, match="not found"):
+        rollback_to_snapshot(loc, 12345)
+    # a new append now builds on the rolled-back state
+    append_snapshot(orders.limit(5), loc)
+    assert read_iceberg_table(spark, loc).count() == n + 5
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(0, 40)).map(
+            lambda t: (t[0], t[0] + t[1])
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(-60, 60),
+    st.sampled_from(["=", "<", "<=", ">", ">="]),
+)
+@settings(max_examples=200, deadline=None)
+def test_file_may_match_property(bounds, val, op):
+    """_file_may_match may keep too much but must NEVER prune a file
+    that contains a matching value (soundness, hypothesis-checked
+    against brute-force evaluation over the bound range)."""
+    from pg_datalake_spark.tables.iceberg_external import (
+        _bound_to_bytes,
+        _file_may_match,
+    )
+
+    ops = {
+        "=": lambda x: x == val,
+        "<": lambda x: x < val,
+        "<=": lambda x: x <= val,
+        ">": lambda x: x > val,
+        ">=": lambda x: x >= val,
+    }
+    for lo, hi in bounds:
+        entry = {
+            "lower_bounds": {1: _bound_to_bytes(lo, "long")},
+            "upper_bounds": {1: _bound_to_bytes(hi, "long")},
+        }
+        keep = _file_may_match(entry, 1, "long", op, val)
+        has_match = any(ops[op](x) for x in range(lo, hi + 1))
+        if has_match:
+            assert keep, f"pruned a file with matches: [{lo},{hi}] {op} {val}"
+
+
+def test_laketable_export_iceberg_method(spark):
+    """LakeTable.export_iceberg: the first-class crosswalk — current
+    MOR state lands as a real Iceberg table, partitionable."""
+    orders = load_tables(spark, SF_DIR, ["orders"])["orders"]
+    root = tempfile.mkdtemp(prefix="ltexp_") + "/lt"
+    lt = LakeTable.create(spark, root, orders.schema)
+    lt.append(orders)
+    lt.delete("o_orderkey % 4 = 0")
+    expected = lt.scan()
+
+    loc = tempfile.mkdtemp(prefix="ltexp_ice_") + "/t"
+    lt.export_iceberg(loc, partition_by=["o_orderstatus"])
+    back = read_iceberg_table(spark, loc)
+    assert back.count() == expected.count()
+    assert sorted(back.columns) == sorted(expected.columns)
+    a = expected.agg(F.sum("o_orderkey").alias("k")).first()["k"]
+    b = back.agg(F.sum("o_orderkey").alias("k")).first()["k"]
+    assert a == b
+    got = read_iceberg_table(spark, loc, filters=[("o_orderstatus", "=", "F")])
+    assert got.count() == expected.filter("o_orderstatus = 'F'").count()
+
+
 def test_laketable_iceberg_crosswalk(spark):
     """LakeTable data exported to Iceberg reads back equal — the
     interop crosswalk (reference: Spark reading pg_lake-written tables,
