@@ -1,0 +1,50 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+TABLESAMPLE is engine-specific randomness (rows-only checkable, o04);
+these operators are fully deterministic — hash-ordered, so any engine
+reproduces the identical sample — which is what a reproducible
+training-data pipeline actually wants (seeded selection that survives
+re-runs, engine swaps, and partial recomputation).
+
+Scale: one window per group (single shuffle on the group key); the
+hash order is computed per-row JVM-side. Skewed groups parallelize
+like any windowed aggregate under AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    fraction: float,
+    min_rows: int = 1,
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of each group: rows are ranked
+    by md5(id) within the group and the first ceil(fraction * n) kept
+    (at least ``min_rows``). Per-group proportions are exact (ceil),
+    unlike Bernoulli sampling whose per-group counts fluctuate —
+    stratification is the point at 100 TB where small groups must not
+    vanish."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    wall = Window.partitionBy(*group_cols)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count("*").over(wall))
+        .filter(
+            F.col("__rk")
+            <= F.greatest(
+                F.ceil(F.col("__n") * F.lit(fraction)), F.lit(min_rows)
+            )
+        )
+        .drop("__rk", "__n")
+    )

@@ -155,3 +155,38 @@ def chunk_tokens(
             F.size("__chunk").cast("long").alias("n_chunk_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII-style redaction (training-data scrubbing)
+# ---------------------------------------------------------------------------
+
+# identical regexes on both engines (DuckDB RE2 / Java regex common
+# subset: no backreferences, no lookaround)
+REDACTION_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^ \t\n]+", "<URL>"),
+    ("phone", r"\+[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def redact(text: Column) -> Column:
+    """Replace emails, URLs, and international-format phone numbers
+    with typed placeholder tags — the scrub pass a training pipeline
+    runs before tokenization. Chained JVM-side regexp_replace (order
+    matters: URLs can contain '@', so emails are replaced first and
+    the URL pattern runs on the already-email-scrubbed text).
+    """
+    out = text
+    for _, pattern, tag in REDACTION_PATTERNS:
+        out = F.regexp_replace(out, pattern, tag)
+    return out
+
+
+def redaction_counts(text: Column) -> list[Column]:
+    """Per-pattern match counts (computed on the ORIGINAL text), for
+    audit columns next to the redacted output."""
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))).alias(f"n_{name}")
+        for name, pattern, _ in REDACTION_PATTERNS
+    ]

@@ -395,3 +395,120 @@ def t04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.chunk_tokens(
         t["documents"].filter(F.col("doc_id") < 100), "doc_id", chunk_size=32, overlap=8
     )
+
+
+@register(
+    "t05_redaction",
+    oracle=r"""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or https://ex.org/d/' || CAST(doc_id AS VARCHAR)
+                  || ' tel +1 555 010 ' || CAST(doc_id AS VARCHAR) AS t
+      FROM documents WHERE doc_id < 500
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(t, 'https?://[^ \t\n]+')) AS INT) AS n_url,
+           CAST(len(regexp_extract_all(t, '\+[0-9][0-9 ()-]{6,}[0-9]')) AS INT) AS n_phone,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                                  '<EMAIL>', 'g'),
+                   'https?://[^ \t\n]+', '<URL>', 'g'),
+                 '\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
+    FROM planted
+    """,
+)
+def t05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrub pass (emails / URLs / intl phone numbers →
+    typed tags) with per-pattern audit counts. The corpus has no PII,
+    so the query plants deterministic contact lines; the oracle plants
+    and scrubs identically, and the md5 of the redacted text is
+    hash-compared — regex semantics must agree byte-for-byte across
+    engines (RE2/Java-regex common subset: no backreferences or
+    lookaround in the patterns)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    d = F.col("doc_id").cast("string")
+    planted = t["documents"].filter(F.col("doc_id") < 500).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), d, F.lit("@example.com or https://ex.org/d/"),
+            d, F.lit(" tel +1 555 010 "), d,
+        ).alias("t"),
+    )
+    return planted.select(
+        "doc_id",
+        *[c for c in textstats.redaction_counts(F.col("t"))],
+        F.md5(textstats.redact(F.col("t"))).alias("redacted_md5"),
+    )
+
+
+@register(
+    "v05_quantized_cosine",
+    oracle="""
+    WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0),
+    qs AS (SELECT list_max(list_transform(v, x -> abs(x))) AS s, v FROM qv),
+    qq AS (SELECT [CAST(round(x / s * 127) AS BIGINT) for x in v] AS q FROM qs),
+    c1 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c2 AS (SELECT vec_id, list_max(list_transform(v, x -> abs(x))) AS s, v FROM c1),
+    c3 AS (SELECT vec_id, [CAST(round(x / s * 127) AS BIGINT) for x in v] AS cq FROM c2)
+    SELECT vec_id,
+           round(list_dot_product(cq, qq.q)
+                 / (sqrt(list_dot_product(cq, cq)) * sqrt(list_dot_product(qq.q, qq.q))),
+                 6) AS qcos_sim
+    FROM c3, qq
+    ORDER BY qcos_sim DESC, vec_id
+    LIMIT 20
+    """,
+)
+def v05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 cosine over int8-quantized embeddings (corpus AND query
+    quantized; integer dot products are exact, only the norm division
+    is floating point) — the 4×-memory ANN trade at billion-vector
+    scale. Scores round(6) for cross-engine top-k agreement."""
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    qv = t["embeddings"].filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.quantized_cosine_topk(
+        t["embeddings"], [float(v) for v in qv], k=20, round_to=6
+    )
+
+
+@register(
+    "x03_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderstatus, o_orderkey,
+             row_number() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rk,
+             count(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders
+    )
+    SELECT o_orderstatus, count(*) AS n_sampled,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM ranked
+    WHERE rk <= greatest(CAST(ceil(n * 0.1) AS BIGINT), 1)
+    GROUP BY o_orderstatus
+    """,
+)
+def x03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly ceil(10%) of every
+    o_orderstatus stratum, selected by md5(id) rank — reproducible on
+    any engine (vs TABLESAMPLE's engine-specific randomness, o04). The
+    sampled id-sum is hash-compared, proving the engines picked the
+    IDENTICAL rows."""
+    from pg_datalake_spark.operators.sampling import stratified_sample
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    sampled = stratified_sample(
+        t["orders"].select("o_orderstatus", "o_orderkey"),
+        ["o_orderstatus"],
+        "o_orderkey",
+        0.1,
+    )
+    return sampled.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+    )
