@@ -1092,3 +1092,46 @@ def n01(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k7").alias("max_k7"),
         F.count(F.when(F.col("k7").isNull() & F.col("st").isNull(), 1)).alias("both_null"),
     )
+
+
+@register(
+    "j07_interval_overlap_join",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS a_id,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS a_start,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 10 AS a_end
+      FROM orders WHERE o_orderkey < 2000
+    ), b AS (
+      SELECT o_orderkey AS b_id,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 5 AS b_start,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 15 AS b_end
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey < 2000
+    )
+    SELECT a_id, b_id FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+    """,
+)
+def j07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join executed as a BINNED EQUI-JOIN (explode
+    each interval onto a 10-day grid, hash-join on the bin, re-check
+    the exact overlap, distinct the pairs) — the scale shape for
+    temporal joins, vs the oracle's theta join which an engine can
+    only run as a nested loop. Identical pair sets prove the binning
+    loses nothing."""
+    from pg_datalake_spark.operators.intervals import interval_overlap_join
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    base = t["orders"].filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey", F.unix_date(F.col("o_orderdate").cast("date")).alias("d")
+    )
+    a = base.select(
+        F.col("o_orderkey").alias("a_id"),
+        F.col("d").alias("a_start"),
+        (F.col("d") + 10).alias("a_end"),
+    )
+    b = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("b_id"),
+        (F.col("d") + 5).alias("b_start"),
+        (F.col("d") + 15).alias("b_end"),
+    )
+    return interval_overlap_join(a, b, bin_width=10)

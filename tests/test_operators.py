@@ -12,3 +12,27 @@ def test_asof_ignores_null_time_right_rows(spark):
     # the NULL-time right row must never be the match (SQL: r.t <= l.t
     # is NULL, not TRUE); the NULL-key row matches no key
     assert got == {(1, 10): "real", (1, 20): "real"}
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Binned equi-join overlap == naive theta join on random-ish
+    intervals (incl. negative coordinates and zero-length spans)."""
+    from pg_datalake_spark.operators.intervals import interval_overlap_join
+    from pyspark.sql import functions as F
+
+    rows_a = [(i, (i * 37) % 100 - 50, (i * 37) % 100 - 50 + (i % 13)) for i in range(60)]
+    rows_b = [(j, (j * 53) % 90 - 45, (j * 53) % 90 - 45 + (j % 7)) for j in range(40)]
+    a = spark.createDataFrame(rows_a, "a_id long, a_start long, a_end long")
+    b = spark.createDataFrame(rows_b, "b_id long, b_start long, b_end long")
+    for bin_width in (1, 5, 64):
+        got = {
+            (r.a_id, r.b_id)
+            for r in interval_overlap_join(a, b, bin_width=bin_width).collect()
+        }
+        naive = {
+            (r.a_id, r.b_id)
+            for r in a.crossJoin(b)
+            .filter((F.col("a_start") <= F.col("b_end")) & (F.col("b_start") <= F.col("a_end")))
+            .collect()
+        }
+        assert got == naive, f"bin_width={bin_width}"
