@@ -43,6 +43,29 @@ from pyspark.sql import types as T
 from pg_datalake_spark.tables.avro_codec import read_avro, write_avro
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed the metadata version this commit was
+    about to claim (Iceberg-style optimistic concurrency: the
+    version-file create is the check-and-swap). Reload and retry."""
+
+
+def _write_version_file(meta_dir: str, version: int, meta: dict) -> None:
+    """Exclusive-create the new metadata version, then advance the
+    hint. A concurrent writer that claimed the same version first makes
+    the create fail — the commit loses cleanly instead of clobbering."""
+    path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    try:
+        with open(path, "x") as fh:
+            json.dump(meta, fh, indent=2)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"metadata version v{version} already exists under {meta_dir} — "
+            "concurrent commit detected; reload table state and retry"
+        ) from None
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+
+
 def _local(path: str) -> str:
     """Normalize any local file URI form to a plain path: ``file:/p``,
     ``file://p`` and ``file:///p`` all → ``/p`` (Spark's ``_metadata``
@@ -1003,10 +1026,7 @@ def _commit_new_version(
     meta["snapshot-log"] = meta.get("snapshot-log", []) + [
         {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
     ]
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
-        json.dump(meta, fh, indent=2)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-        fh.write(str(version))
+    _write_version_file(meta_dir, version, meta)
     return snapshot_id
 
 
@@ -1236,10 +1256,7 @@ def rollback_to_snapshot(location: str, snapshot_id: int) -> int:
     meta["snapshot-log"] = meta.get("snapshot-log", []) + [
         {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
     ]
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
-        json.dump(meta, fh, indent=2)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-        fh.write(str(version))
+    _write_version_file(meta_dir, version, meta)
     return snapshot_id
 
 
@@ -1286,10 +1303,7 @@ def expire_snapshots(location: str, keep_last: int = 1) -> dict:
     meta_dir = os.path.join(_local(location), "metadata")
     version = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip()) + 1
     meta["last-updated-ms"] = int(time.time() * 1000)
-    with open(os.path.join(meta_dir, f"v{version}.metadata.json"), "w") as fh:
-        json.dump(meta, fh, indent=2)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-        fh.write(str(version))
+    _write_version_file(meta_dir, version, meta)
     for p in doomed:
         if os.path.exists(p):
             os.unlink(p)

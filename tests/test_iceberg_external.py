@@ -828,6 +828,23 @@ def test_laketable_export_iceberg_method(spark):
     assert got.count() == expected.filter("o_orderstatus = 'F'").count()
 
 
+def test_concurrent_commit_conflict(spark):
+    """Optimistic concurrency: a commit whose metadata version was
+    claimed by another writer fails with CommitConflictError instead of
+    clobbering (the version-file exclusive-create is the CAS)."""
+    from pg_datalake_spark.tables.iceberg_external import CommitConflictError
+
+    orders, loc, _ = _export_orders(spark)
+    # another writer claims v2 first
+    with open(os.path.join(loc, "metadata", "v2.metadata.json"), "w") as fh:
+        fh.write("{}")
+    with pytest.raises(CommitConflictError, match="concurrent commit"):
+        append_snapshot(orders.limit(5), loc)
+    # the losing commit left the version hint untouched
+    with open(os.path.join(loc, "metadata", "version-hint.text")) as fh:
+        assert fh.read().strip() == "1"
+
+
 def test_laketable_iceberg_crosswalk(spark):
     """LakeTable data exported to Iceberg reads back equal — the
     interop crosswalk (reference: Spark reading pg_lake-written tables,
