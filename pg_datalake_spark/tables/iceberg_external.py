@@ -259,20 +259,24 @@ def _identity_spec(meta: dict) -> list[dict]:
     return [f for f in spec["fields"] if f["transform"] == "identity"]
 
 
+_ICEBERG_TO_SPARK = {
+    "boolean": "boolean", "int": "int", "long": "long",
+    "float": "float", "double": "double", "string": "string",
+    "binary": "binary", "date": "date", "timestamptz": "timestamp",
+    "timestamp": "timestamp_ntz",
+}
+
+
+def _spark_type_str(ice_type: str) -> str:
+    return ice_type if ice_type.startswith("decimal") else _ICEBERG_TO_SPARK[ice_type]
+
+
 def _spark_ddl(ice_schema: dict) -> str:
     """Spark DDL string for an Iceberg schema (inverse of
     :func:`_iceberg_schema` over the types this module emits)."""
-    inv = {
-        "boolean": "boolean", "int": "int", "long": "long",
-        "float": "float", "double": "double", "string": "string",
-        "binary": "binary", "date": "date", "timestamptz": "timestamp",
-        "timestamp": "timestamp_ntz",
-    }
-    cols = []
-    for f in ice_schema["fields"]:
-        t = f["type"]
-        cols.append(f"`{f['name']}` {t if t.startswith('decimal') else inv[t]}")
-    return ", ".join(cols)
+    return ", ".join(
+        f"`{f['name']}` {_spark_type_str(f['type'])}" for f in ice_schema["fields"]
+    )
 
 
 def plan_scan(
@@ -379,9 +383,27 @@ def read_iceberg_table(
     eq_del = [e for e in entries if e["content"] == 2]
     if not data:
         raise ValueError(f"snapshot has no data files under {location}")
-    df = spark.read.parquet(*[_local(e["path"]) for e in data])
+    # mergeSchema: files written before a schema evolution lack the
+    # added columns — the merged scan surfaces them as nulls (footer
+    # reads only, distributed)
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[_local(e["path"]) for e in data]
+    )
 
     def _residual(out: DataFrame) -> DataFrame:
+        # project to the table's CURRENT schema FIRST (Iceberg read
+        # semantics): declared order, with columns no data file carries
+        # yet materialized as typed nulls — so the residual predicate
+        # can reference a just-added column
+        cols = []
+        for f in ice_schema["fields"]:
+            if f["name"] in out.columns:
+                cols.append(F.col(f["name"]))
+            else:
+                cols.append(
+                    F.lit(None).cast(_spark_type_str(f["type"])).alias(f["name"])
+                )
+        out = out.select(*cols)
         for col, op, val in filters or []:
             c = F.col(col)
             out = out.filter(
@@ -1235,6 +1257,42 @@ def overwrite_snapshot(df: DataFrame, location: str) -> int:
         }
     ]
     return _commit_new_version(location, meta, snapshot_id, seq, manifests, "overwrite")
+
+
+def evolve_add_column(
+    location: str, name: str, ice_type: str, required: bool = False
+) -> int:
+    """Schema evolution: add an optional column (new schema-id, fresh
+    field id — ids are never reused, per the Iceberg spec). Existing
+    data files are untouched; reads surface the column as typed nulls
+    until appends populate it. Returns the new schema id."""
+    if ice_type not in _ICEBERG_TO_SPARK and not ice_type.startswith("decimal"):
+        raise ValueError(f"unsupported column type {ice_type!r}")
+    if required:
+        raise ValueError(
+            "a required column cannot be added to a table with existing "
+            "rows (they would all violate it); add it as optional"
+        )
+    meta = load_table_metadata(location)
+    cur = meta["schemas"][meta["current-schema-id"]]
+    if any(f["name"] == name for f in cur["fields"]):
+        raise ValueError(f"column {name!r} already exists")
+    new_id = meta["last-column-id"] + 1
+    schema_id = max(s["schema-id"] for s in meta["schemas"]) + 1
+    new_schema = {
+        "type": "struct",
+        "schema-id": schema_id,
+        "fields": cur["fields"]
+        + [{"id": new_id, "name": name, "required": False, "type": ice_type}],
+    }
+    meta["schemas"] = meta["schemas"] + [new_schema]
+    meta["current-schema-id"] = schema_id
+    meta["last-column-id"] = new_id
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    meta_dir = os.path.join(_local(location), "metadata")
+    version = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip()) + 1
+    _write_version_file(meta_dir, version, meta)
+    return schema_id
 
 
 def rollback_to_snapshot(location: str, snapshot_id: int) -> int:

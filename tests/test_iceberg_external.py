@@ -828,6 +828,44 @@ def test_laketable_export_iceberg_method(spark):
     assert got.count() == expected.filter("o_orderstatus = 'F'").count()
 
 
+def test_schema_evolution_add_column(spark):
+    """Add-column evolution: old files read as typed nulls, appends
+    populate the new column, field ids are never reused, and filters
+    on the new column work (including on pre-evolution rows)."""
+    from pg_datalake_spark.tables.iceberg_external import evolve_add_column
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, k string")
+    loc = tempfile.mkdtemp(prefix="iceevo_") + "/t"
+    export_iceberg_snapshot(df, loc)
+
+    sid = evolve_add_column(loc, "score", "double")
+    meta = load_table_metadata(loc)
+    assert meta["current-schema-id"] == sid
+    assert meta["last-column-id"] == 3
+
+    # old rows surface the column as nulls, in declared order
+    back = read_iceberg_table(spark, loc)
+    assert back.columns == ["id", "k", "score"]
+    assert dict(back.dtypes)["score"] == "double"
+    assert back.filter(F.col("score").isNull()).count() == 2
+
+    # appends carry the new column; mixed-schema reads merge
+    append_snapshot(
+        spark.createDataFrame([(3, "c", 1.5)], "id long, k string, score double"), loc
+    )
+    all_rows = {(r.id, r.score) for r in read_iceberg_table(spark, loc).collect()}
+    assert all_rows == {(1, None), (2, None), (3, 1.5)}
+    got = read_iceberg_table(spark, loc, filters=[("score", ">=", 1.0)])
+    assert {r.id for r in got.collect()} == {3}
+
+    with pytest.raises(ValueError, match="already exists"):
+        evolve_add_column(loc, "score", "double")
+    with pytest.raises(ValueError, match="optional"):
+        evolve_add_column(loc, "x", "long", required=True)
+    with pytest.raises(ValueError, match="unsupported column type"):
+        evolve_add_column(loc, "y", "uuid")
+
+
 def test_concurrent_commit_conflict(spark):
     """Optimistic concurrency: a commit whose metadata version was
     claimed by another writer fails with CommitConflictError instead of
