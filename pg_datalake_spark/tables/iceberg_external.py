@@ -1295,6 +1295,49 @@ def evolve_add_column(
     return schema_id
 
 
+def evolve_drop_column(location: str, name: str) -> int:
+    """Schema evolution: drop a column (metadata-only — data files are
+    untouched; reads simply stop projecting it). The field id is
+    retired, never reused. Partition source columns cannot be dropped.
+    Returns the new schema id."""
+    meta = load_table_metadata(location)
+    cur = meta["schemas"][meta["current-schema-id"]]
+    field = next((f for f in cur["fields"] if f["name"] == name), None)
+    if field is None:
+        raise ValueError(f"column {name!r} does not exist")
+    part_sources = {pf["source-id"] for pf in _identity_spec(meta)}
+    if field["id"] in part_sources:
+        raise ValueError(f"column {name!r} is a partition source — cannot drop")
+    schema_id = max(s["schema-id"] for s in meta["schemas"]) + 1
+    new_schema = {
+        "type": "struct",
+        "schema-id": schema_id,
+        "fields": [f for f in cur["fields"] if f["name"] != name],
+    }
+    meta["schemas"] = meta["schemas"] + [new_schema]
+    meta["current-schema-id"] = schema_id
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    meta_dir = os.path.join(_local(location), "metadata")
+    version = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip()) + 1
+    _write_version_file(meta_dir, version, meta)
+    return schema_id
+
+
+def iceberg_changelog(
+    spark: SparkSession, location: str, from_snapshot: int, to_snapshot: int
+) -> DataFrame:
+    """Row-level diff between two snapshots: the current-schema rows
+    with a ``_change`` column ('insert' / 'delete'). Computed as two
+    exceptAll set differences over the resolved snapshot reads — MOR
+    deletes and schema projection apply on both sides, so the diff is
+    exactly what a consumer of the table observed changing."""
+    before = read_iceberg_table(spark, location, snapshot_id=from_snapshot)
+    after = read_iceberg_table(spark, location, snapshot_id=to_snapshot)
+    inserted = after.exceptAll(before).withColumn("_change", F.lit("insert"))
+    deleted = before.exceptAll(after).withColumn("_change", F.lit("delete"))
+    return inserted.unionByName(deleted)
+
+
 def rollback_to_snapshot(location: str, snapshot_id: int) -> int:
     """Roll the table back so ``snapshot_id`` is current again (a new
     metadata version — history is preserved, nothing is deleted; the

@@ -866,6 +866,43 @@ def test_schema_evolution_add_column(spark):
         evolve_add_column(loc, "y", "uuid")
 
 
+def test_schema_evolution_drop_column_and_changelog(spark):
+    from pg_datalake_spark.tables.iceberg_external import (
+        evolve_drop_column,
+        iceberg_changelog,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, k string, v double"
+    )
+    loc = tempfile.mkdtemp(prefix="icedrop_") + "/t"
+    snap1 = export_iceberg_snapshot(df, loc)
+    evolve_drop_column(loc, "v")
+    back = read_iceberg_table(spark, loc)
+    assert back.columns == ["id", "k"]
+
+    snap2 = append_snapshot(
+        spark.createDataFrame([(3, "c")], "id long, k string"), loc
+    )
+    add_equality_deletes(loc, spark.createDataFrame([(1,)], "id long"), ["id"])
+    meta = load_table_metadata(loc)
+    snap3 = meta["current-snapshot-id"]
+
+    # changelog from snap1 (pre-append) to snap3 (post-append+delete):
+    # id 3 inserted, id 1 deleted (schema projection applies both sides)
+    log = {(r.id, r._change) for r in iceberg_changelog(spark, loc, snap1, snap3).collect()}
+    assert log == {(3, "insert"), (1, "delete")}
+    assert iceberg_changelog(spark, loc, snap2, snap2).count() == 0
+
+    with pytest.raises(ValueError, match="does not exist"):
+        evolve_drop_column(loc, "nope")
+    # partition sources are protected
+    loc2 = tempfile.mkdtemp(prefix="icedrop2_") + "/t"
+    export_iceberg_snapshot(df, loc2, partition_by=["k"])
+    with pytest.raises(ValueError, match="partition source"):
+        evolve_drop_column(loc2, "k")
+
+
 def test_concurrent_commit_conflict(spark):
     """Optimistic concurrency: a commit whose metadata version was
     claimed by another writer fails with CommitConflictError instead of
