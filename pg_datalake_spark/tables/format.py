@@ -830,13 +830,47 @@ class LakeTable:
         return len(entries)
 
     # -- maintenance (VACUUM analog) --------------------------------------
-    def compact(self, target_file_mb: int = TARGET_FILE_MB, min_input_files: int = 2) -> int:
+    def compact(
+        self,
+        target_file_mb: int = TARGET_FILE_MB,
+        min_input_files: int = 2,
+        cluster_by: list[str] | None = None,
+    ) -> int:
         """Merge small data files up to the target size and apply
-        pending position deletes (reference: vacuum.c compaction)."""
+        pending position deletes (reference: vacuum.c compaction).
+
+        With ``cluster_by``, the WHOLE table is rewritten range-
+        partitioned on those columns (one disjoint value range per
+        output file, rows sorted within) — afterwards a filter on the
+        cluster key prunes ~(1 - selectivity) of the files from the
+        manifest stats alone, the Z-order-lite layout maintenance every
+        large table needs once append order stops matching query order.
+        """
         meta = self._load()
         cur = self._current_snapshot(meta)
         if cur is None:
             return 0
+        if cluster_by:
+            missing = [c for c in cluster_by if c not in {f["name"] for f in meta["fields"]}]
+            if missing:
+                raise ValueError(f"cluster columns {missing} not in schema")
+            inputs = list(cur.data_files)
+            if not inputs:
+                return 0
+            df = self._apply_deletes(self._read_mapped(inputs, meta), cur)
+            total_bytes = sum(f.bytes for f in inputs)
+            n_out = max(2, int(total_bytes / (target_file_mb * 1024 * 1024)))
+            rw_dir = os.path.join(self.root, "data", f"z-{uuid.uuid4().hex[:12]}")
+            spec = self._partition_spec(meta)
+            clustered = (
+                df.select(*[f["name"] for f in meta["fields"]])
+                .repartitionByRange(n_out, *cluster_by)
+                .sortWithinPartitions(*cluster_by)
+            )
+            self._write_data(clustered, rw_dir, spec)
+            new_files = self._collect_file_entries(rw_dir, spec, meta)
+            self._new_snapshot(meta, "cluster", new_files, [])
+            return len(inputs)
         small = [f for f in cur.data_files if f.bytes < target_file_mb * 1024 * 1024 / 2]
         if len(small) < min_input_files:
             return 0

@@ -11,6 +11,7 @@ from pyspark.sql import types as T
 
 from pg_datalake_spark.tables import LakeTable
 from pg_datalake_spark.tables.format import PartitionField
+from tests.conftest import SF_DIR
 
 KV_SCHEMA = T.StructType(
     [
@@ -504,3 +505,43 @@ def test_rewrites_preserve_partition_pruning(spark, tmp_path):
 def test_scan_filters_apply_row_predicate(spark, kv_table):
     got = kv_table.scan(filters=[("key", "<", 10)])
     assert got.count() == 10  # rows, not just file-level pruning supersets
+
+
+def test_clustered_compaction_improves_pruning(spark, tmp_path):
+    """compact(cluster_by=...) rewrites the table range-partitioned on
+    the key: files get disjoint value ranges, so a key filter skips
+    most of them in scan_stats — and the data is unchanged."""
+    from pyspark.sql import functions as F
+
+    from pg_datalake_spark.catalog import load_tables
+    from pg_datalake_spark.tables import LakeTable
+
+    orders = load_tables(spark, SF_DIR, ["orders"])["orders"].select(
+        "o_orderkey", "o_totalprice"
+    )
+    lt = LakeTable.create(spark, str(tmp_path / "t"), orders.schema)
+    # 6 appends, each spanning the FULL key range (interleaved mod
+    # slices) → every file overlaps every key filter, nothing prunes
+    for i in range(6):
+        lt.append(orders.filter(F.col("o_orderkey") % 6 == i))
+    lo = orders.agg(F.expr("percentile(o_orderkey, 0.08)")).first()[0]
+    before = lt.scan_stats([("o_orderkey", "<", int(lo))])
+    assert before["files_skipped"] == 0
+
+    n_before = lt.scan().count()
+    sum_before = lt.scan().agg(F.sum("o_orderkey").alias("s")).first()["s"]
+    rewritten = lt.compact(target_file_mb=1, cluster_by=["o_orderkey"])
+    assert rewritten == 6
+
+    after = lt.scan_stats([("o_orderkey", "<", int(lo))])
+    assert after["files_total"] >= 2
+    assert after["files_skipped"] > 0, f"clustering must enable pruning: {after}"
+    assert lt.scan().count() == n_before
+    assert lt.scan().agg(F.sum("o_orderkey").alias("s")).first()["s"] == sum_before
+    # filtered read still exact
+    got = lt.scan(filters=[("o_orderkey", "<", int(lo))]).count()
+    want = orders.filter(F.col("o_orderkey") < int(lo)).count()
+    assert got == want
+
+    with __import__("pytest").raises(ValueError, match="not in schema"):
+        lt.compact(cluster_by=["nope"])
