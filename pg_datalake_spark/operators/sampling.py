@@ -48,3 +48,30 @@ def stratified_sample(
         )
         .drop("__rk", "__n")
     )
+
+
+def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column data profile: count, nulls, exact distinct count,
+    lexicographic min/max (stringified for a uniform schema) — the
+    SUMMARIZE-style health check run before a table feeds a pipeline.
+    One pass per column batch; every metric is partial-aggregable
+    except countDistinct, whose shuffle is per-column-value (the exact
+    profile is the point; approx_count_distinct is the cheap variant).
+    """
+    cols = columns or df.columns
+    arms = []
+    for c in cols:
+        arms.append(
+            df.agg(
+                F.lit(c).alias("column"),
+                F.count("*").alias("n"),
+                F.sum(F.col(c).isNull().cast("long")).alias("n_null"),
+                F.countDistinct(c).alias("n_distinct"),
+                F.min(F.col(c).cast("string")).alias("min_str"),
+                F.max(F.col(c).cast("string")).alias("max_str"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out

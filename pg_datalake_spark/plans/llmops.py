@@ -512,3 +512,36 @@ def x03(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sampled"),
         F.sum("o_orderkey").cast("long").alias("key_sum"),
     )
+
+
+@register(
+    "x04_profile",
+    oracle="""
+    SELECT 'o_orderstatus' AS "column", count(*) AS n,
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           count(DISTINCT o_orderstatus) AS n_distinct,
+           min(CAST(o_orderstatus AS VARCHAR)) AS min_str,
+           max(CAST(o_orderstatus AS VARCHAR)) AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_orderpriority),
+           min(CAST(o_orderpriority AS VARCHAR)), max(CAST(o_orderpriority AS VARCHAR))
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', count(*),
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           count(DISTINCT o_orderkey),
+           min(CAST(o_orderkey AS VARCHAR)), max(CAST(o_orderkey AS VARCHAR))
+    FROM orders
+    """,
+)
+def x04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUMMARIZE-style per-column profile (count / nulls / exact
+    distinct / stringified min-max) over orders — the pre-pipeline
+    data health check, one tagged row per column."""
+    from pg_datalake_spark.operators.sampling import profile
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    return profile(t["orders"], ["o_orderstatus", "o_orderpriority", "o_orderkey"])
