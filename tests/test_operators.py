@@ -36,3 +36,23 @@ def test_interval_overlap_join_matches_naive(spark):
             .collect()
         }
         assert got == naive, f"bin_width={bin_width}"
+
+
+def test_stratified_sample_partitioning_invariant(spark):
+    """The sample must be a pure function of the DATA — identical row
+    selection whatever the physical partitioning (the reproducibility
+    contract that distinguishes it from TABLESAMPLE)."""
+    from pg_datalake_spark.operators.sampling import stratified_sample
+
+    rows = [(i, "g%d" % (i % 4)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    picks = []
+    for parts in (1, 7, 32):
+        got = stratified_sample(df.repartition(parts), ["g"], "id", 0.2)
+        picks.append({(r.id, r.g) for r in got.collect()})
+    assert picks[0] == picks[1] == picks[2]
+    # exact ceil-fraction per stratum
+    from collections import Counter
+
+    per_group = Counter(g for _, g in picks[0])
+    assert all(v == 25 for v in per_group.values())  # ceil(125 * 0.2)
