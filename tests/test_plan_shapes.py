@@ -1,0 +1,98 @@
+"""Physical-plan shape locks.
+
+Correctness gates prove the VALUES; these lock the SHAPES — the
+properties that decide whether an operator survives a 100× scale-up.
+A regression that silently turns a hash join into a nested loop or
+drops a pushed filter passes every value check and then melts at
+scale; these tests make that a red bar instead.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_datalake_spark.catalog import load_tables
+from tests.conftest import SF_DIR
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_interval_join_is_not_a_nested_loop(spark):
+    """The binned overlap join must compile to a hash join on the bin
+    key — never BroadcastNestedLoop/CartesianProduct (what the raw
+    theta formulation degenerates to)."""
+    from pg_datalake_spark.operators.intervals import interval_overlap_join
+
+    a = spark.range(1000).select(
+        F.col("id").alias("a_id"), (F.col("id") * 3).alias("a_start"),
+        (F.col("id") * 3 + 10).alias("a_end"),
+    )
+    b = spark.range(500).select(
+        F.col("id").alias("b_id"), (F.col("id") * 5).alias("b_start"),
+        (F.col("id") * 5 + 7).alias("b_end"),
+    )
+    plan = _plan(interval_overlap_join(a, b, bin_width=10))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan
+    # sanity: the naive theta join IS the degenerate shape we avoid
+    naive = a.join(
+        b, (F.col("a_start") <= F.col("b_end")) & (F.col("b_start") <= F.col("a_end"))
+    )
+    assert "NestedLoop" in _plan(naive) or "Cartesian" in _plan(naive)
+
+
+def test_lsh_candidate_pairs_no_cartesian(spark):
+    from pg_datalake_spark.operators import dedup
+
+    docs = load_tables(spark, SF_DIR, ["documents"])["documents"]
+    pairs = dedup.minhash_lsh_dedup_pairs(docs, "doc_id")
+    plan = _plan(pairs)
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_cosine_topk_is_take_ordered(spark):
+    from pg_datalake_spark.operators import similarity
+
+    emb = load_tables(spark, SF_DIR, ["embeddings"])["embeddings"]
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    plan = _plan(similarity.cosine_topk(emb, list(qv), k=10), "simple")
+    assert "TakeOrderedAndProject" in plan  # no global sort of the corpus
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    lineitem = load_tables(spark, SF_DIR, ["lineitem"])["lineitem"]
+    q = lineitem.filter(F.col("l_shipdate") < "1995-01-01").select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _plan(q)
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # column pruning: ReadSchema carries only what the query needs
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "l_comment" not in read_schema
+
+
+def test_stratified_sample_single_exchange(spark):
+    """Both windows (rank + group count) must reuse ONE exchange on the
+    group key — a second shuffle would double the operator's cost."""
+    from pg_datalake_spark.operators.sampling import stratified_sample
+
+    orders = load_tables(spark, SF_DIR, ["orders"])["orders"]
+    plan = _plan(
+        stratified_sample(
+            orders.select("o_orderstatus", "o_orderkey"),
+            ["o_orderstatus"],
+            "o_orderkey",
+            0.1,
+        )
+    )
+    n_exchanges = plan.count("+- Exchange") + plan.count(": Exchange")
+    assert n_exchanges <= 1, f"expected one shuffle, plan has {n_exchanges}"
