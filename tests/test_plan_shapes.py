@@ -80,6 +80,21 @@ def test_filter_pushdown_reaches_parquet_scan(spark):
     assert "l_comment" not in read_schema
 
 
+def test_tpch_q05_broadcast_policy(spark):
+    """q05: schema-bounded dims (nation/region) broadcast; fact joins
+    stay shuffled (no forced broadcast of customer/supplier — the
+    policy that survives a 100× scale-up); nothing degenerates to a
+    nested loop."""
+    from pg_datalake_spark.plans.registry import QUERIES
+    from pg_datalake_spark import plans as _p
+
+    _p.load_all()
+    plan = _plan(QUERIES["q05_local_supplier_volume"](spark, SF_DIR), "simple")
+    assert "BroadcastHashJoin" in plan  # dim chain
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan  # fact joins
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
 def test_stratified_sample_single_exchange(spark):
     """Both windows (rank + group count) must reuse ONE exchange on the
     group key — a second shuffle would double the operator's cost."""
