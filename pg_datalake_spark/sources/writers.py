@@ -24,9 +24,13 @@ def copy_to(
     compression: str | None = None,
     single_file: bool = False,
     mode: str = "overwrite",
+    partition_by: list[str] | None = None,
     **options,
 ) -> None:
-    """Export a DataFrame to files, format/compression from extension."""
+    """Export a DataFrame to files, format/compression from extension.
+    ``partition_by`` writes hive-layout ``col=value`` directories (the
+    reference's ``COPY ... TO ... (PARTITION_BY col)``); incompatible
+    with ``single_file``."""
     if fmt is None:
         fmt, ext_comp = infer_format(path)
         compression = compression or ext_comp
@@ -37,8 +41,12 @@ def copy_to(
             _, compression = infer_format(path)
         except ValueError:
             compression = None  # extension names no known codec — write uncompressed
+    if partition_by and single_file:
+        raise ValueError("partition_by and single_file are mutually exclusive")
     writer = df.coalesce(1) if single_file else df
     w = writer.write.mode(mode).options(**{k: str(v) for k, v in options.items()})
+    if partition_by:
+        w = w.partitionBy(*partition_by)
     if fmt == "csv":
         w = w.option("header", "true")
         if compression:

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from pg_datalake_spark.sources import (
@@ -162,3 +163,22 @@ def test_file_exists_and_delete(spark, tmp_path):
     removed = delete_files(str(tmp_path / "*.csv"))
     assert removed == [str(p)]
     assert not file_exists(str(p))
+
+
+def test_copy_to_partitioned(spark, tmp_path):
+    """COPY TO with PARTITION_BY: hive-layout dirs, partition values
+    recoverable on read, per-partition filters read only their files."""
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(i)) for i in range(30)],
+        "id long, g string, v double",
+    )
+    out = str(tmp_path / "exp")
+    copy_to(df, out, fmt="parquet", partition_by=["g"])
+    dirs = {d for d in os.listdir(out) if d.startswith("g=")}
+    assert dirs == {"g=g0", "g=g1", "g=g2"}
+    back = spark.read.parquet(out)
+    assert back.count() == 30
+    assert back.filter("g = 'g1'").count() == 10
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        copy_to(df, out, fmt="parquet", partition_by=["g"], single_file=True)
