@@ -1361,6 +1361,37 @@ def rollback_to_snapshot(location: str, snapshot_id: int) -> int:
     return snapshot_id
 
 
+def delete_where(spark: SparkSession, location: str, predicate: str) -> int:
+    """Row-level DELETE on an external Iceberg table, copy-on-write:
+    read the current snapshot, drop matching rows, commit an OVERWRITE.
+    For large tables with small deletes prefer the merge-on-read
+    :func:`add_position_deletes` / :func:`add_equality_deletes` — this
+    is the full-rewrite path (the reference's COW mode)."""
+    cur = read_iceberg_table(spark, location)
+    return overwrite_snapshot(cur.filter(f"NOT ({predicate})"), location)
+
+
+def update_where(
+    spark: SparkSession, location: str, set_exprs: dict[str, str], predicate: str
+) -> int:
+    """Row-level UPDATE (copy-on-write): rows matching ``predicate``
+    get each column in ``set_exprs`` replaced by its SQL expression;
+    everything else is rewritten unchanged in the same OVERWRITE
+    commit (single-snapshot atomicity, like the reference's COW
+    update)."""
+    cur = read_iceberg_table(spark, location)
+    types = {f.name: f.dataType for f in cur.schema.fields}
+    cols = [
+        F.when(F.expr(predicate), F.expr(set_exprs[c]).cast(types[c]))
+        .otherwise(F.col(c))
+        .alias(c)
+        if c in set_exprs
+        else F.col(c)
+        for c in cur.columns
+    ]
+    return overwrite_snapshot(cur.select(*cols), location)
+
+
 def expire_snapshots(location: str, keep_last: int = 1) -> dict:
     """Expire all but the newest ``keep_last`` snapshots (the current
     snapshot is always kept) and delete files no surviving snapshot

@@ -920,6 +920,43 @@ def test_concurrent_commit_conflict(spark):
         assert fh.read().strip() == "1"
 
 
+def test_cow_update_delete(spark):
+    """COW DML on external tables: update_where rewrites matching rows
+    in one OVERWRITE commit (types preserved); delete_where drops them;
+    both leave prior snapshots pinned-readable."""
+    from pg_datalake_spark.tables.iceberg_external import (
+        delete_where,
+        update_where,
+    )
+
+    orders, loc, snap1 = _export_orders(spark)
+    n = orders.count()
+    n_f = orders.filter("o_orderstatus = 'F'").count()
+
+    update_where(
+        spark, loc, {"o_totalprice": "o_totalprice * 2"}, "o_orderstatus = 'F'"
+    )
+    cur = read_iceberg_table(spark, loc)
+    assert cur.count() == n
+    assert cur.schema == orders.schema  # types survived the rewrite
+    cents = lambda df: df.agg(  # noqa: E731
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c")
+    ).first()["c"]
+    doubled = orders.withColumn(
+        "o_totalprice",
+        F.when(F.expr("o_orderstatus = 'F'"), F.col("o_totalprice") * 2).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    assert cents(cur) == cents(doubled)
+
+    delete_where(spark, loc, "o_orderstatus = 'F'")
+    assert read_iceberg_table(spark, loc).count() == n - n_f
+    # pre-DML snapshot untouched
+    assert read_iceberg_table(spark, loc, snapshot_id=snap1).count() == n
+    assert cents(read_iceberg_table(spark, loc, snapshot_id=snap1)) == cents(orders)
+
+
 def test_laketable_iceberg_crosswalk(spark):
     """LakeTable data exported to Iceberg reads back equal — the
     interop crosswalk (reference: Spark reading pg_lake-written tables,
