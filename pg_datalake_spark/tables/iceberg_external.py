@@ -279,6 +279,22 @@ def _spark_ddl(ice_schema: dict) -> str:
     )
 
 
+def snapshot_as_of(location: str, timestamp_ms: int) -> int:
+    """The snapshot id current AS OF ``timestamp_ms`` (newest snapshot
+    whose commit timestamp is <= the bound — SQL ``TIMESTAMP AS OF``
+    resolution over the snapshot history)."""
+    meta = load_table_metadata(location)
+    eligible = [
+        s for s in meta.get("snapshots", []) if s["timestamp-ms"] <= timestamp_ms
+    ]
+    if not eligible:
+        raise ValueError(
+            f"no snapshot at or before {timestamp_ms} "
+            f"(earliest is {min((s['timestamp-ms'] for s in meta.get('snapshots', [])), default=None)})"
+        )
+    return max(eligible, key=lambda s: s["sequence-number"])["snapshot-id"]
+
+
 def plan_scan(
     location: str,
     filters: list[tuple] | None = None,
@@ -323,8 +339,13 @@ def read_iceberg_table(
     snapshot_id: int | None = None,
     metadata_file: str | None = None,
     filters: list[tuple] | None = None,
+    as_of_timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Scan an external Iceberg v1/v2 table snapshot as a DataFrame.
+
+    ``as_of_timestamp_ms`` resolves the snapshot current at that commit
+    time (``TIMESTAMP AS OF``); mutually exclusive with ``snapshot_id``
+    (``VERSION AS OF``).
 
     ``filters`` — optional list of ``(column, op, value)`` with op in
     ``= < <= > >=`` — is applied twice, the way any Iceberg client
@@ -350,6 +371,10 @@ def read_iceberg_table(
       (Iceberg v2 sequence semantics — rows re-appended after the
       delete survive).
     """
+    if as_of_timestamp_ms is not None:
+        if snapshot_id is not None:
+            raise ValueError("snapshot_id and as_of_timestamp_ms are exclusive")
+        snapshot_id = snapshot_as_of(location, as_of_timestamp_ms)
     entries = snapshot_file_entries(location, snapshot_id, metadata_file)
     data = [e for e in entries if e["content"] == 0]
     meta0 = load_table_metadata(location, metadata_file)

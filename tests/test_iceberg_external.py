@@ -920,6 +920,32 @@ def test_concurrent_commit_conflict(spark):
         assert fh.read().strip() == "1"
 
 
+def test_timestamp_as_of(spark):
+    """TIMESTAMP AS OF resolution over the snapshot history."""
+    import time as _time
+
+    from pg_datalake_spark.tables.iceberg_external import snapshot_as_of
+
+    orders, loc, snap1 = _export_orders(spark)
+    n = orders.count()
+    _time.sleep(0.05)
+    snap2 = append_snapshot(orders.limit(7), loc)
+    meta = load_table_metadata(loc)
+    ts = {s["snapshot-id"]: s["timestamp-ms"] for s in meta["snapshots"]}
+
+    assert snapshot_as_of(loc, ts[snap1]) == snap1
+    assert snapshot_as_of(loc, ts[snap2] - 1) == snap1
+    assert snapshot_as_of(loc, ts[snap2] + 1000) == snap2
+    got = read_iceberg_table(spark, loc, as_of_timestamp_ms=ts[snap1])
+    assert got.count() == n
+    with pytest.raises(ValueError, match="no snapshot at or before"):
+        snapshot_as_of(loc, ts[snap1] - 10_000)
+    with pytest.raises(ValueError, match="exclusive"):
+        read_iceberg_table(
+            spark, loc, snapshot_id=snap1, as_of_timestamp_ms=ts[snap1]
+        )
+
+
 def test_cow_update_delete(spark):
     """COW DML on external tables: update_where rewrites matching rows
     in one OVERWRITE commit (types preserved); delete_where drops them;
