@@ -10,18 +10,27 @@ scanned by Spark with full pushdown:
 
 - :func:`read_iceberg_table` — parse ``v*.metadata.json`` → snapshot
   → manifest list (Avro) → manifests (Avro) → data-file list →
-  ``spark.read.parquet``. Supports pinned snapshot reads
-  (``snapshot_id=``) and merge-on-read position deletes (anti-join on
-  ``_metadata.file_path``/``row_index`` — Spark-native equivalent of
-  the reference's MOR delete application).
+  ``spark.read.parquet``. Pinned reads by ``snapshot_id`` (VERSION AS
+  OF) or ``as_of_timestamp_ms`` (TIMESTAMP AS OF); merge-on-read
+  position AND equality deletes with v2 sequence-number scoping;
+  ``filters=`` prunes files from manifest bounds and identity-
+  partition values before Spark sees a path (:func:`plan_scan` shows
+  the kept/skipped accounting); identity-partition columns restored
+  from manifests, current-schema projection for evolved tables.
 - :func:`export_iceberg_snapshot` — write a DataFrame as an Iceberg
-  v2 table (parquet data + manifest + manifest list + metadata.json +
-  version-hint), the write-half of the interop.
-- :func:`append_snapshot` / :func:`add_position_deletes` /
-  :func:`add_equality_deletes` — commit follow-up APPEND /
-  merge-on-read DELETE snapshots (position and equality deletes, with
-  v2 sequence-number scoping); every prior snapshot stays
-  pinned-readable (time travel).
+  v2 table (parquet data + Avro manifests with per-column null counts
+  and spec-serialized bounds + metadata.json + version-hint),
+  optionally identity-partitioned.
+- :func:`append_snapshot` / :func:`overwrite_snapshot` /
+  :func:`add_position_deletes` / :func:`add_equality_deletes` /
+  :func:`update_where` / :func:`delete_where` — follow-up commits
+  (every prior snapshot stays pinned-readable), with
+  :class:`CommitConflictError` optimistic concurrency on the version
+  file.
+- maintenance/evolution: :func:`expire_snapshots` (orphan cleanup),
+  :func:`rollback_to_snapshot`, :func:`evolve_add_column` /
+  :func:`evolve_drop_column`, :func:`iceberg_changelog`, and the
+  ``lake_iceberg.*`` introspection analogs.
 
 Scale notes: metadata parsing is O(files) driver-side — same as any
 Iceberg client; the scan itself is a plain distributed parquet read,
