@@ -108,23 +108,35 @@ def iceberg_commit_batch(
         load_table_metadata,
     )
 
+    from pg_datalake_spark.tables.iceberg_external import CommitConflictError
+
     bid = str(batch_id)
-    try:
-        meta = load_table_metadata(table_location)
-    except FileNotFoundError:
-        meta = None
-    if meta is not None:
-        for s in meta.get("snapshots", []):
-            summ = s.get("summary", {})
-            if (
-                summ.get("streaming-batch-id") == bid
-                and summ.get("streaming-checkpoint") == stream_id
-            ):
-                return None
     summary = {"streaming-batch-id": bid, "streaming-checkpoint": stream_id}
-    if meta is not None:
-        return append_snapshot(df, table_location, extra_summary=summary)
-    return export_iceberg_snapshot(df, table_location, extra_summary=summary)
+    # retry on commit conflicts: another writer advancing the table
+    # between our read and commit is not a failure of THIS batch —
+    # reload the state (which also re-checks the already-committed set)
+    # and try again
+    for attempt in range(3):
+        try:
+            meta = load_table_metadata(table_location)
+        except FileNotFoundError:
+            meta = None
+        if meta is not None:
+            for s in meta.get("snapshots", []):
+                summ = s.get("summary", {})
+                if (
+                    summ.get("streaming-batch-id") == bid
+                    and summ.get("streaming-checkpoint") == stream_id
+                ):
+                    return None
+        try:
+            if meta is not None:
+                return append_snapshot(df, table_location, extra_summary=summary)
+            return export_iceberg_snapshot(df, table_location, extra_summary=summary)
+        except CommitConflictError:
+            if attempt == 2:
+                raise
+    raise AssertionError("unreachable")
 
 
 def iceberg_stream_sink(

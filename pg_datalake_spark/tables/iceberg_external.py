@@ -863,8 +863,15 @@ def _parse_partition_values(
     segs = os.path.relpath(os.path.dirname(path), data_dir).split(os.sep)
     raw = dict(s.split("=", 1) for s in segs if "=" in s)
     for name, ice_type in partition_fields:
-        v = raw.get(name)
-        if v is None or v == "__HIVE_DEFAULT_PARTITION__":
+        if name not in raw:
+            # a data file outside the partition layout is malformed —
+            # recording None here would silently misfile its rows
+            raise ValueError(
+                f"data file {path!r} lacks a {name}= path segment for "
+                f"the table's partition spec"
+            )
+        v = raw[name]
+        if v == "__HIVE_DEFAULT_PARTITION__":
             vals[name] = None
             continue
         v = unquote(v)
@@ -1001,10 +1008,7 @@ def export_iceberg_snapshot(
         "snapshot-log": [{"snapshot-id": snapshot_id, "timestamp-ms": now_ms}],
         "metadata-log": [],
     }
-    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
-        json.dump(metadata, fh, indent=2)
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
-        fh.write("1")
+    _write_version_file(meta_dir, 1, metadata)
     return snapshot_id
 
 

@@ -154,6 +154,51 @@ def test_iceberg_stream_sink_exactly_once(spark, tmp_path):
     assert read_iceberg_table(spark, loc).count() == 350
 
 
+def test_iceberg_commit_batch_retries_conflicts(spark, tmp_path, monkeypatch):
+    """A concurrent writer advancing the table between the sink's read
+    and commit raises CommitConflictError — the batch commit must
+    reload and retry, not fail the stream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pg_datalake_spark.streaming import iceberg_commit_batch
+    from pg_datalake_spark.tables import iceberg_external as ice
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pq.write_table(pa.table({"id": list(range(10))}), src + "/b.parquet")
+    df = spark.read.parquet(src)
+    loc = str(tmp_path / "ice")
+    iceberg_commit_batch(df, 0, loc, "ck")
+
+    real_append = ice.append_snapshot
+    fails = {"n": 2}
+
+    def flaky_append(d, location, extra_summary=None):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            # simulate the other writer: claim the next version first
+            meta_dir = os.path.join(location, "metadata")
+            v = int(open(os.path.join(meta_dir, "version-hint.text")).read()) + 1
+            with open(os.path.join(meta_dir, f"v{v}.metadata.json"), "x") as fh:
+                fh.write("{}")
+            try:
+                return real_append(d, location, extra_summary=extra_summary)
+            finally:
+                # the conflicting claim is consumed; clean for the retry
+                os.unlink(os.path.join(meta_dir, f"v{v}.metadata.json"))
+        return real_append(d, location, extra_summary=extra_summary)
+
+    import pg_datalake_spark.streaming.ingest as ingest_mod
+
+    monkeypatch.setattr(ice, "append_snapshot", flaky_append)
+    snap = iceberg_commit_batch(df, 1, loc, "ck")
+    assert snap is not None and fails["n"] == 0
+    from pg_datalake_spark.tables.iceberg_external import read_iceberg_table
+
+    assert read_iceberg_table(spark, loc).count() == 20
+
+
 def test_file_exists_and_delete(spark, tmp_path):
     from pg_datalake_spark.sources.readers import delete_files, file_exists
 
