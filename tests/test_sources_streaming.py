@@ -189,8 +189,6 @@ def test_iceberg_commit_batch_retries_conflicts(spark, tmp_path, monkeypatch):
                 os.unlink(os.path.join(meta_dir, f"v{v}.metadata.json"))
         return real_append(d, location, extra_summary=extra_summary)
 
-    import pg_datalake_spark.streaming.ingest as ingest_mod
-
     monkeypatch.setattr(ice, "append_snapshot", flaky_append)
     snap = iceberg_commit_batch(df, 1, loc, "ck")
     assert snap is not None and fails["n"] == 0
