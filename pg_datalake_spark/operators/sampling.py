@@ -50,15 +50,22 @@ def stratified_sample(
     )
 
 
-def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
-    """Per-column data profile: count, nulls, exact distinct count,
+def profile(
+    df: DataFrame, columns: list[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """Per-column data profile: count, nulls, distinct count,
     lexicographic min/max (stringified for a uniform schema) — the
     SUMMARIZE-style health check run before a table feeds a pipeline.
-    One pass per column batch; every metric is partial-aggregable
-    except countDistinct, whose shuffle is per-column-value (the exact
-    profile is the point; approx_count_distinct is the cheap variant).
+
+    ``approx=False`` (default) counts distincts exactly — one
+    per-value shuffle per column, the oracle-checkable mode.
+    ``approx=True`` swaps in HLL ``approx_count_distinct`` (±~2 %):
+    every metric becomes partial-aggregable, so the whole profile is
+    map-side combine + one tiny reduce per column — the mode to run on
+    a 100 TB table.
     """
     cols = columns or df.columns
+    distinct = F.approx_count_distinct if approx else F.countDistinct
     arms = []
     for c in cols:
         arms.append(
@@ -66,7 +73,7 @@ def profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
                 F.lit(c).alias("column"),
                 F.count("*").alias("n"),
                 F.sum(F.col(c).isNull().cast("long")).alias("n_null"),
-                F.countDistinct(c).alias("n_distinct"),
+                distinct(c).alias("n_distinct"),
                 F.min(F.col(c).cast("string")).alias("min_str"),
                 F.max(F.col(c).cast("string")).alias("max_str"),
             )

@@ -56,3 +56,24 @@ def test_stratified_sample_partitioning_invariant(spark):
 
     per_group = Counter(g for _, g in picks[0])
     assert all(v == 25 for v in per_group.values())  # ceil(125 * 0.2)
+
+
+def test_profile_exact_and_approx(spark):
+    from pg_datalake_spark.operators.sampling import profile
+
+    df = spark.createDataFrame(
+        [(i % 100, "v%d" % (i % 7) if i % 11 else None) for i in range(2000)],
+        "k long, s string",
+    )
+    exact = {r["column"]: r for r in profile(df).collect()}
+    assert exact["k"].n == 2000 and exact["k"].n_distinct == 100
+    assert exact["s"].n_null == 2000 // 11 + 1
+    assert exact["s"].n_distinct == 7
+    assert exact["k"].min_str == "0"
+
+    approx = {r["column"]: r for r in profile(df, approx=True).collect()}
+    for c in ("k", "s"):
+        assert abs(approx[c].n_distinct - exact[c].n_distinct) <= max(
+            2, exact[c].n_distinct * 0.1
+        )
+        assert approx[c].n == exact[c].n and approx[c].n_null == exact[c].n_null
