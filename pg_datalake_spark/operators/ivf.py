@@ -123,4 +123,58 @@ def ivf_topk(
     )
 
 
-__all__ = ["train_ivf_centroids", "ivf_assign", "ivf_topk", "dot"]
+def save_ivf_index(spark, centroids: list[list[float]], path: str) -> None:
+    """Persist trained centroids as a tiny parquet (k rows) so repeated
+    query sessions skip the k-means entirely."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(rows, "cluster int, centroid array<double>").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_ivf_index(spark, path: str) -> list[list[float]]:
+    rows = spark.read.parquet(path).orderBy("cluster").collect()
+    if [r.cluster for r in rows] != list(range(len(rows))):
+        raise ValueError(f"corrupt IVF index at {path}: non-contiguous cluster ids")
+    return [list(r.centroid) for r in rows]
+
+
+def ivf_topk_preassigned(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Search a corpus whose ``cluster`` column was materialized with
+    :func:`ivf_assign` (e.g. written ``partitionBy("cluster")``): the
+    probe filter is a plain predicate on the stored column, so with
+    cluster-partitioned storage Spark prunes the non-probed partitions
+    from the scan — at 100 TB the search reads ~nprobe/k of the data
+    instead of mapping the whole corpus through the quantizer."""
+    q = np.asarray(query_vec, dtype=float)
+    sims = [
+        float(np.dot(q, c) / (np.linalg.norm(q) * np.linalg.norm(c) + 1e-12))
+        for c in centroids
+    ]
+    probe = sorted(range(len(centroids)), key=lambda i: -sims[i])[:nprobe]
+    qcol = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        assigned.filter(F.col("cluster").isin(*probe))
+        .select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )
+
+
+__all__ = [
+    "train_ivf_centroids",
+    "ivf_assign",
+    "ivf_topk",
+    "ivf_topk_preassigned",
+    "save_ivf_index",
+    "load_ivf_index",
+    "dot",
+]

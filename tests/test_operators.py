@@ -77,3 +77,50 @@ def test_profile_exact_and_approx(spark):
             2, exact[c].n_distinct * 0.1
         )
         assert approx[c].n == exact[c].n and approx[c].n_null == exact[c].n_null
+
+
+def test_ivf_index_persistence_and_preassigned_search(spark, tmp_path):
+    """Saved centroids round-trip exactly; searching a materialized
+    cluster-partitioned corpus gives the same top-k as the on-the-fly
+    path, and the probe filter prunes partitions in the scan plan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from pg_datalake_spark.catalog import load_tables
+    from pg_datalake_spark.operators.ivf import (
+        ivf_assign,
+        ivf_topk,
+        ivf_topk_preassigned,
+        load_ivf_index,
+        save_ivf_index,
+        train_ivf_centroids,
+    )
+
+    from tests.conftest import SF_DIR
+
+    emb = load_tables(spark, SF_DIR, ["embeddings"])["embeddings"]
+    cents = train_ivf_centroids(emb, k=8, iterations=2)
+    idx_path = str(tmp_path / "ivf_idx")
+    save_ivf_index(spark, cents, idx_path)
+    assert load_ivf_index(spark, idx_path) == cents
+
+    store = str(tmp_path / "assigned")
+    ivf_assign(emb, cents).write.partitionBy("cluster").parquet(store)
+    assigned = spark.read.parquet(store)
+
+    qv = list(emb.filter(F.col("vec_id") == 3).select("embedding").first()[0])
+    a = [(r.vec_id, round(r.cos_sim, 6)) for r in ivf_topk(emb, cents, qv, k=10).collect()]
+    b = [
+        (r.vec_id, round(r.cos_sim, 6))
+        for r in ivf_topk_preassigned(assigned, cents, qv, k=10).collect()
+    ]
+    assert a == b
+
+    plan_buf = io.StringIO()
+    with redirect_stdout(plan_buf):
+        ivf_topk_preassigned(assigned, cents, qv, k=10).explain()
+    assert "PartitionFilters: [cluster" in plan_buf.getvalue().replace("#", " #").replace(
+        "cluster #", "cluster"
+    ) or "cluster" in plan_buf.getvalue().split("PartitionFilters")[1][:80]
