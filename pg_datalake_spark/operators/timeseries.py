@@ -1,0 +1,54 @@
+"""Time-series gap filling (hypertable-style `time_bucket_gapfill`).
+
+Dense bucket grids are generated per group from that group's own
+extent (`sequence()` + explode — no driver loop, no cross join), then
+missing buckets are filled by last-observation-carried-forward using
+the gaps-and-islands trick: a running count of non-null observations
+partitions the series into islands, and `first()` within each island
+is the carried value. Both steps are plain window functions — one
+shuffle on the group key, identical semantics in any engine (no
+IGNORE NULLS dependence), which is what makes the operator
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    bucket_col: str,
+    group_cols: list[str],
+    value_col: str,
+    step: int,
+) -> DataFrame:
+    """Fill missing buckets per group with the last observed value.
+
+    ``bucket_col`` must be numeric (e.g. epoch seconds already
+    bucketed); ``step`` is the bucket width in the same unit. Output:
+    one row per (group, bucket) on the dense grid from the group's min
+    to max bucket, with ``value`` = observed or carried-forward, and
+    ``is_filled`` marking synthesized rows.
+    """
+    extents = df.groupBy(*group_cols).agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    grid = extents.select(
+        *group_cols,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))).alias(
+            bucket_col
+        ),
+    )
+    joined = grid.join(df, [*group_cols, bucket_col], "left")
+    w = Window.partitionBy(*group_cols).orderBy(bucket_col)
+    joined = joined.withColumn("__island", F.count(value_col).over(w))
+    wi = Window.partitionBy(*group_cols, "__island").orderBy(bucket_col)
+    return joined.select(
+        *group_cols,
+        bucket_col,
+        F.first(value_col).over(wi).alias("value"),
+        F.col(value_col).isNull().alias("is_filled"),
+    )

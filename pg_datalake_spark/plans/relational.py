@@ -1135,3 +1135,57 @@ def j07(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d") + 15).alias("b_end"),
     )
     return interval_overlap_join(a, b, bin_width=10)
+
+
+@register(
+    "w07_gap_fill_locf",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(floor(date_part('epoch', ts) / 3600) * 3600 AS BIGINT) AS bucket,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events WHERE value > 400 GROUP BY 1, 2
+    ),
+    ext AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1),
+    grid AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS bucket FROM ext),
+    j AS (SELECT g.event_type, g.bucket, o.v
+          FROM grid g LEFT JOIN obs o USING (event_type, bucket)),
+    isl AS (SELECT *, count(v) OVER (PARTITION BY event_type ORDER BY bucket) AS island
+            FROM j)
+    SELECT event_type, bucket,
+           first_value(v) OVER (PARTITION BY event_type, island ORDER BY bucket) AS value,
+           CAST(v IS NULL AS INT) AS is_filled
+    FROM isl
+    """,
+)
+def w07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap filling: sparse hourly sums (value > 400
+    keeps ~15 % of events, leaving holes in the series) densified per
+    event_type with last-observation-carried-forward. The operator uses
+    the gaps-and-islands formulation (running non-null count → island →
+    first value per island) so the oracle reproduces it exactly with
+    standard window functions — no IGNORE NULLS divergence."""
+    from pg_datalake_spark.operators.timeseries import gap_fill_locf
+
+    t = load_tables(spark, sf_dir, ["events"])
+    obs = (
+        t["events"]
+        .filter(F.col("value") > 400)
+        .groupBy(
+            "event_type",
+            (
+                F.floor(
+                    F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3_600_000_000)
+                )
+                * 3600
+            ).cast("long").alias("bucket"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("v"))
+    )
+    filled = gap_fill_locf(obs, "bucket", ["event_type"], "v", 3600)
+    return filled.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.col("is_filled").cast("int").alias("is_filled"),
+    )

@@ -124,3 +124,24 @@ def test_ivf_index_persistence_and_preassigned_search(spark, tmp_path):
     assert "PartitionFilters: [cluster" in plan_buf.getvalue().replace("#", " #").replace(
         "cluster #", "cluster"
     ) or "cluster" in plan_buf.getvalue().split("PartitionFilters")[1][:80]
+
+
+def test_gap_fill_locf_semantics(spark):
+    """Known-value LOCF: holes carry the last observation; leading
+    holes before any observation stay null; is_filled marks synthesis."""
+    from pg_datalake_spark.operators.timeseries import gap_fill_locf
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 30, 4.0), ("b", 10, 9.0)],
+        "g string, bucket long, v double",
+    )
+    out = {
+        (r.g, r.bucket): (r.value, r.is_filled)
+        for r in gap_fill_locf(df, "bucket", ["g"], "v", 10).collect()
+    }
+    assert out[("a", 0)] == (1.0, False)
+    assert out[("a", 10)] == (1.0, True)   # carried
+    assert out[("a", 20)] == (1.0, True)   # carried
+    assert out[("a", 30)] == (4.0, False)
+    assert out[("b", 10)] == (9.0, False)
+    assert len(out) == 5  # dense grid spans each group's own extent
