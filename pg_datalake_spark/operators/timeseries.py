@@ -52,3 +52,51 @@ def gap_fill_locf(
         F.first(value_col).over(wi).alias("value"),
         F.col(value_col).isNull().alias("is_filled"),
     )
+
+
+def gap_fill_interpolate(
+    df: DataFrame,
+    bucket_col: str,
+    group_cols: list[str],
+    value_col: str,
+    step: int,
+) -> DataFrame:
+    """Like :func:`gap_fill_locf` but missing buckets are LINEARLY
+    interpolated between the surrounding observations (TimescaleDB's
+    ``interpolate``). Holes before the first / after the last
+    observation fall back to the nearest observed value. Same one-
+    shuffle window shape: the previous/next observation and their
+    buckets come from four framed window aggregates, no self-join."""
+    extents = df.groupBy(*group_cols).agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    grid = extents.select(
+        *group_cols,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))).alias(
+            bucket_col
+        ),
+    )
+    joined = grid.join(df, [*group_cols, bucket_col], "left")
+    base = Window.partitionBy(*group_cols).orderBy(bucket_col)
+    wprev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wnext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_bucket = F.when(F.col(value_col).isNotNull(), F.col(bucket_col))
+    prev_v = F.last(value_col, ignorenulls=True).over(wprev)
+    next_v = F.first(value_col, ignorenulls=True).over(wnext)
+    prev_b = F.last(obs_bucket, ignorenulls=True).over(wprev)
+    next_b = F.first(obs_bucket, ignorenulls=True).over(wnext)
+    frac = (F.col(bucket_col) - prev_b).cast("double") / (next_b - prev_b).cast(
+        "double"
+    )
+    interp = (
+        F.when(F.col(value_col).isNotNull(), F.col(value_col).cast("double"))
+        .when(prev_v.isNull(), next_v.cast("double"))
+        .when(next_v.isNull(), prev_v.cast("double"))
+        .otherwise(prev_v.cast("double") + (next_v - prev_v).cast("double") * frac)
+    )
+    return joined.select(
+        *group_cols,
+        bucket_col,
+        interp.alias("value"),
+        F.col(value_col).isNull().alias("is_filled"),
+    )

@@ -145,3 +145,24 @@ def test_gap_fill_locf_semantics(spark):
     assert out[("a", 30)] == (4.0, False)
     assert out[("b", 10)] == (9.0, False)
     assert len(out) == 5  # dense grid spans each group's own extent
+
+
+def test_gap_fill_interpolate(spark):
+    """Linear interpolation between observations; edge holes fall back
+    to the nearest observed value."""
+    from pg_datalake_spark.operators.timeseries import gap_fill_interpolate
+
+    df = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 40, 7.0), ("b", 0, 5.0)],
+        "g string, bucket long, v double",
+    )
+    out = {
+        (r.g, r.bucket): (r.value, r.is_filled)
+        for r in gap_fill_interpolate(df, "bucket", ["g"], "v", 10).collect()
+    }
+    assert out[("a", 10)] == (1.0, False)
+    assert out[("a", 20)] == (3.0, True)   # 1 + (7-1)*1/3
+    assert out[("a", 30)] == (5.0, True)   # 1 + (7-1)*2/3
+    assert out[("a", 40)] == (7.0, False)
+    assert out[("b", 0)] == (5.0, False)
+    assert len(out) == 5
