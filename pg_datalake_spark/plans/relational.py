@@ -1151,20 +1151,47 @@ def j07(spark: SparkSession, sf_dir: str) -> DataFrame:
     j AS (SELECT g.event_type, g.bucket, o.v
           FROM grid g LEFT JOIN obs o USING (event_type, bucket)),
     isl AS (SELECT *, count(v) OVER (PARTITION BY event_type ORDER BY bucket) AS island
-            FROM j)
-    SELECT event_type, bucket,
-           first_value(v) OVER (PARTITION BY event_type, island ORDER BY bucket) AS value,
-           CAST(v IS NULL AS INT) AS is_filled
-    FROM isl
+            FROM j),
+    locf AS (
+      SELECT 'locf' AS mode, event_type, bucket,
+             round(CAST(first_value(v) OVER (PARTITION BY event_type, island ORDER BY bucket) AS DOUBLE), 6) AS value,
+             CAST(v IS NULL AS INT) AS is_filled
+      FROM isl),
+    nb AS (
+      SELECT event_type, bucket, v,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+             first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+             last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_b,
+             first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_b
+      FROM j),
+    interp AS (
+      SELECT 'interp' AS mode, event_type, bucket,
+             round(CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                        WHEN prev_v IS NULL THEN CAST(next_v AS DOUBLE)
+                        WHEN next_v IS NULL THEN CAST(prev_v AS DOUBLE)
+                        ELSE CAST(prev_v AS DOUBLE)
+                             + CAST(next_v - prev_v AS DOUBLE)
+                               * (CAST(bucket - prev_b AS DOUBLE) / CAST(next_b - prev_b AS DOUBLE))
+                   END, 6) AS value,
+             CAST(v IS NULL AS INT) AS is_filled
+      FROM nb)
+    SELECT * FROM locf UNION ALL SELECT * FROM interp
     """,
 )
 def w07(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hypertable-style gap filling: sparse hourly sums (value > 400
-    keeps ~15 % of events, leaving holes in the series) densified per
-    event_type with last-observation-carried-forward. The operator uses
-    the gaps-and-islands formulation (running non-null count → island →
-    first value per island) so the oracle reproduces it exactly with
-    standard window functions — no IGNORE NULLS divergence."""
+    """Hypertable-style gap filling, BOTH modes as a tagged union:
+    sparse hourly sums (value > 400 keeps ~15 % of events, leaving
+    holes) densified per event_type with (a) last-observation-carried-
+    forward via the gaps-and-islands formulation and (b) linear
+    interpolation between the surrounding observations (framed window
+    lookups, arithmetic mirrored term-for-term in the oracle so the
+    doubles hash-match at round(6))."""
     from pg_datalake_spark.operators.timeseries import gap_fill_locf
 
     t = load_tables(spark, sf_dir, ["events"])
@@ -1182,10 +1209,20 @@ def w07(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("v"))
     )
-    filled = gap_fill_locf(obs, "bucket", ["event_type"], "v", 3600)
-    return filled.select(
+    from pg_datalake_spark.operators.timeseries import gap_fill_interpolate
+
+    locf = gap_fill_locf(obs, "bucket", ["event_type"], "v", 3600).select(
+        F.lit("locf").alias("mode"),
         "event_type",
         "bucket",
-        "value",
+        F.round(F.col("value").cast("double"), 6).alias("value"),
         F.col("is_filled").cast("int").alias("is_filled"),
     )
+    interp = gap_fill_interpolate(obs, "bucket", ["event_type"], "v", 3600).select(
+        F.lit("interp").alias("mode"),
+        "event_type",
+        "bucket",
+        F.round("value", 6).alias("value"),
+        F.col("is_filled").cast("int").alias("is_filled"),
+    )
+    return locf.unionByName(interp)
