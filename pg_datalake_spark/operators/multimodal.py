@@ -203,3 +203,96 @@ def frame_sample(df: DataFrame, every_n: int, data_col: str = "data") -> DataFra
             yield out
 
     return df.mapInPandas(op, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# audio (fake-PCM convention): "LAKA" header + int16 little-endian PCM
+# ---------------------------------------------------------------------------
+
+AUDIO_MAGIC = b"LAKA"
+AUDIO_HEADER_FMT = "<4sHI"  # magic, sample_rate, n_samples
+AUDIO_HEADER_LEN = struct.calcsize(AUDIO_HEADER_FMT)
+
+
+def decode_audio(df: DataFrame, data_col: str = "data") -> DataFrame:
+    """Attach audio metadata + signal stats (sample_rate, n_samples,
+    rms, peak) decoded from the fake-PCM blobs. Same stub contract as
+    the image path: swap the header parse for soundfile/ffmpeg on a
+    real cluster — the Arrow-batched mapInPandas plumbing, schema and
+    batch shape stay identical. Malformed blobs yield (-1, -1, null,
+    null) rather than failing the batch."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.IntegerType()),
+        ]
+    )
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srs, ns, rmss, peaks = [], [], [], []
+            for b in pdf[data_col]:
+                b = bytes(b) if b is not None else None
+                if b is None or len(b) < AUDIO_HEADER_LEN or b[:4] != AUDIO_MAGIC:
+                    srs.append(-1), ns.append(-1), rmss.append(None), peaks.append(None)
+                    continue
+                _, sr, n = struct.unpack(AUDIO_HEADER_FMT, b[:AUDIO_HEADER_LEN])
+                pcm = np.frombuffer(
+                    b,
+                    dtype="<i2",
+                    offset=AUDIO_HEADER_LEN,
+                    count=min(n, (len(b) - AUDIO_HEADER_LEN) // 2),
+                )
+                srs.append(sr)
+                ns.append(n)
+                if pcm.size:
+                    rmss.append(float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))))
+                    peaks.append(int(np.max(np.abs(pcm.astype(np.int32)))))
+                else:
+                    rmss.append(0.0), peaks.append(0)
+            pdf = pdf.copy()
+            pdf["sample_rate"], pdf["n_samples"] = srs, ns
+            pdf["rms"], pdf["peak"] = rmss, peaks
+            yield pdf
+
+    return df.mapInPandas(it, out_schema)
+
+
+def pcm_decimate(df: DataFrame, factor: int, data_col: str = "data") -> DataFrame:
+    """Integer-decimation resample: keep every ``factor``-th sample,
+    sample_rate scaled down to match (the anti-aliasing filter a real
+    DSP chain would add lives behind the same stub boundary as image
+    decode). The blob is rewritten with the updated header; slicing is
+    vectorized numpy per batch."""
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    out_schema = df.schema
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf[data_col]:
+                b = bytes(b) if b is not None else None
+                if b is None or len(b) < AUDIO_HEADER_LEN or b[:4] != AUDIO_MAGIC:
+                    out.append(b)
+                    continue
+                _, sr, n = struct.unpack(AUDIO_HEADER_FMT, b[:AUDIO_HEADER_LEN])
+                pcm = np.frombuffer(
+                    b,
+                    dtype="<i2",
+                    offset=AUDIO_HEADER_LEN,
+                    count=min(n, (len(b) - AUDIO_HEADER_LEN) // 2),
+                )
+                dec = pcm[::factor]
+                hdr = struct.pack(
+                    AUDIO_HEADER_FMT, AUDIO_MAGIC, max(1, sr // factor), dec.size
+                )
+                out.append(hdr + dec.tobytes())
+            pdf = pdf.copy()
+            pdf[data_col] = out
+            yield pdf
+
+    return df.mapInPandas(it, out_schema)

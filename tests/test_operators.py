@@ -166,3 +166,40 @@ def test_gap_fill_interpolate(spark):
     assert out[("a", 40)] == (7.0, False)
     assert out[("b", 0)] == (5.0, False)
     assert len(out) == 5
+
+
+def test_audio_decode_and_decimate(spark):
+    """Fake-PCM audio path: decode extracts header + signal stats;
+    decimation halves rate/samples and keeps exactly the strided
+    samples; malformed blobs degrade to sentinel metadata."""
+    import struct as _struct
+
+    import numpy as _np
+
+    from pg_datalake_spark.operators.multimodal import (
+        AUDIO_HEADER_FMT,
+        AUDIO_HEADER_LEN,
+        AUDIO_MAGIC,
+        decode_audio,
+        pcm_decimate,
+    )
+
+    pcm = _np.arange(-100, 100, dtype="<i2")  # 200 samples
+    blob = _struct.pack(AUDIO_HEADER_FMT, AUDIO_MAGIC, 16000, pcm.size) + pcm.tobytes()
+    df = spark.createDataFrame([(1, bytearray(blob)), (2, bytearray(b"junk"))],
+                               "id long, data binary")
+
+    meta = {r.id: r for r in decode_audio(df).collect()}
+    assert (meta[1].sample_rate, meta[1].n_samples) == (16000, 200)
+    assert meta[1].peak == 100
+    assert abs(meta[1].rms - float(_np.sqrt(_np.mean(pcm.astype(float) ** 2)))) < 1e-9
+    assert meta[2].sample_rate == -1 and meta[2].rms is None
+
+    dec = {r.id: r for r in decode_audio(pcm_decimate(df, 2)).collect()}
+    assert (dec[1].sample_rate, dec[1].n_samples) == (8000, 100)
+    got = _np.frombuffer(
+        bytes({r.id: r for r in pcm_decimate(df, 2).collect()}[1].data),
+        dtype="<i2", offset=AUDIO_HEADER_LEN,
+    )
+    assert (got == pcm[::2]).all()
+    assert bytes({r.id: r for r in pcm_decimate(df, 2).collect()}[2].data) == b"junk"
