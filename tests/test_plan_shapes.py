@@ -111,3 +111,39 @@ def test_stratified_sample_single_exchange(spark):
     )
     n_exchanges = plan.count("+- Exchange") + plan.count(": Exchange")
     assert n_exchanges <= 1, f"expected one shuffle, plan has {n_exchanges}"
+
+
+def test_explain_pushdown_report(spark):
+    """The pushdown report surfaces what the reference's EXPLAIN
+    shows: pushed filters, pruned read schema, python stages, join
+    strategies."""
+    from pg_datalake_spark.explain import explain_pushdown
+    from pg_datalake_spark.operators.multimodal import decode_media, fake_media
+
+    lineitem = load_tables(spark, SF_DIR, ["lineitem"])["lineitem"]
+    orders = load_tables(spark, SF_DIR, ["orders"])["orders"]
+
+    q = (
+        lineitem.filter(F.col("l_quantity") > 40)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_quantity", "o_orderstatus")
+    )
+    rep = explain_pushdown(q)
+    assert any("l_quantity" in f for f in rep["pushed_filters"])
+    assert rep["scans"] == 2
+    # AQE hides codegen markers on un-executed shuffle plans; a narrow
+    # plan shows its whole-stage span
+    narrow = explain_pushdown(lineitem.filter(F.col("l_quantity") > 40).select("l_orderkey"))
+    assert narrow["codegen_stages"] >= 1
+    assert rep["joins"] and all(
+        j["strategy"] not in ("CartesianProduct", "BroadcastNestedLoopJoin")
+        for j in rep["joins"]
+    )
+    assert rep["python_stages"] == []  # pure-JVM plan
+    assert all("l_comment" not in s for s in rep["read_schemas"])  # pruned
+
+    media = spark.range(8).select(
+        F.col("id"), fake_media(F.col("id")).alias("data")
+    )
+    rep2 = explain_pushdown(decode_media(media))
+    assert any(p["operator"] == "MapInPandas" for p in rep2["python_stages"])
