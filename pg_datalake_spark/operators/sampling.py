@@ -82,3 +82,56 @@ def profile(
     for a in arms[1:]:
         out = out.unionByName(a)
     return out
+
+
+def corr_matrix(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations as tagged rows (col_a, col_b,
+    corr), upper triangle only. ONE aggregate pass computes all pairs
+    (every F.corr is partial-aggregable — a single map-side-combine
+    shuffle regardless of column count); the quadratic blowup is in
+    the number of COLUMNS, never rows."""
+    pairs = [
+        (a, b) for i, a in enumerate(columns) for b in columns[i + 1 :]
+    ]
+    aggs = [
+        F.corr(a, b).alias(f"__c_{i}") for i, (a, b) in enumerate(pairs)
+    ]
+    row = df.agg(*aggs)
+    arms = [
+        row.select(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"__c_{i}").alias("corr"),
+        )
+        for i, (a, b) in enumerate(pairs)
+    ]
+    out = arms[0]
+    for x in arms[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def impute(
+    df: DataFrame,
+    value_cols: list[str],
+    group_cols: list[str] | None = None,
+    strategy: str = "mean",
+) -> DataFrame:
+    """Fill nulls in ``value_cols`` with the per-group mean or median
+    (global when ``group_cols`` is empty) — the feature-cleanup pass
+    before model training. Group statistics come from unbounded window
+    aggregates, so imputation is one shuffle on the group key with no
+    second join; median = exact percentile(0.5) (matches PG/DuckDB
+    percentile_cont)."""
+    if strategy not in ("mean", "median"):
+        raise ValueError(f"strategy must be mean|median, got {strategy!r}")
+    w = Window.partitionBy(*(group_cols or []))
+    out = df
+    for c in value_cols:
+        stat = (
+            F.avg(c).over(w)
+            if strategy == "mean"
+            else F.expr(f"percentile({c}, 0.5)").over(w)
+        )
+        out = out.withColumn(c, F.coalesce(F.col(c), stat))
+    return out

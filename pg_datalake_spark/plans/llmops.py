@@ -545,3 +545,71 @@ def x04(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ["orders"])
     return profile(t["orders"], ["o_orderstatus", "o_orderpriority", "o_orderkey"])
+
+
+@register(
+    "x05_corr_matrix",
+    oracle="""
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount', round(corr(l_quantity, l_discount), 6) FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount', round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+    """,
+)
+def x05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem numerics in a
+    single aggregate pass (every pair partial-aggregable — one
+    map-side-combine shuffle however many columns)."""
+    from pg_datalake_spark.operators.sampling import corr_matrix
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    out = corr_matrix(
+        t["lineitem"], ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+    return out.select("col_a", "col_b", F.round("corr", 6).alias("corr"))
+
+
+@register(
+    "x06_impute",
+    oracle="""
+    WITH holes AS (
+      SELECT o_orderstatus, o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END AS v
+      FROM orders
+    ),
+    stats AS (
+      SELECT o_orderstatus, avg(v) AS mean_v FROM holes GROUP BY 1
+    )
+    SELECT h.o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CASE WHEN h.v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_was_null,
+           round(sum(coalesce(h.v, s.mean_v)), 2) AS total_imputed
+    FROM holes h JOIN stats s USING (o_orderstatus)
+    GROUP BY 1
+    """,
+)
+def x06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean null imputation (feature cleanup): 20 % of
+    o_totalprice values are knocked out, refilled with the per-status
+    mean via an unbounded window (one shuffle, no join — vs the
+    oracle's aggregate + re-join formulation), and the imputed sums
+    must agree to round(2)."""
+    from pg_datalake_spark.operators.sampling import impute
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    holes = t["orders"].select(
+        "o_orderstatus",
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("v"),
+    )
+    filled = impute(holes.withColumn("was_null", F.col("v").isNull()),
+                    ["v"], ["o_orderstatus"], strategy="mean")
+    return filled.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("was_null").cast("long")).alias("n_was_null"),
+        F.round(F.sum("v"), 2).alias("total_imputed"),
+    )

@@ -203,3 +203,23 @@ def test_audio_decode_and_decimate(spark):
     )
     assert (got == pcm[::2]).all()
     assert bytes({r.id: r for r in pcm_decimate(df, 2).collect()}[2].data) == b"junk"
+
+
+def test_impute_median_and_validation(spark):
+    from pg_datalake_spark.operators.sampling import impute
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None), ("b", 10.0), ("b", None)],
+        "g string, v double",
+    )
+    med = {(r.g, i): r.v for i, r in enumerate(impute(df, ["v"], ["g"], "median").collect())}
+    vals = [v for (g, _), v in med.items() if g == "a"]
+    assert sorted(vals) == [1.0, 2.0, 3.0]  # null → median(1,3)=2
+    assert sorted(v for (g, _), v in med.items() if g == "b") == [10.0, 10.0]
+    # global (ungrouped) imputation
+    glob = impute(df.select("v"), ["v"], strategy="mean").collect()
+    assert all(r.v is not None for r in glob)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="mean|median"):
+        impute(df, ["v"], ["g"], "mode")
