@@ -135,3 +135,32 @@ def impute(
         )
         out = out.withColumn(c, F.coalesce(F.col(c), stat))
     return out
+
+
+def split_by_hash(
+    df: DataFrame, id_col: str, splits: dict[str, float], salt: str = ""
+) -> DataFrame:
+    """Deterministic train/validation/test assignment: each row's
+    split comes from md5(salt + id) reduced mod 10_000, carved into
+    cumulative weight ranges. Pure function of the id (stable across
+    runs, engines, repartitioning, and data appends — rows never
+    migrate between splits when the corpus grows, unlike fraction
+    sampling). Adds a ``split`` column."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % 10_000
+    )
+    expr = None
+    acc = 0.0
+    items = list(splits.items())
+    for name, w in items[:-1]:
+        acc += w
+        cond = bucket < int(round(acc * 10_000))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

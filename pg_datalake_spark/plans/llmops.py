@@ -613,3 +613,38 @@ def x06(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("was_null").cast("long")).alias("n_was_null"),
         F.round(F.sum("v"), 2).alias("total_imputed"),
     )
+
+
+@register(
+    "x07_hash_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 8000
+                  THEN 'train'
+                  WHEN ('0x' || substr(md5('v1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9000
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM assigned GROUP BY split
+    """,
+)
+def x07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test hash split over documents
+    — identical row assignment on any engine (md5-bucketed, append-
+    stable). The id-sum per split proves both engines put the SAME
+    rows in the same split, not just the same counts."""
+    from pg_datalake_spark.operators.sampling import split_by_hash
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    out = split_by_hash(
+        t["documents"].select("doc_id"),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="v1",
+    )
+    return out.groupBy("split").agg(
+        F.count("*").alias("n"), F.sum("doc_id").cast("long").alias("id_sum")
+    )
