@@ -31,4 +31,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL for each query (rows-only checks omitted)."""
-    return dict(ORACLES)
+    return ORACLES.resolved()

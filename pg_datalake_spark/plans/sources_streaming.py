@@ -102,17 +102,16 @@ def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "st02_windowed_event_counts",
-    oracle="""
+_HOURLY_ROLLUP_SQL = """
     SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
            event_type,
            count(*) AS n_events,
            round(sum(value), 2) AS total_value
     FROM events
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
 def st02(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (the same code path drives the
     watermarked streaming version; on a batch frame the watermark is a
@@ -209,17 +208,6 @@ def st03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "n_events", F.round("total_value", 2).alias("total_value"))
 
 
-@register(
-    "st04_continuous_rollup",
-    oracle="""
-    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
-           event_type,
-           count(*) AS n_events,
-           round(sum(value), 2) AS total_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
 def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous aggregate: hourly rollup LakeTable loaded from the
     first 20 days of events, then incrementally refreshed with the
@@ -238,3 +226,21 @@ def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("total_value", 2).alias("total_value"),
     )
+
+
+@register(
+    "st02_st04_rollup",
+    oracle=f"""
+    SELECT 'windowed' AS arm, * FROM ({_HOURLY_ROLLUP_SQL}) w_arm
+    UNION ALL
+    SELECT 'rollup' AS arm, * FROM ({_HOURLY_ROLLUP_SQL}) r_arm
+    """,
+)
+def st02_st04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (st02) and the continuous-rollup
+    LakeTable with incremental MERGE refresh (st04) share the same
+    hourly-rollup shape and oracle; one driver slot verifies both paths
+    land on the identical result."""
+    windowed = st02(spark, sf_dir).select(F.lit("windowed").alias("arm"), "*")
+    rollup = st04(spark, sf_dir).select(F.lit("rollup").alias("arm"), "*")
+    return windowed.unionByName(rollup)

@@ -1,7 +1,7 @@
-"""Streaming ingestion into an external Iceberg table (tail query).
+"""Streaming ingestion into an external Iceberg table.
 
-Registered after the 50-slot driver window; verified by the local
-parity gate. Combines the two beyond-reference surfaces — Structured
+Registered inside the 50-slot driver window (round 5) after four
+rounds as a parity-only tail query. Combines the two beyond-reference surfaces — Structured
 Streaming exactly-once ingest (SURVEY §2.10) and the external-Iceberg
 write half — into the transactional streaming sink a real pipeline
 runs: one APPEND snapshot per micro-batch, idempotent on replay via

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pg_datalake_spark.catalog import load_tables
-from pg_datalake_spark.plans.registry import register
+from pg_datalake_spark.plans.registry import ORACLES, QUERIES, register
 from pg_datalake_spark.plans.tpch import davg, dsum
 
 # ---------------------------------------------------------------------------
@@ -281,9 +281,7 @@ def g_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "a01_a02_stats_ordered",
-    oracle="""
+_A01_SQL = """
     SELECT l_linestatus,
            round(stddev_samp(l_extendedprice), 4) AS sd_samp,
            round(stddev_pop(l_extendedprice), 4)  AS sd_pop,
@@ -302,8 +300,9 @@ def g_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
            mode() WITHIN GROUP (ORDER BY l_returnflag) AS mode_flag,
            min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
     FROM lineitem GROUP BY l_linestatus
-    """,
-)
+    """
+
+
 def a_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical + ordered-set aggregate families in one grouping.
 
@@ -350,9 +349,7 @@ def a_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "a03_a05_agg_modifiers",
-    oracle="""
+_A03_SQL = """
     SELECT o_orderstatus,
            count(DISTINCT o_orderpriority)                 AS n_prio,
            count(DISTINCT o_custkey)                       AS n_cust,
@@ -368,8 +365,9 @@ def a_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            to_json(list_sort(array_agg(DISTINCT o_orderpriority))) AS prios,
            string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prio_csv
     FROM orders GROUP BY o_orderstatus
-    """,
-)
+    """
+
+
 def a_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT / FILTER / bool_and / bool_or / any_value plus multiple
     DISTINCT aggregates over different columns in one grouping (Spark
@@ -408,6 +406,25 @@ def a_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "a01_a05_aggregates",
+    oracle=f"""
+    SELECT 'stats' AS tag, * FROM ({_A01_SQL}) stats_arm
+    UNION ALL BY NAME
+    SELECT 'modifiers' AS tag, * FROM ({_A03_SQL}) mod_arm
+    """,
+)
+def a_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full §2.4 aggregate surface in one driver slot: statistical
+    + ordered-set families (a01+a02) and DISTINCT/FILTER/bool/array_agg
+    modifiers (a03+a05), NULL-padded by-name union — each arm keeps its
+    exact already-verified expressions; DuckDB's UNION ALL BY NAME
+    mirrors Spark's unionByName(allowMissingColumns=True)."""
+    stats = a_stats(spark, sf_dir).select(F.lit("stats").alias("tag"), "*")
+    mods = a_modifiers(spark, sf_dir).select(F.lit("modifiers").alias("tag"), "*")
+    return stats.unionByName(mods, allowMissingColumns=True)
 
 
 # ---------------------------------------------------------------------------
@@ -595,9 +612,7 @@ def c_ctes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "c03_c04_subqueries",
-    oracle="""
+_C03_SQL = """
     SELECT 'correlated' AS tag, CAST(o_orderkey AS BIGINT) AS k,
            CAST(NULL AS VARCHAR) AS s, o_totalprice AS v
     FROM orders o
@@ -610,8 +625,9 @@ def c_ctes(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_name || ':' || part_word, CAST(NULL AS DOUBLE)
     FROM nation, LATERAL unnest(string_split(n_name, '_')) AS t(part_word)
     WHERE n_nationkey < 5
-    """,
-)
+    """
+
+
 def c_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery (decorrelated by Catalyst into an
     aggregate + join) and LATERAL unnest (explode), tagged-unioned.
@@ -654,9 +670,7 @@ def c_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "c05_c06_params_views",
-    oracle="""
+_C05_SQL = """
     SELECT 'param' AS tag, o_orderpriority AS name, count(*) AS n,
            CAST(NULL AS DOUBLE) AS avg_v
     FROM orders
@@ -669,8 +683,9 @@ def c_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name
-    """,
-)
+    """
+
+
 def c_params_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parameterized SQL (Spark-native named parameters) + a temp view
     over a join (Catalyst inlines the view; pushdown unaffected)."""
@@ -705,14 +720,30 @@ def c_params_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     return param.unionByName(view)
 
 
+@register(
+    "c03_c06_subqueries_params",
+    oracle=f"""
+    SELECT * FROM ({_C03_SQL}) subq_arm
+    UNION ALL BY NAME
+    SELECT * FROM ({_C05_SQL}) pv_arm
+    """,
+)
+def c_subqueries_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery + LATERAL unnest (c03+c04) and bound
+    parameters + views (c05+c06) in one driver slot; the arms' own tag
+    values (correlated/lateral/param/view) distinguish them, so the
+    NULL-padded by-name union needs no extra tag column."""
+    return c_subqueries(spark, sf_dir).unionByName(
+        c_params_views(spark, sf_dir), allowMissingColumns=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pivot → unpivot roundtrip + standalone unpivot (p01 + p02)
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "p01_p02_pivot_unpivot",
-    oracle="""
+_P01_SQL = """
     SELECT 'pivot_roundtrip' AS tag, l_returnflag AS k, metric, val
     FROM (
       SELECT l_returnflag,
@@ -726,8 +757,9 @@ def c_params_views(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(c_nationkey AS DOUBLE) AS nationkey_d
           FROM customer WHERE c_custkey <= 20) t
     UNPIVOT (val FOR metric IN (acctbal, nationkey_d))
-    """,
-)
+    """
+
+
 def p_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pivot() then unpivot() back (roundtrip exercises both rewrites on
     the same data; sums coalesced to 0 so the engines' differing NULL
@@ -1063,9 +1095,7 @@ def v_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "j01_j06_n01_joins",
-    oracle="""
+_JOINS_SQL = """
     SELECT 'full_outer' AS probe, CAST(n_nationkey AS VARCHAR) AS k,
            coalesce(n_name, '∅') || '|' ||
            coalesce(CAST(cust_cnt AS VARCHAR), '∅') AS payload
@@ -1140,13 +1170,25 @@ def v_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                    nullif(o_custkey % 7, 3)   AS k7
             FROM orders WHERE o_orderkey <= 400) t
     ) ns
+    """
+
+
+@register(
+    "j01_j07_n01_joins",
+    oracle=lambda: _JOINS_SQL
+    + f"""
+    UNION ALL
+    SELECT 'interval' AS probe, CAST(a_id AS VARCHAR) AS k,
+           CAST(b_id AS VARCHAR) AS payload
+    FROM ({ORACLES['j07_interval_overlap_join']}) iv_arm
     """,
 )
 def j_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every §2.3 join shape the driver window was missing — full outer,
-    right, cross, theta/band, as-of, USING — plus the §2.8 NULL-semantics
-    probe, tagged-unioned into one schema. The per-shape queries stay
-    registered individually (relational.py j01–j06, n01) for the local
+    right, cross, theta/band, as-of, USING, interval-overlap (j07's
+    binned equi-join) — plus the §2.8 NULL-semantics probe,
+    tagged-unioned into one schema. The per-shape queries stay
+    registered individually (relational.py j01–j07, n01) for the local
     parity gate and for readable single-operator plans; this suite is the
     driver-verified aggregate (reference join surface:
     pg_lake_table/src/fdw/pg_lake_table.c join pushdown tests)."""
@@ -1291,6 +1333,12 @@ def j_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
     )
 
+    # j07: interval-overlap as binned equi-join (registered individually
+    # in relational.py; re-tagged here for the driver window)
+    interval = QUERIES["j07_interval_overlap_join"](spark, sf_dir).select(
+        *tag("interval", F.col("a_id"), F.col("b_id").cast("string"))
+    )
+
     return (
         full_outer.unionByName(right)
         .unionByName(cross)
@@ -1298,4 +1346,339 @@ def j_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(asof)
         .unionByName(using)
         .unionByName(nulls)
+        .unionByName(interval)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generic tagged-arm plumbing for the round-5 window suites: each arm is
+# an already-verified registered query re-projected onto one shared
+# nullable schema (arm VARCHAR, k VARCHAR, i1..i5 BIGINT, d1 DOUBLE,
+# s1 VARCHAR). The Spark side calls the feeder query's registered
+# callable; the oracle side wraps the feeder's registered oracle SQL —
+# so the merged suites can never drift from the per-operator versions.
+# ---------------------------------------------------------------------------
+
+_G_TYPES = [
+    ("k", "string", "VARCHAR"),
+    ("i1", "long", "BIGINT"),
+    ("i2", "long", "BIGINT"),
+    ("i3", "long", "BIGINT"),
+    ("i4", "long", "BIGINT"),
+    ("i5", "long", "BIGINT"),
+    ("d1", "double", "DOUBLE"),
+    ("s1", "string", "VARCHAR"),
+]
+
+
+def _g_arm(df: DataFrame, arm: str, **cols: F.Column) -> DataFrame:
+    sel = [F.lit(arm).alias("arm")]
+    for name, spark_t, _ in _G_TYPES:
+        sel.append(cols.get(name, F.lit(None)).cast(spark_t).alias(name))
+    return df.select(*sel)
+
+
+def _g_arm_sql(arm: str, inner: str, **exprs: str) -> str:
+    cols = ", ".join(
+        f"CAST({exprs.get(name, 'NULL')} AS {duck_t}) AS {name}"
+        for name, _, duck_t in _G_TYPES
+    )
+    return f"SELECT '{arm}' AS arm, {cols} FROM ({inner}) {arm}_arm"
+
+
+def _g_union(*arms: DataFrame) -> DataFrame:
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Window tail: top-k per group + sessionization + gap fill (w04+w05+w07)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w04_w05_w07_sessions",
+    oracle=lambda: "\nUNION ALL\n".join(
+        [
+            _g_arm_sql(
+                "w04",
+                ORACLES["w04_topk_per_group"],
+                k="CAST(user_id AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)",
+                d1="value",
+            ),
+            _g_arm_sql(
+                "w05",
+                ORACLES["w05_sessionization"],
+                k="CAST(user_id AS VARCHAR) || '|' || CAST(session_id AS VARCHAR)",
+                i1="n_events",
+                i2="epoch_us(session_start)",
+                i3="epoch_us(session_end)",
+            ),
+            _g_arm_sql(
+                "w07",
+                ORACLES["w07_gap_fill_locf"],
+                k="mode || '|' || event_type || '|' || CAST(bucket AS VARCHAR)",
+                i1="is_filled",
+                d1="value",
+            ),
+        ]
+    ),
+)
+def w_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-operator tail for the driver window: top-k per group
+    (w04), 30-minute-gap sessionization (w05), and hypertable-style gap
+    fill in both LOCF and linear-interpolation modes (w07). Session
+    bounds compare as epoch µs (timestamps render engine-specifically;
+    integers don't — load_tables pins the session to UTC)."""
+    w04 = QUERIES["w04_topk_per_group"](spark, sf_dir)
+    w05 = QUERIES["w05_sessionization"](spark, sf_dir)
+    w07 = QUERIES["w07_gap_fill_locf"](spark, sf_dir)
+    bar = F.lit("|")
+    return _g_union(
+        _g_arm(
+            w04,
+            "w04",
+            k=F.concat(F.col("user_id").cast("string"), bar, F.col("event_id").cast("string")),
+            d1=F.col("value"),
+        ),
+        _g_arm(
+            w05,
+            "w05",
+            k=F.concat(
+                F.col("user_id").cast("string"), bar, F.col("session_id").cast("string")
+            ),
+            i1=F.col("n_events"),
+            i2=F.unix_micros(F.col("session_start").cast("timestamp")),
+            i3=F.unix_micros(F.col("session_end").cast("timestamp")),
+        ),
+        _g_arm(
+            w07,
+            "w07",
+            k=F.concat(
+                F.col("mode"), bar, F.col("event_type"), bar, F.col("bucket").cast("string")
+            ),
+            i1=F.col("is_filled"),
+            d1=F.col("value"),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window tail: LLM-pipeline ops (x03+x04+x05+x06+x07 + t05 + v05)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x03_x07_t05_v05_llmops",
+    oracle=lambda: "\nUNION ALL\n".join(
+        [
+            _g_arm_sql(
+                "x03",
+                ORACLES["x03_stratified_sample"],
+                k="o_orderstatus",
+                i1="n_sampled",
+                i2="key_sum",
+            ),
+            _g_arm_sql(
+                "x04",
+                ORACLES["x04_profile"],
+                k='"column"',
+                i1="n",
+                i2="n_null",
+                i3="n_distinct",
+                s1="min_str || '|' || max_str",
+            ),
+            _g_arm_sql(
+                "x05",
+                ORACLES["x05_corr_matrix"],
+                k="col_a || '|' || col_b",
+                d1="corr",
+            ),
+            _g_arm_sql(
+                "x06",
+                ORACLES["x06_impute"],
+                k="o_orderstatus",
+                i1="n",
+                i2="n_was_null",
+                d1="total_imputed",
+            ),
+            _g_arm_sql(
+                "x07",
+                ORACLES["x07_hash_split"],
+                k="split",
+                i1="n",
+                i2="id_sum",
+            ),
+            _g_arm_sql(
+                "t05",
+                ORACLES["t05_redaction"],
+                k="CAST(doc_id AS VARCHAR)",
+                i1="n_email",
+                i2="n_url",
+                i3="n_phone",
+                s1="redacted_md5",
+            ),
+            _g_arm_sql(
+                "v05",
+                ORACLES["v05_quantized_cosine"],
+                k="CAST(vec_id AS VARCHAR)",
+                d1="qcos_sim",
+            ),
+        ]
+    ),
+)
+def x_llmops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-training-pipeline operator suite for the driver window:
+    deterministic stratified sampling (x03), single-pass column
+    profiling (x04), correlation matrix (x05), group-mean imputation
+    (x06), append-stable hash splits (x07), PII-style redaction (t05),
+    and int8-quantized cosine top-k (v05) — the operators BASELINE's
+    north star names, previously only parity-checked."""
+    bar = F.lit("|")
+    return _g_union(
+        _g_arm(
+            QUERIES["x03_stratified_sample"](spark, sf_dir),
+            "x03",
+            k=F.col("o_orderstatus"),
+            i1=F.col("n_sampled"),
+            i2=F.col("key_sum"),
+        ),
+        _g_arm(
+            QUERIES["x04_profile"](spark, sf_dir),
+            "x04",
+            k=F.col("column"),
+            i1=F.col("n"),
+            i2=F.col("n_null"),
+            i3=F.col("n_distinct"),
+            s1=F.concat(F.col("min_str"), bar, F.col("max_str")),
+        ),
+        _g_arm(
+            QUERIES["x05_corr_matrix"](spark, sf_dir),
+            "x05",
+            k=F.concat(F.col("col_a"), bar, F.col("col_b")),
+            d1=F.col("corr"),
+        ),
+        _g_arm(
+            QUERIES["x06_impute"](spark, sf_dir),
+            "x06",
+            k=F.col("o_orderstatus"),
+            i1=F.col("n"),
+            i2=F.col("n_was_null"),
+            d1=F.col("total_imputed"),
+        ),
+        _g_arm(
+            QUERIES["x07_hash_split"](spark, sf_dir),
+            "x07",
+            k=F.col("split"),
+            i1=F.col("n"),
+            i2=F.col("id_sum"),
+        ),
+        _g_arm(
+            QUERIES["t05_redaction"](spark, sf_dir),
+            "t05",
+            k=F.col("doc_id").cast("string"),
+            i1=F.col("n_email"),
+            i2=F.col("n_url"),
+            i3=F.col("n_phone"),
+            s1=F.col("redacted_md5"),
+        ),
+        _g_arm(
+            QUERIES["v05_quantized_cosine"](spark, sf_dir),
+            "v05",
+            k=F.col("vec_id").cast("string"),
+            d1=F.col("qcos_sim"),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window tail: collations + PG regexp_replace + VARIANT + pivot/unpivot
+# (c07 + f16 + f17 + p01 + p02)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c07_f16_f17_p01_p02_misc",
+    oracle=lambda: "\nUNION ALL\n".join(
+        [
+            _g_arm_sql(
+                "c07",
+                ORACLES["c07_collations"],
+                k="'all'",
+                i1="n_ci_groups",
+                i2="max_ci_group",
+                i3="n_cs_names",
+                i4="n_brand11",
+                i5="n_lt_m",
+            ),
+            _g_arm_sql(
+                "f16",
+                ORACLES["f16_regexp_replace_first"],
+                k="CAST(p_partkey AS VARCHAR)",
+                s1="first_only || '|' || all_matches || '|' || no_match"
+                " || '|' || swapped || '|' || bracketed",
+            ),
+            _g_arm_sql(
+                "f17",
+                ORACLES["f17_variant_semistructured"],
+                k="CAST(event_id AS VARCHAR)",
+                i1="k_typed",
+                i2="k_doubled",
+                s1="k_string",
+            ),
+            _g_arm_sql(
+                "p01_p02",
+                _P01_SQL,
+                k="tag || '|' || k || '|' || metric",
+                d1="val",
+            ),
+        ]
+    ),
+)
+def c_f_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-surface tail for the driver window: case-insensitive
+    collations (c07), PG first-match regexp_replace with backreferences
+    (f16), VARIANT semi-structured access (f17), and the pivot→unpivot
+    roundtrip (p01+p02)."""
+    bar = F.lit("|")
+    c07 = QUERIES["c07_collations"](spark, sf_dir)
+    f16 = QUERIES["f16_regexp_replace_first"](spark, sf_dir)
+    f17 = QUERIES["f17_variant_semistructured"](spark, sf_dir)
+    p = p_pivot_unpivot(spark, sf_dir)
+    return _g_union(
+        _g_arm(
+            c07,
+            "c07",
+            k=F.lit("all"),
+            i1=F.col("n_ci_groups"),
+            i2=F.col("max_ci_group"),
+            i3=F.col("n_cs_names"),
+            i4=F.col("n_brand11"),
+            i5=F.col("n_lt_m"),
+        ),
+        _g_arm(
+            f16,
+            "f16",
+            k=F.col("p_partkey").cast("string"),
+            s1=F.concat(
+                F.col("first_only"), bar, F.col("all_matches"), bar,
+                F.col("no_match"), bar, F.col("swapped"), bar, F.col("bracketed"),
+            ),
+        ),
+        _g_arm(
+            f17,
+            "f17",
+            k=F.col("event_id").cast("string"),
+            i1=F.col("k_typed"),
+            i2=F.col("k_doubled"),
+            s1=F.col("k_string"),
+        ),
+        _g_arm(
+            p,
+            "p01_p02",
+            k=F.concat(F.col("tag"), bar, F.col("k"), bar, F.col("metric")),
+            d1=F.col("val"),
+        ),
     )
