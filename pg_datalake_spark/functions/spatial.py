@@ -24,6 +24,7 @@ underlying doubles — no geometry-object allocation per row.
 
 from __future__ import annotations
 
+import math
 import struct as _struct
 from typing import Iterator
 
@@ -187,9 +188,12 @@ def st_translate(p: Column, dx, dy) -> Column:
 
 
 def st_azimuth(a: Column, b: Column) -> Column:
-    """Azimuth from north, clockwise, in radians (PostGIS semantics:
-    ``atan2(dx, dy)``)."""
-    return F.atan2(b["x"] - a["x"], b["y"] - a["y"])
+    """Azimuth from north, clockwise, in radians, normalized to
+    [0, 2π) (PostGIS semantics: raw ``atan2(dx, dy)`` is (-π, π],
+    which would return e.g. -π/2 for due west instead of 3π/2)."""
+    raw = F.atan2(b["x"] - a["x"], b["y"] - a["y"])
+    tau = 2 * math.pi
+    return (raw + F.lit(tau)) % F.lit(tau)
 
 
 def st_makeline(*points: Column) -> Column:

@@ -57,31 +57,45 @@ def profile(
     lexicographic min/max (stringified for a uniform schema) — the
     SUMMARIZE-style health check run before a table feeds a pipeline.
 
-    ``approx=False`` (default) counts distincts exactly — one
-    per-value shuffle per column, the oracle-checkable mode.
+    ALL columns' metrics are computed in ONE ``df.agg`` — a single
+    scan of the input however many columns are profiled — then the
+    one-row result is exploded into the tagged per-column layout
+    (driver-trivial: the explode runs over one row).
+
     ``approx=True`` swaps in HLL ``approx_count_distinct`` (±~2 %):
-    every metric becomes partial-aggregable, so the whole profile is
-    map-side combine + one tiny reduce per column — the mode to run on
-    a 100 TB table.
+    every metric is then partial-aggregable, so the whole profile is
+    one map-side-combine pass + one tiny reduce — the mode to run on
+    a 100 TB table. ``approx=False`` (default) counts distincts
+    exactly, which is still one scan but Spark plans the N DISTINCT
+    aggregates via expand (each input row is replicated N+1 times
+    before the shuffle) — the oracle-checkable mode.
     """
     cols = columns or df.columns
     distinct = F.approx_count_distinct if approx else F.countDistinct
-    arms = []
-    for c in cols:
-        arms.append(
-            df.agg(
+    aggs = []
+    for i, c in enumerate(cols):
+        aggs += [
+            F.count("*").alias(f"__{i}_n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__{i}_null"),
+            distinct(c).alias(f"__{i}_dist"),
+            F.min(F.col(c).cast("string")).alias(f"__{i}_min"),
+            F.max(F.col(c).cast("string")).alias(f"__{i}_max"),
+        ]
+    row = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
                 F.lit(c).alias("column"),
-                F.count("*").alias("n"),
-                F.sum(F.col(c).isNull().cast("long")).alias("n_null"),
-                distinct(c).alias("n_distinct"),
-                F.min(F.col(c).cast("string")).alias("min_str"),
-                F.max(F.col(c).cast("string")).alias("max_str"),
+                F.col(f"__{i}_n").alias("n"),
+                F.col(f"__{i}_null").alias("n_null"),
+                F.col(f"__{i}_dist").alias("n_distinct"),
+                F.col(f"__{i}_min").alias("min_str"),
+                F.col(f"__{i}_max").alias("max_str"),
             )
-        )
-    out = arms[0]
-    for a in arms[1:]:
-        out = out.unionByName(a)
-    return out
+            for i, c in enumerate(cols)
+        ]
+    )
+    return row.select(F.explode(entries).alias("e")).select("e.*")
 
 
 def corr_matrix(df: DataFrame, columns: list[str]) -> DataFrame:

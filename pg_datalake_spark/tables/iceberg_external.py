@@ -117,6 +117,27 @@ def load_table_metadata(location: str, metadata_file: str | None = None) -> dict
         return json.load(fh)
 
 
+def current_schema(meta: dict) -> dict:
+    """Resolve the table's current Iceberg schema struct.
+
+    The ``schemas`` list is NOT positionally indexed by schema-id:
+    genuinely external writers may register ids in any order, and v1
+    metadata may carry only a top-level ``schema`` key (Iceberg spec,
+    table metadata v1→v2 migration). Resolve by id with a v1 fallback."""
+    schemas = meta.get("schemas")
+    if schemas:
+        sid = meta.get("current-schema-id")
+        for s in schemas:
+            if s.get("schema-id") == sid:
+                return s
+        if sid is None and len(schemas) == 1:
+            return schemas[0]
+        raise KeyError(f"current-schema-id {sid!r} not found in schemas list")
+    if "schema" in meta:
+        return meta["schema"]
+    raise KeyError("table metadata has neither 'schemas' nor 'schema'")
+
+
 def _live_entries(
     location: str, snapshot_id: int | None = None, metadata_file: str | None = None
 ) -> list[dict]:
@@ -268,6 +289,18 @@ def _identity_spec(meta: dict) -> list[dict]:
     return [f for f in spec["fields"] if f["transform"] == "identity"]
 
 
+def _delete_manifest_part_fields(meta: dict) -> list[tuple[str, str]]:
+    """(name, iceberg_type) of the default spec's identity fields, for
+    typing a delete manifest's partition record (values stay null —
+    deletes here are table-wide, not partition-scoped)."""
+    id_to_field = {f["id"]: f for f in current_schema(meta)["fields"]}
+    return [
+        (id_to_field[pf["source-id"]]["name"], id_to_field[pf["source-id"]]["type"])
+        for pf in _identity_spec(meta)
+        if pf["source-id"] in id_to_field
+    ]
+
+
 _ICEBERG_TO_SPARK = {
     "boolean": "boolean", "int": "int", "long": "long",
     "float": "float", "double": "double", "string": "string",
@@ -315,7 +348,7 @@ def plan_scan(
     Returns ``{"kept": [paths], "skipped": [paths]}`` — the EXPLAIN
     counterpart of the reference's files-scanned/skipped accounting."""
     meta = load_table_metadata(location, metadata_file)
-    ice_schema = meta["schemas"][meta["current-schema-id"]]
+    ice_schema = current_schema(meta)
     by_name = {f["name"]: f for f in ice_schema["fields"]}
     id_to_field = {f["id"]: f for f in ice_schema["fields"]}
     part_types = {
@@ -387,7 +420,7 @@ def read_iceberg_table(
     entries = snapshot_file_entries(location, snapshot_id, metadata_file)
     data = [e for e in entries if e["content"] == 0]
     meta0 = load_table_metadata(location, metadata_file)
-    ice_schema = meta0["schemas"][meta0["current-schema-id"]]
+    ice_schema = current_schema(meta0)
     id_to_field = {f["id"]: f for f in ice_schema["fields"]}
     part_fields = [
         (id_to_field[pf["source-id"]]["name"], id_to_field[pf["source-id"]]["type"])
@@ -780,8 +813,11 @@ def _bound_to_bytes(v, ice_type: str) -> bytes | None:
         return _struct.pack("<i", int(v))
     if ice_type in ("timestamp", "timestamptz"):
         if isinstance(v, _dt.datetime):
+            # exact integer micros — float64 total_seconds() loses ~1µs
+            # for modern epochs, enough to flip an exact-boundary
+            # equality filter's pruning decision
             base = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
-            v = int((v - base).total_seconds() * 1_000_000)
+            v = (v - base) // _dt.timedelta(microseconds=1)
         return _struct.pack("<q", int(v))
     return None  # boolean/binary/decimal bounds: omitted
 
@@ -1102,14 +1138,14 @@ def append_snapshot(
     prev = {s["snapshot-id"]: s for s in meta["snapshots"]}[meta["current-snapshot-id"]]
     _, manifests = read_avro(_local(prev["manifest-list"]))
 
-    expected = [f["name"] for f in meta["schemas"][meta["current-schema-id"]]["fields"]]
+    expected = [f["name"] for f in current_schema(meta)["fields"]]
     if [f.name for f in df.schema.fields] != expected:
         raise ValueError(
             f"schema mismatch: table has columns {expected}, "
             f"append has {[f.name for f in df.schema.fields]}"
         )
 
-    ice_schema = meta["schemas"][meta["current-schema-id"]]
+    ice_schema = current_schema(meta)
     spec = next(
         s for s in meta["partition-specs"] if s["spec-id"] == meta["default-spec-id"]
     )
@@ -1200,10 +1236,14 @@ def add_position_deletes(
 
     snapshot_id = int(uuid.uuid4().int % (1 << 62))
     seq = meta["last-sequence-number"] + 1
+    # on identity-partitioned tables the manifest's partition tuple must
+    # match the spec it claims (real Iceberg readers validate this);
+    # path-wide position deletes carry a null tuple for each spec field
+    part_fields = _delete_manifest_part_fields(meta)
     del_manifest = os.path.join(meta_dir, f"{uuid.uuid4()}-m0.avro")
     dlen = write_avro(
         del_manifest,
-        _MANIFEST_ENTRY_SCHEMA,
+        _manifest_entry_schema(part_fields),
         [
             {
                 "status": 1,
@@ -1214,7 +1254,7 @@ def add_position_deletes(
                     "content": 1,  # position deletes
                     "file_path": f"file://{del_path}",
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": {n: None for n, _ in part_fields},
                     "record_count": nrows,
                     "file_size_in_bytes": fsize,
                     "equality_ids": None,
@@ -1226,7 +1266,7 @@ def add_position_deletes(
         {
             "manifest_path": f"file://{del_manifest}",
             "manifest_length": dlen,
-            "partition_spec_id": 0,
+            "partition_spec_id": meta.get("default-spec-id", 0),
             "content": 1,
             "sequence_number": seq,
             "min_sequence_number": seq,
@@ -1249,7 +1289,7 @@ def overwrite_snapshot(df: DataFrame, location: str) -> int:
     :func:`expire_snapshots` reclaims them. Honors the table's identity
     partition spec, like :func:`append_snapshot`."""
     meta = load_table_metadata(location)
-    ice_schema = meta["schemas"][meta["current-schema-id"]]
+    ice_schema = current_schema(meta)
     expected = [f["name"] for f in ice_schema["fields"]]
     if [f.name for f in df.schema.fields] != expected:
         raise ValueError(
@@ -1312,7 +1352,7 @@ def evolve_add_column(
             "rows (they would all violate it); add it as optional"
         )
     meta = load_table_metadata(location)
-    cur = meta["schemas"][meta["current-schema-id"]]
+    cur = current_schema(meta)
     if any(f["name"] == name for f in cur["fields"]):
         raise ValueError(f"column {name!r} already exists")
     new_id = meta["last-column-id"] + 1
@@ -1339,7 +1379,7 @@ def evolve_drop_column(location: str, name: str) -> int:
     retired, never reused. Partition source columns cannot be dropped.
     Returns the new schema id."""
     meta = load_table_metadata(location)
-    cur = meta["schemas"][meta["current-schema-id"]]
+    cur = current_schema(meta)
     field = next((f for f in cur["fields"] if f["name"] == name), None)
     if field is None:
         raise ValueError(f"column {name!r} does not exist")
@@ -1495,7 +1535,7 @@ def add_equality_deletes(location: str, df: DataFrame, columns: list[str] | None
     prev = {s["snapshot-id"]: s for s in meta["snapshots"]}[meta["current-snapshot-id"]]
     _, manifests = read_avro(_local(prev["manifest-list"]))
 
-    schema_fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+    schema_fields = current_schema(meta)["fields"]
     name_to_id = {f["name"]: f["id"] for f in schema_fields}
     missing = [c for c in columns if c not in name_to_id]
     if missing:
@@ -1515,6 +1555,7 @@ def add_equality_deletes(location: str, df: DataFrame, columns: list[str] | None
 
     snapshot_id = int(uuid.uuid4().int % (1 << 62))
     seq = meta["last-sequence-number"] + 1
+    part_fields = _delete_manifest_part_fields(meta)
     entries, total_rows = [], 0
     for p in files:
         nrows, fsize = _parquet_stats(p)
@@ -1529,7 +1570,7 @@ def add_equality_deletes(location: str, df: DataFrame, columns: list[str] | None
                     "content": 2,  # equality deletes
                     "file_path": f"file://{p}",
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": {n: None for n, _ in part_fields},
                     "record_count": nrows,
                     "file_size_in_bytes": fsize,
                     "equality_ids": eq_ids,
@@ -1538,12 +1579,12 @@ def add_equality_deletes(location: str, df: DataFrame, columns: list[str] | None
         )
     meta_dir = os.path.join(_local(location), "metadata")
     del_manifest = os.path.join(meta_dir, f"{uuid.uuid4()}-m0.avro")
-    dlen = write_avro(del_manifest, _MANIFEST_ENTRY_SCHEMA, entries)
+    dlen = write_avro(del_manifest, _manifest_entry_schema(part_fields), entries)
     manifests = list(manifests) + [
         {
             "manifest_path": f"file://{del_manifest}",
             "manifest_length": dlen,
-            "partition_spec_id": 0,
+            "partition_spec_id": meta.get("default-spec-id", 0),
             "content": 1,  # deletes manifest
             "sequence_number": seq,
             "min_sequence_number": seq,
@@ -1571,7 +1612,7 @@ def add_equality_deletes(location: str, df: DataFrame, columns: list[str] | None
 def iceberg_metadata(spark: SparkSession, location: str) -> DataFrame:
     """One-row summary of the table's current metadata."""
     meta = load_table_metadata(location)
-    schema = meta["schemas"][meta["current-schema-id"]]
+    schema = current_schema(meta)
     return spark.createDataFrame(
         [
             (

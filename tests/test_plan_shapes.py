@@ -147,3 +147,19 @@ def test_explain_pushdown_report(spark):
     )
     rep2 = explain_pushdown(decode_media(media))
     assert any(p["operator"] == "MapInPandas" for p in rep2["python_stages"])
+
+
+def test_profile_is_single_scan(spark):
+    """profile() must compute every column's metrics in ONE pass over
+    the input — one scan node in the plan regardless of column count
+    (the N-scans-for-N-columns union shape is the 100 TB anti-pattern
+    flagged in round 4)."""
+    from pg_datalake_spark.operators.sampling import profile
+
+    orders = load_tables(spark, SF_DIR, ["orders"])["orders"]
+    for approx in (True, False):
+        # simple mode prints each node once (formatted repeats them in
+        # the per-node detail section)
+        plan = _plan(profile(orders, ["o_orderstatus", "o_orderpriority", "o_orderkey"],
+                             approx=approx), mode="simple")
+        assert plan.count("Scan parquet") == 1, plan

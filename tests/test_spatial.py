@@ -107,6 +107,9 @@ def test_relations_translate_azimuth(spark):
             S.st_azimuth(
                 S.st_point(F.lit(0.0), F.lit(0.0)), S.st_point(F.lit(0.0), F.lit(1.0))
             ).alias("az_north"),
+            S.st_azimuth(
+                S.st_point(F.lit(0.0), F.lit(0.0)), S.st_point(F.lit(-1.0), F.lit(0.0))
+            ).alias("az_west"),
         )
         .collect()[0]
     )
@@ -114,6 +117,7 @@ def test_relations_translate_azimuth(spark):
     assert (row.tx, row.ty) == (3.5, 0.0)
     assert row.az_east == pytest.approx(math.pi / 2)  # due east = 90° from north
     assert row.az_north == pytest.approx(0.0)
+    assert row.az_west == pytest.approx(3 * math.pi / 2)  # normalized to [0, 2π)
 
 
 def test_line_length_and_envelope_algebra(spark):
