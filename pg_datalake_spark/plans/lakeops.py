@@ -279,12 +279,13 @@ def lake08(spark: SparkSession, sf_dir: str) -> DataFrame:
        rows are visible again while the position deletes still hold —
        the Iceberg v2 sequence-scoping rules end-to-end.
 
-    The delete-entry collect is the delete list itself — bounded,
-    driver-side, same as any Iceberg client commit."""
+    Position deletes go through the DataFrame path: executors write the
+    delete parquet (co-located per data file), the driver registers
+    only the file list — no delete row transits the driver."""
     from pg_datalake_spark.tables.iceberg_external import (
         _local,
         add_equality_deletes,
-        add_position_deletes,
+        add_position_deletes_df,
         export_iceberg_snapshot,
         read_iceberg_table,
         snapshot_files,
@@ -304,7 +305,9 @@ def lake08(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("o_orderkey") % 10) == 0)
     )
-    snap2 = add_position_deletes(loc, [(r.fp, r.pos) for r in doomed.collect()])
+    snap2 = add_position_deletes_df(
+        loc, doomed.select(F.col("fp").alias("file_path"), "pos")
+    )
     snap3 = add_equality_deletes(
         loc, spark.createDataFrame([("P",)], "o_orderstatus string")
     )

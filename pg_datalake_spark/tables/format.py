@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -103,6 +104,15 @@ class DataFile:
 class DeleteFile:
     path: str
     rows: int
+    # "position" (file_path/pos tombstones) or "equality" (key rows;
+    # Iceberg v2 content=2 — reference: writable_table.c:478-650)
+    content: str = "position"
+    equality_columns: list[str] | None = None
+    # equality deletes apply only to data files PRESENT at commit time
+    # (Iceberg's strictly-lower-sequence scoping, expressed here as the
+    # captured file list — metadata-sized, same as any manifest); rows
+    # appended later are untouched
+    applies_to: list[str] | None = None
 
 
 @dataclass
@@ -387,14 +397,33 @@ class LakeTable:
         return out
 
     def _apply_deletes(self, df: DataFrame, snap: Snapshot) -> DataFrame:
-        if not snap.delete_files:
-            return df
-        deletes = self.spark.read.parquet(*[d.path for d in snap.delete_files])
-        return df.join(
-            F.broadcast(deletes),
-            (F.col("__file") == F.col("file_path")) & (F.col("__pos") == F.col("pos")),
-            "left_anti",
-        )
+        pos = [d for d in snap.delete_files if d.content == "position"]
+        eqs = [d for d in snap.delete_files if d.content == "equality"]
+        if pos:
+            deletes = self.spark.read.parquet(*[d.path for d in pos])
+            df = df.join(
+                F.broadcast(deletes),
+                (F.col("__file") == F.col("file_path")) & (F.col("__pos") == F.col("pos")),
+                "left_anti",
+            )
+        for d in eqs:
+            cols = d.equality_columns or []
+            keys = (
+                self.spark.read.parquet(d.path)
+                .select(*[F.col(c).alias(f"__eq_{c}") for c in cols])
+                .dropDuplicates()
+            )
+            # in-scope rows matching a key row (null-safe on every
+            # column) are removed; rows from files appended after the
+            # delete commit bypass it entirely
+            scoped = F.regexp_replace(F.col("__file"), "^file:(//)?", "").isin(
+                *(d.applies_to or [])
+            )
+            cond = scoped
+            for c in cols:
+                cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+            df = df.join(F.broadcast(keys), cond, "left_anti")
+        return df
 
     def _partition_prune(
         self, files: list[DataFile], filters: list[tuple], spec: list[PartitionField]
@@ -616,6 +645,48 @@ class LakeTable:
 
         self._new_snapshot(meta, "delete", new_files, new_deletes)
         return {"dropped": dropped, "mor": mor, "cow": cow}
+
+    def delete_equality(self, keys: DataFrame, columns: list[str] | None = None) -> int:
+        """Merge-on-read EQUALITY delete (internal-format parity with
+        the external Iceberg v2 content=2 path): every current table
+        row whose ``columns`` values null-safe match a row of ``keys``
+        is deleted; rows appended AFTER this commit are untouched —
+        the Iceberg strictly-lower-sequence scoping, expressed here by
+        capturing the current data-file list. ``keys`` needs only the
+        equality columns; its rows are written to parquet by the
+        executors (never driver-materialized). Returns the number of
+        key rows registered."""
+        import pyarrow.parquet as pq
+
+        meta = self._load()
+        cur = self._current_snapshot(meta)
+        if cur is None or not cur.data_files:
+            return 0
+        columns = columns or keys.columns
+        names = {f["name"] for f in meta["fields"]}
+        missing = [c for c in columns if c not in names]
+        if missing:
+            raise ValueError(
+                f"equality columns {missing} not in table schema (have {sorted(names)})"
+            )
+        del_dir = os.path.join(self.root, "deletes", f"eq-{uuid.uuid4().hex[:12]}")
+        keys.select(*columns).write.parquet(del_dir)
+        n = sum(
+            pq.ParquetFile(os.path.join(del_dir, fn)).metadata.num_rows
+            for fn in os.listdir(del_dir)
+            if fn.endswith(".parquet")
+        )
+        new_deletes = list(cur.delete_files) + [
+            DeleteFile(
+                path=del_dir,
+                rows=n,
+                content="equality",
+                equality_columns=list(columns),
+                applies_to=[f.path for f in cur.data_files],
+            )
+        ]
+        self._new_snapshot(meta, "delete", list(cur.data_files), new_deletes)
+        return n
 
     def update(self, set_exprs: dict[str, str], predicate: str) -> None:
         """UPDATE as a single atomic commit (matching the reference's
@@ -913,7 +984,11 @@ class LakeTable:
                 if f["path"] not in live and os.path.exists(f["path"]):
                     orphans.append(f["path"])
         for p in set(orphans):
-            os.remove(p)
+            # equality-delete entries point at a directory of key files
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            else:
+                os.remove(p)
         meta["snapshots"] = keep
         self._commit(meta, meta["_version"])
         return sorted(set(orphans))

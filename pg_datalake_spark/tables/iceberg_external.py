@@ -1218,21 +1218,14 @@ def _write_position_delete_file(
     return del_path, nrows, fsize
 
 
-def add_position_deletes(
-    location: str, delete_entries: list[tuple[str, int]]
-) -> int:
-    """Commit a merge-on-read position-delete snapshot to an existing
-    exported table: a new delete manifest joins the previous snapshot's
-    manifests in a fresh manifest list, and a new metadata version is
-    written — the prior snapshot stays pinned-readable (time travel).
-    ``delete_entries`` = (data_file_path, row_position) pairs."""
-    meta = load_table_metadata(location)
+def _commit_delete_files(location: str, meta: dict, delete_paths: list[str]) -> int:
+    """Commit already-written position-delete parquet files as a MOR
+    delete snapshot: one manifest entry per file, manifest joins the
+    previous snapshot's manifests in a fresh manifest list, new
+    metadata version. Driver-side work is METADATA ONLY (file list +
+    footer stats) — never the delete rows themselves."""
     prev = {s["snapshot-id"]: s for s in meta["snapshots"]}[meta["current-snapshot-id"]]
     _, manifests = read_avro(_local(prev["manifest-list"]))
-
-    data_dir = os.path.join(_local(location), "data")
-    meta_dir = os.path.join(_local(location), "metadata")
-    del_path, nrows, fsize = _write_position_delete_file(data_dir, delete_entries)
 
     snapshot_id = int(uuid.uuid4().int % (1 << 62))
     seq = meta["last-sequence-number"] + 1
@@ -1240,11 +1233,11 @@ def add_position_deletes(
     # match the spec it claims (real Iceberg readers validate this);
     # path-wide position deletes carry a null tuple for each spec field
     part_fields = _delete_manifest_part_fields(meta)
-    del_manifest = os.path.join(meta_dir, f"{uuid.uuid4()}-m0.avro")
-    dlen = write_avro(
-        del_manifest,
-        _manifest_entry_schema(part_fields),
-        [
+    entries, total_rows = [], 0
+    for p in delete_paths:
+        nrows, fsize = _parquet_stats(p)
+        total_rows += nrows
+        entries.append(
             {
                 "status": 1,
                 "snapshot_id": snapshot_id,
@@ -1252,7 +1245,7 @@ def add_position_deletes(
                 "file_sequence_number": seq,
                 "data_file": {
                     "content": 1,  # position deletes
-                    "file_path": f"file://{del_path}",
+                    "file_path": f"file://{p}",
                     "file_format": "PARQUET",
                     "partition": {n: None for n, _ in part_fields},
                     "record_count": nrows,
@@ -1260,8 +1253,10 @@ def add_position_deletes(
                     "equality_ids": None,
                 },
             }
-        ],
-    )
+        )
+    meta_dir = os.path.join(_local(location), "metadata")
+    del_manifest = os.path.join(meta_dir, f"{uuid.uuid4()}-m0.avro")
+    dlen = write_avro(del_manifest, _manifest_entry_schema(part_fields), entries)
     manifests = list(manifests) + [
         {
             "manifest_path": f"file://{del_manifest}",
@@ -1271,15 +1266,69 @@ def add_position_deletes(
             "sequence_number": seq,
             "min_sequence_number": seq,
             "added_snapshot_id": snapshot_id,
-            "added_files_count": 1,
+            "added_files_count": len(entries),
             "existing_files_count": 0,
             "deleted_files_count": 0,
-            "added_rows_count": nrows,
+            "added_rows_count": total_rows,
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
         }
     ]
     return _commit_new_version(location, meta, snapshot_id, seq, manifests, "delete")
+
+
+def add_position_deletes(
+    location: str, delete_entries: list[tuple[str, int]]
+) -> int:
+    """Commit a merge-on-read position-delete snapshot from an
+    in-memory ``(data_file_path, row_position)`` list — the convenience
+    path for SMALL, driver-known delete sets (a manual correction, a
+    test fixture). For predicate-shaped deletes use
+    :func:`add_position_deletes_df`: at 100 TB a predicate can match
+    billions of positions, and a Python list of them is a driver OOM
+    (reference writes delete files engine-side for the same reason:
+    pg_lake_table/src/fdw/position_delete_dest.c)."""
+    meta = load_table_metadata(location)
+    data_dir = os.path.join(_local(location), "data")
+    del_path, _, _ = _write_position_delete_file(data_dir, delete_entries)
+    return _commit_delete_files(location, meta, [del_path])
+
+
+def add_position_deletes_df(location: str, deletes: DataFrame) -> int:
+    """Commit a MOR position-delete snapshot from a DataFrame with
+    columns ``(file_path, pos)`` — the scale path: delete rows are
+    written to parquet BY THE EXECUTORS (hash-partitioned on
+    ``file_path`` so each data file's tombstones co-locate in one
+    delete file, sorted (file_path, pos) within files per the Iceberg
+    spec), and only the resulting FILE LIST is registered driver-side.
+    No delete row ever transits the driver."""
+    from pyspark.sql import functions as F
+
+    meta = load_table_metadata(location)
+    del_dir = os.path.join(_local(location), "data", f"posdel-{uuid.uuid4()}")
+
+    spark = deletes.sparkSession
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    normalized = deletes.select(
+        F.concat(
+            F.lit("file://"), F.regexp_replace(F.col("file_path"), "^file:(//)?", "")
+        ).alias("file_path"),
+        F.col("pos").cast("long").alias("pos"),
+    )
+    (
+        normalized.repartition("file_path")
+        .sortWithinPartitions("file_path", "pos")
+        .withMetadata("file_path", {"parquet.field.id": 2147483546})
+        .withMetadata("pos", {"parquet.field.id": 2147483545})
+        .write.mode("error")
+        .parquet(del_dir)
+    )
+    files = [
+        os.path.join(del_dir, f)
+        for f in sorted(os.listdir(del_dir))
+        if f.endswith(".parquet")
+    ]
+    return _commit_delete_files(location, meta, files)
 
 
 def overwrite_snapshot(df: DataFrame, location: str) -> int:

@@ -1001,3 +1001,65 @@ def test_laketable_iceberg_crosswalk(spark):
     a = expected.agg(F.sum("o_orderkey").alias("k")).collect()[0]["k"]
     b = back.agg(F.sum("o_orderkey").alias("k")).collect()[0]["k"]
     assert a == b
+
+
+def test_position_deletes_df_distributed_path(spark):
+    """add_position_deletes_df: executors write the delete parquet,
+    the driver registers only the file list. Result must match the
+    list-based path's semantics exactly, and the source must carry no
+    collect() of delete rows (the plan is a pure write job)."""
+    from pg_datalake_spark.tables.iceberg_external import add_position_deletes_df
+
+    orders, loc, snap1 = _export_orders(spark, prefix="icedfdel_")
+    n = orders.count()
+    data_files, _ = snapshot_files(loc)
+    doomed = (
+        spark.read.parquet(*[_local(p) for p in data_files])
+        .select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+            "o_orderkey",
+        )
+        .filter((F.col("o_orderkey") % 7) == 0)
+    )
+    n_doomed = doomed.count()
+    assert n_doomed > 0
+    snap2 = add_position_deletes_df(loc, doomed.select("file_path", "pos"))
+    assert snap2 != snap1
+
+    current = read_iceberg_table(spark, loc)
+    assert current.count() == n - n_doomed
+    assert current.filter((F.col("o_orderkey") % 7) == 0).count() == 0
+    # time travel still sees every row
+    assert read_iceberg_table(spark, loc, snapshot_id=snap1).count() == n
+
+    # the delete parquet was written by Spark executors with the
+    # Iceberg field ids, under data/posdel-*
+    import glob as _glob
+
+    del_files = _glob.glob(os.path.join(loc, "data", "posdel-*", "*.parquet"))
+    assert del_files
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(del_files[0])
+    ids = {
+        f.name: (f.metadata or {}).get(b"PARQUET:field_id") for f in sch
+    }
+    assert ids["file_path"] == b"2147483546"
+    assert ids["pos"] == b"2147483545"
+    # spec ordering within each delete file: (file_path, pos) ascending
+    t = pq.read_table(del_files[0]).to_pydict()
+    pairs = list(zip(t["file_path"], t["pos"]))
+    assert pairs == sorted(pairs)
+
+
+def test_position_deletes_source_has_no_row_collect():
+    """Guard the scale property in code: the DataFrame delete path and
+    its commit helper never materialize delete rows on the driver."""
+    import inspect
+
+    from pg_datalake_spark.tables import iceberg_external as ie
+
+    for fn in (ie.add_position_deletes_df, ie._commit_delete_files):
+        src = inspect.getsource(fn)
+        assert ".collect()" not in src and "toPandas" not in src, fn.__name__

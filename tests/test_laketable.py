@@ -545,3 +545,100 @@ def test_clustered_compaction_improves_pruning(spark, tmp_path):
 
     with __import__("pytest").raises(ValueError, match="not in schema"):
         lt.compact(cluster_by=["nope"])
+
+
+# -- equality deletes (internal-format parity with external Iceberg MOR,
+#    mirroring tests/test_iceberg_external.py's content=2 cases) --------
+
+
+def test_equality_delete_basic_and_time_travel(spark, kv_table):
+    """Rows matching the key set disappear from the current snapshot;
+    the pinned pre-delete snapshot is intact."""
+    snap1 = kv_table.snapshots().agg(F.max("snapshot_id")).first()[0]
+    n = kv_table.delete_equality(
+        spark.createDataFrame([(2,)], "grp int"), columns=["grp"]
+    )
+    assert n == 1
+    cur = kv_table.scan()
+    assert cur.count() == 800
+    assert cur.filter(F.col("grp") == 2).count() == 0
+    assert kv_table.scan(snapshot_id=snap1).count() == 1000
+
+
+def test_equality_delete_sequence_scoping(spark, kv_table):
+    """The delete applies only to data files present at commit time:
+    re-appending deleted keys afterwards makes them visible again
+    (Iceberg v2 strictly-lower-sequence semantics)."""
+    doomed = kv_table.scan().filter(F.col("grp") == 3)
+    n_doomed = doomed.count()
+    assert n_doomed == 200
+    kv_table.delete_equality(spark.createDataFrame([(3,)], "grp int"))
+    assert kv_table.scan().count() == 800
+    kv_table.append(doomed)
+    back = kv_table.scan()
+    assert back.count() == 1000
+    assert back.filter(F.col("grp") == 3).count() == n_doomed
+
+
+def test_equality_delete_multi_column_and_null(spark, tmp_path):
+    """Multi-column keys match null-safe: a null in the delete row
+    matches rows where that column IS NULL — and only on the full
+    composite key."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "eqnull"), schema)
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, None, 20.0), (3, "a", 30.0), (4, None, 40.0), (5, "b", 50.0)],
+            schema,
+        )
+    )
+    t.delete_equality(
+        spark.createDataFrame([(1, "a"), (2, None)], "id long, k string"),
+        columns=["id", "k"],
+    )
+    left = {r.id for r in t.scan().collect()}
+    assert left == {3, 4, 5}
+
+
+def test_equality_delete_stacks_with_position_deletes(spark, kv_table):
+    """Equality and position tombstones compose: a predicate MOR delete
+    followed by an equality delete removes the union, and COW rewrites
+    triggered later do not resurrect either set."""
+    kv_table.delete("key < 100")  # MOR position deletes (10%)
+    kv_table.delete_equality(spark.createDataFrame([(4,)], "grp int"))
+    expect = 1000 - 100 - kv_table.scan(snapshot_id=1).filter(
+        (F.col("grp") == 4) & (F.col("key") >= 100)
+    ).count()
+    assert kv_table.scan().count() == expect
+    # force a big COW delete over the survivors
+    kv_table.delete("key >= 500")
+    after = kv_table.scan()
+    assert after.filter(F.col("grp") == 4).count() == 0
+    assert after.filter(F.col("key") < 100).count() == 0
+    assert after.filter(F.col("key") >= 500).count() == 0
+
+
+def test_equality_delete_rejects_unknown_column(spark, kv_table):
+    with pytest.raises(ValueError, match="not in table schema"):
+        kv_table.delete_equality(spark.createDataFrame([(1,)], "nope int"))
+
+
+def test_equality_delete_expire_cleans_directory(spark, kv_table, tmp_path):
+    """expire_snapshots removes the equality-delete key directory once
+    no kept snapshot references it (compaction resolves the delete)."""
+    kv_table.delete_equality(spark.createDataFrame([(0,)], "grp int"))
+    meta = kv_table._load()
+    cur = kv_table._current_snapshot(meta)
+    [eq] = [d for d in cur.delete_files if d.content == "equality"]
+    assert os.path.isdir(eq.path)
+    # cluster-compaction applies the delete and drops tombstones
+    kv_table.compact(cluster_by=["key"])
+    assert kv_table.scan().count() == 800
+    kv_table.expire_snapshots(keep_last=1)
+    assert not os.path.exists(eq.path)
