@@ -220,6 +220,141 @@ def st_length(line: Column) -> Column:
     )
 
 
+# --- segment/segment and ring/ring predicates (round-5 tier) ---------------
+
+
+def _cross(o: Column, a: Column, b: Column) -> Column:
+    """2D cross product (a-o) × (b-o): sign = orientation of the turn
+    o→a→b (the workhorse of every planar predicate below)."""
+    return (a["x"] - o["x"]) * (b["y"] - o["y"]) - (a["y"] - o["y"]) * (b["x"] - o["x"])
+
+
+def _on_segment(p: Column, q: Column, r: Column) -> Column:
+    """Given r collinear with segment (p,q): does r lie on it?"""
+    return (
+        (F.least(p["x"], q["x"]) <= r["x"])
+        & (r["x"] <= F.greatest(p["x"], q["x"]))
+        & (F.least(p["y"], q["y"]) <= r["y"])
+        & (r["y"] <= F.greatest(p["y"], q["y"]))
+    )
+
+
+def st_segment_intersects(a1: Column, a2: Column, b1: Column, b2: Column) -> Column:
+    """Segment (a1,a2) vs segment (b1,b2), boundary touches included —
+    the standard orientation test plus collinear-endpoint handling,
+    entirely codegen'd Column algebra."""
+    d1 = _cross(b1, b2, a1)
+    d2 = _cross(b1, b2, a2)
+    d3 = _cross(a1, a2, b1)
+    d4 = _cross(a1, a2, b2)
+    proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
+        ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+    )
+    touch = (
+        ((d1 == 0) & _on_segment(b1, b2, a1))
+        | ((d2 == 0) & _on_segment(b1, b2, a2))
+        | ((d3 == 0) & _on_segment(a1, a2, b1))
+        | ((d4 == 0) & _on_segment(a1, a2, b2))
+    )
+    return proper | touch
+
+
+def st_segment_intersection(a1: Column, a2: Column, b1: Column, b2: Column) -> Column:
+    """The intersection POINT of two proper (non-parallel) crossing
+    segments; NULL when parallel/collinear or not crossing within both
+    segments (PostGIS ST_Intersection's point case)."""
+    rx, ry = a2["x"] - a1["x"], a2["y"] - a1["y"]
+    sx, sy = b2["x"] - b1["x"], b2["y"] - b1["y"]
+    denom = rx * sy - ry * sx
+    qpx, qpy = b1["x"] - a1["x"], b1["y"] - a1["y"]
+    t = (qpx * sy - qpy * sx) / denom
+    u = (qpx * ry - qpy * rx) / denom
+    return F.when(
+        (denom != 0) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1),
+        F.struct((a1["x"] + t * rx).alias("x"), (a1["y"] + t * ry).alias("y")),
+    )
+
+
+def st_intersects(ring_a: Column, ring_b: Column) -> Column:
+    """Polygon/polygon intersection (simple rings): true iff any edge
+    pair crosses, or one ring contains a vertex of the other (covers
+    full containment with no edge crossing). Nested higher-order
+    ``exists`` over the edge arrays — O(n·m) per row pair JVM-side,
+    the exact-test tier; prefilter candidate pairs with
+    :func:`st_bbox_intersects` at scale."""
+    ea, eb = _closed_edges(ring_a), _closed_edges(ring_b)
+    edge_hit = F.exists(
+        ea,
+        lambda e1: F.exists(
+            eb, lambda e2: st_segment_intersects(e1["a"], e1["b"], e2["a"], e2["b"])
+        ),
+    )
+    vertex_in = st_contains(ring_a, F.element_at(ring_b, 1)) | st_contains(
+        ring_b, F.element_at(ring_a, 1)
+    )
+    return edge_hit | vertex_in
+
+
+def st_buffer(p: Column, radius, segments: int = 16) -> Column:
+    """Circle buffer of a POINT, approximated as a regular ``segments``-
+    gon ring (PostGIS ST_Buffer with quad_segs; the polygonal
+    approximation is explicit here). Pure Column algebra — no geometry
+    objects allocated."""
+    r = radius if isinstance(radius, Column) else F.lit(float(radius))
+    pts = [
+        F.struct(
+            (p["x"] + r * F.lit(math.cos(2 * math.pi * i / segments))).alias("x"),
+            (p["y"] + r * F.lit(math.sin(2 * math.pi * i / segments))).alias("y"),
+        )
+        for i in range(segments)
+    ]
+    return F.array(*pts)
+
+
+def st_snaptogrid(p: Column, size: float) -> Column:
+    """Snap a point to the nearest grid multiple (PostGIS
+    ST_SnapToGrid with a square grid)."""
+    s = F.lit(float(size))
+    return F.struct(
+        (F.round(p["x"] / s) * s).alias("x"),
+        (F.round(p["y"] / s) * s).alias("y"),
+    )
+
+
+def _point_segment_distance(p: Column, a: Column, b: Column) -> Column:
+    """Distance from point to segment: project, clamp t to [0,1]."""
+    abx, aby = b["x"] - a["x"], b["y"] - a["y"]
+    len2 = abx * abx + aby * aby
+    t_raw = ((p["x"] - a["x"]) * abx + (p["y"] - a["y"]) * aby) / len2
+    t = F.when(len2 == 0, F.lit(0.0)).otherwise(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), t_raw))
+    )
+    cx, cy = a["x"] + t * abx, a["y"] + t * aby
+    return F.sqrt(F.pow(p["x"] - cx, F.lit(2)) + F.pow(p["y"] - cy, F.lit(2)))
+
+
+def st_closestpoint(a: Column, b: Column, p: Column) -> Column:
+    """Closest point ON SEGMENT (a,b) to point p."""
+    abx, aby = b["x"] - a["x"], b["y"] - a["y"]
+    len2 = abx * abx + aby * aby
+    t_raw = ((p["x"] - a["x"]) * abx + (p["y"] - a["y"]) * aby) / len2
+    t = F.when(len2 == 0, F.lit(0.0)).otherwise(
+        F.greatest(F.lit(0.0), F.least(F.lit(1.0), t_raw))
+    )
+    return F.struct((a["x"] + t * abx).alias("x"), (a["y"] + t * aby).alias("y"))
+
+
+def st_distance_to_line(p: Column, line: Column) -> Column:
+    """Min distance from a point to an OPEN linestring (array of
+    points): array_min over per-edge point-segment distances."""
+    n = F.size(line)
+    a = F.slice(line, 1, n - 1)
+    b = F.slice(line, 2, n - 1)
+    return F.array_min(
+        F.zip_with(a, b, lambda q, r: _point_segment_distance(p, q, r))
+    )
+
+
 # --- envelope (bbox) algebra: struct<xmin, ymin, xmax, ymax> ---------------
 
 
@@ -292,6 +427,18 @@ def st_extent(p: Column) -> Column:
 def st_collect(p: Column) -> Column:
     """AGGREGATE: gather points into a multipoint (array of structs)."""
     return F.collect_list(p)
+
+
+def st_union_extent(env: Column) -> Column:
+    """AGGREGATE: union envelope of an envelope column (the bbox face
+    of PostGIS ST_Union over rectangle collections — exact for
+    axis-aligned boxes, the minimal bounding box otherwise)."""
+    return F.struct(
+        F.min(env["xmin"]).alias("xmin"),
+        F.min(env["ymin"]).alias("ymin"),
+        F.max(env["xmax"]).alias("xmax"),
+        F.max(env["ymax"]).alias("ymax"),
+    )
 
 
 # ---------------------------------------------------------------------------

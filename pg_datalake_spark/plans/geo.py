@@ -50,7 +50,24 @@ from pg_datalake_spark.plans.registry import register
            round(CASE WHEN min_x - 0.5 <= 6.0 AND 4.0 <= max_x + 0.5
                        AND min_y - 0.5 <= 6.0 AND 4.0 <= max_y + 0.5
                       THEN least(max_x + 0.5, 6.0) - greatest(min_x - 0.5, 4.0)
-                 END, 6) AS ix_w
+                 END, 6) AS ix_w,
+           CAST(1 AS INT) AS diag_hit,
+           CAST(0 AS INT) AS diag_gap,
+           round((min_x + max_x) / 2, 6) AS dix_x,
+           round((min_y + max_y) / 2, 6) AS dix_y,
+           CAST(min_x - 0.5 <= 6.0 AND 4.0 <= max_x + 0.5
+                AND min_y - 0.5 <= 6.0 AND 4.0 <= max_y + 0.5 AS INT) AS ring_hit,
+           round(0.5 * 16 * 4.0 * sin(2 * pi() / 16), 6) AS buf_area,
+           round(16 * 2 * 2.0 * sin(pi() / 16), 6) AS buf_perim,
+           round(least(
+             sqrt(power(greatest(min_x - 5.0, 5.0 - max_x, 0), 2)
+                  + power(5.0 - min_y, 2)),
+             sqrt(power(max_x - 5.0, 2)
+                  + power(greatest(min_y - 5.0, 5.0 - max_y, 0), 2)),
+             sqrt(power(greatest(min_x - 5.0, 5.0 - max_x, 0), 2)
+                  + power(5.0 - max_y, 2))
+           ), 6) AS office_line_dist,
+           round(greatest(max_x + 0.5, 6.0) - least(min_x - 0.5, 4.0), 6) AS union_w
     FROM g
     """,
 )
@@ -117,6 +134,32 @@ def geo01(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.st_point(F.col("min_x"), F.col("max_y")),
     )
     moved = S.st_translate(S.st_centroid(bbox), 1.5, -0.25)
+    # round-5 tier: segment predicates/intersection, ring-ring
+    # intersects, point buffer, point-to-line distance, bbox union
+    mn = S.st_point(F.col("min_x"), F.col("min_y"))
+    mx = S.st_point(F.col("max_x"), F.col("max_y"))
+    lo_hi = S.st_point(F.col("min_x"), F.col("max_y"))
+    hi_lo = S.st_point(F.col("max_x"), F.col("min_y"))
+    center = S.st_centroid(bbox)
+    gap_a2 = center
+    gap_b1 = S.st_point(S.st_x(center) + 1.0, S.st_y(center))
+    gap_b2 = S.st_point(S.st_x(center) + 2.0, S.st_y(center))
+    dix = S.st_segment_intersection(mn, mx, lo_hi, hi_lo)
+    grown_ring = F.array(
+        S.st_point(grown["xmin"], grown["ymin"]),
+        S.st_point(grown["xmax"], grown["ymin"]),
+        S.st_point(grown["xmax"], grown["ymax"]),
+        S.st_point(grown["xmin"], grown["ymax"]),
+    )
+    probe_ring = F.array(
+        S.st_point(F.lit(4.0), F.lit(4.0)),
+        S.st_point(F.lit(6.0), F.lit(4.0)),
+        S.st_point(F.lit(6.0), F.lit(6.0)),
+        S.st_point(F.lit(4.0), F.lit(6.0)),
+    )
+    buf = S.st_buffer(center, 2.0, segments=16)
+    office_pt = S.st_point(F.lit(5.0), F.lit(5.0))
+    union_env = S.st_bbox_union(grown, probe)
     return g.select(
         "c_mktsegment",
         "n",
@@ -137,4 +180,13 @@ def geo01(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(S.st_y(moved), 6).alias("ty"),
         S.st_bbox_intersects(grown, probe).cast("int").alias("hits_env"),
         F.round(inter["xmax"] - inter["xmin"], 6).alias("ix_w"),
+        S.st_segment_intersects(mn, mx, lo_hi, hi_lo).cast("int").alias("diag_hit"),
+        S.st_segment_intersects(mn, gap_a2, gap_b1, gap_b2).cast("int").alias("diag_gap"),
+        F.round(S.st_x(dix), 6).alias("dix_x"),
+        F.round(S.st_y(dix), 6).alias("dix_y"),
+        S.st_intersects(grown_ring, probe_ring).cast("int").alias("ring_hit"),
+        F.round(S.st_area(buf), 6).alias("buf_area"),
+        F.round(S.st_perimeter(buf), 6).alias("buf_perim"),
+        F.round(S.st_distance_to_line(office_pt, corner), 6).alias("office_line_dist"),
+        F.round(union_env["xmax"] - union_env["xmin"], 6).alias("union_w"),
     )

@@ -181,3 +181,88 @@ def test_wkb_roundtrip(spark):
         assert (r.p.x, r.p.y) == (r.x, r.y)
         # standard WKB: little-endian marker + point type + packed doubles
         assert bytes(r.wkb) == b"\x01\x01\x00\x00\x00" + struct.pack("<dd", r.x, r.y)
+
+
+def test_segment_predicates_and_intersection(spark):
+    """Proper crossing, endpoint touch, collinear overlap/disjoint, and
+    the crossing-point coordinates."""
+    P = lambda x, y: S.st_point(F.lit(float(x)), F.lit(float(y)))
+    row = (
+        spark.range(1)
+        .select(
+            S.st_segment_intersects(P(0, 0), P(2, 2), P(0, 2), P(2, 0)).alias("cross"),
+            S.st_segment_intersects(P(0, 0), P(1, 1), P(1, 1), P(2, 0)).alias("touch"),
+            S.st_segment_intersects(P(0, 0), P(1, 1), P(2, 2), P(3, 3)).alias("col_gap"),
+            S.st_segment_intersects(P(0, 0), P(2, 2), P(1, 1), P(3, 3)).alias("col_lap"),
+            S.st_segment_intersects(P(0, 0), P(1, 0), P(0, 1), P(1, 1)).alias("parallel"),
+            S.st_x(S.st_segment_intersection(P(0, 0), P(2, 2), P(0, 2), P(2, 0))).alias("ix"),
+            S.st_y(S.st_segment_intersection(P(0, 0), P(2, 2), P(0, 2), P(2, 0))).alias("iy"),
+            S.st_segment_intersection(P(0, 0), P(1, 0), P(0, 1), P(1, 1)).alias("none"),
+        )
+        .collect()[0]
+    )
+    assert row.cross is True
+    assert row.touch is True          # shared endpoint counts (boundary)
+    assert row.col_gap is False       # collinear but disjoint
+    assert row.col_lap is True        # collinear overlap
+    assert row.parallel is False
+    assert (row.ix, row.iy) == (1.0, 1.0)
+    assert row.none is None           # parallel → no point
+
+
+def test_ring_intersects_cases(spark):
+    """Edge-crossing, containment without edge crossing, disjoint."""
+    P = lambda x, y: S.st_point(F.lit(float(x)), F.lit(float(y)))
+
+    def ring(*xy):
+        return F.array(*[P(x, y) for x, y in xy])
+
+    sq = ring((0, 0), (4, 0), (4, 4), (0, 4))
+    overlap = ring((2, 2), (6, 2), (6, 6), (2, 6))
+    inner = ring((1, 1), (2, 1), (2, 2), (1, 2))
+    far = ring((10, 10), (12, 10), (12, 12), (10, 12))
+    row = (
+        spark.range(1)
+        .select(
+            S.st_intersects(sq, overlap).alias("edge_cross"),
+            S.st_intersects(sq, inner).alias("contained"),
+            S.st_intersects(inner, sq).alias("contains_rev"),
+            S.st_intersects(sq, far).alias("disjoint"),
+        )
+        .collect()[0]
+    )
+    assert row.edge_cross is True
+    assert row.contained is True
+    assert row.contains_rev is True
+    assert row.disjoint is False
+
+
+def test_buffer_snap_closest_distance_union(spark):
+    P = lambda x, y: S.st_point(F.lit(float(x)), F.lit(float(y)))
+    line = S.st_makeline(P(0, 0), P(10, 0), P(10, 10))
+    row = (
+        spark.range(1)
+        .select(
+            S.st_npoints(S.st_buffer(P(1, 1), 2.0, segments=12)).alias("buf_n"),
+            S.st_area(S.st_buffer(P(1, 1), 2.0, segments=720)).alias("buf_area"),
+            S.st_x(S.st_snaptogrid(P(1.26, -0.74), 0.5)).alias("snap_x"),
+            S.st_y(S.st_snaptogrid(P(1.26, -0.74), 0.5)).alias("snap_y"),
+            S.st_distance_to_line(P(5, 3), line).alias("d_line"),
+            S.st_x(S.st_closestpoint(P(0, 0), P(10, 0), P(5, 3))).alias("cp_x"),
+            S.st_y(S.st_closestpoint(P(0, 0), P(10, 0), P(5, 3))).alias("cp_y"),
+            S.st_distance_to_line(P(-3, -4), line).alias("d_clamped"),
+            S.st_union_extent(
+                S.st_makeenvelope(F.col("id"), F.lit(0.0), F.col("id") + 1, F.lit(2.0))
+            ).alias("uext"),
+        )
+        .collect()[0]
+    )
+    assert row.buf_n == 12
+    # 720-gon ≈ circle: area within 0.01% of πr²
+    assert abs(row.buf_area - math.pi * 4) / (math.pi * 4) < 1e-4
+    assert (row.snap_x, row.snap_y) == (1.5, -0.5)
+    assert row.d_line == pytest.approx(3.0)
+    assert (row.cp_x, row.cp_y) == (5.0, 0.0)
+    # off the start of the line → clamped to endpoint (0,0)
+    assert row.d_clamped == pytest.approx(5.0)
+    assert (row.uext.xmin, row.uext.xmax) == (0.0, 1.0)
