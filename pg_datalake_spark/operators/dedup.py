@@ -347,3 +347,94 @@ def dup_clusters(pairs: DataFrame, all_ids: DataFrame, id_col: str) -> DataFrame
     # them); the edge cache is only a recompute-path fallback now
     edges.unpersist(blocking=False)
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the fraction of
+    its distinct word ``k``-grams that appear anywhere in ``benchmark``
+    — the pretraining-hygiene check that keeps eval data out of the
+    training set (the Dolma/GPT-3 n-gram-overlap method).
+
+    Scale shape: the benchmark's gram set is eval-data-sized (MBs) and
+    is BROADCAST; the corpus side is a narrow map (tokenize → shingle)
+    + explode + broadcast hash join + one partial-aggregable count per
+    doc — the 100 TB corpus is never shuffled except by doc id for the
+    final count, with map-side combine.
+
+    Returns (id, n_grams, n_hits, overlap_frac), docs with at least
+    one gram only.
+    """
+    doc_sh = with_shingles(corpus, id_col, text_col, k)
+    bench_grams = (
+        with_shingles(benchmark, id_col, text_col, k)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    exploded = doc_sh.select(
+        F.col(id_col), F.size("sh").alias("n_grams"), F.explode("sh").alias("g")
+    )
+    hit_marker = bench_grams.withColumn("__hit", F.lit(1))
+    return (
+        exploded.join(F.broadcast(hit_marker), "g", "left")
+        .groupBy(id_col, "n_grams")
+        .agg(F.count("__hit").alias("n_hits"))
+        .filter(F.col("n_grams") > 0)
+        .select(
+            id_col,
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(F.col("n_hits") / F.col("n_grams"), 6).alias("overlap_frac"),
+        )
+    )
+
+
+def corpus_ngram_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    top: int = 20,
+) -> DataFrame:
+    """Corpus-level n-gram statistics: document frequency and total
+    occurrence count per word ``k``-gram, top-``top`` by document
+    frequency — the corpus report that drives tokenizer/BPE training
+    and boilerplate detection.
+
+    Scale shape: tokenize → per-doc gram multiset (narrow map) → ONE
+    hash aggregate on the gram (map-side combine: partial counts per
+    task, tiny reduce) → TakeOrdered(top). The corpus is shuffled only
+    as per-gram partial counts, never as documents.
+    """
+    from pg_datalake_spark.operators.textstats import tokens
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).repartition(par, id_col)
+    n = F.size("__toks")
+    win = F.greatest(n - (k - 1), F.lit(0))
+    parts = [F.slice("__toks", j + 1, win) for j in range(k)]
+    z = parts[0]
+    for p in parts[1:]:
+        z = F.zip_with(z, p, lambda a, b: F.concat_ws(" ", a, b))
+    grams = toks.select(F.col(id_col), F.explode(z).alias("g"))
+    return (
+        grams.groupBy("g")
+        .agg(
+            F.countDistinct(id_col).alias("doc_freq"),
+            F.count("*").alias("total_count"),
+        )
+        .orderBy(F.desc("doc_freq"), F.desc("total_count"), "g")
+        .limit(top)
+        .select(
+            "g",
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            F.col("total_count").cast("long").alias("total_count"),
+        )
+    )

@@ -648,3 +648,77 @@ def x07(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("split").agg(
         F.count("*").alias("n"), F.sum("doc_id").cast("long").alias("id_sum")
     )
+
+
+@register(
+    "d06_contamination",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])
+                            for i in generate_series(1, len(t) - 4)]) AS gs
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT unnest(gs) AS g FROM sh WHERE doc_id % 97 = 0),
+    ex AS (SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS g
+           FROM sh WHERE doc_id < 300),
+    agg AS (
+      SELECT ex.doc_id, ex.n_grams, count(b.g) AS n_hits
+      FROM ex LEFT JOIN bench b ON ex.g = b.g
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           round(n_hits / n_grams, 6) AS overlap_frac
+    FROM agg WHERE n_grams > 0
+    """,
+)
+def d06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-document fraction of distinct
+    word 5-grams that appear in a 'benchmark' set (every 97th doc) —
+    the eval-contamination screen run before any pretraining job
+    (GPT-3/Dolma n-gram method). The benchmark gram set is broadcast;
+    the corpus is never shuffled as text (see
+    operators/dedup.py:contamination_check)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    corpus = t["documents"].filter(F.col("doc_id") < 300)
+    benchmark = t["documents"].filter(F.col("doc_id") % 97 == 0)
+    return dedup.contamination_check(corpus, benchmark, "doc_id", "text", k=5)
+
+
+@register(
+    "t06_corpus_ngram_stats",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest([concat_ws(' ', t[i], t[i+1], t[i+2])
+                     for i in generate_series(1, len(t) - 2)]) AS g
+      FROM toks
+    )
+    SELECT g, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+           CAST(count(*) AS BIGINT) AS total_count
+    FROM grams GROUP BY g
+    ORDER BY doc_freq DESC, total_count DESC, g
+    LIMIT 20
+    """,
+)
+def t06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus n-gram statistics: top-20 word trigrams by document
+    frequency (ties broken by total count then gram) — the corpus
+    report behind tokenizer/BPE training and boilerplate detection.
+    One hash aggregate with map-side combine + TakeOrdered; documents
+    are never shuffled (see operators/dedup.py:corpus_ngram_stats)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return dedup.corpus_ngram_stats(t["documents"], "doc_id", "text", k=3, top=20)

@@ -163,3 +163,27 @@ def test_profile_is_single_scan(spark):
         plan = _plan(profile(orders, ["o_orderstatus", "o_orderpriority", "o_orderkey"],
                              approx=approx), mode="simple")
         assert plan.count("Scan parquet") == 1, plan
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark gram set must broadcast — the 100 TB corpus side
+    must never hash-shuffle for the gram join."""
+    from pg_datalake_spark.operators.dedup import contamination_check
+
+    docs = load_tables(spark, SF_DIR, ["documents"])["documents"]
+    out = contamination_check(
+        docs, docs.filter(F.col("doc_id") % 97 == 0), "doc_id", "text", k=5
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_corpus_ngram_stats_is_takeordered(spark):
+    """Top-k by frequency must be TakeOrderedAndProject after one
+    aggregate — never a global sort of the full gram table."""
+    from pg_datalake_spark.operators.dedup import corpus_ngram_stats
+
+    docs = load_tables(spark, SF_DIR, ["documents"])["documents"]
+    plan = _plan(corpus_ngram_stats(docs, "doc_id", "text", k=3, top=20))
+    assert "TakeOrderedAndProject" in plan
