@@ -178,3 +178,46 @@ def split_by_hash(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """GPT-style sequence packing: order documents deterministically
+    (md5(id) — engine-reproducible), concatenate token counts, and cut
+    at every ``budget`` tokens; each doc is assigned to the sequence
+    its FIRST token lands in. Returns the input plus
+    (start_pos, seq_id).
+
+    Scale shape — distributed exclusive prefix sum, never a global
+    single-partition window: the md5 hex's first character range-
+    buckets the order into 16 runs (the bucket is a PREFIX of the sort
+    key, so bucket-major order equals global order); a windowed cumsum
+    runs within each bucket in parallel, a 16-row window computes the
+    bucket offsets, and a broadcast join stitches them together.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    base = df.select("*", h.alias("__h"), F.substring(h, 1, 1).alias("__b"))
+    w_in = (
+        Window.partitionBy("__b")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = F.coalesce(F.sum(n_tokens_col).over(w_in), F.lit(0))
+    totals = base.groupBy("__b").agg(F.sum(n_tokens_col).alias("__tot"))
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__b", F.coalesce(F.sum("__tot").over(w_b), F.lit(0)).alias("__off")
+    )
+    return (
+        base.withColumn("__within", within)
+        .join(F.broadcast(offsets), "__b")
+        .withColumn("start_pos", (F.col("__off") + F.col("__within")).cast("long"))
+        .withColumn(
+            "seq_id", F.floor(F.col("start_pos") / F.lit(budget)).cast("long")
+        )
+        .drop("__h", "__b", "__within", "__off")
+    )

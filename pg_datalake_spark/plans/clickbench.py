@@ -40,7 +40,7 @@ def cb01(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS h,
            count(*) AS n,
            count(DISTINCT user_id) AS uniq_users,
-           avg(value) AS avg_value
+           round(avg(value), 6) AS avg_value
     FROM events
     WHERE event_type IN ('view', 'click')
     GROUP BY 1
@@ -55,7 +55,7 @@ def cb02(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.countDistinct("user_id").alias("uniq_users"),
-            F.avg("value").alias("avg_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
         )
     )
 

@@ -214,8 +214,8 @@ def f03(spark: SparkSession, sf_dir: str) -> DataFrame:
            date_trunc('week',  o_orderdate)  AS trunc_week,
            o_orderdate + INTERVAL 3 DAY      AS plus_3d,
            o_orderdate - INTERVAL 90 MINUTE  AS minus_90m,
-           CAST(o_orderdate AS DATE)         AS as_date,
-           last_day(CAST(o_orderdate AS DATE)) AS month_end
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR)         AS as_date,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
     FROM orders WHERE o_orderkey <= 300
     """,
 )
@@ -240,8 +240,10 @@ def f04(spark: SparkSession, sf_dir: str) -> DataFrame:
             pg_date_trunc("week", o).alias("trunc_week"),
             (o + F.expr("INTERVAL 3 DAY")).alias("plus_3d"),
             (o - F.expr("INTERVAL 90 MINUTE")).alias("minus_90m"),
-            o.cast("date").alias("as_date"),
-            F.last_day(o.cast("date")).alias("month_end"),
+            # stringified: DATE round-trips through pandas at different
+            # datetime64 resolutions per engine; the string form is exact
+            o.cast("date").cast("string").alias("as_date"),
+            F.last_day(o.cast("date")).cast("string").alias("month_end"),
         )
     )
 

@@ -309,7 +309,7 @@ def v04(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x02_salted_hot_key_agg",
     oracle="""
-    SELECT event_type, count(*) AS n, sum(value) AS sum_value
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
     FROM events
     GROUP BY event_type
     """,
@@ -321,9 +321,10 @@ def x02(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_datalake_spark.operators.skew import salted_agg
 
     t = load_tables(spark, sf_dir, ["events"])
-    return (
-        salted_agg(t["events"], ["event_type"], ["value"], salt=16)
-        .withColumnRenamed("sum_value", "sum_value")
+    # cent-valued sums: round(2) collapses the two-phase accumulation
+    # order onto the oracle's single-phase double (exact-hash clean)
+    return salted_agg(t["events"], ["event_type"], ["value"], salt=16).withColumn(
+        "sum_value", F.round("sum_value", 2)
     )
 
 
@@ -722,3 +723,49 @@ def t06(spark: SparkSession, sf_dir: str) -> DataFrame:
     are never shuffled (see operators/dedup.py:corpus_ngram_stats)."""
     t = load_tables(spark, sf_dir, ["documents"])
     return dedup.corpus_ngram_stats(t["documents"], "doc_id", "text", k=3, top=20)
+
+
+@register(
+    "x08_sequence_packing",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> x <> '')) AS n_tok
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, n_tok,
+             coalesce(sum(n_tok) OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_pos
+      FROM tok
+    )
+    SELECT CAST(floor(start_pos / 512) AS BIGINT) AS seq_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(min(start_pos) AS BIGINT) AS first_start
+    FROM pos GROUP BY 1
+    """,
+)
+def x08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing (concatenate-then-chunk at a
+    512-token budget): per packed sequence, how many docs start in it,
+    their token mass, and the first start offset. The oracle states
+    the packing as ONE global windowed cumsum; the Spark side computes
+    the identical prefix sum DISTRIBUTED (16 md5-prefix range buckets
+    + bucket-offset broadcast — operators/sampling.py:pack_sequences),
+    so the hash match proves the two formulations place every document
+    at the same global token offset."""
+    from pg_datalake_spark.operators.sampling import pack_sequences
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    counted = t["documents"].select(
+        "doc_id", textstats.token_count(F.col("text")).alias("n_tok")
+    )
+    packed = pack_sequences(counted, "doc_id", "n_tok", budget=512)
+    return packed.groupBy("seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.min("start_pos").cast("long").alias("first_start"),
+    )

@@ -212,10 +212,10 @@ def w01(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w02_rows_frame_running",
     oracle="""
     SELECT event_id, user_id,
-           sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum,
-           avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg3,
            max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS next3_max
     FROM events WHERE user_id < 20
@@ -224,14 +224,21 @@ def w01(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w02(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["events"])
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # values are exact cents → running sums are cent multiples; round(2)
+    # collapses accumulation-order noise so even the EXACT-hash gate
+    # (not just the tolerance parity gate) is clean on both engines
     return (
         t["events"]
         .filter(F.col("user_id") < 20)
         .select(
             "event_id",
             "user_id",
-            F.sum("value").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("running_sum"),
-            F.avg("value").over(w.rowsBetween(-2, W.currentRow)).alias("moving_avg3"),
+            F.round(
+                F.sum("value").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2
+            ).alias("running_sum"),
+            F.round(F.avg("value").over(w.rowsBetween(-2, W.currentRow)), 6).alias(
+                "moving_avg3"
+            ),
             F.max("value").over(w.rowsBetween(1, 3)).alias("next3_max"),
         )
     )
@@ -243,22 +250,23 @@ def w02(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, value,
            count(*) OVER (PARTITION BY user_id ORDER BY value
                           RANGE BETWEEN 10.0 PRECEDING AND 10.0 FOLLOWING) AS n_within_10,
-           sum(value) OVER (PARTITION BY user_id ORDER BY value
-                            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_by_value
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY value
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_by_value
     FROM events WHERE user_id < 10
     """,
 )
 def w03(spark: SparkSession, sf_dir: str) -> DataFrame:
     # non-integral RANGE offsets need the SQL form (PySpark's
-    # rangeBetween only takes ints)
+    # rangeBetween only takes ints); cent-valued sums round(2) so the
+    # exact-hash gate is clean (see w02)
     load_tables(spark, sf_dir, ["events"])
     return spark.sql(
         """
         SELECT event_id, user_id, value,
                count(*) OVER (PARTITION BY user_id ORDER BY value
                               RANGE BETWEEN 10.0 PRECEDING AND 10.0 FOLLOWING) AS n_within_10,
-               sum(value) OVER (PARTITION BY user_id ORDER BY value
-                                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_by_value
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY value
+                                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_by_value
         FROM events WHERE user_id < 10
         """
     )
@@ -338,16 +346,16 @@ def w05(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a01_stats_aggregates",
     oracle="""
     SELECT l_returnflag,
-           stddev_samp(l_extendedprice) AS sd_samp,
-           stddev_pop(l_extendedprice)  AS sd_pop,
-           var_samp(l_quantity)         AS v_samp,
-           var_pop(l_quantity)          AS v_pop,
-           corr(l_quantity, l_extendedprice)      AS cor,
-           covar_pop(l_quantity, l_extendedprice) AS cov_pop,
-           covar_samp(l_quantity, l_extendedprice) AS cov_samp,
-           regr_slope(l_extendedprice, l_quantity) AS slope,
-           regr_intercept(l_extendedprice, l_quantity) AS intercept,
-           regr_r2(l_extendedprice, l_quantity)   AS r2,
+           round(stddev_samp(l_extendedprice), 4) AS sd_samp,
+           round(stddev_pop(l_extendedprice), 4)  AS sd_pop,
+           round(var_samp(l_quantity), 6)         AS v_samp,
+           round(var_pop(l_quantity), 6)          AS v_pop,
+           round(corr(l_quantity, l_extendedprice), 8)      AS cor,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS cov_pop,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_samp,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 8)   AS r2,
            CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -359,16 +367,16 @@ def a01(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .groupBy("l_returnflag")
         .agg(
-            F.stddev_samp(p).alias("sd_samp"),
-            F.stddev_pop(p).alias("sd_pop"),
-            F.var_samp(q).alias("v_samp"),
-            F.var_pop(q).alias("v_pop"),
-            F.corr(q, p).alias("cor"),
-            F.covar_pop(q, p).alias("cov_pop"),
-            F.covar_samp(q, p).alias("cov_samp"),
-            F.regr_slope(p, q).alias("slope"),
-            F.regr_intercept(p, q).alias("intercept"),
-            F.regr_r2(p, q).alias("r2"),
+            F.round(F.stddev_samp(p), 4).alias("sd_samp"),
+            F.round(F.stddev_pop(p), 4).alias("sd_pop"),
+            F.round(F.var_samp(q), 6).alias("v_samp"),
+            F.round(F.var_pop(q), 6).alias("v_pop"),
+            F.round(F.corr(q, p), 8).alias("cor"),
+            F.round(F.covar_pop(q, p), 4).alias("cov_pop"),
+            F.round(F.covar_samp(q, p), 4).alias("cov_samp"),
+            F.round(F.regr_slope(p, q), 6).alias("slope"),
+            F.round(F.regr_intercept(p, q), 4).alias("intercept"),
+            F.round(F.regr_r2(p, q), 8).alias("r2"),
             F.regr_count(p, q).alias("n"),
         )
     )
@@ -1009,12 +1017,12 @@ def j06(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w06_frame_exclude_emulation",
     oracle="""
     SELECT event_id, user_id, value,
-           sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
-                            EXCLUDE CURRENT ROW) AS neighbor_sum,
-           avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            EXCLUDE CURRENT ROW), 2) AS neighbor_sum,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
-                            EXCLUDE CURRENT ROW) AS peer_avg
+                            EXCLUDE CURRENT ROW), 6) AS peer_avg
     FROM events WHERE user_id < 10
     """,
 )
@@ -1036,12 +1044,13 @@ def w06(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             "value",
-            (F.sum(v).over(frame) - v).alias("neighbor_sum"),
+            F.round(F.sum(v).over(frame) - v, 2).alias("neighbor_sum"),
             # nullif guards the single-row partition: ANSI mode throws
             # on x/0, while PG/DuckDB EXCLUDE over an empty frame is NULL
-            (
+            F.round(
                 (F.sum(v).over(full) - v)
-                / F.nullif(F.count(F.lit(1)).over(full) - 1, F.lit(0))
+                / F.nullif(F.count(F.lit(1)).over(full) - 1, F.lit(0)),
+                6,
             ).alias("peer_avg"),
         )
     )

@@ -223,3 +223,39 @@ def test_impute_median_and_validation(spark):
 
     with _pt.raises(ValueError, match="mean|median"):
         impute(df, ["v"], ["g"], "mode")
+
+
+def test_pack_sequences_matches_global_cumsum(spark):
+    """The 16-bucket distributed prefix sum must equal the naive
+    single-window global cumsum, for any repartitioning; boundaries
+    cut exactly at the budget."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pg_datalake_spark.operators.sampling import pack_sequences
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).alias("n_tok")
+    )
+    packed = pack_sequences(df.repartition(13), "doc_id", "n_tok", budget=100)
+    naive = df.withColumn(
+        "start_naive",
+        F.coalesce(
+            F.sum("n_tok").over(
+                Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    joined = packed.join(naive, "doc_id")
+    assert joined.filter(F.col("start_pos") != F.col("start_naive")).count() == 0
+    # every doc's sequence is its start offset divided by the budget
+    assert (
+        joined.filter(F.col("seq_id") != F.floor(F.col("start_naive") / 100)).count()
+        == 0
+    )
+    # offsets are dense: max start + its tokens == total tokens
+    total = df.agg(F.sum("n_tok")).first()[0]
+    last = packed.orderBy(F.desc("start_pos")).select("start_pos", "n_tok").first()
+    assert last.start_pos + last.n_tok == total
