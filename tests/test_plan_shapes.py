@@ -187,3 +187,22 @@ def test_corpus_ngram_stats_is_takeordered(spark):
     docs = load_tables(spark, SF_DIR, ["documents"])["documents"]
     plan = _plan(corpus_ngram_stats(docs, "doc_id", "text", k=3, top=20))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pack_sequences_distributed_prefix_sum(spark):
+    """The corpus-side cumsum window must partition by the 16 md5
+    buckets (parallel), with the bucket offsets arriving via broadcast
+    — a global single-partition window over the corpus would serialize
+    100 TB through one task."""
+    from pg_datalake_spark.operators.sampling import pack_sequences
+
+    df = spark.range(10000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).alias("n_tok")
+    )
+    plan = _plan(pack_sequences(df, "doc_id", "n_tok", 2048), "simple")
+    assert "Exchange hashpartitioning(__b" in plan  # bucketed big window
+    assert "BroadcastHashJoin" in plan              # offsets stitched by broadcast
+    # the one SinglePartition exchange is for the 16-row offsets window,
+    # downstream of a partial+final aggregate — never the raw corpus
+    before = plan.split("Exchange SinglePartition")[1]
+    assert "HashAggregate" in before
