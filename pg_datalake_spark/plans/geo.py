@@ -190,3 +190,60 @@ def geo01(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(S.st_distance_to_line(office_pt, corner), 6).alias("office_line_dist"),
         F.round(union_env["xmax"] - union_env["xmin"], 6).alias("union_w"),
     )
+
+
+@register(
+    "geo02_grid_spatial_join",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey, c_acctbal / 1000 AS x, (c_custkey % 100) / 10.0 AS y
+      FROM customer
+    ),
+    rings AS (
+      SELECT * FROM (VALUES (1, 3.0000005, 3.0000005, 2.0),
+                            (2, 7.0000005, 5.0000005, 2.5),
+                            (3, 5.0000005, 8.0000005, 1.5))
+             r(ring_id, cx, cy, rr)
+    )
+    SELECT ring_id, count(*) AS n_pts, CAST(sum(c_custkey) AS BIGINT) AS key_sum
+    FROM pts JOIN rings ON abs(x - cx) + abs(y - cy) < rr
+    GROUP BY ring_id
+    """,
+)
+def geo02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points-in-polygons via the grid-binned filter-and-refine spatial
+    join (functions.spatial.grid_spatial_join): three diamond rings
+    (L1 balls — their ray-cast containment equals the oracle's
+    |x-cx|+|y-cy| < r arithmetic, with off-grid centers so no point
+    sits on a boundary), customer-derived point cloud. The key-sum
+    hash-checks that both engines put the IDENTICAL points in each
+    polygon; the plan is a broadcast equi-join on grid cells — the
+    point side never shuffles and never nested-loops."""
+    t = load_tables(spark, sf_dir, ["customer"])
+    pts = t["customer"].select(
+        "c_custkey",
+        (F.col("c_acctbal") / 1000).alias("x"),
+        ((F.col("c_custkey") % 100) / 10.0).alias("y"),
+    )
+
+    def diamond(cx: float, cy: float, r: float):
+        return F.array(
+            S.st_point(F.lit(cx + r), F.lit(cy)),
+            S.st_point(F.lit(cx), F.lit(cy + r)),
+            S.st_point(F.lit(cx - r), F.lit(cy)),
+            S.st_point(F.lit(cx), F.lit(cy - r)),
+        )
+
+    rings = spark.createDataFrame(
+        [(1,), (2,), (3,)], "ring_id int"
+    ).withColumn(
+        "ring",
+        F.when(F.col("ring_id") == 1, diamond(3.0000005, 3.0000005, 2.0))
+        .when(F.col("ring_id") == 2, diamond(7.0000005, 5.0000005, 2.5))
+        .otherwise(diamond(5.0000005, 8.0000005, 1.5)),
+    )
+    joined = S.grid_spatial_join(pts, ("x", "y"), rings, "ring", cell=1.0)
+    return joined.groupBy("ring_id").agg(
+        F.count("*").alias("n_pts"),
+        F.sum("c_custkey").cast("long").alias("key_sum"),
+    )

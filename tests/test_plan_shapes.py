@@ -206,3 +206,36 @@ def test_pack_sequences_distributed_prefix_sum(spark):
     # downstream of a partial+final aggregate — never the raw corpus
     before = plan.split("Exchange SinglePartition")[1]
     assert "HashAggregate" in before
+
+
+def test_grid_spatial_join_no_nested_loop(spark):
+    """Points-in-polygons must compile to a broadcast EQUI-join on the
+    grid cell — the raw ST_Contains theta join is a BroadcastNestedLoop
+    over every (point, ring) pair, which melts at corpus scale."""
+    from pg_datalake_spark.functions import spatial as S
+
+    pts = spark.range(10000).select(
+        F.col("id"),
+        (F.col("id") % 100 / 10.0).alias("x"),
+        (F.col("id") % 97 / 10.0).alias("y"),
+    )
+    rings = spark.createDataFrame([(1,)], "ring_id int").withColumn(
+        "ring",
+        F.array(
+            S.st_point(F.lit(5.0), F.lit(3.0)),
+            S.st_point(F.lit(3.0), F.lit(5.0)),
+            S.st_point(F.lit(1.0), F.lit(3.0)),
+            S.st_point(F.lit(3.0), F.lit(1.0)),
+        ),
+    )
+    out = S.grid_spatial_join(pts, ("x", "y"), rings, "ring", cell=1.0)
+    plan = _plan(out, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    # refine step is exact: matches equal the naive theta-join result
+    naive = pts.crossJoin(rings).filter(
+        S.st_contains(F.col("ring"), S.st_point(F.col("x"), F.col("y")))
+    )
+    got = {(r.id, r.ring_id) for r in out.select("id", "ring_id").collect()}
+    want = {(r.id, r.ring_id) for r in naive.select("id", "ring_id").collect()}
+    assert got == want and got
