@@ -1153,7 +1153,7 @@ def j07(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(floor(date_part('epoch', ts) / 3600) * 3600 AS BIGINT) AS bucket,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
-      FROM events WHERE value > 400 GROUP BY 1, 2
+      FROM events WHERE value > 150 GROUP BY 1, 2
     ),
     ext AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1),
     grid AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS bucket FROM ext),
@@ -1195,8 +1195,8 @@ def j07(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w07(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style gap filling, BOTH modes as a tagged union:
-    sparse hourly sums (value > 400 keeps ~15 % of events, leaving
-    holes) densified per event_type with (a) last-observation-carried-
+    sparse hourly sums (value > 150 keeps ~5 % of events, leaving
+    most hourly buckets empty) densified per event_type with (a) last-observation-carried-
     forward via the gaps-and-islands formulation and (b) linear
     interpolation between the surrounding observations (framed window
     lookups, arithmetic mirrored term-for-term in the oracle so the
@@ -1206,7 +1206,7 @@ def w07(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["events"])
     obs = (
         t["events"]
-        .filter(F.col("value") > 400)
+        .filter(F.col("value") > 150)
         .groupBy(
             "event_type",
             (
