@@ -125,3 +125,65 @@ def test_sketch_error_bounds(spark):
         assert abs(r.approx_med - r.med) <= 0.10 * max(1.0, abs(r.med)), (
             f"approx median {r.approx_med} vs exact {r.med}"
         )
+
+
+# ---------------------------------------------------------------------------
+# d06: contamination invariants
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_invariants(spark):
+    """Benchmark docs screened against themselves are 100% contaminated;
+    a disjoint-vocabulary corpus is 0%; fractions stay in [0, 1]."""
+    from pg_datalake_spark.operators.dedup import contamination_check
+
+    docs = load_tables(spark, SF_DIR, ["documents"])["documents"]
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    self_check = contamination_check(bench, bench, "doc_id", "text", k=5)
+    rows = self_check.collect()
+    assert rows and all(r.overlap_frac == 1.0 for r in rows)
+
+    clean = spark.createDataFrame(
+        [(10_000 + i, "zzq" + " zzq".join(str(j) for j in range(i, i + 12)))
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = contamination_check(clean, bench, "doc_id", "text", k=5).collect()
+    assert out and all(r.n_hits == 0 and r.overlap_frac == 0.0 for r in out)
+
+    mixed = contamination_check(docs, bench, "doc_id", "text", k=5)
+    assert mixed.filter(
+        (F.col("overlap_frac") < 0) | (F.col("overlap_frac") > 1)
+        | (F.col("n_hits") > F.col("n_grams"))
+    ).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# x08: packing invariants under random token counts
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_invariants(spark):
+    """For arbitrary (deterministic-pseudorandom) token counts: offsets
+    are dense and non-overlapping, every sequence except the last
+    starts within budget of the previous, and total mass is conserved."""
+    from pg_datalake_spark.operators.sampling import pack_sequences
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64(F.col("id")), F.lit(997)) + 1).alias("n_tok"),
+    )
+    packed = pack_sequences(df, "doc_id", "n_tok", budget=4096).persist()
+    total = df.agg(F.sum("n_tok")).first()[0]
+    assert packed.agg(F.sum("n_tok")).first()[0] == total  # mass conserved
+    # offsets form an exact partition of [0, total): sorted starts ==
+    # exclusive cumsum of sizes
+    rows = packed.orderBy("start_pos").select("start_pos", "n_tok").collect()
+    acc = 0
+    for r in rows:
+        assert r.start_pos == acc
+        acc += r.n_tok
+    assert acc == total
+    # seq assignment is consistent with the cut points
+    bad = packed.filter(F.col("seq_id") != F.floor(F.col("start_pos") / 4096))
+    assert bad.count() == 0
