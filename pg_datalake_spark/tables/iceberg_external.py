@@ -356,6 +356,7 @@ def plan_scan(
         for pf in _identity_spec(meta)
         if pf["source-id"] in id_to_field
     }
+    tspec = {t["source"]: t for t in _transform_spec_from_meta(meta)}
     kept, skipped = [], []
     for e in snapshot_file_entries(location, snapshot_id, metadata_file):
         if e["content"] != 0:
@@ -369,6 +370,14 @@ def plan_scan(
                 keep = _partition_may_match(e, col, part_types[col], op, val)
             else:
                 keep = _file_may_match(e, f["id"], f["type"], op, val)
+            if keep and col in tspec:
+                t = tspec[col]
+                keep = _transform_partition_may_match(
+                    e,
+                    t["name"],
+                    op,
+                    _transform_literal(t["transform"], t["param"], val, t["src_type"]),
+                )
             if not keep:
                 break
         (kept if keep else skipped).append(e["path"])
@@ -430,6 +439,7 @@ def read_iceberg_table(
     part_types = dict(part_fields)
     if filters:
         by_name = {f["name"]: f for f in ice_schema["fields"]}
+        tspec = {t["source"]: t for t in _transform_spec_from_meta(meta0)}
         for col, op, val in filters:
             if col not in by_name:
                 raise ValueError(f"filter column {col!r} not in table schema")
@@ -443,6 +453,15 @@ def read_iceberg_table(
                 data = [
                     e for e in data
                     if _file_may_match(e, f["id"], f["type"], op, val)
+                ]
+            if col in tspec:
+                t = tspec[col]
+                tval = _transform_literal(
+                    t["transform"], t["param"], val, t["src_type"]
+                )
+                data = [
+                    e for e in data
+                    if _transform_partition_may_match(e, t["name"], op, tval)
                 ]
         if not data:
             return spark.createDataFrame([], _spark_ddl(ice_schema))
@@ -922,6 +941,240 @@ def _parse_partition_values(
     return vals
 
 
+_TIME_TRANSFORMS = ("year", "month", "day", "hour")
+
+
+def _parse_transform_spec(item: str) -> tuple[str, str, int | None]:
+    """Parse a ``partition_by`` entry: ``col`` (identity),
+    ``year(col)`` / ``month(col)`` / ``day(col)`` / ``hour(col)``,
+    or ``truncate(W, col)`` → (transform, col, param).
+
+    ``bucket(N, col)`` fails loud: the Iceberg spec's bucket transform
+    is murmur3_x86_32 over spec-serialized bytes; without a bit-exact
+    implementation, an external reader pruning ``bucket(N, col) = k``
+    against our recorded partition values would silently drop rows —
+    the one failure mode interop must never have. (The internal
+    LakeTable bucket transform is self-consistent and fine; it just
+    must not masquerade as spec-bucket.)"""
+    m = re.match(r"^(\w+)\(\s*(?:(\d+)\s*,\s*)?([\w.]+)\s*\)$", item)
+    if not m:
+        return ("identity", item, None)
+    tr, param, col = m.group(1), m.group(2), m.group(3)
+    if tr == "bucket":
+        raise NotImplementedError(
+            "bucket partitioning on external Iceberg exports requires a "
+            "bit-exact murmur3 spec-bucket implementation; use a time or "
+            "truncate transform (or the internal LakeTable format)"
+        )
+    if tr not in _TIME_TRANSFORMS and tr != "truncate":
+        raise ValueError(f"unknown partition transform {tr!r} in {item!r}")
+    if tr == "truncate" and param is None:
+        raise ValueError("truncate transform needs a width: truncate(W, col)")
+    return (tr, col, int(param) if param else None)
+
+
+def _parse_metadata_transform(transform: str) -> tuple[str, int | None]:
+    """Inverse of the spec-string encoding: 'month' → ('month', None),
+    'truncate[4]' → ('truncate', 4)."""
+    m = re.match(r"^(\w+)(?:\[(\d+)\])?$", transform)
+    if not m:
+        raise ValueError(f"unparseable transform {transform!r}")
+    return m.group(1), int(m.group(2)) if m.group(2) else None
+
+
+def _resolve_partition_spec(ice_schema: dict, partition_by: list[str]) -> list[dict]:
+    """Resolve ``partition_by`` entries (identity or transform syntax)
+    against the schema → field dicts with the partition-VALUE type and
+    the Iceberg metadata transform string. Derived values use the SPEC
+    encodings (year/month/day/hour = units since epoch, truncate =
+    width-floor), not calendar fields — external readers compute the
+    same encodings when pruning."""
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    out = []
+    for item in partition_by:
+        tr, col, param = _parse_transform_spec(item)
+        if col not in by_name:
+            raise ValueError(f"partition column {col!r} not in schema")
+        src_type = by_name[col]["type"]
+        if tr == "identity":
+            if src_type not in _PARTITION_AVRO_TYPES:
+                raise ValueError(
+                    f"identity partitioning on type {src_type!r} not supported "
+                    f"(supported: {sorted(_PARTITION_AVRO_TYPES)})"
+                )
+            name, ptype, spec_tr = col, src_type, "identity"
+        elif tr in _TIME_TRANSFORMS:
+            if src_type not in ("date", "timestamp", "timestamptz"):
+                raise ValueError(f"{tr}() needs a date/timestamp column, got {src_type!r}")
+            if tr == "hour" and src_type == "date":
+                raise ValueError("hour() is not defined for date columns")
+            name, ptype, spec_tr = f"{col}_{tr}", "int", tr
+        else:  # truncate
+            if src_type not in ("int", "long", "string"):
+                raise ValueError(f"truncate() needs int/long/string, got {src_type!r}")
+            name, ptype, spec_tr = f"{col}_trunc", src_type, f"truncate[{param}]"
+        out.append(
+            {
+                "name": name,
+                "transform": tr,
+                "spec_transform": spec_tr,
+                "source": col,
+                "source_id": by_name[col]["id"],
+                "param": param,
+                "ptype": ptype,
+            }
+        )
+    return out
+
+
+def _transform_write_column(field: dict) -> "F.Column":
+    """Spark Column computing the partition value per the Iceberg spec
+    (pure Column algebra — the derived column rides the normal
+    partitionBy write, source column stays in the data files)."""
+    c = F.col(field["source"])
+    tr, param = field["transform"], field["param"]
+    if tr == "year":
+        return (F.year(c) - 1970).cast("int")
+    if tr == "month":
+        return ((F.year(c) - 1970) * 12 + F.month(c) - 1).cast("int")
+    if tr == "day":
+        return F.unix_date(c.cast("date")).cast("int")
+    if tr == "hour":
+        return F.floor(
+            F.unix_micros(c.cast("timestamp")) / F.lit(3_600_000_000)
+        ).cast("int")
+    if tr == "truncate":
+        if field["ptype"] == "string":
+            return F.substring(c, 1, param)
+        return c - F.pmod(c, F.lit(param))
+    raise ValueError(f"no write column for transform {tr!r}")
+
+
+def _transform_literal(tr: str, param: int | None, v, src_type: str):
+    """Apply a partition transform to a FILTER literal driver-side, so
+    transform-partition values can prune (monotone transforms: the
+    comparison relaxes to non-strict on the partition value)."""
+    if tr == "identity":
+        return v
+    if tr in _TIME_TRANSFORMS:
+        if isinstance(v, str):
+            v = (
+                _dt.datetime.fromisoformat(v)
+                if len(v) > 10
+                else _dt.date.fromisoformat(v)
+            )
+        if isinstance(v, _dt.datetime):
+            d, dtv = v.date(), v
+        elif isinstance(v, _dt.date):
+            d, dtv = v, _dt.datetime(v.year, v.month, v.day)
+        else:
+            return None  # unprunable literal → no transform pruning
+        if tr == "year":
+            return d.year - 1970
+        if tr == "month":
+            return (d.year - 1970) * 12 + d.month - 1
+        if tr == "day":
+            return (d - _EPOCH_DATE).days
+        if tr == "hour":
+            base = _dt.datetime(1970, 1, 1, tzinfo=dtv.tzinfo)
+            return (dtv - base) // _dt.timedelta(hours=1)
+    if tr == "truncate":
+        if src_type == "string":
+            return str(v)[:param]
+        return int(v) - (int(v) % param)
+    return None
+
+
+def _transform_partition_may_match(entry: dict, name: str, op: str, tval) -> bool:
+    """Pruning against a TRANSFORMED partition value: many source
+    values share one partition, so range ops relax to non-strict
+    comparisons on the transform output (sound for the monotone
+    year/month/day/hour/truncate family)."""
+    pv = entry["partition"].get(name)
+    if pv is None or tval is None:
+        return True
+    try:
+        if op in ("=", "=="):
+            return pv == tval
+        if op in ("<", "<="):
+            return pv <= tval
+        if op in (">", ">="):
+            return pv >= tval
+    except TypeError:
+        return True
+    raise ValueError(f"unsupported filter op {op!r} (use = < <= > >=)")
+
+
+def _resolve_recorded_spec(spec: dict, ice_schema: dict) -> list[dict]:
+    """Resolve a RECORDED partition spec for writing (append/
+    overwrite): keep the recorded field names (they must match the
+    table's existing manifests — a genuinely external writer may not
+    follow our naming convention), parse the transform strings, and
+    type the partition values. Spec-bucket fails loud (no bit-exact
+    murmur3 spec-bucket here — writing wrong bucket values would make
+    external readers silently drop rows)."""
+    id_to_field = {f["id"]: f for f in ice_schema["fields"]}
+    out = []
+    for pf in spec["fields"]:
+        src = id_to_field[pf["source-id"]]
+        tr, param = _parse_metadata_transform(pf["transform"])
+        if tr == "bucket":
+            raise NotImplementedError(
+                "writing to a spec-bucket-partitioned external table is "
+                "unsupported (no bit-exact murmur3 spec-bucket here)"
+            )
+        if tr in _TIME_TRANSFORMS:
+            ptype = "int"
+        elif tr in ("identity", "truncate"):
+            ptype = src["type"]
+        else:
+            raise NotImplementedError(f"write with transform {tr!r} unsupported")
+        out.append(
+            {
+                "name": pf["name"],
+                "transform": tr,
+                "spec_transform": pf["transform"],
+                "source": src["name"],
+                "source_id": src["id"],
+                "param": param,
+                "ptype": ptype,
+            }
+        )
+    return out
+
+
+def _transform_spec_from_meta(meta: dict) -> list[dict]:
+    """Non-identity fields of the default spec, with parsed transform,
+    source column name/type — the read side's pruning map."""
+    spec = next(
+        (
+            s
+            for s in meta.get("partition-specs", [])
+            if s["spec-id"] == meta.get("default-spec-id", 0)
+        ),
+        None,
+    )
+    if not spec:
+        return []
+    id_to_field = {f["id"]: f for f in current_schema(meta)["fields"]}
+    out = []
+    for pf in spec["fields"]:
+        if pf["transform"] == "identity" or pf["source-id"] not in id_to_field:
+            continue
+        tr, param = _parse_metadata_transform(pf["transform"])
+        src = id_to_field[pf["source-id"]]
+        out.append(
+            {
+                "name": pf["name"],
+                "transform": tr,
+                "param": param,
+                "source": src["name"],
+                "src_type": src["type"],
+            }
+        )
+    return out
+
+
 def _partition_spec_fields(
     ice_schema: dict, partition_by: list[str]
 ) -> list[tuple[str, str]]:
@@ -948,22 +1201,31 @@ def export_iceberg_snapshot(
     extra_summary: dict | None = None,
 ) -> int:
     """Write ``df`` as a new Iceberg v2 table at ``location``; returns
-    the snapshot id. ``partition_by`` columns become an identity
-    partition spec: data lands under col=value directories, manifests
-    record the typed partition tuple per file (the read side restores
-    the columns FROM THE MANIFESTS and prunes on them — hidden
-    partitioning, values never re-inferred from paths). Use
-    :func:`add_position_deletes` / :func:`add_equality_deletes` for
+    the snapshot id. ``partition_by`` entries are identity columns
+    (``"col"``) or hidden transforms (``"year(col)"``, ``"month(col)"``,
+    ``"day(col)"``, ``"hour(col)"``, ``"truncate(W, col)"`` — encoded
+    per the Iceberg spec: units since epoch / width-floor, so external
+    readers prune correctly). Data lands under name=value directories,
+    manifests record the typed partition tuple per file (the read side
+    restores IDENTITY columns FROM THE MANIFESTS and prunes on all of
+    them — hidden partitioning, values never re-inferred from paths;
+    transform partitions keep the source column in the data files).
+    Use :func:`add_position_deletes` / :func:`add_equality_deletes` for
     follow-up merge-on-read delete snapshots."""
     spark = df.sparkSession
     data_dir = os.path.join(location, "data")
     meta_dir = os.path.join(location, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     ice_schema = _iceberg_schema(df.schema)
-    part_fields = _partition_spec_fields(ice_schema, partition_by or [])
-    writer = df.write.mode("error")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
+    spec_fields = _resolve_partition_spec(ice_schema, partition_by or [])
+    part_fields = [(f["name"], f["ptype"]) for f in spec_fields]
+    out_df = df
+    for f in spec_fields:
+        if f["transform"] != "identity":
+            out_df = out_df.withColumn(f["name"], _transform_write_column(f))
+    writer = out_df.write.mode("error")
+    if spec_fields:
+        writer = writer.partitionBy(*[f["name"] for f in spec_fields])
     writer.parquet(data_dir)
     snapshot_id = int(uuid.uuid4().int % (1 << 62))
     now_ms = int(time.time() * 1000)
@@ -1015,18 +1277,16 @@ def export_iceberg_snapshot(
                 "spec-id": 0,
                 "fields": [
                     {
-                        "name": n,
-                        "transform": "identity",
-                        "source-id": next(
-                            f["id"] for f in ice_schema["fields"] if f["name"] == n
-                        ),
+                        "name": f["name"],
+                        "transform": f["spec_transform"],
+                        "source-id": f["source_id"],
                         "field-id": 1000 + i,
                     }
-                    for i, (n, _) in enumerate(part_fields)
+                    for i, f in enumerate(spec_fields)
                 ],
             }
         ],
-        "last-partition-id": 999 + len(part_fields),
+        "last-partition-id": 999 + len(spec_fields),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {"write.format.default": "parquet"},
@@ -1149,15 +1409,17 @@ def append_snapshot(
     spec = next(
         s for s in meta["partition-specs"] if s["spec-id"] == meta["default-spec-id"]
     )
-    if any(f["transform"] != "identity" for f in spec["fields"]):
-        raise NotImplementedError("append supports identity partition specs only")
-    partition_by = [f["name"] for f in spec["fields"]]
-    part_fields = _partition_spec_fields(ice_schema, partition_by)
+    spec_fields = _resolve_recorded_spec(spec, ice_schema)
+    part_fields = [(f["name"], f["ptype"]) for f in spec_fields]
 
     data_dir = os.path.join(_local(location), "data", f"append-{uuid.uuid4()}")
-    writer = df.write.mode("error")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
+    out_df = df
+    for f in spec_fields:
+        if f["transform"] != "identity":
+            out_df = out_df.withColumn(f["name"], _transform_write_column(f))
+    writer = out_df.write.mode("error")
+    if spec_fields:
+        writer = writer.partitionBy(*[f["name"] for f in spec_fields])
     writer.parquet(data_dir)
     snapshot_id = int(uuid.uuid4().int % (1 << 62))
     seq = meta["last-sequence-number"] + 1
@@ -1335,8 +1597,9 @@ def overwrite_snapshot(df: DataFrame, location: str) -> int:
     """Commit an OVERWRITE snapshot: the table's contents are replaced
     by ``df`` (new data files in a fresh manifest list that references
     no prior manifest). Prior snapshots stay pinned-readable until
-    :func:`expire_snapshots` reclaims them. Honors the table's identity
-    partition spec, like :func:`append_snapshot`."""
+    :func:`expire_snapshots` reclaims them. Honors the table's
+    partition spec (identity and time/truncate transforms), like
+    :func:`append_snapshot`."""
     meta = load_table_metadata(location)
     ice_schema = current_schema(meta)
     expected = [f["name"] for f in ice_schema["fields"]]
@@ -1348,13 +1611,17 @@ def overwrite_snapshot(df: DataFrame, location: str) -> int:
     spec = next(
         s for s in meta["partition-specs"] if s["spec-id"] == meta["default-spec-id"]
     )
-    partition_by = [f["name"] for f in spec["fields"] if f["transform"] == "identity"]
-    part_fields = _partition_spec_fields(ice_schema, partition_by)
+    spec_fields = _resolve_recorded_spec(spec, ice_schema)
+    part_fields = [(f["name"], f["ptype"]) for f in spec_fields]
 
     data_dir = os.path.join(_local(location), "data", f"overwrite-{uuid.uuid4()}")
-    writer = df.write.mode("error")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
+    out_df = df
+    for f in spec_fields:
+        if f["transform"] != "identity":
+            out_df = out_df.withColumn(f["name"], _transform_write_column(f))
+    writer = out_df.write.mode("error")
+    if spec_fields:
+        writer = writer.partitionBy(*[f["name"] for f in spec_fields])
     writer.parquet(data_dir)
     snapshot_id = int(uuid.uuid4().int % (1 << 62))
     seq = meta["last-sequence-number"] + 1

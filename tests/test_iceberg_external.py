@@ -34,6 +34,7 @@ from pg_datalake_spark.tables.iceberg_external import (
     append_snapshot,
     export_iceberg_snapshot,
     load_table_metadata,
+    plan_scan,
     read_iceberg_table,
     snapshot_files,
 )
@@ -1063,3 +1064,91 @@ def test_position_deletes_source_has_no_row_collect():
     for fn in (ie.add_position_deletes_df, ie._commit_delete_files):
         src = inspect.getsource(fn)
         assert ".collect()" not in src and "toPandas" not in src, fn.__name__
+
+
+# -- hidden transform partitions (round 5) ------------------------------
+
+
+def test_export_month_transform_roundtrip_and_pruning(spark):
+    """month(col) exports an Iceberg-spec month partition (months since
+    1970-01), reads back losslessly (source column stays in data
+    files), and prunes on the transformed partition values from the
+    manifests alone."""
+    orders = load_tables(spark, SF_DIR, ["orders"])["orders"]
+    loc = tempfile.mkdtemp(prefix="icemonth_") + "/t"
+    export_iceberg_snapshot(orders, loc, partition_by=["month(o_orderdate)"])
+    meta = load_table_metadata(loc)
+    [pf] = meta["partition-specs"][0]["fields"]
+    assert pf["transform"] == "month" and pf["name"] == "o_orderdate_month"
+
+    back = read_iceberg_table(spark, loc)
+    assert back.count() == orders.count()
+    assert back.schema == orders.schema  # source column restored from files
+
+    # spec encoding: months since 1970-01 (not calendar month)
+    from pg_datalake_spark.tables.iceberg_external import snapshot_file_entries
+
+    vals = {
+        e["partition"]["o_orderdate_month"]
+        for e in snapshot_file_entries(loc)
+        if e["content"] == 0
+    }
+    lo = orders.agg(F.min("o_orderdate")).first()[0]
+    assert (lo.year - 1970) * 12 + lo.month - 1 in vals
+
+    plan = plan_scan(
+        loc,
+        filters=[("o_orderdate", ">=", "1995-06-01"), ("o_orderdate", "<", "1995-07-01")],
+    )
+    assert plan["skipped"] and len(plan["kept"]) <= 2  # one month ± boundary
+    got = read_iceberg_table(
+        spark, loc, filters=[("o_orderdate", ">=", "1995-06-01")]
+    ).count()
+    assert got == orders.filter(F.col("o_orderdate") >= "1995-06-01").count()
+
+
+def test_export_truncate_transform_and_append(spark):
+    """truncate(W, string): width-floor partition values; appends honor
+    the RECORDED spec (names included) and land in the same layout."""
+    orders = load_tables(spark, SF_DIR, ["orders"])["orders"]
+    loc = tempfile.mkdtemp(prefix="icetrunc_") + "/t"
+    export_iceberg_snapshot(orders, loc, partition_by=["truncate(4, o_orderpriority)"])
+    meta = load_table_metadata(loc)
+    [pf] = meta["partition-specs"][0]["fields"]
+    assert pf["transform"] == "truncate[4]" and pf["name"] == "o_orderpriority_trunc"
+
+    extra = orders.filter(F.col("o_orderkey") <= 200)
+    n, n_extra = orders.count(), extra.count()
+    assert read_iceberg_table(spark, loc).count() == n
+    append_snapshot(extra, loc)
+    assert read_iceberg_table(spark, loc).count() == n + n_extra
+    # equality filter on the source prunes via the truncated value
+    plan = plan_scan(loc, filters=[("o_orderpriority", "=", "1-URGENT")])
+    assert plan["skipped"]
+    got = read_iceberg_table(
+        spark, loc, filters=[("o_orderpriority", "=", "1-URGENT")]
+    ).count()
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    assert got == orders.filter(urgent).count() + extra.filter(urgent).count()
+
+
+def test_bucket_transform_fails_loud(spark):
+    """Spec-bucket needs bit-exact murmur3; anything else would make
+    external readers silently drop rows — must refuse."""
+    orders = load_tables(spark, SF_DIR, ["orders"])["orders"]
+    loc = tempfile.mkdtemp(prefix="icebucket_") + "/t"
+    with pytest.raises(NotImplementedError, match="murmur3"):
+        export_iceberg_snapshot(orders, loc, partition_by=["bucket(16, o_custkey)"])
+
+
+def test_hour_transform_on_events(spark):
+    """hour(ts): hours since epoch over the timestamp_ntz events."""
+    events = load_tables(spark, SF_DIR, ["events"])["events"]
+    sub = events.filter(F.col("event_id") <= 500).select("event_id", "ts", "value")
+    loc = tempfile.mkdtemp(prefix="icehour_") + "/t"
+    export_iceberg_snapshot(sub, loc, partition_by=["hour(ts)"])
+    back = read_iceberg_table(spark, loc)
+    assert back.count() == sub.count()
+    agg_a = back.agg(F.sum(F.round(F.col("value") * 100).cast("long"))).first()[0]
+    agg_b = sub.agg(F.sum(F.round(F.col("value") * 100).cast("long"))).first()[0]
+    assert agg_a == agg_b
