@@ -68,6 +68,7 @@ __all__ = [
     "st_closestpoint",
     "st_distance_to_line",
     "grid_spatial_join",
+    "knn_within_radius_join",
     "st_aswkb",
     "st_geomfromwkb",
 ]
@@ -538,4 +539,68 @@ def grid_spatial_join(
         pts.join(F.broadcast(cells), ["__cx", "__cy"])
         .filter(st_contains(ring, st_point(F.col(px), F.col(py))))
         .drop("__cx", "__cy")
+    )
+
+
+def knn_within_radius_join(
+    a: "DataFrame",
+    a_id: str,
+    a_cols: tuple[str, str],
+    b: "DataFrame",
+    b_id: str,
+    b_cols: tuple[str, str],
+    radius: float,
+    k: int,
+) -> "DataFrame":
+    """For every ``a`` point: its ``k`` nearest ``b`` points within
+    ``radius`` (distance-bounded kNN — the exact, scale-sound variant:
+    unbounded kNN needs iterative cell expansion, but a radius bound
+    makes one 3×3 neighborhood pass complete by construction).
+
+    Shape: grid cells of size ``radius``; the ``b`` side explodes onto
+    its cell's 3×3 neighborhood (9×, reference-set-sized), ``a`` maps
+    to exactly one cell; a hash equi-join on the cell yields every
+    candidate within ``radius`` (any point closer than ``radius`` is
+    in a neighboring cell by construction), the exact distance filter
+    refines, and a per-``a`` rank window takes the k nearest
+    (ties broken by ``b_id`` for engine-independent results).
+    Distances use x*x multiplication (IEEE-exact), never pow().
+    """
+    from pyspark.sql.window import Window
+
+    ax, ay = a_cols
+    bx, by = b_cols
+    c = F.lit(float(radius))
+    pa = a.withColumn("__cx", F.floor(F.col(ax) / c).cast("long")).withColumn(
+        "__cy", F.floor(F.col(ay) / c).cast("long")
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    pb = (
+        b.withColumn("__bcx", F.floor(F.col(bx) / c).cast("long"))
+        .withColumn("__bcy", F.floor(F.col(by) / c).cast("long"))
+        .withColumn(
+            "__n",
+            F.explode(
+                F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offs])
+            ),
+        )
+        .select(
+            F.col(b_id),
+            F.col(bx),
+            F.col(by),
+            (F.col("__bcx") + F.col("__n.dx")).alias("__cx"),
+            (F.col("__bcy") + F.col("__n.dy")).alias("__cy"),
+        )
+    )
+    ddx = F.col(ax) - F.col(bx)
+    ddy = F.col(ay) - F.col(by)
+    dist = F.sqrt(ddx * ddx + ddy * ddy)
+    w = Window.partitionBy(a_id).orderBy("dist", b_id)
+    return (
+        pa.join(pb, ["__cx", "__cy"])
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= radius)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__cx", "__cy", "__rk")
     )

@@ -221,3 +221,41 @@ def pack_sequences(
         )
         .drop("__h", "__b", "__within", "__off")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-Res,
+    Efraimidis-Spirakis): each row draws u ∈ (0,1) from md5(salt+id)
+    — reproducible on any engine, any partitioning — and the k rows
+    with the largest u^(1/w) are kept, giving inclusion probability
+    proportional to ``weight_col``. The quality-weighted corpus
+    subsample every data-mixing pipeline needs, stable across re-runs.
+
+    One narrow map + TakeOrdered(k) — the corpus never shuffles.
+    Exact-oracle note: the key uses ln/exp (libm, not IEEE-exact), so
+    cross-engine verification is by property (determinism, weight
+    monotonicity), not value hash.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 13),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**13 + 2))  # strictly inside (0, 1)
+    key = F.log(u) / F.col(weight_col)  # maximize u^(1/w) ⇔ maximize ln(u)/w
+    return (
+        df.withColumn("__key", key)
+        .orderBy(F.desc("__key"), id_col)
+        .limit(k)
+        .drop("__key")
+    )

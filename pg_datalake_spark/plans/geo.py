@@ -247,3 +247,53 @@ def geo02(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pts"),
         F.sum("c_custkey").cast("long").alias("key_sum"),
     )
+
+
+@register(
+    "geo03_knn_radius_join",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey, c_acctbal / 1000 AS x, (c_custkey % 100) / 10.0 AS y
+      FROM customer
+    ),
+    a AS (SELECT c_custkey AS a_id, x, y FROM pts WHERE c_custkey % 10 = 1),
+    b AS (SELECT c_custkey AS b_id, x AS bx, y AS by FROM pts WHERE c_custkey % 7 = 0),
+    cand AS (
+      SELECT a_id, b_id,
+             sqrt((a.x - b.bx) * (a.x - b.bx) + (a.y - b.by) * (a.y - b.by)) AS dist
+      FROM a JOIN b ON (a.x - b.bx) * (a.x - b.bx) + (a.y - b.by) * (a.y - b.by) <= 1.0
+    ),
+    ranked AS (
+      SELECT a_id, b_id, dist,
+             row_number() OVER (PARTITION BY a_id ORDER BY dist, b_id) AS rk
+      FROM cand
+    )
+    SELECT a_id, b_id, dist FROM ranked WHERE rk <= 3
+    """,
+)
+def geo03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-bounded k-nearest-neighbor join (3 nearest facilities
+    within radius 1.0 per query point) via the 3×3 grid-neighborhood
+    equi-join (functions.spatial.knn_within_radius_join) — exact by
+    construction, vs the oracle's quadratic theta join. Distances are
+    x*x-form (IEEE-exact, no libm pow), so the doubles hash-match
+    unrounded; ties break on b_id for engine-independent ranking."""
+    t = load_tables(spark, sf_dir, ["customer"])
+    pts = t["customer"].select(
+        "c_custkey",
+        (F.col("c_acctbal") / 1000).alias("x"),
+        ((F.col("c_custkey") % 100) / 10.0).alias("y"),
+    )
+    a = pts.filter(F.col("c_custkey") % 10 == 1).select(
+        F.col("c_custkey").alias("a_id"), "x", "y"
+    )
+    b = pts.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+    )
+    from pg_datalake_spark.functions.spatial import knn_within_radius_join
+
+    out = knn_within_radius_join(a, "a_id", ("x", "y"), b, "b_id", ("bx", "by"),
+                                 radius=1.0, k=3)
+    return out.select("a_id", "b_id", "dist")

@@ -769,3 +769,21 @@ def x08(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("n_tokens"),
         F.min("start_pos").cast("long").alias("first_start"),
     )
+
+
+@register("x09_weighted_sample")  # rows-only: the A-Res key uses libm ln —
+# not bit-reproducible across engines; verified by property tests instead
+def x09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus subsample: 500 documents drawn without
+    replacement with inclusion probability proportional to the t01
+    quality score (Efraimidis-Spirakis A-Res over md5-derived
+    uniforms — deterministic across runs, engines, and partitioning;
+    operators/sampling.py:weighted_sample). One narrow map +
+    TakeOrdered, no corpus shuffle."""
+    from pg_datalake_spark.operators.sampling import weighted_sample
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    scored = t["documents"].select(
+        "doc_id", (textstats.quality_score(F.col("text")) + F.lit(0.01)).alias("w")
+    )
+    return weighted_sample(scored, "doc_id", "w", k=500, salt="x09")

@@ -187,3 +187,34 @@ def test_pack_sequences_invariants(spark):
     # seq assignment is consistent with the cut points
     bad = packed.filter(F.col("seq_id") != F.floor(F.col("start_pos") / 4096))
     assert bad.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# x09: weighted sampling properties
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_deterministic_and_weight_monotone(spark):
+    """Same inputs → identical sample regardless of partitioning; and
+    across many salts, a row with 10× weight is included ~an order of
+    magnitude more often than a peer at the same salt budget."""
+    from pg_datalake_spark.operators.sampling import weighted_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, 10.0).otherwise(1.0).alias("w"),
+    )
+    s1 = {r.doc_id for r in weighted_sample(df, "doc_id", "w", k=200, salt="s").collect()}
+    s2 = {
+        r.doc_id
+        for r in weighted_sample(df.repartition(17), "doc_id", "w", k=200, salt="s").collect()
+    }
+    assert s1 == s2 and len(s1) == 200  # partitioning-invariant
+
+    # heavy rows (5% of corpus, weight 10×) should take a large share
+    heavy_share = len([i for i in s1 if i < 100]) / 200
+    assert heavy_share > 0.15  # ≫ the 5% population share
+
+    # different salt → different (but still deterministic) sample
+    s3 = {r.doc_id for r in weighted_sample(df, "doc_id", "w", k=200, salt="t").collect()}
+    assert s3 != s1
