@@ -244,3 +244,55 @@ def st02_st04(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed = st02(spark, sf_dir).select(F.lit("windowed").alias("arm"), "*")
     rollup = st04(spark, sf_dir).select(F.lit("rollup").alias("arm"), "*")
     return windowed.unionByName(rollup)
+
+
+@register(
+    "st06_native_session_window",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id < 50
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS session_start,
+           CAST(epoch_us(max(ts)) + 1800000000 AS BIGINT) AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def st06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window (the streaming sessionization
+    operator — identical code path under readStream with a watermark;
+    batch here so the oracle can replay it): sessions close after a
+    30-minute silence, window.end = last event + gap. The oracle
+    states the same sessions via the gaps-and-islands formulation with
+    Spark's >=-gap boundary semantics; start/end compare as epoch µs."""
+    t = load_tables(spark, sf_dir, ["events"])
+    sw = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+    return (
+        t["events"]
+        .filter(F.col("user_id") < 50)
+        .groupBy(sw, "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end"),
+            "n_events",
+            "value_cents",
+        )
+    )

@@ -2020,3 +2020,28 @@ def iceberg_data_file_stats(
         "file_path string, num_rows long, file_size_bytes long, "
         "num_row_groups int, total_uncompressed_bytes long",
     )
+
+
+def iceberg_partitions(
+    spark: SparkSession, location: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Per-partition rollup of a snapshot's data files (the
+    ``partitions`` metadata-table every Iceberg engine exposes): one
+    row per distinct partition tuple with file/row/byte totals —
+    metadata-only, no data read. The partition tuple renders as JSON
+    text (tuples vary in shape across specs)."""
+    import json as _json
+
+    agg: dict[str, list] = {}
+    for d in _live_entries(location, snapshot_id):
+        if (d.get("content", 0) or 0) != 0:
+            continue
+        key = _json.dumps(d.get("partition") or {}, sort_keys=True, default=str)
+        slot = agg.setdefault(key, [0, 0, 0])
+        slot[0] += 1
+        slot[1] += d.get("record_count") or 0
+        slot[2] += d.get("file_size_in_bytes") or 0
+    rows = [(k, v[0], v[1], v[2]) for k, v in sorted(agg.items())]
+    return spark.createDataFrame(
+        rows, "partition string, file_count long, record_count long, total_bytes long"
+    )

@@ -1152,3 +1152,23 @@ def test_hour_transform_on_events(spark):
     agg_a = back.agg(F.sum(F.round(F.col("value") * 100).cast("long"))).first()[0]
     agg_b = sub.agg(F.sum(F.round(F.col("value") * 100).cast("long"))).first()[0]
     assert agg_a == agg_b
+
+
+def test_iceberg_partitions_view(spark):
+    """partitions(): one row per partition tuple, totals equal the
+    table's row count — for identity and transform specs alike."""
+    from pg_datalake_spark.tables.iceberg_external import iceberg_partitions
+
+    orders = load_tables(spark, SF_DIR, ["orders"])["orders"]
+    loc = tempfile.mkdtemp(prefix="iceparts_") + "/t"
+    export_iceberg_snapshot(orders, loc, partition_by=["month(o_orderdate)"])
+    parts = iceberg_partitions(spark, loc)
+    rows = parts.collect()
+    assert len(rows) > 1  # multiple months at this SF
+    assert sum(r.record_count for r in rows) == orders.count()
+    assert all("o_orderdate_month" in r.partition for r in rows)
+    # unpartitioned: a single empty-tuple row
+    loc2 = tempfile.mkdtemp(prefix="icepartsu_") + "/t"
+    export_iceberg_snapshot(orders, loc2)
+    [only] = iceberg_partitions(spark, loc2).collect()
+    assert only.partition == "{}" and only.record_count == orders.count()
