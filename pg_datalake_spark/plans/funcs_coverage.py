@@ -744,3 +744,69 @@ def f17(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.variant_get(v, "$.k", "bigint") * 2).alias("k_doubled"),
         )
     )
+
+
+@register(
+    "u02_python_udtf",
+    oracle="""
+    SELECT n_nationkey, CAST(pos AS INT) AS pos, word
+    FROM (
+      SELECT n_nationkey,
+             generate_subscripts(string_split(n_name, '_'), 1) AS pos,
+             unnest(string_split(n_name, '_')) AS word
+      FROM nation
+    ) t
+    """,
+)
+def u02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (SURVEY §2.11 — the table-function escape hatch,
+    Spark 4 ``@udtf``): one input row expands to N output rows with
+    positions. The oracle replays it with unnest + generate_subscripts;
+    the UDTF is the sanctioned path for set-returning Python logic the
+    built-in generators can't express (here they could — which is what
+    makes it oracle-checkable)."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos int, word string")
+    class SplitWords:
+        def eval(self, name: str):
+            for i, w in enumerate(str(name).split("_")):
+                yield i + 1, w
+
+    load_tables(spark, sf_dir, ["nation"])
+    spark.udtf.register("split_words_udtf", SplitWords)
+    return spark.sql(
+        """
+        SELECT n.n_nationkey, s.pos, s.word
+        FROM nation n, LATERAL split_words_udtf(n.n_name) s
+        """
+    )
+
+
+@register(
+    "u03_pandas_udaf",
+    oracle="""
+    SELECT o_orderstatus,
+           round(sum(o_totalprice * o_custkey) / sum(o_custkey), 6) AS wmean
+    FROM orders WHERE o_orderkey <= 2000
+    GROUP BY o_orderstatus
+    """,
+)
+def u03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF (grouped-agg pandas UDF — SURVEY §2.11's custom-
+    aggregate surface): a custom weighted mean per group, Arrow-batched
+    Series→scalar, numerically mirrored by the oracle's sum/sum
+    formulation (round(6) absorbs accumulation-order ulps)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wmean(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") <= 2000)
+        .groupBy("o_orderstatus")
+        .agg(F.round(wmean("o_totalprice", "o_custkey"), 6).alias("wmean"))
+    )
