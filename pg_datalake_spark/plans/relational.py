@@ -967,7 +967,7 @@ def g04(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(DISTINCT l_suppkey)                     AS n_supp,
            count(DISTINCT l_partkey)                     AS n_part,
            CAST(sum(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_distinct_qty,
-           avg(DISTINCT l_discount)                      AS avg_distinct_disc
+           round(avg(DISTINCT l_discount), 9)            AS avg_distinct_disc
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -991,7 +991,10 @@ def a05(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("l_returnflag", "l_discount")
             .distinct()
             .groupBy("l_returnflag")
-            .agg(F.avg("l_discount").alias("avg_distinct_disc")),
+            # distinct doubles sum in partition order — round(9) pins
+            # the accumulation-order ulp so the exact-hash gate is
+            # deterministic run to run
+            .agg(F.round(F.avg("l_discount"), 9).alias("avg_distinct_disc")),
             "l_returnflag",
         )
     )
