@@ -570,6 +570,12 @@ def knn_within_radius_join(
 
     ax, ay = a_cols
     bx, by = b_cols
+    overlap = (set(a.columns) & {b_id, bx, by}) | ({a_id, ax, ay} & set(b.columns))
+    if overlap:
+        raise ValueError(
+            f"knn_within_radius_join needs disjoint column names between the "
+            f"two sides; rename {sorted(overlap)} first"
+        )
     c = F.lit(float(radius))
     pa = a.withColumn("__cx", F.floor(F.col(ax) / c).cast("long")).withColumn(
         "__cy", F.floor(F.col(ay) / c).cast("long")

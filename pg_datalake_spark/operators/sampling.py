@@ -253,8 +253,11 @@ def weighted_sample(
         + F.lit(1.0)
     ) / F.lit(float(16**13 + 2))  # strictly inside (0, 1)
     key = F.log(u) / F.col(weight_col)  # maximize u^(1/w) ⇔ maximize ln(u)/w
+    # A-Res is defined for positive weights only; non-positive rows are
+    # unsampleable (a w<0 key would flip sign and dominate the ranking)
     return (
-        df.withColumn("__key", key)
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__key", key)
         .orderBy(F.desc("__key"), id_col)
         .limit(k)
         .drop("__key")

@@ -408,6 +408,10 @@ class LakeTable:
             )
         for d in eqs:
             cols = d.equality_columns or []
+            # a delete with no captured scope deletes nothing (and an
+            # empty isin() below would throw) — skip it
+            if not cols or not d.applies_to:
+                continue
             keys = (
                 self.spark.read.parquet(d.path)
                 .select(*[F.col(c).alias(f"__eq_{c}") for c in cols])
