@@ -45,6 +45,10 @@ HEADLINE = [
     "d03_simhash",
     "v01_cosine_topk",
     "t01_text_quality",
+    # r6: TPC-DS shapes (appended — the 15 keys above keep their history)
+    "ds36_margin_rollup_rank",
+    "ds51_cumulative_channels",
+    "ds67_rollup_rank_topk",
 ]
 
 

@@ -8,13 +8,15 @@ def load_all() -> None:
 
     ORDER MATTERS: the driver verifies only the FIRST 50 registered
     queries, so the modules that make up the verified window come
-    first — 14 coverage suites + 22 TPC-H + 7 lakeops + 5 sources/
-    streaming (src01+src02 and st02+st04 merged) + st05 + geo01 =
-    exactly 50. Everything after remains registered for the local
-    parity gate (tests/test_oracle_parity.py) and bench. Suite oracles
-    that wrap feeder queries registered later (llmops/relational) are
-    lazy callables, resolved after load_all() completes — see
-    registry._OracleDict.
+    first — 22 TPC-H + 16 suites (13 coverage merges + the r6 geo
+    suite + the r6 TPC-DS suite + x09 rows-only) + 7 lakeops + 4
+    sources/streaming (src01+src02+src03 and st02+st04+st06 merged)
+    + st05 = exactly 50. tests/test_registry_window.py locks this
+    list against a checked-in manifest. Everything after remains
+    registered for the local parity gate (tests/test_oracle_parity.py)
+    and bench. Suite oracles that wrap feeder queries registered
+    later (llmops/relational/geo/tpcds) are lazy callables, resolved
+    after load_all() completes — see registry._OracleDict.
     """
     from pg_datalake_spark.plans import (  # noqa: F401
         suites,
@@ -28,4 +30,5 @@ def load_all() -> None:
         llmops,
         multimodal_q,
         relational,
+        tpcds,
     )

@@ -771,8 +771,9 @@ def x08(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x09_weighted_sample")  # rows-only: the A-Res key uses libm ln —
-# not bit-reproducible across engines; verified by property tests instead
+# Rows-only by design (the A-Res key uses libm ln — not bit-reproducible
+# across engines); registered in the driver window by plans/suites.py
+# (x09_weighted_sample), verified by property tests in test_operators.py.
 def x09(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted corpus subsample: 500 documents drawn without
     replacement with inclusion probability proportional to the t01

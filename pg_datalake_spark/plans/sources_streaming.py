@@ -14,7 +14,7 @@ from pg_datalake_spark.streaming import incremental_file_ingest, windowed_event_
 
 
 @register(
-    "src01_src02_file_roundtrips",
+    "src01_src02_src03_file_roundtrips",
     oracle="""
     SELECT 'csv' AS src, l_returnflag AS k, count(*) AS n,
            CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS c1,
@@ -27,14 +27,23 @@ from pg_datalake_spark.streaming import incremental_file_ingest, windowed_event_
            CAST(NULL AS BIGINT) AS c2
     FROM orders
     GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'log' AS src, event_type AS k, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c1,
+           CAST(NULL AS BIGINT) AS c2
+    FROM events WHERE event_id <= 2000
+    GROUP BY event_type
     """,
 )
 def src01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-format roundtrips, tagged union of the former src01/src02
-    rows (merged to free a driver-window slot for geo01):
+    """File-format roundtrips, tagged union of the former
+    src01/src02/src03 rows (src03 folded in r6 to free a window slot):
 
     - ``csv``: COPY TO csv.gz → schema-inferred read back → aggregate;
-    - ``json``: COPY TO ndjson → inferred read → aggregate.
+    - ``json``: COPY TO ndjson → inferred read → aggregate;
+    - ``log``: events rendered to space-delimited log lines, re-parsed
+      by regex template into typed columns (the reference's
+      s3-access-log path), aggregated.
 
     The oracle aggregates the original parquet, so export + dialect /
     type inference must be lossless for the measured columns. Sums are
@@ -58,7 +67,14 @@ def src01(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.lit("json").alias("src"), "k", "n", "c1", F.lit(None).cast("long").alias("c2")
     )
-    return csv_arm.unionByName(json_arm)
+    log_arm = src03(spark, sf_dir).select(
+        F.lit("log").alias("src"),
+        F.col("event_type").alias("k"),
+        "n",
+        F.col("value_cents").alias("c1"),
+        F.lit(None).cast("long").alias("c2"),
+    )
+    return csv_arm.unionByName(json_arm).unionByName(log_arm)
 
 
 @register(
@@ -129,18 +145,12 @@ def st02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "src03_logformat_scan",
-    oracle="""
-    SELECT event_type, count(*) AS n, sum(value) AS total
-    FROM events WHERE event_id <= 2000
-    GROUP BY event_type
-    """,
-)
 def src03(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Templated log-format scan (the reference's s3-access-log path):
     events rendered to space-delimited log lines, re-parsed by regex
-    template into typed columns, aggregated — must equal the original."""
+    template into typed columns, aggregated — must equal the original.
+    Feeds the ``log`` arm of src01_src02_src03_file_roundtrips (merged
+    r6); sums are exact integer cents so the merged row hash-matches."""
     from pg_datalake_spark.sources.readers import read_log
 
     t = load_tables(spark, sf_dir, ["events"])
@@ -174,7 +184,11 @@ def src03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         parsed.withColumn("value", F.regexp_replace("value_str", ",", "").cast("double"))
         .groupBy("event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long")
+            .alias("value_cents"),
+        )
     )
 
 
@@ -228,27 +242,7 @@ def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "st02_st04_rollup",
-    oracle=f"""
-    SELECT 'windowed' AS arm, * FROM ({_HOURLY_ROLLUP_SQL}) w_arm
-    UNION ALL
-    SELECT 'rollup' AS arm, * FROM ({_HOURLY_ROLLUP_SQL}) r_arm
-    """,
-)
-def st02_st04(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-window aggregation (st02) and the continuous-rollup
-    LakeTable with incremental MERGE refresh (st04) share the same
-    hourly-rollup shape and oracle; one driver slot verifies both paths
-    land on the identical result."""
-    windowed = st02(spark, sf_dir).select(F.lit("windowed").alias("arm"), "*")
-    rollup = st04(spark, sf_dir).select(F.lit("rollup").alias("arm"), "*")
-    return windowed.unionByName(rollup)
-
-
-@register(
-    "st06_native_session_window",
-    oracle="""
+_SESSION_SQL = """
     WITH gaps AS (
       SELECT user_id, ts, event_id, value,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -269,8 +263,9 @@ def st02_st04(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM sessions GROUP BY user_id, session_id
-    """,
-)
+    """
+
+
 def st06(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's NATIVE session_window (the streaming sessionization
     operator — identical code path under readStream with a watermark;
@@ -295,4 +290,32 @@ def st06(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "value_cents",
         )
+    )
+
+
+@register(
+    "st02_st04_st06_rollup_sessions",
+    oracle=f"""
+    SELECT 'windowed' AS arm, * FROM ({_HOURLY_ROLLUP_SQL}) w_arm
+    UNION ALL BY NAME
+    SELECT 'rollup' AS arm, * FROM ({_HOURLY_ROLLUP_SQL}) r_arm
+    UNION ALL BY NAME
+    SELECT 'session' AS arm, * FROM ({_SESSION_SQL}) s_arm
+    """,
+)
+def st02_st04_st06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (st02), the continuous-rollup
+    LakeTable with incremental MERGE refresh (st04), and native
+    session_window sessionization (st06, folded in r6) in one driver
+    slot — the three windowed-aggregation code paths Structured
+    Streaming runs (identical plans under readStream + watermark);
+    batch here so the oracle can replay them. NULL-padded by-name
+    union: the hourly arms carry (window_start, event_type,
+    total_value), the session arm (user_id, session_start,
+    session_end, value_cents); n_events is shared."""
+    windowed = st02(spark, sf_dir).select(F.lit("windowed").alias("arm"), "*")
+    rollup = st04(spark, sf_dir).select(F.lit("rollup").alias("arm"), "*")
+    session = st06(spark, sf_dir).select(F.lit("session").alias("arm"), "*")
+    return windowed.unionByName(rollup).unionByName(
+        session, allowMissingColumns=True
     )

@@ -599,7 +599,6 @@ FROM series
 """
 
 
-@register("c01_c02_ctes", oracle=_CTES_SQL.replace("AS STRING", "AS VARCHAR"))
 def c_ctes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained CTE pipeline + WITH RECURSIVE in one statement — the
     identical SQL text runs on both engines (modulo STRING/VARCHAR)."""
@@ -721,20 +720,26 @@ def c_params_views(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "c03_c06_subqueries_params",
+    "c01_c02_c03_c06_ctes_subqueries",
     oracle=f"""
+    SELECT * FROM ({_CTES_SQL.replace("AS STRING", "AS VARCHAR")}) cte_arm
+    UNION ALL BY NAME
     SELECT * FROM ({_C03_SQL}) subq_arm
     UNION ALL BY NAME
     SELECT * FROM ({_C05_SQL}) pv_arm
     """,
 )
-def c_subqueries_params(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated scalar subquery + LATERAL unnest (c03+c04) and bound
-    parameters + views (c05+c06) in one driver slot; the arms' own tag
-    values (correlated/lateral/param/view) distinguish them, so the
-    NULL-padded by-name union needs no extra tag column."""
-    return c_subqueries(spark, sf_dir).unionByName(
-        c_params_views(spark, sf_dir), allowMissingColumns=True
+def c_ctes_subqueries_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained CTE pipeline + WITH RECURSIVE (c01+c02), correlated
+    scalar subquery + LATERAL unnest (c03+c04), and bound parameters +
+    views (c05+c06) in one driver slot — merged r6 to free a window
+    slot for the round-5 tail. The arms' own tag values
+    (chained/recursive/correlated/lateral/param/view) distinguish them,
+    so the NULL-padded by-name union needs no extra tag column."""
+    return (
+        c_ctes(spark, sf_dir)
+        .unionByName(c_subqueries(spark, sf_dir), allowMissingColumns=True)
+        .unionByName(c_params_views(spark, sf_dir), allowMissingColumns=True)
     )
 
 
@@ -1471,7 +1476,7 @@ def w_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "x03_x07_t05_v05_llmops",
+    "x03_x08_t05_t06_v05_d06_llmops",
     oracle=lambda: "\nUNION ALL\n".join(
         [
             _g_arm_sql(
@@ -1526,6 +1531,29 @@ def w_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 k="CAST(vec_id AS VARCHAR)",
                 d1="qcos_sim",
             ),
+            _g_arm_sql(
+                "d06",
+                ORACLES["d06_contamination"],
+                k="CAST(doc_id AS VARCHAR)",
+                i1="n_grams",
+                i2="n_hits",
+                d1="overlap_frac",
+            ),
+            _g_arm_sql(
+                "t06",
+                ORACLES["t06_corpus_ngram_stats"],
+                k="g",
+                i1="doc_freq",
+                i2="total_count",
+            ),
+            _g_arm_sql(
+                "x08",
+                ORACLES["x08_sequence_packing"],
+                k="CAST(seq_id AS VARCHAR)",
+                i1="n_docs",
+                i2="n_tokens",
+                i3="first_start",
+            ),
         ]
     ),
 )
@@ -1534,8 +1562,9 @@ def x_llmops(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic stratified sampling (x03), single-pass column
     profiling (x04), correlation matrix (x05), group-mean imputation
     (x06), append-stable hash splits (x07), PII-style redaction (t05),
-    and int8-quantized cosine top-k (v05) — the operators BASELINE's
-    north star names, previously only parity-checked."""
+    int8-quantized cosine top-k (v05) — plus the round-5 tail rotated
+    in r6: benchmark decontamination (d06), corpus n-gram statistics
+    (t06), and distributed-prefix-sum sequence packing (x08)."""
     bar = F.lit("|")
     return _g_union(
         _g_arm(
@@ -1590,6 +1619,29 @@ def x_llmops(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=F.col("vec_id").cast("string"),
             d1=F.col("qcos_sim"),
         ),
+        _g_arm(
+            QUERIES["d06_contamination"](spark, sf_dir),
+            "d06",
+            k=F.col("doc_id").cast("string"),
+            i1=F.col("n_grams"),
+            i2=F.col("n_hits"),
+            d1=F.col("overlap_frac"),
+        ),
+        _g_arm(
+            QUERIES["t06_corpus_ngram_stats"](spark, sf_dir),
+            "t06",
+            k=F.col("g"),
+            i1=F.col("doc_freq"),
+            i2=F.col("total_count"),
+        ),
+        _g_arm(
+            QUERIES["x08_sequence_packing"](spark, sf_dir),
+            "x08",
+            k=F.col("seq_id").cast("string"),
+            i1=F.col("n_docs"),
+            i2=F.col("n_tokens"),
+            i3=F.col("first_start"),
+        ),
     )
 
 
@@ -1600,7 +1652,7 @@ def x_llmops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "c07_f16_f17_p01_p02_misc",
+    "c07_f16_f17_p01_p02_u02_u03_misc",
     oracle=lambda: "\nUNION ALL\n".join(
         [
             _g_arm_sql(
@@ -1634,14 +1686,28 @@ def x_llmops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 k="tag || '|' || k || '|' || metric",
                 d1="val",
             ),
+            _g_arm_sql(
+                "u02",
+                ORACLES["u02_python_udtf"],
+                k="CAST(n_nationkey AS VARCHAR) || '|' || CAST(pos AS VARCHAR)",
+                s1="word",
+            ),
+            _g_arm_sql(
+                "u03",
+                ORACLES["u03_pandas_udaf"],
+                k="o_orderstatus",
+                d1="wmean",
+            ),
         ]
     ),
 )
 def c_f_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-surface tail for the driver window: case-insensitive
     collations (c07), PG first-match regexp_replace with backreferences
-    (f16), VARIANT semi-structured access (f17), and the pivot→unpivot
-    roundtrip (p01+p02)."""
+    (f16), VARIANT semi-structured access (f17), the pivot→unpivot
+    roundtrip (p01+p02) — plus the round-5 UDF tail rotated in r6:
+    Python UDTF under LATERAL (u02) and the grouped-agg pandas UDAF
+    (u03)."""
     bar = F.lit("|")
     c07 = QUERIES["c07_collations"](spark, sf_dir)
     f16 = QUERIES["f16_regexp_replace_first"](spark, sf_dir)
@@ -1681,4 +1747,201 @@ def c_f_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=F.concat(F.col("tag"), bar, F.col("k"), bar, F.col("metric")),
             d1=F.col("val"),
         ),
+        _g_arm(
+            QUERIES["u02_python_udtf"](spark, sf_dir),
+            "u02",
+            k=F.concat(
+                F.col("n_nationkey").cast("string"), bar, F.col("pos").cast("string")
+            ),
+            s1=F.col("word"),
+        ),
+        _g_arm(
+            QUERIES["u03_pandas_udaf"](spark, sf_dir),
+            "u03",
+            k=F.col("o_orderstatus"),
+            d1=F.col("wmean"),
+        ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Generic NULL-padded by-name union for arms whose natural schemas are
+# too wide for _G_TYPES: each arm keeps its own column names, absent
+# columns become typed NULLs — same contract on both engines.
+# ---------------------------------------------------------------------------
+
+_DUCK_T = {"string": "VARCHAR", "long": "BIGINT", "int": "INTEGER", "double": "DOUBLE"}
+
+
+def _pad_arm(df: DataFrame, arm: str, schema: list[tuple[str, str]]) -> DataFrame:
+    present = set(df.columns)
+    sel = [F.lit(arm).alias("arm")]
+    for name, t in schema:
+        src = F.col(name) if name in present else F.lit(None)
+        sel.append(src.cast(t).alias(name))
+    return df.select(*sel)
+
+
+def _pad_arm_sql(
+    arm: str, inner: str, schema: list[tuple[str, str]], present: list[str]
+) -> str:
+    pset = set(present)
+    cols = ", ".join(
+        f"CAST({name if name in pset else 'NULL'} AS {_DUCK_T[t]}) AS {name}"
+        for name, t in schema
+    )
+    return f"SELECT '{arm}' AS arm, {cols} FROM ({inner}) {arm}_arm"
+
+
+# ---------------------------------------------------------------------------
+# Window tail (r6): spatial suite — geo01 + geo02 + geo03
+# ---------------------------------------------------------------------------
+
+_GEO01_COLS = [
+    ("c_mktsegment", "string"), ("n", "long"), ("n_near", "long"),
+    ("sum_dist", "double"), ("min_x", "double"), ("max_x", "double"),
+    ("n_inside", "long"), ("bbox_area", "double"), ("bbox_perim", "double"),
+    ("cx", "double"), ("cy", "double"), ("ring_n", "int"),
+    ("corner_len", "double"), ("tx", "double"), ("ty", "double"),
+    ("hits_env", "int"), ("ix_w", "double"), ("diag_hit", "int"),
+    ("diag_gap", "int"), ("dix_x", "double"), ("dix_y", "double"),
+    ("ring_hit", "int"), ("buf_area", "double"), ("buf_perim", "double"),
+    ("office_line_dist", "double"), ("union_w", "double"),
+]
+_GEO02_COLS = [("ring_id", "int"), ("n_pts", "long"), ("key_sum", "long")]
+_GEO03_COLS = [("a_id", "long"), ("b_id", "long"), ("dist", "double")]
+_GEO_SCHEMA = _GEO01_COLS + _GEO02_COLS + _GEO03_COLS
+
+
+@register(
+    "geo01_geo02_geo03_spatial",
+    oracle=lambda: "\nUNION ALL\n".join(
+        [
+            _pad_arm_sql("geo01", ORACLES["geo01_spatial"], _GEO_SCHEMA,
+                         [n for n, _ in _GEO01_COLS]),
+            _pad_arm_sql("geo02", ORACLES["geo02_grid_spatial_join"], _GEO_SCHEMA,
+                         [n for n, _ in _GEO02_COLS]),
+            _pad_arm_sql("geo03", ORACLES["geo03_knn_radius_join"], _GEO_SCHEMA,
+                         [n for n, _ in _GEO03_COLS]),
+        ]
+    ),
+)
+def geo_spatial_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial suite for the driver window (r6 rotation): the full
+    st_* scalar surface probe (geo01, 26 hash-checked columns), the
+    grid-binned filter-and-refine points-in-polygons join (geo02), and
+    the distance-bounded kNN join (geo03). Feeders stay registered
+    standalone for the local gate; this row is the driver-verified
+    merge — geo01 held slot 50 in r4, lost it to st06 in r5, and all
+    three are window-verified again here."""
+    return (
+        _pad_arm(QUERIES["geo01_spatial"](spark, sf_dir), "geo01", _GEO_SCHEMA)
+        .unionByName(
+            _pad_arm(QUERIES["geo02_grid_spatial_join"](spark, sf_dir), "geo02",
+                     _GEO_SCHEMA)
+        )
+        .unionByName(
+            _pad_arm(QUERIES["geo03_knn_radius_join"](spark, sf_dir), "geo03",
+                     _GEO_SCHEMA)
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window tail (r6): TPC-DS-shape suite — ds36 + ds51 + ds67 shapes
+# (feeders in plans/tpcds.py, registered after the window; wrapped
+# lazily like every other merged suite)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ds36_ds51_ds67_shapes",
+    oracle=lambda: "\nUNION ALL\n".join(
+        [
+            _g_arm_sql(
+                "ds36",
+                ORACLES["ds36_margin_rollup_rank"],
+                k="CAST(lochierarchy AS VARCHAR) || '|' || coalesce(p_type, '*')"
+                  " || '|' || coalesce(p_brand, '*')",
+                i1="rank_within_parent",
+                d1="gross_margin",
+            ),
+            _g_arm_sql(
+                "ds51",
+                ORACLES["ds51_cumulative_channels"],
+                k="CAST(mon AS VARCHAR)",
+                d1="web_cumulative",
+                i1="CAST(round(store_cumulative * 100) AS BIGINT)",
+                i2="CAST(round(max_cumulative * 100) AS BIGINT)",
+            ),
+            _g_arm_sql(
+                "ds67",
+                ORACLES["ds67_rollup_rank_topk"],
+                k="coalesce(p_type, '*') || '|' || coalesce(p_brand, '*')"
+                  " || '|' || coalesce(CAST(yr AS VARCHAR), '*')",
+                i1="rk",
+                d1="sumsales",
+            ),
+        ]
+    ),
+)
+def ds_shapes_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS-shape suite for the driver window (r6): the reference
+    ships the full TPC-DS harness (pg_lake_benchmark/src/tpcds.c:76);
+    these are its three most structurally distinct shapes replayed on
+    the repo's star schema — ds36 (margin over ROLLUP with
+    rank-within-parent), ds51 (two-channel cumulative full-outer join
+    with running max), ds67 (rollup + windowed top-k). The full
+    10-query DS suite lives in plans/tpcds.py; these arms wrap the
+    registered feeders so window and local gate can never drift."""
+    star = F.lit("*")
+    bar = F.lit("|")
+    ds36 = QUERIES["ds36_margin_rollup_rank"](spark, sf_dir)
+    ds51 = QUERIES["ds51_cumulative_channels"](spark, sf_dir)
+    ds67 = QUERIES["ds67_rollup_rank_topk"](spark, sf_dir)
+    return _g_union(
+        _g_arm(
+            ds36,
+            "ds36",
+            k=F.concat(F.col("lochierarchy").cast("string"), bar,
+                       F.coalesce(F.col("p_type"), star), bar,
+                       F.coalesce(F.col("p_brand"), star)),
+            i1=F.col("rank_within_parent"),
+            d1=F.col("gross_margin"),
+        ),
+        _g_arm(
+            ds51,
+            "ds51",
+            k=F.col("mon").cast("string"),
+            d1=F.col("web_cumulative"),
+            i1=F.round(F.col("store_cumulative") * 100).cast("long"),
+            i2=F.round(F.col("max_cumulative") * 100).cast("long"),
+        ),
+        _g_arm(
+            ds67,
+            "ds67",
+            k=F.concat(F.coalesce(F.col("p_type"), star), bar,
+                       F.coalesce(F.col("p_brand"), star), bar,
+                       F.coalesce(F.col("yr").cast("string"), star)),
+            i1=F.col("rk"),
+            d1=F.col("sumsales"),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window tail (r6): weighted sampling — rows-only by design (the A-Res
+# key uses libm ln, not bit-reproducible across engines; verified by
+# determinism/monotonicity property tests in tests/test_operators.py)
+# ---------------------------------------------------------------------------
+
+
+@register("x09_weighted_sample")
+def x09_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus subsample (Efraimidis–Spirakis A-Res
+    over md5-derived uniforms — deterministic across runs, engines and
+    partitioning; operators/sampling.py:weighted_sample). Registered
+    here so the rows-only driver check covers it inside the window."""
+    from pg_datalake_spark.plans import llmops
+
+    return llmops.x09(spark, sf_dir)

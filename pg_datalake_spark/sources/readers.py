@@ -81,11 +81,43 @@ def read_files(
         df = reader.options(**{k: str(v) for k, v in options.items()}).json(path)
     elif fmt == "parquet":
         df = reader.options(**{k: str(v) for k, v in options.items()}).parquet(path)
+    elif fmt == "delta":
+        # Delta scan (reference reads Delta natively:
+        # pg_lake_engine/src/pgduck/read_data.c:286,
+        # docs/file-formats-reference.md:33). Spark-side this is ONE
+        # reader dispatch — the delta-spark jars provide the
+        # DataSourceV2; on a cluster add
+        #   spark.jars.packages=io.delta:delta-spark_2.13:<ver>
+        #   spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension
+        # Offline (no jars) the reader raises and we surface a clear
+        # scope message instead of a classloader stack.
+        try:
+            df = reader.options(
+                **{k: str(v) for k, v in options.items()}
+            ).format("delta").load(path)
+        except Exception as exc:  # jars absent in the offline runtime
+            if not delta_available(spark):
+                raise NotImplementedError(
+                    "Delta scan requires the delta-spark package on the "
+                    "cluster classpath (spark.jars.packages="
+                    "io.delta:delta-spark_2.13:...); not available in "
+                    "this runtime"
+                ) from exc
+            raise
     else:
         raise ValueError(f"unsupported format: {fmt}")
     if filename:
         df = df.withColumn("_filename", F.col("_metadata.file_path"))
     return df
+
+
+def delta_available(spark: SparkSession) -> bool:
+    """True when the delta-spark DataSourceV2 is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("io.delta.tables.DeltaTable")
+        return True
+    except Exception:
+        return False
 
 
 def read_log(

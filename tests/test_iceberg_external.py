@@ -1172,3 +1172,52 @@ def test_iceberg_partitions_view(spark):
     export_iceberg_snapshot(orders, loc2)
     [only] = iceberg_partitions(spark, loc2).collect()
     assert only.partition == "{}" and only.record_count == orders.count()
+
+
+def test_equality_delete_internal_external_crosswalk(spark, tmp_path):
+    """Equality-delete interop crosswalk (round-5 advisor #5): the
+    internal LakeTable's ``delete_equality`` and the external Iceberg
+    writer's ``add_equality_deletes`` must express the SAME semantics
+    (null-safe multi-column match, strictly-lower-sequence scoping —
+    reference: pg_lake_table/src/fdw/writable_table.c:478-650). Build
+    one dataset, apply the same keys through both paths, and assert
+    the internal scan() and the external read_iceberg_table() land on
+    identical rows — the write↔read crosswalk the position-delete path
+    already has."""
+    from pg_datalake_spark.tables import LakeTable
+
+    base = spark.range(500).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), (F.col("id") % 7)).alias("cat"),
+        (F.col("id") % 50).cast("int").alias("bucket"),
+    )
+    keys = spark.createDataFrame(
+        [("v3", 11), ("v5", 24), ("v0", 0)], "cat string, bucket int"
+    )
+
+    # internal path: LakeTable MOR equality delete
+    lt = LakeTable.create(spark, str(tmp_path / "internal"), base.schema)
+    lt.append(base)
+    lt.delete_equality(keys, ["cat", "bucket"])
+    # post-delete appends must be untouched (sequence scoping)
+    late = spark.createDataFrame([(9001, "v3", 11)], "k long, cat string, bucket int")
+    lt.append(late)
+    internal = lt.scan().orderBy("k")
+
+    # external path: export the BASE data, then the same equality keys
+    loc = str(tmp_path / "external")
+    export_iceberg_snapshot(base, loc)
+    add_equality_deletes(loc, keys, ["cat", "bucket"])
+    append_snapshot(late, loc)
+    external = read_iceberg_table(spark, loc).orderBy("k")
+
+    assert [r.asDict() for r in internal.collect()] == [
+        r.asDict() for r in external.collect()
+    ]
+    # both must have dropped the matching pre-delete rows but kept the
+    # post-delete append that matches the keys
+    kept = {r.k for r in internal.collect()}
+    assert 9001 in kept
+    assert not base.filter(
+        (F.col("cat") == "v3") & (F.col("bucket") == 11)
+    ).filter(F.col("k").isin(list(kept))).count()

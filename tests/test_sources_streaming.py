@@ -225,3 +225,26 @@ def test_copy_to_partitioned(spark, tmp_path):
 
     with pytest.raises(ValueError, match="mutually exclusive"):
         copy_to(df, out, fmt="parquet", partition_by=["g"], single_file=True)
+
+
+def test_delta_scan_dispatch(spark, tmp_path):
+    """Delta scan (§2.1): read_files(format='delta') dispatches to the
+    delta-spark DataSourceV2. Offline (no jars) the documented
+    scope-out surfaces as a clear NotImplementedError; with the jars
+    on the classpath the same call round-trips a real Delta table —
+    the one-line-config claim has an executable path either way."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pg_datalake_spark.sources.readers import delta_available, read_files
+
+    path = str(tmp_path / "delta_t")
+    if not delta_available(spark):
+        with pytest.raises(NotImplementedError, match="delta-spark"):
+            read_files(spark, path, fmt="delta")
+        pytest.skip("delta-spark jars absent (offline runtime; cluster config documented)")
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+    df.write.format("delta").save(path)
+    back = read_files(spark, path, fmt="delta")
+    assert back.count() == 10
+    assert {r["id"] for r in back.collect()} == set(range(10))
