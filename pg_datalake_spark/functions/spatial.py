@@ -61,6 +61,9 @@ __all__ = [
     "st_collect",
     "st_union_extent",
     "st_segment_intersects",
+    "st_isconvex",
+    "st_intersection_convex",
+    "st_union_convex",
     "st_segment_intersection",
     "st_intersects",
     "st_buffer",
@@ -609,4 +612,174 @@ def knn_within_radius_join(
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .drop("__cx", "__cy", "__rk")
+    )
+
+
+# --- convex polygon boolean ops (round-6 tier) -----------------------------
+# Reference surface: pg_lake_engine/src/pgduck/shippable_spatial_functions.c
+# (ST_Intersection / ST_Union / geometry predicates). GEOS handles
+# arbitrary geometry there; this tier implements the CONVEX planar
+# cases exactly, as pure Column algebra (codegen'd, zero UDFs), and
+# fails loud — never silently wrong — outside its domain.
+#
+# USAGE NOTE: these constructors build large expression trees (each
+# _closed_edges references its ring three times). Materialize the
+# result ring in its own projection (``.select(op(...).alias("ring"))``)
+# and compute area/perimeter/npoints over the COLUMN in a second
+# select — Catalyst will not re-inline a non-cheap alias referenced
+# more than once, so the measures share one evaluation of the ring.
+# Inlining the constructor into several measures in one select
+# multiplies codegen size instead.
+
+_RING_T = "array<struct<x:double,y:double>>"
+
+
+def _signed_area2(ring: Column) -> Column:
+    """Twice the signed shoelace area (positive = counter-clockwise)."""
+    return F.aggregate(
+        _closed_edges(ring),
+        F.lit(0.0),
+        lambda acc, e: acc + (e["a"]["x"] * e["b"]["y"] - e["b"]["x"] * e["a"]["y"]),
+    )
+
+
+def _ccw(ring: Column) -> Column:
+    """Ring normalized to counter-clockwise orientation."""
+    return F.when(_signed_area2(ring) < 0, F.reverse(ring)).otherwise(ring)
+
+
+def st_isconvex(ring: Column) -> Column:
+    """True iff every turn of the ring has the same orientation
+    (collinear vertices allowed) — the domain guard for the convex
+    boolean ops below."""
+    edges = _closed_edges(ring)
+    rot = F.concat(F.slice(edges, 2, F.size(edges) - 1), F.slice(edges, 1, 1))
+    crosses = F.zip_with(edges, rot, lambda e1, e2: _cross(e1["a"], e1["b"], e2["b"]))
+    return F.forall(crosses, lambda c: c >= 0) | F.forall(crosses, lambda c: c <= 0)
+
+
+def _line_intersection(a1: Column, a2: Column, b1: Column, b2: Column) -> Column:
+    """Intersection of the INFINITE lines through (a1,a2) and (b1,b2).
+    Callers guarantee non-parallel lines (Sutherland–Hodgman only
+    divides when the subject edge crosses the clip line)."""
+    rx, ry = a2["x"] - a1["x"], a2["y"] - a1["y"]
+    sx, sy = b2["x"] - b1["x"], b2["y"] - b1["y"]
+    denom = rx * sy - ry * sx
+    t = ((b1["x"] - a1["x"]) * sy - (b1["y"] - a1["y"]) * sx) / denom
+    return F.struct((a1["x"] + t * rx).alias("x"), (a1["y"] + t * ry).alias("y"))
+
+
+def st_intersection_convex(subject: Column, clip: Column) -> Column:
+    """Polygon∩polygon for CONVEX rings — the Sutherland–Hodgman clip
+    expressed as an ``aggregate`` fold over the clip edges, with the
+    evolving ring as the accumulator (each step is transform+flatten
+    over the current ring's edges: in→in emits the endpoint, in→out /
+    out→in emit the crossing, out→out emits nothing). Exact for
+    convex×convex; an empty array means disjoint interiors. On-edge
+    points count as inside (cross ≥ 0), matching st_segment_intersects'
+    touch semantics."""
+    clip_edges = _closed_edges(_ccw(clip))
+    empty = F.array().cast(_RING_T)
+
+    def one_edge(ring: Column, e: Column) -> Column:
+        pieces = F.flatten(
+            F.transform(
+                _closed_edges(ring),
+                lambda re: F.when(
+                    (_cross(e["a"], e["b"], re["a"]) >= 0)
+                    & (_cross(e["a"], e["b"], re["b"]) >= 0),
+                    F.array(re["b"]),
+                )
+                .when(
+                    (_cross(e["a"], e["b"], re["a"]) >= 0)
+                    & (_cross(e["a"], e["b"], re["b"]) < 0),
+                    F.array(_line_intersection(re["a"], re["b"], e["a"], e["b"])),
+                )
+                .when(
+                    (_cross(e["a"], e["b"], re["a"]) < 0)
+                    & (_cross(e["a"], e["b"], re["b"]) >= 0),
+                    F.array(
+                        _line_intersection(re["a"], re["b"], e["a"], e["b"]), re["b"]
+                    ),
+                )
+                .otherwise(empty),
+            )
+        )
+        return F.when(F.size(ring) >= 3, pieces).otherwise(empty)
+
+    return F.aggregate(clip_edges, _ccw(subject).cast(_RING_T), one_edge)
+
+
+def st_union_convex(a: Column, b: Column) -> Column:
+    """Polygon∪polygon for OVERLAPPING convex rings: the union of two
+    convex sets with a shared interior point is star-shaped around it,
+    so the true union ring is the angular sort — around a point of the
+    shared region — of {vertices of each ring not inside the other} ∪
+    {all edge-pair crossings}. A fully-contained ring
+    collapses to the outer ring through the same path. DISJOINT rings
+    would yield a MULTIPOLYGON — unsupported here, fails loud via
+    raise_error (the reference's GEOS handles it; use st_collect for
+    a bag of parts)."""
+    aa, bb = _ccw(a), _ccw(b)
+    crossings = F.filter(
+        F.flatten(
+            F.transform(
+                _closed_edges(aa),
+                lambda e1: F.transform(
+                    _closed_edges(bb),
+                    lambda e2: st_segment_intersection(
+                        e1["a"], e1["b"], e2["a"], e2["b"]
+                    ),
+                ),
+            )
+        ),
+        lambda p: p.isNotNull(),
+    )
+    # Any point of the shared region works as the star center: the
+    # crossings and the mutually-contained vertices all lie in the
+    # (convex) intersection, so their centroid does too — no need to
+    # materialize the intersection ring itself.
+    c = st_centroid(
+        F.concat(
+            F.filter(aa, lambda p: st_contains(bb, p)),
+            F.filter(bb, lambda p: st_contains(aa, p)),
+            crossings,
+        )
+    )
+    pts = F.array_distinct(
+        F.concat(
+            F.filter(aa, lambda p: ~st_contains(bb, p)),
+            F.filter(bb, lambda p: ~st_contains(aa, p)),
+            crossings,
+        )
+    )
+    # Sort by precomputed (angle, distance²) keys — array_sort's
+    # natural struct ordering — instead of a comparator lambda, which
+    # would re-embed the key expressions per comparison.
+    keyed = F.array_sort(
+        F.transform(
+            pts,
+            lambda p: F.struct(
+                F.atan2(p["y"] - c["y"], p["x"] - c["x"]).alias("t"),
+                (
+                    (p["x"] - c["x"]) * (p["x"] - c["x"])
+                    + (p["y"] - c["y"]) * (p["y"] - c["y"])
+                ).alias("d"),
+                p.alias("p"),
+            ),
+        )
+    )
+    merged = F.transform(keyed, lambda s: s["p"])
+    return (
+        F.when(F.size(crossings) >= 2, merged)
+        .when(F.forall(bb, lambda p: st_contains(aa, p)), aa)
+        .when(F.forall(aa, lambda p: st_contains(bb, p)), bb)
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "st_union_convex: disjoint rings produce a MULTIPOLYGON"
+                    " — unsupported (collect parts with st_collect)"
+                )
+            ).cast(_RING_T)
+        )
     )

@@ -297,3 +297,88 @@ def geo03(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = knn_within_radius_join(a, "a_id", ("x", "y"), b, "b_id", ("bx", "by"),
                                  radius=1.0, k=3)
     return out.select("a_id", "b_id", "dist")
+
+
+@register(
+    "geo04_convex_clip_union",
+    oracle="""
+    WITH g AS (
+      SELECT n_nationkey AS nk,
+             1.0 + (n_nationkey % 4) * 0.25 AS h,
+             1.5 + (n_nationkey % 4) * 0.25 AS r
+      FROM nation
+    )
+    SELECT nk, h, r,
+           round(2 * r * r - 4 * (r - h) * (r - h), 6) AS ia,
+           round(4 * sqrt(2) * (2 * h - r) + 8 * (r - h), 6) AS ip,
+           CAST(8 AS INT) AS inp,
+           CAST(1 AS INT) AS icvx,
+           round(4 * h * h + 4 * (r - h) * (r - h), 6) AS ua,
+           round(4 * sqrt(2) * (2 * r - 2 * h) + 8 * (2 * h - r), 6) AS up,
+           CAST(16 AS INT) AS unp,
+           CAST(0 AS INT) AS ucvx,
+           round(2 * r * r, 6) AS ca,
+           CAST(4 AS INT) AS cnp
+    FROM g
+    """,
+)
+def geo04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convex polygon boolean ops (round-6 tier: st_intersection_convex
+    = Sutherland–Hodgman clip as a Column-algebra fold,
+    st_union_convex = star-shaped merge, st_isconvex): a diamond
+    (L1 ball, radius r) clipped by / merged with a co-centered square
+    (half-width h, with h < r < 2h so the overlap is a proper octagon
+    and the union a non-convex 16-gon), plus the containment case
+    (tiny square inside the diamond collapses to the diamond). The
+    oracle states every measure in closed form — intersection area
+    2r²−4(r−h)², union area 4h²+4(r−h)², the √2 perimeter identities
+    — so the clip machinery is value-checked against an engine with no
+    geometry type. Per the module's usage note, each result ring is
+    materialized once per projection and measured from the column.
+    Reference surface:
+    pg_lake_engine/src/pgduck/shippable_spatial_functions.c
+    (ST_Intersection/ST_Union)."""
+    t = load_tables(spark, sf_dir, ["nation"])
+    base = t["nation"].select(
+        F.col("n_nationkey").cast("int").alias("nk"),
+        (1.0 + (F.col("n_nationkey") % 4) * 0.25).alias("h"),
+        (1.5 + (F.col("n_nationkey") % 4) * 0.25).alias("r"),
+        ((F.col("n_nationkey") % 7)).cast("double").alias("cx"),
+        ((F.col("n_nationkey") * 3 % 5)).cast("double").alias("cy"),
+    )
+    h, r, cx, cy = F.col("h"), F.col("r"), F.col("cx"), F.col("cy")
+    square = F.array(
+        S.st_point(cx - h, cy - h), S.st_point(cx + h, cy - h),
+        S.st_point(cx + h, cy + h), S.st_point(cx - h, cy + h),
+    )
+    diamond = F.array(
+        S.st_point(cx + r, cy), S.st_point(cx, cy + r),
+        S.st_point(cx - r, cy), S.st_point(cx, cy - r),
+    )
+    eighth = F.lit(0.125)
+    small = F.array(
+        S.st_point(cx + 0.25 - eighth, cy - 0.25 - eighth),
+        S.st_point(cx + 0.25 + eighth, cy - 0.25 - eighth),
+        S.st_point(cx + 0.25 + eighth, cy - 0.25 + eighth),
+        S.st_point(cx + 0.25 - eighth, cy - 0.25 + eighth),
+    )
+    ringed = base.select(
+        "nk", "h", "r",
+        S.st_intersection_convex(diamond, square).alias("inter"),
+        S.st_union_convex(diamond, square).alias("uni"),
+        S.st_union_convex(diamond, small).alias("ucont"),
+    )
+    inter, uni, ucont = F.col("inter"), F.col("uni"), F.col("ucont")
+    return ringed.select(
+        "nk", "h", "r",
+        F.round(S.st_area(inter), 6).alias("ia"),
+        F.round(S.st_perimeter(inter), 6).alias("ip"),
+        S.st_npoints(inter).alias("inp"),
+        S.st_isconvex(inter).cast("int").alias("icvx"),
+        F.round(S.st_area(uni), 6).alias("ua"),
+        F.round(S.st_perimeter(uni), 6).alias("up"),
+        S.st_npoints(uni).alias("unp"),
+        S.st_isconvex(uni).cast("int").alias("ucvx"),
+        F.round(S.st_area(ucont), 6).alias("ca"),
+        S.st_npoints(ucont).alias("cnp"),
+    )

@@ -1810,7 +1810,13 @@ _GEO01_COLS = [
 ]
 _GEO02_COLS = [("ring_id", "int"), ("n_pts", "long"), ("key_sum", "long")]
 _GEO03_COLS = [("a_id", "long"), ("b_id", "long"), ("dist", "double")]
-_GEO_SCHEMA = _GEO01_COLS + _GEO02_COLS + _GEO03_COLS
+_GEO04_COLS = [
+    ("nk", "int"), ("h", "double"), ("r", "double"),
+    ("ia", "double"), ("ip", "double"), ("inp", "int"), ("icvx", "int"),
+    ("ua", "double"), ("up", "double"), ("unp", "int"), ("ucvx", "int"),
+    ("ca", "double"), ("cnp", "int"),
+]
+_GEO_SCHEMA = _GEO01_COLS + _GEO02_COLS + _GEO03_COLS + _GEO04_COLS
 
 
 @register(
@@ -1823,17 +1829,21 @@ _GEO_SCHEMA = _GEO01_COLS + _GEO02_COLS + _GEO03_COLS
                          [n for n, _ in _GEO02_COLS]),
             _pad_arm_sql("geo03", ORACLES["geo03_knn_radius_join"], _GEO_SCHEMA,
                          [n for n, _ in _GEO03_COLS]),
+            _pad_arm_sql("geo04", ORACLES["geo04_convex_clip_union"], _GEO_SCHEMA,
+                         [n for n, _ in _GEO04_COLS]),
         ]
     ),
 )
 def geo_spatial_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial suite for the driver window (r6 rotation): the full
     st_* scalar surface probe (geo01, 26 hash-checked columns), the
-    grid-binned filter-and-refine points-in-polygons join (geo02), and
-    the distance-bounded kNN join (geo03). Feeders stay registered
-    standalone for the local gate; this row is the driver-verified
-    merge — geo01 held slot 50 in r4, lost it to st06 in r5, and all
-    three are window-verified again here."""
+    grid-binned filter-and-refine points-in-polygons join (geo02),
+    the distance-bounded kNN join (geo03), and the convex boolean-op
+    tier (geo04: Sutherland–Hodgman clip, star-shaped union,
+    convexity). Feeders stay registered standalone for the local
+    gate; this row is the driver-verified merge — geo01 held slot 50
+    in r4, lost it to st06 in r5, and all four are window-verified
+    here."""
     return (
         _pad_arm(QUERIES["geo01_spatial"](spark, sf_dir), "geo01", _GEO_SCHEMA)
         .unionByName(
@@ -1842,6 +1852,10 @@ def geo_spatial_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             _pad_arm(QUERIES["geo03_knn_radius_join"](spark, sf_dir), "geo03",
+                     _GEO_SCHEMA)
+        )
+        .unionByName(
+            _pad_arm(QUERIES["geo04_convex_clip_union"](spark, sf_dir), "geo04",
                      _GEO_SCHEMA)
         )
     )

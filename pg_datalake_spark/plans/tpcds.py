@@ -20,9 +20,15 @@ identically.
 
 Scale notes (100 TB): every query groups/joins on its natural keys
 with partial aggregation; part (SF-scaled) carries no broadcast hint —
-AQE decides; the rollup shapes expand each fact row into ≤4 grouping
-sets AFTER the map-side combine (Spark expands pre-aggregated partial
-rows, so shuffle volume stays ~|groups|·|sets|, not |rows|·|sets|).
+AQE decides. The ROLLUP queries are TWO-PHASE: Spark's Expand operator
+multiplies its INPUT rows by the number of grouping sets before the
+partial aggregate, so a naive rollup over the fact table pushes
+|fact|·|sets| rows through aggregation. Instead we pre-aggregate to
+the finest grouping level first (one ordinary shuffle, map-side
+combine) and run the rollup over the tiny aggregate — sum/count are
+decomposable and the sums stay DECIMAL (exact, order-independent)
+until the final cast, so the result is bit-identical to the oracle's
+single-phase ROLLUP while Expand only ever sees |groups| rows.
 """
 
 from __future__ import annotations
@@ -60,20 +66,35 @@ from pg_datalake_spark.plans.tpch import davg, disc_price, dsum
 def ds27(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DS27 shape (avg measures over item×demographic rollup →
     p_type×p_brand rollup here): per-level averages with grouping
-    flags disambiguating subtotal NULLs from real NULL keys."""
+    flags disambiguating subtotal NULLs from real NULL keys.
+    Two-phase rollup: exact decimal sums + non-null counts at the
+    finest level, averages recomposed per grouping set (sum-of-sums /
+    sum-of-counts — identical to the oracle's single-phase avg)."""
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
-    return (
+    pre = (
         t["lineitem"]
         .filter(F.col("l_returnflag") == "N")
         .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
-        .rollup("p_type", "p_brand")
+        .groupBy("p_type", "p_brand")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("_qty"),
+            F.count("l_quantity").alias("_qty_n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(30,2)")).alias("_price"),
+            F.count("l_extendedprice").alias("_price_n"),
+            F.sum(F.col("l_discount").cast("decimal(30,2)")).alias("_disc"),
+            F.count("l_discount").alias("_disc_n"),
+            F.count("*").alias("_n"),
+        )
+    )
+    return (
+        pre.rollup("p_type", "p_brand")
         .agg(
             F.grouping("p_type").cast("int").alias("g_type"),
             F.grouping("p_brand").cast("int").alias("g_brand"),
-            davg(F.col("l_quantity")).alias("avg_qty"),
-            davg(F.col("l_extendedprice")).alias("avg_price"),
-            davg(F.col("l_discount")).alias("avg_disc"),
-            F.count("*").alias("n"),
+            (F.sum("_qty").cast("double") / F.sum("_qty_n")).alias("avg_qty"),
+            (F.sum("_price").cast("double") / F.sum("_price_n")).alias("avg_price"),
+            (F.sum("_disc").cast("double") / F.sum("_disc_n")).alias("avg_disc"),
+            F.sum("_n").alias("n"),
         )
         .select("g_type", "g_brand", "p_type", "p_brand",
                 "avg_qty", "avg_price", "avg_disc", "n")
@@ -110,20 +131,29 @@ def ds27(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ds36(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DS36 shape (gross margin over the category→class ROLLUP with
-    rank-within-parent): the window partitions by hierarchy level and
-    the parent key, ordering by the rounded margin so both engines
-    rank identical doubles. Reference harness:
-    pg_lake_benchmark/src/tpcds.c:76 (query 36)."""
+    rank-within-parent): two-phase rollup — pre-aggregate exact
+    decimal sums per (p_type, p_brand), then ROLLUP over the ~150-row
+    aggregate so Expand never multiplies fact rows. The rank window
+    partitions by hierarchy level and the parent key, ordering by the
+    rounded margin so both engines rank identical doubles. Reference
+    harness: pg_lake_benchmark/src/tpcds.c:76 (query 36)."""
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
-    agg = (
+    pre = (
         t["lineitem"]
         .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
-        .rollup("p_type", "p_brand")
+        .groupBy("p_type", "p_brand")
+        .agg(
+            F.sum(disc_price().cast("decimal(30,4)")).alias("_net"),
+            F.sum(F.col("l_extendedprice").cast("decimal(30,2)")).alias("_gross"),
+        )
+    )
+    agg = (
+        pre.rollup("p_type", "p_brand")
         .agg(
             F.grouping("p_type").cast("int").alias("g_type"),
             F.grouping("p_brand").cast("int").alias("g_brand"),
-            dsum(disc_price(), 4).alias("sum_net"),
-            dsum(F.col("l_extendedprice"), 2).alias("sum_gross"),
+            F.sum("_net").cast("double").alias("sum_net"),
+            F.sum("_gross").cast("double").alias("sum_gross"),
         )
     )
     margin = F.round(F.col("sum_net") / F.col("sum_gross"), 6)
@@ -354,18 +384,22 @@ def ds59(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ds67(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DS67 shape (sales over the full product×time ROLLUP, then the
-    top-5 grouping rows per category by a rank window): the rollup
-    emits 4 grouping sets; the rank partitions by category (subtotal
-    rows rank within their own NULL-category partition, exactly as DS
-    does). Reference harness: pg_lake_benchmark/src/tpcds.c:76
-    (query 67)."""
+    top-5 grouping rows per category by a rank window): two-phase
+    rollup — one ordinary aggregate to (p_type, p_brand, yr) ≈ 1k
+    rows, then the 4-set ROLLUP over that (decimal sums re-summed
+    exactly). The rank partitions by category (subtotal rows rank
+    within their own NULL-category partition, exactly as DS does).
+    Reference harness: pg_lake_benchmark/src/tpcds.c:76 (query 67)."""
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
-    agg = (
+    pre = (
         t["lineitem"]
         .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .withColumn("yr", F.year("l_shipdate").cast("int"))
-        .rollup("p_type", "p_brand", "yr")
-        .agg(dsum(disc_price(), 4).alias("sumsales"))
+        .groupBy("p_type", "p_brand", "yr")
+        .agg(F.sum(disc_price().cast("decimal(30,4)")).alias("_net"))
+    )
+    agg = pre.rollup("p_type", "p_brand", "yr").agg(
+        F.sum("_net").cast("double").alias("sumsales")
     )
     win = W.partitionBy("p_type").orderBy(
         F.desc("sumsales"),

@@ -266,3 +266,47 @@ def test_buffer_snap_closest_distance_union(spark):
     # off the start of the line → clamped to endpoint (0,0)
     assert row.d_clamped == pytest.approx(5.0)
     assert (row.uext.xmin, row.uext.xmax) == (0.0, 1.0)
+
+
+def test_convex_boolean_ops(spark):
+    """Round-6 tier: Sutherland–Hodgman clip, star-shaped union,
+    st_isconvex — values against closed forms; disjoint fails loud.
+    Rings are materialized per the module usage note (measures read
+    the column, not re-inlined constructors)."""
+    P = lambda x, y: S.st_point(F.lit(float(x)), F.lit(float(y)))
+
+    def square(cx, cy, h):
+        return F.array(P(cx - h, cy - h), P(cx + h, cy - h),
+                       P(cx + h, cy + h), P(cx - h, cy + h))
+
+    def diamond(cx, cy, r):
+        return F.array(P(cx + r, cy), P(cx, cy + r), P(cx - r, cy), P(cx, cy - r))
+
+    h, r = 1.0, 1.5
+    ringed = spark.range(1).select(
+        S.st_intersection_convex(diamond(0, 0, r), square(0, 0, h)).alias("inter"),
+        S.st_union_convex(diamond(0, 0, r), square(0, 0, h)).alias("uni"),
+        S.st_union_convex(diamond(0, 0, r), square(0.2, -0.1, 0.25)).alias("cont"),
+        S.st_intersection_convex(square(10, 10, 1), square(0, 0, 1)).alias("disj"),
+    )
+    row = ringed.select(
+        S.st_area(F.col("inter")).alias("ia"),
+        S.st_npoints(F.col("inter")).alias("inp"),
+        S.st_isconvex(F.col("inter")).alias("icvx"),
+        S.st_area(F.col("uni")).alias("ua"),
+        S.st_npoints(F.col("uni")).alias("unp"),
+        S.st_isconvex(F.col("uni")).alias("ucvx"),
+        S.st_area(F.col("cont")).alias("ca"),
+        F.size(F.col("disj")).alias("dn"),
+    ).collect()[0]
+    assert row.ia == pytest.approx(2 * r * r - 4 * (r - h) ** 2)
+    assert row.inp == 8 and row.icvx
+    assert row.ua == pytest.approx(4 * h * h + 4 * (r - h) ** 2)
+    assert row.unp == 16 and not row.ucvx
+    assert row.ca == pytest.approx(2 * r * r)  # contained ring collapses
+    assert row.dn == 0  # disjoint clip → empty ring, no error
+    # disjoint UNION is a multipolygon → fail-loud, never silently wrong
+    with pytest.raises(Exception, match="MULTIPOLYGON"):
+        spark.range(1).select(
+            S.st_union_convex(square(0, 0, 1), square(9, 9, 1)).alias("u")
+        ).select(F.size(F.col("u"))).collect()
