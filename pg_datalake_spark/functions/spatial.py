@@ -64,6 +64,7 @@ __all__ = [
     "st_isconvex",
     "st_intersection_convex",
     "st_union_convex",
+    "st_convexhull",
     "st_segment_intersection",
     "st_intersects",
     "st_buffer",
@@ -783,3 +784,55 @@ def st_union_convex(a: Column, b: Column) -> Column:
             ).cast(_RING_T)
         )
     )
+
+
+def st_convexhull(pts: Column) -> Column:
+    """Convex hull of a point array (≥3 non-collinear points) as a CCW
+    ring — the Jarvis march expressed as a bounded ``aggregate`` fold:
+    at most n gift-wrapping steps, each selecting the unique point q
+    with every other point strictly right of cur→q (farthest wins on
+    collinear ties), stopping when the wrap returns to the start.
+    Runtime O(n³) per row in the worst case — meant for per-row point
+    bags (tens of points), not corpora; the reference delegates to
+    GEOS (shippable_spatial_functions.c ST_ConvexHull)."""
+
+    def d2(a: Column, b: Column) -> Column:
+        dx, dy = a["x"] - b["x"], a["y"] - b["y"]
+        return dx * dx + dy * dy
+
+    # start at the lowest (then leftmost) point — guaranteed on the hull
+    start_yx = F.array_min(
+        F.transform(pts, lambda p: F.struct(p["y"].alias("y"), p["x"].alias("x")))
+    )
+    start = F.struct(start_yx["x"].alias("x"), start_yx["y"].alias("y"))
+    init = F.struct(
+        F.array(start).cast(_RING_T).alias("ring"), F.lit(False).alias("done")
+    )
+
+    def step(st: Column, _i: Column) -> Column:
+        cur = F.element_at(st["ring"], -1)
+        cand = F.filter(
+            pts,
+            lambda q: ((q["x"] != cur["x"]) | (q["y"] != cur["y"]))
+            & F.forall(
+                pts,
+                lambda w: (_cross(cur, q, w) < 0)
+                | ((_cross(cur, q, w) == 0) & (d2(cur, w) <= d2(cur, q))),
+            ),
+        )
+        nxt = F.element_at(cand, 1)
+        closing = (
+            nxt.isNull()
+            | ((nxt["x"] == start["x"]) & (nxt["y"] == start["y"]))
+        )
+        return F.when(
+            st["done"] | closing,
+            F.struct(st["ring"].alias("ring"), F.lit(True).alias("done")),
+        ).otherwise(
+            F.struct(
+                F.concat(st["ring"], F.array(nxt)).alias("ring"),
+                F.lit(False).alias("done"),
+            )
+        )
+
+    return F.aggregate(F.sequence(F.lit(1), F.size(pts)), init, step)["ring"]

@@ -382,3 +382,63 @@ def geo04(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(S.st_area(ucont), 6).alias("ca"),
         S.st_npoints(ucont).alias("cnp"),
     )
+
+
+@register(
+    "geo05_convex_hull",
+    oracle="""
+    WITH g AS (
+      SELECT n_nationkey AS nk,
+             5 + n_nationkey % 4 AS k,
+             1.0 + (n_nationkey % 3) * 0.5 AS big_r
+      FROM nation
+    )
+    SELECT nk, CAST(k AS INT) AS k,
+           round(k * big_r * big_r * sin(2 * pi() / k) / 2, 6) AS ha,
+           round(2 * k * big_r * sin(pi() / k), 6) AS hp,
+           CAST(k AS INT) AS hn,
+           CAST(1 AS INT) AS hcvx
+    FROM g
+    """,
+)
+def geo05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_convexhull (Jarvis-march fold) value check: per nation row,
+    a regular k-gon on a circle of radius R plus three strictly
+    interior points (listed FIRST, so the hull must exclude them and
+    re-order the rest). Hull area/perimeter have closed forms
+    (k·R²·sin(2π/k)/2, 2kR·sin(π/k)); the oracle computes those
+    directly, proving the wrap keeps exactly the k circle points in
+    convex order. Reference surface:
+    pg_lake_engine/src/pgduck/shippable_spatial_functions.c
+    (ST_ConvexHull)."""
+    import math
+
+    t = load_tables(spark, sf_dir, ["nation"])
+    base = t["nation"].select(
+        F.col("n_nationkey").cast("int").alias("nk"),
+        (5 + F.col("n_nationkey") % 4).cast("int").alias("k"),
+        (1.0 + (F.col("n_nationkey") % 3) * 0.5).alias("big_r"),
+        (F.col("n_nationkey") % 7).cast("double").alias("cx"),
+        (F.col("n_nationkey") * 3 % 5).cast("double").alias("cy"),
+    )
+    k, R, cx, cy = F.col("k"), F.col("big_r"), F.col("cx"), F.col("cy")
+    tau = F.lit(2 * math.pi)
+    circle = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda j: S.st_point(cx + R * F.cos(tau * j / k), cy + R * F.sin(tau * j / k)),
+    )
+    interior = F.array(
+        S.st_point(cx, cy),
+        S.st_point(cx + R / 4, cy - R / 8),
+        S.st_point(cx - R / 8, cy + R / 4),
+    )
+    ringed = base.select(
+        "nk", "k", S.st_convexhull(F.concat(interior, circle)).alias("hull")
+    )
+    return ringed.select(
+        "nk", "k",
+        F.round(S.st_area(F.col("hull")), 6).alias("ha"),
+        F.round(S.st_perimeter(F.col("hull")), 6).alias("hp"),
+        S.st_npoints(F.col("hull")).alias("hn"),
+        S.st_isconvex(F.col("hull")).cast("int").alias("hcvx"),
+    )

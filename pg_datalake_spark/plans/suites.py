@@ -1816,7 +1816,15 @@ _GEO04_COLS = [
     ("ua", "double"), ("up", "double"), ("unp", "int"), ("ucvx", "int"),
     ("ca", "double"), ("cnp", "int"),
 ]
-_GEO_SCHEMA = _GEO01_COLS + _GEO02_COLS + _GEO03_COLS + _GEO04_COLS
+# geo05 shares nk with geo04; its own columns follow
+_GEO05_COLS = [
+    ("nk", "int"), ("k", "int"), ("ha", "double"), ("hp", "double"),
+    ("hn", "int"), ("hcvx", "int"),
+]
+_GEO_SCHEMA = (
+    _GEO01_COLS + _GEO02_COLS + _GEO03_COLS + _GEO04_COLS
+    + [c for c in _GEO05_COLS if c[0] != "nk"]
+)
 
 
 @register(
@@ -1831,6 +1839,8 @@ _GEO_SCHEMA = _GEO01_COLS + _GEO02_COLS + _GEO03_COLS + _GEO04_COLS
                          [n for n, _ in _GEO03_COLS]),
             _pad_arm_sql("geo04", ORACLES["geo04_convex_clip_union"], _GEO_SCHEMA,
                          [n for n, _ in _GEO04_COLS]),
+            _pad_arm_sql("geo05", ORACLES["geo05_convex_hull"], _GEO_SCHEMA,
+                         [n for n, _ in _GEO05_COLS]),
         ]
     ),
 )
@@ -1838,12 +1848,12 @@ def geo_spatial_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial suite for the driver window (r6 rotation): the full
     st_* scalar surface probe (geo01, 26 hash-checked columns), the
     grid-binned filter-and-refine points-in-polygons join (geo02),
-    the distance-bounded kNN join (geo03), and the convex boolean-op
-    tier (geo04: Sutherland–Hodgman clip, star-shaped union,
-    convexity). Feeders stay registered standalone for the local
-    gate; this row is the driver-verified merge — geo01 held slot 50
-    in r4, lost it to st06 in r5, and all four are window-verified
-    here."""
+    the distance-bounded kNN join (geo03), the convex boolean-op tier
+    (geo04: Sutherland–Hodgman clip, star-shaped union, convexity),
+    and the Jarvis-march convex hull (geo05). Feeders stay registered
+    standalone for the local gate; this row is the driver-verified
+    merge — geo01 held slot 50 in r4, lost it to st06 in r5, and all
+    five are window-verified here."""
     return (
         _pad_arm(QUERIES["geo01_spatial"](spark, sf_dir), "geo01", _GEO_SCHEMA)
         .unionByName(
@@ -1856,6 +1866,10 @@ def geo_spatial_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             _pad_arm(QUERIES["geo04_convex_clip_union"](spark, sf_dir), "geo04",
+                     _GEO_SCHEMA)
+        )
+        .unionByName(
+            _pad_arm(QUERIES["geo05_convex_hull"](spark, sf_dir), "geo05",
                      _GEO_SCHEMA)
         )
     )

@@ -310,3 +310,29 @@ def test_convex_boolean_ops(spark):
         spark.range(1).select(
             S.st_union_convex(square(0, 0, 1), square(9, 9, 1)).alias("u")
         ).select(F.size(F.col("u"))).collect()
+
+
+def test_convexhull_collinear_and_duplicates(spark):
+    """Jarvis-march hull: edge-midpoint (collinear) and duplicate
+    input points must be excluded — only the four square corners
+    survive, in convex order."""
+    P = lambda x, y: S.st_point(F.lit(float(x)), F.lit(float(y)))
+    pts = F.array(
+        P(1, 0), P(0, 1), P(2, 1),  # edge midpoints (collinear)
+        P(1, 1), P(1, 1),           # duplicated interior point
+        P(0, 0), P(2, 0), P(2, 2), P(0, 2),  # the true hull
+        P(1, 2),                    # top edge midpoint
+    )
+    row = (
+        spark.range(1)
+        .select(S.st_convexhull(pts).alias("hull"))
+        .select(
+            S.st_npoints(F.col("hull")).alias("n"),
+            S.st_area(F.col("hull")).alias("a"),
+            S.st_isconvex(F.col("hull")).alias("c"),
+        )
+        .collect()[0]
+    )
+    assert row.n == 4
+    assert row.a == pytest.approx(4.0)
+    assert row.c
