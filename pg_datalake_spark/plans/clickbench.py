@@ -139,3 +139,154 @@ def cb05(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"), F.avg("value").alias("avg_value"))
     )
+
+
+@register(
+    "cb06_uniq_users_per_type",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(count(*) / count(DISTINCT user_id), 6) AS events_per_user
+    FROM events
+    GROUP BY event_type
+    ORDER BY n_events DESC, event_type
+    """,
+)
+def cb06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench COUNT(DISTINCT UserID) family: per-type audience
+    size and intensity — one hash aggregate, distinct via partial
+    aggregation (no row explosion)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            "event_type", "n_events", "n_users",
+            F.round(F.col("n_events") / F.col("n_users"), 6).alias("events_per_user"),
+        )
+        .orderBy(F.desc("n_events"), "event_type")
+    )
+
+
+@register(
+    "cb07_like_filter_topn",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    WHERE props LIKE '%"k": 6%' AND event_type NOT LIKE '%error%'
+    GROUP BY event_type
+    ORDER BY n DESC, event_type
+    LIMIT 10
+    """,
+)
+def cb07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench URL-LIKE family: substring filter over the raw
+    semi-structured column (pushed to the scan as a string predicate)
+    + negated LIKE, then a top-N aggregate."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .filter(F.col("props").like('%"k": 6%') & ~F.col("event_type").like("%error%"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("long")
+            .alias("value_cents"),
+        )
+        .orderBy(F.desc("n"), "event_type")
+        .limit(10)
+    )
+
+
+@register(
+    "cb08_wide_group_topn",
+    oracle="""
+    SELECT user_id, event_type, date_trunc('day', ts) AS d, count(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, user_id, event_type, d
+    LIMIT 20
+    """,
+)
+def cb08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench wide-cardinality GROUP BY + ORDER BY count LIMIT:
+    the optimizer must keep this a TakeOrdered over the aggregate —
+    never a global sort of all groups."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy(
+            "user_id",
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("d"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "user_id", "event_type", "d")
+        .limit(20)
+    )
+
+
+@register(
+    "cb09_argmax_per_user",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, value, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id DESC) AS rk
+      FROM events
+    )
+    SELECT user_id, event_type AS top_type, value AS top_value,
+           CAST(epoch_us(ts) AS BIGINT) AS top_ts_us
+    FROM ranked WHERE rk = 1 AND user_id < 200
+    """,
+)
+def cb09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench argMax family: the event carrying each user's max
+    value (ties broken on event_id so both engines pick the same row),
+    as one window rank — no self-join back to the fact table."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["events"])
+    win = W.partitionBy("user_id").orderBy(F.desc("value"), F.desc("event_id"))
+    return (
+        t["events"]
+        .filter(F.col("user_id") < 200)
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("top_type"),
+            F.col("value").alias("top_value"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("top_ts_us"),
+        )
+    )
+
+
+@register(
+    "cb10_active_hours",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS h, count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    HAVING count(DISTINCT user_id) >= 15
+    ORDER BY n_users DESC, h
+    """,
+)
+def cb10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench time-histogram family: hourly distinct-user counts
+    with a HAVING floor — aggregate-then-filter, bucket pruning stays
+    on the aggregate side."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy(F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("h"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .filter(F.col("n_users") >= 15)
+        .orderBy(F.desc("n_users"), "h")
+    )
