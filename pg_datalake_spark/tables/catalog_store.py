@@ -6,7 +6,7 @@ files mapping table name → current metadata location, so any engine
 that can list the catalog root can discover and read every table with
 no catalog service running (reference behavior:
 pg_lake_iceberg/src/object_store_catalog/object_store_catalog.c:28-60;
-the REST-catalog half needs a network and is out of scope offline).
+the REST-catalog half lives in tables/rest_catalog.py).
 
 Layout (all JSON, KB-scale, driver-side):
 
