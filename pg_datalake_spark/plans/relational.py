@@ -1238,3 +1238,62 @@ def w07(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_filled").cast("int").alias("is_filled"),
     )
     return locf.unionByName(interp)
+
+
+@register(
+    "a06_scalable_percentiles",
+    oracle="""
+    WITH modes AS (
+      SELECT l_linestatus, l_returnflag,
+             row_number() OVER (PARTITION BY l_linestatus
+                                ORDER BY count(*) DESC, l_returnflag) AS rk
+      FROM lineitem GROUP BY l_linestatus, l_returnflag
+    )
+    SELECT p.l_linestatus,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity), 6)      AS median_qty,
+           round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity), 6)     AS p25_qty,
+           round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p90_price,
+           any_value(m.l_returnflag) AS mode_flag
+    FROM lineitem p JOIN modes m
+      ON p.l_linestatus = m.l_linestatus AND m.rk = 1
+    GROUP BY p.l_linestatus
+    """,
+)
+def a06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALABLE exact ordered-set aggregates (the §2.4 family whose
+    native form collects whole groups into aggregation state): the
+    value-counted reformulation (operators/quantiles.py) shuffles
+    |distinct values| instead of |rows| — pass 1 is a
+    partial-aggregable count per (group, exact cent value), pass 2 an
+    order-statistic lookup over the tiny aggregate. The oracle runs
+    DuckDB's NATIVE percentile_cont against it (cross-formulation
+    check), and the mode arm pins PG's implementation-defined tie to
+    (count DESC, value ASC) on both sides."""
+    from pg_datalake_spark.operators.quantiles import (
+        grouped_exact_mode,
+        grouped_exact_percentiles,
+    )
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = t["lineitem"]
+    pcts = grouped_exact_percentiles(
+        li,
+        ["l_linestatus"],
+        [
+            ("l_quantity", 0.5, "median_raw"),
+            ("l_quantity", 0.25, "p25_raw"),
+            ("l_extendedprice", 0.9, "p90_raw"),
+        ],
+        scale=100,
+    )
+    mode = grouped_exact_mode(li, ["l_linestatus"], "l_returnflag", "mode_flag")
+    return (
+        pcts.join(mode, "l_linestatus")
+        .select(
+            "l_linestatus",
+            F.round("median_raw", 6).alias("median_qty"),
+            F.round("p25_raw", 6).alias("p25_qty"),
+            F.round("p90_raw", 4).alias("p90_price"),
+            "mode_flag",
+        )
+    )

@@ -259,3 +259,51 @@ def test_pack_sequences_matches_global_cumsum(spark):
     total = df.agg(F.sum("n_tok")).first()[0]
     last = packed.orderBy(F.desc("start_pos")).select("start_pos", "n_tok").first()
     assert last.start_pos + last.n_tok == total
+
+
+def test_scalable_percentiles_match_native(spark):
+    """Value-counted exact percentiles/mode (operators/quantiles.py)
+    must equal Spark's NATIVE percentile_cont / explicit mode on the
+    same grouped frame — including interpolated (frac != 0) ranks and
+    per-group distinct counts."""
+    from pyspark.sql import functions as F
+
+    from pg_datalake_spark.operators.quantiles import (
+        grouped_exact_mode,
+        grouped_exact_percentiles,
+    )
+
+    df = spark.range(10007).select(
+        (F.col("id") % 3).alias("g"),
+        (F.round((F.col("id") * 37 % 1000) / 7.0 * 100) / 100).alias("v"),
+    )
+    ours = grouped_exact_percentiles(
+        df, ["g"], [("v", 0.5, "p50"), ("v", 0.9, "p90"), ("v", 0.123, "p123")]
+    )
+    native = df.groupBy("g").agg(
+        F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY v)").alias("n50"),
+        F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY v)").alias("n90"),
+        F.expr("percentile_cont(0.123) WITHIN GROUP (ORDER BY v)").alias("n123"),
+    )
+    joined = ours.join(native, "g").collect()
+    assert len(joined) == 3
+    for r in joined:
+        assert abs(r.p50 - r.n50) < 1e-9, r
+        assert abs(r.p90 - r.n90) < 1e-9, r
+        assert abs(r.p123 - r.n123) < 1e-9, r
+
+    m = grouped_exact_mode(df, ["g"], "v", "mv").collect()
+    expect = {
+        r.g: r.v
+        for r in df.groupBy("g", "v").count()
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("g").orderBy(F.desc("count"), F.asc("v"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .collect()
+    }
+    assert {r.g: r.mv for r in m} == expect
