@@ -73,3 +73,37 @@ def copy_from(
     the reference pushes COPY FROM straight into the engine the same
     way: IsCopyFromPushdownable, copy.c:605)."""
     return read_files(spark, path, fmt, schema=schema, **options)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hash-bucketed (and per-bucket sorted) on its
+    join key — Spark's storage-level co-location. Two tables bucketed
+    on the same key with the same bucket count join WITHOUT a shuffle
+    exchange on either side (and without a sort when sort_cols match):
+    at 100 TB this converts every recurring fact-fact join on the
+    bucketed key from a full-network shuffle into a local merge, the
+    same reason the reference clusters lake tables on their join keys.
+    The layout lives in the session catalog (parquet + bucket spec);
+    plan-shape-locked by tests/test_plan_shapes.py::
+    test_bucketed_join_has_no_shuffle."""
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+    )
+    writer.saveAsTable(table_name)
+
+
+def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    """Scan a bucketed table with its bucket spec intact (plain
+    ``spark.table`` — the catalog carries the layout metadata that
+    lets the planner elide the exchange)."""
+    return spark.table(table_name)

@@ -283,3 +283,39 @@ def test_ds35_uses_semi_joins(spark):
     plan = _plan(QUERIES["ds35_multichannel_exists"](spark, SF_DIR), "simple")
     assert plan.count("LeftSemi") == 2
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Storage bucketing: two tables bucketed on the join key with the
+    same bucket count must join with ZERO shuffle exchanges — the
+    co-located fact-fact join that replaces a full-network shuffle at
+    100 TB. (Broadcast disabled for the probe so the planner must pick
+    the merge join path.)"""
+    from pg_datalake_spark.sources.writers import read_bucketed, write_bucketed
+
+    orders = load_tables(spark, SF_DIR, ["orders"])["orders"]
+    lineitem = load_tables(spark, SF_DIR, ["lineitem"])["lineitem"]
+    write_bucketed(orders, "bkt_orders_t", ["o_orderkey"], 8)
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "bkt_lineitem_t", ["o_orderkey"], 8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = read_bucketed(spark, "bkt_orders_t").join(
+            read_bucketed(spark, "bkt_lineitem_t"), "o_orderkey"
+        )
+        plan = _plan(j, "simple")
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert j.count() == lineitem.count()
+        # contrast: the unbucketed join shuffles both sides
+        raw = orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        assert "Exchange" in _plan(raw, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders_t")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem_t")
