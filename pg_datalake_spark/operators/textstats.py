@@ -190,3 +190,29 @@ def redaction_counts(text: Column) -> list[Column]:
         F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))).alias(f"n_{name}")
         for name, pattern, _ in REDACTION_PATTERNS
     ]
+
+
+def char_entropy(df, id_col: str, text_col: str):
+    """Per-document character-level Shannon entropy (bits/char) — the
+    cheap perplexity proxy pretraining pipelines use to flag
+    gibberish/binary-pasted/boilerplate documents (very low or very
+    high entropy). Two hash aggregates, both partial-aggregable:
+    explode to (doc, char) counts, then recompose
+    -Σ p·log2(p) per document. Shuffle volume is |doc|·|distinct
+    chars| (≤ ~100 per doc), never raw text."""
+    from pyspark.sql import functions as F
+
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.filter(F.split(F.col(text_col), ""), lambda c: c != "")).alias("_ch"),
+    )
+    counts = chars.groupBy(id_col, "_ch").agg(F.count("*").alias("_c"))
+    n = F.sum("_c")
+    # -Σ (c/n)·log2(c/n) = log2(n) - Σ c·log2(c) / n
+    return counts.groupBy(id_col).agg(
+        n.cast("long").alias("n_chars"),
+        F.count("*").alias("n_distinct_chars"),
+        F.round(
+            F.log2(n) - F.sum(F.col("_c") * F.log2("_c")) / n, 6
+        ).alias("entropy_bits"),
+    )

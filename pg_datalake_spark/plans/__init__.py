@@ -31,4 +31,5 @@ def load_all() -> None:
         multimodal_q,
         relational,
         tpcds,
+        streaming_extra,
     )

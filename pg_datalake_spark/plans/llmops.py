@@ -788,3 +788,32 @@ def x09(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", (textstats.quality_score(F.col("text")) + F.lit(0.01)).alias("w")
     )
     return weighted_sample(scored, "doc_id", "w", k=500, salt="x09")
+
+
+@register(
+    "t07_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch
+      FROM documents WHERE doc_id < 400
+    ),
+    counts AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars WHERE ch <> '' GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_chars,
+           count(*) AS n_distinct_chars,
+           round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy_bits
+    FROM counts GROUP BY doc_id
+    """,
+)
+def t07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality screen (perplexity proxy): per-doc
+    Shannon entropy in bits/char via two partial-aggregable hash
+    aggregates (operators/textstats.py:char_entropy) — identical
+    log2(n) − Σc·log2(c)/n recomposition on both engines so the
+    doubles round(6)-match."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return textstats.char_entropy(
+        t["documents"].filter(F.col("doc_id") < 400), "doc_id", "text"
+    )

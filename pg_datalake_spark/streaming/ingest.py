@@ -241,3 +241,51 @@ def stateful_user_counts(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def streaming_dedup_ingest(
+    spark: SparkSession,
+    source_glob: str,
+    schema,
+    checkpoint_dir: str,
+    sink_fn,
+    key_cols: list[str],
+    event_time_col: str | None = None,
+    watermark: str = "1 hour",
+    fmt: str = "parquet",
+) -> int:
+    """Exactly-once ingest with STREAMING DEDUPLICATION: duplicate
+    keys arriving across micro-batches (at-least-once upstreams,
+    replayed files) are dropped before the sink ever sees them.
+
+    With ``event_time_col`` set, uses ``dropDuplicatesWithinWatermark``
+    — state for a key is held only until the watermark passes it, so
+    state size is bounded by the watermark window at any scale (the
+    unbounded-state ``dropDuplicates`` variant is what melts on a
+    100 TB replay). Without an event-time column, falls back to plain
+    ``dropDuplicates`` (bounded sources only). Returns the number of
+    micro-batches executed."""
+    n_batches = 0
+
+    def _wrapped(df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        sink_fn(df, batch_id)
+
+    reader = spark.readStream.schema(schema)
+    stream = reader.parquet(source_glob) if fmt == "parquet" else reader.format(
+        fmt
+    ).load(source_glob)
+    if event_time_col is not None:
+        stream = stream.withWatermark(event_time_col, watermark)
+        deduped = stream.dropDuplicatesWithinWatermark(key_cols)
+    else:
+        deduped = stream.dropDuplicates(key_cols)
+    q = (
+        deduped.writeStream.foreachBatch(_wrapped)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches
