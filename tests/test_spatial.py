@@ -336,3 +336,49 @@ def test_convexhull_collinear_and_duplicates(spark):
     assert row.n == 4
     assert row.a == pytest.approx(4.0)
     assert row.c
+
+
+def test_convex_inclusion_exclusion_random(spark):
+    """Randomized consistency check of the whole convex boolean tier:
+    for overlapping convex polygons, area(A) + area(B) must equal
+    area(A∩B) + area(A∪B) (inclusion–exclusion), with the
+    intersection bounded by either input and the union bounding both.
+    Any systematic Sutherland–Hodgman or star-merge bug breaks the
+    identity — this covers shapes the closed-form geo04 cases can't."""
+    import math
+    import random
+
+    rng = random.Random(20240814)
+    rows = []
+    for _ in range(30):
+        def poly():
+            m = rng.randint(3, 8)
+            rx, ry = rng.uniform(0.5, 2.0), rng.uniform(0.5, 2.0)
+            cx, cy = rng.uniform(-0.2, 0.2), rng.uniform(-0.2, 0.2)
+            rot = rng.uniform(0, 2 * math.pi)
+            return [
+                {"x": cx + rx * math.cos(rot + 2 * math.pi * i / m),
+                 "y": cy + ry * math.sin(rot + 2 * math.pi * i / m)}
+                for i in range(m)
+            ]
+        rows.append({"a": poly(), "b": poly()})
+
+    schema = ("a array<struct<x:double,y:double>>, "
+              "b array<struct<x:double,y:double>>")
+    df = spark.createDataFrame(rows, schema)
+    ringed = df.select(
+        "a", "b",
+        S.st_intersection_convex(F.col("a"), F.col("b")).alias("i"),
+        S.st_union_convex(F.col("a"), F.col("b")).alias("u"),
+    )
+    out = ringed.select(
+        S.st_area(F.col("a")).alias("aa"),
+        S.st_area(F.col("b")).alias("ab"),
+        S.st_area(F.col("i")).alias("ai"),
+        S.st_area(F.col("u")).alias("au"),
+    ).collect()
+    assert len(out) == 30
+    for r in out:
+        assert r.ai <= min(r.aa, r.ab) + 1e-9, r
+        assert r.au >= max(r.aa, r.ab) - 1e-9, r
+        assert abs(r.aa + r.ab - r.ai - r.au) < 1e-6, r
