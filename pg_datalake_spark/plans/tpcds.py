@@ -660,3 +660,194 @@ def ds35(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "n_name")
         .agg(F.count("*").alias("n_cust"), davg(F.col("c_acctbal")).alias("avg_bal"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ds16 shape: distinct-count with EXISTS / NOT EXISTS side conditions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ds16_distinct_exists",
+    oracle="""
+    SELECT count(DISTINCT o.o_orderkey) AS order_count,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_price
+    FROM orders o
+    WHERE o.o_orderpriority = '1-URGENT'
+      AND EXISTS (SELECT 1 FROM lineitem l1
+                  WHERE l1.l_orderkey = o.o_orderkey AND l1.l_discount > 0.05)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = o.o_orderkey AND l2.l_returnflag = 'R')
+    """,
+)
+def ds16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS16 shape (order count with an EXISTS channel condition and a
+    NOT EXISTS returns exclusion): semi + anti hash joins on the
+    natural fact key, then one distinct-count aggregate. NOTE the sum
+    counts each qualifying ORDER once (the semi-join never duplicates
+    o rows — exactly why EXISTS, not JOIN)."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    li = t["lineitem"]
+    discounted = li.filter(F.col("l_discount") > 0.05).select("l_orderkey")
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("r_orderkey")
+    )
+    return (
+        t["orders"]
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .join(discounted, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .join(returned, F.col("o_orderkey") == F.col("r_orderkey"), "left_anti")
+        .agg(
+            F.countDistinct("o_orderkey").alias("order_count"),
+            dsum(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ds23 shape: frequent items in one period, measured in another
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ds23_frequent_items",
+    oracle="""
+    WITH freq AS (
+      SELECT l_partkey FROM lineitem
+      WHERE year(l_shipdate) = 1996
+      GROUP BY l_partkey HAVING count(*) >= 4
+    )
+    SELECT p_brand,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)))
+                AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    JOIN freq USING (l_partkey)
+    JOIN part ON l_partkey = p_partkey
+    WHERE year(l_shipdate) = 1997
+    GROUP BY p_brand
+    """,
+)
+def ds23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS23 shape (frequently-sold items of one year, revenue measured
+    the next year): the frequent-item set is an aggregate-then-semi-
+    join — it reaches the fact scan as a join filter, never a
+    collected IN-list."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    li = t["lineitem"]
+    freq = (
+        li.filter(F.year("l_shipdate") == 1996)
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= 4)
+        .select("l_partkey")
+    )
+    return (
+        li.filter(F.year("l_shipdate") == 1997)
+        .join(freq, "l_partkey", "left_semi")
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(dsum(disc_price(), 4).alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ds54 shape: cross-channel customer migration (A then B, temporal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ds54_channel_migration",
+    oracle="""
+    WITH first_web AS (
+      SELECT o_custkey, min(o_orderdate) AS first_web_date
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY o_custkey
+    )
+    SELECT c_mktsegment,
+           count(DISTINCT o.o_custkey) AS n_migrated,
+           count(*) AS n_store_orders_after
+    FROM orders o
+    JOIN first_web f ON o.o_custkey = f.o_custkey
+    JOIN customer ON c_custkey = o.o_custkey
+    WHERE o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      AND o.o_orderdate > f.first_web_date
+    GROUP BY c_mktsegment
+    """,
+)
+def ds54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS54 shape (customers first seen in one channel, later active
+    in another): per-customer first-touch aggregate joined back to the
+    fact with a temporal predicate — one extra shuffle on the customer
+    key, no window over the raw fact."""
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    o = t["orders"]
+    web = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    first_web = (
+        o.filter(web)
+        .groupBy(F.col("o_custkey").alias("f_custkey"))
+        .agg(F.min("o_orderdate").alias("first_web_date"))
+    )
+    return (
+        o.filter(~web)
+        .join(first_web, F.col("o_custkey") == F.col("f_custkey"))
+        .filter(F.col("o_orderdate") > F.col("first_web_date"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_migrated"),
+            F.count("*").alias("n_store_orders_after"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ds95 shape: same-entity co-occurrence EXISTS (two-hop self-join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ds95_repeat_buyer_months",
+    oracle="""
+    WITH m AS (
+      SELECT DISTINCT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS INT) AS mon_idx
+      FROM orders
+    )
+    SELECT a.mon_idx, count(*) AS n_repeat_customers
+    FROM m a
+    WHERE EXISTS (SELECT 1 FROM m b
+                  WHERE b.o_custkey = a.o_custkey AND b.mon_idx = a.mon_idx + 1)
+    GROUP BY a.mon_idx
+    """,
+)
+def ds95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS95 shape (entities present in consecutive periods — the
+    two-hop EXISTS self-join): distinct (customer, month) pairs
+    semi-joined to themselves shifted one month. The distinct
+    aggregate runs BEFORE the self-join, so the join input is
+    |customer×month|, not |orders|."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    m = (
+        t["orders"]
+        .select(
+            "o_custkey",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("int")
+            .alias("mon_idx"),
+        )
+        .distinct()
+    )
+    nxt = m.select(
+        F.col("o_custkey").alias("n_custkey"), (F.col("mon_idx") - 1).alias("n_mon_idx")
+    )
+    return (
+        m.join(
+            nxt,
+            (F.col("o_custkey") == F.col("n_custkey"))
+            & (F.col("mon_idx") == F.col("n_mon_idx")),
+            "left_semi",
+        )
+        .groupBy("mon_idx")
+        .agg(F.count("*").alias("n_repeat_customers"))
+    )
