@@ -216,3 +216,18 @@ def char_entropy(df, id_col: str, text_col: str):
             F.log2(n) - F.sum(F.col("_c") * F.log2("_c")) / n, 6
         ).alias("entropy_bits"),
     )
+
+
+# GPT-2-style pretokenizer, restricted to the RE2 ∩ Java-regex subset
+# (no lookahead): contractions, letter runs, digit runs, punctuation
+# runs — each optionally preceded by one space — then whitespace runs.
+BPE_TOKEN_PATTERN = r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish pretokenization regex — the
+    budget estimate LLM pipelines use before real tokenization (true
+    BPE merges only split pretokens further, so this lower-bounds and
+    tracks the real count). JVM-side regexp_extract_all; the pattern
+    avoids lookaheads so DuckDB's RE2 reproduces it exactly."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))

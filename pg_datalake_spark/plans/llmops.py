@@ -817,3 +817,32 @@ def t07(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.char_entropy(
         t["documents"].filter(F.col("doc_id") < 400), "doc_id", "text"
     )
+
+
+@register(
+    "t08_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '''(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+'))
+             AS INT) AS n_bpe_tokens,
+           CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                x -> x <> '')) AS INT) AS n_ws_tokens
+    FROM documents WHERE doc_id < 500
+    """,
+)
+def t08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (the pre-tokenizer budget estimate next
+    to the whitespace count): GPT-2-style pretokenization regex in the
+    RE2 ∩ Java subset so both engines extract identical token runs —
+    JVM-side regexp_extract_all, no UDFs."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .filter(F.col("doc_id") < 500)
+        .select(
+            "doc_id",
+            textstats.bpe_token_count(F.col("text")).cast("int").alias("n_bpe_tokens"),
+            textstats.token_count(F.col("text")).cast("int").alias("n_ws_tokens"),
+        )
+    )
