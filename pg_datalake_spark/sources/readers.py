@@ -67,6 +67,21 @@ def read_files(
     - ``filename=True`` appends a ``_filename`` column.
     - gzip/zstd are transparent to Spark's text sources.
     """
+    if path.startswith("hf://"):
+        # Hugging Face datasets (reference: docs/file-formats-reference.md:96-183
+        # reads hf:// URLs through its engine's httpfs). Spark has no
+        # hf:// filesystem; the two working cluster patterns are
+        # (a) huggingface_hub.snapshot_download -> read the local/objstore
+        #     copy with this same function, or
+        # (b) datasets.load_dataset(..).data -> Arrow ->
+        #     spark.createDataFrame.
+        # Offline this runtime has neither library - fail loud with the
+        # recipe instead of a resolver stack.
+        raise NotImplementedError(
+            "hf:// paths need huggingface_hub (snapshot_download, then "
+            "read_files on the downloaded dir) or datasets (Arrow -> "
+            "createDataFrame); neither is available in this runtime"
+        )
     fmt = fmt or infer_format(path)[0]
     reader = spark.read
     if schema is not None:

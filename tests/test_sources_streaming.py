@@ -248,3 +248,14 @@ def test_delta_scan_dispatch(spark, tmp_path):
     back = read_files(spark, path, fmt="delta")
     assert back.count() == 10
     assert {r["id"] for r in back.collect()} == set(range(10))
+
+
+def test_hf_scheme_fails_loud(spark):
+    """hf:// URLs (reference reads them via httpfs) surface the
+    documented recipe, never a filesystem-resolver stack."""
+    import pytest
+
+    from pg_datalake_spark.sources.readers import read_files
+
+    with pytest.raises(NotImplementedError, match="huggingface_hub"):
+        read_files(spark, "hf://datasets/foo/bar/train.parquet")
