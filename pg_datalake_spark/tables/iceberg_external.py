@@ -2045,3 +2045,103 @@ def iceberg_partitions(
     return spark.createDataFrame(
         rows, "partition string, file_count long, record_count long, total_bytes long"
     )
+
+
+def merge_into(
+    spark: SparkSession,
+    location: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched_update: dict[str, str] | None = None,
+    when_matched_delete: str | None = None,
+    insert_not_matched: bool = True,
+) -> int:
+    """MERGE INTO an external Iceberg table, copy-on-write: one
+    OVERWRITE snapshot carries updates, deletes and inserts together
+    (the same single-commit atomicity the internal LakeTable.merge and
+    the reference's writable-table MERGE provide —
+    pg_lake_table/src/fdw/writable_table.c). Semantics:
+
+    - rows matching a source row on ``on``: updated with
+      ``when_matched_update`` SQL expressions (source columns
+      available as ``src.<col>``), or deleted when
+      ``when_matched_delete`` (a predicate over target+src) holds;
+    - source rows matching no target row: inserted when
+      ``insert_not_matched`` (source must carry the full schema).
+
+    Duplicate source keys are rejected (ANSI MERGE's cardinality
+    rule) — a nondeterministic multi-update must fail loud."""
+    cur = read_iceberg_table(spark, location)
+    tgt_cols = cur.columns
+    dup = source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).collect()
+    if dup:
+        raise ValueError(f"MERGE source has duplicate key {dup[0]}: ANSI cardinality violation")
+    src = source.select([F.col(c).alias(f"__src_{c}") for c in source.columns])
+    cond = None
+    for k in on:
+        c = F.col(k).eqNullSafe(F.col(f"__src_{k}"))
+        cond = c if cond is None else (cond & c)
+    # presence flags survive the outer join explicitly (key columns may
+    # legitimately hold NULLs — eqNullSafe matches them)
+    cur_flagged = cur.withColumn("__tgt_present", F.lit(True))
+    src = src.withColumn("__src_present", F.lit(True))
+    joined = cur_flagged.join(src, cond, "full_outer")
+    tgt_present = F.col("__tgt_present").isNotNull()
+    src_present = F.col("__src_present").isNotNull()
+    matched = tgt_present & src_present
+
+    # expression environment: src.<col> refers to the source side
+    def _rewrite(expr: str) -> F.Column:
+        out = expr
+        for c in source.columns:
+            out = out.replace(f"src.{c}", f"__src_{c}")
+        return F.expr(out)
+
+    types = {f.name: f.dataType for f in cur.schema.fields}
+    keep_pred = F.lit(True)
+    if when_matched_delete is not None:
+        keep_pred = ~(matched & _rewrite(when_matched_delete))
+    out_cols = []
+    for c in tgt_cols:
+        col = F.col(c)
+        if when_matched_update and c in when_matched_update:
+            col = F.when(matched, _rewrite(when_matched_update[c]).cast(types[c])).otherwise(col)
+        if insert_not_matched:
+            col = F.when(
+                ~tgt_present & src_present,
+                F.col(f"__src_{c}").cast(types[c]) if c in source.columns else F.lit(None).cast(types[c]),
+            ).otherwise(col)
+        out_cols.append(col.alias(c))
+    result = (
+        joined.filter(keep_pred)
+        .filter(tgt_present | (src_present & F.lit(insert_not_matched)))
+        .select(*out_cols)
+    )
+    return overwrite_snapshot(result, location)
+
+
+def compact_files(
+    spark: SparkSession, location: str, target_file_mb: int = 512
+) -> dict:
+    """Compaction for an external Iceberg table: rewrite the current
+    snapshot's data files into ~``target_file_mb`` outputs (folding
+    any MOR position/equality deletes into the rewrite) and commit
+    ONE OVERWRITE snapshot — the reference's OPTIMIZE maintenance.
+    Prior snapshots stay pinned-readable until expire_snapshots.
+    Returns {"files_before", "files_after", "snapshot_id"}."""
+    data_files = [
+        d["file_path"]
+        for d in _live_entries(location, None, None)
+        if (d.get("content", 0) or 0) == 0
+    ]
+    n_before = len(data_files)
+    total_bytes = sum(os.path.getsize(_local(p)) for p in data_files)
+    n_out = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    cur = read_iceberg_table(spark, location)  # deletes applied here
+    snap_id = overwrite_snapshot(cur.repartition(n_out), location)
+    after, _ = snapshot_files(location)
+    return {
+        "files_before": n_before,
+        "files_after": len(after),
+        "snapshot_id": snap_id,
+    }

@@ -1221,3 +1221,58 @@ def test_equality_delete_internal_external_crosswalk(spark, tmp_path):
     assert not base.filter(
         (F.col("cat") == "v3") & (F.col("bucket") == 11)
     ).filter(F.col("k").isin(list(kept))).count()
+
+
+def test_external_merge_into_cow(spark, tmp_path):
+    """External-Iceberg MERGE (COW): update + delete + insert in ONE
+    OVERWRITE snapshot; duplicate source keys rejected (ANSI
+    cardinality rule); the pre-merge snapshot stays time-travelable."""
+    from pg_datalake_spark.tables.iceberg_external import merge_into
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, name string, v double",
+    )
+    loc = str(tmp_path / "m")
+    snap0 = export_iceberg_snapshot(base, loc)
+    source = spark.createDataFrame(
+        [(2, "b2", 21.0), (3, "c", 0.0), (9, "z", 90.0)],
+        "k long, name string, v double",
+    )
+    merge_into(
+        spark, loc, source, on=["k"],
+        when_matched_update={"name": "src.name", "v": "src.v + 1"},
+        when_matched_delete="src.v = 0.0",   # k=3 deleted
+        insert_not_matched=True,             # k=9 inserted as-is
+    )
+    rows = {r.k: (r.name, r.v) for r in read_iceberg_table(spark, loc).collect()}
+    assert rows == {
+        1: ("a", 10.0),      # untouched
+        2: ("b2", 22.0),     # updated (v+1)
+        4: ("d", 40.0),      # untouched
+        9: ("z", 90.0),      # inserted
+    }
+    # pre-merge snapshot pinned-readable
+    assert read_iceberg_table(spark, loc, snapshot_id=snap0).count() == 4
+    # ANSI cardinality: duplicate source keys fail loud
+    dup = spark.createDataFrame([(2, "x", 1.0), (2, "y", 2.0)],
+                                "k long, name string, v double")
+    with pytest.raises(ValueError, match="cardinality"):
+        merge_into(spark, loc, dup, on=["k"])
+
+
+def test_external_compact_files(spark, tmp_path):
+    """External compaction: many small files + a MOR delete fold into
+    few files in one OVERWRITE snapshot with identical contents."""
+    from pg_datalake_spark.tables.iceberg_external import compact_files
+
+    df = spark.range(2000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("g"))
+    loc = str(tmp_path / "c")
+    export_iceberg_snapshot(df.repartition(16), loc)
+    add_equality_deletes(loc, spark.createDataFrame([(3,)], "g long"))
+    expected = read_iceberg_table(spark, loc).orderBy("k").collect()
+    stats = compact_files(spark, loc, target_file_mb=512)
+    assert stats["files_before"] == 16
+    assert stats["files_after"] < 16
+    got = read_iceberg_table(spark, loc).orderBy("k").collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in expected]
