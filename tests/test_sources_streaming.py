@@ -259,3 +259,26 @@ def test_hf_scheme_fails_loud(spark):
 
     with pytest.raises(NotImplementedError, match="huggingface_hub"):
         read_files(spark, "hf://datasets/foo/bar/train.parquet")
+
+
+def test_csv_roundtrip_unicode_quotes_newlines(spark, tmp_path):
+    """CSV dialect handling under hostile content: embedded commas,
+    double quotes, newlines inside fields, and non-ASCII text must
+    round-trip COPY TO → schema-inferred read exactly (the reference's
+    sniffed-dialect path; Spark needs multiLine for quoted newlines)."""
+    from pg_datalake_spark.sources import copy_to, read_files
+
+    rows = [
+        (1, 'plain'),
+        (2, 'comma, inside'),
+        (3, 'quote " inside'),
+        (4, 'line\nbreak'),
+        (5, 'häße-ünïcode 中文 🚀'),
+        (6, ''),
+    ]
+    df = spark.createDataFrame(rows, "id long, txt string")
+    out = str(tmp_path / "u.csv")
+    copy_to(df, out, fmt="csv")
+    back = read_files(spark, out, fmt="csv", multiLine=True)
+    got = {r.id: (r.txt if r.txt is not None else "") for r in back.collect()}
+    assert got == dict(rows)
