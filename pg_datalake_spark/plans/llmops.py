@@ -846,3 +846,71 @@ def t08(spark: SparkSession, sf_dir: str) -> DataFrame:
             textstats.token_count(F.col("text")).cast("int").alias("n_ws_tokens"),
         )
     )
+
+
+@register(
+    "t09_repetition_filter",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents WHERE doc_id < 400
+    ),
+    grams AS (
+      SELECT doc_id,
+             [concat_ws(' ', t[i], t[i+1]) for i in generate_series(1, len(t) - 1)] AS g2,
+             [concat_ws(' ', t[i], t[i+1], t[i+2]) for i in generate_series(1, len(t) - 2)] AS g3
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(g2) AS INT) AS n_2grams,
+           round(CASE WHEN len(g2) > 0
+                      THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)
+                      ELSE 0.0 END, 6) AS dup_2gram_frac,
+           round(CASE WHEN len(g3) > 0
+                      THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                      ELSE 0.0 END, 6) AS dup_3gram_frac
+    FROM grams
+    """,
+)
+def t09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality filter (the Gopher/MassiveText rule family:
+    documents whose n-grams repeat heavily are boilerplate/spam):
+    per-doc fraction of duplicate word 2-grams and 3-grams, computed
+    entirely inside the token array (transform + array_distinct — a
+    narrow zero-shuffle map over documents; the text never leaves its
+    partition)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = textstats.tokens(F.lower(F.trim(F.col("text"))))
+
+    def gram_arr(n: int) -> F.Column:
+        return F.expr(
+            f"""transform(
+                  sequence(1, greatest(size({'_toks'}) - {n - 1}, 0)),
+                  i -> concat_ws(' ', slice(_toks, i, {n})))"""
+        )
+
+    base = (
+        t["documents"]
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", toks.alias("_toks"))
+        .select("doc_id", gram_arr(2).alias("g2"), gram_arr(3).alias("g3"))
+    )
+
+    def dup_frac(col: str) -> F.Column:
+        n = F.size(F.col(col))
+        return F.round(
+            F.when(
+                n > 0,
+                1.0 - F.size(F.array_distinct(F.col(col))).cast("double") / n,
+            ).otherwise(0.0),
+            6,
+        )
+
+    return base.select(
+        "doc_id",
+        F.size("g2").cast("int").alias("n_2grams"),
+        dup_frac("g2").alias("dup_2gram_frac"),
+        dup_frac("g3").alias("dup_3gram_frac"),
+    )
