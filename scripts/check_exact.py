@@ -100,6 +100,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--window", action="store_true")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use a plain SparkSession like the DRIVER does (no tuned "
+        "confs) — catches queries that silently depend on "
+        "build_session settings the driver won't have",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -116,7 +123,19 @@ def main() -> int:
     else:
         names = args.names or list(QUERIES)
 
-    spark = build_session("exactcheck", cpus=16)
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[16]")
+            .config("spark.sql.shuffle.partitions", "16")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.driver.memory", "8g")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = build_session("exactcheck", cpus=16)
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
