@@ -914,3 +914,36 @@ def t09(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_frac("g2").alias("dup_2gram_frac"),
         dup_frac("g3").alias("dup_3gram_frac"),
     )
+
+
+@register("x10_hll_mergeable_rollup")  # rows-only: datasketches HLL estimates
+# are not reproducible in DuckDB; verified by the merge-identity and
+# error-bound invariants in test_operators.py
+def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count rollup — the 100 TB pattern for
+    distinct users per day/week/total: aggregate each hour ONCE into
+    an HLL sketch (datasketches, lgK=14), then every coarser rollup is
+    a sketch UNION over the tiny pre-aggregate — the raw events are
+    never rescanned, and a continuous rollup can maintain the hourly
+    sketches incrementally (exact distinct counts cannot be rolled up;
+    sketches are the only mergeable form). Emits per-day estimates
+    from merged hourly sketches + the grand total."""
+    t = load_tables(spark, sf_dir, ["events"])
+    hourly = (
+        t["events"]
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day"),
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour"),
+        )
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    )
+    daily = hourly.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("uniq_users"),
+        F.count("*").alias("n_hours"),
+    )
+    total = hourly.agg(
+        F.lit(None).cast("timestamp_ntz").alias("day"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("uniq_users"),
+        F.count("*").alias("n_hours"),
+    )
+    return daily.unionByName(total)

@@ -307,3 +307,32 @@ def test_scalable_percentiles_match_native(spark):
         .collect()
     }
     assert {r.g: r.mv for r in m} == expect
+
+
+def test_hll_mergeable_rollup_invariants(spark):
+    """The mergeable-sketch rollup (x10) must satisfy (a) the merge
+    identity — union of hourly sketches gives the IDENTICAL estimate
+    as sketching the day directly (same registers, deterministic) —
+    and (b) the datasketches error bound vs exact distinct counts
+    (lgK=14 → ~1.6% stderr; assert 5%)."""
+    from pyspark.sql import functions as F
+
+    from pg_datalake_spark.catalog import load_tables
+    from tests.conftest import SF_DIR
+
+    ev = load_tables(spark, SF_DIR, ["events"])["events"]
+    day = F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day")
+    hour = F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hour")
+    hourly = ev.groupBy(day, hour).agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    merged = hourly.groupBy("day").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    direct = ev.groupBy(day).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("direct_est"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    rows = merged.join(direct, "day").collect()
+    assert rows
+    for r in rows:
+        assert r.est == r.direct_est, r   # merge identity, exact
+        assert abs(r.est - r.exact) / r.exact < 0.05, r
