@@ -147,8 +147,14 @@ def read_log(
     malformed log rows).
     """
     df = spark.read.text(path)
+    # try_cast, not cast: a non-matching line extracts '' for every
+    # group, and ANSI mode (Spark 4 default) would throw on
+    # CAST('' AS BIGINT) — malformed rows must yield NULLs, not kill
+    # the scan (caught by test_python_datasource_log_format).
     cols = [
-        F.regexp_extract("value", pattern, i + 1).cast(t).alias(name)
+        F.nullif(F.regexp_extract("value", pattern, i + 1), F.lit(""))
+        .try_cast(t)
+        .alias(name)
         for i, (name, t) in enumerate(fields)
     ]
     return df.select(*cols)

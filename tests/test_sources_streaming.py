@@ -282,3 +282,47 @@ def test_csv_roundtrip_unicode_quotes_newlines(spark, tmp_path):
     back = read_files(spark, out, fmt="csv", multiLine=True)
     got = {r.id: (r.txt if r.txt is not None else "") for r in back.collect()}
     assert got == dict(rows)
+
+
+def test_python_datasource_log_format(spark, tmp_path):
+    """Spark 4 Python Data Source API (the imperative-parsing escape
+    hatch next to read_log's codegen path): register pglake_log, read
+    two templated log files, typed columns + all-NULL malformed rows,
+    and agreement with read_log on the same input."""
+    from pg_datalake_spark.sources.log_datasource import LogDataSource
+    from pg_datalake_spark.sources.readers import read_log
+
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "a.log").write_text("1 10 click 3.50\n2 20 view 1.25\nmalformed line\n")
+    (d / "b.log").write_text("3 30 error 9.00\n")
+    spark.dataSource.register(LogDataSource)
+    schema = "event_id long, user_id long, event_type string, value double"
+    pattern = r"^(\d+) (\d+) (\w+) ([\d.,]+)$"
+    df = (
+        spark.read.format("pglake_log")
+        .schema(schema)
+        .option("path", str(d / "*.log"))
+        .option("pattern", pattern)
+        .load()
+    )
+    rows = sorted(
+        [tuple(r) for r in df.collect()],
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    assert rows == [
+        (1, 10, "click", 3.5),
+        (2, 20, "view", 1.25),
+        (3, 30, "error", 9.0),
+        (None, None, None, None),
+    ]
+    # agreement with the codegen'd read_log path on the same files
+    via_regex = read_log(
+        spark, str(d / "*.log"), pattern,
+        [("event_id", "long"), ("user_id", "long"),
+         ("event_type", "string"), ("value", "double")],
+    )
+    assert sorted(
+        [tuple(r) for r in via_regex.collect()],
+        key=lambda t: (t[0] is None, t[0]),
+    ) == rows
