@@ -65,6 +65,7 @@ __all__ = [
     "st_intersection_convex",
     "st_union_convex",
     "st_convexhull",
+    "st_simplify_radial",
     "st_segment_intersection",
     "st_intersects",
     "st_buffer",
@@ -836,3 +837,34 @@ def st_convexhull(pts: Column) -> Column:
         )
 
     return F.aggregate(F.sequence(F.lit(1), F.size(pts)), init, step)["ring"]
+
+
+def st_simplify_radial(line: Column, tolerance) -> Column:
+    """Polyline simplification by RADIAL DISTANCE: walk the line and
+    keep a vertex only when it lies ≥ ``tolerance`` from the last
+    KEPT vertex; endpoints always survive. A bounded ``aggregate``
+    fold, like the other round-6 ops. NOTE: this is the radial-
+    distance algorithm (the common cheap pre-pass), NOT PostGIS
+    ST_Simplify's Douglas–Peucker — DP needs a recursive split that
+    Column algebra can't express; use Sedona/GEOS for true DP. Named
+    distinctly so nobody mistakes the semantics."""
+    tol = tolerance if isinstance(tolerance, Column) else F.lit(float(tolerance))
+
+    def d2(a: Column, b: Column) -> Column:
+        dx, dy = a["x"] - b["x"], a["y"] - b["y"]
+        return dx * dx + dy * dy
+
+    def step(acc: Column, p: Column) -> Column:
+        last = F.element_at(acc, -1)
+        return F.when(
+            d2(last, p) >= tol * tol, F.concat(acc, F.array(p))
+        ).otherwise(acc)
+
+    first = F.slice(line, 1, 1).cast(_RING_T)
+    rest = F.slice(line, 2, F.size(line) - 1)
+    out = F.aggregate(rest, first, step)
+    last_in = F.element_at(line, -1)
+    last_out = F.element_at(out, -1)
+    return F.when(
+        (last_out["x"] == last_in["x"]) & (last_out["y"] == last_in["y"]), out
+    ).otherwise(F.concat(out, F.array(last_in)))

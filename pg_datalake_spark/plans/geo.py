@@ -442,3 +442,46 @@ def geo05(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.st_npoints(F.col("hull")).alias("hn"),
         S.st_isconvex(F.col("hull")).cast("int").alias("hcvx"),
     )
+
+
+@register(
+    "geo06_simplify_radial",
+    oracle="""
+    WITH g AS (
+      SELECT n_nationkey AS nk, 4 + n_nationkey % 4 AS k FROM nation
+    )
+    SELECT nk, CAST(3 * k + 1 AS INT) AS n_in,
+           CAST(k + 1 AS INT) AS n_kept,
+           round(2.6 * k, 6) AS kept_length
+    FROM g
+    """,
+)
+def geo06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_simplify_radial value check with a closed-form oracle: a
+    collinear path repeating spacings (0.3, 0.3, 2.0) under tolerance
+    1.0 keeps exactly the start plus every third point (the two 0.3
+    hops stay under tolerance, the cumulative 2.6 hop exceeds it), so
+    kept count = k+1 and simplified length = 2.6·k exactly."""
+    t = load_tables(spark, sf_dir, ["nation"])
+    base = t["nation"].select(
+        F.col("n_nationkey").cast("int").alias("nk"),
+        (4 + F.col("n_nationkey") % 4).cast("int").alias("k"),
+    )
+    k = F.col("k")
+    # x_i for i in 0..3k: cumulative of the repeating (0.3, 0.3, 2.0)
+    xs = F.transform(
+        F.sequence(F.lit(0), 3 * k),
+        lambda i: F.floor(i / 3) * 2.6
+        + F.when(i % 3 == 1, 0.3).when(i % 3 == 2, 0.6).otherwise(0.0),
+    )
+    line = F.transform(xs, lambda x: S.st_point(x, F.lit(0.0)))
+    ringed = base.select(
+        "nk", "k", F.size(line).cast("int").alias("n_in"),
+        S.st_simplify_radial(line, 1.0).alias("simp"),
+    )
+    return ringed.select(
+        "nk",
+        "n_in",
+        S.st_npoints(F.col("simp")).alias("n_kept"),
+        F.round(S.st_length(F.col("simp")), 6).alias("kept_length"),
+    )
