@@ -1276,3 +1276,40 @@ def test_external_compact_files(spark, tmp_path):
     assert stats["files_after"] < 16
     got = read_iceberg_table(spark, loc).orderBy("k").collect()
     assert [r.asDict() for r in got] == [r.asDict() for r in expected]
+
+
+def test_merge_internal_external_crosswalk(spark, tmp_path):
+    """MERGE crosswalk (mirrors the equality-delete crosswalk): the
+    SAME source applied through the internal LakeTable.merge and the
+    external merge_into must land on identical tables — update,
+    insert, and untouched rows alike."""
+    from pg_datalake_spark.tables.iceberg_external import merge_into
+
+    base = spark.createDataFrame(
+        [(i, f"n{i}", float(i * 10)) for i in range(1, 31)],
+        "k long, name string, v double",
+    )
+    source = spark.createDataFrame(
+        [(5, "u5", 1.5), (17, "u17", 2.5), (99, "new99", 3.5)],
+        "k long, name string, v double",
+    )
+
+    lt = LakeTable.create(spark, str(tmp_path / "internal"), base.schema)
+    lt.append(base)
+    lt.merge(source, on="k",
+             when_matched_update={"name": "src.name", "v": "src.v * 2"})
+    internal = [r.asDict() for r in lt.scan().orderBy("k").collect()]
+
+    loc = str(tmp_path / "external")
+    export_iceberg_snapshot(base, loc)
+    merge_into(spark, loc, source, on=["k"],
+               when_matched_update={"name": "src.name", "v": "src.v * 2"})
+    external = [
+        r.asDict() for r in read_iceberg_table(spark, loc).orderBy("k").collect()
+    ]
+
+    assert internal == external
+    by_k = {r["k"]: r for r in internal}
+    assert by_k[5] == {"k": 5, "name": "u5", "v": 3.0}
+    assert by_k[99] == {"k": 99, "name": "new99", "v": 3.5}
+    assert by_k[10] == {"k": 10, "name": "n10", "v": 100.0}
