@@ -438,3 +438,57 @@ def corpus_ngram_stats(
             F.col("total_count").cast("long").alias("total_count"),
         )
     )
+
+
+def remove_boilerplate_lines(
+    df, id_col: str, text_col: str, min_docs: int = 10
+):
+    """C4-style boilerplate removal: a LINE that appears in ≥
+    ``min_docs`` DISTINCT documents is boilerplate (nav bars, cookie
+    banners, footers) and is stripped from every document. Returns
+    (id, n_lines_in, n_removed, clean_text).
+
+    Scale shape: explode to (doc, pos, line) → line-frequency hash
+    aggregate with map-side combine → the boilerplate set is SMALL by
+    construction (each member appears ≥ min_docs times, so
+    |set| ≤ |lines|/min_docs) and joins back as a broadcast anti-join
+    → one regroup by document rebuilds the text in line order. The
+    corpus text shuffles once (the regroup); the frequency pass moves
+    only (line-hash, count) pairs."""
+    from pyspark.sql import functions as F
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select(F.col("line").alias("_bad"))
+    )
+    kept = lines.join(
+        F.broadcast(boiler), lines["line"] == F.col("_bad"), "left_anti"
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines_in"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("_n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_lines_in",
+            (F.col("n_lines_in") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -947,3 +947,69 @@ def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_hours"),
     )
     return daily.unionByName(total)
+
+
+@register(
+    "t10_boilerplate_removal",
+    oracle="""
+    WITH docs2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+               text || chr(10) ||
+               CASE WHEN doc_id % 2 = 0 THEN 'FOLLOW US AT EXAMPLE DOT COM'
+                    ELSE 'ALL RIGHTS RESERVED 2024' END
+             ELSE text END AS text
+      FROM documents WHERE doc_id < 600
+    ),
+    lines AS (
+      SELECT doc_id, generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos,
+             unnest(string_split(text, chr(10))) AS line
+      FROM docs2
+    ),
+    boiler AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING count(DISTINCT doc_id) >= 10
+    ),
+    kept AS (
+      SELECT l.* FROM lines l LEFT JOIN boiler b ON l.line = b.line
+      WHERE b.line IS NULL
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_lines_in FROM lines GROUP BY doc_id)
+    SELECT t.doc_id, CAST(t.n_lines_in AS BIGINT) AS n_lines_in,
+           CAST(t.n_lines_in - coalesce(k.nk, 0) AS INT) AS n_removed,
+           md5(coalesce(k.ct, '')) AS clean_md5
+    FROM totals t LEFT JOIN (
+      SELECT doc_id, count(*) AS nk,
+             string_agg(line, chr(10) ORDER BY pos) AS ct
+      FROM kept GROUP BY doc_id
+    ) k ON t.doc_id = k.doc_id
+    """,
+)
+def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate-line removal: every third document gets
+    one of two planted footer lines (each then appears in ≥ 10 docs —
+    boilerplate by the frequency rule), and
+    dedup.remove_boilerplate_lines must strip EXACTLY those lines
+    from exactly those documents — verified by per-doc md5 of the
+    rebuilt text."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    footer = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("FOLLOW US AT EXAMPLE DOT COM")
+    ).otherwise(F.lit("ALL RIGHTS RESERVED 2024"))
+    docs2 = (
+        t["documents"]
+        .filter(F.col("doc_id") < 600)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.col("text"), F.lit("\n"), footer),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    out = dedup.remove_boilerplate_lines(docs2, "doc_id", "text", min_docs=10)
+    return out.select(
+        "doc_id", "n_lines_in", "n_removed", F.md5("clean_text").alias("clean_md5")
+    )
