@@ -1297,3 +1297,54 @@ def a06(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mode_flag",
         )
     )
+
+
+@register(
+    "j08_asof_variants",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS lt
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS rt
+          FROM events WHERE event_type = 'click')
+    SELECT p.event_id,
+           (SELECT max(rt) FROM c WHERE c.user_id = p.user_id AND rt <= lt)
+             AS back_rt,
+           (SELECT min(rt) FROM c WHERE c.user_id = p.user_id AND rt >= lt)
+             AS fwd_rt,
+           (SELECT max(rt) FROM c WHERE c.user_id = p.user_id
+             AND rt <= lt AND lt - rt <= 600000000) AS back_tol_rt
+    FROM p
+    """,
+)
+def j08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join VARIANTS (pd.merge_asof's full surface on the
+    window composition — operators/asof.py): backward, forward and
+    tolerance-bounded backward (10 minutes, epoch-µs), each one
+    shuffle on the key. The oracle states each variant as a
+    correlated scalar subquery."""
+    from pg_datalake_spark.operators.asof import asof_join
+
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("t_us").alias("lt")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("t_us").alias("rt")
+    )
+    back = asof_join(purchases, clicks, "user_id", "lt", "rt").select(
+        "event_id", F.col("rt").alias("back_rt")
+    )
+    fwd = asof_join(
+        purchases, clicks, "user_id", "lt", "rt", direction="forward"
+    ).select("event_id", F.col("rt").alias("fwd_rt"))
+    btol = asof_join(
+        purchases, clicks, "user_id", "lt", "rt", tolerance=600_000_000
+    ).select("event_id", F.col("rt").alias("back_tol_rt"))
+    return (
+        back.join(fwd, "event_id").join(btol, "event_id")
+        .select("event_id", "back_rt", "fwd_rt", "back_tol_rt")
+    )

@@ -336,3 +336,70 @@ def test_hll_mergeable_rollup_invariants(spark):
     for r in rows:
         assert r.est == r.direct_est, r   # merge identity, exact
         assert abs(r.est - r.exact) / r.exact < 0.05, r
+
+
+def test_asof_join_directions_and_tolerance(spark):
+    """asof_join forward/nearest/tolerance vs the naive theta-join
+    formulations (exact agreement, including no-match NULLs and
+    pandas' backward tie preference for nearest)."""
+    from pyspark.sql import functions as F
+
+    from pg_datalake_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t) for k in (1, 2) for t in (5, 10, 15, 20, 25)], "k long, lt long"
+    )
+    right = spark.createDataFrame(
+        [(1, 4, "a"), (1, 10, "b"), (1, 22, "c"),
+         (2, 7, "x"), (2, 18, "y"), (2, 30, "z")],
+        "k long, rt long, val string",
+    )
+    left.createOrReplaceTempView("asof_l")
+    right.createOrReplaceTempView("asof_r")
+
+    def naive(cmp_dir):
+        if cmp_dir == "backward":
+            pick = "ORDER BY r.rt DESC, r.val DESC"
+            cond = "r.rt <= l.lt"
+        else:
+            pick = "ORDER BY r.rt ASC, r.val ASC"
+            cond = "r.rt >= l.lt"
+        return {
+            (r.k, r.lt): (r.rt, r.val)
+            for r in spark.sql(f"""
+                SELECT l.k, l.lt, r.rt, r.val,
+                       row_number() OVER (PARTITION BY l.k, l.lt {pick}) AS rn
+                FROM asof_l l JOIN asof_r r ON l.k = r.k AND {cond}
+            """).filter("rn = 1").collect()
+        }
+
+    for direction in ("backward", "forward"):
+        expect = naive(direction)
+        got = asof_join(left, right, "k", "lt", "rt", direction=direction)
+        for r in got.collect():
+            exp = expect.get((r.k, r.lt), (None, None))
+            assert (r.rt, r.val) == exp, (direction, r)
+
+    # nearest: closest in |dt|, backward wins ties
+    b, f = naive("backward"), naive("forward")
+    got = {(r.k, r.lt): (r.rt, r.val)
+           for r in asof_join(left, right, "k", "lt", "rt", direction="nearest").collect()}
+    for key in got:
+        k, lt = key
+        cand_b, cand_f = b.get(key), f.get(key)
+        if cand_b is None:
+            assert got[key] == (cand_f or (None, None)), key
+        elif cand_f is None:
+            assert got[key] == cand_b, key
+        else:
+            db, df_ = lt - cand_b[0], cand_f[0] - lt
+            assert got[key] == (cand_b if db <= df_ else cand_f), key
+
+    # tolerance: backward matches farther than 3 are nulled
+    got = asof_join(left, right, "k", "lt", "rt", tolerance=3)
+    for r in got.collect():
+        exp = b.get((r.k, r.lt))
+        if exp is not None and r.lt - exp[0] <= 3:
+            assert (r.rt, r.val) == exp, r
+        else:
+            assert r.rt is None and r.val is None, r
