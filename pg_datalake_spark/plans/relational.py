@@ -1312,16 +1312,20 @@ def a06(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT min(rt) FROM c WHERE c.user_id = p.user_id AND rt >= lt)
              AS fwd_rt,
            (SELECT max(rt) FROM c WHERE c.user_id = p.user_id
-             AND rt <= lt AND lt - rt <= 600000000) AS back_tol_rt
+             AND rt <= lt AND lt - rt <= 600000000) AS back_tol_rt,
+           (SELECT rt FROM c WHERE c.user_id = p.user_id
+             ORDER BY abs(lt - rt), CASE WHEN rt <= lt THEN 0 ELSE 1 END, rt
+             LIMIT 1) AS nearest_rt
     FROM p
     """,
 )
 def j08(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join VARIANTS (pd.merge_asof's full surface on the
     window composition — operators/asof.py): backward, forward and
-    tolerance-bounded backward (10 minutes, epoch-µs), each one
-    shuffle on the key. The oracle states each variant as a
-    correlated scalar subquery."""
+    tolerance-bounded backward (10 minutes, epoch-µs) and nearest
+    (backward wins ties), each one shuffle on the key. The oracle
+    states each variant as a correlated (LATERAL-ordered) scalar
+    subquery."""
     from pg_datalake_spark.operators.asof import asof_join
 
     t = load_tables(spark, sf_dir, ["events"])
@@ -1344,7 +1348,10 @@ def j08(spark: SparkSession, sf_dir: str) -> DataFrame:
     btol = asof_join(
         purchases, clicks, "user_id", "lt", "rt", tolerance=600_000_000
     ).select("event_id", F.col("rt").alias("back_tol_rt"))
+    near = asof_join(
+        purchases, clicks, "user_id", "lt", "rt", direction="nearest"
+    ).select("event_id", F.col("rt").alias("nearest_rt"))
     return (
-        back.join(fwd, "event_id").join(btol, "event_id")
-        .select("event_id", "back_rt", "fwd_rt", "back_tol_rt")
+        back.join(fwd, "event_id").join(btol, "event_id").join(near, "event_id")
+        .select("event_id", "back_rt", "fwd_rt", "back_tol_rt", "nearest_rt")
     )

@@ -319,3 +319,16 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_orders_t")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem_t")
+
+
+def test_boilerplate_removal_broadcasts_the_boiler_set(spark):
+    """t10: the boilerplate set (small by construction — each member
+    appears >= min_docs times) must join back as a BROADCAST anti-join;
+    the corpus text shuffles exactly once (the per-doc regroup)."""
+    from pg_datalake_spark.operators.dedup import remove_boilerplate_lines
+
+    docs = load_tables(spark, SF_DIR, ["documents"])["documents"]
+    out = remove_boilerplate_lines(docs, "doc_id", "text", min_docs=10)
+    plan = _plan(out, "simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
