@@ -100,3 +100,55 @@ def gap_fill_interpolate(
         interp.alias("value"),
         F.col(value_col).isNull().alias("is_filled"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_us_col: str,
+    value_cents_col: str,
+    group_cols: list[str],
+    bucket_us: int,
+) -> DataFrame:
+    """WITHIN-BUCKET time-weighted average (the hypertable
+    ``time_weight('locf')`` family): each observation holds its value
+    from its own timestamp until the NEXT observation in the group or
+    the bucket end, whichever comes first; the bucket average weights
+    each value by that holding duration. Carry-in from the previous
+    bucket is deliberately out of scope (documented within-bucket
+    variant — cross-bucket carry needs the gap-fill grid first; compose
+    with gap_fill_locf for that).
+
+    Exactness: timestamps in µs and values in integer cents, so every
+    value·duration product is exact integer arithmetic (decimal
+    accumulation) and both engines agree bit-for-bit. One shuffle on
+    the group key (the lead window); the bucket aggregate reuses the
+    same partitioning."""
+    ts = F.col(ts_us_col)
+    bucket = (ts - (ts % F.lit(bucket_us))).alias("bucket_us")
+    w = Window.partitionBy(*group_cols).orderBy(ts_us_col)
+    seg = (
+        df.select(*group_cols, ts_us_col, value_cents_col)
+        .withColumn("bucket_us", bucket)
+        .withColumn("_next", F.lead(ts_us_col).over(w))
+        .withColumn("_bucket_end", F.col("bucket_us") + F.lit(bucket_us))
+        .withColumn(
+            "_dt",
+            F.least(F.coalesce(F.col("_next"), F.col("_bucket_end")),
+                    F.col("_bucket_end")) - ts,
+        )
+    )
+    return (
+        seg.groupBy(*group_cols, "bucket_us")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.sum("_dt").cast("long").alias("covered_us"),
+            F.round(
+                F.sum(
+                    (F.col(value_cents_col) * F.col("_dt")).cast("decimal(38,0)")
+                ).cast("double")
+                / F.sum("_dt")
+                / 100.0,
+                6,
+            ).alias("tw_avg"),
+        )
+    )

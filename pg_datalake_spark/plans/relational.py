@@ -1355,3 +1355,102 @@ def j08(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.join(fwd, "event_id").join(btol, "event_id").join(near, "event_id")
         .select("event_id", "back_rt", "fwd_rt", "back_tol_rt", "nearest_rt")
     )
+
+
+@register(
+    "w08_time_weighted_avg",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS t_us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE user_id < 100
+    ),
+    seg AS (
+      SELECT event_type, t_us, cents,
+             t_us - (t_us % 3600000000) AS bucket_us,
+             lead(t_us) OVER (PARTITION BY event_type ORDER BY t_us) AS next_us
+      FROM obs
+    )
+    SELECT event_type, bucket_us,
+           count(*) AS n_obs,
+           CAST(sum(least(coalesce(next_us, bucket_us + 3600000000),
+                          bucket_us + 3600000000) - t_us) AS BIGINT) AS covered_us,
+           round(CAST(sum(cents * (least(coalesce(next_us, bucket_us + 3600000000),
+                                         bucket_us + 3600000000) - t_us)) AS DOUBLE)
+                 / sum(least(coalesce(next_us, bucket_us + 3600000000),
+                             bucket_us + 3600000000) - t_us) / 100.0, 6) AS tw_avg
+    FROM seg GROUP BY event_type, bucket_us
+    """,
+)
+def w08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-bucket time-weighted average (hypertable
+    time_weight('locf') family — operators/timeseries.py): per
+    event-type hourly buckets over a filtered observation series,
+    µs×cents integer arithmetic so both engines agree exactly."""
+    from pg_datalake_spark.operators.timeseries import time_weighted_avg
+
+    t = load_tables(spark, sf_dir, ["events"])
+    obs = (
+        t["events"]
+        .filter(F.col("user_id") < 100)
+        .select(
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    return time_weighted_avg(obs, "t_us", "cents", ["event_type"], 3_600_000_000)
+
+
+@register(
+    "j09_point_in_range_join",
+    oracle="""
+    WITH pts AS (
+      SELECT event_id AS p_id, CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_id < 1500
+    ),
+    ranges AS (
+      SELECT o_orderkey AS r_id,
+             CAST(o_orderkey % 700 AS BIGINT) * 3 AS lo,
+             CAST(o_orderkey % 700 AS BIGINT) * 3 + 40 AS hi
+      FROM orders WHERE o_orderkey < 800
+    )
+    SELECT p_id, r_id, v
+    FROM pts JOIN ranges ON v BETWEEN lo AND hi
+    """,
+)
+def j09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-range join (SURVEY §2.3 range join): the theta
+    ``v BETWEEN lo AND hi`` would plan as a nested loop; expressed as
+    the degenerate case of the binned interval join (points are
+    zero-length intervals) it becomes a hash equi-join on the bin key
+    with the exact predicate re-checked — same plan discipline as j07,
+    linear in candidates."""
+    from pg_datalake_spark.operators.intervals import interval_overlap_join
+
+    t = load_tables(spark, sf_dir, ["events", "orders"])
+    pts = (
+        t["events"]
+        .filter(F.col("event_id") < 1500)
+        .select(
+            F.col("event_id").alias("a_id"),
+            F.round(F.col("value") * 100).cast("long").alias("a_start"),
+            F.round(F.col("value") * 100).cast("long").alias("a_end"),
+        )
+    )
+    ranges = (
+        t["orders"]
+        .filter(F.col("o_orderkey") < 800)
+        .select(
+            F.col("o_orderkey").alias("b_id"),
+            ((F.col("o_orderkey") % 700) * 3).cast("long").alias("b_start"),
+            ((F.col("o_orderkey") % 700) * 3 + 40).cast("long").alias("b_end"),
+        )
+    )
+    pairs = interval_overlap_join(pts, ranges, bin_width=64)
+    return pairs.join(pts.select("a_id", "a_start"), "a_id").select(
+        F.col("a_id").alias("p_id"),
+        F.col("b_id").alias("r_id"),
+        F.col("a_start").alias("v"),
+    )
