@@ -1013,3 +1013,50 @@ def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_lines_in", "n_removed", F.md5("clean_text").alias("clean_md5")
     )
+
+
+@register(
+    "d07_edit_distance_verify",
+    oracle=r"""
+    WITH docs2 AS (SELECT doc_id, text FROM documents),
+    """
+    + _ORACLE_SHINGLES
+    + r""",
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+    )
+    SELECT id_a, id_b,
+           CAST(levenshtein(substr(ta.text, 1, 200), substr(tb.text, 1, 200))
+                AS INT) AS edit_dist
+    FROM cand
+    JOIN documents ta ON ta.doc_id = id_a
+    JOIN documents tb ON tb.doc_id = id_b
+    WHERE levenshtein(substr(ta.text, 1, 200), substr(tb.text, 1, 200)) <= 80
+    """,
+)
+def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification tier for near-dup candidates (the
+    final precision filter after Jaccard — catches re-orderings that
+    shingles score high but character edits reveal): Levenshtein over
+    the first 200 chars of each candidate pair, threshold 80. Both
+    engines run the classic integer DP, so distances hash exactly.
+    Candidates come from the same >= 0.5-Jaccard pair set as d04 —
+    the verify tier never touches non-candidate pairs."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", k=3, threshold=0.5)
+    ta = docs.select(F.col("doc_id").alias("id_a"),
+                     F.substring("text", 1, 200).alias("_ta"))
+    tb = docs.select(F.col("doc_id").alias("id_b"),
+                     F.substring("text", 1, 200).alias("_tb"))
+    return (
+        pairs.select("id_a", "id_b")
+        .join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("edit_dist", F.levenshtein("_ta", "_tb").cast("int"))
+        .filter(F.col("edit_dist") <= 80)
+        .select("id_a", "id_b", "edit_dist")
+    )
