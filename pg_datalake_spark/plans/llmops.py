@@ -1060,3 +1060,61 @@ def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 80)
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+@register(
+    "t11_tfidf_keywords",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                        x -> x <> '')) AS term
+      FROM documents WHERE doc_id < 300
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df_ AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf * log10(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN df_ USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    ) t WHERE rk <= 3
+    """,
+)
+def t11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (top-3 terms per document): term
+    frequency and document frequency are two partial-aggregable hash
+    aggregates over the token explosion; the doc-frequency side is
+    |vocabulary| rows and joins back by term. Ranking orders by the
+    ROUNDED score (then term) so both engines rank identical values —
+    the rule every windowed-double query in this repo follows."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = (
+        t["documents"]
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", F.explode(textstats.tokens(F.lower(F.trim(F.col("text"))))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tf.select("doc_id").distinct().count()
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log10(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    win = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
