@@ -403,3 +403,78 @@ def test_asof_join_directions_and_tolerance(spark):
             assert (r.rt, r.val) == exp, r
         else:
             assert r.rt is None and r.val is None, r
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """asof_join vs pandas.merge_asof (THE reference implementation)
+    on seeded random data — all three directions and a tolerance, per
+    key, including keys with no right rows."""
+    import random
+
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from pg_datalake_spark.operators.asof import asof_join
+
+    rng = random.Random(42)
+    left_rows = sorted(
+        {(rng.randint(1, 6), rng.randint(0, 1000)) for _ in range(150)}
+    )
+    right_rows = sorted(
+        {(rng.randint(1, 5), rng.randint(0, 1000)) for _ in range(100)}
+    )
+    lpdf = pd.DataFrame(left_rows, columns=["k", "lt"])
+    rpdf = pd.DataFrame(
+        [(k, t, f"p{k}_{t}") for k, t in right_rows], columns=["k", "rt", "val"]
+    )
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+
+    for direction, tol in [("backward", None), ("forward", None),
+                           ("nearest", None), ("backward", 25)]:
+        expected = pd.merge_asof(
+            lpdf.sort_values("lt"),
+            rpdf.sort_values("rt"),
+            left_on="lt", right_on="rt", by="k",
+            direction=direction, tolerance=tol,
+        )
+        exp = {(r.k, r.lt): (None if pd.isna(r.rt) else int(r.rt),
+                             None if pd.isna(r.rt) else r.val)
+               for r in expected.itertuples()}
+        got = asof_join(left, right, "k", "lt", "rt",
+                        direction=direction, tolerance=tol)
+        for r in got.collect():
+            assert (r.rt, r.val) == exp[(r.k, r.lt)], (direction, tol, r)
+
+
+def test_convexhull_idempotent_and_monotone(spark):
+    """hull(hull(P) ∪ interior) == hull(P): idempotence plus
+    insensitivity to added interior points, on seeded random clouds."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pg_datalake_spark.functions import spatial as S
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(12):
+        pts = [{"x": rng.uniform(-5, 5), "y": rng.uniform(-5, 5)}
+               for _ in range(rng.randint(5, 15))]
+        rows.append({"pts": pts})
+    df = spark.createDataFrame(rows, "pts array<struct<x:double,y:double>>")
+    staged = df.select(
+        "pts", S.st_convexhull(F.col("pts")).alias("h1"),
+        S.st_centroid(F.col("pts")).alias("c"),
+    ).select(
+        "h1",
+        S.st_convexhull(F.concat(F.col("h1"), F.array(F.col("c")))).alias("h2"),
+    )
+    out = staged.select(
+        S.st_area(F.col("h1")).alias("a1"),
+        S.st_area(F.col("h2")).alias("a2"),
+        S.st_npoints(F.col("h1")).alias("n1"),
+        S.st_npoints(F.col("h2")).alias("n2"),
+    ).collect()
+    for r in out:
+        assert r.n1 == r.n2 and abs(r.a1 - r.a2) < 1e-9, r
