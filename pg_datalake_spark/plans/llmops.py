@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from pg_datalake_spark.catalog import load_tables
 from pg_datalake_spark.operators import dedup, similarity, textstats
-from pg_datalake_spark.plans.registry import register
+from pg_datalake_spark.plans.registry import ORACLES, QUERIES, register
 
 # Shared oracle fragments ---------------------------------------------------
 
@@ -1117,4 +1117,59 @@ def t11(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(win))
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tfidf")
+    )
+
+
+@register(
+    "x11_leakage_safe_split",
+    oracle=lambda: r"""
+    WITH clusters AS (
+    """
+    + ORACLES["d05_dup_clusters"]
+    + r"""
+    ),
+    assigned AS (
+      SELECT doc_id, cluster_id,
+             CASE
+               WHEN md5('x11|' || CAST(cluster_id AS VARCHAR)) < 'cccccccc' THEN 'train'
+               WHEN md5('x11|' || CAST(cluster_id AS VARCHAR)) < 'e6666666' THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM clusters
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           count(DISTINCT cluster_id) AS n_clusters,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM assigned GROUP BY split
+    """,
+)
+def x11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: near-duplicate documents in
+    train and test inflate eval scores, so the split key is the
+    near-dup CLUSTER id (d05's connected components over the
+    MinHash-LSH graph), not the document id — every member of a
+    cluster lands in the same split by construction. The assignment
+    itself is the append-stable md5-prefix rule the hash splits use
+    (~80/10/10). The suite-style lazy oracle composes d05's registered
+    transitive-closure SQL."""
+    clusters = QUERIES["d05_dup_clusters"](spark, sf_dir)
+    assigned = clusters.withColumn(
+        "split",
+        F.when(
+            F.md5(F.concat(F.lit("x11|"), F.col("cluster_id").cast("string")))
+            < "cccccccc",
+            "train",
+        )
+        .when(
+            F.md5(F.concat(F.lit("x11|"), F.col("cluster_id").cast("string")))
+            < "e6666666",
+            "val",
+        )
+        .otherwise("test"),
+    )
+    return assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
     )
