@@ -1173,3 +1173,62 @@ def x11(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("cluster_id").alias("n_clusters"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+@register(
+    "t12_novelty_score",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents WHERE doc_id < 300
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+                                   for i in generate_series(1, len(t) - 2)])) AS g
+      FROM toks
+    ),
+    firsts AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+    SELECT doc_id,
+           count(*) AS n_grams,
+           CAST(count(*) FILTER (first_doc = doc_id) AS BIGINT) AS n_novel,
+           round(CAST(count(*) FILTER (first_doc = doc_id) AS DOUBLE)
+                 / count(*), 6) AS novelty
+    FROM grams JOIN firsts USING (g)
+    GROUP BY doc_id
+    """,
+)
+def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty score (curation metric: what fraction of a
+    document's distinct 3-grams did it INTRODUCE to the corpus, in
+    doc-id order — boilerplate-heavy late documents score near zero):
+    one gram-explode, a min-doc aggregate per gram (|vocabulary| rows,
+    map-side combine), joined back and re-aggregated per document."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = textstats.tokens(F.lower(F.trim(F.col("text"))))
+    grams = (
+        t["documents"]
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", toks.alias("_t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, greatest(size(_t) - 2, 0)),"
+                        " i -> concat_ws(' ', slice(_t, i, 3)))"
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    joined = grams.join(firsts, "g")
+    novel = F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        novel.cast("long").alias("n_novel"),
+        F.round(novel.cast("double") / F.count("*"), 6).alias("novelty"),
+    )
