@@ -449,12 +449,15 @@ def remove_boilerplate_lines(
     (id, n_lines_in, n_removed, clean_text).
 
     Scale shape: explode to (doc, pos, line) → line-frequency hash
-    aggregate with map-side combine → the boilerplate set is SMALL by
-    construction (each member appears ≥ min_docs times, so
-    |set| ≤ |lines|/min_docs) and joins back as a broadcast anti-join
-    → one regroup by document rebuilds the text in line order. The
-    corpus text shuffles once (the regroup); the frequency pass moves
-    only (line-hash, count) pairs."""
+    aggregate with map-side combine → the boilerplate set is small in
+    practice (each member appears ≥ min_docs times, so |set| ≤
+    |lines|/min_docs — a bound that shrinks it 10× but is NOT a
+    broadcast guarantee at 100 TB corpus size), so the anti-join
+    strategy is left to AQE: it broadcasts when the measured set fits
+    under autoBroadcastJoinThreshold and falls back to a shuffled hash
+    join otherwise → one regroup by document rebuilds the text in line
+    order. The corpus text shuffles once (the regroup); the frequency
+    pass moves only (line-hash, count) pairs."""
     from pyspark.sql import functions as F
 
     lines = df.select(
@@ -467,9 +470,7 @@ def remove_boilerplate_lines(
         .filter(F.col("_nd") >= min_docs)
         .select(F.col("line").alias("_bad"))
     )
-    kept = lines.join(
-        F.broadcast(boiler), lines["line"] == F.col("_bad"), "left_anti"
-    )
+    kept = lines.join(boiler, lines["line"] == F.col("_bad"), "left_anti")
     totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines_in"))
     rebuilt = kept.groupBy(id_col).agg(
         F.count("*").alias("_n_kept"),

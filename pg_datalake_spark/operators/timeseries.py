@@ -125,7 +125,11 @@ def time_weighted_avg(
     same partitioning."""
     ts = F.col(ts_us_col)
     bucket = (ts - (ts % F.lit(bucket_us))).alias("bucket_us")
-    w = Window.partitionBy(*group_cols).orderBy(ts_us_col)
+    # value tie-break: with duplicate timestamps in a group, the tie
+    # order decides which row gets _dt=0 — order by (ts, value) so the
+    # result is deterministic across engines/partitionings (the oracle
+    # SQL uses the same two-key ORDER BY).
+    w = Window.partitionBy(*group_cols).orderBy(ts_us_col, value_cents_col)
     seg = (
         df.select(*group_cols, ts_us_col, value_cents_col)
         .withColumn("bucket_us", bucket)

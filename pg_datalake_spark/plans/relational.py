@@ -1369,7 +1369,7 @@ def j08(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg AS (
       SELECT event_type, t_us, cents,
              t_us - (t_us % 3600000000) AS bucket_us,
-             lead(t_us) OVER (PARTITION BY event_type ORDER BY t_us) AS next_us
+             lead(t_us) OVER (PARTITION BY event_type ORDER BY t_us, cents) AS next_us
       FROM obs
     )
     SELECT event_type, bucket_us,

@@ -2100,7 +2100,11 @@ def merge_into(
     types = {f.name: f.dataType for f in cur.schema.fields}
     keep_pred = F.lit(True)
     if when_matched_delete is not None:
-        keep_pred = ~(matched & _rewrite(when_matched_delete))
+        # ANSI MERGE: a NULL condition is NOT satisfied — the row is
+        # kept. Without the coalesce, ~(matched & NULL) is NULL and
+        # filter() would silently delete rows whose predicate touches
+        # nullable columns.
+        keep_pred = ~F.coalesce(matched & _rewrite(when_matched_delete), F.lit(False))
     out_cols = []
     for c in tgt_cols:
         col = F.col(c)

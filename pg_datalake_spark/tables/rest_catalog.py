@@ -131,7 +131,8 @@ class RestCatalogClient:
     def load_table(self, namespace: str, name: str) -> dict:
         """LoadTableResult: {"metadata-location", "metadata", "config"?}."""
         ns = urllib.parse.quote(namespace, safe="")
-        return self._get(f"/v1{self.prefix}/namespaces/{ns}/tables/{name}")
+        tbl = urllib.parse.quote(name, safe="")
+        return self._get(f"/v1{self.prefix}/namespaces/{ns}/tables/{tbl}")
 
     def read_table(self, spark, namespace: str, name: str, **kwargs):
         """Load through the catalog, scan through the normal
@@ -194,7 +195,7 @@ class RestCatalogClient:
             {"action": "set-location", "location": new_metadata_location},
         ]
         return self._post(
-            f"/v1{self.prefix}/namespaces/{ns}/tables/{name}",
+            f"/v1{self.prefix}/namespaces/{ns}/tables/{urllib.parse.quote(name, safe='')}",
             {
                 "identifier": {"namespace": [namespace], "name": name},
                 "requirements": requirements,

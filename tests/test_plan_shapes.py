@@ -321,14 +321,19 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem_t")
 
 
-def test_boilerplate_removal_broadcasts_the_boiler_set(spark):
-    """t10: the boilerplate set (small by construction — each member
-    appears >= min_docs times) must join back as a BROADCAST anti-join;
-    the corpus text shuffles exactly once (the per-doc regroup)."""
+def test_boilerplate_removal_antijoin_is_aqe_sized(spark):
+    """t10: the boilerplate anti-join strategy is left to AQE (no
+    forced broadcast hint — the |lines|/min_docs bound shrinks the set
+    10x but is not a broadcast guarantee at 100 TB corpus size). At
+    test scale the measured set is tiny, so AQE's FINAL plan must pick
+    a broadcast anti-join; either way, never a nested loop."""
     from pg_datalake_spark.operators.dedup import remove_boilerplate_lines
 
     docs = load_tables(spark, SF_DIR, ["documents"])["documents"]
     out = remove_boilerplate_lines(docs, "doc_id", "text", min_docs=10)
-    plan = _plan(out, "simple")
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
-    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    static = _plan(out, "simple")
+    assert "LeftAnti" in static
+    assert "Cartesian" not in static and "NestedLoop" not in static
+    out.count()  # materialize so AQE finalizes the join strategy
+    final = _plan(out, "simple")
+    assert "BroadcastHashJoin" in final and "LeftAnti" in final

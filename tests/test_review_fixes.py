@@ -75,3 +75,82 @@ def test_rollup_survives_all_null_value_batch(spark, tmp_path):
     row = r.scan().select("n_events", "total_value").first()
     assert row.n_events == 2
     assert row.total_value == 5.0
+
+
+def test_merge_into_null_delete_predicate_keeps_row(spark, tmp_path):
+    """ANSI MERGE: a WHEN MATCHED DELETE condition that evaluates to
+    NULL is NOT satisfied — the matched row must be kept (round-6
+    advice: ~(matched & NULL) was NULL and filter() dropped the row)."""
+    from pg_datalake_spark.tables.iceberg_external import (
+        export_iceberg_snapshot,
+        merge_into,
+        read_iceberg_table,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    loc = str(tmp_path / "mnull")
+    export_iceberg_snapshot(base, loc)
+    # flag is NULL for k=1 (predicate NULL -> keep), true for k=2
+    # (delete), false for k=3 (keep)
+    source = spark.createDataFrame(
+        [(1, None), (2, True), (3, False)], "k long, flag boolean"
+    )
+    merge_into(
+        spark, loc, source, on=["k"],
+        when_matched_delete="src.flag",
+        insert_not_matched=False,
+    )
+    kept = {r.k for r in read_iceberg_table(spark, loc).collect()}
+    assert kept == {1, 3}
+
+
+def test_time_weighted_avg_duplicate_timestamps_deterministic(spark):
+    """Duplicate timestamps in a group: the (ts, value) two-key order
+    decides which observation gets a zero holding span, making tw_avg
+    deterministic across engines and partitionings (round-6 advice)."""
+    from pg_datalake_spark.operators.timeseries import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [("g", 0, 200), ("g", 0, 100)], "grp string, t_us long, cents long"
+    )
+    rows = []
+    for parts in (1, 4):
+        out = time_weighted_avg(
+            df.repartition(parts), "t_us", "cents", ["grp"], 1000
+        ).collect()
+        assert len(out) == 1
+        rows.append((out[0].n_obs, out[0].covered_us, out[0].tw_avg))
+    # smaller cents sorts first -> gets _dt=0; the 200-cent row holds
+    # the full 1000 us bucket: tw_avg = 200*1000/1000/100 = 2.0
+    assert rows[0] == rows[1] == (2, 1000, 2.0)
+
+
+def test_rest_catalog_table_name_urlencoded():
+    """Table names with reserved characters must be percent-encoded in
+    REST paths, mirroring the namespace handling (round-6 advice)."""
+    from pg_datalake_spark.tables.rest_catalog import RestCatalogClient
+
+    calls = []
+
+    def fake_request(self, method, path, body=None, params=None):
+        calls.append((method, path))
+        return {}
+
+    orig = RestCatalogClient._request
+    RestCatalogClient._request = fake_request
+    try:
+        client = RestCatalogClient("http://ex.org", token="t")
+        client.load_table("ns one", "tbl/we ird#name")
+        client.commit_snapshot(
+            "ns one", "tbl/we ird#name", "file:///m/v2.metadata.json",
+            "uuid-1", None, {"snapshot-id": 1},
+        )
+    finally:
+        RestCatalogClient._request = orig
+    get_path = calls[1][1]
+    post_path = calls[2][1]
+    assert get_path.endswith("/namespaces/ns%20one/tables/tbl%2Fwe%20ird%23name")
+    assert post_path.endswith("/namespaces/ns%20one/tables/tbl%2Fwe%20ird%23name")
