@@ -229,6 +229,7 @@ def weighted_sample(
     weight_col: str,
     k: int,
     salt: str = "",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Deterministic weighted sampling without replacement (A-Res,
     Efraimidis-Spirakis): each row draws u ∈ (0,1) from md5(salt+id)
@@ -238,9 +239,13 @@ def weighted_sample(
     subsample every data-mixing pipeline needs, stable across re-runs.
 
     One narrow map + TakeOrdered(k) — the corpus never shuffles.
-    Exact-oracle note: the key uses ln/exp (libm, not IEEE-exact), so
-    cross-engine verification is by property (determinism, weight
-    monotonicity), not value hash.
+    Exact-oracle note: both engines derive the IDENTICAL u (md5,
+    substring, hex→int are bit-exact everywhere); only ln is libm.
+    With ``round_digits`` set, the ranking key is round(ln(u)/w, d)
+    with the id tiebreak — the repo's rounded-rank rule — making the
+    sample value-hash reproducible against a DuckDB oracle. Without
+    it, verification is by property (determinism, weight
+    monotonicity).
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
@@ -253,6 +258,8 @@ def weighted_sample(
         + F.lit(1.0)
     ) / F.lit(float(16**13 + 2))  # strictly inside (0, 1)
     key = F.log(u) / F.col(weight_col)  # maximize u^(1/w) ⇔ maximize ln(u)/w
+    if round_digits is not None:
+        key = F.round(key, round_digits)
     # A-Res is defined for positive weights only; non-positive rows are
     # unsampleable (a w<0 key would flip sign and dominate the ranking)
     return (

@@ -771,9 +771,11 @@ def x08(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Rows-only by design (the A-Res key uses libm ln — not bit-reproducible
-# across engines); registered in the driver window by plans/suites.py
-# (x09_weighted_sample), verified by property tests in test_operators.py.
+# Oracle-checked since r7 via the rounded-rank rule: both engines derive
+# the identical md5-based uniform u, rank on round(ln(u)/w, 8) with the
+# doc_id tiebreak (oracle attached at the window registration in
+# plans/suites.py:x09_weighted_sample); also property-tested in
+# tests/test_operators.py (determinism, weight monotonicity).
 def x09(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted corpus subsample: 500 documents drawn without
     replacement with inclusion probability proportional to the t01
@@ -787,7 +789,7 @@ def x09(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = t["documents"].select(
         "doc_id", (textstats.quality_score(F.col("text")) + F.lit(0.01)).alias("w")
     )
-    return weighted_sample(scored, "doc_id", "w", k=500, salt="x09")
+    return weighted_sample(scored, "doc_id", "w", k=500, salt="x09", round_digits=8)
 
 
 @register(

@@ -1958,18 +1958,55 @@ def ds_shapes_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Window tail (r6): weighted sampling — rows-only by design (the A-Res
-# key uses libm ln, not bit-reproducible across engines; verified by
-# determinism/monotonicity property tests in tests/test_operators.py)
+# Window tail (r6; oracle-checked since r7): weighted sampling. Both
+# engines derive the IDENTICAL uniform u (md5/substring/hex→int are
+# bit-exact everywhere); only ln is libm, so the rank key is
+# round(ln(u)/w, 8) with the doc_id tiebreak — the repo's rounded-rank
+# rule (same as t11/ds67/a01) — which makes the sample value-hash
+# reproducible against DuckDB. Weights mirror t01's quality score with
+# every addend cast to DOUBLE so both engines run the identical IEEE
+# double summation order.
 # ---------------------------------------------------------------------------
 
 
-@register("x09_weighted_sample")
+@register(
+    "x09_weighted_sample",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS avg_token_len,
+             CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_ \t\n]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+             CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) AS DOUBLE)
+               / len(toks) AS stopword_ratio
+      FROM t
+    ), wtab AS (
+      SELECT doc_id,
+             (CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+              + CASE WHEN avg_token_len BETWEEN 3.0 AND 10.0 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+              + CASE WHEN punct_ratio < 0.1 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+              + CASE WHEN stopword_ratio > 0.01 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+             + CAST(0.01 AS DOUBLE) AS w
+      FROM m
+    ), keyed AS (
+      SELECT doc_id, w,
+             round(ln((('0x' || substr(md5('x09' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1.0)
+                      / 4503599627370498.0) / w, 8) AS k
+      FROM wtab WHERE w > 0
+    )
+    SELECT doc_id, w FROM keyed ORDER BY k DESC, doc_id LIMIT 500
+    """,
+)
 def x09_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted corpus subsample (Efraimidis–Spirakis A-Res
     over md5-derived uniforms — deterministic across runs, engines and
-    partitioning; operators/sampling.py:weighted_sample). Registered
-    here so the rows-only driver check covers it inside the window."""
+    partitioning; operators/sampling.py:weighted_sample with the
+    rounded-rank key). Registered here so the driver's exact-hash
+    check covers it inside the window."""
     from pg_datalake_spark.plans import llmops
 
     return llmops.x09(spark, sf_dir)

@@ -94,13 +94,10 @@ def test_first_50_registrations_match_manifest():
 
 
 def test_window_oracles_resolve():
-    """Every window row except the documented rows-only ones must have
-    a resolvable oracle (lazy suite oracles resolve post-load_all)."""
+    """Every window row must have a resolvable oracle (lazy suite
+    oracles resolve post-load_all). x09 gained one in round 7 via the
+    rounded-rank rule — the full 50-slot window is now exact-checked."""
     plans.load_all()
-    rows_only = {"x09_weighted_sample"}
     for name in WINDOW_MANIFEST:
-        if name in rows_only:
-            assert name not in registry.ORACLES
-        else:
-            sql = registry.ORACLES[name]
-            assert isinstance(sql, str) and sql.strip(), name
+        sql = registry.ORACLES[name]
+        assert isinstance(sql, str) and sql.strip(), name
