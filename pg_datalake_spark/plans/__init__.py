@@ -32,4 +32,5 @@ def load_all() -> None:
         relational,
         tpcds,
         streaming_extra,
+        delta_q,
     )

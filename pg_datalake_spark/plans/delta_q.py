@@ -1,0 +1,82 @@
+"""Delta Lake read-path parity queries (off-window, oracle-checked).
+
+The reference reads Delta natively (pg_lake_engine/src/pgduck/
+read_data.c:286, docs/file-formats-reference.md:33-37). Offline, the
+pure-Python ``_delta_log`` reader (tables/delta_log.py) replays a real
+multi-commit history — create, append, copy-on-write DELETE, classic
+checkpoint, post-checkpoint append — and the scan plus a VERSION AS OF
+time travel are verified value-exact against DuckDB computing the same
+state relationally from the source parquet (the oracle never sees the
+Delta format, so the whole log-replay path is what's being checked).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg_datalake_spark.catalog import load_tables
+from pg_datalake_spark.plans.registry import register
+
+
+@register(
+    "lake09_delta_scan",
+    oracle="""
+    WITH final_state AS (
+      SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT 'current' AS phase, o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM final_state GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'v1' AS phase, o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def lake09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta table end-to-end offline: v0 create (partitioned on
+    o_orderstatus, even keys), v1 append (odd keys), v2 copy-on-write
+    DELETE (o_orderkey % 7 = 0), checkpoint at v2, v3 append
+    (o_orderkey % 100 = 0 re-added). The ``current`` phase reads
+    checkpoint + tail through read_files(fmt="delta"); the ``v1``
+    phase time-travels (VERSION AS OF 1) across the checkpoint back to
+    the full order set. Partition values come from the log's
+    ``add.partitionValues``, not the data files."""
+    from pg_datalake_spark.sources.readers import read_files
+    from pg_datalake_spark.tables import delta_log as dl
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    loc = tempfile.mkdtemp(prefix="lake09_") + "/delta_orders"
+    dl.write_delta_table(
+        t["orders"].filter(F.col("o_orderkey") % 2 == 0), loc,
+        partition_by=["o_orderstatus"],
+    )
+    dl.append_delta(t["orders"].filter(F.col("o_orderkey") % 2 == 1), loc)
+    dl.delete_where_delta(spark, loc, "o_orderkey % 7 = 0")
+    dl.write_delta_checkpoint(spark, loc)
+    dl.append_delta(t["orders"].filter(F.col("o_orderkey") % 100 == 0), loc)
+
+    agg = [
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+    ]
+    cur = (
+        read_files(spark, loc, fmt="delta")
+        .groupBy("o_orderstatus")
+        .agg(*agg)
+        .select(F.lit("current").alias("phase"), "o_orderstatus", "n", "total_cents")
+    )
+    v1 = (
+        read_files(spark, loc, fmt="delta", versionAsOf=1)
+        .groupBy("o_orderstatus")
+        .agg(*agg)
+        .select(F.lit("v1").alias("phase"), "o_orderstatus", "n", "total_cents")
+    )
+    return cur.unionByName(v1)

@@ -99,26 +99,25 @@ def read_files(
     elif fmt == "delta":
         # Delta scan (reference reads Delta natively:
         # pg_lake_engine/src/pgduck/read_data.c:286,
-        # docs/file-formats-reference.md:33). Spark-side this is ONE
-        # reader dispatch — the delta-spark jars provide the
-        # DataSourceV2; on a cluster add
+        # docs/file-formats-reference.md:33). Preferred dispatch is the
+        # delta-spark DataSourceV2 when the jars are present; on a
+        # cluster add
         #   spark.jars.packages=io.delta:delta-spark_2.13:<ver>
         #   spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension
-        # Offline (no jars) the reader raises and we surface a clear
-        # scope message instead of a classloader stack.
-        try:
+        # Offline (no jars) the pure-Python transaction-log reader
+        # (tables/delta_log.py) replays _delta_log and plans the same
+        # parquet scan — real Delta reads either way.
+        if delta_available(spark):
             df = reader.options(
                 **{k: str(v) for k, v in options.items()}
             ).format("delta").load(path)
-        except Exception as exc:  # jars absent in the offline runtime
-            if not delta_available(spark):
-                raise NotImplementedError(
-                    "Delta scan requires the delta-spark package on the "
-                    "cluster classpath (spark.jars.packages="
-                    "io.delta:delta-spark_2.13:...); not available in "
-                    "this runtime"
-                ) from exc
-            raise
+        else:
+            from pg_datalake_spark.tables.delta_log import read_delta_table
+
+            version = options.get("versionAsOf", options.get("version_as_of"))
+            df = read_delta_table(
+                spark, path, version_as_of=None if version is None else int(version)
+            )
     else:
         raise ValueError(f"unsupported format: {fmt}")
     if filename:

@@ -1,0 +1,465 @@
+"""Delta Lake transaction-log interop (pure-Python metadata layer).
+
+The reference engine reads Delta tables natively
+(pg_lake_engine/src/pgduck/read_data.c:286,
+docs/file-formats-reference.md:33-37). Spark's first-class path is the
+delta-spark DataSourceV2 (jars), which this offline runtime lacks — so,
+exactly like the Iceberg layer (iceberg_external.py / avro_codec.py),
+the table FORMAT is handled by a small pure-Python reader of the public
+Delta transaction-log protocol (delta-io/delta PROTOCOL.md):
+
+- ``_delta_log/%020d.json`` commits hold newline-delimited actions
+  (``protocol`` / ``metaData`` / ``add`` / ``remove`` / ``commitInfo``);
+- ``_delta_log/%020d.checkpoint.parquet`` + ``_last_checkpoint``
+  compact the log so readers replay only the tail;
+- snapshot state = checkpoint adds + replayed tail, last-writer-wins
+  per file path; ``remove`` tombstones drop the path;
+- ``metaData.schemaString`` is Spark StructType JSON; partition-column
+  values live in ``add.partitionValues`` (NOT in the data files) and
+  are restored as typed literal columns.
+
+:func:`read_delta_table` reconstructs the active file set (optionally
+pinned with ``version_as_of``) and hands it to ``spark.read.parquet`` —
+the scan itself is a plain distributed parquet read with full pushdown
+and pruning. Log parsing is O(actions) driver-side KB-scale metadata,
+same as any Delta client. Unsupported reader features (column mapping,
+deletion vectors, reader protocol > 2) fail loud rather than silently
+dropping or duplicating rows.
+
+The writer half (:func:`write_delta_table` / :func:`append_delta` /
+:func:`delete_where_delta` / :func:`write_delta_checkpoint`) exists so
+the read path can be exercised and oracle-checked offline end-to-end
+against multi-commit histories; the reference itself is read-only on
+Delta, so the writer is deliberately minimal (no optimistic-concurrency
+loop beyond exclusive-create, no DV/CDC emission).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import urllib.parse
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_LOG_DIR = "_delta_log"
+# Reader versions this implementation understands. 2 adds column
+# mapping (supported only in mode "none"); 3 switches to explicit
+# readerFeatures, of which we support none beyond the implicit base.
+_MAX_READER_VERSION = 2
+
+
+def _log_dir(location: str) -> str:
+    return os.path.join(location, _LOG_DIR)
+
+
+def _commit_path(location: str, version: int) -> str:
+    return os.path.join(_log_dir(location), f"{version:020d}.json")
+
+
+def _checkpoint_path(location: str, version: int) -> str:
+    return os.path.join(_log_dir(location), f"{version:020d}.checkpoint.parquet")
+
+
+def _list_commit_versions(location: str) -> list[int]:
+    d = _log_dir(location)
+    if not os.path.isdir(d):
+        raise FileNotFoundError(f"not a Delta table (no {_LOG_DIR}): {location}")
+    out = []
+    for name in os.listdir(d):
+        if name.endswith(".json") and name[:-5].isdigit():
+            out.append(int(name[:-5]))
+    return sorted(out)
+
+
+def _write_commit(location: str, version: int, actions: list[dict]) -> int:
+    """Exclusive-create the commit file — the create IS the
+    check-and-swap, mirroring Delta's put-if-absent commit protocol."""
+    os.makedirs(_log_dir(location), exist_ok=True)
+    path = _commit_path(location, version)
+    with open(path, "x") as fh:
+        for a in actions:
+            fh.write(json.dumps(a, separators=(",", ":")) + "\n")
+    return version
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reconstruction
+# ---------------------------------------------------------------------------
+
+
+def _replay_json_commit(path: str, state: dict) -> None:
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            action = json.loads(line)
+            if "metaData" in action:
+                state["metaData"] = action["metaData"]
+            elif "protocol" in action:
+                state["protocol"] = action["protocol"]
+            elif "add" in action:
+                add = action["add"]
+                state["adds"][add["path"]] = add
+            elif "remove" in action:
+                state["adds"].pop(action["remove"]["path"], None)
+            # commitInfo / txn / cdc: no effect on the active file set
+
+
+def _load_checkpoint(spark: SparkSession, location: str, version: int, state: dict) -> None:
+    """Seed replay state from a checkpoint parquet: one row per action,
+    struct columns ``add`` / ``metaData`` / ``protocol`` (removes are
+    vacuum tombstones — irrelevant to the active set at the checkpoint
+    version, so ignored)."""
+    rows = spark.read.parquet(_checkpoint_path(location, version)).collect()
+    for row in rows:  # bounded metadata: |actions| at checkpoint time
+        d = row.asDict(recursive=True)
+        if d.get("metaData") and d["metaData"].get("id"):
+            state["metaData"] = d["metaData"]
+        elif d.get("protocol") and d["protocol"].get("minReaderVersion") is not None:
+            state["protocol"] = d["protocol"]
+        elif d.get("add") and d["add"].get("path"):
+            add = {k: v for k, v in d["add"].items() if v is not None}
+            state["adds"][add["path"]] = add
+
+
+def _snapshot_state(spark: SparkSession, location: str, version_as_of: int | None) -> dict:
+    versions = _list_commit_versions(location)
+    if not versions:
+        raise FileNotFoundError(f"empty Delta log under {location}")
+    target = versions[-1] if version_as_of is None else version_as_of
+    if target not in versions and not os.path.exists(_checkpoint_path(location, target)):
+        raise ValueError(
+            f"version {target} not in Delta log (have {versions[0]}..{versions[-1]})"
+        )
+    state: dict = {"adds": {}, "metaData": None, "protocol": None, "version": target}
+
+    start = 0
+    last_cp = os.path.join(_log_dir(location), "_last_checkpoint")
+    if os.path.exists(last_cp):
+        with open(last_cp) as fh:
+            cp = json.load(fh)
+        if cp["version"] <= target and os.path.exists(
+            _checkpoint_path(location, cp["version"])
+        ):
+            _load_checkpoint(spark, location, cp["version"], state)
+            start = cp["version"] + 1
+
+    for v in versions:
+        if start <= v <= target:
+            _replay_json_commit(_commit_path(location, v), state)
+
+    if state["metaData"] is None:
+        raise ValueError(f"no metaData action found replaying {location} to v{target}")
+    _check_protocol(state)
+    return state
+
+
+def _check_protocol(state: dict) -> None:
+    proto = state["protocol"] or {"minReaderVersion": 1}
+    reader = proto.get("minReaderVersion", 1)
+    features = set(proto.get("readerFeatures") or [])
+    supported = {"columnMapping", "timestampNtz", "v2Checkpoint"} & features
+    if reader > 3 or (reader == 3 and features - supported):
+        raise NotImplementedError(
+            f"Delta reader protocol {reader} with features {sorted(features)} "
+            "is not supported by the pure-Python log reader; use the "
+            "delta-spark jars (spark.jars.packages=io.delta:delta-spark_2.13:...)"
+        )
+    conf = (state["metaData"] or {}).get("configuration") or {}
+    if conf.get("delta.columnMapping.mode", "none") != "none":
+        raise NotImplementedError("Delta column mapping is not supported offline")
+    for add in state["adds"].values():
+        if add.get("deletionVector"):
+            raise NotImplementedError(
+                "Delta deletion vectors are not supported by the pure-Python "
+                "log reader; compact the table or use the delta-spark jars"
+            )
+
+
+def _partition_literal(value: str | None, dtype: T.DataType):
+    """Typed literal from a partitionValues entry (null stays null;
+    strings cast per the Delta partition-value serialization rules,
+    which match Spark's CAST for all primitive types)."""
+    if value is None:
+        return F.lit(None).cast(dtype)
+    return F.lit(value).cast(dtype)
+
+
+def read_delta_table(
+    spark: SparkSession,
+    location: str,
+    version_as_of: int | None = None,
+) -> DataFrame:
+    """Read a Delta table by replaying its transaction log (public
+    PROTOCOL.md semantics): checkpoint seed + JSON tail, last-add-wins
+    per path, remove tombstones drop paths, partition columns restored
+    from ``add.partitionValues`` as typed literals.
+
+    ``version_as_of`` pins time travel (VERSION AS OF). The returned
+    plan is a plain parquet scan — pushdown/pruning/AQE all apply; the
+    per-partition union is bounded by |distinct partition tuples|, the
+    same fan-out the delta-spark reader plans internally.
+    """
+    state = _snapshot_state(spark, location, version_as_of)
+    meta = state["metaData"]
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    data_schema = T.StructType([f for f in schema.fields if f.name not in part_cols])
+    by_type = {f.name: f.dataType for f in schema.fields}
+
+    adds = list(state["adds"].values())
+    if not adds:
+        return spark.createDataFrame([], schema)
+
+    def _abs(p: str) -> str:
+        p = urllib.parse.unquote(p)
+        return p if p.startswith("/") or "://" in p else os.path.join(location, p)
+
+    if not part_cols:
+        df = spark.read.schema(data_schema).parquet(*[_abs(a["path"]) for a in adds])
+        return df.select(*[F.col(f.name) for f in schema.fields])
+
+    # Group files by partition tuple; attach typed literal partition
+    # columns per group (partition values are log metadata, not file
+    # content). Union count = |distinct partition tuples|.
+    groups: dict[tuple, list[str]] = {}
+    for a in adds:
+        pv = a.get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in part_cols)
+        groups.setdefault(key, []).append(_abs(a["path"]))
+    parts = []
+    for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.schema(data_schema).parquet(*files)
+        for c, v in zip(part_cols, key):
+            df = df.withColumn(c, _partition_literal(v, by_type[c]))
+        parts.append(df.select(*[F.col(f.name) for f in schema.fields]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def delta_table_version(location: str) -> int:
+    """Current (latest) version of the table's log."""
+    return _list_commit_versions(location)[-1]
+
+
+# ---------------------------------------------------------------------------
+# Minimal writer (fixtures + offline end-to-end verification)
+# ---------------------------------------------------------------------------
+
+
+def _hive_partition_values(rel_path: str, part_cols: list[str]) -> dict[str, str | None]:
+    out: dict[str, str | None] = {}
+    for seg in rel_path.split("/")[:-1]:
+        if "=" not in seg:
+            continue
+        k, _, v = seg.partition("=")
+        if k in part_cols:
+            out[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else urllib.parse.unquote(v)
+    return out
+
+
+def _stage_data_files(
+    df: DataFrame, location: str, partition_by: list[str] | None
+) -> list[dict]:
+    """Write df's data files under ``location`` (hive layout when
+    partitioned — partition columns stay OUT of the data files, per the
+    Delta convention) and return their ``add`` actions."""
+    stage = os.path.join(location, f"_stage_{uuid.uuid4().hex[:12]}")
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(stage)
+    now_ms = int(time.time() * 1000)
+    adds = []
+    for root, _dirs, files in os.walk(stage):
+        for name in sorted(files):
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(root, name)
+            rel_dir = os.path.relpath(root, stage)
+            dest_rel = name if rel_dir == "." else os.path.join(rel_dir, name)
+            dest = os.path.join(location, dest_rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.rename(src, dest)
+            adds.append(
+                {
+                    "add": {
+                        "path": urllib.parse.quote(dest_rel),
+                        "partitionValues": _hive_partition_values(
+                            dest_rel, partition_by or []
+                        ),
+                        "size": os.path.getsize(dest),
+                        "modificationTime": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+    # drop the emptied staging tree (only marker/dir skeletons remain)
+    for root, dirs, files in os.walk(stage, topdown=False):
+        for name in files:
+            os.remove(os.path.join(root, name))
+        for name in dirs:
+            os.rmdir(os.path.join(root, name))
+    os.rmdir(stage)
+    return adds
+
+
+def write_delta_table(
+    df: DataFrame, location: str, partition_by: list[str] | None = None
+) -> int:
+    """Create a Delta table at ``location`` (commit 0: protocol +
+    metaData + adds). Returns the committed version."""
+    os.makedirs(location, exist_ok=True)
+    meta = {
+        "metaData": {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": df.schema.json(),
+            "partitionColumns": partition_by or [],
+            "configuration": {},
+            "createdTime": int(time.time() * 1000),
+        }
+    }
+    proto = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    adds = _stage_data_files(df, location, partition_by)
+    return _write_commit(location, 0, [proto, meta, *adds])
+
+
+def append_delta(df: DataFrame, location: str) -> int:
+    """Append commit: new add actions only."""
+    spark = df.sparkSession
+    state = _snapshot_state(spark, location, None)
+    part_cols = list(state["metaData"].get("partitionColumns") or [])
+    adds = _stage_data_files(df, location, part_cols)
+    return _write_commit(location, state["version"] + 1, adds)
+
+
+def delete_where_delta(spark: SparkSession, location: str, predicate: str) -> int:
+    """Copy-on-write DELETE: rewrite the active data minus matching
+    rows, commit remove tombstones for every replaced file plus the
+    rewritten adds. (The jar-based writer rewrites only files whose
+    stats overlap the predicate; this minimal writer rewrites the
+    active set — correctness-identical, and exactly what the READ path
+    must replay either way.)"""
+    state = _snapshot_state(spark, location, None)
+    part_cols = list(state["metaData"].get("partitionColumns") or [])
+    survivors = read_delta_table(spark, location).filter(f"NOT ({predicate})")
+    adds = _stage_data_files(survivors, location, part_cols)
+    now_ms = int(time.time() * 1000)
+    removes = [
+        {
+            "remove": {
+                "path": p,
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+                "partitionValues": a.get("partitionValues") or {},
+            }
+        }
+        for p, a in sorted(state["adds"].items())
+    ]
+    return _write_commit(location, state["version"] + 1, removes + adds)
+
+
+def write_delta_checkpoint(spark: SparkSession, location: str) -> int:
+    """Materialize the classic single-file checkpoint for the current
+    version (one row per action; struct columns add/metaData/protocol)
+    and advance ``_last_checkpoint`` — subsequent reads replay only the
+    commit tail after it."""
+    state = _snapshot_state(spark, location, None)
+    version = state["version"]
+    proto = state["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = state["metaData"]
+
+    add_type = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("partitionValues", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("size", T.LongType()),
+            T.StructField("modificationTime", T.LongType()),
+            T.StructField("dataChange", T.BooleanType()),
+        ]
+    )
+    meta_type = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField(
+                "format",
+                T.StructType(
+                    [
+                        T.StructField("provider", T.StringType()),
+                        T.StructField(
+                            "options", T.MapType(T.StringType(), T.StringType())
+                        ),
+                    ]
+                ),
+            ),
+            T.StructField("schemaString", T.StringType()),
+            T.StructField("partitionColumns", T.ArrayType(T.StringType())),
+            T.StructField("configuration", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("createdTime", T.LongType()),
+        ]
+    )
+    proto_type = T.StructType(
+        [
+            T.StructField("minReaderVersion", T.IntegerType()),
+            T.StructField("minWriterVersion", T.IntegerType()),
+        ]
+    )
+    cp_schema = T.StructType(
+        [
+            T.StructField("add", add_type),
+            T.StructField("metaData", meta_type),
+            T.StructField("protocol", proto_type),
+        ]
+    )
+    rows: list[tuple] = [
+        (None, None, (proto.get("minReaderVersion", 1), proto.get("minWriterVersion", 2))),
+        (
+            None,
+            (
+                meta["id"],
+                (meta["format"]["provider"], meta["format"].get("options") or {}),
+                meta["schemaString"],
+                list(meta.get("partitionColumns") or []),
+                meta.get("configuration") or {},
+                meta.get("createdTime"),
+            ),
+            None,
+        ),
+    ]
+    for path in sorted(state["adds"]):
+        a = state["adds"][path]
+        rows.append(
+            (
+                (
+                    a["path"],
+                    a.get("partitionValues") or {},
+                    a.get("size"),
+                    a.get("modificationTime"),
+                    bool(a.get("dataChange", True)),
+                ),
+                None,
+                None,
+            )
+        )
+    cp_df = spark.createDataFrame(rows, cp_schema).coalesce(1)
+    tmp = os.path.join(_log_dir(location), f"_cp_stage_{uuid.uuid4().hex[:8]}")
+    cp_df.write.mode("overwrite").parquet(tmp)
+    part = next(
+        os.path.join(tmp, n) for n in sorted(os.listdir(tmp)) if n.endswith(".parquet")
+    )
+    os.replace(part, _checkpoint_path(location, version))
+    for name in os.listdir(tmp):
+        os.remove(os.path.join(tmp, name))
+    os.rmdir(tmp)
+    with open(os.path.join(_log_dir(location), "_last_checkpoint"), "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+    return version
