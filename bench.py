@@ -49,6 +49,8 @@ HEADLINE = [
     "ds36_margin_rollup_rank",
     "ds51_cumulative_channels",
     "ds67_rollup_rank_topk",
+    # r7: appended (the 18 keys above keep their history)
+    "ds78_channel_qty_ratio",
 ]
 
 

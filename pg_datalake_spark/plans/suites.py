@@ -1876,14 +1876,14 @@ def geo_spatial_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Window tail (r6): TPC-DS-shape suite — ds36 + ds51 + ds67 shapes
-# (feeders in plans/tpcds.py, registered after the window; wrapped
-# lazily like every other merged suite)
+# Window tail (r6, widened r7): TPC-DS-shape suite — ds36 + ds51 +
+# ds67 + ds04 + ds39 shapes (feeders in plans/tpcds.py, registered
+# after the window; wrapped lazily like every other merged suite)
 # ---------------------------------------------------------------------------
 
 
 @register(
-    "ds36_ds51_ds67_shapes",
+    "ds36_ds51_ds67_ds04_ds39_shapes",
     oracle=lambda: "\nUNION ALL\n".join(
         [
             _g_arm_sql(
@@ -1910,23 +1910,42 @@ def geo_spatial_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i1="rk",
                 d1="sumsales",
             ),
+            _g_arm_sql(
+                "ds04",
+                ORACLES["ds04_cross_channel_yoy"],
+                k="CAST(o_custkey AS VARCHAR)",
+                d1="web_growth",
+                i1="CAST(round(store_growth * 1000000) AS BIGINT)",
+            ),
+            _g_arm_sql(
+                "ds39",
+                ORACLES["ds39_demand_variance"],
+                k="CAST(l_partkey AS VARCHAR) || '|' || CAST(mon_idx AS VARCHAR)",
+                d1="cov_cur",
+                i1="CAST(round(cov_next * 1000000) AS BIGINT)",
+            ),
         ]
     ),
 )
 def ds_shapes_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-DS-shape suite for the driver window (r6): the reference
-    ships the full TPC-DS harness (pg_lake_benchmark/src/tpcds.c:76);
-    these are its three most structurally distinct shapes replayed on
-    the repo's star schema — ds36 (margin over ROLLUP with
-    rank-within-parent), ds51 (two-channel cumulative full-outer join
-    with running max), ds67 (rollup + windowed top-k). The full
-    10-query DS suite lives in plans/tpcds.py; these arms wrap the
-    registered feeders so window and local gate can never drift."""
+    """TPC-DS-shape suite for the driver window (r6, widened r7): the
+    reference ships the full TPC-DS harness
+    (pg_lake_benchmark/src/tpcds.c:76); these are its most
+    structurally distinct shapes replayed on the repo's star schema —
+    ds36 (margin over ROLLUP with rank-within-parent), ds51
+    (two-channel cumulative full-outer join with running max), ds67
+    (rollup + windowed top-k), ds04 (four-leg cross-channel YoY
+    self-join), ds39 (exact-decimal demand variance over consecutive
+    months). The full 30-query DS suite lives in plans/tpcds.py; these
+    arms wrap the registered feeders so window and local gate can
+    never drift."""
     star = F.lit("*")
     bar = F.lit("|")
     ds36 = QUERIES["ds36_margin_rollup_rank"](spark, sf_dir)
     ds51 = QUERIES["ds51_cumulative_channels"](spark, sf_dir)
     ds67 = QUERIES["ds67_rollup_rank_topk"](spark, sf_dir)
+    ds04 = QUERIES["ds04_cross_channel_yoy"](spark, sf_dir)
+    ds39 = QUERIES["ds39_demand_variance"](spark, sf_dir)
     return _g_union(
         _g_arm(
             ds36,
@@ -1953,6 +1972,21 @@ def ds_shapes_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.coalesce(F.col("yr").cast("string"), star)),
             i1=F.col("rk"),
             d1=F.col("sumsales"),
+        ),
+        _g_arm(
+            ds04,
+            "ds04",
+            k=F.col("o_custkey").cast("string"),
+            d1=F.col("web_growth"),
+            i1=F.round(F.col("store_growth") * 1_000_000).cast("long"),
+        ),
+        _g_arm(
+            ds39,
+            "ds39",
+            k=F.concat(F.col("l_partkey").cast("string"), bar,
+                       F.col("mon_idx").cast("string")),
+            d1=F.col("cov_cur"),
+            i1=F.round(F.col("cov_next") * 1_000_000).cast("long"),
         ),
     )
 

@@ -15,7 +15,8 @@ from __future__ import annotations
 from pg_datalake_spark import plans
 from pg_datalake_spark.plans import registry
 
-# The round-6 driver window, in exact registration order.
+# The round-7 driver window, in exact registration order (r7: the DS
+# suite widened in place to five arms — slot count unchanged).
 WINDOW_MANIFEST = [
     # 22 TPC-H shapes
     "q01_pricing_summary",
@@ -55,7 +56,7 @@ WINDOW_MANIFEST = [
     "x03_x08_t05_t06_v05_d06_llmops",
     "c07_f16_f17_p01_p02_u02_u03_misc",
     "geo01_geo02_geo03_spatial",
-    "ds36_ds51_ds67_shapes",
+    "ds36_ds51_ds67_ds04_ds39_shapes",
     "x09_weighted_sample",
     # 7 lake-table DML/maintenance rows
     "lake01_mor_delete_agg",
