@@ -290,3 +290,341 @@ def cb10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_users") >= 15)
         .orderBy(F.desc("n_users"), "h")
     )
+
+
+# ===========================================================================
+# Tier 2 (round 7): the regex/URL-parse, segmentation, and wide-top-N
+# families from the reference's ClickBench port
+# (pg_lake_benchmark/pg_lake_benchmark--3.0.sql:9-65), mapped to the
+# events/documents schema.
+# ===========================================================================
+
+
+@register(
+    "cb11_regex_extract_bands",
+    oracle=r"""
+    SELECT CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) // 10 AS k_band,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    WHERE regexp_matches(props, '\d')
+    GROUP BY 1
+    """,
+)
+def cb11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench URL-parse family: a raw REGEXP_EXTRACT over the
+    semi-structured payload string (no JSON reader — the regex runs in
+    the scan's codegen stage), banded and aggregated."""
+    t = load_tables(spark, sf_dir, ["events"])
+    k = F.regexp_extract("props", r"(\d+)", 1)
+    return (
+        t["events"]
+        .filter(k != "")
+        .groupBy(F.floor(k.cast("long") / 10).alias("k_band"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+
+
+@register(
+    "cb12_host_extract",
+    oracle=r"""
+    SELECT CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 5 AS host_band,
+           lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def cb12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench domain-extract family: pull the host id out of the
+    source identifier with a regex, cross it with the language
+    dimension — the canonical per-domain traffic rollup."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    host = F.regexp_extract("source", r"(\d+)", 1).cast("long") % 5
+    return (
+        t["documents"]
+        .groupBy(host.alias("host_band"), "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@register(
+    "cb13_device_segmentation",
+    oracle="""
+    SELECT CASE user_id % 3 WHEN 0 THEN 'mobile' WHEN 1 THEN 'desktop'
+                            ELSE 'tablet' END AS device,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+             AS views,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS purchases,
+           round(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 6)
+             AS conversion
+    FROM events
+    GROUP BY 1
+    """,
+)
+def cb13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench isMobile segmentation: a derived device class (the
+    events table carries no UA string, so the class is a deterministic
+    user hash — same contract as ClickBench's MobilePhone dimension),
+    with per-segment audience and view→purchase conversion from ONE
+    conditional aggregate."""
+    t = load_tables(spark, sf_dir, ["events"])
+    device = (
+        F.when(F.col("user_id") % 3 == 0, "mobile")
+        .when(F.col("user_id") % 3 == 1, "desktop")
+        .otherwise("tablet")
+    )
+    views = F.sum((F.col("event_type") == "view").cast("int"))
+    purchases = F.sum((F.col("event_type") == "purchase").cast("int"))
+    return (
+        t["events"]
+        .groupBy(device.alias("device"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            views.alias("views"),
+            purchases.alias("purchases"),
+            F.round(purchases.cast("double") / views, 6).alias("conversion"),
+        )
+    )
+
+
+@register(
+    "cb14_top_words",
+    oracle=r"""
+    WITH words AS (
+      SELECT lower(w) AS word
+      FROM documents,
+           unnest(regexp_extract_all(text, '[A-Za-z]{4,}')) AS t(w)
+    )
+    SELECT word, count(*) AS n
+    FROM words GROUP BY word
+    ORDER BY n DESC, word LIMIT 20
+    """,
+)
+def cb14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench SearchPhrase family: tokenize free text with a regex
+    (JVM regexp_extract_all — zero Python), explode, count, top-20
+    with a word tiebreak so both engines rank identically. The count
+    aggregate partially combines map-side before the single shuffle;
+    the LIMIT is a TakeOrdered, never a global sort."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    words = t["documents"].select(
+        F.explode(F.expr(r"regexp_extract_all(text, '[A-Za-z]{4,}', 0)")).alias("w")
+    )
+    return (
+        words.groupBy(F.lower(F.col("w")).alias("word"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
+
+
+@register(
+    "cb15_wide_topn_multi_agg",
+    oracle="""
+    SELECT user_id, event_type, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           CAST(epoch_us(max(ts)) AS BIGINT) AS last_ts_us
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY value_cents DESC, user_id, event_type
+    LIMIT 30
+    """,
+)
+def cb15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench wide-group top-N with mixed measures (count + money
+    + latest timestamp) ordered by a computed measure: stays a
+    TakeOrdered(30) over the hash aggregate."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("last_ts_us"),
+        )
+        .orderBy(F.desc("value_cents"), "user_id", "event_type")
+        .limit(30)
+    )
+
+
+@register(
+    "cb16_value_histogram",
+    oracle="""
+    SELECT CASE WHEN value < 0.0 THEN CAST(0 AS BIGINT)
+                WHEN value >= 20.0 THEN CAST(11 AS BIGINT)
+                ELSE CAST(floor(value / 2.0) + 1 AS BIGINT)
+           END AS bucket,
+           count(*) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events WHERE event_type <> 'error'
+    GROUP BY 1
+    """,
+)
+def cb16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench histogram family: width_bucket banding over the
+    measure column — one hash aggregate, bucket boundaries identical
+    in both engines (Spark's built-in width_bucket matches PG/DuckDB
+    semantics for finite bounds)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .filter(F.col("event_type") != "error")
+        .groupBy(
+            F.width_bucket(F.col("value"), F.lit(0.0), F.lit(20.0), F.lit(10))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "cb17_user_span",
+    oracle="""
+    SELECT user_id,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS span_us,
+           count(*) AS n
+    FROM events
+    GROUP BY user_id
+    ORDER BY span_us DESC, user_id
+    LIMIT 25
+    """,
+)
+def cb17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench visit-duration family: per-user first→last activity
+    span in exact integer microseconds (no float time arithmetic),
+    top-25 longest."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ts = F.col("ts").cast("timestamp")
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            (F.unix_micros(F.max(ts)) - F.unix_micros(F.min(ts))).alias("span_us"),
+            F.count("*").alias("n"),
+        )
+        .orderBy(F.desc("span_us"), "user_id")
+        .limit(25)
+    )
+
+
+@register(
+    "cb18_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def cb18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench referrer-chain analog: the event-type transition
+    matrix — lead() per user ordered by (ts, event_id) so concurrent
+    events order identically in both engines, then one aggregate over
+    the (from, to) pairs. The window shuffles once on user_id; the
+    aggregate reuses the map-side combine."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["events"])
+    win = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(win).alias("next_type"),
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "cb19_rank_users_within_type",
+    oracle="""
+    WITH per AS (
+      SELECT event_type, user_id, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, user_id, n, rk FROM (
+      SELECT event_type, user_id, n,
+             CAST(rank() OVER (PARTITION BY event_type
+                               ORDER BY n DESC, user_id) AS INT) AS rk
+      FROM per
+    ) t WHERE rk <= 5
+    """,
+)
+def cb19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench top-N-per-key family: rank users within each event
+    type by activity — the window runs over the (type, user)
+    AGGREGATE (|types|×|users| rows), never the raw fact table."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["events"])
+    per = t["events"].groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    win = W.partitionBy("event_type").orderBy(F.desc("n"), "user_id")
+    return (
+        per.withColumn("rk", F.rank().over(win).cast("int"))
+        .filter(F.col("rk") <= 5)
+        .select("event_type", "user_id", "n", "rk")
+    )
+
+
+@register(
+    "cb20_daily_audience_ratio",
+    oracle="""
+    SELECT date_trunc('day', ts) AS d,
+           count(DISTINCT user_id) AS dau,
+           count(DISTINCT CASE WHEN event_type = 'purchase'
+                               THEN user_id END) AS buyers,
+           round(CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                          THEN user_id END) AS DOUBLE)
+                 / count(DISTINCT user_id), 6) AS buyer_ratio
+    FROM events
+    GROUP BY 1
+    """,
+)
+def cb20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench conditional-distinct family: daily active users vs
+    daily buyers in one aggregate — the conditional COUNT(DISTINCT
+    CASE...) expands to two distinct aggregates over the same shuffle
+    (Spark plans multi-distinct with one Expand, not two scans)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    buyers = F.countDistinct(
+        F.when(F.col("event_type") == "purchase", F.col("user_id"))
+    )
+    return (
+        t["events"]
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("d"))
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            buyers.alias("buyers"),
+            F.round(buyers.cast("double") / F.countDistinct("user_id"), 6).alias(
+                "buyer_ratio"
+            ),
+        )
+    )

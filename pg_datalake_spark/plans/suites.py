@@ -1404,7 +1404,7 @@ def _g_union(*arms: DataFrame) -> DataFrame:
 
 
 @register(
-    "w04_w05_w07_sessions",
+    "w04_w05_w07_cb18_sessions",
     oracle=lambda: "\nUNION ALL\n".join(
         [
             _g_arm_sql(
@@ -1428,18 +1428,28 @@ def _g_union(*arms: DataFrame) -> DataFrame:
                 i1="is_filled",
                 d1="value",
             ),
+            _g_arm_sql(
+                "cb18",
+                ORACLES["cb18_transition_matrix"],
+                k="from_type || '|' || to_type",
+                i1="n",
+            ),
         ]
     ),
 )
 def w_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-operator tail for the driver window: top-k per group
     (w04), 30-minute-gap sessionization (w05), and hypertable-style gap
-    fill in both LOCF and linear-interpolation modes (w07). Session
-    bounds compare as epoch µs (timestamps render engine-specifically;
-    integers don't — load_tables pins the session to UTC)."""
+    fill in both LOCF and linear-interpolation modes (w07), plus the
+    r7 ClickBench event-type transition matrix (cb18: lead() per user
+    with a deterministic tie order, aggregated over (from, to) pairs).
+    Session bounds compare as epoch µs (timestamps render
+    engine-specifically; integers don't — load_tables pins the
+    session to UTC)."""
     w04 = QUERIES["w04_topk_per_group"](spark, sf_dir)
     w05 = QUERIES["w05_sessionization"](spark, sf_dir)
     w07 = QUERIES["w07_gap_fill_locf"](spark, sf_dir)
+    cb18 = QUERIES["cb18_transition_matrix"](spark, sf_dir)
     bar = F.lit("|")
     return _g_union(
         _g_arm(
@@ -1466,6 +1476,12 @@ def w_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             i1=F.col("is_filled"),
             d1=F.col("value"),
+        ),
+        _g_arm(
+            cb18,
+            "cb18",
+            k=F.concat(F.col("from_type"), bar, F.col("to_type")),
+            i1=F.col("n"),
         ),
     )
 

@@ -52,7 +52,7 @@ WINDOW_MANIFEST = [
     "f07_f12_f13_arrays_maps",
     "v01_v02_cosine",
     "j01_j07_n01_joins",
-    "w04_w05_w07_sessions",
+    "w04_w05_w07_cb18_sessions",
     "x03_x08_t05_t06_v05_d06_llmops",
     "c07_f16_f17_p01_p02_u02_u03_misc",
     "geo01_geo02_geo03_spatial",
