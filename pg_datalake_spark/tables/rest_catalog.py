@@ -30,11 +30,22 @@ real Polaris only the base URI and credential change.
 from __future__ import annotations
 
 import json
+import time
 import urllib.error
 import urllib.parse
 import urllib.request
 
 from pg_datalake_spark.tables.iceberg_external import CommitConflictError
+
+# 5xx/429 retry taxonomy (the first behaviors a real Polaris exhibits
+# under load). GETs are idempotent — retry the transient set freely.
+# Mutating POSTs retry ONLY statuses that guarantee the request was
+# not processed (429 throttle, 503 unavailable); a 500/502/504 mid-
+# commit is ambiguous and must surface — the CAS requirements make a
+# caller-level replay safe (a duplicate apply answers 409).
+_RETRIABLE_GET = {429, 500, 502, 503, 504}
+_RETRIABLE_POST = {429, 503}
+_MAX_ATTEMPTS = 3
 
 
 class RestCatalogError(RuntimeError):
@@ -45,7 +56,19 @@ class RestCatalogError(RuntimeError):
 
 
 class RestCatalogClient:
-    """Minimal Iceberg REST catalog client (read + register + commit)."""
+    """Minimal Iceberg REST catalog client (read + register + commit).
+
+    Transport behaviors (tests/test_rest_catalog.py drives each against
+    the in-process spec-subset server):
+
+    - OAuth client_credentials with ``expires_in`` tracking: an expired
+      or server-rejected (401) token is refreshed once mid-request and
+      the request replayed — long sessions survive token rotation.
+    - Paginated listings: ``pageToken``/``next-page-token`` loops until
+      the server stops returning a token.
+    - Transient-error retry with exponential backoff, honoring
+      ``Retry-After``; see the taxonomy above.
+    """
 
     def __init__(
         self,
@@ -53,13 +76,17 @@ class RestCatalogClient:
         credential: str | None = None,
         token: str | None = None,
         warehouse: str | None = None,
+        retry_sleep_s: float = 0.2,
     ):
         self.uri = uri.rstrip("/")
         self.token = token
         self.warehouse = warehouse
         self.prefix = ""
+        self._credential = credential
+        self._token_expiry: float | None = None  # epoch seconds
+        self._retry_sleep_s = retry_sleep_s
         if credential and not token:
-            self.token = self._fetch_oauth_token(credential)
+            self._refresh_token()
         cfg = self._get("/v1/config", params={"warehouse": warehouse} if warehouse else None)
         overrides = cfg.get("overrides", {})
         prefix = overrides.get("prefix", "")
@@ -67,8 +94,8 @@ class RestCatalogClient:
 
     # -- transport ----------------------------------------------------------
 
-    def _fetch_oauth_token(self, credential: str) -> str:
-        client_id, _, client_secret = credential.partition(":")
+    def _refresh_token(self) -> None:
+        client_id, _, client_secret = self._credential.partition(":")
         form = urllib.parse.urlencode(
             {
                 "grant_type": "client_credentials",
@@ -84,7 +111,21 @@ class RestCatalogClient:
             method="POST",
         )
         with urllib.request.urlopen(req) as resp:
-            return json.loads(resp.read())["access_token"]
+            payload = json.loads(resp.read())
+        self.token = payload["access_token"]
+        expires_in = payload.get("expires_in")
+        # refresh 30s early so a token never expires mid-flight
+        self._token_expiry = (
+            time.time() + float(expires_in) - 30.0 if expires_in else None
+        )
+
+    def _ensure_token(self) -> None:
+        if (
+            self._credential
+            and self._token_expiry is not None
+            and time.time() >= self._token_expiry
+        ):
+            self._refresh_token()
 
     def _request(self, method: str, path: str, body: dict | None = None,
                  params: dict | None = None) -> dict:
@@ -93,27 +134,64 @@ class RestCatalogClient:
             url += "?" + urllib.parse.urlencode(
                 {k: v for k, v in params.items() if v is not None}
             )
-        headers = {"Content-Type": "application/json"}
-        if self.token:
-            headers["Authorization"] = f"Bearer {self.token}"
-        req = urllib.request.Request(
-            url,
-            data=json.dumps(body).encode() if body is not None else None,
-            headers=headers,
-            method=method,
-        )
-        try:
-            with urllib.request.urlopen(req) as resp:
-                data = resp.read()
-                return json.loads(data) if data else {}
-        except urllib.error.HTTPError as e:
-            body_text = e.read().decode(errors="replace")
-            if e.code == 409:
-                raise CommitConflictError(f"REST catalog commit conflict: {body_text[:300]}")
-            raise RestCatalogError(e.code, body_text) from e
+        retriable = _RETRIABLE_GET if method == "GET" else _RETRIABLE_POST
+        auth_retried = False
+        attempt = 0
+        while True:
+            self._ensure_token()
+            headers = {"Content-Type": "application/json"}
+            if self.token:
+                headers["Authorization"] = f"Bearer {self.token}"
+            req = urllib.request.Request(
+                url,
+                data=json.dumps(body).encode() if body is not None else None,
+                headers=headers,
+                method=method,
+            )
+            try:
+                with urllib.request.urlopen(req) as resp:
+                    data = resp.read()
+                    return json.loads(data) if data else {}
+            except urllib.error.HTTPError as e:
+                body_text = e.read().decode(errors="replace")
+                if e.code == 401 and self._credential and not auth_retried:
+                    # server-side token rotation/expiry: refresh once,
+                    # replay; a second 401 is a real credential problem
+                    auth_retried = True
+                    self._refresh_token()
+                    continue
+                if e.code == 409:
+                    raise CommitConflictError(
+                        f"REST catalog commit conflict: {body_text[:300]}"
+                    )
+                attempt += 1
+                if e.code in retriable and attempt < _MAX_ATTEMPTS:
+                    retry_after = e.headers.get("Retry-After")
+                    delay = (
+                        float(retry_after)
+                        if retry_after
+                        else self._retry_sleep_s * (2 ** (attempt - 1))
+                    )
+                    time.sleep(delay)
+                    continue
+                raise RestCatalogError(e.code, body_text) from e
 
     def _get(self, path: str, params: dict | None = None) -> dict:
         return self._request("GET", path, params=params)
+
+    def _get_paginated(self, path: str, items_key: str) -> list:
+        """Loop the spec's pageToken/next-page-token protocol until the
+        server stops returning a continuation token."""
+        out: list = []
+        page_token: str | None = None
+        while True:
+            page = self._get(
+                path, params={"pageToken": page_token} if page_token else None
+            )
+            out.extend(page.get(items_key, []))
+            page_token = page.get("next-page-token")
+            if not page_token:
+                return out
 
     def _post(self, path: str, body: dict) -> dict:
         return self._request("POST", path, body=body)
@@ -121,12 +199,14 @@ class RestCatalogClient:
     # -- read surface -------------------------------------------------------
 
     def list_namespaces(self) -> list[list[str]]:
-        return self._get(f"/v1{self.prefix}/namespaces").get("namespaces", [])
+        return self._get_paginated(f"/v1{self.prefix}/namespaces", "namespaces")
 
     def list_tables(self, namespace: str) -> list[str]:
         ns = urllib.parse.quote(namespace, safe="")
-        out = self._get(f"/v1{self.prefix}/namespaces/{ns}/tables")
-        return [ident["name"] for ident in out.get("identifiers", [])]
+        idents = self._get_paginated(
+            f"/v1{self.prefix}/namespaces/{ns}/tables", "identifiers"
+        )
+        return [ident["name"] for ident in idents]
 
     def load_table(self, namespace: str, name: str) -> dict:
         """LoadTableResult: {"metadata-location", "metadata", "config"?}."""

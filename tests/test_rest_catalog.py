@@ -31,13 +31,22 @@ from pg_datalake_spark.tables.iceberg_external import (
 from pg_datalake_spark.tables.rest_catalog import RestCatalogClient, RestCatalogError
 
 TOKEN = "test-token-abc"
+PAGE_SIZE = 2  # forces the client's pagination loop with ≥3 items
 
 
 class _CatalogState:
-    """ns -> name -> {"metadata-location", "uuid", "main"}"""
+    """ns -> name -> {"metadata-location", "uuid", "main"} + the
+    failure-injection and token-rotation knobs the hardening tests
+    drive (fail_next: list of statuses consumed one per request;
+    issued_tokens: tokens the server still accepts)."""
 
     def __init__(self):
         self.tables: dict[str, dict[str, dict]] = {}
+        self.fail_next: list[int] = []
+        self.issued_tokens: set[str] = {TOKEN}
+        self.token_counter = 0
+        self.expires_in: float | None = None
+        self.n_requests = 0
 
     def put(self, ns: str, name: str, metadata_location: str):
         meta = json.load(open(metadata_location))
@@ -46,6 +55,15 @@ class _CatalogState:
             "uuid": meta["table-uuid"],
             "main": meta.get("current-snapshot-id"),
         }
+
+
+def _paginate(items: list, page_token: str | None, key: str) -> dict:
+    start = int(page_token) if page_token else 0
+    page = items[start : start + PAGE_SIZE]
+    out = {key: page}
+    if start + PAGE_SIZE < len(items):
+        out["next-page-token"] = str(start + PAGE_SIZE)
+    return out
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -63,19 +81,34 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(data)
 
     def _authed(self) -> bool:
-        return self.headers.get("Authorization") == f"Bearer {TOKEN}"
+        auth = self.headers.get("Authorization", "")
+        return auth.removeprefix("Bearer ") in self.state.issued_tokens
+
+    def _maybe_fail(self) -> bool:
+        if self.state.fail_next:
+            self._send(self.state.fail_next.pop(0), {"error": "injected"})
+            return True
+        return False
 
     def do_GET(self):
-        path = urlparse(self.path).path
+        self.state.n_requests += 1
+        parsed = urlparse(self.path)
+        path = parsed.path
         if path == "/v1/config":
             return self._send(200, {"defaults": {}, "overrides": {}})
+        if self._maybe_fail():
+            return
         if not self._authed():
             return self._send(401, {"error": "missing/bad token"})
+        page_token = (parse_qs(parsed.query).get("pageToken") or [None])[0]
         parts = path.strip("/").split("/")
         # /v1/namespaces
         if parts == ["v1", "namespaces"]:
             return self._send(
-                200, {"namespaces": [[ns] for ns in sorted(self.state.tables)]}
+                200,
+                _paginate(
+                    [[ns] for ns in sorted(self.state.tables)], page_token, "namespaces"
+                ),
             )
         # /v1/namespaces/{ns}/tables[/{t}]
         if len(parts) >= 4 and parts[1] == "namespaces" and parts[3] == "tables":
@@ -83,15 +116,11 @@ class _Handler(BaseHTTPRequestHandler):
             if ns not in self.state.tables:
                 return self._send(404, {"error": f"no namespace {ns}"})
             if len(parts) == 4:
-                return self._send(
-                    200,
-                    {
-                        "identifiers": [
-                            {"namespace": [ns], "name": n}
-                            for n in sorted(self.state.tables[ns])
-                        ]
-                    },
-                )
+                idents = [
+                    {"namespace": [ns], "name": n}
+                    for n in sorted(self.state.tables[ns])
+                ]
+                return self._send(200, _paginate(idents, page_token, "identifiers"))
             name = parts[4]
             entry = self.state.tables[ns].get(name)
             if entry is None:
@@ -108,14 +137,23 @@ class _Handler(BaseHTTPRequestHandler):
         return self._send(404, {"error": f"unknown path {path}"})
 
     def do_POST(self):
+        self.state.n_requests += 1
         length = int(self.headers.get("Content-Length", 0))
         raw = self.rfile.read(length)
         path = urlparse(self.path).path
         if path == "/v1/oauth/tokens":
             form = parse_qs(raw.decode())
             if form.get("client_id") == ["cid"] and form.get("client_secret") == ["sec"]:
-                return self._send(200, {"access_token": TOKEN, "token_type": "bearer"})
+                self.state.token_counter += 1
+                tok = f"{TOKEN}-{self.state.token_counter}"
+                self.state.issued_tokens.add(tok)
+                body = {"access_token": tok, "token_type": "bearer"}
+                if self.state.expires_in is not None:
+                    body["expires_in"] = self.state.expires_in
+                return self._send(200, body)
             return self._send(401, {"error": "bad credential"})
+        if self._maybe_fail():
+            return
         if not self._authed():
             return self._send(401, {"error": "missing/bad token"})
         body = json.loads(raw) if raw else {}
@@ -251,3 +289,76 @@ def test_rest_catalog_register_and_commit_cas(spark, tmp_path, rest_server):
             expected_snapshot_id=snap0,
             new_snapshot=snap1_obj,
         )
+
+
+def test_rest_catalog_paginated_listings(spark, tmp_path, rest_server):
+    """Five tables at page size 2 → three pages; the client's
+    pageToken loop must return all of them, in order."""
+    uri, state = rest_server
+    df = spark.range(5).select(F.col("id").alias("k"))
+    for i in range(5):
+        loc = str(tmp_path / f"p{i}")
+        export_iceberg_snapshot(df, loc)
+        state.put("paged", f"t{i}", _current_metadata_location(loc))
+    client = RestCatalogClient(uri, credential="cid:sec")
+    assert client.list_tables("paged") == [f"t{i}" for i in range(5)]
+    assert client.list_namespaces() == [["paged"]]
+
+
+def test_rest_catalog_token_expiry_refresh(spark, tmp_path, rest_server):
+    """Mid-session token rotation: the server stops accepting the
+    first token; the next request must 401 → refresh → replay, not
+    fail. Also: a short expires_in triggers the proactive refresh."""
+    uri, state = rest_server
+    df = spark.range(3).select(F.col("id").alias("k"))
+    loc = str(tmp_path / "texp")
+    export_iceberg_snapshot(df, loc)
+    state.put("auth", "texp", _current_metadata_location(loc))
+
+    client = RestCatalogClient(uri, credential="cid:sec")
+    first_token = client.token
+    assert client.list_tables("auth") == ["texp"]
+    # server-side rotation: old token revoked
+    state.issued_tokens.discard(first_token)
+    assert client.list_tables("auth") == ["texp"]  # transparent refresh
+    assert client.token != first_token
+
+    # proactive refresh from expires_in (expiry is already in the past
+    # because the 30s early-refresh margin exceeds it)
+    state.expires_in = 1.0
+    client2 = RestCatalogClient(uri, credential="cid:sec")
+    tok_after_init = client2.token
+    client2.list_tables("auth")
+    assert client2.token != tok_after_init  # refreshed before the call
+
+
+def test_rest_catalog_5xx_retry_taxonomy(spark, tmp_path, rest_server):
+    """Transient 503/502 on a GET retries to success; a GET that keeps
+    failing surfaces the last status; a mutating POST does NOT retry an
+    ambiguous 502."""
+    uri, state = rest_server
+    df = spark.range(3).select(F.col("id").alias("k"))
+    loc = str(tmp_path / "t5xx")
+    export_iceberg_snapshot(df, loc)
+    state.put("flaky", "t5xx", _current_metadata_location(loc))
+
+    client = RestCatalogClient(uri, credential="cid:sec", retry_sleep_s=0.01)
+    state.fail_next = [503, 502]  # two transients, then success
+    assert client.list_tables("flaky") == ["t5xx"]
+
+    state.fail_next = [503, 503, 503]  # exhausts MAX_ATTEMPTS
+    with pytest.raises(RestCatalogError) as ei:
+        client.list_tables("flaky")
+    assert ei.value.status == 503
+
+    # ambiguous 502 on a commit POST must NOT be replayed
+    state.fail_next = [502]
+    before = state.n_requests
+    with pytest.raises(RestCatalogError) as ei:
+        client.register_table("flaky", "t5xx", _current_metadata_location(loc))
+    assert ei.value.status == 502
+    assert state.n_requests == before + 1  # exactly one attempt
+
+    # 503 on a POST is pre-processing — safe to retry
+    state.fail_next = [503]
+    client.register_table("flaky", "t5xx", _current_metadata_location(loc))
