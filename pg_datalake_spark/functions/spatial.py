@@ -76,6 +76,10 @@ __all__ = [
     "knn_within_radius_join",
     "st_aswkb",
     "st_geomfromwkb",
+    "st_distance_sphere",
+    "st_distance_spheroid",
+    "st_dwithin_geodesic",
+    "st_azimuth_geodesic",
 ]
 
 
@@ -868,3 +872,96 @@ def st_simplify_radial(line: Column, tolerance) -> Column:
     return F.when(
         (last_out["x"] == last_in["x"]) & (last_out["y"] == last_in["y"]), out
     ).otherwise(F.concat(out, F.array(last_in)))
+
+
+# ---------------------------------------------------------------------------
+# Geodesic tier (round 7): great-circle / spheroid distance on lon-lat
+# degrees — the highest-value remaining st_* family from the reference's
+# shippable set (pg_lake_engine/src/pgduck/shippable_spatial_functions.c:
+# st_distance_sphere / st_distance_spheroid / st_dwithin on geography).
+# Closed-form Column algebra (haversine; Lambert's spheroid correction)
+# — no geo library, fully pushdown-friendly, vectorized JVM math.
+# ---------------------------------------------------------------------------
+
+# WGS84
+_EARTH_MEAN_RADIUS_M = 6371008.8
+_WGS84_A_M = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+
+
+def _central_angle(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Haversine central angle (radians) between two lon/lat points in
+    degrees. Numerically stable near zero (the sin² form), clamped at
+    antipodes."""
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dp = F.radians(lat2 - lat1) / 2
+    dl = F.radians(lon2 - lon1) / 2
+    a = F.sin(dp) * F.sin(dp) + F.cos(p1) * F.cos(p2) * F.sin(dl) * F.sin(dl)
+    return 2 * F.asin(F.least(F.lit(1.0), F.sqrt(a)))
+
+
+def st_distance_sphere(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Great-circle distance in meters on the mean-radius sphere
+    (PostGIS ST_DistanceSphere semantics, haversine formulation)."""
+    return F.lit(_EARTH_MEAN_RADIUS_M) * _central_angle(lon1, lat1, lon2, lat2)
+
+
+def st_distance_spheroid(
+    lon1: Column, lat1: Column, lon2: Column, lat2: Column
+) -> Column:
+    """WGS84 spheroid distance in meters via Lambert's closed-form
+    flattening correction over reduced latitudes (accurate to ~10 m
+    over thousands of km — the standard closed-form tier below full
+    Vincenty/Karney iteration, which needs a loop no Column expression
+    should carry)."""
+    f = F.lit(_WGS84_F)
+    b1 = F.atan((1 - f) * F.tan(F.radians(lat1)))
+    b2 = F.atan((1 - f) * F.tan(F.radians(lat2)))
+    # central angle between the REDUCED latitudes
+    sig = 2 * F.asin(
+        F.least(
+            F.lit(1.0),
+            F.sqrt(
+                F.sin((b2 - b1) / 2) * F.sin((b2 - b1) / 2)
+                + F.cos(b1) * F.cos(b2)
+                * F.sin(F.radians(lon2 - lon1) / 2)
+                * F.sin(F.radians(lon2 - lon1) / 2)
+            ),
+        )
+    )
+    p = (b1 + b2) / 2
+    q = (b2 - b1) / 2
+    half = sig / 2
+    x = (sig - F.sin(sig)) * F.sin(p) * F.sin(p) * F.cos(q) * F.cos(q) / (
+        F.cos(half) * F.cos(half)
+    )
+    y = (sig + F.sin(sig)) * F.cos(p) * F.cos(p) * F.sin(q) * F.sin(q) / (
+        F.sin(half) * F.sin(half)
+    )
+    d = F.lit(_WGS84_A_M) * (sig - f / 2 * (x + y))
+    # sig == 0 → y is 0/0; coincident points are distance 0
+    return F.when(sig == 0, F.lit(0.0)).otherwise(d)
+
+
+def st_dwithin_geodesic(
+    lon1: Column, lat1: Column, lon2: Column, lat2: Column, meters
+) -> Column:
+    """True when two lon/lat points are within ``meters`` on the
+    sphere. Compares central angles (distance/R), so the predicate is
+    monotone-equivalent to the haversine distance."""
+    m = meters if isinstance(meters, Column) else F.lit(float(meters))
+    return _central_angle(lon1, lat1, lon2, lat2) <= m / F.lit(_EARTH_MEAN_RADIUS_M)
+
+
+def st_azimuth_geodesic(
+    lon1: Column, lat1: Column, lon2: Column, lat2: Column
+) -> Column:
+    """Initial great-circle bearing in radians from north, [0, 2π) —
+    PostGIS ST_Azimuth on geography."""
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dl = F.radians(lon2 - lon1)
+    yy = F.sin(dl) * F.cos(p2)
+    xx = F.cos(p1) * F.sin(p2) - F.sin(p1) * F.cos(p2) * F.cos(dl)
+    az = F.atan2(yy, xx)
+    two_pi = F.lit(2 * 3.141592653589793)
+    return F.when(az < 0, az + two_pi).otherwise(az)

@@ -485,3 +485,110 @@ def geo06(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.st_npoints(F.col("simp")).alias("n_kept"),
         F.round(S.st_length(F.col("simp")), 6).alias("kept_length"),
     )
+
+
+@register(
+    "geo07_geodesic",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST(c_custkey % 160 AS DOUBLE) - 80.0 + 0.25 AS lat,
+             CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 + 0.5 AS lon
+      FROM customer
+    ),
+    anchors(aname, alat, alon) AS (
+      VALUES ('alpha', 51.5, -0.1), ('beta', 40.7, -74.0),
+             ('gamma', -33.9, 151.2), ('delta', 35.7, 139.7)
+    ),
+    d AS (
+      SELECT c_custkey, aname,
+             CAST(round(6371008.8 * 2 * asin(least(1.0, sqrt(
+               sin(radians(alat - lat) / 2) * sin(radians(alat - lat) / 2)
+               + cos(radians(lat)) * cos(radians(alat))
+                 * sin(radians(alon - lon) / 2) * sin(radians(alon - lon) / 2)
+             ))), 0) AS BIGINT) AS d_m,
+             round(CASE WHEN atan2(sin(radians(alon - lon)) * cos(radians(alat)),
+                                   cos(radians(lat)) * sin(radians(alat))
+                                   - sin(radians(lat)) * cos(radians(alat))
+                                     * cos(radians(alon - lon))) < 0
+                        THEN atan2(sin(radians(alon - lon)) * cos(radians(alat)),
+                                   cos(radians(lat)) * sin(radians(alat))
+                                   - sin(radians(lat)) * cos(radians(alat))
+                                     * cos(radians(alon - lon))) + 2 * pi()
+                        ELSE atan2(sin(radians(alon - lon)) * cos(radians(alat)),
+                                   cos(radians(lat)) * sin(radians(alat))
+                                   - sin(radians(lat)) * cos(radians(alat))
+                                     * cos(radians(alon - lon)))
+                   END, 6) AS az
+      FROM pts CROSS JOIN anchors
+    ),
+    nearest AS (
+      SELECT c_custkey, aname, d_m, az,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY d_m, aname) AS rk
+      FROM d
+    )
+    SELECT aname,
+           count(*) AS n_nearest,
+           round(CAST(sum(d_m) AS DOUBLE) / count(*), 6) AS avg_m,
+           CAST(sum(CASE WHEN d_m <= 5000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_within_5000km,
+           CAST(sum(CAST(az AS DECIMAL(30,6))) AS DOUBLE) AS sum_az
+    FROM nearest WHERE rk = 1
+    GROUP BY aname
+    """,
+)
+def geo07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic tier (reference: st_distance_sphere / geography
+    st_dwithin in shippable_spatial_functions.c): customers get
+    deterministic lon/lat from their keys, every customer is assigned
+    its nearest of four anchor sites by great-circle distance
+    (haversine, WGS84 mean radius), and each anchor reports audience
+    size, mean distance, a 5,000 km st_dwithin count, and the sum of
+    initial bearings. Distances round to whole METERS and hash as
+    integers — the one libm-sensitive value never reaches the hash as
+    a raw double. The anchor table is 4 rows (broadcast); the rank
+    runs per customer over 4 candidates."""
+    from pg_datalake_spark.functions.spatial import (
+        st_azimuth_geodesic,
+        st_distance_sphere,
+    )
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["customer"])
+    pts = t["customer"].select(
+        "c_custkey",
+        ((F.col("c_custkey") % 160).cast("double") - 80.0 + 0.25).alias("lat"),
+        (((F.col("c_custkey") * 7) % 360).cast("double") - 180.0 + 0.5).alias("lon"),
+    )
+    anchors = spark.createDataFrame(
+        [("alpha", 51.5, -0.1), ("beta", 40.7, -74.0),
+         ("gamma", -33.9, 151.2), ("delta", 35.7, 139.7)],
+        "aname string, alat double, alon double",
+    )
+    d = pts.crossJoin(F.broadcast(anchors)).select(
+        "c_custkey",
+        "aname",
+        F.round(
+            st_distance_sphere(
+                F.col("lon"), F.col("lat"), F.col("alon"), F.col("alat")
+            ),
+            0,
+        )
+        .cast("long")
+        .alias("d_m"),
+        F.round(
+            st_azimuth_geodesic(
+                F.col("lon"), F.col("lat"), F.col("alon"), F.col("alat")
+            ),
+            6,
+        ).alias("az"),
+    )
+    win = W.partitionBy("c_custkey").orderBy("d_m", "aname")
+    nearest = d.withColumn("rk", F.row_number().over(win)).filter(F.col("rk") == 1)
+    return nearest.groupBy("aname").agg(
+        F.count("*").alias("n_nearest"),
+        F.round(F.sum("d_m").cast("double") / F.count("*"), 6).alias("avg_m"),
+        F.sum((F.col("d_m") <= 5_000_000).cast("int")).alias("n_within_5000km"),
+        F.sum(F.col("az").cast("decimal(30,6)")).cast("double").alias("sum_az"),
+    )

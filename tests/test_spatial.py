@@ -382,3 +382,52 @@ def test_convex_inclusion_exclusion_random(spark):
         assert r.ai <= min(r.aa, r.ab) + 1e-9, r
         assert r.au >= max(r.aa, r.ab) - 1e-9, r
         assert abs(r.aa + r.ab - r.ai - r.au) < 1e-6, r
+
+
+def test_geodesic_distance_known_values(spark):
+    """Haversine/spheroid sanity against well-known city pairs:
+    LHR→JFK great-circle ≈ 5,539 km (sphere) / ≈ 5,548 km (WGS84
+    geodesic); the Lambert closed form must land within ~10 km of the
+    published geodesic value and within 0.5 % of the sphere."""
+    df = spark.createDataFrame(
+        [(-0.4614, 51.4700, -73.7781, 40.6413)],
+        "lon1 double, lat1 double, lon2 double, lat2 double",
+    )
+    r = df.select(
+        S.st_distance_sphere(
+            F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")
+        ).alias("sphere"),
+        S.st_distance_spheroid(
+            F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")
+        ).alias("spheroid"),
+    ).first()
+    assert abs(r.sphere - 5_539_000) < 15_000, r.sphere
+    assert abs(r.spheroid - 5_548_000) < 15_000, r.spheroid
+    assert abs(r.spheroid - r.sphere) / r.sphere < 0.005
+
+
+def test_geodesic_properties(spark):
+    """Symmetry, identity at coincident points, dwithin consistency,
+    azimuth in [0, 2π) — over a deterministic lon/lat grid."""
+    df = spark.range(200).select(
+        ((F.col("id") % 17).cast("double") * 10 - 80).alias("lat1"),
+        ((F.col("id") % 23).cast("double") * 15 - 170).alias("lon1"),
+        (((F.col("id") + 7) % 17).cast("double") * 10 - 80).alias("lat2"),
+        (((F.col("id") + 11) % 23).cast("double") * 15 - 170).alias("lon2"),
+    )
+    r = df.select(
+        S.st_distance_sphere(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("d12"),
+        S.st_distance_sphere(F.col("lon2"), F.col("lat2"), F.col("lon1"), F.col("lat1")).alias("d21"),
+        S.st_distance_sphere(F.col("lon1"), F.col("lat1"), F.col("lon1"), F.col("lat1")).alias("dself"),
+        S.st_distance_spheroid(F.col("lon1"), F.col("lat1"), F.col("lon1"), F.col("lat1")).alias("sself"),
+        S.st_dwithin_geodesic(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2"), 6_000_000).alias("within"),
+        S.st_azimuth_geodesic(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("az"),
+    ).collect()
+    for row in r:
+        assert abs(row.d12 - row.d21) < 1e-6
+        assert row.dself == 0.0
+        assert row.sself == 0.0
+        assert row.within == (row.d12 <= 6_000_000 + 1e-6)
+        assert 0.0 <= row.az < 2 * math.pi + 1e-12
+        # half Earth circumference is the ceiling
+        assert row.d12 <= math.pi * 6371008.8 + 1.0
