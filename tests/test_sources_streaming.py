@@ -228,23 +228,28 @@ def test_copy_to_partitioned(spark, tmp_path):
 
 
 def test_delta_scan_dispatch(spark, tmp_path):
-    """Delta scan (§2.1): read_files(format='delta') dispatches to the
-    delta-spark DataSourceV2. Offline (no jars) the documented
-    scope-out surfaces as a clear NotImplementedError; with the jars
-    on the classpath the same call round-trips a real Delta table —
-    the one-line-config claim has an executable path either way."""
+    """Delta scan (§2.1): read_files(format='delta') prefers the
+    delta-spark DataSourceV2 when jars exist; offline it routes to the
+    pure-Python _delta_log reader (r7 — tables/delta_log.py), so a
+    real Delta table reads either way and a non-Delta path fails with
+    a clear not-a-Delta-table error, never a classloader stack."""
     import pytest
     from pyspark.sql import functions as F
 
     from pg_datalake_spark.sources.readers import delta_available, read_files
+    from pg_datalake_spark.tables.delta_log import write_delta_table
+
+    missing = str(tmp_path / "not_a_table")
+    os.makedirs(missing, exist_ok=True)
+    with pytest.raises(Exception, match="[Dd]elta"):
+        read_files(spark, missing, fmt="delta")
 
     path = str(tmp_path / "delta_t")
-    if not delta_available(spark):
-        with pytest.raises(NotImplementedError, match="delta-spark"):
-            read_files(spark, path, fmt="delta")
-        pytest.skip("delta-spark jars absent (offline runtime; cluster config documented)")
     df = spark.range(10).withColumn("v", F.col("id") * 2)
-    df.write.format("delta").save(path)
+    if delta_available(spark):
+        df.write.format("delta").save(path)
+    else:
+        write_delta_table(df, path)
     back = read_files(spark, path, fmt="delta")
     assert back.count() == 10
     assert {r["id"] for r in back.collect()} == set(range(10))
