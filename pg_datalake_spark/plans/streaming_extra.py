@@ -63,3 +63,67 @@ def st07(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100).cast("long")).cast("long")
         .alias("value_cents"),
     )
+
+
+@register(
+    "st08_stream_stream_join",
+    oracle="""
+    SELECT count(*) AS n_pairs,
+           count(DISTINCT v_id) AS n_views_matched,
+           count(DISTINCT p_id) AS n_purchases_matched,
+           CAST(sum(CAST(round(p_value * 100) AS BIGINT)) AS BIGINT)
+             AS attributed_cents
+    FROM (
+      SELECT v.event_id AS v_id, p.event_id AS p_id, p.value AS p_value
+      FROM events v JOIN events p
+        ON p.user_id = v.user_id
+       AND v.event_type = 'view' AND p.event_type = 'purchase'
+       AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    )
+    """,
+)
+def st08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (view→purchase attribution within
+    30 minutes): views and purchases land as two file streams, both
+    watermarked, joined with the two-sided event-time constraint that
+    bounds join state (streaming.ingest.streaming_interval_join). The
+    sink's pair set must equal the batch join the oracle computes —
+    exactly-once, no pair lost at micro-batch boundaries, none
+    duplicated."""
+    from pg_datalake_spark.streaming.ingest import streaming_interval_join
+
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"].select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    stage = tempfile.mkdtemp(prefix="st08_")
+    views_dir = os.path.join(stage, "views")
+    buys_dir = os.path.join(stage, "purchases")
+    ev.filter(F.col("event_type") == "view").write.parquet(views_dir)
+    ev.filter(F.col("event_type") == "purchase").write.parquet(buys_dir)
+    sink_dir = os.path.join(stage, "sink")
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("append").parquet(sink_dir)
+
+    schema = spark.read.parquet(views_dir).schema
+    streaming_interval_join(
+        spark,
+        views_dir,
+        buys_dir,
+        schema,
+        os.path.join(stage, "ckpt"),
+        sink,
+        key_col="user_id",
+        time_col="ts",
+        max_lag="30 minutes",
+        watermark="10 minutes",
+    )
+    return spark.read.parquet(sink_dir).agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("l_event_id").alias("n_views_matched"),
+        F.countDistinct("r_event_id").alias("n_purchases_matched"),
+        F.sum(F.round(F.col("r_value") * 100).cast("long")).cast("long")
+        .alias("attributed_cents"),
+    )

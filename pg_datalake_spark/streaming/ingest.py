@@ -289,3 +289,68 @@ def streaming_dedup_ingest(
     )
     q.awaitTermination()
     return n_batches
+
+
+def streaming_interval_join(
+    spark: SparkSession,
+    left_glob: str,
+    right_glob: str,
+    schema,
+    checkpoint_dir: str,
+    sink_fn,
+    key_col: str,
+    time_col: str = "ts",
+    max_lag: str = "30 minutes",
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """STREAM-STREAM interval join (Structured Streaming's hardest
+    stateful operator; the reference has no streaming at all — SURVEY
+    §2.10 beyond-reference tier): left events join right events with
+    the same ``key_col`` where the right event time falls in
+    ``(left_time, left_time + max_lag]``.
+
+    Both sides carry watermarks AND the join carries the two-sided
+    event-time constraint — the combination is what lets Spark expire
+    join state: a left row is held only until the watermark passes
+    ``left_time + max_lag``, so state is bounded by (rate × lag
+    window) at any scale. An equi-join without the time bounds would
+    accumulate both streams forever — the thing that melts on an
+    unbounded 100 TB replay.
+
+    Columns are prefixed ``l_`` / ``r_`` in the output. Returns the
+    number of micro-batches executed."""
+    n_batches = 0
+
+    def _wrapped(df: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        sink_fn(df, batch_id)
+
+    def _side(glob: str, prefix: str) -> DataFrame:
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        s = reader.parquet(glob)
+        s = s.select([F.col(c).alias(f"{prefix}{c}") for c in s.columns])
+        return s.withWatermark(f"{prefix}{time_col}", watermark)
+
+    left = _side(left_glob, "l_")
+    right = _side(right_glob, "r_")
+    cond = (
+        (F.col(f"l_{key_col}") == F.col(f"r_{key_col}"))
+        & (F.col(f"r_{time_col}") > F.col(f"l_{time_col}"))
+        & (
+            F.col(f"r_{time_col}")
+            <= F.col(f"l_{time_col}") + F.expr(f"INTERVAL {max_lag}")
+        )
+    )
+    joined = left.join(right, cond, "inner")
+    q = (
+        joined.writeStream.foreachBatch(_wrapped)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches

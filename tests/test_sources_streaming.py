@@ -331,3 +331,61 @@ def test_python_datasource_log_format(spark, tmp_path):
         [tuple(r) for r in via_regex.collect()],
         key=lambda t: (t[0] is None, t[0]),
     ) == rows
+
+
+def test_stream_stream_join_multi_batch(spark, tmp_path):
+    """Cross-micro-batch stream-stream join state: with one file per
+    trigger, a purchase arriving several batches after its view must
+    still pair (the left row is held in join state until the watermark
+    passes view_ts + max_lag). Pair set must equal the batch join."""
+    from pyspark.sql import functions as F
+
+    from pg_datalake_spark.streaming.ingest import streaming_interval_join
+
+    base = "2024-01-01 10:{:02d}:00"
+    views = [(i, base.format(i), i % 3, "view", 0.0) for i in range(0, 12, 2)]
+    buys = [(100 + i, base.format(i + 5), i % 3, "purchase", 10.0) for i in range(0, 12, 2)]
+    schema = "event_id long, ts string, user_id long, event_type string, value double"
+    vdf = spark.createDataFrame(views, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    bdf = spark.createDataFrame(buys, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    vdir, bdir = str(tmp_path / "v"), str(tmp_path / "b")
+    # several files per side → several triggers at maxFilesPerTrigger=1
+    vdf.repartition(3).write.parquet(vdir)
+    bdf.repartition(3).write.parquet(bdir)
+    sink_dir = str(tmp_path / "sink")
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(sink_dir)
+
+    n_batches = streaming_interval_join(
+        spark,
+        vdir,
+        bdir,
+        spark.read.parquet(vdir).schema,
+        str(tmp_path / "ckpt"),
+        sink,
+        key_col="user_id",
+        time_col="ts",
+        max_lag="30 minutes",
+        watermark="10 hours",  # nothing is ever late → equals batch join
+        max_files_per_trigger=1,
+    )
+    assert n_batches > 1, "expected multiple micro-batches"
+    got = spark.read.parquet(sink_dir)
+    expected = (
+        vdf.alias("v")
+        .join(
+            bdf.alias("b"),
+            (F.col("v.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("v.ts"))
+            & (F.col("b.ts") <= F.col("v.ts") + F.expr("INTERVAL 30 minutes")),
+        )
+        .count()
+    )
+    assert got.count() == expected > 0
+    # exactly-once: no duplicated pair
+    assert got.select("l_event_id", "r_event_id").distinct().count() == expected
