@@ -493,3 +493,74 @@ def remove_boilerplate_lines(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def positional_shingles(t: Column, k: int = 3) -> Column:
+    """ORDERED word k-grams (1 per span start, duplicates kept) —
+    the positional variant of :func:`shingles_from_tokens` for span
+    localization. Same k-shifted-slices construction (O(k) array
+    evaluations, never an index lambda)."""
+    n = F.size(t)
+    win = F.greatest(n - (k - 1), F.lit(0))
+    parts = [F.slice(t, j + 1, win) for j in range(k)]
+    z = parts[0]
+    for p in parts[1:]:
+        z = F.zip_with(z, p, lambda a, b: F.concat_ws(" ", a, b))
+    return z
+
+
+def contamination_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Span-LEVEL benchmark-contamination localization: for each
+    corpus document with at least one eval-set ``k``-gram hit, WHERE
+    the contamination sits — first/last matched span start (1-based
+    token position) and the matched-span count/fraction. The doc-level
+    d06 check says "this doc overlaps"; this is the surgical follow-up
+    that decides whether to drop the doc or excise a span.
+
+    Scale shape identical to :func:`contamination_check`: benchmark
+    grams broadcast; corpus side is a narrow map → posexplode →
+    broadcast hash join → one partial-aggregable min/max/count per
+    doc. The positional explode is |tokens| rows per doc — the same
+    row count the tokenizer already produced upstream.
+    """
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    toks = corpus.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).repartition(par, id_col)
+    pos_sh = toks.select(
+        F.col(id_col),
+        F.posexplode(positional_shingles(F.col("__toks"), k)).alias("pos0", "g"),
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "g")
+    bench_grams = (
+        with_shingles(benchmark, id_col, text_col, k)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    n_spans = toks.select(
+        F.col(id_col),
+        F.greatest(F.size("__toks") - (k - 1), F.lit(0)).cast("long").alias("n_spans"),
+    )
+    hits = (
+        pos_sh.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_hit_spans"),
+            F.min("pos").cast("long").alias("first_hit_pos"),
+            F.max("pos").cast("long").alias("last_hit_pos"),
+        )
+    )
+    return hits.join(n_spans, id_col).select(
+        id_col,
+        "n_spans",
+        "n_hit_spans",
+        "first_hit_pos",
+        "last_hit_pos",
+        F.round(F.col("n_hit_spans") / F.col("n_spans"), 6).alias("hit_frac"),
+    )

@@ -269,3 +269,84 @@ def weighted_sample(
         .limit(k)
         .drop("__key")
     )
+
+
+def source_mixing_targets(
+    df: DataFrame,
+    source_col: str,
+    total_k: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based source mixing (the multilingual/multi-source
+    pretraining recipe: sample source s with probability ∝ n_s^α,
+    α < 1 upweights small sources): per-source target counts for a
+    ``total_k``-document budget.
+
+    Exactness discipline: α = 0.5 keeps the per-source weight at
+    sqrt(n) (IEEE-exact in every engine); the weight is rounded to 8
+    digits and summed as DECIMAL so the normalizing constant is
+    order-independent; only the final per-source ratio is a double.
+    Other α come from pow() — documented as libm, verify by property.
+
+    One aggregate over the corpus → |sources| rows. Returns
+    (source, n_docs, weight, target_k).
+    """
+    if alpha == 0.5:
+        w = F.round(F.sqrt(F.col("n_docs")), 8)
+    else:
+        w = F.round(F.pow(F.col("n_docs"), F.lit(alpha)), 8)
+    per = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").alias("n_docs")
+    ).withColumn("w", w.cast("decimal(30,8)"))
+    total_w = per.agg(F.sum("w").alias("tw")).select(
+        F.col("tw").cast("decimal(30,8)").alias("tw")
+    )
+    return (
+        per.crossJoin(F.broadcast(total_w))
+        .select(
+            "source",
+            "n_docs",
+            F.col("w").cast("double").alias("weight"),
+            F.round(
+                F.lit(float(total_k)) * (F.col("w").cast("double") / F.col("tw").cast("double")),
+                0,
+            )
+            .cast("long")
+            .alias("target_k"),
+        )
+    )
+
+
+def source_mixing_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    total_k: int,
+    alpha: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """Materialize the temperature-mixed subsample: within each
+    source, keep the ``target_k`` documents with the smallest
+    md5(salt+id) — deterministic across engines, runs and
+    partitionings (same md5-order trick as the hash split / A-Res
+    sampler).
+
+    The per-source rank is a window partitioned by source; a single
+    giant source makes that partition hot — at 100 TB replace the
+    window with a per-source hash-threshold (approx k-th quantile of
+    the md5 key, then filter), which needs no per-source sort. At
+    verification scale the window IS the exact spec.
+    """
+    targets = source_mixing_targets(df, source_col, total_k, alpha)
+    keyed = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))).alias("__h"),
+    )
+    win = Window.partitionBy("source").orderBy("__h", id_col)
+    ranked = keyed.withColumn("__rk", F.row_number().over(win))
+    return (
+        ranked.join(F.broadcast(targets.select("source", "target_k")), "source")
+        .filter(F.col("__rk") <= F.col("target_k"))
+        .select(id_col, "source")
+    )

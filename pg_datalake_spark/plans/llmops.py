@@ -1234,3 +1234,130 @@ def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.cast("long").alias("n_novel"),
         F.round(novel.cast("double") / F.count("*"), 6).alias("novelty"),
     )
+
+
+@register(
+    "d08_contamination_spans",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             [concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])
+              for i in generate_series(1, len(t) - 4)] AS gs
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT unnest(list_distinct(gs)) AS g
+              FROM sh WHERE doc_id % 97 = 0),
+    ex AS (
+      SELECT doc_id, len(gs) AS n_spans, u.pos AS pos, u.g AS g
+      FROM (SELECT * FROM sh WHERE doc_id < 300) c,
+           unnest([{'pos': i, 'g': gs[i]}
+                   for i in generate_series(1, len(gs))]) AS t(u)
+    ),
+    hits AS (
+      SELECT ex.doc_id, ex.n_spans,
+             count(*) AS n_hit_spans,
+             min(ex.pos) AS first_hit_pos,
+             max(ex.pos) AS last_hit_pos
+      FROM ex JOIN bench b ON ex.g = b.g
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_hit_spans AS BIGINT) AS n_hit_spans,
+           CAST(first_hit_pos AS BIGINT) AS first_hit_pos,
+           CAST(last_hit_pos AS BIGINT) AS last_hit_pos,
+           round(CAST(n_hit_spans AS DOUBLE) / n_spans, 6) AS hit_frac
+    FROM hits
+    """,
+)
+def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level contamination localization (operators/dedup.py:
+    contamination_spans): for the d06 corpus/benchmark split, WHERE
+    each contaminated document overlaps the eval set — first/last
+    matched 5-gram start position and matched-span counts. The
+    doc-level screen says drop-or-keep; this output drives span
+    excision instead of whole-document loss."""
+    from pg_datalake_spark.operators.dedup import contamination_spans
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    corpus = t["documents"].filter(F.col("doc_id") < 300)
+    bench = t["documents"].filter(F.col("doc_id") % 97 == 0)
+    return contamination_spans(corpus, bench, "doc_id", "text", k=5)
+
+
+@register(
+    "x12_source_mixing",
+    oracle=r"""
+    WITH per AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(round(sqrt(count(*)), 8) AS DECIMAL(30,8)) AS w
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(w) AS DECIMAL(30,8)) AS tw FROM per),
+    tgt AS (
+      SELECT source, n_docs,
+             CAST(round(600.0 * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)), 0)
+                  AS BIGINT) AS target_k
+      FROM per, tot
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.source,
+             row_number() OVER (
+               PARTITION BY d.source
+               ORDER BY md5('x12' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS rk
+      FROM documents d
+    ),
+    sampled AS (
+      SELECT r.source, r.doc_id
+      FROM ranked r JOIN tgt ON r.source = tgt.source
+      WHERE r.rk <= tgt.target_k
+    )
+    SELECT t.source,
+           CAST(t.n_docs AS BIGINT) AS n_docs,
+           t.target_k,
+           CAST(count(s.doc_id) AS BIGINT) AS n_sampled,
+           CAST(coalesce(sum(s.doc_id), 0) AS BIGINT) AS id_sum
+    FROM tgt t LEFT JOIN sampled s ON t.source = s.source
+    GROUP BY 1, 2, 3
+    """,
+)
+def x12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (α = 0.5, 600-doc budget):
+    per-source targets ∝ sqrt(n_s) (operators/sampling.py:
+    source_mixing_targets — sqrt is IEEE-exact, weights rounded and
+    summed as DECIMAL so the normalizer is order-independent), then
+    the md5-ranked deterministic subsample per source
+    (source_mixing_sample). Output verifies both the target
+    arithmetic and the exact sampled id set (per-source id sum)."""
+    from pg_datalake_spark.operators.sampling import (
+        source_mixing_sample,
+        source_mixing_targets,
+    )
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"]
+    targets = source_mixing_targets(docs, "source", total_k=600, alpha=0.5)
+    sampled = source_mixing_sample(
+        docs, "doc_id", "source", total_k=600, alpha=0.5, salt="x12"
+    )
+    agg = sampled.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+    return (
+        targets.join(agg, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "target_k",
+            F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long").alias("n_sampled"),
+            F.coalesce(F.col("id_sum"), F.lit(0)).cast("long").alias("id_sum"),
+        )
+    )
