@@ -628,3 +628,309 @@ def cb20(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ===========================================================================
+# Tier 3 (round 7): the cheap-scan, phrase-regex, per-minute, longest-
+# string, two-dim pair, derived-bucket, null-handling, tagged-union and
+# decile families (30 of the reference's 43 ClickBench shapes —
+# pg_lake_benchmark/pg_lake_benchmark--3.0.sql:9-65).
+# ===========================================================================
+
+
+@register(
+    "cb21_global_scan_stats",
+    oracle="""
+    SELECT count(*) AS n,
+           count(DISTINCT event_type) AS n_types,
+           round(min(value), 2) AS min_v,
+           round(max(value), 2) AS max_v,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                 / count(value) / 100, 6) AS avg_v
+    FROM events
+    """,
+)
+def cb21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench cheap-scan family (the Q0-tier full-table min/max/
+    avg/count probes collapsed into one aggregate): the scan reads
+    only the two referenced columns (ReadSchema-pruned)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return t["events"].agg(
+        F.count("*").alias("n"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(F.min("value"), 2).alias("min_v"),
+        F.round(F.max("value"), 2).alias("max_v"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / F.count("value") / 100,
+            6,
+        ).alias("avg_v"),
+    )
+
+
+@register(
+    "cb22_phrase_regex_count",
+    oracle=r"""
+    SELECT event_type, count(*) AS n
+    FROM events
+    WHERE regexp_matches(props, '"k": [0-9]{2}$|"k": [0-9]{2}\}')
+      AND NOT regexp_matches(event_type, '^(error|signup)$')
+    GROUP BY event_type
+    """,
+)
+def cb22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench phrase-match family: a positive and a negative
+    regex over two columns, evaluated in the scan stage (JVM regexp —
+    zero Python)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .filter(
+            F.col("props").rlike(r'"k": [0-9]{2}$|"k": [0-9]{2}\}')
+            & ~F.col("event_type").rlike(r"^(error|signup)$")
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "cb23_per_minute_series",
+    oracle="""
+    SELECT date_trunc('minute', ts) AS m, count(*) AS n
+    FROM events
+    GROUP BY 1
+    HAVING count(*) >= 3
+    """,
+)
+def cb23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench fine-grained time series: per-minute counts with a
+    HAVING floor — the bucket count is |minutes in range|, bounded by
+    wall-clock span, not event volume."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy(F.date_trunc("minute", F.col("ts")).cast("timestamp_ntz").alias("m"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 3)
+    )
+
+
+@register(
+    "cb24_longest_documents",
+    oracle="""
+    SELECT doc_id, length(text) AS n_chars_actual, lang
+    FROM documents
+    ORDER BY n_chars_actual DESC, doc_id
+    LIMIT 10
+    """,
+)
+def cb24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench longest-URL family: top-10 longest documents with a
+    deterministic id tiebreak — a TakeOrdered over the scan, never a
+    global sort."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .select("doc_id", F.length("text").alias("n_chars_actual"), "lang")
+        .orderBy(F.desc("n_chars_actual"), "doc_id")
+        .limit(10)
+    )
+
+
+@register(
+    "cb25_pair_cardinality_topn",
+    oracle="""
+    SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_band,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY n DESC, user_id, k_band
+    LIMIT 25
+    """,
+)
+def cb25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench two-dimension pair family ((UserID, SearchPhrase)
+    pairs → (user, k-band) here): wide-cardinality pair aggregate with
+    a TakeOrdered top-N."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy(
+            "user_id",
+            (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_band"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "user_id", "k_band")
+        .limit(25)
+    )
+
+
+@register(
+    "cb26_lang_source_matrix",
+    oracle="""
+    SELECT lang, source, count(*) AS n,
+           round(CAST(sum(CAST(n_chars AS DECIMAL(30,0))) AS DOUBLE)
+                 / count(n_chars), 6) AS avg_chars
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY n DESC, lang, source
+    LIMIT 20
+    """,
+)
+def cb26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench dimension-matrix family: (lang, source) counts +
+    exact-decimal average, top-20."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("n_chars").cast("decimal(30,0)")).cast("double")
+                / F.count("n_chars"),
+                6,
+            ).alias("avg_chars"),
+        )
+        .orderBy(F.desc("n"), "lang", "source")
+        .limit(20)
+    )
+
+
+@register(
+    "cb27_derived_bucket_sums",
+    oracle="""
+    SELECT CAST(floor(value / 2) * 2 AS BIGINT) AS v_bucket,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events WHERE value >= 0
+    GROUP BY 1
+    """,
+)
+def cb27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench derived-expression grouping: buckets computed from
+    the measure itself (floor arithmetic — identical in both
+    engines), grouped and summed in one pass."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .filter(F.col("value") >= 0)
+        .groupBy(
+            (F.floor(F.col("value") / 2) * 2).cast("long").alias("v_bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+
+
+@register(
+    "cb28_short_doc_audit",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blank,
+           CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_short,
+           count(DISTINCT CASE WHEN n_chars < 100 THEN source END)
+             AS n_short_sources
+    FROM documents
+    """,
+)
+def cb28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench empty/degenerate-value audit: blank and short
+    documents plus the distinct sources producing them, one
+    conditional aggregate."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return t["documents"].agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.length(F.trim(F.col("text"))) == 0).cast("int")).alias("n_blank"),
+        F.sum((F.col("n_chars") < 100).cast("int")).alias("n_short"),
+        F.countDistinct(
+            F.when(F.col("n_chars") < 100, F.col("source"))
+        ).alias("n_short_sources"),
+    )
+
+
+@register(
+    "cb29_tagged_union_report",
+    oracle="""
+    SELECT 'all' AS segment, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    UNION ALL
+    SELECT 'purchases' AS segment, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT 'heavy_users' AS segment, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events WHERE user_id IN (SELECT user_id FROM events
+                                  GROUP BY user_id HAVING count(*) >= 80)
+    """,
+)
+def cb29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench tagged-union report: three differently-filtered
+    aggregates of the same fact unioned into one result — the
+    heavy-user segment reaches the scan as an aggregate-then-semi-join,
+    never a collected IN list."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t["events"]
+    agg = [
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long")
+        .alias("value_cents"),
+    ]
+    heavy = (
+        ev.groupBy("user_id").agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= 80)
+        .select("user_id")
+    )
+    return (
+        ev.agg(*agg).select(F.lit("all").alias("segment"), "n", "value_cents")
+        .unionByName(
+            ev.filter(F.col("event_type") == "purchase")
+            .agg(*agg)
+            .select(F.lit("purchases").alias("segment"), "n", "value_cents")
+        )
+        .unionByName(
+            ev.join(heavy, "user_id", "left_semi")
+            .agg(*agg)
+            .select(F.lit("heavy_users").alias("segment"), "n", "value_cents")
+        )
+    )
+
+
+@register(
+    "cb30_user_deciles",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    ),
+    dec AS (
+      SELECT user_id, n, ntile(10) OVER (ORDER BY n, user_id) AS decile
+      FROM per
+    )
+    SELECT decile, count(*) AS n_users,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(min(n) AS BIGINT) AS min_n, CAST(max(n) AS BIGINT) AS max_n
+    FROM dec GROUP BY decile
+    """,
+)
+def cb30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench activity-decile family: NTILE(10) over the per-user
+    aggregate (deterministic id tiebreak in the order), then per-decile
+    stats — the window runs over |users| rows, never the fact table."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["events"])
+    per = t["events"].groupBy("user_id").agg(F.count("*").alias("n"))
+    dec = per.withColumn("decile", F.ntile(10).over(W.orderBy("n", "user_id")))
+    return dec.groupBy("decile").agg(
+        F.count("*").alias("n_users"),
+        F.sum("n").alias("n_events"),
+        F.min("n").alias("min_n"),
+        F.max("n").alias("max_n"),
+    )
