@@ -2147,3 +2147,456 @@ def ds68(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("net").cast("double").alias("net"),
         )
     )
+
+
+# ===========================================================================
+# Round-7 batch 4: ten more DS shapes (50 total of the reference's 99).
+# ===========================================================================
+
+
+@register(
+    "ds30_return_rate_outliers",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, c_nationkey,
+             sum(CASE WHEN l_returnflag = 'R'
+                      THEN CAST(l_extendedprice AS DECIMAL(30,2))
+                      ELSE CAST(0 AS DECIMAL(30,2)) END) AS returned
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    nat AS (
+      SELECT c_nationkey AS nk,
+             CAST(sum(returned) AS DOUBLE) / count(*) AS nat_avg
+      FROM per_cust GROUP BY 1
+    )
+    SELECT c_custkey,
+           CAST(returned AS DOUBLE) AS returned,
+           round(nat_avg, 6) AS nat_avg
+    FROM per_cust JOIN nat ON c_nationkey = nk
+    WHERE CAST(returned AS DOUBLE) > 1.2 * nat_avg
+    """,
+)
+def ds30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS30 shape (customers returning more than 1.2× their
+    geography's average): per-customer conditional decimal sum, the
+    per-nation average joined back — two shuffles on small aggregate
+    keys, threshold compared on deterministic doubles."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer"])
+    zero = F.lit(0).cast("decimal(30,2)")
+    ret = F.when(
+        F.col("l_returnflag") == "R", F.col("l_extendedprice").cast("decimal(30,2)")
+    ).otherwise(zero)
+    per = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum(ret).alias("returned"))
+    )
+    nat = per.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        (F.sum("returned").cast("double") / F.count("*")).alias("nat_avg")
+    )
+    return (
+        per.join(nat, F.col("c_nationkey") == F.col("nk"))
+        .filter(F.col("returned").cast("double") > 1.2 * F.col("nat_avg"))
+        .select(
+            "c_custkey",
+            F.col("returned").cast("double").alias("returned"),
+            F.round("nat_avg", 6).alias("nat_avg"),
+        )
+    )
+
+
+@register(
+    "ds07_demo_measure_averages",
+    oracle="""
+    SELECT p_brand,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+                 / count(l_quantity), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+                 / count(l_extendedprice), 6) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(30,4))) AS DOUBLE)
+                 / count(l_discount), 6) AS avg_disc,
+           round(CAST(sum(CAST(l_tax AS DECIMAL(30,4))) AS DOUBLE)
+                 / count(l_tax), 6) AS avg_tax
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'F'
+    GROUP BY p_brand
+    """,
+)
+def ds07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS7 shape (the four-measure demographic average report): one
+    filtered star join, four exact-decimal averages per brand."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer", "part"])
+
+    def avg6(col, scale, name):
+        return F.round(
+            F.sum(F.col(col).cast(f"decimal(30,{scale})")).cast("double")
+            / F.count(col),
+            6,
+        ).alias(name)
+
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["customer"].filter(F.col("c_mktsegment") == "BUILDING"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("o_orderstatus") == "F")
+        .groupBy("p_brand")
+        .agg(
+            avg6("l_quantity", 2, "avg_qty"),
+            avg6("l_extendedprice", 2, "avg_price"),
+            avg6("l_discount", 4, "avg_disc"),
+            avg6("l_tax", 4, "avg_tax"),
+        )
+    )
+
+
+@register(
+    "ds21_before_after_pivot",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1997-06-01'
+                         THEN CAST(l_quantity AS DECIMAL(30,2))
+                         ELSE CAST(0 AS DECIMAL(30,2)) END) AS DOUBLE) AS qty_before,
+           CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-06-01'
+                         THEN CAST(l_quantity AS DECIMAL(30,2))
+                         ELSE CAST(0 AS DECIMAL(30,2)) END) AS DOUBLE) AS qty_after
+    FROM lineitem
+    WHERE l_shipdate BETWEEN TIMESTAMP '1997-06-01' - INTERVAL 30 DAY
+                         AND TIMESTAMP '1997-06-01' + INTERVAL 30 DAY
+    GROUP BY l_suppkey
+    HAVING sum(CASE WHEN l_shipdate < TIMESTAMP '1997-06-01'
+                    THEN CAST(l_quantity AS DECIMAL(30,2))
+                    ELSE CAST(0 AS DECIMAL(30,2)) END) > 0
+       AND CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-06-01'
+                         THEN CAST(l_quantity AS DECIMAL(30,2))
+                         ELSE CAST(0 AS DECIMAL(30,2)) END) AS DOUBLE)
+           / CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1997-06-01'
+                           THEN CAST(l_quantity AS DECIMAL(30,2))
+                           ELSE CAST(0 AS DECIMAL(30,2)) END) AS DOUBLE)
+           BETWEEN 0.5 AND 2.0
+    """,
+)
+def ds21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS21 shape (inventory before/after a pivot event date, keeping
+    entities whose ratio stays in band): a ±30-day scan window pushed
+    to the scan, both legs as conditional decimal sums in one
+    aggregate, band predicate on deterministic doubles."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    pivot = F.lit("1997-06-01").cast("timestamp_ntz")
+    zero = F.lit(0).cast("decimal(30,2)")
+    q = F.col("l_quantity").cast("decimal(30,2)")
+    before = F.sum(F.when(F.col("l_shipdate") < pivot, q).otherwise(zero))
+    after = F.sum(F.when(F.col("l_shipdate") >= pivot, q).otherwise(zero))
+    lo = pivot - F.expr("INTERVAL 30 DAYS")
+    hi = pivot + F.expr("INTERVAL 30 DAYS")
+    ratio = after.cast("double") / before.cast("double")
+    return (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") <= hi))
+        .groupBy("l_suppkey")
+        .agg(
+            before.cast("double").alias("qty_before"),
+            after.cast("double").alias("qty_after"),
+        )
+        .filter(
+            (F.col("qty_before") > 0)
+            & (F.col("qty_after") / F.col("qty_before")).between(0.5, 2.0)
+        )
+    )
+
+
+@register(
+    "ds43_weekday_profile",
+    oracle="""
+    SELECT p_brand,
+           CAST(sum(CASE WHEN dayofweek(l_shipdate) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sun,
+           CAST(sum(CASE WHEN dayofweek(l_shipdate) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS mon,
+           CAST(sum(CASE WHEN dayofweek(l_shipdate) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS tue,
+           CAST(sum(CASE WHEN dayofweek(l_shipdate) = 3 THEN 1 ELSE 0 END) AS BIGINT) AS wed,
+           CAST(sum(CASE WHEN dayofweek(l_shipdate) = 4 THEN 1 ELSE 0 END) AS BIGINT) AS thu,
+           CAST(sum(CASE WHEN dayofweek(l_shipdate) = 5 THEN 1 ELSE 0 END) AS BIGINT) AS fri,
+           CAST(sum(CASE WHEN dayofweek(l_shipdate) = 6 THEN 1 ELSE 0 END) AS BIGINT) AS sat
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 8
+    GROUP BY p_brand
+    """,
+)
+def ds43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS43 shape (the Sunday..Saturday sales profile crosstab per
+    brand): seven conditional counts in one aggregate. Day-of-week
+    numbering differs between engines (Spark dayofweek is 1=Sunday,
+    DuckDB 0=Sunday) — normalized on the Spark side."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    dow = F.dayofweek("l_shipdate") - 1  # 0=Sunday, matching DuckDB
+    names = ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
+    return (
+        t["lineitem"]
+        .join(
+            t["part"].filter(F.col("p_size") <= 8),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(*[F.sum((dow == i).cast("int")).alias(n) for i, n in enumerate(names)])
+    )
+
+
+@register(
+    "ds45_membership_or",
+    oracle="""
+    WITH top_parts AS (
+      SELECT l_partkey FROM lineitem
+      GROUP BY l_partkey ORDER BY count(*) DESC, l_partkey LIMIT 20
+    ),
+    target_nations AS (
+      SELECT n_nationkey FROM nation WHERE n_name LIKE 'A%' OR n_name LIKE 'B%'
+    )
+    SELECT c_mktsegment, count(*) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS net_cents
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_nationkey IN (SELECT n_nationkey FROM target_nations)
+       OR l_partkey IN (SELECT l_partkey FROM top_parts)
+    GROUP BY c_mktsegment
+    """,
+)
+def ds45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS45 shape (revenue from customers in a geography set OR buying
+    a hot-item set — the OR-of-memberships that defeats a plain
+    semi-join): both member sets are tiny by construction and
+    broadcast as IS-IN marker joins; the OR evaluates on the marker
+    columns, one pass, no union-dedup of two semi-joined copies."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer", "nation"])
+    top_parts = (
+        t["lineitem"].groupBy("l_partkey").agg(F.count("*").alias("_c"))
+        .orderBy(F.desc("_c"), "l_partkey").limit(20)
+        .select(F.col("l_partkey").alias("tp_key")).withColumn("__in_top", F.lit(1))
+    )
+    nations = (
+        t["nation"]
+        .filter(F.col("n_name").like("A%") | F.col("n_name").like("B%"))
+        .select(F.col("n_nationkey").alias("tn_key")).withColumn("__in_nat", F.lit(1))
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(top_parts), F.col("l_partkey") == F.col("tp_key"), "left")
+        .join(F.broadcast(nations), F.col("c_nationkey") == F.col("tn_key"), "left")
+        .filter(F.col("__in_top").isNotNull() | F.col("__in_nat").isNotNull())
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.round(disc_price() * 100).cast("long")).alias("net_cents"),
+        )
+    )
+
+
+@register(
+    "ds65_best_seller_per_period",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS mon,
+             l_partkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS rev
+      FROM lineitem GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT mon, l_partkey, CAST(rev AS DOUBLE) AS rev,
+             row_number() OVER (PARTITION BY mon
+                                ORDER BY rev DESC, l_partkey) AS rk
+      FROM m
+    )
+    SELECT b.mon, b.l_partkey, p_brand, b.rev
+    FROM best b JOIN part ON b.l_partkey = p_partkey
+    WHERE b.rk = 1
+    """,
+)
+def ds65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS65 shape (each period's best-selling item with its details):
+    rank over the (month, item) aggregate — decimal revenue so the
+    DESC order ties out, id tiebreak — then ONE dim join over
+    |months| surviving rows."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    m = (
+        t["lineitem"]
+        .groupBy(
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("int").alias("mon"),
+            "l_partkey",
+        )
+        .agg(F.sum(disc_price().cast("decimal(30,4)")).alias("_rev"))
+    )
+    win = W.partitionBy("mon").orderBy(F.desc("_rev"), "l_partkey")
+    best = (
+        m.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") == 1)
+        .select("mon", "l_partkey", F.col("_rev").cast("double").alias("rev"))
+    )
+    return best.join(t["part"], F.col("l_partkey") == F.col("p_partkey")).select(
+        "mon", "l_partkey", "p_brand", "rev"
+    )
+
+
+@register(
+    "ds73_order_line_bands",
+    oracle="""
+    WITH per AS (
+      SELECT l_orderkey, count(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey HAVING count(*) BETWEEN 5 AND 7
+    )
+    SELECT c_mktsegment, count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers
+    FROM per
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def ds73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS73 shape (buyers of mid-size baskets): per-order line counts
+    banded in HAVING, then the customer rollup — the count aggregate
+    runs BEFORE any join, so the join input is |qualifying orders|."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer"])
+    per = (
+        t["lineitem"].groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+        .filter(F.col("n_lines").between(5, 7))
+    )
+    return (
+        per.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "ds79_top_customer_per_geo_month",
+    oracle="""
+    WITH m AS (
+      SELECT n_name,
+             CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS mon,
+             o_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(30,2))) AS spend
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT n_name, mon, o_custkey, CAST(spend AS DOUBLE) AS spend
+    FROM (
+      SELECT n_name, mon, o_custkey, spend,
+             row_number() OVER (PARTITION BY n_name, mon
+                                ORDER BY spend DESC, o_custkey) AS rk
+      FROM m
+    ) t WHERE rk = 1
+    """,
+)
+def ds79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS79 shape (each geography-month's top spender): rank over the
+    (nation, month, customer) aggregate with decimal order + id
+    tiebreak; the window partition count is |nations × months|."""
+    t = load_tables(spark, sf_dir, ["orders", "customer", "nation"])
+    m = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int").alias("mon"),
+            "o_custkey",
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("_spend"))
+    )
+    win = W.partitionBy("n_name", "mon").orderBy(F.desc("_spend"), "o_custkey")
+    return (
+        m.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") == 1)
+        .select("n_name", "mon", "o_custkey", F.col("_spend").cast("double").alias("spend"))
+    )
+
+
+@register(
+    "ds85_returned_reason_bands",
+    oracle="""
+    SELECT l_linestatus,
+           count(*) AS n,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+                 / count(*), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(30,4))) AS DOUBLE)
+                 / count(*), 6) AS avg_disc
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+      AND ((l_quantity BETWEEN 1 AND 15 AND l_discount BETWEEN 0.05 AND 0.10)
+        OR (l_quantity BETWEEN 16 AND 35 AND l_discount BETWEEN 0.02 AND 0.07)
+        OR (l_quantity BETWEEN 36 AND 50 AND l_discount BETWEEN 0.00 AND 0.05))
+    GROUP BY l_linestatus
+    """,
+)
+def ds85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS85 shape (returned-line analysis under stacked reason bands —
+    DS's triple-OR of quantity/discount conjunctions over the returns
+    channel): band OR post-scan, two exact-decimal averages."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    q, d = F.col("l_quantity"), F.col("l_discount")
+    bands = (
+        (q.between(1, 15) & d.between(0.05, 0.10))
+        | (q.between(16, 35) & d.between(0.02, 0.07))
+        | (q.between(36, 50) & d.between(0.00, 0.05))
+    )
+    return (
+        t["lineitem"]
+        .filter((F.col("l_returnflag") == "R") & bands)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(q.cast("decimal(30,2)")).cast("double") / F.count("*"), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(d.cast("decimal(30,4)")).cast("double") / F.count("*"), 6
+            ).alias("avg_disc"),
+        )
+    )
+
+
+@register(
+    "ds96_priority_linecount",
+    oracle="""
+    SELECT count(*) AS n_orders
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+      AND (SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) >= 5
+    """,
+)
+def ds96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS96 shape (the correlated-count scalar subquery: urgent orders
+    with at least 5 lines): decorrelated to aggregate-then-semi-join —
+    the per-order count runs once, the threshold filters it, and the
+    orders side semi-joins the survivors."""
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    big = (
+        t["lineitem"].groupBy("l_orderkey").agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 5)
+        .select("l_orderkey")
+    )
+    return (
+        t["orders"]
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .agg(F.count("*").alias("n_orders"))
+    )
