@@ -337,3 +337,74 @@ def test_boilerplate_removal_antijoin_is_aqe_sized(spark):
     out.count()  # materialize so AQE finalizes the join strategy
     final = _plan(out, "simple")
     assert "BroadcastHashJoin" in final and "LeftAnti" in final
+
+
+def test_contamination_spans_broadcasts_benchmark(spark):
+    """d08's positional-span join must broadcast the eval-set grams
+    (corpus side never shuffles for the join) and stay hash/broadcast —
+    no nested loop."""
+    from pg_datalake_spark.operators.dedup import contamination_spans
+
+    docs = load_tables(spark, SF_DIR, ["documents"])["documents"]
+    out = contamination_spans(
+        docs.filter(F.col("doc_id") < 300),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        "doc_id",
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_ds45_membership_or_uses_broadcast_markers(spark):
+    """The OR-of-memberships shape must plan BOTH member sets as
+    broadcast marker joins (left outer), never a union of two
+    semi-joined fact copies (double scan) or a nested loop."""
+    from pg_datalake_spark.plans import tpcds
+
+    plan = _plan(tpcds.ds45(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_cb29_heavy_users_is_semi_join(spark):
+    """The heavy-user segment must reach the fact scan as a LeftSemi
+    hash join from the aggregate — never a collected IN list (there is
+    no LocalLimit/collect in the plan) and never a nested loop."""
+    from pg_datalake_spark.plans import clickbench
+
+    plan = _plan(clickbench.cb29(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_geo07_anchor_table_is_broadcast(spark):
+    """geo07's anchor cross join is 4 rows — must be a broadcast,
+    and the nearest-anchor rank must run AFTER the tiny join (window
+    over 4·|customers|, partitioned by customer)."""
+    from pg_datalake_spark.plans import geo
+
+    plan = _plan(geo.geo07(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # no shuffle of the customer side for the join itself: the only
+    # exchanges are the window/aggregate repartitions
+    assert "CartesianProduct" not in plan
+
+
+def test_delta_read_is_plain_parquet_scan(spark, tmp_path):
+    """The Delta log reader must hand Spark a plain parquet relation —
+    pushdown reaches the scan (PushedFilters) and the partition column
+    arrives as a literal, not a join."""
+    from pg_datalake_spark.tables.delta_log import read_delta_table, write_delta_table
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(i)) for i in range(100)],
+        "id long, grp string, v double",
+    )
+    loc = str(tmp_path / "d")
+    write_delta_table(df, loc, partition_by=["grp"])
+    got = read_delta_table(spark, loc).filter(F.col("id") > 50)
+    plan = _plan(got)
+    assert "Scan parquet" in plan
+    assert "PushedFilters: [" in plan and "GreaterThan(id,50)" in plan
+    assert "Join" not in plan  # partition values are literals, not joins
