@@ -8,11 +8,12 @@ def load_all() -> None:
 
     ORDER MATTERS: the driver verifies only the FIRST 50 registered
     queries, so the modules that make up the verified window come
-    first — 22 TPC-H + 16 suites (13 coverage merges + the r6 geo
-    suite + the r6 TPC-DS suite + x09 rows-only) + 7 lakeops + 4
-    sources/streaming (src01+src02+src03 and st02+st04+st06 merged)
-    + st05 = exactly 50. tests/test_registry_window.py locks this
-    list against a checked-in manifest. Everything after remains
+    first — 22 TPC-H + 16 suites (13 coverage merges + the geo suite
+    + the TPC-DS suite, widened to 5 arms in r7 + x09, oracle-exact
+    since r7) + 7 lakeops + 4 sources/streaming (src01+src02+src03
+    and st02+st04+st06 merged) + st05 = exactly 50.
+    tests/test_registry_window.py locks this list against a
+    checked-in manifest. Everything after remains
     registered for the local parity gate (tests/test_oracle_parity.py)
     and bench. Suite oracles that wrap feeder queries registered
     later (llmops/relational/geo/tpcds) are lazy callables, resolved
