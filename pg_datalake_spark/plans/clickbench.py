@@ -934,3 +934,397 @@ def cb30(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").alias("min_n"),
         F.max("n").alias("max_n"),
     )
+
+
+# ===========================================================================
+# Tier 4 (round 7): the remaining 13 families — COMPLETES the
+# reference's 43-shape ClickBench port
+# (pg_lake_benchmark/pg_lake_benchmark--3.0.sql:9-65) on this schema.
+# ===========================================================================
+
+
+@register(
+    "cb31_nonzero_share",
+    oracle="""
+    SELECT count(*) AS n_total,
+           CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_campaign,
+           round(CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+                               THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS share
+    FROM events
+    """,
+)
+def cb31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench AdvEngineID<>0 family: the share of traffic carrying
+    a campaign marker — one conditional aggregate."""
+    t = load_tables(spark, sf_dir, ["events"])
+    is_c = (F.get_json_object("props", "$.k").cast("long") % 7 == 0).cast("int")
+    return t["events"].agg(
+        F.count("*").alias("n_total"),
+        F.sum(is_c).alias("n_campaign"),
+        F.round(F.sum(is_c).cast("double") / F.count("*"), 6).alias("share"),
+    )
+
+
+@register(
+    "cb32_date_span",
+    oracle="""
+    SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS min_ts_us,
+           CAST(epoch_us(max(ts)) AS BIGINT) AS max_ts_us,
+           CAST(date_diff('day', min(ts), max(ts)) AS BIGINT) AS span_days
+    FROM events
+    """,
+)
+def cb32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench min/max EventDate family: dataset time range in
+    exact integer microseconds + the day span."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ts = F.col("ts").cast("timestamp")
+    return t["events"].agg(
+        F.unix_micros(F.min(ts)).alias("min_ts_us"),
+        F.unix_micros(F.max(ts)).alias("max_ts_us"),
+        F.datediff(F.max(ts).cast("date"), F.min(ts).cast("date"))
+        .cast("long")
+        .alias("span_days"),
+    )
+
+
+@register(
+    "cb33_distinct_triples",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_band
+    FROM events
+    ORDER BY user_id, event_type, k_band
+    LIMIT 100
+    """,
+)
+def cb33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench DISTINCT-triple family: distinct dimension
+    combinations, ordered + limited deterministically."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .select(
+            "user_id",
+            "event_type",
+            (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_band"),
+        )
+        .distinct()
+        .orderBy("user_id", "event_type", "k_band")
+        .limit(100)
+    )
+
+
+@register(
+    "cb34_first_events",
+    oracle="""
+    SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, user_id, event_type
+    FROM events
+    ORDER BY ts, event_id
+    LIMIT 50
+    """,
+)
+def cb34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench ORDER BY EventTime LIMIT family: the earliest events
+    — a TakeOrdered(50) over the scan with an id tiebreak."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .orderBy("ts", "event_id")
+        .limit(50)
+        .select(
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "user_id",
+            "event_type",
+        )
+    )
+
+
+@register(
+    "cb35_ten_minute_buckets",
+    oracle="""
+    SELECT CAST(floor(epoch_us(ts) / 600000000) AS BIGINT) AS bucket_10m,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    HAVING count(*) >= 5
+    """,
+)
+def cb35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench 10-minute-interval traffic: integer epoch bucketing
+    (no calendar function in the group key), HAVING floor."""
+    t = load_tables(spark, sf_dir, ["events"])
+    bucket = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / 600_000_000
+    ).cast("long")
+    return (
+        t["events"]
+        .groupBy(bucket.alias("bucket_10m"))
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+@register(
+    "cb36_bitmask_bands",
+    oracle="""
+    SELECT CAST(user_id & 15 AS BIGINT) AS user_band,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def cb36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench IPNetworkID-mask family: bitwise AND in the group
+    key — pure integer arithmetic, identical in both engines."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t["events"]
+        .groupBy(F.col("user_id").bitwiseAND(F.lit(15)).cast("long").alias("user_band"))
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "cb37_concat_group_key",
+    oracle="""
+    SELECT event_type || '#' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 5
+                                     AS VARCHAR) AS grp,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY 1
+    ORDER BY n DESC, grp
+    LIMIT 15
+    """,
+)
+def cb37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench computed-string group key: concatenated dimension
+    key, top-15 — the group key is computed once in the aggregate,
+    not re-evaluated per output."""
+    t = load_tables(spark, sf_dir, ["events"])
+    grp = F.concat(
+        F.col("event_type"),
+        F.lit("#"),
+        (F.get_json_object("props", "$.k").cast("long") % 5).cast("string"),
+    )
+    return (
+        t["events"]
+        .groupBy(grp.alias("grp"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .orderBy(F.desc("n"), "grp")
+        .limit(15)
+    )
+
+
+@register(
+    "cb38_domain_family",
+    oracle=r"""
+    SELECT regexp_replace(source, '[0-9]+', '', 'g') AS family,
+           count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def cb38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench URL-hierarchy family: collapse the source id to its
+    non-numeric stem (the 'domain' of a URL path) and roll up."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .groupBy(F.regexp_replace("source", "[0-9]+", "").alias("family"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "cb39_hot_sources",
+    oracle="""
+    SELECT source, count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    HAVING count(*) > 20
+    ORDER BY n DESC, source
+    """,
+)
+def cb39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench URLs-with-hits>N family: aggregate + HAVING + full
+    ordered output (no LIMIT — the survivors are few by construction)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t["documents"]
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("total_chars"))
+        .filter(F.col("n") > 20)
+        .orderBy(F.desc("n"), "source")
+    )
+
+
+@register(
+    "cb40_avg_inter_event_gap",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           count(gap_us) AS n_gaps,
+           CAST(sum(gap_us) // count(gap_us) AS BIGINT) AS avg_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    ORDER BY avg_gap_us DESC, user_id
+    LIMIT 20
+    """,
+)
+def cb40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench inter-visit-gap family: per-user average gap between
+    consecutive events in exact integer microseconds (lag over (ts,
+    event_id) — deterministic under concurrent timestamps), top-20
+    slowest cadences."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["events"])
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    win = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = t["events"].select(
+        "user_id", (us - F.lag(us).over(win)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.expr("sum(gap_us) div count(gap_us)").alias("avg_gap_us"),
+        )
+        .orderBy(F.desc("avg_gap_us"), "user_id")
+        .limit(20)
+    )
+
+
+@register(
+    "cb41_hourly_type_share",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT hr, event_type, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY hr), 6) AS share
+    FROM h
+    """,
+)
+def cb41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench share-of-traffic family: each type's share of its
+    hour — the window runs over the |hours|×|types| aggregate; the
+    share divides exact integer counts."""
+    from pyspark.sql import Window as W
+
+    t = load_tables(spark, sf_dir, ["events"])
+    h = (
+        t["events"]
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("hr"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    return h.select(
+        "hr",
+        "event_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(W.partitionBy("hr")), 6
+        ).alias("share"),
+    )
+
+
+@register(
+    "cb42_band_type_rollup",
+    oracle="""
+    SELECT CAST(GROUPING(k_band) AS INT) AS g_band,
+           CAST(GROUPING(event_type) AS INT) AS g_type,
+           k_band, event_type,
+           CAST(sum(n) AS BIGINT) AS n,
+           CAST(sum(u) AS BIGINT) AS approx_users
+    FROM (
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_band,
+             event_type, count(*) AS n, count(DISTINCT user_id) AS u
+      FROM events GROUP BY 1, 2
+    ) pre
+    GROUP BY ROLLUP(k_band, event_type)
+    """,
+)
+def cb42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench totals-matrix family as a two-phase ROLLUP: the
+    finest-level aggregate runs first (distinct users exact at that
+    level), the rollup sums the pre-aggregate — Expand never sees
+    fact rows. NOTE the rolled-up user count is additive-by-band
+    (labeled approx_users), matching the oracle exactly."""
+    t = load_tables(spark, sf_dir, ["events"])
+    pre = (
+        t["events"]
+        .groupBy(
+            (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_band"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("u"))
+    )
+    return pre.rollup("k_band", "event_type").agg(
+        F.grouping("k_band").cast("int").alias("g_band"),
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.sum("n").alias("n"),
+        F.sum("u").alias("approx_users"),
+    ).select("g_band", "g_type", "k_band", "event_type", "n", "approx_users")
+
+
+@register(
+    "cb43_low_error_users",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, count(*) AS n,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+      FROM events GROUP BY user_id HAVING count(*) >= 20
+    )
+    SELECT count(*) AS n_clean_users,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           round(CAST(sum(n_err) AS DOUBLE) / sum(n), 6) AS pooled_error_rate
+    FROM per
+    WHERE CAST(n_err AS DOUBLE) / n < 0.05
+    """,
+)
+def cb43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench not-a-bot family: engaged users (≥20 events) whose
+    error rate stays under 5 % — per-user conditional counts, rate
+    filter on exact integer ratios, one summary row."""
+    t = load_tables(spark, sf_dir, ["events"])
+    per = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("event_type") == "error").cast("int")).alias("n_err"),
+        )
+        .filter(F.col("n") >= 20)
+        .filter(F.col("n_err").cast("double") / F.col("n") < 0.05)
+    )
+    return per.agg(
+        F.count("*").alias("n_clean_users"),
+        F.sum("n").alias("n_events"),
+        F.round(F.sum("n_err").cast("double") / F.sum("n"), 6).alias("pooled_error_rate"),
+    )
