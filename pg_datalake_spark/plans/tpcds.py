@@ -2600,3 +2600,432 @@ def ds96(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+# ===========================================================================
+# Round-7 batch 5: ten more DS shapes (60 total of the reference's 99).
+# ===========================================================================
+
+
+@register(
+    "ds06_priced_above_category_avg",
+    oracle="""
+    WITH cat_avg AS (
+      SELECT p_type AS a_type,
+             CAST(sum(CAST(p_retailprice AS DECIMAL(30,2))) AS DOUBLE)
+               / count(p_retailprice) AS avg_price
+      FROM part GROUP BY p_type
+    )
+    SELECT p_type, count(*) AS n_items,
+           round(min(p_retailprice / avg_price), 6) AS min_ratio,
+           round(max(p_retailprice / avg_price), 6) AS max_ratio
+    FROM part JOIN cat_avg ON p_type = a_type
+    WHERE p_retailprice > 1.05 * avg_price
+    GROUP BY p_type
+    """,
+)
+def ds06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS6 shape (items priced above their category average — the
+    correlated-average subquery decorrelated to aggregate + join-back):
+    the per-category average computes once; the ratio predicate
+    compares deterministic doubles."""
+    t = load_tables(spark, sf_dir, ["part"])
+    cat = t["part"].groupBy(F.col("p_type").alias("a_type")).agg(
+        (
+            F.sum(F.col("p_retailprice").cast("decimal(30,2)")).cast("double")
+            / F.count("p_retailprice")
+        ).alias("avg_price")
+    )
+    ratio = F.col("p_retailprice") / F.col("avg_price")
+    return (
+        t["part"]
+        .join(cat, F.col("p_type") == F.col("a_type"))
+        .filter(F.col("p_retailprice") > 1.05 * F.col("avg_price"))
+        .groupBy("p_type")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.min(ratio), 6).alias("min_ratio"),
+            F.round(F.max(ratio), 6).alias("max_ratio"),
+        )
+    )
+
+
+@register(
+    "ds12_category_window_share",
+    oracle="""
+    WITH w AS (
+      SELECT p_type,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate BETWEEN TIMESTAMP '1997-03-01'
+                           AND TIMESTAMP '1997-03-31'
+      GROUP BY p_type
+    )
+    SELECT p_type, CAST(rev AS DOUBLE) AS revenue,
+           round(CAST(rev AS DOUBLE) * 100
+                 / CAST(sum(rev) OVER () AS DOUBLE), 6) AS revenue_share_pct
+    FROM w
+    """,
+)
+def ds12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS12 shape (each category's share of a 30-day revenue window):
+    the date window prunes at the scan; the share is a whole-result
+    window over the |categories| aggregate, decimal until the final
+    ratio."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    w = (
+        t["lineitem"]
+        .filter(
+            F.col("l_shipdate").between(
+                F.lit("1997-03-01").cast("timestamp_ntz"),
+                F.lit("1997-03-31").cast("timestamp_ntz"),
+            )
+        )
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(F.sum(disc_price().cast("decimal(30,4)")).alias("rev"))
+    )
+    total = F.sum("rev").over(W.partitionBy())
+    return w.select(
+        "p_type",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(F.col("rev").cast("double") * 100 / total.cast("double"), 6).alias(
+            "revenue_share_pct"
+        ),
+    )
+
+
+@register(
+    "ds18_acctbal_band_rollup",
+    oracle="""
+    WITH pre AS (
+      SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                  WHEN c_acctbal < 3000 THEN 'low'
+                  WHEN c_acctbal < 7000 THEN 'mid'
+                  ELSE 'high' END AS bal_band,
+             c_mktsegment,
+             count(*) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(30,2))) AS spend
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(GROUPING(bal_band) AS INT) AS g_band,
+           CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+           bal_band, c_mktsegment,
+           CAST(sum(n) AS BIGINT) AS n_orders,
+           round(CAST(sum(spend) AS DOUBLE) / sum(n), 6) AS avg_order_value
+    FROM pre GROUP BY ROLLUP(bal_band, c_mktsegment)
+    """,
+)
+def ds18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS18 shape (average order value across demographic bands with
+    subtotals): two-phase rollup over the (band, segment)
+    pre-aggregate; averages recomposed from decimal sum-of-sums."""
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    pre = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(band.alias("bal_band"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("spend"),
+        )
+    )
+    return pre.rollup("bal_band", "c_mktsegment").agg(
+        F.grouping("bal_band").cast("int").alias("g_band"),
+        F.grouping("c_mktsegment").cast("int").alias("g_seg"),
+        F.sum("n").alias("n_orders"),
+        F.round(F.sum("spend").cast("double") / F.sum("n"), 6).alias("avg_order_value"),
+    ).select("g_band", "g_seg", "bal_band", "c_mktsegment", "n_orders", "avg_order_value")
+
+
+@register(
+    "ds32_excess_discount",
+    oracle="""
+    WITH item_avg AS (
+      SELECT l_partkey AS a_partkey,
+             CAST(sum(CAST(l_discount AS DECIMAL(30,4))) AS DOUBLE)
+               / count(l_discount) AS avg_disc
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT count(*) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+                AS BIGINT) AS excess_discount_cents
+    FROM lineitem JOIN item_avg ON l_partkey = a_partkey
+    WHERE avg_disc > 0 AND l_discount > 1.3 * avg_disc
+    """,
+)
+def ds32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS32 shape (excess discount: lines discounted >1.3× their
+    item's average): decorrelated per-item average joined back on the
+    item key — the two aggregates share one shuffle key."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    li = t["lineitem"]
+    item_avg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (
+            F.sum(F.col("l_discount").cast("decimal(30,4)")).cast("double")
+            / F.count("l_discount")
+        ).alias("avg_disc")
+    )
+    return (
+        li.join(item_avg, F.col("l_partkey") == F.col("a_partkey"))
+        .filter((F.col("avg_disc") > 0) & (F.col("l_discount") > 1.3 * F.col("avg_disc")))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("long")
+            ).alias("excess_discount_cents"),
+        )
+    )
+
+
+@register(
+    "ds40_pivot_by_geo",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS cents_before,
+           CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS cents_after
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-07-01' AND TIMESTAMP '1997-06-30'
+    GROUP BY n_name
+    """,
+)
+def ds40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS40 shape (before/after a pivot date per geography): ±6-month
+    scan window, conditional integer-cents legs in one aggregate,
+    25-row nation dim broadcast."""
+    t = load_tables(spark, sf_dir, ["orders", "customer", "nation"])
+    pivot = F.lit("1997-01-01").cast("timestamp_ntz")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        t["orders"]
+        .filter(
+            F.col("o_orderdate").between(
+                F.lit("1996-07-01").cast("timestamp_ntz"),
+                F.lit("1997-06-30").cast("timestamp_ntz"),
+            )
+        )
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.when(F.col("o_orderdate") < pivot, cents).otherwise(F.lit(0)))
+            .alias("cents_before"),
+            F.sum(F.when(F.col("o_orderdate") >= pivot, cents).otherwise(F.lit(0)))
+            .alias("cents_after"),
+        )
+    )
+
+
+@register(
+    "ds49_worst_return_ratios",
+    oracle="""
+    WITH per AS (
+      SELECT CASE WHEN l_linestatus = 'O' THEN 'web' ELSE 'store' END AS channel,
+             l_partkey,
+             count(*) AS n,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_ret
+      FROM lineitem GROUP BY 1, 2 HAVING count(*) >= 8
+    ),
+    ranked AS (
+      SELECT channel, l_partkey, n, n_ret,
+             round(CAST(n_ret AS DOUBLE) / n, 6) AS ret_ratio,
+             row_number() OVER (PARTITION BY channel
+                                ORDER BY CAST(n_ret AS DOUBLE) / n DESC,
+                                         l_partkey) AS rk
+      FROM per
+    )
+    SELECT channel, l_partkey, CAST(n AS BIGINT) AS n,
+           CAST(n_ret AS BIGINT) AS n_ret, ret_ratio, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 10
+    """,
+)
+def ds49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS49 shape (the worst return ratios per channel, top-10): the
+    ratio ranks within channel partitions over the (channel, item)
+    aggregate; ties broken on the item key. The ratio is a quotient
+    of exact integers — identical doubles either side."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    per = (
+        t["lineitem"]
+        .groupBy(
+            F.when(F.col("l_linestatus") == "O", "web").otherwise("store").alias("channel"),
+            "l_partkey",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("l_returnflag") == "R").cast("int")).alias("n_ret"),
+        )
+        .filter(F.col("n") >= 8)
+    )
+    ratio = F.col("n_ret").cast("double") / F.col("n")
+    win = W.partitionBy("channel").orderBy(F.desc(ratio), "l_partkey")
+    return (
+        per.withColumn("rk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "channel", "l_partkey", "n", "n_ret",
+            F.round(ratio, 6).alias("ret_ratio"), "rk",
+        )
+    )
+
+
+@register(
+    "ds61_promo_share",
+    oracle="""
+    SELECT
+      CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS promo_cents,
+      CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           AS BIGINT) AS total_cents,
+      round(CAST(sum(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                          ELSE 0 END) AS DOUBLE)
+            / sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)),
+            6) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE year(l_shipdate) = 1997
+    GROUP BY ()
+    """,
+)
+def ds61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS61 shape (promotional revenue share for a year): conditional
+    integer-cents legs in one aggregate over the dim join; share is a
+    quotient of exact integers."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    cents = F.round(disc_price() * 100).cast("long")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0)))
+    total = F.sum(cents)
+    return (
+        t["lineitem"]
+        .filter(F.year("l_shipdate") == 1997)
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            promo.alias("promo_cents"),
+            total.alias("total_cents"),
+            F.round(promo.cast("double") / total, 6).alias("promo_share"),
+        )
+    )
+
+
+@register(
+    "ds90_am_pm_ratio",
+    oracle="""
+    SELECT CAST(sum(CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_am,
+           CAST(sum(CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END) AS BIGINT) AS n_pm,
+           round(CAST(sum(CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / sum(CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END), 6) AS am_pm_ratio
+    FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    """,
+)
+def ds90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS90 shape (the am/pm traffic ratio): two conditional counts,
+    one scan, one row."""
+    t = load_tables(spark, sf_dir, ["events"])
+    am = F.sum((F.hour("ts") < 12).cast("int"))
+    pm = F.sum((F.hour("ts") >= 12).cast("int"))
+    return (
+        t["events"]
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .agg(
+            am.alias("n_am"),
+            pm.alias("n_pm"),
+            F.round(am.cast("double") / pm, 6).alias("am_pm_ratio"),
+        )
+    )
+
+
+@register(
+    "ds94_single_supplier_orders",
+    oracle="""
+    WITH per AS (
+      SELECT l_orderkey,
+             count(*) AS n_lines,
+             count(DISTINCT l_suppkey) AS n_supps,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS net_cents
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT count(*) AS n_orders,
+           CAST(sum(n_lines) AS BIGINT) AS n_lines,
+           CAST(sum(net_cents) AS BIGINT) AS net_cents
+    FROM per
+    WHERE n_lines >= 3 AND n_supps = 1
+    """,
+)
+def ds94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS94 shape (multi-line orders fulfilled by exactly one
+    supplier): the distinct-supplier count rides the per-order
+    aggregate — no self-join for the single-supplier test."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    per = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.sum(F.round(disc_price() * 100).cast("long")).alias("net_cents"),
+        )
+        .filter((F.col("n_lines") >= 3) & (F.col("n_supps") == 1))
+    )
+    return per.agg(
+        F.count("*").alias("n_orders"),
+        F.sum("n_lines").alias("n_lines"),
+        F.sum("net_cents").alias("net_cents"),
+    )
+
+
+@register(
+    "ds99_monthly_lag_crosstab",
+    oracle="""
+    SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS mon,
+           CAST(sum(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                          AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+           CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d_over,
+           count(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE year(o_orderdate) = 1997
+    GROUP BY 1
+    """,
+)
+def ds99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS99 shape (the monthly shipping-lag crosstab — ds62's report
+    pivoted over time): the ship-lag buckets ride one fact-fact join
+    restricted to a year, grouped by order month."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders"])
+    lag_gt = lambda days: F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {days} DAYS"
+    )
+    return (
+        t["lineitem"]
+        .join(
+            t["orders"].filter(F.year("o_orderdate") == 1997),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int").alias("mon")
+        )
+        .agg(
+            F.sum((~lag_gt(30)).cast("int")).alias("d30"),
+            F.sum((lag_gt(30) & ~lag_gt(60)).cast("int")).alias("d60"),
+            F.sum(lag_gt(60).cast("int")).alias("d_over"),
+            F.count("*").alias("n"),
+        )
+    )
