@@ -3029,3 +3029,433 @@ def ds99(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+# ===========================================================================
+# Round-7 batch 6: ten more DS shapes (70 total of the reference's 99).
+# ===========================================================================
+
+
+@register(
+    "ds03_month_across_years",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS INT) AS yr, p_brand,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)))
+                AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE month(l_shipdate) = 12 AND p_size <= 10
+    GROUP BY 1, 2
+    """,
+)
+def ds03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS3 shape (one calendar month compared across every year —
+    the seasonality probe): the month predicate filters the scan, the
+    year stays a group key."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    return (
+        t["lineitem"]
+        .filter(F.month("l_shipdate") == 12)
+        .join(
+            t["part"].filter(F.col("p_size") <= 10),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.year("l_shipdate").cast("int").alias("yr"), "p_brand")
+        .agg(dsum(disc_price(), 4).alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+@register(
+    "ds08_geo_prefix_revenue",
+    oracle="""
+    SELECT substr(n_name, 1, 1) AS prefix,
+           count(DISTINCT c_custkey) AS n_customers,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+)
+def ds08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS8 shape (revenue by zip-code prefix → nation-name prefix
+    here): the prefix is computed in the group key, distinct customers
+    counted alongside the money sum."""
+    t = load_tables(spark, sf_dir, ["orders", "customer", "nation"])
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.substring("n_name", 1, 1).alias("prefix"))
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+        )
+    )
+
+
+@register(
+    "ds22_attribute_rollup_qty",
+    oracle="""
+    WITH pre AS (
+      SELECT p_brand, CAST(p_size AS INT) AS p_size,
+             sum(CAST(l_quantity AS DECIMAL(30,2))) AS q, count(*) AS n
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(GROUPING(p_brand) AS INT) AS g_brand,
+           CAST(GROUPING(p_size) AS INT) AS g_size,
+           p_brand, p_size,
+           round(CAST(sum(q) AS DOUBLE) / sum(n), 6) AS avg_qty,
+           CAST(sum(n) AS BIGINT) AS n
+    FROM pre GROUP BY ROLLUP(p_brand, p_size)
+    """,
+)
+def ds22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS22 shape (average inventory quantity over the item-attribute
+    ROLLUP): two-phase — finest (brand, size) aggregate first, rollup
+    over the tiny pre-aggregate, averages recomposed exactly."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    pre = (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", F.col("p_size").cast("int").alias("p_size"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("q"),
+            F.count("*").alias("n"),
+        )
+    )
+    return pre.rollup("p_brand", "p_size").agg(
+        F.grouping("p_brand").cast("int").alias("g_brand"),
+        F.grouping("p_size").cast("int").alias("g_size"),
+        F.round(F.sum("q").cast("double") / F.sum("n"), 6).alias("avg_qty"),
+        F.sum("n").alias("n"),
+    ).select("g_brand", "g_size", "p_brand", "p_size", "avg_qty", "n")
+
+
+@register(
+    "ds24_home_nation_sales",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS home_cents,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_nationkey = s_nationkey
+    GROUP BY n_name
+    HAVING sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+           > 5000000
+    """,
+)
+def ds24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS24 shape (same-geography sales above a floor — TPC-H q5's
+    cousin with a HAVING): the home-nation predicate is a post-join
+    column equality; HAVING compares exact integer cents."""
+    t = load_tables(spark, sf_dir,
+                    ["lineitem", "orders", "customer", "supplier", "nation"])
+    cents = F.round(disc_price() * 100).cast("long")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(cents).alias("home_cents"), F.count("*").alias("n_lines"))
+        .filter(F.col("home_cents") > 5_000_000)
+    )
+
+
+@register(
+    "ds28_band_distinct_report",
+    oracle="""
+    SELECT 'b1' AS band,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+                 / count(*), 6) AS avg_price,
+           count(DISTINCT l_extendedprice) AS n_distinct_prices,
+           count(*) AS n
+    FROM lineitem WHERE l_quantity BETWEEN 1 AND 10
+    UNION ALL
+    SELECT 'b2', round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+                       / count(*), 6),
+           count(DISTINCT l_extendedprice), count(*)
+    FROM lineitem WHERE l_quantity BETWEEN 21 AND 30
+    UNION ALL
+    SELECT 'b3', round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+                       / count(*), 6),
+           count(DISTINCT l_extendedprice), count(*)
+    FROM lineitem WHERE l_quantity BETWEEN 41 AND 50
+    """,
+)
+def ds28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS28 shape (the six-band avg + distinct-count scalar-subquery
+    battery → three tagged aggregates here): each band is a filtered
+    aggregate with an exact distinct count, unioned."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+
+    def band(tag, lo, hi):
+        return (
+            t["lineitem"]
+            .filter(F.col("l_quantity").between(lo, hi))
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice").cast("decimal(30,2)")).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias("avg_price"),
+                F.countDistinct("l_extendedprice").alias("n_distinct_prices"),
+                F.count("*").alias("n"),
+            )
+            .select(F.lit(tag).alias("band"), "avg_price", "n_distinct_prices", "n")
+        )
+
+    return band("b1", 1, 10).unionByName(band("b2", 21, 30)).unionByName(
+        band("b3", 41, 50)
+    )
+
+
+@register(
+    "ds38_all_channel_customers",
+    oracle="""
+    WITH common AS (
+      SELECT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '3-MEDIUM'
+      INTERSECT
+      SELECT o_custkey FROM orders
+      WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+    )
+    SELECT count(*) AS n_customers,
+           CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+    FROM common
+    """,
+)
+def ds38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS38 shape (customers present in ALL channels — the
+    distinct-count-heavy INTERSECT family on the customer key): the
+    key sets intersect before any further work; the checksum pins the
+    exact member set, not just its size."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    o = t["orders"]
+    web = o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select("o_custkey")
+    mid = o.filter(F.col("o_orderpriority") == "3-MEDIUM").select("o_custkey")
+    low = o.filter(
+        F.col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW")
+    ).select("o_custkey")
+    common = web.intersect(mid).intersect(low)
+    return common.agg(
+        F.count("*").alias("n_customers"),
+        F.sum("o_custkey").alias("custkey_sum"),
+    )
+
+
+@register(
+    "ds44_best_and_worst_items",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS net
+      FROM lineitem GROUP BY l_partkey
+    ),
+    best AS (
+      SELECT 'best' AS side, l_partkey, CAST(net AS DOUBLE) AS net,
+             row_number() OVER (ORDER BY net DESC, l_partkey) AS rk
+      FROM per
+    ),
+    worst AS (
+      SELECT 'worst' AS side, l_partkey, CAST(net AS DOUBLE) AS net,
+             row_number() OVER (ORDER BY net ASC, l_partkey) AS rk
+      FROM per
+    )
+    SELECT side, CAST(rk AS INT) AS rk, l_partkey, net FROM best WHERE rk <= 10
+    UNION ALL
+    SELECT side, CAST(rk AS INT) AS rk, l_partkey, net FROM worst WHERE rk <= 10
+    """,
+)
+def ds44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS44 shape (best and worst performers side by side): two ranks
+    over ONE per-item aggregate (ascending and descending), top-10
+    each, tagged and unioned. The global windows run over |items|
+    aggregate rows."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    per = (
+        t["lineitem"].groupBy("l_partkey")
+        .agg(F.sum(disc_price().cast("decimal(30,4)")).alias("net"))
+    )
+
+    def side(tag, order):
+        win = W.orderBy(*order)
+        return (
+            per.withColumn("rk", F.row_number().over(win).cast("int"))
+            .filter(F.col("rk") <= 10)
+            .select(
+                F.lit(tag).alias("side"), "rk", "l_partkey",
+                F.col("net").cast("double").alias("net"),
+            )
+        )
+
+    return side("best", [F.desc("net"), F.col("l_partkey")]).unionByName(
+        side("worst", [F.asc("net"), F.col("l_partkey")])
+    )
+
+
+@register(
+    "ds47_deviant_months_with_neighbors",
+    oracle="""
+    WITH m AS (
+      SELECT p_brand, CAST(year(l_shipdate) AS INT) AS yr,
+             CAST(month(l_shipdate) AS INT) AS mo,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2, 3
+    ),
+    w AS (
+      SELECT p_brand, yr, mo, CAST(rev AS DOUBLE) AS rev,
+             CAST(sum(rev) OVER (PARTITION BY p_brand, yr) AS DOUBLE)
+               / count(rev) OVER (PARTITION BY p_brand, yr) AS yr_avg,
+             lag(CAST(rev AS DOUBLE)) OVER (PARTITION BY p_brand
+                                            ORDER BY yr, mo) AS prev_rev,
+             lead(CAST(rev AS DOUBLE)) OVER (PARTITION BY p_brand
+                                             ORDER BY yr, mo) AS next_rev
+      FROM m
+    )
+    SELECT p_brand, yr, mo,
+           round(rev, 4) AS rev, round(yr_avg, 4) AS yr_avg,
+           round(coalesce(prev_rev, -1), 4) AS prev_rev,
+           round(coalesce(next_rev, -1), 4) AS next_rev
+    FROM w
+    WHERE yr_avg > 0 AND abs(rev - yr_avg) / yr_avg > 0.35
+    """,
+)
+def ds47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS47 shape (months deviating from the year average, with their
+    neighbor months attached): yearly average + lag/lead in one
+    window pass over the (brand, month) aggregate. The deviation
+    predicate and outputs are rounded identically in both engines;
+    missing neighbors surface as -1 (COALESCE) so the hash has no
+    NULL-float ambiguity."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    m = (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "p_brand",
+            F.year("l_shipdate").cast("int").alias("yr"),
+            F.month("l_shipdate").cast("int").alias("mo"),
+        )
+        .agg(F.sum(disc_price().cast("decimal(30,4)")).alias("_rev"))
+    )
+    rev = F.col("_rev").cast("double")
+    seq = W.partitionBy("p_brand").orderBy("yr", "mo")
+    w = m.select(
+        "p_brand", "yr", "mo", rev.alias("rev"),
+        (
+            F.sum("_rev").over(W.partitionBy("p_brand", "yr")).cast("double")
+            / F.count("_rev").over(W.partitionBy("p_brand", "yr"))
+        ).alias("yr_avg"),
+        F.lag(rev).over(seq).alias("prev_rev"),
+        F.lead(rev).over(seq).alias("next_rev"),
+    )
+    return (
+        w.filter(
+            (F.col("yr_avg") > 0)
+            & (F.abs(F.col("rev") - F.col("yr_avg")) / F.col("yr_avg") > 0.35)
+        )
+        .select(
+            "p_brand", "yr", "mo",
+            F.round("rev", 4).alias("rev"),
+            F.round("yr_avg", 4).alias("yr_avg"),
+            F.round(F.coalesce("prev_rev", F.lit(-1)), 4).alias("prev_rev"),
+            F.round(F.coalesce("next_rev", F.lit(-1)), 4).alias("next_rev"),
+        )
+    )
+
+
+@register(
+    "ds53_quarterly_rolling",
+    oracle="""
+    WITH q AS (
+      SELECT p_brand,
+             CAST(year(l_shipdate) * 4 + quarter(l_shipdate) - 1 AS INT) AS q_idx,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size <= 12
+      GROUP BY 1, 2
+    )
+    SELECT p_brand, q_idx, CAST(rev AS DOUBLE) AS rev,
+           CAST(sum(rev) OVER (
+               PARTITION BY p_brand ORDER BY q_idx
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rolling_sum_4q,
+           CAST(count(rev) OVER (
+               PARTITION BY p_brand ORDER BY q_idx
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_quarters
+    FROM q
+    """,
+)
+def ds53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS53 shape (quarterly revenue with a trailing 4-quarter rolling
+    window): a ROWS frame over the (brand, quarter) aggregate. The
+    windowed measure is the exact DECIMAL frame SUM (plus the frame
+    count) — a frame AVERAGE of scale-4 decimals lands exactly on
+    half-way rounding ties (sum/2, sum/4), where the engines' tie
+    rules diverge; the sum has no tie to break."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    q = (
+        t["lineitem"]
+        .join(
+            t["part"].filter(F.col("p_size") <= 12),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            "p_brand",
+            (F.year("l_shipdate") * 4 + F.quarter("l_shipdate") - 1)
+            .cast("int")
+            .alias("q_idx"),
+        )
+        .agg(F.sum(disc_price().cast("decimal(30,4)")).alias("_rev"))
+    )
+    rev = F.col("_rev").cast("double")
+    frame = (
+        W.partitionBy("p_brand").orderBy("q_idx").rowsBetween(-3, W.currentRow)
+    )
+    return q.select(
+        "p_brand", "q_idx", rev.alias("rev"),
+        F.sum("_rev").over(frame).cast("double").alias("rolling_sum_4q"),
+        F.count("_rev").over(frame).cast("long").alias("n_quarters"),
+    )
+
+
+@register(
+    "ds60_category_month_matrix",
+    oracle="""
+    SELECT p_type,
+           CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS mon,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE year(l_shipdate) BETWEEN 1996 AND 1997
+    GROUP BY 1, 2
+    """,
+)
+def ds60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS60 shape (the full category × month revenue matrix for a
+    two-year span): one aggregate, year-range pushed to the scan."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    return (
+        t["lineitem"]
+        .filter(F.year("l_shipdate").between(1996, 1997))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "p_type",
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("int").alias("mon"),
+        )
+        .agg(dsum(disc_price(), 4).alias("revenue"))
+    )
