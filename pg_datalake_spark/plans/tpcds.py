@@ -3459,3 +3459,667 @@ def ds60(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(dsum(disc_price(), 4).alias("revenue"))
     )
+
+
+# ===========================================================================
+# Round-7 batch 7: fifteen more DS shapes (85 total of the reference's
+# 99) — the channel-permutation and wide-crosstab families.
+# ===========================================================================
+
+
+@register(
+    "ds01_return_count_outliers",
+    oracle="""
+    WITH per AS (
+      SELECT c_custkey, c_nationkey,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_ret
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    nat AS (
+      SELECT c_nationkey AS nk, CAST(sum(n_ret) AS DOUBLE) / count(*) AS nat_avg
+      FROM per GROUP BY 1
+    )
+    SELECT c_custkey, CAST(n_ret AS BIGINT) AS n_ret, round(nat_avg, 6) AS nat_avg
+    FROM per JOIN nat ON c_nationkey = nk
+    WHERE CAST(n_ret AS DOUBLE) > 2.0 * nat_avg
+    """,
+)
+def ds01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS1 shape (customers with return COUNTS above 2× their
+    geography's average — ds30's count-based sibling): conditional
+    count per customer, per-nation average joined back."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer"])
+    per = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum((F.col("l_returnflag") == "R").cast("int")).alias("n_ret"))
+    )
+    nat = per.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        (F.sum("n_ret").cast("double") / F.count("*")).alias("nat_avg")
+    )
+    return (
+        per.join(nat, F.col("c_nationkey") == F.col("nk"))
+        .filter(F.col("n_ret").cast("double") > 2.0 * F.col("nat_avg"))
+        .select("c_custkey", F.col("n_ret").cast("long").alias("n_ret"),
+                F.round("nat_avg", 6).alias("nat_avg"))
+    )
+
+
+@register(
+    "ds02_weekly_channel_ratio",
+    oracle="""
+    WITH w AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'web' ELSE 'store' END AS channel,
+             CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(weekofyear(o_orderdate) AS INT) AS wk,
+             sum(CAST(o_totalprice AS DECIMAL(30,2))) AS rev
+      FROM orders GROUP BY 1, 2, 3
+    )
+    SELECT a.wk, a.channel,
+           CAST(a.rev AS DOUBLE) AS rev_1996, CAST(b.rev AS DOUBLE) AS rev_1997,
+           round(CAST(b.rev AS DOUBLE) / CAST(a.rev AS DOUBLE), 6) AS yoy
+    FROM (SELECT * FROM w WHERE yr = 1996) a
+    JOIN (SELECT * FROM w WHERE yr = 1997) b
+      ON a.wk = b.wk AND a.channel = b.channel
+    WHERE a.wk BETWEEN 2 AND 51
+    """,
+)
+def ds02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS2 shape (week-over-week cross-year channel comparison): one
+    (channel, year, week) aggregate, the two years self-joined on the
+    (week, channel) key; boundary weeks (1, 52/53 — ISO year spill)
+    excluded so the calendar mapping is unambiguous in both engines."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    w = (
+        t["orders"]
+        .groupBy(
+            F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "web")
+            .otherwise("store").alias("channel"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.weekofyear("o_orderdate").cast("int").alias("wk"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("rev"))
+    )
+    a = w.filter(F.col("yr") == 1996).select(
+        "wk", "channel", F.col("rev").alias("rev_a")
+    )
+    b = w.filter(F.col("yr") == 1997).select(
+        F.col("wk").alias("b_wk"), F.col("channel").alias("b_channel"),
+        F.col("rev").alias("rev_b"),
+    )
+    return (
+        a.join(b, (F.col("wk") == F.col("b_wk")) & (F.col("channel") == F.col("b_channel")))
+        .filter(F.col("wk").between(2, 51))
+        .select(
+            "wk", "channel",
+            F.col("rev_a").cast("double").alias("rev_1996"),
+            F.col("rev_b").cast("double").alias("rev_1997"),
+            F.round(F.col("rev_b").cast("double") / F.col("rev_a").cast("double"), 6)
+            .alias("yoy"),
+        )
+    )
+
+
+@register(
+    "ds10_any_channel_exists",
+    oracle="""
+    SELECT c_mktsegment, n_name, count(*) AS n_cust
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE (EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                   AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   AND year(o_orderdate) = 1997)
+        OR EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                   AND o_orderpriority = '3-MEDIUM'
+                   AND year(o_orderdate) = 1997)
+        OR EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                   AND o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+                   AND year(o_orderdate) = 1997))
+      AND c_acctbal > 0
+    GROUP BY 1, 2
+    """,
+)
+def ds10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS10 shape (demographics of customers active in ANY channel —
+    the OR-of-EXISTS battery): the three EXISTS collapse to ONE semi
+    join against the union of channel projections (same key, 1997
+    filter pushed), then the dim rollup."""
+    t = load_tables(spark, sf_dir, ["customer", "nation", "orders"])
+    active = (
+        t["orders"].filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    )  # every priority is one of the three channels — union == any-1997
+    return (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0)
+        .join(active, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_mktsegment", "n_name")
+        .agg(F.count("*").alias("n_cust"))
+    )
+
+
+@register(
+    "ds20_item_share_within_category",
+    oracle="""
+    WITH w AS (
+      SELECT p_type, l_partkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate BETWEEN TIMESTAMP '1997-02-01' AND TIMESTAMP '1997-03-31'
+      GROUP BY 1, 2
+    )
+    SELECT p_type, l_partkey, CAST(rev AS DOUBLE) AS revenue,
+           round(CAST(rev AS DOUBLE) * 100
+                 / CAST(sum(rev) OVER (PARTITION BY p_type) AS DOUBLE), 6)
+             AS revenueratio
+    FROM w WHERE CAST(rev AS DOUBLE) > 100000
+    """,
+)
+def ds20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS20 shape (each item's share of its category over a 60-day
+    window, big items only): category total via a partition window
+    over the aggregate — decimal until the final ratio."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    w = (
+        t["lineitem"]
+        .filter(
+            F.col("l_shipdate").between(
+                F.lit("1997-02-01").cast("timestamp_ntz"),
+                F.lit("1997-03-31").cast("timestamp_ntz"),
+            )
+        )
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "l_partkey")
+        .agg(F.sum(disc_price().cast("decimal(30,4)")).alias("rev"))
+    )
+    total = F.sum("rev").over(W.partitionBy("p_type"))
+    return (
+        w.filter(F.col("rev").cast("double") > 100000)
+        .select(
+            "p_type", "l_partkey",
+            F.col("rev").cast("double").alias("revenue"),
+            F.round(
+                F.col("rev").cast("double") * 100 / total.cast("double"), 6
+            ).alias("revenueratio"),
+        )
+    )
+
+
+@register(
+    "ds26_open_order_averages",
+    oracle="""
+    SELECT p_brand,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
+                 / count(l_quantity), 6) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE)
+                 / count(l_extendedprice), 6) AS avg_price,
+           count(*) AS n
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE o_orderstatus = 'O' AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY p_brand
+    """,
+)
+def ds26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS26 shape (catalog-channel item averages — ds7's sibling on
+    the open-order channel): filtered star join, exact-decimal
+    averages per brand."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "part"])
+    return (
+        t["lineitem"]
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderstatus") == "O")
+                & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(30,2)")).cast("double")
+                / F.count("l_quantity"), 6,
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(30,2)")).cast("double")
+                / F.count("l_extendedprice"), 6,
+            ).alias("avg_price"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "ds37_price_band_items_in_window",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part
+    WHERE p_retailprice BETWEEN 920 AND 940
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey
+                    AND l_shipdate BETWEEN TIMESTAMP '1997-01-01'
+                                       AND TIMESTAMP '1997-03-31')
+    """,
+)
+def ds37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS37 shape (items in a price band with activity in a date
+    window): dim band filter first, one semi join against the
+    window-filtered fact."""
+    t = load_tables(spark, sf_dir, ["part", "lineitem"])
+    active = (
+        t["lineitem"]
+        .filter(
+            F.col("l_shipdate").between(
+                F.lit("1997-01-01").cast("timestamp_ntz"),
+                F.lit("1997-03-31").cast("timestamp_ntz"),
+            )
+        )
+        .select("l_partkey")
+    )
+    return (
+        t["part"]
+        .filter(F.col("p_retailprice").between(920, 940))
+        .join(active, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_brand", "p_retailprice")
+    )
+
+
+@register(
+    "ds48_qty_sum_demo_bands",
+    oracle="""
+    SELECT CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS total_qty,
+           count(*) AS n
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE (n_name LIKE 'A%' AND l_quantity BETWEEN 1 AND 20)
+       OR (n_name LIKE 'I%' AND l_quantity BETWEEN 10 AND 35)
+       OR (n_name LIKE 'U%' AND l_quantity BETWEEN 25 AND 50)
+    """,
+)
+def ds48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS48 shape (total quantity under stacked geography×band ORs):
+    the OR evaluates after the dim joins; one aggregate row."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer", "nation"])
+    q, nn = F.col("l_quantity"), F.col("n_name")
+    bands = (
+        (nn.like("A%") & q.between(1, 20))
+        | (nn.like("I%") & q.between(10, 35))
+        | (nn.like("U%") & q.between(25, 50))
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(bands)
+        .agg(
+            F.sum(q.cast("decimal(30,2)")).cast("double").alias("total_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "ds50_lag_by_supplier_geo",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 30 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                          AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+           CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d_over,
+           count(*) AS n
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def ds50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS50 shape (shipping-lag buckets by the SHIPPING side's
+    geography — ds62 pivoted to the supplier dimension): the lag
+    CASEs ride the fact-fact join; supplier and nation dims chain."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "supplier", "nation"])
+    lag_gt = lambda days: F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {days} DAYS"
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum((~lag_gt(30)).cast("int")).alias("d30"),
+            F.sum((lag_gt(30) & ~lag_gt(60)).cast("int")).alias("d60"),
+            F.sum(lag_gt(60).cast("int")).alias("d_over"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "ds52_brand_month_revenue",
+    oracle="""
+    SELECT p_brand,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE year(l_shipdate) = 1997 AND month(l_shipdate) = 6
+    GROUP BY p_brand
+    ORDER BY revenue DESC, p_brand
+    """,
+)
+def ds52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS52 shape (brand revenue for one month, ranked): the classic
+    single-month brand report."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    return (
+        t["lineitem"]
+        .filter((F.year("l_shipdate") == 1997) & (F.month("l_shipdate") == 6))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(dsum(disc_price(), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "p_brand")
+    )
+
+
+@register(
+    "ds55_brand_month_units",
+    oracle="""
+    SELECT p_brand,
+           CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS units,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE year(l_shipdate) = 1996 AND month(l_shipdate) = 11
+    GROUP BY p_brand
+    ORDER BY units DESC, p_brand
+    """,
+)
+def ds55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS55 shape (ds52's unit-volume sibling for another month)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    return (
+        t["lineitem"]
+        .filter((F.year("l_shipdate") == 1996) & (F.month("l_shipdate") == 11))
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(30,2)")).cast("double").alias("units"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy(F.desc("units"), "p_brand")
+    )
+
+
+@register(
+    "ds56_category_channel_month",
+    oracle="""
+    WITH channels AS (
+      SELECT 'web' AS channel, l_partkey,
+             l_extendedprice * (1 - l_discount) AS net, l_shipdate
+      FROM lineitem WHERE l_linestatus = 'O'
+      UNION ALL
+      SELECT 'store', l_partkey, l_extendedprice * (1 - l_discount), l_shipdate
+      FROM lineitem WHERE l_linestatus = 'F'
+    )
+    SELECT channel, p_type,
+           CAST(sum(CAST(net AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+    FROM channels JOIN part ON l_partkey = p_partkey
+    WHERE year(l_shipdate) = 1997 AND month(l_shipdate) IN (3, 4, 5)
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, channel, p_type
+    """,
+)
+def ds56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS56 shape (category totals per channel for a month set):
+    channel union BEFORE the dim join, months pushed to the scan."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+
+    def chan(tag, status):
+        return (
+            t["lineitem"]
+            .filter(F.col("l_linestatus") == status)
+            .select(
+                F.lit(tag).alias("channel"), "l_partkey",
+                disc_price().alias("net"), "l_shipdate",
+            )
+        )
+
+    channels = chan("web", "O").unionByName(chan("store", "F"))
+    return (
+        channels.filter(
+            (F.year("l_shipdate") == 1997) & F.month("l_shipdate").isin(3, 4, 5)
+        )
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("channel", "p_type")
+        .agg(dsum(F.col("net"), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "channel", "p_type")
+    )
+
+
+@register(
+    "ds57_supplier_geo_deviation",
+    oracle="""
+    WITH m AS (
+      SELECT n_name,
+             CAST(year(l_shipdate) AS INT) AS yr,
+             CAST(month(l_shipdate) AS INT) AS mo,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS rev
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY 1, 2, 3
+    ),
+    w AS (
+      SELECT n_name, yr, mo, CAST(rev AS DOUBLE) AS rev,
+             CAST(sum(rev) OVER (PARTITION BY n_name, yr) AS DOUBLE)
+               / count(rev) OVER (PARTITION BY n_name, yr) AS yr_avg
+      FROM m
+    )
+    SELECT n_name, yr, mo, round(rev, 4) AS rev, round(yr_avg, 4) AS yr_avg,
+           round(abs(rev - yr_avg) / yr_avg, 6) AS deviation
+    FROM w WHERE yr_avg > 0 AND abs(rev - yr_avg) / yr_avg > 0.25
+    """,
+)
+def ds57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS57 shape (ds47's deviation probe keyed by the supplier's
+    geography): decimal window sums for the yearly average (double
+    window AVG diverges in the last ulp — the ds47 lesson)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    m = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            F.year("l_shipdate").cast("int").alias("yr"),
+            F.month("l_shipdate").cast("int").alias("mo"),
+        )
+        .agg(F.sum(disc_price().cast("decimal(30,4)")).alias("_rev"))
+    )
+    rev = F.col("_rev").cast("double")
+    part_w = W.partitionBy("n_name", "yr")
+    w = m.select(
+        "n_name", "yr", "mo", rev.alias("rev"),
+        (F.sum("_rev").over(part_w).cast("double") / F.count("_rev").over(part_w))
+        .alias("yr_avg"),
+    )
+    dev = F.abs(F.col("rev") - F.col("yr_avg")) / F.col("yr_avg")
+    return (
+        w.filter((F.col("yr_avg") > 0) & (dev > 0.25))
+        .select(
+            "n_name", "yr", "mo",
+            F.round("rev", 4).alias("rev"),
+            F.round("yr_avg", 4).alias("yr_avg"),
+            F.round(dev, 6).alias("deviation"),
+        )
+    )
+
+
+@register(
+    "ds63_supplier_monthly_vs_avg",
+    oracle="""
+    WITH m AS (
+      SELECT l_suppkey, CAST(year(l_shipdate) AS INT) AS yr,
+             CAST(month(l_shipdate) AS INT) AS mo,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS rev
+      FROM lineitem GROUP BY 1, 2, 3
+    ),
+    w AS (
+      SELECT l_suppkey, yr, mo, CAST(rev AS DOUBLE) AS rev,
+             CAST(sum(rev) OVER (PARTITION BY l_suppkey, yr) AS DOUBLE) AS yr_total,
+             CAST(count(rev) OVER (PARTITION BY l_suppkey, yr) AS BIGINT) AS n_months,
+             CAST(sum(rev) OVER (PARTITION BY l_suppkey, yr) AS DOUBLE)
+               / count(rev) OVER (PARTITION BY l_suppkey, yr) AS yr_avg
+      FROM m
+    )
+    SELECT l_suppkey, yr, mo, round(rev, 4) AS rev,
+           yr_total, n_months
+    FROM w WHERE yr_avg > 0 AND rev > 1.6 * yr_avg
+    """,
+)
+def ds63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS63 shape (manager months beating their average → supplier
+    months here): same decimal-window-average discipline, entity key
+    swapped to the supplier."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    m = (
+        t["lineitem"]
+        .groupBy(
+            "l_suppkey",
+            F.year("l_shipdate").cast("int").alias("yr"),
+            F.month("l_shipdate").cast("int").alias("mo"),
+        )
+        .agg(F.sum(disc_price().cast("decimal(30,4)")).alias("_rev"))
+    )
+    rev = F.col("_rev").cast("double")
+    part_w = W.partitionBy("l_suppkey", "yr")
+    w = m.select(
+        "l_suppkey", "yr", "mo", rev.alias("rev"),
+        F.sum("_rev").over(part_w).cast("double").alias("yr_total"),
+        F.count("_rev").over(part_w).cast("long").alias("n_months"),
+        (F.sum("_rev").over(part_w).cast("double") / F.count("_rev").over(part_w))
+        .alias("yr_avg"),
+    )
+    # filter on the average; HASH the exact total + count (a rounded
+    # per-supplier average lands on half-way ties — the ds53 lesson)
+    return (
+        w.filter((F.col("yr_avg") > 0) & (F.col("rev") > 1.6 * F.col("yr_avg")))
+        .select("l_suppkey", "yr", "mo",
+                F.round("rev", 4).alias("rev"), "yr_total", "n_months")
+    )
+
+
+@register(
+    "ds64_item_cross_year_pairing",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey, CAST(year(l_shipdate) AS INT) AS yr,
+             count(*) AS n,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS rev
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT a.l_partkey, p_brand,
+           CAST(a.rev AS DOUBLE) AS rev_1996, CAST(b.rev AS DOUBLE) AS rev_1997,
+           CAST(a.n AS BIGINT) AS n_1996, CAST(b.n AS BIGINT) AS n_1997
+    FROM (SELECT * FROM per WHERE yr = 1996) a
+    JOIN (SELECT * FROM per WHERE yr = 1997) b ON a.l_partkey = b.l_partkey
+    JOIN part ON a.l_partkey = p_partkey
+    WHERE CAST(b.rev AS DOUBLE) > 1.4 * CAST(a.rev AS DOUBLE) AND a.n >= 3
+    """,
+)
+def ds64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS64 shape (the cross-year item pairing join — DS's heaviest
+    multi-join, reduced to its skeleton: the same item's two years
+    matched, dim details attached): per-(item, year) aggregate once,
+    self-join the years, growth predicate on deterministic doubles."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    per = (
+        t["lineitem"]
+        .groupBy("l_partkey", F.year("l_shipdate").cast("int").alias("yr"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(disc_price().cast("decimal(30,4)")).alias("rev"),
+        )
+    )
+    a = per.filter(F.col("yr") == 1996).select(
+        "l_partkey", F.col("n").alias("n_a"), F.col("rev").alias("rev_a")
+    )
+    b = per.filter(F.col("yr") == 1997).select(
+        F.col("l_partkey").alias("b_partkey"),
+        F.col("n").alias("n_b"), F.col("rev").alias("rev_b"),
+    )
+    return (
+        a.join(b, F.col("l_partkey") == F.col("b_partkey"))
+        .filter(
+            (F.col("rev_b").cast("double") > 1.4 * F.col("rev_a").cast("double"))
+            & (F.col("n_a") >= 3)
+        )
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey", "p_brand",
+            F.col("rev_a").cast("double").alias("rev_1996"),
+            F.col("rev_b").cast("double").alias("rev_1997"),
+            F.col("n_a").cast("long").alias("n_1996"),
+            F.col("n_b").cast("long").alias("n_1997"),
+        )
+    )
+
+
+@register(
+    "ds66_monthly_shipping_crosstab",
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CASE WHEN month(l_shipdate) = 1 THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS jan,
+           CAST(sum(CASE WHEN month(l_shipdate) = 2 THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS feb,
+           CAST(sum(CASE WHEN month(l_shipdate) = 3 THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS mar,
+           CAST(sum(CASE WHEN month(l_shipdate) = 4 THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS apr,
+           CAST(sum(CASE WHEN month(l_shipdate) = 5 THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS may,
+           CAST(sum(CASE WHEN month(l_shipdate) = 6 THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS jun,
+           CAST(sum(CASE WHEN month(l_shipdate) = 7 THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS jul,
+           CAST(sum(CASE WHEN month(l_shipdate) = 8 THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS aug,
+           CAST(sum(CASE WHEN month(l_shipdate) = 9 THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS sep,
+           CAST(sum(CASE WHEN month(l_shipdate) = 10 THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS oct,
+           CAST(sum(CASE WHEN month(l_shipdate) = 11 THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS nov,
+           CAST(sum(CASE WHEN month(l_shipdate) = 12 THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS dec
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE year(l_shipdate) = 1997
+    GROUP BY n_name
+    """,
+)
+def ds66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS66 shape (the warehouse 12-month wide crosstab): twelve
+    conditional integer-cents legs in ONE aggregate per shipping
+    geography — the widest conditional-aggregation shape in DS."""
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation"])
+    cents = F.round(disc_price() * 100).cast("long")
+    names = ["jan", "feb", "mar", "apr", "may", "jun",
+             "jul", "aug", "sep", "oct", "nov", "dec"]
+    legs = [
+        F.sum(F.when(F.month("l_shipdate") == i + 1, cents).otherwise(F.lit(0)))
+        .alias(n)
+        for i, n in enumerate(names)
+    ]
+    return (
+        t["lineitem"]
+        .filter(F.year("l_shipdate") == 1997)
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(*legs)
+    )
