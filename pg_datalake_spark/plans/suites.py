@@ -1952,7 +1952,7 @@ def ds_shapes_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (two-channel cumulative full-outer join with running max), ds67
     (rollup + windowed top-k), ds04 (four-leg cross-channel YoY
     self-join), ds39 (exact-decimal demand variance over consecutive
-    months). The full 85-query DS suite lives in plans/tpcds.py; these
+    months). The full 99-query DS suite lives in plans/tpcds.py; these
     arms wrap the registered feeders so window and local gate can
     never drift."""
     star = F.lit("*")

@@ -2359,7 +2359,7 @@ def ds43(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_partkey ORDER BY count(*) DESC, l_partkey LIMIT 20
     ),
     target_nations AS (
-      SELECT n_nationkey FROM nation WHERE n_name LIKE 'A%' OR n_name LIKE 'B%'
+      SELECT n_nationkey FROM nation WHERE n_name LIKE 'NATION_1%'
     )
     SELECT c_mktsegment, count(*) AS n_lines,
            CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
@@ -2386,7 +2386,7 @@ def ds45(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nations = (
         t["nation"]
-        .filter(F.col("n_name").like("A%") | F.col("n_name").like("B%"))
+        .filter(F.col("n_name").like("NATION_1%"))
         .select(F.col("n_nationkey").alias("tn_key")).withColumn("__in_nat", F.lit(1))
     )
     return (
@@ -3068,7 +3068,7 @@ def ds03(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ds08_geo_prefix_revenue",
     oracle="""
-    SELECT substr(n_name, 1, 1) AS prefix,
+    SELECT substr(n_name, 8, 1) AS prefix,
            count(DISTINCT c_custkey) AS n_customers,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
              AS total_cents
@@ -3079,15 +3079,16 @@ def ds03(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ds08(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DS8 shape (revenue by zip-code prefix → nation-name prefix
-    here): the prefix is computed in the group key, distinct customers
-    counted alongside the money sum."""
+    """DS8 shape (revenue by zip-code prefix → the nation-name DIGIT
+    prefix here; the synthetic names share their first 7 chars): the
+    prefix is computed in the group key, distinct customers counted
+    alongside the money sum."""
     t = load_tables(spark, sf_dir, ["orders", "customer", "nation"])
     return (
         t["orders"]
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy(F.substring("n_name", 1, 1).alias("prefix"))
+        .groupBy(F.substring("n_name", 8, 1).alias("prefix"))
         .agg(
             F.countDistinct("c_custkey").alias("n_customers"),
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
@@ -3740,20 +3741,20 @@ def ds37(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
-    WHERE (n_name LIKE 'A%' AND l_quantity BETWEEN 1 AND 20)
-       OR (n_name LIKE 'I%' AND l_quantity BETWEEN 10 AND 35)
-       OR (n_name LIKE 'U%' AND l_quantity BETWEEN 25 AND 50)
+    WHERE (n_nationkey BETWEEN 0 AND 7 AND l_quantity BETWEEN 1 AND 20)
+       OR (n_nationkey BETWEEN 8 AND 15 AND l_quantity BETWEEN 10 AND 35)
+       OR (n_nationkey BETWEEN 16 AND 24 AND l_quantity BETWEEN 25 AND 50)
     """,
 )
 def ds48(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DS48 shape (total quantity under stacked geography×band ORs):
     the OR evaluates after the dim joins; one aggregate row."""
     t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer", "nation"])
-    q, nn = F.col("l_quantity"), F.col("n_name")
+    q, nk = F.col("l_quantity"), F.col("n_nationkey")
     bands = (
-        (nn.like("A%") & q.between(1, 20))
-        | (nn.like("I%") & q.between(10, 35))
-        | (nn.like("U%") & q.between(25, 50))
+        (nk.between(0, 7) & q.between(1, 20))
+        | (nk.between(8, 15) & q.between(10, 35))
+        | (nk.between(16, 24) & q.between(25, 50))
     )
     return (
         t["lineitem"]
@@ -4122,4 +4123,652 @@ def ds66(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(*legs)
+    )
+
+
+# ===========================================================================
+# Round-7 batch 8: the final fourteen shapes — COMPLETES the
+# reference's 99-query TPC-DS harness (pg_lake_benchmark/src/tpcds.c:76)
+# on this schema. With TPC-H (22/22) and ClickBench (43/43), all three
+# reference benchmark suites are now fully replayed.
+# ===========================================================================
+
+
+@register(
+    "ds70_region_nation_rank",
+    oracle="""
+    WITH agg AS (
+      SELECT GROUPING(r_name) AS g_region, GROUPING(n_name) AS g_nation,
+             r_name, n_name,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+    )
+    SELECT CAST(g_region + g_nation AS INT) AS lochierarchy, r_name, n_name,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(rank() OVER (
+             PARTITION BY g_region + g_nation,
+                          CASE WHEN g_nation = 0 THEN r_name END
+             ORDER BY cents DESC, coalesce(n_name, '*')
+           ) AS INT) AS rank_within_parent
+    FROM agg
+    """,
+)
+def ds70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS70 shape (the state→county rollup with rank-within-parent →
+    region→nation here, finally exercising the region dim): two-phase
+    rollup over the geo aggregate, integer-cents order so ranks tie
+    out exactly."""
+    t = load_tables(spark, sf_dir, ["orders", "customer", "nation", "region"])
+    pre = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("_c"))
+    )
+    agg = pre.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.sum("_c").alias("cents"),
+    )
+    win = W.partitionBy(
+        F.col("g_region") + F.col("g_nation"),
+        F.when(F.col("g_nation") == 0, F.col("r_name")),
+    ).orderBy(F.desc("cents"), F.coalesce(F.col("n_name"), F.lit("*")))
+    return agg.select(
+        (F.col("g_region") + F.col("g_nation")).cast("int").alias("lochierarchy"),
+        "r_name", "n_name", F.col("cents").cast("long").alias("cents"),
+        F.rank().over(win).cast("int").alias("rank_within_parent"),
+    )
+
+
+@register(
+    "ds74_customer_qty_yoy",
+    oracle="""
+    WITH y AS (
+      SELECT o_custkey, CAST(year(l_shipdate) AS INT) AS yr,
+             sum(CAST(l_quantity AS DECIMAL(30,2))) AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT a.o_custkey,
+           CAST(a.qty AS DOUBLE) AS qty_1996, CAST(b.qty AS DOUBLE) AS qty_1997,
+           round(CAST(b.qty AS DOUBLE) / CAST(a.qty AS DOUBLE), 6) AS growth
+    FROM (SELECT * FROM y WHERE yr = 1996) a
+    JOIN (SELECT * FROM y WHERE yr = 1997) b ON a.o_custkey = b.o_custkey
+    WHERE CAST(a.qty AS DOUBLE) > 0
+      AND CAST(b.qty AS DOUBLE) / CAST(a.qty AS DOUBLE) > 1.5
+    """,
+)
+def ds74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS74 shape (ds11's quantity-based sibling: customers whose unit
+    volume grew >1.5× year over year)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders"])
+    y = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", F.year("l_shipdate").cast("int").alias("yr"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("qty"))
+    )
+    a = y.filter(F.col("yr") == 1996).select(
+        "o_custkey", F.col("qty").cast("double").alias("qty_1996")
+    )
+    b = y.filter(F.col("yr") == 1997).select(
+        F.col("o_custkey").alias("b_custkey"), F.col("qty").cast("double").alias("qty_1997")
+    )
+    return (
+        a.join(b, F.col("o_custkey") == F.col("b_custkey"))
+        .filter(
+            (F.col("qty_1996") > 0) & (F.col("qty_1997") / F.col("qty_1996") > 1.5)
+        )
+        .select(
+            "o_custkey", "qty_1996", "qty_1997",
+            F.round(F.col("qty_1997") / F.col("qty_1996"), 6).alias("growth"),
+        )
+    )
+
+
+@register(
+    "ds75_category_yoy_decline",
+    oracle="""
+    WITH y AS (
+      SELECT p_type, p_brand, CAST(year(l_shipdate) AS INT) AS yr,
+             count(*) AS n,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT a.p_type, a.p_brand,
+           CAST(a.cents AS BIGINT) AS cents_1996,
+           CAST(b.cents AS BIGINT) AS cents_1997,
+           CAST(b.cents - a.cents AS BIGINT) AS delta_cents,
+           CAST(b.n - a.n AS BIGINT) AS delta_n
+    FROM (SELECT * FROM y WHERE yr = 1996) a
+    JOIN (SELECT * FROM y WHERE yr = 1997) b
+      ON a.p_type = b.p_type AND a.p_brand = b.p_brand
+    WHERE b.cents < a.cents
+    """,
+)
+def ds75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS75 shape (categories whose sales DECLINED year over year,
+    with the exact deltas): integer-cents legs joined across years —
+    deltas are exact integer arithmetic."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    y = (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "p_brand", F.year("l_shipdate").cast("int").alias("yr"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(disc_price() * 100).cast("long")).alias("cents"),
+        )
+    )
+    a = y.filter(F.col("yr") == 1996).select(
+        "p_type", "p_brand", F.col("n").alias("n_a"), F.col("cents").alias("cents_a")
+    )
+    b = y.filter(F.col("yr") == 1997).select(
+        F.col("p_type").alias("b_type"), F.col("p_brand").alias("b_brand"),
+        F.col("n").alias("n_b"), F.col("cents").alias("cents_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("p_type") == F.col("b_type")) & (F.col("p_brand") == F.col("b_brand")),
+        )
+        .filter(F.col("cents_b") < F.col("cents_a"))
+        .select(
+            "p_type", "p_brand",
+            F.col("cents_a").alias("cents_1996"),
+            F.col("cents_b").alias("cents_1997"),
+            (F.col("cents_b") - F.col("cents_a")).alias("delta_cents"),
+            (F.col("n_b") - F.col("n_a")).cast("long").alias("delta_n"),
+        )
+    )
+
+
+@register(
+    "ds76_degenerate_rows_union",
+    oracle="""
+    SELECT 'short_doc' AS kind,
+           CAST(year(CAST('2024-01-01' AS TIMESTAMP)) AS INT) AS yr,
+           count(*) AS n
+    FROM documents WHERE n_chars < 100
+    UNION ALL
+    SELECT 'error_event' AS kind,
+           CAST(year(ts) AS INT) AS yr,
+           count(*) AS n
+    FROM events WHERE event_type = 'error'
+    GROUP BY 2
+    """,
+)
+def ds76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS76 shape (the degenerate-row census: rows with NULL/edge
+    attributes counted per channel and period, unioned): short
+    documents + error events tagged and counted."""
+    t = load_tables(spark, sf_dir, ["documents", "events"])
+    short = (
+        t["documents"].filter(F.col("n_chars") < 100)
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("short_doc").alias("kind"),
+            F.year(F.lit("2024-01-01").cast("timestamp")).cast("int").alias("yr"),
+            "n",
+        )
+    )
+    errors = (
+        t["events"].filter(F.col("event_type") == "error")
+        .groupBy(F.year("ts").cast("int").alias("yr"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("error_event").alias("kind"), "yr", "n")
+    )
+    return short.unionByName(errors)
+
+
+@register(
+    "ds77_channel_segment_cube",
+    oracle="""
+    WITH pre AS (
+      SELECT CASE WHEN l_linestatus = 'O' THEN 'web' ELSE 'store' END AS channel,
+             c_mktsegment,
+             sum(CASE WHEN l_returnflag <> 'R'
+                      THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                      ELSE 0 END) AS sales_cents,
+             sum(CASE WHEN l_returnflag = 'R'
+                      THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                      ELSE 0 END) AS returns_cents
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(GROUPING(channel) AS INT) AS g_channel,
+           CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+           channel, c_mktsegment,
+           CAST(sum(sales_cents) AS BIGINT) AS sales_cents,
+           CAST(sum(returns_cents) AS BIGINT) AS returns_cents,
+           CAST(sum(sales_cents) - sum(returns_cents) AS BIGINT) AS profit_cents
+    FROM pre GROUP BY CUBE(channel, c_mktsegment)
+    """,
+)
+def ds77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS77 shape (the channel P&L CUBE with every margin): two-phase
+    CUBE — conditional integer-cents legs at the finest level, the
+    4-set CUBE over the ~10-row pre-aggregate."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer"])
+    cents = F.round(disc_price() * 100).cast("long")
+    pre = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.when(F.col("l_linestatus") == "O", "web").otherwise("store").alias("channel"),
+            "c_mktsegment",
+        )
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") != "R", cents).otherwise(F.lit(0)))
+            .alias("_s"),
+            F.sum(F.when(F.col("l_returnflag") == "R", cents).otherwise(F.lit(0)))
+            .alias("_r"),
+        )
+    )
+    return pre.cube("channel", "c_mktsegment").agg(
+        F.grouping("channel").cast("int").alias("g_channel"),
+        F.grouping("c_mktsegment").cast("int").alias("g_seg"),
+        F.sum("_s").alias("sales_cents"),
+        F.sum("_r").alias("returns_cents"),
+        (F.sum("_s") - F.sum("_r")).alias("profit_cents"),
+    ).select("g_channel", "g_seg", "channel", "c_mktsegment",
+             "sales_cents", "returns_cents", "profit_cents")
+
+
+@register(
+    "ds80_size_band_pnl",
+    oracle="""
+    WITH pre AS (
+      SELECT CASE WHEN l_linestatus = 'O' THEN 'web' ELSE 'store' END AS channel,
+             CASE WHEN p_size <= 15 THEN 'small'
+                  WHEN p_size <= 35 THEN 'mid' ELSE 'large' END AS size_band,
+             sum(CASE WHEN l_returnflag <> 'R'
+                      THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                      ELSE 0 END) AS sales_cents,
+             sum(CASE WHEN l_returnflag = 'R'
+                      THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                      ELSE 0 END) AS returns_cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(GROUPING(channel) AS INT) AS g_channel,
+           CAST(GROUPING(size_band) AS INT) AS g_band,
+           channel, size_band,
+           CAST(sum(sales_cents) - sum(returns_cents) AS BIGINT) AS profit_cents
+    FROM pre GROUP BY ROLLUP(channel, size_band)
+    """,
+)
+def ds80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS80 shape (P&L by channel and item band with subtotals):
+    two-phase rollup over the conditional pre-aggregate."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    cents = F.round(disc_price() * 100).cast("long")
+    band = (
+        F.when(F.col("p_size") <= 15, "small")
+        .when(F.col("p_size") <= 35, "mid")
+        .otherwise("large")
+    )
+    pre = (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.when(F.col("l_linestatus") == "O", "web").otherwise("store").alias("channel"),
+            band.alias("size_band"),
+        )
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") != "R", cents).otherwise(F.lit(0)))
+            .alias("_s"),
+            F.sum(F.when(F.col("l_returnflag") == "R", cents).otherwise(F.lit(0)))
+            .alias("_r"),
+        )
+    )
+    return pre.rollup("channel", "size_band").agg(
+        F.grouping("channel").cast("int").alias("g_channel"),
+        F.grouping("size_band").cast("int").alias("g_band"),
+        (F.sum("_s") - F.sum("_r")).alias("profit_cents"),
+    ).select("g_channel", "g_band", "channel", "size_band", "profit_cents")
+
+
+@register(
+    "ds81_return_qty_outliers",
+    oracle="""
+    WITH per AS (
+      SELECT l_suppkey, s_nationkey,
+             sum(CASE WHEN l_returnflag = 'R'
+                      THEN CAST(l_quantity AS DECIMAL(30,2))
+                      ELSE CAST(0 AS DECIMAL(30,2)) END) AS ret_qty
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2
+    ),
+    nat AS (
+      SELECT s_nationkey AS nk, CAST(sum(ret_qty) AS DOUBLE) / count(*) AS nat_avg
+      FROM per GROUP BY 1
+    )
+    SELECT l_suppkey, CAST(ret_qty AS DOUBLE) AS ret_qty, round(nat_avg, 6) AS nat_avg
+    FROM per JOIN nat ON s_nationkey = nk
+    WHERE CAST(ret_qty AS DOUBLE) > 1.05 * nat_avg
+    """,
+)
+def ds81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS81 shape (suppliers with returned QUANTITY above 1.05× their
+    geography's average — the returns-side outlier probe; the synthetic
+    data's uniform returns keep per-supplier spread within ~15 % of the
+    nation mean, so the threshold sits inside the real distribution)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier"])
+    zero = F.lit(0).cast("decimal(30,2)")
+    rq = F.when(
+        F.col("l_returnflag") == "R", F.col("l_quantity").cast("decimal(30,2)")
+    ).otherwise(zero)
+    per = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_suppkey", "s_nationkey")
+        .agg(F.sum(rq).alias("ret_qty"))
+    )
+    nat = per.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        (F.sum("ret_qty").cast("double") / F.count("*")).alias("nat_avg")
+    )
+    return (
+        per.join(nat, F.col("s_nationkey") == F.col("nk"))
+        .filter(F.col("ret_qty").cast("double") > 1.05 * F.col("nat_avg"))
+        .select("l_suppkey", F.col("ret_qty").cast("double").alias("ret_qty"),
+                F.round("nat_avg", 6).alias("nat_avg"))
+    )
+
+
+@register(
+    "ds82_band_items_bulk_activity",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part
+    WHERE p_retailprice BETWEEN 900 AND 920
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey AND l_quantity > 30
+                    AND year(l_shipdate) = 1996)
+    """,
+)
+def ds82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS82 shape (ds37's sibling: a different price band gated on
+    BULK activity — quantity floor inside the EXISTS)."""
+    t = load_tables(spark, sf_dir, ["part", "lineitem"])
+    bulk = (
+        t["lineitem"]
+        .filter((F.col("l_quantity") > 30) & (F.year("l_shipdate") == 1996))
+        .select("l_partkey")
+    )
+    return (
+        t["part"]
+        .filter(F.col("p_retailprice").between(900, 920))
+        .join(bulk, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_brand", "p_retailprice")
+    )
+
+
+@register(
+    "ds83_three_period_returns",
+    oracle="""
+    WITH r AS (
+      SELECT l_partkey, CAST(month(l_shipdate) AS INT) AS mo, count(*) AS n
+      FROM lineitem
+      WHERE l_returnflag = 'R' AND year(l_shipdate) = 1997
+        AND month(l_shipdate) IN (3, 6, 9)
+      GROUP BY 1, 2
+    )
+    SELECT a.l_partkey,
+           CAST(a.n AS BIGINT) AS n_mar, CAST(b.n AS BIGINT) AS n_jun,
+           CAST(c.n AS BIGINT) AS n_sep,
+           CAST(a.n + b.n + c.n AS BIGINT) AS n_total
+    FROM (SELECT * FROM r WHERE mo = 3) a
+    JOIN (SELECT * FROM r WHERE mo = 6) b ON a.l_partkey = b.l_partkey
+    JOIN (SELECT * FROM r WHERE mo = 9) c ON a.l_partkey = c.l_partkey
+    """,
+)
+def ds83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS83 shape (items returned in all three sampled periods, with
+    per-period counts): three filtered legs of ONE (item, month)
+    aggregate equi-joined on the item key."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    r = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.year("l_shipdate") == 1997)
+            & F.month("l_shipdate").isin(3, 6, 9)
+        )
+        .groupBy("l_partkey", F.month("l_shipdate").cast("int").alias("mo"))
+        .agg(F.count("*").alias("n"))
+    )
+
+    def leg(mo, tag):
+        return r.filter(F.col("mo") == mo).select(
+            F.col("l_partkey").alias(f"{tag}_key"), F.col("n").alias(f"n_{tag}")
+        )
+
+    a, b, c = leg(3, "mar"), leg(6, "jun"), leg(9, "sep")
+    return (
+        a.join(b, F.col("mar_key") == F.col("jun_key"))
+        .join(c, F.col("mar_key") == F.col("sep_key"))
+        .select(
+            F.col("mar_key").alias("l_partkey"),
+            "n_mar", "n_jun", "n_sep",
+            (F.col("n_mar") + F.col("n_jun") + F.col("n_sep")).alias("n_total"),
+        )
+    )
+
+
+@register(
+    "ds84_customer_band_listing",
+    oracle="""
+    SELECT c_custkey, c_name, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal BETWEEN 4000 AND 4500
+      AND (n_name LIKE 'NATION_1%' OR n_name = 'NATION_5')
+      AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderstatus = 'F')
+    """,
+)
+def ds84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS84 shape (the customer-listing probe: demographic band +
+    geography prefix set + activity EXISTS): dim filters first, one
+    semi join against the filtered fact."""
+    t = load_tables(spark, sf_dir, ["customer", "nation", "orders"])
+    active = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    nn = F.col("n_name")
+    return (
+        t["customer"]
+        .filter(F.col("c_acctbal").between(4000, 4500))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(nn.like("NATION_1%") | (nn == "NATION_5"))
+        .join(active, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "n_name")
+    )
+
+
+@register(
+    "ds86_web_rollup_rank",
+    oracle="""
+    WITH agg AS (
+      SELECT GROUPING(p_type) AS g_type, GROUPING(p_brand) AS g_brand,
+             p_type, p_brand,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+               AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_linestatus = 'O'
+      GROUP BY ROLLUP(p_type, p_brand)
+    )
+    SELECT CAST(g_type + g_brand AS INT) AS lochierarchy, p_type, p_brand,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(rank() OVER (
+             PARTITION BY g_type + g_brand,
+                          CASE WHEN g_brand = 0 THEN p_type END
+             ORDER BY cents DESC, coalesce(p_brand, '*')
+           ) AS INT) AS rank_within_parent
+    FROM agg
+    """,
+)
+def ds86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS86 shape (ds36's web-channel sibling, ranked on exact integer
+    cents instead of a margin ratio): two-phase rollup + rank within
+    the parent hierarchy level."""
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    pre = (
+        t["lineitem"]
+        .filter(F.col("l_linestatus") == "O")
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "p_brand")
+        .agg(F.sum(F.round(disc_price() * 100).cast("long")).alias("_c"))
+    )
+    agg = pre.rollup("p_type", "p_brand").agg(
+        F.grouping("p_type").cast("int").alias("g_type"),
+        F.grouping("p_brand").cast("int").alias("g_brand"),
+        F.sum("_c").alias("cents"),
+    )
+    win = W.partitionBy(
+        F.col("g_type") + F.col("g_brand"),
+        F.when(F.col("g_brand") == 0, F.col("p_type")),
+    ).orderBy(F.desc("cents"), F.coalesce(F.col("p_brand"), F.lit("*")))
+    return agg.select(
+        (F.col("g_type") + F.col("g_brand")).cast("int").alias("lochierarchy"),
+        "p_type", "p_brand", F.col("cents").cast("long").alias("cents"),
+        F.rank().over(win).cast("int").alias("rank_within_parent"),
+    )
+
+
+@register(
+    "ds87_customer_except_chain",
+    oracle="""
+    SELECT 'only_1996' AS cohort, count(*) AS n FROM (
+      SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    )
+    UNION ALL
+    SELECT 'only_1997' AS cohort, count(*) AS n FROM (
+      SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+      EXCEPT
+      SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    )
+    UNION ALL
+    SELECT 'both' AS cohort, count(*) AS n FROM (
+      SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    )
+    """,
+)
+def ds87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS87 shape (the EXCEPT-chain cohort census: customers lost,
+    gained, retained between years): distinct key sets differenced /
+    intersected, three tagged counts."""
+    t = load_tables(spark, sf_dir, ["orders"])
+    y96 = t["orders"].filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    y97 = t["orders"].filter(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+
+    def tag(name, df):
+        return df.agg(F.count("*").alias("n")).select(
+            F.lit(name).alias("cohort"), "n"
+        )
+
+    return (
+        tag("only_1996", y96.exceptAll(y97))
+        .unionByName(tag("only_1997", y97.exceptAll(y96)))
+        .unionByName(tag("both", y96.intersect(y97)))
+    )
+
+
+@register(
+    "ds91_monthly_returns_by_band",
+    oracle="""
+    SELECT c_mktsegment,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_band,
+           count(*) AS n_returns,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS returned_cents
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R'
+      AND year(l_shipdate) = 1997 AND month(l_shipdate) = 3
+    GROUP BY 1, 2
+    """,
+)
+def ds91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS91 shape (one month's returns profiled by demographic band)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer"])
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.year("l_shipdate") == 1997)
+            & (F.month("l_shipdate") == 3)
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", band.alias("bal_band"))
+        .agg(
+            F.count("*").alias("n_returns"),
+            F.sum(F.round(disc_price() * 100).cast("long")).alias("returned_cents"),
+        )
+    )
+
+
+@register(
+    "ds92_excess_discount_window",
+    oracle="""
+    WITH item_avg AS (
+      SELECT l_partkey AS a_partkey,
+             CAST(sum(CAST(l_discount AS DECIMAL(30,4))) AS DOUBLE)
+               / count(l_discount) AS avg_disc
+      FROM lineitem
+      WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-06-30'
+      GROUP BY l_partkey
+    )
+    SELECT count(*) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS excess_price_cents
+    FROM lineitem JOIN item_avg ON l_partkey = a_partkey
+    WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-06-30'
+      AND avg_disc > 0 AND l_discount > 1.3 * avg_disc
+    """,
+)
+def ds92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS92 shape (ds32's windowed single-row sibling: excess-discount
+    lines within a half-year window, priced): both the average and the
+    probe restrict to the same window, joined on the item key."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    lo = F.lit("1997-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-06-30").cast("timestamp_ntz")
+    win = t["lineitem"].filter(F.col("l_shipdate").between(lo, hi))
+    item_avg = win.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (
+            F.sum(F.col("l_discount").cast("decimal(30,4)")).cast("double")
+            / F.count("l_discount")
+        ).alias("avg_disc")
+    )
+    return (
+        win.join(item_avg, F.col("l_partkey") == F.col("a_partkey"))
+        .filter((F.col("avg_disc") > 0) & (F.col("l_discount") > 1.3 * F.col("avg_disc")))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .alias("excess_price_cents"),
+        )
     )
