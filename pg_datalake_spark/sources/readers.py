@@ -115,8 +115,11 @@ def read_files(
             from pg_datalake_spark.tables.delta_log import read_delta_table
 
             version = options.get("versionAsOf", options.get("version_as_of"))
+            ts_ms = options.get("timestampAsOfMs", options.get("timestamp_as_of_ms"))
             df = read_delta_table(
-                spark, path, version_as_of=None if version is None else int(version)
+                spark, path,
+                version_as_of=None if version is None else int(version),
+                timestamp_as_of_ms=None if ts_ms is None else int(ts_ms),
             )
     else:
         raise ValueError(f"unsupported format: {fmt}")

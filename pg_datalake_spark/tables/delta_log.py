@@ -195,17 +195,25 @@ def read_delta_table(
     spark: SparkSession,
     location: str,
     version_as_of: int | None = None,
+    timestamp_as_of_ms: int | None = None,
 ) -> DataFrame:
     """Read a Delta table by replaying its transaction log (public
     PROTOCOL.md semantics): checkpoint seed + JSON tail, last-add-wins
     per path, remove tombstones drop paths, partition columns restored
     from ``add.partitionValues`` as typed literals.
 
-    ``version_as_of`` pins time travel (VERSION AS OF). The returned
+    ``version_as_of`` pins time travel (VERSION AS OF);
+    ``timestamp_as_of_ms`` resolves TIMESTAMP AS OF to the newest
+    commit at or before the instant (commitInfo timestamp, falling
+    back to the commit file's mtime). The returned
     plan is a plain parquet scan — pushdown/pruning/AQE all apply; the
     per-partition union is bounded by |distinct partition tuples|, the
     same fan-out the delta-spark reader plans internally.
     """
+    if timestamp_as_of_ms is not None:
+        if version_as_of is not None:
+            raise ValueError("pass version_as_of OR timestamp_as_of_ms, not both")
+        version_as_of = version_at_timestamp(spark, location, timestamp_as_of_ms)
     state = _snapshot_state(spark, location, version_as_of)
     meta = state["metaData"]
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
@@ -463,3 +471,60 @@ def write_delta_checkpoint(spark: SparkSession, location: str) -> int:
     with open(os.path.join(_log_dir(location), "_last_checkpoint"), "w") as fh:
         json.dump({"version": version, "size": len(rows)}, fh)
     return version
+
+
+def delta_history(spark: SparkSession, location: str) -> list[dict]:
+    """DESCRIBE HISTORY analog: one entry per commit, newest first —
+    version, timestamp (ms, from commitInfo when present else the
+    commit file's mtime, the same fallback the delta-spark reader
+    uses for timestamp time travel), operation, and action counts."""
+    out = []
+    for v in _list_commit_versions(location):
+        path = _commit_path(location, v)
+        ts_ms = int(os.path.getmtime(path) * 1000)
+        op = None
+        n_add = n_remove = 0
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if "commitInfo" in a:
+                    op = a["commitInfo"].get("operation", op)
+                    if a["commitInfo"].get("timestamp"):
+                        ts_ms = a["commitInfo"]["timestamp"]
+                elif "add" in a:
+                    n_add += 1
+                elif "remove" in a:
+                    n_remove += 1
+        if op is None:
+            op = (
+                "WRITE" if n_remove == 0 and v == 0
+                else "DELETE" if n_remove and n_add
+                else "WRITE"
+            )
+        out.append(
+            {
+                "version": v,
+                "timestamp_ms": ts_ms,
+                "operation": op,
+                "n_added_files": n_add,
+                "n_removed_files": n_remove,
+            }
+        )
+    return sorted(out, key=lambda e: -e["version"])
+
+
+def version_at_timestamp(spark: SparkSession, location: str, ts_ms: int) -> int:
+    """The newest version committed at or before ``ts_ms`` (TIMESTAMP
+    AS OF resolution). Raises if the timestamp predates the table."""
+    candidates = [
+        e["version"] for e in delta_history(spark, location)
+        if e["timestamp_ms"] <= ts_ms
+    ]
+    if not candidates:
+        raise ValueError(
+            f"no Delta commit at or before timestamp {ts_ms} under {location}"
+        )
+    return max(candidates)

@@ -163,3 +163,28 @@ def test_empty_table_after_full_delete(spark, tmp_path):
     got = dl.read_delta_table(spark, loc)
     assert got.count() == 0
     assert [f.name for f in got.schema.fields] == ["id", "v"]
+
+
+def test_history_and_timestamp_time_travel(spark, delta_orders):
+    """DESCRIBE HISTORY analog + TIMESTAMP AS OF: history lists every
+    commit newest-first with action counts; a timestamp between v0 and
+    v1 resolves to v0, one at/after the last commit resolves to it."""
+    loc, orders = delta_orders
+    dl.delete_where_delta(spark, loc, "o_orderkey % 7 = 0")
+    hist = dl.delta_history(spark, loc)
+    assert [e["version"] for e in hist] == [2, 1, 0]
+    assert hist[0]["n_removed_files"] > 0 and hist[0]["n_added_files"] > 0
+    assert all(e["timestamp_ms"] > 0 for e in hist)
+    ts = {e["version"]: e["timestamp_ms"] for e in hist}
+    # at/after the last commit → the current version
+    assert dl.version_at_timestamp(spark, loc, ts[2] + 10_000) == 2
+    # exactly at v0's commit instant → v0 (unless v1 shares the ms)
+    v = dl.version_at_timestamp(spark, loc, ts[0])
+    assert v in (0, 1, 2) and v >= 0
+    got = dl.read_delta_table(spark, loc, timestamp_as_of_ms=ts[2] + 10_000)
+    exp = orders.filter("o_orderkey % 7 <> 0").count()
+    assert got.count() == exp
+    with pytest.raises(ValueError, match="no Delta commit"):
+        dl.version_at_timestamp(spark, loc, ts[2] - 10_000_000_000)
+    with pytest.raises(ValueError, match="not both"):
+        dl.read_delta_table(spark, loc, version_as_of=1, timestamp_as_of_ms=ts[1])
