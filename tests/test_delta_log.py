@@ -188,3 +188,47 @@ def test_history_and_timestamp_time_travel(spark, delta_orders):
         dl.version_at_timestamp(spark, loc, ts[2] - 10_000_000_000)
     with pytest.raises(ValueError, match="not both"):
         dl.read_delta_table(spark, loc, version_as_of=1, timestamp_as_of_ms=ts[1])
+
+
+def test_random_history_matches_model(spark, tmp_path):
+    """Randomized multi-commit histories vs a pure-Python set model:
+    any interleaving of append / COW-delete / checkpoint must leave
+    the reader's row set equal to the model's, at every version."""
+    import random
+
+    rng = random.Random(7)
+    loc = str(tmp_path / "rnd")
+    model: list[set[int]] = []  # expected id set per version
+
+    ids = list(range(0, 400))
+    first = set(rng.sample(ids, 120))
+    df0 = spark.createDataFrame([(i, i % 5) for i in sorted(first)], "id long, g int")
+    dl.write_delta_table(df0, loc, partition_by=["g"])
+    live = set(first)
+    model.append(set(live))
+
+    next_id = 1000
+    for _ in range(6):
+        action = rng.choice(["append", "delete", "checkpoint"])
+        if action == "append":
+            batch = set(range(next_id, next_id + rng.randint(5, 40)))
+            next_id += 100
+            dfb = spark.createDataFrame(
+                [(i, i % 5) for i in sorted(batch)], "id long, g int"
+            )
+            dl.append_delta(dfb, loc)
+            live |= batch
+            model.append(set(live))
+        elif action == "delete":
+            mod = rng.choice([3, 7, 11])
+            dl.delete_where_delta(spark, loc, f"id % {mod} = 0")
+            live = {i for i in live if i % mod != 0}
+            model.append(set(live))
+        else:
+            dl.write_delta_checkpoint(spark, loc)  # no new version
+
+    for v, expected in enumerate(model):
+        got = {
+            r.id for r in dl.read_delta_table(spark, loc, version_as_of=v).collect()
+        }
+        assert got == expected, f"version {v}: {len(got)} vs {len(expected)}"

@@ -478,3 +478,48 @@ def test_convexhull_idempotent_and_monotone(spark):
     ).collect()
     for r in out:
         assert r.n1 == r.n2 and abs(r.a1 - r.a2) < 1e-9, r
+
+
+def test_source_mixing_properties(spark):
+    """Temperature mixing invariants at several α: targets sum to
+    ~total_k (rounding slack ≤ |sources|/2), α=1 is proportional, α=0
+    is uniform, smaller α upweights small sources, and the sampled set
+    is deterministic across calls and honors per-source targets."""
+    from pg_datalake_spark.operators.sampling import (
+        source_mixing_sample,
+        source_mixing_targets,
+    )
+
+    rows = [(i, f"s{min(i % 10, 3)}") for i in range(2000)]  # skewed sizes
+    df = spark.createDataFrame(rows, "id long, src string")
+
+    per_alpha = {}
+    for alpha in (0.0, 0.5, 1.0):
+        t = {
+            r.source: r
+            for r in source_mixing_targets(df, "src", 400, alpha=alpha).collect()
+        }
+        per_alpha[alpha] = t
+        assert abs(sum(x.target_k for x in t.values()) - 400) <= len(t) / 2 + 1
+    sizes = {s: per_alpha[1.0][s].n_docs for s in per_alpha[1.0]}
+    small, big = min(sizes, key=sizes.get), max(sizes, key=sizes.get)
+    # α=0 uniform: every target within 1 of each other
+    t0 = [x.target_k for x in per_alpha[0.0].values()]
+    assert max(t0) - min(t0) <= 1
+    # lower α gives the small source a larger share than α=1 does
+    share = lambda a, s: per_alpha[a][s].target_k / sum(
+        x.target_k for x in per_alpha[a].values()
+    )
+    assert share(0.5, small) > share(1.0, small)
+    assert share(0.5, big) < share(1.0, big)
+
+    s1 = source_mixing_sample(df, "id", "src", 400, alpha=0.5, salt="t").collect()
+    s2 = source_mixing_sample(df, "id", "src", 400, alpha=0.5, salt="t").collect()
+    assert sorted((r.id, r.source) for r in s1) == sorted(
+        (r.id, r.source) for r in s2
+    )
+    from collections import Counter
+
+    got = Counter(r.source for r in s1)
+    for s, row in per_alpha[0.5].items():
+        assert got[s] == min(row.target_k, row.n_docs)
