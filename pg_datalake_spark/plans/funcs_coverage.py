@@ -810,3 +810,56 @@ def u03(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.round(wmean("o_totalprice", "o_custkey"), 6).alias("wmean"))
     )
+
+
+@register(
+    "f18_hyperbolic_degree_trig",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(ln(l_discount * 10 + sqrt((l_discount * 10) * (l_discount * 10) + 1)), 6)
+             AS asinh_v,
+           round(ln((l_quantity + 1.0) + sqrt((l_quantity + 1.0) * (l_quantity + 1.0) - 1)), 6)
+             AS acosh_v,
+           round(0.5 * ln((1 + l_discount) / (1 - l_discount)), 6)
+             AS atanh_v,
+           round(sin(radians(l_quantity)), 6)          AS sind_v,
+           round(cos(radians(l_quantity)), 6)          AS cosd_v,
+           round(tan(radians(l_discount * 100)), 6)    AS tand_v,
+           round(degrees(asin(l_discount)), 6)         AS asind_v,
+           round(degrees(atan2(l_quantity, 10.0)), 6)  AS atan2d_v,
+           CAST(epoch_us(to_timestamp(CAST(l_orderkey AS DOUBLE) * 1000.5))
+                AS BIGINT)                             AS tots_us
+    FROM lineitem WHERE l_orderkey <= 100
+    """,
+)
+def f18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperbolic + PG degree-variant trig + to_timestamp(float8)
+    (the last scalar families on the reference's shippable list —
+    shippable_builtin_functions.c:290-353: asinh/acosh/atanh — DuckDB
+    lacks them, so the oracle uses their ln/sqrt closed forms — the
+    sind/cosd/tand/asind/atan2d degree variants, to_timestamp) —
+    degree variants compose radians()/degrees() exactly as the
+    reference's rewrite shims do; every output rounds so libm noise
+    never reaches the hash; the float-epoch timestamp hashes as exact
+    integer microseconds."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    q, d = F.col("l_quantity"), F.col("l_discount")
+    return (
+        t["lineitem"]
+        .filter(F.col("l_orderkey") <= 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.asinh(d * 10), 6).alias("asinh_v"),
+            F.round(F.acosh(q + 1.0), 6).alias("acosh_v"),
+            F.round(F.atanh(d), 6).alias("atanh_v"),
+            F.round(F.sin(F.radians(q)), 6).alias("sind_v"),
+            F.round(F.cos(F.radians(q)), 6).alias("cosd_v"),
+            F.round(F.tan(F.radians(d * 100)), 6).alias("tand_v"),
+            F.round(F.degrees(F.asin(d)), 6).alias("asind_v"),
+            F.round(F.degrees(F.atan2(q, F.lit(10.0))), 6).alias("atan2d_v"),
+            F.unix_micros(
+                F.timestamp_seconds(F.col("l_orderkey").cast("double") * 1000.5)
+            ).alias("tots_us"),
+        )
+    )
