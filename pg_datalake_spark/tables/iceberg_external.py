@@ -377,6 +377,7 @@ def plan_scan(
                     t["name"],
                     op,
                     _transform_literal(t["transform"], t["param"], val, t["src_type"]),
+                    tr=t["transform"],
                 )
             if not keep:
                 break
@@ -461,7 +462,9 @@ def read_iceberg_table(
                 )
                 data = [
                     e for e in data
-                    if _transform_partition_may_match(e, t["name"], op, tval)
+                    if _transform_partition_may_match(
+                        e, t["name"], op, tval, tr=t["transform"]
+                    )
                 ]
         if not data:
             return spark.createDataFrame([], _spark_ddl(ice_schema))
@@ -949,27 +952,19 @@ def _parse_transform_spec(item: str) -> tuple[str, str, int | None]:
     ``year(col)`` / ``month(col)`` / ``day(col)`` / ``hour(col)``,
     or ``truncate(W, col)`` → (transform, col, param).
 
-    ``bucket(N, col)`` fails loud: the Iceberg spec's bucket transform
-    is murmur3_x86_32 over spec-serialized bytes; without a bit-exact
-    implementation, an external reader pruning ``bucket(N, col) = k``
-    against our recorded partition values would silently drop rows —
-    the one failure mode interop must never have. (The internal
-    LakeTable bucket transform is self-consistent and fine; it just
-    must not masquerade as spec-bucket.)"""
+    or ``bucket(N, col)`` (SPEC bucket, bit-exact murmur3_x86_32 —
+    tables/spec_bucket.py, verified against the Iceberg spec's
+    published test vectors; supported since r7 — before that it failed
+    loud because a non-exact hash would make external readers silently
+    drop rows)."""
     m = re.match(r"^(\w+)\(\s*(?:(\d+)\s*,\s*)?([\w.]+)\s*\)$", item)
     if not m:
         return ("identity", item, None)
     tr, param, col = m.group(1), m.group(2), m.group(3)
-    if tr == "bucket":
-        raise NotImplementedError(
-            "bucket partitioning on external Iceberg exports requires a "
-            "bit-exact murmur3 spec-bucket implementation; use a time or "
-            "truncate transform (or the internal LakeTable format)"
-        )
-    if tr not in _TIME_TRANSFORMS and tr != "truncate":
+    if tr not in _TIME_TRANSFORMS and tr not in ("truncate", "bucket"):
         raise ValueError(f"unknown partition transform {tr!r} in {item!r}")
-    if tr == "truncate" and param is None:
-        raise ValueError("truncate transform needs a width: truncate(W, col)")
+    if tr in ("truncate", "bucket") and param is None:
+        raise ValueError(f"{tr} transform needs a parameter: {tr}(N, col)")
     return (tr, col, int(param) if param else None)
 
 
@@ -1009,6 +1004,13 @@ def _resolve_partition_spec(ice_schema: dict, partition_by: list[str]) -> list[d
             if tr == "hour" and src_type == "date":
                 raise ValueError("hour() is not defined for date columns")
             name, ptype, spec_tr = f"{col}_{tr}", "int", tr
+        elif tr == "bucket":
+            if src_type not in ("int", "long", "date", "timestamp",
+                                "timestamptz", "string"):
+                raise ValueError(
+                    f"bucket() needs int/long/date/timestamp/string, got {src_type!r}"
+                )
+            name, ptype, spec_tr = f"{col}_bucket", "int", f"bucket[{param}]"
         else:  # truncate
             if src_type not in ("int", "long", "string"):
                 raise ValueError(f"truncate() needs int/long/string, got {src_type!r}")
@@ -1022,6 +1024,7 @@ def _resolve_partition_spec(ice_schema: dict, partition_by: list[str]) -> list[d
                 "source_id": by_name[col]["id"],
                 "param": param,
                 "ptype": ptype,
+                "src_type": src_type,
             }
         )
     return out
@@ -1047,6 +1050,10 @@ def _transform_write_column(field: dict) -> "F.Column":
         if field["ptype"] == "string":
             return F.substring(c, 1, param)
         return c - F.pmod(c, F.lit(param))
+    if tr == "bucket":
+        from pg_datalake_spark.tables.spec_bucket import iceberg_bucket
+
+        return iceberg_bucket(c, param, field["src_type"])
     raise ValueError(f"no write column for transform {tr!r}")
 
 
@@ -1082,17 +1089,26 @@ def _transform_literal(tr: str, param: int | None, v, src_type: str):
         if src_type == "string":
             return str(v)[:param]
         return int(v) - (int(v) % param)
+    if tr == "bucket":
+        from pg_datalake_spark.tables.spec_bucket import bucket_literal
+
+        return bucket_literal(v, param, src_type)
     return None
 
 
-def _transform_partition_may_match(entry: dict, name: str, op: str, tval) -> bool:
+def _transform_partition_may_match(
+    entry: dict, name: str, op: str, tval, tr: str = "truncate"
+) -> bool:
     """Pruning against a TRANSFORMED partition value: many source
     values share one partition, so range ops relax to non-strict
     comparisons on the transform output (sound for the monotone
-    year/month/day/hour/truncate family)."""
+    year/month/day/hour/truncate family). Bucket is NOT monotone —
+    only equality prunes; every range op keeps the file."""
     pv = entry["partition"].get(name)
     if pv is None or tval is None:
         return True
+    if tr == "bucket":
+        return pv == tval if op in ("=", "==") else True
     try:
         if op in ("=", "=="):
             return pv == tval
@@ -1110,20 +1126,14 @@ def _resolve_recorded_spec(spec: dict, ice_schema: dict) -> list[dict]:
     overwrite): keep the recorded field names (they must match the
     table's existing manifests — a genuinely external writer may not
     follow our naming convention), parse the transform strings, and
-    type the partition values. Spec-bucket fails loud (no bit-exact
-    murmur3 spec-bucket here — writing wrong bucket values would make
-    external readers silently drop rows)."""
+    type the partition values (spec-bucket included since r7 — the
+    bit-exact murmur3 in tables/spec_bucket.py)."""
     id_to_field = {f["id"]: f for f in ice_schema["fields"]}
     out = []
     for pf in spec["fields"]:
         src = id_to_field[pf["source-id"]]
         tr, param = _parse_metadata_transform(pf["transform"])
-        if tr == "bucket":
-            raise NotImplementedError(
-                "writing to a spec-bucket-partitioned external table is "
-                "unsupported (no bit-exact murmur3 spec-bucket here)"
-            )
-        if tr in _TIME_TRANSFORMS:
+        if tr in _TIME_TRANSFORMS or tr == "bucket":
             ptype = "int"
         elif tr in ("identity", "truncate"):
             ptype = src["type"]
@@ -1138,6 +1148,7 @@ def _resolve_recorded_spec(spec: dict, ice_schema: dict) -> list[dict]:
                 "source_id": src["id"],
                 "param": param,
                 "ptype": ptype,
+                "src_type": src["type"],
             }
         )
     return out

@@ -1132,13 +1132,21 @@ def test_export_truncate_transform_and_append(spark):
     assert got == orders.filter(urgent).count() + extra.filter(urgent).count()
 
 
-def test_bucket_transform_fails_loud(spark):
-    """Spec-bucket needs bit-exact murmur3; anything else would make
-    external readers silently drop rows — must refuse."""
+def test_bucket_transform_spec_exact(spark):
+    """Spec-bucket is REAL since r7 (bit-exact murmur3, verified
+    against the spec's published vectors in test_spec_bucket.py): an
+    export with bucket(16, o_custkey) records partition values an
+    equality filter prunes by, losing no row. An unparameterized
+    bucket still refuses."""
     orders = load_tables(spark, SF_DIR, ["orders"])["orders"]
     loc = tempfile.mkdtemp(prefix="icebucket_") + "/t"
-    with pytest.raises(NotImplementedError, match="murmur3"):
-        export_iceberg_snapshot(orders, loc, partition_by=["bucket(16, o_custkey)"])
+    export_iceberg_snapshot(orders, loc, partition_by=["bucket(16, o_custkey)"])
+    key = orders.select("o_custkey").first()[0]
+    got = read_iceberg_table(spark, loc, filters=[("o_custkey", "=", key)])
+    assert got.count() == orders.filter(F.col("o_custkey") == key).count() > 0
+    assert plan_scan(loc, [("o_custkey", "=", key)])["skipped"]
+    with pytest.raises(ValueError, match="needs a parameter"):
+        export_iceberg_snapshot(orders, loc + "2", partition_by=["bucket(o_custkey)"])
 
 
 def test_hour_transform_on_events(spark):
