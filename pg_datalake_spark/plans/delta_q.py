@@ -80,3 +80,60 @@ def lake09(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("v1").alias("phase"), "o_orderstatus", "n", "total_cents")
     )
     return cur.unionByName(v1)
+
+
+@register(
+    "lake10_bucketed_iceberg",
+    oracle="""
+    SELECT 'k41' AS phase, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders WHERE o_custkey = 41
+    UNION ALL
+    SELECT 'k77' AS phase, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders WHERE o_custkey = 77
+    UNION ALL
+    SELECT 'all' AS phase, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    """,
+)
+def lake10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-bucket external Iceberg end-to-end (r7: tables/
+    spec_bucket.py): orders exported bucket(16, o_custkey)-partitioned,
+    then two single-customer reads whose equality filters prune via
+    the RECORDED murmur3 bucket values (plan_scan must skip files) and
+    a full-table read — all three value-exact against DuckDB on the
+    source parquet, which never saw the bucket transform."""
+    from pg_datalake_spark.tables.iceberg_external import (
+        export_iceberg_snapshot,
+        plan_scan,
+        read_iceberg_table,
+    )
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    loc = tempfile.mkdtemp(prefix="lake10_") + "/bucketed_orders"
+    export_iceberg_snapshot(t["orders"], loc, partition_by=["bucket(16, o_custkey)"])
+
+    agg = [
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+    ]
+
+    def phase(name: str, key: int | None) -> DataFrame:
+        filters = [("o_custkey", "=", key)] if key is not None else None
+        if key is not None:
+            plan = plan_scan(loc, filters)
+            assert plan["skipped"], "bucket equality pruning skipped no files"
+        return (
+            read_iceberg_table(spark, loc, filters=filters)
+            .agg(*agg)
+            .select(F.lit(name).alias("phase"), "n", "total_cents")
+        )
+
+    return (
+        phase("k41", 41).unionByName(phase("k77", 77)).unionByName(phase("all", None))
+    )
