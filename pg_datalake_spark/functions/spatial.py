@@ -80,6 +80,40 @@ __all__ = [
     "st_distance_spheroid",
     "st_dwithin_geodesic",
     "st_azimuth_geodesic",
+    # linear-referencing / IO / predicate tier (round 7, batch 2)
+    "st_startpoint",
+    "st_endpoint",
+    "st_pointn",
+    "st_numpoints",
+    "st_reverse",
+    "st_flipcoordinates",
+    "st_boundary_line",
+    "st_removerepeatedpoints",
+    "st_isclosed",
+    "st_issimple_ring",
+    "st_isring",
+    "st_lineinterpolatepoint",
+    "st_linelocatepoint",
+    "st_closestpoint_on_line",
+    "st_shortestline",
+    "st_linesubstring",
+    "st_project",
+    "st_disjoint",
+    "st_crosses_lines",
+    "st_containsproperly",
+    "st_normalize",
+    "st_reduceprecision",
+    "st_astext_line",
+    "st_astext_polygon",
+    "st_geomfromtext_point",
+    "st_geomfromtext_line",
+    "st_geomfromtext_polygon",
+    "st_asgeojson_point",
+    "st_asgeojson_line",
+    "st_geomfromgeojson_line",
+    "st_transform_webmercator",
+    "st_transform_wgs84",
+    "st_simplify",
 ]
 
 
@@ -965,3 +999,550 @@ def st_azimuth_geodesic(
     az = F.atan2(yy, xx)
     two_pi = F.lit(2 * 3.141592653589793)
     return F.when(az < 0, az + two_pi).otherwise(az)
+
+
+# ---------------------------------------------------------------------------
+# Linear-referencing + IO + predicate tier (round 7, batch 2): the
+# remaining pure-math slice of the reference's shippable st_* surface
+# (pg_lake_engine/src/pgduck/shippable_spatial_functions.c:
+# st_startpoint/st_endpoint/st_pointn/st_numpoints/st_reverse/
+# st_flipcoordinates/st_removerepeatedpoints/st_isclosed/st_isring/
+# st_issimple/st_lineinterpolatepoint/st_linelocatepoint/
+# st_linesubstring/st_shortestline/st_disjoint/st_crosses/
+# st_containsproperly/st_normalize/st_reduceprecision/st_boundary/
+# st_geometrytype + WKT/GeoJSON codecs + st_transform's web-mercator
+# case + true Douglas-Peucker st_simplify). All Column algebra except
+# st_simplify (Arrow-batched pandas UDF — DP's recursive split is the
+# one algorithm here that genuinely needs imperative control flow).
+# ---------------------------------------------------------------------------
+
+
+def st_startpoint(line: Column) -> Column:
+    """First vertex of a linestring (PostGIS ST_StartPoint)."""
+    return F.element_at(line, 1)
+
+
+def st_endpoint(line: Column) -> Column:
+    """Last vertex of a linestring (PostGIS ST_EndPoint)."""
+    return F.element_at(line, -1)
+
+
+def st_pointn(line: Column, n) -> Column:
+    """N-th vertex, 1-based; negative counts from the end; NULL when
+    out of range (PostGIS ST_PointN semantics — try_element_at gives
+    exactly the NULL-out-of-range behavior under ANSI mode)."""
+    nn = n if isinstance(n, Column) else F.lit(int(n))
+    return F.try_element_at(line, nn)
+
+
+def st_numpoints(line: Column) -> Column:
+    """Vertex count of a linestring (PostGIS ST_NumPoints)."""
+    return F.size(line)
+
+
+def st_reverse(line: Column) -> Column:
+    """Linestring with vertex order reversed (PostGIS ST_Reverse)."""
+    return F.reverse(line)
+
+
+def st_flipcoordinates(line: Column) -> Column:
+    """Swap x and y of every vertex (PostGIS ST_FlipCoordinates — the
+    lat/lon-order repair function)."""
+    return F.transform(
+        line, lambda p: F.struct(p["y"].alias("x"), p["x"].alias("y"))
+    )
+
+
+def st_boundary_line(line: Column) -> Column:
+    """Boundary of an OPEN linestring = its two endpoints as a
+    2-point multipoint; a CLOSED line has an empty boundary (PostGIS
+    ST_Boundary on LINESTRING)."""
+    closed = st_isclosed(line)
+    return F.when(closed, F.array().cast(_RING_T)).otherwise(
+        F.array(F.element_at(line, 1), F.element_at(line, -1))
+    )
+
+
+def st_removerepeatedpoints(line: Column, tolerance=0.0) -> Column:
+    """Drop vertices within ``tolerance`` of the last KEPT vertex
+    (PostGIS ST_RemoveRepeatedPoints; tolerance 0 = exact consecutive
+    duplicates). Endpoints always survive, mirroring
+    :func:`st_simplify_radial`'s fold."""
+    tol = tolerance if isinstance(tolerance, Column) else F.lit(float(tolerance))
+
+    def d2(a: Column, b: Column) -> Column:
+        dx, dy = a["x"] - b["x"], a["y"] - b["y"]
+        return dx * dx + dy * dy
+
+    def step(acc: Column, p: Column) -> Column:
+        last = F.element_at(acc, -1)
+        return F.when(d2(last, p) > tol * tol, F.concat(acc, F.array(p))).otherwise(
+            acc
+        )
+
+    first = F.slice(line, 1, 1).cast(_RING_T)
+    rest = F.slice(line, 2, F.size(line) - 1)
+    out = F.aggregate(rest, first, step)
+    last_in, last_out = F.element_at(line, -1), F.element_at(out, -1)
+    return F.when(
+        ((last_out["x"] == last_in["x"]) & (last_out["y"] == last_in["y"]))
+        | (F.size(line) < 2),
+        out,
+    ).otherwise(F.concat(out, F.array(last_in)))
+
+
+def st_isclosed(line: Column) -> Column:
+    """First vertex equals last vertex (PostGIS ST_IsClosed)."""
+    a, b = F.element_at(line, 1), F.element_at(line, -1)
+    return (a["x"] == b["x"]) & (a["y"] == b["y"])
+
+
+def st_issimple_ring(ring: Column) -> Column:
+    """True iff no two NON-ADJACENT edges of the (implicitly closed)
+    ring intersect — the planar simplicity test behind PostGIS
+    ST_IsSimple/ST_IsRing for polygon rings. O(n²) nested
+    higher-order ``exists`` per row, JVM-side; rings are small by
+    construction."""
+    e = _closed_edges(ring)
+    n = F.size(e)
+    idx = F.sequence(F.lit(1), n)
+    bad = F.exists(
+        idx,
+        lambda i: F.exists(
+            idx,
+            lambda j: (j > i + 1)
+            & ~((i == 1) & (j == n))
+            & st_segment_intersects(
+                F.element_at(e, i)["a"],
+                F.element_at(e, i)["b"],
+                F.element_at(e, j)["a"],
+                F.element_at(e, j)["b"],
+            ),
+        ),
+    )
+    return ~bad
+
+
+def st_isring(line: Column) -> Column:
+    """Closed AND simple (PostGIS ST_IsRing): the explicit closing
+    vertex is dropped before the simplicity test so the wrap edge is
+    not double-counted."""
+    opened = F.slice(line, 1, F.size(line) - 1)
+    return st_isclosed(line) & st_issimple_ring(opened)
+
+
+def _line_edges(line: Column) -> Column:
+    """Edges of an OPEN linestring as array<struct<a, b>> (no closing
+    edge — contrast :func:`_closed_edges`)."""
+    n = F.size(line)
+    return F.zip_with(
+        F.slice(line, 1, n - 1),
+        F.slice(line, 2, n - 1),
+        lambda p, q: F.struct(p.alias("a"), q.alias("b")),
+    )
+
+
+def st_lineinterpolatepoint(line: Column, fraction) -> Column:
+    """Point at ``fraction`` of the linestring's length (PostGIS
+    ST_LineInterpolatePoint): one fold over the edges carrying the
+    remaining target distance."""
+    fr = fraction if isinstance(fraction, Column) else F.lit(float(fraction))
+    target = fr * st_length(line)
+    init = F.struct(
+        target.alias("rem"),
+        F.element_at(line, 1).alias("pt"),
+        F.lit(False).alias("done"),
+    )
+
+    def step(st, e: Column) -> Column:
+        seg_len = st_distance(e["a"], e["b"])
+        hit = ~st["done"] & (st["rem"] <= seg_len) & (seg_len > 0)
+        t = F.when(seg_len == 0, F.lit(0.0)).otherwise(st["rem"] / seg_len)
+        pt = F.struct(
+            (e["a"]["x"] + t * (e["b"]["x"] - e["a"]["x"])).alias("x"),
+            (e["a"]["y"] + t * (e["b"]["y"] - e["a"]["y"])).alias("y"),
+        )
+        return F.when(
+            hit,
+            F.struct(F.lit(0.0).alias("rem"), pt.alias("pt"), F.lit(True).alias("done")),
+        ).otherwise(
+            F.when(st["done"], st).otherwise(
+                F.struct(
+                    (st["rem"] - seg_len).alias("rem"),
+                    st["pt"].alias("pt"),
+                    F.lit(False).alias("done"),
+                )
+            )
+        )
+
+    res = F.aggregate(_line_edges(line), init, step)
+    return F.when(res["done"], res["pt"]).otherwise(F.element_at(line, -1))
+
+
+def _locate_fold(line: Column, p: Column) -> Column:
+    """Shared fold for linear referencing against a point: returns
+    struct(cum=total length, best_d=min distance, best_pos=arc length
+    of the closest point, best_pt=the closest point). Ties keep the
+    FIRST (lowest arc position) match — deterministic."""
+    init = F.struct(
+        F.lit(0.0).alias("cum"),
+        F.lit(float("inf")).alias("best_d"),
+        F.lit(0.0).alias("best_pos"),
+        F.element_at(line, 1).alias("best_pt"),
+    )
+
+    def step(st, e: Column) -> Column:
+        abx, aby = e["b"]["x"] - e["a"]["x"], e["b"]["y"] - e["a"]["y"]
+        len2 = abx * abx + aby * aby
+        seg_len = F.sqrt(len2)
+        t_raw = ((p["x"] - e["a"]["x"]) * abx + (p["y"] - e["a"]["y"]) * aby) / len2
+        t = F.when(len2 == 0, F.lit(0.0)).otherwise(
+            F.greatest(F.lit(0.0), F.least(F.lit(1.0), t_raw))
+        )
+        cx, cy = e["a"]["x"] + t * abx, e["a"]["y"] + t * aby
+        d = F.sqrt(
+            F.pow(p["x"] - cx, F.lit(2)) + F.pow(p["y"] - cy, F.lit(2))
+        )
+        better = d < st["best_d"]
+        return F.struct(
+            (st["cum"] + seg_len).alias("cum"),
+            F.when(better, d).otherwise(st["best_d"]).alias("best_d"),
+            F.when(better, st["cum"] + t * seg_len)
+            .otherwise(st["best_pos"])
+            .alias("best_pos"),
+            F.when(
+                better, F.struct(cx.alias("x"), cy.alias("y"))
+            )
+            .otherwise(st["best_pt"])
+            .alias("best_pt"),
+        )
+
+    return F.aggregate(_line_edges(line), init, step)
+
+
+def st_linelocatepoint(line: Column, p: Column) -> Column:
+    """Fraction (0..1) along the line of the point closest to ``p``
+    (PostGIS ST_LineLocatePoint)."""
+    res = _locate_fold(line, p)
+    return F.when(res["cum"] == 0, F.lit(0.0)).otherwise(
+        res["best_pos"] / res["cum"]
+    )
+
+
+def st_closestpoint_on_line(line: Column, p: Column) -> Column:
+    """Closest point ON the polyline to ``p`` (PostGIS ST_ClosestPoint
+    with a line argument)."""
+    return _locate_fold(line, p)["best_pt"]
+
+
+def st_shortestline(p: Column, line: Column) -> Column:
+    """2-point line from ``p`` to its closest point on the polyline
+    (PostGIS ST_ShortestLine point→line case)."""
+    return F.array(p, st_closestpoint_on_line(line, p))
+
+
+def st_linesubstring(line: Column, f1, f2) -> Column:
+    """Sub-linestring between fractions ``f1 <= f2`` of the total
+    length (PostGIS ST_LineSubstring): interpolated endpoints plus the
+    original vertices whose arc position falls strictly inside."""
+    lo = f1 if isinstance(f1, Column) else F.lit(float(f1))
+    hi = f2 if isinstance(f2, Column) else F.lit(float(f2))
+    edges = _line_edges(line)
+    # prefix arc lengths at every vertex (array, length = npoints)
+    pre = F.aggregate(
+        edges,
+        F.array(F.lit(0.0)),
+        lambda acc, e: F.concat(
+            acc, F.array(F.element_at(acc, -1) + st_distance(e["a"], e["b"]))
+        ),
+    )
+    total = F.element_at(pre, -1)
+    s_pos, e_pos = lo * total, hi * total
+    tagged = F.zip_with(
+        line, pre, lambda pt, c: F.struct(pt.alias("pt"), c.alias("c"))
+    )
+    mid = F.transform(
+        F.filter(tagged, lambda z: (z["c"] > s_pos) & (z["c"] < e_pos)),
+        lambda z: z["pt"],
+    )
+    start = st_lineinterpolatepoint(line, lo)
+    end = st_lineinterpolatepoint(line, hi)
+    return F.concat(F.array(start), mid, F.array(end))
+
+
+def st_project(p: Column, distance, azimuth) -> Column:
+    """Point at ``distance`` along ``azimuth`` (radians from north,
+    clockwise — PostGIS ST_Project's planar analog)."""
+    d = distance if isinstance(distance, Column) else F.lit(float(distance))
+    az = azimuth if isinstance(azimuth, Column) else F.lit(float(azimuth))
+    return F.struct(
+        (p["x"] + d * F.sin(az)).alias("x"),
+        (p["y"] + d * F.cos(az)).alias("y"),
+    )
+
+
+# --- predicates ------------------------------------------------------------
+
+
+def st_disjoint(ring_a: Column, ring_b: Column) -> Column:
+    """Negated :func:`st_intersects` (PostGIS ST_Disjoint)."""
+    return ~st_intersects(ring_a, ring_b)
+
+
+def st_crosses_lines(line_a: Column, line_b: Column) -> Column:
+    """Any segment of open line A intersects any segment of open line
+    B (the LINESTRING case of PostGIS ST_Crosses, boundary touches
+    included — exact point-set 'crosses' needs interior/boundary
+    bookkeeping this model does not carry)."""
+    ea, eb = _line_edges(line_a), _line_edges(line_b)
+    return F.exists(
+        ea,
+        lambda e1: F.exists(
+            eb, lambda e2: st_segment_intersects(e1["a"], e1["b"], e2["a"], e2["b"])
+        ),
+    )
+
+
+def st_containsproperly(ring_a: Column, ring_b: Column) -> Column:
+    """Every vertex of simple ring B lies in ring A's interior and no
+    edge of B crosses an edge of A — for simple (hole-free) rings this
+    is exactly PostGIS ST_ContainsProperly. Inputs on A's boundary are
+    implementation-defined (same caveat as :func:`st_contains`)."""
+    ea, eb = _closed_edges(ring_a), _closed_edges(ring_b)
+    edge_hit = F.exists(
+        ea,
+        lambda e1: F.exists(
+            eb, lambda e2: st_segment_intersects(e1["a"], e1["b"], e2["a"], e2["b"])
+        ),
+    )
+    all_in = F.forall(ring_b, lambda v: st_contains(ring_a, v))
+    return all_in & ~edge_hit
+
+
+# --- canonicalization / precision ------------------------------------------
+
+
+def st_normalize(ring: Column) -> Column:
+    """Canonical ring form (PostGIS ST_Normalize analog): drop the
+    explicit closing vertex, orient counter-clockwise, rotate so the
+    lexicographically smallest (x, y) vertex comes first. Two rings
+    that differ only by orientation/rotation normalize identically."""
+    opened = F.when(
+        st_isclosed(ring), F.slice(ring, 1, F.size(ring) - 1)
+    ).otherwise(ring)
+    r = _ccw(opened)
+    n = F.size(r)
+    idx = F.sequence(F.lit(1), n)
+
+    def smaller(i: Column, best: Column) -> Column:
+        pi, pb = F.element_at(r, i), F.element_at(r, best)
+        return (pi["x"] < pb["x"]) | ((pi["x"] == pb["x"]) & (pi["y"] < pb["y"]))
+
+    mi = F.aggregate(
+        idx, F.lit(1), lambda best, i: F.when(smaller(i, best), i).otherwise(best)
+    )
+    return F.concat(F.slice(r, mi, n - mi + 1), F.slice(r, 1, mi - 1))
+
+
+def st_reduceprecision(ring: Column, size: float) -> Column:
+    """Snap every vertex of a ring/line to the grid (PostGIS
+    ST_ReducePrecision — vertex-wise; no topology repair)."""
+    return F.transform(ring, lambda p: st_snaptogrid(p, size))
+
+
+# --- WKT / GeoJSON codecs (JVM-side string algebra) ------------------------
+
+
+def st_astext_line(line: Column) -> Column:
+    """WKT for a linestring: ``LINESTRING (x y, x y, ...)``."""
+    return F.concat(
+        F.lit("LINESTRING ("),
+        F.array_join(
+            F.transform(line, lambda p: F.format_string("%s %s", p["x"], p["y"])),
+            ", ",
+        ),
+        F.lit(")"),
+    )
+
+
+def st_astext_polygon(ring: Column) -> Column:
+    """WKT for a simple polygon: ``POLYGON ((x y, ..., x0 y0))`` with
+    the ring explicitly closed as WKT requires."""
+    closed = F.concat(ring, F.slice(ring, 1, 1))
+    return F.concat(
+        F.lit("POLYGON (("),
+        F.array_join(
+            F.transform(closed, lambda p: F.format_string("%s %s", p["x"], p["y"])),
+            ", ",
+        ),
+        F.lit("))"),
+    )
+
+
+def _parse_coord_seq(inner: Column) -> Column:
+    """``x1 y1, x2 y2, ...`` → array<struct<x,y>> (JVM split/cast)."""
+    return F.transform(
+        F.split(inner, ","),
+        lambda s: F.struct(
+            F.split(F.trim(s), "\\s+")[0].cast("double").alias("x"),
+            F.split(F.trim(s), "\\s+")[1].cast("double").alias("y"),
+        ),
+    )
+
+
+def st_geomfromtext_point(txt: Column) -> Column:
+    """Parse ``POINT (x y)`` (PostGIS ST_GeomFromText point case)."""
+    return F.struct(
+        F.regexp_extract(txt, r"POINT\s*\(\s*(\S+)\s+(\S+)\s*\)", 1)
+        .cast("double")
+        .alias("x"),
+        F.regexp_extract(txt, r"POINT\s*\(\s*(\S+)\s+(\S+)\s*\)", 2)
+        .cast("double")
+        .alias("y"),
+    )
+
+
+def st_geomfromtext_line(txt: Column) -> Column:
+    """Parse ``LINESTRING (x y, ...)``."""
+    return _parse_coord_seq(F.regexp_extract(txt, r"LINESTRING\s*\((.*)\)", 1))
+
+
+def st_geomfromtext_polygon(txt: Column) -> Column:
+    """Parse ``POLYGON ((x y, ...))`` single-ring WKT; the closing
+    duplicate vertex is dropped (this module's rings are open)."""
+    ring = _parse_coord_seq(
+        F.regexp_extract(txt, r"POLYGON\s*\(\((.*)\)\)", 1)
+    )
+    first, last = F.element_at(ring, 1), F.element_at(ring, -1)
+    return F.when(
+        (first["x"] == last["x"]) & (first["y"] == last["y"]),
+        F.slice(ring, 1, F.size(ring) - 1),
+    ).otherwise(ring)
+
+
+def st_asgeojson_point(p: Column) -> Column:
+    """GeoJSON for a point (RFC 7946)."""
+    return F.to_json(
+        F.struct(
+            F.lit("Point").alias("type"),
+            F.array(p["x"], p["y"]).alias("coordinates"),
+        )
+    )
+
+
+def st_asgeojson_line(line: Column) -> Column:
+    """GeoJSON for a linestring (RFC 7946)."""
+    return F.to_json(
+        F.struct(
+            F.lit("LineString").alias("type"),
+            F.transform(line, lambda p: F.array(p["x"], p["y"])).alias(
+                "coordinates"
+            ),
+        )
+    )
+
+
+def st_geomfromgeojson_line(j: Column) -> Column:
+    """Parse a GeoJSON LineString into array<struct<x,y>>."""
+    parsed = F.from_json(
+        j, "struct<type:string,coordinates:array<array<double>>>"
+    )
+    return F.transform(
+        parsed["coordinates"],
+        lambda c: F.struct(
+            F.element_at(c, 1).alias("x"), F.element_at(c, 2).alias("y")
+        ),
+    )
+
+
+# --- st_transform: the closed-form CRS pair --------------------------------
+
+_WEBMERC_R_M = 6378137.0  # WGS84 semi-major axis (EPSG:3857 sphere)
+
+
+def st_transform_webmercator(lon: Column, lat: Column) -> Column:
+    """EPSG:4326 lon/lat degrees → EPSG:3857 web-mercator meters
+    (the spherical-mercator closed form — the one ubiquitous
+    ST_Transform case that needs no PROJ grid). |lat| must be <
+    85.051129° (the mercator singularity); callers clamp."""
+    r = F.lit(_WEBMERC_R_M)
+    x = r * F.radians(lon)
+    y = r * F.log(F.tan(F.lit(math.pi / 4) + F.radians(lat) / 2))
+    return F.struct(x.alias("x"), y.alias("y"))
+
+
+def st_transform_wgs84(x: Column, y: Column) -> Column:
+    """EPSG:3857 meters → EPSG:4326 lon/lat degrees (inverse
+    spherical mercator)."""
+    r = F.lit(_WEBMERC_R_M)
+    lon = F.degrees(x / r)
+    lat = F.degrees(2 * F.atan(F.exp(y / r)) - F.lit(math.pi / 2))
+    return F.struct(lon.alias("lon"), lat.alias("lat"))
+
+
+# --- true Douglas-Peucker simplification (Arrow-batched pandas UDF) --------
+
+
+def st_simplify(line: Column, tolerance: float) -> Column:
+    """TRUE Douglas-Peucker polyline simplification (PostGIS
+    ST_Simplify): keep a vertex iff its perpendicular distance to the
+    current chord exceeds ``tolerance``, recursing on both sides of
+    the farthest kept vertex. DP's split recursion is genuinely
+    imperative, so this is the module's one pandas-UDF geometry op —
+    Arrow-batched, numpy-vectorized per polyline, an explicit stack
+    instead of recursion (no Python recursion-depth limit). Ties in
+    the farthest-point scan keep the FIRST index (np.argmax), so the
+    kept set is deterministic across engines and runs.
+
+    Contrast :func:`st_simplify_radial` (the cheap sequential-distance
+    pre-pass). Reference surface:
+    pg_lake_engine/src/pgduck/shippable_spatial_functions.c
+    (st_simplify / st_simplifypreservetopology)."""
+    tol = float(tolerance)
+
+    import numpy as np
+
+    def _dp_keep(xs: "np.ndarray", ys: "np.ndarray") -> "np.ndarray":
+        n = len(xs)
+        keep = np.zeros(n, dtype=bool)
+        if n == 0:
+            return keep
+        keep[0] = keep[-1] = True
+        stack = [(0, n - 1)]
+        while stack:
+            i, j = stack.pop()
+            if j <= i + 1:
+                continue
+            ax, ay, bx, by = xs[i], ys[i], xs[j], ys[j]
+            px, py = xs[i + 1 : j], ys[i + 1 : j]
+            dx, dy = bx - ax, by - ay
+            seg2 = dx * dx + dy * dy
+            if seg2 == 0.0:
+                d = np.hypot(px - ax, py - ay)
+            else:
+                d = np.abs(dy * (px - ax) - dx * (py - ay)) / math.sqrt(seg2)
+            k = int(np.argmax(d))
+            if d[k] > tol:
+                m = i + 1 + k
+                keep[m] = True
+                stack.append((i, m))
+                stack.append((m, j))
+        return keep
+
+    @F.pandas_udf(_RING_T)
+    def _simplify(lines: pd.Series) -> pd.Series:
+        out = []
+        for pts in lines:
+            if pts is None:
+                out.append(None)
+                continue
+            if len(pts) <= 2:
+                out.append(list(pts))
+                continue
+            xs = np.fromiter((p["x"] for p in pts), dtype=float, count=len(pts))
+            ys = np.fromiter((p["y"] for p in pts), dtype=float, count=len(pts))
+            keep = _dp_keep(xs, ys)
+            out.append([p for p, k in zip(pts, keep) if k])
+        return pd.Series(out)
+
+    return _simplify(line)

@@ -12,6 +12,8 @@ functions; this is the core planar subset).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -591,4 +593,314 @@ def geo07(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("d_m").cast("double") / F.count("*"), 6).alias("avg_m"),
         F.sum((F.col("d_m") <= 5_000_000).cast("int")).alias("n_within_5000km"),
         F.sum(F.col("az").cast("decimal(30,6)")).cast("double").alias("sum_az"),
+    )
+
+
+@register(
+    "geo08_linear_referencing",
+    oracle="""
+    WITH g AS (
+      SELECT n_nationkey AS nk,
+             CAST(2 + n_nationkey % 3 AS DOUBLE) AS a,
+             CAST(1 + n_nationkey % 4 AS DOUBLE) AS b
+      FROM nation
+    )
+    SELECT nk, a, b,
+           a AS ep_x, b AS ep_y,
+           a AS p3_x, round(b / 2, 6) AS pn2_y,
+           CAST(1 AS INT) AS oob_null,
+           CAST(5 AS INT) AS npts,
+           b AS rev0_y, b AS flip_x,
+           round(CASE WHEN 0.75 * (a + b) <= a THEN 0.75 * (a + b) ELSE a END, 6)
+             AS ip_x,
+           round(CASE WHEN 0.75 * (a + b) <= a THEN 0
+                 ELSE 0.75 * (a + b) - a END, 6) AS ip_y,
+           round((a / 2) / (a + b), 6) AS loc_f,
+           round(a / 2, 6) AS cp_x, round(0.0, 6) AS cp_y,
+           round(1.0, 6) AS sl_len,
+           round(0.5 * (a + b), 6) AS sub_len,
+           round(a, 6) AS proj_x, round(0.0, 6) AS proj_y,
+           CAST(5 AS INT) AS dedup_n,
+           CAST(0 AS INT) AS open_closed,
+           CAST(1 AS INT) AS ring_closed,
+           CAST(2 AS INT) AS bnd_n
+    FROM g
+    """,
+)
+def geo08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-referencing tier value check (reference:
+    shippable_spatial_functions.c st_startpoint/st_endpoint/st_pointn/
+    st_numpoints/st_reverse/st_flipcoordinates/
+    st_lineinterpolatepoint/st_linelocatepoint/st_closestpoint/
+    st_shortestline/st_linesubstring/st_project/
+    st_removerepeatedpoints/st_isclosed/st_isring/st_boundary): per
+    nation row an L-shaped polyline (0,0)→(a,0)→(a,b) with midpoint
+    vertices, so every linear-referencing answer has a closed form the
+    oracle states as CASE arithmetic. The 0.75-fraction interpolation
+    point crosses the corner for some (a,b) and not others — both
+    branches are exercised. All fold-based ops run as bounded
+    higher-order aggregates, zero UDFs."""
+    t = load_tables(spark, sf_dir, ["nation"])
+    base = t["nation"].select(
+        F.col("n_nationkey").cast("int").alias("nk"),
+        (2 + F.col("n_nationkey") % 3).cast("double").alias("a"),
+        (1 + F.col("n_nationkey") % 4).cast("double").alias("b"),
+    )
+    a, b = F.col("a"), F.col("b")
+    zero = F.lit(0.0)
+    line = F.array(
+        S.st_point(zero, zero),
+        S.st_point(a / 2, zero),
+        S.st_point(a, zero),
+        S.st_point(a, b / 2),
+        S.st_point(a, b),
+    )
+    probe = S.st_point(a / 2, F.lit(-1.0))
+    dup_line = F.concat(line, F.slice(line, 5, 1))  # duplicate endpoint
+    ring = F.concat(line, F.slice(line, 1, 1))  # explicitly closed
+    ip = S.st_lineinterpolatepoint(line, 0.75)
+    return base.select(
+        "nk", "a", "b",
+        S.st_x(S.st_endpoint(line)).alias("ep_x"),
+        S.st_y(S.st_endpoint(line)).alias("ep_y"),
+        S.st_x(S.st_pointn(line, 3)).alias("p3_x"),
+        F.round(S.st_y(S.st_pointn(line, -2)), 6).alias("pn2_y"),
+        S.st_pointn(line, 99).isNull().cast("int").alias("oob_null"),
+        S.st_numpoints(line).alias("npts"),
+        S.st_y(F.element_at(S.st_reverse(line), 1)).alias("rev0_y"),
+        S.st_x(S.st_endpoint(S.st_flipcoordinates(line))).alias("flip_x"),
+        F.round(S.st_x(ip), 6).alias("ip_x"),
+        F.round(S.st_y(ip), 6).alias("ip_y"),
+        F.round(S.st_linelocatepoint(line, probe), 6).alias("loc_f"),
+        F.round(S.st_x(S.st_closestpoint_on_line(line, probe)), 6).alias("cp_x"),
+        F.round(S.st_y(S.st_closestpoint_on_line(line, probe)), 6).alias("cp_y"),
+        F.round(S.st_length(S.st_shortestline(probe, line)), 6).alias("sl_len"),
+        F.round(S.st_length(S.st_linesubstring(line, 0.25, 0.75)), 6).alias(
+            "sub_len"
+        ),
+        F.round(
+            S.st_x(S.st_project(S.st_point(zero, zero), a, F.lit(math.pi / 2))), 6
+        ).alias("proj_x"),
+        F.round(
+            S.st_y(S.st_project(S.st_point(zero, zero), a, F.lit(math.pi / 2))), 6
+        ).alias("proj_y"),
+        S.st_numpoints(S.st_removerepeatedpoints(dup_line)).alias("dedup_n"),
+        S.st_isclosed(line).cast("int").alias("open_closed"),
+        S.st_isring(ring).cast("int").alias("ring_closed"),
+        S.st_numpoints(S.st_boundary_line(line)).alias("bnd_n"),
+    )
+
+
+@register(
+    "geo09_wkt_geojson_predicates",
+    oracle="""
+    WITH g AS (
+      SELECT n_nationkey AS nk,
+             CAST(n_nationkey AS DOUBLE) AS k,
+             CAST(1 + n_nationkey % 5 AS DOUBLE) AS w,
+             CAST(2 + n_nationkey % 3 AS DOUBLE) AS h
+      FROM nation
+    )
+    SELECT nk,
+           round(2 * k * sqrt(5), 6) AS wkt_len,
+           round(w * h, 6) AS poly_area,
+           CAST(4 AS INT) AS poly_n,
+           round(2 * k * sqrt(5), 6) AS gj_len,
+           CAST(1 AS INT) AS rt_same,
+           round(-w, 6) AS norm_x, round(-h, 6) AS norm_y,
+           round(4 * w * h, 6) AS norm_area,
+           CAST(nk AS DOUBLE) AS rp_x, CAST(nk AS DOUBLE) AS rp_y,
+           CAST(1 AS INT) AS cprop_in,
+           CAST(0 AS INT) AS cprop_cross,
+           CAST(1 AS INT) AS disj_far,
+           CAST(1 AS INT) AS x_cross,
+           CAST(0 AS INT) AS par_cross
+    FROM g
+    """,
+)
+def geo09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT/GeoJSON codec + predicate tier value check (reference:
+    shippable_spatial_functions.c st_geomfromtext/st_astext/
+    st_asgeojson/st_geomfromgeojson/st_containsproperly/st_disjoint/
+    st_crosses/st_normalize/st_reduceprecision): WKT and GeoJSON
+    strings are BUILT from integer key values identically in both
+    engines' SQL, parsed by the Spark codecs, and verified through
+    derived measures (length 2k√5, area w·h) so the parse is
+    value-checked without comparing float string forms. The
+    generation side (st_astext_line/st_asgeojson_line) is checked by
+    the parse-of-own-output roundtrip arm (rt_same). st_normalize is
+    checked by canonical first-vertex + area; predicates by
+    constructed containment/crossing/disjoint cases."""
+    t = load_tables(spark, sf_dir, ["nation"])
+    base = t["nation"].select(
+        F.col("n_nationkey").cast("int").alias("nk"),
+        F.col("n_nationkey").cast("double").alias("k"),
+        (1 + F.col("n_nationkey") % 5).cast("double").alias("w"),
+        (2 + F.col("n_nationkey") % 3).cast("double").alias("h"),
+    )
+    k, w, h = F.col("k"), F.col("w"), F.col("h")
+    ik = F.col("nk")
+    # WKT built from INTEGER text both here and in the oracle's closed form
+    wkt = F.format_string(
+        "LINESTRING (0 0, %d %d, %d 0)", ik, ik * 2, ik * 2
+    )
+    parsed = S.st_geomfromtext_line(wkt)
+    pwkt = F.format_string(
+        "POLYGON ((0 0, %d 0, %d %d, 0 %d, 0 0))",
+        (1 + ik % 5), (1 + ik % 5), (2 + ik % 3), (2 + ik % 3),
+    )
+    ppoly = S.st_geomfromtext_polygon(pwkt)
+    # GeoJSON roundtrip of our own output
+    gj_line = S.st_geomfromgeojson_line(S.st_asgeojson_line(parsed))
+    wkt_rt = S.st_geomfromtext_line(S.st_astext_line(parsed))
+    rt_same = (
+        (S.st_numpoints(wkt_rt) == S.st_numpoints(parsed))
+        & F.forall(
+            F.zip_with(
+                wkt_rt, parsed,
+                lambda p, q: (p["x"] == q["x"]) & (p["y"] == q["y"]),
+            ),
+            lambda z: z,
+        )
+    )
+    # normalize: rectangle centered at origin, fed rotated + CW
+    rect = F.array(
+        S.st_point(-w, -h), S.st_point(w, -h), S.st_point(w, h), S.st_point(-w, h)
+    )
+    scrambled = F.reverse(F.concat(F.slice(rect, 3, 2), F.slice(rect, 1, 2)))
+    norm = S.st_normalize(scrambled)
+    # reduceprecision: x = nk + 0.2 snapped on the unit grid → nk (tie-free)
+    rp = S.st_reduceprecision(
+        F.array(S.st_point(ik + F.lit(0.2), ik - F.lit(0.2))), 1.0
+    )
+    big = F.array(
+        S.st_point(F.lit(-50.0), F.lit(-50.0)), S.st_point(F.lit(50.0), F.lit(-50.0)),
+        S.st_point(F.lit(50.0), F.lit(50.0)), S.st_point(F.lit(-50.0), F.lit(50.0)),
+    )
+    crossing = F.array(
+        S.st_point(F.lit(45.0), F.lit(0.0)), S.st_point(F.lit(55.0), F.lit(0.0)),
+        S.st_point(F.lit(55.0), F.lit(10.0)), S.st_point(F.lit(45.0), F.lit(10.0)),
+    )
+    far = F.array(
+        S.st_point(F.lit(200.0), F.lit(200.0)), S.st_point(F.lit(201.0), F.lit(200.0)),
+        S.st_point(F.lit(201.0), F.lit(201.0)),
+    )
+    line_x1 = F.array(S.st_point(F.lit(0.0), F.lit(0.0)), S.st_point(F.lit(2.0), F.lit(2.0)))
+    line_x2 = F.array(S.st_point(F.lit(0.0), F.lit(2.0)), S.st_point(F.lit(2.0), F.lit(0.0)))
+    line_par = F.array(S.st_point(F.lit(0.0), F.lit(5.0)), S.st_point(F.lit(2.0), F.lit(7.0)))
+    return base.select(
+        "nk",
+        F.round(S.st_length(parsed), 6).alias("wkt_len"),
+        F.round(S.st_area(ppoly), 6).alias("poly_area"),
+        S.st_npoints(ppoly).alias("poly_n"),
+        F.round(S.st_length(gj_line), 6).alias("gj_len"),
+        rt_same.cast("int").alias("rt_same"),
+        F.round(S.st_x(F.element_at(norm, 1)), 6).alias("norm_x"),
+        F.round(S.st_y(F.element_at(norm, 1)), 6).alias("norm_y"),
+        F.round(S.st_area(norm), 6).alias("norm_area"),
+        S.st_x(F.element_at(rp, 1)).alias("rp_x"),
+        S.st_y(F.element_at(rp, 1)).alias("rp_y"),
+        S.st_containsproperly(big, rect).cast("int").alias("cprop_in"),
+        S.st_containsproperly(big, crossing).cast("int").alias("cprop_cross"),
+        S.st_disjoint(big, far).cast("int").alias("disj_far"),
+        S.st_crosses_lines(line_x1, line_x2).cast("int").alias("x_cross"),
+        S.st_crosses_lines(line_x1, line_par).cast("int").alias("par_cross"),
+    )
+
+
+@register(
+    "geo10_simplify_mercator",
+    oracle="""
+    WITH g AS (
+      SELECT n_nationkey AS nk,
+             1.0 + (n_nationkey % 4) * 0.5 AS hh
+      FROM nation
+    ),
+    tent AS (
+      SELECT nk, hh,
+             CAST(9 AS INT) AS n_in, CAST(3 AS INT) AS n_kept,
+             round(2 * sqrt(16 + hh * hh), 6) AS kept_len
+      FROM g
+    ),
+    pts AS (
+      SELECT c_custkey,
+             CAST(c_custkey % 160 AS DOUBLE) - 80.0 + 0.25 AS lat,
+             CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 + 0.5 AS lon
+      FROM customer
+    ),
+    merc AS (
+      SELECT c_custkey % 25 AS nk,
+             CAST(round(6378137.0 * radians(lon), 0) AS BIGINT) AS xm,
+             CAST(round(6378137.0 * ln(tan(pi() / 4 + radians(lat) / 2)), 0)
+                  AS BIGINT) AS ym
+      FROM pts
+    ),
+    mg AS (
+      SELECT nk, count(*) AS n_pts,
+             CAST(sum(xm) AS BIGINT) AS sum_xm,
+             CAST(sum(ym) AS BIGINT) AS sum_ym
+      FROM merc GROUP BY nk
+    )
+    SELECT t.nk, t.n_in, t.n_kept, t.kept_len,
+           coalesce(mg.n_pts, 0) AS n_pts,
+           coalesce(mg.sum_xm, 0) AS sum_xm,
+           coalesce(mg.sum_ym, 0) AS sum_ym
+    FROM tent t LEFT JOIN mg ON t.nk = mg.nk
+    """,
+)
+def geo10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Douglas-Peucker st_simplify (pandas-UDF) + web-mercator
+    st_transform value check. DP arm: per nation row a 9-point tent —
+    apex height hh above tolerance 0.9, face vertices exactly
+    collinear (dyadic coordinates, so collinearity is float-exact) —
+    must keep exactly the 3 tent corners, length 2·√(16+hh²).
+    Mercator arm: customer lon/lat (|lat| ≤ 79.75, inside the
+    mercator domain) forward-projected to EPSG:3857; coordinates
+    round to whole meters and sum as BIGINTs per key bucket, so the
+    libm-sensitive ln/tan never reaches the hash as a raw double
+    (the geo07 convention)."""
+    t = load_tables(spark, sf_dir, ["nation", "customer"])
+    base = t["nation"].select(
+        F.col("n_nationkey").cast("int").alias("nk"),
+        (1.0 + (F.col("n_nationkey") % 4) * 0.5).alias("hh"),
+    )
+    hh = F.col("hh")
+    xs = [0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    fracs = [0.0, 0.25, 0.5, 0.75, 1.0, 0.75, 0.5, 0.25, 0.0]
+    tent = F.array(
+        *[S.st_point(F.lit(x), hh * F.lit(fr)) for x, fr in zip(xs, fracs)]
+    )
+    simp = base.select(
+        "nk",
+        F.size(tent).cast("int").alias("n_in"),
+        S.st_simplify(tent, 0.9).alias("kept"),
+    ).select(
+        "nk",
+        "n_in",
+        S.st_npoints(F.col("kept")).cast("int").alias("n_kept"),
+        F.round(S.st_length(F.col("kept")), 6).alias("kept_len"),
+    )
+    pts = t["customer"].select(
+        (F.col("c_custkey") % 25).cast("int").alias("nk"),
+        ((F.col("c_custkey") % 160).cast("double") - 80.0 + 0.25).alias("lat"),
+        (((F.col("c_custkey") * 7) % 360).cast("double") - 180.0 + 0.5).alias("lon"),
+    )
+    m = pts.select(
+        "nk",
+        S.st_transform_webmercator(F.col("lon"), F.col("lat")).alias("m"),
+    ).select(
+        "nk",
+        F.round(F.col("m.x"), 0).cast("long").alias("xm"),
+        F.round(F.col("m.y"), 0).cast("long").alias("ym"),
+    )
+    mg = m.groupBy("nk").agg(
+        F.count("*").alias("n_pts"),
+        F.sum("xm").cast("long").alias("sum_xm"),
+        F.sum("ym").cast("long").alias("sum_ym"),
+    )
+    return simp.join(mg, "nk", "left").select(
+        "nk", "n_in", "n_kept", "kept_len",
+        F.coalesce(F.col("n_pts"), F.lit(0)).alias("n_pts"),
+        F.coalesce(F.col("sum_xm"), F.lit(0)).alias("sum_xm"),
+        F.coalesce(F.col("sum_ym"), F.lit(0)).alias("sum_ym"),
     )
