@@ -564,3 +564,86 @@ def contamination_spans(
         "last_hit_pos",
         F.round(F.col("n_hit_spans") / F.col("n_spans"), 6).alias("hit_frac"),
     )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """WITHIN-CORPUS exact duplicate-substring detection — the
+    Spark-first restatement of ExactSubstr deduplication (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"),
+    which builds a corpus suffix array and removes any ≥50-char run
+    that appears twice anywhere in the corpus. A suffix array is a
+    single global sorted structure — exactly what a distributed
+    engine should NOT build. The equivalent decision problem over
+    token k-grams is pure dataflow: a k-token span is duplicated iff
+    its k-gram occurs ≥ 2 times corpus-wide (any second occurrence,
+    same doc or not — Lee et al.'s definition), which one
+    hash-aggregate answers.
+
+    Per document with at least one duplicated span, reports the span
+    census that drives excision: span count, first/last duplicated
+    position (1-based token index), and ``dup_tokens`` — the UNION
+    length of the [pos, pos+k) intervals (a lag-window
+    gaps-and-islands sum, so overlapping spans are not double
+    counted), with its fraction of the doc's tokens.
+
+    Scale shape: tokenize → posexplode (|tokens| rows, the same count
+    the tokenizer already materializes), one partial-aggregable
+    count per gram, one shuffle hash join back on the gram, one
+    bounded per-doc window. No broadcast of corpus-sized state, no
+    global sort. At 100 TB, pre-hash grams to ``xxhash64`` to shrink
+    the shuffle width (documented trade: ~n²/2⁶⁴ collision odds flip
+    a span to "duplicated"); kept as exact strings here so the
+    DuckDB oracle hash-matches.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).repartition(par, id_col)
+    pos_sh = toks.select(
+        F.col(id_col),
+        F.posexplode(positional_shingles(F.col("__toks"), k)).alias("pos0", "g"),
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "g")
+    dup_grams = (
+        pos_sh.groupBy("g")
+        .agg(F.count("*").alias("__cnt"))
+        .filter(F.col("__cnt") >= 2)
+        .select("g")
+    )
+    hits = pos_sh.join(dup_grams, "g")
+    w = W.partitionBy(id_col).orderBy("pos")
+    cov = hits.withColumn("__prev", F.lag("pos").over(w)).withColumn(
+        "__add",
+        F.when(F.col("__prev").isNull(), F.lit(k)).otherwise(
+            F.least(F.lit(k), F.col("pos") - F.col("__prev"))
+        ),
+    )
+    per_doc = cov.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_dup_spans"),
+        F.min("pos").cast("long").alias("first_dup_pos"),
+        F.max("pos").cast("long").alias("last_dup_pos"),
+        F.sum("__add").cast("long").alias("dup_tokens"),
+    )
+    n_tok = toks.select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.greatest(F.size("__toks") - (k - 1), F.lit(0))
+        .cast("long")
+        .alias("n_spans"),
+    )
+    return per_doc.join(n_tok, id_col).select(
+        id_col,
+        "n_tokens",
+        "n_spans",
+        "n_dup_spans",
+        "first_dup_pos",
+        "last_dup_pos",
+        "dup_tokens",
+        F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias("dup_frac"),
+    )

@@ -350,3 +350,59 @@ def source_mixing_sample(
         .filter(F.col("__rk") <= F.col("target_k"))
         .select(id_col, "source")
     )
+
+
+def quality_tier_sample(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    q_lo: float = 0.25,
+    q_hi: float = 0.75,
+    rates: dict[str, float] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """CCNet-style quality-tier bucketing + per-tier rate sampling
+    (Wenzek et al. 2020: score every document with a cheap quality
+    proxy, split the corpus at score quantiles into head/middle/tail,
+    keep the tiers at different rates). ``score_col`` must be an
+    INTEGER-discretized score (e.g. ``floor(entropy_bits·100)``) so
+    the quantile boundaries are exact and engine-reproducible —
+    LOWER score = higher quality (head).
+
+    Scale shape: the boundaries come from the value-counted exact
+    percentile plan (shuffle = |distinct scores|, not |rows| — the
+    a06 machinery), broadcast back as ONE row; tier assignment and
+    the md5-rate keep-decision are a narrow map. No global sort, no
+    driver collect. Adds ``tier`` and ``kept`` columns."""
+    from pg_datalake_spark.operators.quantiles import grouped_exact_percentiles
+
+    if rates is None:
+        rates = {"head": 1.0, "middle": 0.5, "tail": 0.1}
+    bounds = grouped_exact_percentiles(
+        df.withColumn("__g", F.lit(1)),
+        ["__g"],
+        [(score_col, q_lo, "__q_lo"), (score_col, q_hi, "__q_hi")],
+        scale=1,
+    ).drop("__g")
+    tiered = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "tier",
+        F.when(F.col(score_col) <= F.col("__q_lo"), "head")
+        .when(F.col(score_col) >= F.col("__q_hi"), "tail")
+        .otherwise("middle"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10_000
+    )
+    rate = None
+    for name, r in rates.items():
+        cond = F.col("tier") == name
+        lim = F.lit(int(round(r * 10_000)))
+        rate = F.when(cond, lim) if rate is None else rate.when(cond, lim)
+    return tiered.withColumn("kept", bucket < rate).drop("__q_lo", "__q_hi")

@@ -1361,3 +1361,143 @@ def x12(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("id_sum"), F.lit(0)).cast("long").alias("id_sum"),
         )
     )
+
+
+@register(
+    "d09_exact_substring_spans",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             [{'pos': i,
+               'g': concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                              t[i+4], t[i+5], t[i+6], t[i+7])}
+              for i in generate_series(1, len(t) - 7)] AS gs
+      FROM toks
+    ),
+    ex AS (
+      SELECT doc_id, n_tokens, len(gs) AS n_spans, u.pos AS pos, u.g AS g
+      FROM sh, unnest(gs) AS t(u)
+    ),
+    dup AS (SELECT g FROM ex GROUP BY g HAVING count(*) >= 2),
+    cov AS (
+      SELECT doc_id, n_tokens, n_spans, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM ex JOIN dup USING (g)
+    ),
+    agg AS (
+      SELECT doc_id, n_tokens, n_spans,
+             count(*) AS n_dup_spans,
+             min(pos) AS first_dup_pos,
+             max(pos) AS last_dup_pos,
+             sum(CASE WHEN prev IS NULL THEN 8
+                      ELSE least(8, pos - prev) END) AS dup_tokens
+      FROM cov GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
+           CAST(first_dup_pos AS BIGINT) AS first_dup_pos,
+           CAST(last_dup_pos AS BIGINT) AS last_dup_pos,
+           CAST(dup_tokens AS BIGINT) AS dup_tokens,
+           round(CAST(dup_tokens AS DOUBLE) / n_tokens, 6) AS dup_frac
+    FROM agg
+    """,
+)
+def d09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-corpus exact duplicate-substring census
+    (operators/dedup.py:exact_substring_spans — the ExactSubstr
+    method of Lee et al. 2022 restated as dataflow: a k-token span is
+    duplicated iff its k-gram occurs ≥2 times corpus-wide; one gram
+    count-aggregate + join-back replaces the suffix array). Per
+    contaminated doc: span count, first/last duplicated position, and
+    the interval-UNION duplicated-token count via a lag-window
+    gaps-and-islands sum. k=8 tokens at this corpus's scale."""
+    from pg_datalake_spark.operators.dedup import exact_substring_spans
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return exact_substring_spans(t["documents"], "doc_id", "text", k=8)
+
+
+@register(
+    "t13_ccnet_quality_tiers",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, ch, count(*) AS c FROM chars WHERE ch <> '' GROUP BY 1, 2
+    ),
+    ent AS (
+      SELECT doc_id,
+             round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS eb
+      FROM counts GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT doc_id, CAST(floor(eb * 100) AS BIGINT) AS e100 FROM ent
+    ),
+    b AS (
+      SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY e100) AS q_lo,
+             percentile_cont(0.75) WITHIN GROUP (ORDER BY e100) AS q_hi
+      FROM scored
+    ),
+    tiered AS (
+      SELECT s.doc_id, s.e100,
+             CASE WHEN s.e100 <= b.q_lo THEN 'head'
+                  WHEN s.e100 >= b.q_hi THEN 'tail'
+                  ELSE 'middle' END AS tier,
+             ('0x' || substr(md5('t13' || CAST(s.doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 10000 AS bucket
+      FROM scored s, b
+    ),
+    flagged AS (
+      SELECT doc_id, e100, tier,
+             bucket < (CASE tier WHEN 'head' THEN 10000
+                                 WHEN 'middle' THEN 5000
+                                 ELSE 1000 END) AS kept
+      FROM tiered
+    )
+    SELECT tier,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(min(e100) AS BIGINT) AS min_e100,
+           CAST(max(e100) AS BIGINT) AS max_e100,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT)
+             AS kept_id_sum
+    FROM flagged GROUP BY tier
+    """,
+)
+def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality-tier corpus curation (Wenzek et al. 2020;
+    operators/sampling.py:quality_tier_sample): char-entropy proxy
+    score discretized to floor(bits·100), exact quartile boundaries
+    via the value-counted percentile plan (shuffle = |distinct
+    scores|), head/middle/tail tiers kept at 100 %/50 %/10 % by the
+    md5-bucket rate rule. The per-tier id sums prove both engines put
+    the IDENTICAL documents in each tier and keep-set."""
+    from pg_datalake_spark.operators.sampling import quality_tier_sample
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    ent = textstats.char_entropy(t["documents"], "doc_id", "text")
+    scored = ent.select(
+        "doc_id",
+        F.floor(F.col("entropy_bits") * 100).cast("long").alias("e100"),
+    )
+    out = quality_tier_sample(scored, "doc_id", "e100", salt="t13")
+    return out.groupBy("tier").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+        F.min("e100").cast("long").alias("min_e100"),
+        F.max("e100").cast("long").alias("max_e100"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum(F.when(F.col("kept"), F.col("doc_id")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("kept_id_sum"),
+    )

@@ -523,3 +523,69 @@ def test_source_mixing_properties(spark):
     got = Counter(r.source for r in s1)
     for s, row in per_alpha[0.5].items():
         assert got[s] == min(row.target_k, row.n_docs)
+
+
+def test_exact_substring_spans_planted(spark):
+    from pg_datalake_spark.operators.dedup import exact_substring_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"intro words here {shared} and a unique tail one"),
+        (2, f"different opening {shared} closing text two here"),
+        (3, "totally unique document with no repeated runs at all ok"),
+        # internal repetition: the same 8-token run twice in ONE doc
+        (4, f"{shared} bridge tokens in between {shared}"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in exact_substring_spans(df, "doc_id", "text", k=8).collect()}
+    # doc 3 has no duplicated span -> absent
+    assert 3 not in got
+    assert set(got) == {1, 2, 4}
+    # docs 1/2: exactly one duplicated 8-gram, union length = 8
+    assert got[1].n_dup_spans == 1 and got[1].dup_tokens == 8
+    assert got[2].n_dup_spans == 1 and got[2].dup_tokens == 8
+    # doc 4: the run appears at positions 1 and 13 -> two spans, union 16
+    assert got[4].n_dup_spans == 2 and got[4].dup_tokens == 16
+    assert got[4].first_dup_pos == 1 and got[4].last_dup_pos == 13
+
+
+def test_exact_substring_spans_overlap_union(spark):
+    from pg_datalake_spark.operators.dedup import exact_substring_spans
+
+    # a shared 9-token run -> two overlapping 8-gram spans per doc,
+    # union length must be 9 (not 16)
+    run = "one two three four five six seven eight nine"
+    rows = [(1, f"{run} filler a"), (2, f"prefix {run} z")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in exact_substring_spans(df, "doc_id", "text", k=8).collect()}
+    assert got[1].n_dup_spans == 2
+    assert got[1].dup_tokens == 9
+    assert got[2].dup_tokens == 9
+
+
+def test_quality_tier_sample_invariants(spark):
+    from pg_datalake_spark.operators.sampling import quality_tier_sample
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100) for i in range(200)], ["id", "score"]
+    )
+    out = quality_tier_sample(df, "id", "score", salt="t").collect()
+    assert len(out) == 200  # tiers partition the corpus, nothing dropped
+    by_tier = {}
+    for r in out:
+        by_tier.setdefault(r.tier, []).append(r)
+    assert set(by_tier) == {"head", "middle", "tail"}
+    # head rate 1.0 keeps everything
+    assert all(r.kept for r in by_tier["head"])
+    # head scores all <= middle scores min; tail all >= middle max
+    assert max(r.score for r in by_tier["head"]) <= min(
+        r.score for r in by_tier["middle"]
+    )
+    assert min(r.score for r in by_tier["tail"]) >= max(
+        r.score for r in by_tier["middle"]
+    )
+    # deterministic across invocations
+    out2 = quality_tier_sample(df, "id", "score", salt="t").collect()
+    assert sorted((r.id, r.tier, r.kept) for r in out) == sorted(
+        (r.id, r.tier, r.kept) for r in out2
+    )
