@@ -1501,3 +1501,90 @@ def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_id_sum"),
     )
+
+
+@register(
+    "x13_pagerank",
+    oracle="""
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    e AS (
+      SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst
+      FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 2) % (SELECT n FROM nn) FROM documents
+    ),
+    r0 AS (
+      SELECT doc_id AS node, 1.0 / (SELECT n FROM nn) AS rank FROM documents
+    ),
+    r1 AS (
+      SELECT d.doc_id AS node,
+             (1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * coalesce(sum(r.rank / 2), 0) AS rank
+      FROM documents d
+      LEFT JOIN e ON e.dst = d.doc_id
+      LEFT JOIN r0 r ON r.node = e.src
+      GROUP BY 1
+    ),
+    r2 AS (
+      SELECT d.doc_id AS node,
+             (1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * coalesce(sum(r.rank / 2), 0) AS rank
+      FROM documents d
+      LEFT JOIN e ON e.dst = d.doc_id
+      LEFT JOIN r1 r ON r.node = e.src
+      GROUP BY 1
+    ),
+    r3 AS (
+      SELECT d.doc_id AS node,
+             (1.0 - 0.85) / (SELECT n FROM nn)
+               + 0.85 * coalesce(sum(r.rank / 2), 0) AS rank
+      FROM documents d
+      LEFT JOIN e ON e.dst = d.doc_id
+      LEFT JOIN r2 r ON r.node = e.src
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT node, round(rank, 12) AS pr,
+             row_number() OVER (ORDER BY round(rank, 12) DESC, node) AS rk
+      FROM r3
+    )
+    SELECT node, pr, CAST(rk AS BIGINT) AS rk FROM ranked WHERE rk <= 20
+    """,
+)
+def x13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a derived document link graph
+    (operators/graph.py:pagerank — driver-sequenced iterative
+    DataFrame rounds, the weighted-numeric sibling of d05's label
+    propagation). Graph: two deterministic chord maps i→(7i+1) mod N
+    and i→(13i+2) mod N (bijections for these N, so out- and
+    in-degree are exactly 2 and every per-node sum has two IEEE-
+    commutative terms — the 3 unrolled oracle iterations are
+    bit-exact; ranks still round(12) before the hash per the repo's
+    libm rule). Top-20 nodes by rank with deterministic tie order."""
+    from pyspark.sql import Window as W
+
+    from pg_datalake_spark.operators.graph import pagerank
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id")
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 1) % n).alias("dst"),
+    ).unionByName(
+        docs.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 2) % n).alias("dst"),
+        )
+    )
+    ranks = pagerank(
+        edges, "src", "dst",
+        nodes=docs.select(F.col("doc_id").alias("node")),
+        iterations=3,
+    )
+    win = W.orderBy(F.col("pr").desc(), F.col("node"))
+    return (
+        ranks.select("node", F.round(F.col("rank"), 12).alias("pr"))
+        .withColumn("rk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rk") <= 20)
+    )

@@ -589,3 +589,33 @@ def test_quality_tier_sample_invariants(spark):
     assert sorted((r.id, r.tier, r.kept) for r in out) == sorted(
         (r.id, r.tier, r.kept) for r in out2
     )
+
+
+def test_pagerank_dangling_and_mass_conservation(spark):
+    from pg_datalake_spark.operators.graph import pagerank
+
+    # 1 -> 2 -> 3, node 3 dangling; hand-computable reference
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], ["node"])
+
+    def ref2(iters):
+        # uses the PRE-update ranks for contributions (synchronous PR)
+        d, n = 0.85, 3
+        r = {1: 1 / 3, 2: 1 / 3, 3: 1 / 3}
+        for _ in range(iters):
+            dm = r[3]
+            new = {
+                1: (1 - d) / n + d * (0.0 + dm / n),
+                2: (1 - d) / n + d * (r[1] / 1 + dm / n),
+                3: (1 - d) / n + d * (r[2] / 1 + dm / n),
+            }
+            r = new
+        return r
+
+    for iters in (1, 3):
+        got = {r.node: r["rank"] for r in
+               pagerank(edges, nodes=nodes, iterations=iters).collect()}
+        exp = ref2(iters)
+        for k in (1, 2, 3):
+            assert abs(got[k] - exp[k]) < 1e-12, (iters, k, got[k], exp[k])
+        assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved

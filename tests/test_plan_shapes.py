@@ -408,3 +408,31 @@ def test_delta_read_is_plain_parquet_scan(spark, tmp_path):
     assert "Scan parquet" in plan
     assert "PushedFilters: [" in plan and "GreaterThan(id,50)" in plan
     assert "Join" not in plan  # partition values are literals, not joins
+
+
+def test_exact_substring_spans_no_cartesian(spark):
+    """d09's duplicated-gram join-back must be a hash join on the gram
+    (shuffle = |spans|), never a nested loop/cartesian, and the plan
+    must contain partial aggregation for the gram counts (map-side
+    combine before the shuffle)."""
+    from pg_datalake_spark.operators.dedup import exact_substring_spans
+
+    docs = load_tables(spark, SF_DIR, ["documents"])["documents"]
+    plan = _plan(exact_substring_spans(docs, "doc_id", "text", k=8))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_quality_tier_sample_broadcasts_boundaries(spark):
+    """t13's quantile boundaries are ONE row — tier assignment must be
+    a broadcast against the scored corpus (the corpus side never
+    shuffles for the join), and the percentile stage must be the
+    value-counted plan (aggregates, not a global sort of raw rows)."""
+    from pg_datalake_spark.operators.sampling import quality_tier_sample
+
+    docs = load_tables(spark, SF_DIR, ["documents"])["documents"]
+    scored = docs.select("doc_id", (F.col("doc_id") % 97).alias("s"))
+    out = quality_tier_sample(scored, "doc_id", "s", salt="t")
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
