@@ -115,11 +115,14 @@ def signatures_from_shingles(sh: DataFrame, id_col: str, num_perms: int = 16) ->
     return sh.select(F.col(id_col), *[perm_min(p) for p in range(num_perms)])
 
 
-def lsh_candidate_pairs(
+def band_keys(
     sigs: DataFrame, id_col: str, num_perms: int = 16, bands: int = 4
 ) -> DataFrame:
-    """Band the signature (rows = num_perms/bands) and emit distinct
-    candidate pairs (id_a < id_b) sharing any band key."""
+    """Band a (id, mh0..mh{n-1}) signature frame into one row per
+    (id, band, band_key) — band_key = md5 of the band's signature rows.
+    Shared by the batch LSH pair generator and the streaming LSH
+    operator (streaming/ingest.py:streaming_lsh_candidates), so both
+    paths bucket identically. Stateless projection — safe on streams."""
     rows = num_perms // bands
     band_structs = [
         F.struct(
@@ -130,9 +133,17 @@ def lsh_candidate_pairs(
         )
         for b in range(bands)
     ]
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
     ).select(id_col, "bk.band", "bk.band_key")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, num_perms: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signature (rows = num_perms/bands) and emit distinct
+    candidate pairs (id_a < id_b) sharing any band key."""
+    banded = band_keys(sigs, id_col, num_perms, bands)
     # aggregate bucket membership once (so the signature subtree is
     # evaluated once), keep only buckets with >1 member, then re-explode
     # and self-join the tiny membership frame within each bucket. Pair

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pg_datalake_spark.catalog import load_tables
-from pg_datalake_spark.plans.registry import register
+from pg_datalake_spark.plans.registry import ORACLES, register
 
 
 @register(
@@ -127,3 +127,56 @@ def st08(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("r_value") * 100).cast("long")).cast("long")
         .alias("attributed_cents"),
     )
+
+
+@register(
+    "st09_streaming_lsh_neardup",
+    # the accumulated stream MUST equal the batch pipeline, so the
+    # oracle IS d02's (lazy: resolved after llmops registers)
+    oracle=lambda: ORACLES["d02_minhash_lsh_neardup"],
+)
+def st09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MinHash-LSH near-duplicate detection
+    (streaming.ingest.streaming_lsh_candidates): documents land as
+    four separate micro-batches (maxFilesPerTrigger=1); per-bucket
+    state emits each candidate pair exactly once, the moment its
+    later member arrives — arrival-order independent, so the
+    accumulated pair sink must equal the BATCH LSH candidate set and,
+    after the exact-Jaccard verify, d02's full output. A near-dup
+    pair split across distant micro-batches is still found, exactly
+    once."""
+    from pg_datalake_spark.operators.dedup import (
+        jaccard_verify_shingles,
+        with_shingles,
+    )
+    from pg_datalake_spark.streaming.ingest import streaming_lsh_candidates
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    stage = tempfile.mkdtemp(prefix="st09_")
+    landing = os.path.join(stage, "landing")
+    # four id-range chunks -> four micro-batches (order irrelevant to
+    # the emitted pair set, but chunking exercises cross-batch pairing)
+    n_chunks = 4
+    for i in range(n_chunks):
+        docs.filter(F.col("doc_id") % n_chunks == i).repartition(1).write.mode(
+            "append"
+        ).parquet(landing)
+    sink_dir = os.path.join(stage, "sink")
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("append").parquet(sink_dir)
+
+    schema = spark.read.parquet(landing).schema
+    streaming_lsh_candidates(
+        spark,
+        landing,
+        schema,
+        os.path.join(stage, "ckpt"),
+        sink,
+        id_col="doc_id",
+        text_col="text",
+    )
+    pairs = spark.read.parquet(sink_dir).distinct()
+    sh = with_shingles(docs, "doc_id", "text")
+    return jaccard_verify_shingles(pairs, sh, "doc_id", threshold=0.5)

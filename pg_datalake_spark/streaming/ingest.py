@@ -354,3 +354,94 @@ def streaming_interval_join(
     )
     q.awaitTermination()
     return n_batches
+
+
+def streaming_lsh_candidates(
+    spark: SparkSession,
+    landing_dir: str,
+    schema,
+    checkpoint_dir: str,
+    sink,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perms: int = 16,
+    bands: int = 4,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """STREAMING MinHash-LSH near-duplicate candidate detection: as
+    documents land, each one is checked against every PREVIOUSLY
+    arrived document through per-(band, band_key) bucket state, and
+    candidate pairs are emitted the moment the second member arrives.
+
+    Pair semantics are ARRIVAL-ORDER INDEPENDENT: a pair (min_id,
+    max_id) is emitted exactly once when the later-arriving member
+    lands, so the accumulated sink equals the batch formulation
+    ("distinct id pairs sharing any band key" —
+    operators/dedup.py:lsh_candidate_pairs) no matter how files are
+    chunked into micro-batches. The shingle → signature → band-key
+    projection is the SAME code as the batch path (band_keys), so
+    bucketing is bit-identical.
+
+    State per bucket = member id list (plus a seen-set guard against
+    at-least-once re-delivery). At 100 TB the same hot-bucket caveat
+    as batch LSH applies — bound state with a bucket-size cap or a
+    state TTL (GroupStateTimeout) matched to the dedup horizon; kept
+    unbounded here where buckets are construction-small.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from pg_datalake_spark.operators.dedup import (
+        band_keys,
+        signatures_from_shingles,
+        with_shingles,
+    )
+
+    def emit_pairs(key, pdfs, state: GroupState):
+        arrivals: list[int] = []
+        for pdf in pdfs:
+            arrivals.extend(int(x) for x in pdf[id_col])
+        members: list[int] = list(state.get[0]) if state.exists else []
+        seen = set(members)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for i in sorted(arrivals):
+            if i in seen:
+                continue  # duplicate delivery of the same doc
+            for m in members:
+                out_a.append(min(m, i))
+                out_b.append(max(m, i))
+            members.append(i)
+            seen.add(i)
+        state.update((members,))
+        yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing_dir)
+    )
+    sh = with_shingles(stream, id_col, text_col).filter(F.size("sh") > 0)
+    sigs = signatures_from_shingles(sh, id_col, num_perms)
+    banded = band_keys(sigs, id_col, num_perms, bands)
+    pairs = banded.groupBy("band", "band_key").applyInPandasWithState(
+        emit_pairs,
+        outputStructType="id_a long, id_b long",
+        stateStructType="members array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # a pair sharing several band buckets fires once per BUCKET (never
+    # more — the member-set state absorbs re-deliveries); the
+    # cross-band distinct belongs to the consumer. (A chained
+    # dropDuplicates stage after applyInPandasWithState trips a
+    # columnar/UnsafeRow cast bug in this Spark build, so the global
+    # dedup is deliberately not in-stream.)
+    q = (
+        pairs.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

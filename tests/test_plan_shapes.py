@@ -436,3 +436,36 @@ def test_quality_tier_sample_broadcasts_boundaries(spark):
     plan = _plan(out)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark):
+    """Scale evidence for big fact-fact joins: with broadcast off (the
+    100 TB case — neither side fits), Spark's runtime bloom filter
+    must be injected from the selective dimension side into the fact
+    side's scan stage (`might_contain` in the optimized plan), so the
+    shuffle only carries fact rows that can possibly join. Thresholds
+    are lowered because test data is tiny; on a real cluster the
+    defaults (10 MB creation side) trigger on the same shape."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        t = load_tables(spark, SF_DIR, ["orders", "lineitem"])
+        sel = t["orders"].filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        j = t["lineitem"].join(sel, t["lineitem"].l_orderkey == sel.o_orderkey)
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, "runtime bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -389,3 +389,67 @@ def test_stream_stream_join_multi_batch(spark, tmp_path):
     assert got.count() == expected > 0
     # exactly-once: no duplicated pair
     assert got.select("l_event_id", "r_event_id").distinct().count() == expected
+
+
+def test_streaming_lsh_pairs_cross_batch_and_redelivery(spark, tmp_path):
+    """A near-dup pair whose members arrive in DIFFERENT micro-batches
+    must still be emitted, exactly once — even when one member's file
+    is delivered twice (at-least-once upstream). The accumulated raw
+    sink (no dedup applied) must equal the batch LSH candidate set."""
+    from pg_datalake_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from pg_datalake_spark.streaming.ingest import streaming_lsh_candidates
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    rows = [
+        (1, base),
+        (2, base + " extra"),            # near-dup of 1
+        (3, "completely different content about databases and query "
+            "planning with columnar execution engines at scale"),
+        (4, base + " another"),          # near-dup of 1 and 2
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    landing = str(tmp_path / "landing")
+    # one file per doc -> one micro-batch per doc; file for doc 2
+    # delivered twice (re-delivery must not duplicate pairs)
+    for i in (1, 2, 3, 4, 2):
+        docs.filter(F.col("doc_id") == i).repartition(1).write.mode(
+            "append"
+        ).parquet(landing)
+    sink_dir = str(tmp_path / "sink")
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(sink_dir)
+
+    schema = spark.read.parquet(landing).schema
+    streaming_lsh_candidates(
+        spark, landing, schema, str(tmp_path / "ckpt"), sink,
+        id_col="doc_id", text_col="text",
+    )
+    raw = [(r.id_a, r.id_b) for r in spark.read.parquet(sink_dir).collect()]
+    got = sorted(set(raw))
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    expected = sorted(
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs, "doc_id").collect()
+    )
+    assert got == expected
+    assert (1, 2) in got and (1, 4) in got  # cross-batch pairs found
+    # per-bucket exactly-once: raw emissions equal the batch
+    # (pair, band) count — the duplicate file delivery added nothing
+    from pg_datalake_spark.operators.dedup import band_keys
+
+    bk = band_keys(sigs, "doc_id")
+    a = bk.select(F.col("doc_id").alias("id_a"), "band", "band_key")
+    b = bk.select(F.col("doc_id").alias("id_b"), "band", "band_key")
+    per_band = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("band", "id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    assert len(raw) == per_band
