@@ -367,6 +367,7 @@ def streaming_lsh_candidates(
     num_perms: int = 16,
     bands: int = 4,
     max_files_per_trigger: int = 1,
+    max_bucket: int | None = None,
 ) -> None:
     """STREAMING MinHash-LSH near-duplicate candidate detection: as
     documents land, each one is checked against every PREVIOUSLY
@@ -384,9 +385,16 @@ def streaming_lsh_candidates(
 
     State per bucket = member id list (plus a seen-set guard against
     at-least-once re-delivery). At 100 TB the same hot-bucket caveat
-    as batch LSH applies — bound state with a bucket-size cap or a
-    state TTL (GroupStateTimeout) matched to the dedup horizon; kept
-    unbounded here where buckets are construction-small.
+    as batch LSH applies: ``max_bucket`` caps the per-bucket member
+    list — arrivals past the cap still pair against the retained
+    members (every doc keeps at least one link into a hot cluster, so
+    connected-component folding downstream is unaffected) but are not
+    themselves retained, trading full pair enumeration inside
+    boilerplate mega-clusters for O(max_bucket) state and emission.
+    (The re-delivery guard only tracks RETAINED ids, so under a cap a
+    re-delivered overflow doc re-emits its pairs — at-least-once on
+    overflow, exactly-once under the cap.) None = unbounded (exact;
+    the oracle-checked configuration).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -411,7 +419,8 @@ def streaming_lsh_candidates(
             for m in members:
                 out_a.append(min(m, i))
                 out_b.append(max(m, i))
-            members.append(i)
+            if max_bucket is None or len(members) < max_bucket:
+                members.append(i)
             seen.add(i)
         state.update((members,))
         yield pd.DataFrame({"id_a": out_a, "id_b": out_b})

@@ -453,3 +453,38 @@ def test_streaming_lsh_pairs_cross_batch_and_redelivery(spark, tmp_path):
         .count()
     )
     assert len(raw) == per_band
+
+
+def test_streaming_lsh_bucket_cap_bounds_state(spark, tmp_path):
+    """With max_bucket=2, a 4-member hot bucket emits pairs only
+    against the 2 retained members — every later doc still links into
+    the cluster (downstream components unaffected) but state and
+    emissions are O(cap), not O(bucket)."""
+    from pg_datalake_spark.streaming.ingest import streaming_lsh_candidates
+
+    text = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    docs = spark.createDataFrame(
+        [(i, text) for i in (1, 2, 3, 4)], ["doc_id", "text"]
+    )
+    landing = str(tmp_path / "landing")
+    for i in (1, 2, 3, 4):
+        docs.filter(F.col("doc_id") == i).repartition(1).write.mode(
+            "append"
+        ).parquet(landing)
+    sink_dir = str(tmp_path / "sink")
+
+    def sink(df, batch_id):
+        df.write.mode("append").parquet(sink_dir)
+
+    schema = spark.read.parquet(landing).schema
+    streaming_lsh_candidates(
+        spark, landing, schema, str(tmp_path / "ckpt"), sink,
+        id_col="doc_id", text_col="text", max_bucket=2,
+    )
+    got = set(
+        (r.id_a, r.id_b) for r in spark.read.parquet(sink_dir).collect()
+    )
+    # identical docs share all 4 band buckets; retained members are
+    # {1, 2}, so 3 and 4 each pair only against 1 and 2 — (3,4) absent
+    assert got == {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)}
