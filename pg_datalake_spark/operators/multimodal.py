@@ -296,3 +296,124 @@ def pcm_decimate(df: DataFrame, factor: int, data_col: str = "data") -> DataFram
             yield pdf
 
     return df.mapInPandas(it, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-duplicate detection (dHash over the payload)
+# ---------------------------------------------------------------------------
+
+
+def fake_textured_media(id_col: F.Column) -> F.Column:
+    """Fake image blob with VARIED payload bytes (contrast
+    :func:`fake_media`'s constant fill): payload = 8 chained md5
+    blocks of a base id, with the LAST block perturbed for odd ids —
+    so (2k, 2k+1) are planted near-duplicate siblings sharing 7/8 of
+    their texture, and different bases look random to a perceptual
+    hash. Pure Column algebra (md5/unhex), oracle-reconstructible."""
+    base = (id_col / 2).cast("long")
+    blocks = [F.md5(F.concat(F.lit(f"b{i}:"), base.cast("string"))) for i in range(7)]
+    clean = F.md5(F.concat(F.lit("b7:"), base.cast("string")))
+    # odd siblings: overwrite the last 2 payload bytes (4 hex chars) —
+    # a small edit a perceptual hash must absorb (hamming ≤ 3)
+    last = F.when(id_col % 2 == 0, clean).otherwise(
+        F.concat(
+            F.substring(clean, 1, 28),
+            F.substring(F.md5(F.concat(F.lit("b7x:"), base.cast("string"))), 1, 4),
+        )
+    )
+    width = (F.lit(64) + id_col % 192).cast("int")
+    height = (F.lit(32) + id_col % 96).cast("int")
+
+    def le16(c):
+        lo = F.lpad(F.hex(c % 256), 2, "0")
+        hi = F.lpad(F.hex((c / 256).cast("int") % 256), 2, "0")
+        return F.concat(lo, hi)
+
+    header_hex = F.concat(
+        F.lit(MAGIC.hex().upper()), le16(width), le16(height),
+        le16(F.lit(1).cast("int")), le16(F.lit(0).cast("int")),
+    )
+    return F.unhex(F.concat(header_hex, *blocks, last))
+
+
+def dhash64(df: DataFrame, data_col: str = "data", out_col: str = "dhash") -> DataFrame:
+    """64-bit perceptual DIFFERENCE hash of the payload: the byte
+    stream is resampled to an 8×9 grid of cell means and each bit is
+    the left<right comparison of adjacent cells — the classic dHash,
+    invariant to payload length and robust to small byte edits. With
+    a real codec the input is the decoded grayscale raster; here it
+    is the fake payload (swap at `_decode_payload`, same shape).
+    Arrow-batched, numpy per blob, zero per-row Python serde."""
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.LongType())])
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for b in pdf[data_col]:
+                payload = (
+                    np.frombuffer(b[HEADER_LEN:], dtype=np.uint8)
+                    if b is not None and len(b) > HEADER_LEN
+                    else np.zeros(1, dtype=np.uint8)
+                )
+                cells = np.array_split(payload.astype(np.float64), 72)
+                means = np.array(
+                    [c.mean() if c.size else 0.0 for c in cells]
+                ).reshape(8, 9)
+                bits = (means[:, 1:] < means[:, :-1]).astype(np.uint8).ravel()
+                h = int.from_bytes(np.packbits(bits).tobytes(), "big", signed=False)
+                # store as signed int64 (Spark LongType)
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pdf.assign(**{out_col: hashes})
+
+    return df.mapInPandas(op, out_schema)
+
+
+def phash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    data_col: str = "data",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual hash: dHash each blob,
+    band the 64-bit hash into four 16-bit keys and equi-join on any
+    shared band — by pigeonhole every pair within hamming distance 3
+    shares at least one intact band — then verify exact hamming with
+    ``bit_count(a XOR b)``. The same bucket-join shape as text LSH
+    (d02): no cartesian product, candidates distributed through the
+    shuffle. Returns (id_a, id_b, hamming)."""
+    hashed = dhash64(df.select(id_col, data_col), data_col).select(id_col, "dhash")
+    bands = hashed.select(
+        id_col,
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftrightunsigned(F.col("dhash"), 16 * b)
+                            .bitwiseAND(F.lit(0xFFFF))
+                        ).alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "dhash", "bk.band", "bk.band_val")
+    a = bands.select(
+        F.col(id_col).alias("id_a"), F.col("dhash").alias("h_a"), "band", "band_val"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), F.col("dhash").alias("h_b"), "band", "band_val"
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

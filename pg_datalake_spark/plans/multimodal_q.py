@@ -91,3 +91,20 @@ def mm04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", F.size("features").alias("dim"), F.element_at("features", 1).alias("f0")
     )
+
+
+@register("mm05_perceptual_neardup")  # rows-only: dHash is numpy raster work
+def mm05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE near-duplicate detection: dHash (8×9
+    grid-mean difference hash) over Arrow-batched payloads, 16-bit
+    band bucket join (the d02 LSH shape — pigeonhole-complete for
+    hamming ≤ 3), exact bit_count verify. The textured corpus plants
+    a 2-byte-edited sibling for every even id; the pair set is exactly
+    the sibling set (asserted bit-exact in pytest; rows-only here —
+    the raster resample has no SQL restatement)."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    media = t["documents"].select(
+        F.col("doc_id").alias("media_id"),
+        mm.fake_textured_media(F.col("doc_id")).alias("data"),
+    )
+    return mm.phash_neardup_pairs(media, "media_id", max_hamming=3)

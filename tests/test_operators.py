@@ -619,3 +619,37 @@ def test_pagerank_dangling_and_mass_conservation(spark):
         for k in (1, 2, 3):
             assert abs(got[k] - exp[k]) < 1e-12, (iters, k, got[k], exp[k])
         assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_phash_neardup_finds_exactly_the_planted_siblings(spark):
+    from pyspark.sql import functions as F
+
+    from pg_datalake_spark.operators import multimodal as mm
+
+    df = spark.range(60).select(
+        F.col("id").alias("img_id"),
+        mm.fake_textured_media(F.col("id")).alias("data"),
+    )
+    pairs = mm.phash_neardup_pairs(df, "img_id", max_hamming=3).collect()
+    got = sorted((r.id_a, r.id_b) for r in pairs)
+    assert got == [(2 * k, 2 * k + 1) for k in range(30)]
+    assert all(r.hamming <= 3 for r in pairs)
+
+
+def test_dhash_invariance_and_sensitivity(spark):
+    import struct as st
+
+    from pg_datalake_spark.operators import multimodal as mm
+
+    header = st.pack("<4sHHI", b"LAKE", 64, 32, 1)
+    base = bytes(range(128))
+    tweaked = bytearray(base)
+    tweaked[5] ^= 0x10  # one-byte edit -> small hamming
+    gradient_rev = bytes(reversed(base))  # structurally different
+    rows = [(1, header + base), (2, header + bytes(tweaked)),
+            (3, header + gradient_rev), (4, None), (5, header[:4])]
+    df = spark.createDataFrame(rows, "img_id long, data binary")
+    h = {r.img_id: r.dhash for r in mm.dhash64(df, "data").collect()}
+    assert bin((h[1] ^ h[2]) & ((1 << 64) - 1)).count("1") <= 3
+    assert bin((h[1] ^ h[3]) & ((1 << 64) - 1)).count("1") > 10
+    assert h[4] is not None and h[5] is not None  # degenerate blobs hash too
