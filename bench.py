@@ -51,6 +51,8 @@ HEADLINE = [
     "ds67_rollup_rank_topk",
     # r7: appended (the 18 keys above keep their history)
     "ds78_channel_qty_ratio",
+    # r7 batch 2: appended (the 19 keys above keep their history)
+    "d09_exact_substring_spans",
 ]
 
 
