@@ -373,14 +373,26 @@ def phash_neardup_pairs(
     id_col: str,
     data_col: str = "data",
     max_hamming: int = 3,
+    band_bits: int = 16,
 ) -> DataFrame:
     """Near-duplicate IMAGE pairs by perceptual hash: dHash each blob,
-    band the 64-bit hash into four 16-bit keys and equi-join on any
-    shared band — by pigeonhole every pair within hamming distance 3
-    shares at least one intact band — then verify exact hamming with
-    ``bit_count(a XOR b)``. The same bucket-join shape as text LSH
-    (d02): no cartesian product, candidates distributed through the
-    shuffle. Returns (id_a, id_b, hamming)."""
+    band the 64-bit hash into 64/band_bits keys and equi-join on any
+    shared band — by pigeonhole every pair within hamming distance
+    (64/band_bits − 1) shares at least one intact band — then verify
+    exact hamming with ``bit_count(a XOR b)``. The same bucket-join
+    shape as text LSH (d02): no cartesian product, candidates
+    distributed through the shuffle.
+
+    SCALE KNOB: random band collisions grow as n²/2^band_bits, so
+    16-bit bands (guarantee: hamming ≤ 3) are for ≤ ~10⁵ images; at
+    corpus scale use band_bits=32 (two bands — guarantee hamming ≤ 1,
+    collision rate n²/2³²) and recover 2–3-bit matches by multi-probe
+    (query each band with its single-bit flips) if recall at distance
+    3 is required. Returns (id_a, id_b, hamming)."""
+    if 64 % band_bits != 0:
+        raise ValueError("band_bits must divide 64")
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
     hashed = dhash64(df.select(id_col, data_col), data_col).select(id_col, "dhash")
     bands = hashed.select(
         id_col,
@@ -391,11 +403,11 @@ def phash_neardup_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         (
-                            F.shiftrightunsigned(F.col("dhash"), 16 * b)
-                            .bitwiseAND(F.lit(0xFFFF))
+                            F.shiftrightunsigned(F.col("dhash"), band_bits * b)
+                            .bitwiseAND(F.lit(mask))
                         ).alias("band_val"),
                     )
-                    for b in range(4)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bk"),

@@ -653,3 +653,31 @@ def test_dhash_invariance_and_sensitivity(spark):
     assert bin((h[1] ^ h[2]) & ((1 << 64) - 1)).count("1") <= 3
     assert bin((h[1] ^ h[3]) & ((1 << 64) - 1)).count("1") > 10
     assert h[4] is not None and h[5] is not None  # degenerate blobs hash too
+
+
+def test_phash_band_bits_32_still_finds_close_siblings(spark):
+    from pyspark.sql import functions as F
+
+    from pg_datalake_spark.operators import multimodal as mm
+
+    df = spark.range(40).select(
+        F.col("id").alias("img_id"),
+        mm.fake_textured_media(F.col("id")).alias("data"),
+    )
+    # 32-bit bands guarantee hamming <= 1; hamming-0/1 siblings must
+    # still surface, and nothing outside the sibling set may appear
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in mm.phash_neardup_pairs(
+            df, "img_id", max_hamming=3, band_bits=32
+        ).collect()
+    }
+    assert all(b == a + 1 and a % 2 == 0 for a, b in got)
+    full = {
+        (r.id_a, r.id_b): r.hamming
+        for r in mm.phash_neardup_pairs(df, "img_id", max_hamming=3).collect()
+    }
+    # every hamming <= 1 sibling found by the 16-bit run is also found
+    for pair, ham in full.items():
+        if ham <= 1:
+            assert pair in got
