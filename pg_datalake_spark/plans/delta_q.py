@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from pg_datalake_spark.catalog import load_tables
 from pg_datalake_spark.plans.registry import register
+from pg_datalake_spark.tables import LakeTable
 
 
 @register(
@@ -137,3 +138,90 @@ def lake10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         phase("k41", 41).unionByName(phase("k77", 77)).unionByName(phase("all", None))
     )
+
+
+@register(
+    "lake11_cross_table_txn",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    pre_a AS (SELECT * FROM src WHERE o_orderkey % 3 = 0),
+    pre_b AS (SELECT * FROM src WHERE o_orderkey % 3 <> 0),
+    post_a AS (SELECT * FROM pre_a
+               UNION ALL SELECT * FROM pre_b WHERE o_orderstatus = 'F'),
+    post_b AS (SELECT * FROM pre_b WHERE o_orderstatus <> 'F'),
+    lbl AS (
+      SELECT 'pre'  AS phase, 'acct_a' AS tbl, * FROM pre_a
+      UNION ALL SELECT 'pre',  'acct_b', * FROM pre_b
+      UNION ALL SELECT 'post', 'acct_a', * FROM post_a
+      UNION ALL SELECT 'post', 'acct_b', * FROM post_b
+    )
+    SELECT phase, tbl, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f
+    FROM lbl GROUP BY phase, tbl
+    """,
+)
+def lake11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table ACID transaction through the object-store catalog
+    (reference: Postgres MVCC makes multi-table lake transactions
+    atomic for every engine-mediated reader — SURVEY §2.9; Spark-side
+    analog = one catalog-manifest CAS swap,
+    tables/catalog_store.py:CatalogTransaction). Two pinned LakeTables
+    (orders split on o_orderkey % 3); the txn moves every 'F'-status
+    row from acct_b to acct_a — append to A, MOR-delete from B at the
+    table level, then ONE manifest swap publishes both. The 'pre'
+    phase reads through ``at_version`` captured BEFORE the swap but
+    executed AFTER the table-level writes — snapshot isolation is what
+    is being value-checked; DuckDB reproduces both phases relationally
+    from orders (it never sees the catalog or the table format)."""
+    cat_root = tempfile.mkdtemp(prefix="lake11_cat_")
+    from pg_datalake_spark.tables.catalog_store import ObjectStoreCatalog
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    src = t["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cat = ObjectStoreCatalog(cat_root)
+    tables = {}
+    for name, pred in (("acct_a", "= 0"), ("acct_b", "<> 0")):
+        lt = LakeTable.create(
+            spark, tempfile.mkdtemp(prefix=f"lake11_{name}_") + "/t", src.schema
+        )
+        lt.append(src.filter(F.expr(f"o_orderkey % 3 {pred}")))
+        cat.register_lake(name, lt.root, pin=True)
+        tables[name] = lt
+    pre = cat.at_version(cat.current_version())
+
+    # the transaction: table-level writes, then one atomic swap
+    txn = cat.transaction()
+    moved = tables["acct_b"].scan(filters=[("o_orderstatus", "=", "F")])
+    tables["acct_a"].append(moved)
+    tables["acct_b"].delete("o_orderstatus = 'F'")
+    txn.refresh("acct_a").refresh("acct_b").commit()
+    post = cat.at_version(cat.current_version())
+
+    def phase(view, label: str) -> DataFrame:
+        out = None
+        for name in ("acct_a", "acct_b"):
+            agg = (
+                view.read_table(spark, name)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum("cents").alias("total_cents"),
+                    F.count_if(F.col("o_orderstatus") == "F").alias("n_f"),
+                )
+                .select(
+                    F.lit(label).alias("phase"), F.lit(name).alias("tbl"),
+                    "n", "total_cents", "n_f",
+                )
+            )
+            out = agg if out is None else out.unionByName(agg)
+        return out
+
+    return phase(pre, "pre").unionByName(phase(post, "post"))

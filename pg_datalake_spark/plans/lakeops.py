@@ -333,3 +333,4 @@ def lake08(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(phase("eqdel", snap3))
         .unionByName(phase("reappend", snap4))
     )
+

@@ -162,6 +162,16 @@ class LakeTable:
         meta["_version"] = version
         return meta
 
+    @staticmethod
+    def current_snapshot_id_at(root: str) -> int | None:
+        """Current snapshot id from the table root alone (no session) —
+        what a catalog pointer pins (tables/catalog_store.py)."""
+        meta_dir = os.path.join(root, "metadata")
+        with open(os.path.join(meta_dir, "current")) as f:
+            version = int(f.read().strip())
+        with open(os.path.join(meta_dir, f"v{version}.json")) as f:
+            return json.load(f).get("current_snapshot_id")
+
     def _commit(self, meta: dict, expected_version: int) -> None:
         """Optimistic commit: write v{N+1}, atomically swap `current`.
         A concurrent commit that already produced v{N+1} wins — we
