@@ -97,4 +97,10 @@ def pagerank(
         ranks = new_ranks
     ed.unpersist(blocking=False)
     nodes.unpersist(blocking=False)
-    return ranks
+    # hand back a lineage-truncated copy and drop our cache entry:
+    # localCheckpoint blocks are owned by the returned frame (the
+    # ContextCleaner frees them when the caller drops it), whereas a
+    # persisted frame would sit in the session's cache manager forever
+    result = ranks.localCheckpoint(eager=True)
+    ranks.unpersist(blocking=False)
+    return result

@@ -373,7 +373,8 @@ def phash_neardup_pairs(
     id_col: str,
     data_col: str = "data",
     max_hamming: int = 3,
-    band_bits: int = 16,
+    band_bits: int = 32,
+    multi_probe: bool | None = None,
 ) -> DataFrame:
     """Near-duplicate IMAGE pairs by perceptual hash: dHash each blob,
     band the 64-bit hash into 64/band_bits keys and equi-join on any
@@ -383,36 +384,82 @@ def phash_neardup_pairs(
     shape as text LSH (d02): no cartesian product, candidates
     distributed through the shuffle.
 
-    SCALE KNOB: random band collisions grow as n²/2^band_bits, so
-    16-bit bands (guarantee: hamming ≤ 3) are for ≤ ~10⁵ images; at
-    corpus scale use band_bits=32 (two bands — guarantee hamming ≤ 1,
-    collision rate n²/2³²) and recover 2–3-bit matches by multi-probe
-    (query each band with its single-bit flips) if recall at distance
-    3 is required. Returns (id_a, id_b, hamming)."""
-    if 64 % band_bits != 0:
-        raise ValueError("band_bits must divide 64")
+    SCALE DEFAULT (r8): band_bits=32 — two bands, random-collision
+    rate ~n²/2³² instead of the quadratic-at-corpus-scale n²/2¹⁶ of
+    16-bit bands. The bare pigeonhole guarantee of two bands is only
+    hamming ≤ 1, so when ``max_hamming`` exceeds it, single-bit
+    MULTI-PROBE turns on automatically: the probe side additionally
+    emits every 1-bit flip of each band key (33 keys/band at 32 bits),
+    which catches any pair whose MINIMUM per-band distance is ≤ 1 —
+    by pigeonhole that is every pair with total hamming
+    ≤ 2·n_bands − 1 (= 3 at the default). Probe keys multiply the
+    shuffle by (band_bits+1) but collisions stay ~n²·66/2³² —
+    linear-dominated far past 10⁹ images. band_bits=16 (guarantee
+    hamming ≤ 3 with no probing, collisions n²/2¹⁶) remains an
+    explicit opt-in for small corpora. Pass ``multi_probe`` to force
+    either mode. Returns (id_a, id_b, hamming)."""
+    if band_bits not in (1, 2, 4, 8, 16, 32):
+        raise ValueError(
+            "band_bits must be one of 1,2,4,8,16,32 (64-bit hash banded "
+            "via long shifts; 64 would overflow the LongType mask)"
+        )
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
+    if multi_probe is None:
+        # auto: probe only when the intact-band guarantee can't reach
+        # the requested distance
+        multi_probe = max_hamming > n_bands - 1
+    if multi_probe and max_hamming > 2 * n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the single-bit multi-probe "
+            f"guarantee 2*n_bands-1={2 * n_bands - 1}; use smaller band_bits"
+        )
+    if not multi_probe and max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee "
+            f"n_bands-1={n_bands - 1} without multi_probe"
+        )
     hashed = dhash64(df.select(id_col, data_col), data_col).select(id_col, "dhash")
+
+    def band_val(b: int):
+        return F.shiftrightunsigned(F.col("dhash"), band_bits * b).bitwiseAND(
+            F.lit(mask)
+        )
+
     bands = hashed.select(
         id_col,
         "dhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        (
-                            F.shiftrightunsigned(F.col("dhash"), band_bits * b)
-                            .bitwiseAND(F.lit(mask))
-                        ).alias("band_val"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_val(b).alias("band_val"))
                     for b in range(n_bands)
                 ]
             )
         ).alias("bk"),
     ).select(id_col, "dhash", "bk.band", "bk.band_val")
-    a = bands.select(
+    if multi_probe:
+        # probe side: the exact band key plus all single-bit flips —
+        # collides whenever the pair's band differs by <= 1 bit
+        probes = hashed.select(
+            id_col,
+            "dhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            (band_val(b).bitwiseXOR(F.lit(flip))).alias("band_val"),
+                        )
+                        for b in range(n_bands)
+                        for flip in [0] + [1 << i for i in range(band_bits)]
+                    ]
+                )
+            ).alias("bk"),
+        ).select(id_col, "dhash", "bk.band", "bk.band_val")
+    else:
+        probes = bands
+    a = probes.select(
         F.col(id_col).alias("id_a"), F.col("dhash").alias("h_a"), "band", "band_val"
     )
     b = bands.select(

@@ -378,6 +378,11 @@ def quality_tier_sample(
 
     if rates is None:
         rates = {"head": 1.0, "middle": 0.5, "tail": 0.1}
+    if set(rates) != {"head", "middle", "tail"}:
+        raise ValueError(
+            "rates must cover exactly {'head','middle','tail'}; "
+            f"got {sorted(rates)}"
+        )
     bounds = grouped_exact_percentiles(
         df.withColumn("__g", F.lit(1)),
         ["__g"],

@@ -177,6 +177,8 @@ def st09(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         text_col="text",
     )
-    pairs = spark.read.parquet(sink_dir).distinct()
+    # explicit schema: a zero-pair stream leaves no part files and
+    # schema inference would fail instead of yielding an empty frame
+    pairs = spark.read.schema("id_a long, id_b long").parquet(sink_dir).distinct()
     sh = with_shingles(docs, "doc_id", "text")
     return jaccard_verify_shingles(pairs, sh, "doc_id", threshold=0.5)

@@ -116,19 +116,34 @@ class ObjectStoreCatalog:
         v = self.current_version() if version is None else version
         if v == 0:
             return {"version": 0, "tables": {}}
-        with open(self._manifest_path(v)) as fh:
-            return json.load(fh)
+        try:
+            with open(self._manifest_path(v)) as fh:
+                return json.load(fh)
+        except (json.JSONDecodeError, FileNotFoundError):
+            # A corrupt/vanished tip can only be a crashed writer from the
+            # pre-link era (or an fs that lies about link atomicity); fall
+            # back one version rather than wedging every read.
+            if version is None and v > 1:
+                return self._load_manifest(v - 1)
+            raise
 
     def _try_commit_manifest(self, base_version: int, tables: dict) -> bool:
-        """CAS: create v{base+1} with O_EXCL. False = lost the race."""
+        """CAS: write the FULL manifest to a temp file first, then
+        ``os.link(tmp, v{base+1}.json)`` — the link either appears with
+        complete content (atomic) or raises EEXIST (lost the race).
+        Readers can never observe a partially-written tip."""
         new_version = base_version + 1
         path = self._manifest_path(new_version)
+        fd, tmp = tempfile.mkstemp(dir=self._manifest_dir, suffix=".commit")
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
-        with os.fdopen(fd, "w") as fh:
-            json.dump({"version": new_version, "tables": tables}, fh, indent=2)
+            with os.fdopen(fd, "w") as fh:
+                json.dump({"version": new_version, "tables": tables}, fh, indent=2)
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                return False
+        finally:
+            os.unlink(tmp)
         # advisory hint for readers that prefer one GET over a LIST
         fdt, tmp = tempfile.mkstemp(dir=self._manifest_dir, suffix=".hint")
         with os.fdopen(fdt, "w") as fh:

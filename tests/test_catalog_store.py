@@ -101,3 +101,31 @@ def test_name_validation_and_drop(populated_catalog):
     cat.drop("tmp_tbl")
     assert not cat.exists("tmp_tbl")
     assert "tmp_tbl" not in cat.list_tables()
+
+
+def test_manifest_commit_is_atomic_and_corrupt_tip_falls_back(tmp_path):
+    """r8 (ADVICE): commits link a fully-written temp file into place, so a
+    reader can never see a partial manifest; a corrupt tip (pre-link-era
+    crash, lying fs) degrades to the previous version instead of wedging."""
+    import os
+
+    cat = ObjectStoreCatalog(str(tmp_path / "cat"))
+    cat.register_lake("a", "/tmp/a")
+    cat.register_lake("b", "/tmp/b")
+    assert cat.current_version() == 2
+    # no stray .commit temp files survive a commit
+    leftovers = [
+        f
+        for f in os.listdir(cat._manifest_dir)
+        if f.endswith(".commit")
+    ]
+    assert leftovers == []
+    # corrupt the tip: default read falls back one version, commits rebase
+    # from the readable state instead of crashing
+    with open(cat._manifest_path(2), "w") as fh:
+        fh.write("{not json")
+    m = cat._load_manifest()
+    assert m["version"] == 1 and "a" in m["tables"]
+    # pinned read of the corrupt version still fails loudly
+    with pytest.raises(Exception):
+        cat._load_manifest(2)

@@ -655,7 +655,8 @@ def test_dhash_invariance_and_sensitivity(spark):
     assert h[4] is not None and h[5] is not None  # degenerate blobs hash too
 
 
-def test_phash_band_bits_32_still_finds_close_siblings(spark):
+def test_phash_band_bits_32_multiprobe_matches_16_bit_exactly(spark):
+    import pytest as pt
     from pyspark.sql import functions as F
 
     from pg_datalake_spark.operators import multimodal as mm
@@ -664,20 +665,35 @@ def test_phash_band_bits_32_still_finds_close_siblings(spark):
         F.col("id").alias("img_id"),
         mm.fake_textured_media(F.col("id")).alias("data"),
     )
-    # 32-bit bands guarantee hamming <= 1; hamming-0/1 siblings must
-    # still surface, and nothing outside the sibling set may appear
+    # the new scale default (32-bit bands + auto single-bit multi-probe)
+    # must find the IDENTICAL hamming<=3 pair set as the explicit 16-bit
+    # opt-in, whose 4-band pigeonhole guarantees distance 3 outright
     got = {
-        (r.id_a, r.id_b): r.hamming
-        for r in mm.phash_neardup_pairs(
-            df, "img_id", max_hamming=3, band_bits=32
-        ).collect()
-    }
-    assert all(b == a + 1 and a % 2 == 0 for a, b in got)
-    full = {
         (r.id_a, r.id_b): r.hamming
         for r in mm.phash_neardup_pairs(df, "img_id", max_hamming=3).collect()
     }
-    # every hamming <= 1 sibling found by the 16-bit run is also found
+    full = {
+        (r.id_a, r.id_b): r.hamming
+        for r in mm.phash_neardup_pairs(
+            df, "img_id", max_hamming=3, band_bits=16
+        ).collect()
+    }
+    assert got == full
+    assert all(b == a + 1 and a % 2 == 0 for a, b in got)
+    # non-probed 32-bit mode only guarantees hamming <= 1 and must
+    # refuse a distance it cannot serve
+    near = {
+        (r.id_a, r.id_b)
+        for r in mm.phash_neardup_pairs(
+            df, "img_id", max_hamming=1, band_bits=32, multi_probe=False
+        ).collect()
+    }
     for pair, ham in full.items():
         if ham <= 1:
-            assert pair in got
+            assert pair in near
+    with pt.raises(ValueError, match="pigeonhole"):
+        mm.phash_neardup_pairs(
+            df, "img_id", max_hamming=3, band_bits=32, multi_probe=False
+        )
+    with pt.raises(ValueError, match="band_bits"):
+        mm.phash_neardup_pairs(df, "img_id", band_bits=64)
