@@ -141,6 +141,71 @@ def lake10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lake12_delta_deletion_vectors",
+    oracle="""
+    SELECT 'current' AS phase, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0
+    UNION ALL
+    SELECT 'v1' AS phase, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders WHERE o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT 'v0' AS phase, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM orders
+    """,
+)
+def lake12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DELETION VECTORS end-to-end (r8; PROTOCOL.md "Deletion
+    Vectors" via tables/dv_codec.py — the row-delete flavor modern
+    Delta writers emit by default, which the reference reads natively
+    through delta_scan, pg_lake_engine/src/pgduck/read_data.c:286):
+    v0 create (partitioned on o_orderstatus), v1 merge-on-read DV
+    delete of ``o_orderkey % 7 = 0`` FORCED to sidecar-file storage
+    ('u', roaring bitmaps at CRC-checked offsets), v2 DV delete of
+    ``o_orderkey % 5 = 0`` FORCED inline ('i', Z85) — its bitmaps must
+    UNION with v1's — then a classic checkpoint that must carry the
+    deletionVector structs. ``current`` reads checkpoint-seeded state
+    (both DV generations applied, decoded executor-side and
+    anti-joined on ``_metadata`` row positions); ``v1``/``v0``
+    time-travel across the DV commits. DuckDB reproduces every phase
+    relationally from the source parquet — it never sees the Delta log
+    or the bitmaps, so the whole descriptor→roaring→anti-join path is
+    what's being value-checked."""
+    from pg_datalake_spark.sources.readers import read_files
+    from pg_datalake_spark.tables import delta_log as dl
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    loc = tempfile.mkdtemp(prefix="lake12_") + "/delta_dv_orders"
+    dl.write_delta_table(t["orders"], loc, partition_by=["o_orderstatus"])
+    dl.delete_where_delta(spark, loc, "o_orderkey % 7 = 0", mode="dv",
+                          inline_threshold=0)
+    dl.delete_where_delta(spark, loc, "o_orderkey % 5 = 0", mode="dv",
+                          inline_threshold=1 << 20)
+    dl.write_delta_checkpoint(spark, loc)
+
+    agg = [
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+    ]
+
+    def phase(name: str, version: int | None) -> DataFrame:
+        return (
+            read_files(spark, loc, fmt="delta", versionAsOf=version)
+            .agg(*agg)
+            .select(F.lit(name).alias("phase"), "n", "total_cents")
+        )
+
+    return phase("current", None).unionByName(phase("v1", 1)).unionByName(
+        phase("v0", 0)
+    )
+
+
+@register(
     "lake11_cross_table_txn",
     oracle="""
     WITH src AS (
@@ -225,3 +290,13 @@ def lake11(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
 
     return phase(pre, "pre").unionByName(phase(post, "post"))
+
+
+# lake08 standalone feeder: the function + oracle live in lakeops.py;
+# the WINDOW row is the merged lake08_lake09_lake10_lake12_formats
+# suite (r8 widening), so the standalone registration moved here —
+# after the window — to keep it in the local parity gate without
+# occupying a second driver slot.
+from pg_datalake_spark.plans.lakeops import LAKE08_ORACLE, lake08  # noqa: E402
+
+register("lake08_external_iceberg", oracle=LAKE08_ORACLE)(lake08)

@@ -22,16 +22,24 @@ Delta transaction-log protocol (delta-io/delta PROTOCOL.md):
 pinned with ``version_as_of``) and hands it to ``spark.read.parquet`` —
 the scan itself is a plain distributed parquet read with full pushdown
 and pruning. Log parsing is O(actions) driver-side KB-scale metadata,
-same as any Delta client. Unsupported reader features (column mapping,
-deletion vectors, reader protocol > 2) fail loud rather than silently
-dropping or duplicating rows.
+same as any Delta client. DELETION VECTORS (r8; PROTOCOL.md "Deletion
+Vectors" — the default row-delete mechanism of modern Delta writers)
+are fully applied on read: descriptors (inline ``"i"``, UUID sidecar
+``"u"``, absolute ``"p"``) are decoded from their Z85 / portable-
+roaring-bitmap encoding EXECUTOR-side (tables/dv_codec.py via
+``mapInPandas``) and anti-joined on ``(_metadata.file_path,
+_metadata.row_index)`` — the same merge-on-read shape as Iceberg
+position deletes. Still-unsupported reader features (column mapping,
+reader protocol > 3) fail loud rather than silently dropping or
+duplicating rows.
 
 The writer half (:func:`write_delta_table` / :func:`append_delta` /
-:func:`delete_where_delta` / :func:`write_delta_checkpoint`) exists so
-the read path can be exercised and oracle-checked offline end-to-end
-against multi-commit histories; the reference itself is read-only on
-Delta, so the writer is deliberately minimal (no optimistic-concurrency
-loop beyond exclusive-create, no DV/CDC emission).
+:func:`delete_where_delta` — copy-on-write or ``mode="dv"`` — /
+:func:`write_delta_checkpoint`) exists so the read path can be
+exercised and oracle-checked offline end-to-end against multi-commit
+histories; the reference itself is read-only on Delta, so the writer
+is deliberately minimal (no optimistic-concurrency loop beyond
+exclusive-create, no CDC emission).
 """
 
 from __future__ import annotations
@@ -164,7 +172,12 @@ def _check_protocol(state: dict) -> None:
     proto = state["protocol"] or {"minReaderVersion": 1}
     reader = proto.get("minReaderVersion", 1)
     features = set(proto.get("readerFeatures") or [])
-    supported = {"columnMapping", "timestampNtz", "v2Checkpoint"} & features
+    supported = {
+        "columnMapping",
+        "timestampNtz",
+        "v2Checkpoint",
+        "deletionVectors",
+    } & features
     if reader > 3 or (reader == 3 and features - supported):
         raise NotImplementedError(
             f"Delta reader protocol {reader} with features {sorted(features)} "
@@ -174,12 +187,6 @@ def _check_protocol(state: dict) -> None:
     conf = (state["metaData"] or {}).get("configuration") or {}
     if conf.get("delta.columnMapping.mode", "none") != "none":
         raise NotImplementedError("Delta column mapping is not supported offline")
-    for add in state["adds"].values():
-        if add.get("deletionVector"):
-            raise NotImplementedError(
-                "Delta deletion vectors are not supported by the pure-Python "
-                "log reader; compact the table or use the delta-spark jars"
-            )
 
 
 def _partition_literal(value: str | None, dtype: T.DataType):
@@ -229,28 +236,115 @@ def read_delta_table(
         p = urllib.parse.unquote(p)
         return p if p.startswith("/") or "://" in p else os.path.join(location, p)
 
+    has_dv = any(a.get("deletionVector") for a in adds)
+    out_cols = [F.col(f.name) for f in schema.fields]
+    meta_cols = (
+        [
+            # normalized data-file path + in-file row position, the
+            # anti-join key against the decoded deletion vectors
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/").alias(
+                "__path"
+            ),
+            F.col("_metadata.row_index").alias("__pos"),
+        ]
+        if has_dv
+        else []
+    )
+
     if not part_cols:
         df = spark.read.schema(data_schema).parquet(*[_abs(a["path"]) for a in adds])
-        return df.select(*[F.col(f.name) for f in schema.fields])
-
-    # Group files by partition tuple; attach typed literal partition
-    # columns per group (partition values are log metadata, not file
-    # content). Union count = |distinct partition tuples|.
-    groups: dict[tuple, list[str]] = {}
-    for a in adds:
-        pv = a.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in part_cols)
-        groups.setdefault(key, []).append(_abs(a["path"]))
-    parts = []
-    for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
-        df = spark.read.schema(data_schema).parquet(*files)
-        for c, v in zip(part_cols, key):
-            df = df.withColumn(c, _partition_literal(v, by_type[c]))
-        parts.append(df.select(*[F.col(f.name) for f in schema.fields]))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+        out = df.select(*out_cols, *meta_cols)
+    else:
+        # Group files by partition tuple; attach typed literal partition
+        # columns per group (partition values are log metadata, not file
+        # content). Union count = |distinct partition tuples|.
+        groups: dict[tuple, list[str]] = {}
+        for a in adds:
+            pv = a.get("partitionValues") or {}
+            key = tuple(pv.get(c) for c in part_cols)
+            groups.setdefault(key, []).append(_abs(a["path"]))
+        parts = []
+        for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
+            df = spark.read.schema(data_schema).parquet(*files)
+            for c, v in zip(part_cols, key):
+                df = df.withColumn(c, _partition_literal(v, by_type[c]))
+            parts.append(df.select(*out_cols, *meta_cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+    if has_dv:
+        out = _apply_deletion_vectors(spark, out, adds, location, _abs)
     return out
+
+
+def _apply_deletion_vectors(
+    spark: SparkSession, df: DataFrame, adds: list[dict], location: str, _abs
+) -> DataFrame:
+    """Filter DV-deleted rows: decode every ``deletionVector``
+    descriptor into (data-file path, row position) tombstones and
+    anti-join on ``(_metadata.file_path, _metadata.row_index)`` — the
+    identical merge-on-read shape as Iceberg position deletes
+    (iceberg_external.py plan). Scale: descriptors are O(files) driver
+    metadata; the ROARING BITMAPS are decoded EXECUTOR-side
+    (mapInPandas over the descriptor frame, dv_codec is pure local
+    bytes), so the driver never holds a position list. Total deleted
+    cardinality is known exactly from the descriptors, so the
+    tombstone side is broadcast only when it provably fits."""
+    import pandas as pd  # noqa: F401  (executor-side decode)
+
+    rows = []
+    total_card = 0
+    for a in adds:
+        d = a.get("deletionVector")
+        if not d:
+            continue
+        rows.append(
+            (
+                _abs(a["path"]),
+                d["storageType"],
+                d["pathOrInlineDv"],
+                d.get("offset"),
+                d["sizeInBytes"],
+            )
+        )
+        total_card += d.get("cardinality") or 0
+    desc_df = spark.createDataFrame(
+        rows,
+        "path string, storageType string, pathOrInlineDv string, "
+        "offset long, sizeInBytes long",
+    )
+    if len(rows) > 1:
+        desc_df = desc_df.repartition(min(len(rows), 32))
+
+    def decode(batches):
+        import pandas as pd
+
+        from pg_datalake_spark.tables import dv_codec
+
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                pos = dv_codec.decode_descriptor_positions(
+                    {
+                        "storageType": r.storageType,
+                        "pathOrInlineDv": r.pathOrInlineDv,
+                        "offset": r.offset,
+                        "sizeInBytes": r.sizeInBytes,
+                    },
+                    location,
+                )
+                yield pd.DataFrame(
+                    {"__del_path": [r.path] * len(pos), "__del_pos": pos}
+                )
+
+    deletes = desc_df.mapInPandas(decode, "__del_path string, __del_pos long")
+    if total_card <= 4_000_000:  # ~100 MB of (path, pos) pairs
+        deletes = F.broadcast(deletes)
+    return df.join(
+        deletes,
+        (F.col("__path") == F.col("__del_path"))
+        & (F.col("__pos") == F.col("__del_pos")),
+        "left_anti",
+    ).drop("__path", "__pos")
 
 
 def delta_table_version(location: str) -> int:
@@ -350,14 +444,40 @@ def append_delta(df: DataFrame, location: str) -> int:
     return _write_commit(location, state["version"] + 1, adds)
 
 
-def delete_where_delta(spark: SparkSession, location: str, predicate: str) -> int:
-    """Copy-on-write DELETE: rewrite the active data minus matching
-    rows, commit remove tombstones for every replaced file plus the
-    rewritten adds. (The jar-based writer rewrites only files whose
-    stats overlap the predicate; this minimal writer rewrites the
+def delete_where_delta(
+    spark: SparkSession,
+    location: str,
+    predicate: str,
+    mode: str = "cow",
+    inline_threshold: int = 512,
+) -> int:
+    """DELETE matching rows.
+
+    ``mode="cow"`` — copy-on-write: rewrite the active data minus
+    matching rows, commit remove tombstones for every replaced file
+    plus the rewritten adds. (The jar-based writer rewrites only files
+    whose stats overlap the predicate; this minimal writer rewrites the
     active set — correctness-identical, and exactly what the READ path
-    must replay either way.)"""
+    must replay either way.)
+
+    ``mode="dv"`` — merge-on-read via DELETION VECTORS (PROTOCOL.md
+    "Deletion Vectors"): no data file is rewritten; each touched file's
+    ``add`` is re-committed with a ``deletionVector`` descriptor whose
+    roaring bitmap holds ALL its deleted row positions (existing DV
+    positions unioned in — descriptors replace, they don't stack).
+    Blobs ≤ ``inline_threshold`` bytes are stored inline (``"i"``,
+    Z85); larger ones are packed into one UUID-named sidecar file
+    (``"u"``) at their descriptor offsets. The commit also upgrades the
+    protocol to readerVersion 3 / writerVersion 7 with the
+    deletionVectors feature when needed. The matched-position gather is
+    a driver collect — this writer exists to exercise and oracle-check
+    the READ path offline (see module docstring); the read path itself
+    decodes DVs executor-side and scales."""
     state = _snapshot_state(spark, location, None)
+    if mode == "dv":
+        return _delete_where_dv(spark, location, state, predicate, inline_threshold)
+    if mode != "cow":
+        raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
     part_cols = list(state["metaData"].get("partitionColumns") or [])
     survivors = read_delta_table(spark, location).filter(f"NOT ({predicate})")
     adds = _stage_data_files(survivors, location, part_cols)
@@ -376,6 +496,140 @@ def delete_where_delta(spark: SparkSession, location: str, predicate: str) -> in
     return _write_commit(location, state["version"] + 1, removes + adds)
 
 
+def _delete_where_dv(
+    spark: SparkSession,
+    location: str,
+    state: dict,
+    predicate: str,
+    inline_threshold: int,
+) -> int:
+    import uuid as _uuid
+
+    import numpy as np
+
+    from pg_datalake_spark.tables import dv_codec
+
+    meta = state["metaData"]
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    data_schema = T.StructType([f for f in schema.fields if f.name not in part_cols])
+    by_type = {f.name: f.dataType for f in schema.fields}
+
+    def _abs(p: str) -> str:
+        p = urllib.parse.unquote(p)
+        return p if p.startswith("/") or "://" in p else os.path.join(location, p)
+
+    # raw per-partition-group scan (NO existing-DV filtering: already-
+    # deleted rows may re-match; the bitmap union below absorbs them)
+    groups: dict[tuple, list[str]] = {}
+    for a in state["adds"].values():
+        pv = a.get("partitionValues") or {}
+        groups.setdefault(tuple(pv.get(c) for c in part_cols), []).append(
+            _abs(a["path"])
+        )
+    parts = []
+    for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.schema(data_schema).parquet(*files)
+        for c, v in zip(part_cols, key):
+            df = df.withColumn(c, _partition_literal(v, by_type[c]))
+        parts.append(
+            df.select(
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/").alias(
+                    "__path"
+                ),
+                F.col("_metadata.row_index").alias("__pos"),
+                *[F.col(f.name) for f in schema.fields],
+            )
+        )
+    scan = parts[0]
+    for p in parts[1:]:
+        scan = scan.unionByName(p)
+    matched = scan.filter(predicate).select("__path", "__pos").collect()
+    by_file: dict[str, list[int]] = {}
+    for r in matched:
+        by_file.setdefault(r[0], []).append(r[1])
+    if not by_file:
+        return _write_commit(
+            location,
+            state["version"] + 1,
+            [{"commitInfo": {"operation": "DELETE", "timestamp": int(time.time() * 1000)}}],
+        )
+
+    abs_to_add = {_abs(a["path"]): a for a in state["adds"].values()}
+    now_ms = int(time.time() * 1000)
+    descs: dict[str, dict] = {}  # abs path -> descriptor
+    sidecar_blobs: list[bytes] = []
+    sidecar_files: list[str] = []
+    for path, new_pos in sorted(by_file.items()):
+        add = abs_to_add[path]
+        positions = np.asarray(new_pos, dtype=np.int64)
+        old = add.get("deletionVector")
+        if old:
+            positions = np.union1d(
+                positions, dv_codec.decode_descriptor_positions(old, location)
+            )
+        blob = dv_codec.serialize_dv(positions)
+        card = int(len(np.unique(positions)))
+        if len(blob) <= inline_threshold:
+            descs[path] = {
+                "storageType": "i",
+                "pathOrInlineDv": dv_codec.z85_encode(blob),
+                "sizeInBytes": len(blob),
+                "cardinality": card,
+            }
+        else:
+            sidecar_blobs.append(blob)
+            sidecar_files.append(path)
+            descs[path] = {"sizeInBytes": len(blob), "cardinality": card}
+    if sidecar_blobs:
+        u = _uuid.uuid4()
+        offsets = dv_codec.write_dv_file(
+            os.path.join(location, f"deletion_vector_{u}.bin"), sidecar_blobs
+        )
+        for path, off in zip(sidecar_files, offsets):
+            descs[path].update(
+                storageType="u",
+                pathOrInlineDv=dv_codec.make_uuid_descriptor_path(u),
+                offset=off,
+            )
+
+    actions: list[dict] = [
+        {"commitInfo": {"operation": "DELETE", "timestamp": now_ms}}
+    ]
+    proto = state["protocol"] or {}
+    if "deletionVectors" not in set(proto.get("readerFeatures") or []):
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            }
+        )
+    for path in sorted(descs):
+        add = abs_to_add[path]
+        actions.append(
+            {
+                "remove": {
+                    "path": add["path"],
+                    "deletionTimestamp": now_ms,
+                    "dataChange": True,
+                    "partitionValues": add.get("partitionValues") or {},
+                }
+            }
+        )
+        new_add = {
+            k: v
+            for k, v in add.items()
+            if k in ("path", "partitionValues", "size", "modificationTime")
+        }
+        new_add.update(dataChange=True, deletionVector=descs[path])
+        actions.append({"add": new_add})
+    return _write_commit(location, state["version"] + 1, actions)
+
+
 def write_delta_checkpoint(spark: SparkSession, location: str) -> int:
     """Materialize the classic single-file checkpoint for the current
     version (one row per action; struct columns add/metaData/protocol)
@@ -386,6 +640,15 @@ def write_delta_checkpoint(spark: SparkSession, location: str) -> int:
     proto = state["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
     meta = state["metaData"]
 
+    dv_type = T.StructType(
+        [
+            T.StructField("storageType", T.StringType()),
+            T.StructField("pathOrInlineDv", T.StringType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("sizeInBytes", T.LongType()),
+            T.StructField("cardinality", T.LongType()),
+        ]
+    )
     add_type = T.StructType(
         [
             T.StructField("path", T.StringType()),
@@ -393,6 +656,7 @@ def write_delta_checkpoint(spark: SparkSession, location: str) -> int:
             T.StructField("size", T.LongType()),
             T.StructField("modificationTime", T.LongType()),
             T.StructField("dataChange", T.BooleanType()),
+            T.StructField("deletionVector", dv_type),
         ]
     )
     meta_type = T.StructType(
@@ -419,6 +683,8 @@ def write_delta_checkpoint(spark: SparkSession, location: str) -> int:
         [
             T.StructField("minReaderVersion", T.IntegerType()),
             T.StructField("minWriterVersion", T.IntegerType()),
+            T.StructField("readerFeatures", T.ArrayType(T.StringType())),
+            T.StructField("writerFeatures", T.ArrayType(T.StringType())),
         ]
     )
     cp_schema = T.StructType(
@@ -429,7 +695,16 @@ def write_delta_checkpoint(spark: SparkSession, location: str) -> int:
         ]
     )
     rows: list[tuple] = [
-        (None, None, (proto.get("minReaderVersion", 1), proto.get("minWriterVersion", 2))),
+        (
+            None,
+            None,
+            (
+                proto.get("minReaderVersion", 1),
+                proto.get("minWriterVersion", 2),
+                proto.get("readerFeatures"),
+                proto.get("writerFeatures"),
+            ),
+        ),
         (
             None,
             (
@@ -445,6 +720,7 @@ def write_delta_checkpoint(spark: SparkSession, location: str) -> int:
     ]
     for path in sorted(state["adds"]):
         a = state["adds"][path]
+        dv = a.get("deletionVector")
         rows.append(
             (
                 (
@@ -453,6 +729,15 @@ def write_delta_checkpoint(spark: SparkSession, location: str) -> int:
                     a.get("size"),
                     a.get("modificationTime"),
                     bool(a.get("dataChange", True)),
+                    (
+                        dv["storageType"],
+                        dv["pathOrInlineDv"],
+                        dv.get("offset"),
+                        dv["sizeInBytes"],
+                        dv.get("cardinality"),
+                    )
+                    if dv
+                    else None,
                 ),
                 None,
                 None,

@@ -3,9 +3,11 @@
 The public Delta protocol behaviors a reader must honor: last-add-wins
 replay with remove tombstones, checkpoint seeding + tail replay,
 VERSION AS OF time travel, partition values restored (typed, nullable)
-from the log rather than the data files, URL-encoded paths, and
-fail-loud gating of reader features this implementation does not
-support (deletion vectors, column mapping, reader protocol > 2).
+from the log rather than the data files, URL-encoded paths, DELETION
+VECTORS (r8: inline + sidecar storage, stacked-delete union semantics,
+checkpoint carriage), and fail-loud gating of reader features this
+implementation does not support (column mapping, unknown
+reader-version-3 features).
 """
 
 from __future__ import annotations
@@ -88,7 +90,61 @@ def test_null_partition_value_and_encoded_path(spark, tmp_path):
     assert any("%20" in p or "a b" in p for p in adds)
 
 
-def test_deletion_vector_fails_loud(spark, delta_orders):
+def test_deletion_vector_delete_inline_and_sidecar(spark, delta_orders):
+    """r8: DV merge-on-read — mode='dv' rewrites NO data file; the read
+    path applies the roaring-bitmap tombstones via the position
+    anti-join. First delete forces a sidecar file ('u' storage), the
+    second stacks an inline ('i') union on top of it."""
+    loc, orders = delta_orders
+    data_files_before = {
+        p for p in dl._snapshot_state(spark, loc, None)["adds"]
+    }
+    dl.delete_where_delta(spark, loc, "o_orderkey % 7 = 0", mode="dv",
+                          inline_threshold=0)
+    state = dl._snapshot_state(spark, loc, None)
+    assert set(state["adds"]) == data_files_before  # no data file rewritten
+    dvs = [a["deletionVector"] for a in state["adds"].values()
+           if a.get("deletionVector")]
+    assert dvs and all(d["storageType"] == "u" for d in dvs)
+    exp1 = orders.filter("o_orderkey % 7 <> 0")
+    got1 = dl.read_delta_table(spark, loc)
+    assert got1.count() == exp1.count()
+    assert got1.exceptAll(exp1).count() == 0
+
+    # stacked DV delete with a huge inline threshold -> 'i' descriptors,
+    # positions unioned with the existing sidecar bitmaps
+    dl.delete_where_delta(spark, loc, "o_orderkey % 5 = 0", mode="dv",
+                          inline_threshold=1 << 20)
+    state2 = dl._snapshot_state(spark, loc, None)
+    assert any(
+        a.get("deletionVector", {}).get("storageType") == "i"
+        for a in state2["adds"].values()
+    )
+    exp2 = orders.filter("o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0")
+    got2 = dl.read_delta_table(spark, loc)
+    assert got2.count() == exp2.count()
+    assert got2.exceptAll(exp2).count() == 0
+    # time travel back across both DV commits
+    assert dl.read_delta_table(spark, loc, version_as_of=2).count() == exp1.count()
+    assert dl.read_delta_table(spark, loc, version_as_of=1).count() == orders.count()
+
+
+def test_deletion_vector_survives_checkpoint(spark, delta_orders):
+    loc, orders = delta_orders
+    dl.delete_where_delta(spark, loc, "o_orderkey % 3 = 0", mode="dv")
+    dl.write_delta_checkpoint(spark, loc)
+    dl.append_delta(orders.filter("o_orderkey % 100 = 0"), loc)
+    exp = orders.filter("o_orderkey % 3 <> 0").count() + orders.filter(
+        "o_orderkey % 100 = 0"
+    ).count()
+    # checkpoint seed must carry the deletionVector structs + protocol
+    # features, or deleted rows would silently resurrect
+    assert dl.read_delta_table(spark, loc).count() == exp
+    state = dl._snapshot_state(spark, loc, None)
+    assert "deletionVectors" in set(state["protocol"].get("readerFeatures") or [])
+
+
+def test_corrupt_deletion_vector_fails_loud(spark, delta_orders):
     loc, _ = delta_orders
     state = dl._snapshot_state(spark, loc, None)
     some_path = next(iter(state["adds"]))
@@ -99,17 +155,22 @@ def test_deletion_vector_fails_loud(spark, delta_orders):
             {
                 "add": {
                     "path": some_path,
-                    "partitionValues": {},
+                    "partitionValues": {"o_orderstatus": "O"},
                     "size": 1,
                     "modificationTime": 0,
                     "dataChange": True,
-                    "deletionVector": {"storageType": "u", "pathOrInlineDv": "x"},
+                    "deletionVector": {
+                        "storageType": "z",  # unknown storage
+                        "pathOrInlineDv": "x",
+                        "sizeInBytes": 1,
+                        "cardinality": 1,
+                    },
                 }
             }
         ],
     )
-    with pytest.raises(NotImplementedError, match="deletion vectors"):
-        dl.read_delta_table(spark, loc)
+    with pytest.raises(Exception, match="storageType"):
+        dl.read_delta_table(spark, loc).count()
 
 
 def test_unsupported_reader_protocol_fails_loud(spark, delta_orders):
@@ -118,7 +179,7 @@ def test_unsupported_reader_protocol_fails_loud(spark, delta_orders):
     dl._write_commit(
         loc,
         state["version"] + 1,
-        [{"protocol": {"minReaderVersion": 3, "readerFeatures": ["deletionVectors"]}}],
+        [{"protocol": {"minReaderVersion": 3, "readerFeatures": ["typeWidening"]}}],
     )
     with pytest.raises(NotImplementedError, match="reader protocol"):
         dl.read_delta_table(spark, loc)

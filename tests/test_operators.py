@@ -563,6 +563,28 @@ def test_exact_substring_spans_overlap_union(spark):
     assert got[2].dup_tokens == 9
 
 
+def test_exact_substring_hash_grams_equivalent_on_corpus(spark):
+    """r8: the 100 TB shuffle-width option (xxhash64 gram hashing)
+    must produce the IDENTICAL span census as the exact-string path
+    on the real documents corpus — collisions are a 2^-64 event, so
+    any difference here is a bug, not bad luck."""
+    from pg_datalake_spark.catalog import load_tables
+    from pg_datalake_spark.operators.dedup import exact_substring_spans
+    from tests.conftest import SF_DIR
+
+    docs = load_tables(spark, SF_DIR, ["documents"])["documents"].select(
+        "doc_id", "text"
+    )
+    exact = sorted(
+        tuple(r) for r in exact_substring_spans(docs, "doc_id").collect()
+    )
+    hashed = sorted(
+        tuple(r)
+        for r in exact_substring_spans(docs, "doc_id", hash_grams=True).collect()
+    )
+    assert exact and exact == hashed
+
+
 def test_quality_tier_sample_invariants(spark):
     from pg_datalake_spark.operators.sampling import quality_tier_sample
 

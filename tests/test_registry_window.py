@@ -58,14 +58,16 @@ WINDOW_MANIFEST = [
     "geo01_geo02_geo03_spatial",
     "ds36_ds51_ds67_ds04_ds39_shapes",
     "x09_weighted_sample",
-    # 7 lake-table DML/maintenance rows
+    # 7 lake-table DML/maintenance/format rows (r8: the lake08 slot
+    # widened in place to the four-arm table-format suite — external
+    # Iceberg + Delta log reader + spec-bucket + deletion vectors)
     "lake01_mor_delete_agg",
     "lake02_partition_metadata_delete",
     "lake04_update_agg",
     "lake05_compaction_preserves",
     "lake06_merge",
     "lake07_add_files",
-    "lake08_external_iceberg",
+    "lake08_lake09_lake10_lake12_formats",
     # 5 sources/streaming rows
     "src01_src02_src03_file_roundtrips",
     "st01_incremental_ingest",
