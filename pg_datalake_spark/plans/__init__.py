@@ -34,4 +34,5 @@ def load_all() -> None:
         tpcds,
         streaming_extra,
         delta_q,
+        sources_extra,
     )

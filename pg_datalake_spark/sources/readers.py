@@ -68,20 +68,22 @@ def read_files(
     - gzip/zstd are transparent to Spark's text sources.
     """
     if path.startswith("hf://"):
-        # Hugging Face datasets (reference: docs/file-formats-reference.md:96-183
-        # reads hf:// URLs through its engine's httpfs). Spark has no
-        # hf:// filesystem; the two working cluster patterns are
-        # (a) huggingface_hub.snapshot_download -> read the local/objstore
-        #     copy with this same function, or
-        # (b) datasets.load_dataset(..).data -> Arrow ->
-        #     spark.createDataFrame.
-        # Offline this runtime has neither library - fail loud with the
-        # recipe instead of a resolver stack.
-        raise NotImplementedError(
-            "hf:// paths need huggingface_hub (snapshot_download, then "
-            "read_files on the downloaded dir) or datasets (Arrow -> "
-            "createDataFrame); neither is available in this runtime"
-        )
+        # Hugging Face datasets (reference: docs/file-formats-reference.md:158-183
+        # reads hf:// URLs through its engine's httpfs). REAL offline
+        # since r8: sources/hf_reader.py resolves the URL against the
+        # public huggingface_hub snapshot-cache layout (refs ->
+        # snapshots/{commit}, shard-name convention) and plans a plain
+        # distributed read over the shard list. A repo absent from the
+        # local cache still fails loud with the snapshot_download
+        # recipe — resolving is offline, downloading is not.
+        from pg_datalake_spark.sources.hf_reader import read_hf_dataset
+
+        hf_keys = {"config", "split", "cache_dir"}
+        hf_opts = {k: options.pop(k) for k in list(options) if k in hf_keys}
+        df = read_hf_dataset(spark, path, **hf_opts, **options)
+        if filename:
+            df = df.withColumn("_filename", F.col("_metadata.file_path"))
+        return df
     fmt = fmt or infer_format(path)[0]
     reader = spark.read
     if schema is not None:

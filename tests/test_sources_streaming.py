@@ -255,15 +255,99 @@ def test_delta_scan_dispatch(spark, tmp_path):
     assert {r["id"] for r in back.collect()} == set(range(10))
 
 
-def test_hf_scheme_fails_loud(spark):
-    """hf:// URLs (reference reads them via httpfs) surface the
-    documented recipe, never a filesystem-resolver stack."""
-    import pytest
+def _hf_fixture(spark, root, org="acme", name="docs"):
+    """Build a huggingface_hub-layout snapshot cache: refs/main ->
+    snapshots/<commit> with convention-named parquet/csv shards."""
+    import os
 
+    commit = "0123456789abcdef0123456789abcdef01234567"
+    repo = os.path.join(str(root), f"datasets--{org}--{name}")
+    snap = os.path.join(repo, "snapshots", commit)
+    os.makedirs(os.path.join(repo, "refs"))
+    with open(os.path.join(repo, "refs", "main"), "w") as fh:
+        fh.write(commit + "\n")
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    train = df.filter("id % 5 != 0")
+    test = df.filter("id % 5 = 0")
+    os.makedirs(os.path.join(snap, "default"))
+    for i, part in enumerate(train.randomSplit([0.5, 0.5], seed=7)):
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(snap, "_stage")
+        )
+        import glob as g
+
+        src = g.glob(os.path.join(snap, "_stage", "*.parquet"))[0]
+        os.replace(
+            src, os.path.join(snap, "default", f"train-{i:05d}-of-00002.parquet")
+        )
+    test.coalesce(1).write.mode("overwrite").parquet(os.path.join(snap, "_stage"))
+    import glob as g
+
+    src = g.glob(os.path.join(snap, "_stage", "*.parquet"))[0]
+    os.replace(src, os.path.join(snap, "default", "test-00000-of-00001.parquet"))
+    # a second config with a csv shard (mixed-format guard material)
+    os.makedirs(os.path.join(snap, "alt"))
+    with open(os.path.join(snap, "alt", "train.csv"), "w") as fh:
+        fh.write("id,v\n1,10\n2,20\n")
+    return str(root), df, train, test
+
+
+def test_hf_offline_snapshot_read(spark, tmp_path):
+    """r8: hf:// resolves against the PUBLIC huggingface_hub snapshot
+    cache layout — refs/main indirection, shard-name convention,
+    config/split filtering — with no network and no hf libraries."""
     from pg_datalake_spark.sources.readers import read_files
 
-    with pytest.raises(NotImplementedError, match="huggingface_hub"):
-        read_files(spark, "hf://datasets/foo/bar/train.parquet")
+    cache, df, train, test = _hf_fixture(spark, tmp_path)
+    got_train = read_files(
+        spark, "hf://datasets/acme/docs", split="train", config="default",
+        cache_dir=cache,
+    )
+    assert got_train.count() == train.count()
+    assert {r.id for r in got_train.collect()} == {r.id for r in train.collect()}
+    got_test = read_files(
+        spark, "hf://acme/docs", split="test", config="default", cache_dir=cache
+    )  # shorthand URL form
+    assert {r.id for r in got_test.collect()} == {r.id for r in test.collect()}
+    # explicit path-in-repo read + pinned revision ref
+    one = read_files(
+        spark,
+        "hf://datasets/acme/docs@main/default/test-00000-of-00001.parquet",
+        cache_dir=cache,
+    )
+    assert one.count() == test.count()
+    # csv config reads through the csv reader
+    alt = read_files(
+        spark, "hf://datasets/acme/docs", config="alt", cache_dir=cache
+    )
+    assert alt.count() == 2 and set(alt.columns) == {"id", "v"}
+
+
+def test_hf_offline_failure_modes(spark, tmp_path):
+    import pytest
+
+    from pg_datalake_spark.sources.hf_reader import parse_hf_url
+    from pg_datalake_spark.sources.readers import read_files
+
+    cache, *_ = _hf_fixture(spark, tmp_path)
+    # repo not in cache -> loud recipe, not a resolver stack
+    with pytest.raises(FileNotFoundError, match="snapshot_download"):
+        read_files(spark, "hf://datasets/foo/bar", cache_dir=cache)
+    # unknown revision -> loud, lists what's cached
+    with pytest.raises(FileNotFoundError, match="snapshots present"):
+        read_files(spark, "hf://datasets/acme/docs@deadbeef", cache_dir=cache)
+    # no matching split -> loud, lists what exists
+    with pytest.raises(FileNotFoundError, match="no data shards"):
+        read_files(
+            spark, "hf://datasets/acme/docs", split="validation", cache_dir=cache
+        )
+    # mixed formats across configs -> must disambiguate
+    with pytest.raises(ValueError, match="mixed shard formats"):
+        read_files(spark, "hf://datasets/acme/docs", split="train", cache_dir=cache)
+    u = parse_hf_url("hf://datasets/a/b@rev/path/file.parquet")
+    assert (u.org, u.name, u.revision, u.path_in_repo) == (
+        "a", "b", "rev", "path/file.parquet"
+    )
 
 
 def test_csv_roundtrip_unicode_quotes_newlines(spark, tmp_path):
