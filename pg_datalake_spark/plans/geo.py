@@ -904,3 +904,143 @@ def geo10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("sum_xm"), F.lit(0)).alias("sum_xm"),
         F.coalesce(F.col("sum_ym"), F.lit(0)).alias("sum_ym"),
     )
+
+
+@register(
+    "geo11_vincenty",
+    oracle="""
+    WITH RECURSIVE pts AS (
+      SELECT c_custkey,
+             CAST(c_custkey % 160 AS DOUBLE) - 80.0 + 0.25 AS lat,
+             CAST((c_custkey * 7) % 360 AS DOUBLE) - 180.0 + 0.5 AS lon
+      FROM customer WHERE c_custkey % 97 = 0
+    ),
+    anchors(aname, alat, alon) AS (
+      VALUES ('alpha', 51.5, -0.1), ('beta', 40.7, -74.0),
+             ('gamma', -33.9, 151.2), ('delta', 35.7, 139.7)
+    ),
+    base AS (
+      SELECT c_custkey, aname,
+             atan((1 - 1.0/298.257223563) * tan(radians(lat)))  AS u1,
+             atan((1 - 1.0/298.257223563) * tan(radians(alat))) AS u2,
+             radians(alon - lon) AS big_l
+      FROM pts CROSS JOIN anchors
+    ),
+    it AS (
+      SELECT c_custkey, aname, u1, u2, big_l,
+             big_l AS lam, CAST('inf' AS DOUBLE) AS prev, 0 AS i
+      FROM base
+      UNION ALL
+      SELECT c_custkey, aname, u1, u2, big_l,
+             big_l + (1 - c) * (1.0/298.257223563) * sin_alpha * (sigma
+               + c * sin_sigma * (cos_2sm
+                 + c * cos_sigma * (-1 + 2 * cos_2sm * cos_2sm))) AS lam2,
+             lam AS prev2, i + 1
+      FROM (
+        SELECT *,
+          sqrt((cos(u2) * sin(lam)) * (cos(u2) * sin(lam))
+             + (cos(u1) * sin(u2) - sin(u1) * cos(u2) * cos(lam))
+             * (cos(u1) * sin(u2) - sin(u1) * cos(u2) * cos(lam))) AS sin_sigma,
+          sin(u1) * sin(u2) + cos(u1) * cos(u2) * cos(lam) AS cos_sigma,
+          atan2(sin_sigma, cos_sigma) AS sigma,
+          CASE WHEN sin_sigma = 0 THEN 0.0
+               ELSE cos(u1) * cos(u2) * sin(lam) / sin_sigma END AS sin_alpha,
+          1 - sin_alpha * sin_alpha AS cos2_alpha,
+          CASE WHEN cos2_alpha = 0 THEN 0.0
+               ELSE cos_sigma - 2 * sin(u1) * sin(u2) / cos2_alpha END AS cos_2sm,
+          (1.0/298.257223563) / 16 * cos2_alpha
+            * (4 + (1.0/298.257223563) * (4 - 3 * cos2_alpha)) AS c
+        FROM it WHERE i < 8
+      )
+    ),
+    fin AS (
+      SELECT c_custkey, aname,
+        CASE WHEN sin_sigma = 0 THEN 0.0
+             WHEN abs(lam - prev) > 1e-11 THEN NULL
+             ELSE 6356752.314245179 * big_a * (sigma - d_sigma) END AS dist,
+        CASE WHEN sin_sigma <> 0 AND abs(lam - prev) > 1e-11
+             THEN 1 ELSE 0 END AS fb
+      FROM (
+        SELECT *,
+          sqrt((cos(u2) * sin(lam)) * (cos(u2) * sin(lam))
+             + (cos(u1) * sin(u2) - sin(u1) * cos(u2) * cos(lam))
+             * (cos(u1) * sin(u2) - sin(u1) * cos(u2) * cos(lam))) AS sin_sigma,
+          sin(u1) * sin(u2) + cos(u1) * cos(u2) * cos(lam) AS cos_sigma,
+          atan2(sin_sigma, cos_sigma) AS sigma,
+          CASE WHEN sin_sigma = 0 THEN 0.0
+               ELSE cos(u1) * cos(u2) * sin(lam) / sin_sigma END AS sin_alpha,
+          1 - sin_alpha * sin_alpha AS cos2_alpha,
+          CASE WHEN cos2_alpha = 0 THEN 0.0
+               ELSE cos_sigma - 2 * sin(u1) * sin(u2) / cos2_alpha END AS cos_2sm,
+          cos2_alpha * ((6378137.0 * 6378137.0
+              - 6356752.314245179 * 6356752.314245179)
+            / (6356752.314245179 * 6356752.314245179)) AS usq,
+          1 + usq / 16384 * (4096 + usq * (-768 + usq * (320 - 175 * usq))) AS big_a,
+          usq / 1024 * (256 + usq * (-128 + usq * (74 - 47 * usq))) AS big_b,
+          big_b * sin_sigma * (cos_2sm + big_b / 4 * (cos_sigma
+              * (-1 + 2 * cos_2sm * cos_2sm)
+            - big_b / 6 * cos_2sm * (-3 + 4 * sin_sigma * sin_sigma)
+              * (-3 + 4 * cos_2sm * cos_2sm))) AS d_sigma
+        FROM it WHERE i = 8
+      )
+    )
+    SELECT aname, count(*) AS n,
+           CAST(sum(CAST(round(dist * 1000) AS BIGINT)) AS BIGINT) AS sum_mm,
+           CAST(min(CAST(round(dist * 1000) AS BIGINT)) AS BIGINT) AS min_mm,
+           CAST(max(CAST(round(dist * 1000) AS BIGINT)) AS BIGINT) AS max_mm,
+           CAST(sum(fb) AS BIGINT) AS n_fallback
+    FROM fin GROUP BY aname
+    """,
+)
+def geo11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full VINCENTY spheroid distance, hash-checked to the WHOLE
+    MILLIMETER (r8, judge task #7 — the geodesic-exactness upgrade
+    over geo07's sphere/Lambert tier; reference:
+    shippable_spatial_functions.c st_distance_spheroid, GEOS-exact).
+    Spark runs the bounded 8-step ``F.aggregate`` fold
+    (functions/spatial.py st_distance_vincenty); DuckDB replays the
+    IDENTICAL iteration as a recursive CTE with textually mirrored
+    arithmetic — two independent engines running Vincenty's fixed
+    point must land on the same millimeter for every customer-anchor
+    pair. ``n_fallback`` pins the non-convergence guard to zero on
+    both sides (no anchor pair is near-antipodal). Subset keyed
+    ``c_custkey % 97`` keeps the pair count modest so a last-ulp libm
+    divergence cannot realistically straddle a rounding boundary."""
+    from pg_datalake_spark.functions import spatial as S
+
+    t = load_tables(spark, sf_dir, ["customer"])
+    pts = t["customer"].filter(F.col("c_custkey") % 97 == 0).select(
+        "c_custkey",
+        ((F.col("c_custkey") % 160).cast("double") - 80.0 + 0.25).alias("lat"),
+        (((F.col("c_custkey") * 7) % 360).cast("double") - 180.0 + 0.5).alias("lon"),
+    )
+    anchors = spark.createDataFrame(
+        [("alpha", 51.5, -0.1), ("beta", 40.7, -74.0),
+         ("gamma", -33.9, 151.2), ("delta", 35.7, 139.7)],
+        "aname string, alat double, alon double",
+    )
+    d = pts.crossJoin(F.broadcast(anchors)).select(
+        "c_custkey",
+        "aname",
+        S.st_distance_vincenty(
+            F.col("lon"), F.col("lat"), F.col("alon"), F.col("alat")
+        ).alias("dist"),
+        S.st_distance_spheroid(
+            F.col("lon"), F.col("lat"), F.col("alon"), F.col("alat")
+        ).alias("lambert"),
+    ).select(
+        "aname",
+        F.round(F.col("dist") * 1000).cast("long").alias("mm"),
+        # the guard fell back iff the two values agree exactly AND the
+        # pair is long-haul (Lambert == Vincenty only there); pin to 0
+        ((F.col("dist") == F.col("lambert")) & (F.col("dist") > 0))
+        .cast("int")
+        .alias("fb"),
+    )
+    return d.groupBy("aname").agg(
+        F.count("*").alias("n"),
+        F.sum("mm").cast("long").alias("sum_mm"),
+        F.min("mm").cast("long").alias("min_mm"),
+        F.max("mm").cast("long").alias("max_mm"),
+        F.sum("fb").cast("long").alias("n_fallback"),
+    )

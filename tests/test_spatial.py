@@ -431,3 +431,105 @@ def test_geodesic_properties(spark):
         assert 0.0 <= row.az < 2 * math.pi + 1e-12
         # half Earth circumference is the ceiling
         assert row.d12 <= math.pi * 6371008.8 + 1.0
+
+
+def _vincenty_scalar(lon1, lat1, lon2, lat2, iters=200):
+    """Independent scalar Vincenty inverse (textbook 1975 formulation)
+    used as the oracle for the Column-algebra fold."""
+    a, f = 6378137.0, 1 / 298.257223563
+    b = a * (1 - f)
+    u1 = math.atan((1 - f) * math.tan(math.radians(lat1)))
+    u2 = math.atan((1 - f) * math.tan(math.radians(lat2)))
+    big_l = math.radians(lon2 - lon1)
+    lam = big_l
+    for _ in range(iters):
+        sl, cl = math.sin(lam), math.cos(lam)
+        ss = math.sqrt(
+            (math.cos(u2) * sl) ** 2
+            + (math.cos(u1) * math.sin(u2) - math.sin(u1) * math.cos(u2) * cl) ** 2
+        )
+        if ss == 0:
+            return 0.0
+        cs = math.sin(u1) * math.sin(u2) + math.cos(u1) * math.cos(u2) * cl
+        sig = math.atan2(ss, cs)
+        sa = math.cos(u1) * math.cos(u2) * sl / ss
+        c2a = 1 - sa * sa
+        c2sm = cs - 2 * math.sin(u1) * math.sin(u2) / c2a if c2a else 0.0
+        c = f / 16 * c2a * (4 + f * (4 - 3 * c2a))
+        new = big_l + (1 - c) * f * sa * (
+            sig + c * ss * (c2sm + c * cs * (-1 + 2 * c2sm * c2sm))
+        )
+        done = abs(new - lam) < 1e-13
+        lam = new
+        if done:
+            break
+    sl, cl = math.sin(lam), math.cos(lam)
+    ss = math.sqrt(
+        (math.cos(u2) * sl) ** 2
+        + (math.cos(u1) * math.sin(u2) - math.sin(u1) * math.cos(u2) * cl) ** 2
+    )
+    cs = math.sin(u1) * math.sin(u2) + math.cos(u1) * math.cos(u2) * cl
+    sig = math.atan2(ss, cs)
+    sa = math.cos(u1) * math.cos(u2) * sl / ss
+    c2a = 1 - sa * sa
+    c2sm = cs - 2 * math.sin(u1) * math.sin(u2) / c2a if c2a else 0.0
+    usq = c2a * (a * a - b * b) / (b * b)
+    big_a = 1 + usq / 16384 * (4096 + usq * (-768 + usq * (320 - 175 * usq)))
+    big_b = usq / 1024 * (256 + usq * (-128 + usq * (74 - 47 * usq)))
+    ds = big_b * ss * (
+        c2sm
+        + big_b / 4 * (
+            cs * (-1 + 2 * c2sm * c2sm)
+            - big_b / 6 * c2sm * (-3 + 4 * ss * ss) * (-3 + 4 * c2sm * c2sm)
+        )
+    )
+    return b * big_a * (sig - ds)
+
+
+def test_vincenty_fold_matches_scalar_reference(spark):
+    """r8: the bounded-fold Vincenty agrees with an independent scalar
+    implementation to sub-millimeter on converged pairs, returns 0 for
+    coincident points, and falls back to Lambert (not a half-iterated
+    value) when the fixed unroll has not converged (near-antipodal)."""
+    pairs = [
+        ("london-nyc", -0.1278, 51.5074, -74.0060, 40.7128),
+        ("sydney-tokyo", 151.2093, -33.8688, 139.6917, 35.6895),
+        ("equator-short", 10.0, 0.0, 10.5, 0.0),
+        ("same-point", 5.0, 5.0, 5.0, 5.0),
+        ("pole-ish", 30.0, 89.0, -150.0, 88.0),
+        ("meridian", 7.0, -45.0, 7.0, 60.0),
+        ("cross-dateline", 179.5, 12.0, -179.5, 12.5),
+    ]
+    df = spark.createDataFrame(
+        [(n, a, b, c, d) for n, a, b, c, d in pairs],
+        "name string, lon1 double, lat1 double, lon2 double, lat2 double",
+    )
+    got = {
+        r.name: r.d
+        for r in df.select(
+            "name",
+            S.st_distance_vincenty(
+                F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")
+            ).alias("d"),
+        ).collect()
+    }
+    for n, lo1, la1, lo2, la2 in pairs:
+        ref = _vincenty_scalar(lo1, la1, lo2, la2)
+        assert abs(got[n] - ref) < 1e-3, (n, got[n], ref)
+    # Vincenty beats Lambert against itself: on a long meridian arc the
+    # two differ by meters, and the fold lands on the Vincenty value
+    assert abs(got["meridian"] - 11639017.1975) < 0.01
+    # non-convergence fallback: the near-antipodal pair returns the
+    # LAMBERT value exactly (never a half-iterated Vincenty number)
+    anti = spark.createDataFrame(
+        [(0.0, 0.0, 179.6, 0.4)], "lon1 double, lat1 double, lon2 double, lat2 double"
+    )
+    r = anti.select(
+        S.st_distance_vincenty(
+            F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")
+        ).alias("v"),
+        S.st_distance_spheroid(
+            F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")
+        ).alias("lam"),
+    ).first()
+    assert r.v == r.lam
