@@ -185,8 +185,13 @@ def _check_protocol(state: dict) -> None:
             "delta-spark jars (spark.jars.packages=io.delta:delta-spark_2.13:...)"
         )
     conf = (state["metaData"] or {}).get("configuration") or {}
-    if conf.get("delta.columnMapping.mode", "none") != "none":
-        raise NotImplementedError("Delta column mapping is not supported offline")
+    cm = conf.get("delta.columnMapping.mode", "none")
+    if cm not in ("none", "name"):
+        raise NotImplementedError(
+            f"Delta column mapping mode {cm!r} is not supported offline — "
+            "'id' mode matches columns by parquet field id, which needs the "
+            "delta-spark jars; 'name' mode is fully supported"
+        )
 
 
 def _partition_literal(value: str | None, dtype: T.DataType):
@@ -196,6 +201,66 @@ def _partition_literal(value: str | None, dtype: T.DataType):
     if value is None:
         return F.lit(None).cast(dtype)
     return F.lit(value).cast(dtype)
+
+
+def _scan_plan(meta: dict):
+    """Shared scan planning for the reader and the DV-delete scan:
+    logical schema, partition columns, and — under COLUMN MAPPING
+    (r8; PROTOCOL.md "Column Mapping", mode "name", where data files
+    store columns as per-field ``physicalName`` col-<uuid> metadata
+    while the log speaks logical names) — the PHYSICAL read schema
+    plus the one projection that maps back (a cast-by-position renames
+    nested struct fields for free). Mode "id" stays fail-loud in
+    _check_protocol. Returns (schema, part_cols, by_type, phys,
+    data_schema, out_cols)."""
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    part_cols = list(meta.get("partitionColumns") or [])
+    by_type = {f.name: f.dataType for f in schema.fields}
+    cm_mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
+
+    def _phys_of(f: T.StructField) -> str:
+        if cm_mode == "none":
+            return f.name
+        pn = (f.metadata or {}).get("delta.columnMapping.physicalName")
+        if not pn:
+            raise ValueError(
+                f"column mapping mode {cm_mode!r} but field {f.name!r} has no "
+                "delta.columnMapping.physicalName metadata"
+            )
+        return pn
+
+    def _physicalize(dt: T.DataType) -> T.DataType:
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [
+                    T.StructField(_phys_of(f), _physicalize(f.dataType), f.nullable)
+                    for f in dt.fields
+                ]
+            )
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(_physicalize(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                _physicalize(dt.keyType), _physicalize(dt.valueType),
+                dt.valueContainsNull,
+            )
+        return dt
+
+    phys = {f.name: _phys_of(f) for f in schema.fields}
+    data_schema = T.StructType(
+        [
+            T.StructField(phys[f.name], _physicalize(f.dataType), f.nullable)
+            for f in schema.fields
+            if f.name not in part_cols
+        ]
+    )
+    out_cols = [
+        F.col(f.name)
+        if f.name in part_cols
+        else F.col(phys[f.name]).cast(f.dataType).alias(f.name)
+        for f in schema.fields
+    ]
+    return schema, part_cols, by_type, phys, data_schema, out_cols
 
 
 def read_delta_table(
@@ -223,11 +288,7 @@ def read_delta_table(
         version_as_of = version_at_timestamp(spark, location, timestamp_as_of_ms)
     state = _snapshot_state(spark, location, version_as_of)
     meta = state["metaData"]
-    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    part_cols = list(meta.get("partitionColumns") or [])
-    data_schema = T.StructType([f for f in schema.fields if f.name not in part_cols])
-    by_type = {f.name: f.dataType for f in schema.fields}
-
+    schema, part_cols, by_type, phys, data_schema, out_cols = _scan_plan(meta)
     adds = list(state["adds"].values())
     if not adds:
         return spark.createDataFrame([], schema)
@@ -237,7 +298,6 @@ def read_delta_table(
         return p if p.startswith("/") or "://" in p else os.path.join(location, p)
 
     has_dv = any(a.get("deletionVector") for a in adds)
-    out_cols = [F.col(f.name) for f in schema.fields]
     meta_cols = (
         [
             # normalized data-file path + in-file row position, the
@@ -257,11 +317,12 @@ def read_delta_table(
     else:
         # Group files by partition tuple; attach typed literal partition
         # columns per group (partition values are log metadata, not file
-        # content). Union count = |distinct partition tuples|.
+        # content; keys are PHYSICAL names under column mapping).
+        # Union count = |distinct partition tuples|.
         groups: dict[tuple, list[str]] = {}
         for a in adds:
             pv = a.get("partitionValues") or {}
-            key = tuple(pv.get(c) for c in part_cols)
+            key = tuple(pv.get(phys[c], pv.get(c)) for c in part_cols)
             groups.setdefault(key, []).append(_abs(a["path"]))
         parts = []
         for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
@@ -415,32 +476,85 @@ def _stage_data_files(
 
 
 def write_delta_table(
-    df: DataFrame, location: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    location: str,
+    partition_by: list[str] | None = None,
+    column_mapping: bool = False,
 ) -> int:
     """Create a Delta table at ``location`` (commit 0: protocol +
-    metaData + adds). Returns the committed version."""
+    metaData + adds). Returns the committed version.
+
+    ``column_mapping=True`` (r8) creates the table in column-mapping
+    mode "name": every field gets ``delta.columnMapping.id`` /
+    ``physicalName`` (col-<hex>) metadata, the DATA FILES are written
+    under the physical names (hive partition dirs included), and the
+    protocol advances to reader 2 / writer 5 — the exact shape modern
+    writers emit, so the reader's logical↔physical projection is
+    exercised end-to-end offline."""
     os.makedirs(location, exist_ok=True)
+    configuration: dict[str, str] = {}
+    proto_ver = {"minReaderVersion": 1, "minWriterVersion": 2}
+    schema = df.schema
+    if column_mapping:
+        phys = {f.name: f"col-{uuid.uuid4().hex[:12]}" for f in schema.fields}
+        schema = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    f.dataType,
+                    f.nullable,
+                    {
+                        "delta.columnMapping.id": i + 1,
+                        "delta.columnMapping.physicalName": phys[f.name],
+                    },
+                )
+                for i, f in enumerate(schema.fields)
+            ]
+        )
+        configuration = {
+            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.maxColumnId": str(len(schema.fields)),
+        }
+        proto_ver = {"minReaderVersion": 2, "minWriterVersion": 5}
+        df = df.select(
+            *[F.col(f.name).alias(phys[f.name]) for f in df.schema.fields]
+        )
+        stage_partition_by = [phys[c] for c in (partition_by or [])]
+    else:
+        stage_partition_by = list(partition_by or [])
     meta = {
         "metaData": {
             "id": str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
-            "schemaString": df.schema.json(),
+            "schemaString": schema.json(),
             "partitionColumns": partition_by or [],
-            "configuration": {},
+            "configuration": configuration,
             "createdTime": int(time.time() * 1000),
         }
     }
-    proto = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-    adds = _stage_data_files(df, location, partition_by)
+    proto = {"protocol": proto_ver}
+    adds = _stage_data_files(df, location, stage_partition_by)
     return _write_commit(location, 0, [proto, meta, *adds])
+
+
+def _physical_stage_args(meta: dict, df: DataFrame) -> tuple[DataFrame, list[str]]:
+    """Rename ``df`` to physical column names and return the physical
+    partition list — identity when the table has no column mapping."""
+    _schema, part_cols, _bt, phys, _ds, _oc = _scan_plan(meta)
+    if all(phys[c] == c for c in phys):
+        return df, part_cols
+    return (
+        df.select(*[F.col(c).alias(phys[c]) for c in df.columns]),
+        [phys[c] for c in part_cols],
+    )
 
 
 def append_delta(df: DataFrame, location: str) -> int:
     """Append commit: new add actions only."""
     spark = df.sparkSession
     state = _snapshot_state(spark, location, None)
-    part_cols = list(state["metaData"].get("partitionColumns") or [])
-    adds = _stage_data_files(df, location, part_cols)
+    staged, part_phys = _physical_stage_args(state["metaData"], df)
+    adds = _stage_data_files(staged, location, part_phys)
     return _write_commit(location, state["version"] + 1, adds)
 
 
@@ -478,9 +592,9 @@ def delete_where_delta(
         return _delete_where_dv(spark, location, state, predicate, inline_threshold)
     if mode != "cow":
         raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
-    part_cols = list(state["metaData"].get("partitionColumns") or [])
     survivors = read_delta_table(spark, location).filter(f"NOT ({predicate})")
-    adds = _stage_data_files(survivors, location, part_cols)
+    staged, part_phys = _physical_stage_args(state["metaData"], survivors)
+    adds = _stage_data_files(staged, location, part_phys)
     now_ms = int(time.time() * 1000)
     removes = [
         {
@@ -510,10 +624,7 @@ def _delete_where_dv(
     from pg_datalake_spark.tables import dv_codec
 
     meta = state["metaData"]
-    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
-    part_cols = list(meta.get("partitionColumns") or [])
-    data_schema = T.StructType([f for f in schema.fields if f.name not in part_cols])
-    by_type = {f.name: f.dataType for f in schema.fields}
+    schema, part_cols, by_type, phys, data_schema, out_cols = _scan_plan(meta)
 
     def _abs(p: str) -> str:
         p = urllib.parse.unquote(p)
@@ -524,9 +635,9 @@ def _delete_where_dv(
     groups: dict[tuple, list[str]] = {}
     for a in state["adds"].values():
         pv = a.get("partitionValues") or {}
-        groups.setdefault(tuple(pv.get(c) for c in part_cols), []).append(
-            _abs(a["path"])
-        )
+        groups.setdefault(
+            tuple(pv.get(phys[c], pv.get(c)) for c in part_cols), []
+        ).append(_abs(a["path"]))
     parts = []
     for key, files in sorted(groups.items(), key=lambda kv: str(kv[0])):
         df = spark.read.schema(data_schema).parquet(*files)
@@ -538,7 +649,7 @@ def _delete_where_dv(
                     "__path"
                 ),
                 F.col("_metadata.row_index").alias("__pos"),
-                *[F.col(f.name) for f in schema.fields],
+                *out_cols,
             )
         )
     scan = parts[0]

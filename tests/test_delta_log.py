@@ -185,16 +185,47 @@ def test_unsupported_reader_protocol_fails_loud(spark, delta_orders):
         dl.read_delta_table(spark, loc)
 
 
-def test_column_mapping_fails_loud(spark, tmp_path):
+def test_column_mapping_name_mode_roundtrip(spark, tmp_path):
+    """r8: column mapping mode 'name' — data files carry col-<hex>
+    physical names, the reader projects back to logical names,
+    partition values are keyed by PHYSICAL name, and appends /
+    DV deletes keep speaking physical downstream."""
     loc = str(tmp_path / "cm")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30), (4, "b", 40)],
+        "id long, grp string, v long",
+    )
+    dl.write_delta_table(df, loc, partition_by=["grp"], column_mapping=True)
+    state = dl._snapshot_state(spark, loc, None)
+    # data files must NOT contain logical names anywhere
+    assert all("grp" not in p and "id" not in p.split("/")[-1]
+               for p in state["adds"])
+    pv_keys = {k for a in state["adds"].values()
+               for k in (a.get("partitionValues") or {})}
+    assert all(k.startswith("col-") for k in pv_keys)
+    got = dl.read_delta_table(spark, loc)
+    assert set(got.columns) == {"id", "grp", "v"}
+    assert sorted((r.id, r.grp, r.v) for r in got.collect()) == [
+        (1, "a", 10), (2, "b", 20), (3, "a", 30), (4, "b", 40)
+    ]
+    # append + DV delete on the mapped table
+    dl.append_delta(
+        spark.createDataFrame([(5, "a", 50)], "id long, grp string, v long"), loc
+    )
+    dl.delete_where_delta(spark, loc, "grp = 'b'", mode="dv")
+    got2 = sorted((r.id, r.v) for r in dl.read_delta_table(spark, loc).collect())
+    assert got2 == [(1, 10), (3, 30), (5, 50)]
+
+
+def test_column_mapping_id_mode_fails_loud(spark, tmp_path):
+    loc = str(tmp_path / "cm_id")
     df = spark.createDataFrame([(1,)], "id long")
     dl.write_delta_table(df, loc)
-    # rewrite commit 0's metaData with column mapping enabled
     path = dl._commit_path(loc, 0)
     lines = [json.loads(l) for l in open(path)]
     for a in lines:
         if "metaData" in a:
-            a["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+            a["metaData"]["configuration"] = {"delta.columnMapping.mode": "id"}
     with open(path, "w") as fh:
         for a in lines:
             fh.write(json.dumps(a) + "\n")
