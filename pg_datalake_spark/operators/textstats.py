@@ -231,3 +231,79 @@ def bpe_token_count(text: Column) -> Column:
     tracks the real count). JVM-side regexp_extract_all; the pattern
     avoids lookaheads so DuckDB's RE2 reproduces it exactly."""
     return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    q_id_col: str = "q_id",
+    q_text_col: str = "q_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-k retrieval (Robertson/Spärck Jones, the Lucene-style
+    ``ln(1 + (N-df+0.5)/(df+0.5))`` idf) — the lexical-retrieval
+    counterpart to the cosine ANN tier (similarity.py), and the
+    standard first stage of RAG / data-curation pipelines.
+
+    Scale shape: an INVERTED-INDEX join, never a doc×query product —
+    term frequencies and document frequencies are two
+    partial-aggregable hash aggregates over the token explosion
+    (exactly t11's TF-IDF shape); the (tiny) query-term list joins the
+    postings on ``term``, so only documents sharing a term with a
+    query are ever touched; per-(query, doc) scores are one more
+    partial-aggregable sum; top-k ranks candidates per query, not the
+    corpus. Corpus-level constants (N, avgdl) travel as ONE broadcast
+    row. Scores are ROUNDED to 6 decimals before ranking so two
+    engines rank identical values (the repo's windowed-double rule).
+    Returns (q_id, doc_id, score, rank).
+    """
+    from pyspark.sql import Window as W
+
+    spark = docs.sparkSession  # noqa: F841  (documents the session flow)
+    toks = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("_tf"))
+    # df per term: tf is already one row per (doc, term)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    dl = docs.select(F.col(id_col), token_count(F.col(text_col)).alias("_dl"))
+    consts = docs.agg(
+        F.count("*").alias("_n_docs"),
+        (F.sum(token_count(F.col(text_col))).cast("double") / F.count("*")).alias(
+            "_avgdl"
+        ),
+    )
+    qterms = (
+        queries.select(
+            F.col(q_id_col), F.explode(tokens(F.col(q_text_col))).alias("term")
+        )
+        .distinct()
+    )
+    cand = (
+        qterms.join(tf, "term")
+        .join(dfreq, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(consts))
+    )
+    idf = F.log(
+        1.0
+        + (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    tf_part = (
+        F.col("_tf")
+        * (k1 + 1)
+        / (F.col("_tf") + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl")))
+    )
+    scored = (
+        cand.select(q_id_col, id_col, (idf * tf_part).alias("_s"))
+        .groupBy(q_id_col, id_col)
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+    )
+    win = W.partitionBy(q_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "score", "rank")
+    )

@@ -1588,3 +1588,70 @@ def x13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(win).cast("long"))
         .filter(F.col("rk") <= 20)
     )
+
+
+@register(
+    "t14_bm25_topk",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    consts AS (
+      SELECT (SELECT count(*) FROM documents) AS n_docs,
+             CAST((SELECT count(*) FROM toks) AS DOUBLE)
+               / (SELECT count(*) FROM documents) AS avgdl
+    ),
+    q AS (
+      SELECT doc_id AS q_id,
+             unnest(list_slice(
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> ''), 1, 6)) AS term
+      FROM documents WHERE doc_id % 97 = 11
+    ),
+    qd AS (SELECT DISTINCT q_id, term FROM q),
+    cand AS (
+      SELECT q_id, tf.doc_id,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+               AS s
+      FROM qd
+      JOIN tf USING (term)
+      JOIN dfreq USING (term)
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN consts
+    ),
+    scored AS (
+      SELECT q_id, doc_id, round(sum(s), 6) AS score FROM cand GROUP BY 1, 2
+    )
+    SELECT q_id, doc_id, score, CAST(rk AS INT) AS rank
+    FROM (
+      SELECT q_id, doc_id, score,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM scored
+    ) t WHERE rk <= 5
+    """,
+)
+def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k lexical retrieval (r8; operators/textstats.bm25_topk)
+    — the retrieval stage of RAG / curation pipelines, run as an
+    inverted-index join (query terms → postings), never doc×query.
+    Queries are the first 6 tokens of every ``doc_id % 97 = 11``
+    document, so each query's own source document must surface at
+    rank 1 with the corpus-best score — a built-in relevance sanity
+    check the oracle verifies value-exactly."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") % 97 == 11).select(
+        F.col("doc_id").alias("q_id"),
+        F.concat_ws(
+            " ", F.slice(textstats.tokens(F.col("text")), 1, 6)
+        ).alias("q_text"),
+    )
+    return textstats.bm25_topk(docs, queries, k=5)

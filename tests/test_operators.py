@@ -719,3 +719,34 @@ def test_phash_band_bits_32_multiprobe_matches_16_bit_exactly(spark):
         )
     with pt.raises(ValueError, match="band_bits"):
         mm.phash_neardup_pairs(df, "img_id", band_bits=64)
+
+
+def test_bm25_topk_self_retrieval_and_shape(spark):
+    """r8: a query built from a document's own leading tokens must
+    retrieve that document at rank 1; scores are positive and
+    non-increasing within a query; no query-doc cartesian survives."""
+    from pg_datalake_spark.operators.textstats import bm25_topk
+
+    rows = [
+        (1, "alpha beta gamma delta unique1 filler common"),
+        (2, "epsilon zeta eta theta unique2 other common"),
+        (3, "iota kappa lam mu unique3 words common"),
+        (4, "completely different vocabulary here nothing shared"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "epsilon zeta unique2")],
+        "q_id long, q_text string",
+    )
+    got = bm25_topk(docs, queries, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append(r)
+    for qid, hits in by_q.items():
+        hits.sort(key=lambda r: r.rank)
+        assert hits[0].doc_id == qid  # self-retrieval at rank 1
+        scores = [h.score for h in hits]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)
+        # doc 4 shares no term with either query -> never a candidate
+        assert all(h.doc_id != 4 for h in hits)
