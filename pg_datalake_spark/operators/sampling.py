@@ -411,3 +411,79 @@ def quality_tier_sample(
         lim = F.lit(int(round(r * 10_000)))
         rate = F.when(cond, lim) if rate is None else rate.when(cond, lim)
     return tiered.withColumn("kept", bucket < rate).drop("__q_lo", "__q_hi")
+
+
+def dsir_scores(
+    docs: DataFrame,
+    target_predicate: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    alpha: float = 0.01,
+) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how much more likely its hashed-unigram bag is under the TARGET
+    distribution than under the RAW corpus distribution —
+    ``score = mean_tokens ln(p_target(bucket)/p_raw(bucket))`` with
+    add-α smoothing over ``n_buckets`` hash buckets. High scores mark
+    documents that look like the target domain; resample by score to
+    shift a 100 TB crawl toward it.
+
+    ``target_predicate`` is a SQL boolean over the doc columns that
+    defines the target set (e.g. ``"lang = 'en' AND n_chars > 400"``)
+    — in the paper's terms, the target distribution is estimated from
+    those rows, the raw distribution from ALL rows.
+
+    Scale shape: the token explosion feeds ONE partial-aggregable
+    count per (bucket, is_target) — at most ``2·n_buckets`` rows ever
+    shuffle, regardless of corpus size; the per-bucket log-ratio table
+    (``n_buckets`` rows, bounded by construction) broadcasts back to
+    the token stream, and per-doc scores are one more hash aggregate.
+    Buckets use md5-mod (the repo's engine-reproducible hash), so an
+    oracle engine lands every token in the identical bucket. Returns
+    ``(id_col, n_toks, score)`` with score rounded to 6 decimals
+    (mean, not sum, so doc length doesn't dominate).
+    """
+    from pg_datalake_spark.operators.textstats import tokens
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    ).alias("bucket")
+    toks = docs.select(
+        F.col(id_col),
+        F.expr(target_predicate).cast("boolean").alias("__tgt"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).select(id_col, "__tgt", bucket)
+
+    counts = toks.groupBy("bucket").agg(
+        F.count("*").alias("n_raw"),
+        F.count_if(F.col("__tgt")).alias("n_tgt"),
+    )
+    totals = toks.agg(
+        F.count("*").alias("tot_raw"),
+        F.count_if(F.col("__tgt")).alias("tot_tgt"),
+    )
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log(
+                (F.col("n_tgt") + F.lit(alpha))
+                / (F.col("tot_tgt") + F.lit(alpha * n_buckets))
+            )
+            - F.log(
+                (F.col("n_raw") + F.lit(alpha))
+                / (F.col("tot_raw") + F.lit(alpha * n_buckets))
+            )
+        ).alias("log_ratio"),
+    )
+    scored = (
+        toks.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.round(F.sum("log_ratio") / F.count("*"), 6).alias("score"),
+        )
+    )
+    return scored

@@ -1655,3 +1655,53 @@ def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_text"),
     )
     return textstats.bm25_topk(docs, queries, k=5)
+
+
+@register(
+    "t15_dsir_importance",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, (lang = 'en') AS tgt,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, tgt,
+             ('0x' || substr(md5(term), 1, 8))::BIGINT % 10000 AS bucket
+      FROM tk
+    ),
+    counts AS (
+      SELECT bucket, count(*) AS n_raw,
+             count(*) FILTER (WHERE tgt) AS n_tgt
+      FROM toks GROUP BY 1
+    ),
+    totals AS (
+      SELECT count(*) AS tot_raw, count(*) FILTER (WHERE tgt) AS tot_tgt
+      FROM toks
+    ),
+    ratios AS (
+      SELECT bucket,
+             ln((n_tgt + 0.01::DOUBLE) / (tot_tgt + 100.0::DOUBLE))
+           - ln((n_raw + 0.01::DOUBLE) / (tot_raw + 100.0::DOUBLE)) AS log_ratio
+      FROM counts CROSS JOIN totals
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+           round(sum(log_ratio) / count(*), 6) AS score
+    FROM toks JOIN ratios USING (bucket)
+    GROUP BY doc_id
+    """,
+)
+def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (r8; operators/sampling.dsir_scores —
+    Xie et al. 2023): every document scored by the mean hashed-unigram
+    log-likelihood ratio of the TARGET distribution (here:
+    ``lang = 'en'`` rows) against the RAW corpus. The bucket hash is
+    md5-mod so DuckDB lands every token in the identical bucket and
+    reproduces the add-α smoothed ratio table value-exactly. Shuffle
+    footprint is 2·n_buckets counter rows + one broadcast ratio
+    table — corpus-size-independent."""
+    from pg_datalake_spark.operators.sampling import dsir_scores
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    return dsir_scores(t["documents"], "lang = 'en'")

@@ -750,3 +750,23 @@ def test_bm25_topk_self_retrieval_and_shape(spark):
         assert all(s > 0 for s in scores)
         # doc 4 shares no term with either query -> never a candidate
         assert all(h.doc_id != 4 for h in hits)
+
+
+def test_dsir_scores_separate_target_domain(spark):
+    """r8: documents drawn from the target vocabulary must outscore
+    documents from a disjoint vocabulary; mixed docs land between."""
+    from pg_datalake_spark.operators.sampling import dsir_scores
+
+    tgt_words = "alpha beta gamma delta epsilon"
+    other_words = "one two three four five"
+    rows = (
+        [(i, tgt_words, "en") for i in range(20)]
+        + [(100 + i, other_words, "xx") for i in range(20)]
+        + [(200, f"{tgt_words} {other_words}", "xx")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: r.score for r in dsir_scores(df, "lang = 'en'").collect()}
+    tgt_score, other_score, mixed = got[0], got[100], got[200]
+    assert tgt_score > mixed > other_score
+    assert all(got[i] == tgt_score for i in range(20))  # identical docs, identical score
+    assert got[0] > 0 > got[100]  # target-looking up, off-domain down
