@@ -125,9 +125,10 @@ def lsh_bucketed_pairs(
     dims: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 8,
+    num_planes: int | None = None,
     threshold: float = 0.45,
     num_bands: int = 1,
+    target_bucket_rows: int = 128,
 ) -> DataFrame:
     """Scale path for cosine near-dup: bucket by hyperplane signature,
     compare only within buckets, verify exact cosine.
@@ -140,13 +141,34 @@ def lsh_bucketed_pairs(
     probability p = 1 - angle/pi. One band keeps the legacy
     single-table behavior.
 
+    AUTO PLANE COUNT (r8 — the same scale fix as mm05's band width):
+    a FIXED plane count r makes in-bucket work quadratic the moment
+    n outgrows 2^r · bucket_size (4 planes = 16 buckets was measured
+    unbounded at the 10× probe: n²/16 pairs per band). When
+    ``num_planes`` is None it is derived from an
+    ``approx_count_distinct``-free cheap ``df.count()``:
+    ``r = clamp(ceil(log2(n / target_bucket_rows)), 4, 20)`` — mean
+    bucket occupancy stays ~``target_bucket_rows``, so per-band pair
+    work is ~n·target/2, LINEAR in n at any corpus size. More planes
+    lower per-band collision odds for a fixed pair; compensate with
+    ``num_bands`` (recall = 1-(1-p^r)^b) — near-dup pairs (p → 1)
+    survive extra planes essentially unharmed, which is why bounded
+    buckets are how production LSH runs. Pass an explicit
+    ``num_planes`` to pin the legacy behavior (tests do).
+
     Shuffle shape at scale: each vector emits ``num_bands`` (band,
     signature) keys — one groupBy-sized shuffle of b x rows, in-bucket
     pair generation with the exact-cosine verify computed per band,
     then a dedup on (id_a, id_b) AFTER the threshold filter so the
     distinct operates on the much smaller survivor set. Deterministic
-    given the md5 planes.
+    given the md5 planes (and given n — the auto plane count is a pure
+    function of the row count).
     """
+    if num_planes is None:
+        import math
+
+        n = df.count()  # one cheap metadata-ish job, amortized over the join
+        num_planes = min(20, max(4, math.ceil(math.log2(max(n, 1) / target_bucket_rows))))
     sigs = F.array(
         *[
             lsh_bucket(F.col(vec_col), dims, num_planes, plane_offset=band * num_planes)

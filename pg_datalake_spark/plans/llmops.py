@@ -187,13 +187,17 @@ def v02(spark: SparkSession, sf_dir: str) -> DataFrame:
 def v03(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed near-neighbor pairs (the 100 TB path:
     per-band bucket joins replace the O(n²) cross product). 16 bands
-    of 4 planes (OR-amplification) — measured recall 0.90 vs brute
-    force at threshold 0.3 with precision 1.0 (exact in-bucket verify);
-    pinned by tests/test_property_checks.py. Deterministic md5 planes;
-    recall < 1 by construction, so checked rows-only."""
+    with AUTO plane count (r8: r = ceil(log2(n/128)) clamped to
+    [4, 20], so mean bucket occupancy — and with it per-band pair
+    work — stays bounded at any corpus size; the old fixed 4 planes
+    = 16 buckets measured unbounded-quadratic at the 10× probe).
+    At the verify scales (n ≤ 2000) auto resolves to the legacy 4
+    planes, whose 0.90 recall / 1.0 precision is pinned by
+    tests/test_property_checks.py. Deterministic md5 planes; recall
+    < 1 by construction, so checked rows-only."""
     t = load_tables(spark, sf_dir, ["embeddings"])
     return similarity.lsh_bucketed_pairs(
-        t["embeddings"], dims=64, num_planes=4, threshold=0.3, num_bands=16
+        t["embeddings"], dims=64, threshold=0.3, num_bands=16
     )
 
 
