@@ -267,3 +267,65 @@ def quantized_cosine_topk(
         score = F.round(score, round_to)
     scored = df.select(F.col(id_col), score.alias("qcos_sim"))
     return scored.orderBy(F.desc("qcos_sim"), id_col).limit(k)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.03,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): embedding-space
+    near-duplicate removal — cluster the corpus (k-means centroids
+    from operators/ivf.train_ivf_centroids), compare vectors ONLY
+    within their cluster, and mark every vector whose cosine
+    similarity to a LOWER-id cluster-mate reaches ``1 - eps`` as a
+    semantic duplicate of the smallest such id. Keeps one
+    representative per near-identical group without any O(n²) corpus
+    product.
+
+    Deterministic rule (documented deviation from the paper's
+    keep-random choice): dup iff ∃ lower-id cluster-mate with
+    ``cos ≥ 1-eps`` — non-iterative, engine-reproducible, and what a
+    reproducible pipeline wants. Scale shape: one narrow assign map
+    (k×dim broadcast literal), a within-cluster self-join whose work
+    is Σ|cluster|² — pick k ~ n/target_cluster_size to bound it (the
+    paper runs 11k clusters for 100M embeddings for the same reason)
+    — then one min-aggregate and a left join back. Returns
+    ``(id, cluster, kept, dup_of)``.
+    """
+    from pg_datalake_spark.operators.ivf import ivf_assign
+
+    assigned = ivf_assign(df, centroids, vec_col).select(
+        F.col(id_col), F.col("cluster"), F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__n"),
+    )
+    a = assigned.select(
+        F.col("cluster"), F.col(id_col).alias("id_a"),
+        F.col("__v").alias("va"), F.col("__n").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cluster"), F.col(id_col).alias("id_b"),
+        F.col("__v").alias("vb"), F.col("__n").alias("nb"),
+    )
+    dup_of = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= 1.0 - eps
+        )
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        assigned.join(dup_of, assigned[id_col] == dup_of["id_b"], "left")
+        .select(
+            F.col(id_col),
+            "cluster",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+    )

@@ -1709,3 +1709,23 @@ def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir, ["documents"])
     return dsir_scores(t["documents"], "lang = 'en'")
+
+
+@register("v06_semantic_dedup")  # rows-only: k-means float iteration is
+# engine-specific (same reason as v04's IVF recall probe)
+def v06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup embedding near-dup removal (r8;
+    operators/similarity.semantic_dedup — Abbas et al. 2023): k-means
+    cluster the embedding corpus, compare within clusters only, drop
+    every vector cosine-similar (≥ 1-eps) to a lower-id cluster-mate.
+    Returns the kept/dropped census ordered by id. Work is
+    Σ|cluster|² — k chosen ~ n/128 keeps clusters bounded, the same
+    discipline as v03's auto plane count."""
+    from pg_datalake_spark.operators.ivf import train_ivf_centroids
+    from pg_datalake_spark.operators.similarity import semantic_dedup
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    k = max(8, emb.count() // 128)
+    cents = train_ivf_centroids(emb, k=k, iterations=2)
+    return semantic_dedup(emb, cents, eps=0.05).orderBy("vec_id")

@@ -770,3 +770,38 @@ def test_dsir_scores_separate_target_domain(spark):
     assert tgt_score > mixed > other_score
     assert all(got[i] == tgt_score for i in range(20))  # identical docs, identical score
     assert got[0] > 0 > got[100]  # target-looking up, off-domain down
+
+
+def test_semantic_dedup_drops_planted_twins(spark):
+    """r8 SemDeDup: exact/near-identical planted twins are dropped in
+    favor of the lowest id; distant vectors survive; dup_of points at
+    a kept lower id in the same cluster."""
+    from pg_datalake_spark.operators.ivf import train_ivf_centroids
+    from pg_datalake_spark.operators.similarity import semantic_dedup
+
+    import math
+
+    def unit(angle):
+        return [math.cos(angle), math.sin(angle)] + [0.0] * 6
+
+    rows = []
+    # 5 well-separated base directions; each gets 3 near-identical
+    # copies. Ids are laid out so the FIRST k ids (k-means init picks
+    # them) span the distinct directions, not one group's copies.
+    for g in range(5):
+        base = g * 1.2
+        for c in range(3):
+            rows.append((g + c * 100, unit(base + c * 0.001)))
+    # one far-away singleton (id 50 -> part of the init set)
+    rows.append((50, unit(4.5)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_ivf_centroids(df, k=6, iterations=3)
+    got = {r.vec_id: r for r in semantic_dedup(df, cents, eps=0.01).collect()}
+    assert len(got) == 16
+    for g in range(5):
+        ids = [g + c * 100 for c in range(3)]
+        kept = [i for i in ids if got[i].kept]
+        dropped = [i for i in ids if not got[i].kept]
+        assert kept == [ids[0]]  # lowest id survives
+        assert all(got[i].dup_of == ids[0] for i in dropped)
+    assert got[50].kept and got[50].dup_of is None
