@@ -676,3 +676,83 @@ def exact_substring_spans(
         "dup_tokens",
         F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias("dup_frac"),
     )
+
+
+def exact_substring_excise(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 8,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """ExactSubstr EXCISION (r8) — the REMOVE step that completes Lee
+    et al. 2022 end-to-end: :func:`exact_substring_spans` reports
+    which spans are duplicated; this operator actually cuts every
+    token covered by a corpus-duplicated k-gram out of the text and
+    reassembles the survivors.
+
+    Dataflow (every stage linear in tokens): the same gram
+    count-aggregate + join-back marks duplicated span STARTS; each
+    start explodes into its k COVERED positions (``posexplode`` over
+    a k-array — dup_tokens rows total, overlap-deduped by
+    ``distinct``); the token stream anti-joins the covered set on
+    (doc, position); surviving tokens re-assemble per doc via
+    ``sort_array(collect_list(struct(pos, tok)))`` — order restored
+    inside the array, no global sort. Returns
+    ``(id_col, n_tokens, n_removed, clean_text)`` (docs with nothing
+    removed pass through with n_removed = 0).
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toks = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).repartition(par, id_col)
+    pos_sh = toks.select(
+        F.col(id_col),
+        F.posexplode(positional_shingles(F.col("__toks"), k)).alias("pos0", "g"),
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "g")
+    if hash_grams:
+        pos_sh = pos_sh.withColumn("g", F.xxhash64("g"))
+    dup_grams = (
+        pos_sh.groupBy("g")
+        .agg(F.count("*").alias("__cnt"))
+        .filter(F.col("__cnt") >= 2)
+        .select("g")
+    )
+    covered = (
+        pos_sh.join(dup_grams, "g")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tok_rows = toks.select(
+        F.col(id_col), F.posexplode("__toks").alias("pos0", "tok")
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = tok_rows.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    n_tok = toks.select(
+        F.col(id_col), F.size("__toks").cast("long").alias("n_tokens")
+    )
+    return (
+        n_tok.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -1729,3 +1729,64 @@ def v06(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = max(8, emb.count() // 128)
     cents = train_ivf_centroids(emb, k=k, iterations=2)
     return semantic_dedup(emb, cents, eps=0.05).orderBy("vec_id")
+
+
+@register(
+    "d10_exact_substring_excise",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             [{'pos': i,
+               'g': concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3],
+                              t[i+4], t[i+5], t[i+6], t[i+7])}
+              for i in generate_series(1, len(t) - 7)] AS gs
+      FROM toks
+    ),
+    ex AS (
+      SELECT doc_id, u.pos AS pos, u.g AS g FROM sh, unnest(gs) AS t(u)
+    ),
+    dup AS (SELECT g FROM ex GROUP BY g HAVING count(*) >= 2),
+    covered AS (
+      SELECT DISTINCT doc_id, pos + d AS pos
+      FROM ex JOIN dup USING (g)
+      CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS d) off
+    ),
+    tok_rows AS (
+      SELECT doc_id, u.tok AS tok, u.pos AS pos
+      FROM (
+        SELECT doc_id,
+               [{'pos': i, 'tok': t[i]} for i in generate_series(1, len(t))] AS z
+        FROM toks
+      ) q, unnest(z) AS t(u)
+    ),
+    kept AS (
+      SELECT tok_rows.* FROM tok_rows
+      ANTI JOIN covered USING (doc_id, pos)
+    ),
+    rebuilt AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT toks.doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(clean_text, '') AS clean_text
+    FROM toks LEFT JOIN rebuilt ON toks.doc_id = rebuilt.doc_id
+    """,
+)
+def d10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr EXCISION end-to-end (r8;
+    operators/dedup.exact_substring_excise): d09 localizes the
+    corpus-duplicated spans, this row actually CUTS every covered
+    token and re-assembles the surviving text per document — the
+    full Lee et al. 2022 remove step, hash-checked on the cleaned
+    STRINGS themselves, not just counts."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return dedup.exact_substring_excise(t["documents"], "doc_id", "text", k=8)

@@ -805,3 +805,35 @@ def test_semantic_dedup_drops_planted_twins(spark):
         assert kept == [ids[0]]  # lowest id survives
         assert all(got[i].dup_of == ids[0] for i in dropped)
     assert got[50].kept and got[50].dup_of is None
+
+
+def test_exact_substring_excise_consistent_with_census(spark):
+    """r8: n_removed must equal the span census's interval-union
+    dup_tokens for every doc; the planted duplicated run disappears
+    from the cleaned text while unique words survive in order."""
+    from pg_datalake_spark.operators.dedup import (
+        exact_substring_excise,
+        exact_substring_spans,
+    )
+
+    run = "w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    rows = [
+        (1, f"keepA keepB {run} keepC"),
+        (2, f"keepD {run} keepE keepF"),
+        (3, "totally unique document three alpha beta gamma delta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ex = {r.doc_id: r for r in exact_substring_excise(df, "doc_id", "text", k=8).collect()}
+    sp = {r.doc_id: r for r in exact_substring_spans(df, "doc_id", "text", k=8).collect()}
+    for d in (1, 2):
+        assert ex[d].n_removed == sp[d].dup_tokens == 9
+    assert ex[1].clean_text == "keepa keepb keepc"
+    assert ex[2].clean_text == "keepd keepe keepf"
+    assert ex[3].n_removed == 0
+    assert ex[3].clean_text == rows[2][1]
+    # full-doc duplication degenerates to empty text, not a crash
+    twin = spark.createDataFrame(
+        [(1, run), (2, run)], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in exact_substring_excise(twin, "doc_id", "text", k=8).collect()}
+    assert out[1].clean_text == "" and out[1].n_removed == 9
