@@ -158,9 +158,23 @@ def _snapshot_state(spark: SparkSession, location: str, version_as_of: int | Non
             _load_checkpoint(spark, location, cp["version"], state)
             start = cp["version"] + 1
 
-    for v in versions:
-        if start <= v <= target:
-            _replay_json_commit(_commit_path(location, v), state)
+    # The replay is only sound over a CONTIGUOUS commit range: if the
+    # earliest surviving JSON commit is newer than where the replay
+    # must begin (log cleaned up past the last CLASSIC checkpoint —
+    # e.g. the table's real checkpoint is a v2/UUID one this reader
+    # cannot load), a silent partial replay would drop adds. Fail
+    # loud instead (r8 guard).
+    tail = [v for v in versions if start <= v <= target]
+    if tail != list(range(start, target + 1)):
+        missing = sorted(set(range(start, target + 1)) - set(tail))
+        raise NotImplementedError(
+            f"Delta log under {location} is missing commits {missing} "
+            "(log truncated/cleaned past a checkpoint this reader cannot "
+            "load — e.g. a v2/UUID checkpoint); use the delta-spark jars "
+            "or restore the classic checkpoint"
+        )
+    for v in tail:
+        _replay_json_commit(_commit_path(location, v), state)
 
     if state["metaData"] is None:
         raise ValueError(f"no metaData action found replaying {location} to v{target}")

@@ -324,3 +324,34 @@ def test_random_history_matches_model(spark, tmp_path):
             r.id for r in dl.read_delta_table(spark, loc, version_as_of=v).collect()
         }
         assert got == expected, f"version {v}: {len(got)} vs {len(expected)}"
+
+
+def test_truncated_log_fails_loud_not_partial(spark, tmp_path):
+    """r8 guard: a log cleaned past the readable (classic) checkpoint
+    must NOT silently replay a partial tail — the adds in the missing
+    commits would vanish from results. Both flavors fail loud: a
+    removed early commit with no checkpoint, and a pinned read behind
+    the surviving range."""
+    import os
+
+    loc = str(tmp_path / "trunc")
+    df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    dl.write_delta_table(df.filter("id < 5"), loc)
+    dl.append_delta(df.filter("id >= 5"), loc)
+    os.remove(dl._commit_path(loc, 0))  # simulate vacuumed prefix
+    with pytest.raises(NotImplementedError, match="missing commits"):
+        dl.read_delta_table(spark, loc)
+    # with the checkpoint present the same table reads fine
+    loc2 = str(tmp_path / "trunc2")
+    dl.write_delta_table(df.filter("id < 5"), loc2)
+    dl.append_delta(df.filter("id >= 5"), loc2)
+    dl.write_delta_checkpoint(spark, loc2)
+    dl.append_delta(df.filter("id = 0"), loc2)
+    os.remove(dl._commit_path(loc2, 0))
+    os.remove(dl._commit_path(loc2, 1))
+    assert dl.read_delta_table(spark, loc2).count() == 11
+    # a pin AT the checkpoint version is served from the checkpoint
+    assert dl.read_delta_table(spark, loc2, version_as_of=1).count() == 10
+    # a pin BEHIND the truncation fails loud, never a partial replay
+    with pytest.raises(ValueError, match="not in Delta log"):
+        dl.read_delta_table(spark, loc2, version_as_of=0)
