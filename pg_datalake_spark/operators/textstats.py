@@ -307,3 +307,100 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(q_id_col, id_col, "score", "rank")
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The FULL published Gopher/MassiveText document-quality rule set
+    (Rae et al. 2021, Table A1) as one zero-shuffle Column map —
+    complements t09's repetition rules with the seven structural
+    filters:
+
+    1. 50 ≤ word count ≤ 100,000
+    2. 3 ≤ mean word length ≤ 10
+    3. symbol-to-word ratio ≤ 0.1 (``#`` and ``...``/``…``)
+    4. ≤ 90 % of lines start with a bullet (``•``, ``-``, ``*``)
+    5. ≤ 30 % of lines end with an ellipsis
+    6. ≥ 80 % of words contain ≥ 1 alphabetic character
+    7. ≥ 2 of the 8 Gopher stop words present
+
+    Emits the per-rule metrics (rounded for hashing), the seven
+    booleans, and the conjunction ``passes_gopher``. Every ratio is an
+    integer-count division, so an independent engine computes the
+    identical doubles and flips the identical flags.
+    """
+    t = tokens(F.col(text_col))
+    n_words = F.size(t)
+    sum_len = F.aggregate(t, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    mean_len = sum_len.cast("double") / n_words
+    n_hash = (
+        F.length(F.col(text_col))
+        - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit("")))
+    )
+    n_ellipsis = (
+        F.length(F.col(text_col))
+        - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
+    ) / 3 + (
+        F.length(F.col(text_col))
+        - F.length(F.replace(F.col(text_col), F.lit("…"), F.lit("")))
+    )
+    sym_ratio = (n_hash + n_ellipsis).cast("double") / n_words
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.trim(x).startswith("•")
+                | F.trim(x).startswith("-")
+                | F.trim(x).startswith("*"),
+            )
+        ).cast("double")
+        / F.greatest(n_lines, F.lit(1))
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.rtrim(x).endswith("...") | F.rtrim(x).endswith("…"),
+            )
+        ).cast("double")
+        / F.greatest(n_lines, F.lit(1))
+    )
+    alpha_frac = (
+        F.size(F.filter(t, lambda x: x.rlike("[a-z]"))).cast("double")
+        / F.greatest(n_words, F.lit(1))
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(t), F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+        )
+    )
+    flags = {
+        "ok_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "ok_mean_word_len": (mean_len >= 3.0) & (mean_len <= 10.0),
+        "ok_symbol_ratio": sym_ratio <= 0.1,
+        "ok_bullet_lines": bullet_frac <= 0.9,
+        "ok_ellipsis_lines": ellipsis_frac <= 0.3,
+        "ok_alpha_words": alpha_frac >= 0.8,
+        "ok_stopwords": n_stop >= 2,
+    }
+    overall = None
+    for c in flags.values():
+        overall = c if overall is None else (overall & c)
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        n_stop.cast("int").alias("n_stopwords"),
+        *[v.alias(k) for k, v in flags.items()],
+        overall.alias("passes_gopher"),
+    )

@@ -1790,3 +1790,73 @@ def d10(spark: SparkSession, sf_dir: str) -> DataFrame:
     STRINGS themselves, not just counts."""
     t = load_tables(spark, sf_dir, ["documents"])
     return dedup.exact_substring_excise(t["documents"], "doc_id", "text", k=8)
+
+
+@register(
+    "t16_gopher_quality",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS t,
+             list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(t) AS n_words,
+             CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+               / len(t) AS mean_len,
+             (length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) / 3
+              + (length(text) - length(replace(text, chr(8230), ''))))
+               / len(t) AS sym_ratio,
+             len(lines) AS n_lines,
+             CAST(len(list_filter(lines, x -> starts_with(trim(x), chr(8226))
+                                           OR starts_with(trim(x), '-')
+                                           OR starts_with(trim(x), '*'))) AS DOUBLE)
+               / greatest(len(lines), 1) AS bullet_frac,
+             CAST(len(list_filter(lines, x -> ends_with(rtrim(x), '...')
+                                           OR ends_with(rtrim(x), chr(8230)))) AS DOUBLE)
+               / greatest(len(lines), 1) AS ellipsis_frac,
+             CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+               / greatest(len(t), 1) AS alpha_frac,
+             len(list_filter(list_distinct(t),
+                 x -> x IN ('the','be','to','of','and','that','have','with')))
+               AS n_stop
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(mean_len, 6) AS mean_word_len,
+           round(sym_ratio, 6) AS symbol_ratio,
+           round(bullet_frac, 6) AS bullet_frac,
+           round(ellipsis_frac, 6) AS ellipsis_frac,
+           round(alpha_frac, 6) AS alpha_frac,
+           CAST(n_stop AS INT) AS n_stopwords,
+           (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+           (mean_len >= 3.0 AND mean_len <= 10.0) AS ok_mean_word_len,
+           (sym_ratio <= 0.1) AS ok_symbol_ratio,
+           (bullet_frac <= 0.9) AS ok_bullet_lines,
+           (ellipsis_frac <= 0.3) AS ok_ellipsis_lines,
+           (alpha_frac >= 0.8) AS ok_alpha_words,
+           (n_stop >= 2) AS ok_stopwords,
+           ((n_words >= 50 AND n_words <= 100000)
+            AND (mean_len >= 3.0 AND mean_len <= 10.0)
+            AND (sym_ratio <= 0.1)
+            AND (bullet_frac <= 0.9)
+            AND (ellipsis_frac <= 0.3)
+            AND (alpha_frac >= 0.8)
+            AND (n_stop >= 2)) AS passes_gopher
+    FROM m
+    """,
+)
+def t16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete Gopher structural quality battery (r8;
+    operators/textstats.gopher_quality_flags — Rae et al. 2021 Table
+    A1: word-count bounds, mean word length, symbol ratio,
+    bullet/ellipsis line fractions, alphabetic-word fraction, stop-word
+    presence). Zero-shuffle Column map; every ratio is an
+    integer-count division so DuckDB flips the identical flags."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    return textstats.gopher_quality_flags(t["documents"], "doc_id", "text")

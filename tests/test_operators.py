@@ -837,3 +837,28 @@ def test_exact_substring_excise_consistent_with_census(spark):
     )
     out = {r.doc_id: r for r in exact_substring_excise(twin, "doc_id", "text", k=8).collect()}
     assert out[1].clean_text == "" and out[1].n_removed == 9
+
+
+def test_gopher_quality_flags_rules(spark):
+    """r8: each Gopher rule flips on its own planted violation."""
+    from pg_datalake_spark.operators.textstats import gopher_quality_flags
+
+    good = ("the cat and the dog have fun with a ball of yarn that " * 6).strip()
+    rows = [
+        (1, good),                                     # passes everything
+        (2, "too short to pass the word count"),       # rule 1
+        (3, good + " " + "#" * 1 + " #tag " + "# # # # # # # # #"),  # rule 3
+        (4, good + "\n" + "\n".join("- item" for _ in range(30))),   # rule 4
+        (5, good + "\n" + "\n".join("cliff hanger..." for _ in range(20))),  # rule 5
+        (6, good + " " + " ".join("123456" for _ in range(40))),     # rule 6
+        (7, ("lorem ipsum dolor sit amet " * 12).strip()),           # rule 7
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert got[1].passes_gopher
+    assert not got[2].ok_word_count and not got[2].passes_gopher
+    assert not got[3].ok_symbol_ratio
+    assert not got[4].ok_bullet_lines
+    assert not got[5].ok_ellipsis_lines
+    assert not got[6].ok_alpha_words
+    assert not got[7].ok_stopwords
