@@ -119,12 +119,30 @@ def _replay_json_commit(path: str, state: dict) -> None:
             # commitInfo / txn / cdc: no effect on the active file set
 
 
-def _load_checkpoint(spark: SparkSession, location: str, version: int, state: dict) -> None:
-    """Seed replay state from a checkpoint parquet: one row per action,
-    struct columns ``add`` / ``metaData`` / ``protocol`` (removes are
-    vacuum tombstones — irrelevant to the active set at the checkpoint
-    version, so ignored)."""
-    rows = spark.read.parquet(_checkpoint_path(location, version)).collect()
+def _v2_checkpoint_path(location: str, version: int) -> str | None:
+    """UUID-named V2 checkpoint manifest for ``version``, if present
+    (PROTOCOL.md "V2 Checkpoint Spec": ``%020d.checkpoint.<uuid>.parquet``
+    with action batches spilled to ``_delta_log/_sidecars/*.parquet``)."""
+    import glob as _g
+
+    hits = sorted(
+        p
+        for p in _g.glob(
+            os.path.join(_log_dir(location), f"{version:020d}.checkpoint.*.parquet")
+        )
+        if not p.endswith(f"{version:020d}.checkpoint.parquet")
+    )
+    return hits[0] if hits else None
+
+
+def _resolve_checkpoint_file(location: str, version: int) -> str | None:
+    classic = _checkpoint_path(location, version)
+    if os.path.exists(classic):
+        return classic
+    return _v2_checkpoint_path(location, version)
+
+
+def _apply_checkpoint_rows(rows, state: dict) -> None:
     for row in rows:  # bounded metadata: |actions| at checkpoint time
         d = row.asDict(recursive=True)
         if d.get("metaData") and d["metaData"].get("id"):
@@ -136,12 +154,41 @@ def _load_checkpoint(spark: SparkSession, location: str, version: int, state: di
             state["adds"][add["path"]] = add
 
 
+def _load_checkpoint(spark: SparkSession, location: str, version: int, state: dict) -> None:
+    """Seed replay state from a checkpoint parquet: one row per action,
+    struct columns ``add`` / ``metaData`` / ``protocol`` (removes are
+    vacuum tombstones — irrelevant to the active set at the checkpoint
+    version, so ignored). V2 (UUID-named) checkpoints are supported
+    since r8: the manifest's own action rows are applied, then every
+    ``sidecar`` row's parquet under ``_delta_log/_sidecars/`` is read
+    and applied the same way — the sidecars hold the add/remove
+    batches the manifest spilled out (PROTOCOL.md "V2 Checkpoint
+    Spec")."""
+    path = _resolve_checkpoint_file(location, version)
+    if path is None:
+        raise FileNotFoundError(
+            f"no checkpoint file for version {version} under {location}"
+        )
+    df = spark.read.parquet(path)
+    rows = df.collect()
+    _apply_checkpoint_rows(rows, state)
+    if "sidecar" in df.columns:
+        sidecars = [
+            r.asDict(recursive=True)["sidecar"]["path"]
+            for r in rows
+            if r["sidecar"] is not None
+        ]
+        for rel in sidecars:
+            sc = os.path.join(_log_dir(location), "_sidecars", rel)
+            _apply_checkpoint_rows(spark.read.parquet(sc).collect(), state)
+
+
 def _snapshot_state(spark: SparkSession, location: str, version_as_of: int | None) -> dict:
     versions = _list_commit_versions(location)
     if not versions:
         raise FileNotFoundError(f"empty Delta log under {location}")
     target = versions[-1] if version_as_of is None else version_as_of
-    if target not in versions and not os.path.exists(_checkpoint_path(location, target)):
+    if target not in versions and _resolve_checkpoint_file(location, target) is None:
         raise ValueError(
             f"version {target} not in Delta log (have {versions[0]}..{versions[-1]})"
         )
@@ -152,8 +199,8 @@ def _snapshot_state(spark: SparkSession, location: str, version_as_of: int | Non
     if os.path.exists(last_cp):
         with open(last_cp) as fh:
             cp = json.load(fh)
-        if cp["version"] <= target and os.path.exists(
-            _checkpoint_path(location, cp["version"])
+        if cp["version"] <= target and (
+            _resolve_checkpoint_file(location, cp["version"]) is not None
         ):
             _load_checkpoint(spark, location, cp["version"], state)
             start = cp["version"] + 1
@@ -169,9 +216,8 @@ def _snapshot_state(spark: SparkSession, location: str, version_as_of: int | Non
         missing = sorted(set(range(start, target + 1)) - set(tail))
         raise NotImplementedError(
             f"Delta log under {location} is missing commits {missing} "
-            "(log truncated/cleaned past a checkpoint this reader cannot "
-            "load — e.g. a v2/UUID checkpoint); use the delta-spark jars "
-            "or restore the classic checkpoint"
+            "(log truncated/cleaned past the last readable checkpoint); "
+            "use the delta-spark jars or restore the checkpoint files"
         )
     for v in tail:
         _replay_json_commit(_commit_path(location, v), state)
@@ -755,11 +801,21 @@ def _delete_where_dv(
     return _write_commit(location, state["version"] + 1, actions)
 
 
-def write_delta_checkpoint(spark: SparkSession, location: str) -> int:
-    """Materialize the classic single-file checkpoint for the current
-    version (one row per action; struct columns add/metaData/protocol)
-    and advance ``_last_checkpoint`` — subsequent reads replay only the
-    commit tail after it."""
+def write_delta_checkpoint(
+    spark: SparkSession, location: str, v2: bool = False, n_sidecars: int = 2
+) -> int:
+    """Materialize a checkpoint for the current version and advance
+    ``_last_checkpoint`` — subsequent reads replay only the commit
+    tail after it.
+
+    Default: the classic single-file form (one row per action; struct
+    columns add/metaData/protocol). ``v2=True`` (r8) writes the V2
+    spec shape instead — a UUID-named manifest
+    (``%020d.checkpoint.<uuid>.parquet``) holding protocol/metaData
+    plus ``sidecar`` reference rows, with the add actions spilled
+    across ``n_sidecars`` parquet files under
+    ``_delta_log/_sidecars/`` — the layout modern writers emit for
+    large tables, which the reader must reassemble."""
     state = _snapshot_state(spark, location, None)
     version = state["version"]
     proto = state["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
@@ -868,16 +924,68 @@ def write_delta_checkpoint(spark: SparkSession, location: str) -> int:
                 None,
             )
         )
-    cp_df = spark.createDataFrame(rows, cp_schema).coalesce(1)
-    tmp = os.path.join(_log_dir(location), f"_cp_stage_{uuid.uuid4().hex[:8]}")
-    cp_df.write.mode("overwrite").parquet(tmp)
-    part = next(
-        os.path.join(tmp, n) for n in sorted(os.listdir(tmp)) if n.endswith(".parquet")
-    )
-    os.replace(part, _checkpoint_path(location, version))
-    for name in os.listdir(tmp):
-        os.remove(os.path.join(tmp, name))
-    os.rmdir(tmp)
+    def _write_single(df, dest: str) -> None:
+        tmp = os.path.join(_log_dir(location), f"_cp_stage_{uuid.uuid4().hex[:8]}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            os.path.join(tmp, n)
+            for n in sorted(os.listdir(tmp))
+            if n.endswith(".parquet")
+        )
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.replace(part, dest)
+        for name in os.listdir(tmp):
+            os.remove(os.path.join(tmp, name))
+        os.rmdir(tmp)
+
+    if not v2:
+        _write_single(
+            spark.createDataFrame(rows, cp_schema),
+            _checkpoint_path(location, version),
+        )
+    else:
+        sidecar_type = T.StructType(
+            [
+                T.StructField("path", T.StringType()),
+                T.StructField("sizeInBytes", T.LongType()),
+                T.StructField("modificationTime", T.LongType()),
+            ]
+        )
+        cpmeta_type = T.StructType([T.StructField("version", T.LongType())])
+        v2_schema = T.StructType(
+            cp_schema.fields
+            + [
+                T.StructField("sidecar", sidecar_type),
+                T.StructField("checkpointMetadata", cpmeta_type),
+            ]
+        )
+        head, adds_rows = rows[:2], rows[2:]
+        n = max(1, min(n_sidecars, len(adds_rows) or 1))
+        chunks = [adds_rows[i::n] for i in range(n)]
+        sidecar_rows = []
+        for chunk in chunks:
+            name = f"{uuid.uuid4()}.parquet"
+            dest = os.path.join(_log_dir(location), "_sidecars", name)
+            _write_single(spark.createDataFrame(chunk, cp_schema), dest)
+            sidecar_rows.append(
+                (
+                    None,
+                    None,
+                    None,
+                    (name, os.path.getsize(dest), int(time.time() * 1000)),
+                    None,
+                )
+            )
+        manifest_rows = [r + (None, None) for r in head] + sidecar_rows + [
+            (None, None, None, None, (version,))
+        ]
+        _write_single(
+            spark.createDataFrame(manifest_rows, v2_schema),
+            os.path.join(
+                _log_dir(location),
+                f"{version:020d}.checkpoint.{uuid.uuid4()}.parquet",
+            ),
+        )
     with open(os.path.join(_log_dir(location), "_last_checkpoint"), "w") as fh:
         json.dump({"version": version, "size": len(rows)}, fh)
     return version

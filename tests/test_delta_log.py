@@ -355,3 +355,33 @@ def test_truncated_log_fails_loud_not_partial(spark, tmp_path):
     # a pin BEHIND the truncation fails loud, never a partial replay
     with pytest.raises(ValueError, match="not in Delta log"):
         dl.read_delta_table(spark, loc2, version_as_of=0)
+
+
+def test_v2_checkpoint_with_sidecars_roundtrip(spark, tmp_path):
+    """r8: V2 (UUID-manifest + sidecar) checkpoints — the shape modern
+    writers emit for large tables — seed the replay identically to a
+    classic checkpoint, including across truncation of the pre-
+    checkpoint JSON commits and with DV adds carried in sidecars."""
+    import glob as g
+    import os
+
+    loc = str(tmp_path / "v2cp")
+    df = spark.createDataFrame([(i, i % 3) for i in range(60)], "id long, m long")
+    dl.write_delta_table(df.filter("id < 30"), loc)
+    dl.append_delta(df.filter("id >= 30"), loc)
+    dl.delete_where_delta(spark, loc, "id % 10 = 0", mode="dv")
+    cp = dl.write_delta_checkpoint(spark, loc, v2=True, n_sidecars=3)
+    assert cp == 2
+    # the classic filename must NOT exist; the UUID manifest + sidecars must
+    assert not os.path.exists(dl._checkpoint_path(loc, cp))
+    assert g.glob(os.path.join(loc, "_delta_log", f"{cp:020d}.checkpoint.*.parquet"))
+    assert len(g.glob(os.path.join(loc, "_delta_log", "_sidecars", "*.parquet"))) >= 1
+    dl.append_delta(df.filter("id = 1"), loc)
+    # truncate every pre-checkpoint JSON commit: state must come from
+    # the v2 manifest + sidecars alone (plus the tail commit)
+    for v in (0, 1, 2):
+        os.remove(dl._commit_path(loc, v))
+    got = dl.read_delta_table(spark, loc)
+    exp = 60 - 6 + 1  # minus id%10 deletes, plus the re-appended id=1
+    assert got.count() == exp
+    assert got.filter("id % 10 = 0").count() == 0
