@@ -5,9 +5,11 @@ replay with remove tombstones, checkpoint seeding + tail replay,
 VERSION AS OF time travel, partition values restored (typed, nullable)
 from the log rather than the data files, URL-encoded paths, DELETION
 VECTORS (r8: inline + sidecar storage, stacked-delete union semantics,
-checkpoint carriage), and fail-loud gating of reader features this
-implementation does not support (column mapping, unknown
-reader-version-3 features).
+checkpoint carriage), COLUMN MAPPING mode "name" (r8: physical-name
+data files, logical projection, mapped partition keys), V2 UUID
+checkpoints with sidecars (r8), the truncated-log contiguity guard
+(r8), and fail-loud gating of what remains unsupported (column
+mapping mode "id", unknown reader-version-3 features).
 """
 
 from __future__ import annotations
