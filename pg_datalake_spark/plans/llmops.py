@@ -1860,3 +1860,74 @@ def t16(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-count division so DuckDB flips the identical flags."""
     t = load_tables(spark, sf_dir, ["documents"])
     return textstats.gopher_quality_flags(t["documents"], "doc_id", "text")
+
+
+@register(
+    "x14_curation_pipeline",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    quality AS (  -- Gopher word-count rule (t16's rule 1)
+      SELECT doc_id, lang, text, len(t) AS n_words
+      FROM base WHERE len(t) >= 50 AND len(t) <= 100000
+    ),
+    fp AS (       -- exact dedup on the normalized fingerprint (d01)
+      SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-zA-Z0-9_ \t\n]', '', 'g'), '[ \t\n]+', ' ', 'g'))) AS f,
+             min(doc_id) AS keep_id
+      FROM quality GROUP BY 1
+    ),
+    kept AS (
+      SELECT q.* FROM quality q JOIN fp ON q.doc_id = fp.keep_id
+    ),
+    split AS (    -- deterministic md5 split (x04's carve)
+      SELECT *,
+             CASE WHEN ('0x' || substr(md5('cur' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 10000 < 8000 THEN 'train'
+                  WHEN ('0x' || substr(md5('cur' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 10000 < 9000 THEN 'validation'
+                  ELSE 'test' END AS split
+      FROM kept
+    )
+    SELECT split, lang, count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words
+    FROM split GROUP BY split, lang
+    """,
+)
+def x14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation PIPELINE (r8): the individually-verified
+    operators composed the way a real training-data run chains them —
+    Gopher word-count gate (textstats.gopher_quality_flags) → exact
+    dedup keep-min (dedup.exact_dedup) → deterministic md5
+    train/validation/test carve (sampling.split_by_hash) → per
+    (split, lang) corpus report. DuckDB recomputes the WHOLE chain
+    relationally, so the stage interfaces (not just each stage) are
+    value-checked."""
+    from pg_datalake_spark.operators.sampling import split_by_hash
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t["documents"].select("doc_id", "lang", "text")
+    flags = textstats.gopher_quality_flags(docs, "doc_id", "text").select(
+        "doc_id", "n_words", "ok_word_count"
+    )
+    quality = (
+        docs.join(flags, "doc_id")
+        .filter(F.col("ok_word_count"))
+        .select("doc_id", "lang", "text", "n_words")
+    )
+    keep = dedup.exact_dedup(quality, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    kept = quality.join(keep, "doc_id")
+    split = split_by_hash(
+        kept, "doc_id",
+        {"train": 0.8, "validation": 0.1, "test": 0.1}, salt="cur",
+    )
+    return split.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+    )
