@@ -76,6 +76,18 @@ def main() -> None:
     for name in tabs:  # every headline input, incl. documents/embeddings/events
         tabs[name].cache().count()
 
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def _hashable(dt) -> bool:  # xxhash64 rejects MapType at any depth
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _hashable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_hashable(f.dataType) for f in dt.fields)
+        return True
+
     names = [n for n in HEADLINE if n in QUERIES]
     timings: dict[str, float] = {}
     for name in names:
@@ -84,7 +96,14 @@ def main() -> None:
         for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
-            n = df.count()  # execute fully, discard rows
+            # prune-proof sink (r9): a bare count() lets Catalyst drop
+            # unreferenced output columns, under-measuring expression
+            # work — hash every (hashable) output column instead, still
+            # one row back to the driver
+            cols = [f.name for f in df.schema.fields if _hashable(f.dataType)]
+            # bit_xor, not sum: ANSI mode makes a long sum of hashes throw
+            sink = F.bit_xor(F.xxhash64(F.struct(*cols))) if cols else F.count(F.lit(1))
+            n, _chk = df.agg(F.count(F.lit(1)), sink).first()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)

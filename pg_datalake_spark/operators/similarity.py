@@ -139,7 +139,11 @@ def lsh_bucketed_pairs(
     the exact cosine filter removes false positives — so precision is
     1.0 by construction and recall is 1-(1-p^r)^b for collision
     probability p = 1 - angle/pi. One band keeps the legacy
-    single-table behavior.
+    single-table behavior. The recall bound is a CHECKED contract, not
+    prose: tests/test_operators.py::
+    test_lsh_planted_recall_meets_banding_bound plants pairs at a
+    controlled angle and asserts observed recall ≥ 1-(1-p^r)^b minus
+    a 3σ binomial margin (r9).
 
     AUTO PLANE COUNT (r8 — the same scale fix as mm05's band width):
     a FIXED plane count r makes in-bucket work quadratic the moment

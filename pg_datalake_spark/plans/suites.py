@@ -1404,7 +1404,7 @@ def _g_union(*arms: DataFrame) -> DataFrame:
 
 
 @register(
-    "w04_w05_w07_cb18_sessions",
+    "w04_w05_w07_cb18_cb42_sessions",
     oracle=lambda: "\nUNION ALL\n".join(
         [
             _g_arm_sql(
@@ -1434,6 +1434,15 @@ def _g_union(*arms: DataFrame) -> DataFrame:
                 k="from_type || '|' || to_type",
                 i1="n",
             ),
+            _g_arm_sql(
+                "cb42",
+                ORACLES["cb42_band_type_rollup"],
+                k="CAST(g_band AS VARCHAR) || '|' || CAST(g_type AS VARCHAR)"
+                  " || '|' || coalesce(CAST(k_band AS VARCHAR), '*')"
+                  " || '|' || coalesce(event_type, '*')",
+                i1="n",
+                i2="approx_users",
+            ),
         ]
     ),
 )
@@ -1442,14 +1451,16 @@ def w_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     (w04), 30-minute-gap sessionization (w05), and hypertable-style gap
     fill in both LOCF and linear-interpolation modes (w07), plus the
     r7 ClickBench event-type transition matrix (cb18: lead() per user
-    with a deterministic tie order, aggregated over (from, to) pairs).
-    Session bounds compare as epoch µs (timestamps render
-    engine-specifically; integers don't — load_tables pins the
+    with a deterministic tie order, aggregated over (from, to) pairs)
+    and — rotated in r9 — the ClickBench tier-4 two-phase totals
+    ROLLUP (cb42). Session bounds compare as epoch µs (timestamps
+    render engine-specifically; integers don't — load_tables pins the
     session to UTC)."""
     w04 = QUERIES["w04_topk_per_group"](spark, sf_dir)
     w05 = QUERIES["w05_sessionization"](spark, sf_dir)
     w07 = QUERIES["w07_gap_fill_locf"](spark, sf_dir)
     cb18 = QUERIES["cb18_transition_matrix"](spark, sf_dir)
+    cb42 = QUERIES["cb42_band_type_rollup"](spark, sf_dir)
     bar = F.lit("|")
     return _g_union(
         _g_arm(
@@ -1483,6 +1494,18 @@ def w_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=F.concat(F.col("from_type"), bar, F.col("to_type")),
             i1=F.col("n"),
         ),
+        _g_arm(
+            cb42,
+            "cb42",
+            k=F.concat(
+                F.col("g_band").cast("string"), bar,
+                F.col("g_type").cast("string"), bar,
+                F.coalesce(F.col("k_band").cast("string"), F.lit("*")), bar,
+                F.coalesce(F.col("event_type"), F.lit("*")),
+            ),
+            i1=F.col("n"),
+            i2=F.col("approx_users"),
+        ),
     )
 
 
@@ -1492,9 +1515,16 @@ def w_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "x03_x08_t05_t06_v05_d06_llmops",
+    "x03_x08_x14_t05_t06_v05_d06_llmops",
     oracle=lambda: "\nUNION ALL\n".join(
         [
+            _g_arm_sql(
+                "x14",
+                ORACLES["x14_curation_pipeline"],
+                k="split || '|' || lang",
+                i1="n_docs",
+                i2="total_words",
+            ),
             _g_arm_sql(
                 "x03",
                 ORACLES["x03_stratified_sample"],
@@ -1580,9 +1610,18 @@ def x_llmops(spark: SparkSession, sf_dir: str) -> DataFrame:
     (x06), append-stable hash splits (x07), PII-style redaction (t05),
     int8-quantized cosine top-k (v05) — plus the round-5 tail rotated
     in r6: benchmark decontamination (d06), corpus n-gram statistics
-    (t06), and distributed-prefix-sum sequence packing (x08)."""
+    (t06), and distributed-prefix-sum sequence packing (x08) — plus
+    the r9 rotation: the end-to-end curation PIPELINE composition
+    (x14: Gopher gate → exact dedup → md5 split → corpus report)."""
     bar = F.lit("|")
     return _g_union(
+        _g_arm(
+            QUERIES["x14_curation_pipeline"](spark, sf_dir),
+            "x14",
+            k=F.concat(F.col("split"), bar, F.col("lang")),
+            i1=F.col("n_docs"),
+            i2=F.col("total_words"),
+        ),
         _g_arm(
             QUERIES["x03_stratified_sample"](spark, sf_dir),
             "x03",
@@ -1899,7 +1938,7 @@ def geo_spatial_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ds36_ds51_ds67_ds04_ds39_shapes",
+    "ds36_ds51_ds67_ds04_ds39_ds77_ds87_shapes",
     oracle=lambda: "\nUNION ALL\n".join(
         [
             _g_arm_sql(
@@ -1940,6 +1979,22 @@ def geo_spatial_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d1="cov_cur",
                 i1="CAST(round(cov_next * 1000000) AS BIGINT)",
             ),
+            _g_arm_sql(
+                "ds77",
+                ORACLES["ds77_channel_segment_cube"],
+                k="CAST(g_channel AS VARCHAR) || '|' || CAST(g_seg AS VARCHAR)"
+                  " || '|' || coalesce(channel, '*')"
+                  " || '|' || coalesce(c_mktsegment, '*')",
+                i1="sales_cents",
+                i2="returns_cents",
+                i3="profit_cents",
+            ),
+            _g_arm_sql(
+                "ds87",
+                ORACLES["ds87_customer_except_chain"],
+                k="cohort",
+                i1="n",
+            ),
         ]
     ),
 )
@@ -1962,7 +2017,26 @@ def ds_shapes_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds67 = QUERIES["ds67_rollup_rank_topk"](spark, sf_dir)
     ds04 = QUERIES["ds04_cross_channel_yoy"](spark, sf_dir)
     ds39 = QUERIES["ds39_demand_variance"](spark, sf_dir)
+    ds77 = QUERIES["ds77_channel_segment_cube"](spark, sf_dir)
+    ds87 = QUERIES["ds87_customer_except_chain"](spark, sf_dir)
     return _g_union(
+        _g_arm(
+            ds77,
+            "ds77",
+            k=F.concat(F.col("g_channel").cast("string"), bar,
+                       F.col("g_seg").cast("string"), bar,
+                       F.coalesce(F.col("channel"), star), bar,
+                       F.coalesce(F.col("c_mktsegment"), star)),
+            i1=F.col("sales_cents"),
+            i2=F.col("returns_cents"),
+            i3=F.col("profit_cents"),
+        ),
+        _g_arm(
+            ds87,
+            "ds87",
+            k=F.col("cohort"),
+            i1=F.col("n"),
+        ),
         _g_arm(
             ds36,
             "ds36",

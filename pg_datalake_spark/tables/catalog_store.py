@@ -44,10 +44,14 @@ one frozen manifest, the catalog analog of a Postgres snapshot.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+_log = logging.getLogger(__name__)
 
 
 class CatalogConflictError(RuntimeError):
@@ -122,10 +126,40 @@ class ObjectStoreCatalog:
         except (json.JSONDecodeError, FileNotFoundError):
             # A corrupt/vanished tip can only be a crashed writer from the
             # pre-link era (or an fs that lies about link atomicity); fall
-            # back one version rather than wedging every read.
+            # back one version rather than wedging every read — but SAY so,
+            # readers are now serving stale state.
             if version is None and v > 1:
+                _log.warning(
+                    "catalog manifest v%d at %s is unreadable; serving v%d "
+                    "(a commit will quarantine the corrupt tip)",
+                    v, self._manifest_dir, v - 1,
+                )
                 return self._load_manifest(v - 1)
             raise
+
+    def _quarantine_if_corrupt(self, version: int) -> bool:
+        """True iff ``v{version}.json`` exists but is unreadable and has
+        been renamed aside (``.corrupt-*``), freeing the CAS slot. Without
+        this, a commit on top of the fallback base targets the corrupt
+        version, 'loses' the race to a file that will never parse, and
+        spins to a misleading CatalogConflictError."""
+        path = self._manifest_path(version)
+        try:
+            with open(path) as fh:
+                json.load(fh)
+            return False
+        except FileNotFoundError:
+            return False
+        except json.JSONDecodeError:
+            aside = f"{path}.corrupt-{os.getpid()}-{int(time.time() * 1000)}"
+            try:
+                os.rename(path, aside)
+            except FileNotFoundError:
+                pass  # a concurrent writer quarantined it first — also fine
+            _log.warning(
+                "quarantined corrupt catalog manifest %s -> %s", path, aside
+            )
+            return True
 
     def _try_commit_manifest(self, base_version: int, tables: dict) -> bool:
         """CAS: write the FULL manifest to a temp file first, then
@@ -321,6 +355,8 @@ class CatalogTransaction:
                     tables[name] = entry
             if self.catalog._try_commit_manifest(base["version"], tables):
                 return {"version": base["version"] + 1, "tables": tables}
+            if self.catalog._quarantine_if_corrupt(base["version"] + 1):
+                continue  # lost to an unreadable tip, not a real writer — retry
             tip = self.catalog._load_manifest()
             for name in self._staged:
                 if tip["tables"].get(name) != self.base["tables"].get(name):

@@ -101,6 +101,15 @@ def _write_commit(location: str, version: int, actions: list[dict]) -> int:
 
 
 def _replay_json_commit(path: str, state: dict) -> None:
+    """Apply ONE commit with Delta's per-version reconciliation: within
+    a single commit an ``add`` of a path wins over a ``remove`` of the
+    SAME path regardless of their order in the file (PROTOCOL.md
+    "Action Reconciliation"). DV commits from external writers are
+    exactly this remove+add-same-path pair, sometimes serialized
+    add-first — file-order replay would silently drop the whole file.
+    Two passes per commit: removes, then adds."""
+    adds: list[dict] = []
+    removes: list[dict] = []
     with open(path) as fh:
         for line in fh:
             line = line.strip()
@@ -112,34 +121,53 @@ def _replay_json_commit(path: str, state: dict) -> None:
             elif "protocol" in action:
                 state["protocol"] = action["protocol"]
             elif "add" in action:
-                add = action["add"]
-                state["adds"][add["path"]] = add
+                adds.append(action["add"])
             elif "remove" in action:
-                state["adds"].pop(action["remove"]["path"], None)
+                removes.append(action["remove"])
             # commitInfo / txn / cdc: no effect on the active file set
+    for r in removes:
+        state["adds"].pop(r["path"], None)
+    for a in adds:
+        state["adds"][a["path"]] = a
 
 
-def _v2_checkpoint_path(location: str, version: int) -> str | None:
-    """UUID-named V2 checkpoint manifest for ``version``, if present
-    (PROTOCOL.md "V2 Checkpoint Spec": ``%020d.checkpoint.<uuid>.parquet``
-    with action batches spilled to ``_delta_log/_sidecars/*.parquet``)."""
-    import glob as _g
+def _checkpoint_files(location: str, version: int) -> list[str] | None:
+    """The parquet file(s) making up a COMPLETE checkpoint for
+    ``version``, or None (so the caller's contiguity guard fails loud
+    rather than seeding partial add-state). Three public layouts
+    (PROTOCOL.md "Checkpoints"):
 
-    hits = sorted(
-        p
-        for p in _g.glob(
-            os.path.join(_log_dir(location), f"{version:020d}.checkpoint.*.parquet")
-        )
-        if not p.endswith(f"{version:020d}.checkpoint.parquet")
-    )
-    return hits[0] if hits else None
-
-
-def _resolve_checkpoint_file(location: str, version: int) -> str | None:
+    - classic single file ``%020d.checkpoint.parquet``;
+    - V1 multi-part ``%020d.checkpoint.%010d.%010d.parquet`` (part i
+      of n) — ALL n parts are required, each holding a slice of the
+      actions;
+    - V2 UUID-named manifest ``%020d.checkpoint.<uuid>.parquet`` —
+      recognized ONLY when the middle token parses as a UUID, never by
+      the bare glob (a multi-part part would otherwise be mistaken for
+      a complete manifest and silently drop adds).
+    """
     classic = _checkpoint_path(location, version)
     if os.path.exists(classic):
-        return classic
-    return _v2_checkpoint_path(location, version)
+        return [classic]
+    import glob as _g
+
+    prefix = f"{version:020d}.checkpoint."
+    hits = sorted(_g.glob(os.path.join(_log_dir(location), prefix + "*.parquet")))
+    multi: dict[int, dict[int, str]] = {}
+    for p in hits:
+        mid = os.path.basename(p)[len(prefix) : -len(".parquet")]
+        try:
+            uuid.UUID(mid)
+            return [p]  # V2 manifest (sidecars resolved by _load_checkpoint)
+        except ValueError:
+            pass
+        part = mid.split(".")
+        if len(part) == 2 and all(s.isdigit() for s in part):
+            multi.setdefault(int(part[1]), {})[int(part[0])] = p
+    for total, got in sorted(multi.items()):
+        if set(got) == set(range(1, total + 1)):
+            return [got[i] for i in range(1, total + 1)]
+    return None
 
 
 def _apply_checkpoint_rows(rows, state: dict) -> None:
@@ -163,47 +191,62 @@ def _load_checkpoint(spark: SparkSession, location: str, version: int, state: di
     ``sidecar`` row's parquet under ``_delta_log/_sidecars/`` is read
     and applied the same way — the sidecars hold the add/remove
     batches the manifest spilled out (PROTOCOL.md "V2 Checkpoint
-    Spec")."""
-    path = _resolve_checkpoint_file(location, version)
-    if path is None:
+    Spec"). V1 multi-part checkpoints (every part a slice of the
+    actions) are applied part by part."""
+    paths = _checkpoint_files(location, version)
+    if paths is None:
         raise FileNotFoundError(
-            f"no checkpoint file for version {version} under {location}"
+            f"no complete checkpoint for version {version} under {location}"
         )
-    df = spark.read.parquet(path)
-    rows = df.collect()
-    _apply_checkpoint_rows(rows, state)
-    if "sidecar" in df.columns:
-        sidecars = [
-            r.asDict(recursive=True)["sidecar"]["path"]
-            for r in rows
-            if r["sidecar"] is not None
-        ]
-        for rel in sidecars:
-            sc = os.path.join(_log_dir(location), "_sidecars", rel)
-            _apply_checkpoint_rows(spark.read.parquet(sc).collect(), state)
+    for path in paths:
+        df = spark.read.parquet(path)
+        rows = df.collect()
+        _apply_checkpoint_rows(rows, state)
+        if "sidecar" in df.columns:
+            sidecars = [
+                r.asDict(recursive=True)["sidecar"]["path"]
+                for r in rows
+                if r["sidecar"] is not None
+            ]
+            for rel in sidecars:
+                sc = os.path.join(_log_dir(location), "_sidecars", rel)
+                _apply_checkpoint_rows(spark.read.parquet(sc).collect(), state)
 
 
 def _snapshot_state(spark: SparkSession, location: str, version_as_of: int | None) -> dict:
     versions = _list_commit_versions(location)
-    if not versions:
+    cp_version: int | None = None
+    last_cp = os.path.join(_log_dir(location), "_last_checkpoint")
+    if os.path.exists(last_cp):
+        with open(last_cp) as fh:
+            cp_version = json.load(fh)["version"]
+    if not versions and cp_version is None:
         raise FileNotFoundError(f"empty Delta log under {location}")
-    target = versions[-1] if version_as_of is None else version_as_of
-    if target not in versions and _resolve_checkpoint_file(location, target) is None:
+    # a fully-cleaned log (every JSON commit vacuumed) is legal when the
+    # checkpoint alone covers the newest version
+    newest = max([*versions, *( [cp_version] if cp_version is not None else [] )])
+    target = newest if version_as_of is None else version_as_of
+    if target not in versions and _checkpoint_files(location, target) is None:
+        if cp_version is not None and target == cp_version:
+            raise NotImplementedError(
+                f"Delta checkpoint for version {target} under {location} is "
+                "incomplete (multi-part checkpoint with missing parts?) and "
+                "its JSON commit is cleaned; restore the checkpoint files"
+            )
         raise ValueError(
-            f"version {target} not in Delta log (have {versions[0]}..{versions[-1]})"
+            f"version {target} not in Delta log (have checkpoints/commits "
+            f"up to {newest})"
         )
     state: dict = {"adds": {}, "metaData": None, "protocol": None, "version": target}
 
     start = 0
-    last_cp = os.path.join(_log_dir(location), "_last_checkpoint")
-    if os.path.exists(last_cp):
-        with open(last_cp) as fh:
-            cp = json.load(fh)
-        if cp["version"] <= target and (
-            _resolve_checkpoint_file(location, cp["version"]) is not None
-        ):
-            _load_checkpoint(spark, location, cp["version"], state)
-            start = cp["version"] + 1
+    if (
+        cp_version is not None
+        and cp_version <= target
+        and _checkpoint_files(location, cp_version) is not None
+    ):
+        _load_checkpoint(spark, location, cp_version, state)
+        start = cp_version + 1
 
     # The replay is only sound over a CONTIGUOUS commit range: if the
     # earliest surviving JSON commit is newer than where the replay
@@ -244,14 +287,49 @@ def _check_protocol(state: dict) -> None:
             "is not supported by the pure-Python log reader; use the "
             "delta-spark jars (spark.jars.packages=io.delta:delta-spark_2.13:...)"
         )
-    conf = (state["metaData"] or {}).get("configuration") or {}
-    cm = conf.get("delta.columnMapping.mode", "none")
-    if cm not in ("none", "name"):
+    cm = _cm_mode(state["metaData"] or {})
+    if cm not in ("none", "name", "id"):
         raise NotImplementedError(
-            f"Delta column mapping mode {cm!r} is not supported offline — "
-            "'id' mode matches columns by parquet field id, which needs the "
-            "delta-spark jars; 'name' mode is fully supported"
+            f"unknown Delta column mapping mode {cm!r} (PROTOCOL.md defines "
+            "none/name/id)"
         )
+
+
+def _cm_mode(meta: dict) -> str:
+    return (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
+
+
+def _norm_location(location: str) -> str:
+    """Absolute table root for local paths — a relative ``location``
+    would otherwise never match the absolute paths that
+    ``_metadata.file_path`` reports."""
+    return location if "://" in location else os.path.abspath(location)
+
+
+def _make_abs(location: str):
+    """add.path → absolute filesystem path (PROTOCOL.md: add paths are
+    RFC-2396-encoded, relative to the table root unless absolute)."""
+    location = _norm_location(location)
+
+    def _abs(p: str) -> str:
+        p = urllib.parse.unquote(p)
+        if "://" in p:
+            return p
+        return p if p.startswith("/") else os.path.join(location, p)
+
+    return _abs
+
+
+def _decoded_path_col():
+    """``_metadata.file_path`` as a normalized local filesystem path
+    column. Spark renders the path as a URI, so percent-encoding
+    survives (a space is ``%20``); the descriptor side (:func:`_make_abs`)
+    urllib-unquotes add.path — both sides must decode identically or
+    DV-deleted rows in encodable paths silently reappear. A literal
+    ``+`` is protected first (``url_decode`` is URLDecoder semantics,
+    which would turn a bare ``+`` into a space; ``unquote`` does not)."""
+    raw = F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/")
+    return F.url_decode(F.regexp_replace(raw, r"\+", "%2B"))
 
 
 def _partition_literal(value: str | None, dtype: T.DataType):
@@ -266,17 +344,21 @@ def _partition_literal(value: str | None, dtype: T.DataType):
 def _scan_plan(meta: dict):
     """Shared scan planning for the reader and the DV-delete scan:
     logical schema, partition columns, and — under COLUMN MAPPING
-    (r8; PROTOCOL.md "Column Mapping", mode "name", where data files
-    store columns as per-field ``physicalName`` col-<uuid> metadata
-    while the log speaks logical names) — the PHYSICAL read schema
-    plus the one projection that maps back (a cast-by-position renames
-    nested struct fields for free). Mode "id" stays fail-loud in
-    _check_protocol. Returns (schema, part_cols, by_type, phys,
-    data_schema, out_cols)."""
+    (PROTOCOL.md "Column Mapping") — the PHYSICAL read schema plus the
+    one projection that maps back (a cast-by-position renames nested
+    struct fields for free). Mode "name" (r8) matches data-file
+    columns by their per-field ``physicalName`` col-<uuid>; mode "id"
+    (r9) matches by PARQUET FIELD ID instead: every physical field in
+    the read schema carries ``parquet.field.id`` metadata from
+    ``delta.columnMapping.id``, and the reader enables
+    ``spark.sql.parquet.fieldId.read.enabled`` so the scan binds by id
+    even when file column names differ from the log's physicalName
+    (the point of id mode — renames never rewrite data). Returns
+    (schema, part_cols, by_type, phys, data_schema, out_cols)."""
     schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
     part_cols = list(meta.get("partitionColumns") or [])
     by_type = {f.name: f.dataType for f in schema.fields}
-    cm_mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode", "none")
+    cm_mode = _cm_mode(meta)
 
     def _phys_of(f: T.StructField) -> str:
         if cm_mode == "none":
@@ -289,11 +371,25 @@ def _scan_plan(meta: dict):
             )
         return pn
 
+    def _field_id_meta(f: T.StructField) -> dict | None:
+        if cm_mode != "id":
+            return None
+        fid = (f.metadata or {}).get("delta.columnMapping.id")
+        if fid is None:
+            raise ValueError(
+                f"column mapping mode 'id' but field {f.name!r} has no "
+                "delta.columnMapping.id metadata"
+            )
+        return {"parquet.field.id": int(fid)}
+
     def _physicalize(dt: T.DataType) -> T.DataType:
         if isinstance(dt, T.StructType):
             return T.StructType(
                 [
-                    T.StructField(_phys_of(f), _physicalize(f.dataType), f.nullable)
+                    T.StructField(
+                        _phys_of(f), _physicalize(f.dataType), f.nullable,
+                        _field_id_meta(f),
+                    )
                     for f in dt.fields
                 ]
             )
@@ -309,7 +405,9 @@ def _scan_plan(meta: dict):
     phys = {f.name: _phys_of(f) for f in schema.fields}
     data_schema = T.StructType(
         [
-            T.StructField(phys[f.name], _physicalize(f.dataType), f.nullable)
+            T.StructField(
+                phys[f.name], _physicalize(f.dataType), f.nullable, _field_id_meta(f)
+            )
             for f in schema.fields
             if f.name not in part_cols
         ]
@@ -346,25 +444,23 @@ def read_delta_table(
         if version_as_of is not None:
             raise ValueError("pass version_as_of OR timestamp_as_of_ms, not both")
         version_as_of = version_at_timestamp(spark, location, timestamp_as_of_ms)
+    location = _norm_location(location)
     state = _snapshot_state(spark, location, version_as_of)
     meta = state["metaData"]
     schema, part_cols, by_type, phys, data_schema, out_cols = _scan_plan(meta)
+    if _cm_mode(meta) == "id":
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     adds = list(state["adds"].values())
     if not adds:
         return spark.createDataFrame([], schema)
 
-    def _abs(p: str) -> str:
-        p = urllib.parse.unquote(p)
-        return p if p.startswith("/") or "://" in p else os.path.join(location, p)
-
+    _abs = _make_abs(location)
     has_dv = any(a.get("deletionVector") for a in adds)
     meta_cols = (
         [
             # normalized data-file path + in-file row position, the
             # anti-join key against the decoded deletion vectors
-            F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/").alias(
-                "__path"
-            ),
+            _decoded_path_col().alias("__path"),
             F.col("_metadata.row_index").alias("__pos"),
         ]
         if has_dv
@@ -539,23 +635,29 @@ def write_delta_table(
     df: DataFrame,
     location: str,
     partition_by: list[str] | None = None,
-    column_mapping: bool = False,
+    column_mapping: bool | str = False,
 ) -> int:
     """Create a Delta table at ``location`` (commit 0: protocol +
     metaData + adds). Returns the committed version.
 
-    ``column_mapping=True`` (r8) creates the table in column-mapping
-    mode "name": every field gets ``delta.columnMapping.id`` /
-    ``physicalName`` (col-<hex>) metadata, the DATA FILES are written
-    under the physical names (hive partition dirs included), and the
-    protocol advances to reader 2 / writer 5 — the exact shape modern
-    writers emit, so the reader's logical↔physical projection is
-    exercised end-to-end offline."""
+    ``column_mapping`` ``True``/``"name"`` (r8) creates the table in
+    column-mapping mode "name": every field gets
+    ``delta.columnMapping.id`` / ``physicalName`` (col-<hex>) metadata,
+    the DATA FILES are written under the physical names (hive partition
+    dirs included), and the protocol advances to reader 2 / writer 5 —
+    the exact shape modern writers emit, so the reader's
+    logical↔physical projection is exercised end-to-end offline.
+    ``"id"`` (r9) additionally stamps ``parquet.field.id`` into the
+    data files (``spark.sql.parquet.fieldId.write.enabled``) and sets
+    mode "id" — the reader then binds by field id, not name."""
     os.makedirs(location, exist_ok=True)
     configuration: dict[str, str] = {}
     proto_ver = {"minReaderVersion": 1, "minWriterVersion": 2}
     schema = df.schema
     if column_mapping:
+        cm_mode = "name" if column_mapping is True else str(column_mapping)
+        if cm_mode not in ("name", "id"):
+            raise ValueError(f"column_mapping must be 'name' or 'id', got {cm_mode!r}")
         phys = {f.name: f"col-{uuid.uuid4().hex[:12]}" for f in schema.fields}
         schema = T.StructType(
             [
@@ -572,12 +674,22 @@ def write_delta_table(
             ]
         )
         configuration = {
-            "delta.columnMapping.mode": "name",
+            "delta.columnMapping.mode": cm_mode,
             "delta.columnMapping.maxColumnId": str(len(schema.fields)),
         }
         proto_ver = {"minReaderVersion": 2, "minWriterVersion": 5}
+        id_meta = (
+            {f.name: {"parquet.field.id": i + 1} for i, f in enumerate(df.schema.fields)}
+            if cm_mode == "id"
+            else {}
+        )
+        if cm_mode == "id":
+            df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         df = df.select(
-            *[F.col(f.name).alias(phys[f.name]) for f in df.schema.fields]
+            *[
+                F.col(f.name).alias(phys[f.name], metadata=id_meta.get(f.name))
+                for f in df.schema.fields
+            ]
         )
         stage_partition_by = [phys[c] for c in (partition_by or [])]
     else:
@@ -640,13 +752,19 @@ def delete_where_delta(
     roaring bitmap holds ALL its deleted row positions (existing DV
     positions unioned in — descriptors replace, they don't stack).
     Blobs ≤ ``inline_threshold`` bytes are stored inline (``"i"``,
-    Z85); larger ones are packed into one UUID-named sidecar file
-    (``"u"``) at their descriptor offsets. The commit also upgrades the
-    protocol to readerVersion 3 / writerVersion 7 with the
-    deletionVectors feature when needed. The matched-position gather is
-    a driver collect — this writer exists to exercise and oracle-check
-    the READ path offline (see module docstring); the read path itself
-    decodes DVs executor-side and scales."""
+    Z85); larger ones go to UUID-named sidecar files (``"u"``), one per
+    touched data file, WRITTEN BY THE EXECUTORS (r9): matched positions
+    are hash-partitioned per data file and each file's roaring bitmap
+    is built + serialized inside ``applyInPandas`` — no row position
+    ever transits the driver, which only registers the O(files)
+    descriptor list (same scale shape as
+    iceberg_external.add_position_deletes_df). The commit also upgrades
+    the protocol to readerVersion 3 / writerVersion 7 with the
+    deletionVectors feature when needed, re-adds each touched file with
+    ``stats.numRecords`` (mandatory on DV adds per PROTOCOL.md's writer
+    requirements), and carries the PRIOR deletionVector on the paired
+    remove so vacuum can reclaim superseded sidecars."""
+    location = _norm_location(location)
     state = _snapshot_state(spark, location, None)
     if mode == "dv":
         return _delete_where_dv(spark, location, state, predicate, inline_threshold)
@@ -677,21 +795,15 @@ def _delete_where_dv(
     predicate: str,
     inline_threshold: int,
 ) -> int:
-    import uuid as _uuid
-
-    import numpy as np
-
-    from pg_datalake_spark.tables import dv_codec
-
     meta = state["metaData"]
     schema, part_cols, by_type, phys, data_schema, out_cols = _scan_plan(meta)
-
-    def _abs(p: str) -> str:
-        p = urllib.parse.unquote(p)
-        return p if p.startswith("/") or "://" in p else os.path.join(location, p)
+    if _cm_mode(meta) == "id":
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    _abs = _make_abs(location)
 
     # raw per-partition-group scan (NO existing-DV filtering: already-
-    # deleted rows may re-match; the bitmap union below absorbs them)
+    # deleted rows may re-match; the per-file bitmap union below —
+    # executor-side — absorbs them)
     groups: dict[tuple, list[str]] = {}
     for a in state["adds"].values():
         pv = a.get("partitionValues") or {}
@@ -705,9 +817,7 @@ def _delete_where_dv(
             df = df.withColumn(c, _partition_literal(v, by_type[c]))
         parts.append(
             df.select(
-                F.regexp_replace(F.col("_metadata.file_path"), "^file:/*", "/").alias(
-                    "__path"
-                ),
+                _decoded_path_col().alias("__path"),
                 F.col("_metadata.row_index").alias("__pos"),
                 *out_cols,
             )
@@ -715,54 +825,98 @@ def _delete_where_dv(
     scan = parts[0]
     for p in parts[1:]:
         scan = scan.unionByName(p)
-    matched = scan.filter(predicate).select("__path", "__pos").collect()
-    by_file: dict[str, list[int]] = {}
-    for r in matched:
-        by_file.setdefault(r[0], []).append(r[1])
-    if not by_file:
-        return _write_commit(
-            location,
-            state["version"] + 1,
-            [{"commitInfo": {"operation": "DELETE", "timestamp": int(time.time() * 1000)}}],
-        )
+    matched = scan.filter(predicate).select("__path", "__pos")
 
+    # prior descriptors: O(files) driver metadata, joined in so each
+    # executor can union already-deleted positions into its bitmap
+    # (descriptors REPLACE, they don't stack)
     abs_to_add = {_abs(a["path"]): a for a in state["adds"].values()}
-    now_ms = int(time.time() * 1000)
-    descs: dict[str, dict] = {}  # abs path -> descriptor
-    sidecar_blobs: list[bytes] = []
-    sidecar_files: list[str] = []
-    for path, new_pos in sorted(by_file.items()):
-        add = abs_to_add[path]
-        positions = np.asarray(new_pos, dtype=np.int64)
-        old = add.get("deletionVector")
-        if old:
+    old_rows = [
+        (p, d["storageType"], d["pathOrInlineDv"], d.get("offset"), d["sizeInBytes"])
+        for p, a in sorted(abs_to_add.items())
+        if (d := a.get("deletionVector"))
+    ]
+    old_schema = (
+        "__path string, o_st string, o_dv string, o_off long, o_size long"
+    )
+    old_df = spark.createDataFrame(old_rows, old_schema)
+    keyed = matched.join(F.broadcast(old_df), "__path", "left")
+
+    def _serialize_file_dv(key, pdf):
+        """One group per data file: union new + prior positions, build
+        the roaring bitmap, spill big blobs to a per-file UUID sidecar
+        — all executor-local; only the descriptor row returns."""
+        import uuid as _uuid
+
+        import numpy as np
+        import pandas as pd
+
+        from pg_datalake_spark.tables import dv_codec
+
+        path, o_st, o_dv, o_off, o_size = key
+        positions = np.unique(pdf["__pos"].to_numpy(dtype=np.int64))
+        if o_st is not None:
+            old_desc = {
+                "storageType": o_st,
+                "pathOrInlineDv": o_dv,
+                "offset": None if o_off is None else int(o_off),
+                "sizeInBytes": int(o_size),
+            }
             positions = np.union1d(
-                positions, dv_codec.decode_descriptor_positions(old, location)
+                positions, dv_codec.decode_descriptor_positions(old_desc, location)
             )
         blob = dv_codec.serialize_dv(positions)
-        card = int(len(np.unique(positions)))
+        card = int(len(positions))
         if len(blob) <= inline_threshold:
-            descs[path] = {
+            desc = {
+                "path": path,
                 "storageType": "i",
                 "pathOrInlineDv": dv_codec.z85_encode(blob),
+                "offset": None,
                 "sizeInBytes": len(blob),
                 "cardinality": card,
             }
         else:
-            sidecar_blobs.append(blob)
-            sidecar_files.append(path)
-            descs[path] = {"sizeInBytes": len(blob), "cardinality": card}
-    if sidecar_blobs:
-        u = _uuid.uuid4()
-        offsets = dv_codec.write_dv_file(
-            os.path.join(location, f"deletion_vector_{u}.bin"), sidecar_blobs
-        )
-        for path, off in zip(sidecar_files, offsets):
-            descs[path].update(
-                storageType="u",
-                pathOrInlineDv=dv_codec.make_uuid_descriptor_path(u),
-                offset=off,
+            u = _uuid.uuid4()
+            [off] = dv_codec.write_dv_file(
+                os.path.join(location, f"deletion_vector_{u}.bin"), [blob]
             )
+            desc = {
+                "path": path,
+                "storageType": "u",
+                "pathOrInlineDv": dv_codec.make_uuid_descriptor_path(u),
+                "offset": off,
+                "sizeInBytes": len(blob),
+                "cardinality": card,
+            }
+        return pd.DataFrame([desc])
+
+    desc_schema = (
+        "path string, storageType string, pathOrInlineDv string, "
+        "offset long, sizeInBytes long, cardinality long"
+    )
+    desc_rows = (
+        keyed.groupBy("__path", "o_st", "o_dv", "o_off", "o_size")
+        .applyInPandas(_serialize_file_dv, desc_schema)
+        .collect()  # O(touched files) descriptors — never row positions
+    )
+    now_ms = int(time.time() * 1000)
+    if not desc_rows:
+        return _write_commit(
+            location,
+            state["version"] + 1,
+            [{"commitInfo": {"operation": "DELETE", "timestamp": now_ms}}],
+        )
+    descs = {
+        r["path"]: {
+            k: r[k]
+            for k in (
+                "storageType", "pathOrInlineDv", "offset", "sizeInBytes", "cardinality"
+            )
+            if r[k] is not None
+        }
+        for r in desc_rows
+    }
 
     actions: list[dict] = [
         {"commitInfo": {"operation": "DELETE", "timestamp": now_ms}}
@@ -781,21 +935,30 @@ def _delete_where_dv(
         )
     for path in sorted(descs):
         add = abs_to_add[path]
-        actions.append(
-            {
-                "remove": {
-                    "path": add["path"],
-                    "deletionTimestamp": now_ms,
-                    "dataChange": True,
-                    "partitionValues": add.get("partitionValues") or {},
-                }
-            }
-        )
+        remove = {
+            "path": add["path"],
+            "deletionTimestamp": now_ms,
+            "dataChange": True,
+            "partitionValues": add.get("partitionValues") or {},
+        }
+        if add.get("deletionVector"):
+            # superseded DV rides the tombstone so VACUUM can reclaim it
+            remove["deletionVector"] = add["deletionVector"]
+        actions.append({"remove": remove})
         new_add = {
             k: v
             for k, v in add.items()
-            if k in ("path", "partitionValues", "size", "modificationTime")
+            if k in ("path", "partitionValues", "size", "modificationTime", "stats")
         }
+        if "stats" not in new_add:
+            # PROTOCOL.md: adds carrying a deletionVector MUST have
+            # stats.numRecords — synthesize from the parquet footer
+            # (O(1) metadata read per touched file)
+            import pyarrow.parquet as pq
+
+            new_add["stats"] = json.dumps(
+                {"numRecords": pq.ParquetFile(path).metadata.num_rows}
+            )
         new_add.update(dataChange=True, deletionVector=descs[path])
         actions.append({"add": new_add})
     return _write_commit(location, state["version"] + 1, actions)

@@ -627,21 +627,30 @@ class LakeTable:
             new_files += untouched
 
             if mor_files:
+                import pyarrow.parquet as pq
+
                 mor = len(mor_files)
                 del_dir = os.path.join(self.root, "deletes", f"d-{uuid.uuid4().hex[:12]}")
                 keep_paths = {f.path for f in mor_files}
+                # tombstones are written BY THE EXECUTORS, hash-partitioned
+                # per data file with (file_path, pos)-sorted rows — the
+                # Iceberg delete-file convention, and the same distribution
+                # as iceberg_external.add_position_deletes_df; a single
+                # coalesced task would bottleneck a wide delete at scale
                 (
                     matched.filter(
                         F.regexp_replace("file_path", "^file:", "").isin(*keep_paths)
                     )
-                    .coalesce(1)
+                    .repartition("file_path")
+                    .sortWithinPartitions("file_path", "pos")
                     .write.parquet(del_dir)
                 )
-                for fn in os.listdir(del_dir):
+                for fn in sorted(os.listdir(del_dir)):
                     if fn.endswith(".parquet"):
                         p = os.path.join(del_dir, fn)
-                        n = sum(counts.get(f.path, 0) for f in mor_files)
-                        new_deletes.append(DeleteFile(path=p, rows=n))
+                        n = pq.ParquetFile(p).metadata.num_rows
+                        if n:
+                            new_deletes.append(DeleteFile(path=p, rows=n))
                 new_files += mor_files
 
             if cow_files:

@@ -129,3 +129,31 @@ def test_manifest_commit_is_atomic_and_corrupt_tip_falls_back(tmp_path):
     # pinned read of the corrupt version still fails loudly
     with pytest.raises(Exception):
         cat._load_manifest(2)
+
+
+def test_commit_past_corrupt_tip_quarantines_and_succeeds(tmp_path):
+    """r9 (ADVICE): the corrupt-tip fallback must not wedge WRITES — a
+    commit on the fallback base targets the corrupt version, detects it
+    is unreadable (not a real winner), quarantines it aside, and retries
+    into the freed slot instead of spinning to CatalogConflictError."""
+    import os
+
+    cat = ObjectStoreCatalog(str(tmp_path / "cat"))
+    cat.register_lake("a", "/tmp/a")
+    cat.register_lake("b", "/tmp/b")
+    with open(cat._manifest_path(2), "w") as fh:
+        fh.write("{not json")
+    # write through the corrupt tip: previously spun 5 CAS rounds and
+    # raised; now quarantines v2 and commits a NEW v2
+    cat.register_lake("c", "/tmp/c")
+    assert cat.current_version() == 2
+    m = cat._load_manifest()
+    assert set(m["tables"]) == {"a", "c"}  # b's commit was the corrupted one
+    quarantined = [
+        f for f in os.listdir(cat._manifest_dir) if ".corrupt-" in f
+    ]
+    assert len(quarantined) == 1
+    # subsequent commits proceed normally on the repaired chain
+    cat.register_lake("d", "/tmp/d")
+    assert cat.current_version() == 3
+    assert set(cat._load_manifest()["tables"]) == {"a", "c", "d"}

@@ -219,20 +219,193 @@ def test_column_mapping_name_mode_roundtrip(spark, tmp_path):
     assert got2 == [(1, 10), (3, 30), (5, 50)]
 
 
-def test_column_mapping_id_mode_fails_loud(spark, tmp_path):
+def test_column_mapping_id_mode_roundtrip(spark, tmp_path):
+    """r9: column mapping mode 'id' — the reader binds data-file
+    columns by PARQUET FIELD ID (spark.sql.parquet.fieldId.read),
+    not by name. Proven by corrupting every physicalName in the log
+    AFTER writing: name-based matching would now find nothing, so a
+    correct read can only come from id matching."""
     loc = str(tmp_path / "cm_id")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30)], "id long, grp string, v long"
+    )
+    dl.write_delta_table(df, loc, partition_by=["grp"], column_mapping="id")
+    got = dl.read_delta_table(spark, loc)
+    assert set(got.columns) == {"id", "grp", "v"}
+    assert sorted((r.id, r.grp, r.v) for r in got.collect()) == [
+        (1, "a", 10), (2, "b", 20), (3, "a", 30)
+    ]
+
+    # simulate an external rename-only writer: physicalNames in the log
+    # no longer match the column names inside the data files
+    path = dl._commit_path(loc, 0)
+    lines = [json.loads(line) for line in open(path)]
+    for a in lines:
+        if "metaData" in a:
+            schema = json.loads(a["metaData"]["schemaString"])
+            pv_rename = {}
+            for i, f in enumerate(schema["fields"]):
+                old = f["metadata"]["delta.columnMapping.physicalName"]
+                f["metadata"]["delta.columnMapping.physicalName"] = f"renamed-{i}"
+                pv_rename[old] = f"renamed-{i}"
+            a["metaData"]["schemaString"] = json.dumps(schema)
+        if "add" in a:
+            a["add"]["partitionValues"] = {
+                pv_rename.get(k, k): v
+                for k, v in (a["add"].get("partitionValues") or {}).items()
+            }
+    os.remove(path)
+    with open(path, "w") as fh:
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
+    got2 = dl.read_delta_table(spark, loc)
+    assert sorted((r.id, r.grp, r.v) for r in got2.collect()) == [
+        (1, "a", 10), (2, "b", 20), (3, "a", 30)
+    ]
+    # DV delete works against the id-mapped scan too
+    dl.delete_where_delta(spark, loc, "grp = 'a'", mode="dv")
+    assert sorted(r.id for r in dl.read_delta_table(spark, loc).collect()) == [2]
+
+
+def test_unknown_column_mapping_mode_fails_loud(spark, tmp_path):
+    loc = str(tmp_path / "cm_bogus")
     df = spark.createDataFrame([(1,)], "id long")
     dl.write_delta_table(df, loc)
     path = dl._commit_path(loc, 0)
-    lines = [json.loads(l) for l in open(path)]
+    lines = [json.loads(line) for line in open(path)]
     for a in lines:
         if "metaData" in a:
-            a["metaData"]["configuration"] = {"delta.columnMapping.mode": "id"}
+            a["metaData"]["configuration"] = {"delta.columnMapping.mode": "bogus"}
     with open(path, "w") as fh:
         for a in lines:
             fh.write(json.dumps(a) + "\n")
     with pytest.raises(NotImplementedError, match="column mapping"):
         dl.read_delta_table(spark, loc)
+
+
+def test_same_commit_remove_then_add_any_order(spark, tmp_path):
+    """r9 (PROTOCOL.md Action Reconciliation): within ONE commit an add
+    wins over a remove of the same path regardless of serialization
+    order — external DV writers emit exactly this pair, sometimes
+    add-first. File-order replay would drop the whole file."""
+    loc = str(tmp_path / "reconcile")
+    df = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    dl.write_delta_table(df, loc)
+    state = dl._snapshot_state(spark, loc, None)
+    [(path, add)] = [(p, a) for p, a in state["adds"].items()][:1]
+    # hand-write a commit with the ADD FIRST, then the remove
+    dl._write_commit(
+        loc,
+        state["version"] + 1,
+        [
+            {"add": {**add, "dataChange": True}},
+            {
+                "remove": {
+                    "path": path,
+                    "deletionTimestamp": 1,
+                    "dataChange": True,
+                    "partitionValues": {},
+                }
+            },
+        ],
+    )
+    assert dl.read_delta_table(spark, loc).count() == 8  # file survives
+
+
+def test_v1_multipart_checkpoint_not_mistaken_for_v2(spark, tmp_path):
+    """r9 (advice): %020d.checkpoint.%010d.%010d.parquet parts must
+    never be loaded as a V2 manifest (silent partial state). All parts
+    present → replay uses every part; a part missing → None, and the
+    contiguity guard fails loud on a truncated log."""
+    import pyarrow.parquet as pq
+
+    loc = str(tmp_path / "multipart")
+    df = spark.createDataFrame([(i,) for i in range(20)], "id long")
+    dl.write_delta_table(df.filter("id < 10"), loc)
+    dl.append_delta(df.filter("id >= 10"), loc)
+    dl.write_delta_checkpoint(spark, loc)
+    # split the classic checkpoint into a 2-part V1 multi-part layout:
+    # part files hold disjoint slices of the action rows
+    classic = dl._checkpoint_path(loc, 1)
+    t = pq.read_table(classic)
+    d = os.path.dirname(classic)
+    pq.write_table(
+        t.slice(0, 2),
+        os.path.join(d, "00000000000000000001.checkpoint.0000000001.0000000002.parquet"),
+    )
+    pq.write_table(
+        t.slice(2),
+        os.path.join(d, "00000000000000000001.checkpoint.0000000002.0000000002.parquet"),
+    )
+    os.remove(classic)
+    os.remove(dl._commit_path(loc, 0))
+    os.remove(dl._commit_path(loc, 1))
+    assert dl.read_delta_table(spark, loc).count() == 20
+    # drop one part: the checkpoint is incomplete -> fail loud, never
+    # a partial replay seeded from the surviving part
+    os.remove(
+        os.path.join(d, "00000000000000000001.checkpoint.0000000002.0000000002.parquet")
+    )
+    with pytest.raises(NotImplementedError, match="incomplete|missing commits"):
+        dl.read_delta_table(spark, loc)
+
+
+def test_dv_delete_on_encoded_partition_path(spark, tmp_path):
+    """r9 (advice): partition values with spaces percent-encode into
+    the data-file paths; the DV anti-join must decode both sides
+    identically or deleted rows silently reappear. Also exercises a
+    RELATIVE table location."""
+    loc = str(tmp_path / "enc dv")
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "c+d"), (4, "c+d")], "id long, grp string"
+    )
+    dl.write_delta_table(df, loc, partition_by=["grp"])
+    rel = os.path.relpath(loc)
+    dl.delete_where_delta(spark, rel, "id IN (1, 3)", mode="dv", inline_threshold=0)
+    got = sorted((r.id, r.grp) for r in dl.read_delta_table(spark, rel).collect())
+    assert got == [(2, "a b"), (4, "c+d")]
+
+
+def test_dv_add_carries_stats_and_remove_carries_old_dv(spark, delta_orders):
+    """r9 (advice, PROTOCOL.md DV writer requirements): every add with
+    a deletionVector must carry stats.numRecords; a DV-superseding
+    remove must carry the PRIOR deletionVector (vacuum reclaims it)."""
+    loc, _ = delta_orders
+    dl.delete_where_delta(spark, loc, "o_orderkey % 7 = 0", mode="dv",
+                          inline_threshold=0)
+    state = dl._snapshot_state(spark, loc, None)
+    first_dvs = {}
+    for p, a in state["adds"].items():
+        if a.get("deletionVector"):
+            stats = json.loads(a["stats"])
+            assert stats["numRecords"] > 0
+            first_dvs[p] = a["deletionVector"]
+    assert first_dvs
+    dl.delete_where_delta(spark, loc, "o_orderkey % 5 = 0", mode="dv",
+                          inline_threshold=0)
+    removes_with_dv = {}
+    with open(dl._commit_path(loc, dl.delta_table_version(loc))) as fh:
+        for line in fh:
+            a = json.loads(line)
+            if "remove" in a and a["remove"].get("deletionVector"):
+                removes_with_dv[a["remove"]["path"]] = a["remove"]["deletionVector"]
+    # every re-deleted file's remove carries its superseded descriptor
+    for p, dv in first_dvs.items():
+        if p in removes_with_dv:
+            assert removes_with_dv[p] == dv
+    assert removes_with_dv
+
+
+def test_dv_delete_source_has_no_row_collect():
+    """Guard the r9 scale property in code: the DV delete writer never
+    materializes row positions on the driver — its single collect is
+    the O(touched-files) descriptor list out of applyInPandas."""
+    import inspect
+
+    src = inspect.getsource(dl._delete_where_dv)
+    assert src.count(".collect()") == 1 and "applyInPandas" in src
+    assert "toPandas" not in src
+    assert 'select("__path", "__pos").collect' not in src
 
 
 def test_read_files_dispatch_uses_log_reader_offline(spark, delta_orders):

@@ -62,6 +62,36 @@ def test_mor_small_delete(spark, kv_table):
     assert kv_table.scan().filter("key < 100").count() == 0
 
 
+def test_mor_tombstone_write_is_distributed(spark, kv_table):
+    """r9: the MOR tombstone write is hash-partitioned per data file
+    with (file_path, pos)-sorted rows (Iceberg delete-file convention,
+    same distribution as the external add_position_deletes_df) — never
+    a coalesce(1) single-task funnel. Registered DeleteFile row counts
+    must match the parquet footers exactly."""
+    import inspect
+
+    import pyarrow.parquet as pq
+
+    src = inspect.getsource(LakeTable.delete)
+    assert "coalesce(1)" not in src
+    assert 'repartition("file_path")' in src
+    assert 'sortWithinPartitions("file_path", "pos")' in src
+
+    res = kv_table.delete("key % 11 = 0 AND key < 100")  # sparse → MOR
+    assert res["mor"] >= 1 and res["cow"] == 0
+    snap = kv_table._current_snapshot(kv_table._load())
+    total = 0
+    for d in snap.delete_files:
+        meta = pq.ParquetFile(d.path).metadata
+        assert d.rows == meta.num_rows and d.rows > 0
+        t = pq.read_table(d.path).to_pydict()
+        pairs = list(zip(t["file_path"], t["pos"]))
+        assert pairs == sorted(pairs)
+        total += d.rows
+    assert total == 10  # keys 0,11,22,...,99
+    assert kv_table.scan().count() == 990
+
+
 def test_cow_large_delete(spark, kv_table):
     """>20% of a file's rows → rewrite, no delete file."""
     res = kv_table.delete("key < 500")  # 50%

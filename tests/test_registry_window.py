@@ -15,8 +15,9 @@ from __future__ import annotations
 from pg_datalake_spark import plans
 from pg_datalake_spark.plans import registry
 
-# The round-7 driver window, in exact registration order (r7: the DS
-# suite widened in place to five arms — slot count unchanged).
+# The round-9 driver window, in exact registration order (r9: three
+# suites widened in place — cb42 into the sessions suite, x14 into the
+# llmops suite, ds77+ds87 into the DS suite; slot count unchanged).
 WINDOW_MANIFEST = [
     # 22 TPC-H shapes
     "q01_pricing_summary",
@@ -52,11 +53,11 @@ WINDOW_MANIFEST = [
     "f07_f12_f13_arrays_maps",
     "v01_v02_cosine",
     "j01_j07_n01_joins",
-    "w04_w05_w07_cb18_sessions",
-    "x03_x08_t05_t06_v05_d06_llmops",
+    "w04_w05_w07_cb18_cb42_sessions",
+    "x03_x08_x14_t05_t06_v05_d06_llmops",
     "c07_f16_f17_p01_p02_u02_u03_misc",
     "geo01_geo02_geo03_spatial",
-    "ds36_ds51_ds67_ds04_ds39_shapes",
+    "ds36_ds51_ds67_ds04_ds39_ds77_ds87_shapes",
     "x09_weighted_sample",
     # 7 lake-table DML/maintenance/format rows (r8: the lake08 slot
     # widened in place to the four-arm table-format suite — external
