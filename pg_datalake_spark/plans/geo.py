@@ -126,8 +126,6 @@ def geo01(spark: SparkSession, sf_dir: str) -> DataFrame:
     # envelope algebra arm: expand the group bbox, test against a fixed
     # probe envelope, measure the intersection width
     probe = S.st_makeenvelope(4.0, 4.0, 6.0, 6.0)
-    grown = S.st_expand(F.col("ext"), 0.5)
-    inter = S.st_bbox_intersection(grown, probe)
     # open 4-point corner walk (3 edges) for st_makeline/st_length
     corner = S.st_makeline(
         S.st_point(F.col("min_x"), F.col("min_y")),
@@ -135,23 +133,44 @@ def geo01(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.st_point(F.col("max_x"), F.col("max_y")),
         S.st_point(F.col("min_x"), F.col("max_y")),
     )
-    moved = S.st_translate(S.st_centroid(bbox), 1.5, -0.25)
     # round-5 tier: segment predicates/intersection, ring-ring
     # intersects, point buffer, point-to-line distance, bbox union
     mn = S.st_point(F.col("min_x"), F.col("min_y"))
     mx = S.st_point(F.col("max_x"), F.col("max_y"))
     lo_hi = S.st_point(F.col("min_x"), F.col("max_y"))
     hi_lo = S.st_point(F.col("max_x"), F.col("min_y"))
-    center = S.st_centroid(bbox)
-    gap_a2 = center
+    # STAGE shared geometries as real projected columns (r9): the
+    # single-select form duplicated the centroid fold ~36× (the
+    # buffer 16-gon embeds it twice per vertex) and every measure
+    # re-embedded its ring — Catalyst re-inlines cheap aliases but
+    # pays full analysis for each copy; the staged plan computes each
+    # geometry once. Float values are IDENTICAL (same expressions,
+    # evaluated once) so every hash is unchanged.
+    staged = g.select(
+        "*",
+        bbox.alias("bbox"),
+        S.st_expand(F.col("ext"), 0.5).alias("grown"),
+        corner.alias("corner"),
+    ).select(
+        "*", S.st_centroid(F.col("bbox")).alias("center")
+    )
+    center = F.col("center")
+    grown = F.col("grown")
     gap_b1 = S.st_point(S.st_x(center) + 1.0, S.st_y(center))
     gap_b2 = S.st_point(S.st_x(center) + 2.0, S.st_y(center))
-    dix = S.st_segment_intersection(mn, mx, lo_hi, hi_lo)
-    grown_ring = F.array(
-        S.st_point(grown["xmin"], grown["ymin"]),
-        S.st_point(grown["xmax"], grown["ymin"]),
-        S.st_point(grown["xmax"], grown["ymax"]),
-        S.st_point(grown["xmin"], grown["ymax"]),
+    staged = staged.select(
+        "*",
+        S.st_buffer(center, 2.0, segments=16).alias("buf"),
+        S.st_translate(center, 1.5, -0.25).alias("moved"),
+        S.st_bbox_intersection(grown, probe).alias("inter_env"),
+        S.st_bbox_union(grown, probe).alias("union_env"),
+        F.array(
+            S.st_point(grown["xmin"], grown["ymin"]),
+            S.st_point(grown["xmax"], grown["ymin"]),
+            S.st_point(grown["xmax"], grown["ymax"]),
+            S.st_point(grown["xmin"], grown["ymax"]),
+        ).alias("grown_ring"),
+        S.st_segment_intersection(mn, mx, lo_hi, hi_lo).alias("dix"),
     )
     probe_ring = F.array(
         S.st_point(F.lit(4.0), F.lit(4.0)),
@@ -159,10 +178,8 @@ def geo01(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.st_point(F.lit(6.0), F.lit(6.0)),
         S.st_point(F.lit(4.0), F.lit(6.0)),
     )
-    buf = S.st_buffer(center, 2.0, segments=16)
     office_pt = S.st_point(F.lit(5.0), F.lit(5.0))
-    union_env = S.st_bbox_union(grown, probe)
-    return g.select(
+    return staged.select(
         "c_mktsegment",
         "n",
         "n_near",
@@ -172,25 +189,25 @@ def geo01(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_inside",
         # round(6): shoelace/edge-walk evaluation order differs from the
         # oracle's factored arithmetic by last-ulp floats
-        F.round(S.st_area(bbox), 6).alias("bbox_area"),
-        F.round(S.st_perimeter(bbox), 6).alias("bbox_perim"),
-        F.round(S.st_x(S.st_centroid(bbox)), 6).alias("cx"),
-        F.round(S.st_y(S.st_centroid(bbox)), 6).alias("cy"),
-        S.st_npoints(bbox).alias("ring_n"),
-        F.round(S.st_length(corner), 6).alias("corner_len"),
-        F.round(S.st_x(moved), 6).alias("tx"),
-        F.round(S.st_y(moved), 6).alias("ty"),
+        F.round(S.st_area(F.col("bbox")), 6).alias("bbox_area"),
+        F.round(S.st_perimeter(F.col("bbox")), 6).alias("bbox_perim"),
+        F.round(S.st_x(center), 6).alias("cx"),
+        F.round(S.st_y(center), 6).alias("cy"),
+        S.st_npoints(F.col("bbox")).alias("ring_n"),
+        F.round(S.st_length(F.col("corner")), 6).alias("corner_len"),
+        F.round(S.st_x(F.col("moved")), 6).alias("tx"),
+        F.round(S.st_y(F.col("moved")), 6).alias("ty"),
         S.st_bbox_intersects(grown, probe).cast("int").alias("hits_env"),
-        F.round(inter["xmax"] - inter["xmin"], 6).alias("ix_w"),
+        F.round(F.col("inter_env")["xmax"] - F.col("inter_env")["xmin"], 6).alias("ix_w"),
         S.st_segment_intersects(mn, mx, lo_hi, hi_lo).cast("int").alias("diag_hit"),
-        S.st_segment_intersects(mn, gap_a2, gap_b1, gap_b2).cast("int").alias("diag_gap"),
-        F.round(S.st_x(dix), 6).alias("dix_x"),
-        F.round(S.st_y(dix), 6).alias("dix_y"),
-        S.st_intersects(grown_ring, probe_ring).cast("int").alias("ring_hit"),
-        F.round(S.st_area(buf), 6).alias("buf_area"),
-        F.round(S.st_perimeter(buf), 6).alias("buf_perim"),
-        F.round(S.st_distance_to_line(office_pt, corner), 6).alias("office_line_dist"),
-        F.round(union_env["xmax"] - union_env["xmin"], 6).alias("union_w"),
+        S.st_segment_intersects(mn, center, gap_b1, gap_b2).cast("int").alias("diag_gap"),
+        F.round(S.st_x(F.col("dix")), 6).alias("dix_x"),
+        F.round(S.st_y(F.col("dix")), 6).alias("dix_y"),
+        S.st_intersects(F.col("grown_ring"), probe_ring).cast("int").alias("ring_hit"),
+        F.round(S.st_area(F.col("buf")), 6).alias("buf_area"),
+        F.round(S.st_perimeter(F.col("buf")), 6).alias("buf_perim"),
+        F.round(S.st_distance_to_line(office_pt, F.col("corner")), 6).alias("office_line_dist"),
+        F.round(F.col("union_env")["xmax"] - F.col("union_env")["xmin"], 6).alias("union_w"),
     )
 
 
@@ -337,9 +354,13 @@ def geo04(spark: SparkSession, sf_dir: str) -> DataFrame:
     — so the clip machinery is value-checked against an engine with no
     geometry type. Per the module's usage note, each result ring is
     materialized once per projection and measured from the column.
-    Reference surface:
+    r9: the rings come from the ARROW kernels
+    (functions/spatial_arrow.py) — the Column-fold originals compiled
+    a ~40 s Catalyst plan for 25 rows; fold == arrow is pinned by
+    test_convex_arrow_matches_fold. Reference surface:
     pg_lake_engine/src/pgduck/shippable_spatial_functions.c
     (ST_Intersection/ST_Union)."""
+    from pg_datalake_spark.functions import spatial_arrow as SA
     t = load_tables(spark, sf_dir, ["nation"])
     base = t["nation"].select(
         F.col("n_nationkey").cast("int").alias("nk"),
@@ -366,9 +387,9 @@ def geo04(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ringed = base.select(
         "nk", "h", "r",
-        S.st_intersection_convex(diamond, square).alias("inter"),
-        S.st_union_convex(diamond, square).alias("uni"),
-        S.st_union_convex(diamond, small).alias("ucont"),
+        SA.st_intersection_convex_arrow(diamond, square).alias("inter"),
+        SA.st_union_convex_arrow(diamond, square).alias("uni"),
+        SA.st_union_convex_arrow(diamond, small).alias("ucont"),
     )
     inter, uni, ucont = F.col("inter"), F.col("uni"), F.col("ucont")
     return ringed.select(
@@ -656,38 +677,45 @@ def geo08(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.st_point(a, b),
     )
     probe = S.st_point(a / 2, F.lit(-1.0))
-    dup_line = F.concat(line, F.slice(line, 5, 1))  # duplicate endpoint
-    ring = F.concat(line, F.slice(line, 1, 1))  # explicitly closed
-    ip = S.st_lineinterpolatepoint(line, 0.75)
-    return base.select(
+    # STAGE the shared polyline and every point op referenced twice
+    # (r9, same compile-budget fix as geo01): each fold op used to
+    # re-embed its own copy of the 5-point line; the staged plan
+    # analyzes one copy per op. Values identical, hashes unchanged.
+    staged = base.select("*", line.alias("line")).select(
+        "*",
+        S.st_lineinterpolatepoint(F.col("line"), 0.75).alias("ip"),
+        S.st_closestpoint_on_line(F.col("line"), probe).alias("cp"),
+        S.st_project(S.st_point(zero, zero), a, F.lit(math.pi / 2)).alias("proj"),
+        S.st_endpoint(F.col("line")).alias("ep"),
+    )
+    line_c = F.col("line")
+    dup_line = F.concat(line_c, F.slice(line_c, 5, 1))  # duplicate endpoint
+    ring = F.concat(line_c, F.slice(line_c, 1, 1))  # explicitly closed
+    return staged.select(
         "nk", "a", "b",
-        S.st_x(S.st_endpoint(line)).alias("ep_x"),
-        S.st_y(S.st_endpoint(line)).alias("ep_y"),
-        S.st_x(S.st_pointn(line, 3)).alias("p3_x"),
-        F.round(S.st_y(S.st_pointn(line, -2)), 6).alias("pn2_y"),
-        S.st_pointn(line, 99).isNull().cast("int").alias("oob_null"),
-        S.st_numpoints(line).alias("npts"),
-        S.st_y(F.element_at(S.st_reverse(line), 1)).alias("rev0_y"),
-        S.st_x(S.st_endpoint(S.st_flipcoordinates(line))).alias("flip_x"),
-        F.round(S.st_x(ip), 6).alias("ip_x"),
-        F.round(S.st_y(ip), 6).alias("ip_y"),
-        F.round(S.st_linelocatepoint(line, probe), 6).alias("loc_f"),
-        F.round(S.st_x(S.st_closestpoint_on_line(line, probe)), 6).alias("cp_x"),
-        F.round(S.st_y(S.st_closestpoint_on_line(line, probe)), 6).alias("cp_y"),
-        F.round(S.st_length(S.st_shortestline(probe, line)), 6).alias("sl_len"),
-        F.round(S.st_length(S.st_linesubstring(line, 0.25, 0.75)), 6).alias(
+        S.st_x(F.col("ep")).alias("ep_x"),
+        S.st_y(F.col("ep")).alias("ep_y"),
+        S.st_x(S.st_pointn(line_c, 3)).alias("p3_x"),
+        F.round(S.st_y(S.st_pointn(line_c, -2)), 6).alias("pn2_y"),
+        S.st_pointn(line_c, 99).isNull().cast("int").alias("oob_null"),
+        S.st_numpoints(line_c).alias("npts"),
+        S.st_y(F.element_at(S.st_reverse(line_c), 1)).alias("rev0_y"),
+        S.st_x(S.st_endpoint(S.st_flipcoordinates(line_c))).alias("flip_x"),
+        F.round(S.st_x(F.col("ip")), 6).alias("ip_x"),
+        F.round(S.st_y(F.col("ip")), 6).alias("ip_y"),
+        F.round(S.st_linelocatepoint(line_c, probe), 6).alias("loc_f"),
+        F.round(S.st_x(F.col("cp")), 6).alias("cp_x"),
+        F.round(S.st_y(F.col("cp")), 6).alias("cp_y"),
+        F.round(S.st_length(S.st_shortestline(probe, line_c)), 6).alias("sl_len"),
+        F.round(S.st_length(S.st_linesubstring(line_c, 0.25, 0.75)), 6).alias(
             "sub_len"
         ),
-        F.round(
-            S.st_x(S.st_project(S.st_point(zero, zero), a, F.lit(math.pi / 2))), 6
-        ).alias("proj_x"),
-        F.round(
-            S.st_y(S.st_project(S.st_point(zero, zero), a, F.lit(math.pi / 2))), 6
-        ).alias("proj_y"),
+        F.round(S.st_x(F.col("proj")), 6).alias("proj_x"),
+        F.round(S.st_y(F.col("proj")), 6).alias("proj_y"),
         S.st_numpoints(S.st_removerepeatedpoints(dup_line)).alias("dedup_n"),
-        S.st_isclosed(line).cast("int").alias("open_closed"),
+        S.st_isclosed(line_c).cast("int").alias("open_closed"),
         S.st_isring(ring).cast("int").alias("ring_closed"),
-        S.st_numpoints(S.st_boundary_line(line)).alias("bnd_n"),
+        S.st_numpoints(S.st_boundary_line(line_c)).alias("bnd_n"),
     )
 
 
@@ -744,15 +772,38 @@ def geo09(spark: SparkSession, sf_dir: str) -> DataFrame:
     wkt = F.format_string(
         "LINESTRING (0 0, %d %d, %d 0)", ik, ik * 2, ik * 2
     )
-    parsed = S.st_geomfromtext_line(wkt)
     pwkt = F.format_string(
         "POLYGON ((0 0, %d 0, %d %d, 0 %d, 0 0))",
         (1 + ik % 5), (1 + ik % 5), (2 + ik % 3), (2 + ik % 3),
     )
-    ppoly = S.st_geomfromtext_polygon(pwkt)
-    # GeoJSON roundtrip of our own output
-    gj_line = S.st_geomfromgeojson_line(S.st_asgeojson_line(parsed))
-    wkt_rt = S.st_geomfromtext_line(S.st_astext_line(parsed))
+    # normalize: rectangle centered at origin, fed rotated + CW
+    rect = F.array(
+        S.st_point(-w, -h), S.st_point(w, -h), S.st_point(w, h), S.st_point(-w, h)
+    )
+    scrambled = F.reverse(F.concat(F.slice(rect, 3, 2), F.slice(rect, 1, 2)))
+    # STAGE the codec results (r9 compile-budget fix, like geo01/geo08):
+    # `parsed` used to be re-embedded five times (length, GeoJSON
+    # roundtrip, WKT roundtrip, and both sides of rt_same), each copy a
+    # full string-parse expression tree. Values identical.
+    base = base.select(
+        "*",
+        S.st_geomfromtext_line(wkt).alias("parsed"),
+        S.st_geomfromtext_polygon(pwkt).alias("ppoly"),
+        S.st_normalize(scrambled).alias("norm"),
+        S.st_reduceprecision(
+            F.array(S.st_point(ik + F.lit(0.2), ik - F.lit(0.2))), 1.0
+        ).alias("rp"),
+    ).select(
+        "*",
+        S.st_geomfromgeojson_line(
+            S.st_asgeojson_line(F.col("parsed"))
+        ).alias("gj_line"),
+        S.st_geomfromtext_line(S.st_astext_line(F.col("parsed"))).alias("wkt_rt"),
+    )
+    parsed, ppoly = F.col("parsed"), F.col("ppoly")
+    norm, rp, gj_line, wkt_rt = (
+        F.col("norm"), F.col("rp"), F.col("gj_line"), F.col("wkt_rt")
+    )
     rt_same = (
         (S.st_numpoints(wkt_rt) == S.st_numpoints(parsed))
         & F.forall(
@@ -762,16 +813,6 @@ def geo09(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             lambda z: z,
         )
-    )
-    # normalize: rectangle centered at origin, fed rotated + CW
-    rect = F.array(
-        S.st_point(-w, -h), S.st_point(w, -h), S.st_point(w, h), S.st_point(-w, h)
-    )
-    scrambled = F.reverse(F.concat(F.slice(rect, 3, 2), F.slice(rect, 1, 2)))
-    norm = S.st_normalize(scrambled)
-    # reduceprecision: x = nk + 0.2 snapped on the unit grid → nk (tie-free)
-    rp = S.st_reduceprecision(
-        F.array(S.st_point(ik + F.lit(0.2), ik - F.lit(0.2))), 1.0
     )
     big = F.array(
         S.st_point(F.lit(-50.0), F.lit(-50.0)), S.st_point(F.lit(50.0), F.lit(-50.0)),

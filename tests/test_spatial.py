@@ -533,3 +533,50 @@ def test_vincenty_fold_matches_scalar_reference(spark):
         ).alias("lam"),
     ).first()
     assert r.v == r.lam
+
+
+def test_convex_arrow_matches_fold(spark):
+    """r9: the Arrow kernels (functions/spatial_arrow.py) must be
+    RESULT-IDENTICAL to the Column-fold st_intersection_convex /
+    st_union_convex — same vertices, same order, same counts — over
+    the full geo04 parameter grid plus a containment case. The folds
+    stay as the reference implementation; geo04 runs the Arrow path
+    for its ~40x lower plan-compile cost."""
+    from pg_datalake_spark.functions import spatial_arrow as SA
+
+    rows = [
+        (nk, 1.0 + (nk % 4) * 0.25, 1.5 + (nk % 4) * 0.25,
+         float(nk % 7), float(nk * 3 % 5))
+        for nk in range(25)
+    ]
+    base = spark.createDataFrame(rows, "nk int, h double, r double, cx double, cy double")
+    h, r, cx, cy = F.col("h"), F.col("r"), F.col("cx"), F.col("cy")
+    square = F.array(
+        S.st_point(cx - h, cy - h), S.st_point(cx + h, cy - h),
+        S.st_point(cx + h, cy + h), S.st_point(cx - h, cy + h),
+    )
+    diamond = F.array(
+        S.st_point(cx + r, cy), S.st_point(cx, cy + r),
+        S.st_point(cx - r, cy), S.st_point(cx, cy - r),
+    )
+    eighth = F.lit(0.125)
+    small = F.array(
+        S.st_point(cx + 0.25 - eighth, cy - 0.25 - eighth),
+        S.st_point(cx + 0.25 + eighth, cy - 0.25 - eighth),
+        S.st_point(cx + 0.25 + eighth, cy - 0.25 + eighth),
+        S.st_point(cx + 0.25 - eighth, cy - 0.25 + eighth),
+    )
+    got = base.select(
+        "nk",
+        S.st_intersection_convex(diamond, square).alias("f_i"),
+        SA.st_intersection_convex_arrow(diamond, square).alias("a_i"),
+        S.st_union_convex(diamond, square).alias("f_u"),
+        SA.st_union_convex_arrow(diamond, square).alias("a_u"),
+        S.st_union_convex(diamond, small).alias("f_c"),
+        SA.st_union_convex_arrow(diamond, small).alias("a_c"),
+    ).collect()
+    for row in got:
+        for fold_col, arrow_col in (("f_i", "a_i"), ("f_u", "a_u"), ("f_c", "a_c")):
+            fold = [(p["x"], p["y"]) for p in row[fold_col]]
+            arrow = [(p["x"], p["y"]) for p in row[arrow_col]]
+            assert fold == arrow, (row.nk, fold_col, fold, arrow)
