@@ -175,11 +175,190 @@ def _to_rows(ring: list[Pt]) -> list[dict]:
     return [{"x": x, "y": y} for x, y in ring]
 
 
+# --- GEOS-tail ops (r9): buffer on lines/polygons + topology-safe DP ------
+# Reference surface: pg_lake_engine/src/pgduck/
+# shippable_spatial_functions.c (ST_Buffer on non-point geometry,
+# ST_SimplifyPreserveTopology) — previously listed as the delegated
+# GEOS tail; these close the polyline-capsule and convex-ring cases
+# with closed-form-checkable constructions (geo12).
+
+
+def _unit(dx: float, dy: float) -> Pt:
+    h = math.hypot(dx, dy)
+    return (dx / h, dy / h)
+
+
+def _buffer_convex_ring(ring: list[Pt], r: float, quad_segs: int) -> list[Pt]:
+    """Outward buffer of a CONVEX ring (PostGIS ST_Buffer with
+    quad_segs): every edge offsets outward by r, every vertex joins
+    with a circular-arc fan whose chord angle is π/(2·quad_segs). The
+    emitted polygon decomposes EXACTLY into original ring + edge
+    strips + vertex fans, so area/perimeter have closed forms the
+    geo12 oracle states directly."""
+    ring = _ccw(ring)
+    n = len(ring)
+    step_max = math.pi / (2 * quad_segs)
+    out: list[Pt] = []
+    for i in range(n):
+        prev, cur, nxt = ring[(i - 1) % n], ring[i], ring[(i + 1) % n]
+        din = _unit(cur[0] - prev[0], cur[1] - prev[1])
+        dout = _unit(nxt[0] - cur[0], nxt[1] - cur[1])
+        # outward normal of a CCW ring's edge is the RIGHT normal (dy,-dx)
+        a1 = math.atan2(-din[0], din[1])
+        a2 = math.atan2(-dout[0], dout[1])
+        delta = a2 - a1
+        while delta < 0:  # CCW ring: exterior angle in (0, pi)
+            delta += 2 * math.pi
+        steps = max(1, math.ceil(delta / step_max - 1e-12))
+        for j in range(steps + 1):
+            a = a1 + delta * j / steps
+            out.append((cur[0] + r * math.cos(a), cur[1] + r * math.sin(a)))
+    return out
+
+
+def _buffer_line_capsule(line: list[Pt], r: float, quad_segs: int) -> list[Pt]:
+    """Buffer of a straight SEGMENT (the polyline-capsule case):
+    offset sides + semicircular end fans of 2·quad_segs chords each —
+    4·quad_segs + 2 vertices, area 2Lr + k-gon circle, perimeter
+    2L + k-gon circumference (k = 4·quad_segs). Multi-segment lines
+    with turns need an arc-join sweep (general GEOS buffer) and fail
+    loud rather than return a wrong ring."""
+    if len(line) != 2:
+        raise ValueError(
+            "st_buffer_line_arrow supports the single-segment (capsule) "
+            f"case; got a {len(line)}-point line — split it or use GEOS"
+        )
+    p0, p1 = line
+    d = _unit(p1[0] - p0[0], p1[1] - p0[1])
+    theta_n = math.atan2(d[0], -d[1])  # LEFT normal (-dy, dx) angle
+    q2 = 2 * quad_segs
+    out: list[Pt] = []
+    for j in range(q2 + 1):  # semicircle around p1: +n -> -n through +dir
+        a = theta_n - math.pi * j / q2
+        out.append((p1[0] + r * math.cos(a), p1[1] + r * math.sin(a)))
+    for j in range(q2 + 1):  # semicircle around p0: -n -> +n through -dir
+        a = theta_n - math.pi - math.pi * j / q2
+        out.append((p0[0] + r * math.cos(a), p0[1] + r * math.sin(a)))
+    return out
+
+
+def _dp_keep(pts: list[Pt], tol: float) -> list[bool]:
+    n = len(pts)
+    keep = [False] * n
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        ax, ay = pts[i]
+        bx, by = pts[j]
+        dx, dy = bx - ax, by - ay
+        seg2 = dx * dx + dy * dy
+        best, best_d2 = -1, -1.0
+        for m in range(i + 1, j):
+            px, py = pts[m]
+            if seg2 == 0:
+                d2 = (px - ax) * (px - ax) + (py - ay) * (py - ay)
+            else:
+                t = ((px - ax) * dx + (py - ay) * dy) / seg2
+                t = 0.0 if t < 0 else (1.0 if t > 1 else t)
+                cx, cy = ax + t * dx, ay + t * dy
+                d2 = (px - cx) * (px - cx) + (py - cy) * (py - cy)
+            if d2 > best_d2:
+                best, best_d2 = m, d2
+        if best_d2 > tol * tol:
+            keep[best] = True
+            stack.append((i, best))
+            stack.append((best, j))
+    return keep
+
+
+def _simplify_preserve_topology_ring(ring: list[Pt], tol: float) -> list[Pt]:
+    """ST_SimplifyPreserveTopology for a simple RING: Douglas–Peucker
+    anchored at the ring's first vertex and the vertex farthest from
+    it (so the closed walk never degenerates to a chord), with the
+    PostGIS validity guarantee — if simplification would leave fewer
+    than 3 distinct vertices (an invalid polygon), the ORIGINAL ring
+    is returned unchanged rather than a collapsed one."""
+    n = len(ring)
+    if n <= 3:
+        return ring
+    far = max(
+        range(1, n),
+        key=lambda m: (ring[m][0] - ring[0][0]) ** 2 + (ring[m][1] - ring[0][1]) ** 2,
+    )
+    arc1 = ring[: far + 1]
+    arc2 = ring[far:] + [ring[0]]
+    keep1 = _dp_keep(arc1, tol)
+    keep2 = _dp_keep(arc2, tol)
+    kept = [p for p, k in zip(arc1, keep1) if k]
+    kept += [p for p, k in zip(arc2[1:-1], keep2[1:-1]) if k]
+    if len(kept) < 3:
+        return ring
+    return kept
+
+
 # NOTE: the pandas UDFs are built INSIDE the public wrappers (the
 # st_simplify pattern) — a module-level @F.pandas_udf decorator would
 # re-execute on every executor worker that imports this module to
 # unpickle the kernels, where no SparkSession exists to parse the
 # return type.
+
+
+def st_buffer_ring_arrow(ring: Column, radius: float, quad_segs: int = 8) -> Column:
+    """PostGIS ST_Buffer on a CONVEX polygon ring (outward, positive
+    radius), Arrow-batched. Closed-form-checkable: area grows by
+    P·r + circle(4·quad_segs-gon), perimeter by its circumference."""
+    r, q = float(radius), int(quad_segs)
+
+    @F.pandas_udf(_RING_T)
+    def _buf(rings: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if g is None else _to_rows(_buffer_convex_ring(_to_pts(g), r, q))
+                for g in rings
+            ]
+        )
+
+    return _buf(ring)
+
+
+def st_buffer_line_arrow(line: Column, radius: float, quad_segs: int = 8) -> Column:
+    """PostGIS ST_Buffer on a single-segment LINESTRING (capsule),
+    Arrow-batched; multi-segment input fails loud."""
+    r, q = float(radius), int(quad_segs)
+
+    @F.pandas_udf(_RING_T)
+    def _buf(lines: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if g is None else _to_rows(_buffer_line_capsule(_to_pts(g), r, q))
+                for g in lines
+            ]
+        )
+
+    return _buf(line)
+
+
+def st_simplifypreservetopology_arrow(ring: Column, tolerance: float) -> Column:
+    """PostGIS ST_SimplifyPreserveTopology for simple rings: DP
+    simplification that never returns an invalid (<3 distinct vertex)
+    polygon — over-aggressive tolerances yield the original ring."""
+    tol = float(tolerance)
+
+    @F.pandas_udf(_RING_T)
+    def _spt(rings: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if g is None
+                else _to_rows(_simplify_preserve_topology_ring(_to_pts(g), tol))
+                for g in rings
+            ]
+        )
+
+    return _spt(ring)
 
 
 def st_intersection_convex_arrow(subject: Column, clip: Column) -> Column:

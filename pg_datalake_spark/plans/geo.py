@@ -1085,3 +1085,103 @@ def geo11(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("mm").cast("long").alias("max_mm"),
         F.sum("fb").cast("long").alias("n_fallback"),
     )
+
+
+@register(
+    "geo12_buffer_geoms_spt",
+    oracle="""
+    WITH g AS (
+      SELECT n_nationkey AS nk,
+             CAST(1 + n_nationkey % 3 AS DOUBLE) AS h,
+             CAST(0.5 + (n_nationkey % 2) * 0.5 AS DOUBLE) AS r,
+             CAST(2 + n_nationkey % 3 AS INT) AS q,
+             CAST(2 + n_nationkey % 4 AS DOUBLE) AS len
+      FROM nation
+    )
+    SELECT nk,
+           round(4*h*h + 8*h*r + 0.5 * (4*q) * r*r * sin(2*pi()/(4*q)), 6) AS rb_area,
+           round(8*h + (4*q) * 2*r * sin(pi()/(4*q)), 6) AS rb_perim,
+           CAST(4*q + 4 AS INT) AS rb_n,
+           round(2*len*r + 0.5 * (4*q) * r*r * sin(2*pi()/(4*q)), 6) AS cap_area,
+           round(2*len + (4*q) * 2*r * sin(pi()/(4*q)), 6) AS cap_perim,
+           CAST(4*q + 2 AS INT) AS cap_n,
+           CAST(4 AS INT) AS spt_n,
+           round(4*h*h, 6) AS spt_area,
+           CAST(8 AS INT) AS spt_orig_n
+    FROM g
+    """,
+)
+def geo12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOS-tail buffer + topology-preserving simplify value check
+    (r9; reference shippable_spatial_functions.c ST_Buffer on
+    non-point geometry, ST_SimplifyPreserveTopology — previously a
+    documented Sedona delegation). Per nation row:
+
+    - convex-ring buffer (st_buffer_ring_arrow): square of half-width
+      h buffered outward by r with quad_segs q — the emitted polygon
+      decomposes exactly into square + 4 edge strips + 4 corner fans,
+      so area = 4h² + 8hr + k-gon circle (k = 4q), perimeter =
+      8h + k-gon circumference, npoints = 4(q+1);
+    - segment capsule (st_buffer_line_arrow): length-L segment, area
+      2Lr + k-gon circle, perimeter 2L + circumference, 4q+2 points;
+    - st_simplifypreservetopology_arrow: a square ring with 4 edge
+      midpoints bumped outward 0.2 — tolerance 0.5 drops every bump
+      and keeps exactly the 4 corners (area back to 4h²), while an
+      over-aggressive tolerance (10h) that plain DP would collapse to
+      a chord returns the ORIGINAL 8-point ring (the PostGIS validity
+      guarantee).
+    """
+    from pg_datalake_spark.functions import spatial_arrow as SA
+
+    t = load_tables(spark, sf_dir, ["nation"])
+    base = t["nation"].select(
+        F.col("n_nationkey").cast("int").alias("nk"),
+        (1 + F.col("n_nationkey") % 3).cast("double").alias("h"),
+        (0.5 + (F.col("n_nationkey") % 2) * 0.5).alias("r"),
+        (2 + F.col("n_nationkey") % 3).cast("int").alias("q"),
+        (2 + F.col("n_nationkey") % 4).cast("double").alias("len"),
+        (F.col("n_nationkey") % 7).cast("double").alias("cx"),
+        (F.col("n_nationkey") * 3 % 5).cast("double").alias("cy"),
+    )
+    h, cx, cy = F.col("h"), F.col("cx"), F.col("cy")
+    square = F.array(
+        S.st_point(cx - h, cy - h), S.st_point(cx + h, cy - h),
+        S.st_point(cx + h, cy + h), S.st_point(cx - h, cy + h),
+    )
+    seg = F.array(S.st_point(cx, cy), S.st_point(cx + F.col("len"), cy))
+    b = F.lit(0.2)
+    bumped = F.array(
+        S.st_point(cx - h, cy - h), S.st_point(cx, cy - h - b),
+        S.st_point(cx + h, cy - h), S.st_point(cx + h + b, cy),
+        S.st_point(cx + h, cy + h), S.st_point(cx, cy + h + b),
+        S.st_point(cx - h, cy + h), S.st_point(cx - h - b, cy),
+    )
+    # quad_segs / radius vary per row, but the Arrow wrappers take
+    # Python scalars — group rows by their (r, q) parameterization
+    # (6 combinations) and union; each arm is a tiny plan
+    parts = []
+    for rr in (0.5, 1.0):
+        for qq in (2, 3, 4):
+            arm = base.filter((F.col("r") == rr) & (F.col("q") == qq)).select(
+                "nk", "h", "len",
+                SA.st_buffer_ring_arrow(square, rr, qq).alias("rb"),
+                SA.st_buffer_line_arrow(seg, rr, qq).alias("cap"),
+                SA.st_simplifypreservetopology_arrow(bumped, 0.5).alias("spt"),
+                SA.st_simplifypreservetopology_arrow(bumped, 1000.0).alias("spt0"),
+            )
+            parts.append(arm)
+    ringed = parts[0]
+    for p in parts[1:]:
+        ringed = ringed.unionByName(p)
+    return ringed.select(
+        "nk",
+        F.round(S.st_area(F.col("rb")), 6).alias("rb_area"),
+        F.round(S.st_perimeter(F.col("rb")), 6).alias("rb_perim"),
+        S.st_npoints(F.col("rb")).alias("rb_n"),
+        F.round(S.st_area(F.col("cap")), 6).alias("cap_area"),
+        F.round(S.st_perimeter(F.col("cap")), 6).alias("cap_perim"),
+        S.st_npoints(F.col("cap")).alias("cap_n"),
+        S.st_npoints(F.col("spt")).alias("spt_n"),
+        F.round(S.st_area(F.col("spt")), 6).alias("spt_area"),
+        S.st_npoints(F.col("spt0")).alias("spt_orig_n"),
+    )

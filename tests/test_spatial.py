@@ -580,3 +580,55 @@ def test_convex_arrow_matches_fold(spark):
             fold = [(p["x"], p["y"]) for p in row[fold_col]]
             arrow = [(p["x"], p["y"]) for p in row[arrow_col]]
             assert fold == arrow, (row.nk, fold_col, fold, arrow)
+
+
+def test_buffer_ring_capsule_and_spt_kernels(spark):
+    """r9 GEOS-tail kernels: non-axis-aligned ring buffer (triangle —
+    exterior angles are not multiples of the chord angle, exercising
+    the ceil step count), capsule fail-loud on multi-segment lines,
+    and SPT validity floor on a minimal ring."""
+    import math
+
+    from pg_datalake_spark.functions import spatial_arrow as SA
+
+    df = spark.createDataFrame([(1,)], "id int")
+    tri = F.array(
+        S.st_point(F.lit(0.0), F.lit(0.0)),
+        S.st_point(F.lit(4.0), F.lit(0.0)),
+        S.st_point(F.lit(0.0), F.lit(3.0)),
+    )
+    r = 0.5
+    got = df.select(
+        SA.st_buffer_ring_arrow(tri, r, 8).alias("buf"),
+        SA.st_simplifypreservetopology_arrow(tri, 100.0).alias("spt"),
+    ).first()
+    buf = [(p["x"], p["y"]) for p in got["buf"]]
+    # exact expectations: area = A + P*r + (sum of corner fans);
+    # the fans tile a full disc split at the three corners, each
+    # approximated at chord angle <= pi/16, so area is within the
+    # polygon-vs-circle gap of A + P*r + pi*r^2
+    A, P = 6.0, 12.0
+    sh = 0.5 * abs(
+        sum(
+            buf[i][0] * buf[(i + 1) % len(buf)][1]
+            - buf[(i + 1) % len(buf)][0] * buf[i][1]
+            for i in range(len(buf))
+        )
+    )
+    assert A + P * r < sh < A + P * r + math.pi * r * r
+    assert sh > A + P * r + math.pi * r * r * 0.98  # fans ~ disc
+    # SPT on a triangle (already minimal): returned unchanged even at
+    # huge tolerance — the validity guarantee
+    assert [(p["x"], p["y"]) for p in got["spt"]] == [
+        (0.0, 0.0), (4.0, 0.0), (0.0, 3.0)
+    ]
+    # capsule fail-loud on a 3-point line
+    bent = F.array(
+        S.st_point(F.lit(0.0), F.lit(0.0)),
+        S.st_point(F.lit(1.0), F.lit(0.0)),
+        S.st_point(F.lit(1.0), F.lit(1.0)),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="single-segment"):
+        df.select(SA.st_buffer_line_arrow(bent, 0.5, 2)).collect()
