@@ -75,3 +75,84 @@ def src04(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return agg("train").unionByName(agg("test"))
+
+
+@register(
+    "src05_geo_formats",
+    oracle="""
+    SELECT 'shp' AS src, c_mktsegment, count(*) AS n,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer WHERE c_custkey % 20 = 0 GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'gpkg' AS src, c_mktsegment, count(*) AS n,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer WHERE c_custkey % 20 = 1 GROUP BY c_mktsegment
+    """,
+)
+def src05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDAL-surface analog driven end-to-end (r9;
+    sources/geo_files.py — pure-Python ESRI Shapefile and OGC
+    GeoPackage codecs, closing the one §2.1 'no' as far as the two
+    most common formats): customer-derived points are written to TWO
+    .shp/.dbf pairs (multi-file parallel read) and one .gpkg feature
+    table (read partitioned by ROWID RANGE), read back through the
+    executor-side parsers, and aggregated; DuckDB recomputes both
+    splits from the source parquet, never seeing the binary formats.
+    Balances hash as exact CENTS (the dsum convention). Reference:
+    pg_lake_engine/src/pgduck/gdal.c,
+    docs/file-formats-reference.md:96-138."""
+    from pg_datalake_spark.sources.geo_files import (
+        read_gpkg,
+        read_shapefile,
+        write_gpkg_points,
+        write_point_shapefile,
+    )
+
+    cust = load_tables(spark, sf_dir, ["customer"])["customer"]
+    d = tempfile.mkdtemp(prefix="src05_geo_")
+
+    def sample(mod_val: int) -> list[tuple]:
+        rows = (
+            cust.filter(F.col("c_custkey") % 20 == mod_val)
+            .select("c_acctbal", "c_custkey", "c_mktsegment")
+            .collect()
+        )  # fixture-sized sample (|customer|/20 rows), builds the files
+        return [
+            (
+                float(r.c_acctbal),
+                (r.c_custkey % 100) / 10.0,
+                int(r.c_custkey),
+                r.c_mktsegment,
+            )
+            for r in rows
+        ]
+
+    fields = [("key", "N", 12, 0), ("seg", "C", 12, 0)]
+    shp_rows = sample(0)
+    half = len(shp_rows) // 2
+    write_point_shapefile(os.path.join(d, "part0"), shp_rows[:half], fields)
+    write_point_shapefile(os.path.join(d, "part1"), shp_rows[half:], fields)
+    write_gpkg_points(
+        os.path.join(d, "pts.gpkg"), "customers", sample(1),
+        [("key", "INTEGER"), ("seg", "TEXT")],
+    )
+
+    shp = read_shapefile(spark, os.path.join(d, "*.shp"))
+    gp = read_gpkg(spark, os.path.join(d, "pts.gpkg"), num_partitions=4)
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.groupBy(F.col("seg").alias("c_mktsegment"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("key").cast("long").alias("key_sum"),
+                F.sum(F.round(F.col("x") * 100).cast("long"))
+                .cast("long")
+                .alias("bal_cents"),
+            )
+            .select(F.lit(tag).alias("src"), "*")
+        )
+
+    return agg(shp, "shp").unionByName(agg(gp, "gpkg"))

@@ -1,0 +1,416 @@
+"""Pure-Python geospatial file formats (public specs, offline).
+
+The reference imports geospatial files through GDAL
+(pg_lake_engine/src/pgduck/gdal.c; docs/file-formats-reference.md:
+96-138 lists shapefile/GeoPackage/KML/XLSX). GDAL is not in this
+runtime — so, exactly like the Delta (tables/delta_log.py) and
+Iceberg (tables/avro_codec.py) layers, the two most common FORMATS
+are implemented directly from their public specifications:
+
+- **ESRI Shapefile** (.shp geometry + .dbf attributes; ESRI
+  "Shapefile Technical Description", 1998): big-endian record
+  headers, little-endian geometry, dBase III attribute records.
+  Shape types Point (1), PolyLine (3) and Polygon (5) are parsed;
+  the file-level shape type picks the output schema (x/y doubles
+  for points, ``points array<struct<x,y>>`` + part offsets
+  otherwise). A minimal writer exists for offline fixtures.
+- **OGC GeoPackage** (sqlite3 database + GPKG geometry BLOB header
+  + WKB; OGC 12-128r19): feature tables discovered through
+  ``gpkg_contents`` / ``gpkg_geometry_columns``, geometry parsed
+  from the GP-header + WKB point encoding. Python's stdlib
+  ``sqlite3`` is the driver — no native GDAL needed.
+
+Scale shape: parsing runs EXECUTOR-side via ``mapInPandas`` —
+shapefiles parallelize across FILES (one file per task), a GeoPackage
+parallelizes across ROWID RANGES within the single sqlite file (the
+classic JDBC-partitioning shape), so neither format funnels data
+through the driver; the driver reads only headers/metadata (KB).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import sqlite3
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SHP_POINT = 1
+_SHP_POLYLINE = 3
+_SHP_POLYGON = 5
+
+# ---------------------------------------------------------------------------
+# Shapefile: fixture writer (points) + parser
+# ---------------------------------------------------------------------------
+
+
+def write_point_shapefile(
+    path_base: str, rows: list[tuple], fields: list[tuple[str, str, int, int]]
+) -> None:
+    """Write ``<path_base>.shp/.shx/.dbf`` for POINT records.
+
+    ``rows``: (x, y, attr1, attr2, ...) per record; ``fields``:
+    (name, type, length, decimals) dBase descriptors, type 'C' or 'N'.
+    Fixture-grade writer — enough spec conformance that an independent
+    reader (GDAL/ogrinfo) would accept the files."""
+    n = len(rows)
+    xs = [r[0] for r in rows] or [0.0]
+    ys = [r[1] for r in rows] or [0.0]
+    bbox = (min(xs), min(ys), max(xs), max(ys))
+
+    def shp_header(file_words: int, shape_type: int) -> bytes:
+        return (
+            struct.pack(">i", 9994)
+            + b"\x00" * 20
+            + struct.pack(">i", file_words)
+            + struct.pack("<ii", 1000, shape_type)
+            + struct.pack("<4d", *bbox)
+            + struct.pack("<4d", 0, 0, 0, 0)
+        )
+
+    rec_words = (4 + 16) // 2  # shape type + x + y
+    shp_words = (100 + n * (8 + 4 + 16)) // 2
+    with open(path_base + ".shp", "wb") as fh:
+        fh.write(shp_header(shp_words, _SHP_POINT))
+        for i, r in enumerate(rows):
+            fh.write(struct.pack(">ii", i + 1, rec_words))
+            fh.write(struct.pack("<idd", _SHP_POINT, float(r[0]), float(r[1])))
+    with open(path_base + ".shx", "wb") as fh:
+        fh.write(shp_header((100 + n * 8) // 2, _SHP_POINT))
+        off = 50
+        for _ in range(n):
+            fh.write(struct.pack(">ii", off, rec_words))
+            off += 4 + rec_words
+    _write_dbf(path_base + ".dbf", [r[2:] for r in rows], fields)
+
+
+def _write_dbf(path: str, rows: list[tuple], fields: list[tuple[str, str, int, int]]) -> None:
+    rec_size = 1 + sum(f[2] for f in fields)
+    head_size = 32 + 32 * len(fields) + 1
+    with open(path, "wb") as fh:
+        fh.write(struct.pack("<BBBBIHH", 0x03, 26, 8, 15, len(rows), head_size, rec_size))
+        fh.write(b"\x00" * 20)
+        for name, ftype, length, dec in fields:
+            fh.write(name.encode()[:11].ljust(11, b"\x00"))
+            fh.write(ftype.encode())
+            fh.write(b"\x00" * 4)
+            fh.write(struct.pack("<BB", length, dec))
+            fh.write(b"\x00" * 14)
+        fh.write(b"\x0d")
+        for row in rows:
+            fh.write(b" ")
+            for (name, ftype, length, dec), v in zip(fields, row):
+                if ftype == "N":
+                    txt = (f"{v:.{dec}f}" if dec else str(int(v))).rjust(length)
+                else:
+                    txt = str(v)[:length].ljust(length)
+                fh.write(txt.encode()[:length])
+        fh.write(b"\x1a")
+
+
+def _read_dbf(path: str) -> tuple[list[tuple[str, str, int, int]], list[tuple]]:
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    nrec, head_size, rec_size = struct.unpack_from("<IHH", buf, 4)
+    fields = []
+    pos = 32
+    while buf[pos] != 0x0D:
+        name = buf[pos : pos + 11].split(b"\x00")[0].decode()
+        ftype = chr(buf[pos + 11])
+        length, dec = buf[pos + 16], buf[pos + 17]
+        fields.append((name, ftype, length, dec))
+        pos += 32
+    rows = []
+    for i in range(nrec):
+        rp = head_size + i * rec_size
+        if buf[rp : rp + 1] == b"*":  # deleted record
+            continue
+        vals, fp = [], rp + 1
+        for name, ftype, length, dec in fields:
+            raw = buf[fp : fp + length].decode("ascii", "replace").strip()
+            fp += length
+            if ftype in ("N", "F"):
+                if raw == "":
+                    vals.append(None)
+                elif dec or ("." in raw):
+                    vals.append(float(raw))
+                else:
+                    vals.append(int(raw))
+            elif ftype == "L":
+                vals.append(raw.upper() in ("T", "Y"))
+            else:
+                vals.append(raw)
+        rows.append(tuple(vals))
+    return fields, rows
+
+
+def _parse_shp(path: str) -> tuple[int, list]:
+    """Parse a .shp file → (shape_type, geometries). Points give
+    (x, y); polylines/polygons give (parts: list[int], points:
+    list[(x, y)]). NULL shapes (type 0) give None."""
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    (file_code,) = struct.unpack_from(">i", buf, 0)
+    if file_code != 9994:
+        raise ValueError(f"not a shapefile (bad file code {file_code}): {path}")
+    (shape_type,) = struct.unpack_from("<i", buf, 32)
+    geoms = []
+    pos = 100
+    while pos < len(buf):
+        _recno, content_words = struct.unpack_from(">ii", buf, pos)
+        pos += 8
+        (stype,) = struct.unpack_from("<i", buf, pos)
+        if stype == 0:
+            geoms.append(None)
+        elif stype == _SHP_POINT:
+            x, y = struct.unpack_from("<dd", buf, pos + 4)
+            geoms.append((x, y))
+        elif stype in (_SHP_POLYLINE, _SHP_POLYGON):
+            nparts, npoints = struct.unpack_from("<ii", buf, pos + 36)
+            parts = list(struct.unpack_from(f"<{nparts}i", buf, pos + 44))
+            pts_off = pos + 44 + 4 * nparts
+            flat = struct.unpack_from(f"<{2 * npoints}d", buf, pts_off)
+            geoms.append((parts, list(zip(flat[0::2], flat[1::2]))))
+        else:
+            raise NotImplementedError(
+                f"shapefile shape type {stype} not supported (point/"
+                f"polyline/polygon are): {path}"
+            )
+        pos += content_words * 2
+    return shape_type, geoms
+
+
+_DBF_SPARK_T = {"C": "string", "L": "boolean", "D": "string"}
+
+
+def _dbf_spark_type(ftype: str, dec: int) -> str:
+    if ftype in ("N", "F"):
+        return "double" if (dec or ftype == "F") else "long"
+    return _DBF_SPARK_T.get(ftype, "string")
+
+
+def read_shapefile(spark: SparkSession, path_or_glob: str) -> DataFrame:
+    """Read one or many point/polyline/polygon shapefiles into a
+    DataFrame: geometry columns (``x``/``y`` for point files,
+    ``parts array<int>`` + ``points array<struct<x,y>>`` otherwise)
+    followed by the .dbf attribute columns. The driver reads only the
+    FIRST file's headers for the schema; record parsing runs
+    executor-side, one file per task."""
+    paths = sorted(
+        p for p in _glob.glob(path_or_glob) if p.endswith(".shp")
+    ) or ([path_or_glob] if path_or_glob.endswith(".shp") else [])
+    if not paths:
+        raise FileNotFoundError(f"no .shp files match {path_or_glob}")
+    shape_type, _ = _parse_shp_header_only(paths[0])
+    fields, _ = _read_dbf(paths[0][:-4] + ".dbf")
+    geo_cols = (
+        "x double, y double"
+        if shape_type == _SHP_POINT
+        else "parts array<int>, points array<struct<x:double,y:double>>"
+    )
+    attr_cols = ", ".join(
+        f"{name} {_dbf_spark_type(ftype, dec)}" for name, ftype, _l, dec in fields
+    )
+    schema = f"{geo_cols}, {attr_cols}" if attr_cols else geo_cols
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                stype, geoms = _parse_shp(path)
+                _f, attrs = _read_dbf(path[:-4] + ".dbf")
+                out = {}
+                if stype == _SHP_POINT:
+                    out["x"] = [g[0] if g else None for g in geoms]
+                    out["y"] = [g[1] if g else None for g in geoms]
+                else:
+                    out["parts"] = [list(g[0]) if g else None for g in geoms]
+                    out["points"] = [
+                        [{"x": px, "y": py} for px, py in g[1]] if g else None
+                        for g in geoms
+                    ]
+                for i, (name, *_rest) in enumerate(_f):
+                    out[name] = [a[i] for a in attrs]
+                yield pd.DataFrame(out)
+
+    files = spark.createDataFrame([(p,) for p in paths], "path string")
+    return files.repartition(len(paths)).mapInPandas(parse, schema)
+
+
+def _parse_shp_header_only(path: str) -> tuple[int, tuple]:
+    with open(path, "rb") as fh:
+        head = fh.read(100)
+    (file_code,) = struct.unpack_from(">i", head, 0)
+    if file_code != 9994:
+        raise ValueError(f"not a shapefile (bad file code {file_code}): {path}")
+    (shape_type,) = struct.unpack_from("<i", head, 32)
+    return shape_type, struct.unpack_from("<4d", head, 36)
+
+
+# ---------------------------------------------------------------------------
+# GeoPackage (OGC 12-128r19): sqlite3 + GP blob header + WKB
+# ---------------------------------------------------------------------------
+
+
+def write_gpkg_points(
+    path: str, table: str, rows: list[tuple], attrs: list[tuple[str, str]]
+) -> None:
+    """Create a minimal spec-shaped GeoPackage with one point feature
+    table. ``rows``: (x, y, attr...) tuples; ``attrs``: (name,
+    sqlite_type). Fixture-grade writer."""
+    con = sqlite3.connect(path)
+    cur = con.cursor()
+    cur.execute("PRAGMA application_id = 1196444487")  # 'GPKG'
+    cur.execute("PRAGMA user_version = 10300")
+    cur.execute(
+        "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, srs_id INTEGER"
+        " PRIMARY KEY, organization TEXT NOT NULL, organization_coordsys_id INTEGER"
+        " NOT NULL, definition TEXT NOT NULL, description TEXT)"
+    )
+    cur.execute(
+        "INSERT INTO gpkg_spatial_ref_sys VALUES"
+        " ('WGS 84', 4326, 'EPSG', 4326, 'GEOGCS[...]', NULL)"
+    )
+    cur.execute(
+        "CREATE TABLE gpkg_contents (table_name TEXT PRIMARY KEY, data_type TEXT"
+        " NOT NULL, identifier TEXT, description TEXT, last_change DATETIME,"
+        " min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)"
+    )
+    cur.execute(
+        "INSERT INTO gpkg_contents VALUES (?, 'features', ?, '', NULL,"
+        " NULL, NULL, NULL, NULL, 4326)",
+        (table, table),
+    )
+    cur.execute(
+        "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL,"
+        " column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL,"
+        " srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL)"
+    )
+    cur.execute(
+        "INSERT INTO gpkg_geometry_columns VALUES (?, 'geom', 'POINT', 4326, 0, 0)",
+        (table,),
+    )
+    attr_ddl = "".join(f", {name} {sqlt}" for name, sqlt in attrs)
+    cur.execute(
+        f"CREATE TABLE {table} (fid INTEGER PRIMARY KEY AUTOINCREMENT,"
+        f" geom BLOB{attr_ddl})"
+    )
+    for r in rows:
+        blob = _gpkg_point_blob(float(r[0]), float(r[1]))
+        cur.execute(
+            f"INSERT INTO {table} (geom{''.join(',' + a for a, _ in attrs)})"
+            f" VALUES (?{', ?' * len(attrs)})",
+            (blob, *r[2:]),
+        )
+    con.commit()
+    con.close()
+
+
+def _gpkg_point_blob(x: float, y: float) -> bytes:
+    # GP header: magic, version 0, flags 0x01 (little-endian, no
+    # envelope), srs_id; then standard WKB point
+    header = b"GP\x00\x01" + struct.pack("<i", 4326)
+    wkb = b"\x01" + struct.pack("<I", 1) + struct.pack("<dd", x, y)
+    return header + wkb
+
+
+def _parse_gpkg_blob(blob: bytes) -> tuple[float, float] | None:
+    if blob is None:
+        return None
+    if blob[:2] != b"GP":
+        raise ValueError("not a GeoPackage geometry blob (bad magic)")
+    flags = blob[3]
+    env_type = (flags >> 1) & 0x07
+    env_len = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}[env_type]
+    pos = 8 + env_len
+    byte_order = "<" if blob[pos] == 1 else ">"
+    (wkb_type,) = struct.unpack_from(f"{byte_order}I", blob, pos + 1)
+    if wkb_type % 1000 != 1:  # point, any Z/M variant offset
+        raise NotImplementedError(f"GPKG WKB type {wkb_type} not supported (POINT is)")
+    x, y = struct.unpack_from(f"{byte_order}dd", blob, pos + 5)
+    return (x, y)
+
+
+def read_gpkg(
+    spark: SparkSession,
+    path: str,
+    table: str | None = None,
+    num_partitions: int = 8,
+) -> DataFrame:
+    """Read a GeoPackage point feature table: geometry decoded to
+    ``x``/``y`` doubles plus every attribute column. The driver
+    touches only metadata (contents/schema/rowid bounds); rows are
+    read executor-side, partitioned by ROWID RANGE so one sqlite file
+    still parallelizes across tasks."""
+    con = sqlite3.connect(path)
+    cur = con.cursor()
+    if table is None:
+        hits = cur.execute(
+            "SELECT table_name FROM gpkg_contents WHERE data_type = 'features'"
+        ).fetchall()
+        if len(hits) != 1:
+            raise ValueError(
+                f"pass table= explicitly; {path} has feature tables {hits}"
+            )
+        table = hits[0][0]
+    (geom_col,) = cur.execute(
+        "SELECT column_name FROM gpkg_geometry_columns WHERE table_name = ?",
+        (table,),
+    ).fetchone()
+    cols = cur.execute(f"PRAGMA table_info({table})").fetchall()
+    attr_cols = [
+        (c[1], c[2].upper()) for c in cols if c[1] not in (geom_col,)
+    ]
+    lo, hi = cur.execute(f"SELECT min(rowid), max(rowid) FROM {table}").fetchone()
+    con.close()
+    if lo is None:
+        lo, hi = 0, -1
+
+    def spark_t(sqlt: str) -> str:
+        if "INT" in sqlt:
+            return "long"
+        if sqlt in ("REAL", "DOUBLE", "FLOAT"):
+            return "double"
+        return "string"
+
+    schema = "x double, y double, " + ", ".join(
+        f"{n} {spark_t(t)}" for n, t in attr_cols
+    )
+    n_parts = max(1, min(num_partitions, (hi - lo + 1) or 1))
+    span = (hi - lo + 1 + n_parts - 1) // max(n_parts, 1) if hi >= lo else 1
+    ranges = [
+        (path, table, geom_col, lo + i * span, min(hi, lo + (i + 1) * span - 1))
+        for i in range(n_parts)
+        if lo + i * span <= hi
+    ] or [(path, table, geom_col, 0, -1)]
+    names = [n for n, _ in attr_cols]
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for p, tbl, gcol, rlo, rhi in pdf.itertuples(index=False):
+                c = sqlite3.connect(p)
+                sel = ", ".join([gcol] + names)
+                rows = c.execute(
+                    f"SELECT {sel} FROM {tbl} WHERE rowid BETWEEN ? AND ?",
+                    (int(rlo), int(rhi)),
+                ).fetchall()
+                c.close()
+                out = {"x": [], "y": []}
+                for n in names:
+                    out[n] = []
+                for r in rows:
+                    pt = _parse_gpkg_blob(r[0])
+                    out["x"].append(pt[0] if pt else None)
+                    out["y"].append(pt[1] if pt else None)
+                    for i, n in enumerate(names):
+                        out[n].append(r[1 + i])
+                yield pd.DataFrame(out)
+
+    parts = spark.createDataFrame(
+        ranges, "path string, table string, geom string, rlo long, rhi long"
+    )
+    return parts.repartition(len(ranges)).mapInPandas(parse, schema)

@@ -1,0 +1,129 @@
+"""Pure-Python Shapefile / GeoPackage codecs (sources/geo_files.py).
+
+The reference imports these through GDAL (gdal.c,
+docs/file-formats-reference.md:96-138); offline the public binary
+specs are implemented directly. src05's oracle row checks the
+end-to-end aggregate; these tests pin the format-level details —
+polygon records, dbf typing, NULL shapes, rowid-range partitioning,
+and the fail-loud on unsupported shape types.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+import struct
+
+import pytest
+
+from pg_datalake_spark.sources import geo_files as G
+
+
+def test_point_shapefile_roundtrip_with_dbf_types(spark, tmp_path):
+    rows = [
+        (1.5, -2.25, 7, "alpha", 3.14),
+        (-0.5, 0.0, -12, "beta", -1.5),
+        (100.25, 9.75, 0, "a" * 12, 0.0),  # string exactly at field width
+    ]
+    fields = [("key", "N", 10, 0), ("name", "C", 12, 0), ("score", "N", 12, 4)]
+    base = str(tmp_path / "pts")
+    G.write_point_shapefile(base, rows, fields)
+    got = sorted(
+        (r.x, r.y, r.key, r.name, r.score)
+        for r in G.read_shapefile(spark, base + ".shp").collect()
+    )
+    assert got == sorted(rows)
+    # dbf typing: N dec=0 -> long, N dec>0 -> double, C -> string
+    dt = dict(G.read_shapefile(spark, base + ".shp").dtypes)
+    assert dt == {
+        "x": "double", "y": "double",
+        "key": "bigint", "name": "string", "score": "double",
+    }
+
+
+def test_polygon_shapefile_parse(tmp_path, spark):
+    """Hand-write a spec-shaped polygon .shp (type 5, one ring) and a
+    matching .dbf; the reader must surface parts + points."""
+    ring = [(0.0, 0.0), (4.0, 0.0), (4.0, 3.0), (0.0, 3.0), (0.0, 0.0)]
+    base = str(tmp_path / "poly")
+    content = struct.pack("<i", 5)
+    content += struct.pack("<4d", 0.0, 0.0, 4.0, 3.0)
+    content += struct.pack("<ii", 1, len(ring))
+    content += struct.pack("<i", 0)  # one part at offset 0
+    for x, y in ring:
+        content += struct.pack("<dd", x, y)
+    words = len(content) // 2
+    with open(base + ".shp", "wb") as fh:
+        fh.write(
+            struct.pack(">i", 9994) + b"\x00" * 20
+            + struct.pack(">i", (100 + 8 + len(content)) // 2)
+            + struct.pack("<ii", 1000, 5)
+            + struct.pack("<4d", 0.0, 0.0, 4.0, 3.0)
+            + struct.pack("<4d", 0, 0, 0, 0)
+        )
+        fh.write(struct.pack(">ii", 1, words))
+        fh.write(content)
+    G._write_dbf(base + ".dbf", [(42,)], [("zone", "N", 6, 0)])
+    [r] = G.read_shapefile(spark, base + ".shp").collect()
+    assert r.zone == 42 and r.parts == [0]
+    assert [(p.x, p.y) for p in r.points] == ring
+
+
+def test_shapefile_bad_magic_and_unsupported_type_fail_loud(tmp_path, spark):
+    bad = str(tmp_path / "bad.shp")
+    with open(bad, "wb") as fh:
+        fh.write(b"\x00" * 100)
+    with pytest.raises(ValueError, match="file code"):
+        G.read_shapefile(spark, bad)
+    # multipoint (type 8) is unsupported -> NotImplementedError at parse
+    base = str(tmp_path / "mp")
+    with open(base + ".shp", "wb") as fh:
+        fh.write(
+            struct.pack(">i", 9994) + b"\x00" * 20 + struct.pack(">i", 58)
+            + struct.pack("<ii", 1000, 8) + struct.pack("<8d", *([0.0] * 8))
+        )
+        content = struct.pack("<i", 8) + struct.pack("<4d", 0, 0, 0, 0) + struct.pack("<i", 0)
+        fh.write(struct.pack(">ii", 1, len(content) // 2))
+        fh.write(content)
+    G._write_dbf(base + ".dbf", [], [("k", "N", 4, 0)])
+    with pytest.raises(Exception, match="shape type 8"):
+        G.read_shapefile(spark, base + ".shp").collect()
+
+
+def test_gpkg_roundtrip_rowid_partitioning_and_nulls(spark, tmp_path):
+    path = str(tmp_path / "t.gpkg")
+    rows = [(float(i), float(i % 7), i, f"n{i}") for i in range(101)]
+    G.write_gpkg_points(path, "pts", rows, [("key", "INTEGER"), ("name", "TEXT")])
+    # NULL geometry row survives as NULL x/y
+    con = sqlite3.connect(path)
+    con.execute("INSERT INTO pts (geom, key, name) VALUES (NULL, 999, 'void')")
+    con.commit()
+    con.close()
+    df = G.read_gpkg(spark, path, num_partitions=5)
+    assert df.rdd.getNumPartitions() == 5  # rowid ranges, not one task
+    got = {r.key: (r.x, r.y, r.name) for r in df.collect()}
+    assert len(got) == 102
+    assert got[999] == (None, None, "void")
+    assert got[50] == (50.0, 1.0, "n50")
+    # table auto-discovery picked the single feature table
+    assert sorted(r.key for r in G.read_gpkg(spark, path, table="pts").collect()) \
+        == sorted(got)
+
+
+def test_gpkg_blob_parser_variants():
+    # envelope-carrying header (flags bit 1..3 = 1 -> 32-byte envelope)
+    wkb = b"\x01" + struct.pack("<I", 1) + struct.pack("<dd", 2.5, -3.5)
+    env = struct.pack("<4d", 0, 0, 0, 0)
+    blob = b"GP\x00" + bytes([0x03]) + struct.pack("<i", 4326) + env + wkb
+    assert G._parse_gpkg_blob(blob) == (2.5, -3.5)
+    # big-endian WKB
+    wkb_be = b"\x00" + struct.pack(">I", 1) + struct.pack(">dd", 1.0, 2.0)
+    blob_be = b"GP\x00\x01" + struct.pack("<i", 4326) + wkb_be
+    assert G._parse_gpkg_blob(blob_be) == (1.0, 2.0)
+    with pytest.raises(ValueError, match="magic"):
+        G._parse_gpkg_blob(b"XX\x00\x01aaaa")
+    with pytest.raises(NotImplementedError, match="WKB type"):
+        G._parse_gpkg_blob(
+            b"GP\x00\x01" + struct.pack("<i", 4326)
+            + b"\x01" + struct.pack("<I", 2) + struct.pack("<dd", 0, 0)
+        )
