@@ -8,14 +8,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pg_datalake_spark.catalog import load_tables
-from pg_datalake_spark.plans.registry import register
+from pg_datalake_spark.plans.registry import ORACLES, QUERIES, register
 from pg_datalake_spark.sources import copy_to, read_files
 from pg_datalake_spark.streaming import incremental_file_ingest, windowed_event_counts
 
-
-@register(
-    "src01_src02_src03_file_roundtrips",
-    oracle="""
+_SRC_BASE_SQL = """
     SELECT 'csv' AS src, l_returnflag AS k, count(*) AS n,
            CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS c1,
            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS c2
@@ -33,17 +30,37 @@ from pg_datalake_spark.streaming import incremental_file_ingest, windowed_event_
            CAST(NULL AS BIGINT) AS c2
     FROM events WHERE event_id <= 2000
     GROUP BY event_type
+    """
+
+
+@register(
+    "src01_src02_src03_src04_src05_file_roundtrips",
+    oracle=lambda: _SRC_BASE_SQL
+    + f"""
+    UNION ALL
+    SELECT 'hf' AS src, split || '|' || lang AS k, n,
+           CAST(chars AS BIGINT) AS c1, CAST(NULL AS BIGINT) AS c2
+    FROM ({ORACLES["src04_hf_dataset"]}) hf_arm
+    UNION ALL
+    SELECT 'geo' AS src, src || '|' || c_mktsegment AS k, n,
+           key_sum AS c1, bal_cents AS c2
+    FROM ({ORACLES["src05_geo_formats"]}) geo_arm
     """,
 )
 def src01(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-format roundtrips, tagged union of the former
-    src01/src02/src03 rows (src03 folded in r6 to free a window slot):
+    src01/src02/src03 rows (src03 folded in r6 to free a window slot;
+    src04 hf:// + src05 shapefile/GeoPackage rotated in r9):
 
     - ``csv``: COPY TO csv.gz → schema-inferred read back → aggregate;
     - ``json``: COPY TO ndjson → inferred read → aggregate;
     - ``log``: events rendered to space-delimited log lines, re-parsed
       by regex template into typed columns (the reference's
-      s3-access-log path), aggregated.
+      s3-access-log path), aggregated;
+    - ``hf``: huggingface-hub snapshot-cache layout read back through
+      read_files("hf://…") (src04's feeder);
+    - ``geo``: shapefile + GeoPackage fixtures read through the
+      pure-Python codecs (src05's feeder).
 
     The oracle aggregates the original parquet, so export + dialect /
     type inference must be lossless for the measured columns. Sums are
@@ -74,7 +91,27 @@ def src01(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_cents").alias("c1"),
         F.lit(None).cast("long").alias("c2"),
     )
-    return csv_arm.unionByName(json_arm).unionByName(log_arm)
+    hf_arm = QUERIES["src04_hf_dataset"](spark, sf_dir).select(
+        F.lit("hf").alias("src"),
+        F.concat(F.col("split"), F.lit("|"), F.col("lang")).alias("k"),
+        "n",
+        F.col("chars").cast("long").alias("c1"),
+        F.lit(None).cast("long").alias("c2"),
+    )
+    geo = QUERIES["src05_geo_formats"](spark, sf_dir)
+    geo_arm = geo.select(
+        F.lit("geo").alias("srcx"),
+        F.concat(F.col("src"), F.lit("|"), F.col("c_mktsegment")).alias("k"),
+        "n",
+        F.col("key_sum").alias("c1"),
+        F.col("bal_cents").alias("c2"),
+    ).withColumnRenamed("srcx", "src")
+    return (
+        csv_arm.unionByName(json_arm)
+        .unionByName(log_arm)
+        .unionByName(hf_arm)
+        .unionByName(geo_arm)
+    )
 
 
 @register(
@@ -149,7 +186,7 @@ def src03(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Templated log-format scan (the reference's s3-access-log path):
     events rendered to space-delimited log lines, re-parsed by regex
     template into typed columns, aggregated — must equal the original.
-    Feeds the ``log`` arm of src01_src02_src03_file_roundtrips (merged
+    Feeds the ``log`` arm of src01_src02_src03_src04_src05_file_roundtrips (merged
     r6); sums are exact integer cents so the merged row hash-matches."""
     from pg_datalake_spark.sources.readers import read_log
 
