@@ -156,3 +156,81 @@ def src05(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return agg(shp, "shp").unionByName(agg(gp, "gpkg"))
+
+
+@register(
+    "src06_office_kml",
+    oracle="""
+    SELECT 'xlsx' AS src, c_mktsegment, count(*) AS n,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer WHERE c_custkey % 20 = 2 GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'kml' AS src, c_mktsegment, count(*) AS n,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer WHERE c_custkey % 20 = 3 GROUP BY c_mktsegment
+    """,
+)
+def src06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLSX + KML import analogs (r9; sources/office_files.py pure
+    zipfile+ElementTree SpreadsheetML reader, sources/geo_files.read_kml
+    OGC KML 2.2 Placemarks) — the remaining common GDAL-imported
+    formats after src05's shapefile/GeoPackage. Customer-derived rows
+    are written to two .xlsx files (multi-file parallel read, shared
+    strings + numeric cells) and one .kml document (point Placemarks
+    with ExtendedData), read back through the executor-side parsers,
+    and aggregated; DuckDB recomputes both splits from the source
+    parquet. Balances hash as exact CENTS. Reference:
+    pg_lake_engine/src/pgduck/gdal.c (XLSX/KML drivers),
+    docs/file-formats-reference.md:96-138."""
+    from pg_datalake_spark.sources.geo_files import read_kml, write_kml_points
+    from pg_datalake_spark.sources.office_files import read_xlsx, write_xlsx
+
+    cust = load_tables(spark, sf_dir, ["customer"])["customer"]
+    d = tempfile.mkdtemp(prefix="src06_")
+
+    def sample(mod_val: int) -> list:
+        return (
+            cust.filter(F.col("c_custkey") % 20 == mod_val)
+            .select("c_acctbal", "c_custkey", "c_mktsegment")
+            .collect()
+        )  # fixture-sized sample (|customer|/20 rows), builds the files
+
+    xl = [(float(r.c_custkey), r.c_mktsegment, float(r.c_acctbal)) for r in sample(2)]
+    half = len(xl) // 2
+    write_xlsx(os.path.join(d, "a.xlsx"), ["key", "seg", "bal"], xl[:half])
+    write_xlsx(os.path.join(d, "b.xlsx"), ["key", "seg", "bal"], xl[half:])
+    write_kml_points(
+        os.path.join(d, "pts.kml"),
+        [
+            (r.c_mktsegment, float(r.c_acctbal), (r.c_custkey % 100) / 10.0,
+             int(r.c_custkey))
+            for r in sample(3)
+        ],
+        ["key"],
+    )
+
+    xlsx_arm = (
+        read_xlsx(spark, os.path.join(d, "*.xlsx"))
+        .groupBy(F.col("seg").alias("c_mktsegment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("key").cast("long")).cast("long").alias("key_sum"),
+            F.sum(F.round(F.col("bal") * 100).cast("long")).cast("long")
+            .alias("bal_cents"),
+        )
+        .select(F.lit("xlsx").alias("src"), "*")
+    )
+    kml_arm = (
+        read_kml(spark, os.path.join(d, "pts.kml"))
+        .groupBy(F.col("name").alias("c_mktsegment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("key").cast("long")).cast("long").alias("key_sum"),
+            F.sum(F.round(F.col("x") * 100).cast("long")).cast("long")
+            .alias("bal_cents"),
+        )
+        .select(F.lit("kml").alias("src"), "*")
+    )
+    return xlsx_arm.unionByName(kml_arm)

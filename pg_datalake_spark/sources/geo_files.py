@@ -333,6 +333,103 @@ def _parse_gpkg_blob(blob: bytes) -> tuple[float, float] | None:
     return (x, y)
 
 
+# ---------------------------------------------------------------------------
+# KML (OGC KML 2.2): Placemark points / linestrings + ExtendedData
+# ---------------------------------------------------------------------------
+
+_KML_NS = "{http://www.opengis.net/kml/2.2}"
+
+
+def write_kml_points(path: str, rows: list[tuple], attrs: list[str]) -> None:
+    """Write a KML document of point Placemarks. ``rows``:
+    (name, lon, lat, attr...) tuples; ``attrs`` names the ExtendedData
+    fields. Fixture-grade writer."""
+
+    def esc(s) -> str:
+        return (
+            str(s).replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        )
+
+    marks = []
+    for r in rows:
+        data = "".join(
+            f'<Data name="{esc(a)}"><value>{esc(v)}</value></Data>'
+            for a, v in zip(attrs, r[3:])
+        )
+        marks.append(
+            f"<Placemark><name>{esc(r[0])}</name>"
+            f"<ExtendedData>{data}</ExtendedData>"
+            f"<Point><coordinates>{r[1]!r},{r[2]!r}</coordinates></Point>"
+            "</Placemark>"
+        )
+    with open(path, "w") as fh:
+        fh.write(
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<kml xmlns="http://www.opengis.net/kml/2.2"><Document>'
+            + "".join(marks)
+            + "</Document></kml>"
+        )
+
+
+def read_kml(spark: SparkSession, path_or_glob: str) -> DataFrame:
+    """Read KML Placemarks (Point or LineString) from one or many
+    files: ``name``, ``x``/``y`` (first coordinate), ``points`` (full
+    coordinate list) and every ExtendedData field seen in the FIRST
+    file (as strings — KML carries no types). Parsing runs
+    executor-side, one file per task."""
+    import xml.etree.ElementTree as ET
+
+    paths = sorted(_glob.glob(path_or_glob)) or [path_or_glob]
+
+    def placemarks(path: str):
+        root = ET.parse(path).getroot()
+        for pm in root.iter(f"{_KML_NS}Placemark"):
+            name_el = pm.find(f"{_KML_NS}name")
+            coords_el = pm.find(f".//{_KML_NS}coordinates")
+            pts = []
+            if coords_el is not None and coords_el.text:
+                for tok in coords_el.text.split():
+                    parts = tok.split(",")
+                    pts.append((float(parts[0]), float(parts[1])))
+            data = {
+                d.attrib.get("name", ""): (d.findtext(f"{_KML_NS}value") or "")
+                for d in pm.iter(f"{_KML_NS}Data")
+            }
+            yield (name_el.text if name_el is not None else None), pts, data
+
+    first_attrs: list[str] = []
+    for _n, _p, data in placemarks(paths[0]):
+        first_attrs = sorted(data)
+        break
+    schema = (
+        "name string, x double, y double, "
+        "points array<struct<x:double,y:double>>"
+        + "".join(f", {a} string" for a in first_attrs)
+    )
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for p in pdf["path"]:
+                out = {"name": [], "x": [], "y": [], "points": []}
+                for a in first_attrs:
+                    out[a] = []
+                for name, pts, data in placemarks(p):
+                    out["name"].append(name)
+                    out["x"].append(pts[0][0] if pts else None)
+                    out["y"].append(pts[0][1] if pts else None)
+                    out["points"].append(
+                        [{"x": px, "y": py} for px, py in pts] if pts else None
+                    )
+                    for a in first_attrs:
+                        out[a].append(data.get(a))
+                yield pd.DataFrame(out)
+
+    files = spark.createDataFrame([(p,) for p in paths], "path string")
+    return files.repartition(len(paths)).mapInPandas(parse, schema)
+
+
 def read_gpkg(
     spark: SparkSession,
     path: str,

@@ -127,3 +127,80 @@ def test_gpkg_blob_parser_variants():
             b"GP\x00\x01" + struct.pack("<i", 4326)
             + b"\x01" + struct.pack("<I", 2) + struct.pack("<dd", 0, 0)
         )
+
+
+def test_xlsx_roundtrip_types_and_shared_strings(spark, tmp_path):
+    from pg_datalake_spark.sources.office_files import read_xlsx, write_xlsx
+
+    path = str(tmp_path / "t.xlsx")
+    rows = [
+        (1.5, "alpha & <beta>", True),
+        (-2.0, "alpha & <beta>", False),  # shared string reused
+        (0.25, "z", True),
+    ]
+    write_xlsx(path, ["val", "tag name", "flag"], rows)
+    df = read_xlsx(spark, path)
+    # header sanitized to identifiers; types inferred per column
+    assert dict(df.dtypes) == {
+        "val": "double", "tag_name": "string", "flag": "boolean"
+    }
+    got = sorted((r.val, r.tag_name, r.flag) for r in df.collect())
+    assert got == sorted(rows)
+    # shared-strings table must dedup: 3 header strings + 2 unique
+    # data strings (the repeated 'alpha & <beta>' collapses)
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+    assert root.attrib["uniqueCount"] == "5"
+
+
+def test_xlsx_inline_string_and_gap_cells(spark, tmp_path):
+    """Hand-written sheet with an inlineStr cell and a skipped column:
+    the reader must honor cell references, not cell order."""
+    import zipfile
+
+    from pg_datalake_spark.sources.office_files import read_xlsx
+
+    sheet = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>b</t></is></c>'
+        '<c r="C1" t="inlineStr"><is><t>c</t></is></c></row>'
+        '<row r="2"><c r="A2"><v>1</v></c><c r="C2"><v>3</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    path = str(tmp_path / "gap.xlsx")
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    [r] = read_xlsx(spark, path).collect()
+    assert (r.a, r.b, r.c) == (1.0, None, 3.0)
+
+
+def test_kml_points_linestring_and_extended_data(spark, tmp_path):
+    from pg_datalake_spark.sources.geo_files import read_kml, write_kml_points
+
+    path = str(tmp_path / "pts.kml")
+    write_kml_points(
+        path,
+        [("p<1>", 1.5, -2.5, 42), ("p2", 0.0, 9.0, 7)],
+        ["key"],
+    )
+    got = {r.name: r for r in read_kml(spark, path).collect()}
+    assert got["p<1>"].x == 1.5 and got["p<1>"].y == -2.5
+    assert got["p<1>"].key == "42" and got["p2"].key == "7"
+    # hand-written LineString placemark: full coordinate list surfaces
+    ls = str(tmp_path / "line.kml")
+    with open(ls, "w") as fh:
+        fh.write(
+            '<?xml version="1.0"?><kml xmlns="http://www.opengis.net/kml/2.2">'
+            "<Document><Placemark><name>road</name><LineString><coordinates>"
+            "0.0,0.0 1.0,1.0 2.0,0.5"
+            "</coordinates></LineString></Placemark></Document></kml>"
+        )
+    [r] = read_kml(spark, ls).collect()
+    assert r.name == "road" and (r.x, r.y) == (0.0, 0.0)
+    assert [(p.x, p.y) for p in r.points] == [(0.0, 0.0), (1.0, 1.0), (2.0, 0.5)]
