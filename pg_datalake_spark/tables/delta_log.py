@@ -35,11 +35,11 @@ duplicating rows.
 
 The writer half (:func:`write_delta_table` / :func:`append_delta` /
 :func:`delete_where_delta` — copy-on-write or ``mode="dv"`` — /
-:func:`write_delta_checkpoint`) exists so the read path can be
-exercised and oracle-checked offline end-to-end against multi-commit
-histories; the reference itself is read-only on Delta, so the writer
-is deliberately minimal (no optimistic-concurrency loop beyond
-exclusive-create, no CDC emission).
+:func:`write_delta_checkpoint` / :func:`vacuum_delta`) exists so the
+read path can be exercised and oracle-checked offline end-to-end
+against multi-commit histories; the reference itself is read-only on
+Delta, so the writer is deliberately minimal (no
+optimistic-concurrency loop beyond exclusive-create, no CDC emission).
 """
 
 from __future__ import annotations
@@ -1152,6 +1152,59 @@ def write_delta_checkpoint(
     with open(os.path.join(_log_dir(location), "_last_checkpoint"), "w") as fh:
         json.dump({"version": version, "size": len(rows)}, fh)
     return version
+
+
+def vacuum_delta(
+    spark: SparkSession, location: str, retain_last: int = 1
+) -> dict:
+    """Delta VACUUM analog: delete data files and DV sidecars no
+    longer referenced by the last ``retain_last`` versions (r9 — the
+    natural consumer of the deletionVector now carried on remove
+    actions: a superseded sidecar becomes reclaimable the moment no
+    retained snapshot's adds reference it). The transaction log itself
+    is never touched; time travel BEHIND the retained range fails on
+    missing files afterwards, exactly like Delta's own VACUUM.
+
+    Returns {"removed": n, "retained": n}. The referenced-set
+    computation is O(files) driver metadata per retained version —
+    the same scale class as snapshot replay."""
+    from pg_datalake_spark.tables import dv_codec
+
+    location = _norm_location(location)
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    versions = _list_commit_versions(location)
+    keep = versions[-retain_last:]
+    _abs = _make_abs(location)
+    referenced: set[str] = set()
+    for v in keep:
+        state = _snapshot_state(spark, location, v)
+        for a in state["adds"].values():
+            referenced.add(os.path.abspath(_abs(a["path"])))
+            dv = a.get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                referenced.add(
+                    os.path.abspath(
+                        os.path.join(
+                            location, dv_codec.dv_relative_path(dv["pathOrInlineDv"])
+                        )
+                    )
+                )
+    log_dir = os.path.abspath(_log_dir(location))
+    removed = 0
+    for root, dirs, files in os.walk(location):
+        if os.path.abspath(root).startswith(log_dir):
+            dirs[:] = []
+            continue
+        dirs[:] = [d for d in dirs if d != _LOG_DIR]
+        for name in files:
+            p = os.path.abspath(os.path.join(root, name))
+            if p in referenced:
+                continue
+            if name.endswith(".parquet") or name.startswith("deletion_vector_"):
+                os.remove(p)
+                removed += 1
+    return {"removed": removed, "retained": len(referenced)}
 
 
 def delta_history(spark: SparkSession, location: str) -> list[dict]:

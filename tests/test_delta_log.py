@@ -560,3 +560,51 @@ def test_v2_checkpoint_with_sidecars_roundtrip(spark, tmp_path):
     exp = 60 - 6 + 1  # minus id%10 deletes, plus the re-appended id=1
     assert got.count() == exp
     assert got.filter("id % 10 = 0").count() == 0
+
+
+def test_vacuum_reclaims_cow_files_and_superseded_dv_sidecars(spark, tmp_path):
+    """r9: vacuum deletes data files dropped by a COW rewrite and DV
+    sidecars superseded by a later DV commit, while every retained
+    version stays exactly readable; time travel behind the retained
+    range fails on missing files (Delta VACUUM semantics)."""
+    import glob as g
+
+    loc = str(tmp_path / "vac")
+    df = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    dl.write_delta_table(df, loc)
+    # v1: DV delete -> sidecar #1; v2: another DV delete supersedes it
+    dl.delete_where_delta(spark, loc, "id % 10 = 0", mode="dv", inline_threshold=0)
+    dl.delete_where_delta(spark, loc, "id % 7 = 0", mode="dv", inline_threshold=0)
+    # v3: COW delete rewrites the data files entirely
+    dl.delete_where_delta(spark, loc, "id >= 150")
+    sidecars_before = set(g.glob(os.path.join(loc, "deletion_vector_*.bin")))
+    assert len(sidecars_before) >= 2
+    files_before = set(g.glob(os.path.join(loc, "**", "*.parquet"), recursive=True))
+
+    exp = sorted(i for i in range(150) if i % 10 and i % 7)
+    # retain_last=2: v2 and v3 both stay readable
+    res = dl.vacuum_delta(spark, loc, retain_last=2)
+    assert res["removed"] > 0
+    assert sorted(r.id for r in dl.read_delta_table(spark, loc).collect()) == exp
+    exp_v2 = sorted(i for i in range(200) if i % 10 and i % 7)
+    assert sorted(
+        r.id for r in dl.read_delta_table(spark, loc, version_as_of=2).collect()
+    ) == exp_v2
+    # superseded sidecar #1 still referenced by v2 -> kept
+    assert set(g.glob(os.path.join(loc, "deletion_vector_*.bin")))
+
+    # retain only the tip: v2's sidecars + pre-COW data files go away
+    dl.vacuum_delta(spark, loc, retain_last=1)
+    assert g.glob(os.path.join(loc, "deletion_vector_*.bin")) == []
+    files_after = set(g.glob(os.path.join(loc, "**", "*.parquet"), recursive=True))
+    assert files_after < files_before
+    # non-log parquet files on disk == exactly the tip's adds
+    state = dl._snapshot_state(spark, loc, None)
+    live = {
+        p for p in files_after if "_delta_log" not in p
+    }
+    assert len(live) == len(state["adds"])
+    assert sorted(r.id for r in dl.read_delta_table(spark, loc).collect()) == exp
+    # time travel behind the retained range now fails on missing files
+    with pytest.raises(Exception):
+        dl.read_delta_table(spark, loc, version_as_of=1).collect()
