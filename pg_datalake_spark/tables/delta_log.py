@@ -721,13 +721,25 @@ def _physical_stage_args(meta: dict, df: DataFrame) -> tuple[DataFrame, list[str
     )
 
 
-def append_delta(df: DataFrame, location: str) -> int:
-    """Append commit: new add actions only."""
+def append_delta(df: DataFrame, location: str, max_retries: int = 10) -> int:
+    """Append commit: new add actions only. Blind appends COMMUTE, so
+    losing the exclusive-create race to a concurrent writer is not a
+    conflict — the commit retries at the next version with the same
+    staged files (Delta's optimistic-concurrency happy path; r9). Data
+    files are staged once; only the metadata commit retries."""
     spark = df.sparkSession
     state = _snapshot_state(spark, location, None)
     staged, part_phys = _physical_stage_args(state["metaData"], df)
     adds = _stage_data_files(staged, location, part_phys)
-    return _write_commit(location, state["version"] + 1, adds)
+    version = state["version"] + 1
+    for _ in range(max_retries):
+        try:
+            return _write_commit(location, version, adds)
+        except FileExistsError:
+            version = _list_commit_versions(location)[-1] + 1
+    raise RuntimeError(
+        f"append to {location} lost the commit race {max_retries} times"
+    )
 
 
 def delete_where_delta(

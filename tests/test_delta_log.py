@@ -608,3 +608,20 @@ def test_vacuum_reclaims_cow_files_and_superseded_dv_sidecars(spark, tmp_path):
     # time travel behind the retained range now fails on missing files
     with pytest.raises(Exception):
         dl.read_delta_table(spark, loc, version_as_of=1).collect()
+
+
+def test_append_retries_past_concurrent_commit(spark, tmp_path):
+    """r9: blind appends commute — an append that loses the
+    exclusive-create race to a concurrent writer retries at the next
+    version instead of raising, and BOTH commits' rows are visible.
+    Non-append writers (delete) still fail loud on the race."""
+    loc = str(tmp_path / "race")
+    dl.write_delta_table(
+        spark.createDataFrame([(1,), (2,)], "id long"), loc
+    )
+    # simulate a concurrent writer grabbing version 1 between the
+    # appender's snapshot load and its commit: pre-create v1
+    dl._write_commit(loc, 1, [{"commitInfo": {"operation": "WRITE"}}])
+    v = dl.append_delta(spark.createDataFrame([(3,)], "id long"), loc)
+    assert v == 2  # retried past the stolen slot
+    assert sorted(r.id for r in dl.read_delta_table(spark, loc).collect()) == [1, 2, 3]
