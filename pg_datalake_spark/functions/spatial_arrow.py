@@ -189,13 +189,46 @@ def _unit(dx: float, dy: float) -> Pt:
 
 
 def _buffer_convex_ring(ring: list[Pt], r: float, quad_segs: int) -> list[Pt]:
-    """Outward buffer of a CONVEX ring (PostGIS ST_Buffer with
-    quad_segs): every edge offsets outward by r, every vertex joins
-    with a circular-arc fan whose chord angle is π/(2·quad_segs). The
-    emitted polygon decomposes EXACTLY into original ring + edge
-    strips + vertex fans, so area/perimeter have closed forms the
-    geo12 oracle states directly."""
+    """Buffer of a CONVEX ring (PostGIS ST_Buffer with quad_segs).
+
+    Positive r (dilation): every edge offsets outward by r, every
+    vertex joins with a circular-arc fan whose chord angle is
+    π/(2·quad_segs). The emitted polygon decomposes EXACTLY into
+    original ring + edge strips + vertex fans, so area/perimeter have
+    closed forms the geo12 oracle states directly.
+
+    Negative r (EROSION): Minkowski erosion of a convex polygon is the
+    intersection of its inward-translated edge half-planes — each new
+    vertex is the line intersection of its two adjacent offset edges
+    (no arcs; vertex count is preserved). |r| past the inradius would
+    invert the polygon — fail loud, never emit a bowtie."""
     ring = _ccw(ring)
+    if r < 0:
+        n = len(ring)
+        out: list[Pt] = []
+        dirs: list[Pt] = []
+        for i in range(n):
+            prev, cur, nxt = ring[(i - 1) % n], ring[i], ring[(i + 1) % n]
+            din = _unit(cur[0] - prev[0], cur[1] - prev[1])
+            dout = _unit(nxt[0] - cur[0], nxt[1] - cur[1])
+            dirs.append(dout)
+            # outward normal (dy,-dx); r < 0 translates edges inward
+            p1 = (prev[0] + r * din[1], prev[1] - r * din[0])
+            p2 = (cur[0] + r * din[1], cur[1] - r * din[0])
+            q1 = (cur[0] + r * dout[1], cur[1] - r * dout[0])
+            q2 = (nxt[0] + r * dout[1], nxt[1] - r * dout[0])
+            out.append(_line_intersection(p1, p2, q1, q2))
+        # past the inradius the polygon INVERTS — the reflected shape is
+        # still convex-CCW, so orientation checks miss it; the telltale
+        # is an eroded edge running AGAINST its source edge's direction
+        for i in range(n):
+            e = (out[(i + 1) % n][0] - out[i][0], out[(i + 1) % n][1] - out[i][1])
+            if e[0] * dirs[i][0] + e[1] * dirs[i][1] <= 0:
+                raise ValueError(
+                    f"st_buffer_ring_arrow: erosion radius {r} exceeds the "
+                    "ring's inradius (result would invert)"
+                )
+        return out
     n = len(ring)
     step_max = math.pi / (2 * quad_segs)
     out: list[Pt] = []

@@ -1107,7 +1107,10 @@ def geo11(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(4*q + 2 AS INT) AS cap_n,
            CAST(4 AS INT) AS spt_n,
            round(4*h*h, 6) AS spt_area,
-           CAST(8 AS INT) AS spt_orig_n
+           CAST(8 AS INT) AS spt_orig_n,
+           round((2*h - 0.5) * (2*h - 0.5), 6) AS er_area,
+           round(4 * (2*h - 0.5), 6) AS er_perim,
+           CAST(4 AS INT) AS er_n
     FROM g
     """,
 )
@@ -1129,7 +1132,10 @@ def geo12(spark: SparkSession, sf_dir: str) -> DataFrame:
       and keeps exactly the 4 corners (area back to 4h²), while an
       over-aggressive tolerance (10h) that plain DP would collapse to
       a chord returns the ORIGINAL 8-point ring (the PostGIS validity
-      guarantee).
+      guarantee);
+    - NEGATIVE-radius buffer (erosion, r = -0.25 < every inradius):
+      convex erosion preserves vertex count and shrinks the square to
+      side 2h - 0.5 — area (2h-0.5)², perimeter 4(2h-0.5).
     """
     from pg_datalake_spark.functions import spatial_arrow as SA
 
@@ -1168,6 +1174,7 @@ def geo12(spark: SparkSession, sf_dir: str) -> DataFrame:
                 SA.st_buffer_line_arrow(seg, rr, qq).alias("cap"),
                 SA.st_simplifypreservetopology_arrow(bumped, 0.5).alias("spt"),
                 SA.st_simplifypreservetopology_arrow(bumped, 1000.0).alias("spt0"),
+                SA.st_buffer_ring_arrow(square, -0.25, qq).alias("er"),
             )
             parts.append(arm)
     ringed = parts[0]
@@ -1184,4 +1191,7 @@ def geo12(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.st_npoints(F.col("spt")).alias("spt_n"),
         F.round(S.st_area(F.col("spt")), 6).alias("spt_area"),
         S.st_npoints(F.col("spt0")).alias("spt_orig_n"),
+        F.round(S.st_area(F.col("er")), 6).alias("er_area"),
+        F.round(S.st_perimeter(F.col("er")), 6).alias("er_perim"),
+        S.st_npoints(F.col("er")).alias("er_n"),
     )

@@ -632,3 +632,26 @@ def test_buffer_ring_capsule_and_spt_kernels(spark):
 
     with _pytest.raises(Exception, match="single-segment"):
         df.select(SA.st_buffer_line_arrow(bent, 0.5, 2)).collect()
+
+
+def test_erosion_buffer_inradius_guard(spark):
+    """r9: negative-radius buffer (convex erosion) fails loud past the
+    inradius instead of emitting an inverted ring; a triangle erodes to
+    a similar triangle (vertex count preserved)."""
+    from pg_datalake_spark.functions import spatial_arrow as SA
+
+    df = spark.createDataFrame([(1,)], "id int")
+    tri = F.array(
+        S.st_point(F.lit(0.0), F.lit(0.0)),
+        S.st_point(F.lit(8.0), F.lit(0.0)),
+        S.st_point(F.lit(0.0), F.lit(6.0)),
+    )
+    # inradius of the 6-8-10 right triangle = (6+8-10)/2 = 2
+    [r] = df.select(SA.st_buffer_ring_arrow(tri, -1.0, 4).alias("er")).collect()
+    assert len(r.er) == 3
+    xs = [(p.x, p.y) for p in r.er]
+    assert (1.0, 1.0) in xs  # right-angle corner moves in by (1, 1)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="inradius"):
+        df.select(SA.st_buffer_ring_arrow(tri, -3.0, 4)).collect()
