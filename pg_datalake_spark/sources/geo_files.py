@@ -316,7 +316,10 @@ def _gpkg_point_blob(x: float, y: float) -> bytes:
     return header + wkb
 
 
-def _parse_gpkg_blob(blob: bytes) -> tuple[float, float] | None:
+def _parse_gpkg_blob(blob: bytes) -> list[tuple[float, float]] | None:
+    """GPKG geometry blob → vertex list: [pt] for POINT, the full
+    vertex sequence for LINESTRING, the outer ring for POLYGON
+    (2D variants; Z/M and multi-geometries fail loud)."""
     if blob is None:
         return None
     if blob[:2] != b"GP":
@@ -325,12 +328,32 @@ def _parse_gpkg_blob(blob: bytes) -> tuple[float, float] | None:
     env_type = (flags >> 1) & 0x07
     env_len = {0: 0, 1: 32, 2: 48, 3: 48, 4: 64}[env_type]
     pos = 8 + env_len
-    byte_order = "<" if blob[pos] == 1 else ">"
-    (wkb_type,) = struct.unpack_from(f"{byte_order}I", blob, pos + 1)
-    if wkb_type % 1000 != 1:  # point, any Z/M variant offset
-        raise NotImplementedError(f"GPKG WKB type {wkb_type} not supported (POINT is)")
-    x, y = struct.unpack_from(f"{byte_order}dd", blob, pos + 5)
-    return (x, y)
+    bo = "<" if blob[pos] == 1 else ">"
+    (wkb_type,) = struct.unpack_from(f"{bo}I", blob, pos + 1)
+    base = wkb_type % 1000
+    if wkb_type != base:  # 1001/2001/3001… Z/M variants carry extra dims
+        raise NotImplementedError(
+            f"GPKG WKB type {wkb_type} not supported (2D point/linestring/"
+            "polygon are)"
+        )
+    pos += 5
+    if base == 1:  # point
+        return [struct.unpack_from(f"{bo}dd", blob, pos)]
+    if base == 2:  # linestring
+        (n,) = struct.unpack_from(f"{bo}I", blob, pos)
+        flat = struct.unpack_from(f"{bo}{2 * n}d", blob, pos + 4)
+        return list(zip(flat[0::2], flat[1::2]))
+    if base == 3:  # polygon: outer ring (holes not surfaced)
+        (nrings,) = struct.unpack_from(f"{bo}I", blob, pos)
+        if nrings < 1:
+            return []
+        (n,) = struct.unpack_from(f"{bo}I", blob, pos + 4)
+        flat = struct.unpack_from(f"{bo}{2 * n}d", blob, pos + 8)
+        return list(zip(flat[0::2], flat[1::2]))
+    raise NotImplementedError(
+        f"GPKG WKB type {wkb_type} not supported (2D point/linestring/"
+        "polygon are)"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -472,8 +495,9 @@ def read_gpkg(
             return "double"
         return "string"
 
-    schema = "x double, y double, " + ", ".join(
-        f"{n} {spark_t(t)}" for n, t in attr_cols
+    schema = (
+        "x double, y double, points array<struct<x:double,y:double>>, "
+        + ", ".join(f"{n} {spark_t(t)}" for n, t in attr_cols)
     )
     n_parts = max(1, min(num_partitions, (hi - lo + 1) or 1))
     span = (hi - lo + 1 + n_parts - 1) // max(n_parts, 1) if hi >= lo else 1
@@ -496,13 +520,16 @@ def read_gpkg(
                     (int(rlo), int(rhi)),
                 ).fetchall()
                 c.close()
-                out = {"x": [], "y": []}
+                out = {"x": [], "y": [], "points": []}
                 for n in names:
                     out[n] = []
                 for r in rows:
-                    pt = _parse_gpkg_blob(r[0])
-                    out["x"].append(pt[0] if pt else None)
-                    out["y"].append(pt[1] if pt else None)
+                    pts = _parse_gpkg_blob(r[0])
+                    out["x"].append(pts[0][0] if pts else None)
+                    out["y"].append(pts[0][1] if pts else None)
+                    out["points"].append(
+                        [{"x": px, "y": py} for px, py in pts] if pts else None
+                    )
                     for i, n in enumerate(names):
                         out[n].append(r[1 + i])
                 yield pd.DataFrame(out)

@@ -115,17 +115,34 @@ def test_gpkg_blob_parser_variants():
     wkb = b"\x01" + struct.pack("<I", 1) + struct.pack("<dd", 2.5, -3.5)
     env = struct.pack("<4d", 0, 0, 0, 0)
     blob = b"GP\x00" + bytes([0x03]) + struct.pack("<i", 4326) + env + wkb
-    assert G._parse_gpkg_blob(blob) == (2.5, -3.5)
+    assert G._parse_gpkg_blob(blob) == [(2.5, -3.5)]
     # big-endian WKB
     wkb_be = b"\x00" + struct.pack(">I", 1) + struct.pack(">dd", 1.0, 2.0)
     blob_be = b"GP\x00\x01" + struct.pack("<i", 4326) + wkb_be
-    assert G._parse_gpkg_blob(blob_be) == (1.0, 2.0)
+    assert G._parse_gpkg_blob(blob_be) == [(1.0, 2.0)]
+    # linestring (type 2): full vertex list
+    ls = (
+        b"\x01" + struct.pack("<I", 2) + struct.pack("<I", 3)
+        + struct.pack("<6d", 0, 0, 1, 1, 2, 0.5)
+    )
+    assert G._parse_gpkg_blob(b"GP\x00\x01" + struct.pack("<i", 4326) + ls) == [
+        (0.0, 0.0), (1.0, 1.0), (2.0, 0.5)
+    ]
+    # polygon (type 3): outer ring only
+    poly = (
+        b"\x01" + struct.pack("<I", 3) + struct.pack("<I", 1)
+        + struct.pack("<I", 4) + struct.pack("<8d", 0, 0, 4, 0, 4, 3, 0, 0)
+    )
+    assert G._parse_gpkg_blob(b"GP\x00\x01" + struct.pack("<i", 4326) + poly) == [
+        (0.0, 0.0), (4.0, 0.0), (4.0, 3.0), (0.0, 0.0)
+    ]
     with pytest.raises(ValueError, match="magic"):
         G._parse_gpkg_blob(b"XX\x00\x01aaaa")
     with pytest.raises(NotImplementedError, match="WKB type"):
+        # Z-variant point (1001) is out of 2D scope
         G._parse_gpkg_blob(
             b"GP\x00\x01" + struct.pack("<i", 4326)
-            + b"\x01" + struct.pack("<I", 2) + struct.pack("<dd", 0, 0)
+            + b"\x01" + struct.pack("<I", 1001) + struct.pack("<ddd", 0, 0, 0)
         )
 
 
