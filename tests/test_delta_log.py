@@ -5,11 +5,15 @@ replay with remove tombstones, checkpoint seeding + tail replay,
 VERSION AS OF time travel, partition values restored (typed, nullable)
 from the log rather than the data files, URL-encoded paths, DELETION
 VECTORS (r8: inline + sidecar storage, stacked-delete union semantics,
-checkpoint carriage), COLUMN MAPPING mode "name" (r8: physical-name
-data files, logical projection, mapped partition keys), V2 UUID
-checkpoints with sidecars (r8), the truncated-log contiguity guard
-(r8), and fail-loud gating of what remains unsupported (column
-mapping mode "id", unknown reader-version-3 features).
+checkpoint carriage; r9: distributed per-file bitmap serialization,
+stats.numRecords on DV adds, prior DV on removes, encoded-path key
+normalization), COLUMN MAPPING modes "name" (r8) and "id" (r9,
+parquet field-id matching), V2 UUID checkpoints with sidecars (r8) and
+V1 multi-part checkpoints + checkpoint-only tables (r9), per-commit
+action reconciliation (r9), the truncated-log contiguity guard (r8),
+commit-race retry for blind appends + VACUUM (r9), and fail-loud
+gating of what remains unsupported (unknown reader-version-3
+features, unknown column-mapping modes).
 """
 
 from __future__ import annotations
