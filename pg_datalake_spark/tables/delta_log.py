@@ -977,7 +977,11 @@ def _delete_where_dv(
 
 
 def write_delta_checkpoint(
-    spark: SparkSession, location: str, v2: bool = False, n_sidecars: int = 2
+    spark: SparkSession,
+    location: str,
+    v2: bool = False,
+    n_sidecars: int = 2,
+    multipart: int | None = None,
 ) -> int:
     """Materialize a checkpoint for the current version and advance
     ``_last_checkpoint`` — subsequent reads replay only the commit
@@ -990,7 +994,11 @@ def write_delta_checkpoint(
     plus ``sidecar`` reference rows, with the add actions spilled
     across ``n_sidecars`` parquet files under
     ``_delta_log/_sidecars/`` — the layout modern writers emit for
-    large tables, which the reader must reassemble."""
+    large tables, which the reader must reassemble. ``multipart=N``
+    (r9) writes the legacy V1 MULTI-PART layout instead
+    (``%020d.checkpoint.%010d.%010d.parquet``, part i of N, action
+    rows sliced across parts) — the shape whose parts must never be
+    mistaken for complete V2 manifests on read."""
     state = _snapshot_state(spark, location, None)
     version = state["version"]
     proto = state["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
@@ -1113,7 +1121,20 @@ def write_delta_checkpoint(
             os.remove(os.path.join(tmp, name))
         os.rmdir(tmp)
 
-    if not v2:
+    if multipart is not None:
+        if v2:
+            raise ValueError("pass v2=True OR multipart=N, not both")
+        n = max(1, min(int(multipart), len(rows)))
+        for i in range(n):
+            chunk = rows[i::n]
+            _write_single(
+                spark.createDataFrame(chunk, cp_schema),
+                os.path.join(
+                    _log_dir(location),
+                    f"{version:020d}.checkpoint.{i + 1:010d}.{n:010d}.parquet",
+                ),
+            )
+    elif not v2:
         _write_single(
             spark.createDataFrame(rows, cp_schema),
             _checkpoint_path(location, version),
