@@ -40,6 +40,18 @@ _SHP_POINT = 1
 _SHP_POLYLINE = 3
 _SHP_POLYGON = 5
 
+
+def _sqlite_ident(name: str) -> str:
+    """Safely quote a table/column name discovered INSIDE a GeoPackage
+    before interpolating it into SQL. A .gpkg is an untrusted import
+    format: names read from gpkg_contents / gpkg_geometry_columns /
+    PRAGMA could otherwise smuggle arbitrary statements into the
+    executor's sqlite connection. sqlite identifier quoting = double
+    quotes, embedded quotes doubled; NUL is never legal."""
+    if "\x00" in name:
+        raise ValueError(f"invalid identifier in GeoPackage metadata: {name!r}")
+    return '"' + name.replace('"', '""') + '"'
+
 # ---------------------------------------------------------------------------
 # Shapefile: fixture writer (points) + parser
 # ---------------------------------------------------------------------------
@@ -292,15 +304,16 @@ def write_gpkg_points(
         "INSERT INTO gpkg_geometry_columns VALUES (?, 'geom', 'POINT', 4326, 0, 0)",
         (table,),
     )
-    attr_ddl = "".join(f", {name} {sqlt}" for name, sqlt in attrs)
+    attr_ddl = "".join(f", {_sqlite_ident(name)} {sqlt}" for name, sqlt in attrs)
     cur.execute(
-        f"CREATE TABLE {table} (fid INTEGER PRIMARY KEY AUTOINCREMENT,"
-        f" geom BLOB{attr_ddl})"
+        f"CREATE TABLE {_sqlite_ident(table)} (fid INTEGER PRIMARY KEY"
+        f" AUTOINCREMENT, geom BLOB{attr_ddl})"
     )
     for r in rows:
         blob = _gpkg_point_blob(float(r[0]), float(r[1]))
         cur.execute(
-            f"INSERT INTO {table} (geom{''.join(',' + a for a, _ in attrs)})"
+            f"INSERT INTO {_sqlite_ident(table)} "
+            f"(geom{''.join(',' + _sqlite_ident(a) for a, _ in attrs)})"
             f" VALUES (?{', ?' * len(attrs)})",
             (blob, *r[2:]),
         )
@@ -479,11 +492,13 @@ def read_gpkg(
         "SELECT column_name FROM gpkg_geometry_columns WHERE table_name = ?",
         (table,),
     ).fetchone()
-    cols = cur.execute(f"PRAGMA table_info({table})").fetchall()
+    cols = cur.execute(f"PRAGMA table_info({_sqlite_ident(table)})").fetchall()
     attr_cols = [
         (c[1], c[2].upper()) for c in cols if c[1] not in (geom_col,)
     ]
-    lo, hi = cur.execute(f"SELECT min(rowid), max(rowid) FROM {table}").fetchone()
+    lo, hi = cur.execute(
+        f"SELECT min(rowid), max(rowid) FROM {_sqlite_ident(table)}"
+    ).fetchone()
     con.close()
     if lo is None:
         lo, hi = 0, -1
@@ -514,9 +529,10 @@ def read_gpkg(
         for pdf in batches:
             for p, tbl, gcol, rlo, rhi in pdf.itertuples(index=False):
                 c = sqlite3.connect(p)
-                sel = ", ".join([gcol] + names)
+                sel = ", ".join(_sqlite_ident(n) for n in [gcol] + names)
                 rows = c.execute(
-                    f"SELECT {sel} FROM {tbl} WHERE rowid BETWEEN ? AND ?",
+                    f"SELECT {sel} FROM {_sqlite_ident(tbl)} "
+                    "WHERE rowid BETWEEN ? AND ?",
                     (int(rlo), int(rhi)),
                 ).fetchall()
                 c.close()

@@ -182,7 +182,47 @@ def _apply_checkpoint_rows(rows, state: dict) -> None:
             state["adds"][add["path"]] = add
 
 
-def _load_checkpoint(spark: SparkSession, location: str, version: int, state: dict) -> None:
+# add-struct fields snapshot state actually consumes. Everything else —
+# above all the per-file `stats` JSON string, which on a real 100 TB
+# table (~200k adds at 512 MB/file, fat column stats) is GBs — is
+# pruned OUT of the checkpoint read so it never reaches the driver.
+_CP_ADD_FIELDS = (
+    "path",
+    "partitionValues",
+    "size",
+    "modificationTime",
+    "dataChange",
+    "stats",
+    "deletionVector",
+)
+
+
+def _pruned_cp_schema(file_schema: T.StructType, need_stats: bool) -> T.StructType:
+    """Read schema for a checkpoint parquet: only the action columns
+    replay consumes (add/metaData/protocol(+sidecar)), and within
+    ``add`` only :data:`_CP_ADD_FIELDS` — ``stats`` kept only when the
+    caller re-serializes actions (checkpoint rewrite must not drop the
+    stats.numRecords that DV adds are required to carry). Field types
+    are taken from the FILE footer so foreign writers' extra fields
+    are skipped without a type-mismatch."""
+    keep_add = set(_CP_ADD_FIELDS) - (set() if need_stats else {"stats"})
+    out = []
+    for f in file_schema.fields:
+        if f.name == "add" and isinstance(f.dataType, T.StructType):
+            sub = [sf for sf in f.dataType.fields if sf.name in keep_add]
+            out.append(T.StructField("add", T.StructType(sub), f.nullable))
+        elif f.name in ("metaData", "protocol", "sidecar", "checkpointMetadata"):
+            out.append(f)
+    return T.StructType(out)
+
+
+def _load_checkpoint(
+    spark: SparkSession,
+    location: str,
+    version: int,
+    state: dict,
+    need_stats: bool = False,
+) -> None:
     """Seed replay state from a checkpoint parquet: one row per action,
     struct columns ``add`` / ``metaData`` / ``protocol`` (removes are
     vacuum tombstones — irrelevant to the active set at the checkpoint
@@ -199,7 +239,9 @@ def _load_checkpoint(spark: SparkSession, location: str, version: int, state: di
             f"no complete checkpoint for version {version} under {location}"
         )
     for path in paths:
-        df = spark.read.parquet(path)
+        full_schema = spark.read.parquet(path).schema  # footer-only read
+        pruned = _pruned_cp_schema(full_schema, need_stats)
+        df = spark.read.schema(pruned).parquet(path)
         rows = df.collect()
         _apply_checkpoint_rows(rows, state)
         if "sidecar" in df.columns:
@@ -210,10 +252,20 @@ def _load_checkpoint(spark: SparkSession, location: str, version: int, state: di
             ]
             for rel in sidecars:
                 sc = os.path.join(_log_dir(location), "_sidecars", rel)
-                _apply_checkpoint_rows(spark.read.parquet(sc).collect(), state)
+                sc_schema = _pruned_cp_schema(
+                    spark.read.parquet(sc).schema, need_stats
+                )
+                _apply_checkpoint_rows(
+                    spark.read.schema(sc_schema).parquet(sc).collect(), state
+                )
 
 
-def _snapshot_state(spark: SparkSession, location: str, version_as_of: int | None) -> dict:
+def _snapshot_state(
+    spark: SparkSession,
+    location: str,
+    version_as_of: int | None,
+    need_stats: bool = False,
+) -> dict:
     versions = _list_commit_versions(location)
     cp_version: int | None = None
     last_cp = os.path.join(_log_dir(location), "_last_checkpoint")
@@ -245,7 +297,7 @@ def _snapshot_state(spark: SparkSession, location: str, version_as_of: int | Non
         and cp_version <= target
         and _checkpoint_files(location, cp_version) is not None
     ):
-        _load_checkpoint(spark, location, cp_version, state)
+        _load_checkpoint(spark, location, cp_version, state, need_stats)
         start = cp_version + 1
 
     # The replay is only sound over a CONTIGUOUS commit range: if the
@@ -729,14 +781,31 @@ def append_delta(df: DataFrame, location: str, max_retries: int = 10) -> int:
     files are staged once; only the metadata commit retries."""
     spark = df.sparkSession
     state = _snapshot_state(spark, location, None)
-    staged, part_phys = _physical_stage_args(state["metaData"], df)
+    meta0 = state["metaData"]
+    staged, part_phys = _physical_stage_args(meta0, df)
     adds = _stage_data_files(staged, location, part_phys)
     version = state["version"] + 1
     for _ in range(max_retries):
         try:
             return _write_commit(location, version, adds)
         except FileExistsError:
-            version = _list_commit_versions(location)[-1] + 1
+            # Rebasing over the winner is only sound when the staged
+            # files still match the table: blind appends commute, but a
+            # concurrent metaData change (schema evolution, column-
+            # mapping flip) means our files were written under a stale
+            # physical schema — committing across it would corrupt the
+            # table. Re-load the snapshot and verify before retrying.
+            cur = _snapshot_state(spark, location, None)
+            m = cur["metaData"] or {}
+            if m.get("id") != meta0.get("id") or m.get("schemaString") != meta0.get(
+                "schemaString"
+            ):
+                raise RuntimeError(
+                    f"append to {location} conflicts with a concurrent "
+                    "metaData change (schema/column-mapping changed since "
+                    "staging); re-stage the append against the new snapshot"
+                )
+            version = cur["version"] + 1
     raise RuntimeError(
         f"append to {location} lost the commit race {max_retries} times"
     )
@@ -868,11 +937,15 @@ def _delete_where_dv(
         path, o_st, o_dv, o_off, o_size = key
         positions = np.unique(pdf["__pos"].to_numpy(dtype=np.int64))
         if o_st is not None:
+            # Null LONG group keys arrive as float NaN (Arrow null int64
+            # -> pandas float64): an inline ("i") prior descriptor has
+            # offset=null, so NaN here is the COMMON case when stacking a
+            # second DV delete on a file whose first blob fit inline.
             old_desc = {
                 "storageType": o_st,
                 "pathOrInlineDv": o_dv,
-                "offset": None if o_off is None else int(o_off),
-                "sizeInBytes": int(o_size),
+                "offset": None if o_off is None or pd.isna(o_off) else int(o_off),
+                "sizeInBytes": 0 if o_size is None or pd.isna(o_size) else int(o_size),
             }
             positions = np.union1d(
                 positions, dv_codec.decode_descriptor_positions(old_desc, location)
@@ -999,7 +1072,10 @@ def write_delta_checkpoint(
     (``%020d.checkpoint.%010d.%010d.parquet``, part i of N, action
     rows sliced across parts) — the shape whose parts must never be
     mistaken for complete V2 manifests on read."""
-    state = _snapshot_state(spark, location, None)
+    # need_stats: re-serializing actions must carry `stats` forward —
+    # a checkpoint that drops stats.numRecords from DV adds violates
+    # the writer requirement the JSON log upholds.
+    state = _snapshot_state(spark, location, None, need_stats=True)
     version = state["version"]
     proto = state["protocol"] or {"minReaderVersion": 1, "minWriterVersion": 2}
     meta = state["metaData"]
@@ -1020,6 +1096,11 @@ def write_delta_checkpoint(
             T.StructField("size", T.LongType()),
             T.StructField("modificationTime", T.LongType()),
             T.StructField("dataChange", T.BooleanType()),
+            # stats MUST survive checkpointing: DV-carrying adds are
+            # required to have stats.numRecords (PROTOCOL.md writer
+            # requirements), and that guarantee has to hold in the
+            # checkpoint, not just the JSON log.
+            T.StructField("stats", T.StringType()),
             T.StructField("deletionVector", dv_type),
         ]
     )
@@ -1093,6 +1174,7 @@ def write_delta_checkpoint(
                     a.get("size"),
                     a.get("modificationTime"),
                     bool(a.get("dataChange", True)),
+                    a.get("stats"),
                     (
                         dv["storageType"],
                         dv["pathOrInlineDv"],
@@ -1207,6 +1289,21 @@ def vacuum_delta(
     if retain_last < 1:
         raise ValueError("retain_last must be >= 1")
     versions = _list_commit_versions(location)
+    # Mirror _snapshot_state: a fully-cleaned log (every JSON commit
+    # vacuumed, checkpoint-only) is legal, and the checkpoint version
+    # must count as a retained snapshot — otherwise keep=[] and the
+    # walk below would delete every live data file in the table.
+    last_cp = os.path.join(_log_dir(location), "_last_checkpoint")
+    if os.path.exists(last_cp):
+        with open(last_cp) as fh:
+            cp_version = json.load(fh)["version"]
+        if cp_version not in versions:
+            versions = sorted([*versions, cp_version])
+    if not versions:
+        raise FileNotFoundError(
+            f"empty Delta log under {location}: refusing to vacuum "
+            "(no commit or checkpoint version to retain)"
+        )
     keep = versions[-retain_last:]
     _abs = _make_abs(location)
     referenced: set[str] = set()

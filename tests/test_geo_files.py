@@ -221,3 +221,17 @@ def test_kml_points_linestring_and_extended_data(spark, tmp_path):
     [r] = read_kml(spark, ls).collect()
     assert r.name == "road" and (r.x, r.y) == (0.0, 0.0)
     assert [(p.x, p.y) for p in r.points] == [(0.0, 0.0), (1.0, 1.0), (2.0, 0.5)]
+
+
+def test_gpkg_hostile_table_name_is_quoted_not_executed(spark, tmp_path):
+    """r10 (review fix): table/column names discovered INSIDE a .gpkg
+    are untrusted — a crafted name must be treated as an identifier
+    (sqlite quoting), never spliced into SQL as syntax."""
+    path = str(tmp_path / "evil.gpkg")
+    evil = 'pts" UNION SELECT name,1,2 FROM sqlite_master; --'
+    G.write_gpkg_points(
+        path, evil, [(1.5, -2.5, 7, "ok")], [("key", "INTEGER"), ("name", "TEXT")]
+    )
+    got = G.read_gpkg(spark, path).collect()
+    assert len(got) == 1
+    assert (got[0].x, got[0].y, got[0].key, got[0].name) == (1.5, -2.5, 7, "ok")
