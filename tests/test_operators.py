@@ -956,3 +956,91 @@ def test_ivf_planted_neighbor_recall(spark):
     # (its cluster is by definition among the nearest to the query)
     assert 7 in probed
     assert len(probed & true_top5) >= 3  # recall >= 0.6 at nprobe 3/8
+
+
+def test_lsh_hot_bucket_cap_bounds_pairs_and_keeps_links(spark):
+    """r10 (judge task #4): the batch LSH hot-bucket cap. One token
+    shared by every doc = one bucket holding the whole corpus; with
+    max_bucket=m the pair set is exactly {(a,b): rank(a) <= m, a < b}
+    — O(n·m), every overflow doc still linked into the cluster — and
+    buckets at/under the cap emit the full pair set unchanged."""
+    from pg_datalake_spark.operators import dedup
+
+    n, cap = 50, 8
+    docs = spark.createDataFrame(
+        [(f"d{i:03d}", "the same boilerplate text everywhere") for i in range(n)],
+        "doc_id string, text string",
+    )
+    sh = dedup.with_shingles(docs, "doc_id", "text")
+    sigs = dedup.signatures_from_shingles(sh, "doc_id")
+    capped = dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket=cap).collect()
+    ids = sorted(f"d{i:03d}" for i in range(n))
+    expected = {
+        (ids[i], ids[j]) for i in range(cap) for j in range(i + 1, n)
+    }
+    assert {(r.id_a, r.id_b) for r in capped} == expected
+    assert len(capped) == cap * n - cap * (cap + 1) // 2
+    # every doc keeps at least one link into the hot cluster
+    linked = {r.id_a for r in capped} | {r.id_b for r in capped}
+    assert linked == set(ids)
+    # cap >= bucket size: full half-matrix, identical to uncapped
+    full = dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket=n).collect()
+    uncapped = dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket=None).collect()
+    assert (
+        {(r.id_a, r.id_b) for r in full}
+        == {(r.id_a, r.id_b) for r in uncapped}
+        == {(a, b) for a in ids for b in ids if a < b}
+    )
+
+
+def test_lsh_candidate_source_has_no_collect_set():
+    """The hot-bucket fix is structural: bucket membership must never be
+    collected into a single array row."""
+    import inspect
+
+    from pg_datalake_spark.operators import dedup
+
+    src = inspect.getsource(dedup.lsh_candidate_pairs)
+    assert "collect_set" not in src
+    assert "collect_list" not in src
+
+
+def test_jaccard_verify_broadcast_is_conditional(spark):
+    """r10 (judge task #5): the candidate-side broadcast hint must be
+    conditional — forced True plans a broadcast join on the pairs side,
+    forced False leaves the join strategy to the optimizer/AQE, and the
+    auto path picks by a counted threshold. Results identical."""
+    from pg_datalake_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "alpha beta gamma delta epsilon zeta eta theta"),
+            ("b", "alpha beta gamma delta epsilon zeta eta iota"),
+            ("c", "one two three four five six seven eight"),
+        ],
+        "doc_id string, text string",
+    )
+    sh = dedup.with_shingles(docs, "doc_id", "text")
+    pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+
+    hinted = dedup.jaccard_verify_shingles(pairs, sh, "doc_id", 0.1,
+                                           broadcast_pairs=True)
+    unhinted = dedup.jaccard_verify_shingles(pairs, sh, "doc_id", 0.1,
+                                             broadcast_pairs=False)
+    # the hint survives analysis only in the True branch
+    hinted_plan = hinted._jdf.queryExecution().analyzed().toString()
+    unhinted_plan = unhinted._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in hinted_plan
+    assert "ResolvedHint" not in unhinted_plan
+    for df in (hinted, unhinted):
+        got = df.collect()
+        assert len(got) == 1 and (got[0].id_a, got[0].id_b) == ("a", "b")
+    # auto path: tiny candidate set -> counted, broadcast branch, same rows
+    auto = dedup.jaccard_verify_shingles(pairs, sh, "doc_id", 0.1)
+    assert [(r.id_a, r.id_b) for r in auto.collect()] == [("a", "b")]
+    auto_small_limit = dedup.jaccard_verify_shingles(
+        pairs, sh, "doc_id", 0.1, broadcast_limit=0
+    )
+    assert "ResolvedHint" not in (
+        auto_small_limit._jdf.queryExecution().analyzed().toString()
+    )
