@@ -115,6 +115,21 @@ __all__ = [
     "st_transform_webmercator",
     "st_transform_wgs84",
     "st_simplify",
+    # trivial accessor tier (round 10)
+    "st_srid",
+    "st_isempty",
+    "st_isempty_point",
+    "st_geometrytype_point",
+    "st_geometrytype_seq",
+    "st_dimension_point",
+    "st_dimension_seq",
+    "st_numgeometries",
+    "st_numinteriorrings",
+    "st_exteriorring",
+    "st_z",
+    "st_m",
+    "st_zmflag",
+    "st_force2d",
 ]
 
 
@@ -1659,3 +1674,121 @@ def st_simplify(line: Column, tolerance: float) -> Column:
         return pd.Series(out)
 
     return _simplify(line)
+
+
+# --- trivial accessor tier (round 10) ---------------------------------------
+# Reference surface: pg_lake_engine/src/pgduck/shippable_spatial_functions.c
+# (st_srid / st_isempty / st_geometrytype / st_dimension /
+# st_numgeometries / st_numinteriorrings / st_exteriorring / st_z / st_m /
+# st_zmflag / st_force2d). On this module's struct model every one is
+# closed-form Column algebra — no reason to leave them to a Sedona
+# delegation. Geometry typing is static per column (a POINT is a struct,
+# a vertex sequence is an array), so the accessors follow the module's
+# existing *_point / sequence naming convention.
+
+
+def st_srid(geom: Column) -> Column:
+    """SRID accessor. The struct geometry model carries no SRID —
+    geometries are planar/unqualified, so the SRID is 0 (PostGIS's
+    "unknown"); null geometry → null."""
+    return F.when(geom.isNull(), F.lit(None).cast("int")).otherwise(F.lit(0))
+
+
+def st_isempty(seq: Column) -> Column:
+    """TRUE iff a vertex-sequence geometry has no vertices (null → null)."""
+    return F.when(seq.isNull(), F.lit(None).cast("boolean")).otherwise(
+        F.size(seq) == 0
+    )
+
+
+def st_isempty_point(p: Column) -> Column:
+    """POINT EMPTY in the struct model = null struct or null coords."""
+    return p.isNull() | p["x"].isNull() | p["y"].isNull()
+
+
+def st_geometrytype_point(p: Column) -> Column:
+    return F.when(p.isNull(), F.lit(None).cast("string")).otherwise(
+        F.lit("ST_Point")
+    )
+
+
+def st_geometrytype_seq(seq: Column) -> Column:
+    """Geometry type of a vertex sequence: a closed ring of >= 4
+    vertices reads as ST_Polygon, a single vertex as ST_Point,
+    anything else (incl. empty) as ST_LineString."""
+    first, last = F.try_element_at(seq, F.lit(1)), F.try_element_at(seq, F.lit(-1))
+    closed = (first["x"] == last["x"]) & (first["y"] == last["y"])
+    return (
+        F.when(seq.isNull(), F.lit(None).cast("string"))
+        .when(F.size(seq) == 1, F.lit("ST_Point"))
+        .when((F.size(seq) >= 4) & closed, F.lit("ST_Polygon"))
+        .otherwise(F.lit("ST_LineString"))
+    )
+
+
+def st_dimension_point(p: Column) -> Column:
+    return F.when(p.isNull(), F.lit(None).cast("int")).otherwise(F.lit(0))
+
+
+def st_dimension_seq(seq: Column) -> Column:
+    """Topological dimension, consistent with st_geometrytype_seq:
+    polygon → 2, linestring → 1, single vertex → 0."""
+    t = st_geometrytype_seq(seq)
+    return (
+        F.when(t.isNull(), F.lit(None).cast("int"))
+        .when(t == "ST_Polygon", F.lit(2))
+        .when(t == "ST_Point", F.lit(0))
+        .otherwise(F.lit(1))
+    )
+
+
+def st_numgeometries(collection: Column) -> Column:
+    """Member count of a point collection (st_collect output); a null
+    collection → null. For single geometries the PostGIS answer is the
+    constant 1 — pass a one-element collection."""
+    return F.when(collection.isNull(), F.lit(None).cast("int")).otherwise(
+        F.size(collection)
+    )
+
+
+def st_numinteriorrings(ring: Column) -> Column:
+    """The model's polygons are single rings — interior-ring count is 0
+    for any non-null polygon, null for null (PostGIS returns null for
+    non-polygons; the static typing makes that case unrepresentable)."""
+    return F.when(ring.isNull(), F.lit(None).cast("int")).otherwise(F.lit(0))
+
+
+def st_exteriorring(ring: Column) -> Column:
+    """Exterior ring of a polygon as a CLOSED linestring: the ring
+    itself, with the first vertex appended when stored open."""
+    first, last = F.try_element_at(ring, F.lit(1)), F.try_element_at(ring, F.lit(-1))
+    closed = (first["x"] == last["x"]) & (first["y"] == last["y"])
+    return (
+        F.when(ring.isNull() | (F.size(ring) == 0), ring)
+        .when(closed, ring)
+        .otherwise(F.concat(ring, F.array(first)))
+    )
+
+
+def st_z(p: Column) -> Column:
+    """Z ordinate — the model is strictly 2D, so always null (PostGIS
+    returns null for the missing ordinate of a 2D point)."""
+    return F.lit(None).cast("double")
+
+
+def st_m(p: Column) -> Column:
+    """M ordinate — strictly 2D model, always null."""
+    return st_z(p)
+
+
+def st_zmflag(geom: Column) -> Column:
+    """PostGIS ZM flag: 0=2D, 1=M, 2=Z, 3=ZM — this model is always 2D."""
+    return F.when(geom.isNull(), F.lit(None).cast("smallint")).otherwise(
+        F.lit(0).cast("smallint")
+    )
+
+
+def st_force2d(geom: Column) -> Column:
+    """Identity on the 2D struct model (the function exists so queries
+    written against the reference surface keep running unchanged)."""
+    return geom

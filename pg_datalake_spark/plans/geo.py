@@ -1195,3 +1195,95 @@ def geo12(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(S.st_perimeter(F.col("er")), 6).alias("er_perim"),
         S.st_npoints(F.col("er")).alias("er_n"),
     )
+
+
+@register(
+    "geo13_accessor_tier",
+    oracle="""
+    WITH g AS (
+      SELECT n_nationkey AS nk,
+             CAST(1 + n_nationkey % 3 AS DOUBLE) AS h,
+             CAST(n_nationkey % 7 AS DOUBLE) AS cx,
+             CAST(1 + n_nationkey % 4 AS INT) AS k
+      FROM nation
+    )
+    SELECT nk,
+           CAST(0 AS INT) AS srid,
+           FALSE AS is_empty_f,
+           TRUE AS is_empty_t,
+           'ST_Polygon' AS gtype_sq,
+           'ST_LineString' AS gtype_ln,
+           'ST_Point' AS gtype_pt,
+           CAST(2 AS INT) AS dim_sq,
+           CAST(1 AS INT) AS dim_ln,
+           CAST(0 AS INT) AS dim_pt,
+           k AS ngeom,
+           CAST(0 AS INT) AS nintr,
+           CAST(5 AS INT) AS ext_n,
+           round(4 * h * h, 6) AS ext_area,
+           TRUE AS z_is_null,
+           TRUE AS m_is_null,
+           CAST(0 AS SMALLINT) AS zmflag,
+           cx AS f2d_x
+    FROM g
+    """,
+)
+def geo13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trivial spatial ACCESSOR tier (r10; reference
+    shippable_spatial_functions.c st_srid / st_isempty /
+    st_geometrytype / st_dimension / st_numgeometries /
+    st_numinteriorrings / st_exteriorring / st_z / st_m / st_zmflag /
+    st_force2d). Closed-form on the struct model, so the whole row is
+    whole-stage-codegen Column algebra; every value is independently
+    derivable in plain SQL:
+
+    - open square of half-width h: exterior ring closes it (5 vertices,
+      area 4h²), type ST_Polygon / dimension 2 once closed;
+    - a 3-vertex open path types as ST_LineString / dimension 1;
+    - a k-point collection (k = 1 + nk % 4) counts k geometries;
+    - the 2D model: st_z/st_m null, zmflag 0, st_force2d identity,
+      srid 0 (unqualified planar).
+    """
+    t = load_tables(spark, sf_dir, ["nation"])
+    base = t["nation"].select(
+        F.col("n_nationkey").cast("int").alias("nk"),
+        (1 + F.col("n_nationkey") % 3).cast("double").alias("h"),
+        (F.col("n_nationkey") % 7).cast("double").alias("cx"),
+        (F.col("n_nationkey") * 3 % 5).cast("double").alias("cy"),
+        (1 + F.col("n_nationkey") % 4).cast("int").alias("k"),
+    )
+    h, cx, cy = F.col("h"), F.col("cx"), F.col("cy")
+    pt = S.st_point(cx, cy)
+    square = F.array(  # stored OPEN: 4 vertices
+        S.st_point(cx - h, cy - h), S.st_point(cx + h, cy - h),
+        S.st_point(cx + h, cy + h), S.st_point(cx - h, cy + h),
+    )
+    line3 = F.array(
+        S.st_point(cx, cy), S.st_point(cx + 1, cy + 1), S.st_point(cx + 2, cy),
+    )
+    empty_seq = F.slice(square, F.lit(1), F.lit(0))
+    coll = F.transform(
+        F.sequence(F.lit(1), F.col("k")),
+        lambda i: S.st_point(cx + i.cast("double"), cy),
+    )
+    ext = S.st_exteriorring(square)
+    return base.select(
+        "nk",
+        S.st_srid(pt).alias("srid"),
+        S.st_isempty(square).alias("is_empty_f"),
+        S.st_isempty(empty_seq).alias("is_empty_t"),
+        S.st_geometrytype_seq(ext).alias("gtype_sq"),
+        S.st_geometrytype_seq(line3).alias("gtype_ln"),
+        S.st_geometrytype_point(pt).alias("gtype_pt"),
+        S.st_dimension_seq(ext).alias("dim_sq"),
+        S.st_dimension_seq(line3).alias("dim_ln"),
+        S.st_dimension_point(pt).alias("dim_pt"),
+        S.st_numgeometries(coll).alias("ngeom"),
+        S.st_numinteriorrings(square).alias("nintr"),
+        S.st_npoints(ext).alias("ext_n"),
+        F.round(S.st_area(ext), 6).alias("ext_area"),
+        S.st_z(pt).isNull().alias("z_is_null"),
+        S.st_m(pt).isNull().alias("m_is_null"),
+        S.st_zmflag(pt).alias("zmflag"),
+        S.st_x(S.st_force2d(pt)).alias("f2d_x"),
+    )
