@@ -34,7 +34,7 @@ _SRC_BASE_SQL = """
 
 
 @register(
-    "src01_src02_src03_src04_src05_file_roundtrips",
+    "src01_src02_src03_src04_src05_src06_file_roundtrips",
     oracle=lambda: _SRC_BASE_SQL
     + f"""
     UNION ALL
@@ -45,12 +45,17 @@ _SRC_BASE_SQL = """
     SELECT 'geo' AS src, src || '|' || c_mktsegment AS k, n,
            key_sum AS c1, bal_cents AS c2
     FROM ({ORACLES["src05_geo_formats"]}) geo_arm
+    UNION ALL
+    SELECT 'office' AS src, src || '|' || c_mktsegment AS k, n,
+           key_sum AS c1, bal_cents AS c2
+    FROM ({ORACLES["src06_office_kml"]}) office_arm
     """,
 )
 def src01(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-format roundtrips, tagged union of the former
     src01/src02/src03 rows (src03 folded in r6 to free a window slot;
-    src04 hf:// + src05 shapefile/GeoPackage rotated in r9):
+    src04 hf:// + src05 shapefile/GeoPackage rotated in r9; src06
+    XLSX/KML rotated in r10):
 
     - ``csv``: COPY TO csv.gz → schema-inferred read back → aggregate;
     - ``json``: COPY TO ndjson → inferred read → aggregate;
@@ -60,7 +65,9 @@ def src01(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``hf``: huggingface-hub snapshot-cache layout read back through
       read_files("hf://…") (src04's feeder);
     - ``geo``: shapefile + GeoPackage fixtures read through the
-      pure-Python codecs (src05's feeder).
+      pure-Python codecs (src05's feeder);
+    - ``office``: XLSX + KML fixtures read through the pure-Python
+      SpreadsheetML / OGC-KML parsers (src06's feeder).
 
     The oracle aggregates the original parquet, so export + dialect /
     type inference must be lossless for the measured columns. Sums are
@@ -106,11 +113,20 @@ def src01(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key_sum").alias("c1"),
         F.col("bal_cents").alias("c2"),
     ).withColumnRenamed("srcx", "src")
+    office = QUERIES["src06_office_kml"](spark, sf_dir)
+    office_arm = office.select(
+        F.lit("office").alias("srcx"),
+        F.concat(F.col("src"), F.lit("|"), F.col("c_mktsegment")).alias("k"),
+        "n",
+        F.col("key_sum").alias("c1"),
+        F.col("bal_cents").alias("c2"),
+    ).withColumnRenamed("srcx", "src")
     return (
         csv_arm.unionByName(json_arm)
         .unionByName(log_arm)
         .unionByName(hf_arm)
         .unionByName(geo_arm)
+        .unionByName(office_arm)
     )
 
 
@@ -186,7 +202,7 @@ def src03(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Templated log-format scan (the reference's s3-access-log path):
     events rendered to space-delimited log lines, re-parsed by regex
     template into typed columns, aggregated — must equal the original.
-    Feeds the ``log`` arm of src01_src02_src03_src04_src05_file_roundtrips (merged
+    Feeds the ``log`` arm of src01_src02_src03_src04_src05_src06_file_roundtrips (merged
     r6); sums are exact integer cents so the merged row hash-matches."""
     from pg_datalake_spark.sources.readers import read_log
 

@@ -1515,7 +1515,7 @@ def w_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "x03_x08_x14_t05_t06_v05_d06_llmops",
+    "x03_x08_x14_t05_t06_v05_d06_d10_t16_llmops",
     oracle=lambda: "\nUNION ALL\n".join(
         [
             _g_arm_sql(
@@ -1524,6 +1524,23 @@ def w_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 k="split || '|' || lang",
                 i1="n_docs",
                 i2="total_words",
+            ),
+            _g_arm_sql(
+                "d10",
+                ORACLES["d10_exact_substring_excise"],
+                k="CAST(doc_id AS VARCHAR)",
+                i1="n_tokens",
+                i2="n_removed",
+                s1="md5(clean_text)",
+            ),
+            _g_arm_sql(
+                "t16",
+                ORACLES["t16_gopher_quality"],
+                k="CAST(doc_id AS VARCHAR)",
+                i1="n_words",
+                i2="n_stopwords",
+                i3="CAST(passes_gopher AS BIGINT)",
+                d1="alpha_frac",
             ),
             _g_arm_sql(
                 "x03",
@@ -1612,7 +1629,9 @@ def x_llmops(spark: SparkSession, sf_dir: str) -> DataFrame:
     in r6: benchmark decontamination (d06), corpus n-gram statistics
     (t06), and distributed-prefix-sum sequence packing (x08) — plus
     the r9 rotation: the end-to-end curation PIPELINE composition
-    (x14: Gopher gate → exact dedup → md5 split → corpus report)."""
+    (x14: Gopher gate → exact dedup → md5 split → corpus report) —
+    plus the r10 rotation: ExactSubstr excision (d10, cleaned strings
+    hash via md5) and the full Gopher structural battery (t16)."""
     bar = F.lit("|")
     return _g_union(
         _g_arm(
@@ -1621,6 +1640,23 @@ def x_llmops(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=F.concat(F.col("split"), bar, F.col("lang")),
             i1=F.col("n_docs"),
             i2=F.col("total_words"),
+        ),
+        _g_arm(
+            QUERIES["d10_exact_substring_excise"](spark, sf_dir),
+            "d10",
+            k=F.col("doc_id").cast("string"),
+            i1=F.col("n_tokens"),
+            i2=F.col("n_removed"),
+            s1=F.md5(F.col("clean_text")),
+        ),
+        _g_arm(
+            QUERIES["t16_gopher_quality"](spark, sf_dir),
+            "t16",
+            k=F.col("doc_id").cast("string"),
+            i1=F.col("n_words"),
+            i2=F.col("n_stopwords"),
+            i3=F.col("passes_gopher").cast("long"),
+            d1=F.col("alpha_frac"),
         ),
         _g_arm(
             QUERIES["x03_stratified_sample"](spark, sf_dir),
@@ -1876,14 +1912,34 @@ _GEO05_COLS = [
     ("nk", "int"), ("k", "int"), ("ha", "double"), ("hp", "double"),
     ("hn", "int"), ("hcvx", "int"),
 ]
+# r10 rotation: geo12 (GEOS-tail Arrow buffer/simplify) + geo13
+# (trivial accessor tier); nk shared, boolean flags padded as ints
+# (CAST(bool AS INTEGER) agrees between Spark and DuckDB)
+_GEO12_COLS = [
+    ("nk", "int"), ("rb_area", "double"), ("rb_perim", "double"),
+    ("rb_n", "int"), ("cap_area", "double"), ("cap_perim", "double"),
+    ("cap_n", "int"), ("spt_n", "int"), ("spt_area", "double"),
+    ("spt_orig_n", "int"), ("er_area", "double"), ("er_perim", "double"),
+    ("er_n", "int"),
+]
+_GEO13_COLS = [
+    ("nk", "int"), ("srid", "int"), ("is_empty_f", "int"),
+    ("is_empty_t", "int"), ("gtype_sq", "string"), ("gtype_ln", "string"),
+    ("gtype_pt", "string"), ("dim_sq", "int"), ("dim_ln", "int"),
+    ("dim_pt", "int"), ("ngeom", "int"), ("nintr", "int"),
+    ("ext_n", "int"), ("ext_area", "double"), ("z_is_null", "int"),
+    ("m_is_null", "int"), ("zmflag", "int"), ("f2d_x", "double"),
+]
 _GEO_SCHEMA = (
     _GEO01_COLS + _GEO02_COLS + _GEO03_COLS + _GEO04_COLS
     + [c for c in _GEO05_COLS if c[0] != "nk"]
+    + [c for c in _GEO12_COLS if c[0] != "nk"]
+    + [c for c in _GEO13_COLS if c[0] != "nk"]
 )
 
 
 @register(
-    "geo01_geo02_geo03_spatial",
+    "geo01_geo02_geo03_geo12_geo13_spatial",
     oracle=lambda: "\nUNION ALL\n".join(
         [
             _pad_arm_sql("geo01", ORACLES["geo01_spatial"], _GEO_SCHEMA,
@@ -1896,19 +1952,26 @@ _GEO_SCHEMA = (
                          [n for n, _ in _GEO04_COLS]),
             _pad_arm_sql("geo05", ORACLES["geo05_convex_hull"], _GEO_SCHEMA,
                          [n for n, _ in _GEO05_COLS]),
+            _pad_arm_sql("geo12", ORACLES["geo12_buffer_geoms_spt"], _GEO_SCHEMA,
+                         [n for n, _ in _GEO12_COLS]),
+            _pad_arm_sql("geo13", ORACLES["geo13_accessor_tier"], _GEO_SCHEMA,
+                         [n for n, _ in _GEO13_COLS]),
         ]
     ),
 )
 def geo_spatial_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spatial suite for the driver window (r6 rotation): the full
-    st_* scalar surface probe (geo01, 26 hash-checked columns), the
-    grid-binned filter-and-refine points-in-polygons join (geo02),
-    the distance-bounded kNN join (geo03), the convex boolean-op tier
-    (geo04: Sutherland–Hodgman clip, star-shaped union, convexity),
-    and the Jarvis-march convex hull (geo05). Feeders stay registered
-    standalone for the local gate; this row is the driver-verified
-    merge — geo01 held slot 50 in r4, lost it to st06 in r5, and all
-    five are window-verified here."""
+    """Spatial suite for the driver window (r6 rotation; widened r10):
+    the full st_* scalar surface probe (geo01, 26 hash-checked
+    columns), the grid-binned filter-and-refine points-in-polygons
+    join (geo02), the distance-bounded kNN join (geo03), the convex
+    boolean-op tier (geo04: Sutherland–Hodgman clip, star-shaped
+    union, convexity), the Jarvis-march convex hull (geo05), the r9
+    GEOS-tail Arrow buffer / erosion / simplify-preserve-topology
+    kernels (geo12 — rotated in r10), and the r10 trivial accessor
+    tier (geo13). Feeders stay registered standalone for the local
+    gate; this row is the driver-verified merge — geo01 held slot 50
+    in r4, lost it to st06 in r5, and all seven are window-verified
+    here."""
     return (
         _pad_arm(QUERIES["geo01_spatial"](spark, sf_dir), "geo01", _GEO_SCHEMA)
         .unionByName(
@@ -1925,6 +1988,14 @@ def geo_spatial_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             _pad_arm(QUERIES["geo05_convex_hull"](spark, sf_dir), "geo05",
+                     _GEO_SCHEMA)
+        )
+        .unionByName(
+            _pad_arm(QUERIES["geo12_buffer_geoms_spt"](spark, sf_dir), "geo12",
+                     _GEO_SCHEMA)
+        )
+        .unionByName(
+            _pad_arm(QUERIES["geo13_accessor_tier"](spark, sf_dir), "geo13",
                      _GEO_SCHEMA)
         )
     )

@@ -15,9 +15,10 @@ from __future__ import annotations
 from pg_datalake_spark import plans
 from pg_datalake_spark.plans import registry
 
-# The round-9 driver window, in exact registration order (r9: three
-# suites widened in place — cb42 into the sessions suite, x14 into the
-# llmops suite, ds77+ds87 into the DS suite; slot count unchanged).
+# The round-10 driver window, in exact registration order (r10: three
+# suites widened in place — src06 into the file-roundtrips suite,
+# geo12+geo13 into the spatial suite, d10+t16 into the llmops suite;
+# slot count unchanged).
 WINDOW_MANIFEST = [
     # 22 TPC-H shapes
     "q01_pricing_summary",
@@ -54,9 +55,9 @@ WINDOW_MANIFEST = [
     "v01_v02_cosine",
     "j01_j07_n01_joins",
     "w04_w05_w07_cb18_cb42_sessions",
-    "x03_x08_x14_t05_t06_v05_d06_llmops",
+    "x03_x08_x14_t05_t06_v05_d06_d10_t16_llmops",
     "c07_f16_f17_p01_p02_u02_u03_misc",
-    "geo01_geo02_geo03_spatial",
+    "geo01_geo02_geo03_geo12_geo13_spatial",
     "ds36_ds51_ds67_ds04_ds39_ds77_ds87_shapes",
     "x09_weighted_sample",
     # 7 lake-table DML/maintenance/format rows (r8: the lake08 slot
@@ -70,7 +71,7 @@ WINDOW_MANIFEST = [
     "lake07_add_files",
     "lake08_lake09_lake10_lake12_formats",
     # 5 sources/streaming rows
-    "src01_src02_src03_src04_src05_file_roundtrips",
+    "src01_src02_src03_src04_src05_src06_file_roundtrips",
     "st01_incremental_ingest",
     "st03_stateful_counts",
     "st02_st04_st06_rollup_sessions",
