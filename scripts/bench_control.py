@@ -59,6 +59,13 @@ def main() -> None:
                     help="control commit (previous round's final commit)")
     ap.add_argument("--out", default=None,
                     help="output JSON path (default: stdout only)")
+    ap.add_argument("--head-bench", action="store_true",
+                    help="run HEAD's bench.py inside the control worktree "
+                         "(same sink on both commits — the honest-rebaseline "
+                         "mode: r9's checksum sink replaced the count() sink "
+                         "that let Catalyst prune unreferenced aggregates, so "
+                         "pre-r9 series are only comparable re-measured "
+                         "under the new sink)")
     args = ap.parse_args()
 
     control_sha = _rev_parse(args.ref)
@@ -70,6 +77,10 @@ def main() -> None:
         cwd=REPO, check=True, stdout=subprocess.DEVNULL,
     )
     try:
+        if args.head_bench:
+            import shutil
+
+            shutil.copy(os.path.join(REPO, "bench.py"), os.path.join(wt, "bench.py"))
         control = _run_bench(wt)
         head = _run_bench(REPO)
     finally:
