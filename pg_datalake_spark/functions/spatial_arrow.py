@@ -429,3 +429,338 @@ def st_union_convex_arrow(a: Column, b: Column) -> Column:
         )
 
     return _union_udf(a, b)
+
+
+# --- GEOS-tail ops (r10): difference / overlaps / touches /
+# point-on-surface / linemerge. Reference surface:
+# pg_lake_engine/src/pgduck/shippable_spatial_functions.c
+# (ST_Difference, ST_Overlaps, ST_Touches, ST_PointOnSurface,
+# ST_LineMerge) — previously on the delegated GEOS list; the convex /
+# single-ring cases close here with closed-form-checkable
+# constructions (geo14). Remaining out of model: holes (annulus
+# difference fails loud), MULTI* outputs beyond linemerge's line list,
+# concave boolean ops.
+
+
+def _ring_area(ring: list[Pt]) -> float:
+    return abs(_signed_area2(ring)) / 2.0 if len(ring) >= 3 else 0.0
+
+
+def _boundary_crossings(aa: list[Pt], bb: list[Pt]) -> list[tuple[Pt, int, float, int, float]]:
+    """Distinct ∂A×∂B crossing points with parametric positions:
+    (point, a_edge, t_along_a_edge, b_edge, u_along_b_edge)."""
+    out: dict[Pt, tuple[Pt, int, float, int, float]] = {}
+    for i, (a1, a2) in enumerate(_closed_edges(aa)):
+        for j, (b1, b2) in enumerate(_closed_edges(bb)):
+            p = _segment_intersection(a1, a2, b1, b2)
+            if p is None:
+                continue
+            alen2 = (a2[0] - a1[0]) ** 2 + (a2[1] - a1[1]) ** 2
+            blen2 = (b2[0] - b1[0]) ** 2 + (b2[1] - b1[1]) ** 2
+            t = ((p[0] - a1[0]) * (a2[0] - a1[0]) + (p[1] - a1[1]) * (a2[1] - a1[1])) / alen2
+            u = ((p[0] - b1[0]) * (b2[0] - b1[0]) + (p[1] - b1[1]) * (b2[1] - b1[1])) / blen2
+            # keep the first parametric slot per distinct point (a
+            # crossing at a shared vertex shows up once per edge pair)
+            out.setdefault(p, (p, i, t, j, u))
+    return list(out.values())
+
+
+def _collinear_overlap(a1: Pt, a2: Pt, b1: Pt, b2: Pt) -> bool:
+    if _cross(a1, a2, b1) != 0 or _cross(a1, a2, b2) != 0:
+        return False
+    if abs(a2[0] - a1[0]) >= abs(a2[1] - a1[1]):
+        lo, hi = sorted((a1[0], a2[0]))
+        p, q = sorted((b1[0], b2[0]))
+    else:
+        lo, hi = sorted((a1[1], a2[1]))
+        p, q = sorted((b1[1], b2[1]))
+    return max(lo, p) <= min(hi, q)
+
+
+def _boundary_contact(aa: list[Pt], bb: list[Pt]) -> bool:
+    """True iff ∂A and ∂B share at least one point — transversal or
+    endpoint crossings via _segment_intersection, shared collinear
+    spans (full-edge touches, which have denom == 0) checked apart."""
+    for a1, a2 in _closed_edges(aa):
+        for b1, b2 in _closed_edges(bb):
+            if _segment_intersection(a1, a2, b1, b2) is not None:
+                return True
+            if _collinear_overlap(a1, a2, b1, b2):
+                return True
+    return False
+
+
+def _aug_positions(ring: list[Pt], crossings: list[tuple[Pt, int, float]]):
+    """Ring vertices + crossings merged in boundary order. Returns
+    (points list, crossing-index positions) where each vertex k sorts
+    as (k, 0.0) and a crossing on edge i at parameter t as (i, t)."""
+    items: list[tuple[tuple[int, float], Pt, int]] = [
+        ((k, 0.0), p, -1) for k, p in enumerate(ring)
+    ]
+    for c_idx, (p, i, t) in enumerate(crossings):
+        if t <= 0.0 or t >= 1.0:
+            # crossing AT a ring vertex: tangency the 2-crossing walk
+            # below cannot orient reliably
+            raise NotImplementedError(
+                "convex difference: boundary crossing coincides with a "
+                "ring vertex (tangent configuration)"
+            )
+        items.append(((i, t), p, c_idx))
+    items.sort(key=lambda it: it[0])
+    pts = [p for _k, p, _c in items]
+    pos = {c: n for n, (_k, _p, c) in enumerate(items) if c >= 0}
+    return pts, pos[0], pos[1]
+
+
+def _arc_between(pts: list[Pt], i: int, j: int) -> list[Pt]:
+    """Points strictly between positions i and j walking forward
+    (cyclically) from i to j."""
+    n = len(pts)
+    out = []
+    k = (i + 1) % n
+    while k != j:
+        out.append(pts[k])
+        k = (k + 1) % n
+    return out
+
+
+def _pick_arc(pts: list[Pt], i: int, j: int, other: list[Pt], want_inside: bool):
+    """Of the two boundary arcs between crossing positions i and j,
+    return (start_pos, intermediates) for the arc whose probe point —
+    first intermediate vertex, or the chord midpoint when the arc is
+    direct — is (not) strictly inside ``other``."""
+    for start, end in ((i, j), (j, i)):
+        mid = _arc_between(pts, start, end)
+        probe = mid[0] if mid else (
+            (pts[start][0] + pts[end][0]) / 2.0,
+            (pts[start][1] + pts[end][1]) / 2.0,
+        )
+        if _contains(other, probe) == want_inside and all(
+            _contains(other, p) == want_inside for p in mid
+        ):
+            return start, mid
+    raise NotImplementedError(
+        "convex difference: could not orient the boundary walk "
+        "(tangent or degenerate configuration)"
+    )
+
+
+def _difference_convex(a: list[Pt], b: list[Pt]) -> list[Pt]:
+    """A \\ B for CONVEX rings. Cases: disjoint/touching → A unchanged;
+    B covers A → empty ring; B strictly inside A → fail loud (the
+    result has a HOLE, unrepresentable in the single-ring model);
+    generic single bite (exactly two boundary crossings) → the walk:
+    ∂A's outside-B arc plus ∂B's inside-A arc traversed back from the
+    entry crossing to the exit crossing. The result is a simple
+    (generally non-convex) CCW ring."""
+    aa, bb = _ccw(a), _ccw(b)
+    inter = _sh_clip(aa, bb)
+    ia = _ring_area(inter)
+    if ia == 0.0:
+        return list(aa)
+    if ia >= _ring_area(aa):
+        return []
+    crossings = _boundary_crossings(aa, bb)
+    if not crossings:
+        raise NotImplementedError(
+            "st_difference_convex: subtrahend strictly inside the minuend "
+            "produces a polygon with a HOLE — unrepresentable in the "
+            "single-ring model (keep the parts separately)"
+        )
+    if len(crossings) != 2:
+        raise NotImplementedError(
+            f"st_difference_convex: expected 2 boundary crossings, got "
+            f"{len(crossings)} (tangent or degenerate configuration)"
+        )
+    a_pts, a_c0, a_c1 = _aug_positions(
+        aa, [(p, i, t) for p, i, t, _j, _u in crossings]
+    )
+    b_pts, b_c0, b_c1 = _aug_positions(
+        bb, [(p, j, u) for p, _i, _t, j, u in crossings]
+    )
+    # chain along A: the arc of augmented-A whose probe is outside B
+    a_start, a_mid = _pick_arc(a_pts, a_c0, a_c1, bb, want_inside=False)
+    a_end_pos = a_c1 if a_start == a_c0 else a_c0
+    chain = [a_pts[a_start], *a_mid, a_pts[a_end_pos]]
+    # chain along B: the arc whose probe is inside A, appended from the
+    # entry crossing (where chain ended) back to the exit crossing
+    b_start, b_mid = _pick_arc(b_pts, b_c0, b_c1, aa, want_inside=True)
+    entry = chain[-1]
+    if b_pts[b_start] == entry:
+        chain.extend(b_mid)
+    else:
+        chain.extend(reversed(b_mid))
+    return chain
+
+
+def _overlaps_convex(a: list[Pt], b: list[Pt]) -> bool:
+    """PostGIS ST_Overlaps for convex rings: interiors intersect and
+    neither contains the other (equal rings do NOT overlap)."""
+    aa, bb = _ccw(a), _ccw(b)
+    ia = _ring_area(_sh_clip(aa, bb))
+    return 0.0 < ia < _ring_area(aa) and ia < _ring_area(bb)
+
+
+def _touches_convex(a: list[Pt], b: list[Pt]) -> bool:
+    """PostGIS ST_Touches for convex rings: boundaries share at least
+    one point while the interiors do not intersect (shared full edges
+    — collinear spans — included)."""
+    aa, bb = _ccw(a), _ccw(b)
+    if _ring_area(_sh_clip(aa, bb)) > 0.0:
+        return False
+    return _boundary_contact(aa, bb)
+
+
+def _point_on_surface(ring: list[Pt]) -> Pt | None:
+    """A point guaranteed strictly inside a simple ring (PostGIS
+    ST_PointOnSurface contract): horizontal scanline at the mid-height,
+    nudged to the midpoint of the vertex-y interval below when the
+    mid-height coincides with a vertex y (which would graze vertices or
+    run along horizontal edges); the returned point is the midpoint of
+    the scanline's first inside interval. Deterministic — no RNG."""
+    if len(ring) < 3:
+        return None
+    ys = sorted({p[1] for p in ring})
+    if len(ys) == 1:
+        return None  # degenerate: zero height
+    y = (ys[0] + ys[-1]) / 2.0
+    if y in ys:
+        idx = ys.index(y)
+        y = (ys[idx - 1] + ys[idx]) / 2.0
+    xs = []
+    for (ax, ay), (bx, by) in _closed_edges(ring):
+        if (ay > y) != (by > y):
+            xs.append(ax + (bx - ax) * (y - ay) / (by - ay))
+    xs.sort()
+    return ((xs[0] + xs[1]) / 2.0, y)
+
+
+def _linemerge(segs: list[tuple[Pt, Pt]]) -> list[list[Pt]]:
+    """PostGIS ST_LineMerge semantics on a segment set: stitch segments
+    end-to-end THROUGH DEGREE-2 NODES ONLY (a junction of 3+ segments
+    splits the output, exactly like GEOS); leftover cycles close on
+    their lexicographically smallest node. Output lines sorted by
+    their first point — deterministic across engines and runs."""
+    adj: dict[Pt, list[tuple[int, Pt]]] = {}
+    for idx, (p, q) in enumerate(segs):
+        adj.setdefault(p, []).append((idx, q))
+        adj.setdefault(q, []).append((idx, p))
+    used = [False] * len(segs)
+
+    def walk(start: Pt) -> list[Pt]:
+        path = [start]
+        cur = start
+        while True:
+            nxt = sorted(
+                [(o, i) for i, o in adj[cur] if not used[i]]
+            )
+            if not nxt:
+                break
+            o, i = nxt[0]
+            used[i] = True
+            path.append(o)
+            cur = o
+            if len(adj[cur]) != 2:  # junction or endpoint: stop merging
+                break
+        return path
+
+    lines: list[list[Pt]] = []
+    # open paths first: start at every node that is not degree-2
+    for node in sorted(n for n in adj if len(adj[n]) != 2):
+        while any(not used[i] for i, _o in adj[node]):
+            lines.append(walk(node))
+    # remaining segments are pure cycles
+    for idx, (p, q) in enumerate(segs):
+        if not used[idx]:
+            lines.append(walk(min(p, q)))
+    return sorted(lines)
+
+
+_POINT_T = "struct<x:double,y:double>"
+_LINES_T = "array<array<struct<x:double,y:double>>>"
+_SEGS_T = "array<struct<x1:double,y1:double,x2:double,y2:double>>"
+
+
+def st_difference_convex_arrow(a: Column, b: Column) -> Column:
+    """Arrow-batched convex polygon difference (see
+    :func:`_difference_convex` for the case analysis)."""
+
+    @F.pandas_udf(_RING_T)
+    def _diff_udf(s: pd.Series, c: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if ra is None or rb is None
+                else _to_rows(_difference_convex(_to_pts(ra), _to_pts(rb)))
+                for ra, rb in zip(s, c)
+            ]
+        )
+
+    return _diff_udf(a, b)
+
+
+def st_overlaps_convex_arrow(a: Column, b: Column) -> Column:
+    @F.pandas_udf("boolean")
+    def _ov_udf(s: pd.Series, c: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if ra is None or rb is None
+                else _overlaps_convex(_to_pts(ra), _to_pts(rb))
+                for ra, rb in zip(s, c)
+            ]
+        )
+
+    return _ov_udf(a, b)
+
+
+def st_touches_convex_arrow(a: Column, b: Column) -> Column:
+    @F.pandas_udf("boolean")
+    def _tc_udf(s: pd.Series, c: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if ra is None or rb is None
+                else _touches_convex(_to_pts(ra), _to_pts(rb))
+                for ra, rb in zip(s, c)
+            ]
+        )
+
+    return _tc_udf(a, b)
+
+
+def st_pointonsurface_arrow(ring: Column) -> Column:
+    @F.pandas_udf(_POINT_T)
+    def _pos_udf(s: pd.Series) -> pd.DataFrame:
+        xs, ys = [], []
+        for r in s:
+            p = None if r is None else _point_on_surface(_to_pts(r))
+            xs.append(None if p is None else p[0])
+            ys.append(None if p is None else p[1])
+        return pd.DataFrame({"x": xs, "y": ys})
+
+    return _pos_udf(ring)
+
+
+def st_linemerge_arrow(segments: Column) -> Column:
+    """Merge a row's segment set (array<struct<x1,y1,x2,y2>>) into
+    maximal linestrings (array of vertex lists)."""
+
+    @F.pandas_udf(_LINES_T)
+    def _lm_udf(s: pd.Series) -> pd.Series:
+        out = []
+        for segs in s:
+            if segs is None:
+                out.append(None)
+                continue
+            pairs = [
+                (
+                    (float(g["x1"]), float(g["y1"])),
+                    (float(g["x2"]), float(g["y2"])),
+                )
+                for g in segs
+            ]
+            out.append([_to_rows(line) for line in _linemerge(pairs)])
+        return pd.Series(out)
+
+    return _lm_udf(segments)

@@ -1287,3 +1287,134 @@ def geo13(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.st_zmflag(pt).alias("zmflag"),
         S.st_x(S.st_force2d(pt)).alias("f2d_x"),
     )
+
+
+@register(
+    "geo14_geos_tail_ops",
+    oracle="""
+    WITH g AS (
+      SELECT n_nationkey AS nk,
+             CAST(1 + n_nationkey % 3 AS DOUBLE) AS h,
+             CAST(n_nationkey % 7 AS DOUBLE) AS cx,
+             CAST(n_nationkey * 3 % 5 AS DOUBLE) AS cy
+      FROM nation
+    )
+    SELECT nk,
+           round(3 * h * h, 6) AS diff_area,
+           round(8 * h, 6) AS diff_perim,
+           CAST(6 AS INT) AS diff_n,
+           round(4 * h * h, 6) AS d2_area,
+           CAST(4 AS INT) AS d2_n,
+           cx + h AS pos_a_x,
+           cy + h AS pos_a_y,
+           cx + h AS pos_l_x,
+           cy + h / 2 AS pos_l_y,
+           CAST(1 AS INT) AS ov_ab,
+           CAST(0 AS INT) AS ov_dis,
+           CAST(1 AS INT) AS tch_edge,
+           CAST(1 AS INT) AS tch_corner,
+           CAST(0 AS INT) AS tch_ov,
+           CAST(2 AS INT) AS lm_n,
+           CAST(5 AS INT) AS lm_pts,
+           round(2 + h, 6) AS lm_len,
+           cx AS lm_first_x,
+           cy AS lm_first_y
+    FROM g
+    """,
+)
+def geo14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEOS-tail boolean/constructive ops, round 10
+    (functions/spatial_arrow.py; reference
+    shippable_spatial_functions.c ST_Difference / ST_Overlaps /
+    ST_Touches / ST_PointOnSurface / ST_LineMerge — previously on the
+    delegated-to-Sedona list). Per nation row, square A of side 2h at
+    (cx, cy):
+
+    - CONVEX DIFFERENCE: A minus A-shifted-by-(h,h) is the classic
+      L-shape — area 3h², perimeter 8h (unchanged from the square!),
+      6 vertices; minus a disjoint square returns A unchanged
+      (annulus/tangent cases fail loud, pinned in pytest);
+    - POINT-ON-SURFACE: deterministic scanline midpoint — the square's
+      center (cx+h, cy+h); on the L-shape the mid-height grazes two
+      vertices and a horizontal edge, so the kernel drops to the
+      sub-interval midpoint (cx+h, cy+h/2), strictly inside;
+    - OVERLAPS / TOUCHES (convex): interiors-intersect-neither-
+      contains vs boundary-contact-only — full shared edge (collinear
+      span, where segment intersection denominators vanish) and single
+      shared corner both count as touches;
+    - LINEMERGE: three segments — an open 2-segment path plus one
+      disjoint segment of length h — stitch into exactly 2 lines,
+      5 vertices, total length 2 + h, first line starting at (cx, cy)
+      (output lexicographically sorted, junction-splitting pinned in
+      pytest).
+    """
+    from pg_datalake_spark.functions import spatial_arrow as SA
+
+    t = load_tables(spark, sf_dir, ["nation"])
+    base = t["nation"].select(
+        F.col("n_nationkey").cast("int").alias("nk"),
+        (1 + F.col("n_nationkey") % 3).cast("double").alias("h"),
+        (F.col("n_nationkey") % 7).cast("double").alias("cx"),
+        (F.col("n_nationkey") * 3 % 5).cast("double").alias("cy"),
+    )
+    h, cx, cy = F.col("h"), F.col("cx"), F.col("cy")
+
+    def square(ox, oy):  # open CCW square of side 2h at (ox, oy)
+        return F.array(
+            S.st_point(ox, oy), S.st_point(ox + 2 * h, oy),
+            S.st_point(ox + 2 * h, oy + 2 * h), S.st_point(ox, oy + 2 * h),
+        )
+
+    a = square(cx, cy)
+    segments = F.array(
+        F.struct(cx.alias("x1"), cy.alias("y1"),
+                 (cx + 1).alias("x2"), cy.alias("y2")),
+        F.struct((cx + 1).alias("x1"), cy.alias("y1"),
+                 (cx + 1).alias("x2"), (cy + 1).alias("y2")),
+        F.struct((cx + 2).alias("x1"), (cy + 2).alias("y1"),
+                 (cx + 2 + h).alias("x2"), (cy + 2).alias("y2")),
+    )
+    staged = base.select(
+        "nk", "h", "cx", "cy",
+        SA.st_difference_convex_arrow(a, square(cx + h, cy + h)).alias("lshape"),
+        SA.st_difference_convex_arrow(a, square(cx + 5 * h, cy)).alias("ident"),
+        SA.st_pointonsurface_arrow(a).alias("pos_a"),
+        SA.st_overlaps_convex_arrow(a, square(cx + h, cy + h)).alias("ov_ab"),
+        SA.st_overlaps_convex_arrow(a, square(cx + 5 * h, cy)).alias("ov_dis"),
+        SA.st_touches_convex_arrow(a, square(cx + 2 * h, cy)).alias("tch_edge"),
+        SA.st_touches_convex_arrow(a, square(cx + 2 * h, cy + 2 * h)).alias(
+            "tch_corner"
+        ),
+        SA.st_touches_convex_arrow(a, square(cx + h, cy + h)).alias("tch_ov"),
+        SA.st_linemerge_arrow(segments).alias("lines"),
+    )
+    lines = F.col("lines")
+    return staged.select(
+        "nk",
+        F.round(S.st_area(F.col("lshape")), 6).alias("diff_area"),
+        F.round(S.st_perimeter(F.col("lshape")), 6).alias("diff_perim"),
+        S.st_npoints(F.col("lshape")).alias("diff_n"),
+        F.round(S.st_area(F.col("ident")), 6).alias("d2_area"),
+        S.st_npoints(F.col("ident")).alias("d2_n"),
+        F.col("pos_a")["x"].alias("pos_a_x"),
+        F.col("pos_a")["y"].alias("pos_a_y"),
+        SA.st_pointonsurface_arrow(F.col("lshape"))["x"].alias("pos_l_x"),
+        SA.st_pointonsurface_arrow(F.col("lshape"))["y"].alias("pos_l_y"),
+        F.col("ov_ab").cast("int").alias("ov_ab"),
+        F.col("ov_dis").cast("int").alias("ov_dis"),
+        F.col("tch_edge").cast("int").alias("tch_edge"),
+        F.col("tch_corner").cast("int").alias("tch_corner"),
+        F.col("tch_ov").cast("int").alias("tch_ov"),
+        F.size(lines).alias("lm_n"),
+        F.aggregate(
+            lines, F.lit(0), lambda acc, ln: acc + F.size(ln)
+        ).alias("lm_pts"),
+        F.round(
+            F.aggregate(
+                lines, F.lit(0.0), lambda acc, ln: acc + S.st_length(ln)
+            ),
+            6,
+        ).alias("lm_len"),
+        F.element_at(F.element_at(lines, 1), 1)["x"].alias("lm_first_x"),
+        F.element_at(F.element_at(lines, 1), 1)["y"].alias("lm_first_y"),
+    )

@@ -655,3 +655,83 @@ def test_erosion_buffer_inradius_guard(spark):
 
     with _pytest.raises(Exception, match="inradius"):
         df.select(SA.st_buffer_ring_arrow(tri, -3.0, 4)).collect()
+
+
+# --- r10 GEOS-tail kernels: difference / overlaps / touches /
+# point-on-surface / linemerge (functions/spatial_arrow.py) ---------------
+
+
+def test_difference_convex_cases():
+    from pg_datalake_spark.functions import spatial_arrow as SA
+
+    A = [(0, 0), (2, 0), (2, 2), (0, 2)]
+    # corner bite -> L-shape: area 3, perimeter-preserving, 6 vertices
+    d = SA._difference_convex(A, [(1, 1), (3, 1), (3, 3), (1, 3)])
+    assert SA._ring_area(d) == 3.0 and len(d) == 6
+    # edge slice with NO subtrahend vertex inside A (B-chain empty)
+    d2 = SA._difference_convex(A, [(1.0, 2.6), (2.6, 1.0), (4.0, 4.0)])
+    assert abs(SA._ring_area(d2) - 3.92) < 1e-12 and len(d2) == 5
+    # bite across the MIDDLE of an edge (both crossings on one A edge)
+    d3 = SA._difference_convex(A, [(0.5, -0.5), (1.5, -0.5), (1.5, 0.5), (0.5, 0.5)])
+    assert abs(SA._ring_area(d3) - 3.5) < 1e-12 and len(d3) == 8
+    # disjoint -> identity; covered -> empty
+    assert SA._difference_convex(A, [(5, 0), (7, 0), (7, 2), (5, 2)]) == A
+    assert SA._difference_convex(A, [(-1, -1), (9, -1), (9, 9), (-1, 9)]) == []
+    # strictly-contained subtrahend = HOLE -> fail loud
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError, match="HOLE"):
+        SA._difference_convex(A, [(0.5, 0.5), (1.0, 0.5), (1.0, 1.0), (0.5, 1.0)])
+    # tangent configuration (crossing through A's corner) -> fail loud
+    with _pt.raises(NotImplementedError):
+        SA._difference_convex(A, [(1.5, -0.5), (2.5, 0.5), (1.5, 1.5)])
+
+
+def test_overlaps_touches_convex():
+    from pg_datalake_spark.functions import spatial_arrow as SA
+
+    A = [(0, 0), (2, 0), (2, 2), (0, 2)]
+    assert SA._overlaps_convex(A, [(1, 1), (3, 1), (3, 3), (1, 3)]) is True
+    assert SA._overlaps_convex(A, [(5, 0), (7, 0), (7, 2), (5, 2)]) is False
+    # containment and equality are NOT overlaps (PostGIS)
+    assert SA._overlaps_convex(A, [(0.5, 0.5), (1, 0.5), (1, 1), (0.5, 1)]) is False
+    assert SA._overlaps_convex(A, A) is False
+    # full shared edge = collinear span (segment-intersection denom 0)
+    assert SA._touches_convex(A, [(2, 0), (4, 0), (4, 2), (2, 2)]) is True
+    assert SA._touches_convex(A, [(2, 2), (3, 2), (3, 3), (2, 3)]) is True  # corner
+    assert SA._touches_convex(A, [(1, 1), (3, 1), (3, 3), (1, 3)]) is False
+    assert SA._touches_convex(A, [(5, 5), (6, 5), (6, 6), (5, 6)]) is False
+
+
+def test_point_on_surface_deterministic():
+    from pg_datalake_spark.functions import spatial_arrow as SA
+
+    A = [(0, 0), (2, 0), (2, 2), (0, 2)]
+    assert SA._point_on_surface(A) == (1.0, 1.0)
+    # L-shape: mid-height grazes vertices + a horizontal edge -> the
+    # kernel drops to the sub-interval midpoint, strictly inside
+    L = SA._difference_convex(A, [(1, 1), (3, 1), (3, 3), (1, 3)])
+    p = SA._point_on_surface(L)
+    assert p == (1.0, 0.5)
+    assert SA._contains(L, p)
+    assert SA._point_on_surface([(0, 0), (1, 0)]) is None  # degenerate
+
+
+def test_linemerge_paths_junctions_cycles():
+    from pg_datalake_spark.functions import spatial_arrow as SA
+
+    # path + disjoint segment
+    assert SA._linemerge(
+        [((0, 0), (1, 0)), ((1, 0), (1, 1)), ((2, 2), (3, 2))]
+    ) == [[(0, 0), (1, 0), (1, 1)], [(2, 2), (3, 2)]]
+    # degree-3 junction splits (GEOS semantics)
+    assert len(
+        SA._linemerge([((0, 0), (1, 1)), ((2, 0), (1, 1)), ((1, 1), (1, 2))])
+    ) == 3
+    # pure cycle closes on its smallest node
+    (cyc,) = SA._linemerge([((0, 0), (1, 0)), ((1, 0), (1, 1)), ((1, 1), (0, 0))])
+    assert cyc[0] == cyc[-1] == (0, 0) and len(cyc) == 4
+    # reversed segment orientation merges the same
+    assert SA._linemerge([((1, 0), (0, 0)), ((1, 0), (1, 1))]) == [
+        [(0, 0), (1, 0), (1, 1)]
+    ]
