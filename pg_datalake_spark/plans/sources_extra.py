@@ -234,3 +234,50 @@ def src06(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("kml").alias("src"), "*")
     )
     return xlsx_arm.unionByName(kml_arm)
+
+
+@register(
+    "src07_geojson",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer WHERE c_custkey % 20 = 4 GROUP BY c_mktsegment
+    """,
+)
+def src07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON import (r10; sources/geo_files.read_geojson) — the one
+    GDAL format that is plain JSON, so the reader is FULLY Spark-native:
+    schema inference for typed properties, geometry.coordinates
+    re-read as a raw JSON string and decoded per-row with from_json by
+    geometry.type (mixed Point/LineString/Polygon collections stay
+    JVM-side, zero Python UDFs). Customer-derived point features are
+    written to two .geojson files (multi-file glob read), read back,
+    and aggregated; DuckDB recomputes from the source parquet.
+    Balances hash as exact CENTS. Reference:
+    pg_lake_engine/src/pgduck/gdal.c (GeoJSON driver),
+    docs/file-formats-reference.md:96-138."""
+    from pg_datalake_spark.sources.geo_files import read_geojson, write_geojson
+
+    cust = load_tables(spark, sf_dir, ["customer"])["customer"]
+    d = tempfile.mkdtemp(prefix="src07_")
+    rows = [
+        ((r.c_custkey % 100) / 10.0, (r.c_custkey % 73) / 7.0,
+         int(r.c_custkey), r.c_mktsegment, float(r.c_acctbal))
+        for r in cust.filter(F.col("c_custkey") % 20 == 4)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .collect()  # fixture-sized sample (|customer|/20 rows), builds the files
+    ]
+    half = len(rows) // 2
+    write_geojson(os.path.join(d, "a.geojson"), rows[:half], ["key", "seg", "bal"])
+    write_geojson(os.path.join(d, "b.geojson"), rows[half:], ["key", "seg", "bal"])
+    return (
+        read_geojson(spark, os.path.join(d, "*.geojson"))
+        .groupBy(F.col("seg").alias("c_mktsegment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("key").cast("long")).cast("long").alias("key_sum"),
+            F.sum(F.round(F.col("bal") * 100).cast("long")).cast("long")
+            .alias("bal_cents"),
+        )
+    )

@@ -19,6 +19,10 @@ are implemented directly from their public specifications:
   ``gpkg_contents`` / ``gpkg_geometry_columns``, geometry parsed
   from the GP-header + WKB point encoding. Python's stdlib
   ``sqlite3`` is the driver — no native GDAL needed.
+- **OGC KML 2.2** (ElementTree, executor-side) and — r10 —
+  **GeoJSON** (RFC 7946), which needs no custom parser at all:
+  :func:`read_geojson` is built entirely from ``spark.read.json`` +
+  ``from_json``, JVM-side.
 
 Scale shape: parsing runs EXECUTOR-side via ``mapInPandas`` —
 shapefiles parallelize across FILES (one file per task), a GeoPackage
@@ -554,3 +558,108 @@ def read_gpkg(
         ranges, "path string, table string, geom string, rlo long, rhi long"
     )
     return parts.repartition(len(ranges)).mapInPandas(parse, schema)
+
+
+# ---------------------------------------------------------------------------
+# GeoJSON (RFC 7946): fixture writer + fully Spark-native reader
+# ---------------------------------------------------------------------------
+
+
+def write_geojson(path: str, rows: list[tuple], attrs: list[str]) -> None:
+    """Write a GeoJSON FeatureCollection of point features. ``rows``:
+    (lon, lat, attr...) tuples; ``attrs`` names the properties.
+    Fixture-grade writer (valid RFC 7946)."""
+    import json as _json
+
+    feats = [
+        {
+            "type": "Feature",
+            "geometry": {"type": "Point", "coordinates": [r[0], r[1]]},
+            "properties": dict(zip(attrs, r[2:])),
+        }
+        for r in rows
+    ]
+    with open(path, "w") as fh:
+        _json.dump({"type": "FeatureCollection", "features": feats}, fh)
+
+
+def read_geojson(spark: SparkSession, path_or_glob: str) -> DataFrame:
+    """Read GeoJSON FeatureCollections (RFC 7946) — the one GDAL import
+    format that needs NO custom parser: the file IS JSON, so the whole
+    read is Spark-native (docs/file-formats-reference.md:96-138,
+    pg_lake_engine/src/pgduck/gdal.c GeoJSON driver).
+
+    Plan shape: ``spark.read.json(multiLine)`` infers the properties
+    schema (typed — unlike KML/shapefile attributes, GeoJSON carries
+    JSON types), the schema is then REWRITTEN to read
+    ``geometry.coordinates`` as a raw JSON string (mixed Point /
+    LineString / Polygon collections otherwise collapse the inferred
+    element type), and per-row ``from_json`` decodes it by
+    ``geometry.type`` — Point → (x, y), LineString → vertex list,
+    Polygon → outer ring. Everything stays JVM-side (from_json /
+    explode); zero Python UDFs. Output matches the other geo readers:
+    ``x``/``y`` doubles, ``points array<struct<x,y>>``, properties.*.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    inferred = spark.read.option("multiLine", "true").json(path_or_glob).schema
+
+    def _coords_as_string(dt: T.DataType) -> T.DataType:
+        if isinstance(dt, T.StructType):
+            fields = []
+            for f in dt.fields:
+                if f.name == "coordinates":
+                    fields.append(T.StructField("coordinates", T.StringType()))
+                else:
+                    fields.append(
+                        T.StructField(f.name, _coords_as_string(f.dataType), f.nullable)
+                    )
+            return T.StructType(fields)
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(_coords_as_string(dt.elementType), dt.containsNull)
+        return dt
+
+    schema = _coords_as_string(inferred)
+    raw = spark.read.option("multiLine", "true").schema(schema).json(path_or_glob)
+    if "features" not in raw.columns:
+        raise ValueError(
+            f"{path_or_glob}: not a GeoJSON FeatureCollection (no 'features')"
+        )
+    f = raw.select(F.explode("features").alias("f")).select(
+        F.col("f.geometry.type").alias("__gtype"),
+        F.col("f.geometry.coordinates").alias("__coords"),
+        F.col("f.properties").alias("__props"),
+    )
+    pt = F.from_json("__coords", "array<double>")
+    line = F.from_json("__coords", "array<array<double>>")
+    poly = F.from_json("__coords", "array<array<array<double>>>")
+
+    def _pts(arr):  # array<array<double>> -> array<struct<x,y>>
+        return F.transform(
+            arr,
+            lambda c: F.struct(
+                F.element_at(c, 1).alias("x"), F.element_at(c, 2).alias("y")
+            ),
+        )
+
+    points = (
+        F.when(F.col("__gtype") == "Point",
+               F.array(F.struct(F.element_at(pt, 1).alias("x"),
+                                F.element_at(pt, 2).alias("y"))))
+        .when(F.col("__gtype") == "LineString", _pts(line))
+        .when(F.col("__gtype") == "Polygon", _pts(F.element_at(poly, 1)))
+        .otherwise(F.lit(None))
+    )
+    prop_cols = (
+        [F.col(f"__props.{c}").alias(c)
+         for c in f.select("__props.*").columns]
+        if not isinstance(f.schema["__props"].dataType, T.StringType)
+        else []
+    )
+    return f.select(
+        F.element_at(points, 1)["x"].alias("x"),
+        F.element_at(points, 1)["y"].alias("y"),
+        points.alias("points"),
+        *prop_cols,
+    )

@@ -235,3 +235,45 @@ def test_gpkg_hostile_table_name_is_quoted_not_executed(spark, tmp_path):
     got = G.read_gpkg(spark, path).collect()
     assert len(got) == 1
     assert (got[0].x, got[0].y, got[0].key, got[0].name) == (1.5, -2.5, 7, "ok")
+
+
+def test_geojson_mixed_geometries_and_typed_properties(spark, tmp_path):
+    """r10: the Spark-native GeoJSON reader — typed property inference
+    (long/double/string from JSON types), mixed Point/LineString/
+    Polygon in ONE collection via the coordinates-as-string re-read,
+    null geometry surviving as null x/y/points."""
+    import json
+
+    p = str(tmp_path / "mixed.geojson")
+    doc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature",
+             "geometry": {"type": "Point", "coordinates": [1.5, -2.5]},
+             "properties": {"k": 1, "name": "a", "bal": 3.25}},
+            {"type": "Feature",
+             "geometry": {"type": "LineString",
+                          "coordinates": [[0, 0], [1, 1], [2, 0.5]]},
+             "properties": {"k": 2, "name": "b", "bal": None}},
+            {"type": "Feature",
+             "geometry": {"type": "Polygon",
+                          "coordinates": [[[0, 0], [4, 0], [4, 3], [0, 0]]]},
+             "properties": {"k": 3, "name": None, "bal": 1.0}},
+            {"type": "Feature", "geometry": None,
+             "properties": {"k": 4, "name": "d", "bal": 0.5}},
+        ],
+    }
+    json.dump(doc, open(p, "w"))
+    df = G.read_geojson(spark, p)
+    assert dict(df.dtypes)["k"] == "bigint"
+    assert dict(df.dtypes)["bal"] == "double"
+    rows = {r.k: r for r in df.collect()}
+    assert (rows[1].x, rows[1].y, rows[1].name) == (1.5, -2.5, "a")
+    assert [tuple(pt) for pt in rows[2].points] == [(0, 0), (1, 1), (2, 0.5)]
+    assert len(rows[3].points) == 4  # polygon outer ring
+    assert rows[4].x is None and rows[4].points is None
+    # not-a-FeatureCollection fails loud
+    p2 = str(tmp_path / "bad.geojson")
+    json.dump({"type": "Point", "coordinates": [1, 2]}, open(p2, "w"))
+    with pytest.raises(ValueError, match="FeatureCollection"):
+        G.read_geojson(spark, p2)
