@@ -281,3 +281,50 @@ def src07(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bal_cents"),
         )
     )
+
+
+@register(
+    "src08_gml",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer WHERE c_custkey % 20 = 5 GROUP BY c_mktsegment
+    """,
+)
+def src08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGC GML import (r10; sources/geo_files.read_gml — ElementTree
+    over GML 2/3.1/3.2 namespaces, executor-side one file per task,
+    gml:pos / gml:posList / GML-2 gml:coordinates geometry forms).
+    Closes the GML entry of the GDAL long tail; only raster formats
+    remain scoped out. Customer-derived point features are written to
+    two .gml files (multi-file glob read), read back, and aggregated;
+    DuckDB recomputes from the source parquet. Balances hash as exact
+    CENTS. Reference: pg_lake_engine/src/pgduck/gdal.c (GML driver),
+    docs/file-formats-reference.md:96-138."""
+    from pg_datalake_spark.sources.geo_files import read_gml, write_gml_points
+
+    cust = load_tables(spark, sf_dir, ["customer"])["customer"]
+    d = tempfile.mkdtemp(prefix="src08_")
+    rows = [
+        ((r.c_custkey % 100) / 10.0, (r.c_custkey % 73) / 7.0,
+         int(r.c_custkey), r.c_mktsegment, float(r.c_acctbal))
+        for r in cust.filter(F.col("c_custkey") % 20 == 5)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .collect()  # fixture-sized sample (|customer|/20 rows), builds the files
+    ]
+    half = len(rows) // 2
+    write_gml_points(os.path.join(d, "a.gml"), rows[:half], ["key", "seg", "bal"])
+    write_gml_points(os.path.join(d, "b.gml"), rows[half:], ["key", "seg", "bal"])
+    return (
+        read_gml(spark, os.path.join(d, "*.gml"))
+        .groupBy(F.col("seg").alias("c_mktsegment"))
+        .agg(
+            F.count("*").alias("n"),
+            # GML properties surface as strings (types live in the XSD,
+            # not the instance document) — cast before arithmetic
+            F.sum(F.col("key").cast("long")).cast("long").alias("key_sum"),
+            F.sum(F.round(F.col("bal").cast("double") * 100).cast("long"))
+            .cast("long").alias("bal_cents"),
+        )
+    )

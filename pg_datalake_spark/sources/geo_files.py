@@ -663,3 +663,140 @@ def read_geojson(spark: SparkSession, path_or_glob: str) -> DataFrame:
         points.alias("points"),
         *prop_cols,
     )
+
+
+# ---------------------------------------------------------------------------
+# OGC GML (2 / 3.x): fixture writer + executor-side reader
+# ---------------------------------------------------------------------------
+
+_GML_NSES = (
+    "{http://www.opengis.net/gml/3.2}",  # GML 3.2
+    "{http://www.opengis.net/gml}",      # GML 2 / 3.1
+)
+
+
+def write_gml_points(path: str, rows: list[tuple], attrs: list[str]) -> None:
+    """Write a GML 3.2 FeatureCollection of point features. ``rows``:
+    (x, y, attr...) tuples. Fixture-grade writer."""
+
+    def esc(s) -> str:
+        return (
+            str(s).replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        )
+
+    feats = []
+    for i, r in enumerate(rows):
+        props = "".join(
+            f"<app:{a}>{esc(v)}</app:{a}>" for a, v in zip(attrs, r[2:])
+        )
+        feats.append(
+            "<gml:featureMember>"
+            f'<app:feature gml:id="f{i}">'
+            + props
+            + f"<app:geom><gml:Point><gml:pos>{r[0]} {r[1]}</gml:pos>"
+            "</gml:Point></app:geom></app:feature></gml:featureMember>"
+        )
+    with open(path, "w") as fh:
+        fh.write(
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml/3.2"'
+            ' xmlns:app="http://example.com/app">'
+            + "".join(feats)
+            + "</gml:FeatureCollection>"
+        )
+
+
+def _gml_feature_points(feat) -> list[tuple[float, float]]:
+    """Vertex list from a GML feature element: gml:posList (GML 3 flat
+    x y x y …), gml:pos (single point), or gml:coordinates (GML 2
+    ``x,y x,y`` tuples) — first form found wins. Coordinates are taken
+    in DOCUMENT order (axis order in GML is srsName-dependent; the
+    reader is deterministic and leaves CRS interpretation to the
+    caller, like ogr2ogr's raw mode)."""
+    for ns in _GML_NSES:
+        pl = feat.find(f".//{ns}posList")
+        if pl is not None and pl.text:
+            toks = pl.text.split()
+            return [
+                (float(toks[i]), float(toks[i + 1]))
+                for i in range(0, len(toks) - 1, 2)
+            ]
+        pos = feat.find(f".//{ns}pos")
+        if pos is not None and pos.text:
+            toks = pos.text.split()
+            return [(float(toks[0]), float(toks[1]))]
+        coords = feat.find(f".//{ns}coordinates")
+        if coords is not None and coords.text:
+            return [
+                (float(t.split(",")[0]), float(t.split(",")[1]))
+                for t in coords.text.split()
+            ]
+    return []
+
+
+def read_gml(spark: SparkSession, path_or_glob: str) -> DataFrame:
+    """Read OGC GML feature collections (2 / 3.1 / 3.2 namespaces)
+    from one or many files: ``x``/``y`` (first coordinate), ``points``
+    (full vertex list) and every simple-text property of the FIRST
+    file's first feature (as strings — like the KML reader; GML
+    schemas carry types in the XSD, which this reader does not fetch).
+    Parsing runs executor-side, one file per task — the same scale
+    shape as read_kml. Reference: pg_lake_engine/src/pgduck/gdal.c
+    (GML driver), docs/file-formats-reference.md:96-138."""
+    import xml.etree.ElementTree as ET
+
+    paths = sorted(_glob.glob(path_or_glob)) or [path_or_glob]
+
+    def features(path: str):
+        root = ET.parse(path).getroot()
+        members = []
+        for ns in _GML_NSES:
+            members.extend(root.iter(f"{ns}featureMember"))
+        for m in members:
+            feat = next(iter(m), None)
+            if feat is None:
+                continue
+            pts = _gml_feature_points(feat)
+            data = {}
+            for child in feat:
+                tag = child.tag.split("}")[-1]
+                has_geom = any(
+                    child.find(f".//{ns}{g}") is not None or child.tag == f"{ns}{g}"
+                    for ns in _GML_NSES
+                    for g in ("Point", "LineString", "Polygon", "pos", "posList")
+                )
+                if has_geom:
+                    continue
+                if child.text and child.text.strip():
+                    data[tag] = child.text.strip()
+            yield pts, data
+
+    first_attrs: list[str] = []
+    for _pts, data in features(paths[0]):
+        first_attrs = sorted(data)
+        break
+    schema = (
+        "x double, y double, points array<struct<x:double,y:double>>"
+        + "".join(f", {a} string" for a in first_attrs)
+    )
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for p in pdf["path"]:
+                out = {"x": [], "y": [], "points": []}
+                for a in first_attrs:
+                    out[a] = []
+                for pts, data in features(p):
+                    out["x"].append(pts[0][0] if pts else None)
+                    out["y"].append(pts[0][1] if pts else None)
+                    out["points"].append(
+                        [{"x": px, "y": py} for px, py in pts] if pts else None
+                    )
+                    for a in first_attrs:
+                        out[a].append(data.get(a))
+                yield pd.DataFrame(out)
+
+    files = spark.createDataFrame([(p,) for p in paths], "path string")
+    return files.repartition(len(paths)).mapInPandas(parse, schema)

@@ -277,3 +277,39 @@ def test_geojson_mixed_geometries_and_typed_properties(spark, tmp_path):
     json.dump({"type": "Point", "coordinates": [1, 2]}, open(p2, "w"))
     with pytest.raises(ValueError, match="FeatureCollection"):
         G.read_geojson(spark, p2)
+
+
+def test_gml_namespaces_and_geometry_forms(spark, tmp_path):
+    """r10: the GML reader across spec generations — 3.2 gml:pos point
+    (fixture writer), 3.x gml:posList linestring, and GML-2
+    gml:coordinates comma tuples; simple-text properties surface as
+    string columns, geometry containers don't."""
+    p32 = str(tmp_path / "a.gml")
+    G.write_gml_points(p32, [(1.5, -2.5, 7, "BUILDING")], ["key", "seg"])
+    got = G.read_gml(spark, p32).collect()
+    assert len(got) == 1
+    assert (got[0].x, got[0].y, got[0].key, got[0].seg) == (1.5, -2.5, "7", "BUILDING")
+
+    p2 = str(tmp_path / "b.gml")
+    with open(p2, "w") as fh:
+        fh.write(
+            '<?xml version="1.0"?>'
+            '<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml"'
+            ' xmlns:app="http://x/app">'
+            "<gml:featureMember><app:road>"
+            "<app:name>r1</app:name>"
+            "<app:geom><gml:LineString>"
+            "<gml:posList>0 0 1 1 2 0.5</gml:posList>"
+            "</gml:LineString></app:geom>"
+            "</app:road></gml:featureMember>"
+            "<gml:featureMember><app:road>"
+            "<app:name>r2</app:name>"
+            "<app:geom><gml:Point>"
+            "<gml:coordinates>3.5,4.5</gml:coordinates>"
+            "</gml:Point></app:geom>"
+            "</app:road></gml:featureMember>"
+            "</gml:FeatureCollection>"
+        )
+    rows = {r.name: r for r in G.read_gml(spark, p2).collect()}
+    assert [tuple(pt) for pt in rows["r1"].points] == [(0, 0), (1, 1), (2, 0.5)]
+    assert (rows["r2"].x, rows["r2"].y) == (3.5, 4.5)
