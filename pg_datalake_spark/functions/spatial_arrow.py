@@ -764,3 +764,84 @@ def st_linemerge_arrow(segments: Column) -> Column:
         return pd.Series(out)
 
     return _lm_udf(segments)
+
+
+def _self_intersections(ring: list[Pt]) -> list[tuple[int, int, Pt]]:
+    """Crossing points between NON-ADJACENT edges of a ring (adjacent
+    edges share a vertex by construction — not a defect)."""
+    edges = _closed_edges(ring)
+    n = len(edges)
+    out = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if j == i + 1 or (i == 0 and j == n - 1):
+                continue
+            p = _segment_intersection(*edges[i], *edges[j])
+            if p is not None:
+                out.append((i, j, p))
+    return out
+
+
+def _make_valid(ring: list[Pt]) -> list[list[Pt]]:
+    """PostGIS/GEOS ST_MakeValid for the single-ring model: an already
+    SIMPLE ring passes through unchanged (one-element list); the
+    classic single-crossing "bowtie" (mis-ordered vertex entry) is
+    split at the crossing into its two simple, positive-area lobes —
+    exactly the two polygons GEOS's MakeValid emits for a bowtie,
+    here as a ring list since the model has no MULTIPOLYGON. Multiple
+    self-intersections fail loud."""
+    if len(ring) < 3:
+        return [list(ring)]
+    xs = _self_intersections(ring)
+    if not xs:
+        return [list(ring)]
+    if len(xs) != 1:
+        raise NotImplementedError(
+            f"st_makevalid: {len(xs)} self-intersections — only the "
+            "single-crossing bowtie repair is implemented (use GEOS/"
+            "Sedona for general polygon repair)"
+        )
+    i, j, p = xs[0]
+    # edges[i] = ring[i]→ring[i+1]; split the vertex cycle at the
+    # crossing: lobe1 = p, ring[i+1..j], p; lobe2 = p, ring[j+1..i], p
+    n = len(ring)
+    lobe1 = [p] + [ring[k % n] for k in range(i + 1, j + 1)]
+    lobe2 = [p] + [ring[k % n] for k in range(j + 1, i + n + 1)]
+    lobes = [_ccw(l) for l in (lobe1, lobe2) if _ring_area(l) > 0.0]
+    return sorted(lobes)
+
+
+def st_makevalid_arrow(ring: Column) -> Column:
+    """Repair an invalid (self-intersecting) ring into its simple
+    lobes (see :func:`_make_valid`). Returns array-of-rings — a valid
+    input comes back as a one-element list containing itself."""
+
+    @F.pandas_udf(_LINES_T)
+    def _mv_udf(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if r is None
+                else [_to_rows(lobe) for lobe in _make_valid(_to_pts(r))]
+                for r in s
+            ]
+        )
+
+    return _mv_udf(ring)
+
+
+def st_isvalid_arrow(ring: Column) -> Column:
+    """TRUE iff the ring has no non-adjacent edge crossings (the
+    complement of what st_makevalid repairs; PostGIS ST_IsValid's
+    self-intersection clause on the single-ring model)."""
+
+    @F.pandas_udf("boolean")
+    def _iv_udf(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if r is None else not _self_intersections(_to_pts(r))
+                for r in s
+            ]
+        )
+
+    return _iv_udf(ring)

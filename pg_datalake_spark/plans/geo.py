@@ -1418,3 +1418,79 @@ def geo14(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.element_at(lines, 1), 1)["x"].alias("lm_first_x"),
         F.element_at(F.element_at(lines, 1), 1)["y"].alias("lm_first_y"),
     )
+
+
+@register(
+    "geo15_makevalid",
+    oracle="""
+    WITH g AS (
+      SELECT n_nationkey AS nk,
+             CAST(1 + n_nationkey % 3 AS DOUBLE) AS h
+      FROM nation
+    )
+    SELECT nk,
+           CAST(0 AS INT) AS valid_before,
+           CAST(1 AS INT) AS valid_square,
+           CAST(2 AS INT) AS n_lobes,
+           round(2 * h * h, 6) AS lobes_area,
+           CAST(6 AS INT) AS lobe_pts_total,
+           CAST(1 AS INT) AS square_identity
+    FROM g
+    """,
+)
+def geo15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_MakeValid / ST_IsValid (r10; spatial_arrow.py; reference
+    shippable_spatial_functions.c st_makevalid / st_isvalid). Per
+    nation row, the classic BOWTIE of half-size h — the mis-ordered
+    square [(0,0),(2h,2h),(2h,0),(0,2h)] whose diagonal edges cross at
+    (h,h) and whose naive shoelace area is 0 — is detected as invalid
+    and split into its two simple lobes (the two triangles GEOS emits,
+    as a ring list in the single-ring model): each lobe has area h²
+    (total 2h²), 3 vertices, and no self-intersection; a proper
+    square passes st_isvalid and comes back from st_makevalid as
+    itself (one-element list). Multi-crossing inputs fail loud
+    (pinned in pytest)."""
+    from pg_datalake_spark.functions import spatial_arrow as SA
+
+    t = load_tables(spark, sf_dir, ["nation"])
+    base = t["nation"].select(
+        F.col("n_nationkey").cast("int").alias("nk"),
+        (1 + F.col("n_nationkey") % 3).cast("double").alias("h"),
+        (F.col("n_nationkey") % 7).cast("double").alias("cx"),
+        (F.col("n_nationkey") * 3 % 5).cast("double").alias("cy"),
+    )
+    h, cx, cy = F.col("h"), F.col("cx"), F.col("cy")
+    bowtie = F.array(
+        S.st_point(cx, cy), S.st_point(cx + 2 * h, cy + 2 * h),
+        S.st_point(cx + 2 * h, cy), S.st_point(cx, cy + 2 * h),
+    )
+    square = F.array(
+        S.st_point(cx, cy), S.st_point(cx + 2 * h, cy),
+        S.st_point(cx + 2 * h, cy + 2 * h), S.st_point(cx, cy + 2 * h),
+    )
+    staged = base.select(
+        "nk", "h",
+        SA.st_isvalid_arrow(bowtie).alias("vb"),
+        SA.st_isvalid_arrow(square).alias("vs"),
+        SA.st_makevalid_arrow(bowtie).alias("lobes"),
+        SA.st_makevalid_arrow(square).alias("sq_fixed"),
+        square.alias("square"),
+    )
+    lobes = F.col("lobes")
+    return staged.select(
+        "nk",
+        F.col("vb").cast("int").alias("valid_before"),
+        F.col("vs").cast("int").alias("valid_square"),
+        F.size(lobes).alias("n_lobes"),
+        F.round(
+            F.aggregate(lobes, F.lit(0.0), lambda acc, l: acc + S.st_area(l)), 6
+        ).alias("lobes_area"),
+        F.aggregate(lobes, F.lit(0), lambda acc, l: acc + F.size(l)).alias(
+            "lobe_pts_total"
+        ),
+        # a valid ring round-trips identically through makevalid
+        (
+            (F.size("sq_fixed") == 1)
+            & (F.element_at("sq_fixed", 1) == F.col("square"))
+        ).cast("int").alias("square_identity"),
+    )

@@ -735,3 +735,26 @@ def test_linemerge_paths_junctions_cycles():
     assert SA._linemerge([((1, 0), (0, 0)), ((1, 0), (1, 1))]) == [
         [(0, 0), (1, 0), (1, 1)]
     ]
+
+
+def test_makevalid_bowtie_and_guards():
+    from pg_datalake_spark.functions import spatial_arrow as SA
+
+    bow = [(0, 0), (2, 2), (2, 0), (0, 2)]  # diagonals cross at (1,1)
+    lobes = SA._make_valid(bow)
+    assert len(lobes) == 2
+    assert sorted(SA._ring_area(l) for l in lobes) == [1.0, 1.0]
+    for l in lobes:
+        assert not SA._self_intersections(l)  # each lobe is simple
+        assert SA._signed_area2(l) > 0  # CCW
+    # valid ring: identity (one-element list containing itself)
+    sq = [(0, 0), (2, 0), (2, 2), (0, 2)]
+    assert SA._make_valid(sq) == [sq]
+    assert SA._self_intersections(sq) == []
+    # multi-crossing input fails loud
+    import pytest as _pt
+
+    star = [(0, 0), (4, 1), (0, 2), (4, 3), (2, -1)]
+    if len(SA._self_intersections(star)) > 1:
+        with _pt.raises(NotImplementedError, match="self-intersections"):
+            SA._make_valid(star)
