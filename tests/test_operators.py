@@ -1044,3 +1044,32 @@ def test_jaccard_verify_broadcast_is_conditional(spark):
     assert "ResolvedHint" not in (
         auto_small_limit._jdf.queryExecution().analyzed().toString()
     )
+
+
+@pytest.mark.slow
+def test_lsh_hot_bucket_scale_probe(spark):
+    """r10 scale probe for the hot-bucket fix: 200k documents sharing
+    IDENTICAL text put the whole corpus into one bucket per band — the
+    old collect_set plan materialized a single 200k-element array row
+    per band; the window-ranked plan streams it. With max_bucket=32
+    the candidate count is exactly cap*n - cap(cap+1)/2 (the capped
+    half-matrix), counted without ever holding a bucket in one row."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pg_datalake_spark.operators import dedup
+
+    n, cap = 200_000, 32
+    docs = spark.range(n).select(
+        F.format_string("doc%07d", "id").alias("doc_id"),
+        F.lit("the same boilerplate text everywhere forever").alias("text"),
+    )
+    sh = dedup.with_shingles(docs, "doc_id", "text")
+    sigs = dedup.signatures_from_shingles(sh, "doc_id")
+    t0 = time.perf_counter()
+    got = dedup.lsh_candidate_pairs(sigs, "doc_id", max_bucket=cap).count()
+    wall = time.perf_counter() - t0
+    assert got == cap * n - cap * (cap + 1) // 2
+    print(f"\nLSH hot-bucket probe: n={n}, cap={cap}, "
+          f"{got} pairs in {wall:.1f}s")
