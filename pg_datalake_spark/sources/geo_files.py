@@ -647,8 +647,10 @@ def read_geojson(spark: SparkSession, path_or_glob: str) -> DataFrame:
         F.when(F.col("__gtype") == "Point",
                F.array(F.struct(F.element_at(pt, 1).alias("x"),
                                 F.element_at(pt, 2).alias("y"))))
-        .when(F.col("__gtype") == "LineString", _pts(line))
+        .when(F.col("__gtype").isin("LineString", "MultiPoint"), _pts(line))
         .when(F.col("__gtype") == "Polygon", _pts(F.element_at(poly, 1)))
+        # MultiLineString / MultiPolygon / GeometryCollection: null
+        # points (documented; split multi-parts upstream or use Sedona)
         .otherwise(F.lit(None))
     )
     prop_cols = (

@@ -261,6 +261,10 @@ def test_geojson_mixed_geometries_and_typed_properties(spark, tmp_path):
              "properties": {"k": 3, "name": None, "bal": 1.0}},
             {"type": "Feature", "geometry": None,
              "properties": {"k": 4, "name": "d", "bal": 0.5}},
+            {"type": "Feature",
+             "geometry": {"type": "MultiPoint",
+                          "coordinates": [[7, 8], [9, 10]]},
+             "properties": {"k": 5, "name": "e", "bal": 2.0}},
         ],
     }
     json.dump(doc, open(p, "w"))
@@ -272,6 +276,7 @@ def test_geojson_mixed_geometries_and_typed_properties(spark, tmp_path):
     assert [tuple(pt) for pt in rows[2].points] == [(0, 0), (1, 1), (2, 0.5)]
     assert len(rows[3].points) == 4  # polygon outer ring
     assert rows[4].x is None and rows[4].points is None
+    assert [tuple(pt) for pt in rows[5].points] == [(7, 8), (9, 10)]
     # not-a-FeatureCollection fails loud
     p2 = str(tmp_path / "bad.geojson")
     json.dump({"type": "Point", "coordinates": [1, 2]}, open(p2, "w"))

@@ -1,3 +1,6 @@
+import pytest
+
+
 
 
 def test_asof_ignores_null_time_right_rows(spark):
