@@ -498,11 +498,21 @@ def read_delta_table(
         version_as_of = version_at_timestamp(spark, location, timestamp_as_of_ms)
     location = _norm_location(location)
     state = _snapshot_state(spark, location, version_as_of)
-    meta = state["metaData"]
+    return _dataframe_for_adds(
+        spark, location, state["metaData"], list(state["adds"].values())
+    )
+
+
+def _dataframe_for_adds(
+    spark: SparkSession, location: str, meta: dict, adds: list[dict]
+) -> DataFrame:
+    """The scan plan for an explicit add-list (shared by the full-table
+    read and OPTIMIZE's candidate-subset rewrite): per-partition-tuple
+    parquet groups with typed literal partition columns, DV anti-join
+    when any add carries a descriptor."""
     schema, part_cols, by_type, phys, data_schema, out_cols = _scan_plan(meta)
     if _cm_mode(meta) == "id":
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    adds = list(state["adds"].values())
     if not adds:
         return spark.createDataFrame([], schema)
 
@@ -1267,6 +1277,113 @@ def write_delta_checkpoint(
     with open(os.path.join(_log_dir(location), "_last_checkpoint"), "w") as fh:
         json.dump({"version": version, "size": len(rows)}, fh)
     return version
+
+
+def _zorder_column(df: DataFrame, cols: list[str], bits: int = 8):
+    """Z-value Column: each clustering column is range-binned into
+    2^bits uniform buckets between its global min/max (driver reads
+    2·|cols| scalars — the same metadata-scale collect every z-order
+    writer performs), then the bucket bits are interleaved so rows
+    close in EVERY dimension land close in the sort order. Uniform
+    binning (width_bucket-style), not quantile: monotone per column,
+    which is all min/max file-skipping needs; a quantile variant is a
+    drop-in (approxQuantile the probe row instead)."""
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).first()
+    n_buckets = 1 << bits
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        mn = float(stats[f"mn_{i}"]) if stats[f"mn_{i}"] is not None else 0.0
+        mx = float(stats[f"mx_{i}"]) if stats[f"mx_{i}"] is not None else 0.0
+        span = (mx - mn) or 1.0
+        bucket = F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.coalesce(F.col(c).cast("double"), F.lit(mn)) - mn)
+                / span * n_buckets
+            ).cast("long"),
+        )
+        for b in range(bits):
+            # bit b of this column's bucket → bit (b*len(cols) + i) of z
+            z = z + (F.shiftright(bucket, b) % 2) * F.lit(
+                1 << (b * len(cols) + i)
+            )
+    return z
+
+
+def optimize_delta(
+    spark: SparkSession,
+    location: str,
+    target_file_mb: int = 128,
+    zorder_by: list[str] | None = None,
+    n_output_files: int | None = None,
+) -> int:
+    """Delta OPTIMIZE analog: bin-pack small data files (size <
+    ``target_file_mb``) into consolidated ones, MATERIALIZING any
+    deletion vectors on the way (the rewritten files physically drop
+    DV-deleted rows, and the new adds carry no descriptor) — committed
+    as remove+add pairs with ``dataChange: false``, the marker that
+    tells incremental consumers the logical table content is unchanged
+    (delta-io PROTOCOL.md; commitInfo operation OPTIMIZE). Prior
+    versions stay time-travelable until :func:`vacuum_delta` reclaims
+    the compacted-away files (superseded DVs ride the removes exactly
+    as in the delete path).
+
+    ``zorder_by`` additionally CLUSTERS the rewritten rows by an
+    interleaved-bit z-value over the given columns
+    (:func:`_zorder_column`), so min/max file skipping works on every
+    clustered dimension, not just the leading sort key. Returns the
+    committed version (the current one when nothing qualifies)."""
+    location = _norm_location(location)
+    state = _snapshot_state(spark, location, None)
+    meta = state["metaData"]
+    threshold = int(target_file_mb) << 20
+    candidates = [
+        a
+        for a in state["adds"].values()
+        if (a.get("size") or 0) < threshold or a.get("deletionVector")
+    ]
+    if len(candidates) < 2 and not any(a.get("deletionVector") for a in candidates):
+        return state["version"]  # nothing to compact
+    df = _dataframe_for_adds(spark, location, meta, candidates)
+    total = sum(a.get("size") or 0 for a in candidates)
+    # size-derived by default; explicit override for operational control
+    n_out = n_output_files or max(1, -(-total // max(threshold, 1)))
+    _schema, part_cols, *_rest = _scan_plan(meta)
+    if zorder_by:
+        zv = _zorder_column(df, list(zorder_by))
+        df = (
+            df.withColumn("__z", zv)
+            .repartitionByRange(n_out, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    elif part_cols:
+        df = df.repartition(n_out, *part_cols)
+    else:
+        df = df.repartition(n_out)
+    staged, part_phys = _physical_stage_args(meta, df)
+    adds = _stage_data_files(staged, location, part_phys)
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {"commitInfo": {"operation": "OPTIMIZE", "timestamp": now_ms}}
+    ]
+    for a in sorted(candidates, key=lambda a: a["path"]):
+        remove = {
+            "path": a["path"],
+            "deletionTimestamp": now_ms,
+            "dataChange": False,
+            "partitionValues": a.get("partitionValues") or {},
+        }
+        if a.get("deletionVector"):
+            remove["deletionVector"] = a["deletionVector"]
+        actions.append({"remove": remove})
+    for add in adds:
+        add["add"]["dataChange"] = False
+        actions.append(add)
+    return _write_commit(location, state["version"] + 1, actions)
 
 
 def vacuum_delta(

@@ -938,3 +938,82 @@ def test_dv_delete_scale_probe_descriptor_only_driver_traffic(spark, tmp_path):
     assert dl.read_delta_table(spark, loc).count() == n - exp_deleted
     print(f"\nDV 5M-row/32-file probe: {wall:.1f}s wall, "
           f"{peak / 2**20:.1f} MiB driver peak")
+
+
+def test_optimize_compacts_and_materializes_dvs(spark, tmp_path):
+    """r10: OPTIMIZE analog — small files bin-packed, deletion vectors
+    MATERIALIZED (rewritten files drop the deleted rows physically, new
+    adds carry no descriptor), committed as dataChange=false remove+add
+    pairs; prior versions stay time-travelable until vacuum."""
+    loc = str(tmp_path / "opt")
+    df = spark.createDataFrame([(i, i % 5) for i in range(1000)], "id long, grp long")
+    dl.write_delta_table(df.repartition(8), loc)
+    dl.append_delta(
+        spark.createDataFrame([(i, i % 5) for i in range(1000, 1200)],
+                              "id long, grp long").repartition(4), loc
+    )
+    dl.delete_where_delta(spark, loc, "id % 10 = 0", mode="dv")
+    pre_version = dl.delta_table_version(loc)
+    exp = sorted(i for i in range(1200) if i % 10)
+
+    v = dl.optimize_delta(spark, loc, target_file_mb=128)
+    assert v == pre_version + 1
+    state = dl._snapshot_state(spark, loc, None)
+    assert len(state["adds"]) == 1  # 12 small files -> 1
+    assert not any(a.get("deletionVector") for a in state["adds"].values())
+    assert sorted(r.id for r in dl.read_delta_table(spark, loc).collect()) == exp
+
+    # the commit is dataChange=false on BOTH sides (raw JSON check)
+    with open(dl._commit_path(loc, v)) as fh:
+        actions = [json.loads(l) for l in fh if l.strip()]
+    assert all(
+        a["remove"]["dataChange"] is False for a in actions if "remove" in a
+    )
+    assert all(a["add"]["dataChange"] is False for a in actions if "add" in a)
+    assert any(
+        a.get("commitInfo", {}).get("operation") == "OPTIMIZE" for a in actions
+    )
+    # superseded DVs ride the removes (vacuum's reclamation input)
+    assert any(a["remove"].get("deletionVector") for a in actions if "remove" in a)
+
+    # pre-OPTIMIZE version still time-travels; vacuum then reclaims
+    assert (
+        dl.read_delta_table(spark, loc, version_as_of=pre_version).count() == len(exp)
+    )
+    res = dl.vacuum_delta(spark, loc, retain_last=1)
+    assert res["removed"] >= 12
+    assert sorted(r.id for r in dl.read_delta_table(spark, loc).collect()) == exp
+    # idempotence: one big file left, nothing to compact
+    assert dl.optimize_delta(spark, loc, target_file_mb=0) == v
+
+
+def test_optimize_zorder_clusters_files(spark, tmp_path):
+    """r10: OPTIMIZE with zorder_by — rows are clustered by the
+    interleaved-bit z-value, so each output file covers a narrow range
+    of BOTH clustering columns (the min/max file-skipping property a
+    single-column sort cannot give the second dimension)."""
+    import pyarrow.parquet as pq
+
+    loc = str(tmp_path / "zopt")
+    n = 4096
+    df = spark.createDataFrame(
+        [(i, i % 64, (i * 37) % 64) for i in range(n)],
+        "id long, a long, b long",
+    )
+    dl.write_delta_table(df.repartition(8), loc)
+    v = dl.optimize_delta(spark, loc, zorder_by=["a", "b"], n_output_files=4)
+    state2 = dl._snapshot_state(spark, loc, None)
+    assert 2 <= len(state2["adds"]) <= 4
+    assert sorted(r.id for r in dl.read_delta_table(spark, loc).collect()) == list(
+        range(n)
+    )
+    # clustering property: every file's (a, b) bounding box is a strict
+    # subset of the global 64x64 domain — random placement would give
+    # each file the full range on both axes
+    _abs = dl._make_abs(loc)
+    spans = []
+    for a in state2["adds"].values():
+        t = pq.read_table(_abs(a["path"]), columns=["a", "b"])
+        aa, bb = t.column("a").to_pylist(), t.column("b").to_pylist()
+        spans.append(((max(aa) - min(aa)), (max(bb) - min(bb))))
+    assert all(sa < 63 or sb < 63 for sa, sb in spans), spans
