@@ -300,3 +300,62 @@ def lake11(spark: SparkSession, sf_dir: str) -> DataFrame:
 from pg_datalake_spark.plans.lakeops import LAKE08_ORACLE, lake08  # noqa: E402
 
 register("lake08_external_iceberg", oracle=LAKE08_ORACLE)(lake08)
+
+
+@register(
+    "lake13_delta_changes",
+    oracle="""
+    WITH ch AS (
+      SELECT 1 AS v, 'insert' AS ct, o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT 2, 'delete', o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT 4, 'delete', o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 = 0
+    )
+    SELECT CAST(v AS BIGINT) AS commit_version, ct AS change_type,
+           count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM ch GROUP BY 1, 2
+    """,
+)
+def lake13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHANGE FEED reconstruction (r10; tables/delta_log.
+    delta_changes — the table_changes/CDF surface rebuilt from the
+    log, no _change_data files): v0 create (orders with key % 3 <> 0),
+    v1 append (% 3 = 0 → inserts from a direct scan of the new
+    files), v2 DV delete (% 7 = 0 → deletes from the per-file
+    position-set difference), v3 OPTIMIZE (dataChange=false →
+    contributes NOTHING — the flag's whole purpose), v4 copy-on-write
+    delete (% 11 = 0 among survivors → deletes from the exact
+    multiset snapshot diff). The oracle reproduces every commit's
+    change set relationally; a phantom row from any of the three
+    derivation strategies (or anything leaking from the OPTIMIZE
+    rewrite) breaks the hash."""
+    from pg_datalake_spark.tables import delta_log as dl
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    src = t["orders"].select("o_orderkey", "o_totalprice")
+    loc = tempfile.mkdtemp(prefix="lake13_") + "/delta_cdf_orders"
+    dl.write_delta_table(src.filter("o_orderkey % 3 <> 0").repartition(4), loc)
+    dl.append_delta(src.filter("o_orderkey % 3 = 0").repartition(2), loc)
+    dl.delete_where_delta(spark, loc, "o_orderkey % 7 = 0", mode="dv")
+    dl.optimize_delta(spark, loc, target_file_mb=128)
+    dl.delete_where_delta(spark, loc, "o_orderkey % 11 = 0", mode="cow")
+    return (
+        dl.delta_changes(spark, loc, from_version=0)
+        .groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long").alias("total_cents"),
+        )
+    )

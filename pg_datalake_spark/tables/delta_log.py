@@ -504,12 +504,20 @@ def read_delta_table(
 
 
 def _dataframe_for_adds(
-    spark: SparkSession, location: str, meta: dict, adds: list[dict]
+    spark: SparkSession,
+    location: str,
+    meta: dict,
+    adds: list[dict],
+    with_position: bool = False,
 ) -> DataFrame:
     """The scan plan for an explicit add-list (shared by the full-table
-    read and OPTIMIZE's candidate-subset rewrite): per-partition-tuple
-    parquet groups with typed literal partition columns, DV anti-join
-    when any add carries a descriptor."""
+    read, OPTIMIZE's candidate-subset rewrite, and the change feed):
+    per-partition-tuple parquet groups with typed literal partition
+    columns, DV anti-join when any add carries a descriptor.
+    ``with_position=True`` keeps the normalized (__path, __pos) file
+    coordinates in the output — they must be selected AT the scan
+    (``_metadata`` does not survive a projection), so callers that
+    need positions cannot bolt them on afterwards."""
     schema, part_cols, by_type, phys, data_schema, out_cols = _scan_plan(meta)
     if _cm_mode(meta) == "id":
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
@@ -525,7 +533,7 @@ def _dataframe_for_adds(
             _decoded_path_col().alias("__path"),
             F.col("_metadata.row_index").alias("__pos"),
         ]
-        if has_dv
+        if has_dv or with_position
         else []
     )
 
@@ -1509,3 +1517,157 @@ def version_at_timestamp(spark: SparkSession, location: str, ts_ms: int) -> int:
             f"no Delta commit at or before timestamp {ts_ms} under {location}"
         )
     return max(candidates)
+
+
+def delta_changes(
+    spark: SparkSession,
+    location: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change feed between versions — the ``table_changes``
+    / CDF surface reconstructed from the transaction log (no
+    ``_change_data`` files needed; delta-io PROTOCOL.md "Change Data
+    Files" is writer-optional and absent from most tables). For every
+    version in ``(from_version, to_version]`` the changes are derived
+    by the cheapest exact method the commit's shape allows:
+
+    - commits whose actions all carry ``dataChange: false`` (OPTIMIZE,
+      checkpoint-era rearrangements) contribute NOTHING — that is the
+      flag's entire purpose;
+    - append-only commits (adds, no removes): the added files' rows
+      are the inserts — a direct scan of just those files;
+    - DV-transition commits (every add re-adds an existing path with a
+      deletionVector): the deleted rows are the file positions newly
+      present in the descriptor — per-file position-set difference,
+      no snapshot diff;
+    - anything else (COW delete/update/merge): exact multiset snapshot
+      diff — ``read(v).exceptAll(read(v-1))`` as inserts and the
+      reverse as deletes. Heavier (two snapshot scans) but correct for
+      arbitrary rewrites, and fully distributed.
+
+    Returns the table columns plus ``_change_type`` ('insert' /
+    'delete'), ``_commit_version``, ``_commit_timestamp`` (ms).
+    Updates surface as delete+insert pairs, exactly like Delta CDF
+    with no row tracking."""
+    location = _norm_location(location)
+    versions = _list_commit_versions(location)
+    last = versions[-1]
+    to_version = last if to_version is None else to_version
+    if from_version > to_version or to_version > last:
+        raise ValueError(
+            f"invalid change range ({from_version}, {to_version}] for a log "
+            f"at version {last}"
+        )
+    ts_by_version = {
+        e["version"]: e["timestamp_ms"] for e in delta_history(spark, location)
+    }
+    out: DataFrame | None = None
+    prev_state = _snapshot_state(spark, location, from_version)
+    for v in range(from_version + 1, to_version + 1):
+        state = _snapshot_state(spark, location, v)
+        meta = state["metaData"]
+        adds_actions: list[dict] = []
+        removes_actions: list[dict] = []
+        any_data_change = False
+        with open(_commit_path(location, v)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    adds_actions.append(action["add"])
+                    any_data_change |= bool(action["add"].get("dataChange", True))
+                elif "remove" in action:
+                    removes_actions.append(action["remove"])
+                    any_data_change |= bool(
+                        action["remove"].get("dataChange", True)
+                    )
+        chunk = None
+        if not any_data_change:
+            prev_state = state
+            continue
+        removed_paths = {r["path"] for r in removes_actions}
+        re_adds_with_dv = [
+            a for a in adds_actions
+            if a["path"] in prev_state["adds"] and a.get("deletionVector")
+        ]
+        if adds_actions and not removes_actions and not re_adds_with_dv:
+            inserted = _dataframe_for_adds(spark, location, meta, adds_actions)
+            chunk = inserted.select("*", F.lit("insert").alias("_change_type"))
+        elif (
+            re_adds_with_dv
+            and len(re_adds_with_dv) == len(adds_actions)
+            and removed_paths == {a["path"] for a in adds_actions}
+        ):
+            # per-file NEW positions = DV(v) minus DV(v-1): scan only the
+            # touched files and keep rows whose position joined the DV
+            from pg_datalake_spark.tables import dv_codec
+
+            _abs = _make_abs(location)
+            new_pos = []
+            for a in re_adds_with_dv:
+                old_dv = (prev_state["adds"].get(a["path"]) or {}).get(
+                    "deletionVector"
+                )
+                old = set(
+                    dv_codec.decode_descriptor_positions(old_dv, location)
+                ) if old_dv else set()
+                new = set(
+                    dv_codec.decode_descriptor_positions(
+                        a["deletionVector"], location
+                    )
+                )
+                for p in sorted(new - old):
+                    new_pos.append((_abs(a["path"]), int(p)))
+            # strip the DV so the scan yields ALL rows (positions must
+            # be selected AT the scan), then keep newly-deleted ones
+            bare = [
+                {k: vv for k, vv in a.items() if k != "deletionVector"}
+                for a in re_adds_with_dv
+            ]
+            scan = _dataframe_for_adds(
+                spark, location, meta, bare, with_position=True
+            )
+            pos_df = spark.createDataFrame(new_pos, "__path string, __pos long")
+            chunk = (
+                scan.join(F.broadcast(pos_df), ["__path", "__pos"])
+                .drop("__path", "__pos")
+                .select("*", F.lit("delete").alias("_change_type"))
+            )
+        else:
+            prev_df = _dataframe_for_adds(
+                spark, location, meta, list(prev_state["adds"].values())
+            )
+            cur_df = _dataframe_for_adds(
+                spark, location, meta, list(state["adds"].values())
+            )
+            chunk = (
+                cur_df.exceptAll(prev_df)
+                .select("*", F.lit("insert").alias("_change_type"))
+                .unionByName(
+                    prev_df.exceptAll(cur_df)
+                    .select("*", F.lit("delete").alias("_change_type"))
+                )
+            )
+        chunk = chunk.select(
+            "*",
+            F.lit(v).cast("long").alias("_commit_version"),
+            F.lit(ts_by_version.get(v)).cast("long").alias("_commit_timestamp"),
+        )
+        out = chunk if out is None else out.unionByName(chunk)
+        prev_state = state
+    if out is None:
+        meta = prev_state["metaData"]
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        schema = T.StructType(
+            schema.fields
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+                T.StructField("_commit_timestamp", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame([], schema)
+    return out

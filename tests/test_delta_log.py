@@ -1017,3 +1017,53 @@ def test_optimize_zorder_clusters_files(spark, tmp_path):
         aa, bb = t.column("a").to_pylist(), t.column("b").to_pylist()
         spans.append(((max(aa) - min(aa)), (max(bb) - min(bb))))
     assert all(sa < 63 or sb < 63 for sa, sb in spans), spans
+
+
+def test_delta_changes_reconstructs_row_level_feed(spark, tmp_path):
+    """r10: the table_changes/CDF analog — inserts from append-only
+    commits (direct scan of the new files), deletes from DV
+    transitions (per-file position-set difference, no snapshot diff),
+    exact multiset snapshot diff for COW rewrites, and NOTHING from
+    dataChange=false commits (OPTIMIZE)."""
+    loc = str(tmp_path / "cdf")
+    dl.write_delta_table(
+        spark.createDataFrame([(i,) for i in range(100)], "id long"), loc
+    )  # v0
+    dl.append_delta(
+        spark.createDataFrame([(i,) for i in range(100, 140)], "id long"), loc
+    )  # v1: +40 inserts
+    dl.delete_where_delta(spark, loc, "id % 10 = 0", mode="dv")  # v2: -14 deletes
+    dl.optimize_delta(spark, loc, target_file_mb=128)  # v3: no changes
+    dl.delete_where_delta(spark, loc, "id >= 120")  # v4 COW: -18 deletes
+    # stacked DV on top of already-optimized (DV-free) files
+    dl.delete_where_delta(spark, loc, "id % 7 = 0", mode="dv")  # v5
+
+    ch = dl.delta_changes(spark, loc, from_version=0).collect()
+    by_v: dict = {}
+    for r in ch:
+        by_v.setdefault(r._commit_version, []).append(r)
+    assert sorted(by_v) == [1, 2, 4, 5]  # v3 (OPTIMIZE) contributes nothing
+    assert sorted(r.id for r in by_v[1]) == list(range(100, 140))
+    assert all(r._change_type == "insert" for r in by_v[1])
+    assert sorted(r.id for r in by_v[2]) == [i for i in range(140) if i % 10 == 0]
+    assert all(r._change_type == "delete" for r in by_v[2])
+    assert sorted(r.id for r in by_v[4]) == [
+        i for i in range(120, 140) if i % 10
+    ]
+    assert all(r._change_type == "delete" for r in by_v[4])
+    exp5 = [i for i in range(120) if i % 10 and i % 7 == 0]
+    assert sorted(r.id for r in by_v[5]) == exp5
+    assert all(r._change_type == "delete" for r in by_v[5])
+    assert all(r._commit_timestamp is not None for r in ch)
+
+    # windowed range: only v2's deletes
+    win = dl.delta_changes(spark, loc, from_version=1, to_version=2).collect()
+    assert {r._commit_version for r in win} == {2}
+    # empty range: typed empty frame with the CDF columns
+    empty = dl.delta_changes(spark, loc, from_version=5)
+    assert empty.count() == 0
+    assert {"_change_type", "_commit_version", "_commit_timestamp"} <= set(
+        empty.columns
+    )
+    with pytest.raises(ValueError, match="invalid change range"):
+        dl.delta_changes(spark, loc, from_version=4, to_version=99)
