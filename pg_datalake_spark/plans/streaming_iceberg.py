@@ -61,3 +61,61 @@ def st05(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "st10_delta_stream_ingest",
+    oracle="""
+    SELECT count(*) AS n,
+           round(sum(value), 2) AS total_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    """,
+)
+def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion into a DELTA table (r10;
+    streaming.delta_stream_sink) with txn-watermark idempotence
+    (PROTOCOL.md "Transaction Identifiers"): drain the events table,
+    drain AGAIN on the same checkpoint (zero new batches), then
+    REPLAY batch 0 by hand against the table — the txn watermark in
+    the log (which also survived a checkpoint) must reject it even
+    though the Structured-Streaming checkpoint is gone. The oracle
+    aggregates the source directly, so ingest + idempotence + read
+    must be lossless — a double-append doubles n and breaks the
+    hash."""
+    import os as _os
+    import shutil as _shutil
+
+    from pg_datalake_spark.streaming import delta_stream_sink
+    from pg_datalake_spark.tables import delta_log as dl
+
+    load_tables(spark, sf_dir, ["events"])
+    stage = tempfile.mkdtemp(prefix="st10_")
+    landing = _os.path.join(stage, "landing")
+    _os.makedirs(landing)
+    _shutil.copy(f"{sf_dir}/events.parquet", _os.path.join(landing, "events.parquet"))
+    ckpt = _os.path.join(stage, "ckpt")
+    loc = _os.path.join(stage, "delta_events")
+    src_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    delta_stream_sink(spark, landing, src_schema, ckpt, loc, app_id="st10")
+    # second drain on the same checkpoint: no new files -> no batches
+    delta_stream_sink(spark, landing, src_schema, ckpt, loc, app_id="st10")
+    # checkpoint the table, then hand-replay batch 0: the watermark
+    # must be recovered from the CHECKPOINT and reject the append
+    dl.write_delta_checkpoint(spark, loc)
+    before = dl.delta_table_version(loc)
+    replay = spark.read.schema(src_schema).parquet(
+        _os.path.join(landing, "events.parquet")
+    )
+    v = dl.append_delta(replay, loc, txn_app_id="st10", txn_version=0)
+    assert v == before, "replayed batch 0 must be skipped"
+
+    ingested = dl.read_delta_table(spark, loc)
+    return ingested.agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,2)")).cast("double"), 2
+        ).alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -454,3 +454,55 @@ def streaming_lsh_candidates(
         .start()
     )
     q.awaitTermination()
+
+
+def delta_stream_sink(
+    spark: SparkSession,
+    source_glob: str,
+    schema,
+    checkpoint_dir: str,
+    table_location: str,
+    app_id: str = "delta-stream",
+    fmt: str = "parquet",
+) -> dict:
+    """Exactly-once streaming ingestion INTO a Delta table: every
+    micro-batch appends through :func:`tables.delta_log.append_delta`
+    with a ``txn`` watermark (appId = ``app_id``, version = batch id)
+    — the idempotence contract Delta streaming sinks implement
+    (PROTOCOL.md "Transaction Identifiers"), so a foreachBatch retry or
+    a crash-replayed batch is detected against the table's own log and
+    skipped, even by a DIFFERENT sink instance. The first batch of a
+    fresh table creates it.
+
+    Returns {"batches": executed, "skipped": replays_detected,
+    "versions": committed_versions}."""
+    import os
+
+    from pg_datalake_spark.tables import delta_log as dl
+
+    stats = {"batches": 0, "skipped": 0, "versions": []}
+
+    def _sink(df: DataFrame, batch_id: int) -> None:
+        stats["batches"] += 1
+        if not os.path.isdir(os.path.join(table_location, "_delta_log")):
+            v = dl.write_delta_table(df, table_location)
+            dl._write_commit(
+                table_location,
+                v + 1,
+                [{"txn": {"appId": app_id, "version": int(batch_id)}}],
+            )
+            stats["versions"].append(v + 1)
+            return
+        before = dl.delta_table_version(table_location)
+        v = dl.append_delta(
+            df, table_location, txn_app_id=app_id, txn_version=int(batch_id)
+        )
+        if v == before:
+            stats["skipped"] += 1
+        else:
+            stats["versions"].append(v)
+
+    incremental_file_ingest(
+        spark, source_glob, schema, checkpoint_dir, _sink, fmt=fmt
+    )
+    return stats

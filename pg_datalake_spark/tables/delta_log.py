@@ -124,7 +124,15 @@ def _replay_json_commit(path: str, state: dict) -> None:
                 adds.append(action["add"])
             elif "remove" in action:
                 removes.append(action["remove"])
-            # commitInfo / txn / cdc: no effect on the active file set
+            elif "txn" in action:
+                # application transaction watermarks (PROTOCOL.md
+                # "Transaction Identifiers") — the idempotence handle
+                # streaming sinks key their batch replays on
+                t = action["txn"]
+                state["txns"][t["appId"]] = max(
+                    state["txns"].get(t["appId"], -1), int(t["version"])
+                )
+            # commitInfo / cdc: no effect on the active file set
     for r in removes:
         state["adds"].pop(r["path"], None)
     for a in adds:
@@ -180,6 +188,11 @@ def _apply_checkpoint_rows(rows, state: dict) -> None:
         elif d.get("add") and d["add"].get("path"):
             add = {k: v for k, v in d["add"].items() if v is not None}
             state["adds"][add["path"]] = add
+        elif d.get("txn") and d["txn"].get("appId"):
+            t = d["txn"]
+            state["txns"][t["appId"]] = max(
+                state["txns"].get(t["appId"], -1), int(t["version"])
+            )
 
 
 # add-struct fields snapshot state actually consumes. Everything else —
@@ -211,7 +224,7 @@ def _pruned_cp_schema(file_schema: T.StructType, need_stats: bool) -> T.StructTy
         if f.name == "add" and isinstance(f.dataType, T.StructType):
             sub = [sf for sf in f.dataType.fields if sf.name in keep_add]
             out.append(T.StructField("add", T.StructType(sub), f.nullable))
-        elif f.name in ("metaData", "protocol", "sidecar", "checkpointMetadata"):
+        elif f.name in ("metaData", "protocol", "txn", "sidecar", "checkpointMetadata"):
             out.append(f)
     return T.StructType(out)
 
@@ -289,7 +302,13 @@ def _snapshot_state(
             f"version {target} not in Delta log (have checkpoints/commits "
             f"up to {newest})"
         )
-    state: dict = {"adds": {}, "metaData": None, "protocol": None, "version": target}
+    state: dict = {
+        "adds": {},
+        "metaData": None,
+        "protocol": None,
+        "version": target,
+        "txns": {},
+    }
 
     start = 0
     if (
@@ -791,17 +810,51 @@ def _physical_stage_args(meta: dict, df: DataFrame) -> tuple[DataFrame, list[str
     )
 
 
-def append_delta(df: DataFrame, location: str, max_retries: int = 10) -> int:
+def append_delta(
+    df: DataFrame,
+    location: str,
+    max_retries: int = 10,
+    txn_app_id: str | None = None,
+    txn_version: int | None = None,
+) -> int:
     """Append commit: new add actions only. Blind appends COMMUTE, so
     losing the exclusive-create race to a concurrent writer is not a
     conflict — the commit retries at the next version with the same
     staged files (Delta's optimistic-concurrency happy path; r9). Data
-    files are staged once; only the metadata commit retries."""
+    files are staged once; only the metadata commit retries.
+
+    ``txn_app_id``/``txn_version`` make the append IDEMPOTENT
+    (PROTOCOL.md "Transaction Identifiers" — the contract Delta
+    streaming sinks key micro-batch replays on): the commit carries a
+    ``txn`` watermark action, and an append whose version is at or
+    below the table's recorded watermark for that appId is SKIPPED
+    (returns the current table version, writes nothing) — so a
+    foreachBatch retry or a crash-replayed micro-batch never
+    double-appends. The watermark survives checkpointing. A skip
+    detected only after staging (a concurrent instance won the race
+    mid-flight) leaves orphan data files that vacuum_delta reclaims."""
+    if (txn_app_id is None) != (txn_version is None):
+        raise ValueError("pass txn_app_id AND txn_version together")
     spark = df.sparkSession
     state = _snapshot_state(spark, location, None)
+    if (
+        txn_app_id is not None
+        and state["txns"].get(txn_app_id, -1) >= txn_version
+    ):
+        return state["version"]  # replayed batch: already committed
     meta0 = state["metaData"]
     staged, part_phys = _physical_stage_args(meta0, df)
     adds = _stage_data_files(staged, location, part_phys)
+    if txn_app_id is not None:
+        adds = [
+            {
+                "txn": {
+                    "appId": txn_app_id,
+                    "version": int(txn_version),
+                    "lastUpdated": int(time.time() * 1000),
+                }
+            }
+        ] + adds
     version = state["version"] + 1
     for _ in range(max_retries):
         try:
@@ -814,6 +867,14 @@ def append_delta(df: DataFrame, location: str, max_retries: int = 10) -> int:
             # physical schema — committing across it would corrupt the
             # table. Re-load the snapshot and verify before retrying.
             cur = _snapshot_state(spark, location, None)
+            if (
+                txn_app_id is not None
+                and cur["txns"].get(txn_app_id, -1) >= txn_version
+            ):
+                # a concurrent instance committed this very batch while
+                # we were staging: drop out idempotently (our staged
+                # files are orphans until vacuum)
+                return cur["version"]
             m = cur["metaData"] or {}
             if m.get("id") != meta0.get("id") or m.get("schemaString") != meta0.get(
                 "schemaString"
@@ -1150,11 +1211,19 @@ def write_delta_checkpoint(
             T.StructField("writerFeatures", T.ArrayType(T.StringType())),
         ]
     )
+    txn_type = T.StructType(
+        [
+            T.StructField("appId", T.StringType()),
+            T.StructField("version", T.LongType()),
+            T.StructField("lastUpdated", T.LongType()),
+        ]
+    )
     cp_schema = T.StructType(
         [
             T.StructField("add", add_type),
             T.StructField("metaData", meta_type),
             T.StructField("protocol", proto_type),
+            T.StructField("txn", txn_type),
         ]
     )
     rows: list[tuple] = [
@@ -1167,6 +1236,7 @@ def write_delta_checkpoint(
                 proto.get("readerFeatures"),
                 proto.get("writerFeatures"),
             ),
+            None,
         ),
         (
             None,
@@ -1179,8 +1249,15 @@ def write_delta_checkpoint(
                 meta.get("createdTime"),
             ),
             None,
+            None,
         ),
     ]
+    # txn watermarks MUST survive checkpointing (PROTOCOL.md: readers
+    # recover appId versions from the checkpoint) — a dropped watermark
+    # would let a replayed streaming batch double-append
+    for app_id in sorted(state.get("txns") or {}):
+        rows.append((None, None, None, (app_id, state["txns"][app_id], None)))
+    n_head = len(rows)
     for path in sorted(state["adds"]):
         a = state["adds"][path]
         dv = a.get("deletionVector")
@@ -1203,6 +1280,7 @@ def write_delta_checkpoint(
                     if dv
                     else None,
                 ),
+                None,
                 None,
                 None,
             )
@@ -1255,7 +1333,9 @@ def write_delta_checkpoint(
                 T.StructField("checkpointMetadata", cpmeta_type),
             ]
         )
-        head, adds_rows = rows[:2], rows[2:]
+        # protocol/metaData/txn stay in the manifest; only file actions
+        # spill to sidecars (V2 spec)
+        head, adds_rows = rows[:n_head], rows[n_head:]
         n = max(1, min(n_sidecars, len(adds_rows) or 1))
         chunks = [adds_rows[i::n] for i in range(n)]
         sidecar_rows = []
@@ -1268,12 +1348,13 @@ def write_delta_checkpoint(
                     None,
                     None,
                     None,
+                    None,
                     (name, os.path.getsize(dest), int(time.time() * 1000)),
                     None,
                 )
             )
         manifest_rows = [r + (None, None) for r in head] + sidecar_rows + [
-            (None, None, None, None, (version,))
+            (None, None, None, None, None, (version,))
         ]
         _write_single(
             spark.createDataFrame(manifest_rows, v2_schema),

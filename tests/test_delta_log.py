@@ -1067,3 +1067,30 @@ def test_delta_changes_reconstructs_row_level_feed(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="invalid change range"):
         dl.delta_changes(spark, loc, from_version=4, to_version=99)
+
+
+def test_txn_watermark_idempotent_append(spark, tmp_path):
+    """r10: PROTOCOL.md Transaction Identifiers — a (appId, version)
+    append at or below the table's watermark is skipped; watermarks
+    replay from JSON commits AND from checkpoints; independent appIds
+    don't interfere."""
+    loc = str(tmp_path / "txn")
+    dl.write_delta_table(spark.createDataFrame([(0,)], "id long"), loc)
+    b1 = spark.createDataFrame([(1,)], "id long")
+    v = dl.append_delta(b1, loc, txn_app_id="app", txn_version=0)
+    assert v == 1
+    # replay of batch 0: skipped, nothing written
+    assert dl.append_delta(b1, loc, txn_app_id="app", txn_version=0) == 1
+    assert sorted(r.id for r in dl.read_delta_table(spark, loc).collect()) == [0, 1]
+    # other app: independent watermark
+    assert dl.append_delta(b1, loc, txn_app_id="other", txn_version=0) == 2
+    # watermark survives checkpointing (JSON commits wiped)
+    cv = dl.write_delta_checkpoint(spark, loc)
+    for i in range(cv + 1):
+        os.remove(dl._commit_path(loc, i))
+    state = dl._snapshot_state(spark, loc, None)
+    assert state["txns"] == {"app": 0, "other": 0}
+    assert dl.append_delta(b1, loc, txn_app_id="app", txn_version=0) == cv
+    assert dl.append_delta(b1, loc, txn_app_id="app", txn_version=1) == cv + 1
+    with pytest.raises(ValueError, match="together"):
+        dl.append_delta(b1, loc, txn_app_id="app")
