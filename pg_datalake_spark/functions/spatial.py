@@ -130,6 +130,7 @@ __all__ = [
     "st_m",
     "st_zmflag",
     "st_force2d",
+    "st_area_signed",
 ]
 
 
@@ -1792,3 +1793,10 @@ def st_force2d(geom: Column) -> Column:
     """Identity on the 2D struct model (the function exists so queries
     written against the reference surface keep running unchanged)."""
     return geom
+
+
+def st_area_signed(ring: Column) -> Column:
+    """SIGNED shoelace area (CCW positive). The general boolean ops
+    (spatial_arrow._gh_clip) emit holes as clockwise rings, so signed
+    areas sum to the true covered area across an output ring list."""
+    return _signed_area2(ring) / 2

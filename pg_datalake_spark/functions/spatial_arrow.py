@@ -845,3 +845,258 @@ def st_isvalid_arrow(ring: Column) -> Column:
         )
 
     return _iv_udf(ring)
+
+
+# --- GEOS-tail ops (r10, batch 2): GENERAL (concave) boolean ops ----------
+# Greiner–Hormann clipping (Greiner & Hormann 1998, "Efficient clipping
+# of arbitrary polygons", ACM TOG 17(2) — public algorithm) for simple
+# polygons WITHOUT holes: intersection / union / difference of concave
+# shapes, multiple output rings supported (a U ∩ a bar is two disjoint
+# pieces). Degenerate contact (a crossing AT a vertex, collinear edge
+# overlap) fails loud rather than guessing — the planted-shape tests
+# and the convex cross-check pin the clean-crossing behavior.
+
+
+class _GHNode:
+    __slots__ = ("pt", "next", "prev", "neighbor", "is_inter", "entry",
+                 "visited", "_t")
+
+    def __init__(self, pt: Pt, is_inter: bool = False):
+        self.pt = pt
+        self.next = self.prev = self.neighbor = None
+        self.is_inter = is_inter
+        self.entry = False
+        self.visited = False
+        self._t = 0.0
+
+
+def _gh_ring(pts: list[Pt]) -> _GHNode:
+    nodes = [_GHNode(p) for p in pts]
+    n = len(nodes)
+    for i, nd in enumerate(nodes):
+        nd.next = nodes[(i + 1) % n]
+        nd.prev = nodes[(i - 1) % n]
+    return nodes[0]
+
+
+def _gh_vertices(head: _GHNode):
+    nd = head
+    while True:
+        yield nd
+        nd = nd.next
+        if nd is head:
+            break
+
+
+def _gh_insert(start: _GHNode, end: _GHNode, node: _GHNode, t: float) -> None:
+    """Insert an intersection node between start and its edge-end,
+    ordered by parameter t among already-inserted intersections."""
+    cur = start
+    while cur.next is not end and cur.next.is_inter and cur.next._t < t:
+        cur = cur.next
+    node._t = t
+    node.next = cur.next
+    node.prev = cur
+    cur.next.prev = node
+    cur.next = node
+
+
+def _gh_clip(subject: list[Pt], clip: list[Pt], op: str) -> list[list[Pt]]:
+    """Greiner–Hormann boolean op on two SIMPLE rings (CCW enforced).
+    op: 'and' (intersection), 'or' (union), 'sub' (subject minus
+    clip). Returns a LIST of rings (concave ops legitimately produce
+    several)."""
+    aa, bb = _ccw(subject), _ccw(clip)
+    s_head, c_head = _gh_ring(aa), _gh_ring(bb)
+
+    # 1. find pairwise edge crossings, inserting paired nodes
+    s_orig = [nd for nd in _gh_vertices(s_head)]
+    c_orig = [nd for nd in _gh_vertices(c_head)]
+    n_inter = 0
+    for s_nd in s_orig:
+        # the original edge end is the next ORIGINAL vertex
+        for c_nd in c_orig:
+            a1, a2 = s_nd.pt, _next_orig(s_nd).pt
+            b1, b2 = c_nd.pt, _next_orig(c_nd).pt
+            denom = (a2[0] - a1[0]) * (b2[1] - b1[1]) - (a2[1] - a1[1]) * (
+                b2[0] - b1[0]
+            )
+            if denom == 0:
+                if _collinear_overlap(a1, a2, b1, b2):
+                    raise NotImplementedError(
+                        "general clip: collinear edge overlap (degenerate "
+                        "contact) — perturb the input or use GEOS/Sedona"
+                    )
+                continue
+            qpx, qpy = b1[0] - a1[0], b1[1] - a1[1]
+            t = (qpx * (b2[1] - b1[1]) - qpy * (b2[0] - b1[0])) / denom
+            u = (qpx * (a2[1] - a1[1]) - qpy * (a2[0] - a1[0])) / denom
+            if 0 < t < 1 and 0 < u < 1:
+                p = (a1[0] + t * (a2[0] - a1[0]), a1[1] + t * (a2[1] - a1[1]))
+                sn = _GHNode(p, True)
+                cn = _GHNode(p, True)
+                sn.neighbor, cn.neighbor = cn, sn
+                _gh_insert(s_nd, _next_orig(s_nd), sn, t)
+                _gh_insert(c_nd, _next_orig(c_nd), cn, u)
+                n_inter += 1
+            elif (0 <= t <= 1 and u in (0.0, 1.0)) or (
+                0 <= u <= 1 and t in (0.0, 1.0)
+            ):
+                raise NotImplementedError(
+                    "general clip: boundary crossing AT a vertex (tangent "
+                    "configuration) — perturb the input or use GEOS/Sedona"
+                )
+
+    # 2. no crossings: pure containment / disjoint cases
+    if n_inter == 0:
+        a_in_b = _contains(bb, aa[0])
+        b_in_a = _contains(aa, bb[0])
+        if op == "and":
+            return [aa] if a_in_b else [bb] if b_in_a else []
+        if op == "or":
+            return [bb] if a_in_b else [aa] if b_in_a else sorted([aa, bb])
+        if a_in_b:
+            return []
+        if b_in_a:
+            raise NotImplementedError(
+                "general difference: clip strictly inside subject produces "
+                "a polygon with a HOLE — unrepresentable in the ring model"
+            )
+        return [aa]
+
+    # 3. mark entry/exit: walking each ring, the inside/outside status
+    # w.r.t. the OTHER ring flips at every crossing
+    inside = _contains(bb, s_head.pt)
+    for nd in _gh_vertices(s_head):
+        if nd.is_inter:
+            inside = not inside
+            nd.entry = inside  # True: this crossing ENTERS the clip ring
+    inside = _contains(aa, c_head.pt)
+    for nd in _gh_vertices(c_head):
+        if nd.is_inter:
+            inside = not inside
+            nd.entry = inside
+
+    # 4. traversal rules per op (the GH table): at an entry crossing
+    # walk FORWARD along the current ring, at an exit walk BACKWARD —
+    # with per-op inversions of the entry flags (union inverts both;
+    # subject-minus-clip inverts the SUBJECT side)
+    s_invert = op in ("or", "sub")
+    c_invert = op in ("or",)
+
+    def _entry(nd: _GHNode, on_subject: bool) -> bool:
+        e = nd.entry
+        return (not e) if (s_invert if on_subject else c_invert) else e
+
+    out: list[list[Pt]] = []
+    inters = [nd for nd in _gh_vertices(s_head) if nd.is_inter]
+    for start in inters:
+        if start.visited:
+            continue
+        ring: list[Pt] = []
+        nd, on_subject = start, True
+        while True:
+            nd.visited = True
+            nd.neighbor.visited = True
+            forward = _entry(nd, on_subject)
+            step = 0
+            while True:
+                ring.append(nd.pt)
+                nd = nd.next if forward else nd.prev
+                step += 1
+                if nd.is_inter:
+                    break
+                if step > 10000:
+                    raise RuntimeError("general clip: traversal runaway")
+            nd = nd.neighbor
+            on_subject = not on_subject
+            if nd is start or nd.neighbor is start or nd.visited:
+                break
+        if len(ring) >= 3:
+            out.append(ring)
+    return _orient_boolean_outputs(out)
+
+
+def _orient_boolean_outputs(rings: list[list[Pt]]) -> list[list[Pt]]:
+    """Normalize boolean-op output orientation: outer rings CCW, rings
+    enclosed by an odd number of other output rings CW — a union that
+    encloses a cavity (a bar across a U) legitimately emits that cavity
+    as a clockwise HOLE ring, so SIGNED areas sum to the true covered
+    area and callers can tell holes by sign."""
+    out = []
+    for i, r in enumerate(rings):
+        probe = _point_on_surface(r) or r[0]
+        # only a STRICTLY larger ring can enclose this one (a probe that
+        # grazes a smaller sibling's boundary must not count)
+        depth = sum(
+            1
+            for j, o in enumerate(rings)
+            if j != i and _ring_area(o) > _ring_area(r) and _contains(o, probe)
+        )
+        ccw = _ccw(r)
+        out.append(list(reversed(ccw)) if depth % 2 else ccw)
+    return sorted(out)
+
+
+def _next_orig(nd: _GHNode) -> _GHNode:
+    cur = nd.next
+    while cur.is_inter:
+        cur = cur.next
+    return cur
+
+
+def _rings_to_rows(rings: list[list[Pt]]) -> list[list[dict]]:
+    return [_to_rows(r) for r in rings]
+
+
+def st_intersection_general_arrow(a: Column, b: Column) -> Column:
+    """General (concave-capable) polygon intersection — returns the
+    ring LIST (concave ∩ concave legitimately yields several)."""
+
+    @F.pandas_udf(_LINES_T)
+    def _ig_udf(s: pd.Series, c: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if ra is None or rb is None
+                else _rings_to_rows(_gh_clip(_to_pts(ra), _to_pts(rb), "and"))
+                for ra, rb in zip(s, c)
+            ]
+        )
+
+    return _ig_udf(a, b)
+
+
+def st_union_general_arrow(a: Column, b: Column) -> Column:
+    """General polygon union (disjoint inputs return both rings)."""
+
+    @F.pandas_udf(_LINES_T)
+    def _ug_udf(s: pd.Series, c: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if ra is None or rb is None
+                else _rings_to_rows(_gh_clip(_to_pts(ra), _to_pts(rb), "or"))
+                for ra, rb in zip(s, c)
+            ]
+        )
+
+    return _ug_udf(a, b)
+
+
+def st_difference_general_arrow(a: Column, b: Column) -> Column:
+    """General polygon difference a ∖ b (strictly-contained b = hole,
+    fails loud like the convex kernel)."""
+
+    @F.pandas_udf(_LINES_T)
+    def _dg_udf(s: pd.Series, c: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if ra is None or rb is None
+                else _rings_to_rows(_gh_clip(_to_pts(ra), _to_pts(rb), "sub"))
+                for ra, rb in zip(s, c)
+            ]
+        )
+
+    return _dg_udf(a, b)

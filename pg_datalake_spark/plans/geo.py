@@ -1494,3 +1494,99 @@ def geo15(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.element_at("sq_fixed", 1) == F.col("square"))
         ).cast("int").alias("square_identity"),
     )
+
+
+@register(
+    "geo16_general_boolean_ops",
+    oracle="""
+    WITH g AS (
+      SELECT n_nationkey AS nk,
+             CAST(1 + n_nationkey % 3 AS DOUBLE) AS h
+      FROM nation
+    )
+    SELECT nk,
+           CAST(2 AS INT) AS i_n,
+           round(4 * h * h, 6) AS i_area,
+           CAST(2 AS INT) AS u_n,
+           round(22 * h * h, 6) AS u_area,
+           round(-2 * h * h, 6) AS u_hole,
+           CAST(3 AS INT) AS d_n,
+           round(14 * h * h, 6) AS d_area,
+           round(10 * h * h, 6) AS d_max
+    FROM g
+    """,
+)
+def geo16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERAL (concave) polygon boolean ops (r10;
+    spatial_arrow._gh_clip — Greiner–Hormann 1998; reference
+    shippable_spatial_functions.c ST_Intersection / ST_Union /
+    ST_Difference on arbitrary polygons, the last big item of the
+    delegated-GEOS list). Per nation row, a U-shape of unit h (outer
+    6h×4h minus the [2h,4h]×[h,4h] notch, area 18h²) against a
+    horizontal bar ([-h,7h]×[2h,3h], area 8h²) crossing both arms:
+
+    - INTERSECTION: two disjoint arm slices (multi-ring output), total
+      4h²;
+    - UNION: an outer ring PLUS the enclosed cavity as a CLOCKWISE
+      hole ring — signed areas sum to 18h²+8h²-4h² = 22h², the hole
+      alone is -2h²;
+    - DIFFERENCE: three pieces (bottom 10h² + two arm tips 2h² each)
+      summing to 14h².
+
+    All values are closed-form in h, and the kernel itself is pinned
+    by 400 random convex cross-checks against the independent
+    Sutherland–Hodgman kernel in pytest."""
+    from pg_datalake_spark.functions import spatial_arrow as SA
+
+    t = load_tables(spark, sf_dir, ["nation"])
+    base = t["nation"].select(
+        F.col("n_nationkey").cast("int").alias("nk"),
+        (1 + F.col("n_nationkey") % 3).cast("double").alias("h"),
+        (F.col("n_nationkey") % 7).cast("double").alias("cx"),
+        (F.col("n_nationkey") * 3 % 5).cast("double").alias("cy"),
+    )
+    h, cx, cy = F.col("h"), F.col("cx"), F.col("cy")
+
+    def pt(xm, ym):
+        return S.st_point(cx + xm * h, cy + ym * h)
+
+    u_ring = F.array(
+        pt(0, 0), pt(6, 0), pt(6, 4), pt(4, 4),
+        pt(4, 1), pt(2, 1), pt(2, 4), pt(0, 4),
+    )
+    bar = F.array(pt(-1, 2), pt(7, 2), pt(7, 3), pt(-1, 3))
+    staged = base.select(
+        "nk",
+        SA.st_intersection_general_arrow(u_ring, bar).alias("i"),
+        SA.st_union_general_arrow(u_ring, bar).alias("u"),
+        SA.st_difference_general_arrow(u_ring, bar).alias("d"),
+    )
+
+    def ssum(col):
+        return F.aggregate(
+            F.col(col), F.lit(0.0), lambda acc, r: acc + S.st_area_signed(r)
+        )
+
+    def smin(col):
+        return F.aggregate(
+            F.col(col), F.lit(0.0),
+            lambda acc, r: F.least(acc, S.st_area_signed(r)),
+        )
+
+    def smax(col):
+        return F.aggregate(
+            F.col(col), F.lit(0.0),
+            lambda acc, r: F.greatest(acc, S.st_area_signed(r)),
+        )
+
+    return staged.select(
+        "nk",
+        F.size("i").alias("i_n"),
+        F.round(ssum("i"), 6).alias("i_area"),
+        F.size("u").alias("u_n"),
+        F.round(ssum("u"), 6).alias("u_area"),
+        F.round(smin("u"), 6).alias("u_hole"),
+        F.size("d").alias("d_n"),
+        F.round(ssum("d"), 6).alias("d_area"),
+        F.round(smax("d"), 6).alias("d_max"),
+    )

@@ -758,3 +758,70 @@ def test_makevalid_bowtie_and_guards():
     if len(SA._self_intersections(star)) > 1:
         with _pt.raises(NotImplementedError, match="self-intersections"):
             SA._make_valid(star)
+
+
+def test_general_boolean_ops_concave_and_random_crosscheck():
+    """r10: Greiner–Hormann general clip. Planted concave shapes pin
+    multi-ring outputs and hole orientation; 400 random convex pairs
+    cross-check intersection against the INDEPENDENT Sutherland–
+    Hodgman kernel and union/difference against the area identities."""
+    import math
+    import random
+
+    from pg_datalake_spark.functions import spatial_arrow as SA
+
+    def sa(rings):
+        return sorted(round(SA._signed_area2(r) / 2, 9) for r in rings)
+
+    U = [(0, 0), (6, 0), (6, 4), (4, 4), (4, 1), (2, 1), (2, 4), (0, 4)]
+    BAR = [(-1, 2), (7, 2), (7, 3), (-1, 3)]
+    assert sa(SA._gh_clip(U, BAR, "and")) == [2.0, 2.0]  # two arm slices
+    uu = sa(SA._gh_clip(U, BAR, "or"))
+    assert uu == [-2.0, 24.0] and sum(uu) == 22.0  # CW hole + CCW outer
+    dd = sa(SA._gh_clip(U, BAR, "sub"))
+    assert dd == [2.0, 2.0, 10.0] and sum(dd) == 14.0  # three pieces
+    # concave subject against a convex clip
+    L = [(0, 0), (2, 0), (2, 1), (1, 1), (1, 2), (0, 2)]
+    SQ = [(0.5, 0.5), (3, 0.5), (3, 3), (0.5, 3)]
+    assert sa(SA._gh_clip(L, SQ, "and")) == [1.25]
+    assert abs(sum(sa(SA._gh_clip(L, SQ, "sub"))) - 1.75) < 1e-9
+    # containment / disjoint short-circuits
+    SM = [(1.2, 0.2), (1.8, 0.2), (1.8, 0.8), (1.2, 0.8)]
+    assert sa(SA._gh_clip(L, SM, "and")) == [round(SA._ring_area(SM), 9)]
+    DIS = [(10, 10), (11, 10), (11, 11), (10, 11)]
+    assert SA._gh_clip(L, DIS, "and") == []
+    assert sum(sa(SA._gh_clip(L, DIS, "or"))) == 4.0  # both rings, no hole
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError, match="HOLE"):
+        SA._gh_clip(L, SM, "sub")
+    with _pt.raises(NotImplementedError):
+        # shared collinear edge = degenerate contact
+        SA._gh_clip(L, [(2, 0), (4, 0), (4, 2), (2, 2)], "or")
+
+    random.seed(7)
+
+    def rand_convex(cx, cy, r, k):
+        angs = sorted(random.uniform(0, 2 * math.pi) for _ in range(k))
+        return [(cx + r * math.cos(a), cy + r * math.sin(a)) for a in angs]
+
+    checked = 0
+    for _ in range(400):
+        P = rand_convex(0, 0, 2.0, random.randint(3, 8))
+        Q = rand_convex(
+            random.uniform(-1.5, 1.5), random.uniform(-1.5, 1.5), 2.0,
+            random.randint(3, 8),
+        )
+        try:
+            a_gh = sum(SA._signed_area2(r) / 2 for r in SA._gh_clip(P, Q, "and"))
+            a_un = sum(SA._signed_area2(r) / 2 for r in SA._gh_clip(P, Q, "or"))
+            a_df = sum(SA._signed_area2(r) / 2 for r in SA._gh_clip(P, Q, "sub"))
+        except NotImplementedError:
+            continue  # vertex-grazing random pair: out of clean-crossing scope
+        a_sh = SA._ring_area(SA._sh_clip(P, Q))
+        aP, aQ = SA._ring_area(P), SA._ring_area(Q)
+        assert abs(a_gh - a_sh) < 1e-9
+        assert abs(a_un - (aP + aQ - a_sh)) < 1e-9
+        assert abs(a_df - (aP - a_sh)) < 1e-9
+        checked += 1
+    assert checked > 350  # degenerate skips must stay rare
