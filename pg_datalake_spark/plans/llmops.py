@@ -310,6 +310,31 @@ def v04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf.ivf_topk(emb, centroids, list(qv), k=10, nprobe=3)
 
 
+@register("v07_pq_adc_topk")  # rows-only: k-means codebook training is
+# iterative/float-order-sensitive, not SQL-expressible; the recall and
+# self-hit contracts are pinned in tests/test_operators.py (pq_*)
+def v07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN (operators/pq.py; Jégou et al. 2011):
+    per-subspace k-means codebooks trained on a bounded deterministic
+    sample, the corpus compressed to m one-byte codes per vector in a
+    single Arrow pass, and asymmetric-distance top-k where each
+    candidate's score is m lookup-table reads — the compression tier
+    of the ANN family (brute v01 / LSH v03 / IVF v04). 64-dim floats
+    (256 B) become 8 bytes here: the 32× shrink that makes
+    billion-vector scans RAM-resident at 100 TB corpus scale."""
+    from pg_datalake_spark.operators import pq
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t["embeddings"]
+    books = pq.train_pq_codebooks(emb, m=8, k=16, sample=512)
+    enc = pq.pq_encode(emb, books)
+    qs = [
+        (int(r.vec_id), list(r.embedding))
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    return pq.pq_adc_topk(enc, books, qs, topk=10)
+
+
 @register(
     "x02_salted_hot_key_agg",
     oracle="""

@@ -1076,3 +1076,70 @@ def test_lsh_hot_bucket_scale_probe(spark):
     assert got == cap * n - cap * (cap + 1) // 2
     print(f"\nLSH hot-bucket probe: n={n}, cap={cap}, "
           f"{got} pairs in {wall:.1f}s")
+
+
+def test_pq_planted_cluster_recall_and_self_hit(spark):
+    """r10: product quantization (operators/pq.py). On PLANTED
+    clustered vectors (where quantization must shine — cluster members
+    share codes) ADC recall@10 vs exact brute force is high; on any
+    corpus, a query that IS an indexed vector must retrieve itself
+    (code identity); codes are m bytes with values < k."""
+    import numpy as np
+
+    from pg_datalake_spark.operators import pq
+    from pg_datalake_spark.operators.similarity import cosine_topk
+
+    rng = np.random.RandomState(3)
+    centers = rng.normal(size=(32, 64)) * 10
+    rows = []
+    for i in range(512):
+        c = i % 32
+        v = centers[c] + rng.normal(size=64) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    books = pq.train_pq_codebooks(emb, m=8, k=16, sample=512)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    enc = pq.pq_encode(emb, books).persist()
+    codes = {r.vec_id: r.pq_code for r in enc.collect()}
+    assert all(len(c) == 8 and max(c) < 16 and min(c) >= 0 for c in codes.values())
+
+    qs = [(i, rows[i][1]) for i in (0, 7, 130, 301)]
+    approx = pq.pq_adc_topk(enc, books, qs, topk=10).collect()
+    got: dict = {}
+    for r in approx:
+        got.setdefault(r.q_id, set()).add(r.vec_id)
+    recalls = []
+    for q_id, qv in qs:
+        exact = {r.vec_id for r in cosine_topk(emb, qv, k=10).collect()}
+        recalls.append(len(got[q_id] & exact) / 10)
+        assert q_id in got[q_id]  # self-hit: identical code wins
+        # the REAL PQ guarantee on planted data: every retrieved
+        # neighbor is from the query's true cluster (cluster members
+        # share codes, so within-cluster order is tie-broken by id and
+        # strict recall@10 vs the exact ORDER is structurally ~0.6 —
+        # pigeonhole floor 0.4 over a 16-member cluster)
+        assert all(v % 32 == q_id % 32 for v in got[q_id]), (q_id, got[q_id])
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+    enc.unpersist()
+
+
+def test_pq_guards_and_determinism(spark):
+    from pg_datalake_spark.operators import pq
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not divisible"):
+        pq.train_pq_codebooks(emb, m=2, k=4)
+    # same seed + same sample -> identical codebooks (driver determinism)
+    emb64 = spark.createDataFrame(
+        [(i, [float((i * j) % 7) for j in range(8)]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    b1 = pq.train_pq_codebooks(emb64, m=4, k=4, sample=50)
+    b2 = pq.train_pq_codebooks(emb64, m=4, k=4, sample=50)
+    assert b1 == b2
