@@ -907,6 +907,15 @@ def _gh_clip(subject: list[Pt], clip: list[Pt], op: str) -> list[list[Pt]]:
     clip). Returns a LIST of rings (concave ops legitimately produce
     several)."""
     aa, bb = _ccw(subject), _ccw(clip)
+    # garbage-in guard: entry/exit marking assumes SIMPLE rings — a
+    # self-intersecting input silently yields nonsense regions, so
+    # detect it (O(n²) on ring-sized n) and fail loud toward makevalid
+    for r in (aa, bb):
+        if _self_intersections(r):
+            raise ValueError(
+                "general clip: input ring is self-intersecting — repair it "
+                "first (st_makevalid)"
+            )
     s_head, c_head = _gh_ring(aa), _gh_ring(bb)
 
     # 1. find pairwise edge crossings, inserting paired nodes

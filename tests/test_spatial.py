@@ -799,6 +799,10 @@ def test_general_boolean_ops_concave_and_random_crosscheck():
         # shared collinear edge = degenerate contact
         SA._gh_clip(L, [(2, 0), (4, 0), (4, 2), (2, 2)], "or")
 
+    # self-intersecting input = garbage-in: guarded, points at makevalid
+    with _pt.raises(ValueError, match="self-intersecting"):
+        SA._gh_clip([(0, 0), (2, 2), (2, 0), (0, 2)], SQ, "and")
+
     random.seed(7)
 
     def rand_convex(cx, cy, r, k):
@@ -825,3 +829,37 @@ def test_general_boolean_ops_concave_and_random_crosscheck():
         assert abs(a_df - (aP - a_sh)) < 1e-9
         checked += 1
     assert checked > 350  # degenerate skips must stay rare
+
+    # CONCAVE sweep: random star-shaped (one radius per sorted angle ->
+    # always simple, usually concave) pairs must satisfy the boolean
+    # area identities across all three ops — internal consistency no
+    # single-op bug can fake
+    def rand_star(cx, cy, k):
+        angs = sorted(random.uniform(0, 2 * math.pi) for _ in range(k))
+        out = []
+        for a in angs:
+            r = random.uniform(0.5, 2.5)
+            out.append((cx + r * math.cos(a), cy + r * math.sin(a)))
+        return out
+
+    checked_cc = 0
+    for _ in range(300):
+        P = rand_star(0, 0, random.randint(5, 10))
+        Q = rand_star(
+            random.uniform(-1.5, 1.5), random.uniform(-1.5, 1.5),
+            random.randint(5, 10),
+        )
+        try:
+            ai = sum(SA._signed_area2(r) / 2 for r in SA._gh_clip(P, Q, "and"))
+            au = sum(SA._signed_area2(r) / 2 for r in SA._gh_clip(P, Q, "or"))
+            ad = sum(SA._signed_area2(r) / 2 for r in SA._gh_clip(P, Q, "sub"))
+            ad2 = sum(SA._signed_area2(r) / 2 for r in SA._gh_clip(Q, P, "sub"))
+        except (NotImplementedError, ValueError, RuntimeError):
+            continue  # degenerate contact fails loud, never silently wrong
+        aP, aQ = SA._ring_area(P), SA._ring_area(Q)
+        assert ai >= -1e-9
+        assert abs(au - (aP + aQ - ai)) < 1e-9
+        assert abs(ad - (aP - ai)) < 1e-9
+        assert abs(ad2 - (aQ - ai)) < 1e-9
+        checked_cc += 1
+    assert checked_cc > 230  # loud-fail skips must stay the minority
