@@ -725,6 +725,7 @@ def write_delta_table(
     location: str,
     partition_by: list[str] | None = None,
     column_mapping: bool | str = False,
+    configuration: dict[str, str] | None = None,
 ) -> int:
     """Create a Delta table at ``location`` (commit 0: protocol +
     metaData + adds). Returns the committed version.
@@ -740,7 +741,7 @@ def write_delta_table(
     data files (``spark.sql.parquet.fieldId.write.enabled``) and sets
     mode "id" — the reader then binds by field id, not name."""
     os.makedirs(location, exist_ok=True)
-    configuration: dict[str, str] = {}
+    configuration = dict(configuration or {})
     proto_ver = {"minReaderVersion": 1, "minWriterVersion": 2}
     schema = df.schema
     if column_mapping:
@@ -762,10 +763,12 @@ def write_delta_table(
                 for i, f in enumerate(schema.fields)
             ]
         )
-        configuration = {
-            "delta.columnMapping.mode": cm_mode,
-            "delta.columnMapping.maxColumnId": str(len(schema.fields)),
-        }
+        configuration.update(
+            {
+                "delta.columnMapping.mode": cm_mode,
+                "delta.columnMapping.maxColumnId": str(len(schema.fields)),
+            }
+        )
         proto_ver = {"minReaderVersion": 2, "minWriterVersion": 5}
         id_meta = (
             {f.name: {"parquet.field.id": i + 1} for i, f in enumerate(df.schema.fields)}
@@ -926,6 +929,14 @@ def delete_where_delta(
     remove so vacuum can reclaim superseded sidecars."""
     location = _norm_location(location)
     state = _snapshot_state(spark, location, None)
+    cfg = (state["metaData"] or {}).get("configuration") or {}
+    if cfg.get("delta.appendOnly", "").lower() == "true":
+        # PROTOCOL.md table property: appendOnly tables reject DELETE /
+        # UPDATE (OPTIMIZE's dataChange=false rearrangements stay legal)
+        raise PermissionError(
+            f"table {location} has delta.appendOnly=true: DELETE is not "
+            "allowed (unset the property to mutate)"
+        )
     if mode == "dv":
         return _delete_where_dv(spark, location, state, predicate, inline_threshold)
     if mode != "cow":

@@ -1094,3 +1094,26 @@ def test_txn_watermark_idempotent_append(spark, tmp_path):
     assert dl.append_delta(b1, loc, txn_app_id="app", txn_version=1) == cv + 1
     with pytest.raises(ValueError, match="together"):
         dl.append_delta(b1, loc, txn_app_id="app")
+
+
+def test_append_only_table_rejects_delete_allows_append_and_optimize(spark, tmp_path):
+    """r10: the delta.appendOnly table property (PROTOCOL.md) — DELETE
+    refuses on both COW and DV paths; appends and OPTIMIZE's
+    dataChange=false rearrangement stay legal."""
+    loc = str(tmp_path / "ao")
+    dl.write_delta_table(
+        spark.createDataFrame([(i,) for i in range(50)], "id long").repartition(4),
+        loc,
+        configuration={"delta.appendOnly": "true"},
+    )
+    dl.append_delta(spark.createDataFrame([(50,)], "id long"), loc)
+    for mode in ("cow", "dv"):
+        with pytest.raises(PermissionError, match="appendOnly"):
+            dl.delete_where_delta(spark, loc, "id < 5", mode=mode)
+    v = dl.optimize_delta(spark, loc, target_file_mb=128)
+    assert v == 2
+    assert dl.read_delta_table(spark, loc).count() == 51
+    # the property survives checkpoint-seeded replay
+    dl.write_delta_checkpoint(spark, loc)
+    state = dl._snapshot_state(spark, loc, None)
+    assert state["metaData"]["configuration"]["delta.appendOnly"] == "true"
