@@ -131,6 +131,21 @@ __all__ = [
     "st_zmflag",
     "st_force2d",
     "st_area_signed",
+    # final name-parity tier (round 10): every remaining reference name
+    "st_asbinary",
+    "st_geometryfromtext_point",
+    "st_geometryfromtext_line",
+    "st_geometryfromtext_polygon",
+    "st_makepolygon",
+    "st_point_on_boundary",
+    "st_covers",
+    "st_coveredby",
+    "st_covers_ring",
+    "st_coveredby_ring",
+    "st_collectionextract",
+    "st_force3dz",
+    "st_force3dm",
+    "st_force4d",
 ]
 
 
@@ -1800,3 +1815,125 @@ def st_area_signed(ring: Column) -> Column:
     (spatial_arrow._gh_clip) emit holes as clockwise rings, so signed
     areas sum to the true covered area across an output ring list."""
     return _signed_area2(ring) / 2
+
+
+# --- final name-parity tier (round 10) ---------------------------------------
+# Reference surface: pg_lake_engine/src/pgduck/shippable_spatial_functions.c.
+# These close the last reference names not yet present under any repo
+# spelling: st_asbinary, st_geometryfromtext, st_makepolygon,
+# st_covers/st_coveredby, st_collectionextract, st_force3dz/3dm/4d.
+# Every one stays closed-form Column algebra on the struct model except
+# st_asbinary (the existing Arrow-vectorized WKB boundary codec).
+
+# PostGIS aliases: ST_AsBinary ≡ ST_AsWKB, ST_GeometryFromText ≡
+# ST_GeomFromText (per typed variant — geometry typing is static per
+# column in this model).
+st_asbinary = st_aswkb
+
+
+def st_geometryfromtext_point(txt: Column) -> Column:
+    """Alias of :func:`st_geomfromtext_point` (PostGIS long-form name)."""
+    return st_geomfromtext_point(txt)
+
+
+def st_geometryfromtext_line(txt: Column) -> Column:
+    """Alias of :func:`st_geomfromtext_line` (PostGIS long-form name)."""
+    return st_geomfromtext_line(txt)
+
+
+def st_geometryfromtext_polygon(txt: Column) -> Column:
+    """Alias of :func:`st_geomfromtext_polygon` (PostGIS long-form name)."""
+    return st_geomfromtext_polygon(txt)
+
+
+def st_makepolygon(line: Column) -> Column:
+    """Polygon from a linestring shell. PostGIS requires a CLOSED input
+    with >= 4 vertices and errors otherwise; Column algebra cannot
+    raise per-row, so invalid shells (fewer than 3 vertices) map to
+    null and an open shell of >= 3 vertices is closed implicitly (the
+    module-wide open/closed-ring convention, see st_exteriorring)."""
+    return F.when(line.isNull() | (F.size(line) < 3), F.lit(None)).otherwise(
+        st_exteriorring(line)
+    )
+
+
+def st_point_on_boundary(ring: Column, p: Column) -> Column:
+    """TRUE iff point p lies exactly on an edge of the (implicitly
+    closed) ring — the boundary half of the covers/contains split."""
+    return F.exists(
+        _closed_edges(ring),
+        lambda e: (_cross(e["a"], e["b"], p) == 0)
+        & _on_segment(e["a"], e["b"], p),
+    )
+
+
+def st_covers(ring: Column, p: Column) -> Column:
+    """ST_Covers(polygon, point): boundary-INCLUSIVE containment —
+    exactly where it differs from :func:`st_contains` (whose boundary
+    behaviour is implementation-defined ray-casting)."""
+    return st_point_on_boundary(ring, p) | st_contains(ring, p)
+
+
+def st_coveredby(p: Column, ring: Column) -> Column:
+    """ST_CoveredBy(point, polygon) — argument-flipped st_covers."""
+    return st_covers(ring, p)
+
+
+def st_covers_ring(ring_a: Column, ring_b: Column) -> Column:
+    """ST_Covers for simple (hole-free) rings: every vertex of B is
+    inside or on the boundary of A, and no edge of B PROPERLY crosses
+    an edge of A (shared/touching boundaries allowed — the distinction
+    from st_containsproperly). Proper crossing = the interiors of two
+    edges intersect, detected as strict opposite orientation on both
+    sides."""
+    ea, eb = _closed_edges(ring_a), _closed_edges(ring_b)
+
+    def proper_cross(e1: Column, e2: Column) -> Column:
+        d1 = _cross(e2["a"], e2["b"], e1["a"])
+        d2 = _cross(e2["a"], e2["b"], e1["b"])
+        d3 = _cross(e1["a"], e1["b"], e2["a"])
+        d4 = _cross(e1["a"], e1["b"], e2["b"])
+        return (
+            (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0)))
+            & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+        )
+
+    crossing = F.exists(ea, lambda e1: F.exists(eb, lambda e2: proper_cross(e1, e2)))
+    all_in = F.forall(ring_b, lambda v: st_covers(ring_a, v))
+    return all_in & ~crossing
+
+
+def st_coveredby_ring(ring_b: Column, ring_a: Column) -> Column:
+    """ST_CoveredBy for simple rings — argument-flipped st_covers_ring."""
+    return st_covers_ring(ring_a, ring_b)
+
+
+def st_collectionextract(coll: Column, dim: int) -> Column:
+    """Members of a geometry collection (array of vertex sequences)
+    whose topological dimension matches ``dim`` (0=points, 1=lines,
+    2=polygons) — PostGIS ST_CollectionExtract with the type argument
+    mapped to dimension. Null collection → null."""
+    return F.filter(coll, lambda g: st_dimension_seq(g) == F.lit(dim))
+
+
+def st_force3dz(p: Column, z: Column | None = None) -> Column:
+    """Force a 2D point to XYZ; missing Z defaults to 0 (PostGIS).
+    The result carries a real ``z`` field, so ``geom["z"]`` reads it
+    back (the static-schema analog of ST_Z on a 3D geometry)."""
+    zc = F.lit(0.0) if z is None else z.cast("double")
+    return F.struct(p["x"].alias("x"), p["y"].alias("y"), zc.alias("z"))
+
+
+def st_force3dm(p: Column, m: Column | None = None) -> Column:
+    """Force a 2D point to XYM; missing M defaults to 0 (PostGIS)."""
+    mc = F.lit(0.0) if m is None else m.cast("double")
+    return F.struct(p["x"].alias("x"), p["y"].alias("y"), mc.alias("m"))
+
+
+def st_force4d(p: Column, z: Column | None = None, m: Column | None = None) -> Column:
+    """Force a 2D point to XYZM; missing ordinates default to 0."""
+    zc = F.lit(0.0) if z is None else z.cast("double")
+    mc = F.lit(0.0) if m is None else m.cast("double")
+    return F.struct(
+        p["x"].alias("x"), p["y"].alias("y"), zc.alias("z"), mc.alias("m")
+    )

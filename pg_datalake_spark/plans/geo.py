@@ -1590,3 +1590,152 @@ def geo16(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ssum("d"), 6).alias("d_area"),
         F.round(smax("d"), 6).alias("d_max"),
     )
+
+
+@register(
+    "geo17_name_parity_tier",
+    oracle="""
+    WITH g AS (
+      SELECT n_nationkey AS nk,
+             CAST(1 + n_nationkey % 3 AS DOUBLE) AS h,
+             CAST(n_nationkey % 7 AS DOUBLE) AS cx,
+             CAST(n_nationkey * 3 % 5 AS DOUBLE) AS cy
+      FROM nation
+    )
+    SELECT nk,
+           CAST(5 AS INT) AS mkpoly_n,
+           round(4 * h * h, 6) AS mkpoly_area,
+           TRUE AS mkpoly_null,
+           TRUE AS cov_corner,
+           TRUE AS cov_center,
+           FALSE AS cov_out,
+           TRUE AS covby_corner,
+           TRUE AS covr_in,
+           TRUE AS covr_edge,
+           FALSE AS covr_ov,
+           TRUE AS covbyr_in,
+           CAST(1 AS INT) AS ce_pts,
+           CAST(1 AS INT) AS ce_lines,
+           CAST(1 AS INT) AS ce_polys,
+           h AS f3z_z,
+           CAST(0.0 AS DOUBLE) AS f3m_m,
+           CAST(0.0 AS DOUBLE) AS f4d_z,
+           h AS f4d_m,
+           CAST(21 AS INT) AS wkb_len,
+           cx AS wkb_rt_x,
+           cx AS gft_x,
+           cy AS gft_y
+    FROM g
+    """,
+)
+def geo17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FINAL spatial name-parity tier (r10). Closes the last reference
+    names (pg_lake_engine/src/pgduck/shippable_spatial_functions.c)
+    that had no repo spelling: st_makepolygon, st_covers/st_coveredby
+    (point and simple-ring forms — the boundary-INCLUSIVE split from
+    st_contains/st_containsproperly), st_collectionextract,
+    st_force3dz/st_force3dm/st_force4d, st_asbinary (WKB boundary
+    codec + roundtrip), st_geometryfromtext. Per nation row, on the
+    open square of half-width h at (cx, cy):
+
+    - st_makepolygon closes the 4-vertex shell (5 vertices, area 4h²)
+      and maps a 2-vertex shell to null;
+    - st_covers is TRUE on the corner vertex (exactly ON the boundary,
+      where st_contains is implementation-defined), TRUE strictly
+      inside, FALSE outside; st_coveredby mirrors it;
+    - st_covers_ring accepts an inner half-square AND a square sharing
+      A's right edge from inside (shared boundary allowed — the
+      distinction from st_containsproperly), rejects a half-overlapping
+      square;
+    - st_collectionextract splits a mixed collection [point, open
+      3-path, closed shell] by dimension 0/1/2;
+    - st_force3dz/3dm/4d materialize real z/m fields (default 0,
+      explicit h) readable as geom["z"]/geom["m"];
+    - st_asbinary emits 21-byte WKB points that st_geomfromwkb
+      round-trips; st_geometryfromtext_point parses WKT back exactly.
+
+    Every value is independently derivable in plain SQL (oracle above).
+    All Column algebra runs in whole-stage codegen; the only Arrow
+    exchange is the WKB boundary codec pair.
+    """
+    t = load_tables(spark, sf_dir, ["nation"])
+    base = t["nation"].select(
+        F.col("n_nationkey").cast("int").alias("nk"),
+        (1 + F.col("n_nationkey") % 3).cast("double").alias("h"),
+        (F.col("n_nationkey") % 7).cast("double").alias("cx"),
+        (F.col("n_nationkey") * 3 % 5).cast("double").alias("cy"),
+    )
+    h, cx, cy = F.col("h"), F.col("cx"), F.col("cy")
+    g = h / 2
+    square = F.array(  # open 4-vertex shell of A
+        S.st_point(cx - h, cy - h), S.st_point(cx + h, cy - h),
+        S.st_point(cx + h, cy + h), S.st_point(cx - h, cy + h),
+    )
+    two = F.slice(square, F.lit(1), F.lit(2))
+    corner = S.st_point(cx + h, cy + h)
+    center = S.st_point(cx, cy)
+    outside = S.st_point(cx + 3 * h, cy)
+    inner = F.array(  # half-width g, strictly inside A
+        S.st_point(cx - g, cy - g), S.st_point(cx + g, cy - g),
+        S.st_point(cx + g, cy + g), S.st_point(cx - g, cy + g),
+    )
+    edge_shared = F.array(  # right edge ON A's right edge
+        S.st_point(cx, cy - g), S.st_point(cx + h, cy - g),
+        S.st_point(cx + h, cy + g), S.st_point(cx, cy + g),
+    )
+    overlapping = F.array(  # centered at (cx+h, cy): sticks out of A
+        S.st_point(cx, cy - h), S.st_point(cx + 2 * h, cy - h),
+        S.st_point(cx + 2 * h, cy + h), S.st_point(cx, cy + h),
+    )
+    line3 = F.array(
+        S.st_point(cx, cy), S.st_point(cx + 1, cy + 1), S.st_point(cx + 2, cy),
+    )
+    point1 = F.array(S.st_point(cx, cy))
+    shell = S.st_makepolygon(square)
+    coll = F.array(point1, line3, shell)
+    wkt = F.concat(
+        F.lit("POINT ("), cx.cast("string"), F.lit(" "), cy.cast("string"),
+        F.lit(")"),
+    )
+    staged = base.select(
+        "nk", "h", "cx", "cy",
+        shell.alias("shell"),
+        S.st_makepolygon(two).alias("mk2"),
+        square.alias("square"),
+        coll.alias("coll"),
+        corner.alias("corner"), center.alias("center"),
+        outside.alias("outside"),
+        inner.alias("inner"), edge_shared.alias("edge_shared"),
+        overlapping.alias("overlapping"),
+        S.st_force3dz(center, h).alias("p3z"),
+        S.st_force3dm(center).alias("p3m"),
+        S.st_force4d(center, m=h).alias("p4d"),
+        S.st_asbinary(S.st_x(center), S.st_y(center)).alias("wkb"),
+        wkt.alias("wkt"),
+    )
+    sq = F.col("square")
+    return staged.select(
+        "nk",
+        S.st_npoints(F.col("shell")).alias("mkpoly_n"),
+        F.round(S.st_area(F.col("shell")), 6).alias("mkpoly_area"),
+        F.col("mk2").isNull().alias("mkpoly_null"),
+        S.st_covers(sq, F.col("corner")).alias("cov_corner"),
+        S.st_covers(sq, F.col("center")).alias("cov_center"),
+        S.st_covers(sq, F.col("outside")).alias("cov_out"),
+        S.st_coveredby(F.col("corner"), sq).alias("covby_corner"),
+        S.st_covers_ring(sq, F.col("inner")).alias("covr_in"),
+        S.st_covers_ring(sq, F.col("edge_shared")).alias("covr_edge"),
+        S.st_covers_ring(sq, F.col("overlapping")).alias("covr_ov"),
+        S.st_coveredby_ring(F.col("inner"), sq).alias("covbyr_in"),
+        F.size(S.st_collectionextract(F.col("coll"), 0)).alias("ce_pts"),
+        F.size(S.st_collectionextract(F.col("coll"), 1)).alias("ce_lines"),
+        F.size(S.st_collectionextract(F.col("coll"), 2)).alias("ce_polys"),
+        F.col("p3z")["z"].alias("f3z_z"),
+        F.col("p3m")["m"].alias("f3m_m"),
+        F.col("p4d")["z"].alias("f4d_z"),
+        F.col("p4d")["m"].alias("f4d_m"),
+        F.length(F.col("wkb")).cast("int").alias("wkb_len"),
+        S.st_x(S.st_geomfromwkb(F.col("wkb"))).alias("wkb_rt_x"),
+        S.st_x(S.st_geometryfromtext_point(F.col("wkt"))).alias("gft_x"),
+        S.st_y(S.st_geometryfromtext_point(F.col("wkt"))).alias("gft_y"),
+    )
