@@ -328,3 +328,170 @@ def src08(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("bal_cents"),
         )
     )
+
+
+@register(
+    "src09_gdal_dispatch",
+    oracle="""
+    SELECT 'zipshp' AS src, c_mktsegment, count(*) AS n,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer WHERE c_custkey % 20 = 6 GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'kmz' AS src, c_mktsegment, count(*) AS n,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer WHERE c_custkey % 20 = 7 GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'seq' AS src, c_mktsegment, count(*) AS n,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer WHERE c_custkey % 20 = 8 GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'gz' AS src, c_mktsegment, count(*) AS n,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer WHERE c_custkey % 20 = 9 GROUP BY c_mktsegment
+    """,
+)
+def src09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``format 'gdal'`` OPTION surface (r10;
+    sources/gdal_dispatch.read_gdal) — the reference's
+    compression/zip_path inference table driven end-to-end
+    (docs/file-formats-reference.md:96-138: compression gzip/zip/none
+    inferred from extension, zip_path member selection, .kmz, the
+    GeoJSONSeq .geojsonl form). Four archive arms, each a distinct
+    dispatch path:
+
+    - zipshp: a shapefile (.shp+.dbf) zipped, read via
+      ``zip_path='pts.shp'`` (sidecars staged automatically);
+    - kmz: a KML document zipped as .kmz (compression='zip' inferred,
+      inner .kml auto-detected);
+    - seq: newline-delimited GeoJSONSeq — Spark-native splittable json
+      read (the scale path of the GeoJSON family);
+    - gz: a .geojson.gz (compression='gzip' inferred, inner extension
+      re-dispatched).
+
+    DuckDB recomputes all four splits from the source parquet, never
+    seeing archives. Balances hash as exact CENTS."""
+    import gzip as _gz
+    import zipfile as _zf
+
+    from pg_datalake_spark.sources.gdal_dispatch import read_gdal
+    from pg_datalake_spark.sources.geo_files import (
+        write_geojson,
+        write_geojson_seq,
+        write_kml_points,
+        write_point_shapefile,
+    )
+
+    cust = load_tables(spark, sf_dir, ["customer"])["customer"]
+    d = tempfile.mkdtemp(prefix="src09_")
+
+    def sample(mod_val: int) -> list:
+        return (
+            cust.filter(F.col("c_custkey") % 20 == mod_val)
+            .select("c_acctbal", "c_custkey", "c_mktsegment")
+            .collect()
+        )  # fixture-sized sample (|customer|/20 rows), builds the archives
+
+    # zipshp arm: shapefile pair zipped with a decoy member, selected
+    # by zip_path (exercises sidecar staging + member selection)
+    fields = [("key", "N", 12, 0), ("seg", "C", 12, 0)]
+    write_point_shapefile(
+        os.path.join(d, "pts"),
+        [
+            (float(r.c_acctbal), (r.c_custkey % 100) / 10.0,
+             int(r.c_custkey), r.c_mktsegment)
+            for r in sample(6)
+        ],
+        fields,
+    )
+    with _zf.ZipFile(os.path.join(d, "pts.zip"), "w") as z:
+        for ext in (".shp", ".dbf", ".shx"):
+            p = os.path.join(d, "pts" + ext)
+            if os.path.exists(p):
+                z.write(p, "pts" + ext)
+        z.writestr("README.txt", "decoy member: dispatch must ignore this")
+    # kmz arm
+    write_kml_points(
+        os.path.join(d, "doc.kml"),
+        [
+            (r.c_mktsegment, float(r.c_acctbal), (r.c_custkey % 100) / 10.0,
+             int(r.c_custkey))
+            for r in sample(7)
+        ],
+        ["key"],
+    )
+    with _zf.ZipFile(os.path.join(d, "pts.kmz"), "w") as z:
+        z.write(os.path.join(d, "doc.kml"), "doc.kml")
+    # seq arm (no archive: the splittable scale path)
+    write_geojson_seq(
+        os.path.join(d, "pts.geojsonl"),
+        [
+            ((r.c_custkey % 100) / 10.0, (r.c_custkey % 73) / 7.0,
+             int(r.c_custkey), r.c_mktsegment, float(r.c_acctbal))
+            for r in sample(8)
+        ],
+        ["key", "seg", "bal"],
+    )
+    # gz arm
+    write_geojson(
+        os.path.join(d, "pts.geojson"),
+        [
+            ((r.c_custkey % 100) / 10.0, (r.c_custkey % 73) / 7.0,
+             int(r.c_custkey), r.c_mktsegment, float(r.c_acctbal))
+            for r in sample(9)
+        ],
+        ["key", "seg", "bal"],
+    )
+    with open(os.path.join(d, "pts.geojson"), "rb") as src, _gz.open(
+        os.path.join(d, "pts.geojson.gz"), "wb"
+    ) as dst:
+        dst.write(src.read())
+    os.remove(os.path.join(d, "pts.geojson"))
+
+    def cents(col):
+        return F.sum(F.round(col * 100).cast("long")).cast("long")
+
+    zipshp = (
+        read_gdal(spark, os.path.join(d, "pts.zip"), zip_path="pts.shp")
+        .groupBy(F.col("seg").alias("c_mktsegment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("key").cast("long").alias("key_sum"),
+            cents(F.col("x")).alias("bal_cents"),
+        )
+        .select(F.lit("zipshp").alias("src"), "*")
+    )
+    kmz = (
+        read_gdal(spark, os.path.join(d, "pts.kmz"))
+        .groupBy(F.col("name").alias("c_mktsegment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("key").cast("long")).cast("long").alias("key_sum"),
+            cents(F.col("x")).alias("bal_cents"),
+        )
+        .select(F.lit("kmz").alias("src"), "*")
+    )
+    seq = (
+        read_gdal(spark, os.path.join(d, "pts.geojsonl"))
+        .groupBy(F.col("seg").alias("c_mktsegment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("key").cast("long")).cast("long").alias("key_sum"),
+            cents(F.col("bal")).alias("bal_cents"),
+        )
+        .select(F.lit("seq").alias("src"), "*")
+    )
+    gz = (
+        read_gdal(spark, os.path.join(d, "pts.geojson.gz"))
+        .groupBy(F.col("seg").alias("c_mktsegment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("key").cast("long")).cast("long").alias("key_sum"),
+            cents(F.col("bal")).alias("bal_cents"),
+        )
+        .select(F.lit("gz").alias("src"), "*")
+    )
+    return zipshp.unionByName(kmz).unionByName(seq).unionByName(gz)

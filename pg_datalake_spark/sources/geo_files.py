@@ -631,6 +631,17 @@ def read_geojson(spark: SparkSession, path_or_glob: str) -> DataFrame:
         F.col("f.geometry.coordinates").alias("__coords"),
         F.col("f.properties").alias("__props"),
     )
+    return _decode_geojson_features(f)
+
+
+def _decode_geojson_features(f: DataFrame) -> DataFrame:
+    """Shared GeoJSON geometry decode: input has ``__gtype`` (string),
+    ``__coords`` (raw JSON string) and ``__props`` (struct or string);
+    output is the geo-reader convention (x, y, points, properties.*).
+    All from_json / transform — JVM-side, zero Python UDFs."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
     pt = F.from_json("__coords", "array<double>")
     line = F.from_json("__coords", "array<array<double>>")
     poly = F.from_json("__coords", "array<array<array<double>>>")
@@ -665,6 +676,65 @@ def read_geojson(spark: SparkSession, path_or_glob: str) -> DataFrame:
         points.alias("points"),
         *prop_cols,
     )
+
+
+def write_geojson_seq(path: str, rows: list[tuple], attrs: list[str]) -> None:
+    """Write GeoJSONSeq (.geojsonl / .geojsons): one Feature object per
+    line (RFC 8142 without the RS separator — the GDAL GeoJSONSeq
+    driver's plain-ndjson form). Same row convention as write_geojson."""
+    import json as _json
+
+    with open(path, "w") as fh:
+        for r in rows:
+            fh.write(
+                _json.dumps(
+                    {
+                        "type": "Feature",
+                        "geometry": {"type": "Point", "coordinates": [r[0], r[1]]},
+                        "properties": dict(zip(attrs, r[2:])),
+                    }
+                )
+                + "\n"
+            )
+
+
+def read_geojson_seq(spark: SparkSession, path_or_glob: str) -> DataFrame:
+    """Read GeoJSONSeq — newline-delimited Feature objects (.geojsonl /
+    .geojsons; reference docs/file-formats-reference.md names GeoJSONSeq
+    as a non-inferred GDAL format). Line-delimited JSON is Spark's
+    NATIVE json source (no multiLine), so unlike the FeatureCollection
+    form this scales to splittable multi-GB files: one file no longer
+    means one task. Geometry decode is shared with read_geojson."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    inferred = spark.read.json(path_or_glob).schema
+
+    def _coords_as_string(dt: T.DataType) -> T.DataType:
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [
+                    T.StructField("coordinates", T.StringType())
+                    if f.name == "coordinates"
+                    else T.StructField(
+                        f.name, _coords_as_string(f.dataType), f.nullable
+                    )
+                    for f in dt.fields
+                ]
+            )
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(_coords_as_string(dt.elementType), dt.containsNull)
+        return dt
+
+    raw = spark.read.schema(_coords_as_string(inferred)).json(path_or_glob)
+    if "geometry" not in raw.columns:
+        raise ValueError(f"{path_or_glob}: not GeoJSONSeq (no 'geometry' member)")
+    f = raw.select(
+        F.col("geometry.type").alias("__gtype"),
+        F.col("geometry.coordinates").alias("__coords"),
+        F.col("properties").alias("__props"),
+    )
+    return _decode_geojson_features(f)
 
 
 # ---------------------------------------------------------------------------

@@ -318,3 +318,60 @@ def test_gml_namespaces_and_geometry_forms(spark, tmp_path):
     rows = {r.name: r for r in G.read_gml(spark, p2).collect()}
     assert [tuple(pt) for pt in rows["r1"].points] == [(0, 0), (1, 1), (2, 0.5)]
     assert (rows["r2"].x, rows["r2"].y) == (3.5, 4.5)
+
+
+def test_gdal_dispatch_options_and_fail_loud(spark, tmp_path):
+    """read_gdal (r10): compression inference, zip_path selection with
+    shapefile sidecar staging, kmz auto-detect, GeoJSONSeq dispatch,
+    and the fail-loud paths (ambiguous zip, scoped-out format, unknown
+    extension, missing member)."""
+    import gzip
+    import zipfile
+
+    from pg_datalake_spark.sources.gdal_dispatch import (
+        infer_gdal_compression,
+        read_gdal,
+    )
+
+    assert infer_gdal_compression("a.geojson.gz") == "gzip"
+    assert infer_gdal_compression("a.kmz") == "zip"
+    assert infer_gdal_compression("a.shp") == "none"
+
+    # GeoJSONSeq through the dispatcher: line-delimited, splittable.
+    seq = str(tmp_path / "f.geojsonl")
+    G.write_geojson_seq(seq, [(1.0, 2.0, 7, "x"), (3.0, 4.0, 8, "y")],
+                        ["key", "seg"])
+    got = sorted((r.x, r.y, r.key, r.seg)
+                 for r in read_gdal(spark, seq).collect())
+    assert got == [(1.0, 2.0, 7, "x"), (3.0, 4.0, 8, "y")]
+
+    # .gz: inferred gzip, inner extension re-dispatched.
+    gz = str(tmp_path / "f.geojsonl.gz")
+    with open(seq, "rb") as src, gzip.open(gz, "wb") as dst:
+        dst.write(src.read())
+    assert read_gdal(spark, gz).count() == 2
+
+    # zip with two candidate formats: ambiguous without zip_path.
+    G.write_point_shapefile(str(tmp_path / "p"),
+                            [(0.5, 1.5, 1, "a")],
+                            [("key", "N", 10, 0), ("seg", "C", 4, 0)])
+    amb = str(tmp_path / "amb.zip")
+    with zipfile.ZipFile(amb, "w") as z:
+        z.write(str(tmp_path / "p.shp"), "p.shp")
+        z.write(str(tmp_path / "p.dbf"), "p.dbf")
+        z.write(seq, "f.geojsonl")
+    with pytest.raises(ValueError, match="zip_path"):
+        read_gdal(spark, amb)
+    # zip_path picks the shapefile; the .dbf sidecar stages with it.
+    rows = read_gdal(spark, amb, zip_path="p.shp").collect()
+    assert [(r.x, r.y, r.key, r.seg) for r in rows] == [(0.5, 1.5, 1, "a")]
+    with pytest.raises(FileNotFoundError, match="zip_path"):
+        read_gdal(spark, amb, zip_path="nope.shp")
+
+    # scoped-out and unknown extensions fail loud, named.
+    (tmp_path / "x.fgb").write_bytes(b"\x00")
+    with pytest.raises(NotImplementedError, match="scoped out"):
+        read_gdal(spark, str(tmp_path / "x.fgb"))
+    (tmp_path / "x.bin").write_bytes(b"\x00")
+    with pytest.raises(ValueError, match="cannot infer"):
+        read_gdal(spark, str(tmp_path / "x.bin"))
