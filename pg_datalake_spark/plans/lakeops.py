@@ -349,13 +349,16 @@ _FMT_SCHEMA = [
     ("o_orderstatus", "string"),
     ("n", "long"),
     ("total_cents", "long"),
+    ("key_sum", "long"),  # lake13 only; NULL-padded elsewhere
 ]
-_FMT_ALL = [n for n, _ in _FMT_SCHEMA]
+# present-lists for the pre-r10 arms exclude key_sum (their inner
+# subqueries don't expose it — it pads to NULL)
+_FMT_ALL = [n for n, _ in _FMT_SCHEMA if n != "key_sum"]
 _FMT_NO_STATUS = [n for n in _FMT_ALL if n != "o_orderstatus"]
 
 
 @register(
-    "lake08_lake09_lake10_lake12_formats",
+    "lake08_lake09_lake10_lake12_lake13_formats",
     oracle=lambda: "\nUNION ALL\n".join(
         [
             _ps("lake08", LAKE08_ORACLE, _FMT_SCHEMA, _FMT_NO_STATUS),
@@ -365,6 +368,15 @@ _FMT_NO_STATUS = [n for n in _FMT_ALL if n != "o_orderstatus"]
                 _FMT_NO_STATUS),
             _ps("lake12", registry.ORACLES["lake12_delta_deletion_vectors"],
                 _FMT_SCHEMA, _FMT_NO_STATUS),
+            _ps(
+                "lake13",
+                "SELECT CAST(commit_version AS VARCHAR) || '|' || change_type"
+                " AS phase, n, key_sum, total_cents FROM ("
+                + registry.ORACLES["lake13_delta_changes"]
+                + ") lake13_inner",
+                _FMT_SCHEMA,
+                [n for n in _FMT_ALL if n != "o_orderstatus"] + ["key_sum"],
+            ),
         ]
     ),
 )
@@ -372,10 +384,12 @@ def lake_formats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-verified table-format suite: external Iceberg v2
     position+equality deletes with sequence scoping (lake08), the
     pure-Python Delta log reader with checkpoint + time travel
-    (lake09), bit-exact spec-bucket hidden partitioning (lake10), and
-    Delta deletion vectors (lake12, new r8). One NULL-padded by-name
-    union; every arm's oracle recomputes the phase relationally in
-    DuckDB from the source parquet."""
+    (lake09), bit-exact spec-bucket hidden partitioning (lake10),
+    Delta deletion vectors (lake12, r8), and the Delta CHANGE FEED
+    reconstruction (lake13, rotated in the r10 tail — its
+    commit_version|change_type key folds into the phase column). One
+    NULL-padded by-name union; every arm's oracle recomputes the
+    phase relationally in DuckDB from the source parquet."""
     from pg_datalake_spark.plans.registry import QUERIES
     from pg_datalake_spark.plans.suites import _pad_arm
 
@@ -386,7 +400,17 @@ def lake_formats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lake12", "lake12_delta_deletion_vectors"),
     ):
         out = out.unionByName(_pad_arm(QUERIES[name](spark, sf_dir), arm, _FMT_SCHEMA))
-    return out
+    lake13_df = QUERIES["lake13_delta_changes"](spark, sf_dir).select(
+        F.concat(
+            F.col("commit_version").cast("string"),
+            F.lit("|"),
+            F.col("change_type"),
+        ).alias("phase"),
+        "n",
+        "key_sum",
+        "total_cents",
+    )
+    return out.unionByName(_pad_arm(lake13_df, "lake13", _FMT_SCHEMA))
 
 
 def _ps(arm: str, inner: str, schema, present) -> str:

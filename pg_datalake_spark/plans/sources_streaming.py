@@ -34,7 +34,7 @@ _SRC_BASE_SQL = """
 
 
 @register(
-    "src01_src02_src03_src04_src05_src06_file_roundtrips",
+    "src01_src02_src03_src04_src05_src06_src07_src08_src09_file_roundtrips",
     oracle=lambda: _SRC_BASE_SQL
     + f"""
     UNION ALL
@@ -49,13 +49,26 @@ _SRC_BASE_SQL = """
     SELECT 'office' AS src, src || '|' || c_mktsegment AS k, n,
            key_sum AS c1, bal_cents AS c2
     FROM ({ORACLES["src06_office_kml"]}) office_arm
+    UNION ALL
+    SELECT 'geojson' AS src, c_mktsegment AS k, n,
+           key_sum AS c1, bal_cents AS c2
+    FROM ({ORACLES["src07_geojson"]}) geojson_arm
+    UNION ALL
+    SELECT 'gml' AS src, c_mktsegment AS k, n,
+           key_sum AS c1, bal_cents AS c2
+    FROM ({ORACLES["src08_gml"]}) gml_arm
+    UNION ALL
+    SELECT 'gdal' AS src, src || '|' || c_mktsegment AS k, n,
+           key_sum AS c1, bal_cents AS c2
+    FROM ({ORACLES["src09_gdal_dispatch"]}) gdal_arm
     """,
 )
 def src01(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-format roundtrips, tagged union of the former
     src01/src02/src03 rows (src03 folded in r6 to free a window slot;
     src04 hf:// + src05 shapefile/GeoPackage rotated in r9; src06
-    XLSX/KML rotated in r10):
+    XLSX/KML rotated in r10; src07/src08/src09 rotated in the r10
+    tail):
 
     - ``csv``: COPY TO csv.gz → schema-inferred read back → aggregate;
     - ``json``: COPY TO ndjson → inferred read → aggregate;
@@ -67,7 +80,12 @@ def src01(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``geo``: shapefile + GeoPackage fixtures read through the
       pure-Python codecs (src05's feeder);
     - ``office``: XLSX + KML fixtures read through the pure-Python
-      SpreadsheetML / OGC-KML parsers (src06's feeder).
+      SpreadsheetML / OGC-KML parsers (src06's feeder);
+    - ``geojson``: Spark-native RFC 7946 FeatureCollection read
+      (src07's feeder);
+    - ``gml``: OGC GML 2/3.x ElementTree reader (src08's feeder);
+    - ``gdal``: the format-'gdal' option dispatcher — zip_path'd
+      shapefile, .kmz, GeoJSONSeq, .geojson.gz (src09's feeder).
 
     The oracle aggregates the original parquet, so export + dialect /
     type inference must be lossless for the measured columns. Sums are
@@ -121,12 +139,36 @@ def src01(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key_sum").alias("c1"),
         F.col("bal_cents").alias("c2"),
     ).withColumnRenamed("srcx", "src")
+    geojson_arm = QUERIES["src07_geojson"](spark, sf_dir).select(
+        F.lit("geojson").alias("src"),
+        F.col("c_mktsegment").alias("k"),
+        "n",
+        F.col("key_sum").alias("c1"),
+        F.col("bal_cents").alias("c2"),
+    )
+    gml_arm = QUERIES["src08_gml"](spark, sf_dir).select(
+        F.lit("gml").alias("src"),
+        F.col("c_mktsegment").alias("k"),
+        "n",
+        F.col("key_sum").alias("c1"),
+        F.col("bal_cents").alias("c2"),
+    )
+    gdal_arm = QUERIES["src09_gdal_dispatch"](spark, sf_dir).select(
+        F.lit("gdal").alias("srcx"),
+        F.concat(F.col("src"), F.lit("|"), F.col("c_mktsegment")).alias("k"),
+        "n",
+        F.col("key_sum").alias("c1"),
+        F.col("bal_cents").alias("c2"),
+    ).withColumnRenamed("srcx", "src")
     return (
         csv_arm.unionByName(json_arm)
         .unionByName(log_arm)
         .unionByName(hf_arm)
         .unionByName(geo_arm)
         .unionByName(office_arm)
+        .unionByName(geojson_arm)
+        .unionByName(gml_arm)
+        .unionByName(gdal_arm)
     )
 
 
@@ -202,7 +244,7 @@ def src03(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Templated log-format scan (the reference's s3-access-log path):
     events rendered to space-delimited log lines, re-parsed by regex
     template into typed columns, aggregated — must equal the original.
-    Feeds the ``log`` arm of src01_src02_src03_src04_src05_src06_file_roundtrips (merged
+    Feeds the ``log`` arm of src01_…_src09_file_roundtrips (merged
     r6); sums are exact integer cents so the merged row hash-matches."""
     from pg_datalake_spark.sources.readers import read_log
 

@@ -1930,75 +1930,93 @@ _GEO13_COLS = [
     ("ext_n", "int"), ("ext_area", "double"), ("z_is_null", "int"),
     ("m_is_null", "int"), ("zmflag", "int"), ("f2d_x", "double"),
 ]
+# r10 tail rotation: geo14 (GEOS-tail difference/overlaps/touches/
+# point-on-surface/linemerge), geo15 (makevalid), geo16 (general
+# concave boolean ops), geo17 (final name-parity tier); nk shared,
+# booleans padded as ints.
+_GEO14_COLS = [
+    ("nk", "int"), ("diff_area", "double"), ("diff_perim", "double"),
+    ("diff_n", "int"), ("d2_area", "double"), ("d2_n", "int"),
+    ("pos_a_x", "double"), ("pos_a_y", "double"), ("pos_l_x", "double"),
+    ("pos_l_y", "double"), ("ov_ab", "int"), ("ov_dis", "int"),
+    ("tch_edge", "int"), ("tch_corner", "int"), ("tch_ov", "int"),
+    ("lm_n", "int"), ("lm_pts", "int"), ("lm_len", "double"),
+    ("lm_first_x", "double"), ("lm_first_y", "double"),
+]
+_GEO15_COLS = [
+    ("nk", "int"), ("valid_before", "int"), ("valid_square", "int"),
+    ("n_lobes", "int"), ("lobes_area", "double"), ("lobe_pts_total", "int"),
+    ("square_identity", "int"),
+]
+_GEO16_COLS = [
+    ("nk", "int"), ("i_n", "int"), ("i_area", "double"), ("u_n", "int"),
+    ("u_area", "double"), ("u_hole", "double"), ("d_n", "int"),
+    ("d_area", "double"), ("d_max", "double"),
+]
+_GEO17_COLS = [
+    ("nk", "int"), ("mkpoly_n", "int"), ("mkpoly_area", "double"),
+    ("mkpoly_null", "int"), ("cov_corner", "int"), ("cov_center", "int"),
+    ("cov_out", "int"), ("covby_corner", "int"), ("covr_in", "int"),
+    ("covr_edge", "int"), ("covr_ov", "int"), ("covbyr_in", "int"),
+    ("ce_pts", "int"), ("ce_lines", "int"), ("ce_polys", "int"),
+    ("f3z_z", "double"), ("f3m_m", "double"), ("f4d_z", "double"),
+    ("f4d_m", "double"), ("wkb_len", "int"), ("wkb_rt_x", "double"),
+    ("gft_x", "double"), ("gft_y", "double"),
+]
 _GEO_SCHEMA = (
     _GEO01_COLS + _GEO02_COLS + _GEO03_COLS + _GEO04_COLS
     + [c for c in _GEO05_COLS if c[0] != "nk"]
     + [c for c in _GEO12_COLS if c[0] != "nk"]
     + [c for c in _GEO13_COLS if c[0] != "nk"]
+    + [c for c in _GEO14_COLS if c[0] != "nk"]
+    + [c for c in _GEO15_COLS if c[0] != "nk"]
+    + [c for c in _GEO16_COLS if c[0] != "nk"]
+    + [c for c in _GEO17_COLS if c[0] != "nk"]
 )
+
+
+_GEO_ARMS = [
+    ("geo01", "geo01_spatial", _GEO01_COLS),
+    ("geo02", "geo02_grid_spatial_join", _GEO02_COLS),
+    ("geo03", "geo03_knn_radius_join", _GEO03_COLS),
+    ("geo04", "geo04_convex_clip_union", _GEO04_COLS),
+    ("geo05", "geo05_convex_hull", _GEO05_COLS),
+    ("geo12", "geo12_buffer_geoms_spt", _GEO12_COLS),
+    ("geo13", "geo13_accessor_tier", _GEO13_COLS),
+    ("geo14", "geo14_geos_tail_ops", _GEO14_COLS),
+    ("geo15", "geo15_makevalid", _GEO15_COLS),
+    ("geo16", "geo16_general_boolean_ops", _GEO16_COLS),
+    ("geo17", "geo17_name_parity_tier", _GEO17_COLS),
+]
 
 
 @register(
-    "geo01_geo02_geo03_geo12_geo13_spatial",
+    "geo01_geo02_geo03_geo12_geo13_geo14_geo15_geo16_geo17_spatial",
     oracle=lambda: "\nUNION ALL\n".join(
-        [
-            _pad_arm_sql("geo01", ORACLES["geo01_spatial"], _GEO_SCHEMA,
-                         [n for n, _ in _GEO01_COLS]),
-            _pad_arm_sql("geo02", ORACLES["geo02_grid_spatial_join"], _GEO_SCHEMA,
-                         [n for n, _ in _GEO02_COLS]),
-            _pad_arm_sql("geo03", ORACLES["geo03_knn_radius_join"], _GEO_SCHEMA,
-                         [n for n, _ in _GEO03_COLS]),
-            _pad_arm_sql("geo04", ORACLES["geo04_convex_clip_union"], _GEO_SCHEMA,
-                         [n for n, _ in _GEO04_COLS]),
-            _pad_arm_sql("geo05", ORACLES["geo05_convex_hull"], _GEO_SCHEMA,
-                         [n for n, _ in _GEO05_COLS]),
-            _pad_arm_sql("geo12", ORACLES["geo12_buffer_geoms_spt"], _GEO_SCHEMA,
-                         [n for n, _ in _GEO12_COLS]),
-            _pad_arm_sql("geo13", ORACLES["geo13_accessor_tier"], _GEO_SCHEMA,
-                         [n for n, _ in _GEO13_COLS]),
-        ]
+        _pad_arm_sql(arm, ORACLES[name], _GEO_SCHEMA, [n for n, _ in cols])
+        for arm, name, cols in _GEO_ARMS
     ),
 )
 def geo_spatial_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spatial suite for the driver window (r6 rotation; widened r10):
-    the full st_* scalar surface probe (geo01, 26 hash-checked
+    """Spatial suite for the driver window (r6 rotation; widened r10
+    twice): the full st_* scalar surface probe (geo01, 26 hash-checked
     columns), the grid-binned filter-and-refine points-in-polygons
     join (geo02), the distance-bounded kNN join (geo03), the convex
     boolean-op tier (geo04: Sutherland–Hodgman clip, star-shaped
     union, convexity), the Jarvis-march convex hull (geo05), the r9
     GEOS-tail Arrow buffer / erosion / simplify-preserve-topology
-    kernels (geo12 — rotated in r10), and the r10 trivial accessor
-    tier (geo13). Feeders stay registered standalone for the local
-    gate; this row is the driver-verified merge — geo01 held slot 50
-    in r4, lost it to st06 in r5, and all seven are window-verified
-    here."""
-    return (
-        _pad_arm(QUERIES["geo01_spatial"](spark, sf_dir), "geo01", _GEO_SCHEMA)
-        .unionByName(
-            _pad_arm(QUERIES["geo02_grid_spatial_join"](spark, sf_dir), "geo02",
-                     _GEO_SCHEMA)
-        )
-        .unionByName(
-            _pad_arm(QUERIES["geo03_knn_radius_join"](spark, sf_dir), "geo03",
-                     _GEO_SCHEMA)
-        )
-        .unionByName(
-            _pad_arm(QUERIES["geo04_convex_clip_union"](spark, sf_dir), "geo04",
-                     _GEO_SCHEMA)
-        )
-        .unionByName(
-            _pad_arm(QUERIES["geo05_convex_hull"](spark, sf_dir), "geo05",
-                     _GEO_SCHEMA)
-        )
-        .unionByName(
-            _pad_arm(QUERIES["geo12_buffer_geoms_spt"](spark, sf_dir), "geo12",
-                     _GEO_SCHEMA)
-        )
-        .unionByName(
-            _pad_arm(QUERIES["geo13_accessor_tier"](spark, sf_dir), "geo13",
-                     _GEO_SCHEMA)
-        )
-    )
+    kernels (geo12), the trivial accessor tier (geo13), and the r10
+    tail — GEOS-tail difference/overlaps/touches/point-on-surface/
+    linemerge (geo14), bowtie makevalid (geo15), general concave
+    Greiner–Hormann boolean ops (geo16), and the final name-parity
+    tier (geo17: covers/coveredby, makepolygon, collectionextract,
+    force3dz/3dm/4d, WKB/WKT roundtrips). Feeders stay registered
+    standalone for the local gate; this row is the driver-verified
+    merge of the ENTIRE 75/75-name spatial surface."""
+    out = _pad_arm(QUERIES[_GEO_ARMS[0][1]](spark, sf_dir), "geo01", _GEO_SCHEMA)
+    for arm, name, _cols in _GEO_ARMS[1:]:
+        out = out.unionByName(_pad_arm(QUERIES[name](spark, sf_dir), arm, _GEO_SCHEMA))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -57,7 +57,7 @@ WINDOW_MANIFEST = [
     "w04_w05_w07_cb18_cb42_sessions",
     "x03_x08_x14_t05_t06_v05_d06_d10_t16_llmops",
     "c07_f16_f17_p01_p02_u02_u03_misc",
-    "geo01_geo02_geo03_geo12_geo13_spatial",
+    "geo01_geo02_geo03_geo12_geo13_geo14_geo15_geo16_geo17_spatial",
     "ds36_ds51_ds67_ds04_ds39_ds77_ds87_shapes",
     "x09_weighted_sample",
     # 7 lake-table DML/maintenance/format rows (r8: the lake08 slot
@@ -69,9 +69,9 @@ WINDOW_MANIFEST = [
     "lake05_compaction_preserves",
     "lake06_merge",
     "lake07_add_files",
-    "lake08_lake09_lake10_lake12_formats",
+    "lake08_lake09_lake10_lake12_lake13_formats",
     # 5 sources/streaming rows
-    "src01_src02_src03_src04_src05_src06_file_roundtrips",
+    "src01_src02_src03_src04_src05_src06_src07_src08_src09_file_roundtrips",
     "st01_incremental_ingest",
     "st03_stateful_counts",
     "st02_st04_st06_rollup_sessions",
