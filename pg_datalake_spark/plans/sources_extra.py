@@ -352,6 +352,11 @@ def src08(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(c_custkey) AS BIGINT) AS key_sum,
            CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
     FROM customer WHERE c_custkey % 20 = 9 GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'fgb' AS src, c_mktsegment, count(*) AS n,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer WHERE c_custkey % 20 = 10 GROUP BY c_mktsegment
     """,
 )
 def src09(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,9 +375,12 @@ def src09(spark: SparkSession, sf_dir: str) -> DataFrame:
     - seq: newline-delimited GeoJSONSeq — Spark-native splittable json
       read (the scale path of the GeoJSON family);
     - gz: a .geojson.gz (compression='gzip' inferred, inner extension
-      re-dispatched).
+      re-dispatched);
+    - fgb: FlatGeoBuf (sources/fgb.py — pure-Python flatbuffer codec,
+      spec v3) with a real packed-R-tree index, read back RANGE-
+      PARTITIONED by the index's leaf byte offsets.
 
-    DuckDB recomputes all four splits from the source parquet, never
+    DuckDB recomputes all five splits from the source parquet, never
     seeing archives. Balances hash as exact CENTS."""
     import gzip as _gz
     import zipfile as _zf
@@ -450,6 +458,18 @@ def src09(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) as dst:
         dst.write(src.read())
     os.remove(os.path.join(d, "pts.geojson"))
+    # fgb arm
+    from pg_datalake_spark.sources.fgb import write_fgb_points
+
+    write_fgb_points(
+        os.path.join(d, "pts.fgb"),
+        [
+            (float(r.c_acctbal), (r.c_custkey % 100) / 10.0,
+             int(r.c_custkey), r.c_mktsegment)
+            for r in sample(10)
+        ],
+        [("key", "long"), ("seg", "string")],
+    )
 
     def cents(col):
         return F.sum(F.round(col * 100).cast("long")).cast("long")
@@ -494,4 +514,17 @@ def src09(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("gz").alias("src"), "*")
     )
-    return zipshp.unionByName(kmz).unionByName(seq).unionByName(gz)
+    fgb_arm = (
+        read_gdal(spark, os.path.join(d, "pts.fgb"))
+        .groupBy(F.col("seg").alias("c_mktsegment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("key").cast("long").alias("key_sum"),
+            cents(F.col("x")).alias("bal_cents"),
+        )
+        .select(F.lit("fgb").alias("src"), "*")
+    )
+    return (
+        zipshp.unionByName(kmz).unionByName(seq).unionByName(gz)
+        .unionByName(fgb_arm)
+    )

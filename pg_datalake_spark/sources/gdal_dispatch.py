@@ -35,11 +35,10 @@ __all__ = ["read_gdal", "infer_gdal_compression"]
 # long tail — those raise with the format named).
 _READABLE = {
     ".shp", ".gpkg", ".kml", ".kmz", ".geojson", ".geojsonl",
-    ".geojsons", ".gml", ".xlsx", ".xls",
+    ".geojsons", ".gml", ".xlsx", ".xls", ".fgb",
 }
 _SCOPED_OUT = {
     ".dxf", ".dwg", ".gdb", ".map", ".mif", ".mit", ".tab", ".xodr",
-    ".fgb",
 }
 # Sidecar extensions staged alongside a .shp member.
 _SHP_SIDECARS = (".dbf", ".shx", ".prj", ".cpg")
@@ -151,8 +150,8 @@ def read_gdal(
     if ext in _SCOPED_OUT:
         raise NotImplementedError(
             f"GDAL format {ext} is scoped out (reference long tail: "
-            "CAD/Geodatabase/MapInfo/WAsP/OpenDRIVE/FlatGeoBuf); on a "
-            "cluster use GDAL-backed Sedona readers"
+            "CAD/Geodatabase/MapInfo/WAsP/OpenDRIVE); on a cluster use "
+            "GDAL-backed Sedona readers"
         )
     from pg_datalake_spark.sources import geo_files, office_files
 
@@ -168,6 +167,10 @@ def read_gdal(
         return geo_files.read_geojson_seq(spark, target)
     if ext == ".gml":
         return geo_files.read_gml(spark, target)
+    if ext == ".fgb":
+        from pg_datalake_spark.sources import fgb
+
+        return fgb.read_fgb(spark, target)
     if ext in (".xlsx", ".xls"):
         if ext == ".xls":
             raise NotImplementedError(

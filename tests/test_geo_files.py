@@ -369,9 +369,55 @@ def test_gdal_dispatch_options_and_fail_loud(spark, tmp_path):
         read_gdal(spark, amb, zip_path="nope.shp")
 
     # scoped-out and unknown extensions fail loud, named.
-    (tmp_path / "x.fgb").write_bytes(b"\x00")
+    (tmp_path / "x.dxf").write_bytes(b"\x00")
     with pytest.raises(NotImplementedError, match="scoped out"):
-        read_gdal(spark, str(tmp_path / "x.fgb"))
+        read_gdal(spark, str(tmp_path / "x.dxf"))
     (tmp_path / "x.bin").write_bytes(b"\x00")
     with pytest.raises(ValueError, match="cannot infer"):
         read_gdal(spark, str(tmp_path / "x.bin"))
+
+
+def test_fgb_roundtrip_typed_columns_and_range_partitioning(spark, tmp_path):
+    """FlatGeoBuf codec (r10): typed columns (long/string/double/bool),
+    null attributes, packed-R-tree leaf-offset RANGE partitioning (the
+    one-big-file scale path), the no-index fallback, multi-file glob,
+    and the version fail-loud."""
+    from pg_datalake_spark.sources import fgb
+
+    rows = [
+        (float(i), float(-i), i, f"name_{i}", i * 0.25, i % 2 == 0)
+        for i in range(37)
+    ]
+    cols = [("key", "long"), ("name", "string"),
+            ("score", "double"), ("flag", "bool")]
+    p = str(tmp_path / "a.fgb")
+    fgb.write_fgb_points(p, rows, cols, index_node_size=4)
+
+    df = fgb.read_fgb(spark, p, num_partitions=5)
+    assert dict(df.dtypes) == {
+        "x": "double", "y": "double",
+        "points": "array<struct<x:double,y:double>>",
+        "key": "bigint", "name": "string", "score": "double",
+        "flag": "boolean",
+    }
+    got = sorted((r.x, r.key, r.name, r.score, r.flag) for r in df.collect())
+    assert got == [(float(i), i, f"name_{i}", i * 0.25, i % 2 == 0)
+                   for i in range(37)]
+    # the index split actually produced multiple tasks
+    assert df.rdd.getNumPartitions() == 5
+
+    # no-index file: single range per file, same rows
+    p2 = str(tmp_path / "b.fgb")
+    fgb.write_fgb_points(p2, rows[:5], cols, index_node_size=0)
+    assert fgb.read_fgb(spark, p2).count() == 5
+
+    # glob over both + dispatcher integration
+    from pg_datalake_spark.sources.gdal_dispatch import read_gdal
+    assert read_gdal(spark, str(tmp_path / "*.fgb")).count() == 42
+
+    # fail loud on a wrong major version
+    bad = bytearray(open(p, "rb").read())
+    bad[3] = 9
+    (tmp_path / "bad.fgb").write_bytes(bytes(bad))
+    with pytest.raises(ValueError, match="spec"):
+        fgb.fgb_header(str(tmp_path / "bad.fgb"))
