@@ -1611,6 +1611,108 @@ def version_at_timestamp(spark: SparkSession, location: str, ts_ms: int) -> int:
     return max(candidates)
 
 
+def restore_delta(
+    spark: SparkSession,
+    location: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
+) -> int:
+    """RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF (delta-spark's
+    RestoreTableCommand semantics, minimal writer analog): commit a NEW
+    version whose active file set (and metadata) equals the target
+    snapshot's. The diff is computed per file identified by (path,
+    deletionVector): files only in the current snapshot get remove
+    tombstones (carrying their prior DV descriptor so vacuum can
+    reclaim superseded sidecars), files only in the target are
+    re-added with ``dataChange=true`` — so the change feed sees the
+    restore as inserts/deletes, exactly like delta-spark. History is
+    PRESERVED (restore is a forward commit, not a rollback): time
+    travel to the pre-restore version still works.
+
+    Fail-loud guards: a target data file or DV sidecar already
+    reclaimed by vacuum aborts with FileNotFoundError before any
+    commit (delta-spark's missing-file check); appendOnly tables
+    reject restore (it writes removes); restoring to the current or a
+    future version is a no-op / error respectively."""
+    from pg_datalake_spark.tables import dv_codec
+
+    location = _norm_location(location)
+    if (version is None) == (timestamp_ms is None):
+        raise ValueError("pass exactly one of version / timestamp_ms")
+    if timestamp_ms is not None:
+        version = version_at_timestamp(spark, location, timestamp_ms)
+    cur = _snapshot_state(spark, location, None)
+    if version == cur["version"]:
+        return cur["version"]
+    if version > cur["version"]:
+        raise ValueError(
+            f"cannot RESTORE {location} to v{version}: newest is v{cur['version']}"
+        )
+    cfg = (cur["metaData"] or {}).get("configuration") or {}
+    if cfg.get("delta.appendOnly", "").lower() == "true":
+        raise PermissionError(
+            f"table {location} has delta.appendOnly=true: RESTORE writes "
+            "remove tombstones and is not allowed"
+        )
+    tgt = _snapshot_state(spark, location, version)
+    _abs = _make_abs(location)
+    missing = []
+    for a in tgt["adds"].values():
+        if not os.path.exists(_abs(a["path"])):
+            missing.append(a["path"])
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            sp = os.path.join(
+                location, dv_codec.dv_relative_path(dv["pathOrInlineDv"])
+            )
+            if not os.path.exists(sp):
+                missing.append(sp)
+    if missing:
+        raise FileNotFoundError(
+            f"cannot RESTORE {location} to v{version}: {len(missing)} "
+            f"file(s) no longer exist (vacuumed?), e.g. {missing[:3]}"
+        )
+
+    def ident(a: dict) -> tuple:
+        return (a["path"], json.dumps(a.get("deletionVector"), sort_keys=True))
+
+    cur_ids = {ident(a) for a in cur["adds"].values()}
+    tgt_ids = {ident(a) for a in tgt["adds"].values()}
+    now_ms = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "operation": "RESTORE",
+                "timestamp": now_ms,
+                "operationParameters": {"version": version},
+            }
+        }
+    ]
+    if json.dumps(tgt["metaData"], sort_keys=True) != json.dumps(
+        cur["metaData"], sort_keys=True
+    ):
+        actions.append({"metaData": tgt["metaData"]})
+    for p, a in sorted(cur["adds"].items()):
+        if ident(a) in tgt_ids:
+            continue
+        rm = {
+            "path": p,
+            "deletionTimestamp": now_ms,
+            "dataChange": True,
+            "partitionValues": a.get("partitionValues") or {},
+        }
+        if a.get("deletionVector"):
+            rm["deletionVector"] = a["deletionVector"]
+        actions.append({"remove": rm})
+    for p, a in sorted(tgt["adds"].items()):
+        if ident(a) in cur_ids:
+            continue
+        actions.append(
+            {"add": {**a, "dataChange": True, "modificationTime": now_ms}}
+        )
+    return _write_commit(location, cur["version"] + 1, actions)
+
+
 def delta_changes(
     spark: SparkSession,
     location: str,

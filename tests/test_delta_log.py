@@ -1117,3 +1117,75 @@ def test_append_only_table_rejects_delete_allows_append_and_optimize(spark, tmp_
     dl.write_delta_checkpoint(spark, loc)
     state = dl._snapshot_state(spark, loc, None)
     assert state["metaData"]["configuration"]["delta.appendOnly"] == "true"
+
+
+def test_restore_delta_to_version_and_timestamp(spark, tmp_path):
+    """RESTORE (r10): forward commit reproducing the target snapshot —
+    after append + DV delete + COW delete, restoring to each prior
+    version scans identically to time travel at that version; history
+    is preserved (the pre-restore version stays readable); the change
+    feed sees the restore as dataChange inserts/deletes."""
+    loc = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    dl.write_delta_table(df.repartition(2), loc)                     # v0
+    dl.append_delta(
+        spark.range(100, 150).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        loc,
+    )                                                                # v1
+    dl.delete_where_delta(spark, loc, "k % 7 = 0", mode="dv")        # v2
+    dl.delete_where_delta(spark, loc, "k % 11 = 3", mode="cow")      # v3
+
+    def keys(version=None):
+        return sorted(
+            r.k for r in dl.read_delta_table(
+                spark, loc, version_as_of=version
+            ).collect()
+        )
+
+    v1_keys, v2_keys = keys(1), keys(2)
+    v4 = dl.restore_delta(spark, loc, version=2)
+    assert v4 == 4
+    assert keys() == v2_keys
+    # history preserved: v3's COW result still time-travels
+    assert keys(3) != v2_keys and len(keys(3)) < len(v2_keys)
+    hist = dl.delta_history(spark, loc)
+    assert hist[0]["operation"] == "RESTORE"
+    # restore further back, across the DV delete entirely
+    dl.restore_delta(spark, loc, version=1)                          # v5
+    assert keys() == v1_keys == list(range(150))
+    # timestamp resolution: restoring to v2's commit time == v2 state
+    ts2 = next(e["timestamp_ms"] for e in hist if e["version"] == 2)
+    dl.restore_delta(spark, loc, timestamp_ms=ts2)                   # v6
+    assert keys() == v2_keys
+    # no-op restore to the current version commits nothing
+    assert dl.restore_delta(spark, loc, version=6) == 6
+    assert dl.delta_table_version(loc) == 6
+    # future version fails loud
+    with pytest.raises(ValueError, match="newest"):
+        dl.restore_delta(spark, loc, version=99)
+
+
+def test_restore_delta_guards(spark, tmp_path):
+    """RESTORE fail-loud paths: vacuumed target files abort BEFORE any
+    commit; appendOnly tables reject restore."""
+    loc = str(tmp_path / "t")
+    df = spark.range(40).select(F.col("id").alias("k"))
+    dl.write_delta_table(df.repartition(2), loc)                     # v0
+    dl.delete_where_delta(spark, loc, "k < 20", mode="cow")          # v1
+    dl.vacuum_delta(spark, loc, retain_last=1)  # reclaims v0's files
+    v_before = dl.delta_table_version(loc)
+    with pytest.raises(FileNotFoundError, match="RESTORE"):
+        dl.restore_delta(spark, loc, version=0)
+    assert dl.delta_table_version(loc) == v_before  # nothing committed
+
+    loc2 = str(tmp_path / "ao")
+    dl.write_delta_table(
+        df, loc2, configuration={"delta.appendOnly": "true"}
+    )
+    dl.append_delta(spark.range(40, 50).select(F.col("id").alias("k")), loc2)
+    with pytest.raises(PermissionError, match="appendOnly"):
+        dl.restore_delta(spark, loc2, version=0)
