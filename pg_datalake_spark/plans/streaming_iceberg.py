@@ -119,3 +119,64 @@ def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "st11_delta_stream_source",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    """
+    + " GROUP BY o_orderstatus",
+)
+def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta as a STREAMING SOURCE (r10;
+    sources/delta_stream_source.DeltaStreamDataSource — the Spark 4
+    Python Data Source API's streamReader, mirroring delta-spark's
+    readStream semantics: per-commit offsets, dataChange=false commits
+    invisible, skipChangeCommits for non-append commits). The orders
+    table lands in a Delta table over THREE commits (create + two
+    appends) with an OPTIMIZE in between, is consumed by a
+    checkpointed availableNow stream into parquet, and the parquet is
+    aggregated — the oracle aggregates the source directly, so the
+    commit→offset→exactly-once path must be lossless."""
+    import os as _os
+
+    from pg_datalake_spark.sources.delta_stream_source import (
+        DeltaStreamDataSource,
+    )
+    from pg_datalake_spark.tables import delta_log as dl
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    src = t["orders"].select("o_orderkey", "o_orderstatus")
+    stage = tempfile.mkdtemp(prefix="st11_")
+    loc = _os.path.join(stage, "delta_orders")
+    dl.write_delta_table(
+        src.filter("o_orderkey % 3 = 0").repartition(2), loc
+    )                                                               # v0
+    dl.append_delta(src.filter("o_orderkey % 3 = 1").repartition(2), loc)  # v1
+    dl.optimize_delta(spark, loc, target_file_mb=128)               # v2
+    dl.append_delta(src.filter("o_orderkey % 3 = 2").repartition(2), loc)  # v3
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    sink = _os.path.join(stage, "sink")
+    q = (
+        spark.readStream.format("pglake_delta")
+        .option("path", loc)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", _os.path.join(stage, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return (
+        spark.read.parquet(sink)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )

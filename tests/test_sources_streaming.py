@@ -572,3 +572,97 @@ def test_streaming_lsh_bucket_cap_bounds_state(spark, tmp_path):
     # identical docs share all 4 band buckets; retained members are
     # {1, 2}, so 3 and 4 each pair only against 1 and 2 — (3,4) absent
     assert got == {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)}
+
+
+def test_delta_streaming_source_appends_exactly_once(spark, tmp_path):
+    """pglake_delta (r10): Delta as a readStream source via the Spark 4
+    Python Data Source API — three append commits arrive exactly once
+    across two availableNow runs sharing a checkpoint; OPTIMIZE
+    (dataChange=false) contributes nothing; schema comes from the log."""
+    import pyspark.sql.functions as F
+
+    from pg_datalake_spark.sources.delta_stream_source import (
+        DeltaStreamDataSource,
+    )
+    from pg_datalake_spark.tables import delta_log as dl
+
+    loc = str(tmp_path / "t")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") % 5).cast("string").alias("grp")
+    )
+    dl.write_delta_table(mk(0, 40).repartition(2), loc,
+                         partition_by=["grp"])                       # v0
+    dl.append_delta(mk(40, 70), loc)                                 # v1
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (
+            spark.readStream.format("pglake_delta")
+            .option("path", loc)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = spark.read.parquet(sink)
+    assert sorted(r.k for r in got.collect()) == list(range(70))
+    # partition column re-injected from add.partitionValues
+    assert {r.grp for r in got.collect()} == {str(i) for i in range(5)}
+
+    dl.optimize_delta(spark, loc, target_file_mb=128)                # v2
+    dl.append_delta(mk(70, 90), loc)                                 # v3
+    run()  # resumes from the checkpointed offset
+    assert sorted(r.k for r in spark.read.parquet(sink).collect()) \
+        == list(range(90))
+
+
+def test_delta_streaming_source_change_commits(spark, tmp_path):
+    """Non-append commits: ERROR by default (delta-spark semantics),
+    skipped wholesale with skipChangeCommits=true; a later append
+    still flows."""
+    import pyspark.sql.functions as F
+
+    from pg_datalake_spark.sources.delta_stream_source import (
+        DeltaStreamDataSource,
+    )
+    from pg_datalake_spark.tables import delta_log as dl
+
+    loc = str(tmp_path / "t")
+    df = spark.range(50).select(F.col("id").alias("k"))
+    dl.write_delta_table(df.repartition(2), loc)                     # v0
+    dl.delete_where_delta(spark, loc, "k < 10", mode="dv")           # v1
+    dl.append_delta(spark.range(50, 60).select(F.col("id").alias("k")),
+                    loc)                                             # v2
+
+    spark.dataSource.register(DeltaStreamDataSource)
+
+    def run(opts: dict, sink: str, ckpt: str):
+        q = (
+            spark.readStream.format("pglake_delta")
+            .option("path", loc)
+            .options(**opts)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / sink))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        run({}, "s1", "c1")
+    run({"skipChangeCommits": "true"}, "s2", "c2")
+    got = sorted(
+        r.k for r in spark.read.parquet(str(tmp_path / "s2")).collect()
+    )
+    # v0's 50 rows + v2's 10; v1 (the DV delete) skipped wholesale
+    assert got == list(range(60))
