@@ -720,6 +720,118 @@ def _stage_data_files(
     return adds
 
 
+def _check_constraint_map(configuration: dict) -> dict[str, str]:
+    pre = "delta.constraints."
+    return {
+        k[len(pre):]: v for k, v in (configuration or {}).items()
+        if k.startswith(pre)
+    }
+
+
+def _enforce_check_constraints(
+    df: DataFrame, configuration: dict, location: str
+) -> None:
+    """PROTOCOL.md CHECK constraints: incoming rows must not evaluate
+    any ``delta.constraints.<name>`` expression to FALSE (NULL passes,
+    SQL-standard). One filter pass per constraint over the incoming
+    frame BEFORE staging — a violation aborts with the constraint name
+    and a sample row, and nothing is written."""
+    for cname, expr in sorted(_check_constraint_map(configuration).items()):
+        bad = df.filter(f"NOT ({expr})").limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"CHECK constraint {cname!r} ({expr}) violated writing to "
+                f"{location}; example row: {bad[0].asDict()}"
+            )
+
+
+def add_check_constraint(
+    spark: SparkSession, location: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT ... CHECK (expr): verifies the
+    EXISTING data first (delta-spark semantics — adding a constraint
+    the current rows violate fails), then commits the updated metaData
+    (configuration key ``delta.constraints.<name>``) with a protocol
+    upgrade to the checkConstraints writer requirement when needed.
+    Subsequent write_delta_table/append_delta calls (and therefore the
+    streaming Delta sink) enforce it on every incoming row."""
+    location = _norm_location(location)
+    state = _snapshot_state(spark, location, None)
+    meta = dict(state["metaData"] or {})
+    cfg = dict(meta.get("configuration") or {})
+    key = f"delta.constraints.{name}"
+    if key in cfg:
+        raise ValueError(f"constraint {name!r} already exists on {location}")
+    existing = read_delta_table(spark, location)
+    bad = existing.filter(f"NOT ({expr})").limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"cannot add CHECK constraint {name!r} ({expr}): existing row "
+            f"violates it: {bad[0].asDict()}"
+        )
+    cfg[key] = expr
+    meta["configuration"] = cfg
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "operation": "ADD CONSTRAINT",
+                "timestamp": int(time.time() * 1000),
+            }
+        }
+    ]
+    proto = state["protocol"] or {}
+    wv = proto.get("minWriterVersion", 2)
+    if "writerFeatures" in proto:
+        feats = set(proto.get("writerFeatures") or [])
+        if "checkConstraints" not in feats:
+            actions.append(
+                {
+                    "protocol": {
+                        **proto,
+                        "writerFeatures": sorted(feats | {"checkConstraints"}),
+                    }
+                }
+            )
+    elif wv < 3:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": proto.get("minReaderVersion", 1),
+                    "minWriterVersion": 3,
+                }
+            }
+        )
+    actions.append({"metaData": meta})
+    return _write_commit(location, state["version"] + 1, actions)
+
+
+def drop_check_constraint(spark: SparkSession, location: str, name: str) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT: removes the configuration key
+    (missing name fails loud, mirroring delta-spark without IF EXISTS)."""
+    location = _norm_location(location)
+    state = _snapshot_state(spark, location, None)
+    meta = dict(state["metaData"] or {})
+    cfg = dict(meta.get("configuration") or {})
+    key = f"delta.constraints.{name}"
+    if key not in cfg:
+        raise ValueError(f"no CHECK constraint {name!r} on {location}")
+    del cfg[key]
+    meta["configuration"] = cfg
+    return _write_commit(
+        location,
+        state["version"] + 1,
+        [
+            {
+                "commitInfo": {
+                    "operation": "DROP CONSTRAINT",
+                    "timestamp": int(time.time() * 1000),
+                }
+            },
+            {"metaData": meta},
+        ],
+    )
+
+
 def write_delta_table(
     df: DataFrame,
     location: str,
@@ -743,6 +855,13 @@ def write_delta_table(
     os.makedirs(location, exist_ok=True)
     configuration = dict(configuration or {})
     proto_ver = {"minReaderVersion": 1, "minWriterVersion": 2}
+    if any(k.startswith("delta.constraints.") for k in configuration):
+        # CHECK constraints present at create time: the initial data
+        # must satisfy them, and the protocol must advertise the
+        # checkConstraints writer requirement (PROTOCOL.md: legacy
+        # minWriterVersion 3).
+        _enforce_check_constraints(df, configuration, location)
+        proto_ver = {"minReaderVersion": 1, "minWriterVersion": 3}
     schema = df.schema
     if column_mapping:
         cm_mode = "name" if column_mapping is True else str(column_mapping)
@@ -846,6 +965,9 @@ def append_delta(
     ):
         return state["version"]  # replayed batch: already committed
     meta0 = state["metaData"]
+    _enforce_check_constraints(
+        df, (meta0 or {}).get("configuration") or {}, location
+    )
     staged, part_phys = _physical_stage_args(meta0, df)
     adds = _stage_data_files(staged, location, part_phys)
     if txn_app_id is not None:
@@ -879,13 +1001,19 @@ def append_delta(
                 # files are orphans until vacuum)
                 return cur["version"]
             m = cur["metaData"] or {}
-            if m.get("id") != meta0.get("id") or m.get("schemaString") != meta0.get(
-                "schemaString"
+            if (
+                m.get("id") != meta0.get("id")
+                or m.get("schemaString") != meta0.get("schemaString")
+                or (m.get("configuration") or {})
+                != ((meta0 or {}).get("configuration") or {})
             ):
+                # configuration counts too: a concurrent ADD CONSTRAINT
+                # (or appendOnly flip) must not be blind-appended across
                 raise RuntimeError(
                     f"append to {location} conflicts with a concurrent "
-                    "metaData change (schema/column-mapping changed since "
-                    "staging); re-stage the append against the new snapshot"
+                    "metaData change (schema/column-mapping/configuration "
+                    "changed since staging); re-stage the append against "
+                    "the new snapshot"
                 )
             version = cur["version"] + 1
     raise RuntimeError(

@@ -1189,3 +1189,66 @@ def test_restore_delta_guards(spark, tmp_path):
     dl.append_delta(spark.range(40, 50).select(F.col("id").alias("k")), loc2)
     with pytest.raises(PermissionError, match="appendOnly"):
         dl.restore_delta(spark, loc2, version=0)
+
+
+def test_check_constraints_lifecycle(spark, tmp_path):
+    """CHECK constraints (r10, PROTOCOL.md checkConstraints): create
+    with a violated constraint fails; add-constraint validates
+    existing data; appends enforce (NULL passes, FALSE rejects, the
+    streaming sink inherits via append_delta); protocol advertises
+    minWriterVersion 3; drop restores free writes; the constraint
+    survives checkpoint + reopen."""
+    loc = str(tmp_path / "t")
+    df = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") * 2)
+        .alias("v"),
+    )
+    # create-time constraint violated by the data -> nothing written
+    with pytest.raises(ValueError, match="k_small"):
+        dl.write_delta_table(
+            df, str(tmp_path / "bad"),
+            configuration={"delta.constraints.k_small": "k < 10"},
+        )
+    dl.write_delta_table(df, loc)                                    # v0
+    with pytest.raises(ValueError, match="existing row"):
+        dl.add_check_constraint(spark, loc, "k_small", "k < 10")
+    dl.add_check_constraint(spark, loc, "k_range", "k >= 0 AND k < 1000")
+    dl.add_check_constraint(spark, loc, "v_even", "v % 2 = 0")       # NULLs pass
+    with pytest.raises(ValueError, match="already exists"):
+        dl.add_check_constraint(spark, loc, "k_range", "k < 5")
+    state = dl._snapshot_state(spark, loc, None)
+    assert state["protocol"]["minWriterVersion"] >= 3
+    # append: FALSE rejected with the constraint named, NULL passes
+    with pytest.raises(ValueError, match="k_range"):
+        dl.append_delta(
+            spark.range(2000, 2005).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+            ),
+            loc,
+        )
+    ok = spark.range(100, 110).select(
+        F.col("id").alias("k"), F.lit(None).cast("long").alias("v")
+    )
+    dl.append_delta(ok, loc)
+    assert dl.read_delta_table(spark, loc).count() == 60
+    # constraint survives a checkpoint-only reopen
+    dl.write_delta_checkpoint(spark, loc)
+    with pytest.raises(ValueError, match="v_even"):
+        dl.append_delta(
+            spark.range(1).select(
+                F.lit(500).alias("k"), F.lit(3).cast("long").alias("v")
+            ),
+            loc,
+        )
+    # drop -> the write goes through
+    dl.drop_check_constraint(spark, loc, "v_even")
+    with pytest.raises(ValueError, match="no CHECK constraint"):
+        dl.drop_check_constraint(spark, loc, "nope")
+    dl.append_delta(
+        spark.range(1).select(
+            F.lit(500).alias("k"), F.lit(3).cast("long").alias("v")
+        ),
+        loc,
+    )
+    assert dl.read_delta_table(spark, loc).count() == 61
