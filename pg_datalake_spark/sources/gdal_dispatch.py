@@ -176,12 +176,8 @@ def read_gdal(
             raise NotImplementedError(
                 "legacy BIFF .xls is not implemented; save as .xlsx"
             )
-        if layer is not None:
-            raise NotImplementedError(
-                "the xlsx reader is single-sheet (first sheet); the "
-                f"layer option ({layer!r}) needs a multi-sheet workbook"
-            )
-        return office_files.read_xlsx(spark, target)
+        # layer = worksheet name, e.g. 'Sheet 1' (the reference's example)
+        return office_files.read_xlsx(spark, target, sheet=layer)
     raise ValueError(
         f"cannot infer a GDAL format from {path!r} (resolved {ext!r}); "
         f"readable: {sorted(_READABLE)}"

@@ -50,9 +50,17 @@ def _col_letter(i: int) -> str:
     return out
 
 
-def write_xlsx(path: str, header: list[str], rows: list[tuple]) -> None:
-    """Write a one-sheet .xlsx: strings go to sharedStrings, numbers
-    inline, booleans as t=\"b\". Fixture-grade writer."""
+def write_xlsx(
+    path: str,
+    header: list[str],
+    rows: list[tuple],
+    extra_sheets: list[tuple[str, list[str], list[tuple]]] | None = None,
+) -> None:
+    """Write an .xlsx: strings go to sharedStrings, numbers inline,
+    booleans as t="b". ``extra_sheets`` appends further worksheets as
+    (name, header, rows) — the workbook part, relationships and
+    content types list every sheet, so the reader's ``sheet=`` (the
+    GDAL ``layer`` option) can address them. Fixture-grade writer."""
     strings: list[str] = []
     sindex: dict[str, int] = {}
 
@@ -72,15 +80,19 @@ def write_xlsx(path: str, header: list[str], rows: list[tuple]) -> None:
             return f'<c r="{ref}"><v>{v!r}</v></c>'
         return f'<c r="{ref}" t="s"><v>{s_id(str(v))}</v></c>'
 
-    body = []
-    for ri, row in enumerate([tuple(header)] + [tuple(r) for r in rows], start=1):
-        cells = "".join(cell(ci, ri, v) for ci, v in enumerate(row))
-        body.append(f'<row r="{ri}">{cells}</row>')
-    sheet = (
-        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
-        f"<sheetData>{''.join(body)}</sheetData></worksheet>"
-    )
+    def sheet_xml(hdr: list[str], data: list[tuple]) -> str:
+        body = []
+        for ri, row in enumerate([tuple(hdr)] + [tuple(r) for r in data], start=1):
+            cells = "".join(cell(ci, ri, v) for ci, v in enumerate(row))
+            body.append(f'<row r="{ri}">{cells}</row>')
+        return (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            f"<sheetData>{''.join(body)}</sheetData></worksheet>"
+        )
+
+    sheets = [("Sheet1", header, rows)] + list(extra_sheets or [])
+    sheet_parts = [sheet_xml(h, r) for _n, h, r in sheets]
     sst = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
@@ -88,18 +100,26 @@ def write_xlsx(path: str, header: list[str], rows: list[tuple]) -> None:
         + "".join(f"<si><t>{_xml_escape(s)}</t></si>" for s in strings)
         + "</sst>"
     )
+    sheet_tags = "".join(
+        f'<sheet name="{_xml_escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, (n, _h, _r) in enumerate(sheets)
+    )
     workbook = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
         ' xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
-        '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+        f"<sheets>{sheet_tags}</sheets></workbook>"
+    )
+    sheet_rels = "".join(
+        f'<Relationship Id="rId{i + 1}" Type="http://schemas.openxmlformats.org/'
+        f'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet{i + 1}.xml"/>'
+        for i in range(len(sheets))
     )
     wb_rels = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
-        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
-        'officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
-        '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/'
+        + sheet_rels
+        + f'<Relationship Id="rId{len(sheets) + 1}" Type="http://schemas.openxmlformats.org/'
         'officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>'
         "</Relationships>"
     )
@@ -110,6 +130,11 @@ def write_xlsx(path: str, header: list[str], rows: list[tuple]) -> None:
         'officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
         "</Relationships>"
     )
+    sheet_overrides = "".join(
+        f'<Override PartName="/xl/worksheets/sheet{i + 1}.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        for i in range(len(sheets))
+    )
     ctypes = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
@@ -118,9 +143,8 @@ def write_xlsx(path: str, header: list[str], rows: list[tuple]) -> None:
         '<Default Extension="xml" ContentType="application/xml"/>'
         '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.'
         'openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
-        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/'
-        'vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
-        '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.'
+        + sheet_overrides
+        + '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.'
         'openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
         "</Types>"
     )
@@ -129,7 +153,8 @@ def write_xlsx(path: str, header: list[str], rows: list[tuple]) -> None:
         z.writestr("_rels/.rels", root_rels)
         z.writestr("xl/workbook.xml", workbook)
         z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
-        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        for i, part in enumerate(sheet_parts):
+            z.writestr(f"xl/worksheets/sheet{i + 1}.xml", part)
         z.writestr("xl/sharedStrings.xml", sst)
 
 
@@ -139,7 +164,50 @@ def _xml_escape(s: str) -> str:
     )
 
 
-def _parse_xlsx(path: str) -> tuple[list[str], list[list]]:
+_R_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+_PKG_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+
+def _sheet_part(z: zipfile.ZipFile, sheet_name: str | None) -> str:
+    """Resolve a sheet name (the GDAL ``layer`` option) to its zip part
+    via workbook.xml → workbook rels; None = the first sheet. Minimal
+    files lacking a workbook part (bare sheet1.xml) stay readable when
+    no sheet is named."""
+    if "xl/workbook.xml" not in z.namelist():
+        if sheet_name is not None:
+            raise ValueError(
+                f"cannot resolve sheet {sheet_name!r}: no xl/workbook.xml"
+            )
+        return "xl/worksheets/sheet1.xml"
+    wb = ET.fromstring(z.read("xl/workbook.xml"))
+    sheets = [
+        (s.attrib.get("name"), s.attrib.get(f"{_R_NS}id"))
+        for s in wb.iter(f"{_NS}sheet")
+    ]
+    if not sheets:
+        raise ValueError("workbook has no sheets")
+    if sheet_name is None:
+        rid = sheets[0][1]
+    else:
+        hits = [r for n, r in sheets if n == sheet_name]
+        if not hits:
+            raise ValueError(
+                f"no sheet named {sheet_name!r}; workbook has "
+                f"{[n for n, _ in sheets]}"
+            )
+        rid = hits[0]
+    rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+    targets = {
+        r.attrib["Id"]: r.attrib["Target"]
+        for r in rels.iter(f"{_PKG_NS}Relationship")
+    }
+    target = targets.get(rid, "worksheets/sheet1.xml")
+    return target if target.startswith("xl/") else "xl/" + target.lstrip("/")
+
+
+def _parse_xlsx(
+    path: str, sheet_name: str | None = None
+) -> tuple[list[str], list[list]]:
     """→ (header, rows of python values: float | bool | str | None)."""
     with zipfile.ZipFile(path) as z:
         shared: list[str] = []
@@ -147,7 +215,7 @@ def _parse_xlsx(path: str) -> tuple[list[str], list[list]]:
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in root.iter(f"{_NS}si"):
                 shared.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
-        sheet = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+        sheet = ET.fromstring(z.read(_sheet_part(z, sheet_name)))
     grid: list[list] = []
     for row in sheet.iter(f"{_NS}row"):
         cells: dict[int, object] = {}
@@ -183,13 +251,17 @@ def _parse_xlsx(path: str) -> tuple[list[str], list[list]]:
 _IDENT = re.compile(r"[^A-Za-z0-9_]")
 
 
-def read_xlsx(spark: SparkSession, path_or_glob: str) -> DataFrame:
-    """Read one or many single-sheet .xlsx files (first row = header).
-    Column types are inferred from the FIRST file (numeric → double,
-    boolean → boolean, else string); parsing runs executor-side, one
-    file per task."""
+def read_xlsx(
+    spark: SparkSession, path_or_glob: str, sheet: str | None = None
+) -> DataFrame:
+    """Read one or many .xlsx files (first row = header). ``sheet``
+    selects a worksheet BY NAME (the GDAL ``layer`` option, e.g.
+    'Sheet 1'); default is each workbook's first sheet. Column types
+    are inferred from the FIRST file (numeric → double, boolean →
+    boolean, else string); parsing runs executor-side, one file per
+    task."""
     paths = sorted(_glob.glob(path_or_glob)) or [path_or_glob]
-    header, sample = _parse_xlsx(paths[0])
+    header, sample = _parse_xlsx(paths[0], sheet)
     if not header:
         raise ValueError(f"no header row in {paths[0]}")
 
@@ -210,7 +282,7 @@ def read_xlsx(spark: SparkSession, path_or_glob: str) -> DataFrame:
 
         for pdf in batches:
             for p in pdf["path"]:
-                _h, rows = _parse_xlsx(p)
+                _h, rows = _parse_xlsx(p, sheet)
                 out = {}
                 for i, (n, t) in enumerate(zip(names, types)):
                     col = [r[i] if i < len(r) else None for r in rows]

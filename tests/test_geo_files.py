@@ -472,3 +472,33 @@ def test_fgb_codec_property_roundtrip():
             assert props.get("flag") == fl
 
     check()
+
+
+def test_xlsx_multi_sheet_layer_option(spark, tmp_path):
+    """Multi-sheet workbooks (r10): write_xlsx(extra_sheets=...), the
+    reader's sheet= (the GDAL layer option) addressing each by NAME
+    through workbook.xml → rels indirection; default = first sheet;
+    unknown names fail loud listing the workbook's sheets."""
+    from pg_datalake_spark.sources.gdal_dispatch import read_gdal
+    from pg_datalake_spark.sources.office_files import read_xlsx, write_xlsx
+
+    path = str(tmp_path / "wb.xlsx")
+    write_xlsx(
+        path,
+        ["a", "b"],
+        [(1.0, "x"), (2.0, "y")],
+        extra_sheets=[
+            ("Sheet 2", ["k", "v"], [(10.0, True), (20.0, False)]),
+            ("summary", ["n"], [(99.0,)]),
+        ],
+    )
+    assert [r.a for r in read_xlsx(spark, path).collect()] == [1.0, 2.0]
+    s2 = read_xlsx(spark, path, sheet="Sheet 2")
+    assert dict(s2.dtypes) == {"k": "double", "v": "boolean"}
+    assert sorted((r.k, r.v) for r in s2.collect()) == [(10.0, True),
+                                                        (20.0, False)]
+    # through the dispatcher's layer option
+    assert [r.n for r in read_gdal(spark, path, layer="summary").collect()] \
+        == [99.0]
+    with pytest.raises(ValueError, match="Sheet 2"):
+        read_xlsx(spark, path, sheet="nope")
