@@ -720,6 +720,36 @@ def _stage_data_files(
     return adds
 
 
+def _generation_map(meta: dict) -> dict[str, str]:
+    """column → generation expression, from the schemaString field
+    metadata (PROTOCOL.md generated columns:
+    ``delta.generationExpression`` metadata key)."""
+    out: dict[str, str] = {}
+    for f in json.loads(meta["schemaString"]).get("fields", []):
+        expr = (f.get("metadata") or {}).get("delta.generationExpression")
+        if expr:
+            out[f["name"]] = expr
+    return out
+
+
+def _apply_generated_columns(df: DataFrame, gen: dict[str, str], location: str):
+    """Generated-column write semantics (delta-spark): a column NOT
+    provided by the writer is COMPUTED from its expression; a provided
+    column is VALIDATED against it (null-safe) — a mismatch aborts
+    before staging."""
+    for col, expr in sorted(gen.items()):
+        if col not in df.columns:
+            df = df.withColumn(col, F.expr(expr))
+        else:
+            bad = df.filter(f"NOT ({col} <=> ({expr}))").limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"generated column {col!r} = {expr} violated writing to "
+                    f"{location}; example row: {bad[0].asDict()}"
+                )
+    return df
+
+
 def _check_constraint_map(configuration: dict) -> dict[str, str]:
     pre = "delta.constraints."
     return {
@@ -838,6 +868,7 @@ def write_delta_table(
     partition_by: list[str] | None = None,
     column_mapping: bool | str = False,
     configuration: dict[str, str] | None = None,
+    generated_columns: dict[str, str] | None = None,
 ) -> int:
     """Create a Delta table at ``location`` (commit 0: protocol +
     metaData + adds). Returns the committed version.
@@ -862,7 +893,31 @@ def write_delta_table(
         # minWriterVersion 3).
         _enforce_check_constraints(df, configuration, location)
         proto_ver = {"minReaderVersion": 1, "minWriterVersion": 3}
+    gen_meta: dict[str, dict] = {}
+    if generated_columns:
+        # PROTOCOL.md generated columns: expression stored as the
+        # delta.generationExpression metadata key; legacy writer
+        # requirement is minWriterVersion 4.
+        df = _apply_generated_columns(df, generated_columns, location)
+        gen_meta = {
+            c: {"delta.generationExpression": e}
+            for c, e in generated_columns.items()
+        }
+        proto_ver = {
+            "minReaderVersion": proto_ver["minReaderVersion"],
+            "minWriterVersion": max(4, proto_ver["minWriterVersion"]),
+        }
     schema = df.schema
+    if gen_meta:
+        schema = T.StructType(
+            [
+                T.StructField(
+                    f.name, f.dataType, f.nullable,
+                    {**(f.metadata or {}), **gen_meta.get(f.name, {})},
+                )
+                for f in schema.fields
+            ]
+        )
     if column_mapping:
         cm_mode = "name" if column_mapping is True else str(column_mapping)
         if cm_mode not in ("name", "id"):
@@ -875,6 +930,7 @@ def write_delta_table(
                     f.dataType,
                     f.nullable,
                     {
+                        **(f.metadata or {}),  # keep e.g. generationExpression
                         "delta.columnMapping.id": i + 1,
                         "delta.columnMapping.physicalName": phys[f.name],
                     },
@@ -965,6 +1021,9 @@ def append_delta(
     ):
         return state["version"]  # replayed batch: already committed
     meta0 = state["metaData"]
+    gen = _generation_map(meta0 or {"schemaString": "{}"})
+    if gen:
+        df = _apply_generated_columns(df, gen, location)
     _enforce_check_constraints(
         df, (meta0 or {}).get("configuration") or {}, location
     )

@@ -1252,3 +1252,56 @@ def test_check_constraints_lifecycle(spark, tmp_path):
         loc,
     )
     assert dl.read_delta_table(spark, loc).count() == 61
+
+
+def test_generated_columns(spark, tmp_path):
+    """Generated columns (r10, PROTOCOL.md delta.generationExpression):
+    a column the writer omits is COMPUTED from its expression (create
+    AND append), a provided column is VALIDATED null-safe (mismatch
+    aborts before staging), the expression lives in the schemaString
+    field metadata, and the protocol advertises minWriterVersion 4."""
+    loc = str(tmp_path / "t")
+    df = spark.range(30).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    dl.write_delta_table(
+        df, loc, generated_columns={"bucket": "CAST(k % 4 AS BIGINT)"}
+    )                                                                # v0
+    got = dl.read_delta_table(spark, loc)
+    assert "bucket" in got.columns
+    assert all(r.bucket == r.k % 4 for r in got.collect())
+    state = dl._snapshot_state(spark, loc, None)
+    assert state["protocol"]["minWriterVersion"] >= 4
+    fields = {f["name"]: f for f in
+              __import__("json").loads(state["metaData"]["schemaString"])["fields"]}
+    assert fields["bucket"]["metadata"]["delta.generationExpression"] \
+        == "CAST(k % 4 AS BIGINT)"
+    # append WITHOUT the column: computed
+    dl.append_delta(
+        spark.range(30, 40).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        ),
+        loc,
+    )
+    got = dl.read_delta_table(spark, loc)
+    assert got.count() == 40 and all(r.bucket == r.k % 4 for r in got.collect())
+    # append WITH a wrong value: rejected, nothing committed
+    v_before = dl.delta_table_version(loc)
+    with pytest.raises(ValueError, match="generated column"):
+        dl.append_delta(
+            spark.range(40, 45).select(
+                F.col("id").alias("k"), (F.col("id") % 7).alias("v"),
+                F.lit(99).cast("long").alias("bucket"),
+            ),
+            loc,
+        )
+    assert dl.delta_table_version(loc) == v_before
+    # append WITH the correct value: accepted
+    dl.append_delta(
+        spark.range(40, 45).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v"),
+            (F.col("id") % 4).cast("long").alias("bucket"),
+        ),
+        loc,
+    )
+    assert dl.read_delta_table(spark, loc).count() == 45
