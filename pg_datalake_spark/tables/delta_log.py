@@ -862,6 +862,150 @@ def drop_check_constraint(spark: SparkSession, location: str, name: str) -> int:
     )
 
 
+def _commit_new_meta(
+    spark: SparkSession, location: str, meta: dict, operation: str
+) -> int:
+    state = _snapshot_state(spark, location, None)
+    return _write_commit(
+        location,
+        state["version"] + 1,
+        [
+            {
+                "commitInfo": {
+                    "operation": operation,
+                    "timestamp": int(time.time() * 1000),
+                }
+            },
+            {"metaData": meta},
+        ],
+    )
+
+
+def _expr_references(meta: dict, col: str) -> list[str]:
+    """Names of CHECK constraints / generated columns whose expression
+    mentions ``col`` (word-boundary match) — renames/drops must not
+    silently break them."""
+    import re as _re
+
+    rx = _re.compile(rf"\b{_re.escape(col)}\b")
+    hits = [
+        f"constraint {n}"
+        for n, e in _check_constraint_map(meta.get("configuration") or {}).items()
+        if rx.search(e)
+    ]
+    hits += [
+        f"generated column {c}"
+        for c, e in _generation_map(meta).items()
+        if c != col and rx.search(e)
+    ]
+    return hits
+
+
+def add_column_delta(
+    spark: SparkSession, location: str, name: str, dtype: str
+) -> int:
+    """ALTER TABLE ... ADD COLUMN (nullable): a pure metaData commit —
+    the scan binds files with the table schema, so rows written before
+    the change read the new column as NULL, exactly delta-spark. Under
+    column mapping the new field gets a fresh columnMapping.id /
+    physicalName and maxColumnId advances — so a column re-added after
+    a drop does NOT resurrect the dropped column's stored values."""
+    location = _norm_location(location)
+    state = _snapshot_state(spark, location, None)
+    meta = dict(state["metaData"] or {})
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    if name in {f.name for f in schema.fields}:
+        raise ValueError(f"column {name!r} already exists on {location}")
+    new_meta: dict = {}
+    cfg = dict(meta.get("configuration") or {})
+    if _cm_mode(meta) != "none":
+        next_id = int(cfg.get("delta.columnMapping.maxColumnId", "0")) + 1
+        new_meta = {
+            "delta.columnMapping.id": next_id,
+            "delta.columnMapping.physicalName": f"col-{uuid.uuid4().hex[:12]}",
+        }
+        cfg["delta.columnMapping.maxColumnId"] = str(next_id)
+        meta["configuration"] = cfg
+    schema = T.StructType(
+        [*schema.fields,
+         T.StructField(name, T._parse_datatype_string(dtype), True, new_meta)]
+    )
+    meta["schemaString"] = schema.json()
+    return _commit_new_meta(spark, location, meta, "ADD COLUMNS")
+
+
+def rename_column_delta(
+    spark: SparkSession, location: str, old: str, new: str
+) -> int:
+    """ALTER TABLE ... RENAME COLUMN — metadata-only, and therefore
+    REQUIRES column mapping (without it parquet files bind by name and
+    a rename would orphan every stored value; delta-spark refuses for
+    the same reason). The physicalName stays, so existing data reads
+    under the new logical name unchanged. Partition columns rename in
+    the spec; renames breaking a CHECK constraint or generation
+    expression fail loud."""
+    location = _norm_location(location)
+    state = _snapshot_state(spark, location, None)
+    meta = dict(state["metaData"] or {})
+    if _cm_mode(meta) == "none":
+        raise PermissionError(
+            f"RENAME COLUMN on {location} requires column mapping "
+            "(create the table with column_mapping='name'/'id')"
+        )
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    names = {f.name for f in schema.fields}
+    if old not in names:
+        raise ValueError(f"no column {old!r} on {location}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists on {location}")
+    refs = _expr_references(meta, old)
+    if refs:
+        raise ValueError(
+            f"cannot rename {old!r}: referenced by {', '.join(refs)}"
+        )
+    schema = T.StructType(
+        [
+            T.StructField(new if f.name == old else f.name, f.dataType,
+                          f.nullable, f.metadata)
+            for f in schema.fields
+        ]
+    )
+    meta["schemaString"] = schema.json()
+    meta["partitionColumns"] = [
+        new if c == old else c for c in (meta.get("partitionColumns") or [])
+    ]
+    return _commit_new_meta(spark, location, meta, "RENAME COLUMN")
+
+
+def drop_column_delta(spark: SparkSession, location: str, name: str) -> int:
+    """ALTER TABLE ... DROP COLUMN — metadata-only, REQUIRES column
+    mapping (delta-spark's columnMapping precondition: the stored
+    values stay in the files, unreachable once unmapped). Partition
+    columns and columns referenced by constraints / generation
+    expressions refuse to drop."""
+    location = _norm_location(location)
+    state = _snapshot_state(spark, location, None)
+    meta = dict(state["metaData"] or {})
+    if _cm_mode(meta) == "none":
+        raise PermissionError(
+            f"DROP COLUMN on {location} requires column mapping "
+            "(create the table with column_mapping='name'/'id')"
+        )
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    if name not in {f.name for f in schema.fields}:
+        raise ValueError(f"no column {name!r} on {location}")
+    if name in (meta.get("partitionColumns") or []):
+        raise ValueError(f"cannot drop partition column {name!r}")
+    refs = _expr_references(meta, name)
+    if refs:
+        raise ValueError(
+            f"cannot drop {name!r}: referenced by {', '.join(refs)}"
+        )
+    schema = T.StructType([f for f in schema.fields if f.name != name])
+    meta["schemaString"] = schema.json()
+    return _commit_new_meta(spark, location, meta, "DROP COLUMNS")
+
+
 def write_delta_table(
     df: DataFrame,
     location: str,

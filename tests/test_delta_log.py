@@ -1305,3 +1305,62 @@ def test_generated_columns(spark, tmp_path):
         loc,
     )
     assert dl.read_delta_table(spark, loc).count() == 45
+
+
+def test_schema_evolution_add_rename_drop(spark, tmp_path):
+    """Delta schema evolution (r10): ADD COLUMN is metadata-only (old
+    files read NULL); RENAME/DROP require column mapping and keep
+    physicalName indirection honest — a re-added name after a drop
+    gets a FRESH physical column, so dropped values never resurrect;
+    renames breaking constraints fail loud."""
+    # --- plain table: add works, rename/drop refuse
+    loc = str(tmp_path / "plain")
+    df = spark.range(20).select(F.col("id").alias("k"))
+    dl.write_delta_table(df, loc)
+    dl.add_column_delta(spark, loc, "score", "double")
+    got = dl.read_delta_table(spark, loc)
+    assert got.filter("score IS NULL").count() == 20
+    dl.append_delta(
+        spark.range(20, 25).select(
+            F.col("id").alias("k"), (F.col("id") * 0.5).alias("score")
+        ),
+        loc,
+    )
+    assert dl.read_delta_table(spark, loc).filter("score IS NOT NULL").count() == 5
+    with pytest.raises(ValueError, match="already exists"):
+        dl.add_column_delta(spark, loc, "score", "double")
+    with pytest.raises(PermissionError, match="column mapping"):
+        dl.rename_column_delta(spark, loc, "k", "key")
+    with pytest.raises(PermissionError, match="column mapping"):
+        dl.drop_column_delta(spark, loc, "score")
+
+    # --- column-mapped table: rename preserves data, drop hides it
+    loc2 = str(tmp_path / "cm")
+    dl.write_delta_table(
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        ),
+        loc2,
+        column_mapping="name",
+    )
+    dl.rename_column_delta(spark, loc2, "v", "triple")
+    got = dl.read_delta_table(spark, loc2)
+    assert "triple" in got.columns and "v" not in got.columns
+    assert all(r.triple == r.k * 3 for r in got.collect())
+    # rename blocked while a constraint references the column
+    dl.add_check_constraint(spark, loc2, "pos", "triple >= 0")
+    with pytest.raises(ValueError, match="constraint pos"):
+        dl.rename_column_delta(spark, loc2, "triple", "t3")
+    with pytest.raises(ValueError, match="constraint pos"):
+        dl.drop_column_delta(spark, loc2, "triple")
+    dl.drop_check_constraint(spark, loc2, "pos")
+    # drop, then re-add the same NAME: fresh physical column -> NULLs
+    dl.drop_column_delta(spark, loc2, "triple")
+    assert dl.read_delta_table(spark, loc2).columns == ["k"]
+    dl.add_column_delta(spark, loc2, "triple", "bigint")
+    got = dl.read_delta_table(spark, loc2)
+    assert got.filter("triple IS NULL").count() == 10  # NOT resurrected
+    # time travel still shows the pre-drop values
+    hist_v = 1  # the rename commit
+    tt = dl.read_delta_table(spark, loc2, version_as_of=hist_v)
+    assert all(r.triple == r.k * 3 for r in tt.collect())
