@@ -1290,6 +1290,192 @@ def delete_where_delta(
     return _write_commit(location, state["version"] + 1, removes + adds)
 
 
+def update_delta(
+    spark: SparkSession,
+    location: str,
+    assignments: dict[str, str],
+    where: str = "true",
+) -> int:
+    """UPDATE ... SET col = expr [WHERE ...] — copy-on-write: the
+    active set is rewritten with matching rows transformed (the same
+    minimal-writer COW contract as delete mode='cow': the jar-based
+    writer narrows the rewrite to stats-overlapping files; rewriting
+    the active set is correctness-identical). Generated columns
+    recompute from the updated row; CHECK constraints and appendOnly
+    are enforced like any write."""
+    location = _norm_location(location)
+    state = _snapshot_state(spark, location, None)
+    meta = state["metaData"] or {}
+    cfg = meta.get("configuration") or {}
+    if cfg.get("delta.appendOnly", "").lower() == "true":
+        raise PermissionError(
+            f"table {location} has delta.appendOnly=true: UPDATE is not "
+            "allowed (unset the property to mutate)"
+        )
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    gen = _generation_map(meta)
+    bad = set(assignments) - {f.name for f in schema.fields}
+    if bad:
+        raise ValueError(f"UPDATE {location}: unknown column(s) {sorted(bad)}")
+    if set(assignments) & set(gen):
+        raise ValueError(
+            f"UPDATE {location}: {sorted(set(assignments) & set(gen))} are "
+            "generated columns — they recompute automatically"
+        )
+    current = read_delta_table(spark, location)
+    cond = F.expr(where)
+    cols = []
+    for f in schema.fields:
+        if f.name in gen:
+            continue  # recomputed below from the updated row
+        if f.name in assignments:
+            cols.append(
+                F.when(cond, F.expr(assignments[f.name]))
+                .otherwise(F.col(f.name))
+                .cast(f.dataType)
+                .alias(f.name)
+            )
+        else:
+            cols.append(F.col(f.name))
+    updated = current.select(*cols)
+    if gen:
+        updated = _apply_generated_columns(updated, gen, location)
+    _enforce_check_constraints(updated, cfg, location)
+    staged, part_phys = _physical_stage_args(meta, updated)
+    adds = _stage_data_files(staged, location, part_phys)
+    now_ms = int(time.time() * 1000)
+    removes = [
+        {
+            "remove": {
+                "path": p,
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+                "partitionValues": a.get("partitionValues") or {},
+                **(
+                    {"deletionVector": a["deletionVector"]}
+                    if a.get("deletionVector") else {}
+                ),
+            }
+        }
+        for p, a in sorted(state["adds"].items())
+    ]
+    return _write_commit(
+        location,
+        state["version"] + 1,
+        [{"commitInfo": {"operation": "UPDATE", "timestamp": now_ms}}]
+        + removes + adds,
+    )
+
+
+def merge_delta(
+    spark: SparkSession,
+    location: str,
+    source: DataFrame,
+    on: str,
+    when_matched_update: dict[str, str] | None = None,
+    when_matched_delete: str | None = None,
+    when_not_matched_insert: bool = True,
+) -> int:
+    """MERGE INTO target USING source ON <cond> — copy-on-write. The
+    merged result is computed relationally (one outer join, Catalyst
+    plans it), then committed as a full rewrite:
+
+    - matched + ``when_matched_delete`` predicate (or 'true') → row
+      dropped;
+    - matched otherwise → ``when_matched_update`` assignments applied
+      (``s.col`` / ``t.col`` reference source/target);
+    - unmatched source rows → inserted when ``when_not_matched_insert``
+      (source must carry the target's non-generated columns);
+    - unmatched target rows → kept.
+
+    Duplicate source matches fail loud (the Delta MERGE cardinality
+    rule: a target row matching >1 source row is ambiguous)."""
+    location = _norm_location(location)
+    state = _snapshot_state(spark, location, None)
+    meta = state["metaData"] or {}
+    cfg = meta.get("configuration") or {}
+    if cfg.get("delta.appendOnly", "").lower() == "true":
+        raise PermissionError(
+            f"table {location} has delta.appendOnly=true: MERGE is not allowed"
+        )
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    gen = _generation_map(meta)
+    data_cols = [f.name for f in schema.fields if f.name not in gen]
+    target = read_delta_table(spark, location).withColumn(
+        "__t_present", F.lit(True)
+    ).alias("t")
+    src = source.withColumn("__s_present", F.lit(True)).alias("s")
+    # cardinality check: each target row may match at most one source row
+    probe = (
+        read_delta_table(spark, location)
+        .withColumn("__tid", F.monotonically_increasing_id())
+        .alias("t")
+        .join(src, F.expr(on), "inner")
+    )
+    dup = probe.groupBy("__tid").count().filter("count > 1").limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"MERGE into {location}: a target row matches multiple source "
+            "rows (ambiguous per the Delta MERGE cardinality rule)"
+        )
+    joined = target.join(src, F.expr(on), "full_outer")
+    has_t = F.coalesce(F.col("t.__t_present"), F.lit(False))
+    has_s = F.coalesce(F.col("s.__s_present"), F.lit(False))
+    is_match = has_t & has_s
+    # the delete predicate sees t./s. (pre-update values), like Delta
+    drop_row = (
+        is_match & F.expr(when_matched_delete)
+        if when_matched_delete is not None
+        else F.lit(False)
+    )
+    upd = when_matched_update or {}
+    dtypes = {f.name: f.dataType for f in schema.fields}
+    out_cols = []
+    for c in data_cols:
+        t_c = F.col(f"t.{c}")
+        upd_expr = F.expr(upd[c]) if c in upd else t_c
+        insert_val = F.col(f"s.{c}") if c in source.columns else F.lit(None)
+        out_cols.append(
+            F.when(is_match, upd_expr)                 # matched → update
+            .when(has_t, t_c)                          # target-only → keep
+            .otherwise(insert_val)                     # source-only → insert
+            .cast(dtypes[c])
+            .alias(c)
+        )
+    merged = (
+        joined.filter(~drop_row)
+        .filter(has_t | F.lit(when_not_matched_insert))
+        .select(*out_cols)
+    )
+    if gen:
+        merged = _apply_generated_columns(merged, gen, location)
+    _enforce_check_constraints(merged, cfg, location)
+    staged, part_phys = _physical_stage_args(meta, merged)
+    adds = _stage_data_files(staged, location, part_phys)
+    now_ms = int(time.time() * 1000)
+    removes = [
+        {
+            "remove": {
+                "path": p,
+                "deletionTimestamp": now_ms,
+                "dataChange": True,
+                "partitionValues": a.get("partitionValues") or {},
+                **(
+                    {"deletionVector": a["deletionVector"]}
+                    if a.get("deletionVector") else {}
+                ),
+            }
+        }
+        for p, a in sorted(state["adds"].items())
+    ]
+    return _write_commit(
+        location,
+        state["version"] + 1,
+        [{"commitInfo": {"operation": "MERGE", "timestamp": now_ms}}]
+        + removes + adds,
+    )
+
+
 def _delete_where_dv(
     spark: SparkSession,
     location: str,

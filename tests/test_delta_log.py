@@ -1364,3 +1364,74 @@ def test_schema_evolution_add_rename_drop(spark, tmp_path):
     hist_v = 1  # the rename commit
     tt = dl.read_delta_table(spark, loc2, version_as_of=hist_v)
     assert all(r.triple == r.k * 3 for r in tt.collect())
+
+
+def test_update_delta_cow(spark, tmp_path):
+    """UPDATE (r10): COW rewrite with WHERE + expression assignments;
+    generated columns recompute from updated rows; appendOnly and
+    generated-column assignment refuse; time travel preserves the
+    pre-update image."""
+    loc = str(tmp_path / "t")
+    dl.write_delta_table(
+        spark.range(40).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        loc,
+        generated_columns={"sign": "CAST(CASE WHEN v >= 50 THEN 1 ELSE 0 END AS INT)"},
+    )                                                                # v0
+    dl.update_delta(spark, loc, {"v": "v + 1000"}, where="k % 10 = 3")
+    got = {r.k: (r.v, r.sign) for r in dl.read_delta_table(spark, loc).collect()}
+    assert got[3] == (1006, 1) and got[13] == (1026, 1)  # sign recomputed
+    assert got[4] == (8, 0)                              # untouched
+    assert len(got) == 40
+    tt = {r.k: r.v for r in
+          dl.read_delta_table(spark, loc, version_as_of=0).collect()}
+    assert tt[3] == 6
+    with pytest.raises(ValueError, match="generated"):
+        dl.update_delta(spark, loc, {"sign": "2"})
+    with pytest.raises(ValueError, match="unknown column"):
+        dl.update_delta(spark, loc, {"nope": "1"})
+
+
+def test_merge_delta_cow(spark, tmp_path):
+    """MERGE (r10): one full-outer-join COW — matched update, matched
+    delete by predicate on t./s., not-matched insert; the cardinality
+    rule (dup source matches) fails loud; constraints enforced on the
+    merged result."""
+    loc = str(tmp_path / "t")
+    dl.write_delta_table(
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+        loc,
+    )
+    dl.add_check_constraint(spark, loc, "v_cap", "v < 10000")
+    src = spark.createDataFrame(
+        [(2, 222), (5, 555), (7, -1), (50, 500), (60, 600)], "k long, nv long"
+    )
+    dl.merge_delta(
+        spark, loc, src,
+        on="t.k = s.k",
+        when_matched_update={"v": "s.nv"},
+        when_matched_delete="s.nv < 0",
+        when_not_matched_insert=True,
+    )
+    got = {r.k: r.v for r in dl.read_delta_table(spark, loc).collect()}
+    assert got[2] == 222 and got[5] == 555          # updated
+    assert 7 not in got                             # deleted by predicate
+    # unmatched source rows insert: v comes from s.v -> absent -> NULL
+    assert 50 in got and 60 in got and got[50] is None
+    assert got[0] == 0 and got[9] == 90             # kept
+    assert len(got) == 11
+    # cardinality violation: two source rows match target k=1
+    dup = spark.createDataFrame([(1, 1), (1, 2)], "k long, nv long")
+    with pytest.raises(ValueError, match="cardinality"):
+        dl.merge_delta(spark, loc, dup, on="t.k = s.k",
+                       when_matched_update={"v": "s.nv"})
+    # constraint violated by the merged result -> aborted, no commit
+    v_before = dl.delta_table_version(loc)
+    bad = spark.createDataFrame([(2, 99999)], "k long, nv long")
+    with pytest.raises(ValueError, match="v_cap"):
+        dl.merge_delta(spark, loc, bad, on="t.k = s.k",
+                       when_matched_update={"v": "s.nv"})
+    assert dl.delta_table_version(loc) == v_before
