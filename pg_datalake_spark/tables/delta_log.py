@@ -2128,6 +2128,72 @@ def version_at_timestamp(spark: SparkSession, location: str, ts_ms: int) -> int:
     return max(candidates)
 
 
+def clone_delta(
+    spark: SparkSession,
+    source: str,
+    target: str,
+    version: int | None = None,
+) -> int:
+    """SHALLOW CLONE (delta-spark's CREATE TABLE ... SHALLOW CLONE):
+    commit 0 of a NEW table whose adds reference the source's data
+    files by ABSOLUTE path — zero data copied, optionally at a pinned
+    source ``version``. The clone gets a fresh table id; schema,
+    partitioning, configuration (constraints included) and protocol
+    carry over. Sidecar deletion vectors are re-referenced with
+    storageType "p" (absolute path), which the DV decode path already
+    understands.
+
+    Independence: writes to the clone commit only to the clone's log;
+    ``vacuum_delta`` on the clone walks only the CLONE's directory, so
+    the source's files are never reclaimed from the clone side (the
+    flip side also holds — vacuuming the SOURCE can orphan a clone's
+    referenced files, the same caveat delta-spark documents)."""
+    from pg_datalake_spark.tables import dv_codec
+
+    source = _norm_location(source)
+    target = _norm_location(target)
+    if os.path.exists(os.path.join(target, _LOG_DIR)):
+        raise FileExistsError(f"target {target} is already a Delta table")
+    state = _snapshot_state(spark, source, version)
+    _abs = _make_abs(source)
+    now_ms = int(time.time() * 1000)
+    meta = dict(state["metaData"] or {})
+    meta["id"] = str(uuid.uuid4())
+    meta["createdTime"] = now_ms
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "operation": "CLONE",
+                "timestamp": now_ms,
+                "operationParameters": {
+                    "source": source,
+                    "sourceVersion": state["version"],
+                },
+            }
+        },
+        {"protocol": state["protocol"] or {"minReaderVersion": 1,
+                                           "minWriterVersion": 2}},
+        {"metaData": meta},
+    ]
+    for _p, a in sorted(state["adds"].items()):
+        add = dict(a)
+        add["path"] = urllib.parse.quote(_abs(a["path"]), safe="/")
+        add["modificationTime"] = now_ms
+        add["dataChange"] = True
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            add["deletionVector"] = {
+                **dv,
+                "storageType": "p",
+                "pathOrInlineDv": os.path.join(
+                    source, dv_codec.dv_relative_path(dv["pathOrInlineDv"])
+                ),
+            }
+        actions.append({"add": add})
+    os.makedirs(target, exist_ok=True)
+    return _write_commit(target, 0, actions)
+
+
 def restore_delta(
     spark: SparkSession,
     location: str,

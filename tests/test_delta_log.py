@@ -1435,3 +1435,61 @@ def test_merge_delta_cow(spark, tmp_path):
         dl.merge_delta(spark, loc, bad, on="t.k = s.k",
                        when_matched_update={"v": "s.nv"})
     assert dl.delta_table_version(loc) == v_before
+
+
+def test_shallow_clone_delta(spark, tmp_path):
+    """SHALLOW CLONE (r10): zero-copy table at a pinned version —
+    absolute-path adds (DV sidecars re-referenced storageType 'p'),
+    fresh table id, carried-over constraints; clone and source evolve
+    independently; vacuum on the clone never touches source files."""
+    src = str(tmp_path / "src")
+    dl.write_delta_table(
+        spark.range(60).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).repartition(2),
+        src,
+        configuration={"delta.constraints.k_pos": "k >= 0"},
+    )                                                                # v0
+    dl.delete_where_delta(spark, src, "k % 5 = 0", mode="dv")        # v1
+    dl.append_delta(
+        spark.range(60, 80).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        src,
+    )                                                                # v2
+
+    clone = str(tmp_path / "clone")
+    dl.clone_delta(spark, src, clone, version=1)  # pinned pre-append
+    got = sorted(r.k for r in dl.read_delta_table(spark, clone).collect())
+    want = [k for k in range(60) if k % 5 != 0]   # DV applied via 'p' path
+    assert got == want
+    # fresh identity, carried constraint
+    s_meta = dl._snapshot_state(spark, src, None)["metaData"]
+    c_meta = dl._snapshot_state(spark, clone, None)["metaData"]
+    assert c_meta["id"] != s_meta["id"]
+    with pytest.raises(ValueError, match="k_pos"):
+        dl.append_delta(
+            spark.range(1).select(F.lit(-5).alias("k"),
+                                  F.lit(0).cast("long").alias("v")),
+            clone,
+        )
+    # independent evolution: append to the clone, source unchanged
+    dl.append_delta(
+        spark.range(100, 105).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        clone,
+    )
+    assert dl.read_delta_table(spark, clone).count() == len(want) + 5
+    assert dl.read_delta_table(spark, src).count() == 48 + 20
+    # vacuum on the clone must not reclaim SOURCE files
+    import glob as _g
+    n_src_files = len(_g.glob(os.path.join(src, "**", "*.parquet"),
+                              recursive=True))
+    dl.vacuum_delta(spark, clone, retain_last=1)
+    assert len(_g.glob(os.path.join(src, "**", "*.parquet"),
+                       recursive=True)) == n_src_files
+    assert dl.read_delta_table(spark, clone).count() == len(want) + 5
+    # cloning onto an existing table refuses
+    with pytest.raises(FileExistsError):
+        dl.clone_delta(spark, src, clone)
