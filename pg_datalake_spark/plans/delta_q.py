@@ -359,3 +359,94 @@ def lake13(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("total_cents"),
         )
     )
+
+
+@register(
+    "lake14_delta_dml",
+    oracle="""
+    WITH tgt AS (
+      SELECT o_orderkey AS k, o_totalprice AS tp, o_orderstatus AS st
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    merged AS (
+      -- matched (k%5=0): tp+1000; unmatched source rows inserted
+      SELECT k, CASE WHEN k % 5 = 0 THEN tp + 1000 ELSE tp END AS tp, st
+      FROM tgt
+      UNION ALL
+      SELECT o_orderkey, o_totalprice + 1000, o_orderstatus
+      FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0
+    ),
+    updated AS (
+      SELECT k, CASE WHEN st = 'F' THEN tp * 2 ELSE tp END AS tp, st
+      FROM merged
+    ),
+    phases AS (
+      SELECT 'merge' AS phase, st, count(*) AS n,
+             CAST(sum(CAST(round(tp * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM merged GROUP BY st
+      UNION ALL
+      SELECT 'update', st, count(*),
+             CAST(sum(CAST(round(tp * 100) AS BIGINT)) AS BIGINT)
+      FROM updated GROUP BY st
+      UNION ALL
+      SELECT 'restore', st, count(*),
+             CAST(sum(CAST(round(tp * 100) AS BIGINT)) AS BIGINT)
+      FROM merged GROUP BY st
+    )
+    SELECT phase, st AS o_orderstatus, n, total_cents FROM phases
+    """,
+)
+def lake14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DML completion tier (r10 tail; tables/delta_log.py
+    merge_delta / update_delta / restore_delta — the COW writer verbs
+    delta-spark ships, rebuilt on the minimal log writer). One table,
+    three phases, every phase's aggregate reproduced relationally by
+    the oracle:
+
+    - MERGE: target = orders with key%3=0; source = key%5=0 rows with
+      price+1000 — matched rows update (t.tp ← s.tp), unmatched insert;
+    - UPDATE: price doubled WHERE status 'F' (expression assignment);
+    - RESTORE to the post-merge version: its aggregate must equal the
+      merge phase's EXACTLY (a forward commit reproducing a prior
+      snapshot — hash-proves restore correctness relationally).
+    """
+    import os as _os
+
+    from pg_datalake_spark.tables import delta_log as dl
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    src = t["orders"].select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("tp"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    loc = tempfile.mkdtemp(prefix="lake14_") + "/delta_dml_orders"
+    dl.write_delta_table(src.filter("k % 3 = 0").repartition(4), loc)   # v0
+    merge_src = src.filter("k % 5 = 0").select(
+        "k", (F.col("tp") + 1000).alias("tp"), "st"
+    )
+    dl.merge_delta(
+        spark, loc, merge_src,
+        on="t.k = s.k",
+        when_matched_update={"tp": "s.tp"},
+        when_not_matched_insert=True,
+    )                                                                   # v1
+    dl.update_delta(spark, loc, {"tp": "tp * 2"}, where="st = 'F'")     # v2
+
+    def agg(tag: str, version: int | None = None) -> DataFrame:
+        return (
+            dl.read_delta_table(spark, loc, version_as_of=version)
+            .groupBy(F.col("st").alias("o_orderstatus"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("tp") * 100).cast("long"))
+                .cast("long").alias("total_cents"),
+            )
+            .select(F.lit(tag).alias("phase"), "*")
+        )
+
+    merge_agg = agg("merge", version=1)
+    update_agg = agg("update", version=2)
+    dl.restore_delta(spark, loc, version=1)                             # v3
+    restore_agg = agg("restore")
+    return merge_agg.unionByName(update_agg).unionByName(restore_agg)
