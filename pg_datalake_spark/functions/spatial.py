@@ -146,6 +146,10 @@ __all__ = [
     "st_force3dz",
     "st_force3dm",
     "st_force4d",
+    # curve tier (round 10 tail)
+    "st_circularstring",
+    "st_curvetoline",
+    "st_length_circular",
 ]
 
 
@@ -1937,3 +1941,76 @@ def st_force4d(p: Column, z: Column | None = None, m: Column | None = None) -> C
     return F.struct(
         p["x"].alias("x"), p["y"].alias("y"), zc.alias("z"), mc.alias("m")
     )
+
+
+# --- curve tier (round 10 tail) ----------------------------------------------
+# Reference surface: shippable_spatial_functions.c ST_CurveToLine (the
+# "curves" entry of the formerly-delegated GEOS-hard list). The model's
+# CIRCULARSTRING is a struct of three points (start, any interior arc
+# point, end); the circumcircle, sweep direction and samples are all
+# closed-form Column algebra — whole-stage codegen, no UDFs.
+
+
+def st_circularstring(p0: Column, p1: Column, p2: Column) -> Column:
+    """Three-point circular arc: start, a point ON the arc, end."""
+    return F.struct(p0.alias("p0"), p1.alias("p1"), p2.alias("p2"))
+
+
+def _circumcenter(cs: Column) -> tuple[Column, Column, Column]:
+    """(cx, cy, d) of the circle through the arc's three points;
+    d == 0 ⇔ collinear (no circle)."""
+    x0, y0 = cs["p0"]["x"], cs["p0"]["y"]
+    x1, y1 = cs["p1"]["x"], cs["p1"]["y"]
+    x2, y2 = cs["p2"]["x"], cs["p2"]["y"]
+    d = 2 * (x0 * (y1 - y2) + x1 * (y2 - y0) + x2 * (y0 - y1))
+    s0, s1, s2 = x0 * x0 + y0 * y0, x1 * x1 + y1 * y1, x2 * x2 + y2 * y2
+    ux = (s0 * (y1 - y2) + s1 * (y2 - y0) + s2 * (y0 - y1)) / d
+    uy = (s0 * (x2 - x1) + s1 * (x0 - x2) + s2 * (x1 - x0)) / d
+    return ux, uy, d
+
+
+def _arc_params(cs: Column) -> tuple[Column, Column, Column, Column]:
+    """(cx, cy, r, signed sweep Δ): Δ > 0 counterclockwise (determined
+    by the orientation of the three points), |Δ| ∈ (0, 2π)."""
+    cx, cy, d = _circumcenter(cs)
+    r = F.sqrt(
+        (cs["p0"]["x"] - cx) * (cs["p0"]["x"] - cx)
+        + (cs["p0"]["y"] - cy) * (cs["p0"]["y"] - cy)
+    )
+    a0 = F.atan2(cs["p0"]["y"] - cy, cs["p0"]["x"] - cx)
+    a2 = F.atan2(cs["p2"]["y"] - cy, cs["p2"]["x"] - cx)
+    ccw = (
+        (cs["p1"]["x"] - cs["p0"]["x"]) * (cs["p2"]["y"] - cs["p1"]["y"])
+        - (cs["p1"]["y"] - cs["p0"]["y"]) * (cs["p2"]["x"] - cs["p1"]["x"])
+    ) > 0
+    two_pi = F.lit(2 * math.pi)
+    d_ccw = ((a2 - a0) % two_pi + two_pi) % two_pi  # [0, 2π)
+    d_ccw = F.when(d_ccw == 0, two_pi).otherwise(d_ccw)
+    sweep = F.when(ccw, d_ccw).otherwise(d_ccw - two_pi)
+    # collinear input: no circle — null everything (PostGIS errors;
+    # Column algebra nulls, module-wide convention)
+    cx = F.when(d == 0, F.lit(None)).otherwise(cx)
+    return cx, cy, r, sweep
+
+
+def st_curvetoline(cs: Column, n_segments: int = 8) -> Column:
+    """ST_CurveToLine: sample the arc into ``n_segments`` chords (a
+    linestring of n+1 vertices, endpoints exact up to the atan2/cos
+    roundtrip). Collinear input → null."""
+    cx, cy, r, sweep = _arc_params(cs)
+    step = sweep / F.lit(float(n_segments))
+    a0 = F.atan2(cs["p0"]["y"] - cy, cs["p0"]["x"] - cx)
+    pts = F.transform(
+        F.sequence(F.lit(0), F.lit(n_segments)),
+        lambda k: st_point(
+            cx + r * F.cos(a0 + k.cast("double") * step),
+            cy + r * F.sin(a0 + k.cast("double") * step),
+        ),
+    )
+    return F.when(cx.isNull(), F.lit(None)).otherwise(pts)
+
+
+def st_length_circular(cs: Column) -> Column:
+    """Exact arc length r·|Δ| of a circularstring (null if collinear)."""
+    cx, _cy, r, sweep = _arc_params(cs)
+    return F.when(cx.isNull(), F.lit(None)).otherwise(r * F.abs(sweep))

@@ -1739,3 +1739,98 @@ def geo17(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.st_x(S.st_geometryfromtext_point(F.col("wkt"))).alias("gft_x"),
         S.st_y(S.st_geometryfromtext_point(F.col("wkt"))).alias("gft_y"),
     )
+
+
+@register(
+    "geo18_curve_tier",
+    oracle="""
+    WITH g AS (
+      SELECT n_nationkey AS nk,
+             CAST(1 + n_nationkey % 3 AS DOUBLE) AS h,
+             CAST(n_nationkey % 7 AS DOUBLE) AS cx,
+             CAST(n_nationkey * 3 % 5 AS DOUBLE) AS cy
+      FROM nation
+    )
+    SELECT nk,
+           CAST(9 AS INT) AS qn,
+           cx + h AS q_first_x, cy AS q_first_y,
+           cx AS q_last_x, cy + h AS q_last_y,
+           round(cx + h * cos(pi() / 4), 6) AS q_mid_x,
+           round(cy + h * sin(pi() / 4), 6) AS q_mid_y,
+           round(h * (pi() / 2), 6) AS q_len,
+           CAST(0 AS INT) AS hw_sign,
+           cx - h AS h_last_x,
+           cy - h AS h_mid_y,
+           round(h * pi(), 6) AS h_len,
+           TRUE AS col_null
+    FROM g
+    """,
+)
+def geo18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURVE tier (r10 tail; reference shippable_spatial_functions.c
+    ST_CurveToLine — the 'curves' entry of the formerly-delegated
+    GEOS-hard list). CIRCULARSTRING = (start, on-arc point, end)
+    struct; circumcircle, signed sweep and chord samples are pure
+    Column algebra (atan2/cos/sin in whole-stage codegen). Per nation
+    row, radius h at (cx, cy):
+
+    - a CCW quarter arc east→north sampled into 8 chords: 9 vertices,
+      endpoints land EXACTLY on the input points (a0 = atan2(0, h) = 0
+      is exact; the k=8 angle is exactly π/2 because the step divides
+      by a power of two), midpoint at π/4, arc length h·π/2;
+    - a CW half arc east→south→west: negative sweep (sign column),
+      last vertex (cx − h, ·), midpoint at −π/2, length h·π;
+    - a collinear "arc" has no circumcircle → null (PostGIS errors;
+      the module's Column-algebra convention nulls).
+
+    Every value is independently closed-form in SQL; libm-valued
+    columns are rounded to 6 dp before hashing (the verify-recipe
+    rule)."""
+    t = load_tables(spark, sf_dir, ["nation"])
+    base = t["nation"].select(
+        F.col("n_nationkey").cast("int").alias("nk"),
+        (1 + F.col("n_nationkey") % 3).cast("double").alias("h"),
+        (F.col("n_nationkey") % 7).cast("double").alias("cx"),
+        (F.col("n_nationkey") * 3 % 5).cast("double").alias("cy"),
+    )
+    h, cx, cy = F.col("h"), F.col("cx"), F.col("cy")
+    s2 = 0.5 ** 0.5
+    quarter = S.st_circularstring(
+        S.st_point(cx + h, cy),
+        S.st_point(cx + h * s2, cy + h * s2),
+        S.st_point(cx, cy + h),
+    )
+    half_cw = S.st_circularstring(
+        S.st_point(cx + h, cy),
+        S.st_point(cx, cy - h),
+        S.st_point(cx - h, cy),
+    )
+    collinear = S.st_circularstring(
+        S.st_point(cx, cy), S.st_point(cx + 1, cy + 1), S.st_point(cx + 2, cy + 2),
+    )
+    staged = base.select(
+        "nk", "h", "cx", "cy",
+        S.st_curvetoline(quarter, 8).alias("q"),
+        S.st_length_circular(quarter).alias("q_len_raw"),
+        S.st_curvetoline(half_cw, 8).alias("hw"),
+        S.st_length_circular(half_cw).alias("h_len_raw"),
+        S.st_curvetoline(collinear, 8).alias("col"),
+    )
+    el = lambda c, i: F.element_at(F.col(c), i)
+    return staged.select(
+        "nk",
+        F.size("q").alias("qn"),
+        F.round(el("q", 1)["x"], 6).alias("q_first_x"),
+        F.round(el("q", 1)["y"], 6).alias("q_first_y"),
+        F.round(el("q", 9)["x"], 6).alias("q_last_x"),
+        F.round(el("q", 9)["y"], 6).alias("q_last_y"),
+        F.round(el("q", 5)["x"], 6).alias("q_mid_x"),
+        F.round(el("q", 5)["y"], 6).alias("q_mid_y"),
+        F.round("q_len_raw", 6).alias("q_len"),
+        # CW sweep ⇒ the second sample dips SOUTH of the center line
+        (el("hw", 2)["y"] >= cy).cast("int").alias("hw_sign"),
+        F.round(el("hw", 9)["x"], 6).alias("h_last_x"),
+        F.round(el("hw", 5)["y"], 6).alias("h_mid_y"),
+        F.round("h_len_raw", 6).alias("h_len"),
+        F.col("col").isNull().alias("col_null"),
+    )
