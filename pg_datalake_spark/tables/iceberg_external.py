@@ -392,6 +392,7 @@ def read_iceberg_table(
     metadata_file: str | None = None,
     filters: list[tuple] | None = None,
     as_of_timestamp_ms: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Scan an external Iceberg v1/v2 table snapshot as a DataFrame.
 
@@ -423,6 +424,10 @@ def read_iceberg_table(
       (Iceberg v2 sequence semantics — rows re-appended after the
       delete survive).
     """
+    if ref is not None:
+        if snapshot_id is not None or as_of_timestamp_ms is not None:
+            raise ValueError("ref is exclusive with snapshot_id/timestamp")
+        snapshot_id = resolve_ref(location, ref)
     if as_of_timestamp_ms is not None:
         if snapshot_id is not None:
             raise ValueError("snapshot_id and as_of_timestamp_ms are exclusive")
@@ -1766,6 +1771,61 @@ def rollback_to_snapshot(location: str, snapshot_id: int) -> int:
     return snapshot_id
 
 
+def set_ref(
+    location: str,
+    name: str,
+    snapshot_id: int | None = None,
+    ref_type: str = "tag",
+) -> int:
+    """Create or move a named REF (Iceberg spec ``refs`` map: TAG = an
+    immutable-by-convention bookmark, BRANCH = a movable head) pointing
+    at ``snapshot_id`` (default: current). Refs RETAIN their snapshots
+    through :func:`expire_snapshots`, per the spec's ref-retention
+    rules. A new metadata version is written; returns the snapshot id."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"ref_type must be 'tag' or 'branch', got {ref_type!r}")
+    meta = load_table_metadata(location)
+    sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
+    if sid not in {s["snapshot-id"] for s in meta.get("snapshots", [])}:
+        raise ValueError(f"snapshot {sid} not found on {location}")
+    refs = dict(meta.get("refs") or {})
+    refs[name] = {"snapshot-id": sid, "type": ref_type}
+    meta["refs"] = refs
+    meta_dir = os.path.join(_local(location), "metadata")
+    version = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip()) + 1
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _write_version_file(meta_dir, version, meta)
+    return sid
+
+
+def drop_ref(location: str, name: str) -> None:
+    """Remove a named ref (missing name fails loud). The snapshot it
+    pinned becomes expirable again."""
+    meta = load_table_metadata(location)
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise ValueError(f"no ref {name!r} on {location} (have {sorted(refs)})")
+    del refs[name]
+    meta["refs"] = refs
+    meta_dir = os.path.join(_local(location), "metadata")
+    version = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip()) + 1
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    _write_version_file(meta_dir, version, meta)
+
+
+def resolve_ref(location: str, name: str) -> int:
+    """Ref name → snapshot id. ``main`` resolves to the current
+    snapshot when no explicit ref shadows it (the spec's default
+    branch convention)."""
+    meta = load_table_metadata(location)
+    refs = meta.get("refs") or {}
+    if name in refs:
+        return refs[name]["snapshot-id"]
+    if name == "main" and meta.get("current-snapshot-id") is not None:
+        return meta["current-snapshot-id"]
+    raise ValueError(f"no ref {name!r} on {location} (have {sorted(refs)})")
+
+
 def delete_where(spark: SparkSession, location: str, predicate: str) -> int:
     """Row-level DELETE on an external Iceberg table, copy-on-write:
     read the current snapshot, drop matching rows, commit an OVERWRITE.
@@ -1808,6 +1868,14 @@ def expire_snapshots(location: str, keep_last: int = 1) -> dict:
     snaps = sorted(meta.get("snapshots", []), key=lambda s: s["sequence-number"])
     keep_last = max(1, keep_last)
     kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+    # spec ref-retention: snapshots pinned by a tag/branch ref never
+    # expire, regardless of keep_last
+    ref_ids = {
+        r["snapshot-id"] for r in (meta.get("refs") or {}).values()
+    }
+    if ref_ids:
+        kept = kept + [s for s in expired if s["snapshot-id"] in ref_ids]
+        expired = [s for s in expired if s["snapshot-id"] not in ref_ids]
     current = meta.get("current-snapshot-id")
     if current is not None and current not in {s["snapshot-id"] for s in kept}:
         raise ValueError("keep_last would expire the current snapshot")

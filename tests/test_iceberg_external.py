@@ -1321,3 +1321,50 @@ def test_merge_internal_external_crosswalk(spark, tmp_path):
     assert by_k[5] == {"k": 5, "name": "u5", "v": 3.0}
     assert by_k[99] == {"k": 99, "name": "new99", "v": 3.5}
     assert by_k[10] == {"k": 10, "name": "n10", "v": 100.0}
+
+
+def test_refs_tag_branch_and_ref_retention(spark, tmp_path):
+    """Iceberg refs (r10 tail, spec `refs` map): tag/branch creation,
+    ref= reads, main fallback, and the spec's ref-retention rule —
+    expire_snapshots keeps a tagged snapshot alive (and readable) that
+    keep_last alone would reclaim; dropping the tag makes it expirable."""
+    from pg_datalake_spark.tables import iceberg_external as ie
+
+    loc = str(tmp_path / "t")
+    df1 = spark.range(10).select(F.col("id").alias("k"))
+    ie.export_iceberg_snapshot(df1, loc)                      # snap 1
+    s1 = ie.load_table_metadata(loc)["current-snapshot-id"]
+    ie.set_ref(loc, "v1.0", ref_type="tag")                   # tag snap 1
+    ie.append_snapshot(
+        spark.range(10, 25).select(F.col("id").alias("k")), loc
+    )                                                          # snap 2
+    ie.append_snapshot(
+        spark.range(25, 30).select(F.col("id").alias("k")), loc
+    )                                                          # snap 3
+    ie.set_ref(loc, "dev", ref_type="branch")                 # branch snap 3
+
+    assert ie.resolve_ref(loc, "v1.0") == s1
+    assert sorted(
+        r.k for r in ie.read_iceberg_table(spark, loc, ref="v1.0").collect()
+    ) == list(range(10))
+    assert ie.read_iceberg_table(spark, loc, ref="main").count() == 30
+    with pytest.raises(ValueError, match="no ref"):
+        ie.resolve_ref(loc, "nope")
+    with pytest.raises(ValueError, match="exclusive"):
+        ie.read_iceberg_table(spark, loc, ref="v1.0", snapshot_id=s1)
+    with pytest.raises(ValueError, match="tag"):
+        ie.set_ref(loc, "x", ref_type="weird")
+
+    # keep_last=1 would expire snaps 1+2; the tag retains snap 1
+    out = ie.expire_snapshots(loc, keep_last=1)
+    metas = ie.load_table_metadata(loc)
+    assert s1 in {s["snapshot-id"] for s in metas["snapshots"]}
+    assert ie.read_iceberg_table(spark, loc, ref="v1.0").count() == 10
+    assert len(out["expired_snapshot_ids"]) == 1  # only snap 2 went
+
+    # drop the tag: the snapshot becomes expirable and files reclaim
+    ie.drop_ref(loc, "v1.0")
+    out2 = ie.expire_snapshots(loc, keep_last=1)
+    assert out2["expired_snapshot_ids"] == [s1]
+    with pytest.raises(ValueError, match="no ref"):
+        ie.drop_ref(loc, "v1.0")
