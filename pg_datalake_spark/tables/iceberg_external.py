@@ -2228,3 +2228,170 @@ def compact_files(
         "files_after": len(after),
         "snapshot_id": snap_id,
     }
+
+
+def uniform_export_iceberg(spark: SparkSession, delta_location: str) -> int:
+    """UniForm analog (delta-io "Universal Format"): generate Iceberg
+    v2 metadata UNDER THE DELTA TABLE ROOT (``<table>/metadata``, the
+    real UniForm layout) whose manifests reference the Delta snapshot's
+    live parquet files by absolute path — the SAME bytes become
+    readable through :func:`read_iceberg_table` (and any Iceberg
+    client) with zero data copied. Per-column null counts and bounds
+    are harvested from the parquet footers, identity partition tuples
+    from the Delta log's ``add.partitionValues`` (typed, never
+    re-inferred from paths).
+
+    Parity limits, both fail-loud and both matching real UniForm's
+    documented preconditions: deletion vectors must be absent
+    (delta-spark requires DVs disabled for UniForm; materialize them
+    first with ``optimize_delta``) and column mapping must be "none"
+    here (real UniForm instead REQUIRES mapping — an artifact of field
+    IDs; this minimal writer binds by name). Re-running after new Delta
+    commits writes the next metadata version with a fresh snapshot."""
+    from pg_datalake_spark.tables import delta_log as dl
+
+    state = dl._snapshot_state(spark, delta_location, None)
+    meta = state["metaData"] or {}
+    if dl._cm_mode(meta) != "none":
+        raise NotImplementedError(
+            "uniform_export_iceberg supports unmapped Delta tables only "
+            "(column mapping changes the physical parquet names)"
+        )
+    if any(a.get("deletionVector") for a in state["adds"].values()):
+        raise NotImplementedError(
+            "deletion vectors present: UniForm requires DVs disabled — "
+            "run optimize_delta() to materialize them, then re-export"
+        )
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    ice_schema = _iceberg_schema(schema)
+    part_cols = list(meta.get("partitionColumns") or [])
+    by_name = {f["name"]: f["type"] for f in ice_schema["fields"]}
+    part_fields = [(c, by_name[c]) for c in part_cols]
+    _abs = dl._make_abs(delta_location)
+
+    def typed(name: str, ice_type: str, raw: str | None):
+        if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        if ice_type in ("int", "long"):
+            return int(raw)
+        if ice_type == "double":
+            return float(raw)
+        if ice_type == "boolean":
+            return raw.lower() == "true"
+        if ice_type == "date":
+            import datetime as _dt
+
+            return (_dt.date.fromisoformat(raw) - _dt.date(1970, 1, 1)).days
+        return raw
+
+    files, partitions = [], {}
+    for a in state["adds"].values():
+        p = _abs(a["path"])
+        files.append(p)
+        pv = a.get("partitionValues") or {}
+        partitions[p] = {
+            name: typed(name, t, pv.get(name)) for name, t in part_fields
+        }
+    snapshot_id = int(uuid.uuid4().int % (1 << 62))
+    now_ms = int(time.time() * 1000)
+    meta_dir = os.path.join(_local(delta_location), "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    hint = os.path.join(meta_dir, "version-hint.text")
+    prev = (
+        load_table_metadata(delta_location) if os.path.exists(hint) else None
+    )
+    version = (
+        int(open(hint).read().strip()) + 1 if os.path.exists(hint) else 1
+    )
+    seq = (prev.get("last-sequence-number", 0) + 1) if prev else 1
+
+    entries, total_rows = _data_file_entries(
+        sorted(files), snapshot_id, seq, ice_schema, partitions
+    )
+    data_manifest = os.path.join(meta_dir, f"{uuid.uuid4()}-m0.avro")
+    mlen = write_avro(data_manifest, _manifest_entry_schema(part_fields), entries)
+    manifests = [
+        {
+            "manifest_path": f"file://{data_manifest}",
+            "manifest_length": mlen,
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": total_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+    ]
+    manifest_list = os.path.join(
+        meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4()}.avro"
+    )
+    write_avro(manifest_list, _MANIFEST_FILE_SCHEMA, manifests)
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": now_ms,
+        "manifest-list": f"file://{manifest_list}",
+        "summary": {
+            "operation": "append",
+            "delta-version": str(state["version"]),
+        },
+        "schema-id": 0,
+    }
+    if prev:
+        prev["snapshots"] = prev.get("snapshots", []) + [snapshot]
+        prev["snapshot-log"] = prev.get("snapshot-log", []) + [
+            {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+        ]
+        prev["current-snapshot-id"] = snapshot_id
+        prev["last-sequence-number"] = seq
+        prev["last-updated-ms"] = now_ms
+        metadata = prev
+    else:
+        metadata = {
+            "format-version": 2,
+            "table-uuid": str(uuid.uuid4()),
+            "location": delta_location,
+            "last-sequence-number": seq,
+            "last-updated-ms": now_ms,
+            "last-column-id": len(schema.fields),
+            "current-schema-id": 0,
+            "schemas": [ice_schema],
+            "default-spec-id": 0,
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": c,
+                            "transform": "identity",
+                            "source-id": next(
+                                f["id"] for f in ice_schema["fields"]
+                                if f["name"] == c
+                            ),
+                            "field-id": 1000 + i,
+                        }
+                        for i, c in enumerate(part_cols)
+                    ],
+                }
+            ],
+            "last-partition-id": 999 + len(part_cols),
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {
+                "write.format.default": "parquet",
+                "delta.universalFormat.enabledFormats": "iceberg",
+            },
+            "current-snapshot-id": snapshot_id,
+            "snapshots": [snapshot],
+            "snapshot-log": [
+                {"snapshot-id": snapshot_id, "timestamp-ms": now_ms}
+            ],
+            "metadata-log": [],
+        }
+    _write_version_file(meta_dir, version, metadata)
+    return snapshot_id

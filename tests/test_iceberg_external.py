@@ -1368,3 +1368,51 @@ def test_refs_tag_branch_and_ref_retention(spark, tmp_path):
     assert out2["expired_snapshot_ids"] == [s1]
     with pytest.raises(ValueError, match="no ref"):
         ie.drop_ref(loc, "v1.0")
+
+
+def test_uniform_delta_as_iceberg(spark, tmp_path):
+    """UniForm analog (r10 tail): Iceberg metadata generated under a
+    Delta table's root — the SAME parquet files readable through
+    read_iceberg_table, partition tuples typed from the Delta log,
+    bounds-based pruning working against the Delta files, re-export
+    after a new Delta commit advancing the snapshot; DV and
+    column-mapped tables fail loud (real UniForm's preconditions)."""
+    from pg_datalake_spark.tables import delta_log as dl
+    from pg_datalake_spark.tables import iceberg_external as ie
+
+    loc = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+    )
+    dl.write_delta_table(df.repartition(2), loc, partition_by=["grp"])
+    sid = ie.uniform_export_iceberg(spark, loc)
+    ice = ie.read_iceberg_table(spark, loc)
+    assert sorted(r.k for r in ice.collect()) == list(range(100))
+    # identity partition column restored from manifests, typed
+    assert {r.grp for r in ice.collect()} == {"0", "1", "2"}
+    # identity-partition pruning works against the Delta layout
+    plan = ie.plan_scan(loc, [("grp", "=", "1")])
+    assert len(plan["skipped"]) >= 1 and len(plan["kept"]) >= 1
+    # a new Delta commit -> re-export -> new snapshot sees the rows
+    dl.append_delta(
+        spark.range(100, 120).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+            (F.col("id") % 3).cast("string").alias("grp"),
+        ),
+        loc,
+    )
+    sid2 = ie.uniform_export_iceberg(spark, loc)
+    assert sid2 != sid
+    assert ie.read_iceberg_table(spark, loc).count() == 120
+    assert ie.read_iceberg_table(spark, loc, snapshot_id=sid).count() == 100
+
+    # preconditions fail loud
+    dl.delete_where_delta(spark, loc, "k < 5", mode="dv")
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        ie.uniform_export_iceberg(spark, loc)
+    loc2 = str(tmp_path / "cm")
+    dl.write_delta_table(df, loc2, column_mapping="name")
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        ie.uniform_export_iceberg(spark, loc2)
