@@ -108,7 +108,29 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.location = options.get("path")
         if not self.location:
             raise ValueError("pglake_delta requires .option('path', ...)")
-        self.starting_version = int(options.get("startingversion", 0))
+        if "startingversion" in options and "startingtimestamp" in options:
+            raise ValueError(
+                "startingVersion and startingTimestamp are exclusive"
+            )
+        if "startingtimestamp" in options:
+            # delta-spark semantics: start at the first commit AT OR
+            # AFTER the timestamp
+            from pg_datalake_spark.tables.delta_log import delta_history
+
+            ts = int(options["startingtimestamp"])
+            later = [
+                e["version"]
+                for e in delta_history(None, self.location)
+                if e["timestamp_ms"] >= ts
+            ]
+            if not later:
+                raise ValueError(
+                    f"startingTimestamp {ts} is after the last commit of "
+                    f"{self.location} (delta-spark raises here too)"
+                )
+            self.starting_version = min(later)
+        else:
+            self.starting_version = int(options.get("startingversion", 0))
         self.skip_change_commits = (
             str(options.get("skipchangecommits", "false")).lower() == "true"
         )

@@ -666,3 +666,54 @@ def test_delta_streaming_source_change_commits(spark, tmp_path):
     )
     # v0's 50 rows + v2's 10; v1 (the DV delete) skipped wholesale
     assert got == list(range(60))
+
+
+def test_delta_streaming_source_starting_options(spark, tmp_path):
+    """startingVersion / startingTimestamp (delta-spark parity): a
+    stream started at v1 skips v0's rows; startingTimestamp resolves
+    the first commit at-or-after the instant; both together, or a
+    timestamp after the last commit, fail loud."""
+    import pyspark.sql.functions as F
+
+    from pg_datalake_spark.sources.delta_stream_source import (
+        DeltaStreamDataSource,
+    )
+    from pg_datalake_spark.tables import delta_log as dl
+
+    loc = str(tmp_path / "t")
+    dl.write_delta_table(
+        spark.range(10).select(F.col("id").alias("k")), loc
+    )                                                                # v0
+    dl.append_delta(
+        spark.range(10, 30).select(F.col("id").alias("k")), loc
+    )                                                                # v1
+    spark.dataSource.register(DeltaStreamDataSource)
+
+    def run(opts: dict, tag: str):
+        q = (
+            spark.readStream.format("pglake_delta")
+            .option("path", loc)
+            .options(**opts)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / f"s_{tag}"))
+            .option("checkpointLocation", str(tmp_path / f"c_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(
+            r.k for r in spark.read.parquet(str(tmp_path / f"s_{tag}")).collect()
+        )
+
+    assert run({"startingVersion": "1"}, "v1") == list(range(10, 30))
+    # v1's commit time: at-or-after its timestamp -> v1 only
+    ts1 = next(
+        e["timestamp_ms"] for e in dl.delta_history(spark, loc)
+        if e["version"] == 1
+    )
+    assert run({"startingTimestamp": str(ts1)}, "ts") == list(range(10, 30))
+    with pytest.raises(Exception, match="exclusive"):
+        run({"startingVersion": "0", "startingTimestamp": "1"}, "both")
+    with pytest.raises(Exception, match="after the last commit"):
+        run({"startingTimestamp": str(ts1 + 10_000_000)}, "late")
