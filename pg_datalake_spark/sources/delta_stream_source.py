@@ -61,11 +61,44 @@ class _FilePartition(InputPartition):
         partition_values: dict,
         fields: list[tuple[str, str]],
         part_cols: list[str],
+        cdf: tuple | None = None,
+        table_location: str | None = None,
+        old_dv: dict | None = None,
+        new_dv: dict | None = None,
     ):
         self.path = path
         self.partition_values = partition_values
         self.fields = fields            # (name, simpleString type) in order
         self.part_cols = part_cols
+        # CDF mode: (change_type, commit_version, commit_ts_ms); for
+        # 'delete' rows the position set is new_dv ∖ old_dv
+        self.cdf = cdf
+        self.table_location = table_location
+        self.old_dv = old_dv
+        self.new_dv = new_dv
+
+
+def _typed_literal_array(raw: str | None, stype: str, n: int):
+    """add.partitionValues literal → a typed n-row Arrow array (hive
+    layout stores partition values only in the log, never the file)."""
+    import datetime as _dt
+
+    import pyarrow as pa
+
+    pa_type = {
+        "bigint": pa.int64(), "int": pa.int32(), "double": pa.float64(),
+        "date": pa.date32(), "boolean": pa.bool_(),
+    }.get(stype, pa.string())
+    if raw is None:
+        return pa.nulls(n, pa_type)
+    py = (
+        raw if pa_type == pa.string()
+        else raw.lower() == "true" if stype == "boolean"
+        else float(raw) if stype == "double"
+        else _dt.date.fromisoformat(raw) if stype == "date"
+        else int(raw)
+    )
+    return pa.array([py] * n, pa_type)
 
 
 def _commit_actions(location: str, version: int) -> list[dict]:
@@ -134,6 +167,9 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.skip_change_commits = (
             str(options.get("skipchangecommits", "false")).lower() == "true"
         )
+        self.cdf = (
+            str(options.get("readchangefeed", "false")).lower() == "true"
+        )
         self.schema = schema
         from pg_datalake_spark.tables import delta_log as dl
 
@@ -157,38 +193,88 @@ class DeltaStreamReader(DataSourceStreamReader):
         from pg_datalake_spark.tables.delta_log import _make_abs
 
         _abs = _make_abs(self.location)
-        fields = [(f.name, f.dataType.simpleString()) for f in self.schema.fields]
+        data_fields = [
+            (f.name, f.dataType.simpleString())
+            for f in self.schema.fields
+            if f.name not in ("_change_type", "_commit_version",
+                              "_commit_timestamp")
+        ]
         parts: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
-            adds, has_change = [], False
+            adds, removes, ts_ms = [], [], None
             for a in _commit_actions(self.location, v):
-                if "remove" in a and a["remove"].get("dataChange", True):
-                    has_change = True
+                if "commitInfo" in a:
+                    ts_ms = a["commitInfo"].get("timestamp", ts_ms)
+                elif "remove" in a and a["remove"].get("dataChange", True):
+                    removes.append(a["remove"])
                 elif "add" in a:
                     ad = a["add"]
                     if not ad.get("dataChange", True):
                         continue  # OPTIMIZE rearrangement: never data
-                    if ad.get("deletionVector"):
-                        has_change = True
                     adds.append(ad)
-            if has_change:
-                if self.skip_change_commits:
-                    continue
+            if ts_ms is None:
+                from pg_datalake_spark.tables.delta_log import _commit_path
+
+                ts_ms = int(
+                    os.path.getmtime(_commit_path(self.location, v)) * 1000
+                )
+            dv_adds = [ad for ad in adds if ad.get("deletionVector")]
+            removed_paths = {r["path"] for r in removes}
+            is_dv_transition = (
+                dv_adds
+                and len(dv_adds) == len(adds)
+                and removed_paths == {ad["path"] for ad in adds}
+            )
+            if not removes and not dv_adds:
+                # append-only commit: plain inserts
+                parts += [
+                    _FilePartition(
+                        _abs(ad["path"]),
+                        ad.get("partitionValues") or {},
+                        data_fields,
+                        self.part_cols,
+                        cdf=("insert", v, ts_ms) if self.cdf else None,
+                    )
+                    for ad in adds
+                ]
+            elif self.cdf and is_dv_transition:
+                # per-file position diff, decoded executor-side — the
+                # batch delta_changes DV strategy, streamed
+                old_by_path = {
+                    r["path"]: r.get("deletionVector") for r in removes
+                }
+                parts += [
+                    _FilePartition(
+                        _abs(ad["path"]),
+                        ad.get("partitionValues") or {},
+                        data_fields,
+                        self.part_cols,
+                        cdf=("delete", v, ts_ms),
+                        table_location=self.location,
+                        old_dv=old_by_path.get(ad["path"]),
+                        new_dv=ad["deletionVector"],
+                    )
+                    for ad in adds
+                ]
+            elif self.skip_change_commits:
+                continue
+            else:
                 raise ValueError(
                     f"Delta commit v{v} under {self.location} changes or "
-                    "deletes existing rows; streaming it as inserts would "
-                    "be wrong. Set .option('skipChangeCommits', 'true') "
-                    "to skip such commits (delta-spark semantics)."
+                    "deletes existing rows"
+                    + (
+                        " in a shape the streaming CDF cannot derive "
+                        "per-file (COW rewrite); use the batch "
+                        "delta_changes API"
+                        if self.cdf
+                        else "; streaming it as inserts would be wrong. "
+                        "Set .option('skipChangeCommits', 'true') to skip "
+                        "such commits, or .option('readChangeFeed', "
+                        "'true') for row-level changes (delta-spark "
+                        "semantics)"
+                    )
+                    + "."
                 )
-            parts += [
-                _FilePartition(
-                    _abs(ad["path"]),
-                    ad.get("partitionValues") or {},
-                    fields,
-                    self.part_cols,
-                )
-                for ad in adds
-            ]
         return parts
 
     def read(self, partition: _FilePartition) -> Iterator:
@@ -197,6 +283,9 @@ class DeltaStreamReader(DataSourceStreamReader):
 
         import datetime as _dt
 
+        if partition.cdf and partition.cdf[0] == "delete":
+            yield from self._read_dv_deletes(partition)
+            return
         pf = pq.ParquetFile(partition.path)
         part_vals = partition.partition_values
         for batch in pf.iter_batches():
@@ -206,30 +295,71 @@ class DeltaStreamReader(DataSourceStreamReader):
                 if name in partition.part_cols:
                     # hive-layout files don't store partition columns:
                     # re-inject the add.partitionValues literal, typed
-                    raw = part_vals.get(name)
-                    pa_type = {
-                        "bigint": pa.int64(), "int": pa.int32(),
-                        "double": pa.float64(), "date": pa.date32(),
-                        "boolean": pa.bool_(),
-                    }.get(stype, pa.string())
-                    if raw is None:
-                        cols.append(pa.nulls(n, pa_type))
-                    else:
-                        py = (
-                            raw if pa_type == pa.string()
-                            else raw.lower() == "true" if stype == "boolean"
-                            else float(raw) if stype == "double"
-                            else _dt.date.fromisoformat(raw) if stype == "date"
-                            else int(raw)
-                        )
-                        cols.append(pa.array([py] * n, pa_type))
+                    cols.append(
+                        _typed_literal_array(part_vals.get(name), stype, n)
+                    )
                 else:
                     cols.append(
                         batch.column(batch.schema.get_field_index(name))
                     )
-            yield pa.RecordBatch.from_arrays(
-                cols, names=[f[0] for f in partition.fields]
+            names = [f[0] for f in partition.fields]
+            if partition.cdf:
+                ct, cv, cts = partition.cdf
+                cols += [
+                    pa.array([ct] * n, pa.string()),
+                    pa.array([cv] * n, pa.int64()),
+                    pa.array([cts] * n, pa.int64()),
+                ]
+                names += ["_change_type", "_commit_version", "_commit_timestamp"]
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    def _read_dv_deletes(self, partition: _FilePartition) -> Iterator:
+        """CDF 'delete' rows of a DV-transition commit: the file's rows
+        at positions newly present in the descriptor (new ∖ old),
+        decoded and taken with pyarrow — no Spark-side diff."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pg_datalake_spark.tables.dv_codec import (
+            decode_descriptor_positions,
+        )
+
+        new_pos = decode_descriptor_positions(
+            partition.new_dv, partition.table_location
+        )
+        old_pos = (
+            decode_descriptor_positions(
+                partition.old_dv, partition.table_location
             )
+            if partition.old_dv
+            else np.array([], dtype="int64")
+        )
+        fresh = np.setdiff1d(new_pos, old_pos)
+        if len(fresh) == 0:
+            return
+        tbl = pq.read_table(partition.path).take(pa.array(fresh))
+        n = len(fresh)
+        ct, cv, cts = partition.cdf
+        cols, names = [], []
+        for name, stype in partition.fields:
+            if name in partition.part_cols:
+                cols.append(_typed_literal_array(
+                    partition.partition_values.get(name), stype, n
+                ))
+            else:
+                col = tbl.column(name).combine_chunks()
+                cols.append(
+                    col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+                )
+            names.append(name)
+        cols += [
+            pa.array([ct] * n, pa.string()),
+            pa.array([cv] * n, pa.int64()),
+            pa.array([cts] * n, pa.int64()),
+        ]
+        names += ["_change_type", "_commit_version", "_commit_timestamp"]
+        yield pa.RecordBatch.from_arrays(cols, names=names)
 
     def commit(self, end: dict) -> None:
         pass  # progress is checkpointed by the engine
@@ -244,7 +374,17 @@ class DeltaStreamDataSource(DataSource):
 
     def schema(self) -> T.StructType:
         meta = _latest_meta(self.options.get("path"))
-        return T.StructType.fromJson(json.loads(meta["schemaString"]))
+        schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            schema = T.StructType(
+                [
+                    *schema.fields,
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("_commit_version", T.LongType()),
+                    T.StructField("_commit_timestamp", T.LongType()),
+                ]
+            )
+        return schema
 
     def streamReader(self, schema: T.StructType) -> DeltaStreamReader:
         return DeltaStreamReader(schema, self.options)
