@@ -697,6 +697,12 @@ def _stage_data_files(
             dest = os.path.join(location, dest_rel)
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             os.rename(src, dest)
+            import pyarrow.parquet as _pq
+
+            # stats.numRecords from the footer (delta writers always
+            # stamp it; DESCRIBE DETAIL and DV adds both consume it) —
+            # footer-only read, no data bytes
+            n_records = _pq.ParquetFile(dest).metadata.num_rows
             adds.append(
                 {
                     "add": {
@@ -707,6 +713,7 @@ def _stage_data_files(
                         "size": os.path.getsize(dest),
                         "modificationTime": now_ms,
                         "dataChange": True,
+                        "stats": json.dumps({"numRecords": n_records}),
                     }
                 }
             )
@@ -2004,7 +2011,10 @@ def optimize_delta(
 
 
 def vacuum_delta(
-    spark: SparkSession, location: str, retain_last: int = 1
+    spark: SparkSession,
+    location: str,
+    retain_last: int = 1,
+    retention_ms: int | None = None,
 ) -> dict:
     """Delta VACUUM analog: delete data files and DV sidecars no
     longer referenced by the last ``retain_last`` versions (r9 — the
@@ -2013,6 +2023,11 @@ def vacuum_delta(
     retained snapshot's adds reference it). The transaction log itself
     is never touched; time travel BEHIND the retained range fails on
     missing files afterwards, exactly like Delta's own VACUUM.
+
+    ``retention_ms`` (delta-spark's RETAIN duration, translated to the
+    version axis): additionally retain every version whose commit
+    timestamp is within the horizon — the effective keep-set is the
+    UNION of both rules, and the newest version always stays.
 
     Returns {"removed": n, "retained": n}. The referenced-set
     computation is O(files) driver metadata per retained version —
@@ -2039,6 +2054,14 @@ def vacuum_delta(
             "(no commit or checkpoint version to retain)"
         )
     keep = versions[-retain_last:]
+    if retention_ms is not None:
+        horizon = int(time.time() * 1000) - retention_ms
+        recent = {
+            e["version"]
+            for e in delta_history(spark, location)
+            if e["timestamp_ms"] >= horizon
+        }
+        keep = sorted(set(keep) | (recent & set(versions)))
     _abs = _make_abs(location)
     referenced: set[str] = set()
     for v in keep:
@@ -2069,6 +2092,55 @@ def vacuum_delta(
                 os.remove(p)
                 removed += 1
     return {"removed": removed, "retained": len(referenced)}
+
+
+def describe_detail(spark: SparkSession, location: str) -> dict:
+    """DESCRIBE DETAIL analog: one dict with the table's identity and
+    physical footprint — format, id, createdTime, lastModified (newest
+    commit), numFiles / sizeInBytes / numRows of the CURRENT snapshot
+    (rows from add.stats when present; files carrying no stats count
+    as null-contributing, surfaced via ``numRowsUnknownFiles``),
+    partitionColumns, properties, and the protocol versions."""
+    location = _norm_location(location)
+    state = _snapshot_state(spark, location, None, need_stats=True)
+    meta = state["metaData"] or {}
+    num_rows, unknown = 0, 0
+    size = 0
+    for a in state["adds"].values():
+        size += int(a.get("size") or 0)
+        stats = a.get("stats")
+        if isinstance(stats, str):
+            try:
+                stats = json.loads(stats)
+            except ValueError:
+                stats = None
+        if stats and stats.get("numRecords") is not None:
+            num_rows += int(stats["numRecords"])
+        else:
+            unknown += 1
+    versions = _list_commit_versions(location)
+    last_modified = (
+        int(os.path.getmtime(_commit_path(location, versions[-1])) * 1000)
+        if versions
+        else None
+    )
+    proto = state["protocol"] or {}
+    return {
+        "format": "delta",
+        "id": meta.get("id"),
+        "location": location,
+        "createdAt": meta.get("createdTime"),
+        "lastModified": last_modified,
+        "partitionColumns": list(meta.get("partitionColumns") or []),
+        "numFiles": len(state["adds"]),
+        "sizeInBytes": size,
+        "numRows": num_rows if unknown == 0 else None,
+        "numRowsUnknownFiles": unknown,
+        "properties": dict(meta.get("configuration") or {}),
+        "minReaderVersion": proto.get("minReaderVersion"),
+        "minWriterVersion": proto.get("minWriterVersion"),
+        "version": state["version"],
+    }
 
 
 def delta_history(spark: SparkSession, location: str) -> list[dict]:

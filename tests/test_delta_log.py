@@ -1493,3 +1493,44 @@ def test_shallow_clone_delta(spark, tmp_path):
     # cloning onto an existing table refuses
     with pytest.raises(FileExistsError):
         dl.clone_delta(spark, src, clone)
+
+
+def test_describe_detail_and_vacuum_retention(spark, tmp_path):
+    """DESCRIBE DETAIL analog + duration-based vacuum retention (r10
+    tail): footprint numbers match the snapshot (rows from add.stats),
+    properties/protocol surface; vacuum with a long retention_ms keeps
+    every file even at retain_last=1, with retention 0 it reclaims."""
+    loc = str(tmp_path / "t")
+    dl.write_delta_table(
+        spark.range(50).select(
+            F.col("id").alias("k"), (F.col("id") % 3).cast("string").alias("g")
+        ).repartition(2),
+        loc,
+        partition_by=["g"],
+        configuration={"delta.appendOnly": "false"},
+    )
+    dl.delete_where_delta(spark, loc, "k < 10", mode="cow")
+    d = dl.describe_detail(spark, loc)
+    assert d["format"] == "delta" and d["version"] == 1
+    assert d["partitionColumns"] == ["g"]
+    assert d["numFiles"] == len(
+        dl._snapshot_state(spark, loc, None)["adds"]
+    )
+    assert d["numRows"] == 40 and d["numRowsUnknownFiles"] == 0
+    assert d["sizeInBytes"] > 0
+    assert d["properties"]["delta.appendOnly"] == "false"
+    assert d["minWriterVersion"] >= 2
+
+    # a generous retention horizon protects v0's files from vacuum
+    import glob as _g
+    n_before = len(_g.glob(os.path.join(loc, "**", "*.parquet"),
+                           recursive=True))
+    out = dl.vacuum_delta(spark, loc, retain_last=1,
+                          retention_ms=24 * 3600 * 1000)
+    assert out["removed"] == 0
+    assert len(_g.glob(os.path.join(loc, "**", "*.parquet"),
+                       recursive=True)) == n_before
+    # horizon 0: only retain_last applies -> v0's replaced files go
+    out2 = dl.vacuum_delta(spark, loc, retain_last=1, retention_ms=0)
+    assert out2["removed"] > 0
+    assert dl.read_delta_table(spark, loc).count() == 40
