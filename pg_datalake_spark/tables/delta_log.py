@@ -2200,6 +2200,142 @@ def version_at_timestamp(spark: SparkSession, location: str, ts_ms: int) -> int:
     return max(candidates)
 
 
+def convert_to_delta(
+    spark: SparkSession,
+    location: str,
+    partition_by: list[str] | None = None,
+) -> int:
+    """CONVERT TO DELTA (delta-spark's in-place conversion): register a
+    plain parquet directory's files as commit 0 of a Delta table — no
+    data is rewritten or moved. The schema is inferred by Spark from
+    the files; ``partition_by`` names the hive ``col=value`` layout
+    columns — entries are ``"col"`` (type from Spark's partition
+    inference) or ``"col type"`` (the explicit partition schema
+    delta-spark's CONVERT takes, overriding inference — path values
+    are strings, so inference guesses int for numeric-looking values).
+    Values go from the paths into ``add.partitionValues``, exactly
+    like the converter. Fails loud if a ``_delta_log`` already exists
+    or a file lies outside the declared partition layout."""
+    import pyarrow.parquet as _pq
+
+    location = _norm_location(location)
+    if os.path.exists(_log_dir(location)):
+        raise FileExistsError(f"{location} is already a Delta table")
+    part_types: dict[str, str] = {}
+    part_cols = []
+    for entry in partition_by or []:
+        parts = entry.split(None, 1)
+        part_cols.append(parts[0])
+        if len(parts) == 2:
+            part_types[parts[0]] = parts[1]
+    files = []
+    for root, dirs, names in os.walk(location):
+        dirs[:] = [d for d in dirs if not d.startswith("_")]
+        files += [
+            os.path.join(root, n) for n in sorted(names)
+            if n.endswith(".parquet")
+        ]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {location}")
+    reader = spark.read
+    if not part_cols:
+        # basePath keeps Spark from inferring partition columns we did
+        # not declare
+        reader = reader.option("recursiveFileLookup", "true")
+    schema = reader.parquet(location).schema
+    if part_types:
+        schema = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    T._parse_datatype_string(part_types[f.name])
+                    if f.name in part_types
+                    else f.dataType,
+                    f.nullable,
+                    f.metadata,
+                )
+                for f in schema.fields
+            ]
+        )
+    now_ms = int(time.time() * 1000)
+    adds = []
+    for p in sorted(files):
+        rel = os.path.relpath(p, location)
+        pv = _hive_partition_values(rel, part_cols)
+        missing = [c for c in part_cols if c not in pv]
+        if missing:
+            raise ValueError(
+                f"{rel} lacks {missing} path segment(s) for the declared "
+                "partition layout"
+            )
+        adds.append(
+            {
+                "add": {
+                    "path": urllib.parse.quote(rel),
+                    "partitionValues": pv,
+                    "size": os.path.getsize(p),
+                    "modificationTime": now_ms,
+                    "dataChange": True,
+                    "stats": json.dumps(
+                        {"numRecords": _pq.ParquetFile(p).metadata.num_rows}
+                    ),
+                }
+            }
+        )
+    meta = {
+        "metaData": {
+            "id": str(uuid.uuid4()),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema.json(),
+            "partitionColumns": part_cols,
+            "configuration": {},
+            "createdTime": now_ms,
+        }
+    }
+    proto = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    return _write_commit(
+        location,
+        0,
+        [
+            {"commitInfo": {"operation": "CONVERT", "timestamp": now_ms}},
+            proto,
+            meta,
+            *adds,
+        ],
+    )
+
+
+def cleanup_delta_log(
+    spark: SparkSession, location: str, retention_ms: int = 0
+) -> dict:
+    """Log-retention cleanup (delta.logRetentionDuration's mechanism):
+    delete JSON commit files already COVERED BY A CHECKPOINT and older
+    than ``retention_ms`` — the table stays fully readable (snapshot
+    replay starts at the checkpoint; the r9 reader explicitly supports
+    a checkpoint-only log), but time travel and the change feed lose
+    the cleaned versions, exactly like delta-spark. Refuses to run
+    without a checkpoint. Returns {"removed_commits": [...]}."""
+    location = _norm_location(location)
+    last_cp = os.path.join(_log_dir(location), "_last_checkpoint")
+    if not os.path.exists(last_cp):
+        raise FileNotFoundError(
+            f"no checkpoint under {location}: write_delta_checkpoint first "
+            "(cleaning the only copy of the log would destroy the table)"
+        )
+    with open(last_cp) as fh:
+        cp_version = json.load(fh)["version"]
+    horizon = int(time.time() * 1000) - retention_ms
+    removed = []
+    for v in _list_commit_versions(location):
+        if v > cp_version:
+            continue  # the tail after the checkpoint must stay
+        path = _commit_path(location, v)
+        if os.path.getmtime(path) * 1000 <= horizon:
+            os.remove(path)
+            removed.append(v)
+    return {"removed_commits": removed}
+
+
 def clone_delta(
     spark: SparkSession,
     source: str,

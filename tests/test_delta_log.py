@@ -1534,3 +1534,52 @@ def test_describe_detail_and_vacuum_retention(spark, tmp_path):
     out2 = dl.vacuum_delta(spark, loc, retain_last=1, retention_ms=0)
     assert out2["removed"] > 0
     assert dl.read_delta_table(spark, loc).count() == 40
+
+
+def test_convert_to_delta_and_log_cleanup(spark, tmp_path):
+    """CONVERT TO DELTA (r10 tail): an existing hive-partitioned
+    parquet directory becomes a Delta table in place — same files, no
+    rewrite, partition values from paths; subsequent Delta DML works.
+    cleanup_delta_log then removes checkpoint-covered commits: the
+    table still reads (checkpoint-only replay) but the cleaned
+    versions stop time-traveling; without a checkpoint it refuses."""
+    loc = str(tmp_path / "t")
+    spark.range(60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+    ).repartition(2).write.partitionBy("g").parquet(loc)
+    import glob as _g
+    files_before = sorted(
+        _g.glob(os.path.join(loc, "**", "*.parquet"), recursive=True)
+    )
+    v = dl.convert_to_delta(spark, loc, partition_by=["g string"])
+    assert v == 0
+    got = dl.read_delta_table(spark, loc)
+    assert sorted(r.k for r in got.collect()) == list(range(60))
+    assert {r.g for r in got.collect()} == {"0", "1", "2"}
+    # no rewrite: byte-identical file set
+    assert sorted(
+        _g.glob(os.path.join(loc, "**", "*.parquet"), recursive=True)
+    ) == files_before
+    with pytest.raises(FileExistsError):
+        dl.convert_to_delta(spark, loc)
+    # converted tables take normal DML
+    dl.delete_where_delta(spark, loc, "k < 6", mode="dv")            # v1
+    assert dl.read_delta_table(spark, loc).count() == 54
+
+    # log cleanup: refuses without a checkpoint, then removes covered
+    # commits while the table stays readable
+    with pytest.raises(FileNotFoundError, match="checkpoint"):
+        dl.cleanup_delta_log(spark, loc)
+    dl.write_delta_checkpoint(spark, loc)
+    dl.append_delta(
+        spark.range(60, 70).select(
+            F.col("id").alias("k"), F.lit("0").alias("g")
+        ),
+        loc,
+    )                                                                # v2
+    out = dl.cleanup_delta_log(spark, loc, retention_ms=0)
+    assert out["removed_commits"] == [0, 1]
+    assert dl.read_delta_table(spark, loc).count() == 64
+    with pytest.raises(Exception):
+        dl.read_delta_table(spark, loc, version_as_of=0).collect()
