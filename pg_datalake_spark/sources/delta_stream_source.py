@@ -26,6 +26,15 @@ Semantics (matching the delta-spark source):
   stream would silently miss deletes) unless
   ``.option("skipChangeCommits", "true")``, which skips the whole
   commit — both halves exactly delta-spark's behavior;
+- ``startingVersion`` / ``startingTimestamp`` (first commit at or
+  after the instant; mutually exclusive, after-last-commit errors);
+- ``readChangeFeed=true`` streams ROW-LEVEL changes instead: appends
+  surface as inserts, DV-transition commits as deletes (the per-file
+  position diff new ∖ old decoded with pyarrow executor-side — stacked
+  DVs emit only newly-deleted rows), with ``_change_type`` /
+  ``_commit_version`` / ``_commit_timestamp`` columns; COW rewrites
+  cannot be derived per-file and fail loud naming the batch
+  ``delta_changes`` API;
 - partition-column values are re-injected from ``add.partitionValues``
   (hive-layout data files don't store them);
 - column-mapped tables fail loud (physical-name indirection is a
