@@ -180,3 +180,60 @@ def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").cast("long").alias("key_sum"),
         )
     )
+
+
+@register(
+    "st12_iceberg_stream_source",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    """
+    + " GROUP BY o_orderstatus",
+)
+def st12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External Iceberg as a STREAMING SOURCE (r10 tail;
+    sources/iceberg_stream_source.IcebergStreamDataSource — sequence-
+    number offsets over the snapshot history, append snapshots only,
+    ADDED manifest entries per batch, typed identity-partition
+    re-injection). The orders table lands in an Iceberg table over
+    three append snapshots, is consumed by a checkpointed availableNow
+    stream into parquet, and aggregated; the oracle aggregates the
+    source directly — the snapshot→offset→exactly-once path must be
+    lossless."""
+    import os as _os
+
+    from pg_datalake_spark.sources.iceberg_stream_source import (
+        IcebergStreamDataSource,
+    )
+    from pg_datalake_spark.tables import iceberg_external as ie
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    src = t["orders"].select("o_orderkey", "o_orderstatus")
+    stage = tempfile.mkdtemp(prefix="st12_")
+    loc = _os.path.join(stage, "ice_orders")
+    ie.export_iceberg_snapshot(src.filter("o_orderkey % 3 = 0"), loc)
+    ie.append_snapshot(src.filter("o_orderkey % 3 = 1"), loc)
+    ie.append_snapshot(src.filter("o_orderkey % 3 = 2"), loc)
+
+    spark.dataSource.register(IcebergStreamDataSource)
+    sink = _os.path.join(stage, "sink")
+    q = (
+        spark.readStream.format("pglake_iceberg")
+        .option("path", loc)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", _os.path.join(stage, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return (
+        spark.read.parquet(sink)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("long").alias("key_sum"),
+        )
+    )

@@ -791,3 +791,60 @@ def test_delta_streaming_cdf(spark, tmp_path):
     )
     with pytest.raises(Exception, match="delta_changes"):
         q2.awaitTermination(180)
+
+
+def test_iceberg_streaming_source(spark, tmp_path):
+    """pglake_iceberg (r10 tail): external Iceberg as a readStream
+    source — two append snapshots arrive exactly once across two
+    checkpointed availableNow runs; identity partition values re-typed
+    from the manifests; an overwrite snapshot errors by default and
+    skips with skipOverwrites=true while later appends still flow."""
+    import pyspark.sql.functions as F
+
+    from pg_datalake_spark.sources.iceberg_stream_source import (
+        IcebergStreamDataSource,
+    )
+    from pg_datalake_spark.tables import iceberg_external as ie
+
+    loc = str(tmp_path / "t")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") % 4).alias("b")
+    )
+    ie.export_iceberg_snapshot(mk(0, 40), loc, partition_by=["b"])   # seq 1
+    ie.append_snapshot(mk(40, 60), loc)                              # seq 2
+    spark.dataSource.register(IcebergStreamDataSource)
+
+    def run(opts: dict, sink: str, ckpt: str):
+        q = (
+            spark.readStream.format("pglake_iceberg")
+            .option("path", loc)
+            .options(**opts)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / sink))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(str(tmp_path / sink))
+
+    got = run({}, "s", "c")
+    assert sorted(r.k for r in got.collect()) == list(range(60))
+    assert {r.b for r in got.collect()} == {0, 1, 2, 3}  # typed re-inject
+    # second run on the same checkpoint: a new append arrives once
+    ie.append_snapshot(mk(60, 70), loc)                              # seq 3
+    got = run({}, "s", "c")
+    assert sorted(r.k for r in got.collect()) == list(range(70))
+
+    # an overwrite snapshot breaks append-only streaming
+    ie.overwrite_snapshot(
+        ie.read_iceberg_table(spark, loc).filter("k >= 10"), loc
+    )                                                                # seq 4
+    ie.append_snapshot(mk(70, 80), loc)                              # seq 5
+    with pytest.raises(Exception, match="skipOverwrites"):
+        run({}, "s", "c")
+    got = run({"skipOverwrites": "true"}, "s2", "c2")
+    # full replay minus the skipped overwrite: all three appends + the
+    # final one — the overwrite's rewritten files never stream
+    assert sorted(r.k for r in got.collect()) == list(range(80))
