@@ -1956,3 +1956,67 @@ def x14(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_words").cast("long").alias("total_words"),
     )
+
+
+@register(
+    "x15_deterministic_shuffle",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               ORDER BY md5('ep1|' || CAST(doc_id AS VARCHAR)), doc_id
+             ) - 1 AS rk
+      FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, n_chars,
+             CAST(rk % 8 AS INT) AS shard,
+             CAST(rk // 8 AS BIGINT) AS pos
+      FROM ranked
+    )
+    SELECT shard, count(*) AS n,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           CAST(sum(pos) AS BIGINT) AS pos_sum,
+           CAST(min(CASE WHEN pos = 0 THEN doc_id END) AS BIGINT) AS head_doc
+    FROM sharded GROUP BY shard
+    """,
+)
+def x15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC corpus shuffle + sharding (r10 tail) — the
+    training-order step every dataloader pipeline needs: a seeded,
+    REPRODUCIBLE pseudo-random permutation (order by md5(seed |
+    doc_id), unique-key tie-break) dealt round-robin into 8 shards
+    with a stable position within each shard. Same seed → identical
+    order on both engines and across reruns/partitionings; changing
+    the seed string ('ep1') reshuffles every epoch.
+
+    Scale note: the oracle-exact formulation uses one global
+    ROW_NUMBER (a single total-order sort — fine to ~10⁸ rows); the
+    100 TB path is repartitionByRange(n_shards, key) +
+    sortWithinPartitions(key), which keeps the SAME md5 order
+    per-shard without a global window (shards become contiguous key
+    ranges instead of round-robin deals — equally reproducible,
+    documented here so nobody reaches for the window at petabyte
+    scale). The hash is md5 (hex string) so DuckDB reproduces the
+    permutation bit-for-bit."""
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    key = F.md5(F.concat(F.lit("ep1|"), F.col("doc_id").cast("string")))
+    rk = (
+        F.row_number().over(Window.orderBy(key, F.col("doc_id"))) - 1
+    )
+    sharded = docs.select(
+        "doc_id", "n_chars",
+        (rk % 8).cast("int").alias("shard"),
+        F.floor(rk / 8).cast("long").alias("pos"),
+    )
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.sum("pos").cast("long").alias("pos_sum"),
+        F.min(F.when(F.col("pos") == 0, F.col("doc_id"))).cast("long")
+        .alias("head_doc"),
+    )
