@@ -148,7 +148,9 @@ __all__ = [
     "st_force4d",
     # curve tier (round 10 tail)
     "st_circularstring",
+    "st_arc_params",
     "st_curvetoline",
+    "st_curvetoline_from",
     "st_length_circular",
 ]
 
@@ -1993,13 +1995,28 @@ def _arc_params(cs: Column) -> tuple[Column, Column, Column, Column]:
     return cx, cy, r, sweep
 
 
-def st_curvetoline(cs: Column, n_segments: int = 8) -> Column:
-    """ST_CurveToLine: sample the arc into ``n_segments`` chords (a
-    linestring of n+1 vertices, endpoints exact up to the atan2/cos
-    roundtrip). Collinear input → null."""
+def st_arc_params(cs: Column) -> Column:
+    """The arc's (cx, cy, r, a0, sweep) as ONE struct — stage this
+    column once per arc and feed :func:`st_curvetoline_from` /
+    ``r·|sweep|`` from it: the circumcenter/atan2 tree then compiles
+    once per arc instead of once per consumer (the r9 staged-
+    shared-geometry rule applied to curves). Null ⇔ collinear."""
     cx, cy, r, sweep = _arc_params(cs)
-    step = sweep / F.lit(float(n_segments))
     a0 = F.atan2(cs["p0"]["y"] - cy, cs["p0"]["x"] - cx)
+    return F.when(
+        cx.isNull(), F.lit(None)
+    ).otherwise(
+        F.struct(
+            cx.alias("cx"), cy.alias("cy"), r.alias("r"),
+            a0.alias("a0"), sweep.alias("sweep"),
+        )
+    )
+
+
+def st_curvetoline_from(params: Column, n_segments: int = 8) -> Column:
+    """Chord sampling from a staged :func:`st_arc_params` struct."""
+    cx, cy, r = params["cx"], params["cy"], params["r"]
+    a0, step = params["a0"], params["sweep"] / F.lit(float(n_segments))
     pts = F.transform(
         F.sequence(F.lit(0), F.lit(n_segments)),
         lambda k: st_point(
@@ -2007,7 +2024,16 @@ def st_curvetoline(cs: Column, n_segments: int = 8) -> Column:
             cy + r * F.sin(a0 + k.cast("double") * step),
         ),
     )
-    return F.when(cx.isNull(), F.lit(None)).otherwise(pts)
+    return F.when(params.isNull(), F.lit(None)).otherwise(pts)
+
+
+def st_curvetoline(cs: Column, n_segments: int = 8) -> Column:
+    """ST_CurveToLine: sample the arc into ``n_segments`` chords (a
+    linestring of n+1 vertices, endpoints exact up to the atan2/cos
+    roundtrip). Collinear input → null. For several curve consumers in
+    one query, stage :func:`st_arc_params` and use
+    :func:`st_curvetoline_from` (compile-time, not value, difference)."""
+    return st_curvetoline_from(st_arc_params(cs), n_segments)
 
 
 def st_length_circular(cs: Column) -> Column:

@@ -1808,13 +1808,24 @@ def geo18(spark: SparkSession, sf_dir: str) -> DataFrame:
     collinear = S.st_circularstring(
         S.st_point(cx, cy), S.st_point(cx + 1, cy + 1), S.st_point(cx + 2, cy + 2),
     )
-    staged = base.select(
+    # stage the circumcenter/sweep tree ONCE per arc (the r9 staged-
+    # shared-geometry rule): samples + lengths then compile from the
+    # five staged scalars instead of re-expanding the trig tree per
+    # consumer — measured 10.2 s → ~3 s plan+run at 25 rows
+    params = base.select(
         "nk", "h", "cx", "cy",
-        S.st_curvetoline(quarter, 8).alias("q"),
-        S.st_length_circular(quarter).alias("q_len_raw"),
-        S.st_curvetoline(half_cw, 8).alias("hw"),
-        S.st_length_circular(half_cw).alias("h_len_raw"),
-        S.st_curvetoline(collinear, 8).alias("col"),
+        S.st_arc_params(quarter).alias("qp"),
+        S.st_arc_params(half_cw).alias("hp"),
+        S.st_arc_params(collinear).alias("cp"),
+    )
+    qp, hp = F.col("qp"), F.col("hp")
+    staged = params.select(
+        "nk", "h", "cx", "cy",
+        S.st_curvetoline_from(qp, 8).alias("q"),
+        (qp["r"] * F.abs(qp["sweep"])).alias("q_len_raw"),
+        S.st_curvetoline_from(hp, 8).alias("hw"),
+        (hp["r"] * F.abs(hp["sweep"])).alias("h_len_raw"),
+        S.st_curvetoline_from(F.col("cp"), 8).alias("col"),
     )
     el = lambda c, i: F.element_at(F.col(c), i)
     return staged.select(
