@@ -1973,8 +1973,16 @@ def _circumcenter(cs: Column) -> tuple[Column, Column, Column]:
 
 def _arc_params(cs: Column) -> tuple[Column, Column, Column, Column]:
     """(cx, cy, r, signed sweep Δ): Δ > 0 counterclockwise (determined
-    by the orientation of the three points), |Δ| ∈ (0, 2π)."""
-    cx, cy, d = _circumcenter(cs)
+    by the orientation of the three points), |Δ| ∈ (0, 2π]. The SQL/MM
+    FULL-CIRCLE form (p0 == p2, p1 diametrically opposite) is handled
+    explicitly — the three-point circumcenter determinant degenerates
+    there, but the circle is the one with diameter (p0, p1)."""
+    closed = (cs["p0"]["x"] == cs["p2"]["x"]) & (
+        cs["p0"]["y"] == cs["p2"]["y"]
+    )
+    ccx, ccy, d = _circumcenter(cs)
+    cx = F.when(closed, (cs["p0"]["x"] + cs["p1"]["x"]) / 2).otherwise(ccx)
+    cy = F.when(closed, (cs["p0"]["y"] + cs["p1"]["y"]) / 2).otherwise(ccy)
     r = F.sqrt(
         (cs["p0"]["x"] - cx) * (cs["p0"]["x"] - cx)
         + (cs["p0"]["y"] - cy) * (cs["p0"]["y"] - cy)
@@ -1988,10 +1996,12 @@ def _arc_params(cs: Column) -> tuple[Column, Column, Column, Column]:
     two_pi = F.lit(2 * math.pi)
     d_ccw = ((a2 - a0) % two_pi + two_pi) % two_pi  # [0, 2π)
     d_ccw = F.when(d_ccw == 0, two_pi).otherwise(d_ccw)
-    sweep = F.when(ccw, d_ccw).otherwise(d_ccw - two_pi)
-    # collinear input: no circle — null everything (PostGIS errors;
-    # Column algebra nulls, module-wide convention)
-    cx = F.when(d == 0, F.lit(None)).otherwise(cx)
+    sweep = F.when(closed, two_pi).otherwise(
+        F.when(ccw, d_ccw).otherwise(d_ccw - two_pi)
+    )
+    # collinear input (and not the closed form): no circle — null
+    # (PostGIS errors; Column algebra nulls, module-wide convention)
+    cx = F.when((d == 0) & ~closed, F.lit(None)).otherwise(cx)
     return cx, cy, r, sweep
 
 

@@ -863,3 +863,53 @@ def test_general_boolean_ops_concave_and_random_crosscheck():
         assert abs(ad2 - (aQ - ai)) < 1e-9
         checked_cc += 1
     assert checked_cc > 230  # loud-fail skips must stay the minority
+
+
+def test_curve_tier_edge_cases(spark):
+    """Curve tier (r10 tail): full-circle arcs (p0 == p2 → sweep ±2π),
+    CW vs CCW sweep by the interior point's side, collinear → null,
+    and st_curvetoline ≡ st_curvetoline_from over staged params."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pg_datalake_spark.functions import spatial as S
+
+    df = spark.range(1).select(
+        F.lit(2.0).alias("cx"), F.lit(3.0).alias("cy"), F.lit(1.5).alias("r")
+    )
+    cx, cy, r = F.col("cx"), F.col("cy"), F.col("r")
+    full = S.st_circularstring(
+        S.st_point(cx + r, cy), S.st_point(cx - r, cy), S.st_point(cx + r, cy)
+    )
+    ccw = S.st_circularstring(
+        S.st_point(cx + r, cy), S.st_point(cx, cy + r), S.st_point(cx - r, cy)
+    )
+    cw = S.st_circularstring(
+        S.st_point(cx + r, cy), S.st_point(cx, cy - r), S.st_point(cx - r, cy)
+    )
+    col = S.st_circularstring(
+        S.st_point(cx, cy), S.st_point(cx + 1, cy), S.st_point(cx + 2, cy)
+    )
+    [row] = df.select(
+        S.st_curvetoline(full, 8).alias("full"),
+        S.st_length_circular(full).alias("full_len"),
+        S.st_arc_params(ccw)["sweep"].alias("ccw_sweep"),
+        S.st_arc_params(cw)["sweep"].alias("cw_sweep"),
+        S.st_curvetoline(col, 8).alias("col"),
+        S.st_length_circular(col).alias("col_len"),
+        S.st_curvetoline_from(S.st_arc_params(ccw), 8).alias("from_staged"),
+        S.st_curvetoline(ccw, 8).alias("direct"),
+    ).collect()
+    # full circle: 9 samples, closed, length 2πr
+    assert len(row.full) == 9
+    assert abs(row.full[0].x - row.full[8].x) < 1e-9
+    assert abs(row.full_len - 2 * math.pi * 1.5) < 1e-9
+    # sweep signs: north interior → CCW (+π), south → CW (−π)
+    assert abs(row.ccw_sweep - math.pi) < 1e-9
+    assert abs(row.cw_sweep + math.pi) < 1e-9
+    # collinear has no circumcircle
+    assert row.col is None and row.col_len is None
+    # staged-params and direct forms are value-identical
+    assert [(p.x, p.y) for p in row.from_staged] \
+        == [(p.x, p.y) for p in row.direct]
