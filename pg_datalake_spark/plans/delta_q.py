@@ -293,7 +293,7 @@ def lake11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # lake08 standalone feeder: the function + oracle live in lakeops.py;
-# the WINDOW row is the merged lake08_lake09_lake10_lake12_lake13_formats
+# the WINDOW row is the merged lake08_lake09_lake10_lake12_lake13_lake14_formats
 # suite (r8 widening), so the standalone registration moved here —
 # after the window — to keep it in the local parity gate without
 # occupying a second driver slot.

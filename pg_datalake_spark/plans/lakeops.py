@@ -358,7 +358,7 @@ _FMT_NO_STATUS = [n for n in _FMT_ALL if n != "o_orderstatus"]
 
 
 @register(
-    "lake08_lake09_lake10_lake12_lake13_formats",
+    "lake08_lake09_lake10_lake12_lake13_lake14_formats",
     oracle=lambda: "\nUNION ALL\n".join(
         [
             _ps("lake08", LAKE08_ORACLE, _FMT_SCHEMA, _FMT_NO_STATUS),
@@ -368,6 +368,12 @@ _FMT_NO_STATUS = [n for n in _FMT_ALL if n != "o_orderstatus"]
                 _FMT_NO_STATUS),
             _ps("lake12", registry.ORACLES["lake12_delta_deletion_vectors"],
                 _FMT_SCHEMA, _FMT_NO_STATUS),
+            _ps(
+                "lake14",
+                registry.ORACLES["lake14_delta_dml"],
+                _FMT_SCHEMA,
+                _FMT_ALL,
+            ),
             _ps(
                 "lake13",
                 "SELECT CAST(commit_version AS VARCHAR) || '|' || change_type"
@@ -385,9 +391,12 @@ def lake_formats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     position+equality deletes with sequence scoping (lake08), the
     pure-Python Delta log reader with checkpoint + time travel
     (lake09), bit-exact spec-bucket hidden partitioning (lake10),
-    Delta deletion vectors (lake12, r8), and the Delta CHANGE FEED
+    Delta deletion vectors (lake12, r8), the Delta CHANGE FEED
     reconstruction (lake13, rotated in the r10 tail — its
-    commit_version|change_type key folds into the phase column). One
+    commit_version|change_type key folds into the phase column), and
+    the Delta DML completion tier (lake14, r10 tail: MERGE cardinality
+    + UPDATE assignments + RESTORE reproducing the post-merge snapshot
+    hash-exactly). One
     NULL-padded by-name union; every arm's oracle recomputes the
     phase relationally in DuckDB from the source parquet."""
     from pg_datalake_spark.plans.registry import QUERIES
@@ -400,6 +409,10 @@ def lake_formats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lake12", "lake12_delta_deletion_vectors"),
     ):
         out = out.unionByName(_pad_arm(QUERIES[name](spark, sf_dir), arm, _FMT_SCHEMA))
+    out = out.unionByName(
+        _pad_arm(QUERIES["lake14_delta_dml"](spark, sf_dir), "lake14",
+                 _FMT_SCHEMA)
+    )
     lake13_df = QUERIES["lake13_delta_changes"](spark, sf_dir).select(
         F.concat(
             F.col("commit_version").cast("string"),

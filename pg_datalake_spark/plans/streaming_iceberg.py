@@ -18,19 +18,60 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pg_datalake_spark.catalog import load_tables
-from pg_datalake_spark.plans.registry import register
+from pg_datalake_spark.plans.registry import ORACLES, QUERIES, register
 from pg_datalake_spark.streaming import iceberg_stream_sink
+
+# The former st05 window slot, widened in the r10 tail to the
+# streaming table-format suite: Iceberg sink (st05), Delta sink with
+# txn watermarks (st10), Delta streaming SOURCE (st11), Iceberg
+# streaming SOURCE (st12) — NULL-padded by-name union, every arm's
+# oracle recomputed relationally from the source parquet. Feeders stay
+# registered standalone (st05 re-registers at module end, after the
+# window) for the local gate.
+_STFMT_SCHEMA = [
+    ("o_orderstatus", "string"),
+    ("n", "long"),
+    ("total_value", "double"),
+    ("n_users", "long"),
+    ("key_sum", "long"),
+]
+_STFMT_ARMS = [
+    ("st05", "st05_iceberg_stream_ingest", ["n", "total_value", "n_users"]),
+    ("st10", "st10_delta_stream_ingest", ["n", "total_value", "n_users"]),
+    ("st11", "st11_delta_stream_source", ["o_orderstatus", "n", "key_sum"]),
+    ("st12", "st12_iceberg_stream_source", ["o_orderstatus", "n", "key_sum"]),
+]
+
+
+def _st_pad_sql(arm: str, name: str, present: list[str]) -> str:
+    from pg_datalake_spark.plans.suites import _pad_arm_sql
+
+    return _pad_arm_sql(arm, ORACLES[name], _STFMT_SCHEMA, present)
 
 
 @register(
-    "st05_iceberg_stream_ingest",
-    oracle="""
-    SELECT count(*) AS n,
-           round(sum(value), 2) AS total_value,
-           count(DISTINCT user_id) AS n_users
-    FROM events
-    """,
+    "st05_st10_st11_st12_stream_formats",
+    oracle=lambda: "\nUNION ALL\n".join(
+        _st_pad_sql(arm, name, present) for arm, name, present in _STFMT_ARMS
+    ),
 )
+def stream_formats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verified STREAMING table-format suite (r10 tail): the
+    exactly-once Iceberg sink (st05), the txn-watermark-idempotent
+    Delta sink (st10), and both Spark-4 Python DataSource STREAMING
+    SOURCES — Delta by commit-version offsets (st11) and external
+    Iceberg by snapshot sequence numbers (st12). Four arms, one
+    NULL-padded union; each arm's stream must reproduce its source
+    aggregate exactly or the hash breaks."""
+    from pg_datalake_spark.plans.suites import _pad_arm
+
+    out = None
+    for arm, name, _present in _STFMT_ARMS:
+        padded = _pad_arm(QUERIES[name](spark, sf_dir), arm, _STFMT_SCHEMA)
+        out = padded if out is None else out.unionByName(padded)
+    return out
+
+
 def st05(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the events table through the streaming Iceberg sink
     (bootstrap commit on the first batch), drain AGAIN with no new
@@ -237,3 +278,17 @@ def st12(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").cast("long").alias("key_sum"),
         )
     )
+
+
+# st05's standalone registration moved AFTER the window (its former
+# slot now holds the merged stream-formats suite) — the lake08 pattern:
+# local parity gate keeps the feeder, the window verifies the merge.
+register(
+    "st05_iceberg_stream_ingest",
+    oracle="""
+    SELECT count(*) AS n,
+           round(sum(value), 2) AS total_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    """,
+)(st05)
