@@ -87,26 +87,70 @@ class _FilePartition(InputPartition):
         self.new_dv = new_dv
 
 
+def _arrow_type(stype: str):
+    """Spark simpleString → Arrow type via Spark's own pandas mapping.
+    The DataSource read() runs in a worker subprocess with no
+    SparkContext, so the simpleString is parsed here (scalars +
+    decimal; complex types fail loud naming the type) instead of via
+    ``_parse_datatype_string``."""
+    import re
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    scalars = {
+        "string": T.StringType(), "boolean": T.BooleanType(),
+        "tinyint": T.ByteType(), "smallint": T.ShortType(),
+        "int": T.IntegerType(), "bigint": T.LongType(),
+        "float": T.FloatType(), "double": T.DoubleType(),
+        "date": T.DateType(), "binary": T.BinaryType(),
+        "timestamp": T.TimestampType(),
+        "timestamp_ntz": T.TimestampNTZType(),
+    }
+    s = stype.strip().lower()
+    if s in scalars:
+        return to_arrow_type(scalars[s])
+    m = re.fullmatch(r"decimal\((\d+),\s*(-?\d+)\)", s)
+    if m:
+        return to_arrow_type(T.DecimalType(int(m[1]), int(m[2])))
+    raise NotImplementedError(
+        f"streaming-source type {stype!r}: only scalar/decimal columns "
+        "are synthesized (partition literals / schema-evolution NULLs)"
+    )
+
+
 def _typed_literal_array(raw: str | None, stype: str, n: int):
     """add.partitionValues literal → a typed n-row Arrow array (hive
     layout stores partition values only in the log, never the file)."""
     import datetime as _dt
+    import decimal as _dec
 
     import pyarrow as pa
 
-    pa_type = {
-        "bigint": pa.int64(), "int": pa.int32(), "double": pa.float64(),
-        "date": pa.date32(), "boolean": pa.bool_(),
-    }.get(stype, pa.string())
+    pa_type = _arrow_type(stype)
     if raw is None:
         return pa.nulls(n, pa_type)
-    py = (
-        raw if pa_type == pa.string()
-        else raw.lower() == "true" if stype == "boolean"
-        else float(raw) if stype == "double"
-        else _dt.date.fromisoformat(raw) if stype == "date"
-        else int(raw)
-    )
+    base = stype.split("(")[0]
+    if base == "string":
+        py = raw
+    elif base == "boolean":
+        py = raw.lower() == "true"
+    elif base in ("double", "float"):
+        py = float(raw)
+    elif base == "date":
+        py = _dt.date.fromisoformat(raw)
+    elif base == "timestamp":
+        # Delta serializes partition timestamps as 'YYYY-MM-DD HH:MM:SS[.ffffff]'
+        py = _dt.datetime.fromisoformat(raw)
+    elif base == "decimal":
+        py = _dec.Decimal(raw)
+    elif base in ("bigint", "int", "smallint", "tinyint"):
+        py = int(raw)
+    else:
+        raise NotImplementedError(
+            f"partition column of type {stype!r}: the streaming source "
+            "cannot re-inject this partition literal — supported types are "
+            "string/boolean/float/double/date/timestamp/decimal/integers"
+        )
     return pa.array([py] * n, pa_type)
 
 
@@ -308,9 +352,15 @@ class DeltaStreamReader(DataSourceStreamReader):
                         _typed_literal_array(part_vals.get(name), stype, n)
                     )
                 else:
-                    cols.append(
-                        batch.column(batch.schema.get_field_index(name))
-                    )
+                    idx = batch.schema.get_field_index(name)
+                    if idx < 0:
+                        # column added after this file was written
+                        # (schema evolution): old files read as NULLs —
+                        # get_field_index returns -1 which pyarrow would
+                        # silently normalize to the LAST column
+                        cols.append(pa.nulls(n, _arrow_type(stype)))
+                    else:
+                        cols.append(batch.column(idx))
             names = [f[0] for f in partition.fields]
             if partition.cdf:
                 ct, cv, cts = partition.cdf

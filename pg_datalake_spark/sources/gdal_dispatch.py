@@ -101,6 +101,16 @@ def _stage_zip(path: str, stage: str, zip_path: str | None) -> str:
                 n for n in names
                 if os.path.splitext(n)[0] in stems and _ext(n) in _SHP_SIDECARS
             }
+        by_base: dict[str, list[str]] = {}
+        for m in wanted:
+            by_base.setdefault(os.path.basename(m), []).append(m)
+        clashes = {b: sorted(ms) for b, ms in by_base.items() if len(ms) > 1}
+        if clashes:
+            raise ValueError(
+                f"members of {path} collide on basename when staged "
+                f"(flattened extraction): {clashes}; pass "
+                "zip_path='<member>' to pick one"
+            )
         staged_primary = None
         for member in sorted(wanted):
             out = os.path.join(stage, os.path.basename(member))

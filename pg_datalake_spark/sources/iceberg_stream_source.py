@@ -179,9 +179,19 @@ class IcebergStreamReader(DataSourceStreamReader):
                         else pa.array([val] * n, pa_type)
                     )
                 else:
-                    cols.append(
-                        batch.column(batch.schema.get_field_index(name))
-                    )
+                    idx = batch.schema.get_field_index(name)
+                    if idx < 0:
+                        # column added after this file was written
+                        # (schema evolution): old files read as NULLs —
+                        # get_field_index returns -1 which pyarrow would
+                        # silently normalize to the LAST column
+                        from pg_datalake_spark.sources.delta_stream_source import (
+                            _arrow_type,
+                        )
+
+                        cols.append(pa.nulls(n, _arrow_type(stype)))
+                    else:
+                        cols.append(batch.column(idx))
             yield pa.RecordBatch.from_arrays(
                 cols, names=[f[0] for f in partition.fields]
             )

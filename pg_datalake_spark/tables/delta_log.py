@@ -1429,9 +1429,11 @@ def merge_delta(
     has_t = F.coalesce(F.col("t.__t_present"), F.lit(False))
     has_s = F.coalesce(F.col("s.__s_present"), F.lit(False))
     is_match = has_t & has_s
-    # the delete predicate sees t./s. (pre-update values), like Delta
+    # the delete predicate sees t./s. (pre-update values), like Delta.
+    # Delta treats a NULL predicate as NOT satisfied: coalesce to FALSE so
+    # ~drop_row keeps (updates) the row instead of silently deleting it.
     drop_row = (
-        is_match & F.expr(when_matched_delete)
+        is_match & F.coalesce(F.expr(when_matched_delete), F.lit(False))
         if when_matched_delete is not None
         else F.lit(False)
     )

@@ -154,3 +154,129 @@ def test_rest_catalog_table_name_urlencoded():
     post_path = calls[2][1]
     assert get_path.endswith("/namespaces/ns%20one/tables/tbl%2Fwe%20ird%23name")
     assert post_path.endswith("/namespaces/ns%20one/tables/tbl%2Fwe%20ird%23name")
+
+
+def test_merge_delta_null_delete_predicate_keeps_row(spark, tmp_path):
+    """Delta MERGE: a WHEN MATCHED DELETE condition evaluating to NULL
+    is NOT satisfied — the matched row must be updated/kept, not
+    silently deleted (round-10 advice: is_match & NULL was NULL and
+    filter(~drop_row) excluded the row)."""
+    from pg_datalake_spark.tables import delta_log as dl
+
+    loc = str(tmp_path / "mnull_delta")
+    dl.write_delta_table(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+        ),
+        loc,
+    )
+    # nv is NULL for k=1 → 's.nv < 0' is NULL → keep+update; k=2
+    # deletes (-1 < 0); k=3 keeps+updates (5 < 0 is false).
+    source = spark.createDataFrame(
+        [(1, None), (2, -1.0), (3, 5.0)], "k long, nv double"
+    )
+    dl.merge_delta(
+        spark, loc, source, on="t.k = s.k",
+        when_matched_update={"v": "t.v + 1"},
+        when_matched_delete="s.nv < 0",
+        when_not_matched_insert=False,
+    )
+    got = {r.k: r.v for r in dl.read_delta_table(spark, loc).collect()}
+    assert got == {1: 11.0, 3: 31.0}
+
+
+def test_delta_stream_schema_evolution_reads_nulls(spark, tmp_path):
+    """Streaming a Delta table across an ADD COLUMN: files written
+    before the evolution must stream the new column as typed NULLs —
+    get_field_index(-1) must never silently bind the LAST physical
+    column under the new name (round-10 advice)."""
+    import pyspark.sql.functions as F
+
+    from pg_datalake_spark.sources.delta_stream_source import (
+        DeltaStreamDataSource,
+    )
+    from pg_datalake_spark.tables import delta_log as dl
+
+    loc = str(tmp_path / "t_evo")
+    dl.write_delta_table(
+        spark.createDataFrame([(0, "a"), (1, "b")], "k long, tag string"),
+        loc,
+    )                                                               # v0
+    dl.add_column_delta(spark, loc, "extra", "double")              # v1
+    dl.append_delta(
+        spark.createDataFrame([(2, "c", 9.5)],
+                              "k long, tag string, extra double"),
+        loc,
+    )                                                               # v2
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    sink = str(tmp_path / "sink_evo")
+    q = (
+        spark.readStream.format("pglake_delta")
+        .option("path", loc)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_evo"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.k: (r.tag, r.extra)
+           for r in spark.read.parquet(sink).collect()}
+    # pre-evolution rows: extra is NULL, tag is NOT misbound
+    assert got == {0: ("a", None), 1: ("b", None), 2: ("c", 9.5)}
+
+
+def test_stream_partition_literal_types_and_fail_loud():
+    """Partition-value literals re-typed beyond the r10 map: timestamp,
+    decimal, smallint; unknown complex types fail loud instead of
+    silently emitting strings (round-10 advice)."""
+    import datetime as dt
+    import decimal
+
+    import pyarrow as pa
+    import pytest as _pt
+
+    from pg_datalake_spark.sources.delta_stream_source import (
+        _typed_literal_array,
+    )
+
+    arr = _typed_literal_array("2026-01-02 03:04:05", "timestamp", 2)
+    assert pa.types.is_timestamp(arr.type)
+    assert arr[0].as_py().replace(tzinfo=None) == dt.datetime(2026, 1, 2, 3, 4, 5)
+    arr = _typed_literal_array("12.50", "decimal(9,2)", 1)
+    assert pa.types.is_decimal(arr.type)
+    assert arr[0].as_py() == decimal.Decimal("12.50")
+    arr = _typed_literal_array("7", "smallint", 1)
+    assert arr.type == pa.int16()
+    arr = _typed_literal_array(None, "decimal(9,2)", 3)
+    assert arr.null_count == 3 and pa.types.is_decimal(arr.type)
+    with _pt.raises(NotImplementedError, match="array"):
+        _typed_literal_array("x", "array<int>", 1)
+
+
+def test_stage_zip_basename_collision_raises(spark, tmp_path):
+    """Two archive members sharing a basename in different zip
+    subdirectories must fail loud at staging instead of silently
+    overwriting each other (round-10 advice); zip_path still
+    disambiguates."""
+    import zipfile
+
+    import pytest as _pt
+
+    from pg_datalake_spark.sources.gdal_dispatch import read_gdal
+
+    kml = (
+        '<kml xmlns="http://www.opengis.net/kml/2.2"><Document>'
+        "<Placemark><name>{nm}</name><Point><coordinates>"
+        "{x},{y}</coordinates></Point></Placemark></Document></kml>"
+    )
+    kmz = str(tmp_path / "multi.kmz")
+    with zipfile.ZipFile(kmz, "w") as z:
+        z.writestr("a/pts.kml", kml.format(nm="A", x=1.0, y=2.0))
+        z.writestr("b/pts.kml", kml.format(nm="B", x=3.0, y=4.0))
+    with _pt.raises(ValueError, match="pts.kml"):
+        read_gdal(spark, kmz)
+    rows = read_gdal(spark, kmz, zip_path="b/pts.kml").collect()
+    assert len(rows) == 1
