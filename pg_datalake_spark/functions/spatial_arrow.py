@@ -782,33 +782,102 @@ def _self_intersections(ring: list[Pt]) -> list[tuple[int, int, Pt]]:
     return out
 
 
+def _node_ring(ring: list[Pt]) -> list[Pt]:
+    """Insert every self-intersection point into the vertex cycle, each
+    crossing appearing once per edge it lies on (twice total), ordered
+    by parameter t along its edge — the NODED closed polyline GEOS
+    builds as step 1 of MakeValid's linework method."""
+    by_edge: dict[int, list[Pt]] = {}
+    for i, j, p in _self_intersections(ring):
+        by_edge.setdefault(i, []).append(p)
+        by_edge.setdefault(j, []).append(p)
+    out: list[Pt] = []
+    for k, (a, b) in enumerate(_closed_edges(ring)):
+        out.append(a)
+        pts = by_edge.get(k)
+        if pts:
+            dx, dy = b[0] - a[0], b[1] - a[1]
+            den = dx * dx + dy * dy
+            out.extend(
+                sorted(
+                    pts,
+                    key=lambda p: ((p[0] - a[0]) * dx + (p[1] - a[1]) * dy)
+                    / den,
+                )
+            )
+    return out
+
+
+def _planar_faces(segments: list[tuple[Pt, Pt]]) -> list[list[Pt]]:
+    """Bounded faces of the planar subdivision induced by NODED
+    segments (segments meet only at shared endpoints) — the
+    polygonize step of GEOS MakeValid's linework method. Half-edge
+    traversal: from directed edge u→v the face continues along the
+    neighbor of v immediately CLOCKWISE of u in the angular order
+    around v, so every bounded face is traced CCW (kept) and the
+    unbounded face CW (dropped). Faces are canonicalized (rotated to
+    start at their min vertex) and sorted for determinism."""
+    adj: dict[Pt, list[Pt]] = {}
+    segs: set[tuple[Pt, Pt]] = set()
+    for a, b in segments:
+        if a == b:
+            continue
+        key = (a, b) if a <= b else (b, a)
+        if key in segs:
+            continue
+        segs.add(key)
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    for u, nbrs in adj.items():
+        nbrs.sort(key=lambda v: math.atan2(v[1] - u[1], v[0] - u[0]))
+    idx = {u: {v: i for i, v in enumerate(ns)} for u, ns in adj.items()}
+    used: set[tuple[Pt, Pt]] = set()
+    faces: list[list[Pt]] = []
+    for a, b in sorted(segs):
+        for u0, v0 in ((a, b), (b, a)):
+            if (u0, v0) in used:
+                continue
+            face: list[Pt] = []
+            u, v = u0, v0
+            while (u, v) not in used:
+                used.add((u, v))
+                face.append(u)
+                ns = adj[v]
+                w = ns[(idx[v][u] - 1) % len(ns)]
+                u, v = v, w
+            if len(face) >= 3 and _signed_area2(face) > 0:
+                i = min(range(len(face)), key=lambda k: face[k])
+                faces.append(face[i:] + face[:i])
+    return sorted(faces)
+
+
 def _make_valid(ring: list[Pt]) -> list[list[Pt]]:
-    """PostGIS/GEOS ST_MakeValid for the single-ring model: an already
-    SIMPLE ring passes through unchanged (one-element list); the
-    classic single-crossing "bowtie" (mis-ordered vertex entry) is
-    split at the crossing into its two simple, positive-area lobes —
-    exactly the two polygons GEOS's MakeValid emits for a bowtie,
-    here as a ring list since the model has no MULTIPOLYGON. Multiple
-    self-intersections fail loud."""
+    """PostGIS/GEOS ST_MakeValid (linework method, the GEOS ≥3.10
+    default) for an arbitrarily self-intersecting ring: node the
+    boundary at every crossing, decompose the noded cycle into simple
+    loops, and keep each loop whose interior is covered an ODD number
+    of times by the original boundary (even-odd rule — the bowtie
+    yields both lobes; a pentagram yields its five point-triangles and
+    drops the doubly-wound center pentagon, exactly GEOS). An already
+    simple ring passes through unchanged (one-element list). Output
+    loops are CCW and sorted (r11: generalized from the single-crossing
+    bowtie repair)."""
     if len(ring) < 3:
         return [list(ring)]
-    xs = _self_intersections(ring)
-    if not xs:
+    if not _self_intersections(ring):
         return [list(ring)]
-    if len(xs) != 1:
-        raise NotImplementedError(
-            f"st_makevalid: {len(xs)} self-intersections — only the "
-            "single-crossing bowtie repair is implemented (use GEOS/"
-            "Sedona for general polygon repair)"
-        )
-    i, j, p = xs[0]
-    # edges[i] = ring[i]→ring[i+1]; split the vertex cycle at the
-    # crossing: lobe1 = p, ring[i+1..j], p; lobe2 = p, ring[j+1..i], p
-    n = len(ring)
-    lobe1 = [p] + [ring[k % n] for k in range(i + 1, j + 1)]
-    lobe2 = [p] + [ring[k % n] for k in range(j + 1, i + n + 1)]
-    lobes = [_ccw(l) for l in (lobe1, lobe2) if _ring_area(l) > 0.0]
-    return sorted(lobes)
+    cycle = _node_ring(ring)
+    segs = list(zip(cycle, cycle[1:] + cycle[:1]))
+    out: list[list[Pt]] = []
+    for face in _planar_faces(segs):
+        if _ring_area(face) == 0.0:
+            continue  # degenerate sliver
+        probe = _point_on_surface(face) or face[0]
+        # even-odd winding of the face's interior w.r.t. the ORIGINAL
+        # (noded, still self-crossing) boundary
+        if _contains(cycle, probe):
+            out.append(face)
+    return sorted(out)
 
 
 def st_makevalid_arrow(ring: Column) -> Column:
@@ -967,10 +1036,11 @@ def _gh_clip(subject: list[Pt], clip: list[Pt], op: str) -> list[list[Pt]]:
         if a_in_b:
             return []
         if b_in_a:
-            raise NotImplementedError(
-                "general difference: clip strictly inside subject produces "
-                "a polygon with a HOLE — unrepresentable in the ring model"
-            )
+            # clip strictly inside subject: polygon with a HOLE — emitted
+            # in the multi-ring model as outer (CCW) + hole (CW), so
+            # signed areas sum to the covered area and even-odd point
+            # containment is exact (r11; previously fail-loud).
+            return sorted([aa, list(reversed(bb))])
         return [aa]
 
     # 3. mark entry/exit: walking each ring, the inside/outside status
@@ -1094,8 +1164,8 @@ def st_union_general_arrow(a: Column, b: Column) -> Column:
 
 
 def st_difference_general_arrow(a: Column, b: Column) -> Column:
-    """General polygon difference a ∖ b (strictly-contained b = hole,
-    fails loud like the convex kernel)."""
+    """General polygon difference a ∖ b (r11: a strictly-contained b
+    emits outer + CW hole in the multi-ring model)."""
 
     @F.pandas_udf(_LINES_T)
     def _dg_udf(s: pd.Series, c: pd.Series) -> pd.Series:
@@ -1109,3 +1179,288 @@ def st_difference_general_arrow(a: Column, b: Column) -> Column:
         )
 
     return _dg_udf(a, b)
+
+
+# --- Multi-ring geometry model (r11): POLYGON-with-holes / MULTIPOLYGON ----
+# A GEOMETRY is a list of rings (array<array<struct<x,y>>>): boundaries
+# whose even-odd union is the covered region. Normal form orients by
+# nesting depth — outer rings CCW (positive signed area), holes CW
+# (negative) — so SIGNED areas sum to the covered area, matching what
+# _orient_boolean_outputs already emits for cavity-producing unions.
+# This is the uniform representation the reference gets from GEOS's
+# Polygon/MultiPolygon (pg_lake_engine/src/pgduck/
+# shippable_spatial_functions.c ST_Area/ST_Perimeter/ST_Contains/
+# ST_Intersection on POLYGON(outer, holes...)); here every op is pure
+# ring algebra composed from the Greiner–Hormann kernel above, and the
+# even-odd rule makes ring bookkeeping exact: duplicate CCW/CW pairs
+# cancel, disjoint-region unions are plain concatenation.
+
+
+def _mring_area(geom: list[list[Pt]]) -> float:
+    """Covered area: sum of SIGNED ring areas (holes subtract)."""
+    return sum(_signed_area2(r) for r in geom) / 2.0
+
+
+def _mring_perimeter(geom: list[list[Pt]]) -> float:
+    """Total boundary length — every ring counts, holes included
+    (PostGIS ST_Perimeter on a polygon with holes)."""
+    return sum(
+        sum(math.hypot(b[0] - a[0], b[1] - a[1]) for a, b in _closed_edges(r))
+        for r in geom
+    )
+
+
+def _mring_contains(geom: list[list[Pt]], p: Pt) -> bool:
+    """Even-odd point-in-geometry: inside an odd number of rings
+    (inside an outer and not inside its hole)."""
+    return sum(1 for r in geom if _contains(r, p)) % 2 == 1
+
+
+def _ring_canon(r: list[Pt]) -> tuple[Pt, ...]:
+    """Orientation-insensitive canonical cycle key (CCW, min-first)."""
+    rr = _ccw(r)
+    i = min(range(len(rr)), key=lambda k: rr[k])
+    return tuple(rr[i:] + rr[:i])
+
+
+def _mring_normalize(rings: list[list[Pt]]) -> list[list[Pt]]:
+    """Normal form: drop zero-area rings, cancel identical CCW/CW ring
+    pairs (they enclose no net region under even-odd), then orient
+    every survivor by nesting depth and sort."""
+    live = [r for r in rings if len(r) >= 3 and _signed_area2(r) != 0.0]
+    pos: dict[tuple, list[list[Pt]]] = {}
+    neg: dict[tuple, list[list[Pt]]] = {}
+    for r in live:
+        (pos if _signed_area2(r) > 0 else neg).setdefault(
+            _ring_canon(r), []
+        ).append(r)
+    kept: list[list[Pt]] = []
+    for key in set(pos) | set(neg):
+        p, n = pos.get(key, []), neg.get(key, [])
+        m = min(len(p), len(n))
+        kept.extend(p[m:])
+        kept.extend(n[m:])
+    return _orient_boolean_outputs(kept)
+
+
+def _flip_rings(rings: list[list[Pt]]) -> list[list[Pt]]:
+    return [list(reversed(r)) for r in rings]
+
+
+def _mring_sub_ring(geom: list[list[Pt]], clip: list[Pt]) -> list[list[Pt]]:
+    """geom ∖ clip for one SIMPLE CCW clip ring. Positive rings clip
+    directly; a hole ring H transforms as H ∖ clip (the part of the
+    hole inside the removed region is removed anyway:
+    (O∖H)∖C = (O∖C)∖(H∖C)), computed by the same kernel on the
+    CCW form and flipped back."""
+    out: list[list[Pt]] = []
+    for r in geom:
+        if _signed_area2(r) > 0:
+            out.extend(_gh_clip(r, clip, "sub"))
+        else:
+            out.extend(_flip_rings(_gh_clip(_ccw(r), clip, "sub")))
+    return out
+
+
+def _split_outer_holes(
+    geom: list[list[Pt]],
+) -> tuple[list[list[Pt]], list[list[Pt]]]:
+    """Outers (CCW, as-is) and holes (returned in CCW working form)."""
+    outers = [r for r in geom if _signed_area2(r) > 0]
+    holes = [_ccw(r) for r in geom if _signed_area2(r) < 0]
+    return outers, holes
+
+
+def _mring_op(
+    A: list[list[Pt]], B: list[list[Pt]], op: str
+) -> list[list[Pt]]:
+    """Boolean op on multi-ring geometries (even-odd semantics,
+    outer-CCW/hole-CW normal form in and out). op ∈ {'and','sub','or'}.
+
+    intersection: (Ao∖Ah) ∩ (Bo∖Bh) = ⋃ᵢⱼ(Aoᵢ∩Boⱼ) ∖ Ah ∖ Bh —
+    outer×outer kernel intersections, then every hole subtracted via
+    _mring_sub_ring (holes of disjoint outers subtract as no-ops).
+
+    difference: A ∖ B = (A ∖ Bo…) ∪ (A ∩ Bh…) — subtract B's outers,
+    then add back A's overlap with B's holes; the two parts cover
+    disjoint regions, so the union is ring concatenation (even-odd).
+
+    union (single-outer geometries, the POLYGON ∪ POLYGON case):
+    A ∪ B = (Ao ∪ Bo) ∖ [(Ah∩Bh) ∪ (Ah∖Bo) ∪ (Bh∖Ao)] — the three
+    hole families are pairwise disjoint, so they concatenate as CW
+    rings. Multi-outer unions fold pairwise while disjoint and fail
+    loud if two already-merged components must merge again."""
+    A = _mring_normalize(A)
+    B = _mring_normalize(B)
+    ao, ah = _split_outer_holes(A)
+    bo, bh = _split_outer_holes(B)
+    if op == "and":
+        pieces: list[list[Pt]] = []
+        for oa in ao:
+            for ob in bo:
+                pieces.extend(_gh_clip(oa, ob, "and"))
+        for h in ah + bh:
+            pieces = _mring_sub_ring(pieces, h)
+        return _mring_normalize(pieces)
+    if op == "sub":
+        pieces = list(A)
+        for ob in bo:
+            pieces = _mring_sub_ring(pieces, ob)
+        # add back A ∩ (each hole of B) — disjoint from pieces by
+        # construction, so even-odd concatenation IS the union
+        for h in bh:
+            add = _mring_op(A, [h], "and")
+            pieces = pieces + add
+        return _mring_normalize(pieces)
+    if op == "or":
+        if len(ao) > 1 or len(bo) > 1:
+            return _mring_union_multi(A, B)
+        (oa,), (ob,) = ao, bo
+        rings = _gh_clip(oa, ob, "or")
+        hole_rings: list[list[Pt]] = []
+        for haa in ah:
+            for hbb in bh:
+                hole_rings.extend(_gh_clip(haa, hbb, "and"))
+            hole_rings.extend(
+                r for r in _gh_clip(haa, ob, "sub") if _signed_area2(r) > 0
+            )
+        for hbb in bh:
+            hole_rings.extend(
+                r for r in _gh_clip(hbb, oa, "sub") if _signed_area2(r) > 0
+            )
+        return _mring_normalize(rings + _flip_rings(hole_rings))
+    raise ValueError(f"unknown multi-ring op: {op}")
+
+
+def _mring_union_multi(
+    A: list[list[Pt]], B: list[list[Pt]]
+) -> list[list[Pt]]:
+    """Union when either side is a MULTIPOLYGON: fold components
+    pairwise. Components whose outers are disjoint concatenate;
+    overlapping pairs merge through the single-outer path. A merge
+    whose RESULT would need to merge again with a third overlapping
+    component fails loud (iterated cascades need a sweep-line union —
+    use GEOS/Sedona)."""
+
+    def components(geom: list[list[Pt]]) -> list[list[list[Pt]]]:
+        outers, holes = _split_outer_holes(geom)
+        comps = []
+        for o in outers:
+            mine = [
+                list(reversed(h))
+                for h in holes
+                if _contains(o, _point_on_surface(h) or h[0])
+            ]
+            comps.append([o] + mine)
+        return comps
+
+    comps = components(A) + components(B)
+    out: list[list[list[Pt]]] = []
+    for c in comps:
+        merged = c
+        again: list[list[list[Pt]]] = []
+        hit = False
+        for existing in out:
+            eo = [r for r in existing if _signed_area2(r) > 0][0]
+            mo = [r for r in merged if _signed_area2(r) > 0][0]
+            disjoint = not _boundary_crossings(eo, mo) and not (
+                _contains(eo, mo[0]) or _contains(mo, eo[0])
+            )
+            if disjoint:
+                again.append(existing)
+            elif hit:
+                raise NotImplementedError(
+                    "multi-polygon union: cascaded overlap between three+ "
+                    "components — use GEOS/Sedona for iterated unions"
+                )
+            else:
+                merged = _mring_op(existing, merged, "or")
+                if len([r for r in merged if _signed_area2(r) > 0]) > 1:
+                    raise NotImplementedError(
+                        "multi-polygon union: merge produced a multi-outer "
+                        "component — use GEOS/Sedona"
+                    )
+                hit = True
+        out = again + [merged]
+    return _mring_normalize([r for c in out for r in c])
+
+
+def _mrings(col) -> list[list[Pt]]:
+    return [_to_pts(r) for r in col]
+
+
+def st_area_mring_arrow(geom: Column) -> Column:
+    """ST_Area of a multi-ring geometry (holes subtract)."""
+
+    @F.pandas_udf("double")
+    def _a_udf(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if g is None else _mring_area(_mrings(g)) for g in s]
+        )
+
+    return _a_udf(geom)
+
+
+def st_perimeter_mring_arrow(geom: Column) -> Column:
+    """ST_Perimeter of a multi-ring geometry (hole rings count)."""
+
+    @F.pandas_udf("double")
+    def _p_udf(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if g is None else _mring_perimeter(_mrings(g)) for g in s]
+        )
+
+    return _p_udf(geom)
+
+
+def st_contains_mring_arrow(geom: Column, point: Column) -> Column:
+    """ST_Contains(geometry, point) under even-odd (point in a hole is
+    NOT contained)."""
+
+    @F.pandas_udf("boolean")
+    def _c_udf(s: pd.Series, p: pd.DataFrame) -> pd.Series:
+        # a struct input arrives as a pandas DataFrame (one column per
+        # field), not a Series of dicts
+        xs, ys = p["x"].tolist(), p["y"].tolist()
+        return pd.Series(
+            [
+                None
+                if g is None or x is None
+                else _mring_contains(_mrings(g), (float(x), float(y)))
+                for g, x, y in zip(s, xs, ys)
+            ]
+        )
+
+    return _c_udf(geom, point)
+
+
+def _mring_op_udf(op: str):
+    @F.pandas_udf(_LINES_T)
+    def _udf(s: pd.Series, c: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if ga is None or gb is None
+                else _rings_to_rows(_mring_op(_mrings(ga), _mrings(gb), op))
+                for ga, gb in zip(s, c)
+            ]
+        )
+
+    return _udf
+
+
+def st_intersection_mring_arrow(a: Column, b: Column) -> Column:
+    """ST_Intersection of multi-ring geometries (holes on either side
+    handled; result in outer-CCW/hole-CW normal form)."""
+    return _mring_op_udf("and")(a, b)
+
+
+def st_union_mring_arrow(a: Column, b: Column) -> Column:
+    """ST_Union of multi-ring geometries (see _mring_op for the
+    multi-outer scope)."""
+    return _mring_op_udf("or")(a, b)
+
+
+def st_difference_mring_arrow(a: Column, b: Column) -> Column:
+    """ST_Difference of multi-ring geometries."""
+    return _mring_op_udf("sub")(a, b)

@@ -1845,3 +1845,140 @@ def geo18(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("h_len_raw", 6).alias("h_len"),
         F.col("col").isNull().alias("col_null"),
     )
+
+
+@register(
+    "geo19_multiring_geometry",
+    oracle="""
+    WITH g AS (
+      SELECT n_nationkey AS nk,
+             CAST(1 + n_nationkey % 3 AS DOUBLE) AS h
+      FROM nation
+    )
+    SELECT nk,
+           round(84 * h * h, 6) AS a_area,
+           round(56 * h, 6)     AS a_perim,
+           CAST(0 AS INT)       AS in_hole,
+           CAST(1 AS INT)       AS in_solid,
+           CAST(2 AS INT)       AS i_n,
+           round(20 * h * h, 6) AS i_area,
+           CAST(0 AS INT)       AS i_in_hole,
+           CAST(3 AS INT)       AS d_n,
+           round(83 * h * h, 6) AS d_area,
+           round(68 * h * h, 6) AS e_area,
+           CAST(3 AS INT)       AS u_n,
+           round(57 * h * h, 6) AS u_area,
+           CAST(4 AS INT)       AS mv_n,
+           round(1.5 * h * h, 6) AS mv_area,
+           CAST(14 AS INT)      AS mv_pts,
+           CAST(1 AS INT)       AS mv_ccw
+    FROM g
+    """,
+)
+def geo19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-ring geometry tier (r11): POLYGON-with-holes /
+    MULTIPOLYGON as a first-class array<ring> geometry — outer rings
+    CCW, holes CW — with ST_Area / ST_Perimeter / ST_Contains /
+    ST_Intersection / ST_Difference / ST_Union over it
+    (spatial_arrow._mring_op; reference gets these from GEOS polygon
+    types, pg_lake_engine/src/pgduck/shippable_spatial_functions.c),
+    plus the GENERALIZED ST_MakeValid (planar-face polygonization +
+    even-odd linework rule) on a 3-crossing zigzag ribbon. Per nation
+    row, everything is closed-form in h:
+
+    - annulus A = 10h-square minus centered 4h-hole: area 84h²,
+      perimeter 56h (hole ring counts); the hole center is NOT
+      contained, the solid corner is;
+    - A ∩ 6h-square covering the hole: 2 rings, 20h², hole preserved;
+    - A ∖ (small square strictly inside the solid): 3 rings, 83h²;
+    - 10h-square ∖ annulus2 = 68h² (subtracting a holed polygon ADDS
+      BACK the hole's area: 100−36+4);
+    - union of two offset holed squares: 3 rings, 57h² (both holes
+      survive where the other polygon doesn't cover them);
+    - makevalid(zigzag with 3 crossings) = 4 simple CCW faces,
+      Σarea 1.5h², 14 vertices total."""
+    from pg_datalake_spark.functions import spatial_arrow as SA
+
+    t = load_tables(spark, sf_dir, ["nation"])
+    base = t["nation"].select(
+        F.col("n_nationkey").cast("int").alias("nk"),
+        (1 + F.col("n_nationkey") % 3).cast("double").alias("h"),
+        (F.col("n_nationkey") % 7).cast("double").alias("cx"),
+        (F.col("n_nationkey") * 3 % 5).cast("double").alias("cy"),
+    )
+    h, cx, cy = F.col("h"), F.col("cx"), F.col("cy")
+
+    def pt(xm, ym):
+        return S.st_point(cx + xm * h, cy + ym * h)
+
+    def sqr(x0, y0, s):  # CCW square ring
+        return F.array(
+            pt(x0, y0), pt(x0 + s, y0), pt(x0 + s, y0 + s), pt(x0, y0 + s)
+        )
+
+    def sqr_cw(x0, y0, s):  # CW = hole orientation
+        return F.array(
+            pt(x0, y0), pt(x0, y0 + s), pt(x0 + s, y0 + s), pt(x0 + s, y0)
+        )
+
+    ann = F.array(sqr(0, 0, 10), sqr_cw(3, 3, 4))
+    cover = F.array(sqr(2, 2, 6))
+    bite = F.array(sqr(1, 1, 1))
+    sq10 = F.array(sqr(0, 0, 10))
+    ann2 = F.array(sqr(4, 4, 10), sqr_cw(6, 6, 2))
+    p_holed = F.array(sqr(0, 0, 6), sqr_cw(1, 1, 1))
+    q_holed = F.array(sqr(4, -1, 6), sqr_cw(7, 0, 2))
+    zigzag = F.array(
+        pt(0, 0), pt(1, 1), pt(2, 0), pt(3, 1),
+        pt(3, 0), pt(2, 1), pt(1, 0), pt(0, 1),
+    )
+    staged = base.select(
+        "nk",
+        SA.st_area_mring_arrow(ann).alias("a_area_raw"),
+        SA.st_perimeter_mring_arrow(ann).alias("a_perim_raw"),
+        SA.st_contains_mring_arrow(ann, pt(5, 5)).alias("in_hole_b"),
+        SA.st_contains_mring_arrow(ann, pt(1, 1)).alias("in_solid_b"),
+        SA.st_intersection_mring_arrow(ann, cover).alias("i"),
+        SA.st_difference_mring_arrow(ann, bite).alias("d"),
+        SA.st_difference_mring_arrow(sq10, ann2).alias("e"),
+        SA.st_union_mring_arrow(p_holed, q_holed).alias("u"),
+        SA.st_makevalid_arrow(zigzag).alias("mv"),
+        pt(5, 5).alias("hole_probe"),
+    )
+    staged = staged.select(
+        "*",
+        SA.st_contains_mring_arrow(F.col("i"), F.col("hole_probe")).alias(
+            "i_in_hole_b"
+        ),
+    )
+
+    def ssum(col):
+        return F.aggregate(
+            F.col(col), F.lit(0.0), lambda acc, r: acc + S.st_area_signed(r)
+        )
+
+    return staged.select(
+        "nk",
+        F.round("a_area_raw", 6).alias("a_area"),
+        F.round("a_perim_raw", 6).alias("a_perim"),
+        F.col("in_hole_b").cast("int").alias("in_hole"),
+        F.col("in_solid_b").cast("int").alias("in_solid"),
+        F.size("i").alias("i_n"),
+        F.round(ssum("i"), 6).alias("i_area"),
+        F.col("i_in_hole_b").cast("int").alias("i_in_hole"),
+        F.size("d").alias("d_n"),
+        F.round(ssum("d"), 6).alias("d_area"),
+        F.round(ssum("e"), 6).alias("e_area"),
+        F.size("u").alias("u_n"),
+        F.round(ssum("u"), 6).alias("u_area"),
+        F.size("mv").alias("mv_n"),
+        F.round(ssum("mv"), 6).alias("mv_area"),
+        F.aggregate(
+            F.col("mv"), F.lit(0), lambda acc, r: acc + F.size(r)
+        ).alias("mv_pts"),
+        F.aggregate(
+            F.col("mv"),
+            F.lit(True),
+            lambda acc, r: acc & (S.st_area_signed(r) > F.lit(0.0)),
+        ).cast("int").alias("mv_ccw"),
+    )

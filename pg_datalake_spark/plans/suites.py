@@ -1963,15 +1963,40 @@ _GEO17_COLS = [
     ("f4d_m", "double"), ("wkb_len", "int"), ("wkb_rt_x", "double"),
     ("gft_x", "double"), ("gft_y", "double"),
 ]
-_GEO_SCHEMA = (
-    _GEO01_COLS + _GEO02_COLS + _GEO03_COLS + _GEO04_COLS
-    + [c for c in _GEO05_COLS if c[0] != "nk"]
-    + [c for c in _GEO12_COLS if c[0] != "nk"]
-    + [c for c in _GEO13_COLS if c[0] != "nk"]
-    + [c for c in _GEO14_COLS if c[0] != "nk"]
-    + [c for c in _GEO15_COLS if c[0] != "nk"]
-    + [c for c in _GEO16_COLS if c[0] != "nk"]
-    + [c for c in _GEO17_COLS if c[0] != "nk"]
+# r11 rotation: geo19 (multi-ring geometry: holes/MULTIPOLYGON area/
+# perimeter/contains/boolean ops + generalized makevalid); i_n/i_area/
+# d_n/d_area/u_n/u_area SHARE geo16's columns (same names and types).
+_GEO19_COLS = [
+    ("nk", "int"), ("a_area", "double"), ("a_perim", "double"),
+    ("in_hole", "int"), ("in_solid", "int"), ("i_n", "int"),
+    ("i_area", "double"), ("i_in_hole", "int"), ("d_n", "int"),
+    ("d_area", "double"), ("e_area", "double"), ("u_n", "int"),
+    ("u_area", "double"), ("mv_n", "int"), ("mv_area", "double"),
+    ("mv_pts", "int"), ("mv_ccw", "int"),
+]
+
+
+def _dedupe_cols(*groups: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    seen: set[str] = set()
+    out: list[tuple[str, str]] = []
+    for g in groups:
+        for name, t in g:
+            if name not in seen:
+                seen.add(name)
+                out.append((name, t))
+    return out
+
+
+_GEO_SCHEMA = _dedupe_cols(
+    _GEO01_COLS, _GEO02_COLS, _GEO03_COLS, _GEO04_COLS,
+    [c for c in _GEO05_COLS if c[0] != "nk"],
+    [c for c in _GEO12_COLS if c[0] != "nk"],
+    [c for c in _GEO13_COLS if c[0] != "nk"],
+    [c for c in _GEO14_COLS if c[0] != "nk"],
+    [c for c in _GEO15_COLS if c[0] != "nk"],
+    [c for c in _GEO16_COLS if c[0] != "nk"],
+    [c for c in _GEO17_COLS if c[0] != "nk"],
+    [c for c in _GEO19_COLS if c[0] != "nk"],
 )
 
 
@@ -1987,11 +2012,12 @@ _GEO_ARMS = [
     ("geo15", "geo15_makevalid", _GEO15_COLS),
     ("geo16", "geo16_general_boolean_ops", _GEO16_COLS),
     ("geo17", "geo17_name_parity_tier", _GEO17_COLS),
+    ("geo19", "geo19_multiring_geometry", _GEO19_COLS),
 ]
 
 
 @register(
-    "geo01_geo02_geo03_geo12_geo13_geo14_geo15_geo16_geo17_spatial",
+    "geo01_geo02_geo03_geo12_geo13_geo14_geo15_geo16_geo17_geo19_spatial",
     oracle=lambda: "\nUNION ALL\n".join(
         _pad_arm_sql(arm, ORACLES[name], _GEO_SCHEMA, [n for n, _ in cols])
         for arm, name, cols in _GEO_ARMS
@@ -2008,9 +2034,12 @@ def geo_spatial_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernels (geo12), the trivial accessor tier (geo13), and the r10
     tail — GEOS-tail difference/overlaps/touches/point-on-surface/
     linemerge (geo14), bowtie makevalid (geo15), general concave
-    Greiner–Hormann boolean ops (geo16), and the final name-parity
+    Greiner–Hormann boolean ops (geo16), the name-parity
     tier (geo17: covers/coveredby, makepolygon, collectionextract,
-    force3dz/3dm/4d, WKB/WKT roundtrips). Feeders stay registered
+    force3dz/3dm/4d, WKB/WKT roundtrips), and the r11 multi-ring
+    geometry tier (geo19: POLYGON-with-holes / MULTIPOLYGON area/
+    perimeter/contains/intersection/difference/union + generalized
+    N-crossing makevalid). Feeders stay registered
     standalone for the local gate; this row is the driver-verified
     merge of the ENTIRE 75/75-name spatial surface."""
     out = _pad_arm(QUERIES[_GEO_ARMS[0][1]](spark, sf_dir), "geo01", _GEO_SCHEMA)

@@ -751,13 +751,53 @@ def test_makevalid_bowtie_and_guards():
     sq = [(0, 0), (2, 0), (2, 2), (0, 2)]
     assert SA._make_valid(sq) == [sq]
     assert SA._self_intersections(sq) == []
-    # multi-crossing input fails loud
-    import pytest as _pt
-
+    # multi-crossing input decomposes into simple CCW faces (r11:
+    # generalized — GEOS linework semantics, even-odd keep rule)
     star = [(0, 0), (4, 1), (0, 2), (4, 3), (2, -1)]
-    if len(SA._self_intersections(star)) > 1:
-        with _pt.raises(NotImplementedError, match="self-intersections"):
-            SA._make_valid(star)
+    assert len(SA._self_intersections(star)) == 2
+    faces = SA._make_valid(star)
+    assert len(faces) == 3
+    for f in faces:
+        assert not SA._self_intersections(f) and SA._signed_area2(f) > 0
+
+
+def test_makevalid_pentagram_linework():
+    """GEOS MakeValid(linework) on a pentagram: the five point
+    triangles survive (winding 1), the doubly-wound center pentagon is
+    dropped (even-odd) — each triangle area matches the closed form."""
+    import math
+
+    from pg_datalake_spark.functions import spatial_arrow as SA
+
+    R = 2.0
+    pts = [
+        (
+            R * math.cos(math.pi / 2 + 2 * math.pi * k / 5),
+            R * math.sin(math.pi / 2 + 2 * math.pi * k / 5),
+        )
+        for k in range(5)
+    ]
+    star = [pts[(2 * k) % 5] for k in range(5)]
+    assert len(SA._self_intersections(star)) == 5
+    faces = SA._make_valid(star)
+    assert len(faces) == 5
+    # closed form: inner-pentagon circumradius r = R·sin(π/10)/sin(3π/10);
+    # each point triangle has base = inner side, height = R − r·cos(π/5)
+    r_in = R * math.sin(math.pi / 10) / math.sin(3 * math.pi / 10)
+    s_in = 2 * r_in * math.sin(math.pi / 5)
+    h = R - r_in * math.cos(math.pi / 5)
+    want = s_in * h / 2
+    for f in faces:
+        assert abs(SA._ring_area(f) - want) < 1e-9
+        assert not SA._self_intersections(f) and SA._signed_area2(f) > 0
+    # zigzag ribbon with 2 properly-nested crossings -> 4 lobes
+    z = [(0, 0), (1, 1), (2, 0), (3, 1), (3, 0), (2, 1), (1, 0), (0, 1)]
+    assert sorted(round(SA._ring_area(f), 9) for f in SA._make_valid(z)) == [
+        0.25,
+        0.25,
+        0.5,
+        0.5,
+    ]
 
 
 def test_general_boolean_ops_concave_and_random_crosscheck():
@@ -793,8 +833,11 @@ def test_general_boolean_ops_concave_and_random_crosscheck():
     assert sum(sa(SA._gh_clip(L, DIS, "or"))) == 4.0  # both rings, no hole
     import pytest as _pt
 
-    with _pt.raises(NotImplementedError, match="HOLE"):
-        SA._gh_clip(L, SM, "sub")
+    # strictly-contained subtrahend: outer + CW hole (r11 — was fail-loud)
+    hole_out = SA._gh_clip(L, SM, "sub")
+    assert sa(hole_out) == sorted(
+        [round(-SA._ring_area(SM), 9), round(SA._ring_area(SA._ccw(L)), 9)]
+    )
     with _pt.raises(NotImplementedError):
         # shared collinear edge = degenerate contact
         SA._gh_clip(L, [(2, 0), (4, 0), (4, 2), (2, 2)], "or")
@@ -913,3 +956,107 @@ def test_curve_tier_edge_cases(spark):
     # staged-params and direct forms are value-identical
     assert [(p.x, p.y) for p in row.from_staged] \
         == [(p.x, p.y) for p in row.direct]
+
+
+# --- r11: multi-ring geometry model (holes / MULTIPOLYGON) -----------------
+
+
+def _sq(x0, y0, s):
+    return [(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s)]
+
+
+def _cw(r):
+    return list(reversed(r))
+
+
+def test_mring_area_perimeter_contains():
+    from pg_datalake_spark.functions import spatial_arrow as SA
+
+    ann = [_sq(0, 0, 10), _cw(_sq(3, 3, 4))]  # 10x10 with 4x4 hole
+    assert SA._mring_area(ann) == 84.0
+    assert SA._mring_perimeter(ann) == 56.0
+    assert SA._mring_contains(ann, (5, 5)) is False  # in the hole
+    assert SA._mring_contains(ann, (1, 1)) is True
+    # MULTIPOLYGON: two disjoint squares
+    mp = [_sq(0, 0, 2), _sq(5, 0, 2)]
+    assert SA._mring_area(mp) == 8.0
+    assert SA._mring_contains(mp, (6, 1)) is True
+    assert SA._mring_contains(mp, (3.5, 1)) is False
+
+
+def test_mring_boolean_ops_closed_forms():
+    from pg_datalake_spark.functions import spatial_arrow as SA
+
+    ann = [_sq(0, 0, 10), _cw(_sq(3, 3, 4))]
+    # intersection with a square that covers the hole entirely
+    inter = SA._mring_op(ann, [_sq(2, 2, 6)], "and")
+    assert SA._mring_area(inter) == 20.0  # 36 − 16
+    assert SA._mring_contains(inter, (5, 5)) is False
+    assert SA._mring_contains(inter, (2.5, 2.5)) is True
+    # difference: bite strictly inside the solid part -> extra hole
+    diff = SA._mring_op(ann, [_sq(1, 1, 1)], "sub")
+    assert SA._mring_area(diff) == 83.0 and len(diff) == 3
+    # subtracting an ANNULUS adds back its hole: sq ∖ ann2
+    ann2 = [_sq(4, 4, 10), _cw(_sq(6, 6, 2))]
+    e = SA._mring_op([_sq(0, 0, 10)], ann2, "sub")
+    assert SA._mring_area(e) == 68.0  # 100 − 36 + 4
+    # union of two annuli: disjoint -> concatenation (4 rings)
+    ann_b = [_sq(20, 0, 10), _cw(_sq(23, 3, 4))]
+    u = SA._mring_op(ann, ann_b, "or")
+    assert SA._mring_area(u) == 168.0 and len(u) == 4
+    # normal form: outers CCW, holes CW
+    assert sorted(SA._signed_area2(r) > 0 for r in u) == [
+        False,
+        False,
+        True,
+        True,
+    ]
+
+
+def test_mring_union_hole_survival():
+    """Union hole algebra: a hole survives where the OTHER polygon
+    doesn't cover it — filled / kept / shrunk / hole∩hole cases."""
+    from pg_datalake_spark.functions import spatial_arrow as SA
+
+    Q = [_sq(4, -1, 6), _cw(_sq(7, 0, 2))]
+    # both holes outside the other polygon -> both survive
+    p = [_sq(0, 0, 6), _cw(_sq(1, 1, 1))]
+    assert SA._mring_area(SA._mring_op(p, Q, "or")) == 57.0
+    # P's hole covered by Q's interior -> filled
+    p2 = [_sq(0, 0, 6), _cw(_sq(4.5, 1, 1))]
+    assert SA._mring_area(SA._mring_op(p2, Q, "or")) == 58.0
+    # P's hole straddles Q's boundary -> shrinks to the uncovered part
+    p3 = [_sq(0, 0, 6), _cw(_sq(3.5, 1, 1))]
+    assert SA._mring_area(SA._mring_op(p3, Q, "or")) == 57.5
+    # overlapping holes: Ah ∩ Bh survives as the union's hole
+    pa = [_sq(0, 0, 6), _cw(_sq(2, 2, 2))]
+    qa = [_sq(1, -1, 6), _cw(_sq(2.5, 2.5, 2))]
+    assert SA._mring_area(SA._mring_op(pa, qa, "or")) == 44.75
+
+
+def test_mring_multipolygon_ops():
+    from pg_datalake_spark.functions import spatial_arrow as SA
+    import pytest as _pt
+
+    mp = [_sq(0, 0, 2), _sq(5, 0, 2)]
+    y = SA._mring_op(mp, [_sq(1, -1, 5.5)], "and")
+    assert SA._mring_area(y) == 5.0 and len(y) == 2
+    # disjoint third component concatenates; overlapping pair merges
+    assert SA._mring_area(SA._mring_op(mp, [_sq(10, 0, 3)], "or")) == 17.0
+    assert SA._mring_area(SA._mring_op(mp, [_sq(1, 1, 2)], "or")) == 11.0
+    # a bridge overlapping BOTH components = cascaded merge -> fail loud
+    with _pt.raises(NotImplementedError, match="cascad"):
+        SA._mring_op(mp, [_sq(1, 0.5, 5)], "or")
+
+
+def test_mring_normalize_cancels_pairs():
+    from pg_datalake_spark.functions import spatial_arrow as SA
+
+    s = _sq(1, 1, 2)
+    # identical CCW/CW pair encloses nothing -> cancelled
+    out = SA._mring_normalize([_sq(0, 0, 10), s, _cw(s)])
+    assert len(out) == 1 and SA._mring_area(out) == 100.0
+    # rotated copy still cancels (canonical cycle key)
+    rot = s[2:] + s[:2]
+    out2 = SA._mring_normalize([_sq(0, 0, 10), rot, _cw(s)])
+    assert len(out2) == 1
