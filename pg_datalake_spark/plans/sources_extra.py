@@ -528,3 +528,70 @@ def src09(spark: SparkSession, sf_dir: str) -> DataFrame:
         zipshp.unionByName(kmz).unionByName(seq).unionByName(gz)
         .unionByName(fgb_arm)
     )
+
+
+@register(
+    "src10_geotiff",
+    oracle="""
+    WITH px AS (
+      SELECT gx.generate_series AS x, gy.generate_series AS y
+      FROM generate_series(0, 63) gx, generate_series(0, 47) gy
+    ), v AS (
+      SELECT k.kind AS kind, b.band AS band, x, y,
+             (x * 31 + y * 17 + b.band * 7) % 997 AS val
+      FROM px, (VALUES (0), (1)) b(band),
+           (VALUES ('deflate'), ('raw')) k(kind)
+    )
+    SELECT kind || '|' || CAST(band AS VARCHAR) AS k,
+           count(*) AS n,
+           CAST(sum(val) AS BIGINT) AS val_sum,
+           CAST(sum(CAST(round((100.0 + x * 0.5) * 100) AS BIGINT)
+                    + CAST(round((50.0 - y * 0.25) * 100) AS BIGINT))
+                AS BIGINT) AS geo_cents
+    FROM v
+    GROUP BY kind, band
+    """,
+)
+def src10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoTIFF raster minimum slice (r11; sources/geotiff.py) — the
+    one documented GDAL format family previously scoped out
+    (docs/file-formats-reference.md:96-138 raster row). A planted
+    2-band 64×48 uint16 raster (value = (31x+17y+7b) mod 997) is
+    written twice — uncompressed and DEFLATE — with real
+    georeferencing tags (ModelPixelScale (0.5, 0.25), tiepoint at
+    (100, 50)), then read back long-form through the strip-partitioned
+    reader (one Spark task per strip; the driver parses only the IFD).
+    Aggregates per (file, band): pixel count, value sum, and the
+    geo-transform checked as exact integer cents of geo_x + geo_y.
+    DuckDB recomputes everything from generate_series, never seeing
+    TIFF bytes."""
+    import numpy as np
+
+    from pg_datalake_spark.sources.geotiff import read_geotiff, write_geotiff
+
+    d = tempfile.mkdtemp(prefix="src10_")
+    ys, xs, bs = np.indices((48, 64, 2))
+    arr = ((xs * 31 + ys * 17 + bs * 7) % 997).astype(np.uint16)
+    for kind, comp in (("raw", "none"), ("deflate", "deflate")):
+        write_geotiff(
+            os.path.join(d, f"{kind}.tif"),
+            arr,
+            compression=comp,
+            pixel_scale=(0.5, 0.25),
+            tiepoint=(100.0, 50.0),
+        )
+    px = read_geotiff(spark, os.path.join(d, "*.tif"))
+    kind = F.regexp_extract(F.col("path"), r"([a-z]+)\.tif$", 1)
+    return (
+        px.groupBy(
+            F.concat(kind, F.lit("|"), F.col("band").cast("string")).alias("k")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("long")).alias("val_sum"),
+            F.sum(
+                F.round(F.col("geo_x") * 100).cast("long")
+                + F.round(F.col("geo_y") * 100).cast("long")
+            ).alias("geo_cents"),
+        )
+    )

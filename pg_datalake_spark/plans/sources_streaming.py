@@ -34,7 +34,7 @@ _SRC_BASE_SQL = """
 
 
 @register(
-    "src01_src02_src03_src04_src05_src06_src07_src08_src09_file_roundtrips",
+    "src01_src02_src03_src04_src05_src06_src07_src08_src09_src10_file_roundtrips",
     oracle=lambda: _SRC_BASE_SQL
     + f"""
     UNION ALL
@@ -61,6 +61,10 @@ _SRC_BASE_SQL = """
     SELECT 'gdal' AS src, src || '|' || c_mktsegment AS k, n,
            key_sum AS c1, bal_cents AS c2
     FROM ({ORACLES["src09_gdal_dispatch"]}) gdal_arm
+    UNION ALL
+    SELECT 'raster' AS src, k, n,
+           val_sum AS c1, geo_cents AS c2
+    FROM ({ORACLES["src10_geotiff"]}) raster_arm
     """,
 )
 def src01(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,7 +89,10 @@ def src01(spark: SparkSession, sf_dir: str) -> DataFrame:
       (src07's feeder);
     - ``gml``: OGC GML 2/3.x ElementTree reader (src08's feeder);
     - ``gdal``: the format-'gdal' option dispatcher — zip_path'd
-      shapefile, .kmz, GeoJSONSeq, .geojson.gz (src09's feeder).
+      shapefile, .kmz, GeoJSONSeq, .geojson.gz (src09's feeder);
+    - ``raster``: GeoTIFF minimum slice — planted 2-band raster,
+      raw + DEFLATE, strip-partitioned read with georeferencing
+      checked as exact cents (src10's feeder, r11).
 
     The oracle aggregates the original parquet, so export + dialect /
     type inference must be lossless for the measured columns. Sums are
@@ -153,6 +160,13 @@ def src01(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key_sum").alias("c1"),
         F.col("bal_cents").alias("c2"),
     )
+    raster_arm = QUERIES["src10_geotiff"](spark, sf_dir).select(
+        F.lit("raster").alias("src"),
+        "k",
+        "n",
+        F.col("val_sum").alias("c1"),
+        F.col("geo_cents").alias("c2"),
+    )
     gdal_arm = QUERIES["src09_gdal_dispatch"](spark, sf_dir).select(
         F.lit("gdal").alias("srcx"),
         F.concat(F.col("src"), F.lit("|"), F.col("c_mktsegment")).alias("k"),
@@ -169,6 +183,7 @@ def src01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(geojson_arm)
         .unionByName(gml_arm)
         .unionByName(gdal_arm)
+        .unionByName(raster_arm)
     )
 
 

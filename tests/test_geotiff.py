@@ -1,0 +1,114 @@
+"""GeoTIFF minimum-slice reader/writer (sources/geotiff.py, r11).
+
+Reference surface: docs/file-formats-reference.md:96-138 (raster
+GeoTIFF through GDAL). Planted-array roundtrips pin the strip layout,
+both compressions, integer and float sample formats, the geo
+transform, and the fail-loud guards for everything out of scope.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import tempfile
+
+import numpy as np
+import pytest
+
+from pg_datalake_spark.sources.geotiff import (
+    _read_ifd,
+    read_geotiff,
+    write_geotiff,
+)
+
+
+def _planted(h=48, w=64, b=2, dtype=np.uint16):
+    ys, xs, bs = np.indices((h, w, b))
+    return ((xs * 31 + ys * 17 + bs * 7) % 997).astype(dtype)
+
+
+def test_ifd_roundtrip_and_strips():
+    d = tempfile.mkdtemp()
+    arr = _planted()
+    p = os.path.join(d, "t.tif")
+    write_geotiff(p, arr, rows_per_strip=16, pixel_scale=(0.5, 0.25),
+                  tiepoint=(100.0, 50.0))
+    ifd = _read_ifd(p)
+    assert (ifd["width"], ifd["height"], ifd["bands"]) == (64, 48, 2)
+    assert len(ifd["strip_offsets"]) == 3  # 48 rows / 16 per strip
+    assert ifd["dtype"] == "<u2" and ifd["compression"] == 1
+    assert (ifd["sx"], ifd["sy"], ifd["tx"], ifd["ty"]) == (
+        0.5, 0.25, 100.0, 50.0,
+    )
+
+
+@pytest.mark.parametrize("comp", ["none", "deflate"])
+def test_read_geotiff_values_and_geo(spark, comp):
+    d = tempfile.mkdtemp()
+    arr = _planted()
+    p = os.path.join(d, "t.tif")
+    write_geotiff(p, arr, compression=comp, rows_per_strip=16,
+                  pixel_scale=(0.5, 0.25), tiepoint=(100.0, 50.0))
+    df = read_geotiff(spark, p)
+    # one task per strip: 3 partitions
+    assert df.rdd.getNumPartitions() == 3
+    rows = df.collect()
+    assert len(rows) == 48 * 64 * 2
+    got = {(r.x, r.y, r.band): r for r in rows}
+    for probe in [(0, 0, 0), (63, 47, 1), (10, 20, 1)]:
+        x, y, b = probe
+        r = got[probe]
+        assert r.value == float((x * 31 + y * 17 + b * 7) % 997)
+        assert r.geo_x == 100.0 + x * 0.5
+        assert r.geo_y == 50.0 - y * 0.25
+
+
+def test_float32_and_int32_samples(spark):
+    d = tempfile.mkdtemp()
+    f32 = (np.arange(12, dtype=np.float32) / 4.0).reshape(3, 4, 1)
+    i32 = (np.arange(12, dtype=np.int32) - 6).reshape(3, 4, 1)
+    pf, pi = os.path.join(d, "f.tif"), os.path.join(d, "i.tif")
+    write_geotiff(pf, f32, compression="deflate")
+    write_geotiff(pi, i32)
+    vf = sorted(r.value for r in read_geotiff(spark, pf).collect())
+    vi = sorted(r.value for r in read_geotiff(spark, pi).collect())
+    assert vf == [i / 4.0 for i in range(12)]
+    assert vi == [float(i - 6) for i in range(12)]
+
+
+def test_fail_loud_guards(tmp_path):
+    d = str(tmp_path)
+    arr = _planted(h=4, w=4, b=1)
+    p = os.path.join(d, "ok.tif")
+    write_geotiff(p, arr)
+    # big-endian
+    pb = os.path.join(d, "be.tif")
+    with open(pb, "wb") as fh:
+        fh.write(b"MM" + b"\x00" * 6)
+    with pytest.raises(NotImplementedError, match="big-endian"):
+        _read_ifd(pb)
+    # BigTIFF magic 43
+    pg = os.path.join(d, "big.tif")
+    with open(pg, "wb") as fh:
+        fh.write(b"II" + struct.pack("<HI", 43, 8))
+    with pytest.raises(NotImplementedError, match="BigTIFF"):
+        _read_ifd(pg)
+    # not a TIFF
+    pn = os.path.join(d, "no.tif")
+    with open(pn, "wb") as fh:
+        fh.write(b"PK\x03\x04____")
+    with pytest.raises(ValueError, match="not a TIFF"):
+        _read_ifd(pn)
+    # unsupported compression: patch the tag in place (259 -> LZW=5)
+    data = bytearray(open(p, "rb").read())
+    (ifd_off,) = struct.unpack("<I", data[4:8])
+    (n,) = struct.unpack("<H", data[ifd_off : ifd_off + 2])
+    for i in range(n):
+        e = ifd_off + 2 + i * 12
+        tag = struct.unpack("<H", data[e : e + 2])[0]
+        if tag == 259:
+            data[e + 8 : e + 10] = struct.pack("<H", 5)
+    pl = os.path.join(d, "lzw.tif")
+    open(pl, "wb").write(bytes(data))
+    with pytest.raises(NotImplementedError, match="compression 5"):
+        _read_ifd(pl)
