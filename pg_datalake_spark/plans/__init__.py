@@ -25,6 +25,7 @@ def load_all() -> None:
         lakeops,
         sources_streaming,
         streaming_iceberg,
+        window_rotation,
         geo,
         clickbench,
         funcs_coverage,

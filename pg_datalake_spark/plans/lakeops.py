@@ -63,16 +63,15 @@ def lake01(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "lake02_partition_metadata_delete",
-    oracle="""
+LAKE02_ORACLE = """
     SELECT o_orderstatus, count(*) AS n,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM orders
     WHERE o_orderstatus <> 'F'
     GROUP BY o_orderstatus
-    """,
-)
+"""
+
+
 def lake02(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-partition DELETE resolved metadata-only: the table is
     hidden-partitioned on o_orderstatus, so every file of partition 'F'
@@ -96,17 +95,45 @@ def lake02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LAKE_OPS_SCHEMA = [
+    ("o_orderstatus", "string"), ("n", "long"), ("total_cents", "long"),
+]
+
+
 @register(
-    "lake04_update_agg",
-    oracle="""
+    "lake02_lake07_metadata_ops",
+    oracle=lambda: "\nUNION ALL\n".join(
+        [
+            _ps("lake02", LAKE02_ORACLE, _LAKE_OPS_SCHEMA,
+                ["o_orderstatus", "n", "total_cents"]),
+            _ps("lake07", LAKE07_ORACLE, _LAKE_OPS_SCHEMA,
+                ["n", "total_cents"]),
+        ]
+    ),
+)
+def lake_metadata_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-path lake ops, merged for the window (r11 rotation —
+    frees a slot for the ClickBench long-tail suite): the
+    metadata-only full-partition DELETE (lake02) and add-existing-
+    files registration (lake07). Feeders stay registered standalone
+    after the window (plans/window_rotation.py)."""
+    from pg_datalake_spark.plans.suites import _pad_arm
+
+    return _pad_arm(lake02(spark, sf_dir), "lake02", _LAKE_OPS_SCHEMA).unionByName(
+        _pad_arm(lake07(spark, sf_dir), "lake07", _LAKE_OPS_SCHEMA)
+    )
+
+
+LAKE04_ORACLE = """
     SELECT o_orderstatus,
            CAST(sum(CAST(round(CASE WHEN o_orderpriority = '1-URGENT'
                     THEN o_totalprice * 1.1 ELSE o_totalprice END * 100) AS BIGINT)) AS BIGINT)
              AS total_cents
     FROM orders
     GROUP BY o_orderstatus
-    """,
-)
+"""
+
+
 def lake04(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level UPDATE (delete + re-append of updated rows), verified
     through a post-update aggregate."""
@@ -159,9 +186,7 @@ def lake05(spark: SparkSession, sf_dir: str) -> DataFrame:
     return current.unionByName(at_snap1)
 
 
-@register(
-    "lake06_merge",
-    oracle="""
+LAKE06_ORACLE = """
     WITH merged AS (
       SELECT o_orderkey, o_orderstatus,
              CASE WHEN o_orderkey <= 100 THEN o_totalprice * 2
@@ -174,8 +199,9 @@ def lake05(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, count(*) AS n,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM merged GROUP BY o_orderstatus
-    """,
-)
+"""
+
+
 def lake06(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO (update matched + insert unmatched in one commit) —
     exceeds the reference, which rejects MERGE on Iceberg tables
@@ -206,13 +232,35 @@ def lake06(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "lake07_add_files",
-    oracle="""
+    "lake04_lake06_dml_ops",
+    oracle=lambda: "\nUNION ALL\n".join(
+        [
+            _ps("lake04", LAKE04_ORACLE, _LAKE_OPS_SCHEMA,
+                ["o_orderstatus", "total_cents"]),
+            _ps("lake06", LAKE06_ORACLE, _LAKE_OPS_SCHEMA,
+                ["o_orderstatus", "n", "total_cents"]),
+        ]
+    ),
+)
+def lake_dml_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-DML lake ops, merged for the window (r11 rotation — frees a
+    slot for the TPC-DS long-tail suite): row-level UPDATE (lake04)
+    and MERGE INTO (lake06). Feeders stay registered standalone after
+    the window (plans/window_rotation.py)."""
+    from pg_datalake_spark.plans.suites import _pad_arm
+
+    return _pad_arm(lake04(spark, sf_dir), "lake04", _LAKE_OPS_SCHEMA).unionByName(
+        _pad_arm(lake06(spark, sf_dir), "lake06", _LAKE_OPS_SCHEMA)
+    )
+
+
+LAKE07_ORACLE = """
     SELECT count(*) AS n,
            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM orders
-    """,
-)
+"""
+
+
 def lake07(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Register pre-existing parquet files into a table without
     rewriting them (reference: add_files_to_table.c; Iceberg add_files

@@ -2252,3 +2252,134 @@ def x09_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pg_datalake_spark.plans import llmops
 
     return llmops.x09(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Window rotation (r11, VERDICT item 8): the never-window-verified
+# ClickBench and TPC-DS long tails get driver-window rounds. Feeders
+# (plans/clickbench.py, plans/tpcds.py) register after the window and
+# stay standalone for the local gate; these tagged-union merges occupy
+# the two slots freed by the lake02+lake07 / lake04+lake06 merges.
+# ---------------------------------------------------------------------------
+
+_CB_SUITE_COLS = _dedupe_cols(
+    [("event_type", "string"), ("n_events", "long"), ("n_users", "long"),
+     ("events_per_user", "double")],
+    [("user_id", "long"), ("top_type", "string"), ("top_value", "double"),
+     ("top_ts_us", "long")],
+    [("n", "long"), ("n_types", "long"), ("min_v", "double"),
+     ("max_v", "double"), ("avg_v", "double")],
+    [("decile", "int"), ("min_n", "long"), ("max_n", "long")],
+    [("user_band", "long")],
+    [("n_gaps", "long"), ("avg_gap_us", "long")],
+)
+
+_CB_SUITE_ARMS = [
+    ("cb06", "cb06_uniq_users_per_type"),
+    ("cb09", "cb09_argmax_per_user"),
+    ("cb21", "cb21_global_scan_stats"),
+    ("cb30", "cb30_user_deciles"),
+    ("cb36", "cb36_bitmask_bands"),
+    ("cb40", "cb40_avg_inter_event_gap"),
+]
+
+
+@register(
+    "cb06_cb09_cb21_cb30_cb36_cb40_clickbench",
+    oracle=lambda: "\nUNION ALL\n".join(
+        _pad_arm_sql(
+            arm,
+            ORACLES[name],
+            _CB_SUITE_COLS,
+            _feeder_cols(name),
+        )
+        for arm, name in _CB_SUITE_ARMS
+    ),
+)
+def cb_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench long-tail rotation (r11): distinct-user ratios
+    (cb06), per-user argmax (cb09), whole-table scan stats (cb21),
+    NTILE user deciles (cb30), bitmask behavior bands (cb36), and the
+    exact integer-division inter-event gap (cb40) — previously
+    sweep-green only, now driver-window verified."""
+    out = None
+    for arm, name in _CB_SUITE_ARMS:
+        part = _pad_arm(QUERIES[name](spark, sf_dir), arm, _CB_SUITE_COLS)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+_DS_TAIL_COLS = _dedupe_cols(
+    [("p_brand", "string"), ("yr", "int"), ("mo", "int"), ("rev", "double"),
+     ("yr_avg", "double"), ("prev_rev", "double"), ("next_rev", "double")],
+    [("l_partkey", "long"), ("rev_1996", "double"), ("rev_1997", "double"),
+     ("n_1996", "long"), ("n_1997", "long")],
+    [("p_type", "string"), ("cents_1996", "long"), ("cents_1997", "long"),
+     ("delta_cents", "long"), ("delta_n", "long")],
+    [("h00_02", "long"), ("h03_05", "long"), ("h06_08", "long"),
+     ("h09_11", "long"), ("h12_14", "long"), ("h15_17", "long"),
+     ("h18_20", "long"), ("h21_23", "long")],
+    [("mon_idx", "int"), ("n_repeat_customers", "long")],
+)
+
+_DS_TAIL_ARMS = [
+    ("ds47", "ds47_deviant_months_with_neighbors"),
+    ("ds64", "ds64_item_cross_year_pairing"),
+    ("ds75", "ds75_category_yoy_decline"),
+    ("ds88", "ds88_hour_crosstab"),
+    ("ds95", "ds95_repeat_buyer_months"),
+]
+
+
+@register(
+    "ds47_ds64_ds75_ds88_ds95_long_tail",
+    oracle=lambda: "\nUNION ALL\n".join(
+        _pad_arm_sql(
+            arm,
+            ORACLES[name],
+            _DS_TAIL_COLS,
+            _feeder_cols(name),
+        )
+        for arm, name in _DS_TAIL_ARMS
+    ),
+)
+def ds_long_tail_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS-shape long-tail rotation (r11): deviant months with
+    lag/lead neighbors (ds47), cross-year item pairing via self-join
+    (ds64), YoY category decline (ds75), the 8-bucket hour crosstab
+    (ds88), and repeat-buyer month detection (ds95) — previously
+    sweep-green only, now driver-window verified."""
+    out = None
+    for arm, name in _DS_TAIL_ARMS:
+        part = _pad_arm(QUERIES[name](spark, sf_dir), arm, _DS_TAIL_COLS)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+# feeder column lists for the lazy suite oracles above: the arm's own
+# columns (everything else pads to typed NULL)
+_FEEDER_COLS = {
+    "cb06_uniq_users_per_type": ["event_type", "n_events", "n_users",
+                                 "events_per_user"],
+    "cb09_argmax_per_user": ["user_id", "top_type", "top_value",
+                             "top_ts_us"],
+    "cb21_global_scan_stats": ["n", "n_types", "min_v", "max_v", "avg_v"],
+    "cb30_user_deciles": ["decile", "n_users", "n_events", "min_n",
+                          "max_n"],
+    "cb36_bitmask_bands": ["user_band", "n", "n_users"],
+    "cb40_avg_inter_event_gap": ["user_id", "n_gaps", "avg_gap_us"],
+    "ds47_deviant_months_with_neighbors": ["p_brand", "yr", "mo", "rev",
+                                           "yr_avg", "prev_rev",
+                                           "next_rev"],
+    "ds64_item_cross_year_pairing": ["l_partkey", "p_brand", "rev_1996",
+                                     "rev_1997", "n_1996", "n_1997"],
+    "ds75_category_yoy_decline": ["p_type", "p_brand", "cents_1996",
+                                  "cents_1997", "delta_cents", "delta_n"],
+    "ds88_hour_crosstab": ["h00_02", "h03_05", "h06_08", "h09_11",
+                           "h12_14", "h15_17", "h18_20", "h21_23"],
+    "ds95_repeat_buyer_months": ["mon_idx", "n_repeat_customers"],
+}
+
+
+def _feeder_cols(name: str) -> list[str]:
+    return _FEEDER_COLS[name]

@@ -60,15 +60,15 @@ WINDOW_MANIFEST = [
     "geo01_geo02_geo03_geo12_geo13_geo14_geo15_geo16_geo17_geo19_spatial",
     "ds36_ds51_ds67_ds04_ds39_ds77_ds87_shapes",
     "x09_weighted_sample",
+    "cb06_cb09_cb21_cb30_cb36_cb40_clickbench",
+    "ds47_ds64_ds75_ds88_ds95_long_tail",
     # 7 lake-table DML/maintenance/format rows (r8: the lake08 slot
     # widened in place to the four-arm table-format suite — external
     # Iceberg + Delta log reader + spec-bucket + deletion vectors)
     "lake01_mor_delete_agg",
-    "lake02_partition_metadata_delete",
-    "lake04_update_agg",
+    "lake02_lake07_metadata_ops",
     "lake05_compaction_preserves",
-    "lake06_merge",
-    "lake07_add_files",
+    "lake04_lake06_dml_ops",
     "lake08_lake09_lake10_lake12_lake13_lake14_formats",
     # 5 sources/streaming rows
     "src01_src02_src03_src04_src05_src06_src07_src08_src09_src10_file_roundtrips",
