@@ -664,21 +664,62 @@ def f15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x01_approx_sketches")  # rows-only: sketch internals are engine-specific
+@register(
+    "x01_approx_sketches",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           CAST(1 AS INT) AS acd_ok,
+           CAST(1 AS INT) AS med_ok,
+           CAST(1 AS INT) AS iqr_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def x01(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates (HLL distinct, approximate quantiles) —
     the cheap-sketch tier a 100 TB pipeline reaches for before exact
-    countDistinct/percentile; engine-specific internals, so rows-only."""
+    countDistinct/percentile. Sketch VALUES are engine-specific; the
+    hashed output is their VERIFIED ERROR BOUNDS against the exact
+    aggregates computed in the same pass (r11 promotion from
+    rows-only): HLL++ distinct within ±15% of exact (default rsd 0.05,
+    3σ), approx median between the exact 45th and 55th percentiles,
+    approx quartiles inside [p15,p35] / [p65,p85] (percentile_approx
+    rank error ≤ n/accuracy), plus the exact distinct count itself as
+    a fully-hashed column."""
     t = load_tables(spark, sf_dir, ["lineitem"])
-    return (
+    g = (
         t["lineitem"]
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
-            # to_json: list cells crash the driver comparator's sort
-            F.to_json(F.percentile_approx("l_quantity", [0.25, 0.75])).alias("approx_qty_iqr"),
+            F.approx_count_distinct("l_partkey").alias("acd"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("amed"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.45D, 0.55D))"
+            ).alias("med_band"),
+            F.percentile_approx("l_quantity", F.array(F.lit(0.25), F.lit(0.75))).alias("aiqr"),
+            F.expr(
+                "percentile(l_quantity, array(0.15D, 0.35D, 0.65D, 0.85D))"
+            ).alias("iqr_band"),
         )
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("acd") - F.col("exact_parts"))
+            <= 0.15 * F.col("exact_parts")
+        ).cast("int").alias("acd_ok"),
+        (
+            (F.col("amed") >= F.element_at("med_band", 1))
+            & (F.col("amed") <= F.element_at("med_band", 2))
+        ).cast("int").alias("med_ok"),
+        (
+            (F.element_at("aiqr", 1) >= F.element_at("iqr_band", 1))
+            & (F.element_at("aiqr", 1) <= F.element_at("iqr_band", 2))
+            & (F.element_at("aiqr", 2) >= F.element_at("iqr_band", 3))
+            & (F.element_at("aiqr", 2) <= F.element_at("iqr_band", 4))
+        ).cast("int").alias("iqr_ok"),
     )
 
 

@@ -183,7 +183,22 @@ def v02(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs(t["embeddings"], threshold=0.45, round_to=6)
 
 
-@register("v03_ann_lsh_pairs")  # rows-only: LSH recall < 1 by construction
+@register(
+    "v03_ann_lsh_pairs",
+    oracle=r"""
+    WITH ex AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6)
+            >= 0.3
+    )
+    SELECT count(*) AS n_exact,
+           CAST(1 AS INT) AS precision_ok,
+           CAST(1 AS INT) AS recall_ok
+    FROM ex
+    """,
+)
 def v03(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed near-neighbor pairs (the 100 TB path:
     per-band bucket joins replace the O(n²) cross product). 16 bands
@@ -193,11 +208,48 @@ def v03(spark: SparkSession, sf_dir: str) -> DataFrame:
     = 16 buckets measured unbounded-quadratic at the 10× probe).
     At the verify scales (n ≤ 2000) auto resolves to the legacy 4
     planes, whose 0.90 recall / 1.0 precision is pinned by
-    tests/test_property_checks.py. Deterministic md5 planes; recall
-    < 1 by construction, so checked rows-only."""
+    tests/test_property_checks.py. Deterministic md5 planes.
+
+    r11 promotion from rows-only: the LSH pair SET is
+    recall-truncated by construction, so the hashed output is the
+    VERIFIED contract against the brute-force exact pairs computed in
+    the same query — precision 1 (every LSH pair is in the exact set
+    at a slightly widened threshold, absorbing round-vs-unrounded
+    boundary pairs), recall ≥ 0.8 (pinned 0.90 with slack), and the
+    exact pair COUNT itself, fully hashed (the oracle recomputes it
+    with list_cosine_similarity). The O(n²) exact sweep is the
+    CHECK's cost at test scale, not the operator's."""
     t = load_tables(spark, sf_dir, ["embeddings"])
-    return similarity.lsh_bucketed_pairs(
-        t["embeddings"], dims=64, threshold=0.3, num_bands=16
+    emb = t["embeddings"]
+    lsh = similarity.lsh_bucketed_pairs(
+        emb, dims=64, threshold=0.3, num_bands=16
+    ).select("id_a", "id_b")
+    exact = similarity.cosine_pairs(emb, threshold=0.3, round_to=6).select(
+        "id_a", "id_b"
+    )
+    # widened floor for the precision check: an LSH pair passing the
+    # unrounded >= 0.3 verify is certainly in the round6 >= 0.29 set
+    exact_lo = similarity.cosine_pairs(
+        emb, threshold=0.29, round_to=6
+    ).select("id_a", "id_b")
+    keys = ["id_a", "id_b"]
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_false = lsh.join(exact_lo, keys, "left_anti").agg(
+        F.count("*").alias("n_false")
+    )
+    n_hit = lsh.join(exact, keys, "left_semi").agg(
+        F.count("*").alias("n_hit")
+    )
+    return (
+        n_exact.crossJoin(n_false)
+        .crossJoin(n_hit)
+        .select(
+            "n_exact",
+            (F.col("n_false") == 0).cast("int").alias("precision_ok"),
+            (F.col("n_hit") >= 0.8 * F.col("n_exact"))
+            .cast("int")
+            .alias("recall_ok"),
+        )
     )
 
 
@@ -295,24 +347,77 @@ def t03(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("v04_ivf_topk")  # rows-only: iterative k-means is not SQL-expressible
+@register(
+    "v04_ivf_topk",
+    oracle="""
+    SELECT CAST(10 AS BIGINT) AS n_results,
+           CAST(1 AS INT) AS self_hit,
+           CAST(1 AS INT) AS sorted_ok,
+           CAST(1 AS INT) AS allprobe_exact_ok
+    """,
+)
 def v04(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors: deterministic k-means coarse
     quantizer (iterative driver loop of Spark jobs) + nprobe inverted-
     list search. The scale path between brute force (v01) and
-    hyperplane LSH (v03)."""
+    hyperplane LSH (v03).
+
+    r11 promotion from rows-only: k-means assignments are engine-
+    specific, so the hashed output is the search's VERIFIED laws —
+    the partial probe (nprobe 3/8) returns k results led by the query
+    vector itself (its own cluster is by definition the nearest
+    probe), scores are non-increasing, and probing ALL lists
+    reproduces the brute-force exact top-k EXACTLY (nprobe=k degrades
+    to v01 by construction — the same law the planted pytest pins)."""
     from pg_datalake_spark.operators import ivf
 
     t = load_tables(spark, sf_dir, ["embeddings"])
     emb = t["embeddings"].persist()
     centroids = ivf.train_ivf_centroids(emb, k=8, iterations=2)
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return ivf.ivf_topk(emb, centroids, list(qv), k=10, nprobe=3)
+    qv = list(emb.filter(F.col("vec_id") == 0).select("embedding").first()[0])
+    from pyspark.sql import Window as W
+
+    partial = ivf.ivf_topk(emb, centroids, qv, k=10, nprobe=3)
+    full = ivf.ivf_topk(emb, centroids, qv, k=10, nprobe=8)
+    exact = similarity.cosine_topk(emb, qv, k=10)
+    lagged = partial.withColumn(
+        "prev",
+        F.lag("cos_sim", 1, 2.0).over(W.orderBy(F.desc("cos_sim"), "vec_id")),
+    )
+    pstats = lagged.agg(
+        F.count("*").alias("n_results"),
+        F.max(F.when(F.col("vec_id") == 0, F.round("cos_sim", 6))).alias(
+            "self_score"
+        ),
+        F.min((F.col("cos_sim") <= F.col("prev")).cast("int")).alias(
+            "sorted_ok_i"
+        ),
+    )
+    fset = full.select("vec_id", F.round("cos_sim", 6).alias("cs"))
+    eset = exact.select("vec_id", F.round("cos_sim", 6).alias("cs"))
+    keys = ["vec_id", "cs"]
+    n_diff = (
+        fset.join(eset, keys, "left_anti")
+        .unionByName(eset.join(fset, keys, "left_anti"))
+        .agg(F.count("*").alias("n_diff"))
+    )
+    return pstats.crossJoin(n_diff).select(
+        "n_results",
+        (F.col("self_score") == 1.0).cast("int").alias("self_hit"),
+        F.col("sorted_ok_i").alias("sorted_ok"),
+        (F.col("n_diff") == 0).cast("int").alias("allprobe_exact_ok"),
+    )
 
 
-@register("v07_pq_adc_topk")  # rows-only: k-means codebook training is
-# iterative/float-order-sensitive, not SQL-expressible; the recall and
-# self-hit contracts are pinned in tests/test_operators.py (pq_*)
+@register(
+    "v07_pq_adc_topk",
+    oracle="""
+    SELECT vec_id AS q_id, CAST(10 AS BIGINT) AS n_results,
+           CAST(1 AS INT) AS self_hit
+    FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4) q
+    ORDER BY q_id
+    """,
+)
 def v07(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN (operators/pq.py; Jégou et al. 2011):
     per-subspace k-means codebooks trained on a bounded deterministic
@@ -321,7 +426,13 @@ def v07(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate's score is m lookup-table reads — the compression tier
     of the ANN family (brute v01 / LSH v03 / IVF v04). 64-dim floats
     (256 B) become 8 bytes here: the 32× shrink that makes
-    billion-vector scans RAM-resident at 100 TB corpus scale."""
+    billion-vector scans RAM-resident at 100 TB corpus scale.
+
+    r11 promotion from rows-only: ADC scores are codebook-specific, so
+    the hashed output is the per-query VERIFIED contract — exactly
+    topk results and the query retrieves ITSELF (code identity: a
+    corpus vector scores its own code maximally), the same self-hit
+    law the planted pytest pins."""
     from pg_datalake_spark.operators import pq
 
     t = load_tables(spark, sf_dir, ["embeddings"])
@@ -332,7 +443,17 @@ def v07(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r.vec_id), list(r.embedding))
         for r in emb.orderBy("vec_id").limit(4).collect()
     ]
-    return pq.pq_adc_topk(enc, books, qs, topk=10)
+    res = pq.pq_adc_topk(enc, books, qs, topk=10)
+    return (
+        res.groupBy(F.col("q_id").cast("long").alias("q_id"))
+        .agg(
+            F.count("*").alias("n_results"),
+            F.max((F.col("vec_id") == F.col("q_id")).cast("int")).alias(
+                "self_hit"
+            ),
+        )
+        .orderBy("q_id")
+    )
 
 
 @register(
@@ -947,9 +1068,28 @@ def t09(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x10_hll_mergeable_rollup")  # rows-only: datasketches HLL estimates
-# are not reproducible in DuckDB; verified by the merge-identity and
-# error-bound invariants in test_operators.py
+@register(
+    "x10_hll_mergeable_rollup",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour
+      FROM events GROUP BY 1, 2
+    ), daily AS (
+      SELECT strftime(e.day, '%Y-%m-%d') AS day_key,
+             count(DISTINCT e.user_id) AS exact_users, h.n_hours
+      FROM (SELECT date_trunc('day', ts) AS day, user_id FROM events) e
+      JOIN (SELECT day, count(*) AS n_hours FROM hourly GROUP BY day) h
+        USING (day)
+      GROUP BY 1, h.n_hours
+    )
+    SELECT day_key, exact_users, n_hours, CAST(1 AS INT) AS est_ok
+    FROM daily
+    UNION ALL
+    SELECT 'total', count(DISTINCT user_id),
+           (SELECT count(*) FROM hourly), CAST(1 AS INT)
+    FROM events
+    """,
+)
 def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE distinct-count rollup — the 100 TB pattern for
     distinct users per day/week/total: aggregate each hour ONCE into
@@ -958,7 +1098,16 @@ def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
     never rescanned, and a continuous rollup can maintain the hourly
     sketches incrementally (exact distinct counts cannot be rolled up;
     sketches are the only mergeable form). Emits per-day estimates
-    from merged hourly sketches + the grand total."""
+    from merged hourly sketches + the grand total.
+
+    r11 promotion from rows-only: the raw HLL estimates are
+    engine-specific, so the hashed output is the estimate's VERIFIED
+    error bound — |merged-sketch estimate − exact distinct| ≤ 5% (lgK
+    14 ⇒ rse ≈ 0.8%; 5% is >6σ) — next to the exact distinct count
+    and hour count, both fully hashed. The exact count is recomputed
+    from raw events FOR THE CHECK ONLY (test-scale; the production
+    rollup never rescans raw data — that is the point of the
+    sketches)."""
     t = load_tables(spark, sf_dir, ["events"])
     hourly = (
         t["events"]
@@ -977,7 +1126,29 @@ def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("uniq_users"),
         F.count("*").alias("n_hours"),
     )
-    return daily.unionByName(total)
+    est = daily.unionByName(total)
+    exact_daily = (
+        t["events"]
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day"))
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    exact_total = t["events"].agg(
+        F.lit(None).cast("timestamp_ntz").alias("day"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    exact = exact_daily.unionByName(exact_total)
+    joined = est.join(exact, est["day"].eqNullSafe(exact["day"])).select(
+        F.coalesce(
+            F.date_format(est["day"], "yyyy-MM-dd"), F.lit("total")
+        ).alias("day_key"),
+        "exact_users",
+        "n_hours",
+        (
+            F.abs(F.col("uniq_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).cast("int").alias("est_ok"),
+    )
+    return joined
 
 
 @register(
@@ -1736,24 +1907,67 @@ def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_scores(t["documents"], "lang = 'en'")
 
 
-@register("v06_semantic_dedup")  # rows-only: k-means float iteration is
-# engine-specific (same reason as v04's IVF recall probe)
+@register(
+    "v06_semantic_dedup",
+    oracle="""
+    SELECT count(*) AS n_total, CAST(1 AS INT) AS dupof_lt_ok,
+           CAST(1 AS INT) AS kept_null_ok, CAST(1 AS INT) AS justified_ok
+    FROM embeddings
+    """,
+)
 def v06(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup embedding near-dup removal (r8;
     operators/similarity.semantic_dedup — Abbas et al. 2023): k-means
     cluster the embedding corpus, compare within clusters only, drop
     every vector cosine-similar (≥ 1-eps) to a lower-id cluster-mate.
-    Returns the kept/dropped census ordered by id. Work is
-    Σ|cluster|² — k chosen ~ n/128 keeps clusters bounded, the same
-    discipline as v03's auto plane count."""
+    Work is Σ|cluster|² — k chosen ~ n/128 keeps clusters bounded, the
+    same discipline as v03's auto plane count.
+
+    r11 promotion from rows-only: the kept/dropped census depends on
+    the engine-specific k-means assignment, so the hashed output is
+    the census's VERIFIED laws — one output row per corpus vector
+    (exact count, fully hashed), every duplicate points at a strictly
+    LOWER id, kept rows carry no dup_of, and every dropped vector
+    really is cosine ≥ 1-eps to its recorded representative
+    (recomputed against the raw embeddings)."""
     from pg_datalake_spark.operators.ivf import train_ivf_centroids
-    from pg_datalake_spark.operators.similarity import semantic_dedup
+    from pg_datalake_spark.operators.similarity import (
+        cosine,
+        semantic_dedup,
+    )
 
     t = load_tables(spark, sf_dir, ["embeddings"])
     emb = t["embeddings"]
     k = max(8, emb.count() // 128)
     cents = train_ivf_centroids(emb, k=k, iterations=2)
-    return semantic_dedup(emb, cents, eps=0.05).orderBy("vec_id")
+    census = semantic_dedup(emb, cents, eps=0.05)
+    dropped = census.filter(~F.col("kept")).select("vec_id", "dup_of")
+    va = emb.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("__va"))
+    vb = emb.select(F.col("vec_id").alias("dup_of"), F.col("embedding").alias("__vb"))
+    unjust = (
+        dropped.join(va, "vec_id")
+        .join(vb, "dup_of")
+        .filter(cosine(F.col("__va"), F.col("__vb")) < 1 - 0.05)
+        .agg(F.count("*").alias("n_unjust"))
+    )
+    stats = census.agg(
+        F.count("*").alias("n_total"),
+        F.min(
+            F.when(F.col("kept"), 1).otherwise(
+                (F.col("dup_of") < F.col("vec_id")).cast("int")
+            )
+        ).alias("dupof_lt_i"),
+        F.min(
+            F.when(F.col("kept"), F.col("dup_of").isNull().cast("int"))
+            .otherwise(1)
+        ).alias("kept_null_i"),
+    )
+    return stats.crossJoin(unjust).select(
+        "n_total",
+        F.col("dupof_lt_i").alias("dupof_lt_ok"),
+        F.col("kept_null_i").alias("kept_null_ok"),
+        (F.col("n_unjust") == 0).cast("int").alias("justified_ok"),
+    )
 
 
 @register(

@@ -921,12 +921,55 @@ def c06(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("o04_tablesample")  # rows-only: sampling is engine-specific
+@register(
+    "o04_tablesample",
+    oracle="""
+    SELECT CAST(1 AS INT) AS count_ok, CAST(1 AS INT) AS subset_ok,
+           CAST(1 AS INT) AS mult_ok
+    """,
+)
 def o04(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TABLESAMPLE (seeded Bernoulli sample — deterministic within
-    Spark, not reproducible by another engine, hence rows-only)."""
+    """TABLESAMPLE (seeded Bernoulli sample). The sampled ROWS are
+    engine-specific, so the hashed output is the sample's VERIFIED
+    PROPERTIES (r11 promotion from rows-only): the sampled count sits
+    within 6σ binomial bounds of p·N (p=0.1; a false failure is a
+    ~1e-9 event), every sampled row exists in the source (anti-join
+    empty), and sampling WITHOUT replacement never emits a
+    (l_orderkey, l_linenumber) pair more often than the source holds
+    it — all computed distributively, no driver collect."""
     t = load_tables(spark, sf_dir, ["lineitem"])
-    return t["lineitem"].sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+    li = t["lineitem"].select("l_orderkey", "l_linenumber")
+    s = t["lineitem"].sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber"
+    )
+    keys = ["l_orderkey", "l_linenumber"]
+    tot = li.agg(F.count("*").alias("n_total"))
+    samp = s.agg(F.count("*").alias("k"))
+    miss = s.join(li, keys, "left_anti").agg(F.count("*").alias("n_missing"))
+    over = (
+        s.groupBy(keys)
+        .agg(F.count("*").alias("ks"))
+        .join(li.groupBy(keys).agg(F.count("*").alias("ns")), keys)
+        .agg(
+            F.sum((F.col("ks") > F.col("ns")).cast("int")).alias("n_over")
+        )
+    )
+    mean = 0.1 * F.col("n_total")
+    dev = 6.0 * F.sqrt(0.1 * 0.9 * F.col("n_total"))
+    return (
+        samp.crossJoin(tot)
+        .crossJoin(miss)
+        .crossJoin(over)
+        .select(
+            ((F.col("k") >= mean - dev) & (F.col("k") <= mean + dev))
+            .cast("int")
+            .alias("count_ok"),
+            (F.col("n_missing") == 0).cast("int").alias("subset_ok"),
+            (F.coalesce(F.col("n_over"), F.lit(0)) == 0)
+            .cast("int")
+            .alias("mult_ok"),
+        )
+    )
 
 
 @register(
