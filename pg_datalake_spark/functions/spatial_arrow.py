@@ -1339,8 +1339,17 @@ def _mring_union_multi(
     pairwise. Components whose outers are disjoint concatenate;
     overlapping pairs merge through the single-outer path. A merge
     whose RESULT would need to merge again with a third overlapping
-    component fails loud (iterated cascades need a sweep-line union —
-    use GEOS/Sedona)."""
+    component (an iterated cascade) falls back to the planar-face
+    N-way union for HOLE-FREE inputs and fails loud when the cascading
+    components carry holes (hole-coverage bookkeeping across a cascade
+    needs a sweep-line union — use GEOS/Sedona)."""
+    if not any(_signed_area2(r) < 0 for r in A + B):
+        try:
+            return _union_rings_via_faces(
+                [r for r in A + B if _signed_area2(r) != 0]
+            )
+        except NotImplementedError:
+            pass  # degenerate contact: the pairwise fold may still work
 
     def components(geom: list[list[Pt]]) -> list[list[list[Pt]]]:
         outers, holes = _split_outer_holes(geom)
@@ -1464,3 +1473,198 @@ def st_union_mring_arrow(a: Column, b: Column) -> Column:
 def st_difference_mring_arrow(a: Column, b: Column) -> Column:
     """ST_Difference of multi-ring geometries."""
     return _mring_op_udf("sub")(a, b)
+
+
+def _node_segments(
+    segs: list[tuple[Pt, Pt]]
+) -> list[tuple[Pt, Pt]]:
+    """Node a segment soup: dedupe identical (shared) segments, split
+    every segment at its crossings with the others (each unordered
+    pair's crossing computed ONCE so both sides carry the identical
+    float point), snap crossings that land on an endpoint to that
+    endpoint exactly. Collinear PARTIAL overlaps fail loud (identical
+    duplicates are fine — deduped)."""
+    uniq: list[tuple[Pt, Pt]] = []
+    seen: set[tuple[Pt, Pt]] = set()
+    for a, b in segs:
+        if a == b:
+            continue
+        k = (a, b) if a <= b else (b, a)
+        if k in seen:
+            continue
+        seen.add(k)
+        uniq.append(k)
+    cuts: dict[int, list[Pt]] = {i: [] for i in range(len(uniq))}
+    for i in range(len(uniq)):
+        a1, a2 = uniq[i]
+        for j in range(i + 1, len(uniq)):
+            b1, b2 = uniq[j]
+            rx, ry = a2[0] - a1[0], a2[1] - a1[1]
+            sx, sy = b2[0] - b1[0], b2[1] - b1[1]
+            denom = rx * sy - ry * sx
+            if denom == 0:
+                if _collinear_overlap(a1, a2, b1, b2):
+                    raise NotImplementedError(
+                        "segment noding: collinear partial overlap — "
+                        "perturb the input or use GEOS/Sedona"
+                    )
+                continue
+            qpx, qpy = b1[0] - a1[0], b1[1] - a1[1]
+            t = (qpx * sy - qpy * sx) / denom
+            u = (qpx * ry - qpy * rx) / denom
+            if not (0 <= t <= 1 and 0 <= u <= 1):
+                continue
+            # snap to shared endpoints so the planar graph stays exact
+            if u == 0.0:
+                pnt = b1
+            elif u == 1.0:
+                pnt = b2
+            elif t == 0.0:
+                pnt = a1
+            elif t == 1.0:
+                pnt = a2
+            else:
+                pnt = (a1[0] + t * rx, a1[1] + t * ry)
+            if pnt not in (a1, a2):
+                cuts[i].append(pnt)
+            if pnt not in (b1, b2):
+                cuts[j].append(pnt)
+    out: list[tuple[Pt, Pt]] = []
+    for i, (a, b) in enumerate(uniq):
+        pts = cuts[i]
+        if not pts:
+            out.append((a, b))
+            continue
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        den = dx * dx + dy * dy
+        ordered = [a] + sorted(
+            set(pts),
+            key=lambda p: ((p[0] - a[0]) * dx + (p[1] - a[1]) * dy) / den,
+        ) + [b]
+        for q1, q2 in zip(ordered, ordered[1:]):
+            if q1 != q2:
+                out.append((q1, q2))
+    return out
+
+
+def _union_rings_via_faces(rings: list[list[Pt]]) -> list[list[Pt]]:
+    """N-way polygon union through planar-face polygonization (the
+    same machinery as the generalized makevalid): node ALL boundary
+    segments, extract the bounded faces, keep each face covered by at
+    least one input ring, then reassemble the kept region's OUTLINE —
+    the undirected edges bordering exactly one kept face — into
+    rings, oriented by nesting (cavities come back as CW holes).
+    Handles tangent contacts and shared vertices that the pairwise
+    Greiner–Hormann path rejects; a pinch-point boundary vertex of
+    degree > 2 fails loud."""
+    ccw_rings = [_ccw(r) for r in rings]
+    segs: list[tuple[Pt, Pt]] = []
+    for r in ccw_rings:
+        segs.extend(_closed_edges(r))
+    noded = _node_segments(segs)
+    faces = _planar_faces(noded)
+    kept = []
+    for f in faces:
+        probe = _point_on_surface(f) or f[0]
+        if any(_contains(r, probe) for r in ccw_rings):
+            kept.append(f)
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for f in kept:
+        for a, b in _closed_edges(f):
+            cnt[(a, b) if a <= b else (b, a)] += 1
+    boundary = [e for e, c in cnt.items() if c == 1]
+    adj: dict[Pt, list[Pt]] = {}
+    for a, b in boundary:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    if any(len(v) != 2 for v in adj.values()):
+        raise NotImplementedError(
+            "union outline: boundary pinch point (vertex of degree > 2) "
+            "— perturb the input or use GEOS/Sedona"
+        )
+    used: set[tuple[Pt, Pt]] = set()
+    out: list[list[Pt]] = []
+    for a, b in sorted(boundary):
+        if (a, b) in used:
+            continue
+        ring = [a]
+        used.add((a, b))
+        used.add((b, a))
+        prev, cur = a, b
+        while cur != a:
+            ring.append(cur)
+            nxt = next(v for v in adj[cur] if v != prev)
+            used.add((cur, nxt))
+            used.add((nxt, cur))
+            prev, cur = cur, nxt
+        out.append(ring)
+    return _orient_boolean_outputs(out)
+
+
+
+def _merge_collinear(line: list[Pt]) -> list[Pt]:
+    """Drop interior vertices where consecutive segments are exactly
+    collinear and co-directed (the common sampled-polyline case that
+    would otherwise be a degenerate capsule-union contact)."""
+    if len(line) <= 2:
+        return list(line)
+    out = [line[0]]
+    for i in range(1, len(line) - 1):
+        a, b, c = out[-1], line[i], line[i + 1]
+        cross = (b[0] - a[0]) * (c[1] - b[1]) - (b[1] - a[1]) * (c[0] - b[0])
+        dot_ = (b[0] - a[0]) * (c[0] - b[0]) + (b[1] - a[1]) * (c[1] - b[1])
+        if cross == 0.0 and dot_ > 0:
+            continue
+        out.append(b)
+    out.append(line[-1])
+    return out
+
+
+def _buffer_polyline(
+    line: list[Pt], r: float, quad_segs: int = 8
+) -> list[list[Pt]]:
+    """GENERAL multi-segment polyline buffer (GEOS ST_Buffer on a
+    LINESTRING with turns — the last named hole of the delegated-GEOS
+    buffer family): each segment becomes the exact capsule
+    (_buffer_line_capsule), and the capsules merge through the
+    multi-ring union — round joins arise naturally because adjacent
+    capsules share the full end-fan circle around the joint vertex.
+    Exactly-collinear co-directed runs are pre-merged (they would be a
+    degenerate capsule contact); a residual degenerate contact
+    (U-turn, tangency) fails loud through the GH kernel. A
+    self-approaching polyline whose buffer encloses a cavity
+    legitimately returns that cavity as a CW hole ring."""
+    if len(line) < 2:
+        raise ValueError("buffer_polyline needs >= 2 points")
+    if r <= 0:
+        raise ValueError("buffer_polyline needs a positive radius")
+    pts = _merge_collinear(line)
+    caps = [
+        _ccw(_buffer_line_capsule([pts[i], pts[i + 1]], r, quad_segs))
+        for i in range(len(pts) - 1)
+    ]
+    return _union_rings_via_faces(caps)
+
+
+def st_buffer_polyline_arrow(
+    line: Column, radius: float, quad_segs: int = 8
+) -> Column:
+    """ST_Buffer of a multi-segment LINESTRING (see
+    :func:`_buffer_polyline`); returns the multi-ring geometry."""
+
+    @F.pandas_udf(_LINES_T)
+    def _bp_udf(s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if ln is None
+                else _rings_to_rows(
+                    _buffer_polyline(_to_pts(ln), radius, quad_segs)
+                )
+                for ln in s
+            ]
+        )
+
+    return _bp_udf(line)

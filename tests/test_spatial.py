@@ -1044,9 +1044,15 @@ def test_mring_multipolygon_ops():
     # disjoint third component concatenates; overlapping pair merges
     assert SA._mring_area(SA._mring_op(mp, [_sq(10, 0, 3)], "or")) == 17.0
     assert SA._mring_area(SA._mring_op(mp, [_sq(1, 1, 2)], "or")) == 11.0
-    # a bridge overlapping BOTH components = cascaded merge -> fail loud
-    with _pt.raises(NotImplementedError, match="cascad"):
-        SA._mring_op(mp, [_sq(1, 0.5, 5)], "or")
+    # a bridge overlapping BOTH components: the r11 planar-face N-way
+    # union resolves the cascade for hole-free inputs
+    # (4 + 4 + 25 − 1.5 − 1.5)
+    bridged = SA._mring_op(mp, [_sq(1, 0.5, 5)], "or")
+    assert SA._mring_area(bridged) == 30.0 and len(bridged) == 1
+    # with holes in play the cascade still fails loud
+    mph = [_sq(0, 0, 2), _sq(5, 0, 2), _cw(_sq(0.5, 0.5, 0.5))]
+    with _pt.raises(NotImplementedError):
+        SA._mring_op(mph, [_sq(1, 0.25, 5)], "or")
 
 
 def test_mring_normalize_cancels_pairs():
@@ -1060,3 +1066,85 @@ def test_mring_normalize_cancels_pairs():
     rot = s[2:] + s[:2]
     out2 = SA._mring_normalize([_sq(0, 0, 10), rot, _cw(s)])
     assert len(out2) == 1
+
+
+def test_buffer_polyline_general():
+    """r11: GENERAL multi-segment line buffer (the last named hole of
+    the delegated-GEOS buffer family) — per-segment capsules merged by
+    the planar-face N-way union. Pinned against the INDEPENDENT
+    Sutherland–Hodgman kernel by inclusion-exclusion (capsules are
+    convex), the collinear pre-merge, a non-grid turn angle, and the
+    closed-loop cavity emitted as a CW hole."""
+    import math
+
+    import pytest as _pt
+
+    from pg_datalake_spark.functions import spatial_arrow as SA
+
+    # right-angle L: union area == incl-excl with SH intersection
+    g = SA._buffer_polyline([(0, 0), (10, 0), (10, 10)], 1.0, 8)
+    c1 = SA._ccw(SA._buffer_line_capsule([(0, 0), (10, 0)], 1.0, 8))
+    c2 = SA._ccw(SA._buffer_line_capsule([(10, 0), (10, 10)], 1.0, 8))
+    want = (
+        SA._ring_area(c1) + SA._ring_area(c2)
+        - SA._ring_area(SA._sh_clip(c1, c2))
+    )
+    assert len(g) == 1 and abs(SA._mring_area(g) - want) < 1e-9
+
+    # exactly-collinear run pre-merges into one capsule
+    g2 = SA._buffer_polyline([(0, 0), (5, 0), (10, 0)], 1.0, 8)
+    cap = SA._ccw(SA._buffer_line_capsule([(0, 0), (10, 0)], 1.0, 8))
+    assert len(g2) == 1
+    assert abs(SA._mring_area(g2) - SA._ring_area(cap)) < 1e-12
+
+    # 30° turn: fan vertices at non-grid angles (transversal crossings)
+    t = [(0, 0), (5, 0),
+         (5 + 4 * math.cos(math.radians(30)), 4 * math.sin(math.radians(30)))]
+    g3 = SA._buffer_polyline(t, 0.7, 8)
+    assert len(g3) == 1 and SA._mring_area(g3) > 0
+
+    # closed square path: the enclosed cavity is a CW hole; even-odd
+    # containment sees the stroke but not the cavity
+    sq = [(0, 0), (8, 0), (8, 8), (0, 8), (0, 0.0001)]
+    g4 = SA._buffer_polyline(sq, 0.5, 8)
+    signs = sorted(SA._signed_area2(r) > 0 for r in g4)
+    assert len(g4) == 2 and signs == [False, True]
+    assert SA._mring_contains(g4, (4.0, 0.0)) is True   # on the stroke
+    assert SA._mring_contains(g4, (4.0, 4.0)) is False  # in the cavity
+
+    # guards
+    with _pt.raises(ValueError, match="positive radius"):
+        SA._buffer_polyline([(0, 0), (1, 0)], -1.0)
+    with _pt.raises(ValueError, match=">= 2 points"):
+        SA._buffer_polyline([(0, 0)], 1.0)
+
+
+def test_union_rings_via_faces_tangent_contacts():
+    """The face-union path handles the configurations the pairwise GH
+    kernel rejects: shared vertices (two squares meeting at a corner
+    fail loud as a pinch point — genuinely ambiguous outline), and
+    vertex-on-edge tangency between OVERLAPPING shapes resolves."""
+    import pytest as _pt
+
+    from pg_datalake_spark.functions import spatial_arrow as SA
+
+    # overlapping squares sharing crossing edges -> one outline
+    u = SA._union_rings_via_faces(
+        [[(0, 0), (4, 0), (4, 4), (0, 4)], [(2, 2), (6, 2), (6, 6), (2, 6)]]
+    )
+    assert len(u) == 1 and SA._mring_area(u) == 28.0
+    # identical duplicate rings dedupe to the ring itself
+    sq = [(0, 0), (4, 0), (4, 4), (0, 4)]
+    u2 = SA._union_rings_via_faces([sq, list(sq)])
+    assert SA._mring_area(u2) == 16.0
+    # corner-touching squares: genuinely ambiguous outline -> loud
+    # (collinear endpoint contact trips the noding guard first; a
+    # pinch vertex of degree 4 is the second line of defense)
+    with _pt.raises(NotImplementedError):
+        SA._union_rings_via_faces(
+            [sq, [(4, 4), (8, 4), (8, 8), (4, 8)]]
+        )
+    with _pt.raises(NotImplementedError, match="pinch"):
+        SA._union_rings_via_faces(
+            [sq, [(4, 4), (8, 5), (8, 8), (5, 8)]]  # corner-only touch
+        )
