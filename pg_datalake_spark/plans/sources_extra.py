@@ -540,7 +540,16 @@ def src09(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT k.kind AS kind, b.band AS band, x, y,
              (x * 31 + y * 17 + b.band * 7) % 997 AS val
       FROM px, (VALUES (0), (1)) b(band),
-           (VALUES ('deflate'), ('raw')) k(kind)
+           (VALUES ('deflate'), ('raw'), ('cog')) k(kind)
+    ), ov AS (
+      -- level-1 overview: pixel (x,y) decimates full-res (2x,2y) and
+      -- the geo transform carries the doubled pixel scale
+      SELECT 'cogov' AS kind, b.band AS band, x, y,
+             ((2 * x) * 31 + (2 * y) * 17 + b.band * 7) % 997 AS val,
+             100.0 + x * 1.0 AS gx, 50.0 - y * 0.5 AS gy
+      FROM (SELECT gx.generate_series AS x, gy.generate_series AS y
+            FROM generate_series(0, 31) gx, generate_series(0, 23) gy) q,
+           (VALUES (0), (1)) b(band)
     )
     SELECT kind || '|' || CAST(band AS VARCHAR) AS k,
            count(*) AS n,
@@ -549,6 +558,14 @@ def src09(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + CAST(round((50.0 - y * 0.25) * 100) AS BIGINT))
                 AS BIGINT) AS geo_cents
     FROM v
+    GROUP BY kind, band
+    UNION ALL
+    SELECT kind || '|' || CAST(band AS VARCHAR) AS k,
+           count(*) AS n,
+           CAST(sum(val) AS BIGINT) AS val_sum,
+           CAST(sum(CAST(round(gx * 100) AS BIGINT)
+                    + CAST(round(gy * 100) AS BIGINT)) AS BIGINT) AS geo_cents
+    FROM ov
     GROUP BY kind, band
     """,
 )
@@ -559,8 +576,11 @@ def src10(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-band 64×48 uint16 raster (value = (31x+17y+7b) mod 997) is
     written twice — uncompressed and DEFLATE — with real
     georeferencing tags (ModelPixelScale (0.5, 0.25), tiepoint at
-    (100, 50)), then read back long-form through the strip-partitioned
-    reader (one Spark task per strip; the driver parses only the IFD).
+    (100, 50)), then read back long-form through the chunk-partitioned
+    reader (one Spark task per strip/tile; the driver parses only the
+    IFD chain). A third copy is the COG shape — tiled 32×16 + LZW + a
+    chained level-1 overview — read at full resolution AND at the
+    overview level (decimated values, doubled pixel scale).
     Aggregates per (file, band): pixel count, value sum, and the
     geo-transform checked as exact integer cents of geo_x + geo_y.
     DuckDB recomputes everything from generate_series, never seeing
@@ -580,13 +600,23 @@ def src10(spark: SparkSession, sf_dir: str) -> DataFrame:
             pixel_scale=(0.5, 0.25),
             tiepoint=(100.0, 50.0),
         )
+    # the COG shape: tiled + LZW + a chained level-1 overview IFD
+    write_geotiff(
+        os.path.join(d, "cog.tif"),
+        arr,
+        tile=(32, 16),
+        compression="lzw",
+        pixel_scale=(0.5, 0.25),
+        tiepoint=(100.0, 50.0),
+        overviews=[2],
+    )
     px = read_geotiff(spark, os.path.join(d, "*.tif"))
-    kind = F.regexp_extract(F.col("path"), r"([a-z]+)\.tif$", 1)
-    return (
-        px.groupBy(
+    ov = read_geotiff(spark, os.path.join(d, "cog.tif"), level=1)
+
+    def agg(df, kind):
+        return df.groupBy(
             F.concat(kind, F.lit("|"), F.col("band").cast("string")).alias("k")
-        )
-        .agg(
+        ).agg(
             F.count("*").alias("n"),
             F.sum(F.col("value").cast("long")).alias("val_sum"),
             F.sum(
@@ -594,4 +624,6 @@ def src10(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.round(F.col("geo_y") * 100).cast("long")
             ).alias("geo_cents"),
         )
-    )
+
+    full = agg(px, F.regexp_extract(F.col("path"), r"([a-z]+)\.tif$", 1))
+    return full.unionByName(agg(ov, F.lit("cogov")))

@@ -2,20 +2,24 @@
 
 The reference reads raster GeoTIFF through GDAL (`.tif | GeoTIFF |
 docs/file-formats-reference.md:96-138`) — the one documented format
-family this repo had scoped out. This closes the MINIMUM slice:
-classic little-endian TIFF, stripped (not tiled), band-interleaved
-(PlanarConfiguration=1), compression none(1) or DEFLATE(8/32946),
-integer and float sample formats, plus the two GeoTIFF georeferencing
-tags actually needed to place pixels — ModelPixelScaleTag (33550) and
+family this repo had scoped out. This closes the MINIMUM slice and
+the Cloud-Optimized-GeoTIFF shape on top of it: classic little-endian
+TIFF, STRIPPED or TILED layout, compression none(1) / LZW(5, the
+TIFF-variant MSB-first codes with early change) / DEFLATE(8/32946),
+integer and float sample formats, chained IFDs (COG overview levels,
+selectable with ``level=``), and the two GeoTIFF georeferencing tags
+needed to place pixels — ModelPixelScaleTag (33550) and
 ModelTiepointTag (33922). Everything else fails loud by name (BigTIFF,
-tiles, palettes, JPEG/LZW, PlanarConfiguration=2).
+big-endian, palettes, JPEG, PlanarConfiguration=2).
 
-Scale shape: the driver parses ONLY the IFD — a few hundred bytes per
-file, O(strips) metadata — and builds a strip-descriptor DataFrame;
-strip decode runs executor-side in mapInPandas, one task per strip
-(a 100 GB raster with 8 MB strips fans out to ~12k tasks). Pixels are
-emitted long-form ``(path, band, x, y, value, geo_x, geo_y)`` so the
-result joins/aggregates like any other table.
+Scale shape: the driver parses ONLY the IFD chain — a few hundred
+bytes per file, O(strips+tiles) metadata — and builds a chunk
+descriptor DataFrame; chunk decode runs executor-side in mapInPandas,
+one task per strip/tile (a COG with 512×512 tiles fans a 100 GB
+raster into ~100k independent byte-range tasks, the same access
+pattern COG was designed for). Pixels are emitted long-form
+``(path, band, x, y, value, geo_x, geo_y)`` so the result
+joins/aggregates like any other table.
 """
 
 from __future__ import annotations
@@ -44,6 +48,10 @@ _TAG = {
     "PlanarConfig": 284,
     "SampleFormat": 339,
     "TileWidth": 322,
+    "TileLength": 323,
+    "TileOffsets": 324,
+    "TileByteCounts": 325,
+    "NewSubfileType": 254,
     "ModelPixelScale": 33550,
     "ModelTiepoint": 33922,
 }
@@ -56,56 +64,150 @@ _DTYPES = {
     (3, 32): "<f4", (3, 64): "<f8",
 }
 
+_COMP_NONE, _COMP_LZW, _COMP_DEFLATE, _COMP_ADOBE_DEFLATE = 1, 5, 8, 32946
+_SUPPORTED_COMP = {_COMP_NONE, _COMP_LZW, _COMP_DEFLATE, _COMP_ADOBE_DEFLATE}
 
-def _read_ifd(path: str) -> dict:
-    """Parse the TIFF header + first IFD. Driver-side, O(IFD bytes)."""
-    with open(path, "rb") as fh:
-        head = fh.read(8)
-        if head[:2] == b"MM":
-            raise NotImplementedError(
-                f"geotiff: big-endian (MM) TIFF not supported: {path}"
-            )
-        if head[:2] != b"II":
-            raise ValueError(f"geotiff: not a TIFF (bad byte order): {path}")
-        magic = struct.unpack("<H", head[2:4])[0]
-        if magic == 43:
-            raise NotImplementedError(f"geotiff: BigTIFF not supported: {path}")
-        if magic != 42:
-            raise ValueError(f"geotiff: bad TIFF magic {magic}: {path}")
-        (ifd_off,) = struct.unpack("<I", head[4:8])
-        fh.seek(ifd_off)
-        (n_entries,) = struct.unpack("<H", fh.read(2))
-        raw = fh.read(n_entries * 12)
-        tags: dict[str, tuple] = {}
-        pending: list[tuple[str, int, int, int]] = []
-        for i in range(n_entries):
-            tag, typ, count, val_raw = struct.unpack(
-                "<HHI4s", raw[i * 12 : i * 12 + 12]
-            )
-            name = _TAG_NAME.get(tag)
-            if name is None:
+
+# --- TIFF-variant LZW (MSB-first bit order, 9..12-bit codes, early
+# change): the codec GDAL writes by default for compressed GeoTIFFs ---
+
+
+def lzw_decode(data: bytes) -> bytes:
+    """Decode TIFF LZW: ClearCode=256, EOI=257, code width grows at
+    table sizes 511/1023/2047 (early-change convention)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    buf = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (buf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                reset()
+                prev = None
                 continue
-            size = _TYPE_SIZE.get(typ, 1) * count
-            if size <= 4:
-                fmt = _TYPE_FMT.get(typ)
-                if fmt:
-                    tags[name] = struct.unpack(f"<{count}{fmt}", val_raw[:size])
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
             else:
-                (off,) = struct.unpack("<I", val_raw)
-                pending.append((name, typ, count, off))
-        for name, typ, count, off in pending:
-            fh.seek(off)
+                raise ValueError(f"lzw: invalid code {code}")
+            out += entry
+            prev = entry
+            # early change: the decoder's table is ONE entry behind the
+            # encoder's at read time, so it widens at 2^w − 2 (510/1022/
+            # 2046) where the encoder widens at 2^w − 1
+            if len(table) == (1 << width) - 2 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """Encode TIFF LZW (fixture writer; mirror of :func:`lzw_decode`,
+    early-change code widths, table reset at 4094 entries)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    buf = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal buf, nbits
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(CLEAR, width)
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        if w + c in table:
+            w = w + c
+            continue
+        emit(table[w], width)
+        table[w + c] = next_code
+        next_code += 1
+        # early change: widen one code EARLY (at 511/1023/2047)
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        elif next_code == 4094:
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _decompress(buf: bytes, comp: int) -> bytes:
+    if comp in (_COMP_DEFLATE, _COMP_ADOBE_DEFLATE):
+        return zlib.decompress(buf)
+    if comp == _COMP_LZW:
+        return lzw_decode(buf)
+    return buf
+
+
+def _parse_one_ifd(fh, ifd_off: int, path: str) -> tuple[dict, int]:
+    fh.seek(ifd_off)
+    (n_entries,) = struct.unpack("<H", fh.read(2))
+    raw = fh.read(n_entries * 12)
+    (next_off,) = struct.unpack("<I", fh.read(4))
+    tags: dict[str, tuple] = {}
+    pending: list[tuple[str, int, int, int]] = []
+    for i in range(n_entries):
+        tag, typ, count, val_raw = struct.unpack(
+            "<HHI4s", raw[i * 12 : i * 12 + 12]
+        )
+        name = _TAG_NAME.get(tag)
+        if name is None:
+            continue
+        size = _TYPE_SIZE.get(typ, 1) * count
+        if size <= 4:
             fmt = _TYPE_FMT.get(typ)
             if fmt:
-                tags[name] = struct.unpack(
-                    f"<{count}{fmt}", fh.read(_TYPE_SIZE[typ] * count)
-                )
-    if "TileWidth" in tags:
-        raise NotImplementedError(f"geotiff: tiled TIFF not supported: {path}")
+                tags[name] = struct.unpack(f"<{count}{fmt}", val_raw[:size])
+        else:
+            (off,) = struct.unpack("<I", val_raw)
+            pending.append((name, typ, count, off))
+    for name, typ, count, off in pending:
+        fh.seek(off)
+        fmt = _TYPE_FMT.get(typ)
+        if fmt:
+            tags[name] = struct.unpack(
+                f"<{count}{fmt}", fh.read(_TYPE_SIZE[typ] * count)
+            )
     comp = tags.get("Compression", (1,))[0]
-    if comp not in (1, 8, 32946):
+    if comp not in _SUPPORTED_COMP:
         raise NotImplementedError(
-            f"geotiff: compression {comp} not supported (only none/DEFLATE):"
+            f"geotiff: compression {comp} not supported (none/LZW/DEFLATE):"
             f" {path}"
         )
     if tags.get("PlanarConfig", (1,))[0] != 1:
@@ -128,15 +230,14 @@ def _read_ifd(path: str) -> dict:
         )
     scale = tags.get("ModelPixelScale", (1.0, 1.0, 0.0))
     tie = tags.get("ModelTiepoint", (0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
-    return {
+    tiled = "TileWidth" in tags
+    ifd = {
         "width": tags["ImageWidth"][0],
         "height": tags["ImageLength"][0],
         "bands": spp,
         "dtype": _DTYPES[key],
         "compression": comp,
-        "rows_per_strip": tags.get("RowsPerStrip", (tags["ImageLength"][0],))[0],
-        "strip_offsets": list(tags["StripOffsets"]),
-        "strip_byte_counts": list(tags["StripByteCounts"]),
+        "tiled": tiled,
         # pixel (px, py) -> geo: gx = tx + (px - tpx) * sx ;
         #                        gy = ty - (py - tpy) * sy
         "sx": float(scale[0]),
@@ -146,28 +247,104 @@ def _read_ifd(path: str) -> dict:
         "tx": float(tie[3]),
         "ty": float(tie[4]),
     }
+    if tiled:
+        ifd["tile_w"] = tags["TileWidth"][0]
+        ifd["tile_h"] = tags["TileLength"][0]
+        ifd["offsets"] = list(tags["TileOffsets"])
+        ifd["byte_counts"] = list(tags["TileByteCounts"])
+    else:
+        ifd["rows_per_strip"] = tags.get(
+            "RowsPerStrip", (tags["ImageLength"][0],)
+        )[0]
+        ifd["offsets"] = list(tags["StripOffsets"])
+        ifd["byte_counts"] = list(tags["StripByteCounts"])
+    return ifd, next_off
 
 
-def read_geotiff(spark: SparkSession, path_or_glob: str) -> DataFrame:
-    """Read GeoTIFF file(s) long-form: one row per (pixel, band) —
-    ``path, band, x, y, value, geo_x, geo_y``. The driver reads only
-    each file's IFD; strips decode executor-side, one task per strip."""
-    paths = sorted(_glob.glob(path_or_glob)) or [path_or_glob]
-    tasks = []  # one per strip
-    for p in paths:
-        ifd = _read_ifd(p)
-        for si, (off, cnt) in enumerate(
-            zip(ifd["strip_offsets"], ifd["strip_byte_counts"])
-        ):
-            row0 = si * ifd["rows_per_strip"]
-            nrows = min(ifd["rows_per_strip"], ifd["height"] - row0)
-            tasks.append(
-                (
-                    p, off, cnt, row0, nrows, ifd["width"], ifd["bands"],
-                    ifd["dtype"], ifd["compression"], ifd["sx"], ifd["sy"],
-                    ifd["tpx"], ifd["tpy"], ifd["tx"], ifd["ty"],
-                )
+def _read_ifds(path: str) -> list[dict]:
+    """Parse the TIFF header + the FULL IFD chain (a COG's overview
+    levels are chained IFDs). Driver-side, O(IFD bytes)."""
+    with open(path, "rb") as fh:
+        head = fh.read(8)
+        if head[:2] == b"MM":
+            raise NotImplementedError(
+                f"geotiff: big-endian (MM) TIFF not supported: {path}"
             )
+        if head[:2] != b"II":
+            raise ValueError(f"geotiff: not a TIFF (bad byte order): {path}")
+        magic = struct.unpack("<H", head[2:4])[0]
+        if magic == 43:
+            raise NotImplementedError(f"geotiff: BigTIFF not supported: {path}")
+        if magic != 42:
+            raise ValueError(f"geotiff: bad TIFF magic {magic}: {path}")
+        (ifd_off,) = struct.unpack("<I", head[4:8])
+        out = []
+        while ifd_off:
+            ifd, ifd_off = _parse_one_ifd(fh, ifd_off, path)
+            out.append(ifd)
+    return out
+
+
+def _read_ifd(path: str) -> dict:
+    """First (full-resolution) IFD — kept for the strip tests."""
+    ifd = _read_ifds(path)[0]
+    if not ifd["tiled"]:
+        ifd["strip_offsets"] = ifd["offsets"]
+        ifd["strip_byte_counts"] = ifd["byte_counts"]
+    return ifd
+
+
+def read_geotiff(
+    spark: SparkSession, path_or_glob: str, level: int = 0
+) -> DataFrame:
+    """Read GeoTIFF file(s) long-form: one row per (pixel, band) —
+    ``path, band, x, y, value, geo_x, geo_y``. ``level`` selects the
+    IFD in the chain (0 = full resolution; a COG's overviews are
+    1, 2, …). The driver reads only each file's IFD chain; strips or
+    tiles decode executor-side, one task per chunk."""
+    paths = sorted(_glob.glob(path_or_glob)) or [path_or_glob]
+    tasks = []  # one per strip/tile
+    for p in paths:
+        chain = _read_ifds(p)
+        if level >= len(chain):
+            raise ValueError(
+                f"geotiff: level {level} requested but {p} has "
+                f"{len(chain)} IFD(s)"
+            )
+        ifd = chain[level]
+        if ifd["tiled"]:
+            tw, th = ifd["tile_w"], ifd["tile_h"]
+            across = -(-ifd["width"] // tw)
+            for ti, (off, cnt) in enumerate(
+                zip(ifd["offsets"], ifd["byte_counts"])
+            ):
+                col0 = (ti % across) * tw
+                row0 = (ti // across) * th
+                tasks.append(
+                    (
+                        p, off, cnt, row0, th, col0, tw,
+                        ifd["width"], ifd["height"], ifd["bands"],
+                        ifd["dtype"], ifd["compression"], ifd["sx"],
+                        ifd["sy"], ifd["tpx"], ifd["tpy"], ifd["tx"],
+                        ifd["ty"],
+                    )
+                )
+        else:
+            rps = ifd["rows_per_strip"]
+            for si, (off, cnt) in enumerate(
+                zip(ifd["offsets"], ifd["byte_counts"])
+            ):
+                row0 = si * rps
+                nrows = min(rps, ifd["height"] - row0)
+                tasks.append(
+                    (
+                        p, off, cnt, row0, nrows, 0, ifd["width"],
+                        ifd["width"], ifd["height"], ifd["bands"],
+                        ifd["dtype"], ifd["compression"], ifd["sx"],
+                        ifd["sy"], ifd["tpx"], ifd["tpy"], ifd["tx"],
+                        ifd["ty"],
+                    )
+                )
 
     def decode(batches):
         import numpy as np
@@ -178,13 +355,17 @@ def read_geotiff(spark: SparkSession, path_or_glob: str) -> DataFrame:
                 with open(t.path, "rb") as fh:
                     fh.seek(int(t.off))
                     buf = fh.read(int(t.cnt))
-                if int(t.comp) in (8, 32946):
-                    buf = zlib.decompress(buf)
+                buf = _decompress(buf, int(t.comp))
+                # chunk is chunk_h x chunk_w (tiles are FULL-sized and
+                # edge-padded per the TIFF spec; clip the padding)
                 arr = np.frombuffer(buf, dtype=t.dtype).reshape(
-                    int(t.nrows), int(t.width), int(t.bands)
+                    int(t.chunk_h), int(t.chunk_w), int(t.bands)
                 )
+                vis_h = min(int(t.chunk_h), int(t.img_h) - int(t.row0))
+                vis_w = min(int(t.chunk_w), int(t.img_w) - int(t.col0))
+                arr = arr[:vis_h, :vis_w, :]
                 ys, xs, bs = np.indices(arr.shape).reshape(3, -1)
-                px = xs.astype("int64")
+                px = (xs + int(t.col0)).astype("int64")
                 py = (ys + int(t.row0)).astype("int64")
                 yield pd.DataFrame(
                     {
@@ -199,9 +380,10 @@ def read_geotiff(spark: SparkSession, path_or_glob: str) -> DataFrame:
                 )
 
     cols = (
-        "path string, off long, cnt long, row0 long, nrows long, "
-        "width long, bands long, dtype string, comp long, sx double, "
-        "sy double, tpx double, tpy double, tx double, ty double"
+        "path string, off long, cnt long, row0 long, chunk_h long, "
+        "col0 long, chunk_w long, img_w long, img_h long, bands long, "
+        "dtype string, comp long, sx double, sy double, tpx double, "
+        "tpy double, tx double, ty double"
     )
     files = spark.createDataFrame(tasks, cols)
     out_schema = (
@@ -213,49 +395,48 @@ def read_geotiff(spark: SparkSession, path_or_glob: str) -> DataFrame:
     )
 
 
-def write_geotiff(
-    path: str,
-    array,
-    *,
-    rows_per_strip: int = 16,
-    compression: str = "none",
-    pixel_scale: tuple[float, float] = (1.0, 1.0),
-    tiepoint: tuple[float, float] = (0.0, 0.0),
-) -> None:
-    """Write a (height, width, bands) numpy array as a classic
-    little-endian stripped GeoTIFF (fixture writer for tests/queries;
-    band-interleaved, compression 'none' or 'deflate')."""
+def _compress(raw: bytes, comp_code: int) -> bytes:
+    if comp_code == _COMP_DEFLATE:
+        return zlib.compress(raw)
+    if comp_code == _COMP_LZW:
+        return lzw_encode(raw)
+    return raw
+
+
+def _ifd_payload(
+    arr, *, rows_per_strip, tile, comp_code, pixel_scale, tiepoint,
+    data_pos, is_overview,
+):
+    """Chunk bytes + tag entries for ONE image (main or overview).
+    Returns (chunks, entries, data_len)."""
     import numpy as np
 
-    arr = np.ascontiguousarray(array)
-    if arr.ndim == 2:
-        arr = arr[:, :, None]
     h, w, bands = arr.shape
     dt = arr.dtype
-    if dt.kind == "u":
-        sfmt, bits = 1, dt.itemsize * 8
-    elif dt.kind == "i":
-        sfmt, bits = 2, dt.itemsize * 8
-    elif dt.kind == "f":
-        sfmt, bits = 3, dt.itemsize * 8
+    sfmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
+    bits = dt.itemsize * 8
+
+    chunks: list[bytes] = []
+    if tile:
+        tw, th = tile
+        for r0 in range(0, h, th):
+            for c0 in range(0, w, tw):
+                # tiles are full-sized: edge tiles zero-padded (spec)
+                block = np.zeros((th, tw, bands), dtype=dt)
+                part = arr[r0 : r0 + th, c0 : c0 + tw]
+                block[: part.shape[0], : part.shape[1]] = part
+                chunks.append(_compress(block.tobytes(), comp_code))
     else:
-        raise ValueError(f"geotiff writer: unsupported dtype {dt}")
-    if (sfmt, bits) not in _DTYPES:
-        raise ValueError(f"geotiff writer: unsupported dtype {dt}")
-    arr = arr.astype(dt.newbyteorder("<"))
-    comp_code = {"none": 1, "deflate": 8}[compression]
+        for r0 in range(0, h, rows_per_strip):
+            chunks.append(
+                _compress(arr[r0 : r0 + rows_per_strip].tobytes(), comp_code)
+            )
 
-    strips = []
-    for r0 in range(0, h, rows_per_strip):
-        raw = arr[r0 : r0 + rows_per_strip].tobytes()
-        strips.append(zlib.compress(raw) if comp_code == 8 else raw)
-
-    # layout: header(8) | strip data | out-of-line tag arrays | IFD
-    pos = 8
-    strip_offs = []
-    for s in strips:
-        strip_offs.append(pos)
-        pos += len(s)
+    offs = []
+    pos = data_pos
+    for c in chunks:
+        offs.append(pos)
+        pos += len(c)
 
     def short_arr(vals):
         return 3, len(vals), struct.pack(f"<{len(vals)}H", *vals)
@@ -274,36 +455,106 @@ def write_geotiff(
         (258, *short_arr([bits] * bands)),
         (259, *short_arr([comp_code])),
         (262, *short_arr([1])),
-        (273, *long_arr(strip_offs)),
         (277, *short_arr([bands])),
-        (278, *long_arr([rows_per_strip])),
-        (279, *long_arr([len(s) for s in strips])),
         (284, *short_arr([1])),
         (339, *short_arr([sfmt] * bands)),
         (33550, *dbl_arr([sx, sy, 0.0])),
         (33922, *dbl_arr([0.0, 0.0, 0.0, tx, ty, 0.0])),
     ]
-    # out-of-line payloads
-    blobs = []
-    for tag, typ, count, payload in entries:
-        if len(payload) > 4:
-            blobs.append((tag, pos))
-            pos += len(payload)
-    blob_off = dict(blobs)
-    ifd_off = pos
+    if is_overview:
+        entries.append((254, *long_arr([1])))  # NewSubfileType: reduced
+    if tile:
+        tw, th = tile
+        entries += [
+            (322, *long_arr([tw])),
+            (323, *long_arr([th])),
+            (324, *long_arr(offs)),
+            (325, *long_arr([len(c) for c in chunks])),
+        ]
+    else:
+        entries += [
+            (273, *long_arr(offs)),
+            (278, *long_arr([rows_per_strip])),
+            (279, *long_arr([len(c) for c in chunks])),
+        ]
+    entries.sort(key=lambda e: e[0])  # spec: ascending tag order
+    return chunks, entries, pos - data_pos
 
-    with open(path, "wb") as fh:
-        fh.write(b"II" + struct.pack("<HI", 42, ifd_off))
-        for s in strips:
-            fh.write(s)
+
+def write_geotiff(
+    path: str,
+    array,
+    *,
+    rows_per_strip: int = 16,
+    tile: tuple[int, int] | None = None,
+    compression: str = "none",
+    pixel_scale: tuple[float, float] = (1.0, 1.0),
+    tiepoint: tuple[float, float] = (0.0, 0.0),
+    overviews: list[int] | None = None,
+) -> None:
+    """Write a (height, width, bands) numpy array as a classic
+    little-endian GeoTIFF (fixture writer for tests/queries):
+    stripped, or TILED with ``tile=(tw, th)``; compression 'none',
+    'deflate' or 'lzw'; ``overviews=[2, 4]`` appends decimated
+    (every-Nth-pixel) reduced-resolution IFDs chained COG-style."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(array)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    dt = arr.dtype
+    if dt.kind not in ("u", "i", "f"):
+        raise ValueError(f"geotiff writer: unsupported dtype {dt}")
+    if ({"u": 1, "i": 2, "f": 3}[dt.kind], dt.itemsize * 8) not in _DTYPES:
+        raise ValueError(f"geotiff writer: unsupported dtype {dt}")
+    arr = arr.astype(dt.newbyteorder("<"))
+    comp_code = {
+        "none": _COMP_NONE, "deflate": _COMP_DEFLATE, "lzw": _COMP_LZW,
+    }[compression]
+
+    sx, sy = pixel_scale
+    images = [(arr, (sx, sy), False)]
+    for f in overviews or []:
+        images.append((arr[::f, ::f], (sx * f, sy * f), True))
+
+    # layout per image: [chunk data][tag arrays][IFD]; header first
+    pos = 8
+    rendered = []
+    for img, scale, is_ov in images:
+        chunks, entries, data_len = _ifd_payload(
+            img,
+            rows_per_strip=rows_per_strip,
+            tile=tile,
+            comp_code=comp_code,
+            pixel_scale=scale,
+            tiepoint=tiepoint,
+            data_pos=pos,
+            is_overview=is_ov,
+        )
+        pos += data_len
+        blob_off = {}
         for tag, typ, count, payload in entries:
             if len(payload) > 4:
-                fh.write(payload)
-        fh.write(struct.pack("<H", len(entries)))
-        for tag, typ, count, payload in entries:
-            if len(payload) <= 4:
-                val = payload + b"\x00" * (4 - len(payload))
-            else:
-                val = struct.pack("<I", blob_off[tag])
-            fh.write(struct.pack("<HHI", tag, typ, count) + val)
-        fh.write(struct.pack("<I", 0))  # next-IFD pointer: none
+                blob_off[tag] = pos
+                pos += len(payload)
+        ifd_off = pos
+        pos += 2 + len(entries) * 12 + 4
+        rendered.append((chunks, entries, blob_off, ifd_off))
+
+    with open(path, "wb") as fh:
+        fh.write(b"II" + struct.pack("<HI", 42, rendered[0][3]))
+        for i, (chunks, entries, blob_off, ifd_off) in enumerate(rendered):
+            for c in chunks:
+                fh.write(c)
+            for tag, typ, count, payload in entries:
+                if len(payload) > 4:
+                    fh.write(payload)
+            fh.write(struct.pack("<H", len(entries)))
+            for tag, typ, count, payload in entries:
+                if len(payload) <= 4:
+                    val = payload + b"\x00" * (4 - len(payload))
+                else:
+                    val = struct.pack("<I", blob_off[tag])
+                fh.write(struct.pack("<HHI", tag, typ, count) + val)
+            nxt = rendered[i + 1][3] if i + 1 < len(rendered) else 0
+            fh.write(struct.pack("<I", nxt))

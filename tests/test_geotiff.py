@@ -99,7 +99,7 @@ def test_fail_loud_guards(tmp_path):
         fh.write(b"PK\x03\x04____")
     with pytest.raises(ValueError, match="not a TIFF"):
         _read_ifd(pn)
-    # unsupported compression: patch the tag in place (259 -> LZW=5)
+    # unsupported compression: patch the tag in place (259 -> JPEG=7)
     data = bytearray(open(p, "rb").read())
     (ifd_off,) = struct.unpack("<I", data[4:8])
     (n,) = struct.unpack("<H", data[ifd_off : ifd_off + 2])
@@ -107,8 +107,69 @@ def test_fail_loud_guards(tmp_path):
         e = ifd_off + 2 + i * 12
         tag = struct.unpack("<H", data[e : e + 2])[0]
         if tag == 259:
-            data[e + 8 : e + 10] = struct.pack("<H", 5)
+            data[e + 8 : e + 10] = struct.pack("<H", 7)
     pl = os.path.join(d, "lzw.tif")
     open(pl, "wb").write(bytes(data))
-    with pytest.raises(NotImplementedError, match="compression 5"):
+    with pytest.raises(NotImplementedError, match="compression 7"):
         _read_ifd(pl)
+
+
+def test_lzw_codec_roundtrip():
+    """TIFF-variant LZW (MSB-first, early change): empty, repetitive,
+    random (forces the 9→10→11-bit widenings), and >4094-entry input
+    (forces a mid-stream CLEAR/reset)."""
+    import random
+
+    from pg_datalake_spark.sources.geotiff import lzw_decode, lzw_encode
+
+    random.seed(1)
+    cases = [
+        b"", b"a", b"ababababab" * 50,
+        bytes(random.randrange(256) for _ in range(5000)),
+        bytes(5000),
+        bytes(random.randrange(256) for _ in range(60000)),
+    ]
+    for data in cases:
+        assert lzw_decode(lzw_encode(data)) == data
+
+
+def test_tiled_cog_with_overviews(spark):
+    """Tiled layout + LZW + chained overview IFDs (the COG shape):
+    one task per tile, edge tiles clipped back to the image, overview
+    levels selectable and carrying the doubled pixel scale."""
+    import tempfile
+
+    from pg_datalake_spark.sources.geotiff import (
+        _read_ifds,
+        read_geotiff,
+        write_geotiff,
+    )
+
+    d = tempfile.mkdtemp()
+    arr = _planted(h=50, w=70)  # non-multiple of the tile size
+    p = os.path.join(d, "cog.tif")
+    write_geotiff(p, arr, tile=(32, 16), compression="lzw",
+                  pixel_scale=(0.5, 0.25), tiepoint=(100.0, 50.0),
+                  overviews=[2, 4])
+    chain = _read_ifds(p)
+    assert [(i["width"], i["height"]) for i in chain] == [
+        (70, 50), (35, 25), (18, 13),
+    ]
+    assert all(i["tiled"] and i["compression"] == 5 for i in chain)
+    df = read_geotiff(spark, p)
+    assert df.rdd.getNumPartitions() == 12  # ceil(70/32)*ceil(50/16)
+    rows = df.collect()
+    assert len(rows) == 50 * 70 * 2  # edge padding clipped
+    got = {(r.x, r.y, r.band): r for r in rows}
+    r = got[(69, 49, 1)]
+    assert r.value == float((69 * 31 + 49 * 17 + 7) % 997)
+    assert (r.geo_x, r.geo_y) == (100.0 + 69 * 0.5, 50.0 - 49 * 0.25)
+    # overview level 1: every-2nd-pixel decimation, doubled scale
+    ov = {(r.x, r.y, r.band): r
+          for r in read_geotiff(spark, p, level=1).collect()}
+    assert len(ov) == 35 * 25 * 2
+    r1 = ov[(3, 4, 0)]
+    assert r1.value == float((6 * 31 + 8 * 17) % 997)
+    assert (r1.geo_x, r1.geo_y) == (100.0 + 3 * 1.0, 50.0 - 4 * 0.5)
+    with pytest.raises(ValueError, match="level 5"):
+        read_geotiff(spark, p, level=5)
