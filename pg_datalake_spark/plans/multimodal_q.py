@@ -82,29 +82,55 @@ def mm03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.groupBy("media_id").agg(F.count("*").alias("n_sampled"))
 
 
-@register("mm04_byte_histogram")  # rows-only: features are real numpy work
+@register(
+    "mm04_byte_histogram",
+    oracle="""
+    SELECT doc_id AS media_id, CAST(8 AS INT) AS dim,
+           CAST(CASE WHEN doc_id % 256 < 32 THEN 1.0 ELSE 0.0 END AS DOUBLE)
+             AS f0
+    FROM documents
+    """,
+)
 def mm04(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-histogram features (the embedding-shaped output a real
-    image encoder would produce)."""
+    image encoder would produce). r11 promotion from rows-only: the
+    fake payload is the byte (doc_id % 256) repeated, so the 8-bin
+    histogram is closed-form — bin 0 holds everything iff
+    doc_id % 256 < 32 — and DuckDB predicts dim and f0 without
+    parsing bytes."""
     media = _media_frame(spark, sf_dir, "image")
     feats = mm.media_features(media, dims=8)
     return feats.select(
-        "media_id", F.size("features").alias("dim"), F.element_at("features", 1).alias("f0")
+        "media_id",
+        F.size("features").alias("dim"),
+        F.element_at("features", 1).cast("double").alias("f0"),
     )
 
 
-@register("mm05_perceptual_neardup")  # rows-only: dHash is numpy raster work
+@register(
+    "mm05_perceptual_neardup",
+    oracle="""
+    SELECT a.doc_id AS id_a, a.doc_id + 1 AS id_b, CAST(1 AS INT) AS ham_ok
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id % 2 = 0
+    """,
+)
 def mm05(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash IMAGE near-duplicate detection: dHash (8×9
     grid-mean difference hash) over Arrow-batched payloads, 16-bit
     band bucket join (the d02 LSH shape — pigeonhole-complete for
     hamming ≤ 3), exact bit_count verify. The textured corpus plants
     a 2-byte-edited sibling for every even id; the pair set is exactly
-    the sibling set (asserted bit-exact in pytest; rows-only here —
-    the raster resample has no SQL restatement)."""
+    the sibling set. r11 promotion from rows-only: the pair IDs hash
+    against the planted sibling relation recomputed relationally, and
+    the engine-specific hamming value is verified as the bounded
+    ham_ok law instead of exported raw."""
     t = load_tables(spark, sf_dir, ["documents"])
     media = t["documents"].select(
         F.col("doc_id").alias("media_id"),
         mm.fake_textured_media(F.col("doc_id")).alias("data"),
     )
-    return mm.phash_neardup_pairs(media, "media_id", max_hamming=3)
+    pairs = mm.phash_neardup_pairs(media, "media_id", max_hamming=3)
+    return pairs.select(
+        "id_a", "id_b", (F.col("hamming") <= 3).cast("int").alias("ham_ok")
+    )
