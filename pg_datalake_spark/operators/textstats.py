@@ -57,6 +57,38 @@ def stopword_ratio(text: Column, lang: str = "en") -> Column:
     return hits.cast("double") / F.size(t)
 
 
+def token_count_arr(toks: Column) -> Column:
+    """token_count over an ALREADY-STAGED token array (see t01: staging
+    the split once removes the N-fold re-tokenization the logical plan
+    otherwise carries into every stat — HOF lambdas don't participate
+    in codegen subexpression elimination)."""
+    return F.size(toks).cast("long")
+
+
+def avg_token_len_arr(toks: Column) -> Column:
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    return total.cast("double") / F.size(toks)
+
+
+def stopword_ratio_arr(toks: Column, lang: str = "en") -> Column:
+    sw = LANG_STOPWORDS[lang]
+    hits = F.size(F.filter(toks, lambda x: x.isin(*sw)))
+    return hits.cast("double") / F.size(toks)
+
+
+def quality_score_from(
+    n_tok: Column, awl: Column, punct: Column, stop: Column
+) -> Column:
+    """quality_score recomposed from already-computed stat columns —
+    identical arithmetic to :func:`quality_score`, zero re-tokenization."""
+    return (
+        F.when((n_tok >= 50) & (n_tok <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((awl >= 3.0) & (awl <= 10.0), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(punct < 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(stop > 0.01, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+
+
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality heuristic: length band + word-length band
     + low punctuation + some stopwords. Mirrors common LLM-corpus
@@ -76,7 +108,13 @@ def language_guess(text: Column) -> Column:
     """Stopword-overlap language ID: score = fraction of tokens in each
     language's function-word list; argmax with deterministic tiebreak
     (lexicographic language code)."""
-    t = tokens(text)
+    return language_guess_arr(tokens(text))
+
+
+def language_guess_arr(t: Column) -> Column:
+    """language_guess over an already-staged token array (r11: the
+    text form re-embedded the split per language score — 28 split()
+    nodes in t02's optimized plan)."""
     out = F.lit("und")
     best = F.lit(-1.0)
     # fold over languages in reverse-lex order so earlier codes win ties
@@ -333,7 +371,19 @@ def gopher_quality_flags(
     integer-count division, so an independent engine computes the
     identical doubles and flips the identical flags.
     """
-    t = tokens(F.col(text_col))
+    # stage the token and line arrays ONCE (r11): every later mention
+    # references the staged column, not a re-embedded split — the naive
+    # form carried 39 split() nodes into the optimized plan and HOF
+    # lambdas sit outside codegen subexpression elimination
+    df = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        tokens(F.col(text_col)).alias("__toks"),
+        F.filter(
+            F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != ""
+        ).alias("__lines"),
+    )
+    t = F.col("__toks")
     n_words = F.size(t)
     sum_len = F.aggregate(t, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
     mean_len = sum_len.cast("double") / n_words
@@ -349,7 +399,7 @@ def gopher_quality_flags(
         - F.length(F.replace(F.col(text_col), F.lit("…"), F.lit("")))
     )
     sym_ratio = (n_hash + n_ellipsis).cast("double") / n_words
-    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != "")
+    lines = F.col("__lines")
     n_lines = F.size(lines)
     bullet_frac = (
         F.size(

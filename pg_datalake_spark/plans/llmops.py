@@ -280,15 +280,31 @@ def v03(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize ONCE (r11): the naive form re-splits the text for
+    every stat — 13 split() nodes in the optimized plan, and the
+    higher-order-function lambdas are outside codegen subexpression
+    elimination. Staging the token array into a column makes each
+    downstream stat an array op over the shared value."""
     t = load_tables(spark, sf_dir, ["documents"])
     c = F.col("text")
-    return t["documents"].select(
+    staged = t["documents"].select(
+        "doc_id", c.alias("text"), textstats.tokens(c).alias("__toks")
+    )
+    tk = F.col("__toks")
+    m = staged.select(
         "doc_id",
-        textstats.token_count(c).alias("n_tokens"),
-        textstats.avg_token_len(c).alias("avg_token_len"),
-        textstats.punct_ratio(c).alias("punct_ratio"),
-        textstats.stopword_ratio(c).alias("stopword_ratio"),
-        textstats.quality_score(c).alias("quality"),
+        textstats.token_count_arr(tk).alias("n_tokens"),
+        textstats.avg_token_len_arr(tk).alias("avg_token_len"),
+        textstats.punct_ratio(F.col("text")).alias("punct_ratio"),
+        textstats.stopword_ratio_arr(tk).alias("stopword_ratio"),
+    )
+    return m.select(
+        "doc_id", "n_tokens", "avg_token_len", "punct_ratio",
+        "stopword_ratio",
+        textstats.quality_score_from(
+            F.col("n_tokens"), F.col("avg_token_len"),
+            F.col("punct_ratio"), F.col("stopword_ratio"),
+        ).alias("quality"),
     )
 
 
@@ -318,10 +334,15 @@ def t02(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-overlap language ID (argmax with lexicographic
     tiebreak). Returned next to the dataset's label column."""
     t = load_tables(spark, sf_dir, ["documents"])
-    return t["documents"].select(
+    staged = t["documents"].select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        textstats.language_guess(F.col("text")).alias("lang_guess"),
+        textstats.tokens(F.col("text")).alias("__toks"),
+    )
+    return staged.select(
+        "doc_id",
+        "labeled_lang",
+        textstats.language_guess_arr(F.col("__toks")).alias("lang_guess"),
     )
 
 
