@@ -1179,13 +1179,20 @@ _JOINS_SQL = """
 
 
 @register(
-    "j01_j07_n01_joins",
+    "j01_j07_j08_n01_joins",
     oracle=lambda: _JOINS_SQL
     + f"""
     UNION ALL
     SELECT 'interval' AS probe, CAST(a_id AS VARCHAR) AS k,
            CAST(b_id AS VARCHAR) AS payload
     FROM ({ORACLES['j07_interval_overlap_join']}) iv_arm
+    UNION ALL
+    SELECT 'asofv' AS probe, CAST(event_id AS VARCHAR) AS k,
+           CAST(COALESCE(back_rt, -1) AS VARCHAR) || '|' ||
+           CAST(COALESCE(fwd_rt, -1) AS VARCHAR) || '|' ||
+           CAST(COALESCE(back_tol_rt, -1) AS VARCHAR) || '|' ||
+           CAST(COALESCE(nearest_rt, -1) AS VARCHAR) AS payload
+    FROM ({ORACLES['j08_asof_variants']}) asofv_arm
     """,
 )
 def j_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1344,6 +1351,22 @@ def j_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         *tag("interval", F.col("a_id"), F.col("b_id").cast("string"))
     )
 
+    # j08: backward/forward/tolerance/nearest as-of variants (r11
+    # rotation; NULL misses pinned as -1 on both sides)
+    def c(col):
+        return F.coalesce(F.col(col), F.lit(-1)).cast("string")
+
+    asofv = QUERIES["j08_asof_variants"](spark, sf_dir).select(
+        *tag(
+            "asofv",
+            F.col("event_id"),
+            F.concat_ws(
+                "|", c("back_rt"), c("fwd_rt"), c("back_tol_rt"),
+                c("nearest_rt"),
+            ),
+        )
+    )
+
     return (
         full_outer.unionByName(right)
         .unionByName(cross)
@@ -1352,6 +1375,7 @@ def j_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(using)
         .unionByName(nulls)
         .unionByName(interval)
+        .unionByName(asofv)
     )
 
 
@@ -1515,7 +1539,7 @@ def w_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "x03_x08_x14_t05_t06_v05_d06_d10_t16_llmops",
+    "x03_x08_x14_t05_t06_t07_t08_t12_v05_d06_d10_t16_llmops",
     oracle=lambda: "\nUNION ALL\n".join(
         [
             _g_arm_sql(
@@ -1617,6 +1641,29 @@ def w_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i2="n_tokens",
                 i3="first_start",
             ),
+            _g_arm_sql(
+                "t07",
+                ORACLES["t07_char_entropy"],
+                k="CAST(doc_id AS VARCHAR)",
+                i1="n_chars",
+                i2="n_distinct_chars",
+                d1="entropy_bits",
+            ),
+            _g_arm_sql(
+                "t08",
+                ORACLES["t08_bpe_token_count"],
+                k="CAST(doc_id AS VARCHAR)",
+                i1="n_bpe_tokens",
+                i2="n_ws_tokens",
+            ),
+            _g_arm_sql(
+                "t12",
+                ORACLES["t12_novelty_score"],
+                k="CAST(doc_id AS VARCHAR)",
+                i1="n_grams",
+                i2="n_novel",
+                d1="novelty",
+            ),
         ]
     ),
 )
@@ -1631,7 +1678,9 @@ def x_llmops(spark: SparkSession, sf_dir: str) -> DataFrame:
     the r9 rotation: the end-to-end curation PIPELINE composition
     (x14: Gopher gate → exact dedup → md5 split → corpus report) —
     plus the r10 rotation: ExactSubstr excision (d10, cleaned strings
-    hash via md5) and the full Gopher structural battery (t16)."""
+    hash via md5) and the full Gopher structural battery (t16) — plus
+    the r11 rotation: character entropy (t07), BPE-ish token counting
+    (t08) and cross-corpus novelty (t12)."""
     bar = F.lit("|")
     return _g_union(
         _g_arm(
@@ -1732,6 +1781,29 @@ def x_llmops(spark: SparkSession, sf_dir: str) -> DataFrame:
             i1=F.col("n_docs"),
             i2=F.col("n_tokens"),
             i3=F.col("first_start"),
+        ),
+        _g_arm(
+            QUERIES["t07_char_entropy"](spark, sf_dir),
+            "t07",
+            k=F.col("doc_id").cast("string"),
+            i1=F.col("n_chars"),
+            i2=F.col("n_distinct_chars"),
+            d1=F.col("entropy_bits"),
+        ),
+        _g_arm(
+            QUERIES["t08_bpe_token_count"](spark, sf_dir),
+            "t08",
+            k=F.col("doc_id").cast("string"),
+            i1=F.col("n_bpe_tokens"),
+            i2=F.col("n_ws_tokens"),
+        ),
+        _g_arm(
+            QUERIES["t12_novelty_score"](spark, sf_dir),
+            "t12",
+            k=F.col("doc_id").cast("string"),
+            i1=F.col("n_grams"),
+            i2=F.col("n_novel"),
+            d1=F.col("novelty"),
         ),
     )
 
