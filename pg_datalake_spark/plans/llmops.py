@@ -189,7 +189,8 @@ def v02(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ex AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      WHERE a.vec_id < 1000 AND b.vec_id < 1000
+        AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])), 6)
             >= 0.3
     )
@@ -217,20 +218,24 @@ def v03(spark: SparkSession, sf_dir: str) -> DataFrame:
     at a slightly widened threshold, absorbing round-vs-unrounded
     boundary pairs), recall ≥ 0.8 (pinned 0.90 with slack), and the
     exact pair COUNT itself, fully hashed (the oracle recomputes it
-    with list_cosine_similarity). The O(n²) exact sweep is the
-    CHECK's cost at test scale, not the operator's."""
+    with list_cosine_similarity). The brute-force reference is BOUNDED
+    to the vec_id < 1000 slice (covers the whole corpus at the verify
+    scales; ≤ 0.5M pairs at any scale) so the CHECK stays O(1) while
+    the LSH operator itself runs over the FULL corpus."""
     t = load_tables(spark, sf_dir, ["embeddings"])
     emb = t["embeddings"]
-    lsh = similarity.lsh_bucketed_pairs(
+    lsh_full = similarity.lsh_bucketed_pairs(
         emb, dims=64, threshold=0.3, num_bands=16
     ).select("id_a", "id_b")
-    exact = similarity.cosine_pairs(emb, threshold=0.3, round_to=6).select(
-        "id_a", "id_b"
-    )
+    lsh = lsh_full.filter((F.col("id_a") < 1000) & (F.col("id_b") < 1000))
+    slice_ = emb.filter(F.col("vec_id") < 1000)
+    exact = similarity.cosine_pairs(
+        slice_, threshold=0.3, round_to=6
+    ).select("id_a", "id_b")
     # widened floor for the precision check: an LSH pair passing the
     # unrounded >= 0.3 verify is certainly in the round6 >= 0.29 set
     exact_lo = similarity.cosine_pairs(
-        emb, threshold=0.29, round_to=6
+        slice_, threshold=0.29, round_to=6
     ).select("id_a", "id_b")
     keys = ["id_a", "id_b"]
     n_exact = exact.agg(F.count("*").alias("n_exact"))
