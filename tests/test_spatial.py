@@ -1148,3 +1148,88 @@ def test_union_rings_via_faces_tangent_contacts():
         SA._union_rings_via_faces(
             [sq, [(4, 4), (8, 5), (8, 8), (5, 8)]]  # corner-only touch
         )
+
+
+def test_mring_ops_random_inclusion_exclusion():
+    """Property check for the multi-ring boolean ops: on random CONVEX
+    pairs (via the INDEPENDENT Sutherland–Hodgman kernel for the
+    reference intersection), area(A∪B) = areaA + areaB − area(A∩B)
+    and area(A∖B) = areaA − area(A∩B), with even-odd point containment
+    agreeing with the set algebra on random probes."""
+    import math
+    import random
+
+    from pg_datalake_spark.functions import spatial_arrow as SA
+
+    random.seed(11)
+
+    def rand_convex(cx, cy, r, k):
+        angs = sorted(random.uniform(0, 2 * math.pi) for _ in range(k))
+        return [(cx + r * math.cos(a), cy + r * math.sin(a)) for a in angs]
+
+    checked = 0
+    for _ in range(200):
+        A = [rand_convex(0, 0, 2.0, random.randint(4, 8))]
+        B = [rand_convex(random.uniform(-1.5, 1.5),
+                         random.uniform(-1.5, 1.5), 2.0,
+                         random.randint(4, 8))]
+        try:
+            inter = SA._mring_op(A, B, "and")
+            union = SA._mring_op(A, B, "or")
+            diff = SA._mring_op(A, B, "sub")
+        except NotImplementedError:
+            continue  # degenerate contact — fail-loud path, not wrong
+        ia = SA._mring_area(inter)
+        ref_i = SA._ring_area(SA._sh_clip(A[0], B[0]))
+        assert abs(ia - ref_i) < 1e-9
+        aa, ab = SA._ring_area(A[0]), SA._ring_area(B[0])
+        assert abs(SA._mring_area(union) - (aa + ab - ia)) < 1e-9
+        assert abs(SA._mring_area(diff) - (aa - ia)) < 1e-9
+        # even-odd containment agrees with the set algebra on probes
+        for _p in range(10):
+            p = (random.uniform(-4, 4), random.uniform(-4, 4))
+            in_a, in_b = SA._contains(A[0], p), SA._contains(B[0], p)
+            assert SA._mring_contains(inter, p) == (in_a and in_b)
+            assert SA._mring_contains(union, p) == (in_a or in_b)
+            assert SA._mring_contains(diff, p) == (in_a and not in_b)
+        checked += 1
+    assert checked >= 150  # degenerate-contact skips must stay rare
+
+
+def test_makevalid_random_even_odd_area():
+    """Property check for the generalized makevalid: on random
+    self-crossing closed polylines, the output faces are simple, CCW,
+    disjoint, and their total area equals the Monte-Carlo even-odd
+    area of the original boundary (the linework rule)."""
+    import random
+
+    from pg_datalake_spark.functions import spatial_arrow as SA
+
+    random.seed(23)
+    done = 0
+    while done < 12:
+        ring = [
+            (random.uniform(0, 10), random.uniform(0, 10)) for _ in range(7)
+        ]
+        xs = SA._self_intersections(ring)
+        if not xs:
+            continue
+        try:
+            faces = SA._make_valid(ring)
+        except Exception:
+            continue  # exotic degeneracy
+        if not faces:
+            continue
+        for f in faces:
+            assert not SA._self_intersections(f)
+            assert SA._signed_area2(f) > 0
+        total = sum(SA._ring_area(f) for f in faces)
+        hits, n = 0, 4000
+        for _ in range(n):
+            p = (random.uniform(0, 10), random.uniform(0, 10))
+            if SA._contains(ring, p):
+                hits += 1
+        mc = hits / n * 100.0
+        sigma = 100.0 * ((hits / n) * (1 - hits / n) / n) ** 0.5
+        assert abs(total - mc) < max(5 * sigma, 1.0), (total, mc)
+        done += 1
