@@ -48,6 +48,45 @@ def _centroid_argmin(vec_col: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
 
+# Above this many centroids the literal-expression argmin stops being
+# the right plan: the expression tree carries k x dim literal nodes
+# (codegen compile grows with k and falls back to interpreted past the
+# JIT limits — measured 21x wall at the 10x probe when k = n/128
+# reached 156). The Arrow path ships the centroid matrix to executors
+# once per task and does one numpy matmul per batch.
+_ARROW_ASSIGN_MIN_K = 33
+
+
+def _assign_arrow(
+    df: DataFrame, centroids: list[list[float]], vec_col: str
+) -> DataFrame:
+    """cluster = argmax cosine via numpy (BLAS) per Arrow batch —
+    first-max tiebreak, matching _centroid_argmin's array_position
+    semantics. The centroid matrix (k x dim doubles) is a closure
+    constant; per-batch work is one V @ Cᵀ."""
+    import pyspark.sql.types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1e-12
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("cluster", T.IntegerType())]
+    )
+
+    def op(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(cluster=[])
+                continue
+            v = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in pdf[vec_col]]
+            )
+            sims = (v @ C.T) / cn  # row norm cancels in the argmax
+            yield pdf.assign(cluster=sims.argmax(axis=1).astype("int32"))
+
+    return df.mapInPandas(op, out_schema)
+
+
 def train_ivf_centroids(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -64,10 +103,15 @@ def train_ivf_centroids(
     centroids = [list(map(float, r[0])) for r in init]
     dim = len(centroids[0])
     for _ in range(iterations):
-        assigned = df.select(
-            _centroid_argmin(F.col(vec_col), centroids).alias("cluster"),
-            F.col(vec_col).alias("v"),
-        )
+        if k >= _ARROW_ASSIGN_MIN_K:
+            assigned = _assign_arrow(df, centroids, vec_col).select(
+                "cluster", F.col(vec_col).alias("v")
+            )
+        else:
+            assigned = df.select(
+                _centroid_argmin(F.col(vec_col), centroids).alias("cluster"),
+                F.col(vec_col).alias("v"),
+            )
         sums = (
             assigned.groupBy("cluster")
             .agg(
@@ -92,7 +136,11 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Attach the inverted-list (cluster) id — at rest this would be
-    the table's bucket/partition column."""
+    the table's bucket/partition column. Small centroid sets stay a
+    whole-stage-codegen Column expression; large ones switch to the
+    Arrow/numpy argmin (see _ARROW_ASSIGN_MIN_K)."""
+    if len(centroids) >= _ARROW_ASSIGN_MIN_K:
+        return _assign_arrow(df, centroids, vec_col)
     return df.withColumn("cluster", _centroid_argmin(F.col(vec_col), centroids))
 
 

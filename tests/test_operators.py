@@ -1143,3 +1143,39 @@ def test_pq_guards_and_determinism(spark):
     b1 = pq.train_pq_codebooks(emb64, m=4, k=4, sample=50)
     b2 = pq.train_pq_codebooks(emb64, m=4, k=4, sample=50)
     assert b1 == b2
+
+
+def test_ivf_assign_arrow_path_matches_literal_path(spark):
+    """r11: ivf_assign switches to the Arrow/numpy argmin above
+    _ARROW_ASSIGN_MIN_K centroids (the literal-expression plan grows
+    O(k·dim) and measured 21x at the 10x probe when k = n/128 hit
+    156). Both paths must assign identically — first-max tiebreak
+    included."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pg_datalake_spark.operators import ivf
+
+    rng = np.random.RandomState(9)
+    cents = [list(map(float, rng.normal(size=8))) for _ in range(40)]
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(300)
+    ]
+    # plant exact duplicates of centroids (tie-adjacent cases)
+    rows += [(300 + j, list(cents[j])) for j in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lit = {
+        r.vec_id: r.cluster
+        for r in df.withColumn(
+            "cluster", ivf._centroid_argmin(F.col("embedding"), cents)
+        ).collect()
+    }
+    arrow = {
+        r.vec_id: r.cluster
+        for r in ivf._assign_arrow(df, cents, "embedding").collect()
+    }
+    assert lit == arrow
+    # and the public API picks the arrow path at this k (>= 33)
+    assert len(cents) >= ivf._ARROW_ASSIGN_MIN_K
+    pub = {r.vec_id: r.cluster for r in ivf.ivf_assign(df, cents).collect()}
+    assert pub == arrow
