@@ -8,16 +8,19 @@ def load_all() -> None:
 
     ORDER MATTERS: the driver verifies only the FIRST 50 registered
     queries, so the modules that make up the verified window come
-    first — 22 TPC-H + 16 suites (13 coverage merges + the geo suite
-    + the TPC-DS suite, widened to 5 arms in r7 + x09, oracle-exact
-    since r7) + 7 lakeops + 4 sources/streaming (src01+src02+src03
-    and st02+st04+st06 merged) + st05 = exactly 50.
-    tests/test_registry_window.py locks this list against a
-    checked-in manifest. Everything after remains
+    first — 22 TPC-H + 18 suites in suites.py (13 coverage merges +
+    geo + TPC-DS + x09 + the r11 ClickBench and TPC-DS long-tail
+    rotations) + 5 lakeops rows (lake01, the r11 lake02+lake07 and
+    lake04+lake06 merges, lake05, the formats suite) + 4
+    sources/streaming rows + the streaming-formats suite = exactly
+    50. The four lake singles displaced by the r11 merges re-register
+    AFTER the window via window_rotation (imported after
+    streaming_iceberg). tests/test_registry_window.py locks this list
+    against a checked-in manifest. Everything after remains
     registered for the local parity gate (tests/test_oracle_parity.py)
     and bench. Suite oracles that wrap feeder queries registered
-    later (llmops/relational/geo/tpcds) are lazy callables, resolved
-    after load_all() completes — see registry._OracleDict.
+    later (llmops/relational/geo/tpcds/clickbench) are lazy callables,
+    resolved after load_all() completes — see registry._OracleDict.
     """
     from pg_datalake_spark.plans import (  # noqa: F401
         suites,
