@@ -35,7 +35,7 @@ __all__ = ["read_gdal", "infer_gdal_compression"]
 # long tail — those raise with the format named).
 _READABLE = {
     ".shp", ".gpkg", ".kml", ".kmz", ".geojson", ".geojsonl",
-    ".geojsons", ".gml", ".xlsx", ".xls", ".fgb",
+    ".geojsons", ".gml", ".xlsx", ".xls", ".fgb", ".tif", ".tiff",
 }
 _SCOPED_OUT = {
     ".dxf", ".dwg", ".gdb", ".map", ".mif", ".mit", ".tab", ".xodr",
@@ -181,6 +181,12 @@ def read_gdal(
         from pg_datalake_spark.sources import fgb
 
         return fgb.read_fgb(spark, target)
+    if ext in (".tif", ".tiff"):
+        # raster GeoTIFF/COG (r11): long-form (x, y, band, value,
+        # geo_x, geo_y) rows; layer = overview level ("0", "1", ...)
+        from pg_datalake_spark.sources import geotiff
+
+        return geotiff.read_geotiff(spark, target, level=int(layer or 0))
     if ext in (".xlsx", ".xls"):
         if ext == ".xls":
             raise NotImplementedError(

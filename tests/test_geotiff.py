@@ -173,3 +173,20 @@ def test_tiled_cog_with_overviews(spark):
     assert (r1.geo_x, r1.geo_y) == (100.0 + 3 * 1.0, 50.0 - 4 * 0.5)
     with pytest.raises(ValueError, match="level 5"):
         read_geotiff(spark, p, level=5)
+
+
+def test_gdal_dispatch_routes_tif(spark, tmp_path):
+    """The reference reads .tif through its format-'gdal' dispatcher
+    (docs/file-formats-reference.md raster row) — read_gdal routes
+    .tif/.tiff to the GeoTIFF reader, with layer= selecting the COG
+    overview level (the reference's layer option analog)."""
+    from pg_datalake_spark.sources.gdal_dispatch import read_gdal
+    from pg_datalake_spark.sources.geotiff import write_geotiff
+
+    arr = _planted(h=8, w=8, b=1)
+    p = os.path.join(str(tmp_path), "r.tif")
+    write_geotiff(p, arr, tile=(8, 8), compression="lzw", overviews=[2])
+    full = read_gdal(spark, p)
+    assert full.count() == 64
+    ov = read_gdal(spark, p, layer="1")
+    assert ov.count() == 16
