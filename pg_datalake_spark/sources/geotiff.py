@@ -9,8 +9,9 @@ TIFF-variant MSB-first codes with early change) / DEFLATE(8/32946),
 integer and float sample formats, chained IFDs (COG overview levels,
 selectable with ``level=``), and the two GeoTIFF georeferencing tags
 needed to place pixels — ModelPixelScaleTag (33550) and
-ModelTiepointTag (33922). Everything else fails loud by name (BigTIFF,
-big-endian, palettes, JPEG, PlanarConfiguration=2).
+ModelTiepointTag (33922), both byte orders (II and MM). Everything
+else fails loud by name (BigTIFF, palettes, JPEG,
+PlanarConfiguration=2).
 
 Scale shape: the driver parses ONLY the IFD chain — a few hundred
 bytes per file, O(strips+tiles) metadata — and builds a chunk
@@ -57,7 +58,8 @@ _TAG = {
 }
 _TAG_NAME = {v: k for k, v in _TAG.items()}
 
-# (SampleFormat, BitsPerSample) -> numpy dtype string (little-endian)
+# (SampleFormat, BitsPerSample) -> numpy dtype string (little-endian
+# form; the big-endian (MM) reader flips the prefix)
 _DTYPES = {
     (1, 8): "u1", (1, 16): "<u2", (1, 32): "<u4",
     (2, 8): "i1", (2, 16): "<i2", (2, 32): "<i4",
@@ -175,16 +177,18 @@ def _decompress(buf: bytes, comp: int) -> bytes:
     return buf
 
 
-def _parse_one_ifd(fh, ifd_off: int, path: str) -> tuple[dict, int]:
+def _parse_one_ifd(
+    fh, ifd_off: int, path: str, bo: str = "<"
+) -> tuple[dict, int]:
     fh.seek(ifd_off)
-    (n_entries,) = struct.unpack("<H", fh.read(2))
+    (n_entries,) = struct.unpack(f"{bo}H", fh.read(2))
     raw = fh.read(n_entries * 12)
-    (next_off,) = struct.unpack("<I", fh.read(4))
+    (next_off,) = struct.unpack(f"{bo}I", fh.read(4))
     tags: dict[str, tuple] = {}
     pending: list[tuple[str, int, int, int]] = []
     for i in range(n_entries):
         tag, typ, count, val_raw = struct.unpack(
-            "<HHI4s", raw[i * 12 : i * 12 + 12]
+            f"{bo}HHI4s", raw[i * 12 : i * 12 + 12]
         )
         name = _TAG_NAME.get(tag)
         if name is None:
@@ -193,16 +197,16 @@ def _parse_one_ifd(fh, ifd_off: int, path: str) -> tuple[dict, int]:
         if size <= 4:
             fmt = _TYPE_FMT.get(typ)
             if fmt:
-                tags[name] = struct.unpack(f"<{count}{fmt}", val_raw[:size])
+                tags[name] = struct.unpack(f"{bo}{count}{fmt}", val_raw[:size])
         else:
-            (off,) = struct.unpack("<I", val_raw)
+            (off,) = struct.unpack(f"{bo}I", val_raw)
             pending.append((name, typ, count, off))
     for name, typ, count, off in pending:
         fh.seek(off)
         fmt = _TYPE_FMT.get(typ)
         if fmt:
             tags[name] = struct.unpack(
-                f"<{count}{fmt}", fh.read(_TYPE_SIZE[typ] * count)
+                f"{bo}{count}{fmt}", fh.read(_TYPE_SIZE[typ] * count)
             )
     comp = tags.get("Compression", (1,))[0]
     if comp not in _SUPPORTED_COMP:
@@ -228,6 +232,9 @@ def _parse_one_ifd(fh, ifd_off: int, path: str) -> tuple[dict, int]:
             f"geotiff: SampleFormat={sfmt[0]} BitsPerSample={bits[0]} not "
             f"supported: {path}"
         )
+    dtype = _DTYPES[key]
+    if bo == ">":
+        dtype = dtype.replace("<", ">")
     scale = tags.get("ModelPixelScale", (1.0, 1.0, 0.0))
     tie = tags.get("ModelTiepoint", (0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
     tiled = "TileWidth" in tags
@@ -235,7 +242,7 @@ def _parse_one_ifd(fh, ifd_off: int, path: str) -> tuple[dict, int]:
         "width": tags["ImageWidth"][0],
         "height": tags["ImageLength"][0],
         "bands": spp,
-        "dtype": _DTYPES[key],
+        "dtype": dtype,
         "compression": comp,
         "tiled": tiled,
         # pixel (px, py) -> geo: gx = tx + (px - tpx) * sx ;
@@ -266,21 +273,21 @@ def _read_ifds(path: str) -> list[dict]:
     levels are chained IFDs). Driver-side, O(IFD bytes)."""
     with open(path, "rb") as fh:
         head = fh.read(8)
-        if head[:2] == b"MM":
-            raise NotImplementedError(
-                f"geotiff: big-endian (MM) TIFF not supported: {path}"
-            )
-        if head[:2] != b"II":
+        if head[:2] == b"II":
+            bo = "<"
+        elif head[:2] == b"MM":
+            bo = ">"  # big-endian classic TIFF (r11)
+        else:
             raise ValueError(f"geotiff: not a TIFF (bad byte order): {path}")
-        magic = struct.unpack("<H", head[2:4])[0]
+        magic = struct.unpack(f"{bo}H", head[2:4])[0]
         if magic == 43:
             raise NotImplementedError(f"geotiff: BigTIFF not supported: {path}")
         if magic != 42:
             raise ValueError(f"geotiff: bad TIFF magic {magic}: {path}")
-        (ifd_off,) = struct.unpack("<I", head[4:8])
+        (ifd_off,) = struct.unpack(f"{bo}I", head[4:8])
         out = []
         while ifd_off:
-            ifd, ifd_off = _parse_one_ifd(fh, ifd_off, path)
+            ifd, ifd_off = _parse_one_ifd(fh, ifd_off, path, bo)
             out.append(ifd)
     return out
 
@@ -405,7 +412,7 @@ def _compress(raw: bytes, comp_code: int) -> bytes:
 
 def _ifd_payload(
     arr, *, rows_per_strip, tile, comp_code, pixel_scale, tiepoint,
-    data_pos, is_overview,
+    data_pos, is_overview, bo="<",
 ):
     """Chunk bytes + tag entries for ONE image (main or overview).
     Returns (chunks, entries, data_len)."""
@@ -439,13 +446,13 @@ def _ifd_payload(
         pos += len(c)
 
     def short_arr(vals):
-        return 3, len(vals), struct.pack(f"<{len(vals)}H", *vals)
+        return 3, len(vals), struct.pack(f"{bo}{len(vals)}H", *vals)
 
     def long_arr(vals):
-        return 4, len(vals), struct.pack(f"<{len(vals)}I", *vals)
+        return 4, len(vals), struct.pack(f"{bo}{len(vals)}I", *vals)
 
     def dbl_arr(vals):
-        return 12, len(vals), struct.pack(f"<{len(vals)}d", *vals)
+        return 12, len(vals), struct.pack(f"{bo}{len(vals)}d", *vals)
 
     sx, sy = pixel_scale
     tx, ty = tiepoint
@@ -491,6 +498,7 @@ def write_geotiff(
     pixel_scale: tuple[float, float] = (1.0, 1.0),
     tiepoint: tuple[float, float] = (0.0, 0.0),
     overviews: list[int] | None = None,
+    byte_order: str = "<",
 ) -> None:
     """Write a (height, width, bands) numpy array as a classic
     little-endian GeoTIFF (fixture writer for tests/queries):
@@ -507,7 +515,9 @@ def write_geotiff(
         raise ValueError(f"geotiff writer: unsupported dtype {dt}")
     if ({"u": 1, "i": 2, "f": 3}[dt.kind], dt.itemsize * 8) not in _DTYPES:
         raise ValueError(f"geotiff writer: unsupported dtype {dt}")
-    arr = arr.astype(dt.newbyteorder("<"))
+    if byte_order not in ("<", ">"):
+        raise ValueError("byte_order must be '<' (II) or '>' (MM)")
+    arr = arr.astype(dt.newbyteorder(byte_order))
     comp_code = {
         "none": _COMP_NONE, "deflate": _COMP_DEFLATE, "lzw": _COMP_LZW,
     }[compression]
@@ -530,6 +540,7 @@ def write_geotiff(
             tiepoint=tiepoint,
             data_pos=pos,
             is_overview=is_ov,
+            bo=byte_order,
         )
         pos += data_len
         blob_off = {}
@@ -542,19 +553,22 @@ def write_geotiff(
         rendered.append((chunks, entries, blob_off, ifd_off))
 
     with open(path, "wb") as fh:
-        fh.write(b"II" + struct.pack("<HI", 42, rendered[0][3]))
+        fh.write(
+            (b"II" if byte_order == "<" else b"MM")
+            + struct.pack(f"{byte_order}HI", 42, rendered[0][3])
+        )
         for i, (chunks, entries, blob_off, ifd_off) in enumerate(rendered):
             for c in chunks:
                 fh.write(c)
             for tag, typ, count, payload in entries:
                 if len(payload) > 4:
                     fh.write(payload)
-            fh.write(struct.pack("<H", len(entries)))
+            fh.write(struct.pack(f"{byte_order}H", len(entries)))
             for tag, typ, count, payload in entries:
                 if len(payload) <= 4:
                     val = payload + b"\x00" * (4 - len(payload))
                 else:
-                    val = struct.pack("<I", blob_off[tag])
-                fh.write(struct.pack("<HHI", tag, typ, count) + val)
+                    val = struct.pack(f"{byte_order}I", blob_off[tag])
+                fh.write(struct.pack(f"{byte_order}HHI", tag, typ, count) + val)
             nxt = rendered[i + 1][3] if i + 1 < len(rendered) else 0
-            fh.write(struct.pack("<I", nxt))
+            fh.write(struct.pack(f"{byte_order}I", nxt))

@@ -81,11 +81,12 @@ def test_fail_loud_guards(tmp_path):
     arr = _planted(h=4, w=4, b=1)
     p = os.path.join(d, "ok.tif")
     write_geotiff(p, arr)
-    # big-endian
+    # truncated/garbage MM header (big-endian is SUPPORTED since r11 —
+    # a 6-zero-byte body is bad magic, not an endianness rejection)
     pb = os.path.join(d, "be.tif")
     with open(pb, "wb") as fh:
         fh.write(b"MM" + b"\x00" * 6)
-    with pytest.raises(NotImplementedError, match="big-endian"):
+    with pytest.raises(ValueError, match="bad TIFF magic"):
         _read_ifd(pb)
     # BigTIFF magic 43
     pg = os.path.join(d, "big.tif")
@@ -190,3 +191,31 @@ def test_gdal_dispatch_routes_tif(spark, tmp_path):
     assert full.count() == 64
     ov = read_gdal(spark, p, layer="1")
     assert ov.count() == 16
+
+
+def test_big_endian_mm_roundtrip(spark, tmp_path):
+    """Big-endian (MM) classic TIFF (r11): same IFD chain, tiles,
+    DEFLATE and overview machinery with every struct field and the
+    sample dtype byte-flipped — values and geo transform identical to
+    the II form."""
+    from pg_datalake_spark.sources.geotiff import (
+        _read_ifds,
+        read_geotiff,
+        write_geotiff,
+    )
+
+    arr = _planted(h=20, w=30)
+    p = os.path.join(str(tmp_path), "be.tif")
+    write_geotiff(p, arr, byte_order=">", compression="deflate",
+                  tile=(16, 8), pixel_scale=(0.5, 0.25),
+                  tiepoint=(100.0, 50.0), overviews=[2])
+    assert open(p, "rb").read(2) == b"MM"
+    chain = _read_ifds(p)
+    assert [i["dtype"] for i in chain] == [">u2", ">u2"]
+    rows = read_geotiff(spark, p).collect()
+    assert len(rows) == 20 * 30 * 2
+    got = {(r.x, r.y, r.band): r for r in rows}
+    r = got[(29, 19, 1)]
+    assert r.value == float((29 * 31 + 19 * 17 + 7) % 997)
+    assert (r.geo_x, r.geo_y) == (100.0 + 29 * 0.5, 50.0 - 19 * 0.25)
+    assert read_geotiff(spark, p, level=1).count() == 15 * 10 * 2
