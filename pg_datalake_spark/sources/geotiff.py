@@ -5,7 +5,8 @@ docs/file-formats-reference.md:96-138`) — the one documented format
 family this repo had scoped out. This closes the MINIMUM slice and
 the Cloud-Optimized-GeoTIFF shape on top of it: classic little-endian
 TIFF, STRIPPED or TILED layout, compression none(1) / LZW(5, the
-TIFF-variant MSB-first codes with early change) / DEFLATE(8/32946),
+TIFF-variant MSB-first codes with early change) / DEFLATE(8/32946) /
+PackBits(32773),
 integer and float sample formats, chained IFDs (COG overview levels,
 selectable with ``level=``), and the two GeoTIFF georeferencing tags
 needed to place pixels — ModelPixelScaleTag (33550) and
@@ -67,7 +68,11 @@ _DTYPES = {
 }
 
 _COMP_NONE, _COMP_LZW, _COMP_DEFLATE, _COMP_ADOBE_DEFLATE = 1, 5, 8, 32946
-_SUPPORTED_COMP = {_COMP_NONE, _COMP_LZW, _COMP_DEFLATE, _COMP_ADOBE_DEFLATE}
+_COMP_PACKBITS = 32773
+_SUPPORTED_COMP = {
+    _COMP_NONE, _COMP_LZW, _COMP_DEFLATE, _COMP_ADOBE_DEFLATE,
+    _COMP_PACKBITS,
+}
 
 
 # --- TIFF-variant LZW (MSB-first bit order, 9..12-bit codes, early
@@ -169,11 +174,60 @@ def lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def packbits_decode(data: bytes) -> bytes:
+    """TIFF PackBits RLE: n >= 0 → copy n+1 literals; n < 0 (except
+    -128, a noop) → repeat the next byte 1−n times."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if n >= 0:
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n != -128:
+            out += data[i : i + 1] * (1 - n)
+            i += 1
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """TIFF PackBits encoder (fixture writer): runs of >= 3 identical
+    bytes become (1−run, byte); everything else literal chunks of up
+    to 128."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([256 - (run - 1), data[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        chunk = data[lit_start : min(i, lit_start + 128)]
+        i = lit_start + len(chunk)
+        out += bytes([len(chunk) - 1]) + chunk
+    return bytes(out)
+
+
 def _decompress(buf: bytes, comp: int) -> bytes:
     if comp in (_COMP_DEFLATE, _COMP_ADOBE_DEFLATE):
         return zlib.decompress(buf)
     if comp == _COMP_LZW:
         return lzw_decode(buf)
+    if comp == _COMP_PACKBITS:
+        return packbits_decode(buf)
     return buf
 
 
@@ -407,6 +461,8 @@ def _compress(raw: bytes, comp_code: int) -> bytes:
         return zlib.compress(raw)
     if comp_code == _COMP_LZW:
         return lzw_encode(raw)
+    if comp_code == _COMP_PACKBITS:
+        return packbits_encode(raw)
     return raw
 
 
@@ -520,6 +576,7 @@ def write_geotiff(
     arr = arr.astype(dt.newbyteorder(byte_order))
     comp_code = {
         "none": _COMP_NONE, "deflate": _COMP_DEFLATE, "lzw": _COMP_LZW,
+        "packbits": _COMP_PACKBITS,
     }[compression]
 
     sx, sy = pixel_scale

@@ -219,3 +219,34 @@ def test_big_endian_mm_roundtrip(spark, tmp_path):
     assert r.value == float((29 * 31 + 19 * 17 + 7) % 997)
     assert (r.geo_x, r.geo_y) == (100.0 + 29 * 0.5, 50.0 - 19 * 0.25)
     assert read_geotiff(spark, p, level=1).count() == 15 * 10 * 2
+
+
+def test_packbits_roundtrip_and_read(spark, tmp_path):
+    """PackBits (32773), the third classic TIFF codec: byte-level RLE
+    roundtrips (runs, literals, mixed, 128-boundary), and a
+    PackBits-compressed raster reads back exactly."""
+    import random
+
+    from pg_datalake_spark.sources.geotiff import (
+        packbits_decode,
+        packbits_encode,
+        read_geotiff,
+        write_geotiff,
+    )
+
+    random.seed(3)
+    cases = [
+        b"", b"a", b"aaaa", b"abcabc", bytes([7] * 300),
+        bytes([1] * 128), bytes([1] * 129),
+        bytes(random.randrange(4) for _ in range(5000)),
+        bytes(random.randrange(256) for _ in range(5000)),
+    ]
+    for d in cases:
+        assert packbits_decode(packbits_encode(d)) == d
+    arr = _planted(h=12, w=16, b=1)
+    p = os.path.join(str(tmp_path), "pb.tif")
+    write_geotiff(p, arr, compression="packbits", rows_per_strip=4)
+    rows = read_geotiff(spark, p).collect()
+    assert len(rows) == 12 * 16
+    got = {(r.x, r.y): r.value for r in rows}
+    assert got[(15, 11)] == float((15 * 31 + 11 * 17) % 997)
