@@ -54,6 +54,7 @@ _TAG = {
     "TileOffsets": 324,
     "TileByteCounts": 325,
     "NewSubfileType": 254,
+    "Predictor": 317,
     "ModelPixelScale": 33550,
     "ModelTiepoint": 33922,
 }
@@ -273,6 +274,12 @@ def _parse_one_ifd(
             f"geotiff: PlanarConfiguration=2 (band-separate) not supported:"
             f" {path}"
         )
+    pred = tags.get("Predictor", (1,))[0]
+    if pred not in (1, 2):
+        raise NotImplementedError(
+            f"geotiff: Predictor={pred} not supported (1=none, "
+            f"2=horizontal differencing): {path}"
+        )
     spp = tags.get("SamplesPerPixel", (1,))[0]
     bits = tags.get("BitsPerSample", (1,) * spp)
     sfmt = tags.get("SampleFormat", (1,) * spp)
@@ -298,6 +305,7 @@ def _parse_one_ifd(
         "bands": spp,
         "dtype": dtype,
         "compression": comp,
+        "predictor": pred,
         "tiled": tiled,
         # pixel (px, py) -> geo: gx = tx + (px - tpx) * sx ;
         #                        gy = ty - (py - tpy) * sy
@@ -385,7 +393,8 @@ def read_geotiff(
                     (
                         p, off, cnt, row0, th, col0, tw,
                         ifd["width"], ifd["height"], ifd["bands"],
-                        ifd["dtype"], ifd["compression"], ifd["sx"],
+                        ifd["dtype"], ifd["compression"],
+                        ifd["predictor"], ifd["sx"],
                         ifd["sy"], ifd["tpx"], ifd["tpy"], ifd["tx"],
                         ifd["ty"],
                     )
@@ -401,7 +410,8 @@ def read_geotiff(
                     (
                         p, off, cnt, row0, nrows, 0, ifd["width"],
                         ifd["width"], ifd["height"], ifd["bands"],
-                        ifd["dtype"], ifd["compression"], ifd["sx"],
+                        ifd["dtype"], ifd["compression"],
+                        ifd["predictor"], ifd["sx"],
                         ifd["sy"], ifd["tpx"], ifd["tpy"], ifd["tx"],
                         ifd["ty"],
                     )
@@ -422,6 +432,13 @@ def read_geotiff(
                 arr = np.frombuffer(buf, dtype=t.dtype).reshape(
                     int(t.chunk_h), int(t.chunk_w), int(t.bands)
                 )
+                if int(t.pred) == 2:
+                    # horizontal differencing: undo with a per-row
+                    # cumulative sum per sample, in the sample's own
+                    # integer width (mod 2^bits wraparound)
+                    arr = arr.cumsum(axis=1, dtype=np.int64).astype(
+                        t.dtype
+                    )
                 vis_h = min(int(t.chunk_h), int(t.img_h) - int(t.row0))
                 vis_w = min(int(t.chunk_w), int(t.img_w) - int(t.col0))
                 arr = arr[:vis_h, :vis_w, :]
@@ -443,8 +460,8 @@ def read_geotiff(
     cols = (
         "path string, off long, cnt long, row0 long, chunk_h long, "
         "col0 long, chunk_w long, img_w long, img_h long, bands long, "
-        "dtype string, comp long, sx double, sy double, tpx double, "
-        "tpy double, tx double, ty double"
+        "dtype string, comp long, pred long, sx double, sy double, "
+        "tpx double, tpy double, tx double, ty double"
     )
     files = spark.createDataFrame(tasks, cols)
     out_schema = (
@@ -468,7 +485,7 @@ def _compress(raw: bytes, comp_code: int) -> bytes:
 
 def _ifd_payload(
     arr, *, rows_per_strip, tile, comp_code, pixel_scale, tiepoint,
-    data_pos, is_overview, bo="<",
+    data_pos, is_overview, bo="<", predictor=1,
 ):
     """Chunk bytes + tag entries for ONE image (main or overview).
     Returns (chunks, entries, data_len)."""
@@ -479,6 +496,15 @@ def _ifd_payload(
     sfmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
     bits = dt.itemsize * 8
 
+    def prep(block):
+        if predictor == 2:
+            import numpy as _np
+
+            d = block.astype(_np.int64)
+            d[:, 1:, :] -= d[:, :-1, :].copy()
+            return d.astype(block.dtype)
+        return block
+
     chunks: list[bytes] = []
     if tile:
         tw, th = tile
@@ -488,11 +514,13 @@ def _ifd_payload(
                 block = np.zeros((th, tw, bands), dtype=dt)
                 part = arr[r0 : r0 + th, c0 : c0 + tw]
                 block[: part.shape[0], : part.shape[1]] = part
-                chunks.append(_compress(block.tobytes(), comp_code))
+                chunks.append(_compress(prep(block).tobytes(), comp_code))
     else:
         for r0 in range(0, h, rows_per_strip):
             chunks.append(
-                _compress(arr[r0 : r0 + rows_per_strip].tobytes(), comp_code)
+                _compress(
+                    prep(arr[r0 : r0 + rows_per_strip]).tobytes(), comp_code
+                )
             )
 
     offs = []
@@ -526,6 +554,8 @@ def _ifd_payload(
     ]
     if is_overview:
         entries.append((254, *long_arr([1])))  # NewSubfileType: reduced
+    if predictor != 1:
+        entries.append((317, *short_arr([predictor])))
     if tile:
         tw, th = tile
         entries += [
@@ -555,6 +585,7 @@ def write_geotiff(
     tiepoint: tuple[float, float] = (0.0, 0.0),
     overviews: list[int] | None = None,
     byte_order: str = "<",
+    predictor: int = 1,
 ) -> None:
     """Write a (height, width, bands) numpy array as a classic
     little-endian GeoTIFF (fixture writer for tests/queries):
@@ -598,6 +629,7 @@ def write_geotiff(
             data_pos=pos,
             is_overview=is_ov,
             bo=byte_order,
+            predictor=predictor,
         )
         pos += data_len
         blob_off = {}

@@ -250,3 +250,58 @@ def test_packbits_roundtrip_and_read(spark, tmp_path):
     assert len(rows) == 12 * 16
     got = {(r.x, r.y): r.value for r in rows}
     assert got[(15, 11)] == float((15 * 31 + 11 * 17) % 997)
+
+
+def test_predictor_horizontal_differencing(spark, tmp_path):
+    """Predictor=2 (tag 317, horizontal differencing) — what GDAL
+    pairs with LZW/DEFLATE by default. Without it a real-world file
+    would decode WRONG silently, so the tag is parsed, undone with a
+    per-row modular cumulative sum (uint8 wraparound covered), and
+    unknown predictors fail loud."""
+    from pg_datalake_spark.sources.geotiff import (
+        _read_ifd,
+        read_geotiff,
+        write_geotiff,
+    )
+
+    arr = _planted(h=12, w=16)
+    for name, kw in [
+        ("p_lzw.tif", dict(compression="lzw", predictor=2,
+                           rows_per_strip=4)),
+        ("p_tile.tif", dict(compression="deflate", predictor=2,
+                            tile=(8, 4))),
+    ]:
+        p = os.path.join(str(tmp_path), name)
+        write_geotiff(p, arr, **kw)
+        got = {(r.x, r.y, r.band): r.value
+               for r in read_geotiff(spark, p).collect()}
+        assert all(
+            got[(x, y, b)] == float(arr[y, x, b])
+            for x in range(16) for y in range(12) for b in range(2)
+        )
+    # uint8 wraparound under differencing
+    import numpy as np
+
+    ys, xs = np.indices((6, 40))
+    a8 = (xs * 91 + ys * 53).astype(np.uint8)
+    p8 = os.path.join(str(tmp_path), "p_u8.tif")
+    write_geotiff(p8, a8, compression="packbits", predictor=2,
+                  rows_per_strip=3)
+    got = {(r.x, r.y): r.value for r in read_geotiff(spark, p8).collect()}
+    assert all(
+        got[(x, y)] == float(a8[y, x]) for x in range(40) for y in range(6)
+    )
+    # unknown predictor fails loud: patch tag 317 to 3 (fp predictor)
+    import struct
+
+    data = bytearray(open(p8, "rb").read())
+    (ifd_off,) = struct.unpack("<I", data[4:8])
+    (n,) = struct.unpack("<H", data[ifd_off : ifd_off + 2])
+    for i in range(n):
+        e = ifd_off + 2 + i * 12
+        if struct.unpack("<H", data[e : e + 2])[0] == 317:
+            data[e + 8 : e + 10] = struct.pack("<H", 3)
+    pbad = os.path.join(str(tmp_path), "p_bad.tif")
+    open(pbad, "wb").write(bytes(data))
+    with pytest.raises(NotImplementedError, match="Predictor=3"):
+        _read_ifd(pbad)
