@@ -1396,6 +1396,7 @@ _G_TYPES = [
     ("i4", "long", "BIGINT"),
     ("i5", "long", "BIGINT"),
     ("d1", "double", "DOUBLE"),
+    ("d2", "double", "DOUBLE"),
     ("s1", "string", "VARCHAR"),
 ]
 
@@ -1539,7 +1540,7 @@ def w_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "x03_x08_x14_t05_t06_t07_t08_t12_v05_d06_d10_t16_llmops",
+    "x03_x08_x14_t05_t06_t07_t08_t09_t12_v05_d06_d10_t16_llmops",
     oracle=lambda: "\nUNION ALL\n".join(
         [
             _g_arm_sql(
@@ -1664,6 +1665,14 @@ def w_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i2="n_novel",
                 d1="novelty",
             ),
+            _g_arm_sql(
+                "t09",
+                ORACLES["t09_repetition_filter"],
+                k="CAST(doc_id AS VARCHAR)",
+                i1="n_2grams",
+                d1="dup_2gram_frac",
+                d2="dup_3gram_frac",
+            ),
         ]
     ),
 )
@@ -1680,7 +1689,8 @@ def x_llmops(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the r10 rotation: ExactSubstr excision (d10, cleaned strings
     hash via md5) and the full Gopher structural battery (t16) — plus
     the r11 rotation: character entropy (t07), BPE-ish token counting
-    (t08) and cross-corpus novelty (t12)."""
+    (t08), cross-corpus novelty (t12) and the repetition filter
+    (t09 — the d2 slot was added for its second fraction)."""
     bar = F.lit("|")
     return _g_union(
         _g_arm(
@@ -1804,6 +1814,14 @@ def x_llmops(spark: SparkSession, sf_dir: str) -> DataFrame:
             i1=F.col("n_grams"),
             i2=F.col("n_novel"),
             d1=F.col("novelty"),
+        ),
+        _g_arm(
+            QUERIES["t09_repetition_filter"](spark, sf_dir),
+            "t09",
+            k=F.col("doc_id").cast("string"),
+            i1=F.col("n_2grams"),
+            d1=F.col("dup_2gram_frac"),
+            d2=F.col("dup_3gram_frac"),
         ),
     )
 

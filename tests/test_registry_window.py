@@ -55,7 +55,7 @@ WINDOW_MANIFEST = [
     "v01_v02_cosine",
     "j01_j07_j08_n01_joins",
     "w04_w05_w07_cb18_cb42_sessions",
-    "x03_x08_x14_t05_t06_t07_t08_t12_v05_d06_d10_t16_llmops",
+    "x03_x08_x14_t05_t06_t07_t08_t09_t12_v05_d06_d10_t16_llmops",
     "c07_f16_f17_p01_p02_u02_u03_misc",
     "geo01_geo02_geo03_geo12_geo13_geo14_geo15_geo16_geo17_geo19_spatial",
     "ds36_ds51_ds67_ds04_ds39_ds77_ds87_shapes",
