@@ -169,6 +169,12 @@ def lzw_encode(data: bytes) -> bytes:
         w = c
     if w:
         emit(table[w], width)
+        # the decoder appends its lagging table entry after this final
+        # data code WITHOUT a matching encoder next_code bump; if that
+        # lands on the decoder's early-change boundary (510/1022/2046)
+        # it widens before reading EOI, so the encoder must too
+        if next_code == (1 << width) - 2 and width < 12:
+            width += 1
     emit(EOI, width)
     if nbits:
         out.append((buf << (8 - nbits)) & 0xFF)
@@ -294,6 +300,14 @@ def _parse_one_ifd(
             f"supported: {path}"
         )
     dtype = _DTYPES[key]
+    if pred == 2 and sfmt[0] == 3:
+        # TIFF reserves Predictor=2 for integer samples; floats use
+        # Predictor=3 (which fails loud above). Undoing horizontal
+        # differencing with an int cumsum would silently truncate.
+        raise NotImplementedError(
+            f"geotiff: Predictor=2 with float SampleFormat not supported "
+            f"(spec reserves 2 for integer data; 3=floating point): {path}"
+        )
     if bo == ">":
         dtype = dtype.replace("<", ">")
     scale = tags.get("ModelPixelScale", (1.0, 1.0, 0.0))
@@ -604,6 +618,13 @@ def write_geotiff(
         raise ValueError(f"geotiff writer: unsupported dtype {dt}")
     if byte_order not in ("<", ">"):
         raise ValueError("byte_order must be '<' (II) or '>' (MM)")
+    if predictor == 2 and dt.kind == "f":
+        # Spec reserves Predictor=2 for integer samples (floats use 3);
+        # int differencing would silently truncate float data.
+        raise NotImplementedError(
+            "geotiff writer: Predictor=2 with float dtype not supported "
+            "(spec reserves 2 for integer data; 3=floating point)"
+        )
     arr = arr.astype(dt.newbyteorder(byte_order))
     comp_code = {
         "none": _COMP_NONE, "deflate": _COMP_DEFLATE, "lzw": _COMP_LZW,

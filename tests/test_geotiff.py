@@ -134,6 +134,64 @@ def test_lzw_codec_roundtrip():
         assert lzw_decode(lzw_encode(data)) == data
 
 
+def test_lzw_eoi_width_boundary():
+    """EOI code width when the final data code lands exactly on the
+    decoder's early-change boundary (table sizes 510/1022/2046): the
+    decoder appends its lagging entry after the last data code and
+    widens, so the encoder must emit EOI at the widened width too.
+    Sweeps lengths around each boundary for an all-fresh-pairs pattern
+    (every byte pair distinct -> one table entry per input byte)."""
+    import random
+
+    from pg_datalake_spark.sources.geotiff import lzw_decode, lzw_encode
+
+    # (i*7) % 251 never repeats a bigram within <251*? window: each
+    # emit adds exactly one table entry, so length L puts the decoder
+    # table at 258+L-2 after the tail -- lengths ~254/766/1790 hit the
+    # 510/1022/2046 boundaries exactly (the ADVICE repro is L=254)
+    random.seed(3)
+    for center in (254, 766, 1790):
+        for L in range(center - 4, center + 5):
+            data = bytes((i * 7) % 251 for i in range(L))
+            assert lzw_decode(lzw_encode(data)) == data, f"pattern L={L}"
+            rnd = bytes(random.randrange(256) for _ in range(L))
+            assert lzw_decode(lzw_encode(rnd)) == rnd, f"random L={L}"
+
+
+def test_predictor2_float_fails_loud(tmp_path):
+    """Predictor=2 is reserved for integer samples (floats use 3):
+    both writer and reader fail loud instead of silently truncating
+    through the int differencing path."""
+    import numpy as np
+    import pytest
+
+    from pg_datalake_spark.sources.geotiff import _read_ifd, write_geotiff
+
+    arr = np.linspace(0.0, 1.0, 16, dtype=np.float32).reshape(4, 4)
+    p = str(tmp_path / "f32_pred2.tif")
+    with pytest.raises(NotImplementedError, match="Predictor=2 with float"):
+        write_geotiff(p, arr, predictor=2)
+    # reader side: write a valid int tiff, then patch SampleFormat to
+    # float so the parser sees Predictor=2 + SampleFormat=3
+    import struct
+
+    pi = str(tmp_path / "int_pred2.tif")
+    write_geotiff(pi, np.arange(16, dtype=np.uint32).reshape(4, 4) * 1000,
+                  predictor=2)
+    data = bytearray(open(pi, "rb").read())
+    (ifd_off,) = struct.unpack("<I", data[4:8])
+    (n,) = struct.unpack("<H", data[ifd_off : ifd_off + 2])
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        (tag,) = struct.unpack("<H", data[e : e + 2])
+        if tag == 339:  # SampleFormat -> 3 (IEEE float)
+            data[e + 8 : e + 10] = struct.pack("<H", 3)
+    pf = str(tmp_path / "float_pred2.tif")
+    open(pf, "wb").write(bytes(data))
+    with pytest.raises(NotImplementedError, match="Predictor=2 with float"):
+        _read_ifd(pf)
+
+
 def test_tiled_cog_with_overviews(spark):
     """Tiled layout + LZW + chained overview IFDs (the COG shape):
     one task per tile, edge tiles clipped back to the image, overview
