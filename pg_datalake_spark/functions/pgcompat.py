@@ -65,6 +65,43 @@ def pg_array_agg(col: Column | str) -> Column:
     return F.transform(F.collect_list(F.struct(c.alias("v"))), lambda s: s["v"])
 
 
+def pg_grouping_agg(df, keys, aggs, *, kind="rollup", groupings=()):
+    """PG-semantics ROLLUP/CUBE: like ``df.rollup(*keys).agg(*aggs)``
+    but emits the grand-total row over EMPTY input.
+
+    PG and DuckDB treat the ``()`` grouping set as a global aggregation
+    (one row even when the input relation is empty: COUNT()=0, other
+    aggregates NULL). Spark's grouping sets return an empty relation
+    instead — found by the differential fuzzer (pg_datalake_spark.fuzz,
+    q_rollup shape). Reference behavior: the engine ships grouping-set
+    queries verbatim to its PG-semantics executor
+    (pg_lake_engine/tests/test_grouping_set_pushdown.py).
+
+    The rewrite costs one extra O(1)-output aggregation, not a second
+    scan of materialized results: the grand-total row is computed as a
+    global aggregate gated on ``HAVING count(*) = 0`` — it survives iff
+    the input was empty, exactly when Spark's rollup dropped it. At
+    100 TB the extra branch is one map-side-combined count.
+
+    ``keys``: column-name strings. ``aggs``: aggregate Columns with
+    aliases. ``groupings``: (alias, key) pairs emitted as
+    ``CAST(grouping(key) AS INT)`` in the grouped branch and literal 1
+    in the grand-total row (grouping() is invalid outside grouping
+    sets, so it cannot live inside ``aggs``).
+    """
+    grouped = getattr(df, kind)(*keys)
+    gcols = [F.grouping(k).cast("int").alias(a) for a, k in groupings]
+    base = grouped.agg(*gcols, *aggs)
+    marker = F.count(F.lit(1)).alias("__pg_n")
+    empty = df.agg(
+        *[F.lit(1).alias(a) for a, _ in groupings], *aggs, marker
+    ).where(F.col("__pg_n") == 0).drop("__pg_n")
+    for k in keys:
+        empty = empty.withColumn(
+            k, F.lit(None).cast(base.schema[k].dataType))
+    return base.unionByName(empty.select(*base.columns))
+
+
 # --------------------------------------------------------------------------
 # date / time
 # --------------------------------------------------------------------------

@@ -1,0 +1,538 @@
+"""Randomized differential query fuzzing vs the DuckDB oracle.
+
+The reference's strongest correctness idea is a differential oracle
+over *arbitrary* queries, not a hand-picked corpus (reference:
+pg_lake_table/tests (assert_query_results_on_tables), regress-derived
+test_postgres_compat_sql.py). This module is the Spark-side analog: a
+seeded generator that emits random queries over the star schema in a
+COMMON SQL dialect executable by both Spark SQL and DuckDB, so every
+query is its own oracle.
+
+Determinism rules baked into the grammar (the hard-won exact-hash
+lessons from scripts/check_exact.py / CLAUDE.md):
+
+- Multi-row accumulation of doubles is order-dependent -> any SUM over
+  a double measure goes through the exact-decimal formulation
+  ``CAST(SUM(CAST(x AS DECIMAL(30,4))) AS DOUBLE)`` (the tpch.dsum
+  pattern, proven across the 354-query registry).
+- Per-row double arithmetic IS deterministic (same IEEE ops, same
+  inputs, no FMA on either engine) -> scalar projections of doubles
+  are allowed.
+- SUM(BIGINT) is HUGEINT in DuckDB -> always CAST(... AS BIGINT).
+- AVG is never emitted (half-way rounding ties differ); MIN/MAX/COUNT
+  are exact on every type.
+- ORDER BY only matters under LIMIT; there the generator orders by ALL
+  output columns with explicit NULLS LAST so the kept multiset is
+  deterministic even with ties (the comparator sorts rows anyway).
+- Timestamp literals differ by dialect (Spark timestamp_ntz columns
+  need TIMESTAMP_NTZ literals; DuckDB plain TIMESTAMP) -> the
+  generator emits a placeholder resolved at render time.
+- EXTRACT(DOW) numbering differs between engines -> only
+  YEAR/MONTH/DAY are generated.
+
+Every other construct emitted (joins, group-by, grouping sets, window
+frames, set ops, IN/EXISTS/scalar subqueries, HAVING, CASE, string
+fns, BETWEEN, LIKE, %) has identical semantics in both dialects.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+
+_TS = "⟦TS⟧"  # timestamp-literal placeholder
+
+
+def render(sql: str, dialect: str) -> str:
+    """Resolve dialect placeholders: dialect in {'spark', 'duckdb'}."""
+    kw = "TIMESTAMP_NTZ" if dialect == "spark" else "TIMESTAMP"
+    return sql.replace(_TS, kw)
+
+
+# --- schema model (domains sampled from /root/testdata/sf0.01) ---
+
+@dataclass
+class Table:
+    name: str
+    alias: str
+    ukey: list[str]                      # unique row key (for total orders)
+    ints: dict[str, tuple[int, int]]     # col -> (lo, hi) literal domain
+    doubles: dict[str, tuple[float, float]]
+    strings: dict[str, list[str]]        # low-cardinality value domains
+    timestamps: dict[str, tuple[str, str]] = field(default_factory=dict)
+
+    def cols(self) -> list[str]:
+        return (list(self.ints) + list(self.doubles) + list(self.strings)
+                + list(self.timestamps))
+
+
+LINEITEM = Table(
+    "lineitem", "l",
+    # the synthetic lineitem does NOT have TPC-H's unique
+    # (l_orderkey, l_linenumber) — seed-437 fuzz find; this 9-column
+    # prefix is verified unique at sf0.001/0.01/0.1, making window
+    # ORDER BYs total
+    ukey=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_shipdate"],
+    ints={"l_orderkey": (1, 60000), "l_partkey": (1, 2000),
+          "l_suppkey": (1, 100), "l_linenumber": (1, 7)},
+    doubles={"l_quantity": (1, 50), "l_extendedprice": (900, 105000),
+             "l_discount": (0.0, 0.1), "l_tax": (0.0, 0.08)},
+    strings={"l_returnflag": ["A", "N", "R"], "l_linestatus": ["O", "F"]},
+    timestamps={"l_shipdate": ("1995-01-02", "2001-11-04")},
+)
+ORDERS = Table(
+    "orders", "o",
+    ukey=["o_orderkey"],
+    ints={"o_orderkey": (1, 60000), "o_custkey": (1, 1500)},
+    doubles={"o_totalprice": (1000, 500000)},
+    strings={"o_orderstatus": ["P", "O", "F"],
+             "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                                 "4-NOT SPECIFIED", "5-LOW"]},
+    timestamps={"o_orderdate": ("1995-01-01", "2001-08-01")},
+)
+CUSTOMER = Table(
+    "customer", "c",
+    ukey=["c_custkey"],
+    ints={"c_custkey": (1, 1500), "c_nationkey": (0, 24)},
+    doubles={"c_acctbal": (-1000, 10000)},
+    strings={"c_mktsegment": ["MACHINERY", "HOUSEHOLD", "AUTOMOBILE",
+                              "FURNITURE", "BUILDING"]},
+)
+SUPPLIER = Table(
+    "supplier", "s",
+    ukey=["s_suppkey"],
+    ints={"s_suppkey": (1, 100), "s_nationkey": (0, 24)},
+    doubles={"s_acctbal": (-1000, 10000)},
+    strings={},
+)
+PART = Table(
+    "part", "p",
+    ukey=["p_partkey"],
+    ints={"p_partkey": (1, 2000), "p_size": (1, 50)},
+    doubles={"p_retailprice": (900, 1000)},
+    strings={"p_type": ["ECONOMY", "STANDARD", "LARGE", "MEDIUM",
+                        "SMALL", "PROMO"],
+             "p_brand": [f"Brand#{i}" for i in range(1, 25)]},
+)
+NATION = Table(
+    "nation", "n",
+    ukey=["n_nationkey"],
+    ints={"n_nationkey": (0, 24), "n_regionkey": (0, 4)},
+    doubles={},
+    strings={"n_name": [f"NATION_{i}" for i in range(25)]},
+)
+REGION = Table(
+    "region", "r",
+    ukey=["r_regionkey"],
+    ints={"r_regionkey": (0, 4)},
+    doubles={},
+    strings={"r_name": [f"REGION_{i}" for i in range(5)]},
+)
+EVENTS = Table(
+    "events", "e",
+    ukey=["event_id"],
+    ints={"event_id": (1, 100000), "user_id": (1, 2000)},
+    doubles={"value": (0.0, 490.0)},
+    strings={"event_type": ["click", "signup", "error", "view", "purchase"]},
+    timestamps={"ts": ("2024-01-01", "2024-01-30")},
+)
+DOCUMENTS = Table(
+    "documents", "d",
+    ukey=["doc_id"],
+    ints={"doc_id": (1, 5000), "n_chars": (48, 553)},
+    doubles={},
+    strings={"lang": ["de", "zh", "fr", "es", "en"],
+             "source": [f"src{i}" for i in range(20)]},
+)
+
+TABLES = [LINEITEM, ORDERS, CUSTOMER, SUPPLIER, PART, NATION, REGION,
+          EVENTS, DOCUMENTS]
+
+# FK edges: (from_table, from_col, to_table, to_col)
+FK = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+_BY_NAME = {t.name: t for t in TABLES}
+
+
+class QueryGen:
+    """Seeded random query generator over the common dialect."""
+
+    def __init__(self, seed: int):
+        self.rng = random.Random(seed)
+        self.seed = seed
+
+    # --- scalar building blocks ---
+
+    def _int_lit(self, lo: int, hi: int) -> str:
+        return str(self.rng.randint(lo, hi))
+
+    def _cmp(self) -> str:
+        return self.rng.choice(["<", "<=", ">", ">=", "=", "<>"])
+
+    def _pred(self, t: Table) -> str:
+        kind = self.rng.choice(
+            ["int", "int", "between", "mod", "str_eq", "str_in", "like",
+             "double"] + (["ts"] if t.timestamps else [])
+        )
+        if kind in ("int", "between", "mod"):
+            col, (lo, hi) = self.rng.choice(list(t.ints.items()))
+            if kind == "int":
+                return f"{col} {self._cmp()} {self._int_lit(lo, hi)}"
+            if kind == "between":
+                a = self.rng.randint(lo, hi)
+                b = self.rng.randint(a, hi)
+                return f"{col} BETWEEN {a} AND {b}"
+            m = self.rng.randint(2, 13)
+            return f"{col} % {m} = {self.rng.randrange(m)}"
+        if kind in ("str_eq", "str_in", "like"):
+            if not t.strings:
+                return self._pred(t)
+            col, dom = self.rng.choice(list(t.strings.items()))
+            if kind == "str_eq":
+                op = self.rng.choice(["=", "<>"])
+                return f"{col} {op} '{self.rng.choice(dom)}'"
+            if kind == "str_in":
+                vals = self.rng.sample(dom, k=min(len(dom),
+                                                  self.rng.randint(1, 3)))
+                return f"{col} IN ({', '.join(repr(v) for v in vals)})"
+            v = self.rng.choice(dom)
+            cut = self.rng.randint(1, max(1, len(v) - 1))
+            pat = self.rng.choice([v[:cut] + "%", "%" + v[cut:],
+                                   v[:1] + "%" + v[-1:]])
+            return f"{col} LIKE '{pat}'"
+        if kind == "double":
+            if not t.doubles:
+                return self._pred(t)
+            col, (lo, hi) = self.rng.choice(list(t.doubles.items()))
+            v = round(self.rng.uniform(lo, hi), 2)
+            return f"{col} {self.rng.choice(['<', '>', '<=', '>='])} {v}"
+        col, (lo, hi) = self.rng.choice(list(t.timestamps.items()))
+        y0, y1 = int(lo[:4]), int(hi[:4])
+        y = self.rng.randint(y0, y1)
+        mo = self.rng.randint(1, 12)
+        op = self.rng.choice(["<", ">", "<=", ">="])
+        return f"{col} {op} {_TS} '{y}-{mo:02d}-01'"
+
+    def _where(self, t: Table, n_min: int = 0, n_max: int = 3) -> str:
+        n = self.rng.randint(n_min, n_max)
+        if n == 0:
+            return ""
+        preds = [self._pred(t) for _ in range(n)]
+        glue = [self.rng.choice([" AND ", " OR "]) for _ in range(n - 1)]
+        expr = preds[0]
+        for g, p in zip(glue, preds[1:]):
+            expr = f"({expr}{g}{p})"
+        return f" WHERE {expr}"
+
+    def _scalar_expr(self, t: Table, i: int) -> str:
+        """A deterministic per-row scalar projection, aliased e_{i}."""
+        kind = self.rng.choice(
+            ["arith", "case", "coalesce"]
+            + (["string"] if t.strings else [])
+            + (["date"] if t.timestamps else [])
+            + (["dbl"] if t.doubles else [])
+        )
+        a = f"e_{i}"
+        if kind == "arith":
+            col, _ = self.rng.choice(list(t.ints.items()))
+            m = self.rng.randint(2, 13)
+            op = self.rng.choice(
+                [f"({col} % {m}) * {self.rng.randint(1, 9)}",
+                 f"{col} + {self.rng.randint(-5, 5)}",
+                 f"ABS({col} % {m} - {m // 2})"])
+            return f"CAST({op} AS BIGINT) AS {a}"
+        if kind == "case":
+            return f"CASE WHEN {self._pred(t)} THEN {self.rng.randint(0, 9)} " \
+                   f"ELSE {self.rng.randint(10, 19)} END AS {a}"
+        if kind == "string":
+            col = self.rng.choice(list(t.strings))
+            f = self.rng.choice(
+                [f"UPPER({col})", f"LOWER({col})", f"LENGTH({col})",
+                 f"SUBSTR({col}, 1, {self.rng.randint(1, 4)})",
+                 f"{col} || '_x'",
+                 f"REPLACE({col}, 'A', 'z')"])
+            return f"{f} AS {a}"
+        if kind == "coalesce":
+            col, (lo, hi) = self.rng.choice(list(t.ints.items()))
+            v = self.rng.randint(lo, hi)
+            return f"COALESCE(NULLIF({col}, {v}), {-1}) AS {a}"
+        if kind == "date":
+            col = self.rng.choice(list(t.timestamps))
+            f = self.rng.choice(
+                [f"EXTRACT(YEAR FROM {col})", f"EXTRACT(MONTH FROM {col})",
+                 f"EXTRACT(DAY FROM {col})",
+                 f"DATE_TRUNC('month', {col})"])
+            if f.startswith("EXTRACT"):
+                f = f"CAST({f} AS BIGINT)"
+            return f"{f} AS {a}"
+        col, _ = self.rng.choice(list(t.doubles.items()))
+        # per-row double arithmetic: deterministic on both engines
+        f = self.rng.choice(
+            [f"{col} * {self.rng.randint(2, 9)}",
+             f"{col} + {round(self.rng.uniform(0, 10), 2)}",
+             f"ABS({col} - {round(self.rng.uniform(0, 100), 2)})"])
+        return f"({f}) AS {a}"
+
+    def _agg_expr(self, t: Table, i: int) -> str:
+        a = f"agg_{i}"
+        kind = self.rng.choice(
+            ["count_star", "count", "count_distinct", "sum_int", "min_max",
+             "dsum", "bool"])
+        if kind == "count_star":
+            return f"COUNT(*) AS {a}"
+        if kind == "count":
+            return f"COUNT({self.rng.choice(t.cols())}) AS {a}"
+        if kind == "count_distinct":
+            return f"COUNT(DISTINCT {self.rng.choice(t.cols())}) AS {a}"
+        if kind == "sum_int":
+            col, _ = self.rng.choice(list(t.ints.items()))
+            m = self.rng.randint(2, 1000)
+            return f"CAST(SUM({col} % {m}) AS BIGINT) AS {a}"
+        if kind == "min_max":
+            col = self.rng.choice(t.cols())
+            return f"{self.rng.choice(['MIN', 'MAX'])}({col}) AS {a}"
+        if kind == "dsum" and t.doubles:
+            col, _ = self.rng.choice(list(t.doubles.items()))
+            return (f"CAST(SUM(CAST({col} AS DECIMAL(30,4))) AS DOUBLE) "
+                    f"AS {a}")
+        # COALESCE: the global aggregate over EMPTY input is NULL, and
+        # an all-NULL boolean column round-trips to pandas differently
+        # per engine (object None vs float64 NaN) — a comparator
+        # artifact, not a semantic difference
+        return (f"COALESCE(BOOL_{self.rng.choice(['AND', 'OR'])}"
+                f"({self._pred(t)}), FALSE) AS {a}")
+
+    def _group_keys(self, t: Table, n: int) -> list[str]:
+        pool = list(t.strings) + [
+            f"{c} % {self.rng.randint(2, 10)}" for c in list(t.ints)[:2]
+        ] + [f"EXTRACT(YEAR FROM {c})" for c in t.timestamps]
+        self.rng.shuffle(pool)
+        return pool[:n]
+
+    # --- query shapes ---
+
+    def q_aggregate(self) -> str:
+        t = self.rng.choice(TABLES)
+        n_keys = self.rng.randint(0, 2)
+        keys = self._group_keys(t, n_keys)
+        key_sel = [f"{k} AS k_{i}" for i, k in enumerate(keys)]
+        aggs = [self._agg_expr(t, i) for i in range(self.rng.randint(1, 4))]
+        sql = f"SELECT {', '.join(key_sel + aggs)} FROM {t.name}"
+        sql += self._where(t)
+        if keys:
+            sql += f" GROUP BY {', '.join(keys)}"
+            if self.rng.random() < 0.3:
+                sql += f" HAVING COUNT(*) > {self.rng.randint(0, 5)}"
+        return sql
+
+    def q_scalar_project(self) -> str:
+        t = self.rng.choice(TABLES)
+        exprs = [self._scalar_expr(t, i)
+                 for i in range(self.rng.randint(1, 4))]
+        uk = ", ".join(t.ukey)
+        m = self.rng.randint(7, 23)
+        sql = (f"SELECT {uk}, {', '.join(exprs)} FROM {t.name}"
+               f" WHERE {t.ukey[0]} % {m} = {self.rng.randrange(m)}")
+        extra = self._where(t, 0, 1).replace(" WHERE ", " AND ", 1)
+        return sql + extra
+
+    def _join_chain(self) -> tuple[list[Table], str]:
+        start = self.rng.choice(["lineitem", "orders", "customer",
+                                 "supplier", "lineitem"])
+        chain = [_BY_NAME[start]]
+        frm = start
+        cur = start
+        for _ in range(self.rng.randint(1, 3)):
+            edges = [e for e in FK if e[0] == cur]
+            if not edges:
+                break
+            _, fc, to, tc = self.rng.choice(edges)
+            jt = self.rng.choice(["JOIN", "JOIN", "LEFT JOIN"])
+            frm += f" {jt} {to} ON {fc} = {tc}"
+            chain.append(_BY_NAME[to])
+            cur = to
+        return chain, frm
+
+    def q_join_agg(self) -> str:
+        chain, frm = self._join_chain()
+        keyed = [t for t in chain if t.strings]
+        kt = self.rng.choice(keyed) if keyed else chain[0]
+        keys = self._group_keys(kt, self.rng.randint(0, 2))
+        key_sel = [f"{k} AS k_{i}" for i, k in enumerate(keys)]
+        agg_t = self.rng.choice(chain)
+        aggs = [self._agg_expr(agg_t, i)
+                for i in range(self.rng.randint(1, 3))]
+        sql = f"SELECT {', '.join(key_sel + aggs)} FROM {frm}"
+        wt = self.rng.choice(chain)
+        sql += self._where(wt, 0, 2)
+        if keys:
+            sql += f" GROUP BY {', '.join(keys)}"
+        return sql
+
+    def q_window(self) -> str:
+        t = self.rng.choice([LINEITEM, ORDERS, CUSTOMER, EVENTS, PART])
+        part = self.rng.choice(list(t.strings) + list(t.ints))
+        part_k = (part if part in t.strings
+                  else f"{part} % {self.rng.randint(2, 8)}")
+        uk = ", ".join(t.ukey)
+        order = f"ORDER BY {uk}"
+        over = f"OVER (PARTITION BY {part_k} {order})"
+        icol = self.rng.choice(list(t.ints))
+        wins = []
+        picks = self.rng.sample(
+            ["rn", "rank", "sum", "lag", "lead", "cnt", "ntile"],
+            k=self.rng.randint(1, 3))
+        for i, p in enumerate(picks):
+            a = f"w_{i}"
+            if p == "rn":
+                wins.append(f"ROW_NUMBER() {over} AS {a}")
+            elif p == "rank":
+                lc = self.rng.choice(list(t.strings) or list(t.ints))
+                wins.append(
+                    f"RANK() OVER (PARTITION BY {part_k} ORDER BY {lc}, "
+                    f"{uk}) AS {a}")
+            elif p == "sum":
+                k = self.rng.randint(1, 5)
+                frame = self.rng.choice(
+                    [f"ROWS BETWEEN {k} PRECEDING AND CURRENT ROW",
+                     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"])
+                wins.append(
+                    f"CAST(SUM({icol} % 1000) OVER (PARTITION BY {part_k} "
+                    f"{order} {frame}) AS BIGINT) AS {a}")
+            elif p in ("lag", "lead"):
+                wins.append(f"{p.upper()}({icol}, {self.rng.randint(1, 3)}) "
+                            f"{over} AS {a}")
+            elif p == "cnt":
+                wins.append(f"COUNT(*) OVER (PARTITION BY {part_k}) AS {a}")
+            else:
+                wins.append(f"NTILE({self.rng.randint(2, 5)}) {over} AS {a}")
+        m = self.rng.randint(5, 17)
+        inner = (f"SELECT * FROM {t.name} WHERE {t.ukey[0]} % {m} = "
+                 f"{self.rng.randrange(m)}")
+        return f"SELECT {uk}, {', '.join(wins)} FROM ({inner}) sub"
+
+    def q_setop(self) -> str:
+        t = self.rng.choice([LINEITEM, ORDERS, CUSTOMER, PART, EVENTS])
+        cols = [t.ukey[0]] + self.rng.sample(
+            list(t.strings) + list(t.ints),
+            k=min(2, len(t.strings) + len(t.ints)))
+        cols = list(dict.fromkeys(cols))
+        sel = ", ".join(cols)
+        op = self.rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+                              "INTERSECT ALL", "EXCEPT ALL"])
+        w1 = self._where(t, 1, 2)
+        w2 = self._where(t, 1, 2)
+        return (f"SELECT {sel} FROM {t.name}{w1} {op} "
+                f"SELECT {sel} FROM {t.name}{w2}")
+
+    def q_subquery(self) -> str:
+        kind = self.rng.choice(["in", "exists", "scalar", "not_in_safe"])
+        if kind in ("in", "not_in_safe"):
+            fk = self.rng.choice(FK)
+            ft, fc, dt, dc = _BY_NAME[fk[0]], fk[1], _BY_NAME[fk[2]], fk[3]
+            sub = f"SELECT {dc} FROM {dt.name}{self._where(dt, 1, 2)}"
+            neg = "NOT " if kind == "not_in_safe" else ""
+            # dc is a non-null PK, so NOT IN has no tri-valued surprise
+            sql = (f"SELECT COUNT(*) AS agg_0, "
+                   f"COUNT(DISTINCT {fc}) AS agg_1 FROM {ft.name} "
+                   f"WHERE {fc} {neg}IN ({sub})")
+            return sql
+        if kind == "exists":
+            fk = self.rng.choice(FK)
+            ft, fc, dt, dc = _BY_NAME[fk[0]], fk[1], _BY_NAME[fk[2]], fk[3]
+            p = self._pred(dt)
+            neg = self.rng.choice(["", "NOT "])
+            return (f"SELECT COUNT(*) AS agg_0 FROM {ft.name} t WHERE "
+                    f"{neg}EXISTS (SELECT 1 FROM {dt.name} d WHERE "
+                    f"d.{dc} = t.{fc} AND {p})")
+        t = self.rng.choice([LINEITEM, ORDERS, CUSTOMER, PART])
+        col, _ = self.rng.choice(list(t.ints.items()))
+        f = self.rng.choice(["MIN", "MAX"])
+        sub = f"SELECT {f}({col}) FROM {t.name}{self._where(t, 1, 1)}"
+        return (f"SELECT COUNT(*) AS agg_0 FROM {t.name} "
+                f"WHERE {col} <= ({sub})")
+
+    def q_orderby_limit(self) -> str:
+        t = self.rng.choice(TABLES)
+        cols = [*t.ukey] + self.rng.sample(t.cols(),
+                                           k=min(2, len(t.cols())))
+        cols = list(dict.fromkeys(cols))
+        order = ", ".join(
+            f"{c} {self.rng.choice(['ASC', 'DESC'])} NULLS LAST"
+            for c in cols)
+        return (f"SELECT {', '.join(cols)} FROM {t.name}{self._where(t)}"
+                f" ORDER BY {order} LIMIT {self.rng.randint(1, 200)}")
+
+    def q_rollup(self):
+        t = self.rng.choice([LINEITEM, ORDERS, CUSTOMER, PART, EVENTS,
+                             DOCUMENTS])
+        keys = self._group_keys(t, 2)
+        if len(keys) < 2:
+            return self.q_aggregate()
+        form = self.rng.choice(
+            [f"ROLLUP({keys[0]}, {keys[1]})",
+             f"CUBE({keys[0]}, {keys[1]})",
+             f"GROUPING SETS (({keys[0]}), ({keys[1]}), ())"])
+        aggs = [self._agg_expr(t, i)
+                for i in range(self.rng.randint(1, 2))]
+        sel = [f"{k} AS k_{i}" for i, k in enumerate(keys)]
+        sel.append(f"CAST(GROUPING({keys[0]}) AS BIGINT) AS g_0")
+        where = self._where(t, 0, 2)
+        common = (f"SELECT {', '.join(sel + aggs)} FROM {t.name}"
+                  f"{where} GROUP BY {form}")
+        # PG/DuckDB emit the grand-total () row even over EMPTY input;
+        # Spark's grouping sets return an empty relation. The engine's
+        # compat rewrite (functions.pgcompat.grouping_sets_pg) appends
+        # the global-aggregate row gated on HAVING COUNT(*) = 0 — a row
+        # exists iff the input was empty, and every grouping form here
+        # (ROLLUP/CUBE/the () set) contains the grand total.
+        appendix = (
+            f" UNION ALL SELECT NULL AS k_0, NULL AS k_1, "
+            f"CAST(1 AS BIGINT) AS g_0, {', '.join(aggs)} "
+            f"FROM {t.name}{where} HAVING COUNT(*) = 0")
+        return common + appendix, common
+
+    def q_distinct(self) -> str:
+        t = self.rng.choice(TABLES)
+        pool = list(t.strings) + list(t.ints)[:2]
+        cols = self.rng.sample(pool, k=min(self.rng.randint(1, 2),
+                                           len(pool)))
+        return (f"SELECT DISTINCT {', '.join(cols)} FROM {t.name}"
+                f"{self._where(t)}")
+
+    SHAPES = [
+        ("q_aggregate", 4), ("q_scalar_project", 2), ("q_join_agg", 4),
+        ("q_window", 2), ("q_setop", 2), ("q_subquery", 2),
+        ("q_orderby_limit", 1), ("q_rollup", 2), ("q_distinct", 1),
+    ]
+
+    def generate(self) -> tuple[str, str, str]:
+        """Return (shape_name, spark_sql, duckdb_sql), placeholders
+        resolved. Most shapes emit one common-dialect string; shapes
+        with a documented compat rewrite (q_rollup) differ."""
+        total = sum(w for _, w in self.SHAPES)
+        r = self.rng.uniform(0, total)
+        acc = 0.0
+        name = self.SHAPES[-1][0]
+        for n, w in self.SHAPES:
+            acc += w
+            if r <= acc:
+                name = n
+                break
+        q = getattr(self, name)()
+        spark_sql, duck_sql = q if isinstance(q, tuple) else (q, q)
+        return name, render(spark_sql, "spark"), render(duck_sql, "duckdb")
+
+
+def gen_query(seed: int) -> tuple[str, str, str]:
+    """One seeded query: (shape, spark_sql, duckdb_sql)."""
+    return QueryGen(seed).generate()

@@ -531,6 +531,58 @@ def g03(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "g05_rollup_empty_input",
+    oracle="""
+    SELECT 'empty' AS arm, o_orderstatus AS k_status,
+           CAST(grouping(o_orderstatus) AS INT) AS g_st,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey < 0
+    GROUP BY ROLLUP (o_orderstatus)
+    UNION ALL
+    SELECT 'nonempty' AS arm, o_orderstatus AS k_status,
+           CAST(grouping(o_orderstatus) AS INT) AS g_st,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey <= 100
+    GROUP BY ROLLUP (o_orderstatus)
+    """,
+)
+def g05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG empty-input grouping-set semantics (differential-fuzzer find):
+    PG/DuckDB emit the grand-total () row even when the input relation
+    is empty; Spark's rollup returns an empty relation. Both arms run
+    through functions.pgcompat.pg_grouping_agg — the empty arm proves
+    the compat row appears, the non-empty arm proves it does NOT
+    double-emit. Reference behavior: grouping sets ship verbatim to the
+    PG-semantics engine (pg_lake_engine/tests/test_grouping_set_pushdown.py).
+    """
+    from pg_datalake_spark.functions.pgcompat import pg_grouping_agg
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,4)"))
+        .cast("double").alias("total"),
+    ]
+
+    def arm(label: str, pred) -> DataFrame:
+        base = pg_grouping_agg(
+            t["orders"].where(pred), ["o_orderstatus"], aggs,
+            kind="rollup", groupings=[("g_st", "o_orderstatus")],
+        )
+        return base.select(
+            F.lit(label).alias("arm"),
+            F.col("o_orderstatus").alias("k_status"),
+            "g_st", "n", "total",
+        )
+
+    return arm("empty", F.col("o_orderkey") < 0).unionByName(
+        arm("nonempty", F.col("o_orderkey") <= 100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operations (§2.7)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,111 @@
+"""Randomized differential fuzzing: generated queries vs DuckDB.
+
+The reference's strongest correctness idea is a differential oracle
+over arbitrary queries, not a hand-picked corpus (reference:
+pg_lake_table tests' assert_query_results_on_tables and the
+regress-derived test_postgres_compat_sql.py corpora). This suite runs
+the seeded common-dialect generator (pg_datalake_spark.fuzz) through
+the driver-fidelity EXACT comparator (scripts/check_exact.compare_exact
+— stricter than conftest's rounded comparator): every seed is a fresh
+query, every query is its own oracle.
+
+Default: seeds 0..N_SEEDS at the test SF. A per-round 500-seed sweep at
+sf0.01 runs via scripts/fuzz_differential.py (the gate recipe). Any
+mismatch found by either is pinned in REGRESSION_SEEDS forever.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "scripts"))
+from check_exact import compare_exact  # noqa: E402
+
+from pg_datalake_spark.catalog import TABLE_NAMES, load_tables, table_path
+from pg_datalake_spark.fuzz import QueryGen, gen_query
+
+from tests.conftest import SF_DIR
+
+N_SEEDS = int(os.environ.get("SPARK_GRAFT_FUZZ_N", "150"))
+
+# Seeds that ever produced a mismatch, pinned forever (currently the
+# two divergence classes found in round 12 while building the fuzzer:
+# Spark grouping-sets-over-empty-input dropping the grand-total row —
+# fixed via pgcompat.pg_grouping_agg / the q_rollup rewrite — and the
+# all-NULL boolean pandas-dtype comparator artifact — plus seed 437,
+# the non-unique synthetic (l_orderkey, l_linenumber) making window
+# ORDER BYs partial; the generator now orders by a verified-unique
+# 9-column prefix).
+REGRESSION_SEEDS = [62, 66, 75, 110, 115, 437]
+
+
+@pytest.fixture(scope="module")
+def fuzz_env(spark):
+    for name, df in load_tables(spark, SF_DIR).items():
+        df.createOrReplaceTempView(name)
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{table_path(SF_DIR, t)}')")
+    yield spark, con
+    con.close()
+
+
+def _run_seed(spark, con, seed: int) -> tuple[str, list[str], int]:
+    shape, spark_sql, duck_sql = gen_query(seed)
+    spark_pdf = spark.sql(spark_sql).toPandas()
+    oracle_pdf = con.execute(duck_sql).df()
+    return shape, compare_exact(spark_pdf, oracle_pdf), len(spark_pdf)
+
+
+def test_fuzz_sweep(fuzz_env):
+    """N_SEEDS fresh random queries, exact-hash equivalent comparison.
+
+    Also asserts the sweep is exercising real data: non-empty results
+    must dominate (a generator drifting into always-empty predicates
+    would 'pass' while proving nothing — the CLAUDE.md empty-result
+    lesson applied to the fuzzer itself)."""
+    spark, con = fuzz_env
+    failures: list[str] = []
+    n_nonempty = 0
+    for seed in range(N_SEEDS):
+        try:
+            shape, problems, n_rows = _run_seed(spark, con, seed)
+        except Exception as e:  # noqa: BLE001 - engine error = failure
+            failures.append(f"seed {seed}: ENGINE ERROR {e}")
+            continue
+        if problems:
+            failures.append(f"seed {seed} [{shape}]: {problems[:3]}")
+        if n_rows > 0:
+            n_nonempty += 1
+    assert not failures, "\n".join(failures[:10])
+    assert n_nonempty > N_SEEDS * 0.6, (
+        f"only {n_nonempty}/{N_SEEDS} non-empty results — generator "
+        f"predicates no longer hit the data")
+
+
+def test_fuzz_regression_seeds(fuzz_env):
+    """Every historical mismatch seed stays green."""
+    spark, con = fuzz_env
+    for seed in REGRESSION_SEEDS:
+        shape, problems, _ = _run_seed(spark, con, seed)
+        assert not problems, f"seed {seed} [{shape}] regressed: {problems[:3]}"
+
+
+def test_fuzz_generator_deterministic():
+    """Same seed -> byte-identical SQL (resumability of any failure)."""
+    for seed in (0, 7, 62, 123):
+        assert gen_query(seed) == gen_query(seed)
+
+
+def test_fuzz_shapes_all_reachable():
+    """Every grammar shape is generated within the default sweep."""
+    seen = {gen_query(s)[0] for s in range(N_SEEDS)}
+    assert seen == {name for name, _ in QueryGen.SHAPES}

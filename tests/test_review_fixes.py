@@ -280,3 +280,42 @@ def test_stage_zip_basename_collision_raises(spark, tmp_path):
         read_gdal(spark, kmz)
     rows = read_gdal(spark, kmz, zip_path="b/pts.kml").collect()
     assert len(rows) == 1
+
+
+def test_pg_grouping_agg_empty_input_grand_total(spark):
+    """PG/DuckDB emit the () grand-total row over EMPTY input; Spark's
+    rollup/cube return an empty relation (differential-fuzzer find,
+    r12). pg_grouping_agg restores the row on empty input and must NOT
+    double-emit it on non-empty input."""
+    from pyspark.sql import functions as F
+
+    from pg_datalake_spark.functions.pgcompat import pg_grouping_agg
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)], "k int, g string, v double"
+    )
+    aggs = [F.count(F.lit(1)).alias("n"),
+            F.max("v").alias("mx")]
+
+    # empty input: exactly one row, NULL keys, grouping()=1, n=0, mx NULL
+    out = pg_grouping_agg(
+        df.where(F.col("k") < 0), ["g"], aggs,
+        kind="rollup", groupings=[("gg", "g")],
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.g is None and r.gg == 1 and r.n == 0 and r.mx is None
+
+    # non-empty input: same rows as plain rollup (no extra grand total)
+    out2 = pg_grouping_agg(df, ["g"], aggs, kind="rollup",
+                           groupings=[("gg", "g")])
+    plain = df.rollup("g").agg(
+        F.grouping("g").cast("int").alias("gg"), *aggs)
+    key = lambda row: tuple(repr(v) for v in row)  # noqa: E731 (None-safe)
+    assert sorted(map(tuple, out2.collect()), key=key) == sorted(
+        map(tuple, plain.collect()), key=key)
+
+    # cube over two keys, empty input: still exactly the one () row
+    df2 = df.where(F.col("k") < 0)
+    out3 = pg_grouping_agg(df2, ["g", "k"], aggs, kind="cube").collect()
+    assert len(out3) == 1 and out3[0].g is None and out3[0].k is None
