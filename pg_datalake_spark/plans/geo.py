@@ -22,6 +22,24 @@ from pg_datalake_spark.functions import spatial as S
 from pg_datalake_spark.plans.registry import register
 
 
+def _stage_fixture(df: DataFrame) -> DataFrame:
+    """Materialize a fixture projection behind a lineage barrier.
+
+    The accessor tiers build per-row geometry fixtures as Column
+    expressions; Catalyst's CollapseProject re-inlines those aliases
+    into every downstream consumer, and the merged projection's
+    generated Java splits across methods and trips the Janino
+    "Expression isNull_N is not an rvalue" bug — results stay exact
+    (interpreter fallback) but every run logs ERROR CodeGenerator.
+    A lazy localCheckpoint truncates the lineage so the accessor
+    projection compiles over plain attribute refs (same family as the
+    ivf_assign data-dependent-literal-plan fix, ARCHITECTURE.md §r11).
+    Fixture frames are O(|nation|) = 25 rows at every SF, so the
+    checkpoint cost is constant.
+    """
+    return df.localCheckpoint(eager=False)
+
+
 @register(
     "geo01_spatial",
     oracle="""
@@ -1266,20 +1284,31 @@ def geo13(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.col("k")),
         lambda i: S.st_point(cx + i.cast("double"), cy),
     )
-    ext = S.st_exteriorring(square)
-    return base.select(
+    staged = _stage_fixture(base.select(
+        "nk",
+        pt.alias("pt"), square.alias("square"), line3.alias("line3"),
+        empty_seq.alias("empty_seq"), coll.alias("coll"),
+    ))
+    # derive the closed ring AFTER the barrier: st_exteriorring is a
+    # CASE whose branches return the whole array — over the inline
+    # 4-st_point expression it trips the Janino isNull-rvalue bug;
+    # over an attribute ref it compiles (see _stage_fixture docstring)
+    staged = _stage_fixture(staged.withColumn(
+        "ext", S.st_exteriorring(F.col("square"))))
+    pt, ext, line3 = F.col("pt"), F.col("ext"), F.col("line3")
+    return staged.select(
         "nk",
         S.st_srid(pt).alias("srid"),
-        S.st_isempty(square).alias("is_empty_f"),
-        S.st_isempty(empty_seq).alias("is_empty_t"),
+        S.st_isempty(F.col("square")).alias("is_empty_f"),
+        S.st_isempty(F.col("empty_seq")).alias("is_empty_t"),
         S.st_geometrytype_seq(ext).alias("gtype_sq"),
         S.st_geometrytype_seq(line3).alias("gtype_ln"),
         S.st_geometrytype_point(pt).alias("gtype_pt"),
         S.st_dimension_seq(ext).alias("dim_sq"),
         S.st_dimension_seq(line3).alias("dim_ln"),
         S.st_dimension_point(pt).alias("dim_pt"),
-        S.st_numgeometries(coll).alias("ngeom"),
-        S.st_numinteriorrings(square).alias("nintr"),
+        S.st_numgeometries(F.col("coll")).alias("ngeom"),
+        S.st_numinteriorrings(F.col("square")).alias("nintr"),
         S.st_npoints(ext).alias("ext_n"),
         F.round(S.st_area(ext), 6).alias("ext_area"),
         S.st_z(pt).isNull().alias("z_is_null"),
@@ -1691,18 +1720,15 @@ def geo17(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.st_point(cx, cy), S.st_point(cx + 1, cy + 1), S.st_point(cx + 2, cy),
     )
     point1 = F.array(S.st_point(cx, cy))
-    shell = S.st_makepolygon(square)
-    coll = F.array(point1, line3, shell)
     wkt = F.concat(
         F.lit("POINT ("), cx.cast("string"), F.lit(" "), cy.cast("string"),
         F.lit(")"),
     )
-    staged = base.select(
+    staged = _stage_fixture(base.select(
         "nk", "h", "cx", "cy",
-        shell.alias("shell"),
-        S.st_makepolygon(two).alias("mk2"),
         square.alias("square"),
-        coll.alias("coll"),
+        two.alias("two"),
+        line3.alias("line3"), point1.alias("point1"),
         corner.alias("corner"), center.alias("center"),
         outside.alias("outside"),
         inner.alias("inner"), edge_shared.alias("edge_shared"),
@@ -1712,6 +1738,16 @@ def geo17(spark: SparkSession, sf_dir: str) -> DataFrame:
         S.st_force4d(center, m=h).alias("p4d"),
         S.st_asbinary(S.st_x(center), S.st_y(center)).alias("wkb"),
         wkt.alias("wkt"),
+    ))
+    # shell/coll derive from the staged rings AFTER the barrier:
+    # st_makepolygon's CASE-returning-array trips the Janino
+    # isNull-rvalue bug over inline st_point arrays (_stage_fixture)
+    staged = _stage_fixture(
+        staged
+        .withColumn("shell", S.st_makepolygon(F.col("square")))
+        .withColumn("mk2", S.st_makepolygon(F.col("two")))
+        .withColumn("coll", F.array(F.col("point1"), F.col("line3"),
+                                    S.st_makepolygon(F.col("square"))))
     )
     sq = F.col("square")
     return staged.select(
@@ -1812,12 +1848,18 @@ def geo18(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared-geometry rule): samples + lengths then compile from the
     # five staged scalars instead of re-expanding the trig tree per
     # consumer — measured 10.2 s → ~3 s plan+run at 25 rows
-    params = base.select(
+    # one st_arc_params per projection: the circumcenter/atan2 tree
+    # compiles alone, but two-in-one-projection crosses the codegen
+    # method-split threshold and trips the Janino isNull-rvalue bug
+    # (_stage_fixture docstring); barriers keep each step one-arc-sized
+    arcs = _stage_fixture(base.select(
         "nk", "h", "cx", "cy",
-        S.st_arc_params(quarter).alias("qp"),
-        S.st_arc_params(half_cw).alias("hp"),
-        S.st_arc_params(collinear).alias("cp"),
-    )
+        quarter.alias("qa"), half_cw.alias("ha"), collinear.alias("ca"),
+    ))
+    params = arcs
+    for src, dst in (("qa", "qp"), ("ha", "hp"), ("ca", "cp")):
+        params = _stage_fixture(
+            params.withColumn(dst, S.st_arc_params(F.col(src))))
     qp, hp = F.col("qp"), F.col("hp")
     staged = params.select(
         "nk", "h", "cx", "cy",
@@ -1827,6 +1869,7 @@ def geo18(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hp["r"] * F.abs(hp["sweep"])).alias("h_len_raw"),
         S.st_curvetoline_from(F.col("cp"), 8).alias("col"),
     )
+    staged = _stage_fixture(staged)
     el = lambda c, i: F.element_at(F.col(c), i)
     return staged.select(
         "nk",
