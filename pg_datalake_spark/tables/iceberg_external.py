@@ -63,6 +63,9 @@ def _write_version_file(meta_dir: str, version: int, meta: dict) -> None:
     hint. A concurrent writer that claimed the same version first makes
     the create fail — the commit loses cleanly instead of clobbering."""
     path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    # "_"-prefixed keys are in-memory bookkeeping (e.g. _loaded-version,
+    # the optimistic-concurrency base) — never persisted
+    meta = {k: v for k, v in meta.items() if not k.startswith("_")}
     try:
         with open(path, "x") as fh:
             json.dump(meta, fh, indent=2)
@@ -73,6 +76,21 @@ def _write_version_file(meta_dir: str, version: int, meta: dict) -> None:
         ) from None
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
+
+
+def _commit_version_slot(meta_dir: str, meta: dict) -> int:
+    """The metadata version slot this commit must claim: the version
+    the state was LOADED at, plus one. Re-reading version-hint.text
+    here instead would re-base a stale writer onto the current tip —
+    its exclusive create then targets a FRESH slot, succeeds, and
+    silently drops the concurrent winner's commit (lost update). The
+    create at ``_write_version_file`` is only a CAS when every writer
+    computes the slot from its own read snapshot."""
+    v = meta.get("_loaded-version")
+    if v is None:  # metadata file with no parseable version in its name
+        with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+            v = int(fh.read().strip())
+    return int(v) + 1
 
 
 def _local(path: str) -> str:
@@ -114,7 +132,14 @@ def load_table_metadata(location: str, metadata_file: str | None = None) -> dict
             candidates.sort(key=lambda f: (_version(f), f))
             metadata_file = os.path.join(meta_dir, candidates[-1])
     with open(_local(metadata_file)) as fh:
-        return json.load(fh)
+        meta = json.load(fh)
+    # record the version this state was LOADED at (in-memory only,
+    # stripped on write): commits claim exactly _loaded-version + 1,
+    # which is what makes the version-file exclusive-create a real CAS
+    m = re.match(r"^v?(\d+)", os.path.basename(_local(metadata_file)))
+    if m:
+        meta["_loaded-version"] = int(m.group(1))
+    return meta
 
 
 def current_schema(meta: dict) -> dict:
@@ -1381,7 +1406,7 @@ def _commit_new_version(
     manifest_list = os.path.join(meta_dir, f"snap-{snapshot_id}-1-{uuid.uuid4()}.avro")
     write_avro(manifest_list, _MANIFEST_FILE_SCHEMA, manifests)
 
-    version = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip()) + 1
+    version = _commit_version_slot(meta_dir, meta)
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = now_ms
     meta["current-snapshot-id"] = snapshot_id
@@ -1700,7 +1725,7 @@ def evolve_add_column(
     meta["last-column-id"] = new_id
     meta["last-updated-ms"] = int(time.time() * 1000)
     meta_dir = os.path.join(_local(location), "metadata")
-    version = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip()) + 1
+    version = _commit_version_slot(meta_dir, meta)
     _write_version_file(meta_dir, version, meta)
     return schema_id
 
@@ -1728,7 +1753,7 @@ def evolve_drop_column(location: str, name: str) -> int:
     meta["current-schema-id"] = schema_id
     meta["last-updated-ms"] = int(time.time() * 1000)
     meta_dir = os.path.join(_local(location), "metadata")
-    version = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip()) + 1
+    version = _commit_version_slot(meta_dir, meta)
     _write_version_file(meta_dir, version, meta)
     return schema_id
 
@@ -1760,7 +1785,7 @@ def rollback_to_snapshot(location: str, snapshot_id: int) -> int:
             f"(have {sorted(s['snapshot-id'] for s in meta['snapshots'])})"
         )
     meta_dir = os.path.join(_local(location), "metadata")
-    version = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip()) + 1
+    version = _commit_version_slot(meta_dir, meta)
     now_ms = int(time.time() * 1000)
     meta["current-snapshot-id"] = snapshot_id
     meta["last-updated-ms"] = now_ms
@@ -1792,7 +1817,7 @@ def set_ref(
     refs[name] = {"snapshot-id": sid, "type": ref_type}
     meta["refs"] = refs
     meta_dir = os.path.join(_local(location), "metadata")
-    version = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip()) + 1
+    version = _commit_version_slot(meta_dir, meta)
     meta["last-updated-ms"] = int(time.time() * 1000)
     _write_version_file(meta_dir, version, meta)
     return sid
@@ -1808,7 +1833,7 @@ def drop_ref(location: str, name: str) -> None:
     del refs[name]
     meta["refs"] = refs
     meta_dir = os.path.join(_local(location), "metadata")
-    version = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip()) + 1
+    version = _commit_version_slot(meta_dir, meta)
     meta["last-updated-ms"] = int(time.time() * 1000)
     _write_version_file(meta_dir, version, meta)
 
@@ -1906,7 +1931,7 @@ def expire_snapshots(location: str, keep_last: int = 1) -> dict:
         e for e in meta.get("snapshot-log", []) if e["snapshot-id"] in kept_ids
     ]
     meta_dir = os.path.join(_local(location), "metadata")
-    version = int(open(os.path.join(meta_dir, "version-hint.text")).read().strip()) + 1
+    version = _commit_version_slot(meta_dir, meta)
     meta["last-updated-ms"] = int(time.time() * 1000)
     _write_version_file(meta_dir, version, meta)
     for p in doomed:
@@ -2300,9 +2325,7 @@ def uniform_export_iceberg(spark: SparkSession, delta_location: str) -> int:
     prev = (
         load_table_metadata(delta_location) if os.path.exists(hint) else None
     )
-    version = (
-        int(open(hint).read().strip()) + 1 if os.path.exists(hint) else 1
-    )
+    version = _commit_version_slot(meta_dir, prev) if prev else 1
     seq = (prev.get("last-sequence-number", 0) + 1) if prev else 1
 
     entries, total_rows = _data_file_entries(

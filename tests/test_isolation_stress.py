@@ -1,0 +1,299 @@
+"""Concurrency / isolation stress over every optimistic-commit path.
+
+The reference ships isolation-tester specs driving real concurrent
+sessions (pg_lake_table/tests/isolation/specs — overlapping writers,
+readers pinned mid-transaction). This repo's analogs are its CAS
+surfaces, previously only exercised single-threaded:
+
+- ``ObjectStoreCatalog._try_commit_manifest``  (os.link CAS)
+- ``CatalogTransaction.commit``                (rebase vs conflict)
+- ``LakeTable._commit``                        (exclusive-create swap)
+- ``append_delta``                             (built-in rebase retry)
+- ``iceberg_external.append_snapshot``         (version-file create)
+
+Each test releases N REAL threads through a barrier so the commit
+attempts overlap, then asserts the linearizable outcomes: exactly one
+winner per version slot, a linear version chain with no holes, no lost
+updates (every committed row readable at the end), and reader
+snapshots that stay stable while writers churn.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import pyspark.sql.functions as F
+import pytest
+
+from pg_datalake_spark.tables import LakeTable
+from pg_datalake_spark.tables.catalog_store import (
+    CatalogConflictError,
+    ObjectStoreCatalog,
+)
+from pg_datalake_spark.tables.delta_log import (
+    append_delta,
+    delta_table_version,
+    read_delta_table,
+    write_delta_table,
+)
+from pg_datalake_spark.tables.iceberg_external import (
+    CommitConflictError,
+    append_snapshot,
+    export_iceberg_snapshot,
+    load_table_metadata,
+    read_iceberg_table,
+)
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+
+
+def _run_all(n, fn):
+    """Run fn(i) on n threads released together; re-raise the first
+    worker exception (futures swallow them otherwise)."""
+    barrier = threading.Barrier(n)
+
+    def wrapped(i):
+        barrier.wait()
+        return fn(i)
+
+    with ThreadPoolExecutor(max_workers=n) as pool:
+        return [f.result() for f in [pool.submit(wrapped, i) for i in range(n)]]
+
+
+# ---------------------------------------------------------------------------
+# ObjectStoreCatalog: raw manifest CAS
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_cas_exactly_one_winner_per_slot(tmp_path):
+    """16 writers race the SAME base version: the os.link CAS admits
+    exactly one; every loser sees False (never a partial manifest)."""
+    cat = ObjectStoreCatalog(str(tmp_path / "cat"))
+    for round_no in range(3):
+        base = cat.current_version()
+        wins = _run_all(
+            16,
+            lambda i: cat._try_commit_manifest(
+                base, {f"t{i}": {"name": f"t{i}", "format": "lake"}}
+            ),
+        )
+        assert sum(wins) == 1, f"round {round_no}: {sum(wins)} CAS winners"
+        assert cat.current_version() == base + 1
+        # the winning tip parses and carries exactly one table
+        tip = cat._load_manifest()
+        assert tip["version"] == base + 1 and len(tip["tables"]) == 1
+
+
+# ---------------------------------------------------------------------------
+# CatalogTransaction: disjoint rebase convergence, same-table conflict
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def lake_roots(spark, tmp_path):
+    roots = {}
+    for i in range(6):
+        root = str(tmp_path / f"lt{i}")
+        lt = LakeTable.create(spark, root, _mk(spark, 0, 1).schema)
+        lt.append(_mk(spark, 0, 10))
+        roots[f"t{i}"] = root
+    return roots
+
+
+def test_disjoint_txn_writers_all_converge(spark, tmp_path, lake_roots):
+    """6 transactions each touching a DIFFERENT table, committed
+    concurrently: all must land (rebase, never conflict), the manifest
+    chain is linear with no holes, and every intermediate version is a
+    complete parseable manifest (crash-invisibility for readers)."""
+    cat = ObjectStoreCatalog(str(tmp_path / "cat"))
+    txns = []
+    for name, root in sorted(lake_roots.items()):
+        txns.append(cat.transaction().stage_lake(name, root, pin=True))
+
+    results = _run_all(len(txns), lambda i: txns[i].commit(max_retries=64))
+
+    assert cat.current_version() == len(txns)
+    final = cat._load_manifest()
+    assert sorted(final["tables"]) == sorted(lake_roots)
+    # every version slot v1..vN was claimed exactly once and parses
+    for v in range(1, len(txns) + 1):
+        with open(cat._manifest_path(v)) as fh:
+            m = json.load(fh)
+        assert m["version"] == v
+    # commit() returned the post-image each writer produced: versions
+    # are a permutation of 1..N (one slot per writer, no double-claims)
+    assert sorted(r["version"] for r in results) == list(
+        range(1, len(txns) + 1)
+    )
+
+
+def test_same_table_txns_exactly_one_winner(spark, tmp_path, lake_roots):
+    """6 transactions staged from the SAME base all updating table
+    't0': exactly one commits; the rest raise CatalogConflictError
+    (write-write conflict is an error, never a silent lost update)."""
+    cat = ObjectStoreCatalog(str(tmp_path / "cat"))
+    cat.register_lake("t0", lake_roots["t0"], pin=True)
+    base_entry = cat.describe("t0")
+
+    txns = [
+        cat.transaction().stage_lake("t0", lake_roots["t0"], pin=True)
+        for _ in range(6)
+    ]
+
+    def attempt(i):
+        try:
+            txns[i].commit(max_retries=64)
+            return "win"
+        except CatalogConflictError:
+            return "conflict"
+
+    outcomes = _run_all(len(txns), attempt)
+    assert outcomes.count("win") == 1, outcomes
+    assert outcomes.count("conflict") == len(txns) - 1
+    # the table's entry version advanced exactly once past the base
+    assert cat.describe("t0")["catalog-version"] == base_entry["catalog-version"] + 1
+
+
+def test_pinned_reader_stable_across_concurrent_commits(spark, tmp_path, lake_roots):
+    """A reader pinned at a catalog version keeps seeing the SAME
+    table set and row counts while writers advance the catalog."""
+    cat = ObjectStoreCatalog(str(tmp_path / "cat"))
+    cat.register_lake("t0", lake_roots["t0"], pin=True)
+    cat.register_lake("t1", lake_roots["t1"], pin=True)
+    pinned = cat.at_version(cat.current_version())
+    before = pinned.read_table(spark, "t0").count()
+
+    def churn(i):
+        df = _mk(spark, 1000 * (i + 1), 1000 * (i + 1) + 5)
+        for _ in range(50):
+            try:
+                LakeTable(spark, lake_roots["t0"]).append(df)
+                break
+            except RuntimeError as e:
+                if "concurrent commit" not in str(e):
+                    raise
+        else:
+            raise AssertionError(f"churn writer {i} starved")
+        cat.transaction().refresh("t0").commit(max_retries=64)
+
+    _run_all(3, churn)
+
+    assert pinned.read_table(spark, "t0").count() == before
+    assert sorted(pinned.list_tables()) == ["t0", "t1"]
+    # the live catalog does see the churn
+    assert cat.read_table(spark, "t0").count() == before + 15
+
+
+# ---------------------------------------------------------------------------
+# LakeTable: optimistic version swap under concurrent appends
+# ---------------------------------------------------------------------------
+
+
+def test_laketable_concurrent_appends_linear_history(spark, tmp_path):
+    """6 concurrent appenders, each retrying on the optimistic-commit
+    loss: all rows land exactly once, the snapshot chain is linear
+    (parent pointers 1..N), and a reader pinned at an early snapshot
+    is untouched by later commits."""
+    root = str(tmp_path / "hot")
+    lt = LakeTable.create(spark, root, _mk(spark, 0, 1).schema)
+    n, rows_each = 6, 10
+
+    def appender(i):
+        df = _mk(spark, 100 * i, 100 * i + rows_each)
+        for _ in range(50):
+            try:
+                LakeTable(spark, root).append(df)
+                return
+            except RuntimeError as e:
+                if "concurrent commit" not in str(e):
+                    raise
+        raise AssertionError(f"appender {i} starved after 50 retries")
+
+    _run_all(n, appender)
+
+    final = LakeTable(spark, root)
+    assert final.scan().count() == n * rows_each
+    # every appended key is present exactly once (no lost/duplicated commit)
+    keys = [r["k"] for r in final.scan().select("k").collect()]
+    assert sorted(keys) == sorted(
+        100 * i + j for i in range(n) for j in range(rows_each)
+    )
+    meta = final._load()
+    assert meta["_version"] == n
+    snaps = meta["snapshots"]
+    assert [s["snapshot_id"] for s in snaps] == list(range(1, n + 1))
+    assert [s["parent_id"] for s in snaps] == [None] + list(range(1, n))
+    # pinned time-travel read: snapshot 2 has exactly 2 appends' rows
+    assert final.scan(snapshot_id=2).count() == 2 * rows_each
+
+
+# ---------------------------------------------------------------------------
+# Delta log: built-in rebase retry
+# ---------------------------------------------------------------------------
+
+
+def test_delta_concurrent_blind_appends_rebase(spark, tmp_path):
+    """5 concurrent append_delta writers (blind appends commute): the
+    built-in retry rebases every loser, versions 1..5 are claimed with
+    no holes, and all rows are readable."""
+    loc = str(tmp_path / "dlt")
+    write_delta_table(_mk(spark, 0, 10), loc)
+    n, rows_each = 5, 10
+
+    versions = _run_all(
+        n, lambda i: append_delta(_mk(spark, 100 * (i + 1), 100 * (i + 1) + rows_each), loc)
+    )
+
+    assert sorted(versions) == list(range(1, n + 1))
+    assert delta_table_version(loc) == n
+    assert read_delta_table(spark, loc).count() == 10 + n * rows_each
+    # time travel below the churn is stable
+    assert read_delta_table(spark, loc, version_as_of=0).count() == 10
+
+
+# ---------------------------------------------------------------------------
+# External Iceberg: version-file create as the check-and-swap
+# ---------------------------------------------------------------------------
+
+
+def test_iceberg_external_concurrent_append_snapshot(spark, tmp_path):
+    """4 concurrent append_snapshot writers with caller-side retry on
+    CommitConflictError (the documented contract): all appends land,
+    the metadata version chain has no holes, and each snapshot's
+    parent links the chain."""
+    loc = str(tmp_path / "ice")
+    export_iceberg_snapshot(_mk(spark, 0, 10), loc)
+    n, rows_each = 4, 10
+
+    def appender(i):
+        df = _mk(spark, 100 * (i + 1), 100 * (i + 1) + rows_each)
+        for _ in range(30):
+            try:
+                return append_snapshot(df, loc)
+            except CommitConflictError:
+                continue
+        raise AssertionError(f"iceberg appender {i} starved")
+
+    snap_ids = _run_all(n, appender)
+
+    assert read_iceberg_table(spark, loc).count() == 10 + n * rows_each
+    meta = load_table_metadata(loc)
+    committed = {s["snapshot-id"] for s in meta["snapshots"]}
+    assert set(snap_ids) <= committed and len(set(snap_ids)) == n
+    # metadata version files are contiguous (v1 .. v{n+1})
+    meta_dir = os.path.join(loc, "metadata")
+    vers = sorted(
+        int(f[1:].split(".")[0])
+        for f in os.listdir(meta_dir)
+        if f.startswith("v") and f.endswith(".metadata.json")
+    )
+    assert vers == list(range(1, n + 2))
+    # the snapshot log accumulated every commit (initial + n appends)
+    assert len(meta["snapshots"]) == n + 1
