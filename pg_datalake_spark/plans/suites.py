@@ -1540,7 +1540,7 @@ def w_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "x03_x08_x14_t05_t06_t07_t08_t09_t12_v05_d06_d10_t16_llmops",
+    "x03_x08_x14_t01_t02_t03_t04_t05_t06_t07_t08_t09_t10_t11_t12_t13_t14_t15_v05_d06_d10_t16_llmops",
     oracle=lambda: "\nUNION ALL\n".join(
         [
             _g_arm_sql(
@@ -1673,6 +1673,74 @@ def w_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d1="dup_2gram_frac",
                 d2="dup_3gram_frac",
             ),
+            _g_arm_sql(
+                "t01",
+                ORACLES["t01_text_quality"],
+                k="CAST(doc_id AS VARCHAR)",
+                i1="n_tokens",
+                d1="quality",
+                d2="punct_ratio",
+            ),
+            _g_arm_sql(
+                "t02",
+                ORACLES["t02_language_id"],
+                k="CAST(doc_id AS VARCHAR)",
+                s1="labeled_lang || '|' || lang_guess",
+            ),
+            _g_arm_sql(
+                "t03",
+                ORACLES["t03_fingerprint_tokens"],
+                k="CAST(doc_id AS VARCHAR)",
+                i1="n_tokens",
+                i2="n_unique_tokens",
+                s1="fp",
+            ),
+            _g_arm_sql(
+                "t04",
+                ORACLES["t04_chunking"],
+                k="CAST(doc_id AS VARCHAR) || '|' || CAST(chunk_idx AS VARCHAR)",
+                i1="n_chunk_tokens",
+                s1="md5(chunk_text)",
+            ),
+            _g_arm_sql(
+                "t10",
+                ORACLES["t10_boilerplate_removal"],
+                k="CAST(doc_id AS VARCHAR)",
+                i1="n_lines_in",
+                i2="n_removed",
+                s1="clean_md5",
+            ),
+            _g_arm_sql(
+                "t11",
+                ORACLES["t11_tfidf_keywords"],
+                k="CAST(doc_id AS VARCHAR) || '|' || term",
+                d1="tfidf",
+            ),
+            _g_arm_sql(
+                "t13",
+                ORACLES["t13_ccnet_quality_tiers"],
+                k="tier",
+                i1="n_docs",
+                i2="n_kept",
+                i3="min_e100",
+                i4="max_e100",
+                i5="id_sum",
+                s1="CAST(kept_id_sum AS VARCHAR)",
+            ),
+            _g_arm_sql(
+                "t14",
+                ORACLES["t14_bm25_topk"],
+                k="CAST(q_id AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)",
+                i1="rank",
+                d1="score",
+            ),
+            _g_arm_sql(
+                "t15",
+                ORACLES["t15_dsir_importance"],
+                k="CAST(doc_id AS VARCHAR)",
+                i1="n_toks",
+                d1="score",
+            ),
         ]
     ),
 )
@@ -1690,7 +1758,11 @@ def x_llmops(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash via md5) and the full Gopher structural battery (t16) — plus
     the r11 rotation: character entropy (t07), BPE-ish token counting
     (t08), cross-corpus novelty (t12) and the repetition filter
-    (t09 — the d2 slot was added for its second fraction)."""
+    (t09 — the d2 slot was added for its second fraction) — plus the
+    r12 rotation, which closes the text-operator family: boilerplate
+    removal (t10), TF-IDF keywords (t11), CCNet perplexity tiers
+    (t13), BM25 top-k retrieval (t14) and DSIR importance weights
+    (t15). Every t01–t16 operator is now window-verified."""
     bar = F.lit("|")
     return _g_union(
         _g_arm(
@@ -1822,6 +1894,78 @@ def x_llmops(spark: SparkSession, sf_dir: str) -> DataFrame:
             i1=F.col("n_2grams"),
             d1=F.col("dup_2gram_frac"),
             d2=F.col("dup_3gram_frac"),
+        ),
+        _g_arm(
+            QUERIES["t01_text_quality"](spark, sf_dir),
+            "t01",
+            k=F.col("doc_id").cast("string"),
+            i1=F.col("n_tokens"),
+            d1=F.col("quality"),
+            d2=F.col("punct_ratio"),
+        ),
+        _g_arm(
+            QUERIES["t02_language_id"](spark, sf_dir),
+            "t02",
+            k=F.col("doc_id").cast("string"),
+            s1=F.concat(F.col("labeled_lang"), bar, F.col("lang_guess")),
+        ),
+        _g_arm(
+            QUERIES["t03_fingerprint_tokens"](spark, sf_dir),
+            "t03",
+            k=F.col("doc_id").cast("string"),
+            i1=F.col("n_tokens"),
+            i2=F.col("n_unique_tokens"),
+            s1=F.col("fp"),
+        ),
+        _g_arm(
+            QUERIES["t04_chunking"](spark, sf_dir),
+            "t04",
+            k=F.concat(
+                F.col("doc_id").cast("string"), bar, F.col("chunk_idx").cast("string")
+            ),
+            i1=F.col("n_chunk_tokens"),
+            s1=F.md5(F.col("chunk_text")),
+        ),
+        _g_arm(
+            QUERIES["t10_boilerplate_removal"](spark, sf_dir),
+            "t10",
+            k=F.col("doc_id").cast("string"),
+            i1=F.col("n_lines_in"),
+            i2=F.col("n_removed"),
+            s1=F.col("clean_md5"),
+        ),
+        _g_arm(
+            QUERIES["t11_tfidf_keywords"](spark, sf_dir),
+            "t11",
+            k=F.concat(F.col("doc_id").cast("string"), bar, F.col("term")),
+            d1=F.col("tfidf"),
+        ),
+        _g_arm(
+            QUERIES["t13_ccnet_quality_tiers"](spark, sf_dir),
+            "t13",
+            k=F.col("tier"),
+            i1=F.col("n_docs"),
+            i2=F.col("n_kept"),
+            i3=F.col("min_e100"),
+            i4=F.col("max_e100"),
+            i5=F.col("id_sum"),
+            s1=F.col("kept_id_sum").cast("string"),
+        ),
+        _g_arm(
+            QUERIES["t14_bm25_topk"](spark, sf_dir),
+            "t14",
+            k=F.concat(
+                F.col("q_id").cast("string"), bar, F.col("doc_id").cast("string")
+            ),
+            i1=F.col("rank"),
+            d1=F.col("score"),
+        ),
+        _g_arm(
+            QUERIES["t15_dsir_importance"](spark, sf_dir),
+            "t15",
+            k=F.col("doc_id").cast("string"),
+            i1=F.col("n_toks"),
+            d1=F.col("score"),
         ),
     )
 
@@ -2345,37 +2489,39 @@ def x09_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Window rotation (r11, VERDICT item 8): the never-window-verified
-# ClickBench and TPC-DS long tails get driver-window rounds. Feeders
-# (plans/clickbench.py, plans/tpcds.py) register after the window and
-# stay standalone for the local gate; these tagged-union merges occupy
-# the two slots freed by the lake02+lake07 / lake04+lake06 merges.
+# Window rotation (r11, VERDICT item 8; arms rotate per round — r12
+# swapped in six fresh ClickBench arms and five fresh TPC-DS arms;
+# the r11 arms cb06/09/21/30/36/40 + ds47/64/75/88/95 stay standalone
+# in the sweep, ledger in COVERAGE.md "Window-verification ledger").
+# Feeders (plans/clickbench.py, plans/tpcds.py) register after the
+# window and stay standalone for the local gate; these tagged-union
+# merges occupy the two slots freed by the lake02+lake07 /
+# lake04+lake06 merges.
 # ---------------------------------------------------------------------------
 
 _CB_SUITE_COLS = _dedupe_cols(
-    [("event_type", "string"), ("n_events", "long"), ("n_users", "long"),
-     ("events_per_user", "double")],
-    [("user_id", "long"), ("top_type", "string"), ("top_value", "double"),
-     ("top_ts_us", "long")],
-    [("n", "long"), ("n_types", "long"), ("min_v", "double"),
-     ("max_v", "double"), ("avg_v", "double")],
-    [("decile", "int"), ("min_n", "long"), ("max_n", "long")],
-    [("user_band", "long")],
-    [("n_gaps", "long"), ("avg_gap_us", "long")],
+    [("user_id", "long"), ("n", "long"), ("n_types", "long")],
+    [("event_type", "string"), ("p50", "double"), ("p95", "double"),
+     ("p99", "double"), ("mx", "double")],
+    [("device", "string"), ("n_events", "long"), ("n_users", "long"),
+     ("views", "long"), ("purchases", "long"), ("conversion", "double")],
+    [("bucket", "long"), ("lo", "double"), ("hi", "double")],
+    [("span_us", "long")],
+    [("event_id", "long"), ("ts_us", "long")],
 )
 
 _CB_SUITE_ARMS = [
-    ("cb06", "cb06_uniq_users_per_type"),
-    ("cb09", "cb09_argmax_per_user"),
-    ("cb21", "cb21_global_scan_stats"),
-    ("cb30", "cb30_user_deciles"),
-    ("cb36", "cb36_bitmask_bands"),
-    ("cb40", "cb40_avg_inter_event_gap"),
+    ("cb01", "cb01_top_users_by_events"),
+    ("cb04", "cb04_value_quantiles_by_type"),
+    ("cb13", "cb13_device_segmentation"),
+    ("cb16", "cb16_value_histogram"),
+    ("cb17", "cb17_user_span"),
+    ("cb34", "cb34_first_events"),
 ]
 
 
 @register(
-    "cb06_cb09_cb21_cb30_cb36_cb40_clickbench",
+    "cb01_cb04_cb13_cb16_cb17_cb34_clickbench",
     oracle=lambda: "\nUNION ALL\n".join(
         _pad_arm_sql(
             arm,
@@ -2387,11 +2533,13 @@ _CB_SUITE_ARMS = [
     ),
 )
 def cb_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ClickBench long-tail rotation (r11): distinct-user ratios
-    (cb06), per-user argmax (cb09), whole-table scan stats (cb21),
-    NTILE user deciles (cb30), bitmask behavior bands (cb36), and the
-    exact integer-division inter-event gap (cb40) — previously
-    sweep-green only, now driver-window verified."""
+    """ClickBench long-tail rotation, round 12 (r11 verified
+    cb06/09/21/30/36/40): top users by event count (cb01), per-type
+    value percentiles (cb04), device segmentation with conversion
+    ratios (cb13), fixed-width value histogram (cb16), per-user
+    first-to-last time span (cb17), and the global ORDER BY ts LIMIT
+    slice (cb34) — previously sweep-green only, now driver-window
+    verified."""
     out = None
     for arm, name in _CB_SUITE_ARMS:
         part = _pad_arm(QUERIES[name](spark, sf_dir), arm, _CB_SUITE_COLS)
@@ -2400,29 +2548,29 @@ def cb_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DS_TAIL_COLS = _dedupe_cols(
-    [("p_brand", "string"), ("yr", "int"), ("mo", "int"), ("rev", "double"),
-     ("yr_avg", "double"), ("prev_rev", "double"), ("next_rev", "double")],
-    [("l_partkey", "long"), ("rev_1996", "double"), ("rev_1997", "double"),
-     ("n_1996", "long"), ("n_1997", "long")],
-    [("p_type", "string"), ("cents_1996", "long"), ("cents_1997", "long"),
-     ("delta_cents", "long"), ("delta_n", "long")],
-    [("h00_02", "long"), ("h03_05", "long"), ("h06_08", "long"),
-     ("h09_11", "long"), ("h12_14", "long"), ("h15_17", "long"),
-     ("h18_20", "long"), ("h21_23", "long")],
-    [("mon_idx", "int"), ("n_repeat_customers", "long")],
+    [("c_custkey", "long"), ("n_ret", "long"), ("nat_avg", "double")],
+    [("g_channel", "int"), ("channel", "string"), ("sales", "double"),
+     ("returns", "double"), ("profit", "double")],
+    [("p_type", "string"), ("revenue", "double"),
+     ("revenue_share_pct", "double")],
+    [("l_partkey", "long"), ("n_sold", "long"), ("n_returned", "long"),
+     ("mean_sold", "double"), ("mean_returned", "double"),
+     ("cov_sold", "double")],
+    [("l_suppkey", "long"), ("qty_before", "double"),
+     ("qty_after", "double")],
 )
 
 _DS_TAIL_ARMS = [
-    ("ds47", "ds47_deviant_months_with_neighbors"),
-    ("ds64", "ds64_item_cross_year_pairing"),
-    ("ds75", "ds75_category_yoy_decline"),
-    ("ds88", "ds88_hour_crosstab"),
-    ("ds95", "ds95_repeat_buyer_months"),
+    ("ds01", "ds01_return_count_outliers"),
+    ("ds05", "ds05_channel_pnl_rollup"),
+    ("ds12", "ds12_category_window_share"),
+    ("ds17", "ds17_channel_qty_stats"),
+    ("ds21", "ds21_before_after_pivot"),
 ]
 
 
 @register(
-    "ds47_ds64_ds75_ds88_ds95_long_tail",
+    "ds01_ds05_ds12_ds17_ds21_long_tail",
     oracle=lambda: "\nUNION ALL\n".join(
         _pad_arm_sql(
             arm,
@@ -2434,10 +2582,12 @@ _DS_TAIL_ARMS = [
     ),
 )
 def ds_long_tail_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-DS-shape long-tail rotation (r11): deviant months with
-    lag/lead neighbors (ds47), cross-year item pairing via self-join
-    (ds64), YoY category decline (ds75), the 8-bucket hour crosstab
-    (ds88), and repeat-buyer month detection (ds95) — previously
+    """TPC-DS-shape long-tail rotation, round 12 (r11 verified
+    ds47/64/75/88/95): per-customer return-count outliers vs the
+    nation average (ds01), the channel P&L ROLLUP (ds05), category
+    revenue share via window sum (ds12), per-part sold/returned
+    channel stats with coefficient of variation (ds17), and the
+    before/after conditional-aggregate pivot (ds21) — previously
     sweep-green only, now driver-window verified."""
     out = None
     for arm, name in _DS_TAIL_ARMS:
@@ -2449,25 +2599,22 @@ def ds_long_tail_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # feeder column lists for the lazy suite oracles above: the arm's own
 # columns (everything else pads to typed NULL)
 _FEEDER_COLS = {
-    "cb06_uniq_users_per_type": ["event_type", "n_events", "n_users",
-                                 "events_per_user"],
-    "cb09_argmax_per_user": ["user_id", "top_type", "top_value",
-                             "top_ts_us"],
-    "cb21_global_scan_stats": ["n", "n_types", "min_v", "max_v", "avg_v"],
-    "cb30_user_deciles": ["decile", "n_users", "n_events", "min_n",
-                          "max_n"],
-    "cb36_bitmask_bands": ["user_band", "n", "n_users"],
-    "cb40_avg_inter_event_gap": ["user_id", "n_gaps", "avg_gap_us"],
-    "ds47_deviant_months_with_neighbors": ["p_brand", "yr", "mo", "rev",
-                                           "yr_avg", "prev_rev",
-                                           "next_rev"],
-    "ds64_item_cross_year_pairing": ["l_partkey", "p_brand", "rev_1996",
-                                     "rev_1997", "n_1996", "n_1997"],
-    "ds75_category_yoy_decline": ["p_type", "p_brand", "cents_1996",
-                                  "cents_1997", "delta_cents", "delta_n"],
-    "ds88_hour_crosstab": ["h00_02", "h03_05", "h06_08", "h09_11",
-                           "h12_14", "h15_17", "h18_20", "h21_23"],
-    "ds95_repeat_buyer_months": ["mon_idx", "n_repeat_customers"],
+    "cb01_top_users_by_events": ["user_id", "n", "n_types"],
+    "cb04_value_quantiles_by_type": ["event_type", "p50", "p95", "p99",
+                                     "mx"],
+    "cb13_device_segmentation": ["device", "n_events", "n_users", "views",
+                                 "purchases", "conversion"],
+    "cb16_value_histogram": ["bucket", "n", "lo", "hi"],
+    "cb17_user_span": ["user_id", "span_us", "n"],
+    "cb34_first_events": ["event_id", "ts_us", "user_id", "event_type"],
+    "ds01_return_count_outliers": ["c_custkey", "n_ret", "nat_avg"],
+    "ds05_channel_pnl_rollup": ["g_channel", "channel", "sales", "returns",
+                                "profit"],
+    "ds12_category_window_share": ["p_type", "revenue",
+                                   "revenue_share_pct"],
+    "ds17_channel_qty_stats": ["l_partkey", "n_sold", "n_returned",
+                               "mean_sold", "mean_returned", "cov_sold"],
+    "ds21_before_after_pivot": ["l_suppkey", "qty_before", "qty_after"],
 }
 
 
