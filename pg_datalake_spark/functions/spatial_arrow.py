@@ -437,9 +437,11 @@ def st_union_convex_arrow(a: Column, b: Column) -> Column:
 # (ST_Difference, ST_Overlaps, ST_Touches, ST_PointOnSurface,
 # ST_LineMerge) — previously on the delegated GEOS list; the convex /
 # single-ring cases close here with closed-form-checkable
-# constructions (geo14). Remaining out of model: holes (annulus
-# difference fails loud), MULTI* outputs beyond linemerge's line list,
-# concave boolean ops.
+# constructions (geo14). Holes/MULTIPOLYGON live in the multi-ring
+# model (_mring_op, r11); tangent / shared-edge / pinch / concave
+# configurations route through the planar-face arrangement
+# (_boolean_via_faces, r12). The single-ring difference still fails
+# loud when the RESULT needs a hole (use the mring ops).
 
 
 def _ring_area(ring: list[Pt]) -> float:
@@ -475,6 +477,19 @@ def _collinear_overlap(a1: Pt, a2: Pt, b1: Pt, b2: Pt) -> bool:
         lo, hi = sorted((a1[1], a2[1]))
         p, q = sorted((b1[1], b2[1]))
     return max(lo, p) <= min(hi, q)
+
+
+def _on_open_segment(a: Pt, b: Pt, p: Pt) -> bool:
+    """True iff p lies on segment (a, b) STRICTLY between its
+    endpoints (collinearity is exact — used on already-collinear
+    configurations where the cross product vanished)."""
+    if _cross(a, b, p) != 0:
+        return False
+    if abs(b[0] - a[0]) >= abs(b[1] - a[1]):
+        lo, hi = sorted((a[0], b[0]))
+        return lo < p[0] < hi
+    lo, hi = sorted((a[1], b[1]))
+    return lo < p[1] < hi
 
 
 def _boundary_contact(aa: list[Pt], bb: list[Pt]) -> bool:
@@ -545,7 +560,48 @@ def _pick_arc(pts: list[Pt], i: int, j: int, other: list[Pt], want_inside: bool)
     )
 
 
+def _ring_is_convex(ring: list[Pt]) -> bool:
+    """All turns the same way (collinear runs allowed)."""
+    n = len(ring)
+    sign = 0
+    for i in range(n):
+        c = _cross(ring[i], ring[(i + 1) % n], ring[(i + 2) % n])
+        if c == 0:
+            continue
+        s = 1 if c > 0 else -1
+        if sign == 0:
+            sign = s
+        elif s != sign:
+            return False
+    return True
+
+
 def _difference_convex(a: list[Pt], b: list[Pt]) -> list[Pt]:
+    """A \\ B in the SINGLE-RING model: the convex two-crossing walk,
+    with tangent / multi-bite / CONCAVE-input configurations falling
+    back to the planar-face arrangement (r12 — the convex core's
+    Sutherland–Hodgman gate silently misjudges a concave subtrahend,
+    so non-convex inputs route straight to the arrangement). A
+    strictly-contained subtrahend still fails loud — the result has a
+    HOLE, unrepresentable here; the multi-ring ops carry it."""
+    try:
+        if not (_ring_is_convex(a) and _ring_is_convex(b)):
+            raise NotImplementedError("non-convex input")
+        return _difference_convex_core(a, b)
+    except NotImplementedError as exc:
+        rings = _boolean_via_faces([a], [b], "sub")
+        if not rings:
+            return []
+        if len(rings) == 1 and _signed_area2(rings[0]) > 0:
+            return rings[0]
+        raise NotImplementedError(
+            "st_difference_convex: result needs a HOLE or multiple "
+            "outer rings — unrepresentable in the single-ring model "
+            "(use the multi-ring difference)"
+        ) from exc
+
+
+def _difference_convex_core(a: list[Pt], b: list[Pt]) -> list[Pt]:
     """A \\ B for CONVEX rings. Cases: disjoint/touching → A unchanged;
     B covers A → empty ring; B strictly inside A → fail loud (the
     result has a HOLE, unrepresentable in the single-ring model);
@@ -971,6 +1027,18 @@ def _gh_insert(start: _GHNode, end: _GHNode, node: _GHNode, t: float) -> None:
 
 
 def _gh_clip(subject: list[Pt], clip: list[Pt], op: str) -> list[list[Pt]]:
+    """Greiner–Hormann boolean op on two SIMPLE rings — the fast path;
+    tangent / shared-edge / vertex-grazing configurations it cannot
+    orient fall back to the planar-face arrangement (r12,
+    :func:`_boolean_via_faces`). ValueError (self-intersecting input)
+    stays loud — repair with st_makevalid first."""
+    try:
+        return _gh_clip_core(subject, clip, op)
+    except NotImplementedError:
+        return _boolean_via_faces([subject], [clip], op)
+
+
+def _gh_clip_core(subject: list[Pt], clip: list[Pt], op: str) -> list[list[Pt]]:
     """Greiner–Hormann boolean op on two SIMPLE rings (CCW enforced).
     op: 'and' (intersection), 'or' (union), 'sub' (subject minus
     clip). Returns a LIST of rings (concave ops legitimately produce
@@ -1274,6 +1342,20 @@ def _split_outer_holes(
 def _mring_op(
     A: list[list[Pt]], B: list[list[Pt]], op: str
 ) -> list[list[Pt]]:
+    """Boolean op on multi-ring geometries — decomposed fast path,
+    falling back to the planar-face arrangement (r12,
+    :func:`_boolean_via_faces`) for the configurations the pairwise
+    kernels reject: tangent contacts, shared edges, pinch points,
+    holed multi-polygon union cascades."""
+    try:
+        return _mring_op_core(A, B, op)
+    except NotImplementedError:
+        return _mring_normalize(_boolean_via_faces(A, B, op))
+
+
+def _mring_op_core(
+    A: list[list[Pt]], B: list[list[Pt]], op: str
+) -> list[list[Pt]]:
     """Boolean op on multi-ring geometries (even-odd semantics,
     outer-CCW/hole-CW normal form in and out). op ∈ {'and','sub','or'}.
 
@@ -1482,8 +1564,9 @@ def _node_segments(
     every segment at its crossings with the others (each unordered
     pair's crossing computed ONCE so both sides carry the identical
     float point), snap crossings that land on an endpoint to that
-    endpoint exactly. Collinear PARTIAL overlaps fail loud (identical
-    duplicates are fine — deduped)."""
+    endpoint exactly. Collinear PARTIAL overlaps node at each other's
+    interior endpoints (r12 — the shared sub-span then dedupes), so
+    edge-contact configurations polygonize instead of failing loud."""
     uniq: list[tuple[Pt, Pt]] = []
     seen: set[tuple[Pt, Pt]] = set()
     for a, b in segs:
@@ -1504,10 +1587,16 @@ def _node_segments(
             denom = rx * sy - ry * sx
             if denom == 0:
                 if _collinear_overlap(a1, a2, b1, b2):
-                    raise NotImplementedError(
-                        "segment noding: collinear partial overlap — "
-                        "perturb the input or use GEOS/Sedona"
-                    )
+                    # collinear partial overlap: split both segments at
+                    # the other's interior endpoints; the common span
+                    # becomes an identical sub-segment on both sides
+                    # and dedupes below
+                    for p in (b1, b2):
+                        if _on_open_segment(a1, a2, p):
+                            cuts[i].append(p)
+                    for p in (a1, a2):
+                        if _on_open_segment(b1, b2, p):
+                            cuts[j].append(p)
                 continue
             qpx, qpy = b1[0] - a1[0], b1[1] - a1[1]
             t = (qpx * sy - qpy * sx) / denom
@@ -1544,7 +1633,16 @@ def _node_segments(
         for q1, q2 in zip(ordered, ordered[1:]):
             if q1 != q2:
                 out.append((q1, q2))
-    return out
+    # collinear-overlap splits can produce the same sub-segment from
+    # two different parents — dedupe so the planar graph stays simple
+    final_seen: set[tuple[Pt, Pt]] = set()
+    res: list[tuple[Pt, Pt]] = []
+    for a, b in out:
+        k = (a, b) if a <= b else (b, a)
+        if k not in final_seen:
+            final_seen.add(k)
+            res.append((a, b))
+    return res
 
 
 def _union_rings_via_faces(rings: list[list[Pt]]) -> list[list[Pt]]:
@@ -1554,53 +1652,170 @@ def _union_rings_via_faces(rings: list[list[Pt]]) -> list[list[Pt]]:
     least one input ring, then reassemble the kept region's OUTLINE —
     the undirected edges bordering exactly one kept face — into
     rings, oriented by nesting (cavities come back as CW holes).
-    Handles tangent contacts and shared vertices that the pairwise
-    Greiner–Hormann path rejects; a pinch-point boundary vertex of
-    degree > 2 fails loud."""
+    Handles tangent contacts, shared vertices and (r12) pinch-point
+    boundary vertices that the pairwise Greiner–Hormann path
+    rejects."""
     ccw_rings = [_ccw(r) for r in rings]
     segs: list[tuple[Pt, Pt]] = []
     for r in ccw_rings:
         segs.extend(_closed_edges(r))
     noded = _node_segments(segs)
-    faces = _planar_faces(noded)
-    kept = []
-    for f in faces:
-        probe = _point_on_surface(f) or f[0]
-        if any(_contains(r, probe) for r in ccw_rings):
-            kept.append(f)
-    from collections import Counter
+    return _region_outline(
+        noded, lambda p: any(_contains(r, p) for r in ccw_rings)
+    )
 
-    cnt: Counter = Counter()
-    for f in kept:
-        for a, b in _closed_edges(f):
-            cnt[(a, b) if a <= b else (b, a)] += 1
-    boundary = [e for e, c in cnt.items() if c == 1]
-    adj: dict[Pt, list[Pt]] = {}
-    for a, b in boundary:
-        adj.setdefault(a, []).append(b)
-        adj.setdefault(b, []).append(a)
-    if any(len(v) != 2 for v in adj.values()):
-        raise NotImplementedError(
-            "union outline: boundary pinch point (vertex of degree > 2) "
-            "— perturb the input or use GEOS/Sedona"
-        )
-    used: set[tuple[Pt, Pt]] = set()
-    out: list[list[Pt]] = []
-    for a, b in sorted(boundary):
-        if (a, b) in used:
+
+def _cell_probe(f: list[Pt], faces: list[list[Pt]]) -> Pt:
+    """A point strictly inside face ``f``'s CELL — inside f but outside
+    every smaller face nested within it. Nesting only happens across
+    DISJOINT components of the noded graph (a touching cycle would have
+    been noded into the same component), so nested faces sit at
+    positive distance from ∂f and a validated inward offset from an
+    edge midpoint eventually clears them; the common case (no nesting)
+    is the plain scanline interior point."""
+    area_f = _ring_area(f)
+    nested = [
+        g
+        for g in faces
+        if g is not f
+        and _ring_area(g) < area_f
+        and _contains(f, _point_on_surface(g) or g[0])
+    ]
+    p = _point_on_surface(f) or f[0]
+    if not any(_contains(g, p) for g in nested):
+        return p
+    for a, b in _closed_edges(f):
+        ex, ey = b[0] - a[0], b[1] - a[1]
+        ln = math.hypot(ex, ey)
+        if ln == 0.0:
             continue
-        ring = [a]
-        used.add((a, b))
-        used.add((b, a))
-        prev, cur = a, b
-        while cur != a:
-            ring.append(cur)
-            nxt = next(v for v in adj[cur] if v != prev)
-            used.add((cur, nxt))
-            used.add((nxt, cur))
-            prev, cur = cur, nxt
-        out.append(ring)
-    return _orient_boolean_outputs(out)
+        nx, ny = -ey / ln, ex / ln  # inward normal of a CCW ring
+        mx, my = (a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0
+        eps = ln
+        for _ in range(80):
+            eps /= 2.0
+            q = (mx + nx * eps, my + ny * eps)
+            if _contains(f, q) and not any(_contains(g, q) for g in nested):
+                return q
+    raise NotImplementedError(
+        "boolean via faces: no probe point clears the nested faces "
+        "(degenerate geometry) — use GEOS/Sedona"
+    )
+
+
+def _region_outline(
+    noded: list[tuple[Pt, Pt]], member
+) -> list[list[Pt]]:
+    """Normal-form rings of the region defined by the exact point
+    predicate ``member`` over a noded arrangement. Combinatorial
+    construction (no epsilon probes at edges — robust on dense float
+    arc geometry): classify every bounded arrangement face by its cell
+    probe, resolve each component's ENCLOSING cell for hull edges
+    (cross-component nesting), mark an edge boundary iff the two sides'
+    kept-status differs, then re-polygonize the boundary graph — the
+    angular face walk handles pinch vertices of any degree, and each
+    re-polygonized face inherits its region/cavity status from the
+    directed arrangement edge it shares. A cavity in the same graph
+    component as a region face is already carved out by that face's
+    self-touching cycle and is skipped; a disjoint-component cavity
+    (no shared edges) is emitted as a CW hole ring."""
+    noded = [(a, b) for a, b in noded if a != b]
+    faces = _planar_faces(noded)
+    dir_face: dict[tuple[Pt, Pt], int] = {}
+    for fi, f in enumerate(faces):
+        for a, b in _closed_edges(f):
+            dir_face[(a, b)] = fi
+    kept = [member(_cell_probe(f, faces)) for f in faces]
+
+    # union-find components over the noded graph
+    parent: dict[Pt, Pt] = {}
+
+    def find(x: Pt) -> Pt:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in noded:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    face_comp = [find(f[0]) for f in faces]
+
+    # the cell ENCLOSING each component: smallest face of another
+    # component containing one of its vertices (unbounded -> not kept)
+    enc_kept: dict[Pt, bool] = {}
+    comps = {find(a) for a, _b in noded}
+    for c in comps:
+        v = next(a for a, _b in noded if find(a) == c)
+        best, best_area = None, math.inf
+        for fi, f in enumerate(faces):
+            if face_comp[fi] != c and _contains(f, v):
+                ar = _ring_area(f)
+                if ar < best_area:
+                    best, best_area = fi, ar
+        enc_kept[c] = kept[best] if best is not None else False
+
+    def side(a: Pt, b: Pt) -> bool:
+        """kept-status of the open cell on the LEFT of directed a→b."""
+        fi = dir_face.get((a, b))
+        return kept[fi] if fi is not None else enc_kept[find(a)]
+
+    boundary = [
+        (a, b) for a, b in noded if side(a, b) != side(b, a)
+    ]
+    if not boundary:
+        return []
+    region, cavities = [], []
+    for f in _planar_faces(boundary):
+        (region if side(f[0], f[1]) else cavities).append(f)
+    region_edges = {
+        (a, b) if a <= b else (b, a)
+        for f in region
+        for a, b in _closed_edges(f)
+    }
+    out = list(region)
+    for c in cavities:
+        edges_c = {(a, b) if a <= b else (b, a) for a, b in _closed_edges(c)}
+        if not (edges_c & region_edges):
+            out.append(list(reversed(c)))
+    return sorted(out)
+
+
+def _eo_contains(rings: list[list[Pt]], p: Pt) -> bool:
+    """Even-odd point membership in a multi-ring geometry (ring
+    orientation irrelevant)."""
+    return sum(1 for r in rings if len(r) >= 3 and _contains(r, p)) % 2 == 1
+
+
+def _boolean_via_faces(
+    A: list[list[Pt]], B: list[list[Pt]], op: str
+) -> list[list[Pt]]:
+    """Fully general boolean op on multi-ring geometries via
+    planar-face polygonization (r12) — the fallback the fast paths
+    (Greiner–Hormann, convex walks, pairwise multi-polygon folds)
+    route to when they hit a tangent, shared-edge, pinch-point or
+    cascaded configuration. Node EVERY boundary segment of both
+    geometries (including collinear overlaps), classify membership by
+    the op's even-odd truth table — evaluated EXACTLY on the input
+    rings, so no face/cell bookkeeping — and reassemble the region's
+    outline. O(E²) noding — this is the exactness path; scale joins
+    pre-filter by bounding box before any kernel runs."""
+    segs: list[tuple[Pt, Pt]] = []
+    for r in A + B:
+        segs.extend(_closed_edges(r))
+    noded = _node_segments(segs)
+
+    def member(p: Pt) -> bool:
+        ina, inb = _eo_contains(A, p), _eo_contains(B, p)
+        if op == "and":
+            return ina and inb
+        if op == "or":
+            return ina or inb
+        return ina and not inb
+
+    return _region_outline(noded, member)
 
 
 

@@ -2025,3 +2025,112 @@ def geo19(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, r: acc & (S.st_area_signed(r) > F.lit(0.0)),
         ).cast("int").alias("mv_ccw"),
     )
+
+
+@register(
+    "geo20_tangent_boolean_ops",
+    oracle="""
+    WITH g AS (
+      SELECT n_nationkey AS nk,
+             CAST(1 + n_nationkey % 3 AS DOUBLE) AS h
+      FROM nation
+    )
+    SELECT nk,
+           round(8 * h * h, 6)    AS eu_area,
+           CAST(1 AS INT)         AS eu_n,
+           round(8 * h * h, 6)    AS cu_area,
+           CAST(2 AS INT)         AS cu_n,
+           round(6 * h * h, 6)    AS po_area,
+           round(2 * h * h, 6)    AS pa_area,
+           round(2 * h * h, 6)    AS ps_area,
+           round(3.5 * h * h, 6)  AS pin_area,
+           CAST(1 AS INT)         AS pin_n,
+           round(29.25 * h * h, 6) AS hc_area,
+           CAST(2 AS INT)         AS hc_n
+    FROM g
+    """,
+)
+def geo20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tangent / edge-contact boolean-op tier (r12): the degenerate
+    configurations the pairwise kernels used to fail loud on, now
+    resolved by the planar-face arrangement fallback
+    (spatial_arrow._boolean_via_faces; reference ships full GEOS
+    semantics via DuckDB spatial,
+    pg_lake_engine/src/pgduck/shippable_spatial_functions.c). Per
+    nation row, squares of side 2h scaled by h — every value
+    closed-form:
+
+    - SHARED FULL EDGE union: A=[0,2h]² ∪ [2h,4h]×[0,2h] merges across
+      the collinear span → ONE ring, 8h²;
+    - CORNER-ONLY touch union: two outers through the degree-4 pinch
+      vertex → 2 rings, 8h²;
+    - COLLINEAR PARTIAL overlap ([h,3h]×[0,2h]): ∪ 6h², ∩ 2h², ∖ 2h²;
+    - subtrahend tangent to the boundary from INSIDE (diamond touching
+      A's bottom edge at one point): one self-touching ring, 3.5h²;
+    - HOLED MULTIPOLYGON union cascade (two squares + a hole, bridged
+      by a rectangle that touches the hole edge-collinearly): 2 rings,
+      29.25h² (the hole survives uncovered, signed areas sum)."""
+    from pg_datalake_spark.functions import spatial_arrow as SA
+
+    t = load_tables(spark, sf_dir, ["nation"])
+    base = t["nation"].select(
+        F.col("n_nationkey").cast("int").alias("nk"),
+        (1 + F.col("n_nationkey") % 3).cast("double").alias("h"),
+        (F.col("n_nationkey") % 7).cast("double").alias("cx"),
+        (F.col("n_nationkey") * 3 % 5).cast("double").alias("cy"),
+    )
+    h, cx, cy = F.col("h"), F.col("cx"), F.col("cy")
+
+    def pt(xm, ym):
+        return S.st_point(cx + xm * h, cy + ym * h)
+
+    def rect(x0, y0, w, hh):  # CCW rectangle ring, offsets in h units
+        return F.array(
+            pt(x0, y0), pt(x0 + w, y0), pt(x0 + w, y0 + hh), pt(x0, y0 + hh)
+        )
+
+    def rect_cw(x0, y0, w, hh):  # CW = hole orientation
+        return F.array(
+            pt(x0, y0), pt(x0, y0 + hh), pt(x0 + w, y0 + hh), pt(x0 + w, y0)
+        )
+
+    A = F.array(rect(0, 0, 2, 2))
+    edge_b = F.array(rect(2, 0, 2, 2))
+    corner_b = F.array(rect(2, 2, 2, 2))
+    partial_b = F.array(rect(1, 0, 2, 2))
+    diamond = F.array(F.array(pt(1, 0), pt(1.5, 0.5), pt(1, 1), pt(0.5, 0.5)))
+    holed = F.array(
+        rect(0, 0, 2, 2), rect(5, 0, 2, 2), rect_cw(0.5, 0.5, 0.5, 0.5)
+    )
+    bridge = F.array(rect(1, 0.25, 5, 5))
+
+    staged = _stage_fixture(base.select(
+        "nk",
+        SA.st_union_mring_arrow(A, edge_b).alias("eu"),
+        SA.st_union_mring_arrow(A, corner_b).alias("cu"),
+        SA.st_union_mring_arrow(A, partial_b).alias("po"),
+        SA.st_intersection_mring_arrow(A, partial_b).alias("pa"),
+        SA.st_difference_mring_arrow(A, partial_b).alias("ps"),
+        SA.st_difference_mring_arrow(A, diamond).alias("pin"),
+        SA.st_union_mring_arrow(holed, bridge).alias("hc"),
+    ))
+
+    def ssum(col):
+        return F.aggregate(
+            F.col(col), F.lit(0.0), lambda acc, r: acc + S.st_area_signed(r)
+        )
+
+    return staged.select(
+        "nk",
+        F.round(ssum("eu"), 6).alias("eu_area"),
+        F.size("eu").alias("eu_n"),
+        F.round(ssum("cu"), 6).alias("cu_area"),
+        F.size("cu").alias("cu_n"),
+        F.round(ssum("po"), 6).alias("po_area"),
+        F.round(ssum("pa"), 6).alias("pa_area"),
+        F.round(ssum("ps"), 6).alias("ps_area"),
+        F.round(ssum("pin"), 6).alias("pin_area"),
+        F.size("pin").alias("pin_n"),
+        F.round(ssum("hc"), 6).alias("hc_area"),
+        F.size("hc").alias("hc_n"),
+    )

@@ -2208,6 +2208,12 @@ _GEO19_COLS = [
     ("u_area", "double"), ("mv_n", "int"), ("mv_area", "double"),
     ("mv_pts", "int"), ("mv_ccw", "int"),
 ]
+_GEO20_COLS = [
+    ("nk", "int"), ("eu_area", "double"), ("eu_n", "int"),
+    ("cu_area", "double"), ("cu_n", "int"), ("po_area", "double"),
+    ("pa_area", "double"), ("ps_area", "double"), ("pin_area", "double"),
+    ("pin_n", "int"), ("hc_area", "double"), ("hc_n", "int"),
+]
 
 
 def _dedupe_cols(*groups: list[tuple[str, str]]) -> list[tuple[str, str]]:
@@ -2231,6 +2237,7 @@ _GEO_SCHEMA = _dedupe_cols(
     [c for c in _GEO16_COLS if c[0] != "nk"],
     [c for c in _GEO17_COLS if c[0] != "nk"],
     [c for c in _GEO19_COLS if c[0] != "nk"],
+    [c for c in _GEO20_COLS if c[0] != "nk"],
 )
 
 
@@ -2247,11 +2254,12 @@ _GEO_ARMS = [
     ("geo16", "geo16_general_boolean_ops", _GEO16_COLS),
     ("geo17", "geo17_name_parity_tier", _GEO17_COLS),
     ("geo19", "geo19_multiring_geometry", _GEO19_COLS),
+    ("geo20", "geo20_tangent_boolean_ops", _GEO20_COLS),
 ]
 
 
 @register(
-    "geo01_geo02_geo03_geo12_geo13_geo14_geo15_geo16_geo17_geo19_spatial",
+    "geo01_geo02_geo03_geo12_geo13_geo14_geo15_geo16_geo17_geo19_geo20_spatial",
     oracle=lambda: "\nUNION ALL\n".join(
         _pad_arm_sql(arm, ORACLES[name], _GEO_SCHEMA, [n for n, _ in cols])
         for arm, name, cols in _GEO_ARMS
@@ -2273,7 +2281,10 @@ def geo_spatial_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     force3dz/3dm/4d, WKB/WKT roundtrips), and the r11 multi-ring
     geometry tier (geo19: POLYGON-with-holes / MULTIPOLYGON area/
     perimeter/contains/intersection/difference/union + generalized
-    N-crossing makevalid). Feeders stay registered
+    N-crossing makevalid) — plus the r12 tangent/edge-contact
+    boolean tier (geo20: shared-edge, corner-pinch, collinear-partial
+    and holed-cascade configurations through the planar-face
+    arrangement fallback). Feeders stay registered
     standalone for the local gate; this row is the driver-verified
     merge of the ENTIRE 75/75-name spatial surface."""
     out = _pad_arm(QUERIES[_GEO_ARMS[0][1]](spark, sf_dir), "geo01", _GEO_SCHEMA)

@@ -57,7 +57,7 @@ WINDOW_MANIFEST = [
     "w04_w05_w07_cb18_cb42_sessions",
     "x03_x08_x14_t01_t02_t03_t04_t05_t06_t07_t08_t09_t10_t11_t12_t13_t14_t15_v05_d06_d10_t16_llmops",
     "c07_f16_f17_p01_p02_u02_u03_misc",
-    "geo01_geo02_geo03_geo12_geo13_geo14_geo15_geo16_geo17_geo19_spatial",
+    "geo01_geo02_geo03_geo12_geo13_geo14_geo15_geo16_geo17_geo19_geo20_spatial",
     "ds36_ds51_ds67_ds04_ds39_ds77_ds87_shapes",
     "x09_weighted_sample",
     "cb01_cb04_cb13_cb16_cb17_cb34_clickbench",

@@ -677,14 +677,16 @@ def test_difference_convex_cases():
     # disjoint -> identity; covered -> empty
     assert SA._difference_convex(A, [(5, 0), (7, 0), (7, 2), (5, 2)]) == A
     assert SA._difference_convex(A, [(-1, -1), (9, -1), (9, 9), (-1, 9)]) == []
-    # strictly-contained subtrahend = HOLE -> fail loud
+    # strictly-contained subtrahend = HOLE -> still fails loud (the
+    # single-ring model cannot represent it; the mring ops carry it)
     import pytest as _pt
 
     with _pt.raises(NotImplementedError, match="HOLE"):
         SA._difference_convex(A, [(0.5, 0.5), (1.0, 0.5), (1.0, 1.0), (0.5, 1.0)])
-    # tangent configuration (crossing through A's corner) -> fail loud
-    with _pt.raises(NotImplementedError):
-        SA._difference_convex(A, [(1.5, -0.5), (2.5, 0.5), (1.5, 1.5)])
+    # tangent configuration (crossing through A's corner): r12 routes
+    # it through the planar-face arrangement instead of failing loud
+    dt = SA._difference_convex(A, [(1.5, -0.5), (2.5, 0.5), (1.5, 1.5)])
+    assert abs(SA._ring_area(dt) - 3.375) < 1e-12
 
 
 def test_overlaps_touches_convex():
@@ -838,9 +840,10 @@ def test_general_boolean_ops_concave_and_random_crosscheck():
     assert sa(hole_out) == sorted(
         [round(-SA._ring_area(SM), 9), round(SA._ring_area(SA._ccw(L)), 9)]
     )
-    with _pt.raises(NotImplementedError):
-        # shared collinear edge = degenerate contact
-        SA._gh_clip(L, [(2, 0), (4, 0), (4, 2), (2, 2)], "or")
+    # shared collinear edge (r12 — previously fail-loud): the faces
+    # fallback nodes the collinear overlap and merges across it
+    shared = SA._gh_clip(L, [(2, 0), (4, 0), (4, 2), (2, 2)], "or")
+    assert len(shared) == 1 and abs(sum(sa(shared)) - 7.0) < 1e-9
 
     # self-intersecting input = garbage-in: guarded, points at makevalid
     with _pt.raises(ValueError, match="self-intersecting"):
@@ -1049,10 +1052,12 @@ def test_mring_multipolygon_ops():
     # (4 + 4 + 25 − 1.5 − 1.5)
     bridged = SA._mring_op(mp, [_sq(1, 0.5, 5)], "or")
     assert SA._mring_area(bridged) == 30.0 and len(bridged) == 1
-    # with holes in play the cascade still fails loud
+    # holed cascade (r12 — previously fail-loud): the planar-face
+    # fallback carries it; the hole survives where B doesn't cover it
+    # (7.75 + 25 − overlap 3.5 = 29.25; the 0.25 hole touches B at x=1)
     mph = [_sq(0, 0, 2), _sq(5, 0, 2), _cw(_sq(0.5, 0.5, 0.5))]
-    with _pt.raises(NotImplementedError):
-        SA._mring_op(mph, [_sq(1, 0.25, 5)], "or")
+    cascaded = SA._mring_op(mph, [_sq(1, 0.25, 5)], "or")
+    assert SA._mring_area(cascaded) == 29.25 and len(cascaded) == 2
 
 
 def test_mring_normalize_cancels_pairs():
@@ -1120,12 +1125,11 @@ def test_buffer_polyline_general():
 
 
 def test_union_rings_via_faces_tangent_contacts():
-    """The face-union path handles the configurations the pairwise GH
-    kernel rejects: shared vertices (two squares meeting at a corner
-    fail loud as a pinch point — genuinely ambiguous outline), and
-    vertex-on-edge tangency between OVERLAPPING shapes resolves."""
-    import pytest as _pt
-
+    """The face-union path handles every configuration the pairwise GH
+    kernel rejects — including (r12) corner-only touches, which used to
+    fail loud as pinch points: the boundary re-polygonization walks
+    through a degree-4 vertex angularly, emitting the two touching
+    squares as two CCW outer rings."""
     from pg_datalake_spark.functions import spatial_arrow as SA
 
     # overlapping squares sharing crossing edges -> one outline
@@ -1137,17 +1141,13 @@ def test_union_rings_via_faces_tangent_contacts():
     sq = [(0, 0), (4, 0), (4, 4), (0, 4)]
     u2 = SA._union_rings_via_faces([sq, list(sq)])
     assert SA._mring_area(u2) == 16.0
-    # corner-touching squares: genuinely ambiguous outline -> loud
-    # (collinear endpoint contact trips the noding guard first; a
-    # pinch vertex of degree 4 is the second line of defense)
-    with _pt.raises(NotImplementedError):
-        SA._union_rings_via_faces(
-            [sq, [(4, 4), (8, 4), (8, 8), (4, 8)]]
-        )
-    with _pt.raises(NotImplementedError, match="pinch"):
-        SA._union_rings_via_faces(
-            [sq, [(4, 4), (8, 5), (8, 8), (5, 8)]]  # corner-only touch
-        )
+    # corner-touching squares (r12 — previously fail-loud): both kept
+    u3 = SA._union_rings_via_faces([sq, [(4, 4), (8, 4), (8, 8), (4, 8)]])
+    assert SA._mring_area(u3) == 32.0 and len(u3) == 2
+    u4 = SA._union_rings_via_faces([sq, [(4, 4), (8, 5), (8, 8), (5, 8)]])
+    assert SA._mring_area(u4) == 16.0 + SA._ring_area(
+        [(4, 4), (8, 5), (8, 8), (5, 8)]
+    )
 
 
 def test_mring_ops_random_inclusion_exclusion():
@@ -1233,3 +1233,80 @@ def test_makevalid_random_even_odd_area():
         sigma = 100.0 * ((hits / n) * (1 - hits / n) / n) ** 0.5
         assert abs(total - mc) < max(5 * sigma, 1.0), (total, mc)
         done += 1
+
+
+def test_boolean_via_faces_tangent_edge_contact_tier():
+    """r12 GEOS-residue closure: tangent, shared-edge, pinch-point and
+    collinear-partial-overlap boolean configurations — every case the
+    pairwise fast paths used to reject — resolved by the planar-face
+    arrangement (_boolean_via_faces), with hole/island structure intact
+    (signed areas sum to the true covered area)."""
+    from pg_datalake_spark.functions import spatial_arrow as SA
+
+    def area(rings):
+        return sum(SA._signed_area2(r) / 2 for r in rings)
+
+    def sq(x, y, s):
+        return [(x, y), (x + s, y), (x + s, y + s), (x, y + s)]
+
+    A = sq(0, 0, 2)
+    # shared full edge: merges across the collinear span
+    assert area(SA._gh_clip(A, sq(2, 0, 2), "or")) == 8.0
+    assert SA._gh_clip(A, sq(2, 0, 2), "and") == []
+    assert area(SA._gh_clip(A, sq(2, 0, 2), "sub")) == 4.0
+    # corner-only touch: two outers
+    u = SA._gh_clip(A, sq(2, 2, 2), "or")
+    assert area(u) == 8.0 and len(u) == 2
+    # collinear PARTIAL edge overlap
+    B2 = [(1, 0), (3, 0), (3, 2), (1, 2)]
+    assert area(SA._gh_clip(A, B2, "or")) == 6.0
+    assert area(SA._gh_clip(A, B2, "and")) == 2.0
+    assert area(SA._gh_clip(A, B2, "sub")) == 2.0
+    # subtrahend tangent to the boundary from inside: pinched region,
+    # one self-touching ring of area 3.5
+    diamond = [(1.0, 0.0), (1.5, 0.5), (1.0, 1.0), (0.5, 0.5)]
+    s = SA._boolean_via_faces([A], [diamond], "sub")
+    assert len(s) == 1 and area(s) == 3.5
+    # strictly-contained subtrahend through the mring path: outer + CW hole
+    s2 = SA._boolean_via_faces([A], [sq(0.5, 0.5, 0.5)], "sub")
+    assert len(s2) == 2 and area(s2) == 3.75
+    # island-in-hole union: three rings, CCW/CW/CCW by nesting parity
+    ann = [sq(0, 0, 2), list(reversed(sq(0.5, 0.5, 1.0)))]
+    isl = SA._boolean_via_faces(ann, [sq(0.75, 0.75, 0.25)], "or")
+    assert len(isl) == 3 and abs(area(isl) - 3.0625) < 1e-12
+    # double-bite (concave subtrahend) through the single-ring wrapper
+    bite = [(0.25, -0.5), (1.75, -0.5), (1.75, 0.75), (1.25, 0.75),
+            (1.25, -0.25), (0.75, -0.25), (0.75, 0.75), (0.25, 0.75)]
+    d = SA._difference_convex(A, bite)
+    assert abs(SA._ring_area(d) - 3.25) < 1e-12
+    # identical rings: and/or = self, sub = empty
+    assert area(SA._gh_clip(A, A, "and")) == 4.0
+    assert area(SA._gh_clip(A, A, "or")) == 4.0
+    assert SA._gh_clip(A, A, "sub") == []
+
+
+def test_boolean_via_faces_lattice_differential():
+    """600 integer-lattice square pairs — tangencies and shared edges
+    everywhere — against the closed-form rectangle overlap: the
+    gh_clip fast path + faces fallback must be exact on all three ops."""
+    import random
+
+    from pg_datalake_spark.functions import spatial_arrow as SA
+
+    def area(rings):
+        return sum(SA._signed_area2(r) / 2 for r in rings)
+
+    def sq(x, y, s):
+        return [(x, y), (x + s, y), (x + s, y + s), (x, y + s)]
+
+    random.seed(3)
+    for _ in range(600):
+        x, y, s = random.randint(0, 4), random.randint(0, 4), random.randint(1, 3)
+        u, v, t = random.randint(0, 4), random.randint(0, 4), random.randint(1, 3)
+        P, Q = sq(x, y, s), sq(u, v, t)
+        ix = max(0, min(x + s, u + t) - max(x, u))
+        iy = max(0, min(y + s, v + t) - max(y, v))
+        inter = ix * iy
+        assert abs(area(SA._gh_clip(P, Q, "and")) - inter) < 1e-9
+        assert abs(area(SA._gh_clip(P, Q, "or")) - (s * s + t * t - inter)) < 1e-9
+        assert abs(area(SA._gh_clip(P, Q, "sub")) - (s * s - inter)) < 1e-9
