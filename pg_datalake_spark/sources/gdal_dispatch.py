@@ -31,14 +31,16 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = ["read_gdal", "infer_gdal_compression"]
 
 # Extensions the dispatcher recognizes (the reference's inference
-# table, minus the scoped-out CAD/Geodatabase/MapInfo/WAsP/OpenDRIVE
-# long tail — those raise with the format named).
+# table, minus the scoped-out CAD/Geodatabase/WAsP/OpenDRIVE long
+# tail — those raise with the format named). MapInfo's TEXT half
+# (.mif/.mid) reads since r12; the binary .tab stays scoped out.
 _READABLE = {
     ".shp", ".gpkg", ".kml", ".kmz", ".geojson", ".geojsonl",
     ".geojsons", ".gml", ".xlsx", ".xls", ".fgb", ".tif", ".tiff",
+    ".mif",
 }
 _SCOPED_OUT = {
-    ".dxf", ".dwg", ".gdb", ".map", ".mif", ".mit", ".tab", ".xodr",
+    ".dxf", ".dwg", ".gdb", ".map", ".mit", ".tab", ".xodr",
 }
 # Sidecar extensions staged alongside a .shp member.
 _SHP_SIDECARS = (".dbf", ".shx", ".prj", ".cpg")
@@ -100,6 +102,12 @@ def _stage_zip(path: str, stage: str, zip_path: str | None) -> str:
             wanted |= {
                 n for n in names
                 if os.path.splitext(n)[0] in stems and _ext(n) in _SHP_SIDECARS
+            }
+        if any(_ext(p) == ".mif" for p in primaries):
+            stems = {os.path.splitext(p)[0] for p in primaries}
+            wanted |= {
+                n for n in names
+                if os.path.splitext(n)[0] in stems and _ext(n) == ".mid"
             }
         by_base: dict[str, list[str]] = {}
         for m in wanted:
@@ -177,6 +185,8 @@ def read_gdal(
         return geo_files.read_geojson_seq(spark, target)
     if ext == ".gml":
         return geo_files.read_gml(spark, target)
+    if ext == ".mif":
+        return geo_files.read_mapinfo(spark, target)
     if ext == ".fgb":
         from pg_datalake_spark.sources import fgb
 

@@ -872,3 +872,208 @@ def read_gml(spark: SparkSession, path_or_glob: str) -> DataFrame:
 
     files = spark.createDataFrame([(p,) for p in paths], "path string")
     return files.repartition(len(paths)).mapInPandas(parse, schema)
+
+
+# ---------------------------------------------------------------------------
+# MapInfo MIF/MID (r12) — the plain-text half of the MapInfo pair
+# (reference routes it through GDAL's MITAB driver,
+# pg_lake_engine/src/pgduck/gdal.c; docs/file-formats-reference.md:96-138;
+# format spec is public MITAB documentation). Binary .tab stays scoped
+# out.
+# ---------------------------------------------------------------------------
+
+
+def _mif_sql_type(t: str) -> str:
+    """MIF column type -> Spark SQL type (public MITAB spec)."""
+    tl = t.lower()
+    if tl.startswith("char") or tl.startswith("date"):
+        return "string"
+    if tl.startswith("decimal") or tl == "float":
+        return "double"
+    if tl in ("integer", "smallint"):
+        return "int"  # MITAB integer is 32-bit, smallint 16-bit
+    if tl == "logical":
+        return "boolean"
+    raise NotImplementedError(f"MIF column type {t!r} not supported")
+
+
+def _parse_mif_header(path: str) -> tuple[str, list[tuple[str, str]], int]:
+    """(delimiter, [(name, sql_type)], index of the line after DATA)."""
+    with open(path, encoding="utf-8", errors="replace") as fh:
+        lines = fh.read().splitlines()
+    delim = "\t"  # MITAB default when no DELIMITER clause
+    cols: list[tuple[str, str]] = []
+    i = 0
+    while i < len(lines):
+        toks = lines[i].split()
+        if not toks:
+            i += 1
+            continue
+        kw = toks[0].upper()
+        if kw == "DELIMITER":
+            delim = lines[i].split(None, 1)[1].strip().strip('"')
+        elif kw == "COLUMNS":
+            n = int(toks[1])
+            for j in range(1, n + 1):
+                name, typ = lines[i + j].split(None, 1)
+                cols.append((name, _mif_sql_type(typ.strip())))
+            i += n
+        elif kw == "DATA":
+            return delim, cols, i + 1
+        i += 1
+    raise ValueError(f"{path}: no DATA section (not a MIF file)")
+
+
+def _parse_mif_geometries(lines: list[str], start: int):
+    """Yield one geometry (list of (x, y) or None) per feature record.
+    Supported: NONE, POINT, LINE, PLINE [MULTIPLE], REGION (outer ring
+    kept, matching the other readers' single-ring convention); styling
+    clauses (SYMBOL/PEN/BRUSH/SMOOTH/CENTER) are skipped. RECT / ARC /
+    TEXT / ELLIPSE fail loud by name."""
+    _STYLE = {"SYMBOL", "PEN", "BRUSH", "SMOOTH", "CENTER"}
+    i = start
+    n = len(lines)
+
+    def _coords(k: int, at: int):
+        pts = []
+        for j in range(k):
+            xs, ys = lines[at + j].split()[:2]
+            pts.append((float(xs), float(ys)))
+        return pts, at + k
+
+    while i < n:
+        toks = lines[i].split()
+        if not toks:
+            i += 1
+            continue
+        kw = toks[0].upper()
+        if kw in _STYLE:
+            i += 1
+            continue
+        if kw == "NONE":
+            i += 1
+            yield None
+        elif kw == "POINT":
+            yield [(float(toks[1]), float(toks[2]))]
+            i += 1
+        elif kw == "LINE":
+            yield [
+                (float(toks[1]), float(toks[2])),
+                (float(toks[3]), float(toks[4])),
+            ]
+            i += 1
+        elif kw == "PLINE":
+            up = [t.upper() for t in toks]
+            if "MULTIPLE" in up:
+                nsec = int(toks[up.index("MULTIPLE") + 1])
+                i += 1
+                pts = []
+                for _s in range(nsec):  # sections concatenate
+                    k = int(lines[i].split()[0])
+                    sec, i = _coords(k, i + 1)
+                    pts.extend(sec)
+                yield pts
+            else:
+                if len(toks) > 1:  # count on the PLINE line itself
+                    k, i = int(toks[1]), i + 1
+                else:
+                    k, i = int(lines[i + 1].split()[0]), i + 2
+                pts, i = _coords(k, i)
+                yield pts
+        elif kw == "REGION":
+            nrings = int(toks[1])
+            i += 1
+            outer = None
+            for _r in range(nrings):
+                k = int(lines[i].split()[0])
+                ring, i = _coords(k, i + 1)
+                if outer is None:
+                    outer = ring  # first ring = outer (MITAB convention)
+            yield outer
+        else:
+            raise NotImplementedError(
+                f"MIF geometry record {kw!r} not supported "
+                "(POINT/LINE/PLINE/REGION/NONE; RECT/ARC/TEXT/ELLIPSE are "
+                "out of the minimal slice — use GDAL/Sedona)"
+            )
+
+
+def read_mapinfo(spark: SparkSession, path_or_glob: str) -> DataFrame:
+    """Read MapInfo MIF/MID pairs: ``x``/``y`` (first vertex),
+    ``points`` (full vertex list) and the MID attribute columns TYPED
+    per the MIF COLUMNS declaration. The driver parses only the FIRST
+    file's header for the schema; each MIF/MID pair parses
+    executor-side, one file pair per task (the KML/shapefile model).
+    Attribute row i pairs with geometry record i (the format's
+    contract)."""
+    import csv as _csv
+
+    paths = sorted(_glob.glob(path_or_glob)) or [path_or_glob]
+    delim, cols, _ = _parse_mif_header(paths[0])
+    schema = (
+        "x double, y double, points array<struct<x:double,y:double>>"
+        + "".join(f", {n} {t}" for n, t in cols)
+    )
+
+    def _pair_rows(path: str):
+        d, cs, data_at = _parse_mif_header(path)
+        if [c[0] for c in cs] != [c[0] for c in cols]:
+            raise ValueError(
+                f"{path}: MID columns {[c[0] for c in cs]} differ from the "
+                f"first file's {[c[0] for c in cols]}"
+            )
+        with open(path, encoding="utf-8", errors="replace") as fh:
+            lines = fh.read().splitlines()
+        geoms = list(_parse_mif_geometries(lines, data_at))
+        mid = os.path.splitext(path)[0] + ".mid"
+        if cs and not os.path.exists(mid):
+            mid = os.path.splitext(path)[0] + ".MID"
+            if not os.path.exists(mid):
+                raise FileNotFoundError(
+                    f"{path}: COLUMNS declared but no .mid sidecar found"
+                )
+        attrs: list[list] = []
+        if cs and os.path.exists(mid):
+            with open(mid, encoding="utf-8", errors="replace") as fh:
+                attrs = list(_csv.reader(fh, delimiter=d, quotechar='"'))
+        if attrs and len(attrs) != len(geoms):
+            raise ValueError(
+                f"{path}: {len(geoms)} geometries but {len(attrs)} MID rows"
+            )
+        for k, pts in enumerate(geoms):
+            row = attrs[k] if attrs else []
+            yield pts, row
+
+    def _typed(val: str, t: str):
+        if val is None or val == "":
+            return None
+        if t == "bigint" or t == "int":
+            return int(val)
+        if t == "double":
+            return float(val)
+        if t == "boolean":
+            return val.strip().upper() in ("T", "TRUE", "1")
+        return val
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for p in pdf["path"]:
+                out = {"x": [], "y": [], "points": []}
+                for name, _t in cols:
+                    out[name] = []
+                for pts, row in _pair_rows(p):
+                    out["x"].append(pts[0][0] if pts else None)
+                    out["y"].append(pts[0][1] if pts else None)
+                    out["points"].append(
+                        [{"x": px, "y": py} for px, py in pts] if pts else None
+                    )
+                    for j, (name, t) in enumerate(cols):
+                        out[name].append(
+                            _typed(row[j], t) if j < len(row) else None
+                        )
+                yield pd.DataFrame(out)
+
+    files = spark.createDataFrame([(p,) for p in paths], "path string")
+    return files.repartition(len(paths)).mapInPandas(parse, schema)

@@ -10,8 +10,9 @@ PackBits(32773),
 integer and float sample formats, chained IFDs (COG overview levels,
 selectable with ``level=``), and the two GeoTIFF georeferencing tags
 needed to place pixels — ModelPixelScaleTag (33550) and
-ModelTiepointTag (33922), both byte orders (II and MM). Everything
-else fails loud by name (BigTIFF, palettes, JPEG,
+ModelTiepointTag (33922), both byte orders (II and MM), classic AND
+BigTIFF (magic 43: 16-byte header, u64 counts/offsets, 20-byte IFD
+entries — r12). Everything else fails loud by name (palettes, JPEG,
 PlanarConfiguration=2).
 
 Scale shape: the driver parses ONLY the IFD chain — a few hundred
@@ -34,8 +35,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 # TIFF type sizes: 1 BYTE, 2 ASCII, 3 SHORT, 4 LONG, 5 RATIONAL,
 # 8 SSHORT, 9 SLONG, 11 FLOAT, 12 DOUBLE
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 8: 2, 9: 4, 11: 4, 12: 8}
+_TYPE_FMT = {
+    1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d",
+    # BigTIFF 8-byte types (r12): LONG8 / SLONG8 / IFD8
+    16: "Q", 17: "q", 18: "Q",
+}
+_TYPE_SIZE = {
+    1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 8: 2, 9: 4, 11: 4, 12: 8,
+    16: 8, 17: 8, 18: 8,
+}
 
 _TAG = {
     "ImageWidth": 256,
@@ -239,28 +247,35 @@ def _decompress(buf: bytes, comp: int) -> bytes:
 
 
 def _parse_one_ifd(
-    fh, ifd_off: int, path: str, bo: str = "<"
+    fh, ifd_off: int, path: str, bo: str = "<", big: bool = False
 ) -> tuple[dict, int]:
+    # BigTIFF (r12): 8-byte entry counts / value slots / offsets;
+    # entries are 20 bytes (tag u16, type u16, count u64, value 8s)
+    ent_size, inline, cnt_fmt, off_fmt = (
+        (20, 8, "Q", "Q") if big else (12, 4, "I", "I")
+    )
     fh.seek(ifd_off)
-    (n_entries,) = struct.unpack(f"{bo}H", fh.read(2))
-    raw = fh.read(n_entries * 12)
-    (next_off,) = struct.unpack(f"{bo}I", fh.read(4))
+    (n_entries,) = struct.unpack(
+        f"{bo}{'Q' if big else 'H'}", fh.read(8 if big else 2)
+    )
+    raw = fh.read(n_entries * ent_size)
+    (next_off,) = struct.unpack(f"{bo}{off_fmt}", fh.read(inline))
     tags: dict[str, tuple] = {}
     pending: list[tuple[str, int, int, int]] = []
     for i in range(n_entries):
         tag, typ, count, val_raw = struct.unpack(
-            f"{bo}HHI4s", raw[i * 12 : i * 12 + 12]
+            f"{bo}HH{cnt_fmt}{inline}s", raw[i * ent_size : (i + 1) * ent_size]
         )
         name = _TAG_NAME.get(tag)
         if name is None:
             continue
         size = _TYPE_SIZE.get(typ, 1) * count
-        if size <= 4:
+        if size <= inline:
             fmt = _TYPE_FMT.get(typ)
             if fmt:
                 tags[name] = struct.unpack(f"{bo}{count}{fmt}", val_raw[:size])
         else:
-            (off,) = struct.unpack(f"{bo}I", val_raw)
+            (off,) = struct.unpack(f"{bo}{off_fmt}", val_raw)
             pending.append((name, typ, count, off))
     for name, typ, count, off in pending:
         fh.seek(off)
@@ -356,14 +371,24 @@ def _read_ifds(path: str) -> list[dict]:
         else:
             raise ValueError(f"geotiff: not a TIFF (bad byte order): {path}")
         magic = struct.unpack(f"{bo}H", head[2:4])[0]
-        if magic == 43:
-            raise NotImplementedError(f"geotiff: BigTIFF not supported: {path}")
-        if magic != 42:
+        big = magic == 43
+        if big:
+            # BigTIFF header (r12): u16 offset-size (must be 8),
+            # u16 pad (must be 0) in bytes 4-7, then u64 first-IFD offset
+            osize, pad = struct.unpack(f"{bo}HH", head[4:8])
+            if osize != 8 or pad != 0:
+                raise ValueError(
+                    f"geotiff: malformed BigTIFF header "
+                    f"(offset size {osize}, pad {pad}): {path}"
+                )
+            (ifd_off,) = struct.unpack(f"{bo}Q", fh.read(8))
+        elif magic == 42:
+            (ifd_off,) = struct.unpack(f"{bo}I", head[4:8])
+        else:
             raise ValueError(f"geotiff: bad TIFF magic {magic}: {path}")
-        (ifd_off,) = struct.unpack(f"{bo}I", head[4:8])
         out = []
         while ifd_off:
-            ifd, ifd_off = _parse_one_ifd(fh, ifd_off, path, bo)
+            ifd, ifd_off = _parse_one_ifd(fh, ifd_off, path, bo, big)
             out.append(ifd)
     return out
 
@@ -600,12 +625,16 @@ def write_geotiff(
     overviews: list[int] | None = None,
     byte_order: str = "<",
     predictor: int = 1,
+    bigtiff: bool = False,
 ) -> None:
     """Write a (height, width, bands) numpy array as a classic
     little-endian GeoTIFF (fixture writer for tests/queries):
     stripped, or TILED with ``tile=(tw, th)``; compression 'none',
     'deflate' or 'lzw'; ``overviews=[2, 4]`` appends decimated
-    (every-Nth-pixel) reduced-resolution IFDs chained COG-style."""
+    (every-Nth-pixel) reduced-resolution IFDs chained COG-style.
+    ``bigtiff=True`` (r12) emits the magic-43 variant: 16-byte header,
+    u64 entry counts/offsets, 20-byte IFD entries with 8-byte inline
+    value slots."""
     import numpy as np
 
     arr = np.ascontiguousarray(array)
@@ -637,7 +666,8 @@ def write_geotiff(
         images.append((arr[::f, ::f], (sx * f, sy * f), True))
 
     # layout per image: [chunk data][tag arrays][IFD]; header first
-    pos = 8
+    ent_size, inline, head_len = (20, 8, 16) if bigtiff else (12, 4, 8)
+    pos = head_len
     rendered = []
     for img, scale, is_ov in images:
         chunks, entries, data_len = _ifd_payload(
@@ -655,30 +685,44 @@ def write_geotiff(
         pos += data_len
         blob_off = {}
         for tag, typ, count, payload in entries:
-            if len(payload) > 4:
+            if len(payload) > inline:
                 blob_off[tag] = pos
                 pos += len(payload)
         ifd_off = pos
-        pos += 2 + len(entries) * 12 + 4
+        pos += (8 + len(entries) * ent_size + 8) if bigtiff else (
+            2 + len(entries) * ent_size + 4
+        )
         rendered.append((chunks, entries, blob_off, ifd_off))
 
+    cnt_fmt = "Q" if bigtiff else "I"
     with open(path, "wb") as fh:
-        fh.write(
-            (b"II" if byte_order == "<" else b"MM")
-            + struct.pack(f"{byte_order}HI", 42, rendered[0][3])
-        )
+        order_mark = b"II" if byte_order == "<" else b"MM"
+        if bigtiff:
+            fh.write(
+                order_mark
+                + struct.pack(f"{byte_order}HHHQ", 43, 8, 0, rendered[0][3])
+            )
+        else:
+            fh.write(
+                order_mark + struct.pack(f"{byte_order}HI", 42, rendered[0][3])
+            )
         for i, (chunks, entries, blob_off, ifd_off) in enumerate(rendered):
             for c in chunks:
                 fh.write(c)
             for tag, typ, count, payload in entries:
-                if len(payload) > 4:
+                if len(payload) > inline:
                     fh.write(payload)
-            fh.write(struct.pack(f"{byte_order}H", len(entries)))
+            fh.write(
+                struct.pack(f"{byte_order}{'Q' if bigtiff else 'H'}", len(entries))
+            )
             for tag, typ, count, payload in entries:
-                if len(payload) <= 4:
-                    val = payload + b"\x00" * (4 - len(payload))
+                if len(payload) <= inline:
+                    val = payload + b"\x00" * (inline - len(payload))
                 else:
-                    val = struct.pack(f"{byte_order}I", blob_off[tag])
-                fh.write(struct.pack(f"{byte_order}HHI", tag, typ, count) + val)
+                    val = struct.pack(f"{byte_order}{cnt_fmt}", blob_off[tag])
+                fh.write(
+                    struct.pack(f"{byte_order}HH{cnt_fmt}", tag, typ, count)
+                    + val
+                )
             nxt = rendered[i + 1][3] if i + 1 < len(rendered) else 0
-            fh.write(struct.pack(f"{byte_order}I", nxt))
+            fh.write(struct.pack(f"{byte_order}{cnt_fmt}", nxt))

@@ -502,3 +502,93 @@ def test_xlsx_multi_sheet_layer_option(spark, tmp_path):
         == [99.0]
     with pytest.raises(ValueError, match="Sheet 2"):
         read_xlsx(spark, path, sheet="nope")
+
+
+def _write_mif_pair(base, mif_body, mid_body=None, delim=","):
+    mif = base + ".mif"
+    cols = (
+        'VERSION 300\nCHARSET "Neutral"\n'
+        f'DELIMITER "{delim}"\n'
+        "COLUMNS 3\n  name Char(20)\n  pop Integer\n  score Float\n"
+        "DATA\n"
+    )
+    with open(mif, "w") as fh:
+        fh.write(cols + mif_body)
+    if mid_body is not None:
+        with open(base + ".mid", "w") as fh:
+            fh.write(mid_body)
+    return mif
+
+
+def test_mapinfo_mif_mid_geometries_and_typed_attrs(spark, tmp_path):
+    """MIF/MID pair (r12 — previously scoped-out): POINT / LINE /
+    PLINE (count inline and next-line, MULTIPLE sections) / REGION
+    (outer ring kept) / NONE, styling clauses skipped, MID attributes
+    typed per the COLUMNS declaration, quoted delimiters respected."""
+    from pg_datalake_spark.sources.geo_files import read_mapinfo
+
+    mif = _write_mif_pair(
+        str(tmp_path / "t"),
+        "POINT 1.5 2.5\n"
+        "    SYMBOL (34,0,12)\n"
+        "LINE 0 0 3 4\n"
+        "PLINE 3\n0 0\n1 1\n2 0\n"
+        "PLINE MULTIPLE 2\n2\n0 0\n1 0\n2\n5 5\n6 6\n"
+        "REGION 2\n4\n0 0\n4 0\n4 4\n0 4\n"
+        "4\n1 1\n2 1\n2 2\n1 2\n"
+        "  PEN (1,2,0)\n  BRUSH (2,16777215,16777215)\n"
+        "NONE\n",
+        'alpha,10,1.25\n"beta, inc",20,2.5\ngamma,30,\ndelta,40,4.0\n'
+        "epsilon,50,5.0\nzeta,,6.0\n",
+    )
+    df = read_mapinfo(spark, mif)
+    rows = df.collect()
+    assert len(rows) == 6
+    assert [f.name for f in df.schema.fields] == [
+        "x", "y", "points", "name", "pop", "score",
+    ]
+    assert df.schema["pop"].dataType.simpleString() == "int"
+    assert df.schema["score"].dataType.simpleString() == "double"
+    by = {r["name"]: r for r in rows}
+    assert (by["alpha"].x, by["alpha"].y) == (1.5, 2.5)
+    assert by["beta, inc"].points == [  # quoted delimiter respected
+        {"x": 0.0, "y": 0.0}, {"x": 3.0, "y": 4.0},
+    ] or [(p.x, p.y) for p in by["beta, inc"].points] == [(0.0, 0.0), (3.0, 4.0)]
+    assert len(by["gamma"].points) == 3 and by["gamma"].score is None
+    assert len(by["delta"].points) == 4  # MULTIPLE sections concatenate
+    assert len(by["epsilon"].points) == 4  # REGION: outer ring only
+    assert by["zeta"].points is None and by["zeta"].pop is None
+
+
+def test_mapinfo_fail_louds_and_dispatch(spark, tmp_path):
+    import zipfile
+
+    import pytest
+
+    from pg_datalake_spark.sources.gdal_dispatch import read_gdal
+    from pg_datalake_spark.sources.geo_files import read_mapinfo
+
+    # unsupported geometry record names fail loud
+    mif = _write_mif_pair(
+        str(tmp_path / "arc"), "ARC 0 0 1 1 0 90\n", "a,1,1.0\n"
+    )
+    # executor-side raise surfaces wrapped in Spark's PythonException
+    with pytest.raises(Exception, match="ARC"):
+        read_mapinfo(spark, mif).collect()
+    # declared COLUMNS with no .mid sidecar fails loud
+    mif2 = _write_mif_pair(str(tmp_path / "nomid"), "POINT 0 0\n")
+    with pytest.raises(Exception, match="mid sidecar"):
+        read_mapinfo(spark, mif2).collect()
+    # dispatcher routes .mif, and stages the .mid out of a zip
+    base = str(tmp_path / "z")
+    _write_mif_pair(base, "POINT 7 8\n", "eta,70,7.0\n")
+    zp = str(tmp_path / "pair.zip")
+    with zipfile.ZipFile(zp, "w") as z:
+        z.write(base + ".mif", "z.mif")
+        z.write(base + ".mid", "z.mid")
+    rows = read_gdal(spark, zp).collect()
+    assert len(rows) == 1 and rows[0]["name"] == "eta" and rows[0].x == 7.0
+    # binary .tab is still scoped out BY NAME
+    open(str(tmp_path / "t.tab"), "wb").write(b"\x00")
+    with pytest.raises(NotImplementedError, match="scoped out"):
+        read_gdal(spark, str(tmp_path / "t.tab"))

@@ -88,12 +88,10 @@ def test_fail_loud_guards(tmp_path):
         fh.write(b"MM" + b"\x00" * 6)
     with pytest.raises(ValueError, match="bad TIFF magic"):
         _read_ifd(pb)
-    # BigTIFF magic 43
+    # BigTIFF magic 43 is SUPPORTED since r12 — a tiny one reads
     pg = os.path.join(d, "big.tif")
-    with open(pg, "wb") as fh:
-        fh.write(b"II" + struct.pack("<HI", 43, 8))
-    with pytest.raises(NotImplementedError, match="BigTIFF"):
-        _read_ifd(pg)
+    write_geotiff(pg, arr, bigtiff=True)
+    assert _read_ifd(pg)["width"] == 4
     # not a TIFF
     pn = os.path.join(d, "no.tif")
     with open(pn, "wb") as fh:
@@ -363,3 +361,48 @@ def test_predictor_horizontal_differencing(spark, tmp_path):
     open(pbad, "wb").write(bytes(data))
     with pytest.raises(NotImplementedError, match="Predictor=3"):
         _read_ifd(pbad)
+
+
+def test_bigtiff_read_full_roundtrip(spark):
+    """BigTIFF (magic 43, r12): 16-byte header, u64 offsets, 20-byte
+    IFD entries — same pixel values, georeferencing, tiling and
+    overview chain as the classic variant, both byte orders."""
+    import numpy as np
+
+    d = tempfile.mkdtemp()
+    arr = _planted()
+    for bo in ("<", ">"):
+        p = os.path.join(d, f"big_{'le' if bo == '<' else 'be'}.tif")
+        write_geotiff(p, arr, tile=(32, 16), compression="lzw",
+                      pixel_scale=(0.5, 0.25), tiepoint=(100.0, 50.0),
+                      overviews=[2], byte_order=bo, bigtiff=True)
+        df = read_geotiff(spark, p)
+        rows = df.collect()
+        assert len(rows) == 48 * 64 * 2
+        got = {(r.x, r.y, r.band): r for r in rows}
+        for x, y, b in [(0, 0, 0), (63, 47, 1), (10, 20, 1)]:
+            r = got[(x, y, b)]
+            assert r.value == float((x * 31 + y * 17 + b * 7) % 997)
+            assert r.geo_x == 100.0 + x * 0.5
+            assert r.geo_y == 50.0 - y * 0.25
+        # the COG overview level reads through the 8-byte IFD chain
+        ov = read_geotiff(spark, p, level=1).collect()
+        assert len(ov) == 24 * 32 * 2
+    # a classic file is NOT misparsed as BigTIFF and vice versa
+    pc = os.path.join(d, "classic.tif")
+    write_geotiff(pc, arr, rows_per_strip=16)
+    from pg_datalake_spark.sources.geotiff import _read_ifds
+
+    assert _read_ifds(pc)[0]["width"] == 64
+
+
+def test_bigtiff_malformed_header_fails_loud(tmp_path):
+    import struct
+
+    p = str(tmp_path / "bad.tif")
+    with open(p, "wb") as fh:  # offset size 4 is not legal BigTIFF
+        fh.write(b"II" + struct.pack("<HHHQ", 43, 4, 0, 16))
+    from pg_datalake_spark.sources.geotiff import _read_ifds
+
+    with pytest.raises(ValueError, match="BigTIFF"):
+        _read_ifds(p)
