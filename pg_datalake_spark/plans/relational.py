@@ -985,42 +985,44 @@ def o04(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific, so the hashed output is the sample's VERIFIED
     PROPERTIES (r11 promotion from rows-only): the sampled count sits
     within 6σ binomial bounds of p·N (p=0.1; a false failure is a
-    ~1e-9 event), every sampled row exists in the source (anti-join
-    empty), and sampling WITHOUT replacement never emits a
+    ~1e-9 event), every sampled row exists in the source (no sampled
+    key outside it), and sampling WITHOUT replacement never emits a
     (l_orderkey, l_linenumber) pair more often than the source holds
-    it — all computed distributively, no driver collect."""
+    it — all computed distributively, no driver collect.
+
+    Plan shape (r12): ONE shuffle. The source and the sample union
+    with a tag column and aggregate per key once; subset (ks>0 with
+    ns==0), multiplicity (ks>ns) and both counts then reduce from the
+    same grouped pass — the previous three-shuffle formulation
+    (anti-join + two groupBy sides of a join) measured 3.1× at the
+    10× probe from shuffle volume alone."""
     t = load_tables(spark, sf_dir, ["lineitem"])
     li = t["lineitem"].select("l_orderkey", "l_linenumber")
     s = t["lineitem"].sample(fraction=0.1, seed=42).select(
         "l_orderkey", "l_linenumber"
     )
     keys = ["l_orderkey", "l_linenumber"]
-    tot = li.agg(F.count("*").alias("n_total"))
-    samp = s.agg(F.count("*").alias("k"))
-    miss = s.join(li, keys, "left_anti").agg(F.count("*").alias("n_missing"))
-    over = (
-        s.groupBy(keys)
-        .agg(F.count("*").alias("ks"))
-        .join(li.groupBy(keys).agg(F.count("*").alias("ns")), keys)
-        .agg(
-            F.sum((F.col("ks") > F.col("ns")).cast("int")).alias("n_over")
-        )
+    tagged = li.withColumn("__s", F.lit(0)).unionAll(
+        s.withColumn("__s", F.lit(1))
+    )
+    per_key = tagged.groupBy(keys).agg(
+        F.count_if(F.col("__s") == 0).alias("ns"),
+        F.count_if(F.col("__s") == 1).alias("ks"),
+    )
+    stats = per_key.agg(
+        F.sum("ns").alias("n_total"),
+        F.sum("ks").alias("k"),
+        F.count_if((F.col("ks") > 0) & (F.col("ns") == 0)).alias("n_missing"),
+        F.count_if(F.col("ks") > F.col("ns")).alias("n_over"),
     )
     mean = 0.1 * F.col("n_total")
     dev = 6.0 * F.sqrt(0.1 * 0.9 * F.col("n_total"))
-    return (
-        samp.crossJoin(tot)
-        .crossJoin(miss)
-        .crossJoin(over)
-        .select(
-            ((F.col("k") >= mean - dev) & (F.col("k") <= mean + dev))
-            .cast("int")
-            .alias("count_ok"),
-            (F.col("n_missing") == 0).cast("int").alias("subset_ok"),
-            (F.coalesce(F.col("n_over"), F.lit(0)) == 0)
-            .cast("int")
-            .alias("mult_ok"),
-        )
+    return stats.select(
+        ((F.col("k") >= mean - dev) & (F.col("k") <= mean + dev))
+        .cast("int")
+        .alias("count_ok"),
+        (F.col("n_missing") == 0).cast("int").alias("subset_ok"),
+        (F.col("n_over") == 0).cast("int").alias("mult_ok"),
     )
 
 
