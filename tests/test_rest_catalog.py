@@ -47,6 +47,10 @@ class _CatalogState:
         self.token_counter = 0
         self.expires_in: float | None = None
         self.n_requests = 0
+        # a real REST service linearizes CommitTableRequest; the
+        # ThreadingHTTPServer handler takes this around the
+        # check-requirements-then-apply-updates section
+        self.commit_lock = threading.Lock()
 
     def put(self, ns: str, name: str, metadata_location: str):
         meta = json.load(open(metadata_location))
@@ -168,6 +172,11 @@ class _Handler(BaseHTTPRequestHandler):
             )
         # /v1/namespaces/{ns}/tables/{t}  (CommitTableRequest)
         if len(parts) == 5 and parts[3] == "tables":
+            with self.state.commit_lock:
+                return self._commit_table(parts, body)
+        return self._send(404, {"error": f"unknown path {path}"})
+
+    def _commit_table(self, parts, body):
             ns, name = parts[2], parts[4]
             entry = self.state.tables.get(ns, {}).get(name)
             if entry is None:
@@ -201,7 +210,6 @@ class _Handler(BaseHTTPRequestHandler):
                 200,
                 {"metadata-location": self.state.tables[ns][name]["metadata-location"]},
             )
-        return self._send(404, {"error": f"unknown path {path}"})
 
 
 @pytest.fixture
@@ -362,3 +370,51 @@ def test_rest_catalog_5xx_retry_taxonomy(spark, tmp_path, rest_server):
     # 503 on a POST is pre-processing — safe to retry
     state.fail_next = [503]
     client.register_table("flaky", "t5xx", _current_metadata_location(loc))
+
+
+def test_rest_catalog_concurrent_commit_single_winner(spark, tmp_path, rest_server):
+    """6 clients race the SAME CommitTableRequest transition
+    (snap0 -> snap1): the service linearizes commits, so exactly one
+    gets 200 and five get 409 -> CommitConflictError — the same
+    exactly-one-winner law the local CAS paths pin
+    (tests/test_isolation_stress.py)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    uri, state = rest_server
+    loc = str(tmp_path / "t_conc")
+    export_iceberg_snapshot(
+        spark.range(40).select(F.col("id").alias("k")), loc
+    )
+    client = RestCatalogClient(uri, credential="cid:sec")
+    client.register_table("lake", "t_conc", _current_metadata_location(loc))
+    snap0 = load_table_metadata(loc)["current-snapshot-id"]
+    append_snapshot(spark.range(40, 70).select(F.col("id").alias("k")), loc)
+    meta1 = load_table_metadata(loc)
+    snap1_obj = next(
+        s for s in meta1["snapshots"]
+        if s["snapshot-id"] == meta1["current-snapshot-id"]
+    )
+    new_loc = _current_metadata_location(loc)
+
+    barrier = threading.Barrier(6)
+
+    def attempt(i):
+        c = RestCatalogClient(uri, credential="cid:sec")
+        barrier.wait()
+        try:
+            c.commit_snapshot(
+                "lake", "t_conc",
+                new_metadata_location=new_loc,
+                table_uuid=meta1["table-uuid"],
+                expected_snapshot_id=snap0,
+                new_snapshot=snap1_obj,
+            )
+            return "win"
+        except CommitConflictError:
+            return "conflict"
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        outcomes = [f.result() for f in [pool.submit(attempt, i) for i in range(6)]]
+    assert outcomes.count("win") == 1 and outcomes.count("conflict") == 5
+    # the table reads at the committed transition
+    assert client.read_table(spark, "lake", "t_conc").count() == 70
