@@ -1977,7 +1977,7 @@ def x_llmops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "c07_f16_f17_p01_p02_u02_u03_misc",
+    "c07_f16_f17_p01_p02_u02_u03_mm01_mm02_mm03_mm04_mm05_misc",
     oracle=lambda: "\nUNION ALL\n".join(
         [
             _g_arm_sql(
@@ -1989,6 +1989,36 @@ def x_llmops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i3="n_cs_names",
                 i4="n_brand11",
                 i5="n_lt_m",
+            ),
+            _g_arm_sql(
+                "mm01",
+                ORACLES["mm01_decode_meta"],
+                k="CAST(width AS VARCHAR) || '|' || CAST(height AS VARCHAR)",
+                i1="n",
+            ),
+            _g_arm_sql(
+                "mm02",
+                ORACLES["mm02_resize_pipeline"],
+                k="CAST(width AS VARCHAR)",
+                i1="n",
+            ),
+            _g_arm_sql(
+                "mm03",
+                ORACLES["mm03_frame_sample"],
+                k="CAST(media_id AS VARCHAR)",
+                i1="n_sampled",
+            ),
+            _g_arm_sql(
+                "mm04",
+                ORACLES["mm04_byte_histogram"],
+                k="CAST(media_id AS VARCHAR) || '|' || CAST(dim AS VARCHAR)",
+                d1="f0",
+            ),
+            _g_arm_sql(
+                "mm05",
+                ORACLES["mm05_perceptual_neardup"],
+                k="CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR)",
+                i1="ham_ok",
             ),
             _g_arm_sql(
                 "f16",
@@ -2032,7 +2062,11 @@ def c_f_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (f16), VARIANT semi-structured access (f17), the pivot→unpivot
     roundtrip (p01+p02) — plus the round-5 UDF tail rotated in r6:
     Python UDTF under LATERAL (u02) and the grouped-agg pandas UDAF
-    (u03)."""
+    (u03) — plus the r12 rotation closing the MULTIMODAL family:
+    binary decode metadata (mm01), resize pipeline shape (mm02),
+    deterministic frame sampling (mm03), the closed-form byte
+    histogram (mm04) and SimHash perceptual near-dup pairs (mm05),
+    all previously sweep-only."""
     bar = F.lit("|")
     c07 = QUERIES["c07_collations"](spark, sf_dir)
     f16 = QUERIES["f16_regexp_replace_first"](spark, sf_dir)
@@ -2085,6 +2119,39 @@ def c_f_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "u03",
             k=F.col("o_orderstatus"),
             d1=F.col("wmean"),
+        ),
+        _g_arm(
+            QUERIES["mm01_decode_meta"](spark, sf_dir),
+            "mm01",
+            k=F.concat(F.col("width").cast("string"), bar,
+                       F.col("height").cast("string")),
+            i1=F.col("n"),
+        ),
+        _g_arm(
+            QUERIES["mm02_resize_pipeline"](spark, sf_dir),
+            "mm02",
+            k=F.col("width").cast("string"),
+            i1=F.col("n"),
+        ),
+        _g_arm(
+            QUERIES["mm03_frame_sample"](spark, sf_dir),
+            "mm03",
+            k=F.col("media_id").cast("string"),
+            i1=F.col("n_sampled"),
+        ),
+        _g_arm(
+            QUERIES["mm04_byte_histogram"](spark, sf_dir),
+            "mm04",
+            k=F.concat(F.col("media_id").cast("string"), bar,
+                       F.col("dim").cast("string")),
+            d1=F.col("f0"),
+        ),
+        _g_arm(
+            QUERIES["mm05_perceptual_neardup"](spark, sf_dir),
+            "mm05",
+            k=F.concat(F.col("id_a").cast("string"), bar,
+                       F.col("id_b").cast("string")),
+            i1=F.col("ham_ok"),
         ),
     )
 
@@ -2456,9 +2523,7 @@ def ds_shapes_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "x09_weighted_sample",
-    oracle=r"""
+X09_ORACLE = r"""
     WITH t AS (
       SELECT doc_id, text, string_split_regex(lower(text), '\s+') AS toks
       FROM documents
@@ -2486,17 +2551,164 @@ def ds_shapes_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM wtab WHERE w > 0
     )
     SELECT doc_id, w FROM keyed ORDER BY k DESC, doc_id LIMIT 500
-    """,
-)
+    """
+
+
 def x09_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted corpus subsample (Efraimidis–Spirakis A-Res
     over md5-derived uniforms — deterministic across runs, engines and
     partitioning; operators/sampling.py:weighted_sample with the
-    rounded-rank key). Registered here so the driver's exact-hash
-    check covers it inside the window."""
+    rounded-rank key). An arm of the x-curation window suite below;
+    the standalone row re-registers after the window in
+    plans/window_rotation.py."""
     from pg_datalake_spark.plans import llmops
 
     return llmops.x09(spark, sf_dir)
+
+
+@register(
+    "x01_x02_x09_x10_x11_x12_x13_x15_curation",
+    oracle=lambda: "\nUNION ALL\n".join(
+        [
+            _g_arm_sql(
+                "x09", X09_ORACLE, k="CAST(doc_id AS VARCHAR)", d1="w"
+            ),
+            _g_arm_sql(
+                "x01",
+                ORACLES["x01_approx_sketches"],
+                k="l_returnflag",
+                i1="exact_parts",
+                i2="acd_ok",
+                i3="med_ok",
+                i4="iqr_ok",
+            ),
+            _g_arm_sql(
+                "x02",
+                ORACLES["x02_salted_hot_key_agg"],
+                k="event_type",
+                i1="n",
+                d1="sum_value",
+            ),
+            _g_arm_sql(
+                "x10",
+                ORACLES["x10_hll_mergeable_rollup"],
+                k="day_key",
+                i1="exact_users",
+                i2="n_hours",
+                i3="est_ok",
+            ),
+            _g_arm_sql(
+                "x11",
+                ORACLES["x11_leakage_safe_split"],
+                k="split",
+                i1="n_docs",
+                i2="n_clusters",
+                i3="id_sum",
+            ),
+            _g_arm_sql(
+                "x12",
+                ORACLES["x12_source_mixing"],
+                k="source",
+                i1="n_docs",
+                i2="target_k",
+                i3="n_sampled",
+                i4="id_sum",
+            ),
+            _g_arm_sql(
+                "x13",
+                ORACLES["x13_pagerank"],
+                k="CAST(node AS VARCHAR)",
+                i1="rk",
+                d1="pr",
+            ),
+            _g_arm_sql(
+                "x15",
+                ORACLES["x15_deterministic_shuffle"],
+                k="CAST(shard AS VARCHAR)",
+                i1="n",
+                i2="id_sum",
+                i3="chars",
+                i4="pos_sum",
+                i5="head_doc",
+            ),
+        ]
+    ),
+)
+def x_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-operator suite for the driver window (r12 — the x09
+    slot widened to close the x family): weighted sampling (x09, the
+    original slot), sketch-law checks (x01 approx count-distinct /
+    median / IQR bands), salted hot-key aggregation (x02), mergeable
+    HLL rollup laws (x10), leakage-safe cluster-level splits (x11),
+    proportional source mixing (x12), PageRank over the orders graph
+    (x13) and the deterministic md5 shuffle-shard (x15) — all
+    previously sweep-only except x09."""
+    return _g_union(
+        _g_arm(
+            x09_weighted_sample(spark, sf_dir),
+            "x09",
+            k=F.col("doc_id").cast("string"),
+            d1=F.col("w"),
+        ),
+        _g_arm(
+            QUERIES["x01_approx_sketches"](spark, sf_dir),
+            "x01",
+            k=F.col("l_returnflag"),
+            i1=F.col("exact_parts"),
+            i2=F.col("acd_ok"),
+            i3=F.col("med_ok"),
+            i4=F.col("iqr_ok"),
+        ),
+        _g_arm(
+            QUERIES["x02_salted_hot_key_agg"](spark, sf_dir),
+            "x02",
+            k=F.col("event_type"),
+            i1=F.col("n"),
+            d1=F.col("sum_value"),
+        ),
+        _g_arm(
+            QUERIES["x10_hll_mergeable_rollup"](spark, sf_dir),
+            "x10",
+            k=F.col("day_key"),
+            i1=F.col("exact_users"),
+            i2=F.col("n_hours"),
+            i3=F.col("est_ok"),
+        ),
+        _g_arm(
+            QUERIES["x11_leakage_safe_split"](spark, sf_dir),
+            "x11",
+            k=F.col("split"),
+            i1=F.col("n_docs"),
+            i2=F.col("n_clusters"),
+            i3=F.col("id_sum"),
+        ),
+        _g_arm(
+            QUERIES["x12_source_mixing"](spark, sf_dir),
+            "x12",
+            k=F.col("source"),
+            i1=F.col("n_docs"),
+            i2=F.col("target_k"),
+            i3=F.col("n_sampled"),
+            i4=F.col("id_sum"),
+        ),
+        _g_arm(
+            QUERIES["x13_pagerank"](spark, sf_dir),
+            "x13",
+            k=F.col("node").cast("string"),
+            i1=F.col("rk"),
+            d1=F.col("pr"),
+        ),
+        _g_arm(
+            QUERIES["x15_deterministic_shuffle"](spark, sf_dir),
+            "x15",
+            k=F.col("shard").cast("string"),
+            i1=F.col("n"),
+            i2=F.col("id_sum"),
+            i3=F.col("chars"),
+            i4=F.col("pos_sum"),
+            i5=F.col("head_doc"),
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -10,7 +10,7 @@ full exact sweep without occupying window slots.
 
 from __future__ import annotations
 
-from pg_datalake_spark.plans import lakeops
+from pg_datalake_spark.plans import lakeops, suites
 from pg_datalake_spark.plans.registry import register
 
 register("lake02_partition_metadata_delete", oracle=lakeops.LAKE02_ORACLE)(
@@ -19,3 +19,8 @@ register("lake02_partition_metadata_delete", oracle=lakeops.LAKE02_ORACLE)(
 register("lake04_update_agg", oracle=lakeops.LAKE04_ORACLE)(lakeops.lake04)
 register("lake06_merge", oracle=lakeops.LAKE06_ORACLE)(lakeops.lake06)
 register("lake07_add_files", oracle=lakeops.LAKE07_ORACLE)(lakeops.lake07)
+# r12: the x09 window slot widened to the x-curation suite; the
+# standalone row re-registers here for the local gate + full sweep
+register("x09_weighted_sample", oracle=suites.X09_ORACLE)(
+    suites.x09_weighted_sample
+)

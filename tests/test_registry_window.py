@@ -56,10 +56,10 @@ WINDOW_MANIFEST = [
     "j01_j07_j08_n01_joins",
     "w04_w05_w07_cb18_cb42_sessions",
     "x03_x08_x14_t01_t02_t03_t04_t05_t06_t07_t08_t09_t10_t11_t12_t13_t14_t15_v05_d06_d10_t16_llmops",
-    "c07_f16_f17_p01_p02_u02_u03_misc",
+    "c07_f16_f17_p01_p02_u02_u03_mm01_mm02_mm03_mm04_mm05_misc",
     "geo01_geo02_geo03_geo12_geo13_geo14_geo15_geo16_geo17_geo19_geo20_spatial",
     "ds36_ds51_ds67_ds04_ds39_ds77_ds87_shapes",
-    "x09_weighted_sample",
+    "x01_x02_x09_x10_x11_x12_x13_x15_curation",
     "cb01_cb04_cb13_cb16_cb17_cb34_clickbench",
     "ds01_ds05_ds12_ds17_ds21_long_tail",
     # 7 lake-table DML/maintenance/format rows (r8: the lake08 slot
