@@ -12,8 +12,10 @@ selectable with ``level=``), and the two GeoTIFF georeferencing tags
 needed to place pixels — ModelPixelScaleTag (33550) and
 ModelTiepointTag (33922), both byte orders (II and MM), classic AND
 BigTIFF (magic 43: 16-byte header, u64 counts/offsets, 20-byte IFD
-entries — r12). Everything else fails loud by name (palettes, JPEG,
-PlanarConfiguration=2).
+entries — r12), PlanarConfiguration 1 AND 2 (band-separate chunks,
+band-major — r12), and palette-color images (Photometric=3 + 768-entry
+ColorMap expanded to R/G/B bands — r12). The remaining residue fails
+loud by name (JPEG-in-TIFF, sub-8-bit palettes).
 
 Scale shape: the driver parses ONLY the IFD chain — a few hundred
 bytes per file, O(strips+tiles) metadata — and builds a chunk
@@ -28,6 +30,7 @@ joins/aggregates like any other table.
 from __future__ import annotations
 
 import glob as _glob
+import json
 import struct
 import zlib
 
@@ -63,6 +66,7 @@ _TAG = {
     "TileByteCounts": 325,
     "NewSubfileType": 254,
     "Predictor": 317,
+    "ColorMap": 320,
     "ModelPixelScale": 33550,
     "ModelTiepoint": 33922,
 }
@@ -290,10 +294,10 @@ def _parse_one_ifd(
             f"geotiff: compression {comp} not supported (none/LZW/DEFLATE):"
             f" {path}"
         )
-    if tags.get("PlanarConfig", (1,))[0] != 1:
+    planar = tags.get("PlanarConfig", (1,))[0]
+    if planar not in (1, 2):
         raise NotImplementedError(
-            f"geotiff: PlanarConfiguration=2 (band-separate) not supported:"
-            f" {path}"
+            f"geotiff: PlanarConfiguration={planar} not supported: {path}"
         )
     pred = tags.get("Predictor", (1,))[0]
     if pred not in (1, 2):
@@ -325,6 +329,18 @@ def _parse_one_ifd(
         )
     if bo == ">":
         dtype = dtype.replace("<", ">")
+    # palette-color (Photometric=3, r12): indices expand through the
+    # ColorMap to R/G/B bands at read time, matching GDAL's expansion
+    palette = None
+    if tags.get("Photometric", (1,))[0] == 3:
+        cmap = tags.get("ColorMap")
+        if cmap is None or spp != 1 or bits[0] != 8 or len(cmap) != 3 * 256:
+            raise NotImplementedError(
+                f"geotiff: palette image needs 8-bit single-sample indices "
+                f"with a 768-entry ColorMap (got spp={spp}, bits={bits[0]}, "
+                f"map={'missing' if cmap is None else len(cmap)}): {path}"
+            )
+        palette = list(cmap)
     scale = tags.get("ModelPixelScale", (1.0, 1.0, 0.0))
     tie = tags.get("ModelTiepoint", (0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
     tiled = "TileWidth" in tags
@@ -335,6 +351,8 @@ def _parse_one_ifd(
         "dtype": dtype,
         "compression": comp,
         "predictor": pred,
+        "planar": planar,
+        "palette": palette,
         "tiled": tiled,
         # pixel (px, py) -> geo: gx = tx + (px - tpx) * sx ;
         #                        gy = ty - (py - tpy) * sy
@@ -420,35 +438,37 @@ def read_geotiff(
                 f"{len(chain)} IFD(s)"
             )
         ifd = chain[level]
+        # spatial chunk grid (row0, chunk_h, col0, chunk_w)
+        grid = []
         if ifd["tiled"]:
             tw, th = ifd["tile_w"], ifd["tile_h"]
             across = -(-ifd["width"] // tw)
-            for ti, (off, cnt) in enumerate(
-                zip(ifd["offsets"], ifd["byte_counts"])
-            ):
-                col0 = (ti % across) * tw
-                row0 = (ti // across) * th
-                tasks.append(
-                    (
-                        p, off, cnt, row0, th, col0, tw,
-                        ifd["width"], ifd["height"], ifd["bands"],
-                        ifd["dtype"], ifd["compression"],
-                        ifd["predictor"], ifd["sx"],
-                        ifd["sy"], ifd["tpx"], ifd["tpy"], ifd["tx"],
-                        ifd["ty"],
-                    )
-                )
+            down = -(-ifd["height"] // th)
+            for ti in range(across * down):
+                grid.append(((ti // across) * th, th, (ti % across) * tw, tw))
         else:
             rps = ifd["rows_per_strip"]
-            for si, (off, cnt) in enumerate(
-                zip(ifd["offsets"], ifd["byte_counts"])
-            ):
+            for si in range(-(-ifd["height"] // rps)):
                 row0 = si * rps
-                nrows = min(rps, ifd["height"] - row0)
+                grid.append((row0, min(rps, ifd["height"] - row0), 0,
+                             ifd["width"]))
+        # PlanarConfig=2 (r12): one chunk per (band, spatial cell),
+        # band-major offset order per the TIFF spec; each chunk decodes
+        # a SINGLE band (band0 >= 0), interleaved chunks carry band0=-1
+        planes = (
+            [(b, 1) for b in range(ifd["bands"])]
+            if ifd.get("planar", 1) == 2
+            else [(-1, ifd["bands"])]
+        )
+        pal = json.dumps(ifd["palette"]) if ifd.get("palette") else ""
+        for pi, (band0, nb) in enumerate(planes):
+            for gi, (row0, ch, col0, cw) in enumerate(grid):
+                k = pi * len(grid) + gi
                 tasks.append(
                     (
-                        p, off, cnt, row0, nrows, 0, ifd["width"],
-                        ifd["width"], ifd["height"], ifd["bands"],
+                        p, ifd["offsets"][k], ifd["byte_counts"][k],
+                        row0, ch, col0, cw,
+                        ifd["width"], ifd["height"], nb, band0, pal,
                         ifd["dtype"], ifd["compression"],
                         ifd["predictor"], ifd["sx"],
                         ifd["sy"], ifd["tpx"], ifd["tpy"], ifd["tx"],
@@ -457,6 +477,8 @@ def read_geotiff(
                 )
 
     def decode(batches):
+        import json as _json
+
         import numpy as np
         import pandas as pd
 
@@ -481,13 +503,24 @@ def read_geotiff(
                 vis_h = min(int(t.chunk_h), int(t.img_h) - int(t.row0))
                 vis_w = min(int(t.chunk_w), int(t.img_w) - int(t.col0))
                 arr = arr[:vis_h, :vis_w, :]
+                if t.pal:
+                    # palette expansion: 8-bit indices -> 3 R/G/B bands
+                    # through the 768-entry ColorMap (u16 values)
+                    cmap = np.asarray(_json.loads(t.pal), dtype=np.uint16)
+                    idx = arr[:, :, 0].astype(np.int64)
+                    arr = np.stack(
+                        [cmap[c * 256 + idx] for c in range(3)], axis=2
+                    )
                 ys, xs, bs = np.indices(arr.shape).reshape(3, -1)
                 px = (xs + int(t.col0)).astype("int64")
                 py = (ys + int(t.row0)).astype("int64")
+                band = (
+                    bs + int(t.band0) if int(t.band0) >= 0 else bs
+                ).astype("int32")
                 yield pd.DataFrame(
                     {
                         "path": t.path,
-                        "band": bs.astype("int32"),
+                        "band": band,
                         "x": px,
                         "y": py,
                         "value": arr.reshape(-1).astype("float64"),
@@ -499,6 +532,7 @@ def read_geotiff(
     cols = (
         "path string, off long, cnt long, row0 long, chunk_h long, "
         "col0 long, chunk_w long, img_w long, img_h long, bands long, "
+        "band0 long, pal string, "
         "dtype string, comp long, pred long, sx double, sy double, "
         "tpx double, tpy double, tx double, ty double"
     )
@@ -524,7 +558,7 @@ def _compress(raw: bytes, comp_code: int) -> bytes:
 
 def _ifd_payload(
     arr, *, rows_per_strip, tile, comp_code, pixel_scale, tiepoint,
-    data_pos, is_overview, bo="<", predictor=1,
+    data_pos, is_overview, bo="<", predictor=1, planar=1, palette=None,
 ):
     """Chunk bytes + tag entries for ONE image (main or overview).
     Returns (chunks, entries, data_len)."""
@@ -544,23 +578,30 @@ def _ifd_payload(
             return d.astype(block.dtype)
         return block
 
+    # PlanarConfig=2: chunk each band's plane separately, band-major
+    planes = (
+        [arr[:, :, b : b + 1] for b in range(bands)] if planar == 2 else [arr]
+    )
     chunks: list[bytes] = []
-    if tile:
-        tw, th = tile
-        for r0 in range(0, h, th):
-            for c0 in range(0, w, tw):
-                # tiles are full-sized: edge tiles zero-padded (spec)
-                block = np.zeros((th, tw, bands), dtype=dt)
-                part = arr[r0 : r0 + th, c0 : c0 + tw]
-                block[: part.shape[0], : part.shape[1]] = part
-                chunks.append(_compress(prep(block).tobytes(), comp_code))
-    else:
-        for r0 in range(0, h, rows_per_strip):
-            chunks.append(
-                _compress(
-                    prep(arr[r0 : r0 + rows_per_strip]).tobytes(), comp_code
+    for plane in planes:
+        nb = plane.shape[2]
+        if tile:
+            tw, th = tile
+            for r0 in range(0, h, th):
+                for c0 in range(0, w, tw):
+                    # tiles are full-sized: edge tiles zero-padded (spec)
+                    block = np.zeros((th, tw, nb), dtype=dt)
+                    part = plane[r0 : r0 + th, c0 : c0 + tw]
+                    block[: part.shape[0], : part.shape[1]] = part
+                    chunks.append(_compress(prep(block).tobytes(), comp_code))
+        else:
+            for r0 in range(0, h, rows_per_strip):
+                chunks.append(
+                    _compress(
+                        prep(plane[r0 : r0 + rows_per_strip]).tobytes(),
+                        comp_code,
+                    )
                 )
-            )
 
     offs = []
     pos = data_pos
@@ -584,9 +625,9 @@ def _ifd_payload(
         (257, *long_arr([h])),
         (258, *short_arr([bits] * bands)),
         (259, *short_arr([comp_code])),
-        (262, *short_arr([1])),
+        (262, *short_arr([3 if palette is not None else 1])),
         (277, *short_arr([bands])),
-        (284, *short_arr([1])),
+        (284, *short_arr([planar])),
         (339, *short_arr([sfmt] * bands)),
         (33550, *dbl_arr([sx, sy, 0.0])),
         (33922, *dbl_arr([0.0, 0.0, 0.0, tx, ty, 0.0])),
@@ -595,6 +636,8 @@ def _ifd_payload(
         entries.append((254, *long_arr([1])))  # NewSubfileType: reduced
     if predictor != 1:
         entries.append((317, *short_arr([predictor])))
+    if palette is not None:
+        entries.append((320, *short_arr(list(palette))))
     if tile:
         tw, th = tile
         entries += [
@@ -626,6 +669,8 @@ def write_geotiff(
     byte_order: str = "<",
     predictor: int = 1,
     bigtiff: bool = False,
+    planar: int = 1,
+    palette: list[int] | None = None,
 ) -> None:
     """Write a (height, width, bands) numpy array as a classic
     little-endian GeoTIFF (fixture writer for tests/queries):
@@ -634,7 +679,10 @@ def write_geotiff(
     (every-Nth-pixel) reduced-resolution IFDs chained COG-style.
     ``bigtiff=True`` (r12) emits the magic-43 variant: 16-byte header,
     u64 entry counts/offsets, 20-byte IFD entries with 8-byte inline
-    value slots."""
+    value slots. ``planar=2`` (r12) writes band-separate chunks
+    (band-major, per the spec). ``palette`` (r12) writes a
+    palette-color image: a 768-entry u16 ColorMap with 8-bit
+    single-band indices (Photometric=3)."""
     import numpy as np
 
     arr = np.ascontiguousarray(array)
@@ -647,6 +695,15 @@ def write_geotiff(
         raise ValueError(f"geotiff writer: unsupported dtype {dt}")
     if byte_order not in ("<", ">"):
         raise ValueError("byte_order must be '<' (II) or '>' (MM)")
+    if planar not in (1, 2):
+        raise ValueError("planar must be 1 (interleaved) or 2 (band-separate)")
+    if palette is not None and (
+        arr.shape[2] != 1 or dt != np.uint8 or len(palette) != 3 * 256
+    ):
+        raise ValueError(
+            "palette images take 8-bit single-band indices and a "
+            "768-entry ColorMap"
+        )
     if predictor == 2 and dt.kind == "f":
         # Spec reserves Predictor=2 for integer samples (floats use 3);
         # int differencing would silently truncate float data.
@@ -681,6 +738,8 @@ def write_geotiff(
             is_overview=is_ov,
             bo=byte_order,
             predictor=predictor,
+            planar=planar,
+            palette=palette,
         )
         pos += data_len
         blob_off = {}

@@ -406,3 +406,67 @@ def test_bigtiff_malformed_header_fails_loud(tmp_path):
 
     with pytest.raises(ValueError, match="BigTIFF"):
         _read_ifds(p)
+
+
+def test_planar_config_2_band_separate(spark):
+    """PlanarConfiguration=2 (r12 — previously fail-loud): chunks are
+    per-band, band-major; one Spark task per (band, spatial cell);
+    values/geo identical to the interleaved layout, including the
+    predictor and BigTIFF combinations."""
+    import numpy as np
+
+    d = tempfile.mkdtemp()
+    arr = _planted()
+    pi_ = os.path.join(d, "interleaved.tif")
+    pp = os.path.join(d, "planar2.tif")
+    write_geotiff(pi_, arr, rows_per_strip=16)
+    write_geotiff(pp, arr, rows_per_strip=16, planar=2, predictor=2,
+                  compression="lzw", bigtiff=True)
+    a = sorted((r.x, r.y, r.band, r.value) for r in read_geotiff(spark, pi_).collect())
+    b = sorted((r.x, r.y, r.band, r.value) for r in read_geotiff(spark, pp).collect())
+    assert a == b
+    # band-separate doubles the task count (2 bands x strips)
+    assert read_geotiff(spark, pp).rdd.getNumPartitions() == 2 * 3
+
+
+def test_palette_color_expansion(spark):
+    """Photometric=3 palette images (r12 — previously fail-loud):
+    8-bit indices expand through the 768-entry u16 ColorMap into three
+    R/G/B bands, GDAL-style."""
+    import numpy as np
+
+    d = tempfile.mkdtemp()
+    idx = (np.arange(12 * 10) % 256).reshape(12, 10, 1).astype(np.uint8)
+    cmap = (
+        [(i * 257) % 65536 for i in range(256)]
+        + [(i * 131) % 65536 for i in range(256)]
+        + [(i * 7) % 65536 for i in range(256)]
+    )
+    p = os.path.join(d, "pal.tif")
+    write_geotiff(p, idx, palette=cmap, compression="deflate")
+    rows = read_geotiff(spark, p).collect()
+    assert len(rows) == 12 * 10 * 3
+    got = {(r.x, r.y, r.band): r.value for r in rows}
+    for x, y in [(0, 0), (9, 11), (3, 7)]:
+        i = int(idx[y, x, 0])
+        assert got[(x, y, 0)] == float(cmap[i])
+        assert got[(x, y, 1)] == float(cmap[256 + i])
+        assert got[(x, y, 2)] == float(cmap[512 + i])
+    # malformed palette metadata fails loud
+    import struct as _struct
+
+    from pg_datalake_spark.sources.geotiff import _read_ifds
+
+    data = bytearray(open(p, "rb").read())
+    # patch ColorMap (320) count down to 3 entries -> invalid
+    (ifd_off,) = _struct.unpack("<I", data[4:8])
+    (n,) = _struct.unpack("<H", data[ifd_off : ifd_off + 2])
+    for i in range(n):
+        e = ifd_off + 2 + i * 12
+        tag = _struct.unpack("<H", data[e : e + 2])[0]
+        if tag == 320:
+            data[e + 4 : e + 8] = _struct.pack("<I", 3)
+    bad = os.path.join(d, "badpal.tif")
+    open(bad, "wb").write(bytes(data))
+    with pytest.raises(NotImplementedError, match="ColorMap"):
+        _read_ifds(bad)
