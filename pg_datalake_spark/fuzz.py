@@ -509,21 +509,62 @@ class QueryGen:
         return (f"SELECT DISTINCT {', '.join(cols)} FROM {t.name}"
                 f"{self._where(t)}")
 
+    def q_filter_agg(self) -> str:
+        """FILTER-clause aggregates + HAVING (identical semantics in
+        both dialects; PG surface the reference regress corpus leans
+        on). r12 grammar extension — active for seeds >= 10_000 so
+        the pinned regression seeds keep generating their original
+        queries."""
+        t = self.rng.choice([LINEITEM, ORDERS, CUSTOMER, PART, EVENTS,
+                             DOCUMENTS])
+        keys = self._group_keys(t, self.rng.randint(0, 2))
+        key_sel = [f"{k} AS k_{i}" for i, k in enumerate(keys)]
+        aggs = []
+        for i in range(self.rng.randint(1, 3)):
+            p = self._pred(t)
+            kind = self.rng.choice(["count", "sum_int", "min"])
+            if kind == "count":
+                aggs.append(f"COUNT(*) FILTER (WHERE {p}) AS agg_{i}")
+            elif kind == "sum_int":
+                col, _ = self.rng.choice(list(t.ints.items()))
+                m = self.rng.randint(2, 500)
+                aggs.append(
+                    f"CAST(SUM({col} % {m}) FILTER (WHERE {p}) AS BIGINT)"
+                    f" AS agg_{i}"
+                )
+            else:
+                col = self.rng.choice(t.cols())
+                aggs.append(f"MIN({col}) FILTER (WHERE {p}) AS agg_{i}")
+        sql = f"SELECT {', '.join(key_sel + aggs)} FROM {t.name}"
+        sql += self._where(t, 0, 1)
+        if keys:
+            sql += f" GROUP BY {', '.join(keys)}"
+            if self.rng.random() < 0.5:
+                sql += f" HAVING COUNT(*) >= {self.rng.randint(1, 5)}"
+        return sql
+
     SHAPES = [
         ("q_aggregate", 4), ("q_scalar_project", 2), ("q_join_agg", 4),
         ("q_window", 2), ("q_setop", 2), ("q_subquery", 2),
         ("q_orderby_limit", 1), ("q_rollup", 2), ("q_distinct", 1),
     ]
+    # grammar v2 (r12): extensions joined at seed >= 10_000 so every
+    # previously pinned seed keeps generating its original query
+    SHAPES_V2 = [("q_filter_agg", 3)]
+    V2_BASE = 10_000
 
     def generate(self) -> tuple[str, str, str]:
         """Return (shape_name, spark_sql, duckdb_sql), placeholders
         resolved. Most shapes emit one common-dialect string; shapes
         with a documented compat rewrite (q_rollup) differ."""
-        total = sum(w for _, w in self.SHAPES)
+        shapes = self.SHAPES + (
+            self.SHAPES_V2 if self.seed >= self.V2_BASE else []
+        )
+        total = sum(w for _, w in shapes)
         r = self.rng.uniform(0, total)
         acc = 0.0
-        name = self.SHAPES[-1][0]
-        for n, w in self.SHAPES:
+        name = shapes[-1][0]
+        for n, w in shapes:
             acc += w
             if r <= acc:
                 name = n

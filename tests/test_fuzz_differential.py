@@ -91,6 +91,22 @@ def test_fuzz_sweep(fuzz_env):
         f"predicates no longer hit the data")
 
 
+def test_fuzz_sweep_v2(fuzz_env):
+    """A slice of the v2 seed space (r12 grammar extensions: FILTER
+    aggregates + HAVING) through the same exact comparator."""
+    spark, con = fuzz_env
+    failures: list[str] = []
+    for seed in range(QueryGen.V2_BASE, QueryGen.V2_BASE + max(N_SEEDS // 3, 30)):
+        try:
+            shape, problems, _ = _run_seed(spark, con, seed)
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"seed {seed}: ENGINE ERROR {e}")
+            continue
+        if problems:
+            failures.append(f"seed {seed} [{shape}]: {problems[:3]}")
+    assert not failures, "\n".join(failures[:10])
+
+
 def test_fuzz_regression_seeds(fuzz_env):
     """Every historical mismatch seed stays green."""
     spark, con = fuzz_env
@@ -106,6 +122,12 @@ def test_fuzz_generator_deterministic():
 
 
 def test_fuzz_shapes_all_reachable():
-    """Every grammar shape is generated within the default sweep."""
+    """Every grammar shape is generated within the default sweep —
+    v1 shapes in the base seed space, v2 extensions (r12) above
+    V2_BASE (kept separate so pinned seeds stay byte-stable)."""
     seen = {gen_query(s)[0] for s in range(N_SEEDS)}
     assert seen == {name for name, _ in QueryGen.SHAPES}
+    seen_v2 = {
+        gen_query(QueryGen.V2_BASE + s)[0] for s in range(N_SEEDS)
+    }
+    assert seen_v2 >= {name for name, _ in QueryGen.SHAPES_V2}
