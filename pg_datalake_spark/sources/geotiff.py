@@ -13,9 +13,10 @@ needed to place pixels — ModelPixelScaleTag (33550) and
 ModelTiepointTag (33922), both byte orders (II and MM), classic AND
 BigTIFF (magic 43: 16-byte header, u64 counts/offsets, 20-byte IFD
 entries — r12), PlanarConfiguration 1 AND 2 (band-separate chunks,
-band-major — r12), and palette-color images (Photometric=3 + 768-entry
-ColorMap expanded to R/G/B bands — r12). The remaining residue fails
-loud by name (JPEG-in-TIFF, sub-8-bit palettes).
+band-major — r12), palette-color images (Photometric=3 + 3*2^bits
+ColorMap expanded to R/G/B bands — r12), and sub-byte samples (1-bit
+bilevel, 4-bit raw/palette; rows byte-aligned per the spec — r12).
+The remaining residue fails loud by name (JPEG-in-TIFF).
 
 Scale shape: the driver parses ONLY the IFD chain — a few hundred
 bytes per file, O(strips+tiles) metadata — and builds a chunk
@@ -313,12 +314,25 @@ def _parse_one_ifd(
             f"geotiff: mixed per-band sample types not supported: {path}"
         )
     key = (sfmt[0], bits[0])
-    if key not in _DTYPES:
+    # sub-byte samples (r12): 1-bit bilevel and 4-bit indices unpack
+    # to u1 at decode (rows are byte-aligned per the spec); only
+    # single-band unsigned, predictor 1
+    sub8 = 0
+    if key in ((1, 1), (1, 4)):
+        if spp != 1 or pred != 1:
+            raise NotImplementedError(
+                f"geotiff: {bits[0]}-bit samples need SamplesPerPixel=1 "
+                f"and Predictor=1: {path}"
+            )
+        sub8 = bits[0]
+        dtype = "u1"
+    elif key not in _DTYPES:
         raise NotImplementedError(
             f"geotiff: SampleFormat={sfmt[0]} BitsPerSample={bits[0]} not "
             f"supported: {path}"
         )
-    dtype = _DTYPES[key]
+    else:
+        dtype = _DTYPES[key]
     if pred == 2 and sfmt[0] == 3:
         # TIFF reserves Predictor=2 for integer samples; floats use
         # Predictor=3 (which fails loud above). Undoing horizontal
@@ -334,10 +348,12 @@ def _parse_one_ifd(
     palette = None
     if tags.get("Photometric", (1,))[0] == 3:
         cmap = tags.get("ColorMap")
-        if cmap is None or spp != 1 or bits[0] != 8 or len(cmap) != 3 * 256:
+        want = 3 * (1 << bits[0]) if bits[0] in (4, 8) else -1
+        if cmap is None or spp != 1 or want < 0 or len(cmap) != want:
             raise NotImplementedError(
-                f"geotiff: palette image needs 8-bit single-sample indices "
-                f"with a 768-entry ColorMap (got spp={spp}, bits={bits[0]}, "
+                f"geotiff: palette image needs 4- or 8-bit single-sample "
+                f"indices with a 3*2^bits ColorMap (got spp={spp}, "
+                f"bits={bits[0]}, "
                 f"map={'missing' if cmap is None else len(cmap)}): {path}"
             )
         palette = list(cmap)
@@ -353,6 +369,7 @@ def _parse_one_ifd(
         "predictor": pred,
         "planar": planar,
         "palette": palette,
+        "sub8": sub8,
         "tiled": tiled,
         # pixel (px, py) -> geo: gx = tx + (px - tpx) * sx ;
         #                        gy = ty - (py - tpy) * sy
@@ -469,6 +486,7 @@ def read_geotiff(
                         p, ifd["offsets"][k], ifd["byte_counts"][k],
                         row0, ch, col0, cw,
                         ifd["width"], ifd["height"], nb, band0, pal,
+                        ifd.get("sub8", 0),
                         ifd["dtype"], ifd["compression"],
                         ifd["predictor"], ifd["sx"],
                         ifd["sy"], ifd["tpx"], ifd["tpy"], ifd["tx"],
@@ -490,9 +508,28 @@ def read_geotiff(
                 buf = _decompress(buf, int(t.comp))
                 # chunk is chunk_h x chunk_w (tiles are FULL-sized and
                 # edge-padded per the TIFF spec; clip the padding)
-                arr = np.frombuffer(buf, dtype=t.dtype).reshape(
-                    int(t.chunk_h), int(t.chunk_w), int(t.bands)
-                )
+                if int(t.sub8):
+                    # 1-/4-bit samples: rows are byte-aligned (spec);
+                    # unpack bit- or nibble-wise, MSB/high-nibble first
+                    sb = int(t.sub8)
+                    row_bytes = (int(t.chunk_w) * sb + 7) // 8
+                    raw = np.frombuffer(buf, dtype=np.uint8).reshape(
+                        int(t.chunk_h), row_bytes
+                    )
+                    if sb == 1:
+                        arr = np.unpackbits(raw, axis=1)[:, : int(t.chunk_w)]
+                    else:
+                        arr = np.empty(
+                            (raw.shape[0], row_bytes * 2), dtype=np.uint8
+                        )
+                        arr[:, 0::2] = raw >> 4
+                        arr[:, 1::2] = raw & 0x0F
+                        arr = arr[:, : int(t.chunk_w)]
+                    arr = arr[:, :, None]
+                else:
+                    arr = np.frombuffer(buf, dtype=t.dtype).reshape(
+                        int(t.chunk_h), int(t.chunk_w), int(t.bands)
+                    )
                 if int(t.pred) == 2:
                     # horizontal differencing: undo with a per-row
                     # cumulative sum per sample, in the sample's own
@@ -504,12 +541,13 @@ def read_geotiff(
                 vis_w = min(int(t.chunk_w), int(t.img_w) - int(t.col0))
                 arr = arr[:vis_h, :vis_w, :]
                 if t.pal:
-                    # palette expansion: 8-bit indices -> 3 R/G/B bands
-                    # through the 768-entry ColorMap (u16 values)
+                    # palette expansion: 4-/8-bit indices -> 3 R/G/B
+                    # bands through the 3*2^bits ColorMap (u16 values)
                     cmap = np.asarray(_json.loads(t.pal), dtype=np.uint16)
+                    ncol = len(cmap) // 3
                     idx = arr[:, :, 0].astype(np.int64)
                     arr = np.stack(
-                        [cmap[c * 256 + idx] for c in range(3)], axis=2
+                        [cmap[c * ncol + idx] for c in range(3)], axis=2
                     )
                 ys, xs, bs = np.indices(arr.shape).reshape(3, -1)
                 px = (xs + int(t.col0)).astype("int64")
@@ -532,7 +570,7 @@ def read_geotiff(
     cols = (
         "path string, off long, cnt long, row0 long, chunk_h long, "
         "col0 long, chunk_w long, img_w long, img_h long, bands long, "
-        "band0 long, pal string, "
+        "band0 long, pal string, sub8 long, "
         "dtype string, comp long, pred long, sx double, sy double, "
         "tpx double, tpy double, tx double, ty double"
     )
@@ -559,6 +597,7 @@ def _compress(raw: bytes, comp_code: int) -> bytes:
 def _ifd_payload(
     arr, *, rows_per_strip, tile, comp_code, pixel_scale, tiepoint,
     data_pos, is_overview, bo="<", predictor=1, planar=1, palette=None,
+    sub_bits=0,
 ):
     """Chunk bytes + tag entries for ONE image (main or overview).
     Returns (chunks, entries, data_len)."""
@@ -567,7 +606,7 @@ def _ifd_payload(
     h, w, bands = arr.shape
     dt = arr.dtype
     sfmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
-    bits = dt.itemsize * 8
+    bits = sub_bits or dt.itemsize * 8
 
     def prep(block):
         if predictor == 2:
@@ -577,6 +616,18 @@ def _ifd_payload(
             d[:, 1:, :] -= d[:, :-1, :].copy()
             return d.astype(block.dtype)
         return block
+
+    def to_bytes(block):
+        """Serialize a (h, w, b) block — rows byte-aligned when
+        packing 1-/4-bit samples (spec)."""
+        if sub_bits == 1:
+            return np.packbits(block[:, :, 0], axis=1).tobytes()
+        if sub_bits == 4:
+            b = block[:, :, 0]
+            if b.shape[1] % 2:
+                b = np.pad(b, ((0, 0), (0, 1)))
+            return ((b[:, 0::2] << 4) | b[:, 1::2]).astype(np.uint8).tobytes()
+        return block.tobytes()
 
     # PlanarConfig=2: chunk each band's plane separately, band-major
     planes = (
@@ -593,12 +644,12 @@ def _ifd_payload(
                     block = np.zeros((th, tw, nb), dtype=dt)
                     part = plane[r0 : r0 + th, c0 : c0 + tw]
                     block[: part.shape[0], : part.shape[1]] = part
-                    chunks.append(_compress(prep(block).tobytes(), comp_code))
+                    chunks.append(_compress(to_bytes(prep(block)), comp_code))
         else:
             for r0 in range(0, h, rows_per_strip):
                 chunks.append(
                     _compress(
-                        prep(plane[r0 : r0 + rows_per_strip]).tobytes(),
+                        to_bytes(prep(plane[r0 : r0 + rows_per_strip])),
                         comp_code,
                     )
                 )
@@ -671,6 +722,7 @@ def write_geotiff(
     bigtiff: bool = False,
     planar: int = 1,
     palette: list[int] | None = None,
+    sub_bits: int = 0,
 ) -> None:
     """Write a (height, width, bands) numpy array as a classic
     little-endian GeoTIFF (fixture writer for tests/queries):
@@ -698,12 +750,28 @@ def write_geotiff(
     if planar not in (1, 2):
         raise ValueError("planar must be 1 (interleaved) or 2 (band-separate)")
     if palette is not None and (
-        arr.shape[2] != 1 or dt != np.uint8 or len(palette) != 3 * 256
+        arr.shape[2] != 1
+        or dt != np.uint8
+        or len(palette) != 3 * (1 << (sub_bits or 8))
     ):
         raise ValueError(
-            "palette images take 8-bit single-band indices and a "
-            "768-entry ColorMap"
+            "palette images take single-band u8 indices and a "
+            "3*2^bits ColorMap (bits = sub_bits or 8)"
         )
+    if sub_bits:
+        if sub_bits not in (1, 4):
+            raise ValueError("sub_bits must be 0 (full bytes), 1 or 4")
+        if (
+            arr.shape[2] != 1
+            or dt != np.uint8
+            or planar != 1
+            or predictor != 1
+            or int(arr.max(initial=0)) >= (1 << sub_bits)
+        ):
+            raise ValueError(
+                f"{sub_bits}-bit images take single-band u8 values "
+                f"< {1 << sub_bits}, planar=1, predictor=1"
+            )
     if predictor == 2 and dt.kind == "f":
         # Spec reserves Predictor=2 for integer samples (floats use 3);
         # int differencing would silently truncate float data.
@@ -740,6 +808,7 @@ def write_geotiff(
             predictor=predictor,
             planar=planar,
             palette=palette,
+            sub_bits=sub_bits,
         )
         pos += data_len
         blob_off = {}

@@ -470,3 +470,42 @@ def test_palette_color_expansion(spark):
     open(bad, "wb").write(bytes(data))
     with pytest.raises(NotImplementedError, match="ColorMap"):
         _read_ifds(bad)
+
+
+def test_sub8bit_bilevel_and_4bit_palette(spark):
+    """1-bit bilevel and 4-bit (raw + palette) images (r12 — the last
+    named sub-8-bit residue): rows unpack byte-aligned per the spec
+    (MSB / high-nibble first), composing with strips, tiles, packbits/
+    deflate/lzw and the ColorMap expansion."""
+    import numpy as np
+
+    d = tempfile.mkdtemp()
+    # odd width forces per-row bit padding
+    bil = ((np.arange(13 * 21) % 3) == 0).astype(np.uint8).reshape(13, 21, 1)
+    p1 = os.path.join(d, "bilevel.tif")
+    write_geotiff(p1, bil, sub_bits=1, rows_per_strip=5,
+                  compression="packbits")
+    got = {(r.x, r.y): r.value for r in read_geotiff(spark, p1).collect()}
+    assert len(got) == 13 * 21
+    assert all(got[(x, y)] == float(bil[y, x, 0])
+               for y in range(13) for x in range(21))
+
+    idx = (np.arange(9 * 7) % 16).astype(np.uint8).reshape(9, 7, 1)
+    cmap = ([i * 4097 % 65536 for i in range(16)]
+            + [i * 999 % 65536 for i in range(16)]
+            + [i * 77 for i in range(16)])
+    p4 = os.path.join(d, "pal4.tif")
+    write_geotiff(p4, idx, sub_bits=4, palette=cmap, compression="deflate")
+    rows = read_geotiff(spark, p4).collect()
+    assert len(rows) == 9 * 7 * 3
+    got4 = {(r.x, r.y, r.band): r.value for r in rows}
+    assert all(
+        got4[(x, y, c)] == float(cmap[c * 16 + int(idx[y, x, 0])])
+        for y in range(9) for x in range(7) for c in range(3)
+    )
+    # writer guards: out-of-range values / wrong map size fail loud
+    with pytest.raises(ValueError, match="sub_bits"):
+        write_geotiff(os.path.join(d, "bad.tif"), idx, sub_bits=3)
+    with pytest.raises(ValueError, match="ColorMap"):
+        write_geotiff(os.path.join(d, "bad2.tif"), idx, sub_bits=4,
+                      palette=cmap[:30])
