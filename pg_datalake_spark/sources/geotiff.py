@@ -15,8 +15,11 @@ BigTIFF (magic 43: 16-byte header, u64 counts/offsets, 20-byte IFD
 entries — r12), PlanarConfiguration 1 AND 2 (band-separate chunks,
 band-major — r12), palette-color images (Photometric=3 + 3*2^bits
 ColorMap expanded to R/G/B bands — r12), and sub-byte samples (1-bit
-bilevel, 4-bit raw/palette; rows byte-aligned per the spec — r12).
-The remaining residue fails loud by name (JPEG-in-TIFF).
+bilevel, 4-bit raw/palette; rows byte-aligned per the spec — r12),
+and new-style JPEG compression (Compression=7, baseline 8-bit via the
+pure-numpy T.81 codec in sources/jpeg_codec.py, incl. the abbreviated
+JPEGTables layout — r12). Old-style JPEG(6) and exotic codecs fail
+loud by name.
 
 Scale shape: the driver parses ONLY the IFD chain — a few hundred
 bytes per file, O(strips+tiles) metadata — and builds a chunk
@@ -40,12 +43,12 @@ from pyspark.sql import DataFrame, SparkSession
 # TIFF type sizes: 1 BYTE, 2 ASCII, 3 SHORT, 4 LONG, 5 RATIONAL,
 # 8 SSHORT, 9 SLONG, 11 FLOAT, 12 DOUBLE
 _TYPE_FMT = {
-    1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d",
+    1: "B", 3: "H", 4: "I", 7: "B", 8: "h", 9: "i", 11: "f", 12: "d",
     # BigTIFF 8-byte types (r12): LONG8 / SLONG8 / IFD8
     16: "Q", 17: "q", 18: "Q",
 }
 _TYPE_SIZE = {
-    1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 8: 2, 9: 4, 11: 4, 12: 8,
+    1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 8: 2, 9: 4, 11: 4, 12: 8,
     16: 8, 17: 8, 18: 8,
 }
 
@@ -68,6 +71,7 @@ _TAG = {
     "NewSubfileType": 254,
     "Predictor": 317,
     "ColorMap": 320,
+    "JPEGTables": 347,
     "ModelPixelScale": 33550,
     "ModelTiepoint": 33922,
 }
@@ -83,9 +87,10 @@ _DTYPES = {
 
 _COMP_NONE, _COMP_LZW, _COMP_DEFLATE, _COMP_ADOBE_DEFLATE = 1, 5, 8, 32946
 _COMP_PACKBITS = 32773
+_COMP_JPEG = 7  # "new-style" JPEG (TIFF/EP; r12 via sources/jpeg_codec)
 _SUPPORTED_COMP = {
     _COMP_NONE, _COMP_LZW, _COMP_DEFLATE, _COMP_ADOBE_DEFLATE,
-    _COMP_PACKBITS,
+    _COMP_PACKBITS, _COMP_JPEG,
 }
 
 
@@ -357,6 +362,19 @@ def _parse_one_ifd(
                 f"map={'missing' if cmap is None else len(cmap)}): {path}"
             )
         palette = list(cmap)
+    jpeg_tables_b = b""
+    if comp == _COMP_JPEG:
+        # new-style JPEG (r12, sources/jpeg_codec): baseline 8-bit
+        # only; each strip/tile is its own (possibly abbreviated)
+        # stream, shared tables from the JPEGTables tag
+        if bits[0] != 8 or sfmt[0] != 1 or pred != 1 or planar != 1:
+            raise NotImplementedError(
+                f"geotiff: JPEG compression needs 8-bit unsigned "
+                f"interleaved samples with Predictor=1: {path}"
+            )
+        jt = tags.get("JPEGTables")
+        if jt:
+            jpeg_tables_b = bytes(jt)
     scale = tags.get("ModelPixelScale", (1.0, 1.0, 0.0))
     tie = tags.get("ModelTiepoint", (0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
     tiled = "TileWidth" in tags
@@ -370,6 +388,7 @@ def _parse_one_ifd(
         "planar": planar,
         "palette": palette,
         "sub8": sub8,
+        "jpeg_tables": jpeg_tables_b,
         "tiled": tiled,
         # pixel (px, py) -> geo: gx = tx + (px - tpx) * sx ;
         #                        gy = ty - (py - tpy) * sy
@@ -487,6 +506,7 @@ def read_geotiff(
                         row0, ch, col0, cw,
                         ifd["width"], ifd["height"], nb, band0, pal,
                         ifd.get("sub8", 0),
+                        ifd.get("jpeg_tables", b"").hex(),
                         ifd["dtype"], ifd["compression"],
                         ifd["predictor"], ifd["sx"],
                         ifd["sy"], ifd["tpx"], ifd["tpy"], ifd["tx"],
@@ -508,7 +528,15 @@ def read_geotiff(
                 buf = _decompress(buf, int(t.comp))
                 # chunk is chunk_h x chunk_w (tiles are FULL-sized and
                 # edge-padded per the TIFF spec; clip the padding)
-                if int(t.sub8):
+                if int(t.comp) == _COMP_JPEG:
+                    from pg_datalake_spark.sources.jpeg_codec import (
+                        decode_jpeg,
+                    )
+
+                    arr = decode_jpeg(
+                        buf, tables=bytes.fromhex(t.jt) or None
+                    )
+                elif int(t.sub8):
                     # 1-/4-bit samples: rows are byte-aligned (spec);
                     # unpack bit- or nibble-wise, MSB/high-nibble first
                     sb = int(t.sub8)
@@ -570,7 +598,7 @@ def read_geotiff(
     cols = (
         "path string, off long, cnt long, row0 long, chunk_h long, "
         "col0 long, chunk_w long, img_w long, img_h long, bands long, "
-        "band0 long, pal string, sub8 long, "
+        "band0 long, pal string, sub8 long, jt string, "
         "dtype string, comp long, pred long, sx double, sy double, "
         "tpx double, tpy double, tx double, ty double"
     )
@@ -597,7 +625,7 @@ def _compress(raw: bytes, comp_code: int) -> bytes:
 def _ifd_payload(
     arr, *, rows_per_strip, tile, comp_code, pixel_scale, tiepoint,
     data_pos, is_overview, bo="<", predictor=1, planar=1, palette=None,
-    sub_bits=0,
+    sub_bits=0, jpeg_abbreviated=False,
 ):
     """Chunk bytes + tag entries for ONE image (main or overview).
     Returns (chunks, entries, data_len)."""
@@ -619,7 +647,13 @@ def _ifd_payload(
 
     def to_bytes(block):
         """Serialize a (h, w, b) block — rows byte-aligned when
-        packing 1-/4-bit samples (spec)."""
+        packing 1-/4-bit samples (spec); JPEG blocks become their own
+        baseline stream (sources/jpeg_codec)."""
+        if comp_code == _COMP_JPEG:
+            from pg_datalake_spark.sources.jpeg_codec import encode_jpeg
+
+            return encode_jpeg(block, quality=90,
+                               abbreviated=jpeg_abbreviated)
         if sub_bits == 1:
             return np.packbits(block[:, :, 0], axis=1).tobytes()
         if sub_bits == 4:
@@ -676,7 +710,11 @@ def _ifd_payload(
         (257, *long_arr([h])),
         (258, *short_arr([bits] * bands)),
         (259, *short_arr([comp_code])),
-        (262, *short_arr([3 if palette is not None else 1])),
+        (262, *short_arr(
+            [3 if palette is not None
+             else 6 if comp_code == _COMP_JPEG and bands == 3
+             else 1]
+        )),
         (277, *short_arr([bands])),
         (284, *short_arr([planar])),
         (339, *short_arr([sfmt] * bands)),
@@ -689,6 +727,12 @@ def _ifd_payload(
         entries.append((317, *short_arr([predictor])))
     if palette is not None:
         entries.append((320, *short_arr(list(palette))))
+    if comp_code == _COMP_JPEG and jpeg_abbreviated:
+        # shared quant/Huffman tables, the libtiff/GDAL layout
+        from pg_datalake_spark.sources.jpeg_codec import jpeg_tables
+
+        jt = jpeg_tables(90)
+        entries.append((347, 7, len(jt), jt))
     if tile:
         tw, th = tile
         entries += [
@@ -723,6 +767,7 @@ def write_geotiff(
     planar: int = 1,
     palette: list[int] | None = None,
     sub_bits: int = 0,
+    jpeg_abbreviated: bool = False,
 ) -> None:
     """Write a (height, width, bands) numpy array as a classic
     little-endian GeoTIFF (fixture writer for tests/queries):
@@ -782,8 +827,20 @@ def write_geotiff(
     arr = arr.astype(dt.newbyteorder(byte_order))
     comp_code = {
         "none": _COMP_NONE, "deflate": _COMP_DEFLATE, "lzw": _COMP_LZW,
-        "packbits": _COMP_PACKBITS,
+        "packbits": _COMP_PACKBITS, "jpeg": _COMP_JPEG,
     }[compression]
+    if comp_code == _COMP_JPEG and (
+        dt != np.uint8
+        or arr.shape[2] not in (1, 3)
+        or planar != 1
+        or predictor != 1
+        or sub_bits
+        or palette is not None
+    ):
+        raise ValueError(
+            "jpeg compression takes interleaved u8 data with 1 or 3 "
+            "bands (planar=1, predictor=1, no palette/sub_bits)"
+        )
 
     sx, sy = pixel_scale
     images = [(arr, (sx, sy), False)]
@@ -809,6 +866,7 @@ def write_geotiff(
             planar=planar,
             palette=palette,
             sub_bits=sub_bits,
+            jpeg_abbreviated=jpeg_abbreviated,
         )
         pos += data_len
         blob_off = {}

@@ -98,7 +98,8 @@ def test_fail_loud_guards(tmp_path):
         fh.write(b"PK\x03\x04____")
     with pytest.raises(ValueError, match="not a TIFF"):
         _read_ifd(pn)
-    # unsupported compression: patch the tag in place (259 -> JPEG=7)
+    # unsupported compression: patch the tag in place (259 ->
+    # old-style JPEG=6; new-style 7 is SUPPORTED since r12)
     data = bytearray(open(p, "rb").read())
     (ifd_off,) = struct.unpack("<I", data[4:8])
     (n,) = struct.unpack("<H", data[ifd_off : ifd_off + 2])
@@ -106,10 +107,10 @@ def test_fail_loud_guards(tmp_path):
         e = ifd_off + 2 + i * 12
         tag = struct.unpack("<H", data[e : e + 2])[0]
         if tag == 259:
-            data[e + 8 : e + 10] = struct.pack("<H", 7)
+            data[e + 8 : e + 10] = struct.pack("<H", 6)
     pl = os.path.join(d, "lzw.tif")
     open(pl, "wb").write(bytes(data))
-    with pytest.raises(NotImplementedError, match="compression 7"):
+    with pytest.raises(NotImplementedError, match="compression 6"):
         _read_ifd(pl)
 
 
@@ -509,3 +510,49 @@ def test_sub8bit_bilevel_and_4bit_palette(spark):
     with pytest.raises(ValueError, match="ColorMap"):
         write_geotiff(os.path.join(d, "bad2.tif"), idx, sub_bits=4,
                       palette=cmap[:30])
+
+
+def test_jpeg_in_tiff_strips_tiles_and_jpegtables(spark):
+    """Compression=7 new-style JPEG (r12 — the final raster residue):
+    per-strip/tile baseline streams via sources/jpeg_codec, including
+    the abbreviated form with shared tables in the JPEGTables tag (the
+    libtiff/GDAL layout). Lossy: values bounded by the quantizer."""
+    import numpy as np
+
+    from pg_datalake_spark.sources.geotiff import _read_ifds
+
+    d = tempfile.mkdtemp()
+    g = np.clip(np.add.outer(np.arange(40) * 2, np.arange(56) * 3),
+                0, 255).astype(np.uint8)[:, :, None]
+    for tile, abbr in ((None, False), ((16, 16), False), (None, True)):
+        p = os.path.join(d, f"j_{bool(tile)}_{abbr}.tif")
+        write_geotiff(p, g, compression="jpeg", rows_per_strip=16,
+                      tile=tile, jpeg_abbreviated=abbr,
+                      pixel_scale=(0.5, 0.25), tiepoint=(10.0, 20.0))
+        if abbr:
+            assert _read_ifds(p)[0]["jpeg_tables"]
+        rows = read_geotiff(spark, p).collect()
+        assert len(rows) == 40 * 56
+        got = np.zeros((40, 56))
+        for r in rows:
+            got[r.y, r.x] = r.value
+        assert np.abs(got - g[:, :, 0]).max() <= 3, (tile, abbr)
+        r0 = next(r for r in rows if (r.x, r.y) == (2, 4))
+        assert r0.geo_x == 10.0 + 2 * 0.5 and r0.geo_y == 20.0 - 4 * 0.25
+    # 3-band RGB through the YCbCr path
+    rgb = np.zeros((24, 40, 3), np.uint8)
+    rgb[:, :, 0] = np.add.outer(np.arange(24) * 4, np.arange(40) * 2) % 256
+    rgb[:, :, 1] = 90
+    rgb[:, :, 2] = (np.arange(40)[None, :] * 5) % 256
+    p = os.path.join(d, "jrgb.tif")
+    write_geotiff(p, rgb, compression="jpeg", rows_per_strip=8)
+    rows = read_geotiff(spark, p).collect()
+    assert len(rows) == 24 * 40 * 3
+    got = np.zeros((24, 40, 3))
+    for r in rows:
+        got[r.y, r.x, r.band] = r.value
+    assert np.abs(got - rgb).max() <= 16
+    # JPEG + incompatible options fail loud at write
+    with pytest.raises(ValueError, match="jpeg"):
+        write_geotiff(os.path.join(d, "bad.tif"),
+                      rgb.astype(np.uint16), compression="jpeg")
