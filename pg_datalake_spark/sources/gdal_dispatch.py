@@ -37,10 +37,10 @@ __all__ = ["read_gdal", "infer_gdal_compression"]
 _READABLE = {
     ".shp", ".gpkg", ".kml", ".kmz", ".geojson", ".geojsonl",
     ".geojsons", ".gml", ".xlsx", ".xls", ".fgb", ".tif", ".tiff",
-    ".mif",
+    ".mif", ".dxf", ".xodr",
 }
 _SCOPED_OUT = {
-    ".dxf", ".dwg", ".gdb", ".map", ".mit", ".tab", ".xodr",
+    ".dwg", ".gdb", ".map", ".mit", ".tab",
 }
 # Sidecar extensions staged alongside a .shp member.
 _SHP_SIDECARS = (".dbf", ".shx", ".prj", ".cpg")
@@ -168,7 +168,7 @@ def read_gdal(
     if ext in _SCOPED_OUT:
         raise NotImplementedError(
             f"GDAL format {ext} is scoped out (reference long tail: "
-            "CAD/Geodatabase/MapInfo/WAsP/OpenDRIVE); on a cluster use "
+            "DWG/FileGDB/MapInfo-.tab/WAsP); on a cluster use "
             "GDAL-backed Sedona readers"
         )
     from pg_datalake_spark.sources import geo_files, office_files
@@ -187,6 +187,10 @@ def read_gdal(
         return geo_files.read_gml(spark, target)
     if ext == ".mif":
         return geo_files.read_mapinfo(spark, target)
+    if ext == ".dxf":
+        return geo_files.read_dxf(spark, target)
+    if ext == ".xodr":
+        return geo_files.read_xodr(spark, target)
     if ext == ".fgb":
         from pg_datalake_spark.sources import fgb
 

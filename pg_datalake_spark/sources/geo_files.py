@@ -1077,3 +1077,243 @@ def read_mapinfo(spark: SparkSession, path_or_glob: str) -> DataFrame:
 
     files = spark.createDataFrame([(p,) for p in paths], "path string")
     return files.repartition(len(paths)).mapInPandas(parse, schema)
+
+
+# ---------------------------------------------------------------------------
+# AutoCAD DXF (r12) — the ASCII half of the CAD pair (reference routes
+# CAD through GDAL's DXF driver, pg_lake_engine/src/pgduck/gdal.c;
+# docs/file-formats-reference.md:96-138; the DXF group-code format is
+# publicly documented). Binary DWG stays scoped out.
+# ---------------------------------------------------------------------------
+
+
+def _dxf_pairs(lines: list[str]):
+    """DXF is a flat sequence of (group-code, value) line pairs."""
+    for i in range(0, len(lines) - 1, 2):
+        yield int(lines[i].strip()), lines[i + 1].strip()
+
+
+def _parse_dxf_entities(path: str):
+    """Yield (entity_type, layer, points) from the ENTITIES section.
+    Supported: POINT, LINE, LWPOLYLINE (closed flag honored), legacy
+    POLYLINE/VERTEX/SEQEND, CIRCLE (emitted as its 16-chord sampling).
+    Other entity types fail loud by name (the minimal-slice
+    convention; TEXT/HATCH/3D solids need GDAL/Sedona)."""
+    import math as _math
+
+    with open(path, encoding="utf-8", errors="replace") as fh:
+        lines = fh.read().splitlines()
+    pairs = list(_dxf_pairs(lines))
+    # locate the ENTITIES section
+    i = 0
+    n = len(pairs)
+    while i < n and not (pairs[i] == (0, "SECTION")
+                         and i + 1 < n and pairs[i + 1] == (2, "ENTITIES")):
+        i += 1
+    if i >= n:
+        raise ValueError(f"{path}: no ENTITIES section (not a DXF?)")
+    i += 2
+    cur: dict | None = None
+
+    def finish(c):
+        if c is None:
+            return None
+        if c["type"] == "CIRCLE":
+            cx, cy, r = c["x"][0], c["y"][0], c["r"]
+            pts = [
+                (cx + r * _math.cos(2 * _math.pi * k / 16),
+                 cy + r * _math.sin(2 * _math.pi * k / 16))
+                for k in range(16)
+            ]
+            return ("CIRCLE", c["layer"], pts)
+        pts = list(zip(c["x"], c["y"]))
+        if c.get("closed") and pts:
+            pts.append(pts[0])
+        return (c["type"], c["layer"], pts)
+
+    while i < n:
+        code, val = pairs[i]
+        i += 1
+        if code == 0:
+            if val == "ENDSEC":
+                out = finish(cur)
+                if out:
+                    yield out
+                return
+            if val == "SEQEND":
+                out = finish(cur)
+                if out:
+                    yield out
+                cur = None
+                continue
+            if val == "VERTEX":
+                if cur is None or cur["type"] != "POLYLINE":
+                    raise ValueError(f"{path}: VERTEX outside POLYLINE")
+                cur["in_vertex"] = True
+                continue
+            # new top-level entity: flush the previous one
+            out = finish(cur) if (cur and cur["type"] != "POLYLINE") else None
+            if cur and cur["type"] == "POLYLINE" and not cur.get("in_vertex"):
+                out = finish(cur)
+                cur = None
+            if out:
+                yield out
+            if val in ("POINT", "LINE", "LWPOLYLINE", "POLYLINE", "CIRCLE"):
+                cur = {"type": val, "layer": "", "x": [], "y": [], "r": 0.0}
+            else:
+                raise NotImplementedError(
+                    f"DXF entity {val!r} not supported (POINT/LINE/"
+                    f"LWPOLYLINE/POLYLINE/CIRCLE; use GDAL/Sedona for the "
+                    f"full entity set)"
+                )
+            continue
+        if cur is None:
+            continue
+        if code == 8 and not cur.get("in_vertex"):
+            cur["layer"] = val
+        elif code == 10:
+            cur["x"].append(float(val))
+        elif code == 20:
+            cur["y"].append(float(val))
+        elif code == 11:
+            cur["x"].append(float(val))
+        elif code == 21:
+            cur["y"].append(float(val))
+        elif code == 40 and cur["type"] == "CIRCLE":
+            cur["r"] = float(val)
+        elif code == 70 and cur["type"] in ("LWPOLYLINE", "POLYLINE"):
+            cur["closed"] = bool(int(val) & 1)
+    raise ValueError(f"{path}: ENTITIES section not terminated")
+
+
+def read_dxf(spark: SparkSession, path_or_glob: str) -> DataFrame:
+    """Read DXF entities: ``entity`` (type), ``layer``, ``x``/``y``
+    (first vertex) and ``points`` — the geo-reader convention. One
+    file per executor task (the KML model); the driver touches no
+    entity bytes."""
+    paths = sorted(_glob.glob(path_or_glob)) or [path_or_glob]
+    schema = ("entity string, layer string, x double, y double, "
+              "points array<struct<x:double,y:double>>")
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for p in pdf["path"]:
+                out = {"entity": [], "layer": [], "x": [], "y": [],
+                       "points": []}
+                for etype, layer, pts in _parse_dxf_entities(p):
+                    out["entity"].append(etype)
+                    out["layer"].append(layer)
+                    out["x"].append(pts[0][0] if pts else None)
+                    out["y"].append(pts[0][1] if pts else None)
+                    out["points"].append(
+                        [{"x": px, "y": py} for px, py in pts] or None
+                    )
+                yield pd.DataFrame(out)
+
+    files = spark.createDataFrame([(p,) for p in paths], "path string")
+    return files.repartition(len(paths)).mapInPandas(parse, schema)
+
+
+# ---------------------------------------------------------------------------
+# ASAM OpenDRIVE (.xodr, r12) — XML road networks (reference routes it
+# through GDAL's XODR driver; the OpenDRIVE schema is public). The
+# minimal slice emits each road's plan-view REFERENCE LINE: <line> and
+# <arc> geometry primitives composed in order (closed-form endpoints;
+# arcs additionally sampled every ~5 heading-degrees so curvature is
+# visible downstream). <spiral>/<poly3>/<paramPoly3> fail loud by name.
+# ---------------------------------------------------------------------------
+
+
+def _xodr_geometry_points(g) -> list[tuple[float, float]]:
+    import math as _math
+
+    x0 = float(g.attrib["x"])
+    y0 = float(g.attrib["y"])
+    hdg = float(g.attrib["hdg"])
+    ln = float(g.attrib["length"])
+    kids = [k for k in g if isinstance(k.tag, str)]
+    if not kids:
+        raise ValueError("xodr: geometry without a primitive child")
+    kind = kids[0].tag.split("}")[-1]
+    if kind == "line":
+        return [(x0, y0),
+                (x0 + ln * _math.cos(hdg), y0 + ln * _math.sin(hdg))]
+    if kind == "arc":
+        c = float(kids[0].attrib["curvature"])
+        if c == 0.0:
+            return [(x0, y0),
+                    (x0 + ln * _math.cos(hdg), y0 + ln * _math.sin(hdg))]
+        # sample every <= ~5 degrees of heading change, endpoints exact
+        n = max(1, int(abs(c) * ln / _math.radians(5.0)) + 1)
+        pts = []
+        for k in range(n + 1):
+            s = ln * k / n
+            th = hdg + c * s
+            pts.append(
+                (x0 + (_math.sin(th) - _math.sin(hdg)) / c,
+                 y0 - (_math.cos(th) - _math.cos(hdg)) / c)
+            )
+        return pts
+    raise NotImplementedError(
+        f"xodr: geometry primitive <{kind}> not supported (line/arc; "
+        f"spiral/poly3/paramPoly3 need GDAL/Sedona)"
+    )
+
+
+def read_xodr(spark: SparkSession, path_or_glob: str) -> DataFrame:
+    """Read OpenDRIVE road networks: one row per road — ``road_id``,
+    ``name``, ``length`` and ``points`` (the composed plan-view
+    reference line; ``x``/``y`` = its first vertex). One file per
+    executor task."""
+    paths = sorted(_glob.glob(path_or_glob)) or [path_or_glob]
+    schema = ("road_id string, name string, length double, x double, "
+              "y double, points array<struct<x:double,y:double>>")
+
+    def roads(path: str):
+        import xml.etree.ElementTree as ET
+
+        root = ET.parse(path).getroot()
+        if root.tag.split("}")[-1] != "OpenDRIVE":
+            raise ValueError(f"{path}: root element is not <OpenDRIVE>")
+        for road in root.iter():
+            if road.tag.split("}")[-1] != "road":
+                continue
+            pv = next(
+                (el for el in road if el.tag.split("}")[-1] == "planView"),
+                None,
+            )
+            pts: list[tuple[float, float]] = []
+            if pv is not None:
+                geoms = [el for el in pv
+                         if el.tag.split("}")[-1] == "geometry"]
+                geoms.sort(key=lambda g: float(g.attrib.get("s", 0.0)))
+                for g in geoms:
+                    seg = _xodr_geometry_points(g)
+                    if pts and seg and seg[0] == pts[-1]:
+                        seg = seg[1:]  # consecutive geometries share a joint
+                    pts.extend(seg)
+            yield (road.attrib.get("id"), road.attrib.get("name"),
+                   float(road.attrib.get("length", 0.0)), pts)
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for p in pdf["path"]:
+                out = {"road_id": [], "name": [], "length": [], "x": [],
+                       "y": [], "points": []}
+                for rid, name, ln, pts in roads(p):
+                    out["road_id"].append(rid)
+                    out["name"].append(name)
+                    out["length"].append(ln)
+                    out["x"].append(pts[0][0] if pts else None)
+                    out["y"].append(pts[0][1] if pts else None)
+                    out["points"].append(
+                        [{"x": px, "y": py} for px, py in pts] or None
+                    )
+                yield pd.DataFrame(out)
+
+    files = spark.createDataFrame([(p,) for p in paths], "path string")
+    return files.repartition(len(paths)).mapInPandas(parse, schema)

@@ -368,10 +368,11 @@ def test_gdal_dispatch_options_and_fail_loud(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="zip_path"):
         read_gdal(spark, amb, zip_path="nope.shp")
 
-    # scoped-out and unknown extensions fail loud, named.
-    (tmp_path / "x.dxf").write_bytes(b"\x00")
+    # scoped-out and unknown extensions fail loud, named
+    # (.dxf reads since r12; binary .dwg stays out).
+    (tmp_path / "x.dwg").write_bytes(b"\x00")
     with pytest.raises(NotImplementedError, match="scoped out"):
-        read_gdal(spark, str(tmp_path / "x.dxf"))
+        read_gdal(spark, str(tmp_path / "x.dwg"))
     (tmp_path / "x.bin").write_bytes(b"\x00")
     with pytest.raises(ValueError, match="cannot infer"):
         read_gdal(spark, str(tmp_path / "x.bin"))
@@ -592,3 +593,119 @@ def test_mapinfo_fail_louds_and_dispatch(spark, tmp_path):
     open(str(tmp_path / "t.tab"), "wb").write(b"\x00")
     with pytest.raises(NotImplementedError, match="scoped out"):
         read_gdal(spark, str(tmp_path / "t.tab"))
+
+
+def test_dxf_entities_and_dispatch(spark, tmp_path):
+    """DXF (r12 — the ASCII half of the CAD pair, previously
+    scoped-out): POINT / LINE / LWPOLYLINE (closed) / legacy
+    POLYLINE+VERTEX+SEQEND / CIRCLE (16-chord sampling), layers kept;
+    unsupported entities fail loud by name; .dxf routes through the
+    GDAL dispatcher."""
+    import pytest
+
+    from pg_datalake_spark.sources.gdal_dispatch import read_gdal
+    from pg_datalake_spark.sources.geo_files import read_dxf
+
+    def pairs(*items):
+        return "\n".join(str(x) for pair in items for x in pair) + "\n"
+
+    body = pairs(
+        (0, "SECTION"), (2, "HEADER"), (0, "ENDSEC"),
+        (0, "SECTION"), (2, "ENTITIES"),
+        (0, "POINT"), (8, "sites"), (10, "1.5"), (20, "2.5"),
+        (0, "LINE"), (8, "roads"), (10, "0"), (20, "0"),
+        (11, "3"), (21, "4"),
+        (0, "LWPOLYLINE"), (8, "parcels"), (90, "3"), (70, "1"),
+        (10, "0"), (20, "0"), (10, "2"), (20, "0"), (10, "2"), (20, "2"),
+        (0, "POLYLINE"), (8, "legacy"), (66, "1"),
+        (0, "VERTEX"), (8, "legacy"), (10, "5"), (20, "5"),
+        (0, "VERTEX"), (8, "legacy"), (10, "6"), (20, "7"),
+        (0, "SEQEND"),
+        (0, "CIRCLE"), (8, "wells"), (10, "10"), (20, "10"), (40, "2"),
+        (0, "ENDSEC"),
+        (0, "EOF"),
+    )
+    p = str(tmp_path / "t.dxf")
+    open(p, "w").write(body)
+    df = read_dxf(spark, p)
+    rows = {r.entity: r for r in df.collect()}
+    assert set(rows) == {"POINT", "LINE", "LWPOLYLINE", "POLYLINE",
+                         "CIRCLE"}
+    assert (rows["POINT"].x, rows["POINT"].y) == (1.5, 2.5)
+    assert rows["POINT"].layer == "sites"
+    assert [(pt.x, pt.y) for pt in rows["LINE"].points] == [(0, 0), (3, 4)]
+    # closed flag appends the first vertex
+    assert len(rows["LWPOLYLINE"].points) == 4
+    assert rows["LWPOLYLINE"].points[-1] == rows["LWPOLYLINE"].points[0]
+    assert [(pt.x, pt.y) for pt in rows["POLYLINE"].points] == [
+        (5, 5), (6, 7)]
+    assert len(rows["CIRCLE"].points) == 16
+    assert rows["CIRCLE"].points[0].x == 12.0  # cx + r
+    # dispatcher routes .dxf
+    assert read_gdal(spark, p).count() == 5
+    # unsupported entity fails loud by name
+    bad = pairs(
+        (0, "SECTION"), (2, "ENTITIES"),
+        (0, "TEXT"), (10, "0"), (20, "0"),
+        (0, "ENDSEC"), (0, "EOF"),
+    )
+    pb = str(tmp_path / "bad.dxf")
+    open(pb, "w").write(bad)
+    with pytest.raises(Exception, match="TEXT"):
+        read_dxf(spark, pb).collect()
+
+
+def test_xodr_roads_line_arc_and_dispatch(spark, tmp_path):
+    """OpenDRIVE .xodr (r12 — previously scoped-out): plan-view
+    reference lines composed from <line> and <arc> primitives with
+    closed-form endpoints; spiral fails loud by name; dispatcher
+    routes the extension."""
+    import math
+
+    import pytest
+
+    from pg_datalake_spark.sources.gdal_dispatch import read_gdal
+    from pg_datalake_spark.sources.geo_files import read_xodr
+
+    xodr = """<?xml version="1.0"?>
+<OpenDRIVE>
+  <road id="r1" name="main" length="20.0">
+    <planView>
+      <geometry s="0" x="0" y="0" hdg="0" length="10">
+        <line/>
+      </geometry>
+      <geometry s="10" x="10" y="0" hdg="0" length="{qlen}">
+        <arc curvature="0.1"/>
+      </geometry>
+    </planView>
+  </road>
+  <road id="r2" name="spur" length="5.0">
+    <planView>
+      <geometry s="0" x="50" y="50" hdg="1.5707963267948966" length="5">
+        <line/>
+      </geometry>
+    </planView>
+  </road>
+</OpenDRIVE>""".format(qlen=math.pi / 2 / 0.1)  # quarter circle r=10
+    p = str(tmp_path / "net.xodr")
+    open(p, "w").write(xodr)
+    rows = {r.road_id: r for r in read_xodr(spark, p).collect()}
+    assert set(rows) == {"r1", "r2"}
+    r1 = rows["r1"]
+    assert (r1.x, r1.y) == (0.0, 0.0) and r1.length == 20.0
+    pts = [(pt.x, pt.y) for pt in r1.points]
+    assert pts[0] == (0.0, 0.0) and pts[1] == (10.0, 0.0)
+    # quarter arc of radius 10 starting at (10,0) heading +x, CCW:
+    # endpoint (10 + 10, 0 + 10) = (20, 10)
+    ex, ey = pts[-1]
+    assert abs(ex - 20.0) < 1e-9 and abs(ey - 10.0) < 1e-9
+    assert len(pts) > 4  # arc is sampled, not just endpoints
+    r2 = rows["r2"]
+    assert [(pt.x, pt.y) for pt in r2.points][-1] == (50.0, 55.0)
+    assert read_gdal(spark, p).count() == 2
+    # spiral fails loud by name
+    bad = xodr.replace("<arc curvature=\"0.1\"/>", "<spiral/>")
+    pb = str(tmp_path / "bad.xodr")
+    open(pb, "w").write(bad)
+    with pytest.raises(Exception, match="spiral"):
+        read_xodr(spark, pb).collect()
