@@ -627,3 +627,94 @@ def src10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     full = agg(px, F.regexp_extract(F.col("path"), r"([a-z]+)\.tif$", 1))
     return full.unionByName(agg(ov, F.lit("cogov")))
+
+
+@register(
+    "src11_cad_mapinfo",
+    oracle="""
+    SELECT 'mif' AS src, c_mktsegment, count(*) AS n,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer WHERE c_custkey % 20 = 11 GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'dxf' AS src, c_mktsegment, count(*) AS n,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer WHERE c_custkey % 20 = 12 GROUP BY c_mktsegment
+    """,
+)
+def src11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapInfo MIF/MID + AutoCAD DXF import analogs (r12;
+    sources/geo_files.read_mapinfo / read_dxf — the two text halves of
+    the formerly scoped-out CAD/MapInfo tail). Customer-derived POINT
+    features are written to a .mif/.mid pair (typed COLUMNS, comma
+    delimiter) and a .dxf ENTITIES section (one layer per market
+    segment, the custkey carried in y), read back through the
+    executor-side parsers and aggregated; DuckDB recomputes both
+    splits from the source parquet, never seeing the text formats.
+    Balances hash as exact CENTS. Reference:
+    pg_lake_engine/src/pgduck/gdal.c (MITAB/DXF drivers),
+    docs/file-formats-reference.md:96-138."""
+    from pg_datalake_spark.sources.geo_files import read_dxf, read_mapinfo
+
+    cust = load_tables(spark, sf_dir, ["customer"])["customer"]
+    d = tempfile.mkdtemp(prefix="src11_")
+
+    def sample(mod_val: int) -> list:
+        return (
+            cust.filter(F.col("c_custkey") % 20 == mod_val)
+            .select("c_acctbal", "c_custkey", "c_mktsegment")
+            .collect()
+        )  # fixture-sized sample (|customer|/20 rows), builds the files
+
+    mif_rows = sample(11)
+    mif = os.path.join(d, "pts.mif")
+    with open(mif, "w") as fh:
+        fh.write(
+            'VERSION 300\nCHARSET "Neutral"\nDELIMITER ","\n'
+            "COLUMNS 3\n  key Integer\n  seg Char(12)\n  bal Float\nDATA\n"
+        )
+        for r in mif_rows:
+            fh.write(f"POINT {float(r.c_acctbal)} "
+                     f"{(r.c_custkey % 100) / 10.0}\n")
+    with open(os.path.join(d, "pts.mid"), "w") as fh:
+        for r in mif_rows:
+            fh.write(f"{int(r.c_custkey)},{r.c_mktsegment},"
+                     f"{float(r.c_acctbal)}\n")
+
+    dxf_rows = sample(12)
+    dxf = os.path.join(d, "pts.dxf")
+    with open(dxf, "w") as fh:
+        fh.write("0\nSECTION\n2\nENTITIES\n")
+        for r in dxf_rows:
+            fh.write(
+                f"0\nPOINT\n8\n{r.c_mktsegment}\n"
+                f"10\n{float(r.c_acctbal)}\n20\n{int(r.c_custkey)}\n"
+            )
+        fh.write("0\nENDSEC\n0\nEOF\n")
+
+    mif_arm = (
+        read_mapinfo(spark, mif)
+        .groupBy(F.col("seg").alias("c_mktsegment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("key").cast("long").alias("key_sum"),
+            F.sum(F.round(F.col("bal") * 100).cast("long"))
+            .cast("long")
+            .alias("bal_cents"),
+        )
+        .select(F.lit("mif").alias("src"), "*")
+    )
+    dxf_arm = (
+        read_dxf(spark, dxf)
+        .groupBy(F.col("layer").alias("c_mktsegment"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("y").cast("long")).cast("long").alias("key_sum"),
+            F.sum(F.round(F.col("x") * 100).cast("long"))
+            .cast("long")
+            .alias("bal_cents"),
+        )
+        .select(F.lit("dxf").alias("src"), "*")
+    )
+    return mif_arm.unionByName(dxf_arm)

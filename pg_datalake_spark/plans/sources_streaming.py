@@ -34,7 +34,7 @@ _SRC_BASE_SQL = """
 
 
 @register(
-    "src01_src02_src03_src04_src05_src06_src07_src08_src09_src10_file_roundtrips",
+    "src01_src02_src03_src04_src05_src06_src07_src08_src09_src10_src11_file_roundtrips",
     oracle=lambda: _SRC_BASE_SQL
     + f"""
     UNION ALL
@@ -65,6 +65,10 @@ _SRC_BASE_SQL = """
     SELECT 'raster' AS src, k, n,
            val_sum AS c1, geo_cents AS c2
     FROM ({ORACLES["src10_geotiff"]}) raster_arm
+    UNION ALL
+    SELECT 'cad' AS src, src || '|' || c_mktsegment AS k, n,
+           key_sum AS c1, bal_cents AS c2
+    FROM ({ORACLES["src11_cad_mapinfo"]}) cad_arm
     """,
 )
 def src01(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,7 +96,9 @@ def src01(spark: SparkSession, sf_dir: str) -> DataFrame:
       shapefile, .kmz, GeoJSONSeq, .geojson.gz (src09's feeder);
     - ``raster``: GeoTIFF minimum slice — planted 2-band raster,
       raw + DEFLATE, strip-partitioned read with georeferencing
-      checked as exact cents (src10's feeder, r11).
+      checked as exact cents (src10's feeder, r11);
+    - ``cad``: MapInfo MIF/MID + AutoCAD DXF text formats, the
+      formerly scoped-out CAD/MapInfo tail (src11's feeder, r12).
 
     The oracle aggregates the original parquet, so export + dialect /
     type inference must be lossless for the measured columns. Sums are
@@ -174,6 +180,13 @@ def src01(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key_sum").alias("c1"),
         F.col("bal_cents").alias("c2"),
     ).withColumnRenamed("srcx", "src")
+    cad_arm = QUERIES["src11_cad_mapinfo"](spark, sf_dir).select(
+        F.lit("cad").alias("srcx"),
+        F.concat(F.col("src"), F.lit("|"), F.col("c_mktsegment")).alias("k"),
+        "n",
+        F.col("key_sum").alias("c1"),
+        F.col("bal_cents").alias("c2"),
+    ).withColumnRenamed("srcx", "src")
     return (
         csv_arm.unionByName(json_arm)
         .unionByName(log_arm)
@@ -184,6 +197,7 @@ def src01(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(gml_arm)
         .unionByName(gdal_arm)
         .unionByName(raster_arm)
+        .unionByName(cad_arm)
     )
 
 

@@ -71,7 +71,7 @@ WINDOW_MANIFEST = [
     "lake04_lake06_dml_ops",
     "lake08_lake09_lake10_lake12_lake13_lake14_formats",
     # 5 sources/streaming rows
-    "src01_src02_src03_src04_src05_src06_src07_src08_src09_src10_file_roundtrips",
+    "src01_src02_src03_src04_src05_src06_src07_src08_src09_src10_src11_file_roundtrips",
     "st01_incremental_ingest",
     "st03_stateful_counts",
     "st02_st04_st06_rollup_sessions",
