@@ -398,15 +398,16 @@ _FMT_SCHEMA = [
     ("n", "long"),
     ("total_cents", "long"),
     ("key_sum", "long"),  # lake13 only; NULL-padded elsewhere
+    ("n_f", "long"),      # lake11 only (r12); NULL-padded elsewhere
 ]
 # present-lists for the pre-r10 arms exclude key_sum (their inner
 # subqueries don't expose it — it pads to NULL)
-_FMT_ALL = [n for n, _ in _FMT_SCHEMA if n != "key_sum"]
+_FMT_ALL = [n for n, _ in _FMT_SCHEMA if n not in ("key_sum", "n_f")]
 _FMT_NO_STATUS = [n for n in _FMT_ALL if n != "o_orderstatus"]
 
 
 @register(
-    "lake08_lake09_lake10_lake12_lake13_lake14_formats",
+    "lake08_lake09_lake10_lake11_lake12_lake13_lake14_formats",
     oracle=lambda: "\nUNION ALL\n".join(
         [
             _ps("lake08", LAKE08_ORACLE, _FMT_SCHEMA, _FMT_NO_STATUS),
@@ -421,6 +422,15 @@ _FMT_NO_STATUS = [n for n in _FMT_ALL if n != "o_orderstatus"]
                 registry.ORACLES["lake14_delta_dml"],
                 _FMT_SCHEMA,
                 _FMT_ALL,
+            ),
+            _ps(
+                "lake11",
+                "SELECT phase || '|' || tbl AS phase, n, total_cents,"
+                " n_f FROM ("
+                + registry.ORACLES["lake11_cross_table_txn"]
+                + ") lake11_inner",
+                _FMT_SCHEMA,
+                ["phase", "n", "total_cents", "n_f"],
             ),
             _ps(
                 "lake13",
@@ -444,7 +454,9 @@ def lake_formats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit_version|change_type key folds into the phase column), and
     the Delta DML completion tier (lake14, r10 tail: MERGE cardinality
     + UPDATE assignments + RESTORE reproducing the post-merge snapshot
-    hash-exactly). One
+    hash-exactly) — and, r12, the cross-table ACID transaction (lake11:
+    two pinned LakeTables, one catalog-manifest swap, snapshot-isolated
+    pre/post reads; its phase|tbl key folds into the phase column). One
     NULL-padded by-name union; every arm's oracle recomputes the
     phase relationally in DuckDB from the source parquet."""
     from pg_datalake_spark.plans.registry import QUERIES
@@ -471,7 +483,14 @@ def lake_formats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key_sum",
         "total_cents",
     )
-    return out.unionByName(_pad_arm(lake13_df, "lake13", _FMT_SCHEMA))
+    out = out.unionByName(_pad_arm(lake13_df, "lake13", _FMT_SCHEMA))
+    lake11_df = QUERIES["lake11_cross_table_txn"](spark, sf_dir).select(
+        F.concat(F.col("phase"), F.lit("|"), F.col("tbl")).alias("phase"),
+        "n",
+        "total_cents",
+        "n_f",
+    )
+    return out.unionByName(_pad_arm(lake11_df, "lake11", _FMT_SCHEMA))
 
 
 def _ps(arm: str, inner: str, schema, present) -> str:

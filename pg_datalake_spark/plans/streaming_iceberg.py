@@ -34,12 +34,26 @@ _STFMT_SCHEMA = [
     ("total_value", "double"),
     ("n_users", "long"),
     ("key_sum", "long"),
+    # r12 widening: the post-window streaming trio joins the window
+    ("value_cents", "long"),
+    ("n_pairs", "long"),
+    ("n_views_matched", "long"),
+    ("n_purchases_matched", "long"),
+    ("attributed_cents", "long"),
+    ("id_a", "long"),
+    ("id_b", "long"),
+    ("jaccard", "double"),
 ]
 _STFMT_ARMS = [
     ("st05", "st05_iceberg_stream_ingest", ["n", "total_value", "n_users"]),
     ("st10", "st10_delta_stream_ingest", ["n", "total_value", "n_users"]),
     ("st11", "st11_delta_stream_source", ["o_orderstatus", "n", "key_sum"]),
     ("st12", "st12_iceberg_stream_source", ["o_orderstatus", "n", "key_sum"]),
+    ("st07", "st07_streaming_dedup", ["n", "n_users", "value_cents"]),
+    ("st08", "st08_stream_stream_join",
+     ["n_pairs", "n_views_matched", "n_purchases_matched",
+      "attributed_cents"]),
+    ("st09", "st09_streaming_lsh_neardup", ["id_a", "id_b", "jaccard"]),
 ]
 
 
@@ -50,7 +64,7 @@ def _st_pad_sql(arm: str, name: str, present: list[str]) -> str:
 
 
 @register(
-    "st05_st10_st11_st12_stream_formats",
+    "st05_st07_st08_st09_st10_st11_st12_stream_formats",
     oracle=lambda: "\nUNION ALL\n".join(
         _st_pad_sql(arm, name, present) for arm, name, present in _STFMT_ARMS
     ),
@@ -60,9 +74,13 @@ def stream_formats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-once Iceberg sink (st05), the txn-watermark-idempotent
     Delta sink (st10), and both Spark-4 Python DataSource STREAMING
     SOURCES — Delta by commit-version offsets (st11) and external
-    Iceberg by snapshot sequence numbers (st12). Four arms, one
-    NULL-padded union; each arm's stream must reproduce its source
-    aggregate exactly or the hash breaks."""
+    Iceberg by snapshot sequence numbers (st12) — widened in the r12
+    tail with the post-window streaming trio: watermarked streaming
+    dedup (st07), the stream-stream interval join (st08) and
+    streaming MinHash-LSH near-dup detection (st09, whose stream must
+    equal the batch d02 output). Seven arms, one NULL-padded union;
+    each arm's stream must reproduce its source aggregate exactly or
+    the hash breaks."""
     from pg_datalake_spark.plans.suites import _pad_arm
 
     out = None

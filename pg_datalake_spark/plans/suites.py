@@ -2275,6 +2275,48 @@ _GEO19_COLS = [
     ("u_area", "double"), ("mv_n", "int"), ("mv_area", "double"),
     ("mv_pts", "int"), ("mv_ccw", "int"),
 ]
+_GEO06_COLS = [
+    ("nk", "int"), ("n_in", "int"), ("n_kept", "int"),
+    ("kept_length", "double"),
+]
+_GEO07_COLS = [
+    ("aname", "string"), ("n_nearest", "long"), ("avg_m", "double"),
+    ("n_within_5000km", "long"), ("sum_az", "double"),
+]
+_GEO08_COLS = [
+    ("nk", "int"), ("a", "double"), ("b", "double"), ("ep_x", "double"),
+    ("ep_y", "double"), ("p3_x", "double"), ("pn2_y", "double"),
+    ("oob_null", "int"), ("npts", "int"), ("rev0_y", "double"),
+    ("flip_x", "double"), ("ip_x", "double"), ("ip_y", "double"),
+    ("loc_f", "double"), ("cp_x", "double"), ("cp_y", "double"),
+    ("sl_len", "double"), ("sub_len", "double"), ("proj_x", "double"),
+    ("proj_y", "double"), ("dedup_n", "int"), ("open_closed", "int"),
+    ("ring_closed", "int"), ("bnd_n", "int"),
+]
+_GEO09_COLS = [
+    ("nk", "int"), ("wkt_len", "double"), ("poly_area", "double"),
+    ("poly_n", "int"), ("gj_len", "double"), ("rt_same", "int"),
+    ("norm_x", "double"), ("norm_y", "double"), ("norm_area", "double"),
+    ("rp_x", "double"), ("rp_y", "double"), ("cprop_in", "int"),
+    ("cprop_cross", "int"), ("disj_far", "int"), ("x_cross", "int"),
+    ("par_cross", "int"),
+]
+_GEO10_COLS = [
+    ("nk", "int"), ("n_in", "int"), ("n_kept", "int"),
+    ("kept_len", "double"), ("n_pts", "long"), ("sum_xm", "long"),
+    ("sum_ym", "long"),
+]
+_GEO11_COLS = [
+    ("aname", "string"), ("n", "long"), ("sum_mm", "long"),
+    ("min_mm", "long"), ("max_mm", "long"), ("n_fallback", "long"),
+]
+_GEO18_COLS = [
+    ("nk", "int"), ("qn", "int"), ("q_first_x", "double"),
+    ("q_first_y", "double"), ("q_last_x", "double"),
+    ("q_last_y", "double"), ("q_mid_x", "double"), ("q_mid_y", "double"),
+    ("q_len", "double"), ("hw_sign", "int"), ("h_last_x", "double"),
+    ("h_mid_y", "double"), ("h_len", "double"), ("col_null", "int"),
+]
 _GEO20_COLS = [
     ("nk", "int"), ("eu_area", "double"), ("eu_n", "int"),
     ("cu_area", "double"), ("cu_n", "int"), ("po_area", "double"),
@@ -2305,6 +2347,13 @@ _GEO_SCHEMA = _dedupe_cols(
     [c for c in _GEO17_COLS if c[0] != "nk"],
     [c for c in _GEO19_COLS if c[0] != "nk"],
     [c for c in _GEO20_COLS if c[0] != "nk"],
+    [c for c in _GEO06_COLS if c[0] != "nk"],
+    _GEO07_COLS,
+    [c for c in _GEO08_COLS if c[0] != "nk"],
+    [c for c in _GEO09_COLS if c[0] != "nk"],
+    [c for c in _GEO10_COLS if c[0] != "nk"],
+    _GEO11_COLS,
+    [c for c in _GEO18_COLS if c[0] != "nk"],
 )
 
 
@@ -2322,11 +2371,18 @@ _GEO_ARMS = [
     ("geo17", "geo17_name_parity_tier", _GEO17_COLS),
     ("geo19", "geo19_multiring_geometry", _GEO19_COLS),
     ("geo20", "geo20_tangent_boolean_ops", _GEO20_COLS),
+    ("geo06", "geo06_simplify_radial", _GEO06_COLS),
+    ("geo07", "geo07_geodesic", _GEO07_COLS),
+    ("geo08", "geo08_linear_referencing", _GEO08_COLS),
+    ("geo09", "geo09_wkt_geojson_predicates", _GEO09_COLS),
+    ("geo10", "geo10_simplify_mercator", _GEO10_COLS),
+    ("geo11", "geo11_vincenty", _GEO11_COLS),
+    ("geo18", "geo18_curve_tier", _GEO18_COLS),
 ]
 
 
 @register(
-    "geo01_geo02_geo03_geo12_geo13_geo14_geo15_geo16_geo17_geo19_geo20_spatial",
+    "geo01_geo02_geo03_geo04_geo05_geo06_geo07_geo08_geo09_geo10_geo11_geo12_geo13_geo14_geo15_geo16_geo17_geo18_geo19_geo20_spatial",
     oracle=lambda: "\nUNION ALL\n".join(
         _pad_arm_sql(arm, ORACLES[name], _GEO_SCHEMA, [n for n, _ in cols])
         for arm, name, cols in _GEO_ARMS
@@ -2351,7 +2407,11 @@ def geo_spatial_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     N-crossing makevalid) — plus the r12 tangent/edge-contact
     boolean tier (geo20: shared-edge, corner-pinch, collinear-partial
     and holed-cascade configurations through the planar-face
-    arrangement fallback). Feeders stay registered
+    arrangement fallback) — and, completing the family in the r12
+    tail, the radial/Mercator simplify tiers (geo06/geo10), geodesic
+    + Vincenty (geo07/geo11), linear referencing (geo08), WKT/GeoJSON
+    codecs + predicates (geo09) and the curve tier (geo18). EVERY
+    geo01–geo20 query is now a window arm. Feeders stay registered
     standalone for the local gate; this row is the driver-verified
     merge of the ENTIRE 75/75-name spatial surface."""
     out = _pad_arm(QUERIES[_GEO_ARMS[0][1]](spark, sf_dir), "geo01", _GEO_SCHEMA)

@@ -57,7 +57,7 @@ WINDOW_MANIFEST = [
     "w04_w05_w07_cb18_cb42_sessions",
     "x03_x08_x14_t01_t02_t03_t04_t05_t06_t07_t08_t09_t10_t11_t12_t13_t14_t15_v05_d06_d10_t16_llmops",
     "c07_f16_f17_p01_p02_u02_u03_mm01_mm02_mm03_mm04_mm05_misc",
-    "geo01_geo02_geo03_geo12_geo13_geo14_geo15_geo16_geo17_geo19_geo20_spatial",
+    "geo01_geo02_geo03_geo04_geo05_geo06_geo07_geo08_geo09_geo10_geo11_geo12_geo13_geo14_geo15_geo16_geo17_geo18_geo19_geo20_spatial",
     "ds36_ds51_ds67_ds04_ds39_ds77_ds87_shapes",
     "x01_x02_x09_x10_x11_x12_x13_x15_curation",
     "cb01_cb04_cb13_cb16_cb17_cb34_clickbench",
@@ -69,13 +69,13 @@ WINDOW_MANIFEST = [
     "lake02_lake07_metadata_ops",
     "lake05_compaction_preserves",
     "lake04_lake06_dml_ops",
-    "lake08_lake09_lake10_lake12_lake13_lake14_formats",
+    "lake08_lake09_lake10_lake11_lake12_lake13_lake14_formats",
     # 5 sources/streaming rows
     "src01_src02_src03_src04_src05_src06_src07_src08_src09_src10_src11_file_roundtrips",
     "st01_incremental_ingest",
     "st03_stateful_counts",
     "st02_st04_st06_rollup_sessions",
-    "st05_st10_st11_st12_stream_formats",
+    "st05_st07_st08_st09_st10_st11_st12_stream_formats",
 ]
 
 
