@@ -2791,6 +2791,12 @@ _CB_SUITE_COLS = _dedupe_cols(
     [("bucket", "long"), ("lo", "double"), ("hi", "double")],
     [("span_us", "long")],
     [("event_id", "long"), ("ts_us", "long")],
+    # r12 tail widening (+8 fresh arms)
+    [("k_band", "long"), ("avg_value", "double")],
+    [("value_cents", "long")],
+    [("word", "string"), ("rk", "int")],
+    [("n_total", "long"), ("n_campaign", "long"), ("share", "double")],
+    [("v_bucket", "long")],
 )
 
 _CB_SUITE_ARMS = [
@@ -2800,11 +2806,19 @@ _CB_SUITE_ARMS = [
     ("cb16", "cb16_value_histogram"),
     ("cb17", "cb17_user_span"),
     ("cb34", "cb34_first_events"),
+    ("cb03", "cb03_funnel_counts"),
+    ("cb05", "cb05_json_prop_analysis"),
+    ("cb07", "cb07_like_filter_topn"),
+    ("cb14", "cb14_top_words"),
+    ("cb19", "cb19_rank_users_within_type"),
+    ("cb22", "cb22_phrase_regex_count"),
+    ("cb27", "cb27_derived_bucket_sums"),
+    ("cb31", "cb31_nonzero_share"),
 ]
 
 
 @register(
-    "cb01_cb04_cb13_cb16_cb17_cb34_clickbench",
+    "cb01_cb03_cb04_cb05_cb07_cb13_cb14_cb16_cb17_cb19_cb22_cb27_cb31_cb34_clickbench",
     oracle=lambda: "\nUNION ALL\n".join(
         _pad_arm_sql(
             arm,
@@ -2820,9 +2834,12 @@ def cb_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb06/09/21/30/36/40): top users by event count (cb01), per-type
     value percentiles (cb04), device segmentation with conversion
     ratios (cb13), fixed-width value histogram (cb16), per-user
-    first-to-last time span (cb17), and the global ORDER BY ts LIMIT
-    slice (cb34) — previously sweep-green only, now driver-window
-    verified."""
+    first-to-last time span (cb17), the global ORDER BY ts LIMIT
+    slice (cb34) — widened again in the r12 tail with the funnel
+    (cb03), JSON-prop bands (cb05), LIKE top-n (cb07), word counts
+    (cb14), within-type rank (cb19), phrase regex (cb22), derived
+    buckets (cb27) and the campaign share (cb31) — all previously
+    sweep-green only, now driver-window verified."""
     out = None
     for arm, name in _CB_SUITE_ARMS:
         part = _pad_arm(QUERIES[name](spark, sf_dir), arm, _CB_SUITE_COLS)
@@ -2841,6 +2858,20 @@ _DS_TAIL_COLS = _dedupe_cols(
      ("cov_sold", "double")],
     [("l_suppkey", "long"), ("qty_before", "double"),
      ("qty_after", "double")],
+    # r12 tail widening (+8 fresh arms)
+    [("wk", "int"), ("rev_1996", "double"), ("rev_1997", "double"),
+     ("yoy", "double")],
+    [("yr", "int"), ("p_brand", "string"), ("n", "long")],
+    [("n_items", "long"), ("min_ratio", "double"), ("max_ratio", "double")],
+    [("avg_qty", "double"), ("avg_price", "double"), ("avg_disc", "double"),
+     ("avg_tax", "double")],
+    [("prefix", "string"), ("n_customers", "long"), ("total_cents", "long")],
+    [("n_b1", "long"), ("n_b2", "long"), ("n_b3", "long"), ("n_b4", "long"),
+     ("n_b5", "long"), ("avg_price_b1", "double"),
+     ("avg_price_b5", "double")],
+    [("c_mktsegment", "string"), ("n_name", "string"), ("n_cust", "long")],
+    [("o_custkey", "long"), ("spend_prev", "double"),
+     ("spend_cur", "double"), ("growth", "double")],
 )
 
 _DS_TAIL_ARMS = [
@@ -2849,11 +2880,19 @@ _DS_TAIL_ARMS = [
     ("ds12", "ds12_category_window_share"),
     ("ds17", "ds17_channel_qty_stats"),
     ("ds21", "ds21_before_after_pivot"),
+    ("ds02", "ds02_weekly_channel_ratio"),
+    ("ds03", "ds03_month_across_years"),
+    ("ds06", "ds06_priced_above_category_avg"),
+    ("ds07", "ds07_demo_measure_averages"),
+    ("ds08", "ds08_geo_prefix_revenue"),
+    ("ds09", "ds09_case_band_report"),
+    ("ds10", "ds10_any_channel_exists"),
+    ("ds11", "ds11_yoy_customer_growth"),
 ]
 
 
 @register(
-    "ds01_ds05_ds12_ds17_ds21_long_tail",
+    "ds01_ds02_ds03_ds05_ds06_ds07_ds08_ds09_ds10_ds11_ds12_ds17_ds21_long_tail",
     oracle=lambda: "\nUNION ALL\n".join(
         _pad_arm_sql(
             arm,
@@ -2869,9 +2908,14 @@ def ds_long_tail_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds47/64/75/88/95): per-customer return-count outliers vs the
     nation average (ds01), the channel P&L ROLLUP (ds05), category
     revenue share via window sum (ds12), per-part sold/returned
-    channel stats with coefficient of variation (ds17), and the
-    before/after conditional-aggregate pivot (ds21) — previously
-    sweep-green only, now driver-window verified."""
+    channel stats with coefficient of variation (ds17), the
+    before/after conditional-aggregate pivot (ds21) — widened again
+    in the r12 tail with weekly channel YoY (ds02), month-across-years
+    (ds03), priced-above-category-average ratios (ds06), demographic
+    measure averages (ds07), geo-prefix revenue (ds08), the CASE-band
+    report (ds09), ANY-channel EXISTS (ds10) and per-customer YoY
+    growth (ds11) — all previously sweep-green only, now
+    driver-window verified."""
     out = None
     for arm, name in _DS_TAIL_ARMS:
         part = _pad_arm(QUERIES[name](spark, sf_dir), arm, _DS_TAIL_COLS)
@@ -2898,6 +2942,27 @@ _FEEDER_COLS = {
     "ds17_channel_qty_stats": ["l_partkey", "n_sold", "n_returned",
                                "mean_sold", "mean_returned", "cov_sold"],
     "ds21_before_after_pivot": ["l_suppkey", "qty_before", "qty_after"],
+    "cb03_funnel_counts": ["user_id", "views", "purchases"],
+    "cb05_json_prop_analysis": ["k_band", "n", "avg_value"],
+    "cb07_like_filter_topn": ["event_type", "n", "value_cents"],
+    "cb14_top_words": ["word", "n"],
+    "cb19_rank_users_within_type": ["event_type", "user_id", "n", "rk"],
+    "cb22_phrase_regex_count": ["event_type", "n"],
+    "cb27_derived_bucket_sums": ["v_bucket", "n", "value_cents"],
+    "cb31_nonzero_share": ["n_total", "n_campaign", "share"],
+    "ds02_weekly_channel_ratio": ["wk", "channel", "rev_1996", "rev_1997",
+                                  "yoy"],
+    "ds03_month_across_years": ["yr", "p_brand", "revenue", "n"],
+    "ds06_priced_above_category_avg": ["p_type", "n_items", "min_ratio",
+                                       "max_ratio"],
+    "ds07_demo_measure_averages": ["p_brand", "avg_qty", "avg_price",
+                                   "avg_disc", "avg_tax"],
+    "ds08_geo_prefix_revenue": ["prefix", "n_customers", "total_cents"],
+    "ds09_case_band_report": ["n_b1", "n_b2", "n_b3", "n_b4", "n_b5",
+                              "avg_price_b1", "avg_price_b5"],
+    "ds10_any_channel_exists": ["c_mktsegment", "n_name", "n_cust"],
+    "ds11_yoy_customer_growth": ["o_custkey", "spend_prev", "spend_cur",
+                                 "growth"],
 }
 
 
