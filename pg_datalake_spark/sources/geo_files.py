@@ -1017,10 +1017,11 @@ def read_mapinfo(spark: SparkSession, path_or_glob: str) -> DataFrame:
 
     def _pair_rows(path: str):
         d, cs, data_at = _parse_mif_header(path)
-        if [c[0] for c in cs] != [c[0] for c in cols]:
+        if cs != cols:
             raise ValueError(
-                f"{path}: MID columns {[c[0] for c in cs]} differ from the "
-                f"first file's {[c[0] for c in cols]}"
+                f"{path}: MID columns {cs} differ from the "
+                f"first file's {cols} (names AND declared types must "
+                "match across a glob)"
             )
         with open(path, encoding="utf-8", errors="replace") as fh:
             lines = fh.read().splitlines()

@@ -497,6 +497,15 @@ def read_geotiff(
             else [(-1, ifd["bands"])]
         )
         pal = json.dumps(ifd["palette"]) if ifd.get("palette") else ""
+        want = len(planes) * len(grid)
+        if len(ifd["offsets"]) != want or len(ifd["byte_counts"]) != want:
+            raise ValueError(
+                f"geotiff: {p} declares {len(ifd['offsets'])} chunk "
+                f"offsets / {len(ifd['byte_counts'])} byte counts but the "
+                f"image geometry implies {want} "
+                f"({len(planes)} plane(s) x {len(grid)} cell(s)) — "
+                "truncated or corrupt TIFF"
+            )
         for pi, (band0, nb) in enumerate(planes):
             for gi, (row0, ch, col0, cw) in enumerate(grid):
                 k = pi * len(grid) + gi

@@ -275,7 +275,8 @@ def _parse_tables(data: bytes, state: dict) -> int:
                 i += 17 + n
         elif m == 0xDD:  # DRI
             state["dri"] = struct.unpack(">H", seg[:2])[0]
-        elif m in (0xC8, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC8, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"jpeg: SOF marker FF{m:02X} (non-baseline) not supported"
             )

@@ -65,10 +65,10 @@ def _write_version_file(meta_dir: str, version: int, meta: dict) -> None:
     path = os.path.join(meta_dir, f"v{version}.metadata.json")
     # "_"-prefixed keys are in-memory bookkeeping (e.g. _loaded-version,
     # the optimistic-concurrency base) — never persisted
-    meta = {k: v for k, v in meta.items() if not k.startswith("_")}
+    persisted = {k: v for k, v in meta.items() if not k.startswith("_")}
     try:
         with open(path, "x") as fh:
-            json.dump(meta, fh, indent=2)
+            json.dump(persisted, fh, indent=2)
     except FileExistsError:
         raise CommitConflictError(
             f"metadata version v{version} already exists under {meta_dir} — "
@@ -76,6 +76,10 @@ def _write_version_file(meta_dir: str, version: int, meta: dict) -> None:
         ) from None
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
         fh.write(str(version))
+    # Advance the optimistic-concurrency base in place: a second commit
+    # from the same in-memory state must claim the NEXT slot, not re-claim
+    # this one (which would spuriously fail the exclusive create).
+    meta["_loaded-version"] = version
 
 
 def _commit_version_slot(meta_dir: str, meta: dict) -> int:

@@ -593,6 +593,23 @@ def test_mapinfo_fail_louds_and_dispatch(spark, tmp_path):
     open(str(tmp_path / "t.tab"), "wb").write(b"\x00")
     with pytest.raises(NotImplementedError, match="scoped out"):
         read_gdal(spark, str(tmp_path / "t.tab"))
+    # a glob mixing files with identical column NAMES but different
+    # declared TYPES fails loud (r13 — previously silently coerced
+    # every file with the first file's types)
+    gd = tmp_path / "glob"
+    gd.mkdir()
+    _write_mif_pair(str(gd / "a"), "POINT 0 0\n", "a,1,1.0\n")
+    mixed = str(gd / "b") + ".mif"
+    with open(mixed, "w") as fh:
+        fh.write(
+            'VERSION 300\nDELIMITER ","\n'
+            "COLUMNS 3\n  name Char(20)\n  pop Char(5)\n  score Float\n"
+            "DATA\nPOINT 1 1\n"
+        )
+    with open(str(gd / "b") + ".mid", "w") as fh:
+        fh.write("b,xx,2.0\n")
+    with pytest.raises(Exception, match="names AND declared types"):
+        read_mapinfo(spark, str(gd / "*.mif")).collect()
 
 
 def test_dxf_entities_and_dispatch(spark, tmp_path):

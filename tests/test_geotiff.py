@@ -556,3 +556,23 @@ def test_jpeg_in_tiff_strips_tiles_and_jpegtables(spark):
     with pytest.raises(ValueError, match="jpeg"):
         write_geotiff(os.path.join(d, "bad.tif"),
                       rgb.astype(np.uint16), compression="jpeg")
+
+
+def test_chunk_count_mismatch_fails_loud(spark, tmp_path, monkeypatch):
+    """A TIFF whose StripOffsets count disagrees with the geometry-
+    implied planes x grid enumeration must raise a named ValueError
+    (r13 — previously a bare IndexError deep in task building)."""
+    import pg_datalake_spark.sources.geotiff as gt
+
+    p = str(tmp_path / "trunc.tif")
+    write_geotiff(p, _planted(), rows_per_strip=16)
+    real = gt._read_ifds
+
+    def tampered(path):
+        chain = real(path)
+        chain[0]["offsets"] = chain[0]["offsets"][:-1]  # truncated tag
+        return chain
+
+    monkeypatch.setattr(gt, "_read_ifds", tampered)
+    with pytest.raises(ValueError, match="truncated or corrupt"):
+        gt.read_geotiff(spark, p)
