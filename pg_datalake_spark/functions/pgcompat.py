@@ -51,6 +51,157 @@ def pg_div(a: Column, b: Column) -> Column:
 
 
 # --------------------------------------------------------------------------
+# relational rewrites
+# --------------------------------------------------------------------------
+
+
+def pg_limit_with_ties(df, order_col: str, k: int, *, descending: bool = True):
+    """``ORDER BY c LIMIT k WITH TIES`` (SURVEY §2.6) without a global
+    unpartitioned window over the input.
+
+    The naive ``rank() OVER (ORDER BY c) <= k`` plan moves the ENTIRE
+    input through one partition (Spark's ``WindowExec: No Partition
+    Defined`` warning) — at 100 TB that is a single-executor sort of
+    the fact table. But ``rank(x) <= k`` is exactly "x's key is
+    at-or-better than the k-th value", so WITH TIES is a threshold
+    filter:
+
+    1. top-k sample: ``orderBy(c).limit(k)`` — Spark's
+       TakeOrderedAndProject (per-partition top-k, O(k) driver merge,
+       no shuffle of the input);
+    2. threshold = worst key in the sample, as a 1-row aggregate kept
+       lazy via a broadcast join (no driver-side collect);
+    3. filter the input to rows at-or-better than the threshold — a
+       per-partition streamed comparison against the broadcast row.
+
+    Ties beyond position k survive through the >=/<= comparison (the
+    definition of WITH TIES). Null keys sort LAST (the DuckDB-oracle
+    default for both directions); when fewer than k non-null keys
+    exist, the null group ties into the result — handled via the
+    sample's non-null count. Single order key (the surface o03
+    covers); rows compare on the key only, as WITH TIES requires.
+    """
+    c = F.col(order_col)
+    ordered = (F.desc_nulls_last if descending else F.asc_nulls_last)(
+        order_col
+    )
+    worst = F.min(order_col) if descending else F.max(order_col)
+    sample = (
+        df.select(order_col)
+        .orderBy(ordered)
+        .limit(int(k))
+        .agg(worst.alias("__ties_t"), F.count(order_col).alias("__ties_n"))
+    )
+    at_or_better = (
+        (c >= F.col("__ties_t")) if descending else (c <= F.col("__ties_t"))
+    )
+    keep = at_or_better | (
+        (F.col("__ties_n") < F.lit(int(k))) & c.isNull()
+    )
+    return df.join(F.broadcast(sample), keep, "inner").drop(
+        "__ties_t", "__ties_n"
+    )
+
+
+def _distributed_global_position(df, order_cols):
+    """Shared core of the no-global-window rank rewrites: the input
+    plus ``__nt_r0`` (GLOBAL 0-based position in the total order
+    ``order_cols``) and ``__nt_total`` (grand count), computed as a
+    distributed prefix count — the pattern proven in
+    ``operators/sampling.py`` (pack_sequences):
+
+    1. ``repartitionByRange`` on the order keys — partition-major
+       order equals global order (equal full keys co-locate, so any
+       boundary placement yields the same global position);
+    2. ``row_number`` within each range partition, in parallel;
+    3. per-partition counts (one small aggregate) -> exclusive prefix
+       sum + grand total over the O(partitions)-row side, broadcast
+       back; position = offset + within - 1.
+
+    ``order_cols`` must be a TOTAL order (include a unique tiebreak) —
+    the same requirement that makes any windowed rank deterministic
+    against an oracle in the first place. Accepts column names or
+    Columns (ascending expressions).
+
+    Consistency note: the counts branch and the main branch both read
+    the range exchange; its boundaries are sampled per-evaluation, so
+    the two branches MUST see one physical shuffle. Spark's
+    ReuseExchange rule guarantees exactly that (the executed plan
+    shows ``ReusedExchange [..] Exchange rangepartitioning`` —
+    asserted by the unit test), the same mechanism that keeps any
+    twice-consumed non-deterministic subtree consistent.
+    """
+    from pyspark.sql import Window as W
+
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    nb = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    parted = df.repartitionByRange(nb, *cols).withColumn(
+        "__nt_pid", F.spark_partition_id()
+    )
+    w_in = W.partitionBy("__nt_pid").orderBy(*cols)
+    counts = parted.groupBy("__nt_pid").agg(
+        F.count(F.lit(1)).alias("__nt_c")
+    )
+    w_pre = W.orderBy("__nt_pid").rowsBetween(W.unboundedPreceding, -1)
+    w_all = W.orderBy("__nt_pid").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    offsets = counts.select(
+        "__nt_pid",
+        F.coalesce(F.sum("__nt_c").over(w_pre), F.lit(0)).alias("__nt_off"),
+        F.sum("__nt_c").over(w_all).alias("__nt_total"),
+    )
+    return (
+        parted.withColumn("__nt_rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "__nt_pid")
+        .withColumn(
+            "__nt_r0",
+            (F.col("__nt_off") + F.col("__nt_rn") - 1).cast("long"),
+        )
+        .drop("__nt_pid", "__nt_rn", "__nt_off")
+    )
+
+
+def pg_distributed_row_number(df, order_cols, *, alias: str = "rn",
+                              zero_based: bool = False):
+    """``row_number() OVER (ORDER BY order_cols)`` without a global
+    unpartitioned window (single-executor sort at scale) — see
+    :func:`_distributed_global_position` for the plan shape."""
+    out = _distributed_global_position(df, order_cols)
+    pos = F.col("__nt_r0") + (0 if zero_based else 1)
+    return out.withColumn(alias, pos).drop("__nt_r0", "__nt_total")
+
+
+def pg_distributed_ntile(df, n: int, order_cols, *, alias: str = "ntile"):
+    """``ntile(n) OVER (ORDER BY order_cols)`` without a global
+    unpartitioned window.
+
+    ``ntile`` needs each row's GLOBAL 0-based position r and the total
+    count c (tile sizes: c//n per tile, the first c%n tiles one
+    larger); both come from :func:`_distributed_global_position`, then
+    the tile is closed-form. Integer math uses ``pg_div`` (exact past
+    2^53 — a double-based floor(x/y) is not).
+    """
+    out = _distributed_global_position(df, order_cols)
+    r0 = F.col("__nt_r0")
+    total = F.col("__nt_total")
+    q = pg_div(total, F.lit(n))
+    rem = total % n
+    # first rem*(q+1) rows fall in the (q+1)-sized tiles; greatest()
+    # guards the (never-taken when q=0) small-tile branch under ANSI
+    tile = (
+        F.when(r0 < rem * (q + 1), pg_div(r0, q + 1)).otherwise(
+            rem + pg_div(r0 - rem * (q + 1), F.greatest(q, F.lit(1)))
+        )
+        + 1
+    )
+    return (
+        out.withColumn(alias, tile.cast("int"))
+        .drop("__nt_r0", "__nt_total")
+    )
+
+
+# --------------------------------------------------------------------------
 # aggregates
 # --------------------------------------------------------------------------
 

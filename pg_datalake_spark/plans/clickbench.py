@@ -922,12 +922,15 @@ def cb29(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cb30(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickBench activity-decile family: NTILE(10) over the per-user
     aggregate (deterministic id tiebreak in the order), then per-decile
-    stats — the window runs over |users| rows, never the fact table."""
-    from pyspark.sql import Window as W
+    stats. r13: even the per-user aggregate is |users| rows — billions
+    on a 100 TB events table — so the global window is replaced by
+    ``pgcompat.pg_distributed_ntile`` (range-partitioned row_number +
+    broadcast prefix offsets; hash-identical closed-form tiles)."""
+    from pg_datalake_spark.functions.pgcompat import pg_distributed_ntile
 
     t = load_tables(spark, sf_dir, ["events"])
     per = t["events"].groupBy("user_id").agg(F.count("*").alias("n"))
-    dec = per.withColumn("decile", F.ntile(10).over(W.orderBy("n", "user_id")))
+    dec = pg_distributed_ntile(per, 10, ["n", "user_id"], alias="decile")
     return dec.groupBy("decile").agg(
         F.count("*").alias("n_users"),
         F.sum("n").alias("n_events"),

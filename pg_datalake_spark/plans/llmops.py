@@ -2231,23 +2231,25 @@ def x15(spark: SparkSession, sf_dir: str) -> DataFrame:
     order on both engines and across reruns/partitionings; changing
     the seed string ('ep1') reshuffles every epoch.
 
-    Scale note: the oracle-exact formulation uses one global
-    ROW_NUMBER (a single total-order sort — fine to ~10⁸ rows); the
-    100 TB path is repartitionByRange(n_shards, key) +
-    sortWithinPartitions(key), which keeps the SAME md5 order
-    per-shard without a global window (shards become contiguous key
-    ranges instead of round-robin deals — equally reproducible,
-    documented here so nobody reaches for the window at petabyte
-    scale). The hash is md5 (hex string) so DuckDB reproduces the
-    permutation bit-for-bit."""
-    from pyspark.sql import Window
+    Scale shape (r13): the global ROW_NUMBER — formerly the last
+    unpartitioned window over an unaggregated scan in the registry —
+    now comes from ``pgcompat.pg_distributed_row_number``
+    (range-partition on the md5 key, parallel within-partition
+    row_number, broadcast prefix offsets), hash-identical to the
+    oracle's single total-order sort. The hash is md5 (hex string) so
+    DuckDB reproduces the permutation bit-for-bit."""
+    from pg_datalake_spark.functions.pgcompat import (
+        pg_distributed_row_number,
+    )
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     key = F.md5(F.concat(F.lit("ep1|"), F.col("doc_id").cast("string")))
-    rk = (
-        F.row_number().over(Window.orderBy(key, F.col("doc_id"))) - 1
+    ranked = pg_distributed_row_number(
+        docs.select("doc_id", "n_chars"), [key, F.col("doc_id")],
+        alias="__rk", zero_based=True,
     )
-    sharded = docs.select(
+    rk = F.col("__rk")
+    sharded = ranked.select(
         "doc_id", "n_chars",
         (rk % 8).cast("int").alias("shard"),
         F.floor(rk / 8).cast("long").alias("pos"),

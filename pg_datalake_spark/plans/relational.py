@@ -712,16 +712,20 @@ def o02(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def o03(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LIMIT WITH TIES via rank() <= n (neither DuckDB-the-engine in the
-    reference nor Spark pushes WITH TIES — SURVEY §2.6)."""
+    """LIMIT WITH TIES (neither DuckDB-the-engine in the reference nor
+    Spark pushes WITH TIES — SURVEY §2.6). r13: the rank()-over-
+    everything plan (an unpartitioned WindowExec over the raw fact
+    table — single-executor sort at 100 TB) is replaced by the
+    threshold-prefilter rewrite ``pgcompat.pg_limit_with_ties``:
+    top-k sample -> k-th value as a broadcast threshold -> scan-side
+    filter. Hash-identical (rank <= k  ⟺  key at-or-better than the
+    k-th key)."""
+    from pg_datalake_spark.functions.pgcompat import pg_limit_with_ties
+
     t = load_tables(spark, sf_dir, ["lineitem"])
-    w = W.orderBy(F.desc("l_quantity"))
-    return (
-        t["lineitem"]
-        .withColumn("__r", F.rank().over(w))
-        .filter(F.col("__r") <= 5)
-        .select("l_orderkey", "l_quantity")
-    )
+    return pg_limit_with_ties(
+        t["lineitem"], "l_quantity", 5
+    ).select("l_orderkey", "l_quantity")
 
 
 # ---------------------------------------------------------------------------

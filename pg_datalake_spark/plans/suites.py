@@ -545,15 +545,12 @@ def o_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("double").alias("v"),
         )
     )
-    wt = (
-        t["lineitem"]
-        .withColumn("__r", F.rank().over(W.orderBy(F.desc("l_quantity"))))
-        .filter(F.col("__r") <= 5)
-        .select(
-            F.lit("with_ties").alias("src"),
-            F.col("l_orderkey").cast("long").alias("k"),
-            F.col("l_quantity").alias("v"),
-        )
+    from pg_datalake_spark.functions.pgcompat import pg_limit_with_ties
+
+    wt = pg_limit_with_ties(t["lineitem"], "l_quantity", 5).select(
+        F.lit("with_ties").alias("src"),
+        F.col("l_orderkey").cast("long").alias("k"),
+        F.col("l_quantity").alias("v"),
     )
     ev = load_tables(spark, sf_dir, ["events"])["events"]
     don = (

@@ -469,3 +469,63 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@pytest.mark.slow
+def test_no_unpartitioned_window_over_unbounded_input(spark):
+    """Registry-wide lock (r13, VERDICT #1/#3/#5): no query may plan a
+    WindowExec with an EMPTY partition spec whose input reaches an
+    unbounded leaf (a parquet relation that scales with SF) without an
+    Aggregate or Limit in between — that shape funnels the whole
+    relation through ONE partition (Spark's `WindowExec: No Partition
+    Defined`), a single-executor sort at 100 TB. Fixed-cardinality
+    relations (nation=25, region=5 at every SF) and literal/Range
+    leaves are bounded by construction; everything else must be
+    pre-aggregated or pre-limited. o03 (WITH TIES), cb30 (ntile) and
+    x15 (global shuffle rank) were the offenders this lock pins
+    closed."""
+    import pg_datalake_spark.plans as plans
+
+    plans.load_all()
+    from pg_datalake_spark.plans.registry import QUERIES
+
+    BOUNDED_LEAVES = {"LocalRelation", "OneRowRelation", "Range"}
+    FIXED_CARD = ("nation.parquet", "region.parquet")
+    BOUNDING = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    def offenders(node, bounded=False):
+        cls = node.getClass().getSimpleName()
+        if cls in BOUNDING:
+            bounded = True
+        ch = node.children()
+        n = ch.size()
+        if n == 0 and not bounded and cls not in BOUNDED_LEAVES:
+            desc = node.simpleString(200)
+            if not any(f in desc for f in FIXED_CARD):
+                yield f"{cls}: {desc[:120]}"
+        for i in range(n):
+            yield from offenders(ch.apply(i), bounded)
+
+    bad: dict[str, list[str]] = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().optimizedPlan()
+        hits = []
+        for nd in walk(plan):
+            if (
+                nd.getClass().getSimpleName() == "Window"
+                and nd.partitionSpec().size() == 0
+            ):
+                hits.extend(offenders(nd))
+        if hits:
+            bad[name] = hits
+    assert not bad, (
+        "unpartitioned Window over unbounded input in: "
+        + "; ".join(f"{k} -> {v[0]}" for k, v in bad.items())
+    )

@@ -319,3 +319,85 @@ def test_pg_grouping_agg_empty_input_grand_total(spark):
     df2 = df.where(F.col("k") < 0)
     out3 = pg_grouping_agg(df2, ["g", "k"], aggs, kind="cube").collect()
     assert len(out3) == 1 and out3[0].g is None and out3[0].k is None
+
+
+def test_pg_limit_with_ties_matches_rank(spark):
+    """r13 (VERDICT #1): the threshold-prefilter WITH TIES rewrite must
+    be row-identical to rank() <= k across tie shapes, and its plan
+    must contain NO WindowExec at all."""
+    from pyspark.sql import Window as W
+
+    from pg_datalake_spark.functions.pgcompat import pg_limit_with_ties
+
+    def naive(df, col, k, desc):
+        o = F.desc_nulls_last(col) if desc else F.asc_nulls_last(col)
+        return df.withColumn("__r", F.rank().over(W.orderBy(o))).filter(
+            F.col("__r") <= k
+        ).drop("__r")
+
+    cases = [
+        [5, 5, 3, 3, 3],          # ties straddle the cut
+        [5, 4, 3, 3, 3],          # ties AT the cut expand the result
+        [5, 5, 5, 4],             # ties above the cut
+        [7],                      # fewer rows than k
+        [],                       # empty input
+        [None, None, 5, 4, 3],    # nulls sort last, never in top-k
+        [None, None, None],       # all-null: everything ties at rank 1
+        [4, None, None],          # nulls tie in when non-nulls < k
+    ]
+    for vals in cases:
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id int, v int"
+        )
+        for desc in (True, False):
+            for k in (1, 2, 3):
+                got = sorted(
+                    (r.id, r.v)
+                    for r in pg_limit_with_ties(
+                        df, "v", k, descending=desc
+                    ).collect()
+                )
+                want = sorted(
+                    (r.id, r.v) for r in naive(df, "v", k, desc).collect()
+                )
+                assert got == want, (vals, desc, k, got, want)
+    plan = pg_limit_with_ties(
+        spark.range(10).withColumnRenamed("id", "v"), "v", 3
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_pg_distributed_ntile_matches_builtin(spark):
+    """r13 (VERDICT #5): range-partitioned ntile must equal
+    F.ntile(n) OVER (ORDER BY ...) for every (rows, n) shape —
+    including total < n, total % n != 0 — and put no unpartitioned
+    window over anything bigger than the per-partition count table."""
+    from pyspark.sql import Window as W
+
+    from pg_datalake_spark.functions.pgcompat import pg_distributed_ntile
+
+    for rows, n in [(0, 4), (3, 10), (10, 3), (17, 4), (100, 7), (8, 8)]:
+        df = spark.range(rows).select(
+            F.col("id"), (F.col("id") * 37 % 11).alias("v")
+        )
+        got = {
+            r.id: r.t
+            for r in pg_distributed_ntile(
+                df, n, ["v", "id"], alias="t"
+            ).collect()
+        }
+        want = {
+            r.id: r.t
+            for r in df.withColumn(
+                "t", F.ntile(n).over(W.orderBy("v", "id"))
+            ).collect()
+        }
+        assert got == want, (rows, n)
+    # consistency contract: the counts branch must READ the main
+    # branch's range shuffle (boundaries are sampled per-evaluation;
+    # two independent evaluations could disagree on row->partition)
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    out = pg_distributed_ntile(df, 4, ["v", "id"], alias="t")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan and "rangepartitioning" in plan
