@@ -2159,7 +2159,10 @@ def c_f_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # columns become typed NULLs — same contract on both engines.
 # ---------------------------------------------------------------------------
 
-_DUCK_T = {"string": "VARCHAR", "long": "BIGINT", "int": "INTEGER", "double": "DOUBLE"}
+_DUCK_T = {
+    "string": "VARCHAR", "long": "BIGINT", "int": "INTEGER",
+    "double": "DOUBLE", "timestamp_ntz": "TIMESTAMP",
+}
 
 
 def _pad_arm(df: DataFrame, arm: str, schema: list[tuple[str, str]]) -> DataFrame:
@@ -2780,42 +2783,58 @@ def x_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CB_SUITE_COLS = _dedupe_cols(
-    [("user_id", "long"), ("n", "long"), ("n_types", "long")],
-    [("event_type", "string"), ("p50", "double"), ("p95", "double"),
-     ("p99", "double"), ("mx", "double")],
-    [("device", "string"), ("n_events", "long"), ("n_users", "long"),
-     ("views", "long"), ("purchases", "long"), ("conversion", "double")],
-    [("bucket", "long"), ("lo", "double"), ("hi", "double")],
-    [("span_us", "long")],
-    [("event_id", "long"), ("ts_us", "long")],
-    # r12 tail widening (+8 fresh arms)
-    [("k_band", "long"), ("avg_value", "double")],
-    [("value_cents", "long")],
-    [("word", "string"), ("rk", "int")],
-    [("n_total", "long"), ("n_campaign", "long"), ("share", "double")],
-    [("v_bucket", "long")],
+    [("h", "timestamp_ntz"), ("n", "long"), ("uniq_users", "long"),
+     ("avg_value", "double")],
+    [("user_id", "long"), ("event_type", "string"),
+     ("d", "timestamp_ntz")],
+    [("n_users", "long")],
+    [("k_band", "long"), ("value_cents", "long")],
+    [("host_band", "long"), ("lang", "string"), ("n_docs", "long"),
+     ("total_chars", "long")],
+    [("last_ts_us", "long")],
+    [("dau", "long"), ("buyers", "long"), ("buyer_ratio", "double")],
+    [("m", "timestamp_ntz")],
+    [("doc_id", "long"), ("n_chars_actual", "int")],
+    [("source", "string"), ("avg_chars", "double")],
+    [("n_blank", "long"), ("n_short", "long"), ("n_short_sources", "long")],
+    [("segment", "string")],
+    [("min_ts_us", "long"), ("max_ts_us", "long"), ("span_days", "long")],
+    [("bucket_10m", "long")],
+    [("grp", "string")],
+    [("family", "string"), ("n_sources", "long")],
+    [("hr", "timestamp_ntz"), ("share", "double")],
+    [("n_clean_users", "long"), ("n_events", "long"),
+     ("pooled_error_rate", "double")],
 )
 
 _CB_SUITE_ARMS = [
-    ("cb01", "cb01_top_users_by_events"),
-    ("cb04", "cb04_value_quantiles_by_type"),
-    ("cb13", "cb13_device_segmentation"),
-    ("cb16", "cb16_value_histogram"),
-    ("cb17", "cb17_user_span"),
-    ("cb34", "cb34_first_events"),
-    ("cb03", "cb03_funnel_counts"),
-    ("cb05", "cb05_json_prop_analysis"),
-    ("cb07", "cb07_like_filter_topn"),
-    ("cb14", "cb14_top_words"),
-    ("cb19", "cb19_rank_users_within_type"),
-    ("cb22", "cb22_phrase_regex_count"),
-    ("cb27", "cb27_derived_bucket_sums"),
-    ("cb31", "cb31_nonzero_share"),
+    ("cb02", "cb02_hourly_timeseries"),
+    ("cb08", "cb08_wide_group_topn"),
+    ("cb10", "cb10_active_hours"),
+    ("cb11", "cb11_regex_extract_bands"),
+    ("cb12", "cb12_host_extract"),
+    ("cb15", "cb15_wide_topn_multi_agg"),
+    ("cb20", "cb20_daily_audience_ratio"),
+    ("cb23", "cb23_per_minute_series"),
+    ("cb24", "cb24_longest_documents"),
+    ("cb25", "cb25_pair_cardinality_topn"),
+    ("cb26", "cb26_lang_source_matrix"),
+    ("cb28", "cb28_short_doc_audit"),
+    ("cb29", "cb29_tagged_union_report"),
+    ("cb32", "cb32_date_span"),
+    ("cb33", "cb33_distinct_triples"),
+    ("cb35", "cb35_ten_minute_buckets"),
+    ("cb37", "cb37_concat_group_key"),
+    ("cb38", "cb38_domain_family"),
+    ("cb39", "cb39_hot_sources"),
+    ("cb41", "cb41_hourly_type_share"),
+    ("cb43", "cb43_low_error_users"),
 ]
 
 
 @register(
-    "cb01_cb03_cb04_cb05_cb07_cb13_cb14_cb16_cb17_cb19_cb22_cb27_cb31_cb34_clickbench",
+    "cb02_cb08_cb10_cb11_cb12_cb15_cb20_cb23_cb24_cb25_cb26_cb28_cb29"
+    "_cb32_cb33_cb35_cb37_cb38_cb39_cb41_cb43_clickbench_close",
     oracle=lambda: "\nUNION ALL\n".join(
         _pad_arm_sql(
             arm,
@@ -2827,16 +2846,18 @@ _CB_SUITE_ARMS = [
     ),
 )
 def cb_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ClickBench long-tail rotation, round 12 (r11 verified
-    cb06/09/21/30/36/40): top users by event count (cb01), per-type
-    value percentiles (cb04), device segmentation with conversion
-    ratios (cb13), fixed-width value histogram (cb16), per-user
-    first-to-last time span (cb17), the global ORDER BY ts LIMIT
-    slice (cb34) — widened again in the r12 tail with the funnel
-    (cb03), JSON-prop bands (cb05), LIKE top-n (cb07), word counts
-    (cb14), within-type rank (cb19), phrase regex (cb22), derived
-    buckets (cb27) and the campaign share (cb31) — all previously
-    sweep-green only, now driver-window verified."""
+    """ClickBench long-tail rotation, round 13 — the FINAL cb
+    rotation: every remaining never-window arm enters at once, closing
+    the family (r11 verified cb06/09/21/30/36/40; r12 the fourteen
+    cb01…cb34 arms; ledger in COVERAGE.md). Arms: hourly timeseries
+    (cb02), wide-group top-n (cb08), active hours (cb10), regex bands
+    (cb11), host extraction (cb12), wide top-n multi-agg (cb15), daily
+    audience ratio (cb20), per-minute series (cb23), longest documents
+    (cb24), pair cardinality (cb25), lang×source matrix (cb26), short-
+    doc audit (cb28), tagged-union report (cb29), date span (cb32),
+    distinct triples (cb33), 10-minute buckets (cb35), concat group
+    keys (cb37), domain families (cb38), hot sources (cb39), hourly
+    type share (cb41), low-error users (cb43)."""
     out = None
     for arm, name in _CB_SUITE_ARMS:
         part = _pad_arm(QUERIES[name](spark, sf_dir), arm, _CB_SUITE_COLS)
@@ -2845,51 +2866,76 @@ def cb_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DS_TAIL_COLS = _dedupe_cols(
-    [("c_custkey", "long"), ("n_ret", "long"), ("nat_avg", "double")],
-    [("g_channel", "int"), ("channel", "string"), ("sales", "double"),
-     ("returns", "double"), ("profit", "double")],
-    [("p_type", "string"), ("revenue", "double"),
-     ("revenue_share_pct", "double")],
-    [("l_partkey", "long"), ("n_sold", "long"), ("n_returned", "long"),
-     ("mean_sold", "double"), ("mean_returned", "double"),
-     ("cov_sold", "double")],
-    [("l_suppkey", "long"), ("qty_before", "double"),
-     ("qty_after", "double")],
-    # r12 tail widening (+8 fresh arms)
-    [("wk", "int"), ("rev_1996", "double"), ("rev_1997", "double"),
-     ("yoy", "double")],
-    [("yr", "int"), ("p_brand", "string"), ("n", "long")],
-    [("n_items", "long"), ("min_ratio", "double"), ("max_ratio", "double")],
-    [("avg_qty", "double"), ("avg_price", "double"), ("avg_disc", "double"),
-     ("avg_tax", "double")],
-    [("prefix", "string"), ("n_customers", "long"), ("total_cents", "long")],
-    [("n_b1", "long"), ("n_b2", "long"), ("n_b3", "long"), ("n_b4", "long"),
-     ("n_b5", "long"), ("avg_price_b1", "double"),
-     ("avg_price_b5", "double")],
-    [("c_mktsegment", "string"), ("n_name", "string"), ("n_cust", "long")],
-    [("o_custkey", "long"), ("spend_prev", "double"),
-     ("spend_cur", "double"), ("growth", "double")],
+    [("n", "long"), ("avg_qty", "double"), ("net_cents", "long")],
+    [("p_brand", "string"), ("revenue", "double")],
+    [("n_name", "string"), ("c_mktsegment", "string")],
+    [("order_count", "long"), ("total_price", "double")],
+    [("g_band", "int"), ("g_seg", "int"), ("bal_band", "string"),
+     ("n_orders", "long"), ("avg_order_value", "double")],
+    [("cust_nation", "string")],
+    [("p_type", "string"), ("l_partkey", "long"),
+     ("revenueratio", "double")],
+    [("g_brand", "int"), ("g_size", "int"), ("p_size", "int")],
+    [("home_cents", "long"), ("n_lines", "long")],
+    [("n_rebuy_pairs", "long")],
+    [("avg_price", "double")],
+    [("g_type", "int"), ("avg_disc", "double")],
+    [("band", "string"), ("n_distinct_prices", "long")],
+    [("total_sold", "double"), ("total_returned", "double"),
+     ("total_other", "double")],
+    [("c_custkey", "long"), ("returned", "double"), ("nat_avg", "double")],
+    [("q_idx", "int"), ("qoq", "double")],
+    [("excess_discount_cents", "long")],
+    [("web_rev", "double"), ("store_rev", "double"),
+     ("catalog_rev", "double"), ("total_rev", "double")],
+    [("n_customers", "long"), ("n_orders_total", "long")],
+    [("n_cust", "long"), ("avg_bal", "double")],
+    [("p_partkey", "long"), ("p_retailprice", "double")],
+    [("custkey_sum", "long")],
+    [("cents_before", "long"), ("cents_after", "long")],
+    [("yr", "int"), ("n_items", "long")],
+    [("sun", "long"), ("mon", "long"), ("tue", "long"), ("wed", "long"),
+     ("thu", "long"), ("fri", "long"), ("sat", "long")],
+    [("side", "string"), ("rk", "int"), ("net", "double")],
 )
 
 _DS_TAIL_ARMS = [
-    ("ds01", "ds01_return_count_outliers"),
-    ("ds05", "ds05_channel_pnl_rollup"),
-    ("ds12", "ds12_category_window_share"),
-    ("ds17", "ds17_channel_qty_stats"),
-    ("ds21", "ds21_before_after_pivot"),
-    ("ds02", "ds02_weekly_channel_ratio"),
-    ("ds03", "ds03_month_across_years"),
-    ("ds06", "ds06_priced_above_category_avg"),
-    ("ds07", "ds07_demo_measure_averages"),
-    ("ds08", "ds08_geo_prefix_revenue"),
-    ("ds09", "ds09_case_band_report"),
-    ("ds10", "ds10_any_channel_exists"),
-    ("ds11", "ds11_yoy_customer_growth"),
+    ("ds13", "ds13_compound_or_bands"),
+    ("ds14", "ds14_cross_channel_intersect"),
+    ("ds15", "ds15_geo_contribution"),
+    ("ds16", "ds16_distinct_exists"),
+    ("ds18", "ds18_acctbal_band_rollup"),
+    ("ds19", "ds19_geo_mismatch_brands"),
+    ("ds20", "ds20_item_share_within_category"),
+    ("ds22", "ds22_attribute_rollup_qty"),
+    ("ds23", "ds23_frequent_items"),
+    ("ds24", "ds24_home_nation_sales"),
+    ("ds25", "ds25_return_then_rebuy"),
+    ("ds26", "ds26_open_order_averages"),
+    ("ds27", "ds27_avg_rollup"),
+    ("ds28", "ds28_band_distinct_report"),
+    ("ds29", "ds29_sold_returned_resold"),
+    ("ds30", "ds30_return_rate_outliers"),
+    ("ds31", "ds31_geo_qoq_growth"),
+    ("ds32", "ds32_excess_discount"),
+    ("ds33", "ds33_category_channel_totals"),
+    ("ds34", "ds34_frequent_buyer_bands"),
+    ("ds35", "ds35_multichannel_exists"),
+    ("ds37", "ds37_price_band_items_in_window"),
+    ("ds38", "ds38_all_channel_customers"),
+    ("ds40", "ds40_pivot_by_geo"),
+    ("ds41", "ds41_dim_attribute_battery"),
+    ("ds42", "ds42_category_year_topline"),
+    ("ds43", "ds43_weekday_profile"),
+    ("ds44", "ds44_best_and_worst_items"),
+    ("ds45", "ds45_membership_or"),
 ]
 
 
 @register(
-    "ds01_ds02_ds03_ds05_ds06_ds07_ds08_ds09_ds10_ds11_ds12_ds17_ds21_long_tail",
+    "ds13_ds14_ds15_ds16_ds18_ds19_ds20_ds22_ds23_ds24_ds25_ds26_ds27"
+    "_ds28_ds29_ds30_ds31_ds32_ds33_ds34_ds35_ds37_ds38_ds40_ds41_ds42"
+    "_ds43_ds44_ds45_long_tail",
     oracle=lambda: "\nUNION ALL\n".join(
         _pad_arm_sql(
             arm,
@@ -2901,18 +2947,21 @@ _DS_TAIL_ARMS = [
     ),
 )
 def ds_long_tail_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-DS-shape long-tail rotation, round 12 (r11 verified
-    ds47/64/75/88/95): per-customer return-count outliers vs the
-    nation average (ds01), the channel P&L ROLLUP (ds05), category
-    revenue share via window sum (ds12), per-part sold/returned
-    channel stats with coefficient of variation (ds17), the
-    before/after conditional-aggregate pivot (ds21) — widened again
-    in the r12 tail with weekly channel YoY (ds02), month-across-years
-    (ds03), priced-above-category-average ratios (ds06), demographic
-    measure averages (ds07), geo-prefix revenue (ds08), the CASE-band
-    report (ds09), ANY-channel EXISTS (ds10) and per-customer YoY
-    growth (ds11) — all previously sweep-green only, now
-    driver-window verified."""
+    """TPC-DS-shape long-tail rotation, round 13: twenty-nine fresh
+    arms — compound OR bands (ds13), cross-channel INTERSECT (ds14),
+    geo contribution (ds15), distinct EXISTS (ds16), acctbal ROLLUP
+    (ds18), geo-mismatch brands (ds19), item share within category
+    (ds20), attribute ROLLUP (ds22), frequent items (ds23), home-
+    nation sales (ds24), return-then-rebuy (ds25), open-order averages
+    (ds26), the avg ROLLUP (ds27), band DISTINCT report (ds28),
+    sold/returned/resold (ds29), return-rate outliers (ds30), QoQ
+    growth (ds31), excess discount (ds32), category channel totals
+    (ds33), frequent-buyer bands (ds34), multichannel EXISTS (ds35),
+    price-band window membership (ds37), all-channel customers (ds38),
+    geo pivot (ds40), dim attribute battery (ds41), category-year
+    topline (ds42), weekday profile (ds43), best/worst items (ds44)
+    and membership-OR (ds45) — brings the ds never-window tail from
+    74 to 45 (r9/r11/r12 history in COVERAGE.md)."""
     out = None
     for arm, name in _DS_TAIL_ARMS:
         part = _pad_arm(QUERIES[name](spark, sf_dir), arm, _DS_TAIL_COLS)
@@ -2923,43 +2972,73 @@ def ds_long_tail_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # feeder column lists for the lazy suite oracles above: the arm's own
 # columns (everything else pads to typed NULL)
 _FEEDER_COLS = {
-    "cb01_top_users_by_events": ["user_id", "n", "n_types"],
-    "cb04_value_quantiles_by_type": ["event_type", "p50", "p95", "p99",
-                                     "mx"],
-    "cb13_device_segmentation": ["device", "n_events", "n_users", "views",
-                                 "purchases", "conversion"],
-    "cb16_value_histogram": ["bucket", "n", "lo", "hi"],
-    "cb17_user_span": ["user_id", "span_us", "n"],
-    "cb34_first_events": ["event_id", "ts_us", "user_id", "event_type"],
-    "ds01_return_count_outliers": ["c_custkey", "n_ret", "nat_avg"],
-    "ds05_channel_pnl_rollup": ["g_channel", "channel", "sales", "returns",
-                                "profit"],
-    "ds12_category_window_share": ["p_type", "revenue",
-                                   "revenue_share_pct"],
-    "ds17_channel_qty_stats": ["l_partkey", "n_sold", "n_returned",
-                               "mean_sold", "mean_returned", "cov_sold"],
-    "ds21_before_after_pivot": ["l_suppkey", "qty_before", "qty_after"],
-    "cb03_funnel_counts": ["user_id", "views", "purchases"],
-    "cb05_json_prop_analysis": ["k_band", "n", "avg_value"],
-    "cb07_like_filter_topn": ["event_type", "n", "value_cents"],
-    "cb14_top_words": ["word", "n"],
-    "cb19_rank_users_within_type": ["event_type", "user_id", "n", "rk"],
-    "cb22_phrase_regex_count": ["event_type", "n"],
-    "cb27_derived_bucket_sums": ["v_bucket", "n", "value_cents"],
-    "cb31_nonzero_share": ["n_total", "n_campaign", "share"],
-    "ds02_weekly_channel_ratio": ["wk", "channel", "rev_1996", "rev_1997",
-                                  "yoy"],
-    "ds03_month_across_years": ["yr", "p_brand", "revenue", "n"],
-    "ds06_priced_above_category_avg": ["p_type", "n_items", "min_ratio",
-                                       "max_ratio"],
-    "ds07_demo_measure_averages": ["p_brand", "avg_qty", "avg_price",
-                                   "avg_disc", "avg_tax"],
-    "ds08_geo_prefix_revenue": ["prefix", "n_customers", "total_cents"],
-    "ds09_case_band_report": ["n_b1", "n_b2", "n_b3", "n_b4", "n_b5",
-                              "avg_price_b1", "avg_price_b5"],
-    "ds10_any_channel_exists": ["c_mktsegment", "n_name", "n_cust"],
-    "ds11_yoy_customer_growth": ["o_custkey", "spend_prev", "spend_cur",
-                                 "growth"],
+    "cb02_hourly_timeseries": ["h", "n", "uniq_users", "avg_value"],
+    "cb08_wide_group_topn": ["user_id", "event_type", "d", "n"],
+    "cb10_active_hours": ["h", "n_users"],
+    "cb11_regex_extract_bands": ["k_band", "n", "value_cents"],
+    "cb12_host_extract": ["host_band", "lang", "n_docs", "total_chars"],
+    "cb15_wide_topn_multi_agg": ["user_id", "event_type", "n",
+                                 "value_cents", "last_ts_us"],
+    "cb20_daily_audience_ratio": ["d", "dau", "buyers", "buyer_ratio"],
+    "cb23_per_minute_series": ["m", "n"],
+    "cb24_longest_documents": ["doc_id", "n_chars_actual", "lang"],
+    "cb25_pair_cardinality_topn": ["user_id", "k_band", "n"],
+    "cb26_lang_source_matrix": ["lang", "source", "n", "avg_chars"],
+    "cb28_short_doc_audit": ["n_docs", "n_blank", "n_short",
+                             "n_short_sources"],
+    "cb29_tagged_union_report": ["segment", "n", "value_cents"],
+    "cb32_date_span": ["min_ts_us", "max_ts_us", "span_days"],
+    "cb33_distinct_triples": ["user_id", "event_type", "k_band"],
+    "cb35_ten_minute_buckets": ["bucket_10m", "n", "n_users"],
+    "cb37_concat_group_key": ["grp", "n", "value_cents"],
+    "cb38_domain_family": ["family", "n_docs", "n_sources",
+                           "total_chars"],
+    "cb39_hot_sources": ["source", "n", "total_chars"],
+    "cb41_hourly_type_share": ["hr", "event_type", "n", "share"],
+    "cb43_low_error_users": ["n_clean_users", "n_events",
+                             "pooled_error_rate"],
+    "ds13_compound_or_bands": ["n", "avg_qty", "net_cents"],
+    "ds14_cross_channel_intersect": ["p_brand", "revenue", "n"],
+    "ds15_geo_contribution": ["n_name", "c_mktsegment", "revenue"],
+    "ds16_distinct_exists": ["order_count", "total_price"],
+    "ds18_acctbal_band_rollup": ["g_band", "g_seg", "bal_band",
+                                 "c_mktsegment", "n_orders",
+                                 "avg_order_value"],
+    "ds19_geo_mismatch_brands": ["p_brand", "cust_nation", "net_cents",
+                                 "n"],
+    "ds20_item_share_within_category": ["p_type", "l_partkey", "revenue",
+                                        "revenueratio"],
+    "ds22_attribute_rollup_qty": ["g_brand", "g_size", "p_brand",
+                                  "p_size", "avg_qty", "n"],
+    "ds23_frequent_items": ["p_brand", "revenue", "n"],
+    "ds24_home_nation_sales": ["n_name", "home_cents", "n_lines"],
+    "ds25_return_then_rebuy": ["c_mktsegment", "n_rebuy_pairs"],
+    "ds26_open_order_averages": ["p_brand", "avg_qty", "avg_price", "n"],
+    "ds27_avg_rollup": ["g_type", "g_brand", "p_type", "p_brand",
+                        "avg_qty", "avg_price", "avg_disc", "n"],
+    "ds28_band_distinct_report": ["band", "avg_price",
+                                  "n_distinct_prices", "n"],
+    "ds29_sold_returned_resold": ["p_brand", "total_sold",
+                                  "total_returned", "total_other"],
+    "ds30_return_rate_outliers": ["c_custkey", "returned", "nat_avg"],
+    "ds31_geo_qoq_growth": ["n_name", "q_idx", "qoq"],
+    "ds32_excess_discount": ["n_lines", "excess_discount_cents"],
+    "ds33_category_channel_totals": ["p_brand", "web_rev", "store_rev",
+                                     "catalog_rev", "total_rev"],
+    "ds34_frequent_buyer_bands": ["band", "n_customers",
+                                  "n_orders_total"],
+    "ds35_multichannel_exists": ["c_mktsegment", "n_name", "n_cust",
+                                 "avg_bal"],
+    "ds37_price_band_items_in_window": ["p_partkey", "p_brand",
+                                        "p_retailprice"],
+    "ds38_all_channel_customers": ["n_customers", "custkey_sum"],
+    "ds40_pivot_by_geo": ["n_name", "cents_before", "cents_after"],
+    "ds41_dim_attribute_battery": ["p_brand", "p_type", "p_size"],
+    "ds42_category_year_topline": ["yr", "p_type", "revenue", "n_items"],
+    "ds43_weekday_profile": ["p_brand", "sun", "mon", "tue", "wed",
+                             "thu", "fri", "sat"],
+    "ds44_best_and_worst_items": ["side", "rk", "l_partkey", "net"],
+    "ds45_membership_or": ["c_mktsegment", "n_lines", "net_cents"],
 }
 
 

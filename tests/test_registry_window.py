@@ -60,8 +60,8 @@ WINDOW_MANIFEST = [
     "geo01_geo02_geo03_geo04_geo05_geo06_geo07_geo08_geo09_geo10_geo11_geo12_geo13_geo14_geo15_geo16_geo17_geo18_geo19_geo20_spatial",
     "ds36_ds51_ds67_ds04_ds39_ds77_ds87_shapes",
     "x01_x02_x09_x10_x11_x12_x13_x15_curation",
-    "cb01_cb03_cb04_cb05_cb07_cb13_cb14_cb16_cb17_cb19_cb22_cb27_cb31_cb34_clickbench",
-    "ds01_ds02_ds03_ds05_ds06_ds07_ds08_ds09_ds10_ds11_ds12_ds17_ds21_long_tail",
+    "cb02_cb08_cb10_cb11_cb12_cb15_cb20_cb23_cb24_cb25_cb26_cb28_cb29_cb32_cb33_cb35_cb37_cb38_cb39_cb41_cb43_clickbench_close",
+    "ds13_ds14_ds15_ds16_ds18_ds19_ds20_ds22_ds23_ds24_ds25_ds26_ds27_ds28_ds29_ds30_ds31_ds32_ds33_ds34_ds35_ds37_ds38_ds40_ds41_ds42_ds43_ds44_ds45_long_tail",
     # 7 lake-table DML/maintenance/format rows (r8: the lake08 slot
     # widened in place to the four-arm table-format suite — external
     # Iceberg + Delta log reader + spec-bucket + deletion vectors)
