@@ -543,6 +543,226 @@ class QueryGen:
                 sql += f" HAVING COUNT(*) >= {self.rng.randint(1, 5)}"
         return sql
 
+    # --- grammar v3 shapes (r13): the construct mixes hand-picked
+    # queries skip — correlated/lateral subqueries, explode in FROM,
+    # set ops over grouped subqueries, dialect-paired PG scalar shims,
+    # NULL-heavy domains ---
+
+    def _parent_child(self):
+        """A random FK edge as (parent, parent_key, child, child_fk)."""
+        fk = self.rng.choice(FK)
+        return _BY_NAME[fk[2]], fk[3], _BY_NAME[fk[0]], fk[1]
+
+    def q_correlated_scalar(self) -> str:
+        """Correlated scalar subqueries in SELECT (always aggregated,
+        so single-row by construction; COUNT over an empty group is 0
+        and MIN/SUM are NULL — identical in both engines)."""
+        parent, pk, child, fc = self._parent_child()
+        m = self.rng.randint(5, 19)
+        subs = []
+        for i in range(self.rng.randint(1, 2)):
+            kind = self.rng.choice(["count", "min", "sum"])
+            extra = self._where(child, 0, 1).replace(" WHERE ", " AND ", 1)
+            corr = f"WHERE {child.name}.{fc} = {parent.name}.{pk}{extra}"
+            if kind == "count":
+                agg = "CAST(COUNT(*) AS BIGINT)"
+            elif kind == "min":
+                agg = f"MIN({self.rng.choice(list(child.ints))})"
+            else:
+                col, _ = self.rng.choice(list(child.ints.items()))
+                agg = f"CAST(SUM({col} % {self.rng.randint(2, 500)}) AS BIGINT)"
+            subs.append(
+                f"(SELECT {agg} FROM {child.name} {corr}) AS sub_{i}"
+            )
+        return (
+            f"SELECT {parent.name}.{pk}, {', '.join(subs)} "
+            f"FROM {parent.name} "
+            f"WHERE {pk} % {m} = {self.rng.randrange(m)}"
+        )
+
+    def q_lateral_agg(self) -> tuple[str, str]:
+        """LATERAL aggregate subquery in FROM on the Spark side; the
+        DuckDB oracle is the semantically-identical correlated scalar
+        subquery form. PG semantics: an UNGROUPED aggregate subquery
+        produces exactly one row, so comma-LATERAL keeps every outer
+        row (NULL aggregates for empty groups). Spark agrees; DuckDB
+        1.0.0's comma-LATERAL DROPS outer rows whose group is empty —
+        found by this very shape on its first sweep (seed 20125,
+        pinned; minimal repro in tests/test_fuzz_differential.py) —
+        so the oracle uses the scalar form PG defines as equivalent."""
+        parent, pk, child, fc = self._parent_child()
+        m = self.rng.randint(5, 19)
+        aggs, scalars = [], []
+        for i in range(self.rng.randint(1, 2)):
+            kind = self.rng.choice(["count", "sum", "min"])
+            if kind == "count":
+                agg = "CAST(COUNT(*) AS BIGINT)"
+            elif kind == "sum":
+                col, _ = self.rng.choice(list(child.ints.items()))
+                agg = (f"CAST(SUM({col} % {self.rng.randint(2, 500)}) "
+                       f"AS BIGINT)")
+            else:
+                agg = f"MIN({self.rng.choice(list(child.ints))})"
+            aggs.append((agg, f"s_{i}"))
+        extra = self._where(child, 0, 1).replace(" WHERE ", " AND ", 1)
+        r = self.rng.randrange(m)
+        sel_s = ", ".join(f"x.{a}" for _, a in aggs)
+        spark = (
+            f"SELECT p.{pk}, {sel_s} FROM {parent.name} p, "
+            f"LATERAL (SELECT "
+            f"{', '.join(f'{e} AS {a}' for e, a in aggs)} "
+            f"FROM {child.name} c WHERE c.{fc} = p.{pk}{extra}) x "
+            f"WHERE p.{pk} % {m} = {r}"
+        )
+        scalars = ", ".join(
+            f"(SELECT {e} FROM {child.name} c "
+            f"WHERE c.{fc} = p.{pk}{extra}) AS {a}"
+            for e, a in aggs
+        )
+        duck = (
+            f"SELECT p.{pk}, {scalars} FROM {parent.name} p "
+            f"WHERE p.{pk} % {m} = {r}"
+        )
+        return spark, duck
+
+    def q_explode(self) -> tuple[str, str]:
+        """Explode a per-row bounded sequence in FROM — Spark's
+        Generate operator (LATERAL VIEW explode(sequence(...))) vs the
+        equivalent bounded VALUES cross join on the DuckDB side."""
+        t = self.rng.choice([LINEITEM, ORDERS, PART, EVENTS])
+        icol, _ = self.rng.choice(list(t.ints.items()))
+        k = self.rng.randint(2, 4)  # per-row count n = icol % k + 1
+        m = self.rng.randint(11, 29)
+        base = (f"SELECT * FROM {t.name} WHERE {t.ukey[0]} % {m} = "
+                f"{self.rng.randrange(m)}")
+        uk = ", ".join(t.ukey)
+        vals = ", ".join(f"({i})" for i in range(1, k + 1))
+        if self.rng.random() < 0.5:  # projection form
+            spark = (
+                f"SELECT {uk}, u.i AS i FROM ({base}) b LATERAL VIEW "
+                f"explode(sequence(1, CAST({icol} % {k} + 1 AS INT))) u AS i"
+            )
+            duck = (
+                f"SELECT {uk}, u.i AS i FROM ({base}) b CROSS JOIN "
+                f"(VALUES {vals}) u(i) WHERE u.i <= {icol} % {k} + 1"
+            )
+        else:  # aggregate over the exploded rows
+            spark = (
+                f"SELECT CAST(SUM(u.i) AS BIGINT) AS agg_0, "
+                f"COUNT(*) AS agg_1 FROM ({base}) b LATERAL VIEW "
+                f"explode(sequence(1, CAST({icol} % {k} + 1 AS INT))) u AS i"
+            )
+            duck = (
+                f"SELECT CAST(SUM(u.i) AS BIGINT) AS agg_0, "
+                f"COUNT(*) AS agg_1 FROM ({base}) b CROSS JOIN "
+                f"(VALUES {vals}) u(i) WHERE u.i <= {icol} % {k} + 1"
+            )
+        return spark, duck
+
+    def q_setop_grouped(self) -> str:
+        """Set operations over GROUPED subqueries (set op input is an
+        aggregate, not a scan — the mix the v1 q_setop never emits)."""
+        t = self.rng.choice([LINEITEM, ORDERS, CUSTOMER, PART, EVENTS,
+                             DOCUMENTS])
+        keys = self._group_keys(t, 1)
+        if not keys:
+            return self.q_setop()
+        key = keys[0]
+        op = self.rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+                              "INTERSECT ALL", "EXCEPT ALL"])
+        agg = self.rng.choice(
+            ["COUNT(*)",
+             f"CAST(SUM({self.rng.choice(list(t.ints))} % "
+             f"{self.rng.randint(2, 200)}) AS BIGINT)",
+             f"MIN({self.rng.choice(t.cols())})"])
+        w1, w2 = self._where(t, 1, 2), self._where(t, 1, 2)
+        b1 = (f"SELECT {key} AS k_0, {agg} AS agg_0 FROM {t.name}{w1} "
+              f"GROUP BY {key}")
+        b2 = (f"SELECT {key} AS k_0, {agg} AS agg_0 FROM {t.name}{w2} "
+              f"GROUP BY {key}")
+        return f"{b1} {op} {b2}"
+
+    def q_pg_scalars(self) -> tuple[str, str]:
+        """Dialect-paired scalar shims: integer division (Spark DIV vs
+        DuckDB // — identical on the non-negative int domains), to_char
+        (date_format vs strftime), and the PG decade-truncation formula
+        vs DuckDB's native date_trunc('decade'). Each pair is the
+        engine-side algebra the pgcompat shims implement, checked
+        against an independent implementation."""
+        t = self.rng.choice([ORDERS, LINEITEM, EVENTS])
+        s_exprs, d_exprs = [], []
+        for i in range(self.rng.randint(1, 3)):
+            kind = self.rng.choice(["intdiv", "to_char", "decade"])
+            a = f"e_{i}"
+            if kind == "intdiv":
+                col, _ = self.rng.choice(list(t.ints.items()))
+                k = self.rng.randint(2, 13)
+                s_exprs.append(f"{col} DIV {k} AS {a}")
+                d_exprs.append(f"{col} // {k} AS {a}")
+            elif kind == "to_char":
+                col = self.rng.choice(list(t.timestamps))
+                sf, df = self.rng.choice(
+                    [("yyyy-MM-dd", "%Y-%m-%d"), ("yyyy-MM", "%Y-%m"),
+                     ("yyyy", "%Y"), ("MM-dd", "%m-%d")])
+                s_exprs.append(f"date_format({col}, '{sf}') AS {a}")
+                d_exprs.append(f"strftime({col}, '{df}') AS {a}")
+            else:
+                col = self.rng.choice(list(t.timestamps))
+                s_exprs.append(
+                    f"make_timestamp_ntz(CAST(EXTRACT(YEAR FROM {col}) - "
+                    f"(EXTRACT(YEAR FROM {col}) % 10) AS INT),1,1,0,0,0) "
+                    f"AS {a}")
+                d_exprs.append(f"date_trunc('decade', {col}) AS {a}")
+        m = self.rng.randint(7, 23)
+        uk = ", ".join(t.ukey)
+        w = f" WHERE {t.ukey[0]} % {m} = {self.rng.randrange(m)}"
+        return (
+            f"SELECT {uk}, {', '.join(s_exprs)} FROM {t.name}{w}",
+            f"SELECT {uk}, {', '.join(d_exprs)} FROM {t.name}{w}",
+        )
+
+    def q_null_heavy(self) -> str:
+        """NULL-heavy domains: NULLIF-manufactured NULLs flow through
+        group keys, aggregates and IS [NOT] NULL / IS NOT DISTINCT
+        FROM predicates — where the r12 finds lived."""
+        t = self.rng.choice([LINEITEM, ORDERS, CUSTOMER, PART, EVENTS,
+                             DOCUMENTS])
+
+        def nly():
+            col, _ = self.rng.choice(list(t.ints.items()))
+            k = self.rng.randint(2, 6)
+            return f"NULLIF({col} % {k}, {self.rng.randrange(k)})"
+
+        key = nly()
+        aggs = []
+        for i in range(self.rng.randint(1, 3)):
+            kind = self.rng.choice(["count_nullif", "sum_nullif",
+                                    "min_nullif", "count_star"])
+            if kind == "count_nullif":
+                aggs.append(f"COUNT({nly()}) AS agg_{i}")
+            elif kind == "sum_nullif":
+                aggs.append(
+                    f"COALESCE(CAST(SUM({nly()}) AS BIGINT), -1) AS agg_{i}"
+                )
+            elif kind == "min_nullif":
+                aggs.append(f"MIN({nly()}) AS agg_{i}")
+            else:
+                aggs.append(f"COUNT(*) AS agg_{i}")
+        pred_kind = self.rng.choice(["is_null", "not_null", "ind", "none"])
+        if pred_kind == "is_null":
+            w = f" WHERE {nly()} IS NULL"
+        elif pred_kind == "not_null":
+            w = f" WHERE {nly()} IS NOT NULL"
+        elif pred_kind == "ind":
+            w = f" WHERE {nly()} IS NOT DISTINCT FROM {nly()}"
+        else:
+            w = self._where(t, 0, 1)
+        sql = (f"SELECT {key} AS k_0, {', '.join(aggs)} FROM {t.name}{w}"
+               f" GROUP BY {key}")
+        if self.rng.random() < 0.3:
+            sql += f" HAVING COUNT(*) > {self.rng.randint(0, 3)}"
+        return sql
+
     SHAPES = [
         ("q_aggregate", 4), ("q_scalar_project", 2), ("q_join_agg", 4),
         ("q_window", 2), ("q_setop", 2), ("q_subquery", 2),
@@ -552,13 +772,24 @@ class QueryGen:
     # previously pinned seed keeps generating its original query
     SHAPES_V2 = [("q_filter_agg", 3)]
     V2_BASE = 10_000
+    # grammar v3 (r13): joined at seed >= 20_000 — same byte-stability
+    # rule (pinned seeds < 20_000 keep their original shape choice)
+    SHAPES_V3 = [
+        ("q_correlated_scalar", 2), ("q_lateral_agg", 2),
+        ("q_explode", 2), ("q_setop_grouped", 2), ("q_pg_scalars", 2),
+        ("q_null_heavy", 3),
+    ]
+    V3_BASE = 20_000
 
     def generate(self) -> tuple[str, str, str]:
         """Return (shape_name, spark_sql, duckdb_sql), placeholders
         resolved. Most shapes emit one common-dialect string; shapes
-        with a documented compat rewrite (q_rollup) differ."""
+        with a documented compat rewrite (q_rollup) or dialect-paired
+        syntax (q_explode, q_pg_scalars) differ."""
         shapes = self.SHAPES + (
             self.SHAPES_V2 if self.seed >= self.V2_BASE else []
+        ) + (
+            self.SHAPES_V3 if self.seed >= self.V3_BASE else []
         )
         total = sum(w for _, w in shapes)
         r = self.rng.uniform(0, total)

@@ -41,8 +41,13 @@ N_SEEDS = int(os.environ.get("SPARK_GRAFT_FUZZ_N", "150"))
 # all-NULL boolean pandas-dtype comparator artifact — plus seed 437,
 # the non-unique synthetic (l_orderkey, l_linenumber) making window
 # ORDER BYs partial; the generator now orders by a verified-unique
-# 9-column prefix).
-REGRESSION_SEEDS = [62, 66, 75, 110, 115, 437]
+# 9-column prefix. r13 / grammar v3: seed 20125 exposed DuckDB
+# 1.0.0's comma-LATERAL dropping outer rows whose ungrouped-aggregate
+# subquery group is empty — PG and Spark keep the row with NULL
+# aggregates; the oracle side of q_lateral_agg now uses the
+# PG-equivalent correlated scalar form, see
+# test_duckdb_lateral_agg_bug_documented).
+REGRESSION_SEEDS = [62, 66, 75, 110, 115, 437, 20125]
 
 
 @pytest.fixture(scope="module")
@@ -107,6 +112,51 @@ def test_fuzz_sweep_v2(fuzz_env):
     assert not failures, "\n".join(failures[:10])
 
 
+def test_fuzz_sweep_v3(fuzz_env):
+    """A slice of the v3 seed space (r13 grammar extensions:
+    correlated/lateral subqueries, explode in FROM, grouped set ops,
+    dialect-paired PG scalars, NULL-heavy domains) through the same
+    exact comparator."""
+    spark, con = fuzz_env
+    failures: list[str] = []
+    for seed in range(QueryGen.V3_BASE, QueryGen.V3_BASE + max(N_SEEDS // 3, 30)):
+        try:
+            shape, problems, _ = _run_seed(spark, con, seed)
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"seed {seed}: ENGINE ERROR {e}")
+            continue
+        if problems:
+            failures.append(f"seed {seed} [{shape}]: {problems[:3]}")
+    assert not failures, "\n".join(failures[:10])
+
+
+def test_duckdb_lateral_agg_bug_documented():
+    """The r13 fuzz find, minimally: DuckDB 1.0.0 drops the outer row
+    when a comma-LATERAL ungrouped-aggregate subquery's group is empty;
+    PG (and Spark) keep it with NULL aggregates — an ungrouped
+    aggregate subquery has exactly one row by definition. This pin
+    documents why q_lateral_agg's oracle is the correlated scalar
+    form; if a DuckDB upgrade fixes it, this test fails and the oracle
+    can go back to literal LATERAL."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(id INT); INSERT INTO p VALUES (1),(2)")
+    con.execute("CREATE TABLE c(pid INT, v INT); INSERT INTO c VALUES (1, 10)")
+    lateral = con.execute(
+        "SELECT p.id, x.s FROM p, LATERAL "
+        "(SELECT MIN(v) AS s FROM c WHERE c.pid = p.id) x ORDER BY p.id"
+    ).fetchall()
+    scalar = con.execute(
+        "SELECT p.id, (SELECT MIN(v) FROM c WHERE c.pid = p.id) AS s "
+        "FROM p ORDER BY p.id"
+    ).fetchall()
+    con.close()
+    assert scalar == [(1, 10), (2, None)]  # PG semantics
+    assert lateral == [(1, 10)], (
+        "DuckDB now keeps empty-group LATERAL rows — the q_lateral_agg "
+        "oracle can use literal LATERAL again"
+    )
+
+
 def test_fuzz_regression_seeds(fuzz_env):
     """Every historical mismatch seed stays green."""
     spark, con = fuzz_env
@@ -131,3 +181,7 @@ def test_fuzz_shapes_all_reachable():
         gen_query(QueryGen.V2_BASE + s)[0] for s in range(N_SEEDS)
     }
     assert seen_v2 >= {name for name, _ in QueryGen.SHAPES_V2}
+    seen_v3 = {
+        gen_query(QueryGen.V3_BASE + s)[0] for s in range(2 * N_SEEDS)
+    }
+    assert seen_v3 >= {name for name, _ in QueryGen.SHAPES_V3}
