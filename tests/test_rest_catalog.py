@@ -418,3 +418,59 @@ def test_rest_catalog_concurrent_commit_single_winner(spark, tmp_path, rest_serv
     assert outcomes.count("win") == 1 and outcomes.count("conflict") == 5
     # the table reads at the committed transition
     assert client.read_table(spark, "lake", "t_conc").count() == 70
+
+
+def test_rest_concurrent_commit_with_token_rotation_mid_flight(
+    spark, tmp_path, rest_server
+):
+    """r13 (judge task #7): the commit race under credential churn —
+    every racing client's bearer token is revoked AFTER client
+    creation and BEFORE its CommitTableRequest, so each commit's first
+    attempt 401s mid-flight and must refresh-and-replay (the 401 is
+    pre-processing, so the replay is safe). The linearizability law is
+    unchanged: exactly one 200, the rest 409 — rotation must never
+    manufacture a second winner or turn a conflict into success."""
+    uri, state = rest_server
+    loc = str(tmp_path / "t_rot")
+    export_iceberg_snapshot(
+        spark.range(40).select(F.col("id").alias("k")), loc
+    )
+    setup = RestCatalogClient(uri, credential="cid:sec")
+    setup.register_table("rot", "t_rot", _current_metadata_location(loc))
+    snap0 = load_table_metadata(loc)["current-snapshot-id"]
+    append_snapshot(spark.range(40, 70).select(F.col("id").alias("k")), loc)
+    meta1 = load_table_metadata(loc)
+    snap1_obj = next(
+        s for s in meta1["snapshots"]
+        if s["snapshot-id"] == meta1["current-snapshot-id"]
+    )
+    new_loc = _current_metadata_location(loc)
+
+    clients = [RestCatalogClient(uri, credential="cid:sec") for _ in range(4)]
+    barrier = threading.Barrier(4)
+
+    def attempt(i):
+        c = clients[i]
+        barrier.wait()
+        state.issued_tokens.discard(c.token)  # rotation mid-flight
+        try:
+            c.commit_snapshot(
+                "rot", "t_rot",
+                new_metadata_location=new_loc,
+                table_uuid=meta1["table-uuid"],
+                expected_snapshot_id=snap0,
+                new_snapshot=snap1_obj,
+            )
+            return "win"
+        except CommitConflictError:
+            return "conflict"
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        outcomes = [f.result() for f in [pool.submit(attempt, i) for i in range(4)]]
+    assert outcomes.count("win") == 1 and outcomes.count("conflict") == 3
+    # every client recovered onto a fresh token (no stuck credentials)
+    for c in clients:
+        assert c.token in state.issued_tokens
+    assert setup.read_table(spark, "rot", "t_rot").count() == 70
