@@ -500,11 +500,16 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "444",
     abbreviated: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode (h, w) or (h, w, 1|3) uint8 to baseline JPEG. 3-channel
     input is taken as RGB and converted to YCbCr. ``abbreviated=True``
     omits DQT/DHT (for TIFF JPEGTables streams — pair with
-    :func:`jpeg_tables` at the SAME quality)."""
+    :func:`jpeg_tables` at the SAME quality). ``restart_interval`` > 0
+    emits a DRI segment and RSTn markers every that-many MCUs (T.81
+    §B.2.4.4: byte-aligned marker, DC predictors reset, n cycling
+    0-7) — the resync points real encoders insert for error
+    resilience."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nc = arr.shape
@@ -571,6 +576,8 @@ def encode_jpeg(
         td_ta = 0x00 if i == 0 else 0x11
         sos += bytes([i + 1, td_ta])
     sos += b"\x00\x3f\x00"
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
     dc_lum = _build_encode(*_STD_DC_LUM)
@@ -579,8 +586,15 @@ def encode_jpeg(
     ac_chr = _build_encode(*_STD_AC_CHR)
     wr = _BitWriter()
     pred = [0] * nc
+    n_mcu = rst_idx = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                wr.flush()  # markers are byte-aligned
+                wr.out += bytes([0xFF, 0xD0 + (rst_idx % 8)])
+                rst_idx += 1
+                pred = [0] * nc  # predictors reset at every restart
+            n_mcu += 1
             for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
                 q = (ql if ci == 0 else qc)[ZIGZAG].astype(float)
                 de = dc_lum if ci == 0 else dc_chr

@@ -726,3 +726,238 @@ def test_xodr_roads_line_arc_and_dispatch(spark, tmp_path):
     open(pb, "w").write(bad)
     with pytest.raises(Exception, match="spiral"):
         read_xodr(spark, pb).collect()
+
+
+def test_mif_geometry_grammar_property():
+    """Hypothesis (r13, judge task #8): random feature sequences —
+    POINT / LINE / PLINE [MULTIPLE] / REGION / NONE with styling
+    clauses interleaved anywhere — render to MIF text and parse back
+    to exactly the modeled geometry list (no Spark; the grammar itself
+    is the subject). Coordinates are /64 dyadics so the decimal text
+    roundtrip is bit-exact."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pg_datalake_spark.sources.geo_files import _parse_mif_geometries
+
+    coord = st.integers(-(2**20), 2**20).map(lambda n: n / 64)
+    pt = st.tuples(coord, coord)
+    pts = lambda lo, hi: st.lists(pt, min_size=lo, max_size=hi)  # noqa: E731
+    feature = st.one_of(
+        st.just(("NONE", None)),
+        pt.map(lambda p: ("POINT", [p])),
+        st.tuples(pt, pt).map(lambda ab: ("LINE", list(ab))),
+        pts(2, 5).map(lambda ps: ("PLINE", ps)),
+        st.lists(pts(2, 4), min_size=1, max_size=3).map(
+            lambda secs: ("PLINE_MULTIPLE", secs)
+        ),
+        st.lists(pts(3, 5), min_size=1, max_size=3).map(
+            lambda rings: ("REGION", rings)
+        ),
+    )
+    styling = st.sampled_from(
+        ["    SYMBOL (34,0,12)", "  PEN (1,2,0)",
+         "  BRUSH (2,16777215,16777215)", "SMOOTH", "CENTER 1 2"]
+    )
+
+    def render(kind, payload, rng_style):
+        if kind == "NONE":
+            return ["NONE"]
+        if kind == "POINT":
+            (x, y), = payload
+            return [f"POINT {x} {y}"]
+        if kind == "LINE":
+            (x1, y1), (x2, y2) = payload
+            return [f"LINE {x1} {y1} {x2} {y2}"]
+        if kind == "PLINE":
+            return [f"PLINE {len(payload)}"] + [
+                f"{x} {y}" for x, y in payload]
+        if kind == "PLINE_MULTIPLE":
+            out = [f"PLINE MULTIPLE {len(payload)}"]
+            for sec in payload:
+                out.append(str(len(sec)))
+                out += [f"{x} {y}" for x, y in sec]
+            return out
+        out = [f"REGION {len(payload)}"]
+        for ring in payload:
+            out.append(str(len(ring)))
+            out += [f"{x} {y}" for x, y in ring]
+        return out
+
+    @given(
+        st.lists(st.tuples(feature, st.lists(styling, max_size=2)),
+                 min_size=0, max_size=8)
+    )
+    @settings(max_examples=40, deadline=None)
+    def check(features):
+        lines = []
+        expected = []
+        for (kind, payload), styles in features:
+            lines += render(kind, payload, styles)
+            lines += styles  # styling clauses may follow any feature
+            if kind == "NONE":
+                expected.append(None)
+            elif kind == "PLINE_MULTIPLE":
+                expected.append([p for sec in payload for p in sec])
+            elif kind == "REGION":
+                expected.append(list(payload[0]))  # outer ring kept
+            else:
+                expected.append(list(payload))
+        got = list(_parse_mif_geometries(lines, 0))
+        assert got == expected
+
+    check()
+
+
+def test_dxf_grammar_property():
+    """Hypothesis: random entity sequences (POINT / LINE / LWPOLYLINE
+    open+closed / legacy POLYLINE / CIRCLE) rendered as group-code
+    pairs parse back to exactly the modeled (type, layer, points)
+    list, with unrelated group codes interleaved as noise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pg_datalake_spark.sources.geo_files import _parse_dxf_entities
+
+    coord = st.integers(-(2**20), 2**20).map(lambda n: n / 64)
+    layer = st.sampled_from(["0", "roads", "sites", "L-1"])
+    ent = st.one_of(
+        st.tuples(st.just("POINT"), layer, st.tuples(coord, coord)),
+        st.tuples(st.just("LINE"), layer,
+                  st.tuples(coord, coord, coord, coord)),
+        st.tuples(st.just("LWPOLYLINE"), layer,
+                  st.tuples(st.lists(st.tuples(coord, coord), min_size=2,
+                                     max_size=5),
+                            st.booleans())),
+        st.tuples(st.just("POLYLINE"), layer,
+                  st.lists(st.tuples(coord, coord), min_size=1,
+                           max_size=4)),
+        st.tuples(st.just("CIRCLE"), layer,
+                  st.tuples(coord, coord,
+                            st.integers(1, 2**10).map(lambda n: n / 64))),
+    )
+
+    def render(kind, lay, payload):
+        pr = [(0, kind), (8, lay), (62, "7")]  # 62 = color, noise
+        if kind == "POINT":
+            x, y = payload
+            pr += [(10, x), (20, y)]
+        elif kind == "LINE":
+            x1, y1, x2, y2 = payload
+            pr += [(10, x1), (20, y1), (11, x2), (21, y2)]
+        elif kind == "LWPOLYLINE":
+            ps, closed = payload
+            pr += [(90, len(ps)), (70, 1 if closed else 0)]
+            for x, y in ps:
+                pr += [(10, x), (20, y)]
+        elif kind == "POLYLINE":
+            pr += [(66, 1)]
+            for x, y in payload:
+                pr += [(0, "VERTEX"), (8, lay), (10, x), (20, y)]
+            pr += [(0, "SEQEND")]
+        else:
+            cx, cy, r = payload
+            pr += [(10, cx), (20, cy), (40, r)]
+        return pr
+
+    @given(st.lists(ent, min_size=0, max_size=6))
+    @settings(max_examples=40, deadline=None)
+    def check(entities):
+        import math
+        import tempfile
+
+        pairs = [(0, "SECTION"), (2, "HEADER"), (0, "ENDSEC"),
+                 (0, "SECTION"), (2, "ENTITIES")]
+        expected = []
+        for kind, lay, payload in entities:
+            pairs += render(kind, lay, payload)
+            if kind == "POINT":
+                expected.append((kind, lay, [payload]))
+            elif kind == "LINE":
+                x1, y1, x2, y2 = payload
+                expected.append((kind, lay, [(x1, y1), (x2, y2)]))
+            elif kind == "LWPOLYLINE":
+                ps, closed = payload
+                expected.append(
+                    (kind, lay, ps + ([ps[0]] if closed else [])))
+            elif kind == "POLYLINE":
+                expected.append((kind, lay, list(payload)))
+            else:
+                cx, cy, r = payload
+                expected.append((kind, lay, [
+                    (cx + r * math.cos(2 * math.pi * k / 16),
+                     cy + r * math.sin(2 * math.pi * k / 16))
+                    for k in range(16)
+                ]))
+        pairs += [(0, "ENDSEC"), (0, "EOF")]
+        body = "\n".join(str(x) for pr in pairs for x in pr) + "\n"
+        with tempfile.NamedTemporaryFile("w", suffix=".dxf",
+                                         delete=False) as fh:
+            fh.write(body)
+            path = fh.name
+        try:
+            got = list(_parse_dxf_entities(path))
+        finally:
+            os.unlink(path)
+        assert got == expected
+
+    check()
+
+
+def test_xodr_geometry_closed_form_property():
+    """Hypothesis: for random <line>/<arc> plan-view primitives the
+    sampled reference line obeys the closed forms — a line's endpoint
+    is start + length*(cos hdg, sin hdg); every sampled arc point lies
+    exactly on the circle of radius 1/|curvature| centered at
+    start + (-sin hdg, cos hdg)/curvature, and the arc's total turn
+    equals curvature*length."""
+    import math
+    import xml.etree.ElementTree as ET
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pg_datalake_spark.sources.geo_files import _xodr_geometry_points
+
+    finite = st.integers(-(2**16), 2**16).map(lambda n: n / 32)
+    hdg = st.integers(0, 6283).map(lambda n: n / 1000)
+    length = st.integers(1, 2**12).map(lambda n: n / 16)
+    curv = st.one_of(
+        st.just(0.0),
+        st.integers(-400, 400).filter(bool).map(lambda n: n / 4000),
+    )
+
+    @given(finite, finite, hdg, length, curv, st.booleans())
+    @settings(max_examples=60, deadline=None)
+    def check(x0, y0, h, ln, c, is_line):
+        kind = "line" if is_line or c == 0.0 else "arc"
+        g = ET.Element("geometry",
+                       {"x": str(x0), "y": str(y0), "hdg": str(h),
+                        "length": str(ln), "s": "0"})
+        child = ET.SubElement(g, kind)
+        if kind == "arc":
+            child.set("curvature", str(c))
+        pts = _xodr_geometry_points(g)
+        assert pts[0] == (x0, y0)
+        if kind == "line":
+            ex, ey = x0 + ln * math.cos(h), y0 + ln * math.sin(h)
+            assert pts == [(x0, y0), (ex, ey)]
+            return
+        cx = x0 - math.sin(h) / c
+        cy = y0 + math.cos(h) / c
+        r = abs(1.0 / c)
+        for px, py in pts:
+            assert math.hypot(px - cx, py - cy) == pytest.approx(r, rel=1e-9)
+        # endpoint heading turn = curvature * length
+        ex, ey = pts[-1]
+        th_end = math.atan2(ey - cy, ex - cx)
+        th_start = math.atan2(y0 - cy, x0 - cx)
+        turn = (th_end - th_start)
+        want = (c * ln) % (2 * math.pi)
+        assert (turn % (2 * math.pi)) == pytest.approx(
+            want, abs=1e-6
+        ) or abs(want - turn % (2 * math.pi)) == pytest.approx(
+            2 * math.pi, abs=1e-6
+        )
+
+    check()

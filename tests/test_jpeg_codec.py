@@ -124,3 +124,72 @@ def test_fail_louds():
         J.decode_jpeg(b"\x00\x01\x02")
     with pytest.raises(ValueError):
         J.encode_jpeg(np.zeros((4, 4), np.uint16))
+
+
+def test_jpeg_property_roundtrip_dimensions_subsampling_restarts():
+    """Hypothesis (r13, judge task #8): across random dimensions
+    (including single-pixel and non-multiple-of-MCU edges), channel
+    counts, qualities, subsampling modes and restart intervals:
+
+    - decode(encode(x)) preserves shape;
+    - RESTART EQUIVALENCE: restart markers only reset the lossless DC
+      prediction, so decode(encode(x, restart_interval=k)) is
+      BIT-IDENTICAL to decode(encode(x)) — and the stream contains
+      RSTn markers plus a DRI segment;
+    - at 4:4:4 / q>=90 the max pixel error stays within the
+      quantization bound even on pure noise;
+    - abbreviated streams + jpeg_tables at the same quality decode
+      bit-identically to the full stream.
+    """
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pg_datalake_spark.sources.jpeg_codec import (
+        decode_jpeg,
+        encode_jpeg,
+        jpeg_tables,
+    )
+
+    @given(
+        st.integers(1, 40),          # height
+        st.integers(1, 40),          # width
+        st.sampled_from([1, 3]),     # channels
+        st.integers(60, 100),        # quality
+        st.sampled_from(["444", "422", "420"]),
+        st.integers(1, 6),           # restart interval (MCUs)
+        st.integers(0, 2**32 - 1),   # pixel seed
+    )
+    @settings(max_examples=40, deadline=None)
+    def check(h, w, nc, q, ss, ri, seed):
+        if nc == 1:
+            ss = "444"  # grayscale has one sampling factor
+        rng = np.random.default_rng(seed)
+        arr = rng.integers(0, 256, (h, w, nc)).astype(np.uint8)
+        plain = encode_jpeg(arr, quality=q, subsampling=ss)
+        base = decode_jpeg(plain)
+        assert base.shape == (h, w, nc)
+        with_rst = encode_jpeg(
+            arr, quality=q, subsampling=ss, restart_interval=ri
+        )
+        assert np.array_equal(decode_jpeg(with_rst), base)
+        hmax = 2 if (nc == 3 and ss in ("422", "420")) else 1
+        vmax = 2 if (nc == 3 and ss == "420") else 1
+        n_mcu = -(-h // (8 * vmax)) * -(-w // (8 * hmax))
+        if n_mcu > ri:  # restarts actually fire
+            assert b"\xff\xdd" in with_rst
+            assert any(bytes([0xFF, 0xD0 + k]) in with_rst
+                       for k in range(8))
+        if ss == "444" and q >= 90:
+            err = np.abs(base.astype(int) - arr.astype(int)).max()
+            assert err <= 35, (h, w, nc, q, err)
+        # abbreviated + tables == full, bit for bit
+        abbr = encode_jpeg(
+            arr, quality=q, subsampling=ss, abbreviated=True,
+            restart_interval=ri,
+        )
+        assert np.array_equal(
+            decode_jpeg(abbr, tables=jpeg_tables(q)), decode_jpeg(with_rst)
+        )
+
+    check()
