@@ -110,18 +110,27 @@ def _distributed_global_position(df, order_cols):
     distributed prefix count — the pattern proven in
     ``operators/sampling.py`` (pack_sequences):
 
-    1. ``repartitionByRange`` on the order keys — partition-major
-       order equals global order (equal full keys co-locate, so any
-       boundary placement yields the same global position);
-    2. ``row_number`` within each range partition, in parallel;
-    3. per-partition counts (one small aggregate) -> exclusive prefix
-       sum + grand total over the O(partitions)-row side, broadcast
-       back; position = offset + within - 1.
+    1. ``repartitionByRange`` on the order keys + an in-partition
+       sort — partition-major order equals global order (equal full
+       keys co-locate, so any boundary placement yields the same
+       global position), and the sort happens inside the shuffle-read
+       stage, no second exchange;
+    2. within-partition 0-based index for FREE from
+       ``monotonically_increasing_id``: Spark packs
+       (partitionId << 33) | rowIndexInPartition, so after the sort
+       ``mid - min(mid per partition)`` IS the sorted row index — a
+       window ``partitionBy(pid)`` here would re-shuffle the whole
+       input by pid hash (the r13 first cut did; measured 16.8 s vs
+       6.6 s at 50M rows on 32 cores);
+    3. per-partition (count, min-id) — one small aggregate -> exclusive
+       prefix sum + grand total over the O(partitions)-row side,
+       broadcast back; position = offset + (mid - m0).
 
     ``order_cols`` must be a TOTAL order (include a unique tiebreak) —
     the same requirement that makes any windowed rank deterministic
-    against an oracle in the first place. Accepts column names or
-    Columns (ascending expressions).
+    against an oracle in the first place, and what makes the two
+    consumers' in-partition re-sorts byte-identical. Accepts column
+    names or Columns (ascending expressions).
 
     Consistency note: the counts branch and the main branch both read
     the range exchange; its boundaries are sampled per-evaluation, so
@@ -135,12 +144,15 @@ def _distributed_global_position(df, order_cols):
 
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     nb = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    parted = df.repartitionByRange(nb, *cols).withColumn(
-        "__nt_pid", F.spark_partition_id()
+    parted = (
+        df.repartitionByRange(nb, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("__nt_pid", F.spark_partition_id())
+        .withColumn("__nt_mid", F.monotonically_increasing_id())
     )
-    w_in = W.partitionBy("__nt_pid").orderBy(*cols)
     counts = parted.groupBy("__nt_pid").agg(
-        F.count(F.lit(1)).alias("__nt_c")
+        F.count(F.lit(1)).alias("__nt_c"),
+        F.min("__nt_mid").alias("__nt_m0"),
     )
     w_pre = W.orderBy("__nt_pid").rowsBetween(W.unboundedPreceding, -1)
     w_all = W.orderBy("__nt_pid").rowsBetween(
@@ -148,17 +160,19 @@ def _distributed_global_position(df, order_cols):
     )
     offsets = counts.select(
         "__nt_pid",
+        "__nt_m0",
         F.coalesce(F.sum("__nt_c").over(w_pre), F.lit(0)).alias("__nt_off"),
         F.sum("__nt_c").over(w_all).alias("__nt_total"),
     )
     return (
-        parted.withColumn("__nt_rn", F.row_number().over(w_in))
-        .join(F.broadcast(offsets), "__nt_pid")
+        parted.join(F.broadcast(offsets), "__nt_pid")
         .withColumn(
             "__nt_r0",
-            (F.col("__nt_off") + F.col("__nt_rn") - 1).cast("long"),
+            (
+                F.col("__nt_off") + F.col("__nt_mid") - F.col("__nt_m0")
+            ).cast("long"),
         )
-        .drop("__nt_pid", "__nt_rn", "__nt_off")
+        .drop("__nt_pid", "__nt_mid", "__nt_m0", "__nt_off")
     )
 
 

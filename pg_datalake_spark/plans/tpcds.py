@@ -3291,8 +3291,12 @@ def ds38(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ds44(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DS44 shape (best and worst performers side by side): two ranks
     over ONE per-item aggregate (ascending and descending), top-10
-    each, tagged and unioned. The global windows run over |items|
-    aggregate rows."""
+    each, tagged and unioned. r13: |items| scales with the fact table,
+    so each side takes its 10 rows FIRST (orderBy+limit —
+    TakeOrderedAndProject, distributed) and ranks only the survivors;
+    the row_number's total order (net, l_partkey) makes the prefix
+    identical, so the rewrite is hash-exact and the only unpartitioned
+    window left runs over 10 rows."""
     t = load_tables(spark, sf_dir, ["lineitem"])
     per = (
         t["lineitem"].groupBy("l_partkey")
@@ -3302,8 +3306,8 @@ def ds44(spark: SparkSession, sf_dir: str) -> DataFrame:
     def side(tag, order):
         win = W.orderBy(*order)
         return (
-            per.withColumn("rk", F.row_number().over(win).cast("int"))
-            .filter(F.col("rk") <= 10)
+            per.orderBy(*order).limit(10)
+            .withColumn("rk", F.row_number().over(win).cast("int"))
             .select(
                 F.lit(tag).alias("side"), "rk", "l_partkey",
                 F.col("net").cast("double").alias("net"),

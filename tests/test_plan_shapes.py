@@ -492,6 +492,12 @@ def test_no_unpartitioned_window_over_unbounded_input(spark):
     BOUNDED_LEAVES = {"LocalRelation", "OneRowRelation", "Range"}
     FIXED_CARD = ("nation.parquet", "region.parquet")
     BOUNDING = {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
+    # aggregate grouping keys whose cardinality SCALES with the fact
+    # tables — an unpartitioned window over such an aggregate is the
+    # cb30/ds44 class (billions of rows through one partition at
+    # 100 TB) unless a Limit bounds it first
+    SCALING_KEYS = ("custkey", "user_id", "partkey", "suppkey",
+                    "orderkey", "doc_id", "event_id")
 
     def walk(node):
         yield node
@@ -499,18 +505,26 @@ def test_no_unpartitioned_window_over_unbounded_input(spark):
         for i in range(ch.size()):
             yield from walk(ch.apply(i))
 
-    def offenders(node, bounded=False):
+    def offenders(node):
+        # the FIRST bounding node on each path fixes the window's
+        # input cardinality; nothing deeper matters
         cls = node.getClass().getSimpleName()
-        if cls in BOUNDING:
-            bounded = True
+        if cls in ("GlobalLimit", "LocalLimit", "Deduplicate"):
+            return
+        if cls == "Aggregate":
+            keys = node.groupingExpressions().mkString(", ")
+            if any(k in keys for k in SCALING_KEYS):
+                yield (f"Aggregate over scaling key(s) with no Limit "
+                       f"above it: {keys[:120]}")
+            return
         ch = node.children()
         n = ch.size()
-        if n == 0 and not bounded and cls not in BOUNDED_LEAVES:
+        if n == 0 and cls not in BOUNDED_LEAVES:
             desc = node.simpleString(200)
             if not any(f in desc for f in FIXED_CARD):
                 yield f"{cls}: {desc[:120]}"
         for i in range(n):
-            yield from offenders(ch.apply(i), bounded)
+            yield from offenders(ch.apply(i))
 
     bad: dict[str, list[str]] = {}
     for name, fn in QUERIES.items():
