@@ -133,13 +133,18 @@ def _replay_json_commit(path: str, state: dict) -> None:
                     state["txns"].get(t["appId"], -1), int(t["version"])
                 )
             # commitInfo / cdc: no effect on the active file set
-    touched = state.setdefault("_touched", set())
+    # "_touched" is seeded by _snapshot_state ONLY when checkpoint adds
+    # wait JVM-side for an anti-join; the common no-checkpoint replay
+    # skips the bookkeeping entirely
+    touched = state.get("_touched")
     for r in removes:
         state["adds"].pop(r["path"], None)
-        touched.add(r["path"])
+        if touched is not None:
+            touched.add(r["path"])
     for a in adds:
         state["adds"][a["path"]] = a
-        touched.add(a["path"])
+        if touched is not None:
+            touched.add(a["path"])
 
 
 def _checkpoint_files(location: str, version: int) -> list[str] | None:
@@ -381,10 +386,12 @@ def _snapshot_state(
             tail_bytes = sum(os.path.getsize(p) for p in tail_paths)
         except OSError:
             tail_bytes = 0
+        winners = None
         if tail_bytes <= _TAIL_DRIVER_BYTES:
+            state["_touched"] = set()
             for p in tail_paths:
                 _replay_json_commit(p, state)
-            touched = state.pop("_touched", set())
+            touched = state.pop("_touched")
             tail_adds = state["adds"]
             if touched:
                 tdf = spark.createDataFrame(
@@ -392,15 +399,23 @@ def _snapshot_state(
                 )
                 cp_df = cp_df.join(F.broadcast(tdf), "path", "left_anti")
         else:
-            tail_adds = _replay_tail_distributed(
+            tail_adds, winners = _replay_tail_distributed(
                 spark, tail_paths, state
             )
-            touched_df = tail_adds.pop("__touched_df")
-            cp_df = cp_df.join(touched_df, "path", "left_anti")
-        adds: dict = {}
-        for r in cp_df.collect():  # O(live checkpoint files), pruned
-            d = r.asDict(recursive=True)
-            adds[d["path"]] = {k: v for k, v in d.items() if v is not None}
+            cp_df = cp_df.join(
+                winners.select(F.col("__p").alias("path")),
+                "path", "left_anti",
+            )
+        try:
+            adds: dict = {}
+            for r in cp_df.collect():  # O(live checkpoint files), pruned
+                d = r.asDict(recursive=True)
+                adds[d["path"]] = {
+                    k: v for k, v in d.items() if v is not None
+                }
+        finally:
+            if winners is not None:
+                winners.unpersist()
         adds.update(tail_adds)
         state["adds"] = adds
 
@@ -432,19 +447,24 @@ _TAIL_ACTION_DDL = (
 
 def _replay_tail_distributed(
     spark: SparkSession, tail_paths: list[str], state: dict
-) -> dict:
+):
     """Reconcile a LARGE commit tail (millions of add/remove actions)
     without materializing per-action Python dicts: Delta's action
     reconciliation — later commits win, and within one commit an add
     of a path beats a remove of the same path — is a per-path
     ``row_number`` over (version DESC, is_add DESC), a PARTITIONED
-    window (never the global kind the plan lock forbids). Returns the
-    winning tail adds as a dict plus ``__touched_df`` (every path the
-    tail acted on, for the caller's checkpoint anti-join).
+    window (never the global kind the plan lock forbids). Returns
+    (winning tail adds as a dict, the PERSISTED one-row-per-touched-
+    path winners DataFrame) — the caller anti-joins the checkpoint
+    adds against the winners and unpersists them; persisting means the
+    multi-hundred-MB tail JSON is parsed ONCE, not once per action.
 
     metaData / protocol / txn actions still apply driver-side — they
     are singletons/watermarks, found by a cheap substring pre-filter
     so the million add/remove lines are never json-parsed in Python.
+    The JSON read is FAILFAST: a malformed action line raises, exactly
+    like the driver replay's json.loads would — never a silently
+    dropped add/remove.
     """
     from pyspark.sql import Window as W
 
@@ -469,12 +489,15 @@ def _replay_tail_distributed(
                     )
     acts = (
         spark.read.schema(_TAIL_ACTION_DDL)
+        .option("mode", "FAILFAST")
         .json(tail_paths)
         .select(
             F.coalesce(F.col("add.path"), F.col("remove.path")).alias("__p"),
             F.col("add").isNotNull().alias("__is_add"),
+            # anchored to the basename: an ancestor directory that
+            # happens to match 20-digits.json must not win the extract
             F.regexp_extract(
-                F.col("_metadata.file_path"), r"(\d{20})\.json", 1
+                F.col("_metadata.file_path"), r"(\d{20})\.json$", 1
             ).cast("long").alias("__v"),
             "add",
         )
@@ -484,6 +507,7 @@ def _replay_tail_distributed(
     winners = (
         acts.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
+        .persist()
     )
     tail_adds: dict = {}
     for r in winners.filter(F.col("__is_add")).select("add").collect():
@@ -498,11 +522,7 @@ def _replay_tail_distributed(
                 if v is not None
             }
         tail_adds[add["path"]] = add
-    state.pop("_touched", None)
-    tail_adds["__touched_df"] = acts.select(
-        F.col("__p").alias("path")
-    ).distinct()
-    return tail_adds
+    return tail_adds, winners
 
 
 def _check_protocol(state: dict) -> None:

@@ -1715,3 +1715,25 @@ def test_distributed_tail_replay_matches_driver_replay(spark, tmp_path, monkeypa
         set(range(40)) - {i for i in range(40) if i % 4 == 1} - {3}
         | set(range(100, 110))
     )
+
+
+def test_distributed_tail_replay_fails_loud_on_corrupt_line(
+    spark, tmp_path, monkeypatch
+):
+    """r13 review fix: the JVM tail replay must FAIL on a malformed
+    action line (FAILFAST), exactly like the driver replay's
+    json.loads — PERMISSIVE mode would silently null the record out
+    and drop an add/remove from the snapshot."""
+    loc = str(tmp_path / "corrupt")
+    dl.write_delta_table(spark.range(5).selectExpr("id"), loc)
+    dl.write_delta_checkpoint(spark, loc)
+    dl.append_delta(spark.range(5, 8).selectExpr("id"), loc)
+    with open(dl._commit_path(loc, 1), "a") as fh:
+        fh.write('{"add":{"path":"truncated-no-close\n')
+    monkeypatch.setattr(dl, "_TAIL_DRIVER_BYTES", 0)
+    with pytest.raises(Exception, match="(?i)malformed|failfast|corrupt"):
+        dl._snapshot_state(spark, loc, None)
+    monkeypatch.undo()
+    # the driver path rejects the same file too
+    with pytest.raises(Exception):
+        dl._snapshot_state(spark, loc, None)
