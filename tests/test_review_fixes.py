@@ -401,3 +401,92 @@ def test_pg_distributed_ntile_matches_builtin(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan and "rangepartitioning" in plan
+
+
+def test_pg_rank_helpers_hypothesis(spark):
+    """Hypothesis (r13): pg_distributed_ntile / pg_distributed_row_number
+    match the built-in window forms on random (row count, duplicate-
+    heavy key domain, tile count) shapes — the unique id tiebreak makes
+    the order total, which is the helpers' documented requirement."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window as W
+
+    from pg_datalake_spark.functions.pgcompat import (
+        pg_distributed_ntile,
+        pg_distributed_row_number,
+    )
+
+    @given(
+        st.integers(0, 400),    # rows
+        st.integers(1, 17),     # tiles
+        st.integers(1, 50),     # key modulus (duplicate density)
+        st.integers(0, 2**31),  # value scramble
+    )
+    @settings(max_examples=15, deadline=None)
+    def check(rows, n, mod, scramble):
+        df = spark.range(rows).select(
+            F.col("id"), ((F.col("id") + scramble) * 2654435761 % mod).alias("v")
+        )
+        got_nt = {
+            r.id: r.t
+            for r in pg_distributed_ntile(df, n, ["v", "id"], alias="t").collect()
+        }
+        want_nt = {
+            r.id: r.t
+            for r in df.withColumn(
+                "t", F.ntile(n).over(W.orderBy("v", "id"))
+            ).collect()
+        }
+        assert got_nt == want_nt, (rows, n, mod)
+        got_rn = {
+            r.id: r.rn
+            for r in pg_distributed_row_number(
+                df, ["v", "id"], alias="rn"
+            ).collect()
+        }
+        want_rn = {
+            r.id: r.rn
+            for r in df.withColumn(
+                "rn", F.row_number().over(W.orderBy("v", "id"))
+            ).collect()
+        }
+        assert got_rn == want_rn, (rows, n, mod)
+
+    check()
+
+
+def test_pg_limit_with_ties_hypothesis(spark):
+    """Hypothesis (r13): the threshold-prefilter WITH TIES equals
+    rank() <= k on random value lists with heavy duplication and
+    nulls, both directions."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window as W
+
+    from pg_datalake_spark.functions.pgcompat import pg_limit_with_ties
+
+    vals = st.lists(
+        st.one_of(st.none(), st.integers(-5, 5)), min_size=0, max_size=60
+    )
+
+    @given(vals, st.integers(1, 8), st.booleans())
+    @settings(max_examples=25, deadline=None)
+    def check(xs, k, desc):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(xs)], "id int, v int"
+        )
+        o = F.desc_nulls_last("v") if desc else F.asc_nulls_last("v")
+        want = sorted(
+            (r.id, r.v)
+            for r in df.withColumn("__r", F.rank().over(W.orderBy(o)))
+            .filter(F.col("__r") <= k)
+            .collect()
+        )
+        got = sorted(
+            (r.id, r.v)
+            for r in pg_limit_with_ties(df, "v", k, descending=desc).collect()
+        )
+        assert got == want, (xs, k, desc)
+
+    check()
