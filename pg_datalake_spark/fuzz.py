@@ -763,6 +763,111 @@ class QueryGen:
             sql += f" HAVING COUNT(*) > {self.rng.randint(0, 3)}"
         return sql
 
+    # --- grammar v4 shapes (r13 tail): frame/having/group-key mixes ---
+
+    def q_range_frame(self) -> str:
+        """RANGE (value-based) frames over an int ORDER BY — peers
+        share the frame, so the result is deterministic even with
+        duplicate order values (the reason RANGE differs from ROWS)."""
+        t = self.rng.choice([LINEITEM, ORDERS, CUSTOMER, EVENTS, PART])
+        part = self.rng.choice(list(t.strings) + list(t.ints))
+        part_k = (part if part in t.strings
+                  else f"{part} % {self.rng.randint(2, 8)}")
+        ocol, _ = self.rng.choice(list(t.ints.items()))
+        mcol, _ = self.rng.choice(list(t.ints.items()))
+        k = self.rng.randint(1, 20)
+        frame = self.rng.choice(
+            [f"RANGE BETWEEN {k} PRECEDING AND CURRENT ROW",
+             f"RANGE BETWEEN CURRENT ROW AND {k} FOLLOWING",
+             "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"])
+        m = self.rng.randint(5, 17)
+        uk = ", ".join(t.ukey)
+        inner = (f"SELECT * FROM {t.name} WHERE {t.ukey[0]} % {m} = "
+                 f"{self.rng.randrange(m)}")
+        return (
+            f"SELECT {uk}, CAST(SUM({mcol} % 1000) OVER (PARTITION BY "
+            f"{part_k} ORDER BY {ocol} {frame}) AS BIGINT) AS w_0, "
+            f"CAST(COUNT(*) OVER (PARTITION BY {part_k} ORDER BY {ocol} "
+            f"{frame}) AS BIGINT) AS w_1 "
+            f"FROM ({inner}) sub"
+        )
+
+    def q_having_subquery(self) -> str:
+        """HAVING against an uncorrelated scalar subquery."""
+        t = self.rng.choice([LINEITEM, ORDERS, CUSTOMER, PART, EVENTS,
+                             DOCUMENTS])
+        keys = self._group_keys(t, 1)
+        if not keys:
+            return self.q_aggregate()
+        key = keys[0]
+        other = self.rng.choice([ORDERS, CUSTOMER, PART])
+        col, _ = self.rng.choice(list(other.ints.items()))
+        m = self.rng.randint(50, 400)
+        sub = (f"SELECT COUNT(*) / {m} FROM {other.name}"
+               f"{self._where(other, 0, 1)}")
+        agg = self._agg_expr(t, 0)
+        return (
+            f"SELECT {key} AS k_0, {agg} FROM {t.name}{self._where(t)} "
+            f"GROUP BY {key} HAVING COUNT(*) > ({sub})"
+        )
+
+    def q_case_group_key(self) -> str:
+        """GROUP BY a CASE expression (and the same CASE repeated in
+        the SELECT — both engines must match them up)."""
+        t = self.rng.choice([LINEITEM, ORDERS, CUSTOMER, PART, EVENTS,
+                             DOCUMENTS])
+        p1, p2 = self._pred(t), self._pred(t)
+        case = (f"CASE WHEN {p1} THEN 'hi' WHEN {p2} THEN 'mid' "
+                f"ELSE 'lo' END")
+        aggs = [self._agg_expr(t, i)
+                for i in range(self.rng.randint(1, 2))]
+        return (
+            f"SELECT {case} AS k_0, {', '.join(aggs)} "
+            f"FROM {t.name}{self._where(t, 0, 1)} GROUP BY {case}"
+        )
+
+    def q_union_in_from(self) -> str:
+        """Aggregate over a UNION ALL derived table (set op feeding a
+        group-by instead of terminating the query)."""
+        t = self.rng.choice([LINEITEM, ORDERS, CUSTOMER, PART, EVENTS])
+        keys = self._group_keys(t, 1)
+        if not keys:
+            return self.q_aggregate()
+        key = keys[0]
+        icol, _ = self.rng.choice(list(t.ints.items()))
+        m = self.rng.randint(2, 500)
+        w1, w2 = self._where(t, 1, 2), self._where(t, 1, 2)
+        branch = (f"SELECT {key} AS k_0, {icol} % {m} AS v FROM "
+                  f"{t.name}")
+        return (
+            f"SELECT k_0, COUNT(*) AS agg_0, CAST(SUM(v) AS BIGINT) AS "
+            f"agg_1, MIN(v) AS agg_2 FROM ({branch}{w1} UNION ALL "
+            f"{branch}{w2}) u GROUP BY k_0"
+        )
+
+    def q_nested_in(self) -> str:
+        """Two-level IN-subquery chain along FK edges (orders in a
+        customer set defined by a nation set, etc.)."""
+        chains = [
+            ("lineitem", "l_orderkey", "orders", "o_orderkey",
+             "o_custkey", "customer", "c_custkey"),
+            ("orders", "o_custkey", "customer", "c_custkey",
+             "c_nationkey", "nation", "n_nationkey"),
+            ("customer", "c_nationkey", "nation", "n_nationkey",
+             "n_regionkey", "region", "r_regionkey"),
+        ]
+        f_name, f_col, m_name, m_key, m_fk, d_name, d_key = (
+            self.rng.choice(chains))
+        inner = (f"SELECT {d_key} FROM {d_name}"
+                 f"{self._where(_BY_NAME[d_name], 1, 1)}")
+        mid = (f"SELECT {m_key} FROM {m_name} WHERE {m_fk} IN ({inner})")
+        ft = _BY_NAME[f_name]
+        extra = self._where(ft, 0, 1).replace(" WHERE ", " AND ", 1)
+        return (
+            f"SELECT COUNT(*) AS agg_0, COUNT(DISTINCT {f_col}) AS agg_1 "
+            f"FROM {f_name} WHERE {f_col} IN ({mid}){extra}"
+        )
+
     SHAPES = [
         ("q_aggregate", 4), ("q_scalar_project", 2), ("q_join_agg", 4),
         ("q_window", 2), ("q_setop", 2), ("q_subquery", 2),
@@ -780,6 +885,14 @@ class QueryGen:
         ("q_null_heavy", 3),
     ]
     V3_BASE = 20_000
+    # grammar v4 (r13 tail): joined at seed >= 30_000 (seed 20125 is
+    # pinned, so the v3 mix below 30k must stay byte-stable)
+    SHAPES_V4 = [
+        ("q_range_frame", 2), ("q_having_subquery", 2),
+        ("q_case_group_key", 2), ("q_union_in_from", 2),
+        ("q_nested_in", 2),
+    ]
+    V4_BASE = 30_000
 
     def generate(self) -> tuple[str, str, str]:
         """Return (shape_name, spark_sql, duckdb_sql), placeholders
@@ -790,6 +903,8 @@ class QueryGen:
             self.SHAPES_V2 if self.seed >= self.V2_BASE else []
         ) + (
             self.SHAPES_V3 if self.seed >= self.V3_BASE else []
+        ) + (
+            self.SHAPES_V4 if self.seed >= self.V4_BASE else []
         )
         total = sum(w for _, w in shapes)
         r = self.rng.uniform(0, total)
