@@ -374,10 +374,10 @@ def _snapshot_state(
     tail_paths = [_commit_path(location, v) for v in tail]
     cp_dfs = state.pop("cp_adds_dfs", None)
     if not cp_dfs:
-        # no checkpoint adds: plain driver replay (tail IS the table)
+        # no checkpoint adds: plain driver replay (tail IS the table;
+        # nothing seeds "_touched" on this path)
         for p in tail_paths:
             _replay_json_commit(p, state)
-        state.pop("_touched", None)
     else:
         cp_df = cp_dfs[0]
         for extra in cp_dfs[1:]:
@@ -509,19 +509,26 @@ def _replay_tail_distributed(
         .filter(F.col("__rn") == 1)
         .persist()
     )
-    tail_adds: dict = {}
-    for r in winners.filter(F.col("__is_add")).select("add").collect():
-        d = r.asDict(recursive=True)["add"]
-        add = {k: v for k, v in d.items() if v is not None}
-        if "deletionVector" in add:
-            # mirror json.loads: absent optional DV fields have no key
-            # (the schema-based read materializes them as None)
-            add["deletionVector"] = {
-                k: v
-                for k, v in add["deletionVector"].items()
-                if v is not None
-            }
-        tail_adds[add["path"]] = add
+    try:
+        tail_adds: dict = {}
+        for r in winners.filter(F.col("__is_add")).select("add").collect():
+            d = r.asDict(recursive=True)["add"]
+            add = {k: v for k, v in d.items() if v is not None}
+            if "deletionVector" in add:
+                # mirror json.loads: absent optional DV fields have no
+                # key (the schema-based read materializes them as None)
+                add["deletionVector"] = {
+                    k: v
+                    for k, v in add["deletionVector"].items()
+                    if v is not None
+                }
+            tail_adds[add["path"]] = add
+    except BaseException:
+        # the caller's unpersist only covers the post-return window —
+        # don't leak cached blocks when the collect itself fails
+        # (e.g. the FAILFAST malformed-line path)
+        winners.unpersist()
+        raise
     return tail_adds, winners
 
 
