@@ -1679,19 +1679,25 @@ def test_convert_to_delta_and_log_cleanup(spark, tmp_path):
         dl.read_delta_table(spark, loc, version_as_of=0).collect()
 
 
-def test_distributed_tail_replay_matches_driver_replay(spark, tmp_path, monkeypatch):
+@pytest.mark.parametrize("cp_kind", ["classic", "v2_sidecars"])
+def test_distributed_tail_replay_matches_driver_replay(
+    spark, tmp_path, monkeypatch, cp_kind
+):
     """r13 (judge task #3): the JVM-side tail reconciliation
     (_replay_tail_distributed — engaged for tails past
     _TAIL_DRIVER_BYTES) must produce EXACTLY the driver dict-replay's
     state across the tricky shapes: remove-then-re-add across commits,
     add+remove of the SAME path in one commit (add wins regardless of
-    order), DV adds, txn watermarks, metaData updates in the tail."""
+    order), DV adds, txn watermarks, metaData updates in the tail —
+    seeded from BOTH checkpoint layouts (classic single-file and V2
+    UUID-manifest + sidecars, whose adds arrive as multiple flattened
+    DataFrames)."""
     loc = str(tmp_path / "difftail")
     dl.write_delta_table(
         spark.range(40).selectExpr("id", "id % 4 AS part"), loc,
         partition_by=["part"],
     )
-    dl.write_delta_checkpoint(spark, loc)
+    dl.write_delta_checkpoint(spark, loc, v2=(cp_kind == "v2_sidecars"))
     # tail: a delete (removes), an append (adds), a DV round
     # (remove+add same path serialized add-first), and a txn marker
     dl.delete_where_delta(spark, loc, "part = 1", mode="cow")
