@@ -103,6 +103,40 @@ def pg_limit_with_ties(df, order_col: str, k: int, *, descending: bool = True):
     )
 
 
+def _shuffle_partition_count(spark) -> int:
+    """spark.sql.shuffle.partitions as an int, degrading to
+    defaultParallelism when the conf is non-numeric (platforms with
+    AQE auto-tuning accept the string \"auto\" there)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        return spark.sparkContext.defaultParallelism
+
+
+def _guarded_min_mid(m0, m1, c):
+    """min(__nt_mid), runtime-guarded on the bit-packing invariant the
+    distributed-rank core depends on: within one sorted partition,
+    ``monotonically_increasing_id`` must be CONTIGUOUS — i.e.
+    ``max(mid) - min(mid) + 1 == count``. That holds because Spark
+    packs (partitionId << 33) | rowIndexInPartition; if a future Spark
+    changes the packing (or an exchange replays a partition
+    non-contiguously) positions would come out silently wrong, so fail
+    loud instead. Folded into the value the consumer already reads
+    (not a separate column) so column pruning cannot drop the check;
+    evaluated once per partition inside the existing O(partitions)
+    aggregate — zero extra passes."""
+    ok = (m1 - m0 + F.lit(1)) == c
+    return F.when(ok, m0).otherwise(
+        F.raise_error(
+            F.lit(
+                "monotonically_increasing_id is not contiguous within a "
+                "sorted partition — Spark's id packing changed; the "
+                "distributed rank rewrite cannot run on this version"
+            )
+        ).cast("long")
+    )
+
+
 def _distributed_global_position(df, order_cols):
     """Shared core of the no-global-window rank rewrites: the input
     plus ``__nt_r0`` (GLOBAL 0-based position in the total order
@@ -143,7 +177,17 @@ def _distributed_global_position(df, order_cols):
     from pyspark.sql import Window as W
 
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    nb = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    spark = df.sparkSession
+    if str(spark.conf.get("spark.sql.exchange.reuse", "true")).lower() == "false":
+        raise RuntimeError(
+            "pg_distributed_row_number/ntile require "
+            "spark.sql.exchange.reuse=true: the counts branch and the "
+            "main branch must read ONE physical range exchange "
+            "(boundaries are sampled per-evaluation; with reuse off "
+            "the branches could disagree and ranks would be silently "
+            "wrong)"
+        )
+    nb = _shuffle_partition_count(spark)
     parted = (
         df.repartitionByRange(nb, *cols)
         .sortWithinPartitions(*cols)
@@ -152,7 +196,9 @@ def _distributed_global_position(df, order_cols):
     )
     counts = parted.groupBy("__nt_pid").agg(
         F.count(F.lit(1)).alias("__nt_c"),
-        F.min("__nt_mid").alias("__nt_m0"),
+        _guarded_min_mid(
+            F.min("__nt_mid"), F.max("__nt_mid"), F.count(F.lit(1))
+        ).alias("__nt_m0"),
     )
     w_pre = W.orderBy("__nt_pid").rowsBetween(W.unboundedPreceding, -1)
     w_all = W.orderBy("__nt_pid").rowsBetween(

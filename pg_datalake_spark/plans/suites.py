@@ -1040,55 +1040,116 @@ def f_arrays_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arrays.unionByName(map_struct).unionByName(agg_nulls)
 
 
-# ---------------------------------------------------------------------------
-# Cosine top-k + all-pairs (v01 + v02)
-# ---------------------------------------------------------------------------
+_DUCK_T = {
+    "string": "VARCHAR", "long": "BIGINT", "int": "INTEGER",
+    "double": "DOUBLE", "timestamp_ntz": "TIMESTAMP",
+}
 
 
-@register(
-    "v01_v02_cosine",
-    oracle="""
-    SELECT * FROM (
-      WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
-      SELECT 'topk' AS tag, CAST(0 AS BIGINT) AS id_a, CAST(vec_id AS BIGINT) AS id_b,
-             round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cos_sim
-      FROM embeddings, q
-      ORDER BY cos_sim DESC, vec_id
-      LIMIT 20
-    ) topk_arm
-    """
-    + """
-    UNION ALL
-    SELECT 'pairs', CAST(a.vec_id AS BIGINT), CAST(b.vec_id AS BIGINT),
-           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 6)
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
-    """,
+def _pad_arm(df: DataFrame, arm: str, schema: list[tuple[str, str]]) -> DataFrame:
+    present = set(df.columns)
+    sel = [F.lit(arm).alias("arm")]
+    for name, t in schema:
+        src = F.col(name) if name in present else F.lit(None)
+        sel.append(src.cast(t).alias(name))
+    return df.select(*sel)
+
+
+def _pad_arm_sql(
+    arm: str, inner: str, schema: list[tuple[str, str]], present: list[str]
+) -> str:
+    pset = set(present)
+    cols = ", ".join(
+        f"CAST({name if name in pset else 'NULL'} AS {_DUCK_T[t]}) AS {name}"
+        for name, t in schema
+    )
+    return f"SELECT '{arm}' AS arm, {cols} FROM ({inner}) {arm}_arm"
+
+
+def _dedupe_cols(*groups: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    seen: set[str] = set()
+    out: list[tuple[str, str]] = []
+    for g in groups:
+        for name, t in g:
+            if name not in seen:
+                seen.add(name)
+                out.append((name, t))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Similarity suite (v01 + v02 exact cosine; widened r14 with the ANN /
+# quantization tier v03 + v04 + v06 + v07 — the family's last
+# never-window arms; feeders in plans/llmops.py / operators/ivf.py /
+# operators/pq.py stay standalone for the local gate)
+# ---------------------------------------------------------------------------
+
+_V_COLS = _dedupe_cols(
+    [("id_a", "long"), ("id_b", "long"), ("cos_sim", "double")],
+    [("n_exact", "long"), ("precision_ok", "int"), ("recall_ok", "int")],
+    [("n_results", "long"), ("self_hit", "int"), ("sorted_ok", "int"),
+     ("allprobe_exact_ok", "int")],
+    [("n_total", "long"), ("dupof_lt_ok", "int"), ("kept_null_ok", "int"),
+     ("justified_ok", "int")],
+    [("q_id", "long")],
 )
-def v_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k + all-pairs threshold (merges v01 + v02;
-    see operators/similarity.py for the plans — narrow map + TakeOrdered
-    and norm-precomputed crossJoin). Scores rounded to 6 decimals before
-    selection on both sides (JVM vs DuckDB libm ulp divergence)."""
-    from pg_datalake_spark.operators import similarity
 
-    t = load_tables(spark, sf_dir, ["embeddings"])
-    qv = t["embeddings"].filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    topk = similarity.cosine_topk(t["embeddings"], list(qv), k=20, round_to=6).select(
-        F.lit("topk").alias("tag"),
+_V_ARM_COLS = {
+    "v01_cosine_topk": ["id_a", "id_b", "cos_sim"],
+    "v02_cosine_pairs": ["id_a", "id_b", "cos_sim"],
+    "v03_ann_lsh_pairs": ["n_exact", "precision_ok", "recall_ok"],
+    "v04_ivf_topk": ["n_results", "self_hit", "sorted_ok",
+                     "allprobe_exact_ok"],
+    "v06_semantic_dedup": ["n_total", "dupof_lt_ok", "kept_null_ok",
+                           "justified_ok"],
+    "v07_pq_adc_topk": ["q_id", "n_results", "self_hit"],
+}
+
+
+def _v_cosine_oracle() -> str:
+    v01_inner = (
+        "SELECT CAST(0 AS BIGINT) AS id_a, CAST(vec_id AS BIGINT) AS id_b,"
+        " cos_sim FROM (" + ORACLES["v01_cosine_topk"] + ") v01_inner"
+    )
+    inners = {
+        "v01_cosine_topk": v01_inner,
+        "v02_cosine_pairs": ORACLES["v02_cosine_pairs"],
+        "v03_ann_lsh_pairs": ORACLES["v03_ann_lsh_pairs"],
+        "v04_ivf_topk": ORACLES["v04_ivf_topk"],
+        "v06_semantic_dedup": ORACLES["v06_semantic_dedup"],
+        "v07_pq_adc_topk": ORACLES["v07_pq_adc_topk"],
+    }
+    return "\nUNION ALL\n".join(
+        _pad_arm_sql(name.split("_")[0], inners[name], _V_COLS, cols)
+        for name, cols in _V_ARM_COLS.items()
+    )
+
+
+@register("v01_v02_v03_v04_v06_v07_cosine", oracle=_v_cosine_oracle)
+def v_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity suite: brute-force cosine top-k (v01, narrow map +
+    TakeOrdered) and all-pairs threshold (v02, the labeled O(n²)
+    exactness baseline) — plus, rotated in r14, the scale-path tier:
+    hyperplane-LSH ANN pairs (v03, banded bucket join), IVF top-k
+    (v04, cluster-partitioned probes), SemDeDup (v06) and PQ/ADC
+    top-k (v07, 32× compressed asymmetric distance). The ANN arms
+    wrap the same property-bounded oracles that pass the full-sweep
+    gate; every arm calls the feeder's registered callable and wraps
+    its registered oracle, so suite and standalone versions cannot
+    drift. Scores rounded to 6 decimals before selection on both
+    sides (JVM vs DuckDB libm ulp divergence)."""
+    v01 = QUERIES["v01_cosine_topk"](spark, sf_dir).select(
         F.lit(0).cast("long").alias("id_a"),
         F.col("vec_id").cast("long").alias("id_b"),
         "cos_sim",
     )
-    pairs = similarity.cosine_pairs(t["embeddings"], threshold=0.45, round_to=6).select(
-        F.lit("pairs").alias("tag"),
-        F.col("id_a").cast("long").alias("id_a"),
-        F.col("id_b").cast("long").alias("id_b"),
-        "cos_sim",
-    )
-    return topk.unionByName(pairs)
+    out = _pad_arm(v01, "v01", _V_COLS)
+    for name in list(_V_ARM_COLS)[1:]:
+        arm = name.split("_")[0]
+        out = out.unionByName(
+            _pad_arm(QUERIES[name](spark, sf_dir), arm, _V_COLS)
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1537,7 +1598,7 @@ def w_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "x03_x08_x14_t01_t02_t03_t04_t05_t06_t07_t08_t09_t10_t11_t12_t13_t14_t15_v05_d06_d10_t16_llmops",
+    "x03_x08_x14_t01_t02_t03_t04_t05_t06_t07_t08_t09_t10_t11_t12_t13_t14_t15_v05_d03_d04_d05_d06_d08_d09_d10_t16_llmops",
     oracle=lambda: "\nUNION ALL\n".join(
         [
             _g_arm_sql(
@@ -1738,6 +1799,46 @@ def w_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i1="n_toks",
                 d1="score",
             ),
+            _g_arm_sql(
+                "d03",
+                ORACLES["d03_simhash"],
+                k="CAST(doc_id AS VARCHAR)",
+                i1="simhash",
+            ),
+            _g_arm_sql(
+                "d04",
+                ORACLES["d04_ngram_jaccard_pairs"],
+                k="CAST(id_a AS VARCHAR) || '|' || CAST(id_b AS VARCHAR)",
+                d1="jaccard",
+            ),
+            _g_arm_sql(
+                "d05",
+                ORACLES["d05_dup_clusters"],
+                k="CAST(doc_id AS VARCHAR)",
+                i1="cluster_id",
+            ),
+            _g_arm_sql(
+                "d08",
+                ORACLES["d08_contamination_spans"],
+                k="CAST(doc_id AS VARCHAR)",
+                i1="n_spans",
+                i2="n_hit_spans",
+                i3="first_hit_pos",
+                i4="last_hit_pos",
+                d1="hit_frac",
+            ),
+            _g_arm_sql(
+                "d09",
+                ORACLES["d09_exact_substring_spans"],
+                k="CAST(doc_id AS VARCHAR)",
+                i1="n_tokens",
+                i2="n_spans",
+                i3="n_dup_spans",
+                i4="first_dup_pos",
+                i5="last_dup_pos",
+                d1="dup_frac",
+                s1="CAST(dup_tokens AS VARCHAR)",
+            ),
         ]
     ),
 )
@@ -1759,7 +1860,12 @@ def x_llmops(spark: SparkSession, sf_dir: str) -> DataFrame:
     r12 rotation, which closes the text-operator family: boilerplate
     removal (t10), TF-IDF keywords (t11), CCNet perplexity tiers
     (t13), BM25 top-k retrieval (t14) and DSIR importance weights
-    (t15). Every t01–t16 operator is now window-verified."""
+    (t15). Every t01–t16 operator is now window-verified — plus the
+    r14 rotation, which closes the dedup family: SimHash fingerprints
+    (d03), n-gram Jaccard pairs (d04), MinHash dup clusters via label
+    propagation (d05), contamination span maps (d08) and ExactSubstr
+    duplicate-span census (d09). Every d01–d10 operator is now
+    window-verified (d01/d02 inside x14's pipeline arm)."""
     bar = F.lit("|")
     return _g_union(
         _g_arm(
@@ -1964,6 +2070,48 @@ def x_llmops(spark: SparkSession, sf_dir: str) -> DataFrame:
             i1=F.col("n_toks"),
             d1=F.col("score"),
         ),
+        _g_arm(
+            QUERIES["d03_simhash"](spark, sf_dir),
+            "d03",
+            k=F.col("doc_id").cast("string"),
+            i1=F.col("simhash"),
+        ),
+        _g_arm(
+            QUERIES["d04_ngram_jaccard_pairs"](spark, sf_dir),
+            "d04",
+            k=F.concat(
+                F.col("id_a").cast("string"), bar, F.col("id_b").cast("string")
+            ),
+            d1=F.col("jaccard"),
+        ),
+        _g_arm(
+            QUERIES["d05_dup_clusters"](spark, sf_dir),
+            "d05",
+            k=F.col("doc_id").cast("string"),
+            i1=F.col("cluster_id"),
+        ),
+        _g_arm(
+            QUERIES["d08_contamination_spans"](spark, sf_dir),
+            "d08",
+            k=F.col("doc_id").cast("string"),
+            i1=F.col("n_spans"),
+            i2=F.col("n_hit_spans"),
+            i3=F.col("first_hit_pos"),
+            i4=F.col("last_hit_pos"),
+            d1=F.col("hit_frac"),
+        ),
+        _g_arm(
+            QUERIES["d09_exact_substring_spans"](spark, sf_dir),
+            "d09",
+            k=F.col("doc_id").cast("string"),
+            i1=F.col("n_tokens"),
+            i2=F.col("n_spans"),
+            i3=F.col("n_dup_spans"),
+            i4=F.col("first_dup_pos"),
+            i5=F.col("last_dup_pos"),
+            d1=F.col("dup_frac"),
+            s1=F.col("dup_tokens").cast("string"),
+        ),
     )
 
 
@@ -2159,31 +2307,6 @@ def c_f_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # columns become typed NULLs — same contract on both engines.
 # ---------------------------------------------------------------------------
 
-_DUCK_T = {
-    "string": "VARCHAR", "long": "BIGINT", "int": "INTEGER",
-    "double": "DOUBLE", "timestamp_ntz": "TIMESTAMP",
-}
-
-
-def _pad_arm(df: DataFrame, arm: str, schema: list[tuple[str, str]]) -> DataFrame:
-    present = set(df.columns)
-    sel = [F.lit(arm).alias("arm")]
-    for name, t in schema:
-        src = F.col(name) if name in present else F.lit(None)
-        sel.append(src.cast(t).alias(name))
-    return df.select(*sel)
-
-
-def _pad_arm_sql(
-    arm: str, inner: str, schema: list[tuple[str, str]], present: list[str]
-) -> str:
-    pset = set(present)
-    cols = ", ".join(
-        f"CAST({name if name in pset else 'NULL'} AS {_DUCK_T[t]}) AS {name}"
-        for name, t in schema
-    )
-    return f"SELECT '{arm}' AS arm, {cols} FROM ({inner}) {arm}_arm"
-
 
 # ---------------------------------------------------------------------------
 # Window tail (r6): spatial suite — geo01 + geo02 + geo03
@@ -2325,15 +2448,8 @@ _GEO20_COLS = [
 ]
 
 
-def _dedupe_cols(*groups: list[tuple[str, str]]) -> list[tuple[str, str]]:
-    seen: set[str] = set()
-    out: list[tuple[str, str]] = []
-    for g in groups:
-        for name, t in g:
-            if name not in seen:
-                seen.add(name)
-                out.append((name, t))
-    return out
+# (_dedupe_cols / _DUCK_T / _pad_arm / _pad_arm_sql moved above the
+# cosine suite — r14, needed at module import time for _V_COLS)
 
 
 _GEO_SCHEMA = _dedupe_cols(
@@ -2772,199 +2888,200 @@ def x_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Window rotation (r11, VERDICT item 8; arms rotate per round — r12
-# swapped in six fresh ClickBench arms and five fresh TPC-DS arms;
-# the r11 arms cb06/09/21/30/36/40 + ds47/64/75/88/95 stay standalone
-# in the sweep, ledger in COVERAGE.md "Window-verification ledger").
-# Feeders (plans/clickbench.py, plans/tpcds.py) register after the
-# window and stay standalone for the local gate; these tagged-union
-# merges occupy the two slots freed by the lake02+lake07 /
-# lake04+lake06 merges.
+# Window rotation (r11, VERDICT item 8; arms rotate per round). r14 is
+# the FINAL TPC-DS rotation: both rotating slots carry fresh ds arms
+# (23 + 22 = all 45 remaining never-window arms), closing the ds
+# family — and with it the entire registry is driver-window verified
+# at least once. The r13 arms (cb02…cb43 close, ds13…ds45 tail) stay
+# standalone in the sweep; ledger in COVERAGE.md
+# "Window-verification ledger". Feeders (plans/tpcds.py) register
+# after the window and stay standalone for the local gate.
 # ---------------------------------------------------------------------------
 
-_CB_SUITE_COLS = _dedupe_cols(
-    [("h", "timestamp_ntz"), ("n", "long"), ("uniq_users", "long"),
-     ("avg_value", "double")],
-    [("user_id", "long"), ("event_type", "string"),
-     ("d", "timestamp_ntz")],
-    [("n_users", "long")],
-    [("k_band", "long"), ("value_cents", "long")],
-    [("host_band", "long"), ("lang", "string"), ("n_docs", "long"),
-     ("total_chars", "long")],
-    [("last_ts_us", "long")],
-    [("dau", "long"), ("buyers", "long"), ("buyer_ratio", "double")],
-    [("m", "timestamp_ntz")],
-    [("doc_id", "long"), ("n_chars_actual", "int")],
-    [("source", "string"), ("avg_chars", "double")],
-    [("n_blank", "long"), ("n_short", "long"), ("n_short_sources", "long")],
-    [("segment", "string")],
-    [("min_ts_us", "long"), ("max_ts_us", "long"), ("span_days", "long")],
-    [("bucket_10m", "long")],
-    [("grp", "string")],
-    [("family", "string"), ("n_sources", "long")],
-    [("hr", "timestamp_ntz"), ("share", "double")],
-    [("n_clean_users", "long"), ("n_events", "long"),
-     ("pooled_error_rate", "double")],
+_DS_A_COLS = _dedupe_cols(
+    [("n_name", "string"), ("c_mktsegment", "string"), ("n_cust", "long"),
+     ("n_orders", "long"), ("total_cents", "long")],
+    [("total_qty", "double"), ("n", "long")],
+    [("channel", "string"), ("l_partkey", "long"), ("n_ret", "long"),
+     ("ret_ratio", "double"), ("rk", "int")],
+    [("d30", "long"), ("d60", "long"), ("d_over", "long")],
+    [("p_brand", "string"), ("revenue", "double")],
+    [("q_idx", "int"), ("rev", "double"), ("rolling_sum_4q", "double"),
+     ("n_quarters", "long")],
+    [("n_migrated", "long"), ("n_store_orders_after", "long")],
+    [("units", "double"), ("n_lines", "long")],
+    [("p_type", "string")],
+    [("yr", "int"), ("mo", "int"), ("yr_avg", "double"),
+     ("deviation", "double")],
+    [("web_rev", "double"), ("store_rev", "double"), ("ratio", "double")],
+    [("l_returnflag", "string"), ("mon_idx", "int"), ("cur_rev", "double"),
+     ("prev_rev", "double"), ("mom_ratio", "double")],
+    [("mon", "int")],
+    [("promo_cents", "long"), ("promo_share", "double")],
+    [("o_orderpriority", "string"), ("d90", "long")],
+    [("l_suppkey", "long"), ("yr_total", "double"), ("n_months", "long")],
+    [("jan", "long"), ("feb", "long"), ("mar", "long"), ("apr", "long"),
+     ("may", "long"), ("jun", "long"), ("jul", "long"), ("aug", "long"),
+     ("sep", "long"), ("oct", "long"), ("nov", "long"), ("dec", "long")],
+    [("c_name", "string"), ("o_orderkey", "long"), ("odate_us", "long"),
+     ("net", "double")],
+    [("avg_bal", "double")],
+    [("lochierarchy", "int"), ("r_name", "string"), ("cents", "long"),
+     ("rank_within_parent", "int")],
+    [("n_late", "long"), ("late_ratio", "double")],
 )
 
-_CB_SUITE_ARMS = [
-    ("cb02", "cb02_hourly_timeseries"),
-    ("cb08", "cb08_wide_group_topn"),
-    ("cb10", "cb10_active_hours"),
-    ("cb11", "cb11_regex_extract_bands"),
-    ("cb12", "cb12_host_extract"),
-    ("cb15", "cb15_wide_topn_multi_agg"),
-    ("cb20", "cb20_daily_audience_ratio"),
-    ("cb23", "cb23_per_minute_series"),
-    ("cb24", "cb24_longest_documents"),
-    ("cb25", "cb25_pair_cardinality_topn"),
-    ("cb26", "cb26_lang_source_matrix"),
-    ("cb28", "cb28_short_doc_audit"),
-    ("cb29", "cb29_tagged_union_report"),
-    ("cb32", "cb32_date_span"),
-    ("cb33", "cb33_distinct_triples"),
-    ("cb35", "cb35_ten_minute_buckets"),
-    ("cb37", "cb37_concat_group_key"),
-    ("cb38", "cb38_domain_family"),
-    ("cb39", "cb39_hot_sources"),
-    ("cb41", "cb41_hourly_type_share"),
-    ("cb43", "cb43_low_error_users"),
+_DS_A_ARMS = [
+    ("ds46", "ds46_geo_distinct_having"),
+    ("ds48", "ds48_qty_sum_demo_bands"),
+    ("ds49", "ds49_worst_return_ratios"),
+    ("ds50", "ds50_lag_by_supplier_geo"),
+    ("ds52", "ds52_brand_month_revenue"),
+    ("ds53", "ds53_quarterly_rolling"),
+    ("ds54", "ds54_channel_migration"),
+    ("ds55", "ds55_brand_month_units"),
+    ("ds56", "ds56_category_channel_month"),
+    ("ds57", "ds57_supplier_geo_deviation"),
+    ("ds58", "ds58_balanced_channels"),
+    ("ds59", "ds59_month_over_month"),
+    ("ds60", "ds60_category_month_matrix"),
+    ("ds61", "ds61_promo_share"),
+    ("ds62", "ds62_ship_lag_buckets"),
+    ("ds63", "ds63_supplier_monthly_vs_avg"),
+    ("ds65", "ds65_best_seller_per_period"),
+    ("ds66", "ds66_monthly_shipping_crosstab"),
+    ("ds68", "ds68_high_ticket_orders"),
+    ("ds69", "ds69_exists_battery"),
+    ("ds70", "ds70_region_nation_rank"),
+    ("ds71", "ds71_channel_union_brand"),
+    ("ds72", "ds72_late_shipments"),
 ]
 
 
 @register(
-    "cb02_cb08_cb10_cb11_cb12_cb15_cb20_cb23_cb24_cb25_cb26_cb28_cb29"
-    "_cb32_cb33_cb35_cb37_cb38_cb39_cb41_cb43_clickbench_close",
+    "ds46_ds48_ds49_ds50_ds52_ds53_ds54_ds55_ds56_ds57_ds58_ds59_ds60"
+    "_ds61_ds62_ds63_ds65_ds66_ds68_ds69_ds70_ds71_ds72_long_tail_a",
     oracle=lambda: "\nUNION ALL\n".join(
         _pad_arm_sql(
             arm,
             ORACLES[name],
-            _CB_SUITE_COLS,
+            _DS_A_COLS,
             _feeder_cols(name),
         )
-        for arm, name in _CB_SUITE_ARMS
+        for arm, name in _DS_A_ARMS
     ),
 )
-def cb_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ClickBench long-tail rotation, round 13 — the FINAL cb
-    rotation: every remaining never-window arm enters at once, closing
-    the family (r11 verified cb06/09/21/30/36/40; r12 the fourteen
-    cb01…cb34 arms; ledger in COVERAGE.md). Arms: hourly timeseries
-    (cb02), wide-group top-n (cb08), active hours (cb10), regex bands
-    (cb11), host extraction (cb12), wide top-n multi-agg (cb15), daily
-    audience ratio (cb20), per-minute series (cb23), longest documents
-    (cb24), pair cardinality (cb25), lang×source matrix (cb26), short-
-    doc audit (cb28), tagged-union report (cb29), date span (cb32),
-    distinct triples (cb33), 10-minute buckets (cb35), concat group
-    keys (cb37), domain families (cb38), hot sources (cb39), hourly
-    type share (cb41), low-error users (cb43)."""
+def ds_long_tail_a_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS-shape long-tail rotation, round 14 (first of the two
+    final slots): twenty-three fresh arms — geo DISTINCT HAVING
+    (ds46), qty-sum demo bands (ds48), worst return ratios (ds49),
+    lag by supplier geo (ds50), brand-month revenue (ds52), quarterly
+    rolling windows (ds53), channel migration (ds54), brand-month
+    units (ds55), category-channel-month (ds56), supplier geo
+    deviation (ds57), balanced channels (ds58), month-over-month
+    (ds59), category-month matrix (ds60), promo share (ds61),
+    ship-lag buckets (ds62), supplier monthly-vs-average (ds63), best
+    seller per period (ds65), monthly shipping crosstab (ds66),
+    high-ticket orders (ds68), the EXISTS battery (ds69),
+    region-nation ROLLUP rank (ds70), channel-union brands (ds71) and
+    late shipments (ds72)."""
     out = None
-    for arm, name in _CB_SUITE_ARMS:
-        part = _pad_arm(QUERIES[name](spark, sf_dir), arm, _CB_SUITE_COLS)
+    for arm, name in _DS_A_ARMS:
+        part = _pad_arm(QUERIES[name](spark, sf_dir), arm, _DS_A_COLS)
         out = part if out is None else out.unionByName(part)
     return out
 
 
-_DS_TAIL_COLS = _dedupe_cols(
-    [("n", "long"), ("avg_qty", "double"), ("net_cents", "long")],
-    [("p_brand", "string"), ("revenue", "double")],
-    [("n_name", "string"), ("c_mktsegment", "string")],
-    [("order_count", "long"), ("total_price", "double")],
-    [("g_band", "int"), ("g_seg", "int"), ("bal_band", "string"),
-     ("n_orders", "long"), ("avg_order_value", "double")],
-    [("cust_nation", "string")],
-    [("p_type", "string"), ("l_partkey", "long"),
-     ("revenueratio", "double")],
-    [("g_brand", "int"), ("g_size", "int"), ("p_size", "int")],
-    [("home_cents", "long"), ("n_lines", "long")],
-    [("n_rebuy_pairs", "long")],
-    [("avg_price", "double")],
-    [("g_type", "int"), ("avg_disc", "double")],
-    [("band", "string"), ("n_distinct_prices", "long")],
-    [("total_sold", "double"), ("total_returned", "double"),
-     ("total_other", "double")],
-    [("c_custkey", "long"), ("returned", "double"), ("nat_avg", "double")],
-    [("q_idx", "int"), ("qoq", "double")],
-    [("excess_discount_cents", "long")],
-    [("web_rev", "double"), ("store_rev", "double"),
-     ("catalog_rev", "double"), ("total_rev", "double")],
-    [("n_customers", "long"), ("n_orders_total", "long")],
-    [("n_cust", "long"), ("avg_bal", "double")],
-    [("p_partkey", "long"), ("p_retailprice", "double")],
-    [("custkey_sum", "long")],
-    [("cents_before", "long"), ("cents_after", "long")],
-    [("yr", "int"), ("n_items", "long")],
-    [("sun", "long"), ("mon", "long"), ("tue", "long"), ("wed", "long"),
-     ("thu", "long"), ("fri", "long"), ("sat", "long")],
-    [("side", "string"), ("rk", "int"), ("net", "double")],
+_DS_B_COLS = _dedupe_cols(
+    [("c_mktsegment", "string"), ("n_orders", "long"),
+     ("n_customers", "long")],
+    [("o_custkey", "long"), ("qty_1996", "double"), ("qty_1997", "double"),
+     ("growth", "double")],
+    [("kind", "string"), ("yr", "int"), ("n", "long")],
+    [("web_qty", "double"), ("store_qty", "double"), ("ratio", "double")],
+    [("n_name", "string"), ("mon", "int"), ("spend", "double")],
+    [("g_channel", "int"), ("g_band", "int"), ("channel", "string"),
+     ("size_band", "string"), ("profit_cents", "long")],
+    [("l_suppkey", "long"), ("ret_qty", "double"), ("nat_avg", "double")],
+    [("p_partkey", "long"), ("p_brand", "string"),
+     ("p_retailprice", "double")],
+    [("l_partkey", "long"), ("n_mar", "long"), ("n_jun", "long"),
+     ("n_sep", "long"), ("n_total", "long")],
+    [("c_custkey", "long"), ("c_name", "string")],
+    [("l_linestatus", "string"), ("avg_qty", "double"),
+     ("avg_disc", "double")],
+    [("lochierarchy", "int"), ("p_type", "string"), ("cents", "long"),
+     ("rank_within_parent", "int")],
+    [("rev", "double"), ("avg_rev", "double"), ("deviation", "double")],
+    [("n_am", "long"), ("n_pm", "long"), ("am_pm_ratio", "double")],
+    [("bal_band", "string"), ("n_returns", "long"),
+     ("returned_cents", "long")],
+    [("n_lines", "long"), ("excess_price_cents", "long")],
+    [("net_spend", "double")],
+    [("net_cents", "long")],
+    [("web_only", "long"), ("store_only", "long"),
+     ("both_channels", "long")],
+    [("revenue", "double"), ("revenueratio", "double")],
+    [("d30", "long"), ("d60", "long"), ("d_over", "long")],
 )
 
-_DS_TAIL_ARMS = [
-    ("ds13", "ds13_compound_or_bands"),
-    ("ds14", "ds14_cross_channel_intersect"),
-    ("ds15", "ds15_geo_contribution"),
-    ("ds16", "ds16_distinct_exists"),
-    ("ds18", "ds18_acctbal_band_rollup"),
-    ("ds19", "ds19_geo_mismatch_brands"),
-    ("ds20", "ds20_item_share_within_category"),
-    ("ds22", "ds22_attribute_rollup_qty"),
-    ("ds23", "ds23_frequent_items"),
-    ("ds24", "ds24_home_nation_sales"),
-    ("ds25", "ds25_return_then_rebuy"),
-    ("ds26", "ds26_open_order_averages"),
-    ("ds27", "ds27_avg_rollup"),
-    ("ds28", "ds28_band_distinct_report"),
-    ("ds29", "ds29_sold_returned_resold"),
-    ("ds30", "ds30_return_rate_outliers"),
-    ("ds31", "ds31_geo_qoq_growth"),
-    ("ds32", "ds32_excess_discount"),
-    ("ds33", "ds33_category_channel_totals"),
-    ("ds34", "ds34_frequent_buyer_bands"),
-    ("ds35", "ds35_multichannel_exists"),
-    ("ds37", "ds37_price_band_items_in_window"),
-    ("ds38", "ds38_all_channel_customers"),
-    ("ds40", "ds40_pivot_by_geo"),
-    ("ds41", "ds41_dim_attribute_battery"),
-    ("ds42", "ds42_category_year_topline"),
-    ("ds43", "ds43_weekday_profile"),
-    ("ds44", "ds44_best_and_worst_items"),
-    ("ds45", "ds45_membership_or"),
+_DS_B_ARMS = [
+    ("ds73", "ds73_order_line_bands"),
+    ("ds74", "ds74_customer_qty_yoy"),
+    ("ds76", "ds76_degenerate_rows_union"),
+    ("ds78", "ds78_channel_qty_ratio"),
+    ("ds79", "ds79_top_customer_per_geo_month"),
+    ("ds80", "ds80_size_band_pnl"),
+    ("ds81", "ds81_return_qty_outliers"),
+    ("ds82", "ds82_band_items_bulk_activity"),
+    ("ds83", "ds83_three_period_returns"),
+    ("ds84", "ds84_customer_band_listing"),
+    ("ds85", "ds85_returned_reason_bands"),
+    ("ds86", "ds86_web_rollup_rank"),
+    ("ds89", "ds89_avg_deviation"),
+    ("ds90", "ds90_am_pm_ratio"),
+    ("ds91", "ds91_monthly_returns_by_band"),
+    ("ds92", "ds92_excess_discount_window"),
+    ("ds93", "ds93_net_of_returns"),
+    ("ds94", "ds94_single_supplier_orders"),
+    ("ds96", "ds96_priority_linecount"),
+    ("ds97", "ds97_channel_overlap"),
+    ("ds98", "ds98_ratio_within_class"),
+    ("ds99", "ds99_monthly_lag_crosstab"),
 ]
 
 
 @register(
-    "ds13_ds14_ds15_ds16_ds18_ds19_ds20_ds22_ds23_ds24_ds25_ds26_ds27"
-    "_ds28_ds29_ds30_ds31_ds32_ds33_ds34_ds35_ds37_ds38_ds40_ds41_ds42"
-    "_ds43_ds44_ds45_long_tail",
+    "ds73_ds74_ds76_ds78_ds79_ds80_ds81_ds82_ds83_ds84_ds85_ds86_ds89"
+    "_ds90_ds91_ds92_ds93_ds94_ds96_ds97_ds98_ds99_long_tail_close",
     oracle=lambda: "\nUNION ALL\n".join(
         _pad_arm_sql(
             arm,
             ORACLES[name],
-            _DS_TAIL_COLS,
+            _DS_B_COLS,
             _feeder_cols(name),
         )
-        for arm, name in _DS_TAIL_ARMS
+        for arm, name in _DS_B_ARMS
     ),
 )
-def ds_long_tail_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-DS-shape long-tail rotation, round 13: twenty-nine fresh
-    arms — compound OR bands (ds13), cross-channel INTERSECT (ds14),
-    geo contribution (ds15), distinct EXISTS (ds16), acctbal ROLLUP
-    (ds18), geo-mismatch brands (ds19), item share within category
-    (ds20), attribute ROLLUP (ds22), frequent items (ds23), home-
-    nation sales (ds24), return-then-rebuy (ds25), open-order averages
-    (ds26), the avg ROLLUP (ds27), band DISTINCT report (ds28),
-    sold/returned/resold (ds29), return-rate outliers (ds30), QoQ
-    growth (ds31), excess discount (ds32), category channel totals
-    (ds33), frequent-buyer bands (ds34), multichannel EXISTS (ds35),
-    price-band window membership (ds37), all-channel customers (ds38),
-    geo pivot (ds40), dim attribute battery (ds41), category-year
-    topline (ds42), weekday profile (ds43), best/worst items (ds44)
-    and membership-OR (ds45) — brings the ds never-window tail from
-    74 to 45 (r9/r11/r12 history in COVERAGE.md)."""
+def ds_long_tail_close_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS-shape long-tail rotation, round 14 — the FINAL ds
+    rotation: every remaining never-window arm enters at once, closing
+    the family (and with it the whole registry; full history in
+    COVERAGE.md). Arms: order-line bands (ds73), customer qty YoY
+    (ds74), degenerate-rows union (ds76), channel qty ratio (ds78),
+    top customer per geo-month (ds79), size-band P&L GROUPING SETS
+    (ds80), return-qty outliers (ds81), band items bulk activity
+    (ds82), three-period returns (ds83), customer band listing (ds84),
+    returned reason bands (ds85), web ROLLUP rank (ds86), average
+    deviation (ds89), AM/PM ratio (ds90), monthly returns by band
+    (ds91), excess-discount window (ds92), net of returns (ds93),
+    single-supplier orders (ds94), priority linecount (ds96), channel
+    overlap (ds97), ratio within class (ds98) and the monthly lag
+    crosstab (ds99)."""
     out = None
-    for arm, name in _DS_TAIL_ARMS:
-        part = _pad_arm(QUERIES[name](spark, sf_dir), arm, _DS_TAIL_COLS)
+    for arm, name in _DS_B_ARMS:
+        part = _pad_arm(QUERIES[name](spark, sf_dir), arm, _DS_B_COLS)
         out = part if out is None else out.unionByName(part)
     return out
 
@@ -2972,73 +3089,76 @@ def ds_long_tail_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # feeder column lists for the lazy suite oracles above: the arm's own
 # columns (everything else pads to typed NULL)
 _FEEDER_COLS = {
-    "cb02_hourly_timeseries": ["h", "n", "uniq_users", "avg_value"],
-    "cb08_wide_group_topn": ["user_id", "event_type", "d", "n"],
-    "cb10_active_hours": ["h", "n_users"],
-    "cb11_regex_extract_bands": ["k_band", "n", "value_cents"],
-    "cb12_host_extract": ["host_band", "lang", "n_docs", "total_chars"],
-    "cb15_wide_topn_multi_agg": ["user_id", "event_type", "n",
-                                 "value_cents", "last_ts_us"],
-    "cb20_daily_audience_ratio": ["d", "dau", "buyers", "buyer_ratio"],
-    "cb23_per_minute_series": ["m", "n"],
-    "cb24_longest_documents": ["doc_id", "n_chars_actual", "lang"],
-    "cb25_pair_cardinality_topn": ["user_id", "k_band", "n"],
-    "cb26_lang_source_matrix": ["lang", "source", "n", "avg_chars"],
-    "cb28_short_doc_audit": ["n_docs", "n_blank", "n_short",
-                             "n_short_sources"],
-    "cb29_tagged_union_report": ["segment", "n", "value_cents"],
-    "cb32_date_span": ["min_ts_us", "max_ts_us", "span_days"],
-    "cb33_distinct_triples": ["user_id", "event_type", "k_band"],
-    "cb35_ten_minute_buckets": ["bucket_10m", "n", "n_users"],
-    "cb37_concat_group_key": ["grp", "n", "value_cents"],
-    "cb38_domain_family": ["family", "n_docs", "n_sources",
-                           "total_chars"],
-    "cb39_hot_sources": ["source", "n", "total_chars"],
-    "cb41_hourly_type_share": ["hr", "event_type", "n", "share"],
-    "cb43_low_error_users": ["n_clean_users", "n_events",
-                             "pooled_error_rate"],
-    "ds13_compound_or_bands": ["n", "avg_qty", "net_cents"],
-    "ds14_cross_channel_intersect": ["p_brand", "revenue", "n"],
-    "ds15_geo_contribution": ["n_name", "c_mktsegment", "revenue"],
-    "ds16_distinct_exists": ["order_count", "total_price"],
-    "ds18_acctbal_band_rollup": ["g_band", "g_seg", "bal_band",
-                                 "c_mktsegment", "n_orders",
-                                 "avg_order_value"],
-    "ds19_geo_mismatch_brands": ["p_brand", "cust_nation", "net_cents",
-                                 "n"],
-    "ds20_item_share_within_category": ["p_type", "l_partkey", "revenue",
-                                        "revenueratio"],
-    "ds22_attribute_rollup_qty": ["g_brand", "g_size", "p_brand",
-                                  "p_size", "avg_qty", "n"],
-    "ds23_frequent_items": ["p_brand", "revenue", "n"],
-    "ds24_home_nation_sales": ["n_name", "home_cents", "n_lines"],
-    "ds25_return_then_rebuy": ["c_mktsegment", "n_rebuy_pairs"],
-    "ds26_open_order_averages": ["p_brand", "avg_qty", "avg_price", "n"],
-    "ds27_avg_rollup": ["g_type", "g_brand", "p_type", "p_brand",
-                        "avg_qty", "avg_price", "avg_disc", "n"],
-    "ds28_band_distinct_report": ["band", "avg_price",
-                                  "n_distinct_prices", "n"],
-    "ds29_sold_returned_resold": ["p_brand", "total_sold",
-                                  "total_returned", "total_other"],
-    "ds30_return_rate_outliers": ["c_custkey", "returned", "nat_avg"],
-    "ds31_geo_qoq_growth": ["n_name", "q_idx", "qoq"],
-    "ds32_excess_discount": ["n_lines", "excess_discount_cents"],
-    "ds33_category_channel_totals": ["p_brand", "web_rev", "store_rev",
-                                     "catalog_rev", "total_rev"],
-    "ds34_frequent_buyer_bands": ["band", "n_customers",
-                                  "n_orders_total"],
-    "ds35_multichannel_exists": ["c_mktsegment", "n_name", "n_cust",
-                                 "avg_bal"],
-    "ds37_price_band_items_in_window": ["p_partkey", "p_brand",
-                                        "p_retailprice"],
-    "ds38_all_channel_customers": ["n_customers", "custkey_sum"],
-    "ds40_pivot_by_geo": ["n_name", "cents_before", "cents_after"],
-    "ds41_dim_attribute_battery": ["p_brand", "p_type", "p_size"],
-    "ds42_category_year_topline": ["yr", "p_type", "revenue", "n_items"],
-    "ds43_weekday_profile": ["p_brand", "sun", "mon", "tue", "wed",
-                             "thu", "fri", "sat"],
-    "ds44_best_and_worst_items": ["side", "rk", "l_partkey", "net"],
-    "ds45_membership_or": ["c_mktsegment", "n_lines", "net_cents"],
+    "ds46_geo_distinct_having": ["n_name", "c_mktsegment", "n_cust",
+                                 "n_orders", "total_cents"],
+    "ds48_qty_sum_demo_bands": ["total_qty", "n"],
+    "ds49_worst_return_ratios": ["channel", "l_partkey", "n", "n_ret",
+                                 "ret_ratio", "rk"],
+    "ds50_lag_by_supplier_geo": ["n_name", "d30", "d60", "d_over", "n"],
+    "ds52_brand_month_revenue": ["p_brand", "revenue"],
+    "ds53_quarterly_rolling": ["p_brand", "q_idx", "rev",
+                               "rolling_sum_4q", "n_quarters"],
+    "ds54_channel_migration": ["c_mktsegment", "n_migrated",
+                               "n_store_orders_after"],
+    "ds55_brand_month_units": ["p_brand", "units", "n_lines"],
+    "ds56_category_channel_month": ["channel", "p_type", "revenue"],
+    "ds57_supplier_geo_deviation": ["n_name", "yr", "mo", "rev",
+                                    "yr_avg", "deviation"],
+    "ds58_balanced_channels": ["l_partkey", "web_rev", "store_rev",
+                               "ratio"],
+    "ds59_month_over_month": ["l_returnflag", "mon_idx", "cur_rev",
+                              "prev_rev", "mom_ratio"],
+    "ds60_category_month_matrix": ["p_type", "mon", "revenue"],
+    "ds61_promo_share": ["promo_cents", "total_cents", "promo_share"],
+    "ds62_ship_lag_buckets": ["o_orderpriority", "d30", "d60", "d90",
+                              "d_over", "n"],
+    "ds63_supplier_monthly_vs_avg": ["l_suppkey", "yr", "mo", "rev",
+                                     "yr_total", "n_months"],
+    "ds65_best_seller_per_period": ["mon", "l_partkey", "p_brand", "rev"],
+    "ds66_monthly_shipping_crosstab": ["n_name", "jan", "feb", "mar",
+                                       "apr", "may", "jun", "jul", "aug",
+                                       "sep", "oct", "nov", "dec"],
+    "ds68_high_ticket_orders": ["c_name", "o_orderkey", "odate_us",
+                                "net"],
+    "ds69_exists_battery": ["c_mktsegment", "n_cust", "avg_bal"],
+    "ds70_region_nation_rank": ["lochierarchy", "r_name", "n_name",
+                                "cents", "rank_within_parent"],
+    "ds71_channel_union_brand": ["channel", "p_brand", "revenue", "n"],
+    "ds72_late_shipments": ["p_brand", "o_orderpriority", "n_lines",
+                            "n_late", "late_ratio"],
+    "ds73_order_line_bands": ["c_mktsegment", "n_orders", "n_customers"],
+    "ds74_customer_qty_yoy": ["o_custkey", "qty_1996", "qty_1997",
+                              "growth"],
+    "ds76_degenerate_rows_union": ["kind", "yr", "n"],
+    "ds78_channel_qty_ratio": ["o_custkey", "yr", "web_qty", "store_qty",
+                               "ratio"],
+    "ds79_top_customer_per_geo_month": ["n_name", "mon", "o_custkey",
+                                        "spend"],
+    "ds80_size_band_pnl": ["g_channel", "g_band", "channel", "size_band",
+                           "profit_cents"],
+    "ds81_return_qty_outliers": ["l_suppkey", "ret_qty", "nat_avg"],
+    "ds82_band_items_bulk_activity": ["p_partkey", "p_brand",
+                                      "p_retailprice"],
+    "ds83_three_period_returns": ["l_partkey", "n_mar", "n_jun", "n_sep",
+                                  "n_total"],
+    "ds84_customer_band_listing": ["c_custkey", "c_name", "n_name"],
+    "ds85_returned_reason_bands": ["l_linestatus", "n", "avg_qty",
+                                   "avg_disc"],
+    "ds86_web_rollup_rank": ["lochierarchy", "p_type", "p_brand",
+                             "cents", "rank_within_parent"],
+    "ds89_avg_deviation": ["p_type", "p_brand", "mon", "rev", "avg_rev",
+                           "deviation"],
+    "ds90_am_pm_ratio": ["n_am", "n_pm", "am_pm_ratio"],
+    "ds91_monthly_returns_by_band": ["c_mktsegment", "bal_band",
+                                     "n_returns", "returned_cents"],
+    "ds92_excess_discount_window": ["n_lines", "excess_price_cents"],
+    "ds93_net_of_returns": ["o_custkey", "net_spend"],
+    "ds94_single_supplier_orders": ["n_orders", "n_lines", "net_cents"],
+    "ds96_priority_linecount": ["n_orders"],
+    "ds97_channel_overlap": ["web_only", "store_only", "both_channels"],
+    "ds98_ratio_within_class": ["p_type", "p_brand", "revenue",
+                                "revenueratio"],
+    "ds99_monthly_lag_crosstab": ["mon", "d30", "d60", "d_over", "n"],
 }
 
 

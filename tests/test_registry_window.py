@@ -52,16 +52,16 @@ WINDOW_MANIFEST = [
     "c01_c02_c03_c06_ctes_subqueries",
     "f01_f09_f14_math_casts",
     "f07_f12_f13_arrays_maps",
-    "v01_v02_cosine",
+    "v01_v02_v03_v04_v06_v07_cosine",
     "j01_j07_j08_n01_joins",
     "w04_w05_w07_cb18_cb42_sessions",
-    "x03_x08_x14_t01_t02_t03_t04_t05_t06_t07_t08_t09_t10_t11_t12_t13_t14_t15_v05_d06_d10_t16_llmops",
+    "x03_x08_x14_t01_t02_t03_t04_t05_t06_t07_t08_t09_t10_t11_t12_t13_t14_t15_v05_d03_d04_d05_d06_d08_d09_d10_t16_llmops",
     "c07_f16_f17_p01_p02_u02_u03_mm01_mm02_mm03_mm04_mm05_misc",
     "geo01_geo02_geo03_geo04_geo05_geo06_geo07_geo08_geo09_geo10_geo11_geo12_geo13_geo14_geo15_geo16_geo17_geo18_geo19_geo20_spatial",
     "ds36_ds51_ds67_ds04_ds39_ds77_ds87_shapes",
     "x01_x02_x09_x10_x11_x12_x13_x15_curation",
-    "cb02_cb08_cb10_cb11_cb12_cb15_cb20_cb23_cb24_cb25_cb26_cb28_cb29_cb32_cb33_cb35_cb37_cb38_cb39_cb41_cb43_clickbench_close",
-    "ds13_ds14_ds15_ds16_ds18_ds19_ds20_ds22_ds23_ds24_ds25_ds26_ds27_ds28_ds29_ds30_ds31_ds32_ds33_ds34_ds35_ds37_ds38_ds40_ds41_ds42_ds43_ds44_ds45_long_tail",
+    "ds46_ds48_ds49_ds50_ds52_ds53_ds54_ds55_ds56_ds57_ds58_ds59_ds60_ds61_ds62_ds63_ds65_ds66_ds68_ds69_ds70_ds71_ds72_long_tail_a",
+    "ds73_ds74_ds76_ds78_ds79_ds80_ds81_ds82_ds83_ds84_ds85_ds86_ds89_ds90_ds91_ds92_ds93_ds94_ds96_ds97_ds98_ds99_long_tail_close",
     # 7 lake-table DML/maintenance/format rows (r8: the lake08 slot
     # widened in place to the four-arm table-format suite — external
     # Iceberg + Delta log reader + spec-bucket + deletion vectors)
