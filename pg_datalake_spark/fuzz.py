@@ -868,6 +868,143 @@ class QueryGen:
             f"FROM {f_name} WHERE {f_col} IN ({mid}){extra}"
         )
 
+    # ---- grammar v5 (r14): outer-join + decimal/interval edges -------
+
+    def q_full_outer_agg(self) -> str:
+        """FULL OUTER between a FILTERED dim and a keyed fact aggregate
+        — null-generating rows on BOTH sides feed COUNT(col) vs
+        COUNT(*) and grouped sums. The unmatched-fact rows collapse
+        into one COALESCE bucket, so the null-key group aggregates
+        across many rows; sums there stay integer (order-safe)."""
+        fact, fk_col, dim, dim_key = self.rng.choice(
+            [("customer", "c_nationkey", "nation", "n_nationkey"),
+             ("supplier", "s_nationkey", "nation", "n_nationkey"),
+             ("nation", "n_regionkey", "region", "r_regionkey")]
+        )
+        ft, dt = _BY_NAME[fact], _BY_NAME[dim]
+        dim_name = list(dt.strings)[0]
+        cut = self.rng.randint(0, 3)
+        # filter the dim so the fact side has unmatched (right-null) rows
+        dim_sub = (f"SELECT * FROM {dim} WHERE "
+                   f"{list(dt.ints)[-1]} <= {cut}")
+        agg_sub = (
+            f"SELECT {fk_col}, COUNT(*) AS f_cnt, "
+            f"CAST(SUM({ft.ukey[0]} % 1000) AS BIGINT) AS f_sum "
+            f"FROM {fact}{self._where(ft, 0, 2)} GROUP BY {fk_col}"
+        )
+        return (
+            f"SELECT COALESCE({dim_name}, '∅') AS k_0, "
+            f"COUNT(f_cnt) AS agg_0, COUNT(*) AS agg_1, "
+            f"CAST(SUM(f_sum) AS BIGINT) AS agg_2, "
+            f"CAST(SUM(f_cnt) AS BIGINT) AS agg_3 "
+            f"FROM ({dim_sub}) d FULL OUTER JOIN ({agg_sub}) f "
+            f"ON {dim_key} = {fk_col} "
+            f"GROUP BY COALESCE({dim_name}, '∅')"
+        )
+
+    def q_right_join_window(self) -> str:
+        """RIGHT JOIN producing left-NULL rows, then window functions
+        whose partition sees one NULL row per unmatched key — where
+        PG/Spark/DuckDB frame semantics historically diverge. The
+        order (c_custkey, o_orderkey NULLS LAST) is total: an
+        unmatched customer yields exactly ONE null-order row."""
+        m = self.rng.randint(5, 17)
+        r = self.rng.randrange(m)
+        k = self.rng.randint(1, 4)
+        inner = (f"SELECT o_orderkey, o_custkey, o_orderkey % 997 AS okm "
+                 f"FROM orders WHERE o_orderkey % {m} = {r}")
+        wins = [
+            "COUNT(o_orderkey) OVER (PARTITION BY c_custkey) AS w_0",
+            "COUNT(*) OVER (PARTITION BY c_custkey) AS w_1",
+            "ROW_NUMBER() OVER (PARTITION BY c_custkey "
+            "ORDER BY o_orderkey NULLS LAST) AS w_2",
+            f"CAST(SUM(okm) OVER (PARTITION BY c_custkey "
+            f"ORDER BY o_orderkey NULLS LAST "
+            f"ROWS BETWEEN {k} PRECEDING AND CURRENT ROW) AS BIGINT) "
+            f"AS w_3",
+            "LAG(okm, 1) OVER (PARTITION BY c_custkey "
+            "ORDER BY o_orderkey NULLS LAST) AS w_4",
+        ]
+        picked = self.rng.sample(wins, k=self.rng.randint(2, 4))
+        cpred = self._where(CUSTOMER, 0, 1).replace(" WHERE ", " AND ", 1)
+        return (
+            f"SELECT c_custkey, o_orderkey, {', '.join(picked)} "
+            f"FROM ({inner}) o RIGHT JOIN customer "
+            f"ON o_custkey = c_custkey WHERE c_custkey % 3 = 0{cpred}"
+        )
+
+    def q_decimal_edges(self) -> str:
+        """High-precision DECIMAL(38,x) arithmetic: double→decimal
+        rounding at CAST, add/multiply within provable bounds (no
+        overflow under ANSI), round() on decimals, and a scale-10
+        decimal SUM — all CAST to DOUBLE at the end (decimal→double is
+        the same round-to-nearest on both engines, while the exact
+        decimal VALUES must agree digit-for-digit)."""
+        m = self.rng.randint(7, 23)
+        r = self.rng.randrange(m)
+        s = self.rng.choice([6, 8, 10])
+        rd = self.rng.randint(0, 3)
+        exprs = [
+            f"CAST(CAST(l_extendedprice AS DECIMAL(38,{s})) + "
+            f"CAST(l_tax AS DECIMAL(38,{s})) AS DOUBLE) AS x_0",
+            "CAST(CAST(l_quantity AS DECIMAL(12,4)) * "
+            "CAST(l_discount AS DECIMAL(8,4)) AS DOUBLE) AS x_1",
+            f"CAST(ROUND(CAST(l_extendedprice AS DECIMAL(30,6)), {rd}) "
+            f"AS DOUBLE) AS x_2",
+            f"CAST(CAST(l_extendedprice AS DECIMAL(38,{s})) - "
+            f"CAST(l_quantity AS DECIMAL(38,{s})) AS DOUBLE) AS x_3",
+        ]
+        picked = self.rng.sample(exprs, k=self.rng.randint(2, 4))
+        agg = (
+            f"SELECT l_returnflag AS k_0, "
+            f"CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,{s}))) "
+            f"AS DOUBLE) AS agg_0, "
+            f"CAST(MIN(CAST(l_discount AS DECIMAL(20,{s}))) AS DOUBLE) "
+            f"AS agg_1, "
+            f"CAST(MAX(CAST(l_tax AS DECIMAL(20,{s}))) AS DOUBLE) AS agg_2 "
+            f"FROM lineitem WHERE l_orderkey % {m} = {r} "
+            f"GROUP BY l_returnflag"
+        )
+        proj = (
+            f"SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+            f"{', '.join(picked)} "
+            f"FROM lineitem WHERE l_orderkey % {m} = {r}"
+        )
+        return self.rng.choice([agg, proj])
+
+    def q_interval_arith(self) -> str:
+        """Date/timestamp ± INTERVAL literals: day offsets, month adds
+        (end-of-month clamping — PG semantics on both engines), hour
+        subtraction, and interval-shifted predicate comparisons."""
+        t, ts_col = self.rng.choice(
+            [(LINEITEM, "l_shipdate"), (ORDERS, "o_orderdate"),
+             (EVENTS, "ts")]
+        )
+        m = self.rng.randint(7, 23)
+        r = self.rng.randrange(m)
+        nd = self.rng.randint(1, 45)
+        nm = self.rng.randint(1, 14)
+        nh = self.rng.randint(1, 72)
+        exprs = [
+            f"{ts_col} + INTERVAL '{nd}' DAY AS x_0",
+            f"{ts_col} + INTERVAL '{nm}' MONTH AS x_1",
+            f"{ts_col} - INTERVAL '{nh}' HOUR AS x_2",
+        ]
+        picked = self.rng.sample(exprs, k=self.rng.randint(1, 3))
+        uk = ", ".join(t.ukey)
+        lo, hi = t.timestamps[ts_col]
+        lit = f"{_TS} '{lo} 00:00:00'"
+        cnt = (
+            f"SELECT COUNT(*) AS agg_0 FROM {t.name} "
+            f"WHERE {ts_col} + INTERVAL '{nd}' DAY > {lit} "
+            f"AND {t.ukey[0]} % {m} = {r}"
+        )
+        proj = (
+            f"SELECT {uk}, {', '.join(picked)} FROM {t.name} "
+            f"WHERE {t.ukey[0]} % {m} = {r}"
+        )
+        return self.rng.choice([cnt, proj])
+
     SHAPES = [
         ("q_aggregate", 4), ("q_scalar_project", 2), ("q_join_agg", 4),
         ("q_window", 2), ("q_setop", 2), ("q_subquery", 2),
@@ -893,6 +1030,16 @@ class QueryGen:
         ("q_nested_in", 2),
     ]
     V4_BASE = 30_000
+    # grammar v5 (r14): joined at seed >= 40_000 — outer-join
+    # null-generation into aggregates/windows plus decimal(38,x) and
+    # interval-arithmetic edges (SURVEY §4.5's historic divergence
+    # surface). Same byte-stability rule: pinned seeds < 40k keep
+    # their original shape choice.
+    SHAPES_V5 = [
+        ("q_full_outer_agg", 3), ("q_right_join_window", 3),
+        ("q_decimal_edges", 3), ("q_interval_arith", 2),
+    ]
+    V5_BASE = 40_000
 
     def generate(self) -> tuple[str, str, str]:
         """Return (shape_name, spark_sql, duckdb_sql), placeholders
@@ -905,6 +1052,8 @@ class QueryGen:
             self.SHAPES_V3 if self.seed >= self.V3_BASE else []
         ) + (
             self.SHAPES_V4 if self.seed >= self.V4_BASE else []
+        ) + (
+            self.SHAPES_V5 if self.seed >= self.V5_BASE else []
         )
         total = sum(w for _, w in shapes)
         r = self.rng.uniform(0, total)

@@ -1,0 +1,331 @@
+"""Randomized differential fuzzing of the WRITE path vs a DuckDB twin.
+
+The SELECT fuzzer (pg_datalake_spark.fuzz) covers the read surface;
+this module points the same differential idea at DML/maintenance —
+the reference's second-densest test area (behavioral reference:
+pg_lake_table/tests/pytests/test_update_delete_iceberg.py and
+writable_table.c:478-650, which exercise update/delete sequences
+against expected table states).
+
+A seeded generator emits a random MUTATION SEQUENCE against a
+:class:`~pg_datalake_spark.tables.format.LakeTable`; the same sequence
+is replayed against a DuckDB-maintained twin table, and the FULL table
+state is diffed (driver-fidelity exact comparator) after EVERY step —
+so a wrong MOR tombstone, a COW rewrite that loses rows, a merge that
+double-applies, or a compaction that changes visible state is caught
+at the exact op that introduced it.
+
+Sequence space (each op seeded, all engine-agnostic semantics):
+
+- ``append``       random batches: overlapping keys, NULL qty/note;
+- ``delete``       predicate deletes across every strategy tier —
+                   partition-pruned no-ops, whole-partition
+                   metadata-only drops (identity spec), MOR
+                   position-deletes and COW rewrites: ``k % 100 < P``
+                   predicates target per-file match fractions that
+                   STRADDLE the 20% COW_THRESHOLD explicitly;
+- ``delete_eq``    equality-delete on a key batch (MOR content=2
+                   analog; twin: DELETE ... IN);
+- ``update``       SET exprs (arith on qty/price, string fns, NULL)
+                   under predicates incl. NULL-predicate rows (which
+                   must keep their original values on both engines);
+- ``merge``        unique-key source → upsert / matched-delete /
+                   insert-only (twin: UPDATE..FROM / DELETE..USING /
+                   anti-join INSERT materialized against PRE-state,
+                   matching LakeTable.merge's snapshot semantics);
+- ``truncate``     metadata-only empty snapshot;
+- ``compact`` / ``expire`` maintenance ops — the twin does NOTHING,
+                   so the diff asserts they never change visible state.
+
+Determinism: prices are exact binary fractions (quarters), updates use
+exactly-representable arithmetic (+0.25, *2), and the diff is a full
+multiset comparison of raw values — no aggregation, no float
+accumulation, so any mismatch is a real engine divergence.
+
+Tables are partitioned per-sequence by NOTHING, identity(seg) or
+bucket(k, 4), so partition transforms and bucket pruning sit inside
+the fuzzed space rather than beside it.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from pg_datalake_spark.tables.format import LakeTable, PartitionField
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("seg", T.StringType()),
+        T.StructField("qty", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("note", T.StringType()),
+    ]
+)
+
+_SEGS = ["A", "B", "C", "D", "E"]
+_NOTES = ["alpha", "beta", "gamma", "delta", None]
+
+
+class DmlSequenceGen:
+    """One seeded mutation sequence (pure data — no engine objects)."""
+
+    def __init__(self, seed: int):
+        self.seed = seed
+        self.rng = random.Random(0x5EED0 + seed)
+
+    # -- row batches --------------------------------------------------
+    def _rows(self, n: int, k_lo: int = 1, k_hi: int = 400) -> list[tuple]:
+        rng = self.rng
+        out = []
+        for _ in range(n):
+            k = rng.randint(k_lo, k_hi)
+            seg = rng.choice(_SEGS)
+            qty = None if rng.random() < 0.1 else rng.randint(0, 100)
+            price = rng.randint(0, 40000) / 4.0  # exact quarters
+            note = rng.choice(_NOTES)
+            out.append((k, seg, qty, price, note))
+        return out
+
+    def _unique_key_rows(self, n: int) -> list[tuple]:
+        rows = self._rows(n)
+        seen: set[int] = set()
+        out = []
+        for r in rows:
+            if r[0] not in seen:
+                seen.add(r[0])
+                out.append(r)
+        return out
+
+    # -- predicates ----------------------------------------------------
+    def _predicate(self) -> str:
+        rng = self.rng
+        choices = [
+            lambda: "k BETWEEN {} AND {}".format(
+                *sorted((rng.randint(1, 400), rng.randint(1, 400)))
+            ),
+            lambda: f"seg = '{rng.choice(_SEGS)}'",
+            lambda: "seg IN ({})".format(
+                ", ".join(f"'{s}'" for s in rng.sample(_SEGS, 2))
+            ),
+            lambda: f"qty < {rng.randint(5, 60)}",
+            lambda: "qty IS NULL",
+            lambda: "note IS NULL",
+            # fraction-targeted: P straddles the 20% COW threshold so
+            # per-file match fractions land on BOTH sides of it
+            lambda: f"k % 100 < {rng.choice([5, 12, 18, 21, 25, 35, 50])}",
+        ]
+        p = rng.choice(choices)()
+        if rng.random() < 0.3:
+            q = rng.choice(choices)()
+            p = f"({p}) {'AND' if rng.random() < 0.5 else 'OR'} ({q})"
+        return p
+
+    def _set_exprs(self) -> dict[str, str]:
+        rng = self.rng
+        pool = {
+            "qty": rng.choice(
+                [f"qty + {rng.randint(1, 9)}", "qty * 2", "NULL",
+                 f"{rng.randint(0, 99)}"]
+            ),
+            "price": rng.choice(["price + 0.25", "price * 2", "0.0"]),
+            "note": rng.choice(["upper(note)", "'edited'", "NULL",
+                                "concat(note, '!')"]),
+            "seg": f"'{rng.choice(_SEGS)}'",
+        }
+        cols = rng.sample(list(pool), rng.randint(1, 2))
+        return {c: pool[c] for c in cols}
+
+    # -- the sequence ---------------------------------------------------
+    def generate(self) -> dict[str, Any]:
+        rng = self.rng
+        partition = rng.choice([None, ("identity", "seg"), ("bucket", "k", 4)])
+        ops: list[dict[str, Any]] = [
+            {"op": "append", "rows": self._rows(rng.randint(150, 350))}
+        ]
+        n_ops = rng.randint(4, 8)
+        for _ in range(n_ops):
+            kind = rng.choices(
+                ["append", "delete", "delete_eq", "update", "merge",
+                 "truncate", "compact", "expire"],
+                weights=[3, 4, 2, 3, 3, 0.3, 1, 1],
+            )[0]
+            if kind == "append":
+                ops.append(
+                    {"op": "append", "rows": self._rows(rng.randint(50, 200))}
+                )
+            elif kind == "delete":
+                ops.append({"op": "delete", "predicate": self._predicate()})
+            elif kind == "delete_eq":
+                ks = sorted({rng.randint(1, 400) for _ in range(rng.randint(3, 25))})
+                ops.append({"op": "delete_eq", "keys": ks})
+            elif kind == "update":
+                ops.append(
+                    {"op": "update", "set": self._set_exprs(),
+                     "predicate": self._predicate()}
+                )
+            elif kind == "merge":
+                mode = rng.choice(["upsert", "delete", "insert_only"])
+                ops.append(
+                    {"op": "merge", "mode": mode,
+                     "rows": self._unique_key_rows(rng.randint(20, 80))}
+                )
+            else:
+                ops.append({"op": kind})
+        return {"partition": partition, "ops": ops}
+
+
+# ---------------------------------------------------------------------------
+# dual application
+# ---------------------------------------------------------------------------
+
+_TWIN_COLS = "k, seg, qty, price, note"
+
+
+def _twin_insert(con, twin: str, rows: list[tuple]) -> None:
+    con.executemany(
+        f"INSERT INTO {twin} VALUES (?, ?, ?, ?, ?)", rows
+    )
+
+
+def _src_view(con, name: str, rows: list[tuple]) -> None:
+    con.execute(f"DROP TABLE IF EXISTS {name}")
+    con.execute(
+        f"CREATE TEMP TABLE {name} "
+        "(k BIGINT, seg VARCHAR, qty BIGINT, price DOUBLE, note VARCHAR)"
+    )
+    con.executemany(f"INSERT INTO {name} VALUES (?, ?, ?, ?, ?)", rows)
+
+
+def apply_op(
+    spark: SparkSession, table: LakeTable, con, twin: str, op: dict
+) -> dict:
+    """Apply one op to BOTH engines; returns the lake op's result dict
+    (strategy counters) for coverage accounting."""
+    kind = op["op"]
+    info: dict = {}
+    if kind == "append":
+        # a handful of slices per batch: realistic multi-file layout
+        # (per-file delete fractions vary around the predicate's
+        # global fraction) without 32 near-empty files per append
+        df = spark.createDataFrame(op["rows"], SCHEMA).coalesce(4)
+        table.append(df)
+        _twin_insert(con, twin, op["rows"])
+    elif kind == "delete":
+        info = table.delete(op["predicate"]) or {}
+        con.execute(f"DELETE FROM {twin} WHERE {op['predicate']}")
+    elif kind == "delete_eq":
+        keys_df = spark.createDataFrame(
+            [(k,) for k in op["keys"]], "k long"
+        )
+        table.delete_equality(keys_df, ["k"])
+        ks = ", ".join(str(k) for k in op["keys"])
+        con.execute(f"DELETE FROM {twin} WHERE k IN ({ks})")
+    elif kind == "update":
+        table.update(op["set"], op["predicate"])
+        sets = ", ".join(f"{c} = {e}" for c, e in op["set"].items())
+        con.execute(f"UPDATE {twin} SET {sets} WHERE {op['predicate']}")
+    elif kind == "merge":
+        src = spark.createDataFrame(op["rows"], SCHEMA)
+        mode = op["mode"]
+        info = table.merge(
+            src,
+            on="k",
+            when_matched_update=(
+                {"seg": "src.seg", "qty": "src.qty", "price": "src.price",
+                 "note": "src.note"}
+                if mode == "upsert"
+                else None
+            ),
+            when_matched_delete=(mode == "delete"),
+            when_not_matched_insert=True,
+        )
+        _src_view(con, "fuzz_src", op["rows"])
+        # inserts are selected against the PRE-merge state (the lake
+        # merge anti-joins scan() before committing) — materialize
+        # them first, then apply the matched clause, then insert
+        con.execute("DROP TABLE IF EXISTS fuzz_ins")
+        con.execute(
+            "CREATE TEMP TABLE fuzz_ins AS "
+            f"SELECT s.* FROM fuzz_src s "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {twin} t WHERE t.k = s.k)"
+        )
+        if mode == "upsert":
+            con.execute(
+                f"UPDATE {twin} SET seg = s.seg, qty = s.qty, "
+                f"price = s.price, note = s.note "
+                f"FROM fuzz_src s WHERE {twin}.k = s.k"
+            )
+        elif mode == "delete":
+            con.execute(
+                f"DELETE FROM {twin} USING fuzz_src s WHERE {twin}.k = s.k"
+            )
+        con.execute(f"INSERT INTO {twin} SELECT * FROM fuzz_ins")
+    elif kind == "truncate":
+        table.truncate()
+        con.execute(f"DELETE FROM {twin}")
+    elif kind == "compact":
+        info = table.compact() or {}
+    elif kind == "expire":
+        table.expire_snapshots(keep_last=1)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown op {kind}")
+    return info if isinstance(info, dict) else {}
+
+
+def run_sequence(
+    spark: SparkSession, con, seed: int, root: str, compare
+) -> tuple[list[str], dict]:
+    """Generate + dual-apply the seed's sequence under ``root``;
+    ``compare(spark_pdf, duck_pdf) -> problems`` is the comparator
+    (scripts/check_exact.compare_exact in the gate). Returns
+    (problems, coverage counters incl. mor/cow/dropped sums)."""
+    gen = DmlSequenceGen(seed).generate()
+    part = gen["partition"]
+    partition_by = None
+    if part is not None:
+        if part[0] == "identity":
+            partition_by = [PartitionField(part[1])]
+        else:
+            partition_by = [PartitionField(part[1], "bucket", part[2])]
+    table = LakeTable.create(spark, root, SCHEMA, partition_by=partition_by)
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    twin = f"fuzz_twin_{seed}"
+    con.execute(f"DROP TABLE IF EXISTS {twin}")
+    con.execute(
+        f"CREATE TABLE {twin} "
+        "(k BIGINT, seg VARCHAR, qty BIGINT, price DOUBLE, note VARCHAR)"
+    )
+    problems: list[str] = []
+    cov = {"mor": 0, "cow": 0, "dropped": 0, "ops": {}}
+    try:
+        # hundreds-of-rows tables: big shuffle fan-out and AQE
+        # re-planning are pure overhead at this size
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        for i, op in enumerate(gen["ops"]):
+            info = apply_op(spark, table, con, twin, op)
+            for key in ("mor", "cow", "dropped"):
+                cov[key] += int(info.get(key, 0) or 0)
+            cov["ops"][op["op"]] = cov["ops"].get(op["op"], 0) + 1
+            got = table.scan().toPandas()
+            want = con.execute(
+                f"SELECT {_TWIN_COLS} FROM {twin}"
+            ).df()
+            step_problems = compare(got, want)
+            if step_problems:
+                problems.append(
+                    f"seed {seed} step {i} [{op['op']}]: "
+                    f"{step_problems[:2]} (op={str(op)[:160]})"
+                )
+                break  # state diverged; later steps are noise
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        con.execute(f"DROP TABLE IF EXISTS {twin}")
+    return problems, cov

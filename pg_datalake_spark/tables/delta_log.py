@@ -142,7 +142,18 @@ def _replay_json_commit(path: str, state: dict) -> None:
         if touched is not None:
             touched.add(r["path"])
     for a in adds:
-        state["adds"][a["path"]] = a
+        # snapshot add contract (r14): BOTH replay paths — this driver
+        # loop and _replay_tail_distributed's _TAIL_ACTION_DDL read —
+        # keep exactly the _CP_ADD_FIELDS set, so a tail is replayed
+        # identically whichever path its size routes it to. Foreign
+        # writers' extra fields (tags, baseRowId,
+        # defaultRowCommitVersion, clusteringProvider, …) are NOT part
+        # of snapshot state; write_delta_checkpoint re-serializes from
+        # this contract on every path.
+        state["adds"][a["path"]] = {
+            k: v for k, v in a.items()
+            if k in _CP_ADD_FIELDS and v is not None
+        }
         if touched is not None:
             touched.add(a["path"])
 
@@ -385,7 +396,11 @@ def _snapshot_state(
         try:
             tail_bytes = sum(os.path.getsize(p) for p in tail_paths)
         except OSError:
-            tail_bytes = 0
+            # a transient getsize failure must not route a multi-GB
+            # tail to the driver replay — default to the scalable
+            # path; a genuinely unreadable commit fails loud in the
+            # JVM read exactly like the driver open() would
+            tail_bytes = _TAIL_DRIVER_BYTES + 1
         winners = None
         if tail_bytes <= _TAIL_DRIVER_BYTES:
             state["_touched"] = set()
@@ -408,7 +423,14 @@ def _snapshot_state(
             )
         try:
             adds: dict = {}
-            for r in cp_df.collect():  # O(live checkpoint files), pruned
+            # the live add list must exist driver-side (the scan
+            # contract: spark.read.parquet(paths) — the reference's
+            # planner materializes its file list the same way), but
+            # stream it in partition batches instead of collect() so
+            # the driver never holds the full Row list AND the dict
+            # set simultaneously (r14; at 20M badly-compacted live
+            # files that is several GB of duplicate materialization)
+            for r in cp_df.toLocalIterator(prefetchPartitions=True):
                 d = r.asDict(recursive=True)
                 adds[d["path"]] = {
                     k: v for k, v in d.items() if v is not None

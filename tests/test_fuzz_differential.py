@@ -147,6 +147,24 @@ def test_fuzz_sweep_v4(fuzz_env):
     assert not failures, "\n".join(failures[:10])
 
 
+def test_fuzz_sweep_v5(fuzz_env):
+    """A slice of the v5 seed space (r14 grammar extensions: FULL
+    OUTER dim×fact-agg with null-bucket regrouping, RIGHT-join
+    null-row windows, DECIMAL(38,x) arithmetic/rounding/sums, interval
+    date/timestamp arithmetic) through the same exact comparator."""
+    spark, con = fuzz_env
+    failures: list[str] = []
+    for seed in range(QueryGen.V5_BASE, QueryGen.V5_BASE + max(N_SEEDS // 3, 30)):
+        try:
+            shape, problems, _ = _run_seed(spark, con, seed)
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"seed {seed}: ENGINE ERROR {e}")
+            continue
+        if problems:
+            failures.append(f"seed {seed} [{shape}]: {problems[:3]}")
+    assert not failures, "\n".join(failures[:10])
+
+
 def test_duckdb_lateral_agg_bug_documented():
     """The r13 fuzz find, minimally: DuckDB 1.0.0 drops the outer row
     when a comma-LATERAL ungrouped-aggregate subquery's group is empty;
@@ -206,3 +224,7 @@ def test_fuzz_shapes_all_reachable():
         gen_query(QueryGen.V4_BASE + s)[0] for s in range(2 * N_SEEDS)
     }
     assert seen_v4 >= {name for name, _ in QueryGen.SHAPES_V4}
+    seen_v5 = {
+        gen_query(QueryGen.V5_BASE + s)[0] for s in range(2 * N_SEEDS)
+    }
+    assert seen_v5 >= {name for name, _ in QueryGen.SHAPES_V5}
