@@ -133,8 +133,11 @@ class DmlSequenceGen:
                  f"{rng.randint(0, 99)}"]
             ),
             "price": rng.choice(["price + 0.25", "price * 2", "0.0"]),
+            # note || '!' NULL-propagates on BOTH engines; concat()
+            # does NOT (Spark: NULL-if-any-NULL; DuckDB/PG: skips
+            # NULLs) — r14 code-review find, seed 100 proved it
             "note": rng.choice(["upper(note)", "'edited'", "NULL",
-                                "concat(note, '!')"]),
+                                "note || '!'"]),
             "seg": f"'{rng.choice(_SEGS)}'",
         }
         cols = rng.sample(list(pool), rng.randint(1, 2))
@@ -328,4 +331,135 @@ def run_sequence(
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         con.execute(f"DROP TABLE IF EXISTS {twin}")
+    return problems, cov
+
+
+# ---------------------------------------------------------------------------
+# Delta-backend runner: the SAME generated sequences replayed through
+# the Delta writer verb surface (tables/delta_log.py) — the repo's
+# second write path, previously covered only by hand-picked lake
+# arms. Op mapping: append→append_delta, delete→delete_where_delta
+# (mode alternates dv/cow per step so MOR deletion vectors AND COW
+# rewrites both sit in the fuzzed space), delete_eq→IN-list delete,
+# update→update_delta, merge→merge_delta (s./t. refs),
+# truncate→delete TRUE, compact→optimize_delta, expire→vacuum_delta —
+# the last two twin-side no-ops, so the diff asserts OPTIMIZE (incl.
+# DV materialization) and VACUUM never change visible state.
+# ---------------------------------------------------------------------------
+
+
+def apply_op_delta(spark, root: str, con, twin: str, op: dict,
+                   mode: str) -> None:
+    from pg_datalake_spark.tables import delta_log as dl
+
+    kind = op["op"]
+    if kind == "append":
+        df = spark.createDataFrame(op["rows"], SCHEMA).coalesce(4)
+        dl.append_delta(df, root)
+        _twin_insert(con, twin, op["rows"])
+    elif kind == "delete":
+        dl.delete_where_delta(spark, root, op["predicate"], mode=mode)
+        con.execute(f"DELETE FROM {twin} WHERE {op['predicate']}")
+    elif kind == "delete_eq":
+        ks = ", ".join(str(k) for k in op["keys"])
+        dl.delete_where_delta(spark, root, f"k IN ({ks})", mode=mode)
+        con.execute(f"DELETE FROM {twin} WHERE k IN ({ks})")
+    elif kind == "update":
+        dl.update_delta(spark, root, op["set"], where=op["predicate"])
+        sets = ", ".join(f"{c} = {e}" for c, e in op["set"].items())
+        con.execute(f"UPDATE {twin} SET {sets} WHERE {op['predicate']}")
+    elif kind == "merge":
+        src = spark.createDataFrame(op["rows"], SCHEMA)
+        m = op["mode"]
+        dl.merge_delta(
+            spark, root, src, on="t.k = s.k",
+            when_matched_update=(
+                {"seg": "s.seg", "qty": "s.qty", "price": "s.price",
+                 "note": "s.note"}
+                if m == "upsert" else None
+            ),
+            when_matched_delete=("true" if m == "delete" else None),
+            when_not_matched_insert=True,
+        )
+        _src_view(con, "fuzz_src", op["rows"])
+        con.execute("DROP TABLE IF EXISTS fuzz_ins")
+        con.execute(
+            "CREATE TEMP TABLE fuzz_ins AS "
+            f"SELECT s.* FROM fuzz_src s "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {twin} t WHERE t.k = s.k)"
+        )
+        if m == "upsert":
+            con.execute(
+                f"UPDATE {twin} SET seg = s.seg, qty = s.qty, "
+                f"price = s.price, note = s.note "
+                f"FROM fuzz_src s WHERE {twin}.k = s.k"
+            )
+        elif m == "delete":
+            con.execute(
+                f"DELETE FROM {twin} USING fuzz_src s WHERE {twin}.k = s.k"
+            )
+        con.execute(f"INSERT INTO {twin} SELECT * FROM fuzz_ins")
+    elif kind == "truncate":
+        dl.delete_where_delta(spark, root, "true", mode="cow")
+        con.execute(f"DELETE FROM {twin}")
+    elif kind == "compact":
+        dl.optimize_delta(spark, root)
+    elif kind == "expire":
+        dl.vacuum_delta(spark, root, retain_last=1, retention_ms=0)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown op {kind}")
+
+
+def run_sequence_delta(spark, con, seed: int, root: str, compare):
+    """Dual-apply the seed's sequence through the DELTA writer path.
+    Same generator as :func:`run_sequence` (bucket partitioning maps
+    to unpartitioned — hidden bucket transforms are a lake-format
+    concept). Returns (problems, op-coverage dict)."""
+    from pg_datalake_spark.tables import delta_log as dl
+
+    gen = DmlSequenceGen(seed).generate()
+    part = gen["partition"]
+    partition_by = [part[1]] if part and part[0] == "identity" else None
+    twin = f"fuzz_twin_d{seed}"
+    con.execute(f"DROP TABLE IF EXISTS {twin}")
+    con.execute(
+        f"CREATE TABLE {twin} "
+        "(k BIGINT, seg VARCHAR, qty BIGINT, price DOUBLE, note VARCHAR)"
+    )
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    problems: list[str] = []
+    cov = {"ops": {}, "modes": set()}
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        first = gen["ops"][0]
+        df = spark.createDataFrame(first["rows"], SCHEMA).coalesce(4)
+        dl.write_delta_table(df, root, partition_by=partition_by)
+        _twin_insert(con, twin, first["rows"])
+        for i, op in enumerate(gen["ops"]):
+            if i == 0:
+                got = dl.read_delta_table(spark, root).toPandas()
+            else:
+                # dv/cow alternates per step so both delete paths fuzz
+                mode = "dv" if (seed + i) % 2 else "cow"
+                if op["op"] in ("delete", "delete_eq"):
+                    cov["modes"].add(mode)
+                apply_op_delta(spark, root, con, twin, op, mode)
+                got = dl.read_delta_table(spark, root).toPandas()
+            cov["ops"][op["op"]] = cov["ops"].get(op["op"], 0) + 1
+            want = con.execute(f"SELECT {_TWIN_COLS} FROM {twin}").df()
+            step_problems = compare(got[["k", "seg", "qty", "price",
+                                         "note"]], want)
+            if step_problems:
+                problems.append(
+                    f"delta seed {seed} step {i} [{op['op']}]: "
+                    f"{step_problems[:2]} (op={str(op)[:160]})"
+                )
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        con.execute(f"DROP TABLE IF EXISTS {twin}")
+    cov["modes"] = sorted(cov["modes"])
     return problems, cov

@@ -1491,7 +1491,14 @@ def delete_where_delta(
         return _delete_where_dv(spark, location, state, predicate, inline_threshold)
     if mode != "cow":
         raise ValueError(f"mode must be 'cow' or 'dv', got {mode!r}")
-    survivors = read_delta_table(spark, location).filter(f"NOT ({predicate})")
+    # NOT(pred) is NULL for NULL-predicate rows — those rows did NOT
+    # match the delete and must survive (PG/Delta: DELETE removes only
+    # rows where the predicate is TRUE). A bare filter would drop
+    # them; found by the r14 DML differential fuzzer (seed 1:
+    # DELETE WHERE qty < 22 silently removed every NULL-qty row).
+    survivors = read_delta_table(spark, location).filter(
+        F.coalesce(F.expr(f"NOT ({predicate})"), F.lit(True))
+    )
     staged, part_phys = _physical_stage_args(state["metaData"], survivors)
     adds = _stage_data_files(staged, location, part_phys)
     now_ms = int(time.time() * 1000)

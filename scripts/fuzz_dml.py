@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import duckdb
 
 from check_exact import compare_exact
-from pg_datalake_spark.fuzz_dml import run_sequence
+from pg_datalake_spark.fuzz_dml import run_sequence, run_sequence_delta
 from pg_datalake_spark.session import build_session
 
 
@@ -32,6 +32,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=500)
     ap.add_argument("--start", type=int, default=0)
+    ap.add_argument("--backend", choices=["lake", "delta"], default="lake")
     args = ap.parse_args()
 
     spark = build_session()
@@ -43,13 +44,15 @@ def main() -> int:
     for seed in range(args.start, args.start + args.n):
         root = os.path.join(base, f"t{seed}")
         try:
-            problems, cov = run_sequence(spark, con, seed, root, compare_exact)
+            runner = (run_sequence if args.backend == "lake"
+                      else run_sequence_delta)
+            problems, cov = runner(spark, con, seed, root, compare_exact)
         except Exception as e:  # noqa: BLE001
             problems, cov = [f"seed {seed}: ENGINE ERROR {e}"], {
                 "mor": 0, "cow": 0, "dropped": 0, "ops": {}}
         failures.extend(problems)
         for k in agg:
-            agg[k] += cov[k]
+            agg[k] += cov.get(k, 0)
         shutil.rmtree(root, ignore_errors=True)
         if (seed - args.start + 1) % 25 == 0:
             print(

@@ -53,6 +53,24 @@ def test_replay_append_and_cow_delete(spark, delta_orders):
     assert got.filter("o_orderstatus IS NULL").count() == 0
 
 
+def test_delete_cow_keeps_null_predicate_rows(spark, tmp_path):
+    """r14 DML-fuzzer find (delta seed 1): DELETE removes only rows
+    where the predicate is TRUE — a NULL predicate (e.g. qty < 22 on a
+    NULL qty) means NOT MATCHED, and the row must survive on BOTH
+    delete paths. The COW path's bare filter(NOT pred) silently
+    dropped every NULL-predicate row; the DV path was already right."""
+    rows = [(1, 5), (2, None), (3, 40), (4, None)]
+    df = spark.createDataFrame(rows, "k long, qty long")
+    for mode in ("cow", "dv"):
+        loc = str(tmp_path / f"nullpred_{mode}")
+        dl.write_delta_table(df, loc)
+        dl.delete_where_delta(spark, loc, "qty < 22", mode=mode)
+        kept = sorted(
+            (r.k, r.qty) for r in dl.read_delta_table(spark, loc).collect()
+        )
+        assert kept == [(2, None), (3, 40), (4, None)], (mode, kept)
+
+
 def test_version_as_of_across_checkpoint(spark, delta_orders):
     loc, orders = delta_orders
     dl.delete_where_delta(spark, loc, "o_orderkey % 7 = 0")

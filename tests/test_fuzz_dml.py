@@ -32,9 +32,16 @@ from check_exact import compare_exact  # noqa: E402
 from pg_datalake_spark.fuzz_dml import DmlSequenceGen, run_sequence
 
 N_SEQ = int(os.environ.get("SPARK_GRAFT_FUZZ_DML_N", "200"))
+N_SEQ_DELTA = int(os.environ.get("SPARK_GRAFT_FUZZ_DML_DELTA_N", "60"))
 
 # Seeds that ever produced a state divergence, pinned forever.
 DML_REGRESSION_SEEDS: list[int] = []
+# Delta-runner pins: seed 1 found delete_where_delta(mode=cow)
+# silently deleting NULL-predicate rows (filter(NOT pred) drops the
+# NULL rows; PG/Delta keep them) — fixed via coalesce(..., TRUE);
+# minimal repro pinned in
+# test_delta_log.py::test_delete_cow_keeps_null_predicate_rows.
+DELTA_DML_REGRESSION_SEEDS: list[int] = [1]
 
 
 @pytest.fixture(scope="module")
@@ -83,13 +90,74 @@ def test_dml_fuzz_sweep(spark, dml_con, tmp_path_factory):
         assert op_counts.get(kind, 0) > 0, f"op {kind} never exercised"
 
 
+@pytest.mark.slow
+def test_dml_fuzz_sweep_delta(spark, dml_con, tmp_path_factory):
+    """The SAME generated sequences replayed through the DELTA writer
+    verb surface (append_delta / delete_where_delta with dv AND cow /
+    update_delta / merge_delta / optimize_delta / vacuum_delta) — the
+    repo's second write path. First sweep found a REAL bug: COW
+    delete dropped NULL-predicate rows (seed 1, pinned)."""
+    from pg_datalake_spark.fuzz_dml import run_sequence_delta
+
+    base = tmp_path_factory.mktemp("dml_fuzz_delta")
+    failures: list[str] = []
+    modes: set[str] = set()
+    op_counts: dict[str, int] = {}
+    for seed in range(N_SEQ_DELTA):
+        root = str(base / f"t{seed}")
+        try:
+            problems, cov = run_sequence_delta(
+                spark, dml_con, seed, root, compare_exact
+            )
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"delta seed {seed}: ENGINE ERROR {e}")
+            continue
+        failures.extend(problems)
+        modes.update(cov["modes"])
+        for k, v in cov["ops"].items():
+            op_counts[k] = op_counts.get(k, 0) + v
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+    assert not failures, "\n".join(failures[:10])
+    assert modes == {"dv", "cow"}, f"delete modes exercised: {modes}"
+    for kind in ("append", "delete", "update", "merge", "compact"):
+        assert op_counts.get(kind, 0) > 0, f"op {kind} never exercised"
+
+
 def test_dml_fuzz_regression_seeds(spark, dml_con, tmp_path_factory):
+    from pg_datalake_spark.fuzz_dml import run_sequence_delta
+
     base = tmp_path_factory.mktemp("dml_fuzz_pinned")
     for seed in DML_REGRESSION_SEEDS:
         problems, _ = run_sequence(
             spark, dml_con, seed, str(base / f"t{seed}"), compare_exact
         )
         assert not problems, problems
+    for seed in DELTA_DML_REGRESSION_SEEDS:
+        problems, _ = run_sequence_delta(
+            spark, dml_con, seed, str(base / f"d{seed}"), compare_exact
+        )
+        assert not problems, problems
+
+
+def test_concat_null_semantics_documented(spark, dml_con):
+    """Why the update-expression pool uses `note || '!'` and never
+    concat(): Spark's concat is NULL-if-any-argument-NULL, while
+    DuckDB (and PG's concat) SKIP null arguments — a guaranteed
+    false-positive divergence for the differential gate (r14
+    code-review find; seed 100's `update note = concat(note,'!')
+    WHERE note IS NULL` proved it). `||` NULL-propagates identically
+    on both engines. If either engine changes, this canary fails and
+    the generator pool can be revisited."""
+    s = spark.sql("SELECT concat(CAST(NULL AS STRING), '!') AS c, "
+                  "CAST(NULL AS STRING) || '!' AS p").collect()[0]
+    d = dml_con.execute(
+        "SELECT concat(CAST(NULL AS VARCHAR), '!') AS c, "
+        "CAST(NULL AS VARCHAR) || '!' AS p"
+    ).fetchone()
+    assert s.c is None and d[0] == "!"   # concat diverges
+    assert s.p is None and d[1] is None  # || agrees
 
 
 def test_dml_generator_deterministic():
