@@ -71,15 +71,34 @@ _SEGS = ["A", "B", "C", "D", "E"]
 _NOTES = ["alpha", "beta", "gamma", "delta", None]
 
 
+# seeds >= this base add SCHEMA EVOLUTION ops (add/rename/drop column)
+# to the sequence space — a NEW base so seeds below it stay byte-stable
+# (the pinned-regression rule from fuzz.py applied to DML sequences)
+SCHEMA_EVO_BASE = 10_000
+
+
 class DmlSequenceGen:
-    """One seeded mutation sequence (pure data — no engine objects)."""
+    """One seeded mutation sequence (pure data — no engine objects).
+
+    For seeds >= SCHEMA_EVO_BASE the op pool adds column evolution:
+    ``add_column`` (bigint, optional constant default — old files must
+    surface the default via field-id mapping), ``rename_column`` and
+    ``drop_column`` (both metadata-only; only evolution-added columns
+    are renamed/dropped so base-column references in later predicates
+    stay valid — dropped names are never re-added, keeping default
+    semantics unambiguous). Every op carries ``cols_after`` — the
+    authoritative visible-column list for the post-op state diff —
+    and appends/updates cover the live extra columns."""
 
     def __init__(self, seed: int):
         self.seed = seed
         self.rng = random.Random(0x5EED0 + seed)
+        self.extras: list[str] = []       # live evolution-added columns
+        self._next_x = 1
 
     # -- row batches --------------------------------------------------
-    def _rows(self, n: int, k_lo: int = 1, k_hi: int = 400) -> list[tuple]:
+    def _rows(self, n: int, k_lo: int = 1, k_hi: int = 400,
+              with_extras: bool = False) -> list[tuple]:
         rng = self.rng
         out = []
         for _ in range(n):
@@ -88,7 +107,13 @@ class DmlSequenceGen:
             qty = None if rng.random() < 0.1 else rng.randint(0, 100)
             price = rng.randint(0, 40000) / 4.0  # exact quarters
             note = rng.choice(_NOTES)
-            out.append((k, seg, qty, price, note))
+            row = (k, seg, qty, price, note)
+            if with_extras:
+                row += tuple(
+                    None if rng.random() < 0.2 else rng.randint(0, 99)
+                    for _ in self.extras
+                )
+            out.append(row)
         return out
 
     def _unique_key_rows(self, n: int) -> list[tuple]:
@@ -140,26 +165,34 @@ class DmlSequenceGen:
                                 "note || '!'"]),
             "seg": f"'{rng.choice(_SEGS)}'",
         }
+        for x in self.extras:
+            pool[x] = rng.choice([f"{x} + 1", "NULL", f"{rng.randint(0, 99)}"])
         cols = rng.sample(list(pool), rng.randint(1, 2))
         return {c: pool[c] for c in cols}
 
     # -- the sequence ---------------------------------------------------
     def generate(self) -> dict[str, Any]:
         rng = self.rng
+        evo = self.seed >= SCHEMA_EVO_BASE
         partition = rng.choice([None, ("identity", "seg"), ("bucket", "k", 4)])
         ops: list[dict[str, Any]] = [
             {"op": "append", "rows": self._rows(rng.randint(150, 350))}
         ]
         n_ops = rng.randint(4, 8)
+        kinds = ["append", "delete", "delete_eq", "update", "merge",
+                 "truncate", "compact", "expire"]
+        weights = [3, 4, 2, 3, 3, 0.3, 1, 1]
+        if evo:
+            kinds += ["add_column", "rename_column", "drop_column"]
+            weights += [2.0, 1.2, 1.0]
         for _ in range(n_ops):
-            kind = rng.choices(
-                ["append", "delete", "delete_eq", "update", "merge",
-                 "truncate", "compact", "expire"],
-                weights=[3, 4, 2, 3, 3, 0.3, 1, 1],
-            )[0]
+            kind = rng.choices(kinds, weights=weights)[0]
             if kind == "append":
                 ops.append(
-                    {"op": "append", "rows": self._rows(rng.randint(50, 200))}
+                    {"op": "append",
+                     "rows": self._rows(rng.randint(50, 200),
+                                        with_extras=True),
+                     "extras": list(self.extras)}
                 )
             elif kind == "delete":
                 ops.append({"op": "delete", "predicate": self._predicate()})
@@ -175,10 +208,37 @@ class DmlSequenceGen:
                 mode = rng.choice(["upsert", "delete", "insert_only"])
                 ops.append(
                     {"op": "merge", "mode": mode,
-                     "rows": self._unique_key_rows(rng.randint(20, 80))}
+                     "rows": self._unique_key_rows(rng.randint(20, 80)),
+                     "extras": list(self.extras)}
                 )
+            elif kind == "add_column":
+                name = f"x{self._next_x}"
+                self._next_x += 1
+                default = rng.choice([None, rng.randint(0, 9)])
+                self.extras.append(name)
+                ops.append({"op": "add_column", "name": name,
+                            "default": default})
+            elif kind == "rename_column":
+                if not self.extras:
+                    ops.append({"op": "compact"})
+                else:
+                    old = rng.choice(self.extras)
+                    new = old + "r"
+                    self.extras[self.extras.index(old)] = new
+                    ops.append({"op": "rename_column", "old": old,
+                                "new": new})
+            elif kind == "drop_column":
+                if not self.extras:
+                    ops.append({"op": "compact"})
+                else:
+                    name = self.extras.pop(
+                        rng.randrange(len(self.extras)))
+                    ops.append({"op": "drop_column", "name": name})
             else:
                 ops.append({"op": kind})
+            ops[-1]["cols_after"] = (
+                ["k", "seg", "qty", "price", "note"] + list(self.extras)
+            )
         return {"partition": partition, "ops": ops}
 
 
@@ -187,11 +247,22 @@ class DmlSequenceGen:
 # ---------------------------------------------------------------------------
 
 _TWIN_COLS = "k, seg, qty, price, note"
+_BASE_COLS = ["k", "seg", "qty", "price", "note"]
 
 
-def _twin_insert(con, twin: str, rows: list[tuple]) -> None:
+def _twin_insert(con, twin: str, rows: list[tuple],
+                 extras: list[str] | None = None) -> None:
+    cols = _BASE_COLS + list(extras or [])
+    ph = ", ".join("?" for _ in cols)
     con.executemany(
-        f"INSERT INTO {twin} VALUES (?, ?, ?, ?, ?)", rows
+        f"INSERT INTO {twin} ({', '.join(cols)}) VALUES ({ph})", rows
+    )
+
+
+def _schema_with(extras: list[str]) -> T.StructType:
+    return T.StructType(
+        list(SCHEMA.fields)
+        + [T.StructField(x, T.LongType()) for x in extras]
     )
 
 
@@ -215,9 +286,12 @@ def apply_op(
         # a handful of slices per batch: realistic multi-file layout
         # (per-file delete fractions vary around the predicate's
         # global fraction) without 32 near-empty files per append
-        df = spark.createDataFrame(op["rows"], SCHEMA).coalesce(4)
+        extras = op.get("extras") or []
+        df = spark.createDataFrame(
+            op["rows"], _schema_with(extras)
+        ).coalesce(4)
         table.append(df)
-        _twin_insert(con, twin, op["rows"])
+        _twin_insert(con, twin, op["rows"], extras)
     elif kind == "delete":
         info = table.delete(op["predicate"]) or {}
         con.execute(f"DELETE FROM {twin} WHERE {op['predicate']}")
@@ -267,7 +341,30 @@ def apply_op(
             con.execute(
                 f"DELETE FROM {twin} USING fuzz_src s WHERE {twin}.k = s.k"
             )
-        con.execute(f"INSERT INTO {twin} SELECT * FROM fuzz_ins")
+        extras = op.get("extras") or []
+        ins_cols = _BASE_COLS + list(extras)
+        ins_sel = ", ".join(_BASE_COLS) + "".join(
+            f", CAST(NULL AS BIGINT) AS {x}" for x in extras
+        )
+        con.execute(
+            f"INSERT INTO {twin} ({', '.join(ins_cols)}) "
+            f"SELECT {ins_sel} FROM fuzz_ins"
+        )
+    elif kind == "add_column":
+        table.add_column(op["name"], "bigint", op["default"])
+        d = op["default"]
+        con.execute(
+            f"ALTER TABLE {twin} ADD COLUMN {op['name']} BIGINT"
+            + (f" DEFAULT {d}" if d is not None else "")
+        )
+    elif kind == "rename_column":
+        table.rename_column(op["old"], op["new"])
+        con.execute(
+            f"ALTER TABLE {twin} RENAME COLUMN {op['old']} TO {op['new']}"
+        )
+    elif kind == "drop_column":
+        table.drop_column(op["name"])
+        con.execute(f"ALTER TABLE {twin} DROP COLUMN {op['name']}")
     elif kind == "truncate":
         table.truncate()
         con.execute(f"DELETE FROM {twin}")
@@ -316,9 +413,10 @@ def run_sequence(
             for key in ("mor", "cow", "dropped"):
                 cov[key] += int(info.get(key, 0) or 0)
             cov["ops"][op["op"]] = cov["ops"].get(op["op"], 0) + 1
-            got = table.scan().toPandas()
+            cols = op.get("cols_after") or _BASE_COLS
+            got = table.scan().select(*cols).toPandas()
             want = con.execute(
-                f"SELECT {_TWIN_COLS} FROM {twin}"
+                f"SELECT {', '.join(cols)} FROM {twin}"
             ).df()
             step_problems = compare(got, want)
             if step_problems:
@@ -414,8 +512,16 @@ def run_sequence_delta(spark, con, seed: int, root: str, compare):
     """Dual-apply the seed's sequence through the DELTA writer path.
     Same generator as :func:`run_sequence` (bucket partitioning maps
     to unpartitioned — hidden bucket transforms are a lake-format
-    concept). Returns (problems, op-coverage dict)."""
+    concept; schema-evolution seeds >= SCHEMA_EVO_BASE are rejected —
+    the minimal Delta writer has no ALTER verb surface). Returns
+    (problems, op-coverage dict)."""
     from pg_datalake_spark.tables import delta_log as dl
+
+    if seed >= SCHEMA_EVO_BASE:
+        raise ValueError(
+            "delta runner covers seeds < SCHEMA_EVO_BASE (no ALTER "
+            "verbs on the minimal Delta writer)"
+        )
 
     gen = DmlSequenceGen(seed).generate()
     part = gen["partition"]

@@ -125,6 +125,41 @@ def test_dml_fuzz_sweep_delta(spark, dml_con, tmp_path_factory):
         assert op_counts.get(kind, 0) > 0, f"op {kind} never exercised"
 
 
+@pytest.mark.slow
+def test_dml_fuzz_sweep_schema_evo(spark, dml_con, tmp_path_factory):
+    """Schema-evolution tier (seeds >= SCHEMA_EVO_BASE): sequences mix
+    add_column (with constant defaults old files must surface via
+    field-id mapping), rename_column and drop_column in with the DML
+    ops; appends/updates cover the live extra columns and the state
+    diff follows the evolving visible-column set. The DuckDB twin
+    mirrors with ALTER TABLE."""
+    from pg_datalake_spark.fuzz_dml import SCHEMA_EVO_BASE, DmlSequenceGen
+
+    n = int(os.environ.get("SPARK_GRAFT_FUZZ_DML_EVO_N", "40"))
+    base = tmp_path_factory.mktemp("dml_fuzz_evo")
+    failures: list[str] = []
+    evo_ops: dict[str, int] = {}
+    for seed in range(SCHEMA_EVO_BASE, SCHEMA_EVO_BASE + n):
+        root = str(base / f"t{seed}")
+        for op in DmlSequenceGen(seed).generate()["ops"]:
+            if op["op"] in ("add_column", "rename_column", "drop_column"):
+                evo_ops[op["op"]] = evo_ops.get(op["op"], 0) + 1
+        try:
+            problems, _ = run_sequence(
+                spark, dml_con, seed, root, compare_exact
+            )
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"evo seed {seed}: ENGINE ERROR {e}")
+            continue
+        failures.extend(problems)
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+    assert not failures, "\n".join(failures[:10])
+    for kind in ("add_column", "rename_column", "drop_column"):
+        assert evo_ops.get(kind, 0) > 0, f"{kind} never generated: {evo_ops}"
+
+
 def test_dml_fuzz_regression_seeds(spark, dml_con, tmp_path_factory):
     from pg_datalake_spark.fuzz_dml import run_sequence_delta
 
