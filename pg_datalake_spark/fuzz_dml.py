@@ -183,8 +183,14 @@ class DmlSequenceGen:
                  "truncate", "compact", "expire"]
         weights = [3, 4, 2, 3, 3, 0.3, 1, 1]
         if evo:
-            kinds += ["add_column", "rename_column", "drop_column"]
-            weights += [2.0, 1.2, 1.0]
+            # PARTITION-SPEC evolution rides the same tier: metadata-
+            # only relayout — later appends use the new spec, existing
+            # files keep their recorded layout, and subsequent deletes
+            # must prune correctly across the MIXED layouts; visible
+            # state never changes (twin no-op at the repartition step)
+            kinds += ["add_column", "rename_column", "drop_column",
+                      "repartition"]
+            weights += [2.0, 1.2, 1.0, 1.0]
         for _ in range(n_ops):
             kind = rng.choices(kinds, weights=weights)[0]
             if kind == "append":
@@ -234,6 +240,13 @@ class DmlSequenceGen:
                     name = self.extras.pop(
                         rng.randrange(len(self.extras)))
                     ops.append({"op": "drop_column", "name": name})
+            elif kind == "repartition":
+                ops.append({
+                    "op": "repartition",
+                    "spec": rng.choice(
+                        [None, ("identity", "seg"), ("bucket", "k", 4)]
+                    ),
+                })
             else:
                 ops.append({"op": kind})
             ops[-1]["cols_after"] = (
@@ -365,6 +378,17 @@ def apply_op(
     elif kind == "drop_column":
         table.drop_column(op["name"])
         con.execute(f"ALTER TABLE {twin} DROP COLUMN {op['name']}")
+    elif kind == "repartition":
+        spec = op["spec"]
+        if spec is None:
+            table.set_partition_spec([])
+        elif spec[0] == "identity":
+            table.set_partition_spec([PartitionField(spec[1])])
+        else:
+            table.set_partition_spec(
+                [PartitionField(spec[1], "bucket", spec[2])]
+            )
+        # twin: partition layout is physical only — state must not move
     elif kind == "truncate":
         table.truncate()
         con.execute(f"DELETE FROM {twin}")

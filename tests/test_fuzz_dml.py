@@ -129,10 +129,12 @@ def test_dml_fuzz_sweep_delta(spark, dml_con, tmp_path_factory):
 def test_dml_fuzz_sweep_schema_evo(spark, dml_con, tmp_path_factory):
     """Schema-evolution tier (seeds >= SCHEMA_EVO_BASE): sequences mix
     add_column (with constant defaults old files must surface via
-    field-id mapping), rename_column and drop_column in with the DML
-    ops; appends/updates cover the live extra columns and the state
-    diff follows the evolving visible-column set. The DuckDB twin
-    mirrors with ALTER TABLE."""
+    field-id mapping), rename_column, drop_column AND partition-spec
+    evolution (repartition among none/identity/bucket — mixed layouts
+    must prune correctly under later deletes, twin-invisible) in with
+    the DML ops; appends/updates cover the live extra columns and the
+    state diff follows the evolving visible-column set. The DuckDB
+    twin mirrors with ALTER TABLE."""
     from pg_datalake_spark.fuzz_dml import SCHEMA_EVO_BASE, DmlSequenceGen
 
     n = int(os.environ.get("SPARK_GRAFT_FUZZ_DML_EVO_N", "40"))
@@ -142,7 +144,8 @@ def test_dml_fuzz_sweep_schema_evo(spark, dml_con, tmp_path_factory):
     for seed in range(SCHEMA_EVO_BASE, SCHEMA_EVO_BASE + n):
         root = str(base / f"t{seed}")
         for op in DmlSequenceGen(seed).generate()["ops"]:
-            if op["op"] in ("add_column", "rename_column", "drop_column"):
+            if op["op"] in ("add_column", "rename_column", "drop_column",
+                            "repartition"):
                 evo_ops[op["op"]] = evo_ops.get(op["op"], 0) + 1
         try:
             problems, _ = run_sequence(
@@ -156,7 +159,8 @@ def test_dml_fuzz_sweep_schema_evo(spark, dml_con, tmp_path_factory):
 
         shutil.rmtree(root, ignore_errors=True)
     assert not failures, "\n".join(failures[:10])
-    for kind in ("add_column", "rename_column", "drop_column"):
+    for kind in ("add_column", "rename_column", "drop_column",
+                 "repartition"):
         assert evo_ops.get(kind, 0) > 0, f"{kind} never generated: {evo_ops}"
 
 
