@@ -1712,6 +1712,14 @@ def _delete_where_dv(
     inline_threshold: int,
 ) -> int:
     meta = state["metaData"]
+    if not state["adds"]:
+        # DELETE on a zero-file table (e.g. a PARTITIONED table right
+        # after a truncating COW delete — empty staged writes produce
+        # no partition dirs, hence no adds) is a no-op, not a plan
+        # over zero files — r14 DML fuzzer find (delta seed 157:
+        # truncate → DV delete raised IndexError building the scan
+        # union). No commit; the current version is returned.
+        return state["version"]
     schema, part_cols, by_type, phys, data_schema, out_cols = _scan_plan(meta)
     if _cm_mode(meta) == "id":
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")

@@ -71,6 +71,32 @@ def test_delete_cow_keeps_null_predicate_rows(spark, tmp_path):
         assert kept == [(2, None), (3, 40), (4, None)], (mode, kept)
 
 
+def test_dv_delete_on_empty_table_is_noop(spark, tmp_path):
+    """r14 DML-fuzzer find (delta seed 157): a DV-mode DELETE on a
+    ZERO-FILE table raised IndexError building the scan union. The
+    zero-add state needs a PARTITIONED table — a truncating COW
+    delete stages an empty frame, which writes no partition dirs and
+    hence no adds (an unpartitioned empty write leaves one empty part
+    file). DELETE on empty is a no-op on every path, like PG: no new
+    commit, current version returned."""
+    loc = str(tmp_path / "emptydv")
+    dl.write_delta_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, seg string"),
+        loc, partition_by=["seg"],
+    )
+    v_trunc = dl.delete_where_delta(spark, loc, "true", mode="cow")
+    assert dl.read_delta_table(spark, loc).count() == 0
+    st = dl._snapshot_state(spark, loc, None)
+    assert not st["adds"], "truncating a partitioned table leaves 0 adds"
+    assert dl.delete_where_delta(spark, loc, "k < 5", mode="dv") == v_trunc
+    assert dl.read_delta_table(spark, loc).count() == 0
+    # and the table still takes appends afterwards
+    dl.append_delta(
+        spark.createDataFrame([(3, "c")], "k long, seg string"), loc
+    )
+    assert dl.read_delta_table(spark, loc).count() == 1
+
+
 def test_version_as_of_across_checkpoint(spark, delta_orders):
     loc, orders = delta_orders
     dl.delete_where_delta(spark, loc, "o_orderkey % 7 = 0")

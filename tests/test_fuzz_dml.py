@@ -41,7 +41,11 @@ DML_REGRESSION_SEEDS: list[int] = []
 # NULL rows; PG/Delta keep them) — fixed via coalesce(..., TRUE);
 # minimal repro pinned in
 # test_delta_log.py::test_delete_cow_keeps_null_predicate_rows.
-DELTA_DML_REGRESSION_SEEDS: list[int] = [1]
+# Seed 157 found _delete_where_dv raising IndexError on an EMPTY
+# table (truncate → DV delete; DELETE on empty must be a no-op) —
+# fixed with an early return, minimal repro pinned in
+# test_delta_log.py::test_dv_delete_on_empty_table_is_noop.
+DELTA_DML_REGRESSION_SEEDS: list[int] = [1, 157]
 
 
 @pytest.fixture(scope="module")
