@@ -462,7 +462,8 @@ _TAIL_ACTION_DDL = (
     "add struct<path:string,partitionValues:map<string,string>,"
     "size:bigint,modificationTime:bigint,dataChange:boolean,stats:string,"
     "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
-    "offset:bigint,sizeInBytes:bigint,cardinality:bigint>>, "
+    "offset:bigint,sizeInBytes:bigint,cardinality:bigint,"
+    "maxRowIndex:bigint>>, "
     "remove struct<path:string>"
 )
 

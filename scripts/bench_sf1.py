@@ -107,7 +107,12 @@ def main() -> None:
             f"{args.sf1_dir} missing — run: python scripts/make_sf1.py {args.sf1_dir}"
         )
     load_1min = os.getloadavg()[0]
-    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # absolute µs·core/row is only meaningful with the real core count;
+    # SPARK_GRAFT_CPUS wins when set (it sizes local[N]), else the
+    # machine's — and the value used is recorded in the output JSON
+    cores = int(
+        os.environ.get("SPARK_GRAFT_CPUS") or (os.cpu_count() or 32)
+    )
 
     small_runs: list[dict] = []
     big_runs: list[dict] = []
@@ -157,6 +162,7 @@ def main() -> None:
         "per_row_cost": per_row,
         "load_1min": round(load_1min, 2),
         "runs_per_leg": args.runs,
+        "cores_used": cores,
     }
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1)

@@ -24,7 +24,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import duckdb
 
 from check_exact import compare_exact
-from pg_datalake_spark.fuzz_dml import run_sequence, run_sequence_delta
+from pg_datalake_spark.fuzz_dml import (
+    SCHEMA_EVO_BASE,
+    run_sequence,
+    run_sequence_delta,
+)
 from pg_datalake_spark.session import build_session
 
 
@@ -34,6 +38,15 @@ def main() -> int:
     ap.add_argument("--start", type=int, default=0)
     ap.add_argument("--backend", choices=["lake", "delta"], default="lake")
     args = ap.parse_args()
+
+    # the delta runner rejects schema-evolution seeds per-sequence; an
+    # incompatible range would otherwise read as n ENGINE ERRORs
+    if args.backend == "delta" and args.start + args.n > SCHEMA_EVO_BASE:
+        raise SystemExit(
+            f"--backend delta only supports seeds < {SCHEMA_EVO_BASE} "
+            f"(schema-evolution tier is lake-only); got "
+            f"[{args.start}, {args.start + args.n})"
+        )
 
     spark = build_session()
     con = duckdb.connect()
@@ -48,8 +61,10 @@ def main() -> int:
                       else run_sequence_delta)
             problems, cov = runner(spark, con, seed, root, compare_exact)
         except Exception as e:  # noqa: BLE001
-            problems, cov = [f"seed {seed}: ENGINE ERROR {e}"], {
-                "mor": 0, "cow": 0, "dropped": 0, "ops": {}}
+            empty = ({"mor": 0, "cow": 0, "dropped": 0, "ops": {}}
+                     if args.backend == "lake"
+                     else {"ops": {}, "modes": []})
+            problems, cov = [f"seed {seed}: ENGINE ERROR {e}"], empty
         failures.extend(problems)
         for k in agg:
             agg[k] += cov.get(k, 0)

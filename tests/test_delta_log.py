@@ -1931,6 +1931,54 @@ def test_foreign_writer_extra_add_fields_replay_identically(
     assert dl.read_delta_table(spark, loc).count() == 15
 
 
+def test_foreign_writer_dv_max_row_index_replay_identically(
+    spark, tmp_path, monkeypatch
+):
+    """r15 (ADVICE item 1): a foreign-writer DV descriptor may carry
+    the optional maxRowIndex field. Both replay paths must keep it —
+    the driver JSON replay retains the DV dict wholesale, so the
+    distributed tail's read schema needs the field too, or snapshot
+    dicts become path-dependent and the json.dumps DV identity
+    comparison in the writer verbs misfires."""
+    import json as _json
+
+    loc = str(tmp_path / "dvmax")
+    dl.write_delta_table(
+        spark.range(20).selectExpr("id", "id % 3 as k"), loc
+    )
+    dl.write_delta_checkpoint(spark, loc)
+    dl.delete_where_delta(spark, loc, "k = 1", mode="dv")
+    # forge maxRowIndex onto the DV-bearing tail add
+    cpath = dl._commit_path(loc, 1)
+    lines = open(cpath).read().splitlines()
+    out, decorated = [], 0
+    for ln in lines:
+        d = _json.loads(ln)
+        if "add" in d and d["add"].get("deletionVector"):
+            d["add"]["deletionVector"]["maxRowIndex"] = 19
+            decorated += 1
+        out.append(_json.dumps(d))
+    assert decorated
+    with open(cpath, "w") as fh:
+        fh.write("\n".join(out) + "\n")
+
+    st_driver = dl._snapshot_state(spark, loc, None)
+    monkeypatch.setattr(dl, "_TAIL_DRIVER_BYTES", 0)
+    st_dist = dl._snapshot_state(spark, loc, None)
+    monkeypatch.undo()
+    assert st_driver["adds"].keys() == st_dist["adds"].keys()
+    dv_seen = 0
+    for p, a in st_driver["adds"].items():
+        b = st_dist["adds"][p]
+        assert a == b, p
+        if a.get("deletionVector"):
+            dv_seen += 1
+            assert a["deletionVector"].get("maxRowIndex") == 19
+    assert dv_seen
+    # and the DV still filters through both paths
+    assert dl.read_delta_table(spark, loc).count() == 13
+
+
 def test_tail_getsize_failure_routes_to_distributed_path(
     spark, tmp_path, monkeypatch
 ):

@@ -47,12 +47,13 @@ def test_guarded_min_mid_spoofed_violation_fails_loud(spark):
 
 def test_exchange_reuse_off_fails_loud(spark):
     df = spark.range(100).withColumn("k", F.col("id") % 7)
+    prev = spark.conf.get("spark.sql.exchange.reuse", "true")
     spark.conf.set("spark.sql.exchange.reuse", "false")
     try:
         with pytest.raises(RuntimeError, match="exchange.reuse"):
             pg_distributed_row_number(df, ["k", "id"])
     finally:
-        spark.conf.set("spark.sql.exchange.reuse", "true")
+        spark.conf.set("spark.sql.exchange.reuse", prev)
     # and with the conf restored the helper still works end-to-end
     rows = (
         pg_distributed_row_number(df, ["k", "id"], alias="rn")
