@@ -143,6 +143,10 @@ def load_table_metadata(location: str, metadata_file: str | None = None) -> dict
     m = re.match(r"^v?(\d+)", os.path.basename(_local(metadata_file)))
     if m:
         meta["_loaded-version"] = int(m.group(1))
+    # the actual file this state was loaded from (in-memory only) —
+    # lets copy-on-write verbs re-read the exact same version even
+    # when the filename is not the v{N}.metadata.json convention
+    meta["_metadata-file"] = _local(metadata_file)
     return meta
 
 
@@ -1638,14 +1642,45 @@ def add_position_deletes_df(location: str, deletes: DataFrame) -> int:
     return _commit_delete_files(location, meta, files)
 
 
-def overwrite_snapshot(df: DataFrame, location: str) -> int:
+def _pinned_cow_read(spark: SparkSession, location: str):
+    """Load table metadata ONCE and scan exactly that version.
+
+    Every copy-on-write verb must transform the SAME snapshot its
+    commit slot is based on: loading metadata inside the verb for the
+    read and again inside :func:`overwrite_snapshot` for the commit
+    opens a lost-update window — a concurrent append that lands
+    between the two loads is silently overwritten by the rewrite,
+    because the exclusive-create CAS targets the FRESH load's version
+    + 1 (r15 concurrent-writer fuzzer class; same shape as the r12
+    version-hint re-read bug at :func:`_commit_version_slot`).
+    Returns ``(meta, df)`` — pass ``meta`` to ``overwrite_snapshot``'s
+    ``base_meta`` so the commit conflicts (and the caller retries)
+    instead of dropping the concurrent writer's rows."""
+    meta = load_table_metadata(location)
+    return meta, read_iceberg_table(
+        spark, location, metadata_file=meta["_metadata-file"]
+    )
+
+
+def overwrite_snapshot(
+    df: DataFrame, location: str, base_meta: dict | None = None
+) -> int:
     """Commit an OVERWRITE snapshot: the table's contents are replaced
     by ``df`` (new data files in a fresh manifest list that references
     no prior manifest). Prior snapshots stay pinned-readable until
     :func:`expire_snapshots` reclaims them. Honors the table's
     partition spec (identity and time/truncate transforms), like
-    :func:`append_snapshot`."""
-    meta = load_table_metadata(location)
+    :func:`append_snapshot`.
+
+    ``base_meta`` — the metadata dict the OVERWRITE's input was READ
+    from (see :func:`_pinned_cow_read`). The commit slot is computed
+    from it, so a concurrent commit since that read makes this commit
+    raise :class:`CommitConflictError` instead of silently dropping
+    the concurrent writer's changes. Callers that pass a standalone
+    ``df`` (replacing the table with externally-computed contents)
+    may omit it — then the current metadata is loaded here and the
+    overwrite is last-writer-wins over the tip."""
+    meta = base_meta if base_meta is not None else load_table_metadata(location)
     ice_schema = current_schema(meta)
     expected = [f["name"] for f in ice_schema["fields"]]
     if [f.name for f in df.schema.fields] != expected:
@@ -1861,8 +1896,12 @@ def delete_where(spark: SparkSession, location: str, predicate: str) -> int:
     For large tables with small deletes prefer the merge-on-read
     :func:`add_position_deletes` / :func:`add_equality_deletes` — this
     is the full-rewrite path (the reference's COW mode)."""
-    cur = read_iceberg_table(spark, location)
-    return overwrite_snapshot(cur.filter(f"NOT ({predicate})"), location)
+    meta, cur = _pinned_cow_read(spark, location)
+    # NOT(pred) is NULL for NULL-predicate rows — those rows did NOT
+    # match the delete and must be kept (the r14 delta COW fuzzer find,
+    # delta_log.py delete_where_delta; same form here)
+    kept = cur.filter(F.coalesce(F.expr(f"NOT ({predicate})"), F.lit(True)))
+    return overwrite_snapshot(kept, location, base_meta=meta)
 
 
 def update_where(
@@ -1873,7 +1912,7 @@ def update_where(
     everything else is rewritten unchanged in the same OVERWRITE
     commit (single-snapshot atomicity, like the reference's COW
     update)."""
-    cur = read_iceberg_table(spark, location)
+    meta, cur = _pinned_cow_read(spark, location)
     types = {f.name: f.dataType for f in cur.schema.fields}
     cols = [
         F.when(F.expr(predicate), F.expr(set_exprs[c]).cast(types[c]))
@@ -1883,7 +1922,7 @@ def update_where(
         else F.col(c)
         for c in cur.columns
     ]
-    return overwrite_snapshot(cur.select(*cols), location)
+    return overwrite_snapshot(cur.select(*cols), location, base_meta=meta)
 
 
 def expire_snapshots(location: str, keep_last: int = 1) -> dict:
@@ -2179,7 +2218,7 @@ def merge_into(
 
     Duplicate source keys are rejected (ANSI MERGE's cardinality
     rule) — a nondeterministic multi-update must fail loud."""
-    cur = read_iceberg_table(spark, location)
+    base_meta, cur = _pinned_cow_read(spark, location)
     tgt_cols = cur.columns
     dup = source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).collect()
     if dup:
@@ -2229,7 +2268,7 @@ def merge_into(
         .filter(tgt_present | (src_present & F.lit(insert_not_matched)))
         .select(*out_cols)
     )
-    return overwrite_snapshot(result, location)
+    return overwrite_snapshot(result, location, base_meta=base_meta)
 
 
 def compact_files(
@@ -2241,16 +2280,22 @@ def compact_files(
     ONE OVERWRITE snapshot — the reference's OPTIMIZE maintenance.
     Prior snapshots stay pinned-readable until expire_snapshots.
     Returns {"files_before", "files_after", "snapshot_id"}."""
+    meta = load_table_metadata(location)
+    mf = meta["_metadata-file"]
     data_files = [
         d["file_path"]
-        for d in _live_entries(location, None, None)
+        for d in _live_entries(location, None, mf)
         if (d.get("content", 0) or 0) == 0
     ]
     n_before = len(data_files)
     total_bytes = sum(os.path.getsize(_local(p)) for p in data_files)
     n_out = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
-    cur = read_iceberg_table(spark, location)  # deletes applied here
-    snap_id = overwrite_snapshot(cur.repartition(n_out), location)
+    # pinned to the SAME metadata version the commit slot is based on
+    # (deletes applied here) — see _pinned_cow_read
+    cur = read_iceberg_table(spark, location, metadata_file=mf)
+    snap_id = overwrite_snapshot(
+        cur.repartition(n_out), location, base_meta=meta
+    )
     after, _ = snapshot_files(location)
     return {
         "files_before": n_before,

@@ -404,3 +404,96 @@ def test_txn_reader_pinned_while_writer_rebases(spark, tmp_path, lake_roots):
     # the rebased txn's refresh is visible live; the pin never moved
     assert cat.read_table(spark, "t0").count() == base_n + 5
     assert pinned.read_table(spark, "t0").count() == base_n
+
+
+# ---------------------------------------------------------------------------
+# r15: the COW read-to-commit window. delete_where/update_where/
+# merge_into/compact_files read the table, transform, and commit an
+# OVERWRITE — the commit slot must be based on the version the data
+# was READ at, or a concurrent append landing between the read and the
+# commit is silently overwritten (lost update).
+# ---------------------------------------------------------------------------
+
+
+def test_iceberg_cow_delete_conflicts_instead_of_losing_append(
+    spark, tmp_path, monkeypatch
+):
+    """A writer lands an append while a COW delete is between its read
+    and its commit: the delete must raise CommitConflictError (stale
+    base), and the retried delete must see the appended rows — never
+    silently drop them."""
+    from pg_datalake_spark.tables import iceberg_external as ie
+
+    loc = str(tmp_path / "cowrace")
+    export_iceberg_snapshot(_mk(spark, 0, 10), loc)
+
+    real_overwrite = ie.overwrite_snapshot
+    fired = {"done": False}
+
+    def racing_overwrite(df, location, base_meta=None):
+        # simulate the concurrent writer: an append lands AFTER the
+        # delete's read, BEFORE its commit (one-shot so the retry
+        # doesn't loop)
+        if not fired["done"]:
+            fired["done"] = True
+            append_snapshot(_mk(spark, 100, 105), location)
+        return real_overwrite(df, location, base_meta=base_meta)
+
+    monkeypatch.setattr(ie, "overwrite_snapshot", racing_overwrite)
+    with pytest.raises(CommitConflictError):
+        ie.delete_where(spark, loc, "k < 5")
+    monkeypatch.undo()
+
+    # caller-side retry (the documented contract) now sees the append
+    ie.delete_where(spark, loc, "k < 5")
+    keys = sorted(r.k for r in read_iceberg_table(spark, loc).collect())
+    assert keys == [5, 6, 7, 8, 9, 100, 101, 102, 103, 104]
+
+
+def test_iceberg_cow_merge_conflicts_instead_of_losing_append(
+    spark, tmp_path, monkeypatch
+):
+    """Same window through merge_into: the appended rows survive."""
+    from pg_datalake_spark.tables import iceberg_external as ie
+
+    loc = str(tmp_path / "mergerace")
+    export_iceberg_snapshot(_mk(spark, 0, 10), loc)
+
+    real_overwrite = ie.overwrite_snapshot
+    fired = {"done": False}
+
+    def racing_overwrite(df, location, base_meta=None):
+        if not fired["done"]:
+            fired["done"] = True
+            append_snapshot(_mk(spark, 200, 203), location)
+        return real_overwrite(df, location, base_meta=base_meta)
+
+    src = _mk(spark, 0, 3).withColumn("v", F.col("v") + 1000)
+    monkeypatch.setattr(ie, "overwrite_snapshot", racing_overwrite)
+    with pytest.raises(CommitConflictError):
+        ie.merge_into(spark, loc, src, on=["k"],
+                      when_matched_update={"v": "src.v"})
+    monkeypatch.undo()
+
+    ie.merge_into(spark, loc, src, on=["k"],
+                  when_matched_update={"v": "src.v"})
+    rows = {r.k: r.v for r in read_iceberg_table(spark, loc).collect()}
+    assert rows[200] == 400 and rows[202] == 404, "appended rows lost"
+    assert rows[0] == 1000 and rows[2] == 1004
+
+
+def test_iceberg_cow_delete_keeps_null_predicate_rows(spark, tmp_path):
+    """DELETE WHERE qty < 5 must KEEP rows whose qty is NULL (the
+    predicate is NULL there, not true) — the r14 delta COW find, same
+    form on the external-Iceberg COW delete."""
+    from pg_datalake_spark.tables import iceberg_external as ie
+
+    loc = str(tmp_path / "nullpred")
+    df = spark.createDataFrame(
+        [(1, 2), (2, None), (3, 50), (4, None), (5, 3)],
+        "k long, qty long",
+    )
+    export_iceberg_snapshot(df, loc)
+    ie.delete_where(spark, loc, "qty < 5")
+    keys = sorted(r.k for r in read_iceberg_table(spark, loc).collect())
+    assert keys == [2, 3, 4], f"NULL-predicate rows dropped: {keys}"
