@@ -288,52 +288,26 @@ def _src_view(con, name: str, rows: list[tuple]) -> None:
     con.executemany(f"INSERT INTO {name} VALUES (?, ?, ?, ?, ?)", rows)
 
 
-def apply_op(
-    spark: SparkSession, table: LakeTable, con, twin: str, op: dict
-) -> dict:
-    """Apply one op to BOTH engines; returns the lake op's result dict
-    (strategy counters) for coverage accounting."""
+def apply_twin(con, twin: str, op: dict) -> None:
+    """Apply one op's DuckDB twin-side effect only. Shared by
+    the single-writer runners (which apply both engines in lockstep)
+    and the concurrent-interleaving runner (which replays the twin
+    serially in COMMIT order after the race). Maintenance ops
+    (compact/expire/repartition) are twin no-ops by design — the diff
+    then asserts they never change visible state."""
     kind = op["op"]
-    info: dict = {}
     if kind == "append":
-        # a handful of slices per batch: realistic multi-file layout
-        # (per-file delete fractions vary around the predicate's
-        # global fraction) without 32 near-empty files per append
-        extras = op.get("extras") or []
-        df = spark.createDataFrame(
-            op["rows"], _schema_with(extras)
-        ).coalesce(4)
-        table.append(df)
-        _twin_insert(con, twin, op["rows"], extras)
+        _twin_insert(con, twin, op["rows"], op.get("extras") or [])
     elif kind == "delete":
-        info = table.delete(op["predicate"]) or {}
         con.execute(f"DELETE FROM {twin} WHERE {op['predicate']}")
     elif kind == "delete_eq":
-        keys_df = spark.createDataFrame(
-            [(k,) for k in op["keys"]], "k long"
-        )
-        table.delete_equality(keys_df, ["k"])
         ks = ", ".join(str(k) for k in op["keys"])
         con.execute(f"DELETE FROM {twin} WHERE k IN ({ks})")
     elif kind == "update":
-        table.update(op["set"], op["predicate"])
         sets = ", ".join(f"{c} = {e}" for c, e in op["set"].items())
         con.execute(f"UPDATE {twin} SET {sets} WHERE {op['predicate']}")
     elif kind == "merge":
-        src = spark.createDataFrame(op["rows"], SCHEMA)
         mode = op["mode"]
-        info = table.merge(
-            src,
-            on="k",
-            when_matched_update=(
-                {"seg": "src.seg", "qty": "src.qty", "price": "src.price",
-                 "note": "src.note"}
-                if mode == "upsert"
-                else None
-            ),
-            when_matched_delete=(mode == "delete"),
-            when_not_matched_insert=True,
-        )
         _src_view(con, "fuzz_src", op["rows"])
         # inserts are selected against the PRE-merge state (the lake
         # merge anti-joins scan() before committing) — materialize
@@ -363,6 +337,59 @@ def apply_op(
             f"INSERT INTO {twin} ({', '.join(ins_cols)}) "
             f"SELECT {ins_sel} FROM fuzz_ins"
         )
+    elif kind == "truncate":
+        con.execute(f"DELETE FROM {twin}")
+    elif kind in ("compact", "expire", "repartition"):
+        pass  # maintenance: visible state must not move
+    else:  # pragma: no cover
+        raise ValueError(f"no twin mapping for op {kind}")
+
+
+def apply_op(
+    spark: SparkSession, table: LakeTable, con, twin: str, op: dict
+) -> dict:
+    """Apply one op to BOTH engines; returns the lake op's result dict
+    (strategy counters) for coverage accounting."""
+    kind = op["op"]
+    info: dict = {}
+    if kind == "append":
+        # a handful of slices per batch: realistic multi-file layout
+        # (per-file delete fractions vary around the predicate's
+        # global fraction) without 32 near-empty files per append
+        extras = op.get("extras") or []
+        df = spark.createDataFrame(
+            op["rows"], _schema_with(extras)
+        ).coalesce(4)
+        table.append(df)
+        apply_twin(con, twin, op)
+    elif kind == "delete":
+        info = table.delete(op["predicate"]) or {}
+        apply_twin(con, twin, op)
+    elif kind == "delete_eq":
+        keys_df = spark.createDataFrame(
+            [(k,) for k in op["keys"]], "k long"
+        )
+        table.delete_equality(keys_df, ["k"])
+        apply_twin(con, twin, op)
+    elif kind == "update":
+        table.update(op["set"], op["predicate"])
+        apply_twin(con, twin, op)
+    elif kind == "merge":
+        src = spark.createDataFrame(op["rows"], SCHEMA)
+        mode = op["mode"]
+        info = table.merge(
+            src,
+            on="k",
+            when_matched_update=(
+                {"seg": "src.seg", "qty": "src.qty", "price": "src.price",
+                 "note": "src.note"}
+                if mode == "upsert"
+                else None
+            ),
+            when_matched_delete=(mode == "delete"),
+            when_not_matched_insert=True,
+        )
+        apply_twin(con, twin, op)
     elif kind == "add_column":
         table.add_column(op["name"], "bigint", op["default"])
         d = op["default"]
@@ -391,7 +418,7 @@ def apply_op(
         # twin: partition layout is physical only — state must not move
     elif kind == "truncate":
         table.truncate()
-        con.execute(f"DELETE FROM {twin}")
+        apply_twin(con, twin, op)
     elif kind == "compact":
         info = table.compact() or {}
     elif kind == "expire":
@@ -478,18 +505,13 @@ def apply_op_delta(spark, root: str, con, twin: str, op: dict,
     if kind == "append":
         df = spark.createDataFrame(op["rows"], SCHEMA).coalesce(4)
         dl.append_delta(df, root)
-        _twin_insert(con, twin, op["rows"])
     elif kind == "delete":
         dl.delete_where_delta(spark, root, op["predicate"], mode=mode)
-        con.execute(f"DELETE FROM {twin} WHERE {op['predicate']}")
     elif kind == "delete_eq":
         ks = ", ".join(str(k) for k in op["keys"])
         dl.delete_where_delta(spark, root, f"k IN ({ks})", mode=mode)
-        con.execute(f"DELETE FROM {twin} WHERE k IN ({ks})")
     elif kind == "update":
         dl.update_delta(spark, root, op["set"], where=op["predicate"])
-        sets = ", ".join(f"{c} = {e}" for c, e in op["set"].items())
-        con.execute(f"UPDATE {twin} SET {sets} WHERE {op['predicate']}")
     elif kind == "merge":
         src = spark.createDataFrame(op["rows"], SCHEMA)
         m = op["mode"]
@@ -503,33 +525,15 @@ def apply_op_delta(spark, root: str, con, twin: str, op: dict,
             when_matched_delete=("true" if m == "delete" else None),
             when_not_matched_insert=True,
         )
-        _src_view(con, "fuzz_src", op["rows"])
-        con.execute("DROP TABLE IF EXISTS fuzz_ins")
-        con.execute(
-            "CREATE TEMP TABLE fuzz_ins AS "
-            f"SELECT s.* FROM fuzz_src s "
-            f"WHERE NOT EXISTS (SELECT 1 FROM {twin} t WHERE t.k = s.k)"
-        )
-        if m == "upsert":
-            con.execute(
-                f"UPDATE {twin} SET seg = s.seg, qty = s.qty, "
-                f"price = s.price, note = s.note "
-                f"FROM fuzz_src s WHERE {twin}.k = s.k"
-            )
-        elif m == "delete":
-            con.execute(
-                f"DELETE FROM {twin} USING fuzz_src s WHERE {twin}.k = s.k"
-            )
-        con.execute(f"INSERT INTO {twin} SELECT * FROM fuzz_ins")
     elif kind == "truncate":
         dl.delete_where_delta(spark, root, "true", mode="cow")
-        con.execute(f"DELETE FROM {twin}")
     elif kind == "compact":
         dl.optimize_delta(spark, root)
     elif kind == "expire":
         dl.vacuum_delta(spark, root, retain_last=1, retention_ms=0)
     else:  # pragma: no cover
         raise ValueError(f"unknown op {kind}")
+    apply_twin(con, twin, op)
 
 
 def run_sequence_delta(spark, con, seed: int, root: str, compare):

@@ -509,7 +509,11 @@ def read_iceberg_table(
     pos_del = [e for e in entries if e["content"] == 1]
     eq_del = [e for e in entries if e["content"] == 2]
     if not data:
-        raise ValueError(f"snapshot has no data files under {location}")
+        # a zero-data-file snapshot is a legitimate state (a COW
+        # delete/overwrite that removed every row) — an empty typed
+        # scan, not an error (r15 concurrent-fuzzer find: a truncate
+        # racing other writers left readers crashing on the winner)
+        return spark.createDataFrame([], _spark_ddl(ice_schema))
     # mergeSchema: files written before a schema evolution lack the
     # added columns — the merged scan surfaces them as nulls (footer
     # reads only, distributed)
