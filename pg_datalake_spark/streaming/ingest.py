@@ -253,6 +253,7 @@ def streaming_dedup_ingest(
     event_time_col: str | None = None,
     watermark: str = "1 hour",
     fmt: str = "parquet",
+    **reader_options,
 ) -> int:
     """Exactly-once ingest with STREAMING DEDUPLICATION: duplicate
     keys arriving across micro-batches (at-least-once upstreams,
@@ -272,7 +273,9 @@ def streaming_dedup_ingest(
         n_batches += 1
         sink_fn(df, batch_id)
 
-    reader = spark.readStream.schema(schema)
+    reader = spark.readStream.schema(schema).options(
+        **{k: str(v) for k, v in reader_options.items()}
+    )
     stream = reader.parquet(source_glob) if fmt == "parquet" else reader.format(
         fmt
     ).load(source_glob)
