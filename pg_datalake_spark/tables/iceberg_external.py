@@ -172,36 +172,96 @@ def current_schema(meta: dict) -> dict:
 
 
 def _live_entries(
-    location: str, snapshot_id: int | None = None, metadata_file: str | None = None
+    location: str,
+    snapshot_id: int | None = None,
+    metadata_file: str | None = None,
+    spark: SparkSession | None = None,
 ) -> list[dict]:
     """All non-DELETED manifest entries' ``data_file`` records for a
     snapshot (data files AND delete files, with content codes)."""
-    return [d for d, _ in _live_entries_with_seq(location, snapshot_id, metadata_file)]
+    return [
+        d
+        for d, _ in _live_entries_with_seq(
+            location, snapshot_id, metadata_file, spark=spark
+        )
+    ]
+
+
+# Manifest chains whose avro bytes exceed this decode on the EXECUTORS
+# (one task per manifest group) instead of serially in driver Python —
+# the same contract-vs-bottleneck split as the Delta reader's
+# _TAIL_DRIVER_BYTES (delta_log.py): the live-entry list itself must
+# exist driver-side (it IS the scan plan, like the reference's
+# snapshot.c planner), but a multi-million-entry chain decoded at
+# pure-Python speed on one core is minutes of driver wall the
+# executors absorb in parallel. Tests pin the threshold to 0 to force
+# the distributed path.
+_MANIFEST_DRIVER_BYTES = 4 << 20
+
+
+def _decode_manifest_batch(
+    infos: list[tuple[str, int]]
+) -> list[tuple[dict, int]]:
+    """Decode (manifest_path, inherited_seq) pairs → live
+    (data_file, seq) entries. Runs driver-side below the byte
+    threshold and inside executor tasks above it — ONE code path, so
+    the two routes cannot drift (the Delta replay's _CP_ADD_FIELDS
+    lesson)."""
+    from pg_datalake_spark.tables.avro_codec import read_avro as _ra
+
+    out: list[tuple[dict, int]] = []
+    for path, mseq in infos:
+        _, entries = _ra(path)
+        for e in entries:
+            if e.get("status", 0) == 2:  # DELETED entry: file left the table
+                continue
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = mseq
+            out.append((e["data_file"], int(seq)))
+    return out
 
 
 def _live_entries_with_seq(
-    location: str, snapshot_id: int | None = None, metadata_file: str | None = None
+    location: str,
+    snapshot_id: int | None = None,
+    metadata_file: str | None = None,
+    spark: SparkSession | None = None,
 ) -> list[tuple[dict, int]]:
     """Like :func:`_live_entries` but each record is paired with its
     data sequence number (entry-level, inheriting the manifest's when
-    the entry's is null — Iceberg v2 sequence-number inheritance)."""
+    the entry's is null — Iceberg v2 sequence-number inheritance).
+
+    With ``spark`` provided and the manifest chain's total avro size
+    past :data:`_MANIFEST_DRIVER_BYTES`, manifests decode in parallel
+    on the executors and stream back per partition
+    (``toLocalIterator`` — never a monolithic collect next to the
+    result list). A stat failure on any manifest routes to the
+    distributed path too (never the driver path — a multi-GB chain
+    driver-decoded on a stat hiccup is a silent stall; the r14 Delta
+    getsize lesson)."""
     meta = load_table_metadata(location, metadata_file)
     snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
     sid = snapshot_id if snapshot_id is not None else meta.get("current-snapshot-id")
     if sid not in snaps:
         raise ValueError(f"snapshot {sid} not found (have {sorted(snaps)})")
     _, manifests = read_avro(_local(snaps[sid]["manifest-list"]))
-    out: list[tuple[dict, int]] = []
-    for m in manifests:
-        _, entries = read_avro(_local(m["manifest_path"]))
-        for e in entries:
-            if e.get("status", 0) == 2:  # DELETED entry: file left the table
-                continue
-            seq = e.get("sequence_number")
-            if seq is None:
-                seq = m.get("sequence_number", 0)
-            out.append((e["data_file"], int(seq)))
-    return out
+    infos = [
+        (_local(m["manifest_path"]), int(m.get("sequence_number", 0) or 0))
+        for m in manifests
+    ]
+    if spark is not None and len(infos) > 1:
+        try:
+            total = sum(os.path.getsize(p) for p, _ in infos)
+        except OSError:
+            total = None
+        if total is None or total > _MANIFEST_DRIVER_BYTES:
+            sc = spark.sparkContext
+            rdd = sc.parallelize(infos, min(len(infos), 64)).mapPartitions(
+                lambda it: _decode_manifest_batch(list(it))
+            )
+            return list(rdd.toLocalIterator())
+    return _decode_manifest_batch(infos)
 
 
 def snapshot_files(
@@ -236,7 +296,10 @@ def _kv_dict(kv: list | None) -> dict:
 
 
 def snapshot_file_entries(
-    location: str, snapshot_id: int | None = None, metadata_file: str | None = None
+    location: str,
+    snapshot_id: int | None = None,
+    metadata_file: str | None = None,
+    spark: SparkSession | None = None,
 ) -> list[dict]:
     """Full per-file view of a snapshot: ``{path, content, seq,
     equality_ids, lower_bounds, upper_bounds, null_value_counts}`` per
@@ -253,7 +316,9 @@ def snapshot_file_entries(
             "null_value_counts": _kv_dict(d.get("null_value_counts")),
             "partition": d.get("partition") or {},
         }
-        for d, seq in _live_entries_with_seq(location, snapshot_id, metadata_file)
+        for d, seq in _live_entries_with_seq(
+            location, snapshot_id, metadata_file, spark=spark
+        )
     ]
 
 
@@ -465,7 +530,9 @@ def read_iceberg_table(
         if snapshot_id is not None:
             raise ValueError("snapshot_id and as_of_timestamp_ms are exclusive")
         snapshot_id = snapshot_as_of(location, as_of_timestamp_ms)
-    entries = snapshot_file_entries(location, snapshot_id, metadata_file)
+    entries = snapshot_file_entries(
+        location, snapshot_id, metadata_file, spark=spark
+    )
     data = [e for e in entries if e["content"] == 0]
     meta0 = load_table_metadata(location, metadata_file)
     ice_schema = current_schema(meta0)
@@ -2288,7 +2355,7 @@ def compact_files(
     mf = meta["_metadata-file"]
     data_files = [
         d["file_path"]
-        for d in _live_entries(location, None, mf)
+        for d in _live_entries(location, None, mf, spark=spark)
         if (d.get("content", 0) or 0) == 0
     ]
     n_before = len(data_files)

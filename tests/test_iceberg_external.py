@@ -1416,3 +1416,136 @@ def test_uniform_delta_as_iceberg(spark, tmp_path):
     dl.write_delta_table(df, loc2, column_mapping="name")
     with pytest.raises(NotImplementedError, match="column mapping"):
         ie.uniform_export_iceberg(spark, loc2)
+
+
+# ---------------------------------------------------------------------------
+# r15 (VERDICT item 3): distributed manifest decode — the Delta-style
+# contract-vs-bottleneck split applied to the external-Iceberg reader.
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_decode_distributed_matches_driver(spark, tmp_path,
+                                                    monkeypatch):
+    """The executor-side manifest decode must produce EXACTLY the
+    driver path's live entries (same records, same inherited sequence
+    numbers) — one shared decode function, two routes."""
+    from pg_datalake_spark.tables import iceberg_external as ie
+
+    loc = str(tmp_path / "dist_eq")
+    export_iceberg_snapshot(
+        spark.range(10).selectExpr("id as k", "id * 2 as v"), loc
+    )
+    for lo in (10, 20, 30):
+        ie.append_snapshot(
+            spark.range(lo, lo + 10).selectExpr("id as k", "id * 2 as v"),
+            loc,
+        )
+    ie.delete_where(spark, loc, "k >= 35")
+
+    driver = ie._live_entries_with_seq(loc)  # no spark → driver decode
+    monkeypatch.setattr(ie, "_MANIFEST_DRIVER_BYTES", 0)
+    dist = ie._live_entries_with_seq(loc, spark=spark)
+    monkeypatch.undo()
+
+    key = lambda t: (t[0]["file_path"], t[1])  # noqa: E731
+    assert sorted(dist, key=key) == sorted(driver, key=key)
+    assert len(dist) >= 1
+    # and the full read over the distributed route matches
+    monkeypatch.setattr(ie, "_MANIFEST_DRIVER_BYTES", 0)
+    got = sorted(r.k for r in ie.read_iceberg_table(spark, loc).collect())
+    monkeypatch.undo()
+    assert got == list(range(35))
+
+
+@pytest.mark.slow
+def test_1m_entry_manifest_chain_decodes_distributed_within_budget(
+    spark, tmp_path, monkeypatch
+):
+    """A 1M-entry manifest chain (64 manifests × 16384 entries — a
+    badly compacted 100 TB table) must decode on the EXECUTORS: the
+    driver-side decode function is patched to raise, so any driver
+    fallback fails the test; the live-entry list itself is the scan
+    contract and exists driver-side, budget-pinned by retained RSS and
+    a generous wall cap (pure-Python decode is ~77k entries/s on one
+    core — the executor fan-out is what keeps a multi-million-entry
+    chain out of driver wall-clock)."""
+    import copy
+    import gc
+    import shutil
+    import time as _time
+
+    from pg_datalake_spark.tables import iceberg_external as ie
+    from pg_datalake_spark.tables.avro_codec import read_avro, write_avro
+
+    def _vmrss() -> int:
+        with open("/proc/self/status") as fh:
+            for ln in fh:
+                if ln.startswith("VmRSS"):
+                    return int(ln.split()[1]) * 1024
+        raise RuntimeError("no VmRSS")
+
+    loc = str(tmp_path / "m1chain")
+    export_iceberg_snapshot(
+        spark.range(2).selectExpr("id as k", "id * 2 as v"), loc
+    )
+    meta = load_table_metadata(loc)
+    snap = {s["snapshot-id"]: s for s in meta["snapshots"]}[
+        meta["current-snapshot-id"]
+    ]
+    ml_path = ie._local(snap["manifest-list"])
+    ml_schema, [m0] = read_avro(ml_path)
+    mf_schema, entries0 = read_avro(ie._local(m0["manifest_path"]))
+
+    per, parts = 16_384, 64
+    proto = copy.deepcopy(entries0[0])
+    big = []
+    for i in range(per):
+        e = copy.deepcopy(proto)
+        e["data_file"]["file_path"] = f"file:///synth/f{i:07d}.parquet"
+        big.append(e)
+    meta_dir = os.path.join(loc, "metadata")
+    first = os.path.join(meta_dir, "big-0000-m0.avro")
+    write_avro(first, mf_schema, big)
+    refs = []
+    for j in range(parts):
+        p = os.path.join(meta_dir, f"big-{j:04d}-m0.avro")
+        if j:
+            shutil.copy(first, p)
+        m = dict(m0)
+        m["manifest_path"] = f"file://{p}"
+        m["added_files_count"] = per
+        refs.append(m)
+    write_avro(ml_path, ml_schema, refs)
+
+    # cloudpickle captures the patched module global BY VALUE into the
+    # RDD lambda, so this spy runs wherever the decode runs — and must
+    # only ever run in executor worker processes, never the driver
+    real_decode = ie._decode_manifest_batch
+    driver_pid = os.getpid()
+
+    def _assert_worker_side(infos):
+        assert os.getpid() != driver_pid, (
+            "driver-side manifest decode engaged for a chain past the "
+            "byte threshold"
+        )
+        return real_decode(infos)
+
+    monkeypatch.setattr(ie, "_decode_manifest_batch", _assert_worker_side)
+    gc.collect()
+    rss0 = _vmrss()
+    t0 = _time.time()
+    entries = ie._live_entries_with_seq(loc, spark=spark)
+    wall = _time.time() - t0
+    gc.collect()
+    rss_delta = _vmrss() - rss0
+    monkeypatch.undo()
+
+    assert len(entries) == per * parts
+    assert all(seq == int(m0.get("sequence_number", 0) or 0)
+               for _, seq in entries[:1000])
+    # contract list: ~1M pruned entry dicts; allow 2 KiB/entry +
+    # 512 MiB fixed for partition-batch overhead
+    assert rss_delta < per * parts * 2048 + (512 << 20), (
+        f"retained {rss_delta / 1e9:.2f} GB for {per * parts} entries"
+    )
+    assert wall < 120, f"distributed decode took {wall:.1f}s"
