@@ -76,6 +76,13 @@ _NOTES = ["alpha", "beta", "gamma", "delta", None]
 # (the pinned-regression rule from fuzz.py applied to DML sequences)
 SCHEMA_EVO_BASE = 10_000
 
+# fresh base for the DELTA CROSS-FEATURE COMBO tier (r15): column
+# mapping (name/id) × schema evolution × dv/cow deletes × mid-sequence
+# checkpoint rewrites (classic/V2-sidecar/multipart) in ONE sequence —
+# the two r14 finds both lived in two-feature interactions, so this
+# tier generates the deeper ones on purpose
+DELTA_COMBO_BASE = 20_000
+
 
 class DmlSequenceGen:
     """One seeded mutation sequence (pure data — no engine objects).
@@ -503,7 +510,9 @@ def apply_op_delta(spark, root: str, con, twin: str, op: dict,
 
     kind = op["op"]
     if kind == "append":
-        df = spark.createDataFrame(op["rows"], SCHEMA).coalesce(4)
+        df = spark.createDataFrame(
+            op["rows"], _schema_with(op.get("extras") or [])
+        ).coalesce(4)
         dl.append_delta(df, root)
     elif kind == "delete":
         dl.delete_where_delta(spark, root, op["predicate"], mode=mode)
@@ -513,7 +522,9 @@ def apply_op_delta(spark, root: str, con, twin: str, op: dict,
     elif kind == "update":
         dl.update_delta(spark, root, op["set"], where=op["predicate"])
     elif kind == "merge":
-        src = spark.createDataFrame(op["rows"], SCHEMA)
+        src = spark.createDataFrame(
+            op["rows"], _schema_with(op.get("extras") or [])
+        )
         m = op["mode"]
         dl.merge_delta(
             spark, root, src, on="t.k = s.k",
@@ -531,6 +542,32 @@ def apply_op_delta(spark, root: str, con, twin: str, op: dict,
         dl.optimize_delta(spark, root)
     elif kind == "expire":
         dl.vacuum_delta(spark, root, retain_last=1, retention_ms=0)
+    # --- combo-tier kinds (seeds >= DELTA_COMBO_BASE) ------------------
+    elif kind == "add_column":
+        dl.add_column_delta(spark, root, op["name"], "bigint")
+        con.execute(f"ALTER TABLE {twin} ADD COLUMN {op['name']} BIGINT")
+        return  # twin ALTER applied here, not via apply_twin
+    elif kind == "rename_column":
+        dl.rename_column_delta(spark, root, op["old"], op["new"])
+        con.execute(
+            f"ALTER TABLE {twin} RENAME COLUMN {op['old']} TO {op['new']}"
+        )
+        return
+    elif kind == "drop_column":
+        dl.drop_column_delta(spark, root, op["name"])
+        con.execute(f"ALTER TABLE {twin} DROP COLUMN {op['name']}")
+        return
+    elif kind == "checkpoint":
+        # twin no-op: a checkpoint rewrite must never change visible
+        # state — across column mapping, DVs and evolved schemas
+        style = op["style"]
+        if style == "v2":
+            dl.write_delta_checkpoint(spark, root, v2=True, n_sidecars=2)
+        elif style == "multipart":
+            dl.write_delta_checkpoint(spark, root, multipart=2)
+        else:
+            dl.write_delta_checkpoint(spark, root)
+        return
     else:  # pragma: no cover
         raise ValueError(f"unknown op {kind}")
     apply_twin(con, twin, op)
@@ -596,4 +633,162 @@ def run_sequence_delta(spark, con, seed: int, root: str, compare):
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         con.execute(f"DROP TABLE IF EXISTS {twin}")
     cov["modes"] = sorted(cov["modes"])
+    return problems, cov
+
+
+# ---------------------------------------------------------------------------
+# Delta cross-feature COMBO tier (r15): the r14 finds were both
+# two-feature interactions (COW×NULL-predicate, truncate×DV), so this
+# tier generates the deeper ones deliberately — ONE sequence mixes
+# column mapping (name/id), schema evolution (add/rename/drop, which
+# REQUIRE mapping), dv/cow deletes, merges over evolved schemas, and
+# mid-sequence checkpoint rewrites in all three layouts
+# (classic / V2+sidecars / V1 multipart), each checkpoint a
+# twin-invisible no-op the next step's full-state diff must confirm.
+# ---------------------------------------------------------------------------
+
+
+class DeltaComboGen:
+    """Seeded combo sequence (seeds >= DELTA_COMBO_BASE). Reuses the
+    base generator's row/predicate/SET pools and evolution
+    bookkeeping; renames/drops touch only evolution-added columns so
+    base-column predicates stay valid, and dropped names never
+    return."""
+
+    KINDS = ["append", "delete", "delete_eq", "update", "merge",
+             "add_column", "rename_column", "drop_column",
+             "checkpoint", "compact", "expire", "truncate"]
+    WEIGHTS = [3.0, 2.5, 1.5, 2.5, 2.0, 1.5, 1.2, 1.0, 1.8, 0.8, 0.5, 0.2]
+
+    def __init__(self, seed: int):
+        if seed < DELTA_COMBO_BASE:
+            raise ValueError(
+                f"combo tier seeds start at {DELTA_COMBO_BASE}"
+            )
+        self.seed = seed
+        self._g = DmlSequenceGen(seed)
+        self.rng = self._g.rng
+
+    def generate(self) -> dict[str, Any]:
+        rng = self.rng
+        g = self._g
+        column_mapping = rng.choice(["name", "name", "id"])
+        partition = rng.choice([None, ("identity", "seg")])
+        ops: list[dict[str, Any]] = [
+            {"op": "append", "rows": g._rows(rng.randint(150, 300)),
+             "extras": []}
+        ]
+        for _ in range(rng.randint(6, 10)):
+            kind = rng.choices(self.KINDS, self.WEIGHTS)[0]
+            if kind == "append":
+                ops.append(
+                    {"op": "append",
+                     "rows": g._rows(rng.randint(50, 150),
+                                     with_extras=True),
+                     "extras": list(g.extras)}
+                )
+            elif kind == "delete":
+                ops.append({"op": "delete", "predicate": g._predicate(),
+                            "dmode": rng.choice(["dv", "cow"])})
+            elif kind == "delete_eq":
+                ks = sorted({rng.randint(1, 400)
+                             for _ in range(rng.randint(3, 20))})
+                ops.append({"op": "delete_eq", "keys": ks,
+                            "dmode": rng.choice(["dv", "cow"])})
+            elif kind == "update":
+                ops.append({"op": "update", "set": g._set_exprs(),
+                            "predicate": g._predicate()})
+            elif kind == "merge":
+                ops.append(
+                    {"op": "merge",
+                     "mode": rng.choice(["upsert", "delete",
+                                         "insert_only"]),
+                     "rows": g._unique_key_rows(rng.randint(20, 60)),
+                     "extras": list(g.extras)}
+                )
+            elif kind == "add_column":
+                name = f"x{g._next_x}"
+                g._next_x += 1
+                g.extras.append(name)
+                ops.append({"op": "add_column", "name": name})
+            elif kind == "rename_column":
+                if not g.extras:
+                    ops.append({"op": "compact"})
+                else:
+                    old = rng.choice(g.extras)
+                    new = old + "r"
+                    g.extras[g.extras.index(old)] = new
+                    ops.append({"op": "rename_column", "old": old,
+                                "new": new})
+            elif kind == "drop_column":
+                if not g.extras:
+                    ops.append({"op": "compact"})
+                else:
+                    name = g.extras.pop(rng.randrange(len(g.extras)))
+                    ops.append({"op": "drop_column", "name": name})
+            elif kind == "checkpoint":
+                ops.append({"op": "checkpoint",
+                            "style": rng.choice(["classic", "v2",
+                                                 "multipart"])})
+            else:
+                ops.append({"op": kind})
+            ops[-1]["cols_after"] = _BASE_COLS + list(g.extras)
+        return {"column_mapping": column_mapping, "partition": partition,
+                "ops": ops}
+
+
+def run_sequence_delta_combo(spark, con, seed: int, root: str, compare):
+    """Dual-apply a combo-tier sequence through the Delta verbs.
+    Returns (problems, coverage) — coverage records the combo axes
+    (column-mapping mode, checkpoint styles, delete modes, evolution
+    op counts) so the gate can assert every axis actually fuzzed."""
+    from pg_datalake_spark.tables import delta_log as dl
+
+    gen = DeltaComboGen(seed).generate()
+    part = gen["partition"]
+    partition_by = [part[1]] if part and part[0] == "identity" else None
+    twin = f"fuzz_twin_c{seed}"
+    con.execute(f"DROP TABLE IF EXISTS {twin}")
+    con.execute(
+        f"CREATE TABLE {twin} "
+        "(k BIGINT, seg VARCHAR, qty BIGINT, price DOUBLE, note VARCHAR)"
+    )
+    problems: list[str] = []
+    cov: dict[str, Any] = {
+        "ops": {}, "modes": set(), "styles": set(),
+        "cm": gen["column_mapping"],
+    }
+    try:
+        first = gen["ops"][0]
+        df = spark.createDataFrame(first["rows"], SCHEMA).coalesce(4)
+        dl.write_delta_table(
+            df, root, partition_by=partition_by,
+            column_mapping=gen["column_mapping"],
+        )
+        _twin_insert(con, twin, first["rows"])
+        for i, op in enumerate(gen["ops"]):
+            if i > 0:
+                mode = op.get("dmode", "cow")
+                if op["op"] in ("delete", "delete_eq"):
+                    cov["modes"].add(mode)
+                if op["op"] == "checkpoint":
+                    cov["styles"].add(op["style"])
+                apply_op_delta(spark, root, con, twin, op, mode)
+            cov["ops"][op["op"]] = cov["ops"].get(op["op"], 0) + 1
+            cols = op.get("cols_after") or _BASE_COLS
+            got = dl.read_delta_table(spark, root).select(*cols).toPandas()
+            want = con.execute(
+                f"SELECT {', '.join(cols)} FROM {twin}"
+            ).df()
+            step_problems = compare(got, want)
+            if step_problems:
+                problems.append(
+                    f"combo seed {seed} step {i} [{op['op']}]: "
+                    f"{step_problems[:2]} (op={str(op)[:160]})"
+                )
+                break
+    finally:
+        con.execute(f"DROP TABLE IF EXISTS {twin}")
+    cov["modes"] = sorted(cov["modes"])
+    cov["styles"] = sorted(cov["styles"])
     return problems, cov

@@ -1342,12 +1342,42 @@ def write_delta_table(
 
 def _physical_stage_args(meta: dict, df: DataFrame) -> tuple[DataFrame, list[str]]:
     """Rename ``df`` to physical column names and return the physical
-    partition list — identity when the table has no column mapping."""
-    _schema, part_cols, _bt, phys, _ds, _oc = _scan_plan(meta)
-    if all(phys[c] == c for c in phys):
+    partition list — identity when the table has no column mapping.
+
+    Under column-mapping mode "id" every staged field ALSO carries its
+    ``parquet.field.id`` metadata (and the session enables
+    ``spark.sql.parquet.fieldId.write.enabled``), exactly like the
+    create path in :func:`write_delta_table` — the id-mode reader
+    binds by field id, so a writer verb staging id-less files breaks
+    every subsequent scan (r15 combo-fuzzer find, seed 20002: append /
+    COW delete / update / merge / optimize all stage through here)."""
+    schema, part_cols, _bt, phys, _ds, _oc = _scan_plan(meta)
+    cm = _cm_mode(meta)
+    if cm != "id" and all(phys[c] == c for c in phys):
         return df, part_cols
+    id_meta: dict[str, dict] = {}
+    if cm == "id":
+        id_meta = {
+            f.name: {
+                "parquet.field.id": int(
+                    (f.metadata or {})["delta.columnMapping.id"]
+                )
+            }
+            for f in schema.fields
+        }
+        df.sparkSession.conf.set(
+            "spark.sql.parquet.fieldId.write.enabled", "true"
+        )
     return (
-        df.select(*[F.col(c).alias(phys[c]) for c in df.columns]),
+        df.select(
+            *[
+                F.col(c).alias(
+                    phys[c],
+                    **({"metadata": id_meta[c]} if c in id_meta else {}),
+                )
+                for c in df.columns
+            ]
+        ),
         [phys[c] for c in part_cols],
     )
 

@@ -2035,3 +2035,40 @@ def test_distributed_tail_replay_fails_loud_on_corrupt_line(
     # the driver path rejects the same file too
     with pytest.raises(Exception):
         dl._snapshot_state(spark, loc, None)
+
+
+def test_id_mode_writer_verbs_stamp_field_ids(spark, tmp_path):
+    """r15 combo-fuzzer find (seed 20002): every writer verb that
+    stages through _physical_stage_args (append, COW delete, update,
+    merge, optimize) must stamp parquet.field.id into its data files
+    under column-mapping mode 'id' — the create path did, the verb
+    path did not, so the FIRST append broke every subsequent id-bound
+    scan (FAILED_READ: 'Parquet file schema doesn't contain any field
+    Ids')."""
+    loc = str(tmp_path / "cm_id_verbs")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "a", 30)],
+        "id long, grp string, v long",
+    )
+    dl.write_delta_table(df, loc, partition_by=["grp"], column_mapping="id")
+    dl.append_delta(
+        spark.createDataFrame([(4, "b", 40)], "id long, grp string, v long"),
+        loc,
+    )
+    assert sorted(r.id for r in dl.read_delta_table(spark, loc).collect()) \
+        == [1, 2, 3, 4]
+    dl.update_delta(spark, loc, {"v": "v + 1"}, where="id <= 2")
+    got = {r.id: r.v for r in dl.read_delta_table(spark, loc).collect()}
+    assert got == {1: 11, 2: 21, 3: 30, 4: 40}
+    dl.delete_where_delta(spark, loc, "id = 3", mode="cow")
+    dl.merge_delta(
+        spark, loc,
+        spark.createDataFrame([(4, "b", 400), (5, "a", 500)],
+                              "id long, grp string, v long"),
+        on="t.id = s.id",
+        when_matched_update={"v": "s.v"},
+        when_not_matched_insert=True,
+    )
+    dl.optimize_delta(spark, loc)
+    got = {r.id: r.v for r in dl.read_delta_table(spark, loc).collect()}
+    assert got == {1: 11, 2: 21, 4: 400, 5: 500}

@@ -227,3 +227,93 @@ def test_dml_generator_reaches_all_ops_and_partitions():
                      "compact", "expire"}
     assert modes == {"upsert", "delete", "insert_only"}
     assert parts == {None, "identity", "bucket"}
+
+
+# Combo-tier pins: the FIRST combo smoke found _physical_stage_args
+# staging id-less parquet under column-mapping mode 'id' — every
+# writer verb (append/COW delete/update/merge/optimize) broke every
+# subsequent id-bound scan (seeds 20002/20004 crashed FAILED_READ,
+# 20007 diverged null-masks). Fixed by stamping parquet.field.id in
+# the shared staging path; minimal repro pinned in
+# test_delta_log.py::test_id_mode_writer_verbs_stamp_field_ids.
+DELTA_COMBO_REGRESSION_SEEDS: list[int] = [20002, 20004, 20007]
+
+
+@pytest.mark.slow
+def test_dml_fuzz_sweep_delta_combo(spark, tmp_path_factory):
+    """r15 cross-feature COMBO tier (seeds >= DELTA_COMBO_BASE):
+    column mapping (name/id) × schema evolution (add/rename/drop,
+    which REQUIRE mapping) × dv/cow deletes × merges over evolved
+    schemas × mid-sequence checkpoint rewrites in all three layouts —
+    the r14 finds were two-feature interactions; this generates the
+    deeper ones deliberately. Sequences run on a small thread pool
+    (independent roots, per-thread DuckDB connections; session confs
+    pinned by the shared fixture's values are unchanged by the
+    runner)."""
+    import shutil
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    import duckdb as _duckdb
+
+    from pg_datalake_spark.fuzz_dml import (
+        DELTA_COMBO_BASE,
+        run_sequence_delta_combo,
+    )
+
+    n = int(os.environ.get("SPARK_GRAFT_FUZZ_DML_COMBO_N", "100"))
+    base = tmp_path_factory.mktemp("dml_fuzz_combo")
+    seeds = sorted(
+        set(range(DELTA_COMBO_BASE, DELTA_COMBO_BASE + n))
+        | set(DELTA_COMBO_REGRESSION_SEEDS)
+    )
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    failures: list[str] = []
+    cms: set[str] = set()
+    styles: set[str] = set()
+    modes: set[str] = set()
+    op_counts: dict[str, int] = {}
+    lock = threading.Lock()
+    tls = threading.local()
+
+    def one(seed: int) -> None:
+        con = getattr(tls, "con", None)
+        if con is None:
+            con = tls.con = _duckdb.connect()
+        root = str(base / f"t{seed}")
+        try:
+            problems, cov = run_sequence_delta_combo(
+                spark, con, seed, root, compare_exact
+            )
+        except Exception as e:  # noqa: BLE001
+            problems, cov = [f"combo seed {seed}: ENGINE ERROR {e}"], {}
+        shutil.rmtree(root, ignore_errors=True)
+        with lock:
+            failures.extend(problems)
+            cms.add(cov.get("cm"))
+            styles.update(cov.get("styles", []))
+            modes.update(cov.get("modes", []))
+            for k, v in cov.get("ops", {}).items():
+                op_counts[k] = op_counts.get(k, 0) + v
+
+    try:
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            list(pool.map(one, seeds))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    assert not failures, "\n".join(failures[:10])
+    # every combo axis must actually have fuzzed (axis coverage only
+    # holds statistically — skip for env-shrunk iteration runs)
+    if len(seeds) >= 50:
+        assert cms >= {"name", "id"}, f"column-mapping modes: {cms}"
+        assert styles == {"classic", "v2", "multipart"}, (
+            f"checkpoint styles: {styles}"
+        )
+        assert modes == {"dv", "cow"}, f"delete modes: {modes}"
+        for kind in ("add_column", "rename_column", "drop_column",
+                     "checkpoint", "merge", "update"):
+            assert op_counts.get(kind, 0) > 0, f"{kind} never exercised"
