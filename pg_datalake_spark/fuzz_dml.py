@@ -315,7 +315,9 @@ def apply_twin(con, twin: str, op: dict) -> None:
         con.execute(f"UPDATE {twin} SET {sets} WHERE {op['predicate']}")
     elif kind == "merge":
         mode = op["mode"]
-        _src_view(con, "fuzz_src", op["rows"])
+        # the twin source view is base-schema; combo-tier rows carry
+        # None-padded extras (inserted as CAST(NULL AS BIGINT) below)
+        _src_view(con, "fuzz_src", [r[:5] for r in op["rows"]])
         # inserts are selected against the PRE-merge state (the lake
         # merge anti-joins scan() before committing) — materialize
         # them first, then apply the matched clause, then insert
@@ -699,11 +701,20 @@ class DeltaComboGen:
                 ops.append({"op": "update", "set": g._set_exprs(),
                             "predicate": g._predicate()})
             elif kind == "merge":
+                # pad rows with None per live extra AFTER drawing them,
+                # so the rng stream (and every seed's shape) is
+                # untouched — a 5-tuple against the widened
+                # _schema_with(extras) schema crashes createDataFrame
+                # (r15 code-review find, seed 20025)
+                mrows = [
+                    r + (None,) * len(g.extras)
+                    for r in g._unique_key_rows(rng.randint(20, 60))
+                ]
                 ops.append(
                     {"op": "merge",
                      "mode": rng.choice(["upsert", "delete",
                                          "insert_only"]),
-                     "rows": g._unique_key_rows(rng.randint(20, 60)),
+                     "rows": mrows,
                      "extras": list(g.extras)}
                 )
             elif kind == "add_column":

@@ -325,7 +325,6 @@ def run_streaming_rollup_fuzz(spark: SparkSession, con, seed: int,
                 for k, v in acc.items()
             ]
         )
-        con.execute("DROP TABLE IF EXISTS stream_corpus")
         con.register("stream_corpus_src", _corpus_pdf(plan, _TS_BASE))
         want = con.execute(
             "SELECT date_trunc('hour', ts) AS window_start, user_id, "

@@ -250,7 +250,11 @@ def _live_entries_with_seq(
         (_local(m["manifest_path"]), int(m.get("sequence_number", 0) or 0))
         for m in manifests
     ]
-    if spark is not None and len(infos) > 1:
+    # NB: a SINGLE huge manifest (the compact_files/OVERWRITE shape)
+    # still decodes as one task — off the driver, but serial; block-
+    # level avro splitting would be the next step if that shape ever
+    # dominates. Chains (the append-history shape) parallelize fully.
+    if spark is not None and infos:
         try:
             total = sum(os.path.getsize(p) for p, _ in infos)
         except OSError:
