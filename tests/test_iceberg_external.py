@@ -1549,3 +1549,26 @@ def test_1m_entry_manifest_chain_decodes_distributed_within_budget(
         f"retained {rss_delta / 1e9:.2f} GB for {per * parts} entries"
     )
     assert wall < 120, f"distributed decode took {wall:.1f}s"
+
+
+def test_read_empty_snapshot_returns_typed_empty_scan(spark, tmp_path):
+    """r15 concurrent-fuzzer find (iceberg seed 0): a COW delete that
+    removes every row leaves a zero-data-file snapshot — reading it
+    must yield an EMPTY typed DataFrame, not ValueError (concurrent
+    readers crashed mid-race on the truncate winner)."""
+    from pg_datalake_spark.tables import iceberg_external as ie
+
+    loc = str(tmp_path / "emptied")
+    export_iceberg_snapshot(
+        spark.range(5).selectExpr("id as k", "id * 2 as v"), loc
+    )
+    ie.delete_where(spark, loc, "true")
+    got = read_iceberg_table(spark, loc)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["k", "v"]
+    # and the table is writable again after the wipe
+    ie.append_snapshot(
+        spark.range(7, 9).selectExpr("id as k", "id * 2 as v"), loc
+    )
+    assert sorted(r.k for r in read_iceberg_table(spark, loc).collect()) \
+        == [7, 8]
