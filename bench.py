@@ -72,9 +72,14 @@ def main() -> None:
     tabs = load_tables(spark, SF_DIR)
     # steady-state engine: materialize the columnar cache once before
     # timing (the reference engine benches against a warm NVMe file
-    # cache + OS buffer cache the same way — BASELINE.md engine defaults)
-    for name in tabs:  # every headline input, incl. documents/embeddings/events
-        tabs[name].cache().count()
+    # cache + OS buffer cache the same way — BASELINE.md engine defaults).
+    # Warmup jobs are independent — overlap them from a small thread
+    # pool so one table's straggler tasks back-fill with the next
+    # table's (optimization guide §2.6); untimed either way.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(lambda name: tabs[name].cache().count(), tabs))
 
     from pyspark.sql import functions as F
     from pyspark.sql import types as T

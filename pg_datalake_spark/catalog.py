@@ -28,18 +28,83 @@ TABLE_NAMES = [
     "embeddings",
 ]
 
+# Tables below this size gain nothing from spreading (their scans are
+# instant and they are usually broadcast sides); everything bigger whose
+# file layout cannot feed the session's cores gets a round-robin spread.
+# 256 KiB keeps the schema-bounded dims (nation/region/supplier/part)
+# out while catching the per-row-expensive text/embedding corpora.
+_PAR_FLOOR_MIN_BYTES = 1 << 18
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _scan_layout(path: str) -> tuple[int, int]:
+    """(total_bytes, n_files) of a parquet file or directory of files."""
+    if os.path.isdir(path):
+        total, n = 0, 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, f))
+                    n += 1
+        return total, max(n, 1)
+    return os.path.getsize(path), 1
+
+
+def _max_partition_bytes(spark: SparkSession) -> int:
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    try:
+        return int(raw)
+    except ValueError:
+        try:  # values like "128MB"
+            return int(
+                spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+            )
+        except Exception:
+            return 134217728
+
+
+def _with_scan_parallelism(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Scale-adaptive scan-parallelism floor (optimization guide §2.5:
+    "one huge unsplittable file ... repartition immediately after the
+    read"). The driver testdata ships ONE single-row-group parquet file
+    per table, so every scan — and any cache built from it — is a
+    single task no matter how many cores the session has; every
+    downstream map stage then runs 1-wide. When the file layout cannot
+    produce at least defaultParallelism scan tasks (few files, bytes
+    below maxPartitionBytes·cores) the rows are spread round-robin
+    once, restoring full-width map stages; at real scale (many files /
+    row groups) the condition is false and NO exchange is added.
+    Catalyst still pushes filters and column pruning below the
+    Repartition into the parquet scan (verified in plans/r15)."""
+    try:
+        total_bytes, n_files = _scan_layout(path)
+    except OSError:
+        return df
+    if total_bytes < _PAR_FLOOR_MIN_BYTES:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    est_tasks = max(n_files, total_bytes // _max_partition_bytes(spark))
+    if est_tasks >= par:
+        return df
+    return df.repartition(par)
+
+
 def load_tables(
-    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None, spread: bool = True
 ) -> dict[str, DataFrame]:
     """Read each parquet table and register it as a temp view.
 
     Returns {name: DataFrame}. Idempotent per session; re-registering a
     temp view is cheap and keeps callers stateless.
+
+    ``spread=False`` skips the scan-parallelism floor: a handful of
+    queries accumulate raw IEEE doubles (plain sum/avg) whose
+    last-ulp value depends on partition merge order — they hash-match
+    the single-threaded DuckDB oracle only over the file's native
+    single-partition scan order and must keep that plan.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the driver supplies its own session: pin the timezone here too —
@@ -64,6 +129,8 @@ def load_tables(
                     )
                 ).cast("timestamp_ntz"),
             )
+        if spread:
+            df = _with_scan_parallelism(spark, df, table_path(sf_dir, name))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -72,15 +72,30 @@ def shingles_from_tokens(t: Column, k: int = 3) -> Column:
     return F.array_distinct(z)
 
 
-def with_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """(id, sh): tokenize, materialize the token array through a
-    repartition exchange (spreads single-row-group inputs AND pins the
-    token array so downstream slices don't recompute the split), then
-    shingle."""
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-spread rows across the session's cores UNLESS the input
+    already carries at least that many partitions. Single-file /
+    single-row-group inputs (the driver testdata shape) need the
+    exchange for any parallelism; a multi-file table at real scale —
+    or an input the catalog's scan-parallelism floor already spread —
+    does not, and the unconditional repartition then only adds a
+    corpus-wide shuffle plus M×N fetch blocks (measured +55 % wall on
+    d09 at sf0.1; optimization guide §2.4 "remove shuffles outright")."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks")).repartition(
-        par, id_col
-    )
+    if df.isStreaming:
+        # .rdd is illegal on a streaming frame; keep the unconditional
+        # spread (micro-batches are small and arrive unpartitioned)
+        return df.repartition(par, id_col)
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, id_col)
+
+
+def with_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, sh): tokenize, spread under-partitioned inputs (the
+    exchange also pins the token array so downstream slices don't
+    recompute the split), then shingle."""
+    toks = _spread(df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks")), id_col)
     return toks.select(F.col(id_col), shingles_from_tokens(F.col("__toks"), k).alias("sh"))
 
 
@@ -466,10 +481,9 @@ def corpus_ngram_stats(
     """
     from pg_datalake_spark.operators.textstats import tokens
 
-    par = df.sparkSession.sparkContext.defaultParallelism
-    toks = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
-    ).repartition(par, id_col)
+    toks = _spread(
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks")), id_col
+    )
     n = F.size("__toks")
     win = F.greatest(n - (k - 1), F.lit(0))
     parts = [F.slice("__toks", j + 1, win) for j in range(k)]
@@ -582,10 +596,9 @@ def contamination_spans(
     doc. The positional explode is |tokens| rows per doc — the same
     row count the tokenizer already produced upstream.
     """
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    toks = corpus.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
-    ).repartition(par, id_col)
+    toks = _spread(
+        corpus.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks")), id_col
+    )
     pos_sh = toks.select(
         F.col(id_col),
         F.posexplode(positional_shingles(F.col("__toks"), k)).alias("pos0", "g"),
@@ -655,12 +668,11 @@ def exact_substring_spans(
     trade: ~n²/2⁶⁴ collision odds flip a span to "duplicated"). The
     default keeps exact strings so the DuckDB oracle hash-matches.
     """
-    par = docs.sparkSession.sparkContext.defaultParallelism
     from pyspark.sql import Window as W
 
-    toks = docs.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
-    ).repartition(par, id_col)
+    toks = _spread(
+        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks")), id_col
+    )
     pos_sh = toks.select(
         F.col(id_col),
         F.posexplode(positional_shingles(F.col("__toks"), k)).alias("pos0", "g"),
@@ -744,10 +756,9 @@ def exact_substring_excise(
     ``(id_col, n_tokens, n_removed, clean_text)`` (docs with nothing
     removed pass through with n_removed = 0).
     """
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    toks = docs.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
-    ).repartition(par, id_col)
+    toks = _spread(
+        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks")), id_col
+    )
     pos_sh = toks.select(
         F.col(id_col),
         F.posexplode(positional_shingles(F.col("__toks"), k)).alias("pos0", "g"),

@@ -572,7 +572,10 @@ def u01(spark: SparkSession, sf_dir: str) -> DataFrame:
     def charge(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
         return price * (1 - disc) * (1 + tax)
 
-    t = load_tables(spark, sf_dir, ["lineitem"])
+    # spread=False: the raw double sum's last ulp depends on partition
+    # merge order; it matches the single-threaded oracle only over the
+    # native single-partition scan order (see catalog.load_tables)
+    t = load_tables(spark, sf_dir, ["lineitem"], spread=False)
     return (
         t["lineitem"]
         .filter(F.col("l_orderkey") <= 200)

@@ -426,7 +426,9 @@ def a02(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def a03(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir, ["orders"])
+    # spread=False: raw double FILTER-sum — partition-merge-order
+    # sensitive last ulp (see catalog.load_tables)
+    t = load_tables(spark, sf_dir, ["orders"], spread=False)
     return (
         t["orders"]
         .groupBy("o_orderstatus")
@@ -523,7 +525,9 @@ def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def g03(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir, ["orders"])
+    # spread=False: raw double avg — partition-merge-order sensitive
+    # last ulp (see catalog.load_tables)
+    t = load_tables(spark, sf_dir, ["orders"], spread=False)
     return (
         t["orders"]
         .cube("o_orderstatus", "o_orderpriority")
@@ -749,7 +753,9 @@ def o03(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def c01(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_tables(spark, sf_dir, ["orders", "customer"])
+    # spread=False: raw double sum in the CTE — partition-merge-order
+    # sensitive last ulp (see catalog.load_tables)
+    load_tables(spark, sf_dir, ["orders", "customer"], spread=False)
     return spark.sql(
         """
         WITH big_orders AS (

@@ -176,7 +176,9 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "orders", "customer", "supplier", "nation", "region"]
+    )
     orders = t["orders"].filter(
         (F.col("o_orderdate") >= ts("1996-01-01 00:00:00"))
         & (F.col("o_orderdate") < ts("1998-01-01 00:00:00"))
@@ -252,7 +254,9 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "orders", "customer", "supplier", "nation"]
+    )
     n1 = t["nation"].select(
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
     )
@@ -304,7 +308,9 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "orders", "part", "supplier", "nation"]
+    )
     green = t["part"].filter(F.col("p_name").like("%red%"))
     return (
         t["lineitem"]
@@ -342,7 +348,7 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer", "nation"])
     orders = t["orders"].filter(
         (F.col("o_orderdate") >= ts("1996-10-01 00:00:00"))
         & (F.col("o_orderdate") < ts("1997-01-01 00:00:00"))
@@ -735,7 +741,10 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir)
+    t = load_tables(
+        spark, sf_dir,
+        ["lineitem", "orders", "customer", "supplier", "part", "nation", "region"],
+    )
     n1 = t["nation"].select(
         F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
     )
@@ -875,7 +884,7 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     on p_partkey instead of a per-row subquery; at 100 TB both the ps
     aggregate and the min-join shuffle on the same key, so AQE can
     coalesce them, and no SF-scaled table is force-broadcast."""
-    t = load_tables(spark, sf_dir)
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "part", "nation", "region"])
     ps = (
         t["lineitem"]
         .groupBy("l_partkey", "l_suppkey")
