@@ -58,7 +58,11 @@ HEADLINE = [
 
 def main() -> None:
     plans.load_all()
-    from pg_datalake_spark.session import cpu_count, shuffle_partitions_for
+    from pg_datalake_spark.session import (
+        advisory_partition_bytes_for,
+        cpu_count,
+        shuffle_partitions_for,
+    )
 
     data_bytes = sum(
         os.path.getsize(os.path.join(SF_DIR, f))
@@ -68,6 +72,7 @@ def main() -> None:
     spark = build_session(
         "pg_datalake_spark-bench",
         shuffle_partitions=shuffle_partitions_for(data_bytes, cpu_count()),
+        advisory_partition_bytes=advisory_partition_bytes_for(data_bytes, cpu_count()),
     )
     tabs = load_tables(spark, SF_DIR)
     # steady-state engine: materialize the columnar cache once before

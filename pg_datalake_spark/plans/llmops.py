@@ -157,12 +157,14 @@ def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
 def v01(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-20 for a query vector (vec_id 0).
 
-    The query vector is a parameter (collected once on the driver —
-    O(1) rows), then the scan is a single narrow pass + TakeOrdered.
-    Scores rounded to 6 decimals on both sides (JVM/DuckDB float ulp)."""
+    The query vector rides a broadcast join of its one-row frame (r15:
+    previously collected to the driver first — one extra Spark job per
+    invocation for the same scores), then the scan is a single narrow
+    pass + TakeOrdered. Scores rounded to 6 decimals on both sides
+    (JVM/DuckDB float ulp)."""
     t = load_tables(spark, sf_dir, ["embeddings"])
-    qv = t["embeddings"].filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return similarity.cosine_topk(t["embeddings"], list(qv), k=20, round_to=6)
+    q = t["embeddings"].filter(F.col("vec_id") == 0).select("embedding")
+    return similarity.cosine_topk_vs(t["embeddings"], q, k=20, round_to=6)
 
 
 @register(

@@ -30,6 +30,17 @@ def cpu_count() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def advisory_partition_bytes_for(data_bytes: int, cores: int) -> int:
+    """AQE partition-coalescing target, derived from the input size:
+    the 64 MB default folds every post-shuffle stage of a small input
+    to ONE task (at sf0.1 a ~5-15 MB shuffle coalesces to 1-2
+    partitions, serializing everything downstream of the exchange —
+    measured 1.3-1.9× on the shuffle-heavy bench keys). Target the
+    per-core share instead, clamped to [1 MB, 64 MB]: at 100 TB the
+    clamp returns the stock 64 MB and nothing changes."""
+    return int(min(max(data_bytes // max(cores * 2, 1), 1 << 20), 64 << 20))
+
+
 def shuffle_partitions_for(data_bytes: int, cores: int) -> int:
     """Size shuffle partitions to the data, not a constant: ~64MB per
     shuffle partition (Spark's guidance), clamped to [cores/4, 4*cores].
@@ -44,6 +55,7 @@ def build_session(
     app_name: str = "pg_datalake_spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
+    advisory_partition_bytes: int | None = None,
 ) -> SparkSession:
     """Create (or fetch) the tuned SparkSession."""
     n = cpus or cpu_count()
@@ -51,6 +63,10 @@ def build_session(
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            str(advisory_partition_bytes or 64 * 1024 * 1024),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

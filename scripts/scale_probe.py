@@ -20,7 +20,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pg_datalake_spark import plans
 from pg_datalake_spark.catalog import load_tables
 from pg_datalake_spark.plans.registry import QUERIES
-from pg_datalake_spark.session import build_session, cpu_count, shuffle_partitions_for
+from pg_datalake_spark.session import (
+    advisory_partition_bytes_for,
+    build_session,
+    cpu_count,
+    shuffle_partitions_for,
+)
 
 
 def _time(spark, name: str, sf_dir: str, runs: int = 2) -> float:
@@ -49,6 +54,7 @@ def main() -> None:
     spark = build_session(
         "scale-probe",
         shuffle_partitions=shuffle_partitions_for(data_bytes, cpu_count()),
+        advisory_partition_bytes=advisory_partition_bytes_for(data_bytes, cpu_count()),
     )
     for sf in (args.small, args.big):
         for df in load_tables(spark, sf).values():
