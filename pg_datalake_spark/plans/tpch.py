@@ -569,22 +569,26 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15 rewrite (guide §2.3 "aggregate before you shuffle"): the
+    HAVING-sum subquery already computes the outer query's only
+    aggregate — the outer GROUP BY keys include o_orderkey, which is
+    unique in orders, so each output group IS one qualifying order.
+    Aggregating lineitem once and joining the ≥200-qty orders to their
+    order/customer rows returns the identical result while dropping a
+    second full scan of the fact table, a fact-sized semi-join shuffle,
+    and the regroup (plan: 2 fewer Exchanges, 1 fewer lineitem scan;
+    0.61 s → 0.50 s at sf0.1, output bit-identical)."""
     t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
     big = (
         t["lineitem"]
         .groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("sq"))
-        .filter(F.col("sq") > 200)
-        .select("l_orderkey")
-    )
-    li = t["lineitem"].join(
-        big.withColumnRenamed("l_orderkey", "bk"), F.col("l_orderkey") == F.col("bk"), "left_semi"
+        .agg(F.sum("l_quantity").alias("sum_qty"))  # integral doubles: exact in any order
+        .filter(F.col("sum_qty") > 200)
     )
     return (
-        li.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        big.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(100)
     )
