@@ -79,6 +79,19 @@ def test_spread_false_keeps_native_scan(spark):
     assert "Repartition" not in t["orders"]._jdf.queryExecution().logical().toString()
 
 
+def test_advisory_partition_bytes_scale_adaptive():
+    from pg_datalake_spark.session import advisory_partition_bytes_for
+
+    # small input: per-core share clamps UP to 1 MiB (never starves
+    # post-shuffle width the way the stock 64 MB target does)
+    assert advisory_partition_bytes_for(17 << 20, 32) == 1 << 20
+    # mid-size input: the per-core share itself (2 GiB / (32·2) = 32 MiB)
+    assert advisory_partition_bytes_for(2 << 30, 32) == 32 << 20
+    # cluster scale: clamps DOWN to the stock 64 MB — not a local-only
+    # constant
+    assert advisory_partition_bytes_for(100 << 40, 512) == 64 << 20
+
+
 def test_results_identical_spread_vs_not(spark):
     # decimal-exact aggregation is partition-order independent: the
     # flagship q01 output must be bit-identical under both layouts
