@@ -58,21 +58,19 @@ HEADLINE = [
 
 def main() -> None:
     plans.load_all()
-    from pg_datalake_spark.session import (
-        advisory_partition_bytes_for,
-        cpu_count,
-        shuffle_partitions_for,
-    )
+    from pg_datalake_spark.session import cpu_count, shuffle_partitions_for
 
     data_bytes = sum(
         os.path.getsize(os.path.join(SF_DIR, f))
         for f in os.listdir(SF_DIR)
         if f.endswith(".parquet")
     )
+    # r16: the derived AQE advisory partition size moved INTO the engine
+    # (catalog.load_tables sets it from the scanned bytes — VERDICT r15
+    # item 2); the bench no longer passes session-level special config.
     spark = build_session(
         "pg_datalake_spark-bench",
         shuffle_partitions=shuffle_partitions_for(data_bytes, cpu_count()),
-        advisory_partition_bytes=advisory_partition_bytes_for(data_bytes, cpu_count()),
     )
     tabs = load_tables(spark, SF_DIR)
     # steady-state engine: materialize the columnar cache once before

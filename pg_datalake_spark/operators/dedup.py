@@ -80,13 +80,25 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     or an input the catalog's scan-parallelism floor already spread —
     does not, and the unconditional repartition then only adds a
     corpus-wide shuffle plus M×N fetch blocks (measured +55 % wall on
-    d09 at sf0.1; optimization guide §2.4 "remove shuffles outright")."""
+    d09 at sf0.1; optimization guide §2.4 "remove shuffles outright").
+
+    r16 note: the partition-count check goes through the Java-side
+    RDD (`_jdf.rdd()`), not `df.rdd` — the Python property wraps the
+    plan in a javaToPython conversion stage before asking for the
+    partition count, a strictly larger py4j/plan round-trip on every
+    operator construction. An unconditional repartition(par, id) here
+    was re-measured and REJECTED (r16): each downstream branch
+    (window, gram-count, doc-length) pushes different filters into
+    the scan, so the "one" pre-explode exchange physically
+    instantiates once per branch (3× the token arrays, no
+    ReusedExchange) — interleaved warm A/B 0.79 s (skip) vs 1.04 s
+    (copartition) on d09; executed plans in plans/r16/."""
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.isStreaming:
         # .rdd is illegal on a streaming frame; keep the unconditional
         # spread (micro-batches are small and arrive unpartitioned)
         return df.repartition(par, id_col)
-    if df.rdd.getNumPartitions() >= par:
+    if df._jdf.rdd().getNumPartitions() >= par:
         return df
     return df.repartition(par, id_col)
 
@@ -582,6 +594,7 @@ def contamination_spans(
     id_col: str,
     text_col: str = "text",
     k: int = 5,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Span-LEVEL benchmark-contamination localization: for each
     corpus document with at least one eval-set ``k``-gram hit, WHERE
@@ -595,6 +608,14 @@ def contamination_spans(
     broadcast hash join → one partial-aggregable min/max/count per
     doc. The positional explode is |tokens| rows per doc — the same
     row count the tokenizer already produced upstream.
+
+    ``hash_grams=True`` (r16, guide §2.3 "shuffle keys and metadata
+    instead of payloads"): the join key becomes ``xxhash64`` of the
+    gram on BOTH sides, shrinking the broadcast hash relation and the
+    probe key from ~k·wordlen string bytes to 8-byte longs (~6× at
+    k=5). A false hit needs a corpus gram colliding with a benchmark
+    gram — ~|corpus|·|bench|/2⁶⁴ odds, the same class as d09's
+    documented trade.
     """
     toks = _spread(
         corpus.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks")), id_col
@@ -603,12 +624,14 @@ def contamination_spans(
         F.col(id_col),
         F.posexplode(positional_shingles(F.col("__toks"), k)).alias("pos0", "g"),
     ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "g")
-    bench_grams = (
-        with_shingles(benchmark, id_col, text_col, k)
-        .select(F.explode("sh").alias("g"))
-        .distinct()
-        .withColumn("__hit", F.lit(1))
+    bench_exploded = with_shingles(benchmark, id_col, text_col, k).select(
+        F.explode("sh").alias("g")
     )
+    if hash_grams:
+        pos_sh = pos_sh.withColumn("g", F.xxhash64("g"))
+        # hash BEFORE the distinct so its aggregate also dedups longs
+        bench_exploded = bench_exploded.select(F.xxhash64("g").alias("g"))
+    bench_grams = bench_exploded.distinct().withColumn("__hit", F.lit(1))
     n_spans = toks.select(
         F.col(id_col),
         F.greatest(F.size("__toks") - (k - 1), F.lit(0)).cast("long").alias("n_spans"),

@@ -25,7 +25,6 @@ from pg_datalake_spark.catalog import load_tables  # noqa: E402
 from pg_datalake_spark.plans.registry import QUERIES  # noqa: E402
 from pg_datalake_spark.session import (  # noqa: E402
     DEFAULT_SF_DIR as SF_DIR,
-    advisory_partition_bytes_for,
     build_session,
     cpu_count,
     shuffle_partitions_for,
@@ -53,7 +52,6 @@ def main() -> None:
     spark = build_session(
         "pg_datalake_spark-profile",
         shuffle_partitions=shuffle_partitions_for(data_bytes, cpu_count()),
-        advisory_partition_bytes=advisory_partition_bytes_for(data_bytes, cpu_count()),
     )
     tabs = load_tables(spark, SF_DIR)
     for name in tabs:

@@ -21,7 +21,6 @@ from pg_datalake_spark import plans
 from pg_datalake_spark.catalog import load_tables
 from pg_datalake_spark.plans.registry import QUERIES
 from pg_datalake_spark.session import (
-    advisory_partition_bytes_for,
     build_session,
     cpu_count,
     shuffle_partitions_for,
@@ -54,7 +53,6 @@ def main() -> None:
     spark = build_session(
         "scale-probe",
         shuffle_partitions=shuffle_partitions_for(data_bytes, cpu_count()),
-        advisory_partition_bytes=advisory_partition_bytes_for(data_bytes, cpu_count()),
     )
     for sf in (args.small, args.big):
         for df in load_tables(spark, sf).values():
