@@ -210,6 +210,17 @@ def _ensure_advisory(spark: SparkSession, st: dict, sf_dir: str, spread: bool) -
     st["advisory_key"] = key
 
 
+def reapply_advisory(spark: SparkSession, advisory_key: tuple | None) -> None:
+    """Re-pin the advisory a memoized query plan was constructed under
+    (registry._memoized): a memo hit skips load_tables, so without
+    this the conf would stay at whatever the previously-run query set."""
+    if advisory_key is None:
+        return
+    st = _session_state(spark)
+    sf_dir, spread = advisory_key
+    _ensure_advisory(spark, st, sf_dir, spread)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None, spread: bool = True
 ) -> dict[str, DataFrame]:

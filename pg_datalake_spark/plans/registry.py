@@ -52,12 +52,64 @@ class _OracleDict(dict):
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: _OracleDict = _OracleDict()
 
+# Plan-construction memo (r16, VERDICT r15 item 3 "memoize the
+# DataFrame construction per query where legal, not results"): a
+# registered query fn is a pure plan builder for these modules — no
+# writes, no tempdirs, no streaming state — so the DataFrame it
+# returns for a given (session, sf_dir) is the same immutable plan
+# every time, and rebuilding it only re-pays the py4j expression
+# chatter (~0.1-0.65 s per query). Modules whose fns have
+# construction-time side effects (fixture writes, DML, streaming
+# checkpoints: delta_q, lakeops, sources_*, streaming_*) and the
+# merged suites that may invoke them are NOT memoized. Only plan
+# objects are memoized — never query results; execution recomputes
+# from the parquet inputs every time.
+_PURE_PLAN_MODULES = {
+    "clickbench",
+    "funcs_coverage",
+    "geo",
+    "llmops",
+    "multimodal_q",
+    "relational",
+    "tpcds",
+    "tpch",
+    "window_rotation",
+}
+
+
+def _memoized(name: str, fn: QueryFn) -> QueryFn:
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pg_datalake_spark import catalog
+
+        st = catalog._session_state(spark)
+        # the floor constant participates in the key so tests (and
+        # callers) that toggle it get a freshly-planned variant
+        key = (name, sf_dir, catalog._PAR_FLOOR_MIN_BYTES)
+        memo = st.setdefault("qplans", {})
+        hit = memo.get(key)
+        if hit is not None:
+            df, advisory_key = hit
+            # a memo hit skips load_tables, which is what pins the
+            # AQE advisory this plan was built under — re-pin it so
+            # execution behaves identically to a fresh construction
+            catalog.reapply_advisory(spark, advisory_key)
+            return df
+        df = fn(spark, sf_dir)
+        memo[key] = (df, st.get("advisory_key"))
+        return df
+
+    return wrapper
+
 
 def register(name: str, oracle: OracleSrc | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name: {name}")
-        QUERIES[name] = fn
+        mod = fn.__module__.rsplit(".", 1)[-1]
+        QUERIES[name] = _memoized(name, fn) if mod in _PURE_PLAN_MODULES else fn
         if oracle is not None:
             dict.__setitem__(ORACLES, name, oracle)
         return fn
