@@ -75,14 +75,20 @@ def main() -> None:
     tabs = load_tables(spark, SF_DIR)
     # steady-state engine: materialize the columnar cache once before
     # timing (the reference engine benches against a warm NVMe file
-    # cache + OS buffer cache the same way — BASELINE.md engine defaults).
+    # cache + OS buffer cache the same way — BASELINE.md engine defaults,
+    # methodology pinned in BASELINE.md "Warm-cache methodology decision").
     # Warmup jobs are independent — overlap them from a small thread
     # pool so one table's straggler tasks back-fill with the next
     # table's (optimization guide §2.6); untimed either way.
-    from concurrent.futures import ThreadPoolExecutor
+    # SPARK_GRAFT_BENCH_COLD=1 skips the warmup — the uncached leg
+    # recorded per optimization round (BENCH_COLD_r{N}.json); the
+    # driver's own invocation never sets it, so its numbers are
+    # unchanged.
+    if os.environ.get("SPARK_GRAFT_BENCH_COLD") != "1":
+        from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        list(pool.map(lambda name: tabs[name].cache().count(), tabs))
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            list(pool.map(lambda name: tabs[name].cache().count(), tabs))
 
     from pyspark.sql import functions as F
     from pyspark.sql import types as T

@@ -52,6 +52,22 @@ class _OracleDict(dict):
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: _OracleDict = _OracleDict()
 
+# Central contract for partition-merge-order sensitivity (r15 ADVICE
+# item 2): queries that aggregate RAW IEEE doubles (plain sum/avg, no
+# decimal widening) hash-match the single-threaded DuckDB oracle only
+# over the file's native single-partition scan order. Every name here
+# MUST call load_tables(..., spread=False) — pinned by
+# tests/test_catalog_memo.py::test_order_sensitive_opt_outs_pinned —
+# and any new raw-double aggregate query must be added here. Everything
+# else defaults to spread=True and must use order-independent
+# accumulation (decimal sums / rounded outputs).
+ORDER_SENSITIVE = {
+    "a03_agg_modifiers",
+    "g03_cube",
+    "c01_chained_cte",
+    "u01_pandas_udf",
+}
+
 # Plan-construction memo (r16, VERDICT r15 item 3 "memoize the
 # DataFrame construction per query where legal, not results"): a
 # registered query fn is a pure plan builder for these modules — no

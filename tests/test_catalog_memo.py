@@ -99,3 +99,23 @@ def test_d02_leaves_no_persisted_rdds(spark):
     df.count()
     leaked = spark.sparkContext._jsc.getPersistentRDDs()
     assert leaked.isEmpty(), leaked
+
+
+def test_order_sensitive_opt_outs_pinned(spark):
+    # r15 ADVICE item 2: the raw-double opt-out list is centralized in
+    # registry.ORDER_SENSITIVE; each member must actually skip the scan
+    # floor (spread=False) and keep a Repartition-free native plan.
+    import inspect
+
+    from pg_datalake_spark import plans
+    from pg_datalake_spark.plans.registry import ORDER_SENSITIVE, QUERIES
+
+    plans.load_all()
+    assert ORDER_SENSITIVE <= set(QUERIES)
+    for name in sorted(ORDER_SENSITIVE):
+        fn = QUERIES[name]
+        src = inspect.getsource(getattr(fn, "__wrapped__", fn))
+        assert "spread=False" in src, name
+        df = fn(spark, SF_DIR)
+        logical = df._jdf.queryExecution().logical().toString()
+        assert "Repartition" not in logical, name

@@ -32,6 +32,11 @@ from pg_datalake_spark.fuzz import QueryGen, gen_query
 
 from tests.conftest import SF_DIR
 
+# r16: randomized differential sweeps and stress probes run in the
+# explicit fuzz tier (pytest -m fuzz) — the default `pytest tests/`
+# must finish inside the driver's verify budget (VERDICT r15 item 6).
+pytestmark = pytest.mark.fuzz
+
 N_SEEDS = int(os.environ.get("SPARK_GRAFT_FUZZ_N", "150"))
 
 # Seeds that ever produced a mismatch, pinned forever (currently the

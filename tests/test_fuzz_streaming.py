@@ -30,6 +30,11 @@ from check_exact import compare_exact  # noqa: E402
 
 from pg_datalake_spark.fuzz_streaming import STREAM_RUNNERS
 
+# r16: randomized differential sweeps and stress probes run in the
+# explicit fuzz tier (pytest -m fuzz) — the default `pytest tests/`
+# must finish inside the driver's verify budget (VERDICT r15 item 6).
+pytestmark = pytest.mark.fuzz
+
 # 18 seeds × 3 pipelines, ≥2 planned kills per seed → >100 randomized
 # kill/restart points across the default gate
 N_SEEDS = int(os.environ.get("SPARK_GRAFT_FUZZ_STREAM_N", "18"))

@@ -47,6 +47,11 @@ from pg_datalake_spark.tables.iceberg_external import (
     read_iceberg_table,
 )
 
+# r16: randomized differential sweeps and stress probes run in the
+# explicit fuzz tier (pytest -m fuzz) — the default `pytest tests/`
+# must finish inside the driver's verify budget (VERDICT r15 item 6).
+pytestmark = pytest.mark.fuzz
+
 
 def _mk(spark, lo, hi):
     return spark.range(lo, hi).select(

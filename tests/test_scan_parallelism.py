@@ -56,11 +56,19 @@ def test_floor_leaves_many_file_layouts_alone(spark, tmp_path):
 def test_floor_preserves_pushdown(spark):
     # filters and pruning must still reach the parquet scan below the
     # Repartition (guide §6: PushedFilters/ReadSchema discipline)
+    import re
+
     t = cat.load_tables(spark, SF_DIR, ["lineitem"])
     q = t["lineitem"].filter(F.col("l_quantity") > 45).select("l_orderkey")
     plan = q._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in plan
-    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+    # loose regexes, not exact plan-string fragments: filter-literal
+    # rendering and schema formatting drift across Spark minors
+    # (r15 ADVICE item 5)
+    assert re.search(r"PushedFilters:.*GreaterThan\(l_quantity", plan), plan
+    m = re.search(r"ReadSchema:\s*struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {"l_orderkey", "l_quantity"}, read_cols
 
 
 def test_spread_skips_already_wide_input(spark):

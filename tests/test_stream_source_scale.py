@@ -12,6 +12,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
+# r16: randomized differential sweeps and stress probes run in the
+# explicit fuzz tier (pytest -m fuzz) — the default `pytest tests/`
+# must finish inside the driver's verify budget (VERDICT r15 item 6).
+pytestmark = pytest.mark.fuzz
+
 
 def _mk(spark, lo, hi):
     return spark.range(lo, hi).select(
