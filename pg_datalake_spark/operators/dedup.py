@@ -282,6 +282,7 @@ def minhash_lsh_dedup_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket: int | None = 4096,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """End-to-end near-dup pairs: shingle → minhash → LSH band join →
     exact-Jaccard verification.
@@ -300,16 +301,27 @@ def minhash_lsh_dedup_pairs(
       never risks force-broadcasting an unbounded pair set (the r9
       hot-corpus concern) and nothing stays persisted after the query
       returns (the r15 judge's §5 leak note).
-    - The shingle frame is no longer persisted either: its three uses
-      (signatures + both verify probe sides) recompute a cheap narrow
-      string map, vs pinning a corpus-sized array cache at 100 TB
-      (persist 1.39 s vs recompute 1.24 s here, and §5 says cache only
-      when recompute is dearer than the memory pressure — it is not).
+    - The shingle frame is no longer persisted by default: its three
+      uses (signatures + both verify probe sides) recompute a cheap
+      narrow string map, vs pinning a corpus-sized array cache
+      (persist 1.39 s vs recompute 1.24 s at sf0.1; §5 says cache only
+      when recompute is dearer than the memory pressure). At sf1 the
+      trade flips (3× shingling ≈ +5 s) — a consumer running ONE pass
+      over a big corpus can set ``persist_shingles=True`` and OWN the
+      lifecycle: the persisted frame rides the returned DataFrame as
+      ``._pg_scratch``; call ``.unpersist()`` on it after the result
+      is consumed. The default stays False so the query registry
+      leaks nothing and every bench rep computes honestly.
     """
     sh = with_shingles(df, id_col, text_col)
+    if persist_shingles:
+        sh = sh.persist()
     sigs = signatures_from_shingles(sh.filter(F.size("sh") > 0), id_col, num_perms)
     cands = lsh_candidate_pairs(sigs, id_col, num_perms, bands, max_bucket)
-    return jaccard_verify_shingles(cands, sh, id_col, threshold, broadcast_pairs=False)
+    out = jaccard_verify_shingles(cands, sh, id_col, threshold, broadcast_pairs=False)
+    if persist_shingles:
+        out._pg_scratch = sh
+    return out
 
 
 # ---------------------------------------------------------------------------
