@@ -70,11 +70,12 @@ def _resolve_iceberg_entry(name: str, location: str) -> dict:
 
     meta_dir = os.path.join(location, "metadata")
     hint = os.path.join(meta_dir, "version-hint.text")
+    v = None
     if os.path.exists(hint):
         with open(hint) as fh:
-            metadata_location = os.path.join(
-                meta_dir, f"v{fh.read().strip()}.metadata.json"
-            )
+            v = fh.read().strip()
+    if v:  # empty = torn hint read racing a writer (r16) — fall through
+        metadata_location = os.path.join(meta_dir, f"v{v}.metadata.json")
     else:
         load_table_metadata(location)  # validates the table exists
         metadata_location = None

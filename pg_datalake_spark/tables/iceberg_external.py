@@ -74,8 +74,17 @@ def _write_version_file(meta_dir: str, version: int, meta: dict) -> None:
             f"metadata version v{version} already exists under {meta_dir} — "
             "concurrent commit detected; reload table state and retry"
         ) from None
-    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+    # ATOMIC hint advance (r16, found by the concurrent fuzz gate):
+    # open(hint, "w") truncates in place, so a concurrent reader that
+    # opens the hint between truncate and write reads "" and resolves
+    # v.metadata.json (seed-1 FileNotFoundError). Write-aside +
+    # os.replace makes every read see either the old or the new hint,
+    # never a torn one.
+    hint = os.path.join(meta_dir, "version-hint.text")
+    tmp = f"{hint}.{os.getpid()}.{version}.tmp"
+    with open(tmp, "w") as fh:
         fh.write(str(version))
+    os.replace(tmp, hint)
     # Advance the optimistic-concurrency base in place: a second commit
     # from the same in-memory state must claim the NEXT slot, not re-claim
     # this one (which would spuriously fail the exclusive create).
@@ -117,11 +126,16 @@ def load_table_metadata(location: str, metadata_file: str | None = None) -> dict
     meta_dir = os.path.join(_local(location), "metadata")
     if metadata_file is None:
         hint = os.path.join(meta_dir, "version-hint.text")
+        v = None
         if os.path.exists(hint):
             with open(hint) as fh:
                 v = fh.read().strip()
+        if v:
             metadata_file = os.path.join(meta_dir, f"v{v}.metadata.json")
         else:
+            # no hint, or a torn/empty hint read raced with a writer on
+            # a filesystem without atomic replace — fall back to the
+            # newest metadata file by numeric version (r16)
             # sort by the NUMERIC version embedded in the filename
             # (v9 < v10; lexicographic sort would pick v9) — handles
             # both v{N}.metadata.json and {NNNNN}-{uuid}.metadata.json
