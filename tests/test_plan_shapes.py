@@ -19,11 +19,28 @@ from pg_datalake_spark.catalog import load_tables
 from tests.conftest import SF_DIR
 
 
+def _fresh(name, spark, sf_dir):
+    """Build a FRESH DataFrame for a registered query, bypassing the
+    r16 plan memo: these tests assert the STATIC plan shape (the
+    planning-time policy), and a memoized frame another test already
+    executed explains as the AQE FINAL plan (e.g. a runtime-converted
+    broadcast join at sf0.001), plus the '== Initial Plan ==' echo."""
+    from pg_datalake_spark.plans.registry import QUERIES
+
+    fn = QUERIES[name]
+    return getattr(fn, "__wrapped__", fn)(spark, sf_dir)
+
+
 def _plan(df, mode: str = "formatted") -> str:
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain(mode)
-    return buf.getvalue()
+    out = buf.getvalue()
+    # r16: registry queries are plan-memoized per session, so a
+    # DataFrame another test already EXECUTED explains as the AQE
+    # final plan PLUS the "== Initial Plan ==" section — node-count
+    # assertions must see one copy of the tree, not two
+    return out.split("== Initial Plan ==")[0]
 
 
 def test_interval_join_is_not_a_nested_loop(spark):
@@ -89,7 +106,7 @@ def test_tpch_q05_broadcast_policy(spark):
     from pg_datalake_spark import plans as _p
 
     _p.load_all()
-    plan = _plan(QUERIES["q05_local_supplier_volume"](spark, SF_DIR), "simple")
+    plan = _plan(_fresh("q05_local_supplier_volume", spark, SF_DIR), "simple")
     assert "BroadcastHashJoin" in plan  # dim chain
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan  # fact joins
     assert "NestedLoop" not in plan and "Cartesian" not in plan
@@ -251,7 +268,7 @@ def test_ds_rollup_is_two_phase(spark):
 
     for name in ("ds36_margin_rollup_rank", "ds67_rollup_rank_topk",
                  "ds27_avg_rollup"):
-        plan = _plan(QUERIES[name](spark, SF_DIR), "formatted")
+        plan = _plan(_fresh(name, spark, SF_DIR), "formatted")
         assert "Expand" in plan, name
         # In the formatted tree the first (finest-grain) HashAggregate
         # must appear BELOW the Expand: operators print top-down, so
@@ -270,7 +287,7 @@ def test_ds71_channel_union_single_aggregate(spark):
     never one aggregate per channel stitched together."""
     from pg_datalake_spark.plans.registry import QUERIES
 
-    plan = _plan(QUERIES["ds71_channel_union_brand"](spark, SF_DIR), "simple")
+    plan = _plan(_fresh("ds71_channel_union_brand", spark, SF_DIR), "simple")
     assert plan.count("Union") == 1
     assert "Cartesian" not in plan and "NestedLoop" not in plan
 
@@ -280,7 +297,7 @@ def test_ds35_uses_semi_joins(spark):
     row-per-match inner join that would duplicate customers)."""
     from pg_datalake_spark.plans.registry import QUERIES
 
-    plan = _plan(QUERIES["ds35_multichannel_exists"](spark, SF_DIR), "simple")
+    plan = _plan(_fresh("ds35_multichannel_exists", spark, SF_DIR), "simple")
     assert plan.count("LeftSemi") == 2
     assert "Cartesian" not in plan and "NestedLoop" not in plan
 
